@@ -1,0 +1,31 @@
+"""PySpark-native analytics engine with the query/data-processing
+capabilities of aws-samples/aws-autonomous-driving-data-lake-ros-bag-scene-detection-pipeline.
+
+The reference (at /root/reference, studied in SURVEY.md) is a three-hop
+pipeline: ROS bag extraction -> topic synchronization onto a 10 Hz grid
+(spark_scripts/synchronize_topics.py) -> scene-interval detection
+(spark_scripts/detect_scenes.py). This package re-expresses every
+operator Spark-first (DataFrame/SQL, Catalyst-optimizable) and adds the
+large-scale training-data-pipeline surface (dedup, similarity search,
+text analysis, multimodal plumbing).
+
+Modules
+-------
+- ``session``   : tuned SparkSession builder (AQE, UTC, Arrow).
+- ``sources``   : parquet/table readers, rosbag-shaped source plumbing.
+- ``operators`` : alignment (spine/LOCF/as-of join), sessionization,
+                  pivot, top-k, dedup, similarity — pure DF->DF.
+- ``functions`` : column-level helpers (text stats, vector math).
+- ``pipeline``  : synchronize_topics + detect_scenes re-implementations.
+- ``streaming`` : Structured Streaming replacements for the trigger
+                  Lambda (completeness-gated micro-batching).
+- ``plans``     : plan-inspection helpers used by tests/bench.
+"""
+
+__version__ = "0.1.0"
+
+from .operators import (  # noqa: E402,F401
+    asof_join, change_point_intervals, forward_fill, lag_lead, pivot_wide,
+    resample_asof, sessionize, time_spine, top_k_per_group, union_by_name,
+)
+from .session import get_spark  # noqa: E402,F401

@@ -1,0 +1,72 @@
+"""Sessionization / change-point operators (SURVEY §2.5 #41).
+
+The reference detects "person in lane" scenes with a lag → state
+transition (start/end) → lead pairing (detect_scenes.py:192-222).
+Both that change-point shape and classic gap-based sessionization are
+gaps-and-islands window patterns: one shuffle on the entity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, keys: list[str], time_col: str,
+               gap: float, agg_cols: dict | None = None) -> DataFrame:
+    """Split each key's event stream into sessions separated by more
+    than ``gap`` time units; emit one interval row per session.
+
+    Returns ``keys + [session_id, start_time, end_time, n_events]`` plus
+    any extra aggregates from ``agg_cols`` ({out_name: Column}).
+    """
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    t = F.col(time_col)
+    new_session = F.when(
+        (t - F.lag(time_col, 1).over(w)) > F.lit(gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy(time_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = df.withColumn("_new", new_session) \
+                 .withColumn("session_id", F.sum("_new").over(run))
+    aggs = [
+        F.min(time_col).alias("start_time"),
+        F.max(time_col).alias("end_time"),
+        F.count(F.lit(1)).alias("n_events"),
+    ] + [expr.alias(name) for name, expr in (agg_cols or {}).items()]
+    return sessions.groupBy(*keys, "session_id").agg(*aggs)
+
+
+def change_point_intervals(df: DataFrame, keys: list[str], time_col: str,
+                           state: Column,
+                           extra_cols: list[str] | None = None) -> DataFrame:
+    """Pair rising edges of a boolean ``state`` with the next falling
+    edge, emitting ``(start_time, end_time)`` interval rows — the
+    reference's scene summarization (detect_scenes.py:192-222) with
+    ``when/otherwise`` instead of a scalar Python UDF
+    (detect_scenes.py:192-193).
+
+    A state still active at the last row yields ``end_time = NULL``
+    (open interval), matching the reference's lead() behavior.
+    """
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    s = state.cast("int")
+    marked = df.withColumn("_s", s).withColumn("_s_lag", F.lag("_s", 1).over(w))
+    transition = (
+        F.when((F.col("_s") == 1) & (F.col("_s_lag") == 0), F.lit("start"))
+        .when((F.col("_s") == 0) & (F.col("_s_lag") == 1), F.lit("end"))
+        .when((F.col("_s") == 1) & F.col("_s_lag").isNull(), F.lit("start"))
+    )
+    edges = (marked.withColumn("_tr", transition)
+             .where(F.col("_tr").isNotNull()))
+    w2 = Window.partitionBy(*keys).orderBy(time_col)
+    paired = (edges
+              .withColumn("_next_time", F.lead(time_col, 1).over(w2))
+              .where(F.col("_tr") == "start"))
+    out = paired.select(
+        *keys,
+        F.col(time_col).alias("start_time"),
+        F.col("_next_time").alias("end_time"),
+        *(extra_cols or []),
+    )
+    return out.withColumn("interval_length", F.col("end_time") - F.col("start_time"))

@@ -1,0 +1,155 @@
+"""Time-series alignment operators (SURVEY §2.3 #25-#30, §2.5).
+
+The reference's synchronize job builds a 10 Hz master grid per bag with
+a driver-side ``collect()`` + per-bag ``spark.range`` loop
+(synchronize_topics.py:111-157), then forward-fills each topic column
+with a window ``last(ignorenulls)`` (synchronize_topics.py:160-167).
+
+Here the spine is pure plan — ``groupBy().agg(min,max)`` +
+``explode(sequence(...))`` — so it scales with the cluster instead of
+the driver, and forward fill / as-of join are expressed as single
+window passes over data partitioned by the entity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_spine(df: DataFrame, keys: list[str], time_col: str, step: float,
+               spine_col: str = None) -> DataFrame:
+    """Per-key regular time grid covering [min(time), max(time)].
+
+    Replaces synchronize_topics.py:111-157 (driver collect + spark.range
+    per bag) with ``sequence``+``explode``: one shuffle on ``keys``, no
+    driver round-trip, works for millions of keys.
+
+    Ticks are ``floor(t/step)*step`` aligned, matching the reference's
+    ``id * 0.1`` grid arithmetic (synchronize_topics.py:131-136).
+    ``step`` may be fractional; arithmetic is done on integral tick ids
+    to avoid float drift.
+    """
+    spine_col = spine_col or time_col
+    t = F.col(time_col)
+    bounds = df.groupBy(*keys).agg(
+        F.floor(F.min(t) / F.lit(step)).cast("long").alias("_t0"),
+        F.floor(F.max(t) / F.lit(step)).cast("long").alias("_t1"),
+    )
+    return bounds.select(
+        *keys,
+        F.explode(F.sequence("_t0", "_t1")).alias("_tick"),
+    ).select(*keys, (F.col("_tick") * F.lit(step)).alias(spine_col))
+
+
+def forward_fill(df: DataFrame, keys: list[str], order_col: str,
+                 cols: list[str]) -> DataFrame:
+    """Last-observation-carried-forward per key (SURVEY #29;
+    synchronize_topics.py:160-167).
+
+    All columns share one Window spec, so Catalyst evaluates them in a
+    single physical Window operator — one shuffle+sort regardless of
+    how many columns are filled.
+    """
+    w = (Window.partitionBy(*keys).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.select(
+        *[c for c in df.columns if c not in cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in cols],
+    )
+
+
+def resample_asof(df: DataFrame, keys: list[str], time_col: str, step: float,
+                  value_cols: list[str], how: str = "last") -> DataFrame:
+    """Resample each key's signals onto a regular grid with LOCF — the
+    reference's whole sync-job semantics (grid ∪ signals → forward fill
+    → keep grid rows; synchronize_topics.py:170-197) as one composable
+    operator.
+
+    Plan shape: spine (agg + explode) unioned with the signal rows, one
+    window pass partitioned by ``keys`` ordered by (time, is_spine), a
+    filter keeping spine rows. Two shuffles total on ``keys`` — no
+    global sort (the reference's global ``orderBy`` at
+    synchronize_topics.py:184 is unnecessary; the window sort suffices).
+
+    Ties: a signal row exactly on a tick sorts *before* the spine row
+    (``_is_spine`` ascending), so its value is visible at that tick —
+    matching the reference's union-then-fill behavior.
+    """
+    spine = time_spine(df, keys, time_col, step).withColumn("_is_spine", F.lit(1))
+    signals = df.select(*keys, time_col, *value_cols).withColumn("_is_spine", F.lit(0))
+    unioned = spine.unionByName(signals, allowMissingColumns=True)
+
+    w = (Window.partitionBy(*keys).orderBy(F.col(time_col).asc(), F.col("_is_spine").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    agg = F.last if how == "last" else F.first
+    filled = unioned.select(
+        *keys, time_col, F.col("_is_spine"),
+        *[agg(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.where(F.col("_is_spine") == 1).drop("_is_spine")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
+              value_cols: list[str] | None = None,
+              tolerance: float | None = None,
+              direction: str = "backward",
+              suffix: str = "_right") -> DataFrame:
+    """As-of join: for each left row, the most recent right row at or
+    before (``backward``) / the earliest at or after (``forward``) its
+    ``on`` time, within each ``by`` group.
+
+    The generalization of the reference's grid alignment (SURVEY §2.3
+    note after #30). Implemented as union + one window pass — a single
+    shuffle on ``by`` — instead of a range join, so it scales linearly
+    at 100 TB where an O(n·m) range join would not.
+
+    ``tolerance`` drops matches older (resp. newer) than ``tolerance``
+    time units; matched right columns arrive as ``<col><suffix>`` (or
+    bare name if it doesn't collide).
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in set(by) | {on}]
+    rename = {c: c + suffix if c in left.columns else c for c in value_cols}
+
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        *by, F.col(on),
+        *[F.col(c).alias(rename[c]) for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    asc = direction == "backward"
+    order = [F.col(on).asc() if asc else F.col(on).desc(), F.col("_side").asc()]
+    w = (Window.partitionBy(*by).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    out_cols = [F.last(rename[c], ignorenulls=True).over(w).alias(rename[c])
+                for c in value_cols]
+    match_time = F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True).over(w)
+    filled = unioned.select(
+        *[c for c in lhs.columns if c != "_side"],
+        *out_cols,
+        match_time.alias("_match_time"),
+        F.col("_side"),
+    ).where(F.col("_side") == 1)
+
+    if tolerance is not None:
+        gap = (F.col(on) - F.col("_match_time")) if asc else (F.col("_match_time") - F.col(on))
+        keep = F.col("_match_time").isNotNull() & (gap <= F.lit(tolerance))
+        filled = filled.select(
+            *[c for c in lhs.columns if c != "_side"],
+            *[F.when(keep, F.col(rename[c])).alias(rename[c]) for c in value_cols],
+            "_match_time", "_side",
+        )
+    return filled.drop("_side", "_match_time")
+
+
+def lag_lead(df: DataFrame, keys: list[str], order_col: str, col: str,
+             offsets: tuple[int, ...] = (1,)) -> DataFrame:
+    """Attach lag/lead columns (SURVEY #39-#40; detect_scenes.py:197-214)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    out = df
+    for k in offsets:
+        out = out.withColumn(f"{col}_lag{k}", F.lag(col, k).over(w))
+        out = out.withColumn(f"{col}_lead{k}", F.lead(col, k).over(w))
+    return out

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference relies on EMR's ``maximizeResourceAllocation``
+(config.json:44-50) and otherwise tunes nothing. Here we pin the
+settings that matter for a 100 TB deployment and for oracle-exact
+results:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- UTC session timezone (timestamps hash-match the DuckDB oracle),
+- Arrow enabled for the few pandas-UDF operators,
+- shuffle partitions sized by env (32 locally; a real cluster sets
+  ``spark.sql.shuffle.partitions`` ~2-3x total cores and relies on AQE
+  to coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "adsl-spark", shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
+        # read as long (nanoseconds since epoch) and derive ts_us = floor(/1e3)
+        # which matches DuckDB's epoch_us() exactly (see tests/test_parity.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,3 @@
+from .tables import TPCH_TABLES, load_table, load_tables, read_topics, write_partitioned
+
+__all__ = ["TPCH_TABLES", "load_table", "load_tables", "read_topics", "write_partitioned"]

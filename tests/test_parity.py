@@ -1,0 +1,45 @@
+"""Cross-engine parity primitives the oracle checks depend on.
+
+These pin the conventions used by every ``__spark_entry__.queries()`` /
+``oracle_sql()`` pair:
+
+- portable 64-bit hash: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+  DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT`` (60 bits, fits bigint);
+- event time as integer microseconds: Spark reads TIMESTAMP(NANOS) as
+  long via ``spark.sql.legacy.parquet.nanosAsLong`` and derives
+  ``ts div 1000`` (integer division — float division loses precision at
+  1e18 nanos) == DuckDB ``epoch_us(ts)``;
+- double aggregates compared after ``round(x, 2)``.
+"""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_md5_hash64_parity(spark, duck):
+    vals = ["", "a", "hello shingle", "the quick brown fox", "ünïcode ✓"]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.expr("cast(conv(substring(md5(s),1,15),16,10) as bigint)").alias("h"))
+    got = {r.s: r.h for r in sdf.collect()}
+    for v in vals:
+        d = duck.execute("select ('0x'||substring(md5(?),1,15))::BIGINT", [v]).fetchone()[0]
+        assert got[v] == d, v
+
+
+def test_event_ts_microseconds_parity(spark, duck):
+    s = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+         .select("event_id", F.expr("ts div 1000").alias("ts_us"))
+         .orderBy("event_id").limit(50).collect())
+    d = duck.sql(
+        "select event_id, epoch_us(ts) from events order by event_id limit 50").fetchall()
+    assert [(r.event_id, r.ts_us) for r in s] == d
+
+
+def test_double_agg_round_parity(spark, duck):
+    s = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("rev")).collect()[0].rev)
+    d = duck.sql(
+        "select round(sum(l_extendedprice*(1-l_discount)),2) from lineitem").fetchone()[0]
+    assert s == d

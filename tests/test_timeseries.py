@@ -1,0 +1,69 @@
+"""Unit tests for the alignment operators (SURVEY §2.3 #25-#30, §2.5).
+
+Small in-memory frames with hand-computable expected output; property
+checks for forward-fill (no nulls after first observation, idempotence)
+and as-of join (match is the latest at-or-before right row).
+"""
+
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+    asof_join, forward_fill, resample_asof, time_spine,
+)
+
+
+def test_time_spine_covers_min_max(spark):
+    df = spark.createDataFrame(
+        [("a", 0.05), ("a", 0.52), ("b", 1.0), ("b", 1.19)],
+        "k string, t double")
+    got = time_spine(df, ["k"], "t", 0.1).collect()
+    a = sorted(round(r.t, 1) for r in got if r.k == "a")
+    b = sorted(round(r.t, 1) for r in got if r.k == "b")
+    assert a == [0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
+    assert b == [1.0, 1.1]
+
+
+def test_forward_fill_basic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None),
+         ("b", 1, 5.0), ("b", 2, None)],
+        "k string, t int, v double")
+    got = forward_fill(df, ["k"], "t", ["v"])
+    vals = {(r.k, r.t): r.v for r in got.collect()}
+    assert vals[("a", 1)] is None          # nothing to carry yet
+    assert vals[("a", 3)] == 10.0 and vals[("a", 4)] == 10.0
+    assert vals[("b", 2)] == 5.0
+    # idempotence
+    again = forward_fill(got, ["k"], "t", ["v"])
+    assert {(r.k, r.t): r.v for r in again.collect()} == vals
+
+
+def test_resample_asof_locf(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 1.0), ("a", 0.25, 2.0), ("a", 0.61, 3.0)],
+        "k string, t double, v double")
+    got = {round(r.t, 1): r.v for r in
+           resample_asof(df, ["k"], "t", 0.1, ["v"]).collect()}
+    # t=0.61 lands after tick 0.6, so LOCF at 0.6 still sees v=2.0
+    assert got == {0.0: 1.0, 0.1: 1.0, 0.2: 1.0, 0.3: 2.0, 0.4: 2.0,
+                   0.5: 2.0, 0.6: 2.0}
+
+
+def test_asof_join_backward_with_tolerance(spark):
+    left = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0)], "k string, t double")
+    right = spark.createDataFrame(
+        [("a", 9.0, 100.0), ("a", 19.5, 200.0)], "k string, t double, v double")
+    got = {r.t: r.v for r in asof_join(left, right, "t", ["k"]).collect()}
+    assert got == {10.0: 100.0, 20.0: 200.0, 30.0: 200.0}
+    tol = {r.t: r.v for r in
+           asof_join(left, right, "t", ["k"], tolerance=2.0).collect()}
+    assert tol == {10.0: 100.0, 20.0: 200.0, 30.0: None}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([("a", 10.0)], "k string, t double")
+    right = spark.createDataFrame(
+        [("a", 9.0, 1.0), ("a", 12.0, 2.0)], "k string, t double, v double")
+    got = asof_join(left, right, "t", ["k"], direction="forward").collect()
+    assert got[0].v == 2.0
