@@ -1,0 +1,120 @@
+"""Text-analysis column functions for the training-data pipeline surface.
+
+All pure Catalyst expressions (split / higher-order array functions /
+regexp) — no Python UDFs — so they run inside whole-stage codegen at any
+scale. Each helper has a documented DuckDB-SQL mirror used by the oracle
+queries in ``__spark_entry__``; tokenization is pinned to a regex both
+engines interpret identically (``[^a-z0-9]+`` on lowered text, empties
+dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import hash64
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately short — the point is the operator shape
+# (argmax over per-language evidence counts), not linguistic coverage.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "und", "die", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "del"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"] + [
+    "it", "for", "on", "with", "as", "at", "by", "an", "be", "this",
+]
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word tokens, empty strings dropped.
+
+    DuckDB mirror:
+    ``list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t <> '')``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the unit of Jaccard/minhash dedup.
+
+    Built as ``transform(sequence(0, size-n), i -> concat_ws(' ', slice))``
+    over the token array; DuckDB mirror uses 1-based ``list_transform(
+    range(1, len - n + 2), i -> t[i] || ' ' || ...)``.
+    """
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)])
+    return F.when(F.size(t) >= n,
+                  F.array_distinct(F.transform(idx, gram))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, "[a-zA-Z0-9 ]", "")
+    return F.when(F.length(c) > 0,
+                  F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or ENGLISH_STOPWORDS
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(sw)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length in a sane band, low
+    punctuation, some stopwords, mean token length in a natural range.
+    Mirrors common LLM-corpus filters (C4/Gopher-style rules) as a pure
+    expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    mean_len = F.when(n_tok > 0, F.length(c) / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(c) >= 0.01, 1.0).otherwise(0.0)
+    tok_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + sw_ok + tok_ok) / 4.0
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-evidence language ID: argmax over per-language hit counts,
+    'und' (undetermined) when no list scores > 0. Ties break by language
+    code order via the greatest-first comparison chain."""
+    t = tokens(col)
+    scores = {lang: F.size(F.filter(t, lambda x: x.isin(sw)))
+              for lang, sw in LANG_STOPWORDS.items()}
+    best = None
+    best_score = None
+    for lang in sorted(LANG_STOPWORDS):  # de, en, es, fr — first wins ties
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized lowered
+    text — the exact-dedup key that survives formatting noise."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.concat_ws(" ", tokens(c))
+    return hash64(normalized)

@@ -1,11 +1,19 @@
 from ..sources.tables import union_by_name
+from .dedup import (
+    duplicate_ids, exact_dedup, jaccard, minhash_lsh_pairs, minhash_signature,
+    ngram_jaccard_pairs, simhash, simhash_pairs,
+)
 from .pivot import pivot_wide
+from .similarity import brute_force_topk, embedding_dup_pairs, lsh_topk
 from .sessionize import change_point_intervals, sessionize
 from .timeseries import asof_join, forward_fill, lag_lead, resample_asof, time_spine
 from .topk import top_k_per_group
 
 __all__ = [
-    "asof_join", "change_point_intervals", "forward_fill", "lag_lead",
-    "pivot_wide", "resample_asof", "sessionize", "time_spine",
-    "top_k_per_group", "union_by_name",
+    "asof_join", "brute_force_topk", "change_point_intervals",
+    "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
+    "jaccard", "lag_lead", "lsh_topk", "minhash_lsh_pairs",
+    "minhash_signature", "ngram_jaccard_pairs", "pivot_wide",
+    "resample_asof", "sessionize", "simhash", "simhash_pairs",
+    "time_spine", "top_k_per_group", "union_by_name",
 ]

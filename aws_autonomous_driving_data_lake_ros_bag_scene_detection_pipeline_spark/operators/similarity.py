@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface (SURVEY §7.2 step 6). Two tiers:
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small)
+  query set against the corpus scan; one shuffle for the per-query top-k
+  window. The correctness baseline.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing: corpus is hashed
+  once (map-side), probes only matching buckets, so the scan per query
+  is |corpus| / 2^planes on average. The 100 TB path; recall < 1 by
+  design, tested against the brute-force baseline.
+- :func:`embedding_dup_pairs` — cosine near-duplicate pairs, the
+  embedding analogue of minhash dedup.
+
+Hyperplanes are pseudo-random but deterministic: component d of plane p
+is derived from the portable 60-bit hash of ``"p:d"`` mapped into
+[-1, 1], so results are reproducible across engines and runs without a
+stored model."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..functions.hashing import hash64
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 10,
+                     query_id_col: str | None = None) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); ranking uses
+    the 6-dp-rounded similarity with the corpus id as tiebreaker so the
+    result is deterministic and oracle-comparable."""
+    query_id_col = query_id_col or id_col
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cvec"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine("_qvec", "_cvec"), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def hyperplane_bucket(vec_col, planes: int, dim: int):
+    """LSH bucket id: sign bits of projections onto ``planes``
+    deterministic pseudo-random hyperplanes."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        # component d of plane p in [-1, 1): hash("p:d") / 2^59 - 1
+        comps = F.array(*[
+            (hash64(F.lit(f"{p}:{d}")) / F.lit(float(1 << 59)) - 1.0)
+            for d in range(dim)
+        ])
+        proj = F.aggregate(F.zip_with(v, comps, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 10, planes: int = 4,
+             dim: int = 64, query_id_col: str | None = None) -> DataFrame:
+    """Approximate top-k: exact ranking *within* the query's hyperplane
+    bucket. One map-side bucket expression over the corpus + a bucket
+    equi-join replaces the all-pairs cross join — the candidate set per
+    query is ~|corpus|/2^planes."""
+    query_id_col = query_id_col or id_col
+    cb = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cvec"),
+                       hyperplane_bucket(vec_col, planes, dim).alias("bucket"))
+    qb = queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qvec"),
+                        hyperplane_bucket(vec_col, planes, dim).alias("bucket"))
+    scored = (cb.join(F.broadcast(qb), "bucket")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine("_qvec", "_cvec"), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
+
+    All-pairs within hyperplane buckets at scale; here the exact
+    variant — self-join guarded to the upper triangle — because the
+    oracle must be exact. For 100 TB use :func:`hyperplane_bucket` as a
+    pre-join key (identical code path to :func:`lsh_topk`)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (a.crossJoin(b)
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(cosine("a.v", "b.v"), 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))

@@ -1,0 +1,71 @@
+"""Dedup operators: synthetic corpora with known duplicate structure,
+plus MinHash-vs-exact agreement on the real documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+    duplicate_ids, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash, simhash_pairs,
+)
+from tests.conftest import SF_DIR
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill in the morning sun")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    near = BASE.replace("morning", "evening")          # 1 token changed
+    far = "completely different text about spark query engines and shuffles"
+    rows = [(0, BASE), (1, BASE), (2, "The  QUICK brown fox jumps over the "
+                                      "lazy dog while the cat watches from the warm window "
+                                      "sill in the morning sun"),
+            (3, near), (4, far)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(corpus):
+    got = exact_dedup(corpus, "text", "doc_id").collect()
+    by_keep = {r.keep_id: r.n_dups for r in got}
+    # 0,1,2 normalize to the same fingerprint; 3 and 4 are singletons
+    assert by_keep == {0: 3, 3: 1, 4: 1}
+
+
+def test_duplicate_ids(corpus):
+    got = sorted((r.dup_id, r.kept_id) for r in
+                 duplicate_ids(corpus, "text", "doc_id").collect())
+    assert got == [(1, 0), (2, 0)]
+
+
+def test_minhash_finds_near_dup(corpus):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard(corpus):
+    mh = {(r.id_a, r.id_b): r.jaccard for r in
+          minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5).collect()}
+    ex = {(r.id_a, r.id_b): r.jaccard for r in
+          ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.5).collect()}
+    assert mh == ex
+
+
+def test_minhash_agrees_with_exact_on_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mh = {(r.id_a, r.id_b): r.jaccard for r in
+          minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    ex = {(r.id_a, r.id_b): r.jaccard for r in
+          ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert mh == ex
+
+
+def test_simhash_near_dup_small_distance(spark, corpus):
+    sh = {r.doc_id: r.simhash for r in simhash(corpus, "text", "doc_id").collect()}
+    assert sh[0] == sh[1] == sh[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_pairs(corpus, "text", "doc_id", max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0

@@ -1,0 +1,67 @@
+"""Text/vector column functions: hand-checkable values + DuckDB-mirror
+parity for the tokenization the dedup oracles depend on."""
+
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+    cosine, fingerprint, lang_id, punct_ratio, quality_score, shingles,
+    token_count, tokens,
+)
+
+
+def _one(spark, text, col):
+    return (spark.createDataFrame([(text,)], "text string")
+            .select(col.alias("v")).collect()[0].v)
+
+
+def test_tokens_drop_empties(spark):
+    assert _one(spark, "  Hello,  world!! 42 ", tokens("text")) == \
+        ["hello", "world", "42"]
+    assert _one(spark, "", tokens("text")) == []
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", token_count("text")) == 3
+
+
+def test_shingles_3gram(spark):
+    got = _one(spark, "a b c d", shingles("text", 3))
+    assert sorted(got) == ["a b c", "b c d"]
+    assert _one(spark, "a b", shingles("text", 3)) == []
+
+
+def test_tokenization_matches_duckdb(spark, duck):
+    texts = ["Hello, World! foo-bar 42", "  x ", "", "a.b.c", "ümlaut ok"]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.t for r in sdf.select(tokens("text").alias("t")).collect()]
+    for text, s_toks in zip(texts, got):
+        d = duck.execute(
+            "select list_filter(string_split_regex(lower(?), '[^a-z0-9]+'),"
+            " t -> t <> '')", [text]).fetchone()[0]
+        assert s_toks == d, text
+
+
+def test_punct_and_quality(spark):
+    assert _one(spark, "!!!!", punct_ratio("text")) == 1.0
+    clean = ("the quick brown fox jumps over the lazy dog and runs far " * 3)
+    assert _one(spark, clean, quality_score("text")) == 1.0
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog is here", lang_id("text")) == "en"
+    assert _one(spark, "der hund und die katze ist da", lang_id("text")) == "de"
+    assert _one(spark, "qqq zzz www", lang_id("text")) == "und"
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    a = _one(spark, "Hello   World", fingerprint("text"))
+    b = _one(spark, "hello world", fingerprint("text"))
+    c = _one(spark, "hello worlds", fingerprint("text"))
+    assert a == b and a != c
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])],
+                               "a array<float>, b array<float>")
+    v = df.select(cosine("a", "b").alias("c")).collect()[0].c
+    assert abs(v - 1.0) < 1e-9
