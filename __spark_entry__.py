@@ -1,38 +1,809 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: queries() + oracle_sql() for every implemented operator.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine code lives in ``aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark``
+(SURVEY.md §2 operator inventory re-expressed Spark-first). Conventions that
+make the Spark result and the DuckDB oracle hash-identical (pinned by
+tests/test_parity.py):
+
+- event time = integer microseconds: Spark reads TIMESTAMP(NANOS) as long
+  (``nanosAsLong``) and uses ``ts div 1000``; DuckDB uses ``epoch_us(ts)``.
+- 64-bit portable hash: ``conv(substr(md5(x),1,15),16,10)`` ==
+  ``('0x'||substr(md5(x),1,15))::BIGINT``.
+- double aggregates rounded to 2 (money) / 6 (ratios); cosine computed with
+  identical sequential double math on both sides (bit-exact, see
+  tests/test_parity.py) then rounded for output.
+- dates output as 'yyyy-MM-dd' strings; counts/ranks cast to bigint.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+    asof_join, brute_force_topk, change_point_intervals, duplicate_ids,
+    embedding_dup_pairs, exact_dedup, lag_lead, minhash_lsh_pairs,
+    ngram_jaccard_pairs, resample_asof, sessionize, simhash, time_spine,
+    top_k_per_group, union_by_name,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+    ENGLISH_STOPWORDS, LANG_STOPWORDS, fingerprint, lang_id, punct_ratio,
+    quality_score, stopword_ratio, token_count, tokens,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.dedup import (
+    jaccard,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.pipeline import (
+    objects_in_lane, synchronize_topics,
+)
+
+HOUR_US = 3_600_000_000
+GAP_US = 1_800_000_000  # 30 min session gap
+
+
+def _t(name):
+    def read(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    """events with integer-microsecond time column ``t``."""
+    return (_t("events")(spark, sf_dir)
+            .select("event_id", "user_id", "event_type", "value",
+                    F.expr("ts div 1000").alias("t")))
+
+
+EVENTS_SQL = ("select event_id, user_id, event_type, value, "
+              "epoch_us(ts) as t from events")
+
+# ---------------------------------------------------------------- SQL helpers
+
+TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "t -> t <> '')")
+
+
+def _shingles_sql(toks: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (f"case when len({toks}) >= {n} then "
+            f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), "
+            f"i -> {parts})) else [] end")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({a})+1), "
+            f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"({_dot_sql(a, b)} / sqrt({_dot_sql(a, a)}) "
+            f"/ sqrt({_dot_sql(b, b)}))")
+
+
+HASH64_SQL = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+JACCARD_PAIRS_SQL = f"""
+with toks as (select doc_id, {TOKS} as tk from documents),
+sh as (select doc_id, unnest({_shingles_sql('tk')}) as shingle from toks),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+common as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from sh a join sh b using (shingle)
+  where a.doc_id < b.doc_id group by 1, 2)
+select id_a, id_b, round(c / (sa.n + sb.n - c), 6) as jaccard
+from common
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where c / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    return {lang: ("len(list_filter(tk, t -> t in ("
+                   + ", ".join(f"'{w}'" for w in sw) + ")))")
+            for lang, sw in LANG_STOPWORDS.items()}
+
+
+# ---------------------------------------------------------------- queries
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy groupBy agg (SURVEY §2.4)."""
+    li = _t("lineitem")(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+Q1_SQL = """
+select l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) as sum_qty,
+  round(sum(l_extendedprice), 2) as sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+  round(avg(l_quantity), 2) as avg_qty,
+  round(avg(l_extendedprice), 2) as avg_price,
+  round(avg(l_discount), 2) as avg_disc,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """3-way join + agg + global top-10 (broadcast the small dims)."""
+    cust = _t("customer")(spark, sf_dir).where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t("orders")(spark, sf_dir).where(F.col("o_orderdate") < "1997-06-30")
+    li = _t("lineitem")(spark, sf_dir).where(F.col("l_shipdate") > "1997-06-30")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+Q3_SQL = """
+select l_orderkey, strftime(o_orderdate, '%Y-%m-%d') as o_orderdate,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1997-06-30'
+  and l_shipdate > timestamp '1997-06-30'
+group by 1, 2
+order by revenue desc, l_orderkey asc
+limit 10
+"""
+
+
+def q5_local_supplier(spark, sf_dir):
+    """5-way star join with broadcast dims (SURVEY §2.3 note: generic
+    relational surface beyond the reference's union-only joins)."""
+    li = _t("lineitem")(spark, sf_dir)
+    orders = _t("orders")(spark, sf_dir).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    cust = _t("customer")(spark, sf_dir)
+    supp = _t("supplier")(spark, sf_dir)
+    nation = _t("nation")(spark, sf_dir)
+    region = _t("region")(spark, sf_dir).where(F.col("r_name") == "ASIA")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(cust, (orders.o_custkey == cust.c_custkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+Q5_SQL = """
+select n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey
+join customer on o_custkey = c_custkey and c_nationkey = s_nationkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1998-01-01'
+group by n_name
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Window rank top-k per group (SURVEY #44 generalized)."""
+    cust = _t("customer")(spark, sf_dir)
+    orders = _t("orders")(spark, sf_dir)
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return top_k_per_group(
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], 3,
+        keep_rank=True)
+
+
+Q_TOPK_SQL = """
+select c_mktsegment, o_orderkey, o_totalprice, rank from (
+  select c_mktsegment, o_orderkey, o_totalprice,
+    row_number() over (partition by c_mktsegment
+                       order by o_totalprice desc, o_orderkey asc) as rank
+  from orders join customer on o_custkey = c_custkey)
+where rank <= 3
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (beyond-reference relational surface)."""
+    orders = _t("orders")(spark, sf_dir)
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+Q_ROLLUP_SQL = """
+select o_orderpriority, o_orderstatus, count(*) as n,
+  round(sum(o_totalprice), 2) as total
+from orders group by rollup (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    cust = _t("customer")(spark, sf_dir)
+    orders = _t("orders")(spark, sf_dir).where(F.col("o_totalprice") > 300000)
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+Q_SEMI_SQL = """
+select c_custkey, c_name from customer
+where exists (select 1 from orders
+              where o_custkey = c_custkey and o_totalprice > 300000)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    cust = _t("customer")(spark, sf_dir)
+    orders = _t("orders")(spark, sf_dir)
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_acctbal"))
+
+
+Q_ANTI_SQL = """
+select c_custkey, c_acctbal from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
+"""
+
+
+def q_distinct_agg(spark, sf_dir):
+    orders = _t("orders")(spark, sf_dir)
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n_custs"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+Q_DISTINCT_SQL = """
+select o_orderstatus, count(distinct o_custkey) as n_custs,
+  count(*) as n_orders
+from orders group by o_orderstatus
+"""
+
+
+def q_window_running(spark, sf_dir):
+    """Running sum per key — SURVEY §2.5 window family."""
+    li = _t("lineitem")(spark, sf_dir).where(F.col("l_suppkey") <= 3)
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"))
+
+
+Q_WINDOW_SQL = """
+select l_suppkey, l_orderkey, l_linenumber,
+  round(sum(l_quantity) over (
+    partition by l_suppkey
+    order by l_shipdate, l_orderkey, l_linenumber
+    rows between unbounded preceding and current row), 2) as running_qty
+from lineitem where l_suppkey <= 3
+"""
+
+
+def q_union_align(spark, sf_dir):
+    """Schema-aligned n-ary union (SURVEY #25: unionByName with
+    missing-column null fill — the reference's union_all intent)."""
+    orders = _t("orders")(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit("order").alias("src"))
+    li = _t("lineitem")(spark, sf_dir).select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_extendedprice").alias("amount"),
+        F.lit("line").alias("src"))
+    u = union_by_name([orders, li])
+    return (u.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("amount"), 2).alias("total"),
+                 F.count("priority").alias("n_priority")))
+
+
+Q_UNION_SQL = """
+with u as (
+  select o_orderkey as key, o_totalprice as amount,
+         o_orderpriority as priority, 'order' as src from orders
+  union all by name
+  select l_orderkey as key, l_extendedprice as amount, 'line' as src
+  from lineitem)
+select src, count(*) as n, round(sum(amount), 2) as total,
+  count(priority) as n_priority
+from u group by src
+"""
+
+
+def q_pivot_events(spark, sf_dir):
+    """Long→wide pivot with explicit values (SURVEY #27)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "signup", "error", "purchase"]
+    wide = (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in types])
+
+
+Q_PIVOT_SQL = """
+select user_id,
+  count(*) filter (event_type = 'click') as n_click,
+  count(*) filter (event_type = 'view') as n_view,
+  count(*) filter (event_type = 'signup') as n_signup,
+  count(*) filter (event_type = 'error') as n_error,
+  count(*) filter (event_type = 'purchase') as n_purchase
+from events group by user_id
+"""
+
+
+def q_time_spine(spark, sf_dir):
+    """Per-key regular grid bounds (SURVEY #26 without driver collect)."""
+    ev = _events(spark, sf_dir)
+    spine = time_spine(ev, ["user_id"], "t", HOUR_US, spine_col="tick")
+    return (spine.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_ticks"),
+                 F.min("tick").alias("first_tick"),
+                 F.max("tick").alias("last_tick")))
+
+
+Q_SPINE_SQL = f"""
+with ev as ({EVENTS_SQL}),
+b as (select user_id, floor(min(t) / {HOUR_US})::BIGINT as t0,
+             floor(max(t) / {HOUR_US})::BIGINT as t1
+      from ev group by user_id)
+select user_id, (t1 - t0 + 1) as n_ticks,
+  t0 * {HOUR_US} as first_tick, t1 * {HOUR_US} as last_tick
+from b
+"""
+
+
+def q_resample_locf(spark, sf_dir):
+    """The sync job's core semantics: spine + LOCF (SURVEY #26/#29)."""
+    ev = _events(spark, sf_dir).select("user_id", "t", "value")
+    return resample_asof(ev, ["user_id"], "t", HOUR_US, ["value"])
+
+
+Q_RESAMPLE_SQL = f"""
+with ev as ({EVENTS_SQL}),
+b as (select user_id, floor(min(t) / {HOUR_US})::BIGINT as t0,
+             floor(max(t) / {HOUR_US})::BIGINT as t1
+      from ev group by user_id),
+spine as (select user_id, u.tk * {HOUR_US} as t
+          from b, unnest(generate_series(b.t0, b.t1)) as u(tk))
+select s.user_id, s.t, e.value
+from spine s asof left join ev e
+  on s.user_id = e.user_id and s.t >= e.t
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (SURVEY §2.3: the generalization of grid alignment)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "t")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "t", F.col("value").alias("purchase_value"))
+    return asof_join(clicks, purchases, "t", ["user_id"],
+                     value_cols=["purchase_value"])
+
+
+Q_ASOF_SQL = f"""
+with ev as ({EVENTS_SQL}),
+clicks as (select event_id, user_id, t from ev where event_type = 'click'),
+purchases as (select user_id, t, value as purchase_value from ev
+              where event_type = 'purchase')
+select c.event_id, c.user_id, c.t, p.purchase_value
+from clicks c asof left join purchases p
+  on c.user_id = p.user_id and c.t >= p.t
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap sessionization (SURVEY §2.5 #41 family)."""
+    ev = _events(spark, sf_dir)
+    return sessionize(ev, ["user_id"], "t", GAP_US)
+
+
+Q_SESSIONIZE_SQL = f"""
+with ev as ({EVENTS_SQL}),
+m as (select user_id, t,
+        case when t - lag(t) over (partition by user_id order by t)
+                  > {GAP_US} then 1 else 0 end as brk
+      from ev),
+s as (select user_id, t,
+        sum(brk) over (partition by user_id order by t
+                       rows between unbounded preceding and current row)
+          as session_id
+      from m)
+select user_id, session_id, min(t) as start_time, max(t) as end_time,
+  count(*) as n_events
+from s group by user_id, session_id
+"""
+
+
+def q_lag_lead(spark, sf_dir):
+    """lag/lead windows (SURVEY #39-#40)."""
+    ev = _events(spark, sf_dir).select("user_id", "t", "value")
+    return lag_lead(ev, ["user_id"], "t", "value", offsets=(1,))
+
+
+Q_LAG_LEAD_SQL = f"""
+with ev as ({EVENTS_SQL})
+select user_id, t, value,
+  lag(value, 1) over (partition by user_id order by t) as value_lag1,
+  lead(value, 1) over (partition by user_id order by t) as value_lead1
+from ev
+"""
+
+
+def q_change_points(spark, sf_dir):
+    """Change-point sessionization — the scene-interval state machine
+    (SURVEY #41, detect_scenes.py:192-222) on the events stream."""
+    ev = _events(spark, sf_dir).select("user_id", "t", "value")
+    return change_point_intervals(ev, ["user_id"], "t",
+                                  state=F.col("value") >= 150)
+
+
+Q_CHANGE_SQL = f"""
+with ev as ({EVENTS_SQL}),
+m as (select user_id, t, (value >= 150)::INT as s from ev),
+l as (select user_id, t, s,
+        lag(s) over (partition by user_id order by t) as sl
+      from m),
+edges as (
+  select user_id, t,
+    case when s = 1 and sl = 0 then 'start'
+         when s = 0 and sl = 1 then 'end'
+         when s = 1 and sl is null then 'start' end as tr
+  from l
+  where (s = 1 and coalesce(sl, 0) = 0) or (s = 0 and sl = 1)),
+p as (select user_id, t, tr,
+        lead(t) over (partition by user_id order by t) as nt
+      from edges)
+select user_id, t as start_time, nt as end_time,
+  nt - t as interval_length
+from p where tr = 'start'
+"""
+
+
+def q_sync_pipeline(spark, sf_dir):
+    """The reference sync job end-to-end (synchronize_topics.py:200-223):
+    five event-type streams → one wide hourly LOCF table per user."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "signup", "error", "purchase"]
+    topic_dfs = {
+        typ: ev.where(F.col("event_type") == typ).select("user_id", "t", "value")
+        for typ in types}
+    wide = synchronize_topics(topic_dfs, ["user_id"], time_col="t", step=HOUR_US)
+    return wide.select(
+        "user_id", "t",
+        *[F.col(typ).getField("value").alias(f"{typ}_value") for typ in types])
+
+
+def _sync_sql() -> str:
+    types = ["click", "view", "signup", "error", "purchase"]
+    ctes = ",\n".join(
+        f"{typ}_ev as (select user_id, t, value from ev "
+        f"where event_type = '{typ}')" for typ in types)
+    joins = "\n".join(
+        f"asof left join {typ}_ev {typ[0]}{i} "
+        f"on s.user_id = {typ[0]}{i}.user_id and s.t >= {typ[0]}{i}.t"
+        for i, typ in enumerate(types))
+    cols = ", ".join(f"{typ[0]}{i}.value as {typ}_value"
+                     for i, typ in enumerate(types))
+    return f"""
+with ev as ({EVENTS_SQL}),
+b as (select user_id, floor(min(t) / {HOUR_US})::BIGINT as t0,
+             floor(max(t) / {HOUR_US})::BIGINT as t1
+      from ev group by user_id),
+spine as (select user_id, u.tk * {HOUR_US} as t
+          from b, unnest(generate_series(b.t0, b.t1)) as u(tk)),
+{ctes}
+select s.user_id, s.t, {cols}
+from spine s
+{joins}
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup on normalized-text fingerprint (beyond-reference)."""
+    docs = _t("documents")(spark, sf_dir)
+    return exact_dedup(docs, "text", "doc_id")
+
+
+Q_EXACT_DEDUP_SQL = f"""
+with f as (select doc_id,
+  {HASH64_SQL.format(x=f"array_to_string({TOKS}, ' ')")} as fingerprint
+  from documents)
+select fingerprint, min(doc_id) as keep_id, count(*) as n_dups
+from f group by fingerprint
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+Q_FINGERPRINT_SQL = f"""
+select doc_id,
+  {HASH64_SQL.format(x=f"array_to_string({TOKS}, ' ')")} as fingerprint
+from documents
+"""
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. Oracle is the
+    exact all-pairs answer — with 16 1-row bands the LSH miss
+    probability at τ=0.5 is (1-0.5)^16 ≈ 1.5e-5 per pair."""
+    docs = _t("documents")(spark, sf_dir)
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    docs = _t("documents")(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t("documents")(spark, sf_dir)
+    return simhash(docs, "text", "doc_id", bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    toks_distinct = f"list_distinct({TOKS})"
+    h = f"list_transform({toks_distinct}, s -> {HASH64_SQL.format(x='s')})"
+    bit_terms = " + ".join(
+        f"(case when 2 * len(list_filter(hs, x -> (x & {1 << b}) <> 0)) "
+        f">= len(hs) then {1 << b} else 0 end)"
+        for b in range(bits))
+    return f"""
+with h as (select doc_id, {h} as hs from documents)
+select doc_id,
+  case when len(hs) = 0 then null else ({bit_terms})::BIGINT end as simhash
+from h
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting + quality scoring (beyond-reference text analysis)."""
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(quality_score("text"), 6).alias("quality_score"))
+
+
+Q_TEXT_STATS_SQL = f"""
+with tk as (select doc_id, text, {TOKS} as toks from documents),
+st as (select doc_id, text, toks,
+  len(toks)::BIGINT as n_tokens,
+  case when length(text) > 0
+       then length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+            / length(text) else 0.0 end as pr,
+  case when len(toks) > 0
+       then len(list_filter(toks, t -> t in ({", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)})))::DOUBLE
+            / len(toks) else 0.0 end as sr,
+  case when len(toks) > 0
+       then length(text)::DOUBLE / len(toks) else 0.0 end as ml
+  from tk)
+select doc_id, n_tokens, round(pr, 6) as punct_ratio,
+  round(sr, 6) as stopword_ratio,
+  round(((case when n_tokens between 10 and 100000 then 1.0 else 0.0 end)
+       + (case when pr <= 0.2 then 1.0 else 0.0 end)
+       + (case when sr >= 0.01 then 1.0 else 0.0 end)
+       + (case when ml between 2.0 and 12.0 then 1.0 else 0.0 end)) / 4.0,
+    6) as quality_score
+from st
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    scores = _lang_scores_sql()
+    cases = " ".join(f"when s_{lang} = m then '{lang}'"
+                     for lang in sorted(LANG_STOPWORDS))
+    score_cols = ", ".join(f"{expr} as s_{lang}" for lang, expr in scores.items())
+    greatest = ", ".join(f"s_{lang}" for lang in LANG_STOPWORDS)
+    return f"""
+with tk as (select doc_id, {TOKS} as tk from documents),
+sc as (select doc_id, {score_cols} from tk),
+m as (select *, greatest({greatest}) as m from sc)
+select doc_id,
+  case when m > 0 then (case {cases} end) else 'und' end as lang_pred
+from m
+"""
+
+
+def q_token_histogram(spark, sf_dir):
+    """Corpus token frequency top-20 (explode + agg + deterministic order)."""
+    docs = _t("documents")(spark, sf_dir)
+    return (docs.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(20))
+
+
+Q_TOKEN_HIST_SQL = f"""
+select token, count(*) as n
+from (select unnest({TOKS}) as token from documents)
+group by token order by n desc, token asc limit 20
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors (beyond-reference
+    similarity search; cosine math bit-matches DuckDB)."""
+    emb = _t("embeddings")(spark, sf_dir)
+    return brute_force_topk(emb, emb.where("vec_id < 5"), "vec_id",
+                            "embedding", k=10)
+
+
+Q_ANN_SQL = f"""
+with q as (select vec_id as query_id, embedding as qe
+           from embeddings where vec_id < 5),
+s as (select query_id, e.vec_id as neighbor_id,
+        round({_cos_sql('qe', 'e.embedding')}, 6) as cosine
+      from embeddings e, q where e.vec_id <> query_id),
+r as (select *, row_number() over (partition by query_id
+        order by cosine desc, neighbor_id asc) as rank from s)
+select query_id, neighbor_id, cosine, rank from r where rank <= 10
+"""
+
+
+def q_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (τ=0.4 yields pairs on testdata)."""
+    emb = _t("embeddings")(spark, sf_dir)
+    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+Q_EMB_DUPS_SQL = f"""
+select a.vec_id as id_a, b.vec_id as id_b,
+  round({_cos_sql('a.embedding', 'b.embedding')}, 6) as cosine
+from embeddings a, embeddings b
+where a.vec_id < b.vec_id
+  and round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+"""
+
+
+def q_scene_geometry(spark, sf_dir):
+    """Object-in-lane geometry (detect_scenes.py:13-112) as pure Catalyst
+    expressions, driven by deterministic synthetic scenes derived from
+    lineitem. Not SQL-expressible → rows-only check; the semantics are
+    differentially tested against a Python oracle in tests/test_pipeline.py."""
+    li = _t("lineitem")(spark, sf_dir).where(F.col("l_orderkey") <= 2000)
+    dets = (li.groupBy("l_orderkey")
+            .agg(F.collect_list(F.struct(
+                (F.col("l_quantity") * 4).alias("x"),
+                (F.col("l_discount") * 500).alias("y"),
+                F.lit(10.0).alias("width"),
+                F.lit(10.0).alias("height"),
+                F.when(F.col("l_returnflag") == "N", "person")
+                 .otherwise("car").alias("Class"))).alias("dets")))
+    lanes = F.expr("""
+        array(
+          named_struct('image_points',
+            array(named_struct('x', 60.0d, 'y', 0.0d),
+                  named_struct('x', 60.0d, 'y', 250.0d))),
+          named_struct('image_points',
+            array(named_struct('x', 140.0d, 'y', 0.0d),
+                  named_struct('x', 140.0d, 'y', 250.0d))))
+    """)
+    with_lanes = dets.withColumn("lanes", lanes)
+    out = with_lanes.select(
+        "l_orderkey",
+        objects_in_lane("dets", "lanes").alias("oil"))
+    return out.select(
+        "l_orderkey",
+        F.size("oil").cast("bigint").alias("n_in_lane"),
+        F.size(F.filter("oil", lambda o: o["Class"] == "person"))
+         .cast("bigint").alias("n_people"))
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference sync job (grid + pivot + LOCF) at sf0.001."""
+    return q_sync_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "q_topk_per_group": q_topk_per_group,
+        "q_rollup": q_rollup,
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
+        "q_distinct_agg": q_distinct_agg,
+        "q_window_running": q_window_running,
+        "q_union_align": q_union_align,
+        "q_pivot_events": q_pivot_events,
+        "q_time_spine": q_time_spine,
+        "q_resample_locf": q_resample_locf,
+        "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
+        "q_lag_lead": q_lag_lead,
+        "q_change_points": q_change_points,
+        "q_sync_pipeline": q_sync_pipeline,
+        "q_exact_dedup": q_exact_dedup,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_minhash_dedup": q_minhash_dedup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_token_histogram": q_token_histogram,
+        "q_ann_topk": q_ann_topk,
+        "q_embedding_dups": q_embedding_dups,
+        "q_scene_geometry": q_scene_geometry,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier": Q5_SQL,
+        "q_topk_per_group": Q_TOPK_SQL,
+        "q_rollup": Q_ROLLUP_SQL,
+        "q_semi_join": Q_SEMI_SQL,
+        "q_anti_join": Q_ANTI_SQL,
+        "q_distinct_agg": Q_DISTINCT_SQL,
+        "q_window_running": Q_WINDOW_SQL,
+        "q_union_align": Q_UNION_SQL,
+        "q_pivot_events": Q_PIVOT_SQL,
+        "q_time_spine": Q_SPINE_SQL,
+        "q_resample_locf": Q_RESAMPLE_SQL,
+        "q_asof_join": Q_ASOF_SQL,
+        "q_sessionize": Q_SESSIONIZE_SQL,
+        "q_lag_lead": Q_LAG_LEAD_SQL,
+        "q_change_points": Q_CHANGE_SQL,
+        "q_sync_pipeline": _sync_sql(),
+        "q_exact_dedup": Q_EXACT_DEDUP_SQL,
+        "q_doc_fingerprint": Q_FINGERPRINT_SQL,
+        "q_minhash_dedup": JACCARD_PAIRS_SQL,
+        "q_ngram_jaccard": JACCARD_PAIRS_SQL,
+        "q_simhash": _simhash_sql(),
+        "q_text_stats": Q_TEXT_STATS_SQL,
+        "q_lang_id": _lang_id_sql(),
+        "q_token_histogram": Q_TOKEN_HIST_SQL,
+        "q_ann_topk": Q_ANN_SQL,
+        "q_embedding_dups": Q_EMB_DUPS_SQL,
+        # q_scene_geometry: intentionally no oracle (geometry is not
+        # reasonably SQL-expressible; differential-tested in pytest).
+    }

@@ -92,24 +92,33 @@ def quality_score(col: Column | str) -> Column:
     return (len_ok + punct_ok + sw_ok + tok_ok) / 4.0
 
 
-def lang_id(col: Column | str) -> Column:
-    """Stopword-evidence language ID: argmax over per-language hit counts,
-    'und' (undetermined) when no list scores > 0. Ties break by language
-    code order via the greatest-first comparison chain."""
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (evidence for :func:`lang_id`)."""
     t = tokens(col)
-    scores = {lang: F.size(F.filter(t, lambda x: x.isin(sw)))
-              for lang, sw in LANG_STOPWORDS.items()}
-    best = None
-    best_score = None
-    for lang in sorted(LANG_STOPWORDS):  # de, en, es, fr — first wins ties
-        s = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+    def hits(sw):
+        return lambda x: x.isin(sw)
+
+    return {lang: F.size(F.filter(t, hits(sw)))
+            for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-evidence language ID: argmax over per-language hit
+    counts, 'und' when no list scores > 0; ties break to the first
+    language code alphabetically.
+
+    Built as ``greatest(...)`` + a first-match CASE chain so each score
+    subexpression appears twice, not once per pairwise comparison —
+    keeps the plan tree small enough to read in a 100-TB scan's explain.
+    DuckDB mirror: compute scores in a subquery, then the same
+    greatest/CASE."""
+    scores = lang_scores(col)
+    m = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        out = F.when(scores[lang] == m, F.lit(lang)).otherwise(out)
+    return F.when(m > 0, out).otherwise(F.lit("und"))
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -1,0 +1,11 @@
+from .scenes import (
+    DETECTIONS_SCHEMA, LANES_SCHEMA, detect_scenes, objects_in_lane,
+    parse_reference_json, people_in_scene, summarize_person_scenes,
+)
+from .synchronize import pack_payload, synchronize_topics
+
+__all__ = [
+    "DETECTIONS_SCHEMA", "LANES_SCHEMA", "detect_scenes", "objects_in_lane",
+    "pack_payload", "parse_reference_json", "people_in_scene",
+    "summarize_person_scenes", "synchronize_topics",
+]

@@ -1,0 +1,53 @@
+"""Benchmark harness: run every ``__spark_entry__.queries()`` entry at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "total_query_time", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the ``noop`` sink (full computation,
+no serialization to disk, no driver collect) so the measured time is the
+Spark plan's, not the harness's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")  # master local[$SPARK_GRAFT_CPUS] inside
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover - bench robustness
+            print(f"bench error in {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({"metric": "total_query_time", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

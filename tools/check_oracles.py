@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate: run each
+``__spark_entry__.queries()`` entry and its DuckDB oracle side by side,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.session import get_spark
+
+    spark = get_spark("check-oracles")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * "
+                f"from read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            cols = sorted(sdf.columns)
+            srows = Counter(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        n_spark = sum(srows.values())
+        if name not in oracles:
+            print(f"rows  {name}: {n_spark} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = sorted(res.columns)
+            idx = [res.columns.index(c) for c in dcols]
+            drows = Counter(tuple(norm(r[i]) for i in idx) for r in res.fetchall())
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {e}")
+            continue
+        if cols != dcols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns {cols} != {dcols}")
+            continue
+        n_duck = sum(drows.values())
+        if n_spark != n_duck:
+            failures.append(name)
+            print(f"FAIL  {name}: rows {n_spark} != {n_duck}")
+            continue
+        if srows != drows:
+            failures.append(name)
+            only_s = list((srows - drows).keys())[:3]
+            only_d = list((drows - srows).keys())[:3]
+            print(f"FAIL  {name}: value mismatch")
+            print(f"      spark-only={only_s}")
+            print(f"      duck-only ={only_d}")
+            continue
+        print(f"OK    {name}: {n_spark} rows, cols={dcols} "
+              f"[{time.time()-t0:.1f}s]")
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("\nall queries match their oracles")
+
+
+if __name__ == "__main__":
+    main()
