@@ -1,0 +1,30 @@
+"""Structured Streaming layer (SURVEY §2.8 #45-#51).
+
+The reference implements micro-batch streaming by hand outside Spark:
+S3 events → a trigger Lambda accumulating per-bag file counts in
+DynamoDB (trigger.py:110-147), a completeness gate (trigger.py:150-165),
+and Step Functions dedup of in-flight batches (trigger.py:55-68). This
+package replaces that stack with Structured Streaming primitives:
+
+- ``sources.file_stream``     : checkpointed file-source discovery
+                                (replaces the S3-event Lambda filter,
+                                lambda_function.py:24-39).
+- ``ops.dedup_stream``        : watermark + drop-duplicates — the
+                                late/duplicate handling the reference
+                                lacks (SURVEY #50).
+- ``ops.sessionize_stream``   : event-time session windows — streaming
+                                gap sessionization (SURVEY #41).
+- ``ops.windowed_agg``        : tumbling/sliding event-time aggregates
+                                with watermarks (SURVEY #35).
+- ``gate.CompletenessGate``   : completeness-gated micro-batching in
+                                ``foreachBatch`` (trigger.py:150-165).
+- ``state.change_points_stateful`` : per-key change-point intervals as
+                                an ``applyInPandasWithState`` operator —
+                                the streaming form of
+                                detect_scenes.py:192-222.
+"""
+
+from .gate import CompletenessGate  # noqa: F401
+from .ops import dedup_stream, sessionize_stream, windowed_agg  # noqa: F401
+from .sources import file_stream  # noqa: F401
+from .state import change_points_stateful  # noqa: F401

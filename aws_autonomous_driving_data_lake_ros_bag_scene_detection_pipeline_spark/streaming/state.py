@@ -1,0 +1,74 @@
+"""Custom stateful streaming operator: per-key change-point intervals.
+
+The batch form is ``operators.sessionize.change_point_intervals``
+(detect_scenes.py:192-222's lag/lead state machine). A stream can't
+lag/lead across micro-batches, so the cross-batch state (current
+boolean state + open interval start) lives in Spark's state store via
+``applyInPandasWithState`` — Arrow-batched per group, bounded state
+(two scalars per key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = "prev_state INT, open_start BIGINT"
+
+
+def _output_schema(keys: list[str], key_types: list[str]) -> str:
+    key_part = ", ".join(f"{k} {t}" for k, t in zip(keys, key_types))
+    return (f"{key_part}, start_time BIGINT, end_time BIGINT, "
+            f"interval_length BIGINT")
+
+
+def change_points_stateful(stream: DataFrame, keys: list[str],
+                           time_col: str, state_col: str) -> DataFrame:
+    """Emit ``(keys..., start_time, end_time, interval_length)`` rows for
+    each maximal run where boolean ``state_col`` holds, across
+    micro-batch boundaries.
+
+    ``state_col`` must already be a boolean/int column on the stream
+    (compute it with ``withColumn`` first — e.g.
+    ``F.col("value") >= 150``). Rows inside each group are processed in
+    ``time_col`` order; an interval still open when the stream ends
+    stays in state (matching the batch operator's ``end_time = NULL``
+    semantics would require a timeout-based flush, which callers can add
+    with ``GroupStateTimeout.ProcessingTimeTimeout``).
+
+    Scale: state is two scalars per key; the shuffle is the one
+    ``groupBy(keys)`` exchange. Arrow moves each group's batch to
+    Python in one block, not per row (unlike the reference's
+    ``df.rdd.map`` at detect_scenes.py:186-190).
+    """
+    key_types = [dict(stream.dtypes)[k] for k in keys]
+    out_schema = _output_schema(keys, key_types)
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        prev, open_start = (state.get if state.exists else (0, None))
+        intervals: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for t, s in zip(pdf[time_col], pdf[state_col]):
+                s = int(bool(s))
+                if s == 1 and prev == 0:
+                    open_start = int(t)
+                elif s == 0 and prev == 1 and open_start is not None:
+                    intervals.append((open_start, int(t)))
+                    open_start = None
+                prev = s
+        state.update((prev, open_start))
+        yield pd.DataFrame(
+            [key + (s, e, e - s) for s, e in intervals],
+            columns=list(keys) + ["start_time", "end_time", "interval_length"])
+
+    return (stream
+            .groupBy(*[F.col(k) for k in keys])
+            .applyInPandasWithState(fn, out_schema, _STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))
