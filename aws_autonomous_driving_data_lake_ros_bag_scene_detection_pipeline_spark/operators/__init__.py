@@ -3,6 +3,10 @@ from .dedup import (
     duplicate_ids, exact_dedup, jaccard, minhash_lsh_pairs, minhash_signature,
     ngram_jaccard_pairs, simhash, simhash_pairs,
 )
+from .multimodal import (
+    byte_histogram_features, decode_audio, decode_image, pack_media,
+    repartition_for_media, resize_pixels, sample_frames,
+)
 from .pivot import pivot_wide
 from .similarity import brute_force_topk, embedding_dup_pairs, lsh_topk
 from .sessionize import change_point_intervals, sessionize
@@ -10,10 +14,12 @@ from .timeseries import asof_join, forward_fill, lag_lead, resample_asof, time_s
 from .topk import top_k_per_group
 
 __all__ = [
-    "asof_join", "brute_force_topk", "change_point_intervals",
+    "asof_join", "brute_force_topk", "byte_histogram_features",
+    "change_point_intervals", "decode_audio", "decode_image",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
     "jaccard", "lag_lead", "lsh_topk", "minhash_lsh_pairs",
-    "minhash_signature", "ngram_jaccard_pairs", "pivot_wide",
-    "resample_asof", "sessionize", "simhash", "simhash_pairs",
+    "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pivot_wide",
+    "repartition_for_media", "resample_asof", "resize_pixels",
+    "sample_frames", "sessionize", "simhash", "simhash_pairs",
     "time_spine", "top_k_per_group", "union_by_name",
 ]

@@ -1,0 +1,100 @@
+"""Multimodal binary-column plumbing tests.
+
+Payloads are derived from the documents table (text encoded to bytes),
+so the Spark-side schemas/batching are exercised on real distributed
+data even though the codecs are deterministic fakes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+    byte_histogram_features, decode_audio, decode_image, pack_media,
+    repartition_for_media, resize_pixels, sample_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    df = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return pack_media(df, "payload", fmt="fake", width=8, height=6,
+                      channels=3, n_frames=12)
+
+
+def test_pack_media_schema(media):
+    meta = dict(media.dtypes)["media_meta"]
+    assert "format:string" in meta.replace(" ", "")
+    row = media.first()
+    assert row.media_meta.width == 8 and row.media_meta.n_frames == 12
+
+
+def test_byte_histogram_features_shape_and_norm(media):
+    out = byte_histogram_features(media, "payload", bins=64).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.features) == 64
+        assert abs(sum(r.features) - 1.0) < 1e-3
+
+
+def test_byte_histogram_deterministic(media):
+    a = {r.doc_id: r.features
+         for r in byte_histogram_features(media, "payload").collect()}
+    b = {r.doc_id: r.features
+         for r in byte_histogram_features(media, "payload").collect()}
+    assert a == b
+
+
+def test_decode_image_fake_codec_shape_and_determinism(spark, media):
+    decoded = decode_image(media, "payload")
+    rows = decoded.limit(3).collect()
+    for r in rows:
+        assert len(r.pixels) == 8 * 6 * 3
+        # pinned to the fake decoder: first byte = md5(payload[:64] || 0)[0]
+        seed = bytes(r.payload)[:64]
+        expect = hashlib.md5(seed + (0).to_bytes(4, "big")).digest()[0]
+        assert r.pixels[0] == expect
+
+
+def test_resize_pixels_nearest_neighbor(spark, media):
+    decoded = decode_image(media, "payload")
+    resized = resize_pixels(decoded, "pixels", "media_meta", 4, 3)
+    r = resized.first()
+    img = np.asarray(r.pixels, dtype=np.int32).reshape(6, 8, 3)
+    small = np.asarray(r.pixels_resized, dtype=np.int32).reshape(3, 4, 3)
+    ys = (np.arange(3) * 6) // 3
+    xs = (np.arange(4) * 8) // 4
+    assert (small == img[np.ix_(ys, xs)]).all()
+
+
+def test_sample_frames_explodes_executor_side(media):
+    sampled = sample_frames(media, "payload", every_n=5)
+    rows = sampled.collect()
+    # 12 fake frames sampled every 5 → indices 0, 5, 10 per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_index)
+    assert all(sorted(v) == [0, 5, 10] for v in by_doc.values())
+    assert "payload" not in sampled.columns  # original blob not duplicated
+    # frame payloads are non-overlapping byte slices
+    r0 = [r for r in rows if r.frame_index == 0][0]
+    assert isinstance(bytes(r0.frame), bytes) and len(r0.frame) > 0
+
+
+def test_repartition_for_media_partition_count(media):
+    small = repartition_for_media(media, "payload",
+                                  target_partition_bytes=1 << 10)
+    total = media.select(F.sum(F.length("payload"))).first()[0]
+    assert small.rdd.getNumPartitions() == total // (1 << 10) + 1
+
+
+def test_decode_audio_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError):
+        decode_audio(media, "payload")
