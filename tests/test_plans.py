@@ -1,0 +1,91 @@
+"""Physical-plan contracts: the scale-critical properties SURVEY §4
+commits to, asserted on the real plans of the driver-contract queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+    forward_fill, resample_asof,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
+    broadcast_join_count, count_window_ops, pushed_filters,
+    read_schema_columns, shuffle_join_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = entry.q1_pricing_summary(spark, SF_DIR)
+    assert any("l_shipdate" in f for f in pushed_filters(df)), \
+        "shipdate predicate must reach the parquet scan"
+
+
+def test_q1_column_pruning(spark):
+    df = entry.q1_pricing_summary(spark, SF_DIR)
+    scans = read_schema_columns(df)
+    assert scans, "expected a parquet scan"
+    cols = scans[0]
+    # 16-column lineitem pruned to the 7 columns the query touches
+    assert "l_comment" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"} <= cols
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    df = entry.q3_shipping_priority(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1, \
+        "filtered customer dim must broadcast, not shuffle"
+
+
+def test_q5_star_join_broadcasts_small_dims(spark):
+    df = entry.q5_local_supplier(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 3  # supplier, nation, region
+
+
+def test_forward_fill_single_window_pass(spark):
+    """N same-spec LOCF columns must collapse into ONE Window operator
+    (SURVEY §4 'W-columns window stack')."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("user_id", F.expr("ts div 1000").alias("t"), "value",
+                (F.col("value") * 2).alias("v2"), (F.col("value") * 3).alias("v3"))
+    filled = forward_fill(ev, ["user_id"], "t", ["value", "v2", "v3"])
+    assert count_window_ops(filled) == 1
+
+
+def test_resample_locf_no_extra_shuffles(spark):
+    """Spine + union + fill is 1 window pass; no global sort appears."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("user_id", F.expr("ts div 1000").alias("t"), "value")
+    out = resample_asof(ev, ["user_id"], "t", 3_600_000_000, ["value"])
+    assert count_window_ops(out) == 1
+    assert "rangepartitioning" not in out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+
+
+def test_scene_geometry_stays_in_codegen(spark):
+    """The geometric operator compiles to Catalyst expressions — no
+    BatchEvalPython / per-row Python in the plan (unlike the reference's
+    df.rdd.map, detect_scenes.py:115-117)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    df = entry.q_scene_geometry(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the collect_list agg runs as ObjectHashAggregate (never codegen'd);
+    # everything else is expression-evaluated JVM-side
+    assert "Scan parquet" in plan
+
+
+def test_dedup_text_pipeline_is_python_free(spark):
+    """MinHash signatures + banding are pure Catalyst expressions."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    df = entry.q_minhash_dedup(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
