@@ -32,9 +32,13 @@ def time_spine(df: DataFrame, keys: list[str], time_col: str, step: float,
     """
     spine_col = spine_col or time_col
     t = F.col(time_col)
+    # floor(t/step) with 6-dp tolerance: binary float division artifacts
+    # (20.0/0.1 == 199.99999999999997) must not shift the grid by a tick
+    def tick(c):
+        return F.floor(F.round(c / F.lit(step), 6)).cast("long")
     bounds = df.groupBy(*keys).agg(
-        F.floor(F.min(t) / F.lit(step)).cast("long").alias("_t0"),
-        F.floor(F.max(t) / F.lit(step)).cast("long").alias("_t1"),
+        tick(F.min(t)).alias("_t0"),
+        tick(F.max(t)).alias("_t1"),
     )
     return bounds.select(
         *keys,

@@ -1,3 +1,4 @@
+from .batch import BatchManifest, register_table, run_sync_batch
 from .scenes import (
     DETECTIONS_SCHEMA, LANES_SCHEMA, detect_scenes, objects_in_lane,
     parse_reference_json, people_in_scene, summarize_person_scenes,
@@ -5,7 +6,8 @@ from .scenes import (
 from .synchronize import pack_payload, synchronize_topics
 
 __all__ = [
-    "DETECTIONS_SCHEMA", "LANES_SCHEMA", "detect_scenes", "objects_in_lane",
-    "pack_payload", "parse_reference_json", "people_in_scene",
+    "BatchManifest", "DETECTIONS_SCHEMA", "LANES_SCHEMA", "detect_scenes",
+    "objects_in_lane", "pack_payload", "parse_reference_json",
+    "people_in_scene", "register_table", "run_sync_batch",
     "summarize_person_scenes", "synchronize_topics",
 ]
