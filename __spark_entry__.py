@@ -23,9 +23,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
-    asof_join, brute_force_topk, change_point_intervals, duplicate_ids,
-    embedding_dup_pairs, exact_dedup, lag_lead, minhash_lsh_pairs,
-    ngram_jaccard_pairs, resample_asof, sessionize, simhash, time_spine,
+    asof_join, brute_force_topk, byte_histogram_features,
+    change_point_intervals, duplicate_ids, embedding_dup_pairs, exact_dedup,
+    lag_lead, minhash_lsh_pairs, ngram_jaccard_pairs, pack_media,
+    resample_asof, sessionize, simhash, simhash_pairs, time_spine,
     top_k_per_group, union_by_name,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
@@ -242,6 +243,188 @@ Q_ROLLUP_SQL = """
 select o_orderpriority, o_orderstatus, count(*) as n,
   round(sum(o_totalprice), 2) as total
 from orders group by rollup (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets (beyond-reference relational surface)."""
+    orders = _t("orders")(spark, sf_dir)
+    return (orders.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+Q_CUBE_SQL = """
+select o_orderpriority, o_orderstatus, count(*) as n,
+  round(sum(o_totalprice), 2) as total
+from orders group by cube (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — finer than rollup/cube."""
+    orders = _t("orders")(spark, sf_dir)
+    return (orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("o_totalprice"), 2).alias("avg_price")))
+
+
+Q_GROUPING_SETS_SQL = """
+select o_orderstatus, o_orderpriority, count(*) as n,
+  round(avg(o_totalprice), 2) as avg_price
+from orders
+group by grouping sets ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_rank_family(spark, sf_dir):
+    """rank / dense_rank / percent_rank (SURVEY §2.5 notes these are
+    absent from the reference; part of the generic window surface)."""
+    orders = _t("orders")(spark, sf_dir).where(F.col("o_totalprice") > 400000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderstatus", "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"))
+
+
+Q_RANK_SQL = """
+select o_orderstatus, o_orderkey,
+  rank() over w as rnk, dense_rank() over w as drnk,
+  round(percent_rank() over w, 6) as prnk
+from orders where o_totalprice > 400000
+window w as (partition by o_orderstatus
+             order by o_totalprice desc, o_orderkey asc)
+"""
+
+
+def q_min_max_by(spark, sf_dir):
+    """min_by/max_by aggregates (SURVEY #44: top-1-per-group without a
+    window). Prices are continuous doubles — ties don't occur."""
+    orders = _t("orders")(spark, sf_dir)
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+                 F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price")))
+
+
+Q_MIN_MAX_BY_SQL = """
+select o_orderstatus,
+  arg_max(o_orderkey, o_totalprice) as biggest_order,
+  arg_min(o_orderkey, o_totalprice) as smallest_order,
+  round(max(o_totalprice), 2) as max_price
+from orders group by o_orderstatus
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (distribution stats for
+    corpus/quality analysis at scale; exact here, sketch-based
+    ``percentile_approx`` is the 100 TB drop-in)."""
+    li = _t("lineitem")(spark, sf_dir)
+    return (li.groupBy("l_returnflag")
+            .agg(*[F.round(F.percentile("l_extendedprice", q), 6)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.25, 0.5, 0.75, 0.95)]))
+
+
+Q_PERCENTILES_SQL = """
+select l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25)::DOUBLE, 6) as p25,
+  round(quantile_cont(l_extendedprice, 0.50)::DOUBLE, 6) as p50,
+  round(quantile_cont(l_extendedprice, 0.75)::DOUBLE, 6) as p75,
+  round(quantile_cont(l_extendedprice, 0.95)::DOUBLE, 6) as p95
+from lineitem group by l_returnflag
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Interval containment join: events ⋈ their user's session
+    intervals (equi key + range predicate — SURVEY §2.3's range-join
+    surface). The equi key keeps it a hash/sort-merge join with a
+    residual range filter, never a cross product."""
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(ev, ["user_id"], "t", GAP_US) \
+        .select("user_id", "session_id", "start_time", "end_time")
+    probes = ev.select(F.col("user_id").alias("e_user"), "event_id", "t")
+    return (probes
+            .join(sessions,
+                  (probes.e_user == sessions.user_id)
+                  & (probes.t >= sessions.start_time)
+                  & (probes.t <= sessions.end_time))
+            .groupBy("user_id", "session_id")
+            .agg(F.count("event_id").alias("n_contained")))
+
+
+Q_RANGE_JOIN_SQL = f"""
+with ev as ({EVENTS_SQL}),
+m as (select user_id, t,
+        case when t - lag(t) over (partition by user_id order by t)
+                  > {GAP_US} then 1 else 0 end as brk
+      from ev),
+s as (select user_id, t,
+        sum(brk) over (partition by user_id order by t
+                       rows between unbounded preceding and current row)
+          as session_id
+      from m),
+sess as (select user_id, session_id, min(t) as start_time, max(t) as end_time
+         from s group by user_id, session_id)
+select sess.user_id, sess.session_id, count(*) as n_contained
+from ev join sess on ev.user_id = sess.user_id
+ and ev.t >= sess.start_time and ev.t <= sess.end_time
+group by sess.user_id, sess.session_id
+"""
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a max-staleness tolerance: matches older than
+    1 hour are nulled (the sync job's real-world guard against stale
+    sensor values)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "t")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "t", F.col("value").alias("purchase_value"))
+    return asof_join(clicks, purchases, "t", ["user_id"],
+                     value_cols=["purchase_value"], tolerance=HOUR_US)
+
+
+Q_ASOF_TOL_SQL = f"""
+with ev as ({EVENTS_SQL}),
+clicks as (select event_id, user_id, t from ev where event_type = 'click'),
+purchases as (select user_id, t, value as purchase_value from ev
+              where event_type = 'purchase')
+select c.event_id, c.user_id, c.t,
+  case when c.t - p.t <= {HOUR_US} then p.purchase_value end as purchase_value
+from clicks c asof left join purchases p
+  on c.user_id = p.user_id and c.t >= p.t
+"""
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join: earliest matching right row at or after each
+    left time (the look-ahead direction)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "t")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "t", F.col("value").alias("purchase_value"))
+    return asof_join(clicks, purchases, "t", ["user_id"],
+                     value_cols=["purchase_value"], direction="forward")
+
+
+Q_ASOF_FWD_SQL = f"""
+with ev as ({EVENTS_SQL}),
+clicks as (select event_id, user_id, t from ev where event_type = 'click'),
+purchases as (select user_id, t, value as purchase_value from ev
+              where event_type = 'purchase')
+select c.event_id, c.user_id, c.t, p.purchase_value
+from clicks c asof left join purchases p
+  on c.user_id = p.user_id and c.t <= p.t
 """
 
 
@@ -699,6 +882,47 @@ where a.vec_id < b.vec_id
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs (Hamming ≤ 3 within top-byte
+    blocks) — the bit-sketch dedup path."""
+    docs = _t("documents")(spark, sf_dir)
+    return simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
+
+
+def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    toks_distinct = f"list_distinct({TOKS})"
+    h = f"list_transform({toks_distinct}, s -> {HASH64_SQL.format(x='s')})"
+    bit_terms = " + ".join(
+        f"(case when 2 * len(list_filter(hs, x -> (x & {1 << b}) <> 0)) "
+        f">= len(hs) then {1 << b} else 0 end)"
+        for b in range(bits))
+    return f"""
+with h as (select doc_id, {h} as hs from documents),
+sig as (select doc_id, ({bit_terms})::BIGINT as simhash
+        from h where len(hs) > 0),
+blocked as (select *, simhash // {1 << (bits // 2)} as block from sig)
+select a.doc_id as id_a, b.doc_id as id_b,
+  bit_count(xor(a.simhash, b.simhash))::INT as hamming
+from blocked a join blocked b using (block)
+where a.doc_id < b.doc_id
+  and bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents → binary payload →
+    byte-histogram features (mapInPandas) → top-3 cosine neighbors of 3
+    query payloads. Not SQL-expressible (Arrow UDF) → rows-only check;
+    the feature math is pinned by tests/test_multimodal.py."""
+    docs = _t("documents")(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    media = pack_media(docs, "payload", fmt="text/utf-8", width=8, height=6)
+    feats = byte_histogram_features(media, "payload", bins=64) \
+        .select("doc_id", F.col("features").alias("embedding"))
+    return brute_force_topk(feats, feats.where("doc_id < 3"),
+                            "doc_id", "embedding", k=3)
+
+
 def q_scene_geometry(spark, sf_dir):
     """Object-in-lane geometry (detect_scenes.py:13-112) as pure Catalyst
     expressions, driven by deterministic synthetic scenes derived from
@@ -747,6 +971,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q5_local_supplier,
         "q_topk_per_group": q_topk_per_group,
         "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
+        "q_rank_family": q_rank_family,
+        "q_min_max_by": q_min_max_by,
+        "q_percentiles": q_percentiles,
+        "q_range_join": q_range_join,
+        "q_asof_tolerance": q_asof_tolerance,
+        "q_asof_forward": q_asof_forward,
         "q_semi_join": q_semi_join,
         "q_anti_join": q_anti_join,
         "q_distinct_agg": q_distinct_agg,
@@ -765,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup": q_minhash_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_media_features": q_media_features,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_token_histogram": q_token_histogram,
@@ -781,6 +1015,14 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier": Q5_SQL,
         "q_topk_per_group": Q_TOPK_SQL,
         "q_rollup": Q_ROLLUP_SQL,
+        "q_cube": Q_CUBE_SQL,
+        "q_grouping_sets": Q_GROUPING_SETS_SQL,
+        "q_rank_family": Q_RANK_SQL,
+        "q_min_max_by": Q_MIN_MAX_BY_SQL,
+        "q_percentiles": Q_PERCENTILES_SQL,
+        "q_range_join": Q_RANGE_JOIN_SQL,
+        "q_asof_tolerance": Q_ASOF_TOL_SQL,
+        "q_asof_forward": Q_ASOF_FWD_SQL,
         "q_semi_join": Q_SEMI_SQL,
         "q_anti_join": Q_ANTI_SQL,
         "q_distinct_agg": Q_DISTINCT_SQL,
@@ -799,7 +1041,10 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_dedup": JACCARD_PAIRS_SQL,
         "q_ngram_jaccard": JACCARD_PAIRS_SQL,
         "q_simhash": _simhash_sql(),
+        "q_simhash_pairs": _simhash_pairs_sql(),
         "q_text_stats": Q_TEXT_STATS_SQL,
+        # q_media_features: intentionally no oracle (Arrow mapInPandas
+        # feature extraction; pinned by tests/test_multimodal.py).
         "q_lang_id": _lang_id_sql(),
         "q_token_histogram": Q_TOKEN_HIST_SQL,
         "q_ann_topk": Q_ANN_SQL,

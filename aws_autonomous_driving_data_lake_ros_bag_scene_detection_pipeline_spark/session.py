@@ -22,6 +22,13 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "adsl-spark", shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
+    # ensure executor-side Python workers can unpickle this package's
+    # mapInPandas functions regardless of the driver process's cwd
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (repo_root + os.pathsep + existing
+                                    if existing else repo_root)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", cpus))
