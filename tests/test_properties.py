@@ -1,0 +1,124 @@
+"""Property-based tests (SURVEY §5 rebuild strategy): invariants of
+forward fill, sessionization, as-of joins, and dedup on random inputs.
+
+Hypothesis drives small random event sets through the operators; the
+properties hold for ANY input, which catches edge cases (empty groups,
+single rows, duplicate timestamps) that example tests miss.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+    asof_join, forward_fill, minhash_lsh_pairs, ngram_jaccard_pairs,
+    sessionize,
+)
+
+SETTINGS = settings(max_examples=12, deadline=None,
+                    suppress_health_check=list(HealthCheck))
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2),                       # key
+              st.integers(0, 50),                      # t
+              st.one_of(st.none(), st.floats(0, 100,   # value
+                                             allow_nan=False))),
+    min_size=0, max_size=30)
+
+
+@pytest.fixture(scope="module")
+def mk_df(spark):
+    def make(rows):
+        return spark.createDataFrame(rows, "k int, t int, v double") \
+            if rows else spark.createDataFrame([], "k int, t int, v double")
+    return make
+
+
+@SETTINGS
+@given(rows=events_strategy)
+def test_forward_fill_invariants(mk_df, rows):
+    df = mk_df(rows)
+    filled = forward_fill(df, ["k"], "t", ["v"]).collect()
+    # idempotence: filling an already-filled frame changes nothing
+    refilled = forward_fill(
+        mk_df([(r.k, r.t, r.v) for r in filled]), ["k"], "t", ["v"]).collect()
+    assert sorted((r.k, r.t, r.v) for r in refilled) == \
+        sorted((r.k, r.t, r.v) for r in filled)
+    # no nulls after each key's first non-null observation (ties on t
+    # make the boundary tick ambiguous, so compare strictly after it)
+    by_key = {}
+    for k, t, v in rows:
+        if v is not None:
+            by_key.setdefault(k, []).append(t)
+    for r in filled:
+        firsts = by_key.get(r.k)
+        if firsts and r.t > min(firsts):
+            assert r.v is not None
+
+
+@SETTINGS
+@given(rows=events_strategy)
+def test_sessionize_invariants(mk_df, rows):
+    df = mk_df(rows).where(F.col("t").isNotNull())
+    gap = 5
+    out = sessionize(df, ["k"], "t", gap).collect()
+    n_rows = df.count()
+    # every event lands in exactly one session
+    assert sum(r.n_events for r in out) == n_rows
+    by_key = {}
+    for r in out:
+        assert r.start_time <= r.end_time
+        by_key.setdefault(r.k, []).append(r)
+    for sess in by_key.values():
+        sess.sort(key=lambda r: r.start_time)
+        for a, b in zip(sess, sess[1:]):
+            # non-overlapping and separated by more than the gap
+            assert b.start_time - a.end_time > gap
+
+
+@SETTINGS
+@given(rows=events_strategy, probes=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), max_size=15))
+def test_asof_join_matches_python_oracle(spark, mk_df, rows, probes):
+    right = mk_df([r for r in rows if r[2] is not None])
+    left = (spark.createDataFrame(probes, "k int, t int")
+            if probes else spark.createDataFrame([], "k int, t int"))
+    out_rows = asof_join(left, right, "t", ["k"], value_cols=["v"]).collect()
+    got = {(r.k, r.t): r.v for r in out_rows}
+    # python oracle: latest right value at or before each probe time;
+    # ties on t take the largest value (matching the window's
+    # last-over-ties-sorted-input only when unique, so dedup times first)
+    rr = {}
+    for k, t, v in rows:
+        if v is not None:
+            rr.setdefault(k, {})[t] = v  # last write wins per (k, t)
+    assert len(out_rows) == len(probes)  # left rows preserved 1:1
+    for k, t in probes:
+        cands = [(rt, rv) for rt, rv in rr.get(k, {}).items() if rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[(k, t)] == expect
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=0, max_size=12)
+
+
+@SETTINGS
+@given(texts=TEXTS)
+def test_lsh_pairs_subset_of_exact_pairs(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string") \
+        if texts else spark.createDataFrame([], "doc_id long, text string")
+    exact = {(r.id_a, r.id_b)
+             for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                          threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                      threshold=0.5).collect()}
+    # every LSH-surfaced pair is verified with exact Jaccard, so LSH
+    # results are always a subset of the exact all-pairs answer
+    assert lsh <= exact
