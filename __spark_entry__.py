@@ -57,6 +57,16 @@ def _events(spark, sf_dir) -> DataFrame:
                     F.expr("ts div 1000").alias("t")))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count: the documents/embeddings
+    tables arrive as one small parquet file (1 scan task), but the
+    hash/cosine work per row is CPU-bound — spread it across the
+    cluster. On a real 100 TB corpus the scan already has thousands of
+    tasks and the caller would skip this."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 EVENTS_SQL = ("select event_id, user_id, event_type, value, "
               "epoch_us(ts) as t from events")
 
@@ -717,7 +727,7 @@ from spine s
 
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup on normalized-text fingerprint (beyond-reference)."""
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return exact_dedup(docs, "text", "doc_id")
 
 
@@ -731,7 +741,7 @@ from f group by fingerprint
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
 
 
@@ -746,18 +756,18 @@ def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified. Oracle is the
     exact all-pairs answer — with 16 1-row bands the LSH miss
     probability at τ=0.5 is (1-0.5)^16 ≈ 1.5e-5 per pair."""
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
 def q_simhash(spark, sf_dir):
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return simhash(docs, "text", "doc_id", bits=16)
 
 
@@ -778,7 +788,7 @@ from h
 
 def q_text_stats(spark, sf_dir):
     """Token counting + quality scoring (beyond-reference text analysis)."""
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -812,7 +822,7 @@ from st
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return docs.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
@@ -834,7 +844,7 @@ from m
 
 def q_token_histogram(spark, sf_dir):
     """Corpus token frequency top-20 (explode + agg + deterministic order)."""
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return (docs.select(F.explode(tokens("text")).alias("token"))
             .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("token")).limit(20))
@@ -850,7 +860,7 @@ group by token order by n desc, token asc limit 20
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (beyond-reference
     similarity search; cosine math bit-matches DuckDB)."""
-    emb = _t("embeddings")(spark, sf_dir)
+    emb = _spread(_t("embeddings")(spark, sf_dir))
     return brute_force_topk(emb, emb.where("vec_id < 5"), "vec_id",
                             "embedding", k=10)
 
@@ -869,7 +879,7 @@ select query_id, neighbor_id, cosine, rank from r where rank <= 10
 
 def q_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (τ=0.4 yields pairs on testdata)."""
-    emb = _t("embeddings")(spark, sf_dir)
+    emb = _spread(_t("embeddings")(spark, sf_dir))
     return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
@@ -885,7 +895,7 @@ where a.vec_id < b.vec_id
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidate pairs (Hamming ≤ 3 within top-byte
     blocks) — the bit-sketch dedup path."""
-    docs = _t("documents")(spark, sf_dir)
+    docs = _spread(_t("documents")(spark, sf_dir))
     return simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
 
 
@@ -914,12 +924,17 @@ def q_media_features(spark, sf_dir):
     byte-histogram features (mapInPandas) → top-3 cosine neighbors of 3
     query payloads. Not SQL-expressible (Arrow UDF) → rows-only check;
     the feature math is pinned by tests/test_multimodal.py."""
-    docs = _t("documents")(spark, sf_dir).select(
+    docs = _spread(_t("documents")(spark, sf_dir)).select(
         "doc_id", F.encode("text", "utf-8").alias("payload"))
     media = pack_media(docs, "payload", fmt="text/utf-8", width=8, height=6)
-    feats = byte_histogram_features(media, "payload", bins=64) \
-        .select("doc_id", F.col("features").alias("embedding"))
-    return brute_force_topk(feats, feats.where("doc_id < 3"),
+
+    def feats(df):
+        return byte_histogram_features(df, "payload", bins=64) \
+            .select("doc_id", F.col("features").alias("embedding"))
+
+    # filter BEFORE the Arrow stage: predicates don't push through
+    # mapInPandas, so the query side must subset first
+    return brute_force_topk(feats(media), feats(media.where("doc_id < 3")),
                             "doc_id", "embedding", k=3)
 
 

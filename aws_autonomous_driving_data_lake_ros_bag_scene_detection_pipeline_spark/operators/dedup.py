@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64, hash64_seeded
+from ..functions.hashing import hash64
 from ..functions.text import fingerprint, shingles
 
 
@@ -54,17 +54,18 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
                       num_perm: int = 16, shingle_n: int = 3) -> DataFrame:
     """Attach ``sig`` = array of ``num_perm`` minhash values.
 
-    Each permutation i is min over shingles of a seeded 60-bit hash —
-    one map-side expression, no shuffle, vectorized by codegen."""
+    Permutation i of shingle s is the native ``xxhash64(i, s)`` — fully
+    independent families (a shared-base double-hashing scheme correlates
+    the per-band minima and silently costs recall), at native-hash cost:
+    signatures never appear in oracle-checked output (pairs are verified
+    with exact Jaccard), so the md5-portable :func:`hash64` isn't needed
+    here. Map-side only, no shuffle, no Python."""
     sh = shingles(text_col, shingle_n)
     out = df.select(F.col(id_col), sh.alias("_shingles"))
 
-    def seeded(i):
-        # factory keeps the lambda single-param (2-param = (elem, idx))
-        return lambda s: hash64_seeded(s, i)
-
     sig = F.array(*[
-        F.array_min(F.transform(F.col("_shingles"), seeded(i)))
+        F.array_min(F.transform(F.col("_shingles"),
+                                (lambda i: lambda s: F.xxhash64(F.lit(i), s))(i)))
         for i in range(num_perm)
     ])
     return out.select(id_col, F.col("_shingles").alias("shingles"),
@@ -91,7 +92,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     is missed with probability (1-0.8)^16 ≈ 7e-12 — effectively exact,
     while only hash-equal candidates are verified."""
     bands = bands or num_perm // rows_per_band
-    sig = minhash_signature(df, text_col, id_col, num_perm, shingle_n)
+    # persist: both self-join sides reuse the signatures, and the cache
+    # boundary keeps the size(shingles) filter from being pushed beneath
+    # the signature projection (re-evaluating it in the scan filter)
+    sig = minhash_signature(df, text_col, id_col, num_perm, shingle_n).persist()
 
     band_key = F.explode(F.array(*[
         F.struct(
@@ -139,9 +143,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     common shingles per pair → Jaccard from |A|+|B|-common. Shuffle is
     proportional to the inverted-index postings, not n²."""
     sh = (df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-            .where(F.size("sh") > 0))
+            .where(F.size("sh") > 0)
+            .persist())  # reused by the index (twice) and the size lookup
     sizes = sh.select(id_col, F.size("sh").alias("n_sh"), F.col("sh"))
-    inv = sh.select(id_col, F.explode("sh").alias("shingle"))
+    # join on the 64-bit hash of the shingle, not the string: narrower
+    # shuffle rows and cheaper key comparisons (xxhash64 is native; a
+    # collision among ~|corpus|·|shingles| keys is ~2^-40 and would only
+    # perturb one pair's count)
+    inv = (sh.select(id_col, F.explode("sh").alias("_s"))
+           .select(id_col, F.xxhash64("_s").alias("shingle")))
 
     a = inv.alias("a")
     b = inv.alias("b")
@@ -165,26 +175,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     """Per-doc SimHash: sign-aggregated token hashes, ``bits`` wide.
 
     Bit b of the signature is 1 iff more token hashes have bit b set
-    than not. Pure bit-arithmetic expressions; ``bits`` defaults to 16 to
-    keep the expression tree small (64 is fine at cluster scale)."""
+    than not. ONE ``aggregate`` pass over the token-hash array maintains
+    all ``bits`` counters via ``zip_with`` — each token is md5-hashed
+    exactly once (per-bit ``size(filter(...))`` expressions would
+    re-hash every token ``bits`` times)."""
     t = shingles(text_col, 1)  # distinct unigram tokens
     hashes = F.transform(t, lambda s: hash64(s))
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
 
-    def bit_set(mask):
-        # single-param lambda: a 2-arg lambda would be treated as
-        # (element, index) by F.filter
-        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
-
-    bit_cols = []
-    for b in range(bits):
-        ones = F.size(F.filter(hashes, bit_set(1 << b)))
-        bit = F.when(ones * 2 >= F.size(hashes), F.lit(1 << b)).otherwise(F.lit(0))
-        bit_cols.append(bit.cast("bigint"))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(0)))
+    n = F.size(t)
+    sig = F.aggregate(
+        F.zip_with(counts, masks,
+                   lambda c, m: F.when(c * 2 >= n, m)
+                   .otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
     return df.select(F.col(id_col),
-                     F.when(F.size(t) > 0, sig).otherwise(F.lit(None))
+                     F.when(n > 0, sig).otherwise(F.lit(None))
                       .cast("bigint").alias("simhash"))
 
 
@@ -196,9 +208,15 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     signature would be the scale path; with 16-bit signatures the
     self-join on signature proximity is done via a single equi-join on
     the top byte (candidates) + bit_count verify."""
-    sh = simhash(df, text_col, id_col, bits).where(F.col("simhash").isNotNull())
+    # persist BEFORE filtering: signatures are tiny (id + 2 longs), the
+    # self-join reuses them on both sides, and the cache boundary stops
+    # Catalyst pushing isnotnull(simhash) beneath the projection — which
+    # would re-evaluate the whole signature expression inside the scan
+    # filter (observed 5x slowdown)
+    sig = simhash(df, text_col, id_col, bits).persist()
     block = (F.col("simhash") / F.lit(1 << (bits // 2))).cast("bigint")
-    sh = sh.withColumn("block", block)
+    sh = (sig.where(F.col("simhash").isNotNull())
+          .withColumn("block", block))
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, "block")

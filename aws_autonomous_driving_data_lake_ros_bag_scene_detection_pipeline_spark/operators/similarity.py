@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, norm
 from ..functions.hashing import hash64
 
 
@@ -35,14 +35,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     the 6-dp-rounded similarity with the corpus id as tiebreaker so the
     result is deterministic and oracle-comparable."""
     query_id_col = query_id_col or id_col
+    # norms computed once per row, not once per pair; the per-pair
+    # cosine is then dot/qn/cn — the identical double operations in the
+    # identical order as cosine(), so results stay bit-exact
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qvec"))
+                       F.col(vec_col).alias("_qvec"),
+                       norm(vec_col).alias("_qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cvec"))
+                      F.col(vec_col).alias("_cvec"),
+                      norm(vec_col).alias("_cn"))
     scored = (c.crossJoin(F.broadcast(q))
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine("_qvec", "_cvec"), 6).alias("cosine")))
+                      F.round(dot("_qvec", "_cvec") / F.col("_qn")
+                              / F.col("_cn"), 6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -79,14 +85,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     query_id_col = query_id_col or id_col
     cb = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("_cvec"),
+                       norm(vec_col).alias("_cn"),
                        hyperplane_bucket(vec_col, planes, dim).alias("bucket"))
     qb = queries.select(F.col(query_id_col).alias("query_id"),
                         F.col(vec_col).alias("_qvec"),
+                        norm(vec_col).alias("_qn"),
                         hyperplane_bucket(vec_col, planes, dim).alias("bucket"))
     scored = (cb.join(F.broadcast(qb), "bucket")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine("_qvec", "_cvec"), 6).alias("cosine")))
+                      F.round(dot("_qvec", "_cvec") / F.col("_qn")
+                              / F.col("_cn"), 6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -102,10 +111,12 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     variant — self-join guarded to the upper triangle — because the
     oracle must be exact. For 100 TB use :func:`hyperplane_bucket` as a
     pre-join key (identical code path to :func:`lsh_topk`)."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  norm(vec_col).alias("n"))
     a, b = v.alias("a"), v.alias("b")
     return (a.crossJoin(b)
             .where(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round(cosine("a.v", "b.v"), 6).alias("cosine"))
+                    F.round(dot("a.v", "b.v") / F.col("a.n") / F.col("b.n"),
+                            6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
