@@ -37,7 +37,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.ope
     jaccard,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.pipeline import (
-    objects_in_lane, synchronize_topics,
+    objects_in_lane_by_key, synchronize_topics,
 )
 
 HOUR_US = 3_600_000_000
@@ -939,10 +939,13 @@ def q_media_features(spark, sf_dir):
 
 
 def q_scene_geometry(spark, sf_dir):
-    """Object-in-lane geometry (detect_scenes.py:13-112) as pure Catalyst
-    expressions, driven by deterministic synthetic scenes derived from
-    lineitem. Not SQL-expressible → rows-only check; the semantics are
-    differentially tested against a Python oracle in tests/test_pipeline.py."""
+    """Object-in-lane geometry (detect_scenes.py:13-112) via the
+    relational explode→join→aggregate plan (objects_in_lane_by_key) —
+    whole-stage codegen end to end, no interpreted array lambdas —
+    driven by deterministic synthetic scenes derived from lineitem.
+    Not SQL-expressible → rows-only check; the semantics are
+    differentially tested against a Python oracle and against the
+    expression formulation in tests/test_pipeline.py."""
     li = _t("lineitem")(spark, sf_dir).where(F.col("l_orderkey") <= 2000)
     dets = (li.groupBy("l_orderkey")
             .agg(F.collect_list(F.struct(
@@ -962,9 +965,8 @@ def q_scene_geometry(spark, sf_dir):
                   named_struct('x', 140.0d, 'y', 250.0d))))
     """)
     with_lanes = dets.withColumn("lanes", lanes)
-    out = with_lanes.select(
-        "l_orderkey",
-        objects_in_lane("dets", "lanes").alias("oil"))
+    out = objects_in_lane_by_key(with_lanes, "dets", "lanes",
+                                 ["l_orderkey"], out_col="oil")
     return out.select(
         "l_orderkey",
         F.size("oil").cast("bigint").alias("n_in_lane"),

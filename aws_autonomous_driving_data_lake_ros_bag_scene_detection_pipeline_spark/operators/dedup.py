@@ -175,29 +175,37 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     """Per-doc SimHash: sign-aggregated token hashes, ``bits`` wide.
 
     Bit b of the signature is 1 iff more token hashes have bit b set
-    than not. ONE ``aggregate`` pass over the token-hash array maintains
-    all ``bits`` counters via ``zip_with`` — each token is md5-hashed
-    exactly once (per-bit ``size(filter(...))`` expressions would
-    re-hash every token ``bits`` times)."""
-    t = shingles(text_col, 1)  # distinct unigram tokens
-    hashes = F.transform(t, lambda s: hash64(s))
-    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    than not (ties → set), over the doc's *distinct* unigram tokens;
+    docs with no tokens get a null signature.
 
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("bigint"), bits),
-        lambda acc, h: F.zip_with(
-            acc, masks,
-            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(0)))
-    n = F.size(t)
-    sig = F.aggregate(
-        F.zip_with(counts, masks,
-                   lambda c, m: F.when(c * 2 >= n, m)
-                   .otherwise(F.lit(0).cast("bigint"))),
-        F.lit(0).cast("bigint"), lambda a, x: a + x)
-    return df.select(F.col(id_col),
-                     F.when(n > 0, sig).otherwise(F.lit(None))
-                      .cast("bigint").alias("simhash"))
+    Shape: ``explode_outer(tokens)`` → ``groupBy(id)`` with one
+    conditional-sum column per bit. Higher-order array functions are
+    CodegenFallback (interpreted per row) in Spark, so the previous
+    array-``aggregate`` formulation cost ~1 ms/doc; this explode/agg
+    plan stays entirely inside whole-stage codegen. The exploded rows
+    never cross the network raw: tokens of a doc are co-partitioned, so
+    partial aggregation collapses them map-side and the shuffle carries
+    one (id, n, bits×count) row per doc."""
+    t = shingles(text_col, 1)  # distinct unigram tokens
+    tok = df.select(F.col(id_col), F.explode_outer(t).alias("_tok"))
+    # md5-hash once per token in its own projection: putting hash64
+    # inline in the 16 sum() conditions would evaluate it 16× per token
+    # (no CSE across aggregate functions) and 3.5× the codegen time
+    pre = tok.select(F.col(id_col), hash64(F.col("_tok")).alias("_h"))
+    aggs = [F.count("_h").alias("_n")] + [
+        F.sum(F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+               .otherwise(0)).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    g = pre.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        bit = (F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1 << b))
+                .otherwise(F.lit(0)).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return g.select(F.col(id_col),
+                    F.when(F.col("_n") > 0, sig).otherwise(F.lit(None))
+                     .cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,

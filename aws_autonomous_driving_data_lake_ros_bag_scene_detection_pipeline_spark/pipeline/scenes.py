@@ -128,6 +128,131 @@ def objects_in_lane(detections: Column | str, lanes: Column | str) -> Column:
     return F.when(dets.isNotNull() & lns.isNotNull(), kept)
 
 
+def objects_in_lane_by_key(df: DataFrame, detections_col: str,
+                           lanes_col: str, keys: list[str],
+                           out_col: str = "objects_in_lane") -> DataFrame:
+    """:func:`objects_in_lane` as a relational plan (explode → join →
+    aggregate) instead of nested array expressions.
+
+    Same semantics, different physical strategy: higher-order array
+    functions are CodegenFallback in Spark — evaluated row-at-a-time by
+    the interpreter — and the nested argmin-per-lane-per-corner tree
+    costs ~3.6 ms/row, which cannot survive a 100 TB scan. This
+    formulation explodes detections×corners and lanes×points, computes
+    every corner↔point distance in one whole-stage-codegen join
+    projection, takes the per-lane argmin as a ``min(struct(d, pi, px))``
+    hash aggregate, and rebuilds the per-row array with
+    ``collect_list`` + position sort. Every heavy operator is codegen'd;
+    the only higher-order calls left run on ≤4-element arrays.
+
+    All shuffles share the ``keys`` prefix, so AQE coalesces them into
+    co-partitioned exchanges; row multiplication (dets × 4 corners ×
+    lane points) is the inherent work of the geometry, now spread across
+    the cluster instead of nested inside one interpreted expression.
+
+    ``keys`` must uniquely identify rows of ``df`` (the reference keys
+    scenes by bag + timestamp: detect_scenes.py:197-201); otherwise
+    detections of distinct rows would merge.
+
+    Returns ``df``'s columns plus ``out_col``; row order is not
+    preserved (it is never meaningful to the downstream window, which
+    re-sorts by time). Null detections/lanes → null, exactly like
+    :func:`objects_in_lane` (detect_scenes.py:93-112).
+    """
+    dets = F.col(detections_col)
+    lns = F.col(lanes_col)
+    valid = dets.isNotNull() & lns.isNotNull()
+    base = df.withColumn("_valid", valid)
+    vb = base.where(F.col("_valid")).select(*keys, dets.alias("_dets"),
+                                            lns.alias("_lanes"))
+
+    # detections, exploded with their position (order restored at the end)
+    d = vb.select(*keys, F.posexplode("_dets").alias("_di", "_o"))
+    o = F.col("_o")
+    x_min, x_max = o["x"] - o["width"] / 2, o["x"] + o["width"] / 2
+    y_min, y_max = o["y"] - o["height"] / 2, o["y"] + o["height"] / 2
+    corner_arr = F.array(
+        F.struct(x_min.alias("cx"), y_min.alias("cy")),
+        F.struct(x_max.alias("cx"), y_min.alias("cy")),
+        F.struct(x_min.alias("cx"), y_max.alias("cy")),
+        F.struct(x_max.alias("cx"), y_max.alias("cy")))
+    corners = (d.select(*keys, "_di", F.posexplode(corner_arr).alias("_ci", "_c"))
+               .select(*keys, "_di", "_ci",
+                       F.col("_c.cx").alias("_cx"), F.col("_c.cy").alias("_cy")))
+
+    # lane points, exploded; point-free lanes survive with a null point
+    lane_pts = (vb.select(*keys, F.posexplode("_lanes").alias("_li", "_lane"))
+                .select(*keys, "_li",
+                        F.posexplode_outer("_lane.image_points").alias("_pi", "_p"))
+                .select(*keys, "_li", "_pi",
+                        F.col("_p.x").alias("_px"), F.col("_p.y").alias("_py")))
+
+    # nearest point per (corner, lane): argmin with the reference's strict
+    # 1000.0 cutoff (detect_scenes.py:19-28); min(struct) tie-breaks on
+    # point index = first-point-wins, like the reference's strict '<'
+    dist = F.sqrt((F.col("_px") - F.col("_cx")) * (F.col("_px") - F.col("_cx"))
+                  + (F.col("_py") - F.col("_cy")) * (F.col("_py") - F.col("_cy")))
+    near = (corners.join(lane_pts, list(keys))
+            .groupBy(*keys, "_di", "_ci", "_li")
+            .agg(F.first("_cx").alias("_cx"),
+                 F.min(F.when(dist < MAX_NEAREST_DIST,
+                              F.struct(dist.alias("d"),
+                                       F.col("_pi").alias("pi"),
+                                       F.col("_px").alias("px")))).alias("_np")))
+
+    # first adjacent-lane pair whose nearest xs bracket the corner
+    # (detect_scenes.py:47-64: x-only, first pair wins)
+    a = near.select(*keys, "_di", "_ci", "_cx",
+                    F.col("_li").alias("_lia"), F.col("_np.px").alias("_pxa"))
+    b = near.select(*keys, "_di", "_ci",
+                    F.col("_li").alias("_lib"), F.col("_np.px").alias("_pxb"))
+    pxa, pxb, cx = F.col("_pxa"), F.col("_pxb"), F.col("_cx")
+    brackets = (pxa.isNotNull() & pxb.isNotNull()
+                & (((cx >= pxa) & (cx <= pxb)) | ((cx <= pxa) & (cx >= pxb))))
+    hits = (a.join(b, [*keys, "_di", "_ci"])
+            .where(F.col("_lib") == F.col("_lia") + 1)
+            .groupBy(*keys, "_di", "_ci")
+            .agg(F.min(F.when(brackets, F.col("_lia"))).alias("_hit")))
+
+    label = F.when(
+        F.col("_hit").isNotNull(),
+        F.concat(F.lit("between_"), F.col("_hit").cast("string"),
+                 F.lit("_and_"), (F.col("_hit") + 1).cast("string")))
+    corner_labels = (corners.join(hits, [*keys, "_di", "_ci"], "left")
+                     .select(*keys, "_di", "_ci", label.alias("_label")))
+
+    # per detection: labels back in corner order (≤4-element arrays — the
+    # only higher-order calls left, negligible at this size)
+    labels_arr = F.transform(
+        F.sort_array(F.collect_list(F.struct("_ci", "_label"))),
+        lambda s: s["_label"])
+    per_det = (corner_labels.groupBy(*keys, "_di")
+               .agg(labels_arr.alias("_labels"))
+               .withColumn("_in_lane",
+                           F.filter("_labels", lambda v: v.isNotNull()))
+               .where(F.size("_in_lane") > 0))
+
+    enriched = (per_det.join(d, [*keys, "_di"])
+                .select(*keys, "_di", F.struct(
+                    o["x"].alias("x"), o["y"].alias("y"),
+                    o["width"].alias("width"), o["height"].alias("height"),
+                    o["Class"].alias("Class"),
+                    F.size("_in_lane").alias("corners_in_lane"),
+                    F.array_distinct("_in_lane").alias("lanes")).alias("_s")))
+    per_row = (enriched.groupBy(*keys)
+               .agg(F.transform(
+                   F.sort_array(F.collect_list(F.struct("_di", "_s"))),
+                   lambda s: s["_s"]).alias("_oil")))
+
+    empty = F.array().cast(
+        "array<struct<x:double,y:double,width:double,height:double,"
+        "Class:string,corners_in_lane:int,lanes:array<string>>>")
+    return (base.join(per_row, list(keys), "left")
+            .select(*df.columns,
+                    F.when(F.col("_valid"),
+                           F.coalesce(F.col("_oil"), empty)).alias(out_col)))
+
+
 def detect_scenes(df: DataFrame, detections_col: str, lanes_col: str,
                   keep_cols: list[str] | None = None) -> DataFrame:
     """Scene-detection projection (detect_scenes.py:115-117 ``detect_scenes``):

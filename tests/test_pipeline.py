@@ -14,7 +14,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.pipeline import (
-    detect_scenes, objects_in_lane, people_in_scene, summarize_person_scenes,
+    detect_scenes, objects_in_lane, objects_in_lane_by_key, people_in_scene,
+    summarize_person_scenes,
     synchronize_topics,
 )
 
@@ -100,6 +101,36 @@ def test_objects_in_lane_null_inputs(spark):
         "lanes array<struct<image_points:array<struct<x:double,y:double>>>>")
     got = df.select(objects_in_lane("dets", "lanes").alias("o")).collect()
     assert got[0].o is None
+
+
+def test_objects_in_lane_by_key_matches_oracle_and_expression(spark):
+    """The relational (explode→join→agg) plan must agree with both the
+    Python oracle and the expression formulation on random scenes,
+    including empty/point-free lanes, empty detections, and null rows."""
+    rng = random.Random(13)
+    scenes = [_random_scene(rng) for _ in range(60)]
+    rows = [
+        (i,
+         [{"x": x, "y": y, "width": w, "height": h, "Class": c}
+          for x, y, w, h, c in objs],
+         [{"image_points": [{"x": px, "y": py} for px, py in lane]}
+          for lane in lanes])
+        for i, (objs, lanes) in enumerate(scenes)
+    ]
+    rows.append((len(scenes), None, None))  # null row → null output
+    schema = ("id long, dets array<struct<x:double,y:double,width:double,"
+              "height:double,Class:string>>, "
+              "lanes array<struct<image_points:array<struct<x:double,y:double>>>>")
+    df = spark.createDataFrame(rows, schema)
+    got = {r.id: r.oil for r in
+           objects_in_lane_by_key(df, "dets", "lanes", ["id"],
+                                  out_col="oil").collect()}
+    assert got[len(scenes)] is None
+    for i, (objs, lanes) in enumerate(scenes):
+        expect = _oracle_objects_in_lane(objs, lanes)
+        mine = [(o.x, o.y, o.width, o.height, o.Class,
+                 o.corners_in_lane, list(o.lanes)) for o in got[i]]
+        assert mine == expect, f"scene {i}"
 
 
 # ---------- synchronize ----------
