@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint, shingles, token_count
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -135,39 +135,67 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         threshold: float = 0.8, shingle_n: int = 3) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via a shingle inverted index —
-    the non-probabilistic reference answer for :func:`minhash_lsh_pairs`.
+    """Exact n-gram-Jaccard near-dup pairs via a prefix-filtered shingle
+    inverted index (AllPairs/PPJoin) — the non-probabilistic reference
+    answer for :func:`minhash_lsh_pairs`.
 
-    Plan: explode distinct shingles → self-join on shingle (only docs
-    sharing ≥1 shingle ever meet — never a full cross join) → count
-    common shingles per pair → Jaccard from |A|+|B|-common. Shuffle is
-    proportional to the inverted-index postings, not n²."""
-    sh = (df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-            .where(F.size("sh") > 0)
-            .persist())  # reused by the index (twice) and the size lookup
-    sizes = sh.select(id_col, F.size("sh").alias("n_sh"), F.col("sh"))
-    # join on the 64-bit hash of the shingle, not the string: narrower
-    # shuffle rows and cheaper key comparisons (xxhash64 is native; a
-    # collision among ~|corpus|·|shingles| keys is ~2^-40 and would only
-    # perturb one pair's count)
-    inv = (sh.select(id_col, F.explode("sh").alias("_s"))
-           .select(id_col, F.xxhash64("_s").alias("shingle")))
+    A naive inverted index posts every shingle, so the self-join fans
+    out quadratically in each shingle's document frequency. Prefix
+    filtering keeps it exact while indexing only each doc's first
+    ``n - ceil(τ·n) + 1`` shingles in a global (hash) order: if
+    J(A,B) ≥ τ then |A∩B| ≥ ceil(τ·max(|A|,|B|)), so the first common
+    shingle must land inside BOTH prefixes — any qualifying pair still
+    collides. At τ=0.8 this cuts postings ~5× and candidate pairs far
+    more; verification computes the exact intersection size
+    (``array_intersect`` on the two hash arrays) only for surviving
+    candidates, plus the standard length filter τ·|A| ≤ |B|.
 
-    a = inv.alias("a")
-    b = inv.alias("b")
-    common = (a.join(b, "shingle")
-              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                       F.col(f"b.{id_col}").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("n_common")))
+    Shingles are compared by ``xxhash64``: narrower shuffle rows and
+    cheaper key comparisons than strings (a collision among
+    ~corpus×shingles keys is ~2^-40 and would only perturb one pair)."""
+    # filter on the CHEAP equivalent predicate (≥ n tokens ⟺ ≥ 1 shingle),
+    # never on size(h_arr): a filter over the expensive projection gets
+    # pushed beneath the caller's repartition exchange and evaluates the
+    # whole shingle-hash expression serially inside the (often 1-task)
+    # scan stage — observed 30× slowdown
+    arr = (df.where(token_count(text_col) >= shingle_n)
+           .select(F.col(id_col).alias("id"),
+                   F.array_sort(
+                       F.transform(shingles(text_col, shingle_n),
+                                   lambda s: F.xxhash64(s))).alias("h_arr"))
+           .withColumn("n_sh", F.size("h_arr"))
+           # prefix theorem: a pair at τ must share a shingle within the
+           # first n - ceil(τ·n) + 1 of each side's hash-sorted set
+           .withColumn("p_len",
+                       (F.col("n_sh")
+                        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+                        + 1))
+           .persist())  # reused by the index and both verify sides
 
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (common.join(sa, "id_a").join(sb, "id_b")
+    inv = arr.select("id", "n_sh",
+                     F.explode(F.slice("h_arr", F.lit(1), F.col("p_len")))
+                      .alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (a.join(b, "shingle")
+            .where((F.col("a.id") < F.col("b.id"))
+                   # length filter: J ≥ τ forces τ·|A| ≤ |B| and vice versa
+                   & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+                   & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+    va = arr.select(F.col("id").alias("id_a"), F.col("h_arr").alias("ha"),
+                    F.col("n_sh").alias("na"))
+    vb = arr.select(F.col("id").alias("id_b"), F.col("h_arr").alias("hb"),
+                    F.col("n_sh").alias("nb"))
+    common = F.size(F.array_intersect("ha", "hb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("n_common", common)
             .withColumn("jaccard",
                         F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
             .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+            .select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"),
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,

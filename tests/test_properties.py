@@ -45,8 +45,9 @@ def test_forward_fill_invariants(mk_df, rows):
     # idempotence: filling an already-filled frame changes nothing
     refilled = forward_fill(
         mk_df([(r.k, r.t, r.v) for r in filled]), ["k"], "t", ["v"]).collect()
-    assert sorted((r.k, r.t, r.v) for r in refilled) == \
-        sorted((r.k, r.t, r.v) for r in filled)
+    key = lambda row: (row[0], row[1], row[2] is not None, row[2] or 0.0)  # noqa: E731
+    assert sorted(((r.k, r.t, r.v) for r in refilled), key=key) == \
+        sorted(((r.k, r.t, r.v) for r in filled), key=key)
     # no nulls after each key's first non-null observation (ties on t
     # make the boundary tick ambiguous, so compare strictly after it)
     by_key = {}
