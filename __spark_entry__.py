@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
     asof_join, brute_force_topk, byte_histogram_features,
     change_point_intervals, duplicate_ids, embedding_dup_pairs, exact_dedup,
-    lag_lead, minhash_lsh_pairs, ngram_jaccard_pairs, pack_media,
+    lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs, pack_media,
     resample_asof, sessionize, simhash, simhash_pairs, time_spine,
     top_k_per_group, union_by_name,
 )
@@ -335,11 +335,18 @@ def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (distribution stats for
     corpus/quality analysis at scale; exact here, sketch-based
     ``percentile_approx`` is the 100 TB drop-in)."""
-    li = _t("lineitem")(spark, sf_dir)
-    return (li.groupBy("l_returnflag")
-            .agg(*[F.round(F.percentile("l_extendedprice", q), 6)
-                   .alias(f"p{int(q * 100)}")
-                   for q in (0.25, 0.5, 0.75, 0.95)]))
+    # _spread: the exact-percentile partial aggregate buffers every value,
+    # so it must not run inside the (single-row-group ⇒ 1-task) scan stage
+    li = _spread(_t("lineitem")(spark, sf_dir))
+    qs = (0.25, 0.5, 0.75, 0.95)
+    # ONE percentile aggregate over the percentage array: the values are
+    # buffered and sorted once per group, not once per requested quantile
+    agged = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(list(qs))).alias("_ps"))
+    return agged.select(
+        "l_returnflag",
+        *[F.round(F.col("_ps")[i], 6).alias(f"p{int(q * 100)}")
+          for i, q in enumerate(qs)])
 
 
 Q_PERCENTILES_SQL = """
@@ -877,6 +884,49 @@ select query_id, neighbor_id, cosine, rank from r where rank <= 10
 """
 
 
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-k — the 100 TB scale path for q_ann_topk:
+    sign-bit hyperplane buckets (map-side expression) turn the all-pairs
+    cross join into a bucket equi-join with ~|corpus|/2^planes
+    candidates per query. Planes are deterministic md5 math, so the
+    DuckDB oracle reproduces the buckets exactly (approximate vs the
+    brute-force answer, exact vs its own spec)."""
+    emb = _spread(_t("embeddings")(spark, sf_dir))
+    return lsh_topk(emb, emb.where("vec_id < 5"), "vec_id", "embedding",
+                    k=10, planes=4, dim=64)
+
+
+def _plane_comp(p: int, d: int) -> float:
+    """Python replica of hyperplane_bucket's component hash (pinned to
+    functions/hashing.hash64): md5 → first 15 hex digits → [-1, 1)."""
+    import hashlib
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+    return h / float(1 << 59) - 1.0
+
+
+def _bucket_sql(vec: str, planes: int = 4, dim: int = 64) -> str:
+    terms = []
+    for p in range(planes):
+        comps = "[" + ",".join(repr(_plane_comp(p, d)) for d in range(dim)) + "]"
+        proj = (f"list_sum(list_transform(range(1, {dim}+1), "
+                f"i -> {vec}[i]::DOUBLE * ({comps})[i]))")
+        terms.append(f"(case when {proj} >= 0 then {1 << p} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+Q_ANN_LSH_SQL = f"""
+with b as (select vec_id, embedding, {_bucket_sql('embedding')} as bucket
+           from embeddings),
+s as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+        round({_cos_sql('q.embedding', 'c.embedding')}, 6) as cosine
+      from b c join b q on q.bucket = c.bucket and c.vec_id <> q.vec_id
+      where q.vec_id < 5),
+r as (select *, row_number() over (partition by query_id
+        order by cosine desc, neighbor_id asc) as rank from s)
+select query_id, neighbor_id, cosine, rank from r where rank <= 10
+"""
+
+
 def q_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (τ=0.4 yields pairs on testdata)."""
     emb = _spread(_t("embeddings")(spark, sf_dir))
@@ -1020,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_token_histogram": q_token_histogram,
         "q_ann_topk": q_ann_topk,
+        "q_ann_lsh": q_ann_lsh,
         "q_embedding_dups": q_embedding_dups,
         "q_scene_geometry": q_scene_geometry,
     }
@@ -1065,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": _lang_id_sql(),
         "q_token_histogram": Q_TOKEN_HIST_SQL,
         "q_ann_topk": Q_ANN_SQL,
+        "q_ann_lsh": Q_ANN_LSH_SQL,
         "q_embedding_dups": Q_EMB_DUPS_SQL,
         # q_scene_geometry: intentionally no oracle (geometry is not
         # reasonably SQL-expressible; differential-tested in pytest).

@@ -59,7 +59,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 def hyperplane_bucket(vec_col, planes: int, dim: int):
     """LSH bucket id: sign bits of projections onto ``planes``
-    deterministic pseudo-random hyperplanes."""
+    deterministic pseudo-random hyperplanes (column-expression form;
+    :func:`_bucketize` is the codegen relational form of the same math)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     v = v.cast("array<double>")
     bucket = F.lit(0).cast("bigint")
@@ -75,6 +76,54 @@ def hyperplane_bucket(vec_col, planes: int, dim: int):
     return bucket
 
 
+def _plane_component(p: int, d: int) -> float:
+    """Python replica of :func:`hyperplane_bucket`'s component hash —
+    identical to ``hash64(lit(f"{p}:{d}")) / 2^59 - 1`` (md5 first 15
+    hex digits), pinned by the q_ann_lsh DuckDB oracle."""
+    import hashlib
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+    return h / float(1 << 59) - 1.0
+
+
+def _explode_vec(df: DataFrame, id_cols: list[str], vec_col: str,
+                 x_name: str) -> DataFrame:
+    return df.select(*id_cols,
+                     F.posexplode(F.col(vec_col).cast("array<double>"))
+                      .alias("_d", x_name))
+
+
+def _bucketize(ev: DataFrame, id_cols: list[str], x_name: str,
+               planes: int, dim: int, bucket_name: str,
+               norm2_name: str) -> DataFrame:
+    """Hyperplane buckets + squared norms from an exploded-vector frame,
+    as one broadcast join + one aggregate — all whole-stage codegen.
+
+    The higher-order-function formulation (``zip_with``+``aggregate``
+    per plane) is CodegenFallback: interpreted row-at-a-time, ~2.5 ms
+    per vector. Here the 64×planes plane matrix is a broadcast literal
+    table joined on the component index, and the per-plane projections
+    are conditional sums. Exploded element rows never leave their
+    partition before partial aggregation, so each sum accumulates in
+    ascending-d order — float-identical to the sequential expression
+    (and to the DuckDB oracle's ``list_sum``)."""
+    spark = ev.sparkSession
+    pl = spark.createDataFrame(
+        [(d, [_plane_component(p, d) for p in range(planes)])
+         for d in range(dim)],
+        "_d int, _comps array<double>")
+    x = F.col(x_name)
+    aggs = [F.sum(x * F.col("_comps")[p]).alias(f"_proj{p}")
+            for p in range(planes)]
+    aggs.append(F.sum(x * x).alias(norm2_name))
+    g = ev.join(F.broadcast(pl), "_d").groupBy(*id_cols).agg(*aggs)
+    bucket = None
+    for p in range(planes):
+        bit = (F.when(F.col(f"_proj{p}") >= 0, F.lit(1 << p))
+                .otherwise(F.lit(0)).cast("bigint"))
+        bucket = bit if bucket is None else bucket + bit
+    return g.select(*id_cols, bucket.alias(bucket_name), F.col(norm2_name))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 10, planes: int = 4,
              dim: int = 64, query_id_col: str | None = None) -> DataFrame:
@@ -83,19 +132,35 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     equi-join replaces the all-pairs cross join — the candidate set per
     query is ~|corpus|/2^planes."""
     query_id_col = query_id_col or id_col
-    cb = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("_cvec"),
-                       norm(vec_col).alias("_cn"),
-                       hyperplane_bucket(vec_col, planes, dim).alias("bucket"))
-    qb = queries.select(F.col(query_id_col).alias("query_id"),
-                        F.col(vec_col).alias("_qvec"),
-                        norm(vec_col).alias("_qn"),
-                        hyperplane_bucket(vec_col, planes, dim).alias("bucket"))
-    scored = (cb.join(F.broadcast(qb), "bucket")
-              .where(F.col("neighbor_id") != F.col("query_id"))
+    ce = _explode_vec(corpus, [F.col(id_col).alias("neighbor_id")],
+                      vec_col, "_cx").persist()
+    qe = _explode_vec(queries, [F.col(query_id_col).alias("query_id")],
+                      vec_col, "_qx")
+
+    cb = _bucketize(ce, ["neighbor_id"], "_cx", planes, dim,
+                    "bucket", "_cn2")
+    qb = _bucketize(qe, ["query_id"], "_qx", planes, dim,
+                    "bucket", "_qn2")
+
+    # candidate pairs: bucket equi-join (queries are the small side —
+    # both the candidate list and the query elements broadcast)
+    cand = (cb.join(F.broadcast(qb), "bucket")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "_qn2", "_cn2"))
+
+    # dot products only for candidates: corpus element rows stay in
+    # place, so each pair's products accumulate in d order — float-
+    # identical to the sequential expression form
+    dots = (ce.join(F.broadcast(cand.select("query_id", "neighbor_id")),
+                    "neighbor_id")
+            .join(F.broadcast(qe), ["query_id", "_d"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum(F.col("_cx") * F.col("_qx")).alias("_dot")))
+
+    scored = (dots.join(F.broadcast(cand), ["query_id", "neighbor_id"])
               .select("query_id", "neighbor_id",
-                      F.round(dot("_qvec", "_cvec") / F.col("_qn")
-                              / F.col("_cn"), 6).alias("cosine")))
+                      F.round(F.col("_dot") / F.sqrt("_qn2")
+                              / F.sqrt("_cn2"), 6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
