@@ -36,6 +36,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.fun
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.dedup import (
     jaccard,
 )
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import file_stream
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.pipeline import (
     objects_in_lane_by_key, synchronize_topics,
 )
@@ -988,6 +989,46 @@ def q_media_features(spark, sf_dir):
                             "doc_id", "embedding", k=3)
 
 
+def q_stream_windowed(spark, sf_dir):
+    """Structured Streaming end-to-end IN the correctness gate: the
+    events table replayed through the streaming file source (SURVEY §2
+    #45-47), hour-windowed aggregation per event_type, availableNow
+    trigger, memory sink — and the result hash-matches the plain batch
+    SQL oracle. Complete output mode so end-of-stream emits every
+    window (append would hold back the last, still-open window behind
+    the watermark; a live deployment would use append + watermark —
+    streaming/ops.windowed_agg and tests/test_streaming.py cover that
+    path)."""
+    import uuid
+    batch = _t("events")(spark, sf_dir)
+    # the streaming file source lists a DIRECTORY; the glob option is
+    # the reference Lambda's prefix/suffix filter (SURVEY §2 #45)
+    src = file_stream(spark, sf_dir, batch.schema, glob="events.parquet")
+    agged = (src
+             .select("event_type", "value",
+                     F.timestamp_micros(F.expr("ts div 1000")).alias("etime"))
+             .groupBy(F.window("etime", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 6).alias("sum_value")))
+    name = f"q_stream_windowed_{uuid.uuid4().hex[:8]}"
+    q = (agged.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("w.start").alias("hour_start"),
+        "event_type", "n_events", "sum_value")
+
+
+Q_STREAM_WINDOWED_SQL = """
+select (epoch_us(ts) // 3600000000) * 3600 as hour_start,
+       event_type,
+       count(*) as n_events,
+       round(sum(value), 6) as sum_value
+from events
+group by 1, 2
+"""
+
+
 def q_scene_geometry(spark, sf_dir):
     """Object-in-lane geometry (detect_scenes.py:13-112) via the
     relational explode→join→aggregate plan (objects_in_lane_by_key) —
@@ -1072,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_embedding_dups": q_embedding_dups,
+        "q_stream_windowed": q_stream_windowed,
         "q_scene_geometry": q_scene_geometry,
     }
 
@@ -1118,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_topk": Q_ANN_SQL,
         "q_ann_lsh": Q_ANN_LSH_SQL,
         "q_embedding_dups": Q_EMB_DUPS_SQL,
+        "q_stream_windowed": Q_STREAM_WINDOWED_SQL,
         # q_scene_geometry: intentionally no oracle (geometry is not
         # reasonably SQL-expressible; differential-tested in pytest).
     }
