@@ -59,7 +59,15 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     the per-band minima and silently costs recall), at native-hash cost:
     signatures never appear in oracle-checked output (pairs are verified
     with exact Jaccard), so the md5-portable :func:`hash64` isn't needed
-    here. Map-side only, no shuffle, no Python."""
+    here. Map-side only, no shuffle, no Python.
+
+    Deliberately the expression form, although higher-order functions
+    are CodegenFallback: an explode → 16×min-aggregate rewrite (the
+    shape that wins for :func:`simhash`) measured 2× SLOWER end-to-end
+    here, because the signature needs the shingle array alongside the
+    mins — ``collect_list`` forces ObjectHashAggregate (no codegen) and
+    the agg adds a shuffle of every shingle, while this form stays in
+    the scan stage and ships one row per doc to the band join."""
     sh = shingles(text_col, shingle_n)
     out = df.select(F.col(id_col), sh.alias("_shingles"))
 
