@@ -975,8 +975,12 @@ def q_media_features(spark, sf_dir):
     byte-histogram features (mapInPandas) → top-3 cosine neighbors of 3
     query payloads. Not SQL-expressible (Arrow UDF) → rows-only check;
     the feature math is pinned by tests/test_multimodal.py."""
-    docs = _spread(_t("documents")(spark, sf_dir)).select(
-        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    # Arrow-stage parallelism should track payload BYTES per partition
+    # (repartition_for_media is the general scan-based operator; here the
+    # ~1.5 MB corpus gets a fixed 8 — 32 near-empty partitions cost two
+    # 32-worker Python fan-outs of pure overhead, measured 12.5s vs 1.6s)
+    docs = (_t("documents")(spark, sf_dir).repartition(8)
+            .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     media = pack_media(docs, "payload", fmt="text/utf-8", width=8, height=6)
 
     def feats(df):

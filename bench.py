@@ -26,10 +26,16 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     import __spark_entry__ as entry
+    from pyspark.sql import functions as F
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.session import get_spark
 
     spark = get_spark("bench")  # master local[$SPARK_GRAFT_CPUS] inside
     spark.sparkContext.setLogLevel("ERROR")
+
+    # session warm-up: JVM/scheduler bring-up and the noop sink's first
+    # codegen are not any query's cost
+    spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count() \
+        .write.format("noop").mode("overwrite").save()
 
     qs = entry.queries()
     timings: dict[str, float] = {}
