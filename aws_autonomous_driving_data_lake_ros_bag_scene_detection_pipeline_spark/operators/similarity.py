@@ -132,8 +132,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     equi-join replaces the all-pairs cross join — the candidate set per
     query is ~|corpus|/2^planes."""
     query_id_col = query_id_col or id_col
+    # no persist: the exploded corpus is consumed twice (bucket pass and
+    # scoring pass) but recomputing a posexplode off the scan is far
+    # cheaper than materializing an InMemoryRelation (measured 4×
+    # end-to-end); at 100 TB the double scan is the price of the
+    # candidate-restricted scoring and columnar pruning keeps it narrow
     ce = _explode_vec(corpus, [F.col(id_col).alias("neighbor_id")],
-                      vec_col, "_cx").persist()
+                      vec_col, "_cx")
     qe = _explode_vec(queries, [F.col(query_id_col).alias("query_id")],
                       vec_col, "_qx")
 
