@@ -26,7 +26,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     asof_join, brute_force_topk, byte_histogram_features,
     change_point_intervals, duplicate_ids, embedding_dup_pairs, exact_dedup,
     lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs, pack_media,
-    resample_asof, sessionize, simhash, simhash_pairs, time_spine,
+    resample_asof, salted_join, sessionize, simhash, simhash_pairs, time_spine,
     top_k_per_group, union_by_name,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
@@ -993,6 +993,80 @@ def q_media_features(spark, sf_dir):
                             "doc_id", "embedding", k=3)
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-mitigated equi-join (orders salted 16 ways ⋈ customer):
+    identical semantics to the plain join — which is exactly what the
+    oracle runs — while hot customer keys spread over 16 reducers."""
+    o = _t("orders")(spark, sf_dir).select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice")
+    c = _t("customer")(spark, sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    j = salted_join(o, c, ["custkey"], salt_by="o_orderkey", salt=16)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+Q_SALTED_JOIN_SQL = """
+select c_mktsegment,
+       count(*) as n_orders,
+       round(sum(o_totalprice), 2) as total_price
+from orders join customer on o_custkey = c_custkey
+group by c_mktsegment
+"""
+
+
+def q_window_range(spark, sf_dir):
+    """rangeBetween frame: per-user rolling 10-minute event count and
+    value sum over the event-time axis (value-based frames, which the
+    reference never uses — SURVEY §2.5 'only default frames')."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
+    w = (Window.partitionBy("user_id").orderBy("t")
+         .rangeBetween(-600_000_000, 0))  # 10 min in μs
+    return ev.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.round(F.sum("value").over(w), 6).alias("sum_10m"))
+
+
+Q_WINDOW_RANGE_SQL = """
+with e as (select event_id, user_id, value, epoch_us(ts) as t
+           from events where user_id < 50)
+select user_id, event_id,
+       count(*) over w as n_10m,
+       round(sum(value) over w, 6) as sum_10m
+from e
+window w as (partition by user_id order by t
+             range between 600000000 preceding and current row)
+"""
+
+
+def q_duplicate_ids(spark, sf_dir):
+    """Ids dropped by exact dedup (the non-representative members of
+    each fingerprint group) — the delete-list a dedup pipeline ships.
+    The corpus is unioned with an id-shifted copy of itself so the
+    delete-list is provably non-empty (the raw documents table has no
+    exact dups at any sf)."""
+    docs = _t("documents")(spark, sf_dir)
+    shifted = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          "text")
+    both = _spread(docs.select("doc_id", "text").unionByName(shifted))
+    return duplicate_ids(both, "text", "doc_id")
+
+
+Q_DUPLICATE_IDS_SQL = f"""
+with d as (select doc_id, text from documents
+           union all
+           select doc_id + 1000000 as doc_id, text from documents),
+f as (select doc_id,
+  {HASH64_SQL.format(x=f"array_to_string({TOKS}, ' ')")} as fp
+  from d),
+k as (select fp, min(doc_id) as kept from f group by fp)
+select f.doc_id as dup_id, k.kept as kept_id
+from f join k using (fp) where f.doc_id <> k.kept
+"""
+
+
 def q_stream_windowed(spark, sf_dir):
     """Structured Streaming end-to-end IN the correctness gate: the
     events table replayed through the streaming file source (SURVEY §2
@@ -1125,6 +1199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_embedding_dups": q_embedding_dups,
+        "q_salted_join": q_salted_join,
+        "q_window_range": q_window_range,
+        "q_duplicate_ids": q_duplicate_ids,
         "q_stream_windowed": q_stream_windowed,
         "q_scene_geometry": q_scene_geometry,
     }
@@ -1172,6 +1249,9 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_topk": Q_ANN_SQL,
         "q_ann_lsh": Q_ANN_LSH_SQL,
         "q_embedding_dups": Q_EMB_DUPS_SQL,
+        "q_salted_join": Q_SALTED_JOIN_SQL,
+        "q_window_range": Q_WINDOW_RANGE_SQL,
+        "q_duplicate_ids": Q_DUPLICATE_IDS_SQL,
         "q_stream_windowed": Q_STREAM_WINDOWED_SQL,
         # q_scene_geometry: intentionally no oracle (geometry is not
         # reasonably SQL-expressible; differential-tested in pytest).

@@ -7,6 +7,7 @@ from .multimodal import (
     byte_histogram_features, decode_audio, decode_image, pack_media,
     repartition_for_media, resize_pixels, sample_frames,
 )
+from .joins import salted_join
 from .pivot import pivot_wide
 from .similarity import brute_force_topk, embedding_dup_pairs, lsh_topk
 from .sessionize import change_point_intervals, sessionize
@@ -18,7 +19,7 @@ __all__ = [
     "change_point_intervals", "decode_audio", "decode_image",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
     "jaccard", "lag_lead", "lsh_topk", "minhash_lsh_pairs",
-    "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pivot_wide",
+    "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
     "sample_frames", "sessionize", "simhash", "simhash_pairs",
     "time_spine", "top_k_per_group", "union_by_name",

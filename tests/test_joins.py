@@ -1,0 +1,71 @@
+"""salted_join must be observationally identical to the plain equi-join
+(SURVEY §8 beyond-reference: skew mitigation). Includes a hot key, an
+unmatched probe key, an unmatched build key, and null salt_by values."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import salted_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    # key 1 is hot (60 rows); key 99 matches nothing on the build side
+    probe = spark.createDataFrame(
+        [(1, i, f"p{i}" if i % 3 else None) for i in range(60)]
+        + [(2, 100, "x"), (3, 101, "y"), (99, 102, "z")],
+        "k int, rid int, tag string")
+    build = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (3, "cold"), (7, "unmatched")],
+        "k int, label string")
+    return probe, build
+
+
+def _rows(df):
+    return sorted((r.k, r.rid, r.tag, r.label) for r in df.collect())
+
+
+def test_salted_inner_matches_plain(sides):
+    probe, build = sides
+    plain = probe.join(build, ["k"], "inner")
+    salted = salted_join(probe, build, ["k"], salt_by="rid", salt=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_left_matches_plain(sides):
+    probe, build = sides
+    plain = probe.join(build, ["k"], "left")
+    salted = salted_join(probe, build, ["k"], salt_by="rid",
+                         how="left", salt=8)
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_null_salt_by_keeps_rows(sides):
+    probe, build = sides
+    # tag is null on every 3rd row — salting on a nullable column must
+    # not drop matches
+    plain = probe.join(build, ["k"], "inner")
+    salted = salted_join(probe, build, ["k"], salt_by="tag", salt=8)
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_spreads_hot_key(sides):
+    probe, build = sides
+    p = salted_join(probe, build, ["k"], salt_by="rid", salt=8)
+    # the salt must actually distribute the hot key's rows: reconstruct
+    # the salt values used for k=1 and require more than one bucket
+    salts = (probe.where("k = 1")
+             .select(F.pmod(F.xxhash64(F.coalesce(F.col("rid").cast("string"),
+                                                  F.lit(""))), F.lit(8))
+                     .alias("s")).distinct().count())
+    assert salts > 1
+    assert p.where("k = 1").count() == 60
+
+
+def test_salted_rejects_right_join(sides):
+    probe, build = sides
+    with pytest.raises(ValueError):
+        salted_join(probe, build, ["k"], salt_by="rid", how="right")
