@@ -37,13 +37,21 @@ def main() -> None:
     spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count() \
         .write.format("noop").mode("overwrite").save()
 
+    # min of 2 runs per query: run 1 pays one-time codegen/broadcast
+    # build; run 2 is the steady state a long-running job sees, and the
+    # min is robust to transient background load on a shared box
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.time()
+        best = None
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(runs):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"bench error in {name}: {type(e).__name__}: {e}",
                   file=sys.stderr)
