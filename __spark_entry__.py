@@ -31,7 +31,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, fingerprint, lang_id, punct_ratio,
-    quality_score, stopword_ratio, token_count, tokens,
+    quality_score, stopword_ratio, subword_count, token_count, tokens,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.dedup import (
     jaccard,
@@ -800,6 +800,7 @@ def q_text_stats(spark, sf_dir):
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        subword_count("text").alias("n_subwords"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         F.round(quality_score("text"), 6).alias("quality_score"))
@@ -818,7 +819,10 @@ st as (select doc_id, text, toks,
   case when len(toks) > 0
        then length(text)::DOUBLE / len(toks) else 0.0 end as ml
   from tk)
-select doc_id, n_tokens, round(pr, 6) as punct_ratio,
+select doc_id, n_tokens,
+  coalesce(list_sum(list_transform(toks, t -> ceil(length(t)/4.0))), 0)::BIGINT
+    as n_subwords,
+  round(pr, 6) as punct_ratio,
   round(sr, 6) as stopword_ratio,
   round(((case when n_tokens between 10 and 100000 then 1.0 else 0.0 end)
        + (case when pr <= 0.2 then 1.0 else 0.0 end)

@@ -1,7 +1,7 @@
 from .hashing import hash64, hash64_seeded, hash64_seeded_sql, hash64_sql
 from .text import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, fingerprint, lang_id, punct_ratio,
-    quality_score, shingles, stopword_ratio, token_count, tokens,
+    quality_score, shingles, stopword_ratio, subword_count, token_count, tokens,
 )
 from .vectors import cosine, dot, l2_distance, norm
 
@@ -9,5 +9,5 @@ __all__ = [
     "ENGLISH_STOPWORDS", "LANG_STOPWORDS", "cosine", "dot", "fingerprint",
     "hash64", "hash64_seeded", "hash64_seeded_sql", "hash64_sql", "l2_distance",
     "lang_id", "norm", "punct_ratio", "quality_score", "shingles",
-    "stopword_ratio", "token_count", "tokens",
+    "stopword_ratio", "subword_count", "token_count", "tokens",
 ]

@@ -46,6 +46,22 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+def subword_count(col: Column | str, piece_len: int = 4) -> Column:
+    """BPE-ish token-count proxy: each word contributes
+    ``ceil(len/piece_len)`` subword pieces — the deterministic stand-in
+    for a learned-merges tokenizer (which needs a vocabulary artifact
+    this engine doesn't ship). Tracks real BPE counts closely enough
+    for length-based corpus filtering/pricing, and is exactly
+    SQL-mirrorable:
+    ``coalesce(list_sum(list_transform(toks, t ->
+    ceil(length(t)/4.0))), 0)::BIGINT``."""
+    t = tokens(col)
+    return F.aggregate(
+        t, F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.ceil(F.length(x) / F.lit(float(piece_len)))
+    ).cast("bigint")
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (distinct), the unit of Jaccard/minhash dedup.
 
