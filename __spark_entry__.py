@@ -33,9 +33,6 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.fun
     ENGLISH_STOPWORDS, LANG_STOPWORDS, fingerprint, lang_id, punct_ratio,
     quality_score, stopword_ratio, subword_count, token_count, tokens,
 )
-from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.dedup import (
-    jaccard,
-)
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import file_stream
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.pipeline import (
     objects_in_lane_by_key, synchronize_topics,

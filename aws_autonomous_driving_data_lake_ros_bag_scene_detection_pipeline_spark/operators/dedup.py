@@ -67,7 +67,13 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     here, because the signature needs the shingle array alongside the
     mins — ``collect_list`` forces ObjectHashAggregate (no codegen) and
     the agg adds a shuffle of every shingle, while this form stays in
-    the scan stage and ships one row per doc to the band join."""
+    the scan stage and ships one row per doc to the band join.
+
+    The ``shingles`` column carries the 64-bit shingle HASHES, not the
+    strings: the verify step only needs intersection sizes, hash rows
+    shrink the band-join shuffle ~3×, and long equality beats string
+    equality in ``array_intersect`` (collision odds ~2^-40 — the same
+    stance as :func:`ngram_jaccard_pairs`)."""
     sh = shingles(text_col, shingle_n)
     out = df.select(F.col(id_col), sh.alias("_shingles"))
 
@@ -76,8 +82,8 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
                                 (lambda i: lambda s: F.xxhash64(F.lit(i), s))(i)))
         for i in range(num_perm)
     ])
-    return out.select(id_col, F.col("_shingles").alias("shingles"),
-                      sig.alias("sig"))
+    hashed = F.transform(F.col("_shingles"), lambda s: F.xxhash64(s))
+    return out.select(id_col, hashed.alias("shingles"), sig.alias("sig"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
