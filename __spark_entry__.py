@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
     asof_join, brute_force_topk, byte_histogram_features,
     change_point_intervals, duplicate_ids, embedding_dup_pairs, exact_dedup,
-    lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs, pack_media,
+    ivf_topk, lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
+    pack_media,
     resample_asof, salted_join, sessionize, simhash, simhash_pairs, time_spine,
     top_k_per_group, union_by_name,
 )
@@ -929,6 +930,47 @@ select query_id, neighbor_id, cosine, rank from r where rank <= 10
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN top-k — the cell-probing scale path alongside
+    q_ann_lsh: 16 deterministic data-sampled pivots, corpus assigned by
+    L2 argmin, queries probe their 4 nearest cells, exact cosine rank
+    within probed cells. Deterministic codebook ⇒ full DuckDB oracle."""
+    emb = _spread(_t("embeddings")(spark, sf_dir))
+    return ivf_topk(emb, emb.where("vec_id < 5"), "vec_id", "embedding",
+                    k=10, nlist=16, nprobe=4)
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({a})+1), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+            f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))")
+
+
+Q_ANN_IVF_SQL = f"""
+with p as (select vec_id as pid, embedding as pe from embeddings
+           order by vec_id limit 16),
+a as (select e.vec_id, p.pid, {_l2sq_sql('e.embedding', 'p.pe')} as d2
+      from embeddings e cross join p),
+ranked as (select vec_id, pid,
+             row_number() over (partition by vec_id
+                                order by d2 asc, pid asc) as rn
+           from a),
+cc as (select vec_id, pid as cell from ranked where rn = 1),
+qc as (select vec_id, pid as cell from ranked
+       where rn <= 4 and vec_id < 5),
+cand as (select distinct qc.vec_id as query_id, cc.vec_id as neighbor_id
+         from cc join qc using (cell) where cc.vec_id <> qc.vec_id),
+s as (select query_id, neighbor_id,
+        round({_cos_sql('q.embedding', 'c.embedding')}, 6) as cosine
+      from cand
+      join embeddings q on q.vec_id = query_id
+      join embeddings c on c.vec_id = neighbor_id),
+r as (select *, row_number() over (partition by query_id
+        order by cosine desc, neighbor_id asc) as rank from s)
+select query_id, neighbor_id, cosine, rank from r where rank <= 10
+"""
+
+
 def q_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (τ=0.4 yields pairs on testdata)."""
     emb = _spread(_t("embeddings")(spark, sf_dir))
@@ -1199,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_histogram": q_token_histogram,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_embedding_dups": q_embedding_dups,
         "q_salted_join": q_salted_join,
         "q_window_range": q_window_range,
@@ -1249,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_histogram": Q_TOKEN_HIST_SQL,
         "q_ann_topk": Q_ANN_SQL,
         "q_ann_lsh": Q_ANN_LSH_SQL,
+        "q_ann_ivf": Q_ANN_IVF_SQL,
         "q_embedding_dups": Q_EMB_DUPS_SQL,
         "q_salted_join": Q_SALTED_JOIN_SQL,
         "q_window_range": Q_WINDOW_RANGE_SQL,

@@ -9,7 +9,7 @@ from .multimodal import (
 )
 from .joins import salted_join
 from .pivot import pivot_wide
-from .similarity import brute_force_topk, embedding_dup_pairs, lsh_topk
+from .similarity import brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk
 from .sessionize import change_point_intervals, sessionize
 from .timeseries import asof_join, forward_fill, lag_lead, resample_asof, time_spine
 from .topk import top_k_per_group
@@ -18,7 +18,7 @@ __all__ = [
     "asof_join", "brute_force_topk", "byte_histogram_features",
     "change_point_intervals", "decode_audio", "decode_image",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
-    "jaccard", "lag_lead", "lsh_topk", "minhash_lsh_pairs",
+    "ivf_topk", "jaccard", "lag_lead", "lsh_topk", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
     "sample_frames", "sessionize", "simhash", "simhash_pairs",

@@ -173,6 +173,72 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                     F.col("rank").cast("bigint").alias("rank")))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
+             query_id_col: str | None = None) -> DataFrame:
+    """IVF-flat approximate top-k: coarse quantization into ``nlist``
+    cells, exact cosine ranking within the query's ``nprobe`` nearest
+    cells.
+
+    The coarse centroids are the ``nlist`` corpus vectors with the
+    smallest ids — a deterministic data-sampled codebook rather than a
+    trained k-means one, so the whole operator is reproducible in the
+    DuckDB oracle (a learned codebook is a drop-in: swap the pivot
+    frame). Cells are assigned by squared-L2 argmin (ties → lowest
+    pivot id), queries probe their ``nprobe`` nearest cells, and only
+    cell-matched pairs are scored — candidate work is
+    ~``nprobe/nlist`` of brute force, the classic IVF trade.
+
+    All distance/score math runs on exploded elements through broadcast
+    joins + aggregates (whole-stage codegen), accumulating in component
+    order so results are float-identical to sequential expressions.
+    Columns: (query_id, neighbor_id, cosine, rank)."""
+    query_id_col = query_id_col or id_col
+    pv = (corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+          .select(F.col(id_col).alias("_pid"), F.col(vec_col)))
+    pe = _explode_vec(pv, ["_pid"], vec_col, "_px")
+
+    def cells(ev, idc, rank_n):
+        # squared-L2 to every pivot; d-ordered sums (broadcast join keeps
+        # the stream side in place)
+        d2 = (ev.join(F.broadcast(pe), "_d")
+              .groupBy(idc, "_pid")
+              .agg(F.sum((F.col(ev.columns[-1]) - F.col("_px"))
+                         * (F.col(ev.columns[-1]) - F.col("_px"))).alias("_d2")))
+        w = Window.partitionBy(idc).orderBy(F.asc("_d2"), F.asc("_pid"))
+        return (d2.withColumn("_cr", F.row_number().over(w))
+                .where(F.col("_cr") <= rank_n)
+                .select(idc, F.col("_pid").alias("_cell")))
+
+    ce = _explode_vec(corpus, [F.col(id_col).alias("neighbor_id")],
+                      vec_col, "_cx")
+    qe = _explode_vec(queries, [F.col(query_id_col).alias("query_id")],
+                      vec_col, "_qx")
+    c_cell = cells(ce, "neighbor_id", 1)
+    q_cells = cells(qe, "query_id", nprobe)
+
+    cand = (c_cell.join(F.broadcast(q_cells), "_cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id").distinct())
+
+    sums = (ce.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qe), ["query_id", "_d"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum(F.col("_cx") * F.col("_qx")).alias("_dot"),
+                 F.sum(F.col("_cx") * F.col("_cx")).alias("_cn2"),
+                 F.sum(F.col("_qx") * F.col("_qx")).alias("_qn2")))
+    scored = sums.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("_dot") / F.sqrt("_qn2") / F.sqrt("_cn2"), 6)
+         .alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.99) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).

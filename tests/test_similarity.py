@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
-    brute_force_topk, embedding_dup_pairs, lsh_topk,
+    brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk,
 )
 from tests.conftest import SF_DIR
 
@@ -55,6 +55,19 @@ def test_lsh_recall_reasonable(emb):
     # every ANN hit ranks by true cosine; recall>0 and each query returns rows
     assert len(ann_set & bf_set) / len(bf_set) > 0.2
     assert {q for q, _ in ann_set} == {0, 1, 2, 3, 4}
+
+
+def test_ivf_recall_reasonable(emb):
+    queries = emb.where("vec_id < 5")
+    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    ivf = ivf_topk(emb, queries, "vec_id", "embedding", k=5,
+                   nlist=8, nprobe=3)
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    # every IVF hit ranks by true cosine; probing 3/8 cells must keep
+    # nonzero recall and every query must return rows
+    assert len(ivf_set & bf_set) / len(bf_set) > 0.2
+    assert {q for q, _ in ivf_set} == {0, 1, 2, 3, 4}
 
 
 def test_embedding_dup_pairs_symmetric_threshold(spark):
