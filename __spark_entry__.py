@@ -45,6 +45,13 @@ GAP_US = 1_800_000_000  # 30 min session gap
 
 def _t(name):
     def read(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Self-sufficient on a vanilla SparkSession: events.parquet stores
+        # INT64 TIMESTAMP(NANOS), which Spark refuses to read unless this
+        # runtime-settable conf maps it to bigint (nanoseconds since epoch).
+        # Our own session factory (eng/session.py) sets it at build time, but
+        # the driver harness builds a plain session — set it here so every
+        # contract query works regardless of who built the session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return read
 

@@ -33,9 +33,16 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
-    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("check-oracles")
+    # Deliberately a VANILLA session (not the engine's get_spark factory):
+    # the driver's correctness gate builds a plain SparkSession, so the
+    # contract must be self-sufficient. Round 1 failed 13 queries because
+    # this tool used the factory and masked a missing runtime conf.
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false")
+             .appName("check-oracles").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
