@@ -994,13 +994,16 @@ where a.vec_id < b.vec_id
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidate pairs (Hamming ≤ 3 within top-byte
-    blocks) — the bit-sketch dedup path."""
+    """SimHash near-dup pairs (ALL pairs at Hamming ≤ 3, found via
+    pigeonhole block join) — the bit-sketch dedup path."""
     docs = _spread(_t("documents")(spark, sf_dir))
     return simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
 
 
 def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    # Spec-level oracle: brute-force ALL pairs with the Hamming filter
+    # (tiny at sf0.01), so the gate checks the operator's contract, not
+    # its candidate-blocking scheme.
     toks_distinct = f"list_distinct({TOKS})"
     h = f"list_transform({toks_distinct}, s -> {HASH64_SQL.format(x='s')})"
     bit_terms = " + ".join(
@@ -1010,13 +1013,11 @@ def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
     return f"""
 with h as (select doc_id, {h} as hs from documents),
 sig as (select doc_id, ({bit_terms})::BIGINT as simhash
-        from h where len(hs) > 0),
-blocked as (select *, simhash // {1 << (bits // 2)} as block from sig)
+        from h where len(hs) > 0)
 select a.doc_id as id_a, b.doc_id as id_b,
   bit_count(xor(a.simhash, b.simhash))::INT as hamming
-from blocked a join blocked b using (block)
-where a.doc_id < b.doc_id
-  and bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+from sig a join sig b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 

@@ -69,3 +69,22 @@ def test_simhash_near_dup_small_distance(spark, corpus):
     pairs = {(r.id_a, r.id_b): r.hamming for r in
              simhash_pairs(corpus, "text", "doc_id", max_hamming=3).collect()}
     assert pairs.get((0, 1)) == 0
+
+
+def test_simhash_pairs_matches_brute_force(spark):
+    """Spec-level recall: the pigeonhole block join must return exactly
+    the pairs a brute-force all-pairs Hamming filter returns — no pair
+    whose differing bits cluster in one region may be missed."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    k = 3
+    sigs = [(r.doc_id, r.simhash) for r in
+            simhash(docs, "text", "doc_id").collect() if r.simhash is not None]
+    expected = {}
+    for i, (ida, sa) in enumerate(sigs):
+        for idb, sb in sigs[i + 1:]:
+            h = bin(sa ^ sb).count("1")
+            if h <= k:
+                expected[(min(ida, idb), max(ida, idb))] = h
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_pairs(docs, "text", "doc_id", max_hamming=k).collect()}
+    assert got == expected
