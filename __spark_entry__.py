@@ -979,18 +979,58 @@ select query_id, neighbor_id, cosine, rank from r where rank <= 10
 
 
 def q_embedding_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (τ=0.4 yields pairs on testdata)."""
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH
+    candidates + exact cosine verify — no all-pairs self-join anywhere
+    in the plan (the round-1 scale-killer). τ=0.4 yields pairs on the
+    synthetic testdata; 4 bands × 4 sign bits keeps recall useful at
+    that unusually low τ while cutting the candidate set ~4×. The
+    planes are deterministic md5 math, so the DuckDB oracle reproduces
+    the banding exactly (exact vs its own spec, like q_ann_lsh)."""
     emb = _spread(_t("embeddings")(spark, sf_dir))
-    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4,
+                               bands=4, rows_per_band=4, dim=64)
 
 
-Q_EMB_DUPS_SQL = f"""
-select a.vec_id as id_a, b.vec_id as id_b,
-  round({_cos_sql('a.embedding', 'b.embedding')}, 6) as cosine
-from embeddings a, embeddings b
-where a.vec_id < b.vec_id
-  and round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+def _band_sql(vec: str, bands: int = 4, rows_per_band: int = 4,
+              dim: int = 64) -> list[str]:
+    """Per-band bucket values from sign bits of the deterministic
+    hyperplane projections — mirrors similarity._band_buckets."""
+    exprs = []
+    for bnd in range(bands):
+        terms = []
+        for r in range(rows_per_band):
+            p = bnd * rows_per_band + r
+            comps = "[" + ",".join(repr(_plane_comp(p, d))
+                                   for d in range(dim)) + "]"
+            proj = (f"list_sum(list_transform(range(1, {dim}+1), "
+                    f"i -> {vec}[i]::DOUBLE * ({comps})[i]))")
+            terms.append(f"(case when {proj} >= 0 then {1 << r} else 0 end)")
+        exprs.append("(" + " + ".join(terms) + ")")
+    return exprs
+
+
+def _emb_dups_sql(bands: int = 4, rows_per_band: int = 4,
+                  threshold: float = 0.4) -> str:
+    band_exprs = _band_sql("embedding", bands, rows_per_band)
+    sel = ", ".join(f"{e} as b{i}" for i, e in enumerate(band_exprs))
+    keys = "\n  union all ".join(
+        f"select vec_id, {i} as band, b{i} as bval from b"
+        for i in range(bands))
+    return f"""
+with b as (select vec_id, {sel} from embeddings),
+k as ({keys}),
+cand as (select distinct a.vec_id as id_a, c.vec_id as id_b
+         from k a join k c using (band, bval) where a.vec_id < c.vec_id)
+select id_a, id_b,
+  round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) as cosine
+from cand
+join embeddings ea on ea.vec_id = id_a
+join embeddings eb on eb.vec_id = id_b
+where round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= {threshold}
 """
+
+
+Q_EMB_DUPS_SQL = _emb_dups_sql()
 
 
 def q_simhash_pairs(spark, sf_dir):

@@ -239,27 +239,91 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                     F.col("rank").cast("bigint").alias("rank")))
 
 
+def _band_buckets(ev: DataFrame, id_name: str, x_name: str, bands: int,
+                  rows_per_band: int, dim: int) -> DataFrame:
+    """(id, band, bval) keys from sign bits of ``bands × rows_per_band``
+    deterministic hyperplane projections — the minhash-banding analogue
+    for cosine space. Projections are the same broadcast plane-matrix
+    join + conditional sums as :func:`_bucketize` (whole-stage codegen,
+    d-ordered accumulation ⇒ float-identical to the DuckDB oracle's
+    ``list_sum``)."""
+    planes = bands * rows_per_band
+    spark = ev.sparkSession
+    pl = spark.createDataFrame(
+        [(d, [_plane_component(p, d) for p in range(planes)])
+         for d in range(dim)],
+        "_d int, _comps array<double>")
+    x = F.col(x_name)
+    aggs = [F.sum(x * F.col("_comps")[p]).alias(f"_proj{p}")
+            for p in range(planes)]
+    g = ev.join(F.broadcast(pl), "_d").groupBy(id_name).agg(*aggs)
+    band_structs = []
+    for bnd in range(bands):
+        val = F.lit(0).cast("bigint")
+        for r in range(rows_per_band):
+            p = bnd * rows_per_band + r
+            val = val + (F.when(F.col(f"_proj{p}") >= 0, F.lit(1 << r))
+                          .otherwise(F.lit(0)))
+        band_structs.append(F.struct(F.lit(bnd).alias("band"),
+                                     val.alias("bval")))
+    return (g.select(id_name, F.explode(F.array(*band_structs)).alias("bk"))
+            .select(id_name, F.col("bk.band").alias("band"),
+                    F.col("bk.bval").alias("bval")))
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                        threshold: float = 0.99) -> DataFrame:
+                        threshold: float = 0.99, bands: int = 8,
+                        rows_per_band: int = 8, dim: int = 64,
+                        exact: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
 
-    All-pairs within hyperplane buckets at scale; here the exact
-    variant — self-join guarded to the upper triangle — because the
-    oracle must be exact. For 100 TB use :func:`hyperplane_bucket` as a
-    pre-join key (identical code path to :func:`lsh_topk`).
+    Default path is banded hyperplane LSH candidates + exact cosine
+    verify — never an all-pairs self-join. Each vector gets
+    ``bands`` bucket keys (one per band of ``rows_per_band`` sign
+    bits); a pair is a candidate iff some band's bits all agree, i.e.
+    one equi-join on (band, bval) after an explode — identical
+    machinery to :func:`lsh_topk`'s buckets, unioned across bands like
+    minhash banding. With angle fraction a = arccos(τ)/π, recall at the
+    threshold is 1-(1-(1-a)^r)^b (defaults: ~94% at τ=0.9) while a
+    random pair is a candidate with p = 1-(1-2^-r)^b (~3%) — the
+    shuffle carries ~p·n² pairs instead of n². ``exact=True`` is the
+    all-candidates escape hatch (upper-triangle id pairs; only for
+    oracle-exact runs at test scale).
 
-    Physical form: the pair scores come from an exploded-element join
-    (one side broadcast) + a three-sum aggregate per pair — all
-    whole-stage codegen — instead of a per-pair ``zip_with/aggregate``
-    cosine, which is CodegenFallback and cost ~6 μs·dim per pair
-    interpreted. Element products and squares accumulate in ascending
-    component order, so dot and norms are float-identical to the
-    sequential expression (and the DuckDB oracle)."""
-    ea = _explode_vec(df, [F.col(id_col).alias("id_a")], vec_col, "_ax")
-    eb = _explode_vec(df, [F.col(id_col).alias("id_b")], vec_col, "_bx")
-    pairs = (ea.join(F.broadcast(eb), "_d")
-             .where(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
+    Scoring is bit-exact w.r.t. sequential (DuckDB ``list_sum``) math
+    without broadcasting the corpus: candidate pairs join both full
+    vectors (two shuffle joins), then ``explode(arrays_zip(va, vb))``
+    emits each pair's components consecutively in ascending order
+    inside ONE partition, so the partial aggregate produces exactly one
+    d-ordered accumulator per pair — no cross-partition float merge.
+    The per-pair ``zip_with/aggregate`` expression form would be
+    CodegenFallback (interpreted, measured ~0.4 ms/pair at dim 64);
+    this explode/agg plan is whole-stage codegen throughout."""
+    vecs = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    if exact:
+        ids = vecs.select("_id")
+        cand = (ids.select(F.col("_id").alias("id_a"))
+                .crossJoin(ids.select(F.col("_id").alias("id_b")))
+                .where(F.col("id_a") < F.col("id_b")))
+    else:
+        ev = _explode_vec(df, [F.col(id_col).alias("_id")], vec_col, "_x")
+        bb = _band_buckets(ev, "_id", "_x", bands, rows_per_band, dim)
+        a, b = bb.alias("a"), bb.alias("b")
+        cand = (a.join(b, ["band", "bval"])
+                .where(F.col("a._id") < F.col("b._id"))
+                .select(F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"))
+                .distinct())
+
+    va = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    z = (cand.join(va, "id_a").join(vb, "id_b")
+         .select("id_a", "id_b",
+                 F.explode(F.arrays_zip("_va", "_vb")).alias("_e"))
+         .select("id_a", "id_b",
+                 F.col("_e._va").alias("_ax"), F.col("_e._vb").alias("_bx")))
+    pairs = (z.groupBy("id_a", "id_b")
              .agg(F.sum(F.col("_ax") * F.col("_bx")).alias("_dot"),
                   F.sum(F.col("_ax") * F.col("_ax")).alias("_na2"),
                   F.sum(F.col("_bx") * F.col("_bx")).alias("_nb2")))

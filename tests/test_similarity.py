@@ -76,3 +76,30 @@ def test_embedding_dup_pairs_symmetric_threshold(spark):
     got = [(r.id_a, r.id_b) for r in
            embedding_dup_pairs(df, "vec_id", "embedding", 0.99).collect()]
     assert got == [(0, 1)]
+    exact = [(r.id_a, r.id_b) for r in
+             embedding_dup_pairs(df, "vec_id", "embedding", 0.99,
+                                 exact=True).collect()]
+    assert exact == [(0, 1)]
+
+
+def test_embedding_dup_pairs_bucketed_subset_of_exact(spark):
+    """The banded-LSH default must return a subset of the exact answer
+    with identical cosines, keep useful recall at the demo τ, and its
+    plan must contain no unbucketed (cartesian / nested-loop) self-join."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_dup_pairs(emb, "vec_id", "embedding", 0.4,
+                                 exact=True).collect()}
+    banded_df = embedding_dup_pairs(emb, "vec_id", "embedding", 0.4,
+                                    bands=4, rows_per_band=4)
+    banded = {(r.id_a, r.id_b): r.cosine for r in banded_df.collect()}
+    assert set(banded) <= set(exact)
+    assert all(banded[k] == exact[k] for k in banded)
+    assert len(banded) >= max(1, len(exact) // 3)
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    plan = formatted_plan(banded_df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
