@@ -148,10 +148,168 @@ def test_parse_message_definition_skips_constants_and_deps():
     assert parse_message_definition(defn) == [("float64", "speed")]
 
 
-def test_nested_types_raise_not_implemented(spark, bag_dir):
+def test_unresolvable_nested_type_raises(spark, bag_dir):
+    """A definition referencing a type with no dependent section is a
+    malformed bag, not a decodable one."""
     msgs = read_bag_messages(spark, bag_dir)
-    with pytest.raises(NotImplementedError, match="msg-IDL"):
+    with pytest.raises(ValueError, match="msg-IDL"):
         decode_primitive_messages(msgs, "std_msgs/Header header\nfloat64 x\n")
+
+
+SEP = "=" * 80
+
+DETECTIONS_DEF = f"""my_msgs/Detection2D[] detections
+{SEP}
+MSG: my_msgs/Detection2D
+float64 x
+float64 y
+float64 width
+float64 height
+string Class
+"""
+
+LANES_DEF = f"""my_msgs/Lane[] lanes
+{SEP}
+MSG: my_msgs/Lane
+my_msgs/Point2D[] image_points
+{SEP}
+MSG: my_msgs/Point2D
+float64 x
+float64 y
+"""
+
+IMU_DEF = f"""Header header
+float64[2] orientation
+uint8[] raw
+{SEP}
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+"""
+
+
+def _detections_payload(dets):
+    out = struct.pack("<I", len(dets))
+    for x, y, w, h, cls in dets:
+        c = cls.encode()
+        out += struct.pack("<dddd", x, y, w, h) + struct.pack("<I", len(c)) + c
+    return out
+
+
+def _lanes_payload(lanes):
+    out = struct.pack("<I", len(lanes))
+    for pts in lanes:
+        out += struct.pack("<I", len(pts))
+        for x, y in pts:
+            out += struct.pack("<dd", x, y)
+    return out
+
+
+def _imu_payload(seq, secs, nsecs, frame, orientation, raw):
+    f = frame.encode()
+    out = struct.pack("<III", seq, secs, nsecs)
+    out += struct.pack("<I", len(f)) + f
+    out += struct.pack("<dd", *orientation)
+    return out + struct.pack("<I", len(raw)) + raw
+
+
+# two lanes at x=0 and x=10: an object whose bbox corners fall between
+# them is "in lane" (x-only bracket test, like the reference)
+TWO_LANES = [[(0.0, 0.0), (0.0, 50.0)], [(10.0, 0.0), (10.0, 50.0)]]
+PERSON_IN = (5.0, 20.0, 2.0, 2.0, "person")
+PERSON_OUT = (50.0, 20.0, 2.0, 2.0, "person")
+CAR_OUT = (50.0, 20.0, 4.0, 4.0, "car")
+
+
+def make_scene_bag() -> bytes:
+    """Detection + lane topics over 5 ticks at 10 Hz; a person is in
+    lane only at ticks 1-2 (the person at tick 4 is outside the lanes)."""
+    ticks = [
+        ([CAR_OUT], 0), ([PERSON_IN], 1), ([PERSON_IN, CAR_OUT], 2),
+        ([], 3), ([PERSON_OUT], 4),
+    ]
+    inner = (_connection(0, "/perception/detections",
+                         "my_msgs/DetectionArray", DETECTIONS_DEF)
+             + _connection(1, "/perception/lanes",
+                           "my_msgs/LaneArray", LANES_DEF))
+    for dets, i in ticks:
+        nsec = i * 100_000_000
+        inner += _message(0, 200, nsec, _detections_payload(dets))
+        inner += _message(1, 200, nsec, _lanes_payload(TWO_LANES))
+    bag_header = _record({"op": b"\x03",
+                          "index_pos": struct.pack("<Q", 0),
+                          "conn_count": struct.pack("<I", 2),
+                          "chunk_count": struct.pack("<I", 1)}, b" " * 64)
+    return b"#ROSBAG V2.0\n" + bag_header + _chunk(inner)
+
+
+def test_decode_nested_array_of_struct(spark, tmp_path):
+    (tmp_path / "scene.bag").write_bytes(make_scene_bag())
+    msgs = read_bag_messages(spark, str(tmp_path))
+    dets = decode_primitive_messages(
+        msgs.where(F.col("topic") == "/perception/detections"),
+        DETECTIONS_DEF)
+    rows = sorted(dets.collect(), key=lambda r: r.time_ns)
+    assert len(rows) == 5
+    assert rows[0].detections[0].Class == "car"
+    assert rows[2].detections[0].x == 5.0
+    assert [len(r.detections) for r in rows] == [1, 1, 2, 0, 1]
+
+    lanes = decode_primitive_messages(
+        msgs.where(F.col("topic") == "/perception/lanes"), LANES_DEF)
+    lrow = lanes.first()
+    assert len(lrow.lanes) == 2
+    assert [p.x for p in lrow.lanes[1].image_points] == [10.0, 10.0]
+
+
+def test_decode_header_fixed_array_and_bytes(spark, tmp_path):
+    inner = (_connection(0, "/imu", "my_msgs/Imu", IMU_DEF)
+             + _message(0, 300, 0,
+                        _imu_payload(7, 300, 1, "base_link",
+                                     (0.25, -0.5), b"\x01\x02\x03")))
+    bag = (b"#ROSBAG V2.0\n"
+           + _record({"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+                      "conn_count": struct.pack("<I", 1),
+                      "chunk_count": struct.pack("<I", 1)}, b" " * 64)
+           + _chunk(inner))
+    (tmp_path / "imu.bag").write_bytes(bag)
+    row = decode_primitive_messages(
+        read_bag_messages(spark, str(tmp_path)), IMU_DEF).first()
+    assert row.header.seq == 7
+    assert row.header.stamp == 300 * 10**9 + 1
+    assert row.header.frame_id == "base_link"
+    assert list(row.orientation) == [0.25, -0.5]
+    assert bytes(row.raw) == b"\x01\x02\x03"
+
+
+def test_bag_to_scene_detection_end_to_end(spark, tmp_path):
+    """Raw bag → typed decode → object-in-lane geometry → change-point
+    scene intervals: the reference's whole pipeline (entry points A+B+C)
+    on bag-derived columns, no JSON round trip."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.pipeline.scenes import (
+        detect_scenes, summarize_person_scenes,
+    )
+    (tmp_path / "scene.bag").write_bytes(make_scene_bag())
+    msgs = read_bag_messages(spark, str(tmp_path))
+    dets = decode_primitive_messages(
+        msgs.where(F.col("topic") == "/perception/detections"),
+        DETECTIONS_DEF).select("bag_file", "time_ns", "detections")
+    lanes = decode_primitive_messages(
+        msgs.where(F.col("topic") == "/perception/lanes"),
+        LANES_DEF).select("bag_file", "time_ns", "lanes")
+    joined = dets.join(lanes, ["bag_file", "time_ns"])
+
+    scored = detect_scenes(joined, "detections", "lanes")
+    intervals = summarize_person_scenes(scored, ["bag_file"],
+                                        time_col="time_ns").collect()
+    assert len(intervals) == 1
+    iv = intervals[0]
+    t1, t3 = 200 * 10**9 + 100_000_000, 200 * 10**9 + 300_000_000
+    assert iv.start_time == t1
+    assert iv.end_time == t3
+    assert iv.num_people_in_scene_start == 1
+    assert iv.scene_id == f"scene.bag_PersonInLane_{t1}"
 
 
 def test_bag_to_synchronize_pipeline_end_to_end(spark, bag_dir):
