@@ -80,15 +80,101 @@ def _iter_records(buf: bytes, off: int = 0) -> Iterator[tuple[dict, bytes]]:
         yield header, data
 
 
+LZ4_MAGIC = 0x184D2204
+
+
+def _lz4_block_decompress(src: bytes, dst: bytearray) -> None:
+    """One LZ4 block (raw sequence stream, public block format spec)
+    appended into ``dst``. Matches may reference bytes already in
+    ``dst`` from previous blocks, which makes block-dependent frames
+    (roslz4 compresses with streaming dependence) decode correctly;
+    independent blocks never emit such matches, so the shared window is
+    harmless for them."""
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        dst += src[i:i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # last sequence: literals only
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("lz4: zero match offset (corrupt block)")
+        match_len = token & 0xF
+        if match_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        match_len += 4
+        start = len(dst) - offset
+        if start < 0:
+            raise ValueError("lz4: match offset beyond output (corrupt block)")
+        if match_len <= offset:
+            dst += dst[start:start + match_len]
+        else:  # overlapping match (RLE-style): byte-at-a-time copy
+            for _ in range(match_len):
+                dst.append(dst[start])
+                start += 1
+
+
+def _lz4_frame_decompress(src: bytes) -> bytes:
+    """LZ4 frame format (public spec; the container roslz4 writes for
+    bag chunks): magic, FLG/BD descriptor, size-prefixed data blocks
+    (high bit = stored uncompressed), EndMark. Checksums are skipped,
+    not validated — the bag CRC story is unchanged from bz2 chunks."""
+    (magic,) = struct.unpack_from("<I", src, 0)
+    if magic != LZ4_MAGIC:
+        raise ValueError(f"lz4: bad frame magic {magic:#x}")
+    flg = src[4]
+    if flg >> 6 != 1:
+        raise ValueError(f"lz4: unsupported frame version {flg >> 6}")
+    block_checksum = (flg >> 4) & 1
+    content_size = (flg >> 3) & 1
+    off = 6  # magic + FLG + BD
+    if content_size:
+        off += 8
+    off += 1  # header checksum byte
+    out = bytearray()
+    while True:
+        (bsize,) = struct.unpack_from("<I", src, off)
+        off += 4
+        if bsize == 0:  # EndMark (content checksum may follow; ignored)
+            break
+        stored = bsize & 0x80000000
+        bsize &= 0x7FFFFFFF
+        block = src[off:off + bsize]
+        off += bsize
+        if stored:
+            out += block
+        else:
+            _lz4_block_decompress(block, out)
+        if block_checksum:
+            off += 4
+    return bytes(out)
+
+
 def _decompress_chunk(header: dict, data: bytes) -> bytes:
     comp = header.get("compression", b"none").decode()
     if comp == "none":
         return data
     if comp == "bz2":
         return bz2.decompress(data)
-    raise NotImplementedError(
-        f"chunk compression {comp!r} needs an external wheel (e.g. lz4); "
-        "not available in this environment")
+    if comp == "lz4":
+        return _lz4_frame_decompress(data)
+    raise NotImplementedError(f"chunk compression {comp!r} is not supported")
 
 
 def parse_bag_bytes(bag_file: str, buf: bytes) -> Iterator[tuple]:

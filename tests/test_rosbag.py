@@ -64,8 +64,37 @@ def _gps_payload(status: str, sats: int) -> bytes:
     return struct.pack("<I", len(s)) + s + struct.pack("<i", sats)
 
 
+def _lz4_literal_block(data: bytes) -> bytes:
+    """A valid LZ4 block holding only literals (one final sequence)."""
+    lit = len(data)
+    if lit < 15:
+        head = bytes([lit << 4])
+    else:
+        rem = lit - 15
+        head = b"\xf0"
+        while rem >= 255:
+            head += b"\xff"
+            rem -= 255
+        head += bytes([rem])
+    return head + data
+
+
+def _lz4_frame(data: bytes, block: bytes | None = None) -> bytes:
+    """Minimal LZ4 frame: FLG v1 + 64 KB BD + arbitrary header-checksum
+    byte (not validated), one block, EndMark."""
+    block = _lz4_literal_block(data) if block is None else block
+    return (struct.pack("<I", 0x184D2204) + bytes([0x60, 0x40, 0x00])
+            + struct.pack("<I", len(block)) + block
+            + struct.pack("<I", 0))
+
+
 def _chunk(records: bytes, compression: str = "none") -> bytes:
-    body = bz2.compress(records) if compression == "bz2" else records
+    if compression == "bz2":
+        body = bz2.compress(records)
+    elif compression == "lz4":
+        body = _lz4_frame(records)
+    else:
+        body = records
     return _record({"op": b"\x05", "compression": compression.encode(),
                     "size": struct.pack("<I", len(records))}, body)
 
@@ -89,11 +118,43 @@ def make_bag(compression: str = "none") -> bytes:
     return b"#ROSBAG V2.0\n" + bag_header + _chunk(inner, compression)
 
 
-@pytest.fixture(scope="module", params=["none", "bz2"])
+@pytest.fixture(scope="module", params=["none", "bz2", "lz4"])
 def bag_dir(request, spark, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"bags_{request.param}")
     (d / "drive1.bag").write_bytes(make_bag(request.param))
     return str(d)
+
+
+def test_lz4_block_match_copy():
+    """Hand-crafted LZ4 sequences: a back-reference copy and an
+    overlapping (RLE) match — the two match paths of the decoder."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.rosbag import (
+        _lz4_block_decompress, _lz4_frame_decompress,
+    )
+    # literals "01234567", match(offset=8, len=8) → "0123456701234567"
+    # then final literals "ab"
+    block = (bytes([0x84]) + b"01234567" + b"\x08\x00"
+             + bytes([0x20]) + b"ab")
+    out = bytearray()
+    _lz4_block_decompress(block, out)
+    assert bytes(out) == b"0123456701234567ab"
+
+    # RLE: literal "a", match(offset=1, len=9) → ten a's
+    rle = bytes([0x15]) + b"a" + b"\x01\x00"
+    out = bytearray()
+    _lz4_block_decompress(rle, out)
+    assert bytes(out) == b"a" * 10
+
+    # same match block inside a full frame
+    assert _lz4_frame_decompress(_lz4_frame(b"", block)) == b"0123456701234567ab"
+
+
+def test_lz4_frame_roundtrip_large_literals():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.rosbag import (
+        _lz4_frame_decompress,
+    )
+    payload = bytes(range(256)) * 40  # >15 literals → extended length path
+    assert _lz4_frame_decompress(_lz4_frame(payload)) == payload
 
 
 def test_parse_bag_bytes_pure():
