@@ -56,10 +56,14 @@ def subword_count(col: Column | str, piece_len: int = 4) -> Column:
     ``coalesce(list_sum(list_transform(toks, t ->
     ceil(length(t)/4.0))), 0)::BIGINT``."""
     t = tokens(col)
-    return F.aggregate(
-        t, F.lit(0).cast("bigint"),
-        lambda acc, x: acc + F.ceil(F.length(x) / F.lit(float(piece_len)))
-    ).cast("bigint")
+    # coalesce: null text → 0, matching the documented SQL mirror (the
+    # aggregate otherwise propagates null through tokens(null))
+    return F.coalesce(
+        F.aggregate(
+            t, F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.ceil(F.length(x) / F.lit(float(piece_len)))
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"))
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:

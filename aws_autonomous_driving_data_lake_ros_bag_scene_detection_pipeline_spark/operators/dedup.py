@@ -18,6 +18,14 @@ Scale notes (100 TB corpus, 1000 executors):
   (exact Jaccard on the candidate pairs only) stays ≪ all-pairs.
 - hot buckets (boilerplate shingles) are bounded with ``max_bucket`` to
   keep the self-join skew-safe; AQE skew-join splitting handles the rest.
+
+Caching contract: the pair operators ``persist()`` their signature
+frames (both self-join sides reuse them, and the cache boundary pins
+measured plan shapes — see the inline notes). The cached blocks live
+until the session ends or the caller cleans up; a long-lived session
+running many dedup jobs should ``spark.catalog.clearCache()`` between
+jobs (or unpersist the lineage) — the operators cannot know when the
+caller's last action over the returned plan has run.
 """
 
 from __future__ import annotations

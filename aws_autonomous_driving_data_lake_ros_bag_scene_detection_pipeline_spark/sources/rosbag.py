@@ -68,13 +68,22 @@ def _parse_header(buf: bytes) -> dict[str, bytes]:
 
 
 def _iter_records(buf: bytes, off: int = 0) -> Iterator[tuple[dict, bytes]]:
-    """Yield (header_fields, data) for each length-prefixed record."""
+    """Yield (header_fields, data) for each length-prefixed record.
+
+    Bounds-checked: a truncated/corrupt bag (partial upload) raises
+    instead of silently yielding short message payloads."""
     n = len(buf)
     while off + 8 <= n:
         (hlen,) = struct.unpack_from("<I", buf, off)
+        if off + 4 + hlen + 4 > n:
+            raise ValueError(f"truncated record header at offset {off} "
+                             f"(need {hlen} bytes, have {n - off - 4})")
         header = _parse_header(buf[off + 4:off + 4 + hlen])
         off += 4 + hlen
         (dlen,) = struct.unpack_from("<I", buf, off)
+        if off + 4 + dlen > n:
+            raise ValueError(f"truncated record data at offset {off} "
+                             f"(need {dlen} bytes, have {n - off - 4})")
         data = buf[off + 4:off + 4 + dlen]
         off += 4 + dlen
         yield header, data

@@ -53,8 +53,12 @@ def change_points_stateful(stream: DataFrame, keys: list[str],
            state: GroupState) -> Iterable[pd.DataFrame]:
         prev, open_start = (state.get if state.exists else (0, None))
         intervals: list[tuple[int, int]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col)
+        # A group's micro-batch data may arrive as several Arrow chunks;
+        # sorting each chunk independently would run the state machine
+        # out of global time order. Materialize the group, sort once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(time_col)
             for t, s in zip(pdf[time_col], pdf[state_col]):
                 s = int(bool(s))
                 if s == 1 and prev == 0:

@@ -89,10 +89,16 @@ def test_sample_frames_explodes_executor_side(media):
 
 
 def test_repartition_for_media_partition_count(media):
-    small = repartition_for_media(media, "payload",
-                                  target_partition_bytes=1 << 10)
     total = media.select(F.sum(F.length("payload"))).first()[0]
+    small = repartition_for_media(media, "payload",
+                                  target_partition_bytes=1 << 10,
+                                  total_bytes=total)
     assert small.rdd.getNumPartitions() == total // (1 << 10) + 1
+    # caller-omitted total: sized from a one-row sample × row count —
+    # never a payload-column scan; lands in the right ballpark
+    est = repartition_for_media(media, "payload",
+                                target_partition_bytes=1 << 10)
+    assert est.rdd.getNumPartitions() >= 2
 
 
 def test_decode_audio_is_explicit_stub(media):
