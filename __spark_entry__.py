@@ -1070,17 +1070,21 @@ def q_media_features(spark, sf_dir):
     # (repartition_for_media is the general scan-based operator; here the
     # ~1.5 MB corpus gets a fixed 8 — 32 near-empty partitions cost two
     # 32-worker Python fan-outs of pure overhead, measured 12.5s vs 1.6s)
-    docs = (_t("documents")(spark, sf_dir).repartition(8)
-            .select("doc_id", F.encode("text", "utf-8").alias("payload")))
-    media = pack_media(docs, "payload", fmt="text/utf-8", width=8, height=6)
-
-    def feats(df):
-        return byte_histogram_features(df, "payload", bins=64) \
+    def prep(df, parts=None):
+        df = df.repartition(parts) if parts else df
+        docs = df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        media = pack_media(docs, "payload", fmt="text/utf-8",
+                           width=8, height=6)
+        return byte_histogram_features(media, "payload", bins=64) \
             .select("doc_id", F.col("features").alias("embedding"))
 
-    # filter BEFORE the Arrow stage: predicates don't push through
-    # mapInPandas, so the query side must subset first
-    return brute_force_topk(feats(media), feats(media.where("doc_id < 3")),
+    # The corpus crosses the Arrow stage exactly once; the query side is a
+    # separate plan whose doc_id filter sits directly on the parquet scan
+    # (verified `PushedFilters: [LessThan(doc_id,3)]`), so its Arrow pass
+    # covers 3 rows — not a second pass over the corpus.
+    docs = _t("documents")(spark, sf_dir)
+    return brute_force_topk(prep(docs, parts=8),
+                            prep(docs.where("doc_id < 3")),
                             "doc_id", "embedding", k=3)
 
 
