@@ -1064,8 +1064,11 @@ where bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: documents → binary payload →
     byte-histogram features (mapInPandas) → top-3 cosine neighbors of 3
-    query payloads. Not SQL-expressible (Arrow UDF) → rows-only check;
-    the feature math is pinned by tests/test_multimodal.py."""
+    query payloads. Oracle-checked: DuckDB reproduces the byte→bin math
+    from hex(encode(text)), replicates the float32 feature quantization
+    with CAST(... AS REAL), and ranks by the same 6-dp-rounded cosine
+    (Q_MEDIA_SQL); the Arrow batch mechanics are additionally pinned by
+    tests/test_multimodal.py."""
     # Arrow-stage parallelism should track payload BYTES per partition
     # (repartition_for_media is the general scan-based operator; here the
     # ~1.5 MB corpus gets a fixed 8 — 32 near-empty partitions cost two
@@ -1086,6 +1089,58 @@ def q_media_features(spark, sf_dir):
     return brute_force_topk(prep(docs, parts=8),
                             prep(docs.where("doc_id < 3")),
                             "doc_id", "embedding", k=3)
+
+
+# DuckDB mirror of the full media pipeline. Byte extraction works on any
+# payload (hex pairs → byte value), not just ASCII; bin = byte // 4 is
+# byte_histogram_features' `byte >> 2` for bins=64. The REAL cast is the
+# load-bearing detail: Spark stores features as array<float>, so the
+# oracle must quantize through IEEE binary32 at exactly the same point
+# before the double-precision cosine, or 7th-decimal drift flips the
+# 6-dp rounding. Sparse (doc_id, bin, weight) rows replace the dense
+# 64-vector — zero bins contribute nothing to dot or norm.
+Q_MEDIA_SQL = """
+with enc as (
+  select doc_id, hex(encode(text)) as h, octet_length(encode(text)) as n
+  from documents
+),
+byt as (
+  select e.doc_id,
+         ((strpos('0123456789ABCDEF', substr(e.h, 2*i-1, 1)) - 1) * 16
+          + strpos('0123456789ABCDEF', substr(e.h, 2*i, 1)) - 1) // 4 as b
+  from enc e, unnest(range(1, e.n + 1)) as t(i)
+),
+hist as (
+  select doc_id, b, cast(count(*) as double) as c
+  from byt group by doc_id, b
+),
+feat as (
+  select doc_id, b,
+         cast(c / sum(c) over (partition by doc_id) as real) as w
+  from hist
+),
+nrm as (
+  select doc_id, sqrt(sum(cast(w as double) * w)) as nn
+  from feat group by doc_id
+),
+scored as (
+  select q.doc_id as query_id, c.doc_id as neighbor_id,
+         round(sum(cast(q.w as double) * c.w) / max(qn.nn) / max(cn.nn), 6)
+           as cosine
+  from feat q
+  join feat c on q.b = c.b and q.doc_id <> c.doc_id
+  join nrm qn on qn.doc_id = q.doc_id
+  join nrm cn on cn.doc_id = c.doc_id
+  where q.doc_id < 3
+  group by q.doc_id, c.doc_id
+)
+select query_id, neighbor_id, cosine,
+       cast(row_number() over (partition by query_id
+                               order by cosine desc, neighbor_id) as bigint)
+         as rank
+from scored
+qualify rank <= 3
+"""
 
 
 def q_salted_join(spark, sf_dir):
@@ -1215,9 +1270,10 @@ def q_scene_geometry(spark, sf_dir):
     relational explode→join→aggregate plan (objects_in_lane_by_key) —
     whole-stage codegen end to end, no interpreted array lambdas —
     driven by deterministic synthetic scenes derived from lineitem.
-    Not SQL-expressible → rows-only check; the semantics are
-    differentially tested against a Python oracle and against the
-    expression formulation in tests/test_pipeline.py."""
+    Oracle-checked: under this fixture's vertical-lane layout the
+    geometry reduces to a closed-form SQL predicate (Q_SCENE_SQL); the
+    general argmin/cutoff semantics are differentially tested against a
+    Python oracle and the expression form in tests/test_pipeline.py."""
     li = _t("lineitem")(spark, sf_dir).where(F.col("l_orderkey") <= 2000)
     dets = (li.groupBy("l_orderkey")
             .agg(F.collect_list(F.struct(
@@ -1244,6 +1300,36 @@ def q_scene_geometry(spark, sf_dir):
         F.size("oil").cast("bigint").alias("n_in_lane"),
         F.size(F.filter("oil", lambda o: o["Class"] == "person"))
          .cast("bigint").alias("n_people"))
+
+
+# DuckDB mirror of the geometry under THIS fixture's lane layout: two
+# 2-point vertical lanes at x=60 and x=140 mean every corner's
+# nearest-point x per lane is the lane's own constant x (both lane
+# points share it, and no corner is ever ≥1000 away: the detection grid
+# spans x∈[4,200], y∈[0,50]). detect_scenes.py's corner-in-lane test
+# then reduces to "corner x between 60 and 140", and a detection is
+# in-lane iff x_min or x_max (= x∓5) lands in that band. No boundary
+# float risk: l_quantity is integral, so 4·q ∓ 5 never equals 60 or
+# 140. The argmin/cutoff/label machinery this fixture can't exercise is
+# differentially tested against a Python oracle in tests/test_pipeline.py.
+Q_SCENE_SQL = """
+with det as (
+  select l_orderkey,
+         l_quantity * 4 as x,
+         case when l_returnflag = 'N' then 'person' else 'car' end as cls
+  from lineitem
+  where l_orderkey <= 2000
+)
+select l_orderkey,
+       cast(count(*) filter (where (x - 5 between 60 and 140)
+                                or (x + 5 between 60 and 140)) as bigint)
+         as n_in_lane,
+       cast(count(*) filter (where ((x - 5 between 60 and 140)
+                                 or (x + 5 between 60 and 140))
+                               and cls = 'person') as bigint) as n_people
+from det
+group by l_orderkey
+"""
 
 
 # ---------------------------------------------------------------- contract
@@ -1338,8 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": _simhash_sql(),
         "q_simhash_pairs": _simhash_pairs_sql(),
         "q_text_stats": Q_TEXT_STATS_SQL,
-        # q_media_features: intentionally no oracle (Arrow mapInPandas
-        # feature extraction; pinned by tests/test_multimodal.py).
+        "q_media_features": Q_MEDIA_SQL,
         "q_lang_id": _lang_id_sql(),
         "q_token_histogram": Q_TOKEN_HIST_SQL,
         "q_ann_topk": Q_ANN_SQL,
@@ -1350,6 +1435,5 @@ def oracle_sql() -> dict[str, str]:
         "q_window_range": Q_WINDOW_RANGE_SQL,
         "q_duplicate_ids": Q_DUPLICATE_IDS_SQL,
         "q_stream_windowed": Q_STREAM_WINDOWED_SQL,
-        # q_scene_geometry: intentionally no oracle (geometry is not
-        # reasonably SQL-expressible; differential-tested in pytest).
+        "q_scene_geometry": Q_SCENE_SQL,
     }
