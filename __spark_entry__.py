@@ -767,8 +767,10 @@ from documents
 
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified. Oracle is the
-    exact all-pairs answer — with 16 1-row bands the LSH miss
-    probability at τ=0.5 is (1-0.5)^16 ≈ 1.5e-5 per pair."""
+    exact all-pairs answer — with the 16-band × 2-row default the LSH
+    S-curve midpoint is j=0.25, and at sf0.1 the banding verifies the
+    same pair set as r=1 from 81× fewer candidates (numbers in
+    operators/dedup.py:minhash_lsh_pairs)."""
     docs = _spread(_t("documents")(spark, sf_dir))
     return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
 

@@ -14,8 +14,10 @@ Scale notes (100 TB corpus, 1000 executors):
 - minhash LSH: per-doc signature is an O(perms × shingles) map-side
   expression (no shuffle); the only shuffle is the band-bucket self-join,
   whose fan-out is controlled by (bands, rows-per-band). Banding with
-  r rows makes P(candidate) = 1-(1-j^r)^b — tune so that the verify step
-  (exact Jaccard on the candidate pairs only) stays ≪ all-pairs.
+  r rows makes P(candidate) = 1-(1-j^r)^b — the default is r=2 (16
+  bands × 2 rows), which at sf0.1 cuts candidates 81× vs r=1 with zero
+  measured recall loss (numbers in :func:`minhash_lsh_pairs`). Tune so
+  the verify step (exact Jaccard on candidates only) stays ≪ all-pairs.
 - hot buckets (boilerplate shingles) are bounded with ``max_bucket`` to
   keep the self-join skew-safe; AQE skew-join splitting handles the rest.
 
@@ -102,17 +104,29 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
-                      threshold: float = 0.8, num_perm: int = 16,
-                      bands: int | None = None, rows_per_band: int = 1,
+                      threshold: float = 0.8, num_perm: int = 32,
+                      bands: int | None = None, rows_per_band: int = 2,
                       shingle_n: int = 3,
                       max_bucket: int = 1000) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard ≥ ``threshold``.
 
-    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``. With the
-    default 16 permutations × 1-row bands, a pair with true Jaccard 0.8
-    is missed with probability (1-0.8)^16 ≈ 7e-12 — effectively exact,
-    while only hash-equal candidates are verified."""
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    The default is 16 bands × 2 rows (num_perm=32): P(candidate) =
+    1-(1-j^r)^b, so the S-curve midpoint (1/b)^(1/r) sits at j=0.25 —
+    far below the dedup thresholds this is used at, keeping per-pair
+    miss probability tiny (1e-2 at j=0.5, 2e-5 at j=0.7, 3e-9 at
+    j=0.9) while collapsing the candidate volume that r=1 banding
+    produces on a mildly self-similar corpus: 1-row bands collide on a
+    SINGLE matching minhash, P(candidate at j=0.2) ≈ 97%, near
+    all-pairs. Measured at sf0.1 (5,000 docs, τ=0.5): r=1 → 157,994
+    candidate pairs, r=2 → 1,938, r=4 → 256; all three verify the
+    identical 256 pairs, and end-to-end wall time drops ~2×
+    (26.4s → 15.5s cold). r=4 (num_perm=64) cuts candidates to exactly
+    the true pairs here, but its midpoint (1/16)^(1/4) = 0.5 collides
+    with a τ=0.5 query (36% miss AT the threshold) — only safe for
+    τ ≥ 0.8 corpora, so it is opt-in, not the default."""
     bands = bands or num_perm // rows_per_band
     # persist: both self-join sides reuse the signatures, and the cache
     # boundary keeps the size(shingles) filter from being pushed beneath
