@@ -3,17 +3,26 @@
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
 
     {"metric": "total_query_time", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...},
+     "queries_p50": {...}, "warmup_sec": W, "runs": 2, "sf": 0.1}
 
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no serialization to disk, no driver collect) so the measured time is the
 Spark plan's, not the harness's.
+
+Round-over-round attribution: ``queries``/``value`` stay the min across
+runs (steady state, the comparable headline), ``queries_p50`` is the
+median of the same runs (captures first-run codegen/broadcast cost and
+run variance), and ``warmup_sec`` is the one-time session bring-up that
+is deliberately OUTSIDE every query timing — so a regression shows up in
+exactly one field instead of smearing across all of them.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,8 +43,10 @@ def main() -> None:
 
     # session warm-up: JVM/scheduler bring-up and the noop sink's first
     # codegen are not any query's cost
+    t0 = time.time()
     spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count() \
         .write.format("noop").mode("overwrite").save()
+    warmup = round(time.time() - t0, 3)
 
     # min of 2 runs per query: run 1 pays one-time codegen/broadcast
     # build; run 2 is the steady state a long-running job sees, and the
@@ -43,23 +54,27 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     qs = entry.queries()
     timings: dict[str, float] = {}
+    p50s: dict[str, float] = {}
     for name, fn in qs.items():
-        best = None
+        samples: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                samples.append(time.time() - t0)
+            timings[name] = round(min(samples), 3)
+            p50s[name] = round(statistics.median(samples), 3)
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"bench error in {name}: {type(e).__name__}: {e}",
                   file=sys.stderr)
             timings[name] = -1.0
+            p50s[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({"metric": "total_query_time", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf}))
+                      "unit": "sec", "queries": timings,
+                      "queries_p50": p50s, "warmup_sec": warmup,
+                      "runs": runs, "sf": sf}))
     spark.stop()
 
 
