@@ -16,6 +16,10 @@ package replaces that stack with Structured Streaming primitives:
                                 gap sessionization (SURVEY #41).
 - ``ops.windowed_agg``        : tumbling/sliding event-time aggregates
                                 with watermarks (SURVEY #35).
+- ``ops.interval_join_stream``: watermarked stream-stream interval
+                                join with bounded state (the engine-
+                                native generalization of the trigger's
+                                key-correlation, trigger.py:110-147).
 - ``gate.CompletenessGate``   : completeness-gated micro-batching in
                                 ``foreachBatch`` (trigger.py:150-165).
 - ``state.change_points_stateful`` : per-key change-point intervals as
@@ -25,6 +29,7 @@ package replaces that stack with Structured Streaming primitives:
 """
 
 from .gate import CompletenessGate  # noqa: F401
-from .ops import dedup_stream, sessionize_stream, windowed_agg  # noqa: F401
+from .ops import (dedup_stream, interval_join_stream,  # noqa: F401
+                  sessionize_stream, windowed_agg)
 from .sources import file_stream  # noqa: F401
 from .state import change_points_stateful  # noqa: F401

@@ -7,6 +7,8 @@ derive the TIMESTAMP column Structured Streaming needs internally.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,3 +77,48 @@ def windowed_agg(stream: DataFrame, keys: list[str], time_us_col: str,
                     F.unix_micros(F.col("_w.start")).alias("window_start"),
                     F.unix_micros(F.col("_w.end")).alias("window_end"),
                     *aggs.keys()))
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         keys: list[str], time_us_col: str,
+                         tolerance_us: int,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner interval join: each ``right`` row
+    is matched to ``left`` rows with equal ``keys`` and
+    ``right.time ∈ [left.time, left.time + tolerance_us]``.
+
+    The reference has no stream-side join at all — its trigger Lambda
+    correlates files to batches by key lookup in DynamoDB
+    (trigger.py:110-147). This is the engine-native generalization:
+    correlate two live event streams by key within a time tolerance.
+
+    Scale contract: the range condition is expressed on the two
+    **event-time** columns, which is what lets Spark bound the join
+    state — each side buffers only rows younger than
+    ``watermark + tolerance`` (state is O(rate × horizon), independent
+    of stream length). Both inputs must carry ``time_us_col`` as
+    integer microseconds; non-key columns come back prefixed ``l_`` /
+    ``r_``. Stream-stream joins are append-mode only, so compose any
+    downstream aggregation in the sink's batch (``foreachBatch``) or
+    on the joined output table.
+    """
+    lt, rt = "_l_event_time", "_r_event_time"
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+    l = (_with_event_time(left, time_us_col, lt)
+         .withWatermark(lt, watermark)
+         .select(*keys, *[F.col(c).alias(f"l_{c}") for c in lcols], lt)
+         .alias("__l"))
+    r = (_with_event_time(right, time_us_col, rt)
+         .withWatermark(rt, watermark)
+         .select(*keys, *[F.col(c).alias(f"r_{c}") for c in rcols], rt)
+         .alias("__r"))
+    conds = [F.col(f"__l.{k}") == F.col(f"__r.{k}") for k in keys]
+    conds.append(F.col(rt) >= F.col(lt))
+    conds.append(F.col(rt) <= F.col(lt) + F.expr(
+        f"INTERVAL {int(tolerance_us)} MICROSECOND"))
+    joined = l.join(r, functools.reduce(lambda a, b: a & b, conds), "inner")
+    return joined.select(
+        *[F.col(f"__l.{k}") for k in keys],
+        *[f"l_{c}" for c in lcols],
+        *[f"r_{c}" for c in rcols])

@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
     CompletenessGate, change_points_stateful, dedup_stream, file_stream,
-    sessionize_stream, windowed_agg,
+    interval_join_stream, sessionize_stream, windowed_agg,
 )
 
 US = 1_000_000
@@ -100,6 +100,40 @@ def test_windowed_agg_tumbling_counts(spark, tmp_path):
     # watermark reaches 70s: window [0,60) closes and is emitted; the
     # [60,120) window is still open in append mode (correctly withheld).
     assert got == [(0, 2, 6.0)]
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    # B: arbitrary nonzero epoch base — event time 0 sits exactly on
+    # Spark's initial watermark and is treated as late on the first batch
+    B = 1_700_000_000 * US
+    _write_events(spark, lpath, [(1, 1, B, 1.0), (2, 1, B + 100 * US, 2.0),
+                                 (3, 2, B, 3.0)])
+    # user 1 @+50s matches only left@B (within 60s); @+130s only left@+100s;
+    # user 2 @+400s matches nothing
+    _write_events(spark, rpath, [(10, 1, B + 50 * US, 1.0),
+                                 (11, 1, B + 130 * US, 1.0),
+                                 (12, 2, B + 400 * US, 1.0)])
+    joined = interval_join_stream(
+        file_stream(spark, lpath, EVENT_SCHEMA),
+        file_stream(spark, rpath, EVENT_SCHEMA),
+        ["user_id"], "t", 60 * US, watermark="10 minutes")
+    rows = _run_available_now(joined)
+    got = sorted((r.user_id, r.l_event_id, r.r_event_id) for r in rows)
+    assert got == [(1, 1, 10), (1, 2, 11)]
+    # non-key columns come back l_/r_-prefixed, keys unprefixed
+    assert {"user_id", "l_event_id", "l_t", "l_value",
+            "r_event_id", "r_t", "r_value"} <= set(rows[0].asDict())
+    # batch equivalence: the same operator semantics as a plain range join
+    l, r = spark.read.parquet(lpath).alias("a"), \
+        spark.read.parquet(rpath).alias("b")
+    batch = l.join(r, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("b.t") >= F.col("a.t"))
+                   & (F.col("b.t") <= F.col("a.t") + F.lit(60 * US))) \
+        .select(F.col("a.user_id"), F.col("a.event_id").alias("l_event_id"),
+                F.col("b.event_id").alias("r_event_id")).collect()
+    assert sorted((x.user_id, x.l_event_id, x.r_event_id)
+                  for x in batch) == got
 
 
 def test_change_points_stateful_across_microbatches(spark, tmp_path):
