@@ -226,6 +226,40 @@ group by n_name
 """
 
 
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H q17 pattern: correlated scalar subquery ("below half this
+    part's average quantity") decorrelated into a window aggregate.
+    Scale shape: broadcast the filtered part dim FIRST — pruning
+    lineitem to relevant partkeys is sound because the correlation key
+    is the join key, so each surviving group's average is unchanged —
+    then ONE shuffle on l_partkey computes the per-part cutoff as a
+    window avg. No self-join, no second scan of lineitem (the naive
+    decorrelation aggregates lineitem separately and joins it back:
+    two lineitem shuffles instead of one)."""
+    li = _t("lineitem")(spark, sf_dir)
+    part = _t("part")(spark, sf_dir).where(F.col("p_size") <= 15)
+    w = Window.partitionBy("l_partkey")
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .withColumn("qty_cutoff", 0.5 * F.avg("l_quantity").over(w))
+            .where(F.col("l_quantity") < F.col("qty_cutoff"))
+            .groupBy("p_brand")
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_small")))
+
+
+Q17_SQL = """
+select p_brand,
+       round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
+       count(*) as n_small
+from lineitem l join part p on p.p_partkey = l.l_partkey
+where p.p_size <= 15
+  and l.l_quantity < (select 0.5 * avg(l_quantity)
+                      from lineitem l2 where l2.l_partkey = l.l_partkey)
+group by p_brand
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Window rank top-k per group (SURVEY #44 generalized)."""
     cust = _t("customer")(spark, sf_dir)
@@ -1400,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
         "q_topk_per_group": q_topk_per_group,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
@@ -1451,6 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_local_supplier": Q5_SQL,
+        "q17_small_qty_revenue": Q17_SQL,
         "q_topk_per_group": Q_TOPK_SQL,
         "q_rollup": Q_ROLLUP_SQL,
         "q_cube": Q_CUBE_SQL,
