@@ -28,7 +28,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     ivf_topk, lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
     pack_media,
     resample_asof, salted_join, sessionize, simhash, simhash_pairs, time_spine,
-    top_k_per_group, union_by_name,
+    token_repetition, top_k_per_group, union_by_name,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, fingerprint, lang_id, punct_ratio,
@@ -911,6 +911,35 @@ group by token order by n desc, token asc limit 20
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals for corpus
+    filtering (operators/quality.token_repetition): duplicate-token
+    fraction (pure array expressions, no shuffle) and top-bigram
+    fraction (explode → two-level hash agg keyed by doc)."""
+    docs = _spread(_t("documents")(spark, sf_dir))
+    return token_repetition(docs, "doc_id", "text")
+
+
+Q_REPETITION_SQL = f"""
+with tk as (select doc_id, {TOKS} as tk from documents),
+uni as (
+  select doc_id, len(tk) as n_toks, len(list_distinct(tk)) as n_distinct
+  from tk where len(tk) > 0),
+bi as (
+  select doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) as bigram
+  from tk where len(tk) >= 2),
+bis as (select doc_id, bigram, count(*) as c from bi group by 1, 2),
+bstat as (select doc_id, max(c) as top_n, sum(c) as n_bi
+          from bis group by 1)
+select u.doc_id as doc_id,
+       round(1.0 - n_distinct / n_toks::double, 6) as dup_token_ratio,
+       coalesce(round(top_n / n_bi::double, 6), 0.0) as top_bigram_ratio
+from uni u left join bstat b using (doc_id)
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (beyond-reference
     similarity search; cosine math bit-matches DuckDB)."""
@@ -1468,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_token_histogram": q_token_histogram,
+        "q_repetition": q_repetition,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
@@ -1520,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "q_media_features": Q_MEDIA_SQL,
         "q_lang_id": _lang_id_sql(),
         "q_token_histogram": Q_TOKEN_HIST_SQL,
+        "q_repetition": Q_REPETITION_SQL,
         "q_ann_topk": Q_ANN_SQL,
         "q_ann_lsh": Q_ANN_LSH_SQL,
         "q_ann_ivf": Q_ANN_IVF_SQL,

@@ -9,6 +9,7 @@ from .multimodal import (
 )
 from .joins import salted_join
 from .pivot import pivot_wide
+from .quality import token_repetition
 from .similarity import brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk
 from .sessionize import change_point_intervals, sessionize
 from .timeseries import asof_join, forward_fill, lag_lead, resample_asof, time_spine
@@ -22,5 +23,5 @@ __all__ = [
     "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
     "sample_frames", "sessionize", "simhash", "simhash_pairs",
-    "time_spine", "top_k_per_group", "union_by_name",
+    "time_spine", "token_repetition", "top_k_per_group", "union_by_name",
 ]

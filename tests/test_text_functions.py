@@ -65,3 +65,19 @@ def test_cosine_identity(spark):
                                "a array<float>, b array<float>")
     v = df.select(cosine("a", "b").alias("c")).collect()[0].c
     assert abs(v - 1.0) < 1e-9
+
+
+def test_token_repetition_hand_computed(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import token_repetition
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),       # tokens: 5, distinct 2; bigrams: ab,ba,ab,ba -> top 2/4
+         (2, "x y z"),           # all distinct; bigrams xy,yz -> top 1/2
+         (3, "solo"),            # 1 token, no bigrams
+         (4, ""),                # zero tokens -> dropped
+         ], "doc_id long, text string")
+    out = {r.doc_id: (r.dup_token_ratio, r.top_bigram_ratio)
+           for r in token_repetition(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (round(1 - 2 / 5, 6), 0.5)
+    assert out[2] == (0.0, 0.5)
+    assert out[3] == (0.0, 0.0)
