@@ -27,7 +27,8 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     change_point_intervals, duplicate_ids, embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
     pack_media,
-    resample_asof, salted_join, sessionize, simhash, simhash_pairs, time_spine,
+    resample_asof, salted_join, sessionize, simhash, simhash_pairs,
+    stratified_hash_sample, time_spine,
     token_repetition, top_k_per_group, union_by_name,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
@@ -940,6 +941,36 @@ from uni u left join bstat b using (doc_id)
 """
 
 
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source corpus mixture sampling
+    (operators/sampling.stratified_hash_sample): portable-hash bucket
+    filter, reproducible row-for-row across engines and runs — the
+    scale-correct alternative to partition-seeded df.sample. Pure
+    narrow filter: no shuffle, runs inside the scan stage."""
+    docs = _t("documents")(spark, sf_dir)
+    samp = stratified_hash_sample(docs, "doc_id", "source",
+                                  _SAMPLE_RATES, default_rate=0.1)
+    return samp.select("doc_id", "source")
+
+
+def _sample_sql() -> str:
+    h = ("(('0x' || substring(md5('sample|' || cast(doc_id as varchar)),"
+         " 1, 15))::BIGINT)")
+    cases = " ".join(f"when source = '{s}' then {r}"
+                     for s, r in sorted(_SAMPLE_RATES.items()))
+    return f"""
+select doc_id, source from documents
+where ({h} % 10000 + 10000) % 10000
+      < cast((case {cases} else 0.1 end) * 10000 as int)
+"""
+
+
+Q_STRATIFIED_SAMPLE_SQL = _sample_sql()
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (beyond-reference
     similarity search; cosine math bit-matches DuckDB)."""
@@ -1498,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_token_histogram": q_token_histogram,
         "q_repetition": q_repetition,
+        "q_stratified_sample": q_stratified_sample,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
@@ -1551,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": _lang_id_sql(),
         "q_token_histogram": Q_TOKEN_HIST_SQL,
         "q_repetition": Q_REPETITION_SQL,
+        "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
         "q_ann_topk": Q_ANN_SQL,
         "q_ann_lsh": Q_ANN_LSH_SQL,
         "q_ann_ivf": Q_ANN_IVF_SQL,

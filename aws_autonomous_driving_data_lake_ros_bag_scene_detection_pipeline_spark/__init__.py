@@ -27,10 +27,10 @@ __version__ = "0.1.0"
 from .operators import (  # noqa: E402,F401
     asof_join, brute_force_topk, byte_histogram_features,
     change_point_intervals, decode_audio, decode_image, duplicate_ids,
-    embedding_dup_pairs, exact_dedup, forward_fill, ivf_topk, jaccard, lag_lead,
+    embedding_dup_pairs, exact_dedup, forward_fill, hash_sample, ivf_topk, jaccard, lag_lead,
     lsh_topk, minhash_lsh_pairs, minhash_signature, ngram_jaccard_pairs,
     pack_media, pivot_wide, repartition_for_media, resample_asof, salted_join,
-    resize_pixels, sample_frames, sessionize, simhash, simhash_pairs,
+    resize_pixels, sample_frames, sessionize, simhash, simhash_pairs, stratified_hash_sample,
     time_spine, token_repetition, top_k_per_group, union_by_name,
 )
 from .session import get_spark  # noqa: E402,F401

@@ -1,0 +1,66 @@
+"""Deterministic hash-based corpus sampling.
+
+Training-data pipelines subsample and re-mix corpora constantly
+(ablations, per-source mixture weights, held-out splits). At 100 TB the
+sample must be (a) a pure narrow filter — no shuffle, no RNG state, no
+driver coordination — and (b) reproducible: the same row lands in the
+same split on every run, machine, and engine. Spark's ``df.sample`` is
+neither (partition-seeded RNG changes with partitioning), so these
+operators hash a stable row key instead: row kept iff
+``hash64(key) mod 10_000 < rate * 10_000``. The hash is the
+DuckDB-portable md5 family (functions/hashing.py), so samples are
+oracle-checkable row-for-row.
+
+The reference has no sampling surface at all; this generalizes its
+"process a fixed batch" manifest slicing (trigger.py:150-165) to
+fractional, stratified slicing of unbounded corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+
+_BUCKETS = 10_000
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Stable bucket in [0, 10000) from a row key (+ salt so different
+    samples of the same corpus are independent)."""
+    return F.pmod(hash64(F.concat(F.lit(f"{salt}|"), key.cast("string"))),
+                  F.lit(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float,
+                salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows, keyed by
+    ``key_col``. Pure filter: runs inside the scan stage, pushes no
+    shuffle, and is reproducible across runs and engines."""
+    return df.where(_bucket(F.col(key_col), salt)
+                    < int(rate * _BUCKETS))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
+                           rates: dict[str, float],
+                           default_rate: float = 0.0,
+                           salt: str = "sample") -> DataFrame:
+    """Per-stratum sampling rates (source-mixture weighting): each
+    stratum value gets its own keep-fraction; unlisted strata get
+    ``default_rate``. Still a pure narrow filter — the rate table is
+    compiled into a CASE expression, not joined."""
+    rate_expr: Column = F.lit(default_rate)
+    for value, rate in sorted(rates.items()):
+        rate_expr = F.when(F.col(strata_col) == value,
+                           F.lit(rate)).otherwise(rate_expr)
+    return df.where(_bucket(F.col(key_col), salt)
+                    < (rate_expr * _BUCKETS).cast("int"))
+
+
+def hash_sample_sql(key_expr: str, rate: float,
+                    salt: str = "sample") -> str:
+    """DuckDB mirror of :func:`hash_sample`'s predicate."""
+    h = hash64_sql(f"'{salt}|' || cast({key_expr} as varchar)")
+    return f"(({h} % {_BUCKETS} + {_BUCKETS}) % {_BUCKETS})" \
+           f" < {int(rate * _BUCKETS)}"

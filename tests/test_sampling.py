@@ -1,0 +1,54 @@
+"""Deterministic hash-sampling operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+    hash_sample, stratified_hash_sample,
+)
+
+
+def _corpus(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string"))
+        .alias("source"))
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = _corpus(spark)
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.25).collect()}
+    b = {r.doc_id for r in hash_sample(df, "doc_id", 0.25).collect()}
+    assert a == b                       # reproducible, not RNG-seeded
+    assert 0.18 < len(a) / 2000 < 0.32  # ~rate (hash-binomial spread)
+    # nested property: a lower-rate sample with the same salt is a
+    # subset of the higher-rate one (bucket < threshold is monotone)
+    c = {r.doc_id for r in hash_sample(df, "doc_id", 0.10).collect()}
+    assert c <= a
+    # different salt -> independent sample
+    d = {r.doc_id for r in
+         hash_sample(df, "doc_id", 0.25, salt="other").collect()}
+    assert d != a
+
+
+def test_stratified_rates_per_stratum(spark):
+    df = _corpus(spark)
+    out = stratified_hash_sample(
+        df, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5}, default_rate=0.0).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += 1
+    assert by_src.get("src0") == 500          # rate 1.0 keeps everything
+    assert 180 < by_src.get("src1", 0) < 320  # ~0.5 of 500
+    assert "src2" not in by_src and "src3" not in by_src
+
+
+def test_hash_sample_is_narrow_filter(spark):
+    """No exchange in the plan — the sample must run in the scan stage."""
+    df = _corpus(spark)
+    plan = hash_sample(df, "doc_id", 0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
