@@ -28,7 +28,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     ivf_topk, lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
     pack_media,
     resample_asof, salted_join, sessionize, simhash, simhash_pairs,
-    stratified_hash_sample, time_spine,
+    stratified_hash_sample, tfidf_top_terms, time_spine,
     token_repetition, top_k_per_group, union_by_name,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
@@ -971,6 +971,33 @@ where ({h} % 10000 + 10000) % 10000
 Q_STRATIFIED_SAMPLE_SQL = _sample_sql()
 
 
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document
+    (operators/quality.tfidf_top_terms): two hash aggs + broadcast of
+    the vocabulary-sized document-frequency table + per-doc top-k
+    window. Inverse-frequency weighting for corpus search/filtering."""
+    docs = _spread(_t("documents")(spark, sf_dir))
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+Q_TFIDF_SQL = f"""
+with tf as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest({TOKS}) as term from documents)
+  group by 1, 2),
+dfreq as (select term, count(*) as df from tf group by 1),
+n as (select count(*)::double as n_docs from documents),
+scored as (
+  select doc_id, term,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) as score
+  from tf join dfreq using (term), n),
+rk as (select *, row_number() over (partition by doc_id
+                                    order by score desc, term asc) as rank
+       from scored)
+select doc_id, term, score, rank from rk where rank <= 3
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (beyond-reference
     similarity search; cosine math bit-matches DuckDB)."""
@@ -1530,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_histogram": q_token_histogram,
         "q_repetition": q_repetition,
         "q_stratified_sample": q_stratified_sample,
+        "q_tfidf": q_tfidf,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
@@ -1584,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_histogram": Q_TOKEN_HIST_SQL,
         "q_repetition": Q_REPETITION_SQL,
         "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+        "q_tfidf": Q_TFIDF_SQL,
         "q_ann_topk": Q_ANN_SQL,
         "q_ann_lsh": Q_ANN_LSH_SQL,
         "q_ann_ivf": Q_ANN_IVF_SQL,

@@ -31,7 +31,7 @@ from .operators import (  # noqa: E402,F401
     lsh_topk, minhash_lsh_pairs, minhash_signature, ngram_jaccard_pairs,
     pack_media, pivot_wide, repartition_for_media, resample_asof, salted_join,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs, stratified_hash_sample,
-    time_spine, token_repetition, top_k_per_group, union_by_name,
+    tfidf_top_terms, time_spine, token_repetition, top_k_per_group, union_by_name,
 )
 from .session import get_spark  # noqa: E402,F401
 from . import functions  # noqa: E402,F401

@@ -9,7 +9,7 @@ from .multimodal import (
 )
 from .joins import salted_join
 from .pivot import pivot_wide
-from .quality import token_repetition
+from .quality import tfidf_top_terms, token_repetition
 from .sampling import hash_sample, hash_sample_sql, stratified_hash_sample
 from .similarity import brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk
 from .sessionize import change_point_intervals, sessionize
@@ -24,5 +24,5 @@ __all__ = [
     "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
-    "time_spine", "token_repetition", "top_k_per_group", "union_by_name",
+    "tfidf_top_terms", "time_spine", "token_repetition", "top_k_per_group", "union_by_name",
 ]

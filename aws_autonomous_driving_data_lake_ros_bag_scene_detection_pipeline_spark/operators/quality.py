@@ -18,7 +18,7 @@ bounded by the largest single document.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -63,3 +63,36 @@ def token_repetition(df: DataFrame, id_col: str,
                     F.round(F.col("top_n")
                             / F.col("n_bi").cast("double"), 6),
                     F.lit(0.0)).alias("top_bigram_ratio")))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document
+    (``id, term, score, rank``), smoothed
+    ``idf = ln((N + 1) / (df + 1))``, ties broken by term for
+    determinism.
+
+    Scale shape: term frequencies are one (id, term)-keyed hash agg
+    over the exploded tokens; document frequencies reduce the same
+    relation to vocabulary size and come back via a **broadcast** join
+    (the post-agg df table is vocabulary-sized — bounded and tiny next
+    to the corpus; AQE would pick broadcast anyway, the hint makes the
+    contract explicit). The corpus row count N joins as a broadcast
+    1-row literal, not a driver collect. The only wide ops are the two
+    hash aggs and the final per-document top-k window.
+    """
+    tf = (df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                      / (F.col("df") + 1.0)), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "score", "rank"))

@@ -81,3 +81,18 @@ def test_token_repetition_hand_computed(spark):
     assert out[1] == (round(1 - 2 / 5, 6), 0.5)
     assert out[2] == (0.0, 0.5)
     assert out[3] == (0.0, 0.0)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import tfidf_top_terms
+    # "rare" appears in 1 of 3 docs; "common" in all 3
+    df = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common x"), (3, "common y")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: (r.term, r.score) for r in out}
+    assert top[1][0] == "rare"
+    assert top[1][1] == round(2 * math.log(4 / 2), 6)
+    # "common" (df=3) scores ln(4/4)=0 -> beaten by the unique terms
+    assert top[2][0] == "x" and top[3][0] == "y"
