@@ -26,7 +26,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     asof_join, brute_force_topk, byte_histogram_features,
     change_point_intervals, duplicate_ids, embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
-    pack_media,
+    pack_media, pack_sequences,
     resample_asof, salted_join, sessionize, simhash, simhash_pairs,
     stratified_hash_sample, tfidf_top_terms, time_spine,
     token_repetition, top_k_per_group, union_by_name,
@@ -998,6 +998,36 @@ select doc_id, term, score, rank from rk where rank <= 3
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-loader sequence packing
+    (operators/sampling.pack_sequences): shard by portable hash, pack
+    each shard's documents into 8192-char bins by running size — one
+    shard-keyed shuffle, no global sort."""
+    docs = _t("documents")(spark, sf_dir)
+    return pack_sequences(docs, "doc_id", "n_chars",
+                          capacity=8192, shards=16)
+
+
+_PACK_HASH = ("(('0x' || substring(md5('pack|' || cast(doc_id as varchar)),"
+              " 1, 15))::BIGINT)")
+
+Q_PACK_SQL = f"""
+with s as (
+  select doc_id, n_chars as n,
+         (({_PACK_HASH} % 16 + 16) % 16) as shard
+  from documents),
+c as (
+  select *, sum(n) over (partition by shard order by doc_id asc
+                         rows between unbounded preceding
+                         and current row) as cum
+  from s)
+select doc_id, shard,
+       ((cum - n) // 8192)::bigint as bin_id,
+       ((cum - n) % 8192)::bigint as offset
+from c
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (beyond-reference
     similarity search; cosine math bit-matches DuckDB)."""
@@ -1558,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf": q_tfidf,
+        "q_pack_sequences": q_pack_sequences,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
@@ -1613,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition": Q_REPETITION_SQL,
         "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
         "q_tfidf": Q_TFIDF_SQL,
+        "q_pack_sequences": Q_PACK_SQL,
         "q_ann_topk": Q_ANN_SQL,
         "q_ann_lsh": Q_ANN_LSH_SQL,
         "q_ann_ivf": Q_ANN_IVF_SQL,

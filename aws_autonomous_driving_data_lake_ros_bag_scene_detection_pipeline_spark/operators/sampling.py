@@ -18,7 +18,7 @@ fractional, stratified slicing of unbounded corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
@@ -64,3 +64,40 @@ def hash_sample_sql(key_expr: str, rate: float,
     h = hash64_sql(f"'{salt}|' || cast({key_expr} as varchar)")
     return f"(({h} % {_BUCKETS} + {_BUCKETS}) % {_BUCKETS})" \
            f" < {int(rate * _BUCKETS)}"
+
+
+def pack_sequences(df: DataFrame, id_col: str, size_col: str,
+                   capacity: int, shards: int = 256) -> DataFrame:
+    """Assign each document to a training bin of ~``capacity`` tokens:
+    output ``id, shard, bin_id, offset`` where ``offset`` is the
+    document's start position inside its bin's token budget.
+
+    Greedy bin packing is inherently sequential, so the scalable form
+    shards first: documents are hashed into ``shards`` independent
+    streams, and each stream packs by running token count in a
+    deterministic order (hash bucket, then id). A bin is
+    ``(shard, floor(cum_before / capacity))`` — documents larger than
+    ``capacity`` spill over a bin boundary, matching the "pack then
+    split at max_seq_len" convention of LLM pretraining loaders.
+
+    Scale shape: ONE shuffle, keyed by the shard hash — each shard's
+    window cumsum sorts only |corpus|/shards rows, so there is no
+    global-sort single-partition bottleneck, and determinism survives
+    repartitioning because the order key is data-derived (hash, id),
+    not ``monotonically_increasing_id``.
+    """
+    shard = F.pmod(hash64(F.concat(F.lit("pack|"),
+                                   F.col(id_col).cast("string"))),
+                   F.lit(shards))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.select(id_col, F.col(size_col).alias("_n"),
+                     shard.alias("shard"))
+           .withColumn("_cum", F.sum("_n").over(w)))
+    cum_before = F.col("_cum") - F.col("_n")
+    return out.select(
+        id_col,
+        F.col("shard"),
+        F.floor(cum_before / capacity).cast("bigint").alias("bin_id"),
+        F.pmod(cum_before, F.lit(capacity)).cast("bigint").alias("offset"))

@@ -52,3 +52,28 @@ def test_hash_sample_is_narrow_filter(spark):
     plan = hash_sample(df, "doc_id", 0.5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import pack_sequences
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 100 + 50).alias("n_tok"))
+    out = pack_sequences(df, "doc_id", "n_tok", capacity=1000,
+                         shards=4).collect()
+    assert len(out) == 100
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    sizes = {r.doc_id: r.n_tok for r in df.collect()}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:  # offsets replay the per-shard running sum
+            assert r.bin_id == cum // 1000
+            assert r.offset == cum % 1000
+            cum += sizes[r.doc_id]
+    # deterministic across recomputation
+    again = pack_sequences(df, "doc_id", "n_tok", capacity=1000,
+                           shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
