@@ -5,8 +5,10 @@ Engine code lives in ``aws_autonomous_driving_data_lake_ros_bag_scene_detection_
 make the Spark result and the DuckDB oracle hash-identical (pinned by
 tests/test_parity.py):
 
-- event time = integer microseconds: Spark reads TIMESTAMP(NANOS) as long
-  (``nanosAsLong``) and uses ``ts div 1000``; DuckDB uses ``epoch_us(ts)``.
+- event time = integer microseconds (``_ts_us`` adapts to the storage
+  type: INT64 TIMESTAMP(NANOS) read as long via ``nanosAsLong`` → ``ts div
+  1000``; TIMESTAMP(MICROS) read as timestamp/timestamp_ntz →
+  ``unix_micros`` under a UTC session zone); DuckDB uses ``epoch_us(ts)``.
 - 64-bit portable hash: ``conv(substr(md5(x),1,15),16,10)`` ==
   ``('0x'||substr(md5(x),1,15))::BIGINT``.
 - double aggregates rounded to 2 (money) / 6 (ratios); cosine computed with
@@ -47,22 +49,36 @@ GAP_US = 1_800_000_000  # 30 min session gap
 
 def _t(name):
     def read(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # Self-sufficient on a vanilla SparkSession: events.parquet stores
-        # INT64 TIMESTAMP(NANOS), which Spark refuses to read unless this
-        # runtime-settable conf maps it to bigint (nanoseconds since epoch).
-        # Our own session factory (eng/session.py) sets it at build time, but
-        # the driver harness builds a plain session — set it here so every
-        # contract query works regardless of who built the session.
+        # Self-sufficient on a vanilla SparkSession (both confs are
+        # runtime-settable; our own factory eng/session.py sets them at
+        # build time, but the driver harness builds a plain session):
+        # - nanosAsLong lets INT64 TIMESTAMP(NANOS) events files read as
+        #   bigint instead of PARQUET_TYPE_ILLEGAL;
+        # - a pinned UTC zone makes timestamp_ntz -> epoch-micros
+        #   conversion (_ts_us) machine-independent, matching DuckDB's
+        #   epoch_us on naive timestamps.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return read
 
 
+def _ts_us(df: DataFrame):
+    """``ts`` as integer microseconds since epoch, whatever the parquet
+    stored: INT64 TIMESTAMP(NANOS) arrives as bigint nanos (nanosAsLong)
+    -> integer-divide; TIMESTAMP(MICROS) arrives as timestamp_ntz /
+    timestamp -> unix_micros under the UTC session zone pinned in _t
+    (NTZ wall-clock is interpreted as UTC, exactly DuckDB epoch_us)."""
+    if dict(df.dtypes)["ts"] == "bigint":
+        return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def _events(spark, sf_dir) -> DataFrame:
     """events with integer-microsecond time column ``t``."""
-    return (_t("events")(spark, sf_dir)
-            .select("event_id", "user_id", "event_type", "value",
-                    F.expr("ts div 1000").alias("t")))
+    ev = _t("events")(spark, sf_dir)
+    return ev.select("event_id", "user_id", "event_type", "value",
+                     _ts_us(ev).alias("t"))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -1388,7 +1404,7 @@ def q_stream_windowed(spark, sf_dir):
     src = file_stream(spark, sf_dir, batch.schema, glob="events.parquet")
     agged = (src
              .select("event_type", "value",
-                     F.timestamp_micros(F.expr("ts div 1000")).alias("etime"))
+                     F.timestamp_micros(_ts_us(src)).alias("etime"))
              .groupBy(F.window("etime", "1 hour").alias("w"), "event_type")
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.round(F.sum("value"), 6).alias("sum_value")))
@@ -1430,11 +1446,10 @@ def q_stream_join(spark, sf_dir):
     import uuid
     batch = _t("events")(spark, sf_dir)
     def side(etype):
-        return (file_stream(spark, sf_dir, batch.schema,
-                            glob="events.parquet")
-                .where(F.col("event_type") == etype)
-                .select("user_id", "event_id",
-                        F.expr("ts div 1000").alias("t")))
+        src = file_stream(spark, sf_dir, batch.schema,
+                          glob="events.parquet")
+        return (src.where(F.col("event_type") == etype)
+                .select("user_id", "event_id", _ts_us(src).alias("t")))
     joined = interval_join_stream(side("click"), side("purchase"),
                                   ["user_id"], "t", 6 * HOUR_US,
                                   watermark="1 hour")

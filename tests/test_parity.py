@@ -5,10 +5,10 @@ These pin the conventions used by every ``__spark_entry__.queries()`` /
 
 - portable 64-bit hash: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
   DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT`` (60 bits, fits bigint);
-- event time as integer microseconds: Spark reads TIMESTAMP(NANOS) as
-  long via ``spark.sql.legacy.parquet.nanosAsLong`` and derives
-  ``ts div 1000`` (integer division — float division loses precision at
-  1e18 nanos) == DuckDB ``epoch_us(ts)``;
+- event time as integer microseconds: ``__spark_entry__._ts_us`` adapts
+  to the parquet storage type (TIMESTAMP(NANOS)-as-bigint -> ``ts div
+  1000``; TIMESTAMP(MICROS) timestamp_ntz -> ``unix_micros`` under a UTC
+  session zone) == DuckDB ``epoch_us(ts)``;
 - double aggregates compared after ``round(x, 2)``.
 """
 
@@ -28,8 +28,9 @@ def test_md5_hash64_parity(spark, duck):
 
 
 def test_event_ts_microseconds_parity(spark, duck):
-    s = (spark.read.parquet(f"{SF_DIR}/events.parquet")
-         .select("event_id", F.expr("ts div 1000").alias("ts_us"))
+    from __spark_entry__ import _ts_us
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = (ev.select("event_id", _ts_us(ev).alias("ts_us"))
          .orderBy("event_id").limit(50).collect())
     d = duck.sql(
         "select event_id, epoch_us(ts) from events order by event_id limit 50").fetchall()

@@ -49,17 +49,17 @@ def test_q5_star_join_broadcasts_small_dims(spark):
 def test_forward_fill_single_window_pass(spark):
     """N same-spec LOCF columns must collapse into ONE Window operator
     (SURVEY §4 'W-columns window stack')."""
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
-        .select("user_id", F.expr("ts div 1000").alias("t"), "value",
-                (F.col("value") * 2).alias("v2"), (F.col("value") * 3).alias("v3"))
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = raw.select("user_id", entry._ts_us(raw).alias("t"), "value",
+                    (F.col("value") * 2).alias("v2"), (F.col("value") * 3).alias("v3"))
     filled = forward_fill(ev, ["user_id"], "t", ["value", "v2", "v3"])
     assert count_window_ops(filled) == 1
 
 
 def test_resample_locf_no_extra_shuffles(spark):
     """Spine + union + fill is 1 window pass; no global sort appears."""
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
-        .select("user_id", F.expr("ts div 1000").alias("t"), "value")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = raw.select("user_id", entry._ts_us(raw).alias("t"), "value")
     out = resample_asof(ev, ["user_id"], "t", 3_600_000_000, ["value"])
     assert count_window_ops(out) == 1
     assert "rangepartitioning" not in out._sc._jvm.PythonSQLUtils.explainString(
