@@ -448,7 +448,8 @@ s as (select user_id, t,
       from m),
 sess as (select user_id, session_id, min(t) as start_time, max(t) as end_time
          from s group by user_id, session_id)
-select sess.user_id, sess.session_id, count(*) as n_contained
+select sess.user_id, sess.session_id::BIGINT as session_id,
+  count(*) as n_contained
 from ev join sess on ev.user_id = sess.user_id
  and ev.t >= sess.start_time and ev.t <= sess.end_time
 group by sess.user_id, sess.session_id
@@ -700,7 +701,8 @@ s as (select user_id, t,
                        rows between unbounded preceding and current row)
           as session_id
       from m)
-select user_id, session_id, min(t) as start_time, max(t) as end_time,
+select user_id, session_id::BIGINT as session_id,
+  min(t) as start_time, max(t) as end_time,
   count(*) as n_events
 from s group by user_id, session_id
 """

@@ -47,6 +47,9 @@ def get_spark(app_name: str = "adsl-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for harnesses that parse a JSON metric line
+        # (progress bars interleave with print() and corrupt the line)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

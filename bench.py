@@ -71,11 +71,19 @@ def main() -> None:
             p50s[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({"metric": "total_query_time", "value": total,
-                      "unit": "sec", "queries": timings,
-                      "queries_p50": p50s, "warmup_sec": warmup,
-                      "runs": runs, "sf": sf}))
+    line = json.dumps({"metric": "total_query_time", "value": total,
+                       "unit": "sec", "queries": timings,
+                       "queries_p50": p50s, "warmup_sec": warmup,
+                       "runs": runs, "sf": sf})
+    # stop Spark BEFORE printing so no stray executor/log output can
+    # interleave with the metric line (r2's BENCH json had parsed:null
+    # because progress-bar writes truncated it); also persist a copy.
     spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
