@@ -138,17 +138,25 @@ def objects_in_lane_by_key(df: DataFrame, detections_col: str,
     functions are CodegenFallback in Spark — evaluated row-at-a-time by
     the interpreter — and the nested argmin-per-lane-per-corner tree
     costs ~3.6 ms/row, which cannot survive a 100 TB scan. This
-    formulation explodes detections×corners and lanes×points, computes
-    every corner↔point distance in one whole-stage-codegen join
-    projection, takes the per-lane argmin as a ``min(struct(d, pi, px))``
-    hash aggregate, and rebuilds the per-row array with
-    ``collect_list`` + position sort. Every heavy operator is codegen'd;
-    the only higher-order calls left run on ≤4-element arrays.
+    formulation joins lane points to exploded *detections* (not corners:
+    all four corner↔point distances are evaluated in one whole-stage-
+    codegen projection per joined row, 4× fewer join rows than a corner
+    explode), takes the per-(detection, lane) argmin for each corner as
+    four ``min(struct(d, pi, px))`` hash aggregates, finds the first
+    adjacent-lane pair bracketing each corner with a window ``lead``
+    over the lane index (replacing a lanes×lanes self-join), and
+    rebuilds the per-row array with ``collect_list`` + position sort.
+    Every heavy operator is codegen'd; the only higher-order calls left
+    run on ≤4-element arrays.
 
-    All shuffles share the ``keys`` prefix, so AQE coalesces them into
-    co-partitioned exchanges; row multiplication (dets × 4 corners ×
-    lane points) is the inherent work of the geometry, now spread across
-    the cluster instead of nested inside one interpreted expression.
+    All shuffles share the ``keys`` prefix (join on keys → aggregate on
+    (keys, det, lane) → window + aggregate on (keys, det) → aggregate on
+    keys), so AQE coalesces them into co-partitioned exchanges; the
+    dets × lane-points row multiplication is the inherent work of the
+    geometry, spread across the cluster instead of nested inside one
+    interpreted expression. Detection attributes ride through the
+    aggregates as ``first()``s, so nothing joins back to the exploded
+    detections.
 
     ``keys`` must uniquely identify rows of ``df`` (the reference keys
     scenes by bag + timestamp: detect_scenes.py:197-201); otherwise
@@ -166,79 +174,93 @@ def objects_in_lane_by_key(df: DataFrame, detections_col: str,
     vb = base.where(F.col("_valid")).select(*keys, dets.alias("_dets"),
                                             lns.alias("_lanes"))
 
-    # detections, exploded with their position (order restored at the end)
-    d = vb.select(*keys, F.posexplode("_dets").alias("_di", "_o"))
+    # detections, exploded with their position (order restored at the
+    # end); corner xs/ys precomputed — corner i's coordinates are
+    # (_cx{i}, _cy{i}) in the fixed reference order (detect_scenes.py:
+    # 68-79: (x_min,y_min), (x_max,y_min), (x_min,y_max), (x_max,y_max))
     o = F.col("_o")
     x_min, x_max = o["x"] - o["width"] / 2, o["x"] + o["width"] / 2
     y_min, y_max = o["y"] - o["height"] / 2, o["y"] + o["height"] / 2
-    corner_arr = F.array(
-        F.struct(x_min.alias("cx"), y_min.alias("cy")),
-        F.struct(x_max.alias("cx"), y_min.alias("cy")),
-        F.struct(x_min.alias("cx"), y_max.alias("cy")),
-        F.struct(x_max.alias("cx"), y_max.alias("cy")))
-    corners = (d.select(*keys, "_di", F.posexplode(corner_arr).alias("_ci", "_c"))
-               .select(*keys, "_di", "_ci",
-                       F.col("_c.cx").alias("_cx"), F.col("_c.cy").alias("_cy")))
+    corner_xy = [(x_min, y_min), (x_max, y_min), (x_min, y_max), (x_max, y_max)]
+    d = (vb.select(*keys, F.posexplode("_dets").alias("_di", "_o"))
+         .select(*keys, "_di",
+                 o["x"].alias("_x"), o["y"].alias("_y"),
+                 o["width"].alias("_w"), o["height"].alias("_h"),
+                 o["Class"].alias("_cls"),
+                 *[c.alias(f"_c{a}{i}")
+                   for i, (cx, cy) in enumerate(corner_xy)
+                   for a, c in (("x", cx), ("y", cy))]))
 
     # lane points, exploded; point-free lanes survive with a null point
     lane_pts = (vb.select(*keys, F.posexplode("_lanes").alias("_li", "_lane"))
                 .select(*keys, "_li",
                         F.posexplode_outer("_lane.image_points").alias("_pi", "_p"))
-                .select(*keys, "_li", "_pi",
+                .select(*keys, "_li",
+                        F.col("_pi"),
                         F.col("_p.x").alias("_px"), F.col("_p.y").alias("_py")))
 
-    # nearest point per (corner, lane): argmin with the reference's strict
-    # 1000.0 cutoff (detect_scenes.py:19-28); min(struct) tie-breaks on
-    # point index = first-point-wins, like the reference's strict '<'
-    dist = F.sqrt((F.col("_px") - F.col("_cx")) * (F.col("_px") - F.col("_cx"))
-                  + (F.col("_py") - F.col("_cy")) * (F.col("_py") - F.col("_cy")))
-    near = (corners.join(lane_pts, list(keys))
-            .groupBy(*keys, "_di", "_ci", "_li")
-            .agg(F.first("_cx").alias("_cx"),
-                 F.min(F.when(dist < MAX_NEAREST_DIST,
-                              F.struct(dist.alias("d"),
-                                       F.col("_pi").alias("pi"),
-                                       F.col("_px").alias("px")))).alias("_np")))
+    # nearest point per (detection, lane) for all 4 corners at once:
+    # argmin with the reference's strict 1000.0 cutoff
+    # (detect_scenes.py:19-28); min(struct) tie-breaks on point index =
+    # first-point-wins, like the reference's strict '<'
+    def corner_np(i):
+        dx = F.col("_px") - F.col(f"_cx{i}")
+        dy = F.col("_py") - F.col(f"_cy{i}")
+        dist = F.sqrt(dx * dx + dy * dy)
+        return F.min(F.when(dist < MAX_NEAREST_DIST,
+                            F.struct(dist.alias("d"),
+                                     F.col("_pi").alias("pi"),
+                                     F.col("_px").alias("px")))).alias(f"_np{i}")
 
-    # first adjacent-lane pair whose nearest xs bracket the corner
-    # (detect_scenes.py:47-64: x-only, first pair wins)
-    a = near.select(*keys, "_di", "_ci", "_cx",
-                    F.col("_li").alias("_lia"), F.col("_np.px").alias("_pxa"))
-    b = near.select(*keys, "_di", "_ci",
-                    F.col("_li").alias("_lib"), F.col("_np.px").alias("_pxb"))
-    pxa, pxb, cx = F.col("_pxa"), F.col("_pxb"), F.col("_cx")
-    brackets = (pxa.isNotNull() & pxb.isNotNull()
-                & (((cx >= pxa) & (cx <= pxb)) | ((cx <= pxa) & (cx >= pxb))))
-    hits = (a.join(b, [*keys, "_di", "_ci"])
-            .where(F.col("_lib") == F.col("_lia") + 1)
-            .groupBy(*keys, "_di", "_ci")
-            .agg(F.min(F.when(brackets, F.col("_lia"))).alias("_hit")))
+    passthru = ["_x", "_y", "_w", "_h", "_cls",
+                "_cx0", "_cx1", "_cx2", "_cx3"]
+    near = (d.join(lane_pts, list(keys))
+            .groupBy(*keys, "_di", "_li")
+            .agg(*[F.first(c).alias(c) for c in passthru],
+                 *[corner_np(i) for i in range(4)]))
 
-    label = F.when(
-        F.col("_hit").isNotNull(),
-        F.concat(F.lit("between_"), F.col("_hit").cast("string"),
-                 F.lit("_and_"), (F.col("_hit") + 1).cast("string")))
-    corner_labels = (corners.join(hits, [*keys, "_di", "_ci"], "left")
-                     .select(*keys, "_di", "_ci", label.alias("_label")))
+    # first adjacent-lane pair whose nearest xs bracket each corner
+    # (detect_scenes.py:47-64: x-only, first pair wins) — the "next
+    # lane" comes from a window lead, not a self-join
+    w = Window.partitionBy(*keys, "_di").orderBy("_li")
+    withnext = near.select(
+        *keys, "_di", "_li", *passthru,
+        *[F.col(f"_np{i}")["px"].alias(f"_pxa{i}") for i in range(4)],
+        *[F.lead(F.col(f"_np{i}")["px"]).over(w).alias(f"_pxb{i}")
+          for i in range(4)])
 
-    # per detection: labels back in corner order (≤4-element arrays — the
-    # only higher-order calls left, negligible at this size)
-    labels_arr = F.transform(
-        F.sort_array(F.collect_list(F.struct("_ci", "_label"))),
-        lambda s: s["_label"])
-    per_det = (corner_labels.groupBy(*keys, "_di")
-               .agg(labels_arr.alias("_labels"))
+    def corner_hit(i):
+        pxa, pxb = F.col(f"_pxa{i}"), F.col(f"_pxb{i}")
+        cx = F.col(f"_cx{i}")
+        brackets = (pxa.isNotNull() & pxb.isNotNull()
+                    & (((cx >= pxa) & (cx <= pxb))
+                       | ((cx <= pxa) & (cx >= pxb))))
+        return F.min(F.when(brackets, F.col("_li"))).alias(f"_hit{i}")
+
+    def label(i):
+        h = F.col(f"_hit{i}")
+        return F.when(h.isNotNull(),
+                      F.concat(F.lit("between_"), h.cast("string"),
+                               F.lit("_and_"), (h + 1).cast("string")))
+
+    # per detection: labels in corner order (≤4-element arrays — the
+    # only higher-order calls left, negligible at this size); the
+    # window's (keys, _di) partitioning is exactly this groupBy's key,
+    # so no extra exchange separates them
+    per_det = (withnext.groupBy(*keys, "_di")
+               .agg(*[F.first(c).alias(c) for c in passthru[:5]],
+                    *[corner_hit(i) for i in range(4)])
                .withColumn("_in_lane",
-                           F.filter("_labels", lambda v: v.isNotNull()))
+                           F.filter(F.array(*[label(i) for i in range(4)]),
+                                    lambda v: v.isNotNull()))
                .where(F.size("_in_lane") > 0))
 
-    enriched = (per_det.join(d, [*keys, "_di"])
-                .select(*keys, "_di", F.struct(
-                    o["x"].alias("x"), o["y"].alias("y"),
-                    o["width"].alias("width"), o["height"].alias("height"),
-                    o["Class"].alias("Class"),
-                    F.size("_in_lane").alias("corners_in_lane"),
-                    F.array_distinct("_in_lane").alias("lanes")).alias("_s")))
+    enriched = per_det.select(*keys, "_di", F.struct(
+        F.col("_x").alias("x"), F.col("_y").alias("y"),
+        F.col("_w").alias("width"), F.col("_h").alias("height"),
+        F.col("_cls").alias("Class"),
+        F.size("_in_lane").alias("corners_in_lane"),
+        F.array_distinct("_in_lane").alias("lanes")).alias("_s"))
     per_row = (enriched.groupBy(*keys)
                .agg(F.transform(
                    F.sort_array(F.collect_list(F.struct("_di", "_s"))),
