@@ -1207,12 +1207,15 @@ Q_EMB_DUPS_SQL = _emb_dups_sql()
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (ALL pairs at Hamming ≤ 3, found via
-    pigeonhole block join) — the bit-sketch dedup path."""
+    pigeonhole block join) — the bit-sketch dedup path. Full-width
+    60-bit signatures (the operator default): 15-bit pigeonhole blocks
+    keep bucket occupancy flat at corpus scale, where r2's 16-bit demo
+    width (4-bit blocks) degenerated."""
     docs = _spread(_t("documents")(spark, sf_dir))
-    return simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
-def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+def _simhash_pairs_sql(bits: int = 60, max_hamming: int = 3) -> str:
     # Spec-level oracle: brute-force ALL pairs with the Hamming filter
     # (tiny at sf0.01), so the gate checks the operator's contract, not
     # its candidate-blocking scheme.

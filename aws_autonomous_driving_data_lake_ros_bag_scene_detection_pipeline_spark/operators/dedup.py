@@ -235,8 +235,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,
-            bits: int = 16) -> DataFrame:
-    """Per-doc SimHash: sign-aggregated token hashes, ``bits`` wide.
+            bits: int = 60) -> DataFrame:
+    """Per-doc SimHash: sign-aggregated token hashes, ``bits`` wide
+    (default 60 = the full width of the portable ``hash64``; see
+    :func:`simhash_pairs` for why narrow signatures don't block well).
 
     Bit b of the signature is 1 iff more token hashes have bit b set
     than not (ties → set), over the doc's *distinct* unigram tokens;
@@ -273,7 +275,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
-                  bits: int = 16, max_hamming: int = 2) -> DataFrame:
+                  bits: int = 60, max_hamming: int = 2) -> DataFrame:
     """ALL pairs whose SimHash Hamming distance ≤ ``max_hamming`` —
     exact w.r.t. that contract, never all-pairs in execution.
 
@@ -290,11 +292,15 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     collide in several blocks are deduped after the cheap bit_count
     verify.
 
-    Scale note: with the default demo width of 16 bits and k=2, blocks
-    are 5-6 bits wide (≤64 distinct values), so bucket occupancy grows
-    linearly with corpus size and the join degenerates. At corpus scale
-    use ``bits=63`` (the signature is a bigint; 21-bit blocks ≈ 2M
-    bucket values), which keeps the per-bucket fan-out flat."""
+    Scale note: block width = ``bits // (max_hamming + 1)`` decides
+    whether blocking survives a large corpus — narrow blocks (e.g. a
+    16-bit signature with k=2 → ≤64 distinct bucket values) make bucket
+    occupancy grow linearly with corpus size and the join degenerate.
+    The default is therefore the FULL width of the portable token hash:
+    60 bits (``hash64`` is 15 hex chars of md5; bits above 59 would be
+    identically zero), giving 15-20-bit blocks at k≤3 (32K-1M bucket
+    values) whose per-bucket fan-out stays flat. Narrower widths remain
+    available as demo/compat overrides."""
     # persist BEFORE filtering: signatures are tiny (id + 2 longs), the
     # self-join reuses them on both sides, and the cache boundary stops
     # Catalyst pushing isnotnull(simhash) beneath the projection — which
