@@ -74,12 +74,16 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape: term frequencies are one (id, term)-keyed hash agg
     over the exploded tokens; document frequencies reduce the same
-    relation to vocabulary size and come back via a **broadcast** join
-    (the post-agg df table is vocabulary-sized — bounded and tiny next
-    to the corpus; AQE would pick broadcast anyway, the hint makes the
-    contract explicit). The corpus row count N joins as a broadcast
-    1-row literal, not a driver collect. The only wide ops are the two
-    hash aggs and the final per-document top-k window.
+    relation to vocabulary size and join back on ``term`` with NO
+    broadcast hint — on a web-scale corpus the vocabulary (noise
+    tokens, typos, numbers) is 10^8+ terms and would blow any broadcast
+    threshold, so the plan must degrade to a shuffle join keyed on the
+    same ``term`` the df aggregation just hashed on. When the
+    vocabulary IS small, AQE's runtime size estimate converts the join
+    to broadcast on its own (verified in tests/test_plans.py). The
+    corpus row count N joins as a broadcast 1-row literal, not a driver
+    collect. The only wide ops are the two hash aggs and the final
+    per-document top-k window.
     """
     tf = (df.select(id_col, F.explode(tokens(text_col)).alias("term"))
           .groupBy(id_col, "term")
@@ -87,7 +91,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"))
-    scored = (tf.join(F.broadcast(dfreq), "term")
+    scored = (tf.join(dfreq, "term")
               .join(F.broadcast(n_docs))
               .withColumn("score", F.round(
                   F.col("tf") * F.log((F.col("n_docs") + 1.0)

@@ -81,6 +81,25 @@ def test_scene_geometry_stays_in_codegen(spark):
     assert "Scan parquet" in plan
 
 
+def test_tfidf_broadcast_is_adaptive_not_hinted(spark):
+    """The vocabulary (df-table) join carries no broadcast hint — on a
+    web-scale corpus the vocabulary is 10^8+ terms and must be allowed
+    to stay a shuffle join keyed on term. At test scale AQE's runtime
+    size estimate still converts it to broadcast on its own."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    df = entry.q_tfidf(spark, SF_DIR)
+    # exactly ONE hint in the logical plan: the deliberate 1-row n_docs
+    # literal — the vocabulary-sized dfreq join must carry none
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+    # after execution, AQE's final physical plan picks broadcast for the
+    # small vocabulary anyway
+    df.write.format("noop").mode("overwrite").save()
+    assert "BroadcastHashJoin" in formatted_plan(df)
+
+
 def test_dedup_text_pipeline_is_python_free(spark):
     """MinHash signatures + banding are pure Catalyst expressions."""
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
