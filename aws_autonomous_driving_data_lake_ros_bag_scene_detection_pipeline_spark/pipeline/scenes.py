@@ -327,21 +327,48 @@ def summarize_person_scenes(df: DataFrame, keys: list[str],
             .withColumn("topics_analyzed", F.lit(topics_analyzed)))
 
 
+def normalize_pseudo_json(col: Column | str) -> Column:
+    """Python-repr / YAML-ish pseudo-JSON → parseable JSON.
+
+    The reference's extractor stores complex ROS fields as the
+    *Python repr* of ``parse_yaml_val``'s output (main.py:51-58,
+    110-113): single-quoted keys/strings, ``None``/``True``/``False``
+    literals — bagpy's CSV cells are YAML-ish, not JSON. This is the
+    shape a user replaying reference-produced parquet actually hits,
+    so the adapter must accept it. Pure ``regexp_replace`` chain
+    (stays in codegen); identity on already-clean JSON that contains
+    no single quotes. Word-boundary guards keep ``None``/``True``/
+    ``False`` inside longer identifiers (or quoted strings followed by
+    word chars) untouched."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "'", '"')
+    c = F.regexp_replace(c, r"\bNone\b", "null")
+    c = F.regexp_replace(c, r"\bTrue\b", "true")
+    return F.regexp_replace(c, r"\bFalse\b", "false")
+
+
 def parse_reference_json(df: DataFrame, detections_json: str,
-                         lanes_json: str) -> DataFrame:
+                         lanes_json: str, tolerant: bool = True) -> DataFrame:
     """Adapter for reference-shaped inputs: the double-nested JSON payload
     columns of ``synchronized_topics`` (detect_scenes.py:96 does
     ``json.loads(json.loads(...))``) → typed arrays. ``from_json`` twice:
-    once to unwrap the payload string, once to parse the nested value."""
+    once to unwrap the payload string, once to parse the nested value.
+
+    ``tolerant`` (default) first normalizes the inner value through
+    :func:`normalize_pseudo_json`, because the reference's ``*_clean``
+    cells are single-quoted Python reprs (main.py:51-58), not JSON —
+    ``from_json`` would yield null arrays on them."""
     det_payload = F.from_json(
         F.col(detections_json),
         T.StructType([T.StructField("detections_bboxes_clean", T.StringType())]))
     lane_payload = F.from_json(
         F.col(lanes_json),
         T.StructType([T.StructField("lanes_clean", T.StringType())]))
+    det_val = det_payload["detections_bboxes_clean"]
+    lane_val = lane_payload["lanes_clean"]
+    if tolerant:
+        det_val = normalize_pseudo_json(det_val)
+        lane_val = normalize_pseudo_json(lane_val)
     return (df
-            .withColumn("_detections",
-                        F.from_json(det_payload["detections_bboxes_clean"],
-                                    DETECTIONS_SCHEMA))
-            .withColumn("_lanes",
-                        F.from_json(lane_payload["lanes_clean"], LANES_SCHEMA)))
+            .withColumn("_detections", F.from_json(det_val, DETECTIONS_SCHEMA))
+            .withColumn("_lanes", F.from_json(lane_val, LANES_SCHEMA)))

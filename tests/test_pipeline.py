@@ -14,7 +14,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.pipeline import (
-    detect_scenes, objects_in_lane, objects_in_lane_by_key, people_in_scene,
+    detect_scenes, objects_in_lane, objects_in_lane_by_key,
+    parse_reference_json, people_in_scene,
     summarize_person_scenes,
     synchronize_topics,
 )
@@ -193,6 +194,51 @@ def test_summarize_person_scenes(spark):
     assert r0.scene_length == pytest.approx(0.2)
     assert r0.num_people_in_scene_start == 1
     assert r0.topics_analyzed == "a,b"
+
+
+def test_reference_pseudo_json_end_to_end(spark):
+    """Reference-shaped payloads all the way through detect_scenes →
+    summarize_person_scenes: the *_clean cells are single-quoted Python
+    reprs with None literals (the actual on-disk shape produced by
+    main.py:51-58,110-113), wrapped once more in the to_json payload of
+    synchronize_topics (detect_scenes.py:96's double json.loads)."""
+    import json
+
+    def det_payload(dets):
+        return json.dumps({"detections_bboxes_clean": repr(dets)})
+
+    def lane_payload(lanes):
+        return json.dumps(
+            {"lanes_clean": repr([{"image_points": lane} for lane in lanes])})
+
+    person = {"x": 100.0, "y": 50.0, "width": 10.0, "height": 10.0,
+              "Class": "person"}
+    far = {"x": 500.0, "y": 50.0, "width": 4.0, "height": 4.0,
+           "Class": "person"}
+    # a None-valued field inside the repr must normalize to null, not
+    # poison the whole array
+    nulled = {"x": 100.0, "y": 50.0, "width": 10.0, "height": 10.0,
+              "Class": None}
+    lanes = [[{"x": 60.0, "y": 0.0}, {"x": 60.0, "y": 250.0}],
+             [{"x": 140.0, "y": 0.0}, {"x": 140.0, "y": 250.0}]]
+    rows = [
+        ("b1", 0.0, det_payload([far]), lane_payload(lanes)),
+        ("b1", 0.1, det_payload([person, far]), lane_payload(lanes)),
+        ("b1", 0.2, det_payload([nulled]), lane_payload(lanes)),
+        ("b1", 0.3, det_payload([]), lane_payload(lanes)),
+    ]
+    df = spark.createDataFrame(
+        rows, "bag_file string, Time double, det string, lane string")
+    parsed = parse_reference_json(df, "det", "lane")
+    detected = detect_scenes(parsed, "_detections", "_lanes",
+                             keep_cols=["bag_file", "Time"])
+    got = {r.Time: r.objects_in_lane for r in detected.collect()}
+    assert [o.Class for o in got[0.0]] == []          # x=500 outside lanes
+    assert [o.Class for o in got[0.1]] == ["person"]  # x=100 between 60,140
+    assert [o.Class for o in got[0.2]] == [None]      # None -> null Class
+    assert got[0.3] == []
+    scenes = summarize_person_scenes(detected, KEYS).collect()
+    assert [(r.start_time, r.end_time) for r in scenes] == [(0.1, 0.2)]
 
 
 def test_people_in_scene_counts_only_persons(spark):
