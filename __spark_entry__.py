@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
     asof_join, brute_force_topk, byte_histogram_features,
-    change_point_intervals, duplicate_ids, embedding_dup_pairs, exact_dedup,
+    change_point_intervals, contamination, dup_clusters, duplicate_ids,
+    embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
     pack_media, pack_sequences,
     resample_asof, salted_join, sessionize, simhash, simhash_pairs,
@@ -34,7 +35,8 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     token_repetition, top_k_per_group, union_by_name,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
-    ENGLISH_STOPWORDS, LANG_STOPWORDS, fingerprint, lang_id, punct_ratio,
+    ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
+    fingerprint, hash64, lang_id, pii_count, pii_redact, punct_ratio,
     quality_score, stopword_ratio, subword_count, token_count, tokens,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
@@ -835,6 +837,121 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the exact n-gram-Jaccard dup graph —
+    the representative-election step after pair-producing dedup.
+    Iterative min-label propagation (operators/dedup.dup_clusters);
+    oracle is a DuckDB recursive CTE computing min reachable id, so the
+    gate checks true fixpoint convergence, not an iteration count."""
+    docs = _spread(_t("documents")(spark, sf_dir))
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return dup_clusters(pairs).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+Q_DUP_CLUSTERS_SQL = f"""
+with recursive pairs as ({JACCARD_PAIRS_SQL}),
+edges as (select id_a as src, id_b as dst from pairs
+          union
+          select id_b as src, id_a as dst from pairs),
+nodes as (select distinct src as id from edges),
+reach as (select id, id as lab from nodes
+          union
+          select e.dst as id, r.lab
+          from edges e join reach r on r.id = e.src)
+select id as doc_id, min(lab)::BIGINT as cluster_id
+from reach group by id
+"""
+
+
+def q_pii(spark, sf_dir):
+    """PII detection + redaction (emails / IPv4 / phone numbers) over
+    documents salted with deterministic synthetic PII (the raw corpus
+    has none — the salt makes the check exercise real matches). Counts
+    per type plus a 60-bit fingerprint of the fully redacted text, so
+    the oracle verifies the exact redacted strings without shipping
+    them."""
+    docs = _t("documents")(spark, sf_dir)
+    did = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                            F.lit(".25"))).otherwise(F.lit("")),
+            F.when(did % 13 == 0,
+                   F.concat(F.lit(" call +1 555 "),
+                            F.lpad((did % 10000).cast("string"), 7, "0"))
+                   ).otherwise(F.lit(""))).alias("text"))
+    return salted.select(
+        "doc_id",
+        pii_count("text", "email").alias("n_emails"),
+        pii_count("text", "ipv4").alias("n_ipv4"),
+        pii_count("text", "phone").alias("n_phones"),
+        hash64(pii_redact("text")).alias("redacted_fp"))
+
+
+def _pii_sql() -> str:
+    pats = PII_PATTERNS
+    red = "text"
+    for kind in PII_REDACTION_ORDER:
+        red = (f"regexp_replace({red}, '{pats[kind]}', "
+               f"'<{kind.upper()}>', 'g')")
+    return f"""
+with p as (select doc_id, text
+  || case when doc_id % 7 = 0
+          then ' contact user' || doc_id || '@example.com' else '' end
+  || case when doc_id % 11 = 0
+          then ' from 10.0.' || (doc_id % 256) || '.25' else '' end
+  || case when doc_id % 13 = 0
+          then ' call +1 555 ' || lpad((doc_id % 10000)::VARCHAR, 7, '0')
+          else '' end as text
+  from documents)
+select doc_id,
+  len(regexp_extract_all(text, '{pats["email"]}'))::BIGINT as n_emails,
+  len(regexp_extract_all(text, '{pats["ipv4"]}'))::BIGINT as n_ipv4,
+  len(regexp_extract_all(text, '{pats["phone"]}'))::BIGINT as n_phones,
+  {HASH64_SQL.format(x=red)} as redacted_fp
+from p
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep: distinct 8-gram shingle overlap of
+    every document against a small eval set (doc_id < 25 stands in for
+    the benchmark corpus). The decontamination step of a training-data
+    pipeline; benchmark shingle set stays broadcast-small by
+    construction (operators/dedup.contamination)."""
+    docs = _spread(_t("documents")(spark, sf_dir))
+    bench = _t("documents")(spark, sf_dir).where(F.col("doc_id") < 25)
+    return contamination(docs, bench, "doc_id", "text", shingle_n=8)
+
+
+def _contamination_sql(n: int = 8, bench_max: int = 25) -> str:
+    sh = _shingles_sql("tk", n)
+    return f"""
+with toks as (select doc_id, {TOKS} as tk from documents),
+sh as (select doc_id, {sh} as grams from toks),
+dsh as (select doc_id, unnest(grams) as g from sh),
+bsh as (select distinct g from (
+          select unnest(grams) as g from sh where doc_id < {bench_max})),
+hits as (select doc_id, count(*) as n_contaminated
+         from dsh join bsh using (g) group by doc_id)
+select s.doc_id,
+  len(s.grams)::BIGINT as n_shingles,
+  coalesce(h.n_contaminated, 0)::BIGINT as n_contaminated,
+  case when len(s.grams) > 0
+       then round(coalesce(h.n_contaminated, 0) / len(s.grams)::DOUBLE, 6)
+       else 0.0 end as contamination_ratio
+from sh s left join hits h on h.doc_id = s.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     docs = _spread(_t("documents")(spark, sf_dir))
     return simhash(docs, "text", "doc_id", bits=16)
@@ -1604,6 +1721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_minhash_dedup": q_minhash_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dup_clusters": q_dup_clusters,
+        "q_pii": q_pii,
+        "q_contamination": q_contamination,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_media_features": q_media_features,
@@ -1660,6 +1780,9 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": Q_FINGERPRINT_SQL,
         "q_minhash_dedup": JACCARD_PAIRS_SQL,
         "q_ngram_jaccard": JACCARD_PAIRS_SQL,
+        "q_dup_clusters": Q_DUP_CLUSTERS_SQL,
+        "q_pii": _pii_sql(),
+        "q_contamination": _contamination_sql(),
         "q_simhash": _simhash_sql(),
         "q_simhash_pairs": _simhash_pairs_sql(),
         "q_text_stats": Q_TEXT_STATS_SQL,

@@ -26,7 +26,8 @@ __version__ = "0.1.0"
 
 from .operators import (  # noqa: E402,F401
     asof_join, brute_force_topk, byte_histogram_features,
-    change_point_intervals, decode_audio, decode_image, duplicate_ids,
+    change_point_intervals, contamination, decode_audio, decode_image,
+    dup_clusters, duplicate_ids,
     embedding_dup_pairs, exact_dedup, forward_fill, hash_sample, ivf_topk, jaccard, lag_lead,
     lsh_topk, minhash_lsh_pairs, minhash_signature, ngram_jaccard_pairs,
     pack_media, pack_sequences, pivot_wide, repartition_for_media, resample_asof, salted_join,

@@ -1,13 +1,16 @@
 from .hashing import hash64, hash64_seeded, hash64_seeded_sql, hash64_sql
 from .text import (
-    ENGLISH_STOPWORDS, LANG_STOPWORDS, fingerprint, lang_id, punct_ratio,
+    ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
+    fingerprint, lang_id, pii_count, pii_redact, punct_ratio,
     quality_score, shingles, stopword_ratio, subword_count, token_count, tokens,
 )
 from .vectors import cosine, dot, l2_distance, norm
 
 __all__ = [
-    "ENGLISH_STOPWORDS", "LANG_STOPWORDS", "cosine", "dot", "fingerprint",
+    "ENGLISH_STOPWORDS", "LANG_STOPWORDS", "PII_PATTERNS",
+    "PII_REDACTION_ORDER", "cosine", "dot", "fingerprint",
     "hash64", "hash64_seeded", "hash64_seeded_sql", "hash64_sql", "l2_distance",
-    "lang_id", "norm", "punct_ratio", "quality_score", "shingles",
+    "lang_id", "norm", "pii_count", "pii_redact", "punct_ratio",
+    "quality_score", "shingles",
     "stopword_ratio", "subword_count", "token_count", "tokens",
 ]

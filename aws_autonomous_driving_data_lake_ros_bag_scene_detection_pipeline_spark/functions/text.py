@@ -141,6 +141,47 @@ def lang_id(col: Column | str) -> Column:
     return F.when(m > 0, out).otherwise(F.lit("und"))
 
 
+# PII patterns pinned to the Java-regex ∩ RE2 common subset so Spark
+# (java.util.regex) and the DuckDB oracle (RE2) count/replace the exact
+# same spans: character classes, bounded repetition, \b, \d only — no
+# backrefs, no lookaround.
+PII_PATTERNS = {
+    # local@domain.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted quad (no octet-range check — detection, not validation)
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # international-ish: optional +, then ≥9 digits/spaces/hyphens
+    # ending in a digit
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+
+# longest-span types first so e.g. the digits of an already-redacted
+# email's domain can't be re-matched as a phone; both engines apply the
+# same order
+PII_REDACTION_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Non-overlapping match count of one PII pattern.
+
+    DuckDB mirror: ``len(regexp_extract_all(x, '<pattern>'))::BIGINT``
+    (both engines scan left-to-right, non-overlapping)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind])).cast("bigint")
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace every PII span with ``<TYPE>`` placeholders, applying
+    :data:`PII_REDACTION_ORDER`.
+
+    DuckDB mirror: nested ``regexp_replace(..., '<pattern>', '<TYPE>',
+    'g')`` in the same order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in PII_REDACTION_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: 60-bit hash of whitespace-normalized lowered
     text — the exact-dedup key that survives formatting noise."""

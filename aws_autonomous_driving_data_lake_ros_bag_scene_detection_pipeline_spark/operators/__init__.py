@@ -1,6 +1,7 @@
 from ..sources.tables import union_by_name
 from .dedup import (
-    duplicate_ids, exact_dedup, jaccard, minhash_lsh_pairs, minhash_signature,
+    contamination, dup_clusters, duplicate_ids, exact_dedup, jaccard,
+    minhash_lsh_pairs, minhash_signature,
     ngram_jaccard_pairs, simhash, simhash_pairs,
 )
 from .multimodal import (
@@ -18,7 +19,8 @@ from .topk import top_k_per_group
 
 __all__ = [
     "asof_join", "brute_force_topk", "byte_histogram_features",
-    "change_point_intervals", "decode_audio", "decode_image",
+    "change_point_intervals", "contamination", "decode_audio", "decode_image",
+    "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
     "hash_sample", "hash_sample_sql", "ivf_topk", "jaccard", "lag_lead", "lsh_topk", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",

@@ -234,6 +234,92 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.round("jaccard", 6).alias("jaccard")))
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph →
+    ``(id, cluster_id)`` with ``cluster_id`` = the smallest id in the
+    component (the canonical "keep one representative per dup cluster"
+    step that follows any pair-producing dedup operator).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round, labels flow across edges and each node keeps
+    the minimum seen. Converges in graph-diameter rounds — dup clusters
+    are near-cliques (diameter ~2-3), so the loop exits long before
+    ``max_iter``. The driver-side loop is inherent to iterative graph
+    algorithms (same shape as GraphX/GraphFrames connected components);
+    each round is ONE join + ONE min-aggregate, both keyed on the node
+    id, and ``localCheckpoint`` truncates the growing lineage so round
+    k's plan doesn't re-execute rounds 1..k-1. The convergence probe is
+    a count over the changed labels — a driver action per round on an
+    aggregate, not a data collect.
+
+    Only ids that appear in ``pairs`` are emitted (singletons have no
+    cluster to join). Deterministic for any edge order."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("lab", F.col("id")))
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges["src"] == labels["id"])
+                .select(F.col("dst").alias("id"), F.col("lab")))
+        new = (labels.union(msgs)
+               .groupBy("id")
+               .agg(F.min("lab").alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.lab") != F.col("o.lab"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
+
+
+def contamination(docs: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, bench_text_col: str | None = None,
+                  shingle_n: int = 8) -> DataFrame:
+    """Benchmark-contamination check: per document, how many of its
+    distinct word ``shingle_n``-grams also occur in a benchmark/eval
+    corpus → ``(id, n_shingles, n_contaminated, contamination_ratio)``.
+    The standard decontamination step before training on scraped data
+    (eval questions leaking into the corpus inflate scores); 8-13-gram
+    overlap is the commonly published test.
+
+    Shape: docs explode their distinct shingles into an (id, shingle)
+    relation (map-side, no shuffle); the benchmark reduces to a
+    distinct-shingle set — *bounded small by construction* (eval sets
+    are thousands of rows, not corpus-scale), so the hit join's build
+    side stays broadcastable and AQE picks broadcast on its own — no
+    hint, same reasoning as tfidf_top_terms. Docs with zero shingles
+    report a 0.0 ratio."""
+    b_text = bench_text_col or text_col
+    d_sh = docs.select(F.col(id_col),
+                       F.explode(shingles(text_col, shingle_n)).alias("_sh"))
+    b_sh = benchmark.select(
+        F.explode(shingles(b_text, shingle_n)).alias("_sh")).distinct()
+    hits = (d_sh.join(b_sh, "_sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    totals = docs.select(
+        F.col(id_col),
+        F.size(shingles(text_col, shingle_n)).cast("bigint")
+         .alias("n_shingles"))
+    return (totals.join(hits, id_col, "left")
+            .select(id_col, "n_shingles",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+                     .alias("n_contaminated"))
+            .withColumn("contamination_ratio",
+                        F.when(F.col("n_shingles") > 0,
+                               F.round(F.col("n_contaminated")
+                                       / F.col("n_shingles"), 6))
+                         .otherwise(F.lit(0.0))))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             bits: int = 60) -> DataFrame:
     """Per-doc SimHash: sign-aggregated token hashes, ``bits`` wide

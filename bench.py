@@ -69,6 +69,10 @@ def main() -> None:
                   file=sys.stderr)
             timings[name] = -1.0
             p50s[name] = -1.0
+        # the dedup pair operators persist() their signature relation and
+        # document that the CALLER owns the cache lifetime (dedup.py:24-29);
+        # leaked cache from earlier queries skews later measurements
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     line = json.dumps({"metric": "total_query_time", "value": total,

@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
-    duplicate_ids, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    contamination, dup_clusters, duplicate_ids, exact_dedup,
+    minhash_lsh_pairs, ngram_jaccard_pairs,
     simhash, simhash_pairs,
 )
 from tests.conftest import SF_DIR
@@ -61,6 +62,37 @@ def test_minhash_agrees_with_exact_on_documents(spark):
     ex = {(r.id_a, r.id_b): r.jaccard for r in
           ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
     assert mh == ex
+
+
+def test_dup_clusters_components(spark):
+    """Min-label propagation must reach the true fixpoint: a path graph
+    needs diameter rounds (labels can't shortcut), and disjoint
+    components must not merge."""
+    # path 10-11-12-13-14 (diameter 4) + pair 20-21 + triangle 30-31-32
+    edges = [(11, 10), (11, 12), (13, 12), (13, 14),
+             (20, 21), (30, 31), (31, 32), (30, 32)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_contamination_overlap(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"),          # shares its one 8-gram run
+         (1, "a b c d e f g h x y"),          # shares 8-gram "a..h"
+         (2, "z z z q w e r t y u"),          # no overlap
+         (3, "short text")],                  # < 8 tokens -> 0 shingles
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j k l")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_ratio)
+           for r in contamination(docs, bench, "doc_id", "text",
+                                  shingle_n=8).collect()}
+    assert got[0] == (3, 3, 1.0)   # all three 8-grams inside the bench run
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
 
 
 def test_simhash_near_dup_small_distance(spark, corpus):

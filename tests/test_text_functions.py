@@ -96,3 +96,54 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert top[1][1] == round(2 * math.log(4 / 2), 6)
     # "common" (df=3) scores ln(4/4)=0 -> beaten by the unique terms
     assert top[2][0] == "x" and top[3][0] == "y"
+
+
+def test_pii_count_and_redact(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+        pii_count, pii_redact,
+    )
+    text = ("mail a.user+tag@sub.example.org or admin@x.io, "
+            "server at 192.168.1.100, call +44 20 7946 0958 now")
+    df = spark.createDataFrame([(text,), ("clean text, no pii",)],
+                               "text string")
+    got = df.select(
+        pii_count("text", "email").alias("e"),
+        pii_count("text", "ipv4").alias("i"),
+        pii_count("text", "phone").alias("p"),
+        pii_redact("text").alias("r")).collect()
+    assert (got[0].e, got[0].i, got[0].p) == (2, 1, 1)
+    assert got[0].r == ("mail <EMAIL> or <EMAIL>, "
+                        "server at <IPV4>, call <PHONE> now")
+    assert (got[1].e, got[1].i, got[1].p) == (0, 0, 0)
+    assert got[1].r == "clean text, no pii"
+
+
+def test_pii_matches_duckdb_regex_semantics(spark, duck):
+    """The pinned patterns must count/replace identical spans in Java
+    regex (Spark) and RE2 (DuckDB) — the oracle contract for q_pii."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+        PII_PATTERNS, PII_REDACTION_ORDER, pii_count, pii_redact,
+    )
+    texts = [
+        "a@b.co c@d.org 1.2.3.4 +1 555 123 4567",
+        "no pii at all", "10.0.0.1x not-a-word-boundary 999.999.999.999",
+        "edge@case.museum trailing +123456789",
+        "double..dot@ex.com 1.2.3.4.5.6",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = sdf.select(
+        "text",
+        *[pii_count("text", k).alias(f"n_{k}") for k in PII_PATTERNS],
+        pii_redact("text").alias("red")).collect()
+    for r in rows:
+        for kind, pat in PII_PATTERNS.items():
+            d = duck.execute(
+                "select len(regexp_extract_all(?, ?))",
+                [r.text, pat]).fetchone()[0]
+            assert d == r[f"n_{kind}"], (r.text, kind)
+        red = r.text
+        for kind in PII_REDACTION_ORDER:
+            red = duck.execute(
+                "select regexp_replace(?, ?, ?, 'g')",
+                [red, PII_PATTERNS[kind], f"<{kind.upper()}>"]).fetchone()[0]
+        assert red == r.red, r.text
