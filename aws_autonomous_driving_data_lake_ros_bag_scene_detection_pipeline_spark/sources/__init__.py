@@ -1,3 +1,7 @@
-from .tables import TPCH_TABLES, load_table, load_tables, read_topics, write_partitioned
+from .tables import (
+    TPCH_TABLES, load_table, load_tables, read_topics, write_bucketed,
+    write_partitioned,
+)
 
-__all__ = ["TPCH_TABLES", "load_table", "load_tables", "read_topics", "write_partitioned"]
+__all__ = ["TPCH_TABLES", "load_table", "load_tables", "read_topics",
+           "write_bucketed", "write_partitioned"]

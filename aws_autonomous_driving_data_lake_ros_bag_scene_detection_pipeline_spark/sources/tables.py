@@ -73,6 +73,33 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed + sorted catalog table — the co-located-join layout.
+
+    At 100 TB the dominant repeated cost is re-shuffling a fact table
+    for every join/aggregate on the same key. Writing it bucketed by
+    that key (hash-partitioned into a fixed file layout, optionally
+    sorted inside each bucket) lets every later equi-join or groupBy on
+    the key run with NO exchange: Spark reads matching buckets
+    pair-wise, and with sorted buckets the sort-merge join skips its
+    sort too. Verified by plan assertion in
+    tests/test_plans.py::test_bucketed_join_has_no_shuffle.
+
+    Bucketing requires a catalog table (``saveAsTable``; plain
+    ``.parquet(path)`` writes no bucket metadata) — the engine's
+    catalog registration path (SURVEY §2 #12) already assumes one.
+    Pick ``num_buckets`` so one bucket of the largest table fits an
+    executor's scan batch (~128-512 MB); both sides of a co-located
+    join must use the same bucket count and columns.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def add_lineage(df: DataFrame, **cols: str) -> DataFrame:
     """Tag lineage/literal columns (SURVEY §2 #15; synchronize_topics.py:47-49)."""
     for name, value in cols.items():

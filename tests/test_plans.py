@@ -100,6 +100,38 @@ def test_tfidf_broadcast_is_adaptive_not_hinted(spark):
     assert "BroadcastHashJoin" in formatted_plan(df)
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with
+    ZERO exchanges — the co-located layout that amortizes the shuffle
+    across every later join/agg on that key (sources/tables.py
+    write_bucketed)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        count_exchanges,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        write_bucketed,
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 4,
+                   sort_cols=["l_orderkey"])
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey) \
+                  .groupBy("o_orderkey").agg(F.sum("l_quantity"))
+        # join AND the post-join agg on the same key: no exchange anywhere
+        assert count_exchanges(joined) == 0
+        assert joined.count() > 0
+    finally:
+        spark.sql("drop table if exists t_orders_b")
+        spark.sql("drop table if exists t_lineitem_b")
+
+
 def test_dedup_text_pipeline_is_python_free(spark):
     """MinHash signatures + banding are pure Catalyst expressions."""
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
