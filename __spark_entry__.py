@@ -506,6 +506,41 @@ from clicks c asof left join purchases p
 """
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: whichever right row (before or after) is
+    closer in event time, ties preferring backward — the sensor-fusion
+    alignment mode (match each camera frame to the closest lidar sweep,
+    not merely the last one). One shuffle, two sorted window passes
+    (operators/timeseries.asof_join direction='nearest')."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "t")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "t", F.col("value").alias("purchase_value"))
+    return asof_join(clicks, purchases, "t", ["user_id"],
+                     value_cols=["purchase_value"], direction="nearest")
+
+
+Q_ASOF_NEAREST_SQL = f"""
+with ev as ({EVENTS_SQL}),
+clicks as (select event_id, user_id, t from ev where event_type = 'click'),
+purchases as (select user_id, t, value as purchase_value from ev
+              where event_type = 'purchase'),
+b as (select c.event_id, c.user_id, c.t,
+             p.t as bt, p.purchase_value as bv
+      from clicks c asof left join purchases p
+        on c.user_id = p.user_id and c.t >= p.t),
+f as (select c.event_id, p.t as ft, p.purchase_value as fv
+      from clicks c asof left join purchases p
+        on c.user_id = p.user_id and c.t <= p.t)
+select b.event_id, b.user_id, b.t,
+  case when bt is not null and (ft is null or (b.t - bt) <= (ft - b.t))
+       then bv
+       when ft is not null then fv end as purchase_value
+from b join f using (event_id)
+"""
+
+
 def q_semi_join(spark, sf_dir):
     cust = _t("customer")(spark, sf_dir)
     orders = _t("orders")(spark, sf_dir).where(F.col("o_totalprice") > 300000)
@@ -1701,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_asof_tolerance": q_asof_tolerance,
         "q_asof_forward": q_asof_forward,
+        "q_asof_nearest": q_asof_nearest,
         "q_semi_join": q_semi_join,
         "q_anti_join": q_anti_join,
         "q_distinct_agg": q_distinct_agg,
@@ -1762,6 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_asof_tolerance": Q_ASOF_TOL_SQL,
         "q_asof_forward": Q_ASOF_FWD_SQL,
+        "q_asof_nearest": Q_ASOF_NEAREST_SQL,
         "q_semi_join": Q_SEMI_SQL,
         "q_anti_join": Q_ANTI_SQL,
         "q_distinct_agg": Q_DISTINCT_SQL,

@@ -100,17 +100,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
               direction: str = "backward",
               suffix: str = "_right") -> DataFrame:
     """As-of join: for each left row, the most recent right row at or
-    before (``backward``) / the earliest at or after (``forward``) its
-    ``on`` time, within each ``by`` group.
+    before (``backward``) / the earliest at or after (``forward``) /
+    whichever of the two is closer in time (``nearest``, ties prefer
+    backward) its ``on`` time, within each ``by`` group.
 
     The generalization of the reference's grid alignment (SURVEY §2.3
     note after #30). Implemented as union + one window pass — a single
     shuffle on ``by`` — instead of a range join, so it scales linearly
-    at 100 TB where an O(n·m) range join would not.
+    at 100 TB where an O(n·m) range join would not. ``nearest`` keeps
+    the single exchange and adds a second sort: two Window specs share
+    the ``by`` hash partitioning (ascending for the backward candidate,
+    descending for the forward one), then a row-level expression picks
+    the closer match — the whole-row choice an as-of match semantically
+    is.
 
-    ``tolerance`` drops matches older (resp. newer) than ``tolerance``
-    time units; matched right columns arrive as ``<col><suffix>`` (or
-    bare name if it doesn't collide).
+    ``tolerance`` drops matches older (resp. newer; ``nearest``:
+    farther either way) than ``tolerance`` time units; matched right
+    columns arrive as ``<col><suffix>`` (or bare name if it doesn't
+    collide).
     """
     value_cols = value_cols or [c for c in right.columns if c not in set(by) | {on}]
     rename = {c: c + suffix if c in left.columns else c for c in value_cols}
@@ -121,6 +128,41 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
         *[F.col(c).alias(rename[c]) for c in value_cols],
     ).withColumn("_side", F.lit(0))
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    if direction == "nearest":
+        # two candidate passes over ONE union: at-or-before (asc order)
+        # and at-or-after (desc order; right rows sort before left at
+        # equal time under _side asc in both, so exact-time matches are
+        # included on both sides)
+        wb = (Window.partitionBy(*by)
+              .orderBy(F.col(on).asc(), F.col("_side").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wf = (Window.partitionBy(*by)
+              .orderBy(F.col(on).desc(), F.col("_side").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        right_on = F.when(F.col("_side") == 0, F.col(on))
+        tb = F.last(right_on, ignorenulls=True).over(wb)
+        tf = F.last(right_on, ignorenulls=True).over(wf)
+        gap_b, gap_f = F.col(on) - F.col("_tb"), F.col("_tf") - F.col(on)
+        use_b = F.col("_tb").isNotNull() & (
+            F.col("_tf").isNull() | (gap_b <= gap_f))
+        picked = unioned.select(
+            *[c for c in lhs.columns if c != "_side"],
+            *[F.last(F.col(rename[c]), ignorenulls=True).over(wb)
+               .alias(f"_b_{rename[c]}") for c in value_cols],
+            *[F.last(F.col(rename[c]), ignorenulls=True).over(wf)
+               .alias(f"_f_{rename[c]}") for c in value_cols],
+            tb.alias("_tb"), tf.alias("_tf"), F.col("_side"),
+        ).where(F.col("_side") == 1)
+        gap = F.when(use_b, gap_b).otherwise(gap_f)
+        keep = (F.lit(True) if tolerance is None
+                else (gap <= F.lit(tolerance)))
+        chosen = [F.when(use_b & keep, F.col(f"_b_{rename[c]}"))
+                   .when(~use_b & F.col("_tf").isNotNull() & keep,
+                         F.col(f"_f_{rename[c]}"))
+                   .alias(rename[c]) for c in value_cols]
+        return picked.select(
+            *[c for c in lhs.columns if c != "_side"], *chosen)
 
     asc = direction == "backward"
     order = [F.col(on).asc() if asc else F.col(on).desc(), F.col("_side").asc()]

@@ -67,3 +67,36 @@ def test_asof_join_forward(spark):
         [("a", 9.0, 1.0), ("a", 12.0, 2.0)], "k string, t double, v double")
     got = asof_join(left, right, "t", ["k"], direction="forward").collect()
     assert got[0].v == 2.0
+
+
+def test_asof_join_nearest(spark):
+    left = spark.createDataFrame(
+        [("a", 10.0), ("a", 14.0), ("a", 16.0), ("a", 30.0),
+         ("b", 5.0), ("c", 1.0)],
+        "k string, t double")
+    right = spark.createDataFrame(
+        [("a", 9.0, 1.0), ("a", 20.0, 2.0),
+         ("b", 8.0, 3.0)],            # only a forward match for b
+        "k string, t double, v double")
+    got = {(r.k, r.t): r.v for r in
+           asof_join(left, right, "t", ["k"], direction="nearest").collect()}
+    assert got[("a", 10.0)] == 1.0    # 1 behind vs 10 ahead
+    assert got[("a", 14.0)] == 1.0    # tie (5 vs 6) -> closer backward
+    assert got[("a", 16.0)] == 2.0    # 7 behind vs 4 ahead
+    assert got[("a", 30.0)] == 2.0    # nothing ahead -> backward
+    assert got[("b", 5.0)] == 3.0     # nothing behind -> forward
+    assert got[("c", 1.0)] is None    # no right rows at all
+    # equal-distance tie prefers backward
+    tie = {r.t: r.v for r in asof_join(
+        spark.createDataFrame([("a", 15.0)], "k string, t double"),
+        spark.createDataFrame([("a", 10.0, 1.0), ("a", 20.0, 2.0)],
+                              "k string, t double, v double"),
+        "t", ["k"], direction="nearest").collect()}
+    assert tie[15.0] == 1.0
+    # tolerance applies to the chosen gap
+    tol = {(r.k, r.t): r.v for r in
+           asof_join(left, right, "t", ["k"], direction="nearest",
+                     tolerance=4.0).collect()}
+    assert tol[("a", 16.0)] == 2.0    # gap 4 <= 4 kept
+    assert tol[("a", 30.0)] is None   # gap 10 dropped
+    assert tol[("b", 5.0)] == 3.0     # gap 3 kept
