@@ -28,7 +28,8 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     asof_join, brute_force_topk, byte_histogram_features,
     change_point_intervals, contamination, dup_clusters, duplicate_ids,
     embedding_dup_pairs, exact_dedup,
-    ivf_topk, lag_lead, lsh_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
+    ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     pack_media, pack_sequences,
     resample_asof, salted_join, sessionize, simhash, simhash_pairs,
     stratified_hash_sample, tfidf_top_terms, time_spine,
@@ -987,6 +988,31 @@ from sh s left join hits h on h.doc_id = s.doc_id
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM fluency score (mean ln P(w2|w1)) — the
+    perplexity-filter stand-in of an LLM corpus pipeline
+    (operators/quality.lm_bigram_score)."""
+    docs = _spread(_t("documents")(spark, sf_dir))
+    return lm_bigram_score(docs, "doc_id", "text")
+
+
+Q_LM_SCORE_SQL = f"""
+with toks as (select doc_id, {TOKS} as tk from documents),
+bi as (select doc_id, tk[i] as w1, tk[i + 1] as w2
+       from toks, unnest(range(1, len(tk))) as r(i)
+       where len(tk) >= 2),
+c2 as (select w1, w2, count(*) as c2 from bi group by w1, w2),
+c1 as (select w1, sum(c2) as c1 from c2 group by w1)
+select bi.doc_id,
+  count(*)::BIGINT as n_bigrams,
+  round(avg(ln(c2.c2 / c1.c1)), 6) as avg_logprob
+from bi
+join c2 on c2.w1 = bi.w1 and c2.w2 = bi.w2
+join c1 on c1.w1 = bi.w1
+group by bi.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     docs = _spread(_t("documents")(spark, sf_dir))
     return simhash(docs, "text", "doc_id", bits=16)
@@ -1760,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": q_dup_clusters,
         "q_pii": q_pii,
         "q_contamination": q_contamination,
+        "q_lm_score": q_lm_score,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_media_features": q_media_features,
@@ -1820,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dup_clusters": Q_DUP_CLUSTERS_SQL,
         "q_pii": _pii_sql(),
         "q_contamination": _contamination_sql(),
+        "q_lm_score": Q_LM_SCORE_SQL,
         "q_simhash": _simhash_sql(),
         "q_simhash_pairs": _simhash_pairs_sql(),
         "q_text_stats": Q_TEXT_STATS_SQL,

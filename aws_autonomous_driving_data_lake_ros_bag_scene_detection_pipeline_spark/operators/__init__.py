@@ -10,7 +10,7 @@ from .multimodal import (
 )
 from .joins import salted_join
 from .pivot import pivot_wide
-from .quality import tfidf_top_terms, token_repetition
+from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
 from .sampling import hash_sample, hash_sample_sql, pack_sequences, stratified_hash_sample
 from .similarity import brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk
 from .sessionize import change_point_intervals, sessionize
@@ -22,7 +22,8 @@ __all__ = [
     "change_point_intervals", "contamination", "decode_audio", "decode_image",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
-    "hash_sample", "hash_sample_sql", "ivf_topk", "jaccard", "lag_lead", "lsh_topk", "minhash_lsh_pairs",
+    "hash_sample", "hash_sample_sql", "ivf_topk", "jaccard", "lag_lead",
+    "lm_bigram_score", "lsh_topk", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",

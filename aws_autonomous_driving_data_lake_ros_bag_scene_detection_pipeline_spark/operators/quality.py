@@ -65,6 +65,42 @@ def token_repetition(df: DataFrame, id_col: str,
                     F.lit(0.0)).alias("top_bigram_ratio")))
 
 
+def lm_bigram_score(df: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score per document —
+    ``(id, n_bigrams, avg_logprob)`` where ``avg_logprob`` is the mean
+    ln P(w2|w1) under the maximum-likelihood bigram model of the corpus
+    itself. The cheap stand-in for the perplexity filter every LLM
+    corpus pipeline runs (low mean log-prob ⇒ disfluent/garbled text;
+    no smoothing needed — every document bigram is in the corpus by
+    construction, so probabilities are never zero). Documents with < 2
+    tokens are omitted (no bigrams to score).
+
+    Two-pass shape, all hash aggregates: corpus bigram counts
+    C(w1,w2) come from one (w1,w2)-keyed agg over the exploded bigram
+    stream; context counts C(w1·) reduce those same counts (not the
+    raw stream) by w1. Both join back on vocabulary-sized keys —
+    unhinted, same AQE reasoning as :func:`tfidf_top_terms` — and the
+    final per-document mean is an (id)-keyed agg. Skew is bounded by
+    the hottest bigram, which AQE's skew-join splitting handles."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tk")) \
+        .where(F.size("_tk") >= 2)
+    bi = base.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice("_tk", 1, F.size("_tk") - 1),
+            F.slice("_tk", 2, F.size("_tk") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("_bg")
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    return (bi.join(c2, ["w1", "w2"]).join(c1, "w1")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(F.log(F.col("_c2") / F.col("_c1"))), 6)
+                  .alias("avg_logprob")))
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                     k: int = 3) -> DataFrame:
     """Top-``k`` TF-IDF terms per document

@@ -147,3 +147,18 @@ def test_pii_matches_duckdb_regex_semantics(spark, duck):
                 "select regexp_replace(?, ?, ?, 'g')",
                 [red, PII_PATTERNS[kind], f"<{kind.upper()}>"]).fetchone()[0]
         assert red == r.red, r.text
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    import math
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import lm_bigram_score
+    # corpus bigrams: "a b" x2 (docs 1,2), "a c" x1 (doc 2) -> C(a.)=3
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a c"), (3, "solo")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+           for r in lm_bigram_score(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}          # doc 3 has no bigrams
+    assert out[1] == (1, round(math.log(2 / 3), 6))
+    # doc 2: ln(2/3) [a b] + ln(1/1) [b a] + ln(1/3) [a c]
+    assert out[2] == (3, round((math.log(2 / 3) + 0.0 + math.log(1 / 3)) / 3, 6))
