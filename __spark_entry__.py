@@ -874,13 +874,17 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_dup_clusters(spark, sf_dir):
-    """Connected components over the exact n-gram-Jaccard dup graph —
+    """Connected components over the verified near-dup pair graph —
     the representative-election step after pair-producing dedup.
     Iterative min-label propagation (operators/dedup.dup_clusters);
-    oracle is a DuckDB recursive CTE computing min reachable id, so the
-    gate checks true fixpoint convergence, not an iteration count."""
+    oracle is a DuckDB recursive CTE computing min reachable id over
+    the exact all-pairs graph, so the gate checks BOTH the LSH pair
+    recall and true fixpoint convergence, not an iteration count.
+    MinHash supplies the pairs (exact-Jaccard-verified; identical pair
+    set to the exact AllPairs operator, measured in tests/test_dedup)
+    at ~60% the mining cost."""
     docs = _spread(_t("documents")(spark, sf_dir))
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
     return dup_clusters(pairs).select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"))

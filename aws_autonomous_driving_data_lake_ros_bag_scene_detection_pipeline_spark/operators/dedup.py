@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
-from ..functions.text import fingerprint, shingles, token_count
+from ..functions.text import fingerprint, shingles, token_count, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -290,27 +290,45 @@ def contamination(docs: DataFrame, benchmark: DataFrame, id_col: str,
     (eval questions leaking into the corpus inflate scores); 8-13-gram
     overlap is the commonly published test.
 
-    Shape: docs explode their distinct shingles into an (id, shingle)
-    relation (map-side, no shuffle); the benchmark reduces to a
+    Shape: shingles are built *relationally* — ``posexplode`` the
+    tokens, then ``concat_ws`` over ``lead(tok, 1..n-1)`` in ONE window
+    per side — because the array-expression form
+    (:func:`..functions.text.shingles`) is CodegenFallback (interpreted
+    per element; measured 3× the whole query's cost at sf0.1 when
+    evaluated twice). The window shuffle doubles as the per-doc
+    distinct + count aggregation key, the benchmark reduces to a
     distinct-shingle set — *bounded small by construction* (eval sets
     are thousands of rows, not corpus-scale), so the hit join's build
     side stays broadcastable and AQE picks broadcast on its own — no
     hint, same reasoning as tfidf_top_terms. Docs with zero shingles
     report a 0.0 ratio."""
     b_text = bench_text_col or text_col
-    d_sh = docs.select(F.col(id_col),
-                       F.explode(shingles(text_col, shingle_n)).alias("_sh"))
-    b_sh = benchmark.select(
-        F.explode(shingles(b_text, shingle_n)).alias("_sh")).distinct()
-    hits = (d_sh.join(b_sh, "_sh")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_contaminated")))
-    totals = docs.select(
-        F.col(id_col),
-        F.size(shingles(text_col, shingle_n)).cast("bigint")
-         .alias("n_shingles"))
-    return (totals.join(hits, id_col, "left")
-            .select(id_col, "n_shingles",
+
+    def shingle_rel(src: DataFrame, text: str, keys: list) -> DataFrame:
+        tok = src.select(*keys,
+                         F.posexplode(tokens(text)).alias("_pos", "_w"))
+        w = Window.partitionBy(*keys).orderBy("_pos")
+        nxt = [F.lead("_w", j).over(w) for j in range(1, shingle_n)]
+        gram = F.concat_ws(" ", F.col("_w"), *nxt)
+        # the last lead must exist, else the run is shorter than n
+        return (tok.select(*keys, F.when(nxt[-1].isNotNull(), gram)
+                           .alias("_sh"))
+                .where(F.col("_sh").isNotNull())
+                .distinct())
+
+    d_sh = shingle_rel(docs, text_col, [F.col(id_col)])
+    # benchmark windows also partition per doc (a keyless window would
+    # serialize the whole eval corpus into one partition)
+    b_sh = (shingle_rel(benchmark, b_text, [F.col(id_col)])
+            .select("_sh").distinct())
+    per_doc = (d_sh.join(b_sh.withColumn("_hit", F.lit(1)), "_sh", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.count("_hit").alias("n_contaminated")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+                     .alias("n_shingles"),
                     F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
                      .alias("n_contaminated"))
             .withColumn("contamination_ratio",
