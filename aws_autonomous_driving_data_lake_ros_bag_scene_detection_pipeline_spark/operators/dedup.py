@@ -189,16 +189,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     Shingles are compared by ``xxhash64``: narrower shuffle rows and
     cheaper key comparisons than strings (a collision among
     ~corpus×shingles keys is ~2^-40 and would only perturb one pair)."""
-    # filter on the CHEAP equivalent predicate (≥ n tokens ⟺ ≥ 1 shingle),
-    # never on size(h_arr): a filter over the expensive projection gets
-    # pushed beneath the caller's repartition exchange and evaluates the
-    # whole shingle-hash expression serially inside the (often 1-task)
-    # scan stage — observed 30× slowdown
-    arr = (df.where(token_count(text_col) >= shingle_n)
-           .select(F.col(id_col).alias("id"),
-                   F.array_sort(
-                       F.transform(shingles(text_col, shingle_n),
-                                   lambda s: F.xxhash64(s))).alias("h_arr"))
+    # Shingle hashes are built RELATIONALLY (posexplode tokens → window
+    # lead concat → xxhash64 → collect_set), not with the array
+    # expression form: higher-order transforms are CodegenFallback and
+    # the interpreted per-element cost dominated the whole operator
+    # (same finding as contamination(); measured ~1.8× end-to-end win
+    # at sf0.1 despite collect_set's ObjectHashAggregate). The window
+    # and the aggregate share the doc-id shuffle key. collect_set
+    # dedups hash values rather than shingle strings — identical modulo
+    # ~2^-40 hash collisions, the operator's documented stance.
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.posexplode(tokens(text_col)).alias("_pos", "_w"))
+    w = Window.partitionBy("id").orderBy("_pos")
+    nxt = [F.lead("_w", j).over(w) for j in range(1, shingle_n)]
+    gram = F.when(nxt[-1].isNotNull(),
+                  F.concat_ws(" ", F.col("_w"), *nxt))
+    sh_rows = (tok.select("id", gram.alias("_g"))
+               .where(F.col("_g").isNotNull())
+               .select("id", F.xxhash64("_g").alias("_h")))
+    arr = (sh_rows.groupBy("id")
+           .agg(F.array_sort(F.collect_set("_h")).alias("h_arr"))
            .withColumn("n_sh", F.size("h_arr"))
            # prefix theorem: a pair at τ must share a shingle within the
            # first n - ceil(τ·n) + 1 of each side's hash-sorted set
