@@ -78,6 +78,12 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     mins — ``collect_list`` forces ObjectHashAggregate (no codegen) and
     the agg adds a shuffle of every shingle, while this form stays in
     the scan stage and ships one row per doc to the band join.
+    Re-measured in r3 feeding the aggregate from window-``lead``
+    relational shingles (the build that wins for
+    :func:`ngram_jaccard_pairs` and :func:`contamination`): still
+    1.4× slower at the default num_perm=32 — 32 min-aggs + the
+    ObjectHashAggregate outweigh the interpreted transforms, so the
+    expression form stays.
 
     The ``shingles`` column carries the 64-bit shingle HASHES, not the
     strings: the verify step only needs intersection sizes, hash rows
