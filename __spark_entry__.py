@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
-    asof_join, brute_force_topk, byte_histogram_features,
+    asof_join, binned_interval_join, brute_force_topk,
+    byte_histogram_features,
     change_point_intervals, contamination, dup_clusters, duplicate_ids,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
@@ -455,6 +456,49 @@ select sess.user_id, sess.session_id::BIGINT as session_id,
   count(*) as n_contained
 from ev join sess on ev.user_id = sess.user_id
  and ev.t >= sess.start_time and ev.t <= sess.end_time
+group by sess.user_id, sess.session_id
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """PURE range join — no equi key at all: every event joined to every
+    session interval (of the user_id<50 cohort) containing its
+    timestamp. A bare range predicate plans as
+    BroadcastNestedLoopJoin (O(n·m)); operators/joins.
+    binned_interval_join turns it into a hash join on hour bins with an
+    exact containment residual."""
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(ev.where(F.col("user_id") < 50),
+                          ["user_id"], "t", GAP_US) \
+        .select(F.col("user_id").alias("s_user"), "session_id",
+                "start_time", "end_time")
+    pts = ev.select("event_id", "t")
+    joined = binned_interval_join(pts, sessions, "t",
+                                  "start_time", "end_time",
+                                  bin_width=HOUR_US)
+    return (joined.groupBy("s_user", "session_id")
+            .agg(F.count("event_id").alias("n_inside"))
+            .select(F.col("s_user").alias("user_id"),
+                    F.col("session_id").cast("bigint").alias("session_id"),
+                    "n_inside"))
+
+
+Q_INTERVAL_JOIN_SQL = f"""
+with ev as ({EVENTS_SQL}),
+m as (select user_id, t,
+        case when t - lag(t) over (partition by user_id order by t)
+                  > {GAP_US} then 1 else 0 end as brk
+      from ev where user_id < 50),
+s as (select user_id, t,
+        sum(brk) over (partition by user_id order by t
+                       rows between unbounded preceding and current row)
+          as session_id
+      from m),
+sess as (select user_id, session_id, min(t) as start_time, max(t) as end_time
+         from s group by user_id, session_id)
+select sess.user_id, sess.session_id::BIGINT as session_id,
+  count(*) as n_inside
+from ev join sess on ev.t >= sess.start_time and ev.t <= sess.end_time
 group by sess.user_id, sess.session_id
 """
 
@@ -1764,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_min_max_by": q_min_max_by,
         "q_percentiles": q_percentiles,
         "q_range_join": q_range_join,
+        "q_interval_join": q_interval_join,
         "q_asof_tolerance": q_asof_tolerance,
         "q_asof_forward": q_asof_forward,
         "q_asof_nearest": q_asof_nearest,
@@ -1827,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "q_min_max_by": Q_MIN_MAX_BY_SQL,
         "q_percentiles": Q_PERCENTILES_SQL,
         "q_range_join": Q_RANGE_JOIN_SQL,
+        "q_interval_join": Q_INTERVAL_JOIN_SQL,
         "q_asof_tolerance": Q_ASOF_TOL_SQL,
         "q_asof_forward": Q_ASOF_FWD_SQL,
         "q_asof_nearest": Q_ASOF_NEAREST_SQL,

@@ -8,7 +8,7 @@ from .multimodal import (
     byte_histogram_features, decode_audio, decode_image, pack_media,
     repartition_for_media, resize_pixels, sample_frames,
 )
-from .joins import salted_join
+from .joins import binned_interval_join, salted_join
 from .pivot import pivot_wide
 from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
 from .sampling import hash_sample, hash_sample_sql, pack_sequences, stratified_hash_sample
@@ -18,7 +18,8 @@ from .timeseries import asof_join, forward_fill, lag_lead, resample_asof, time_s
 from .topk import top_k_per_group
 
 __all__ = [
-    "asof_join", "brute_force_topk", "byte_histogram_features",
+    "asof_join", "binned_interval_join", "brute_force_topk",
+    "byte_histogram_features",
     "change_point_intervals", "contamination", "decode_audio", "decode_image",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",

@@ -69,3 +69,29 @@ def test_salted_rejects_right_join(sides):
     probe, build = sides
     with pytest.raises(ValueError):
         salted_join(probe, build, ["k"], salt_by="rid", how="right")
+
+
+def test_binned_interval_join_matches_plain_predicate(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import binned_interval_join
+    import random
+    rng = random.Random(3)
+    pts = spark.createDataFrame(
+        [(i, float(rng.randint(0, 1000))) for i in range(300)],
+        "pid long, t double")
+    ivs = spark.createDataFrame(
+        [(j, s, s + float(rng.randint(0, 120)))
+         for j, s in ((j, float(rng.randint(-50, 1000))) for j in range(40))],
+        "iid long, s double, e double")
+    plain = pts.join(ivs, (pts.t >= ivs.s) & (pts.t <= ivs.e))
+    expected = {(r.pid, r.iid) for r in plain.collect()}
+    for width in (7, 50, 500):   # widths below/at/above interval lengths
+        got = {(r.pid, r.iid) for r in binned_interval_join(
+            pts, ivs, "t", "s", "e", bin_width=width).collect()}
+        assert got == expected, f"width={width}"
+    # left join keeps pointless points with null interval cols
+    left = binned_interval_join(pts, ivs, "t", "s", "e",
+                                bin_width=50, how="left")
+    matched = {r.pid for r in left.where(F.col("iid").isNotNull()).collect()}
+    assert matched == {p for p, _ in expected}
+    assert left.where(F.col("iid").isNull()).count() == \
+        pts.count() - len({p for p, _ in expected} )
