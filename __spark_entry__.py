@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
     asof_join, binned_interval_join, brute_force_topk,
     byte_histogram_features,
-    change_point_intervals, contamination, dup_clusters, duplicate_ids,
+    change_point_intervals, chunk_documents, contamination, dup_clusters,
+    duplicate_ids,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -42,7 +43,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.fun
     quality_score, stopword_ratio, subword_count, token_count, tokens,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
-    file_stream, interval_join_stream)
+    dedup_stream, file_stream, interval_join_stream)
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.pipeline import (
     objects_in_lane_by_key, synchronize_topics,
 )
@@ -1036,6 +1037,75 @@ from sh s left join hits h on h.doc_id = s.doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (128-token chunks,
+    stride 96) — the pretraining/RAG document splitter
+    (operators/sampling.chunk_documents). chunk_text is fingerprinted
+    so the gate verifies the exact reconstructed windows without
+    shipping them."""
+    docs = _spread(_t("documents")(spark, sf_dir))
+    ch = chunk_documents(docs, "doc_id", "text",
+                         chunk_tokens=128, overlap=32)
+    return ch.select("doc_id", "chunk_idx", "n_tokens",
+                     hash64(F.col("chunk_text")).alias("chunk_fp"))
+
+
+Q_CHUNK_SQL = f"""
+with toks as (select doc_id, {TOKS} as tk from documents),
+tok as (select doc_id, i - 1 as pos, tk[i] as w
+        from toks, unnest(range(1, len(tk) + 1)) as r(i)),
+ch as (select doc_id, pos, w,
+         unnest(range(greatest(0, ceil((pos - 127) / 96.0)::BIGINT),
+                      (pos // 96) + 1)) as chunk_idx
+       from tok)
+select doc_id, chunk_idx,
+  count(*)::BIGINT as n_tokens,
+  {HASH64_SQL.format(x="string_agg(w, ' ' order by pos)")} as chunk_fp
+from ch group by doc_id, chunk_idx
+"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming watermark dedup IN the correctness gate: the events
+    table replayed through TWO independent streaming file sources and
+    unioned (every event arrives twice), then
+    streaming/ops.dedup_stream drops the duplicates with bounded state
+    (dropDuplicatesWithinWatermark). The memory sink's content then
+    aggregates (batch) to per-type counts that must equal the plain
+    single-copy oracle — proof the stream removed exactly the
+    duplicate arrivals."""
+    import uuid
+    batch = _t("events")(spark, sf_dir)
+
+    def src():
+        s = file_stream(spark, sf_dir, batch.schema, glob="events.parquet")
+        return s.select("event_id", "event_type", "value",
+                        _ts_us(s).alias("t"))
+
+    doubled = src().unionByName(src())
+    dd = dedup_stream(doubled, ["event_id"], "t", watermark="1 hour")
+    name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (dd.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+Q_STREAM_DEDUP_SQL = """
+select event_type, count(*) as n_events,
+       round(sum(value), 6) as sum_value
+from events group by event_type
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """Corpus-trained bigram-LM fluency score (mean ln P(w2|w1)) — the
     perplexity-filter stand-in of an LLM corpus pipeline
@@ -1836,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii": q_pii,
         "q_contamination": q_contamination,
         "q_lm_score": q_lm_score,
+        "q_chunk_documents": q_chunk_documents,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_media_features": q_media_features,
@@ -1855,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_duplicate_ids": q_duplicate_ids,
         "q_stream_windowed": q_stream_windowed,
         "q_stream_join": q_stream_join,
+        "q_stream_dedup": q_stream_dedup,
     }
 
 
@@ -1898,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pii": _pii_sql(),
         "q_contamination": _contamination_sql(),
         "q_lm_score": Q_LM_SCORE_SQL,
+        "q_chunk_documents": Q_CHUNK_SQL,
         "q_simhash": _simhash_sql(),
         "q_simhash_pairs": _simhash_pairs_sql(),
         "q_text_stats": Q_TEXT_STATS_SQL,
@@ -1917,4 +1990,5 @@ def oracle_sql() -> dict[str, str]:
         "q_duplicate_ids": Q_DUPLICATE_IDS_SQL,
         "q_stream_windowed": Q_STREAM_WINDOWED_SQL,
         "q_stream_join": Q_STREAM_JOIN_SQL,
+        "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     }

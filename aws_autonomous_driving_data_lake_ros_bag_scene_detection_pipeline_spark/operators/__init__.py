@@ -11,7 +11,10 @@ from .multimodal import (
 from .joins import binned_interval_join, salted_join
 from .pivot import pivot_wide
 from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
-from .sampling import hash_sample, hash_sample_sql, pack_sequences, stratified_hash_sample
+from .sampling import (
+    chunk_documents, hash_sample, hash_sample_sql, pack_sequences,
+    stratified_hash_sample,
+)
 from .similarity import brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk
 from .sessionize import change_point_intervals, sessionize
 from .timeseries import asof_join, forward_fill, lag_lead, resample_asof, time_spine
@@ -20,7 +23,8 @@ from .topk import top_k_per_group
 __all__ = [
     "asof_join", "binned_interval_join", "brute_force_topk",
     "byte_histogram_features",
-    "change_point_intervals", "contamination", "decode_audio", "decode_image",
+    "change_point_intervals", "chunk_documents", "contamination",
+    "decode_audio", "decode_image",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
     "hash_sample", "hash_sample_sql", "ivf_topk", "jaccard", "lag_lead",

@@ -66,6 +66,43 @@ def hash_sample_sql(key_expr: str, rate: float,
            f" < {int(rate * _BUCKETS)}"
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 128,
+                    overlap: int = 32) -> DataFrame:
+    """Split documents into overlapping fixed-token windows —
+    ``(id, chunk_idx, n_tokens, chunk_text)`` — the
+    pretraining/RAG chunking step (stride = ``chunk_tokens − overlap``;
+    chunk k covers token positions ``[k·stride, k·stride +
+    chunk_tokens)``; the last chunk may be short; docs shorter than one
+    chunk yield a single chunk 0).
+
+    Relational shape: ``posexplode`` the tokens, explode each token to
+    the (at most ``⌈chunk/stride⌉``) chunk ids covering its position,
+    then one (id, chunk)-keyed aggregate rebuilds each window's text
+    with an order-restoring ``sort_array(collect_list(struct))``. The
+    token stream is materialized once, every expression around the
+    ObjectHashAggregate is codegen, and the only shuffle key is
+    (id, chunk) — skew bounded by the chunk size itself."""
+    from ..functions.text import tokens
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tok = df.select(F.col(id_col),
+                    F.posexplode(tokens(text_col)).alias("_pos", "_w"))
+    k_lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((F.col("_pos") - chunk_tokens + 1) / float(stride)).cast("long"))
+    k_hi = F.floor(F.col("_pos") / stride).cast("long")
+    ch = tok.select(id_col, "_pos", "_w",
+                    F.explode(F.sequence(k_lo, k_hi)).alias("chunk_idx"))
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("_pos", "_w"))),
+        lambda s: s["_w"])
+    return (ch.groupBy(id_col, "chunk_idx")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.concat_ws(" ", ordered).alias("chunk_text")))
+
+
 def pack_sequences(df: DataFrame, id_col: str, size_col: str,
                    capacity: int, shards: int = 256) -> DataFrame:
     """Assign each document to a training bin of ~``capacity`` tokens:

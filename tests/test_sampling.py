@@ -77,3 +77,26 @@ def test_pack_sequences_invariants(spark):
     again = pack_sequences(df, "doc_id", "n_tok", capacity=1000,
                            shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_chunk_documents_windows(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),   # 10 tokens
+         (2, "a b"),                              # shorter than one chunk
+         (3, "")],                                # no tokens -> no chunks
+        "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+           for r in chunk_documents(df, "doc_id", "text",
+                                    chunk_tokens=4, overlap=2).collect()}
+    # stride 2: chunks cover [0,4) [2,6) [4,8) [6,10) [8,12)
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t2 t3 t4 t5")
+    assert got[(1, 2)] == (4, "t4 t5 t6 t7")
+    assert got[(1, 3)] == (4, "t6 t7 t8 t9")
+    assert got[(1, 4)] == (2, "t8 t9")            # short tail
+    assert got[(2, 0)] == (2, "a b")
+    assert {k[0] for k in got} == {1, 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
