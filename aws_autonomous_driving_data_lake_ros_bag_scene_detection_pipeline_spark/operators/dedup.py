@@ -276,10 +276,18 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                                  F.col(id_a).alias("dst")))
              .distinct()
              .localCheckpoint(eager=False))
-    labels = (edges.select(F.col("src").alias("id"))
-              .distinct()
-              .withColumn("lab", F.col("id")))
-    for _ in range(max_iter):
+    # round 1 needs no join: with identity labels, the messages ARE the
+    # edges (label of src = src), so the first fixpoint step collapses
+    # to one aggregate — and its convergence probe is redundant (round
+    # 1 changes labels iff any edge exists at all)
+    labels = (edges.select(F.col("dst").alias("id"),
+                           F.col("src").alias("lab"))
+              .union(edges.select(F.col("src").alias("id"),
+                                  F.col("src").alias("lab")))
+              .groupBy("id")
+              .agg(F.min("lab").alias("lab"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter - 1):
         msgs = (edges.join(labels, edges["src"] == labels["id"])
                 .select(F.col("dst").alias("id"), F.col("lab")))
         new = (labels.union(msgs)
