@@ -1865,14 +1865,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so that if the driver gate evaluates only the first 50
+    # rows (r2 stopped at 50 and left the then-final q_scene_geometry
+    # with no verdict), every DISTINCT operator family still gets a
+    # verdict: the last 9 entries exercise machinery another earlier
+    # query already covers (noted per entry below).
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
         "q_topk_per_group": q_topk_per_group,
         "q_rollup": q_rollup,
-        "q_cube": q_cube,
         "q_grouping_sets": q_grouping_sets,
         "q_rank_family": q_rank_family,
         "q_min_max_by": q_min_max_by,
@@ -1880,7 +1883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_interval_join": q_interval_join,
         "q_asof_tolerance": q_asof_tolerance,
-        "q_asof_forward": q_asof_forward,
         "q_asof_nearest": q_asof_nearest,
         "q_semi_join": q_semi_join,
         "q_anti_join": q_anti_join,
@@ -1888,18 +1890,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_union_align": q_union_align,
         "q_pivot_events": q_pivot_events,
-        "q_time_spine": q_time_spine,
         "q_resample_locf": q_resample_locf,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
         "q_lag_lead": q_lag_lead,
         "q_change_points": q_change_points,
         "q_sync_pipeline": q_sync_pipeline,
-        # early slot (not last): r2's driver gate stopped at 50 rows and
-        # the then-final q_scene_geometry got no verdict at all
         "q_scene_geometry": q_scene_geometry,
         "q_exact_dedup": q_exact_dedup,
-        "q_doc_fingerprint": q_doc_fingerprint,
         "q_minhash_dedup": q_minhash_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dup_clusters": q_dup_clusters,
@@ -1907,7 +1905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_lm_score": q_lm_score,
         "q_chunk_documents": q_chunk_documents,
-        "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_media_features": q_media_features,
         "q_text_stats": q_text_stats,
@@ -1921,12 +1918,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_dups": q_embedding_dups,
-        "q_salted_join": q_salted_join,
-        "q_window_range": q_window_range,
-        "q_duplicate_ids": q_duplicate_ids,
         "q_stream_windowed": q_stream_windowed,
         "q_stream_join": q_stream_join,
         "q_stream_dedup": q_stream_dedup,
+        # ---- redundant-machinery tail (see ordering note above) ----
+        "q17_small_qty_revenue": q17_small_qty_revenue,  # scan+join+agg ≈ q3/q5
+        "q_cube": q_cube,                  # grouping-set engine ≈ rollup/gsets
+        "q_asof_forward": q_asof_forward,  # asof windowing ≈ join/tol/nearest
+        "q_time_spine": q_time_spine,      # spine gen inside q_resample_locf
+        "q_salted_join": q_salted_join,    # oracle IS the plain equi-join
+        "q_window_range": q_window_range,  # range frames ≈ q_window_running
+        "q_duplicate_ids": q_duplicate_ids,  # fingerprint ≈ q_exact_dedup
+        "q_simhash": q_simhash,            # signature inside q_simhash_pairs
+        "q_doc_fingerprint": q_doc_fingerprint,  # hash64 ≈ q_exact_dedup
     }
 
 
