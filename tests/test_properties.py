@@ -123,3 +123,35 @@ def test_lsh_pairs_subset_of_exact_pairs(spark, texts):
     # every LSH-surfaced pair is verified with exact Jaccard, so LSH
     # results are always a subset of the exact all-pairs answer
     assert lsh <= exact
+
+
+@SETTINGS
+@given(edges=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                      min_size=1, max_size=40))
+def test_dup_clusters_matches_union_find(spark, edges):
+    """Connected components from iterative min-label propagation must
+    equal a driver-side union-find on any random graph (self-loops,
+    parallel edges, chains, cliques)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import dup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == expected
