@@ -204,12 +204,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # and the aggregate share the doc-id shuffle key. collect_set
     # dedups hash values rather than shingle strings — identical modulo
     # ~2^-40 hash collisions, the operator's documented stance.
+    if shingle_n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
     tok = df.select(F.col(id_col).alias("id"),
                     F.posexplode(tokens(text_col)).alias("_pos", "_w"))
-    w = Window.partitionBy("id").orderBy("_pos")
-    nxt = [F.lead("_w", j).over(w) for j in range(1, shingle_n)]
-    gram = F.when(nxt[-1].isNotNull(),
-                  F.concat_ws(" ", F.col("_w"), *nxt))
+    if shingle_n == 1:
+        gram = F.col("_w")  # unigrams: no lead window needed
+    else:
+        w = Window.partitionBy("id").orderBy("_pos")
+        nxt = [F.lead("_w", j).over(w) for j in range(1, shingle_n)]
+        gram = F.when(nxt[-1].isNotNull(),
+                      F.concat_ws(" ", F.col("_w"), *nxt))
     sh_rows = (tok.select("id", gram.alias("_g"))
                .where(F.col("_g").isNotNull())
                .select("id", F.xxhash64("_g").alias("_h")))
@@ -257,17 +262,32 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     component (the canonical "keep one representative per dup cluster"
     step that follows any pair-producing dedup operator).
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round, labels flow across edges and each node keeps
-    the minimum seen. Converges in graph-diameter rounds — dup clusters
-    are near-cliques (diameter ~2-3), so the loop exits long before
-    ``max_iter``. The driver-side loop is inherent to iterative graph
-    algorithms (same shape as GraphX/GraphFrames connected components);
-    each round is ONE join + ONE min-aggregate, both keyed on the node
-    id, and ``localCheckpoint`` truncates the growing lineage so round
-    k's plan doesn't re-execute rounds 1..k-1. The convergence probe is
-    a count over the changed labels — a driver action per round on an
-    aggregate, not a data collect.
+    Min-label propagation **with pointer doubling**: every node starts
+    labeled with its own id; each round (1) labels flow across edges
+    and each node keeps the minimum seen, then (2) every node shortcuts
+    to its label's label (``lab ← lab(lab)``, valid because a label is
+    always the id of a node in the same component and ``lab(x) ≤ x``).
+    The shortcut step is what makes convergence **O(log diameter)**
+    instead of O(diameter): on a chain the known-minimum frontier more
+    than doubles each round (2, 6, 13, 27, …), so ``max_iter=20``
+    covers diameters beyond 10^5 — plain propagation would silently
+    stop at diameter ≈ ``max_iter`` (the r3 audit's latent defect).
+    Dup clusters are near-cliques (diameter ~2-3) so the loop still
+    exits in 2-3 rounds on real corpora; the doubling join only pays
+    off on pathological chain-of-boilerplate components, which is
+    exactly when correctness is at stake.
+
+    If labels still change after ``max_iter`` rounds the operator
+    **raises** rather than emit wrong cluster ids.
+
+    The driver-side loop is inherent to iterative graph algorithms
+    (same shape as GraphX/GraphFrames connected components); each round
+    is one edge join + one min-aggregate + one self-join for the
+    shortcut, all keyed on the node id, and ``localCheckpoint``
+    truncates the growing lineage so round k's plan doesn't re-execute
+    rounds 1..k-1. The convergence probe is a count over the changed
+    labels — a driver action per round on an aggregate, not a data
+    collect.
 
     Only ids that appear in ``pairs`` are emitted (singletons have no
     cluster to join). Deterministic for any edge order."""
@@ -287,12 +307,21 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
               .groupBy("id")
               .agg(F.min("lab").alias("lab"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter - 1):
         msgs = (edges.join(labels, edges["src"] == labels["id"])
                 .select(F.col("dst").alias("id"), F.col("lab")))
-        new = (labels.union(msgs)
-               .groupBy("id")
-               .agg(F.min("lab").alias("lab"))
+        prop = (labels.union(msgs)
+                .groupBy("id")
+                .agg(F.min("lab").alias("lab")))
+        # pointer doubling: lab ← lab(lab). Every label is itself a node
+        # id present in `prop` (it is the min of a set of node ids), so
+        # the left join always hits; coalesce only guards the theoretical
+        # empty-frame edge. lab(lab) ≤ lab, so this can only tighten.
+        ptr = prop.select(F.col("id").alias("_pid"), F.col("lab").alias("_plab"))
+        new = (prop.join(ptr, prop["lab"] == ptr["_pid"], "left")
+               .select(F.col("id"),
+                       F.coalesce("_plab", "lab").alias("lab"))
                .localCheckpoint(eager=True))
         changed = (new.alias("n")
                    .join(labels.alias("o"), "id")
@@ -300,7 +329,26 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    .count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # probe once more: the last round may have been the one that
+        # reached the fixpoint (loop body checks BEFORE knowing it was
+        # the final iteration)
+        msgs = (edges.join(labels, edges["src"] == labels["id"])
+                .select(F.col("dst").alias("id"), F.col("lab")))
+        still = (labels.union(msgs)
+                 .groupBy("id")
+                 .agg(F.min("lab").alias("lab"))
+                 .alias("n")
+                 .join(labels.alias("o"), "id")
+                 .where(F.col("n.lab") != F.col("o.lab"))
+                 .count())
+        if still > 0:
+            raise RuntimeError(
+                f"dup_clusters did not converge in max_iter={max_iter} "
+                "rounds; with pointer doubling this covers diameters "
+                "beyond 10^5 — raise max_iter or inspect the pair graph")
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
 
 
@@ -328,15 +376,21 @@ def contamination(docs: DataFrame, benchmark: DataFrame, id_col: str,
     report a 0.0 ratio."""
     b_text = bench_text_col or text_col
 
+    if shingle_n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
+
     def shingle_rel(src: DataFrame, text: str, keys: list) -> DataFrame:
         tok = src.select(*keys,
                          F.posexplode(tokens(text)).alias("_pos", "_w"))
-        w = Window.partitionBy(*keys).orderBy("_pos")
-        nxt = [F.lead("_w", j).over(w) for j in range(1, shingle_n)]
-        gram = F.concat_ws(" ", F.col("_w"), *nxt)
-        # the last lead must exist, else the run is shorter than n
-        return (tok.select(*keys, F.when(nxt[-1].isNotNull(), gram)
-                           .alias("_sh"))
+        if shingle_n == 1:
+            gram = F.col("_w")  # unigrams: no lead window needed
+        else:
+            w = Window.partitionBy(*keys).orderBy("_pos")
+            nxt = [F.lead("_w", j).over(w) for j in range(1, shingle_n)]
+            # the last lead must exist, else the run is shorter than n
+            gram = F.when(nxt[-1].isNotNull(),
+                          F.concat_ws(" ", F.col("_w"), *nxt))
+        return (tok.select(*keys, gram.alias("_sh"))
                 .where(F.col("_sh").isNotNull())
                 .distinct())
 

@@ -77,6 +77,49 @@ def test_dup_clusters_components(spark):
                    20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
+def test_dup_clusters_long_chain(spark):
+    """A chain whose diameter far exceeds max_iter: plain min-label
+    propagation would silently emit split labels after max_iter rounds
+    (the r3 audit defect); pointer doubling must converge in O(log d)
+    rounds and label the whole chain with its minimum id."""
+    n = 200  # diameter 199 >> max_iter=20; log2 convergence needs ~8 rounds
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dup_clusters_raises_on_exhausted_iterations(spark):
+    """With max_iter too small to converge, the operator must raise
+    rather than return wrong labels."""
+    edges = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=2)
+
+
+def test_ngram_jaccard_unigram_shingles(spark, corpus):
+    """shingle_n=1 must work (distinct-token Jaccard), not IndexError."""
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(corpus, "text", "doc_id",
+                               threshold=0.5, shingle_n=1).collect()}
+    assert got.get((0, 1)) == 1.0   # identical docs share all unigrams
+    assert (0, 3) in got            # one-token edit stays above 0.5
+    with pytest.raises(ValueError, match="shingle_n"):
+        ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=0)
+
+
+def test_contamination_unigram_shingles(spark):
+    """shingle_n=1 contamination counts distinct-token overlap."""
+    docs = spark.createDataFrame([(0, "a b c"), (1, "x y z")],
+                                 "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b q")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_contaminated)
+           for r in contamination(docs, bench, "doc_id", "text",
+                                  shingle_n=1).collect()}
+    assert got == {0: (3, 2), 1: (3, 0)}
+
+
 def test_contamination_overlap(spark):
     docs = spark.createDataFrame(
         [(0, "a b c d e f g h i j"),          # shares its one 8-gram run
