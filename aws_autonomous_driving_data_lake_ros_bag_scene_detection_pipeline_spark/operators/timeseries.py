@@ -118,6 +118,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
     farther either way) than ``tolerance`` time units; matched right
     columns arrive as ``<col><suffix>`` (or bare name if it doesn't
     collide).
+
+    The matched right row travels as ONE struct through the window
+    (``last(struct(t, values…), ignorenulls=True)``): per-column
+    ``last(value, ignorenulls=True)`` would skip a NULL in the matched
+    row and backfill it from an *older* right row — mixing columns from
+    different rows and checking tolerance against the wrong row's time.
+    A NULL in the matched row is emitted as NULL, the as-of contract.
     """
     value_cols = value_cols or [c for c in right.columns if c not in set(by) | {on}]
     rename = {c: c + suffix if c in left.columns else c for c in value_cols}
@@ -128,6 +135,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
         *[F.col(c).alias(rename[c]) for c in value_cols],
     ).withColumn("_side", F.lit(0))
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # the whole candidate right row as one value: NULL on left rows (so
+    # ignorenulls skips them), always-non-null struct on right rows even
+    # when every value inside is NULL
+    row_struct = F.when(F.col("_side") == 0, F.struct(
+        F.col(on).alias("_t"),
+        *[F.col(rename[c]).alias(rename[c]) for c in value_cols]))
 
     if direction == "nearest":
         # two candidate passes over ONE union: at-or-before (asc order)
@@ -140,26 +154,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
         wf = (Window.partitionBy(*by)
               .orderBy(F.col(on).desc(), F.col("_side").asc())
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        right_on = F.when(F.col("_side") == 0, F.col(on))
-        tb = F.last(right_on, ignorenulls=True).over(wb)
-        tf = F.last(right_on, ignorenulls=True).over(wf)
-        gap_b, gap_f = F.col(on) - F.col("_tb"), F.col("_tf") - F.col(on)
-        use_b = F.col("_tb").isNotNull() & (
-            F.col("_tf").isNull() | (gap_b <= gap_f))
         picked = unioned.select(
             *[c for c in lhs.columns if c != "_side"],
-            *[F.last(F.col(rename[c]), ignorenulls=True).over(wb)
-               .alias(f"_b_{rename[c]}") for c in value_cols],
-            *[F.last(F.col(rename[c]), ignorenulls=True).over(wf)
-               .alias(f"_f_{rename[c]}") for c in value_cols],
-            tb.alias("_tb"), tf.alias("_tf"), F.col("_side"),
+            F.last(row_struct, ignorenulls=True).over(wb).alias("_mb"),
+            F.last(row_struct, ignorenulls=True).over(wf).alias("_mf"),
+            F.col("_side"),
         ).where(F.col("_side") == 1)
+        tb, tf = F.col("_mb._t"), F.col("_mf._t")
+        gap_b, gap_f = F.col(on) - tb, tf - F.col(on)
+        use_b = tb.isNotNull() & (tf.isNull() | (gap_b <= gap_f))
         gap = F.when(use_b, gap_b).otherwise(gap_f)
         keep = (F.lit(True) if tolerance is None
                 else (gap <= F.lit(tolerance)))
-        chosen = [F.when(use_b & keep, F.col(f"_b_{rename[c]}"))
-                   .when(~use_b & F.col("_tf").isNotNull() & keep,
-                         F.col(f"_f_{rename[c]}"))
+        chosen = [F.when(use_b & keep, F.col(f"_mb.{rename[c]}"))
+                   .when(~use_b & tf.isNotNull() & keep,
+                         F.col(f"_mf.{rename[c]}"))
                    .alias(rename[c]) for c in value_cols]
         return picked.select(
             *[c for c in lhs.columns if c != "_side"], *chosen)
@@ -169,25 +178,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
     w = (Window.partitionBy(*by).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    out_cols = [F.last(rename[c], ignorenulls=True).over(w).alias(rename[c])
-                for c in value_cols]
-    match_time = F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True).over(w)
     filled = unioned.select(
         *[c for c in lhs.columns if c != "_side"],
-        *out_cols,
-        match_time.alias("_match_time"),
+        F.last(row_struct, ignorenulls=True).over(w).alias("_m"),
         F.col("_side"),
     ).where(F.col("_side") == 1)
 
-    if tolerance is not None:
-        gap = (F.col(on) - F.col("_match_time")) if asc else (F.col("_match_time") - F.col(on))
-        keep = F.col("_match_time").isNotNull() & (gap <= F.lit(tolerance))
-        filled = filled.select(
-            *[c for c in lhs.columns if c != "_side"],
-            *[F.when(keep, F.col(rename[c])).alias(rename[c]) for c in value_cols],
-            "_match_time", "_side",
-        )
-    return filled.drop("_side", "_match_time")
+    match_time = F.col("_m._t")
+    if tolerance is None:
+        keep = match_time.isNotNull()
+    else:
+        gap = ((F.col(on) - match_time) if asc
+               else (match_time - F.col(on)))
+        keep = match_time.isNotNull() & (gap <= F.lit(tolerance))
+    return filled.select(
+        *[c for c in lhs.columns if c != "_side"],
+        *[F.when(keep, F.col(f"_m.{rename[c]}")).alias(rename[c])
+          for c in value_cols])
 
 
 def lag_lead(df: DataFrame, keys: list[str], order_col: str, col: str,

@@ -61,6 +61,33 @@ def test_asof_join_backward_with_tolerance(spark):
     assert tol == {10.0: 100.0, 20.0: 200.0, 30.0: None}
 
 
+def test_asof_join_null_in_matched_row(spark):
+    """A NULL value in the matched right row must be emitted as NULL —
+    not backfilled from an older right row (column mixing: value from
+    one row, match time from another)."""
+    left = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0)], "k string, t double")
+    right = spark.createDataFrame(
+        [("a", 5.0, 100.0, 1.0), ("a", 19.0, None, 2.0)],
+        "k string, t double, v double, u double")
+    # backward: left@20 matches right@19 whose v IS NULL; u comes along
+    got = {r.t: (r.v, r.u) for r in
+           asof_join(left, right, "t", ["k"]).collect()}
+    assert got[10.0] == (100.0, 1.0)
+    assert got[20.0] == (None, 2.0)      # NOT (100.0, 2.0)
+    # tolerance must be judged against the matched row's time, so the
+    # NULL-v row@19 (gap 1) is inside tol=2 while row@5 is not
+    tol = {r.t: (r.v, r.u) for r in
+           asof_join(left, right, "t", ["k"], tolerance=2.0).collect()}
+    assert tol[20.0] == (None, 2.0)
+    assert tol[10.0] == (None, None)     # gap 5 > 2 -> no match at all
+    # nearest: same contract through the backward/forward pick
+    near = {r.t: (r.v, r.u) for r in
+            asof_join(left, right, "t", ["k"],
+                      direction="nearest").collect()}
+    assert near[20.0] == (None, 2.0)
+
+
 def test_asof_join_forward(spark):
     left = spark.createDataFrame([("a", 10.0)], "k string, t double")
     right = spark.createDataFrame(
