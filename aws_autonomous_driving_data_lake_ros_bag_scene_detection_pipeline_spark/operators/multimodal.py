@@ -7,13 +7,15 @@ Arrow-batched ``mapInPandas`` (one Python round-trip per ~10k-row batch,
 never per row — unlike the reference's ``df.rdd.map`` pattern,
 detect_scenes.py:115-117).
 
-Decode stubs: this container has no image/audio codecs, so
-:func:`decode_image` tries Pillow and otherwise falls back to a
-clearly-marked **deterministic fake decoder** (pixels derived from a
-rolling hash of the payload). The Spark-side plumbing — schemas,
-partitioning, UDF signatures, Arrow batch shapes — is real and tested;
-swapping in a real codec changes only the inner ``_decode_bytes``
-function.
+Decoders: :func:`decode_image` is REAL for uncompressed formats — a
+pure-Python/numpy parser handles PPM (P6) and 24-bit uncompressed BMP
+with no external library, and Pillow is used for everything else when
+present. Only when the payload is neither a known uncompressed format
+nor Pillow-decodable does it fall back to a clearly-marked
+**deterministic fake decoder** (pixels derived from a rolling hash of
+the payload), so the Spark-side plumbing — schemas, partitioning, UDF
+signatures, Arrow batch shapes — is exercised identically either way.
+:func:`decode_audio` stays an honest stub (no audio codec here).
 
 Scale notes: media rows are wide (MBs); ``repartition_for_media`` sizes
 partitions by *bytes*, not rows, so a 100 TB corpus doesn't produce
@@ -65,27 +67,24 @@ def pack_media(df: DataFrame, binary_col: str, fmt: str,
 
 
 def repartition_for_media(df: DataFrame, binary_col: str,
-                          target_partition_bytes: int = 128 << 20,
-                          total_bytes: int | None = None) -> DataFrame:
+                          total_bytes: int,
+                          target_partition_bytes: int = 128 << 20) -> DataFrame:
     """Repartition so each partition carries ~``target_partition_bytes``
     of payload — byte-aware sizing for wide binary rows.
 
-    ``total_bytes`` is the corpus payload size. Callers should pass it
-    from metadata they already have — file listing sizes, a manifest, or
-    table stats — because an operator must not embed a driver action.
-    When omitted, it is estimated plan-side from the FIRST row's payload
-    length × the table row count when cheap statistics exist, else by a
-    one-row sample; both read only metadata/one row, never scan the
-    payload column. (The previous implementation ran
-    ``sum(length(payload))`` eagerly — a full extra scan of the binary
-    corpus inside plan-building code.)"""
-    if total_bytes is None:
-        # one-row sample: len(first payload) × countApprox-style row count
-        # from the cheapest available source (parquet footer count)
-        sample = df.select(F.length(binary_col).alias("_l")).head(1)
-        per_row = sample[0]["_l"] if sample and sample[0]["_l"] else 0
-        n_rows = df.count()  # metadata-only for parquet sources
-        total_bytes = per_row * n_rows
+    ``total_bytes`` is REQUIRED: pass the corpus payload size from
+    metadata the caller already has — file-listing sizes, a manifest, or
+    table statistics (``spark.sql("DESCRIBE EXTENDED ...")`` /
+    ``df.inputFiles()`` + filesystem stats). An operator must not embed
+    a driver action: the previous ``head(1)`` + ``count()`` fallback ran
+    two jobs at plan-building time, which surprises callers composing
+    lazy plans (and the earlier ``sum(length(payload))`` variant scanned
+    the whole binary corpus)."""
+    if total_bytes is None or total_bytes < 0:
+        raise ValueError(
+            "repartition_for_media requires total_bytes (payload size "
+            "from file listing / manifest / table stats); it will not "
+            "run driver actions at plan time to estimate it")
     n = max(1, int(total_bytes / target_partition_bytes) + 1)
     return df.repartition(n)
 
@@ -121,6 +120,61 @@ def byte_histogram_features(df: DataFrame, binary_col: str,
     return df.mapInPandas(extract, out_schema)
 
 
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-Python decoder for binary PPM (P6, maxval ≤ 255) — a REAL
+    image decode path that needs no external library. Returns
+    (height, width, 3) uint8, RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = "P6" <ws> width <ws> height <ws> maxval <single ws> data;
+    # '#' comments may appear between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported by the builtin decoder")
+    n = w * h * 3
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-Python decoder for uncompressed 24-bit BMP (BI_RGB,
+    BITMAPINFOHEADER) — a REAL image decode path that needs no external
+    library. Returns (height, width, 3) uint8, RGB."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"builtin BMP decoder handles 24-bit BI_RGB only "
+            f"(got bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def _fake_decode_bytes(payload: bytes, width: int, height: int,
                        channels: int) -> np.ndarray:
     """DETERMINISTIC FAKE DECODER (no codec in this container).
@@ -144,14 +198,32 @@ def _fake_decode_bytes(payload: bytes, width: int, height: int,
     return out.reshape(height, width, channels)
 
 
+def _decode_image_bytes(payload: bytes, width: int, height: int,
+                        channels: int) -> np.ndarray:
+    """Codec dispatch for one payload: builtin PPM/BMP parsers first
+    (real decodes, no dependency), Pillow for compressed formats when
+    present, deterministic fake otherwise."""
+    if payload.startswith(b"P6"):
+        return _decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return _decode_bmp(payload)
+    if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
+        import io
+
+        from PIL import Image as _I
+        return np.asarray(_I.open(io.BytesIO(payload)).convert("RGB"))
+    return _fake_decode_bytes(payload, width, height, channels)
+
+
 def decode_image(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                  out_col: str = "pixels") -> DataFrame:
-    """Decode image bytes to a flat ``array<int>`` pixel buffer (row-major,
-    ``height × width × channels``) using Pillow when present, else the
-    deterministic fake decoder.
+    """Decode image bytes to a flat ``array<int>`` pixel buffer
+    (row-major, ``height × width × channels``). PPM (P6) and 24-bit BMP
+    decode for real with the builtin parsers; other formats use Pillow
+    when present, else the deterministic fake decoder.
 
-    The output schema, batching, and downstream ops are identical either
-    way — the codec is the only swappable piece.
+    The output schema, batching, and downstream ops are identical
+    whichever codec path runs — the codec is the only swappable piece.
     """
     fields = df.schema.fields
     out_schema = T.StructType(
@@ -166,15 +238,8 @@ def decode_image(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                     continue
                 w, h, c = (int(meta["width"]), int(meta["height"]),
                            int(meta["channels"]))
-                if _HAS_PIL:  # pragma: no cover - not in this container
-                    import io
-
-                    from PIL import Image as _I
-                    img = np.asarray(_I.open(io.BytesIO(payload)).convert("RGB"))
-                    pixels.append(img.reshape(-1).astype(np.int32))
-                else:
-                    pixels.append(_fake_decode_bytes(payload, w, h, c)
-                                  .reshape(-1).astype(np.int32))
+                pixels.append(_decode_image_bytes(bytes(payload), w, h, c)
+                              .reshape(-1).astype(np.int32))
             pdf = pdf.copy()
             pdf[out_col] = pixels
             yield pdf

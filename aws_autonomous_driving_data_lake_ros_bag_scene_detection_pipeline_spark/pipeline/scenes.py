@@ -339,7 +339,17 @@ def normalize_pseudo_json(col: Column | str) -> Column:
     (stays in codegen); identity on already-clean JSON that contains
     no single quotes. Word-boundary guards keep ``None``/``True``/
     ``False`` inside longer identifiers (or quoted strings followed by
-    word chars) untouched."""
+    word chars) untouched.
+
+    KNOWN LIMITATION (textual, not structural, rewriting): every single
+    quote is replaced, so a string VALUE containing an apostrophe
+    (``Class "driver's door"``) becomes invalid JSON, and a quoted
+    literal value ``'None'``/``'True'``/``'False'`` is rewritten to the
+    bare JSON literal. Reference payloads (numeric bbox/lane structs)
+    never hit either case; for mixed corpora use
+    :func:`parse_reference_json`, which tries STRICT ``from_json``
+    first and only falls back to this normalization when strict parsing
+    nulls out — clean JSON is never touched."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, "'", '"')
     c = F.regexp_replace(c, r"\bNone\b", "null")
@@ -354,10 +364,14 @@ def parse_reference_json(df: DataFrame, detections_json: str,
     ``json.loads(json.loads(...))``) → typed arrays. ``from_json`` twice:
     once to unwrap the payload string, once to parse the nested value.
 
-    ``tolerant`` (default) first normalizes the inner value through
-    :func:`normalize_pseudo_json`, because the reference's ``*_clean``
-    cells are single-quoted Python reprs (main.py:51-58), not JSON —
-    ``from_json`` would yield null arrays on them."""
+    ``tolerant`` (default) parses the inner value STRICTLY first and
+    falls back to :func:`normalize_pseudo_json` only where strict
+    parsing yields null, because the reference's ``*_clean`` cells are
+    single-quoted Python reprs (main.py:51-58), not JSON. The
+    strict-first order means already-clean JSON — including values with
+    apostrophes or quoted 'None' strings, which the normalizer would
+    corrupt — is never rewritten; both parses are codegen expressions
+    on the same row, no extra pass."""
     det_payload = F.from_json(
         F.col(detections_json),
         T.StructType([T.StructField("detections_bboxes_clean", T.StringType())]))
@@ -366,9 +380,14 @@ def parse_reference_json(df: DataFrame, detections_json: str,
         T.StructType([T.StructField("lanes_clean", T.StringType())]))
     det_val = det_payload["detections_bboxes_clean"]
     lane_val = lane_payload["lanes_clean"]
-    if tolerant:
-        det_val = normalize_pseudo_json(det_val)
-        lane_val = normalize_pseudo_json(lane_val)
+
+    def parse(val, schema):
+        strict = F.from_json(val, schema)
+        if not tolerant:
+            return strict
+        return F.coalesce(strict,
+                          F.from_json(normalize_pseudo_json(val), schema))
+
     return (df
-            .withColumn("_detections", F.from_json(det_val, DETECTIONS_SCHEMA))
-            .withColumn("_lanes", F.from_json(lane_val, LANES_SCHEMA)))
+            .withColumn("_detections", parse(det_val, DETECTIONS_SCHEMA))
+            .withColumn("_lanes", parse(lane_val, LANES_SCHEMA)))

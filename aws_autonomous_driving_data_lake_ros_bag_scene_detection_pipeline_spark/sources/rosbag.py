@@ -10,16 +10,17 @@ compressed chunks) is parsed executor-side over ``spark.read.format
 with no driver involvement, and extraction becomes just another
 DataFrame transform feeding the synchronize pipeline.
 
-Supported: uncompressed and bz2 chunks (stdlib), connection records,
-message records, and full message decoding driven by the connection's
-own ``message_definition`` — primitives, strings, time/duration,
-fixed/var-length arrays, and (arrays of) nested message types resolved
-from the definition's dependent sections, so the reference's
-detection/lane topics (array-of-struct, detect_scenes.py:96, :31-44)
-decode into typed ``array<struct<...>>`` columns. Not supported
-(explicit ``NotImplementedError``): lz4 chunks — a real deployment adds
-the ``lz4`` wheel; every Spark-side seam (schemas, fan-out, partitioned
-sink) is identical either way.
+Supported: uncompressed, bz2 (stdlib), and lz4 chunks (a from-scratch
+pure-Python decoder for the public LZ4 frame + block formats —
+``_lz4_frame_decompress`` / ``_lz4_block_decompress`` below; a real
+deployment may swap in the ``lz4`` wheel for speed, the seams are
+identical), connection records, message records, and full message
+decoding driven by the connection's own ``message_definition`` —
+primitives, strings, time/duration, fixed/var-length arrays, and
+(arrays of) nested message types resolved from the definition's
+dependent sections, so the reference's detection/lane topics
+(array-of-struct, detect_scenes.py:96, :31-44) decode into typed
+``array<struct<...>>`` columns.
 
 Format reference: http://wiki.ros.org/Bags/Format/2.0 (public spec).
 """

@@ -146,6 +146,54 @@ def test_simhash_near_dup_small_distance(spark, corpus):
     assert pairs.get((0, 1)) == 0
 
 
+def test_dedup_pipeline_composed_kept_set(spark):
+    """The pipeline a user actually ships, end-to-end at the gate's
+    sf0.01 scale: minhash pairs → connected components → delete-list →
+    final kept set, checked against a DuckDB exact-all-pairs graph with
+    a Python union-find fixpoint (fully independent of the Spark path).
+    The three stages are individually oracle-checked in the gate; this
+    pins their COMPOSITION — cluster ids feeding the delete-list, and
+    the kept set being exactly one representative (the min id) per
+    component plus all singletons. (sf0.1 composition is covered by
+    bench.py's q_dup_clusters; the all-pairs oracle is quadratic, so
+    the exactness check stays at gate scale.)"""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    clusters = dup_clusters(pairs)
+    delete = {r.id for r in
+              clusters.where(F.col("id") != F.col("cluster_id")).collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    kept = all_ids - delete
+
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    oracle_pairs = con.sql(entry.JACCARD_PAIRS_SQL).fetchall()
+    con.close()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in oracle_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo  # min-id root => root IS the kept member
+    expected_delete = {x for x in parent if find(x) != x}
+    assert delete == expected_delete
+    assert kept == all_ids - expected_delete
+    assert len(pairs.collect()) == len(oracle_pairs)  # same pair graph
+
+
 def test_simhash_pairs_matches_brute_force(spark):
     """Spec-level recall: the pigeonhole block join must return exactly
     the pairs a brute-force all-pairs Hamming filter returns — no pair

@@ -241,6 +241,37 @@ def test_reference_pseudo_json_end_to_end(spark):
     assert [(r.start_time, r.end_time) for r in scenes] == [(0.1, 0.2)]
 
 
+def test_parse_reference_json_strict_first_keeps_apostrophes(spark):
+    """Clean-JSON payloads whose string values contain apostrophes (or
+    a literal 'None' string) must parse via the strict branch and never
+    be rewritten by the pseudo-JSON normalizer — while repr-shaped rows
+    in the same column still parse via the fallback."""
+    import json
+
+    clean_det = [{"x": 100.0, "y": 50.0, "width": 10.0, "height": 10.0,
+                  "Class": "driver's door"}]
+    none_str_det = [{"x": 1.0, "y": 2.0, "width": 3.0, "height": 4.0,
+                     "Class": "None"}]
+    repr_det = [{"x": 5.0, "y": 6.0, "width": 7.0, "height": 8.0,
+                 "Class": None}]
+    lanes = json.dumps({"lanes_clean": json.dumps(
+        [{"image_points": [{"x": 0.0, "y": 0.0}]}])})
+    rows = [
+        ("clean", json.dumps({"detections_bboxes_clean":
+                              json.dumps(clean_det)}), lanes),
+        ("none_str", json.dumps({"detections_bboxes_clean":
+                                 json.dumps(none_str_det)}), lanes),
+        ("reprd", json.dumps({"detections_bboxes_clean":
+                              repr(repr_det)}), lanes),
+    ]
+    df = spark.createDataFrame(rows, "tag string, det string, lane string")
+    got = {r.tag: r._detections
+           for r in parse_reference_json(df, "det", "lane").collect()}
+    assert got["clean"][0].Class == "driver's door"   # not corrupted to null
+    assert got["none_str"][0].Class == "None"         # stays the string
+    assert got["reprd"][0].Class is None              # fallback still works
+
+
 def test_people_in_scene_counts_only_persons(spark):
     objs = [{"x": 0.0, "y": 0.0, "width": 1.0, "height": 1.0,
              "Class": "car", "corners_in_lane": 1, "lanes": []},

@@ -12,7 +12,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     forward_fill, resample_asof,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
-    broadcast_join_count, count_window_ops, pushed_filters,
+    broadcast_join_count, count_exchanges, count_window_ops, pushed_filters,
     read_schema_columns, shuffle_join_count,
 )
 
@@ -64,6 +64,15 @@ def test_resample_locf_no_extra_shuffles(spark):
     assert count_window_ops(out) == 1
     assert "rangepartitioning" not in out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
+
+
+def test_window_running_one_exchange_two_frames(spark):
+    """The folded rows+range query must hash-partition on user_id ONCE:
+    both window specs share the key, so the plan is one exchange feeding
+    two sorted Window passes — not one exchange per frame."""
+    df = entry.q_window_running(spark, SF_DIR)
+    assert count_window_ops(df) == 2      # rows frame + range frame
+    assert count_exchanges(df) == 1
 
 
 def test_scene_geometry_stays_in_codegen(spark):
