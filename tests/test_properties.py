@@ -103,6 +103,31 @@ def test_asof_join_matches_python_oracle(spark, mk_df, rows, probes):
         assert got[(k, t)] == expect
 
 
+@SETTINGS
+@given(rows=events_strategy, probes=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), max_size=15))
+def test_asof_join_null_values_come_from_matched_row(spark, mk_df, rows,
+                                                     probes):
+    """Right rows KEEP their NULL values: the join must emit the matched
+    (latest at-or-before) row's value even when it is NULL — never
+    backfill from an older non-null row (the r3 column-mixing defect).
+    Right (k, t) keys are deduped so the matched row is unambiguous."""
+    uniq = {}
+    for k, t, v in rows:
+        uniq[(k, t)] = v  # last write wins; v may be None
+    right = mk_df([(k, t, v) for (k, t), v in uniq.items()])
+    left = (spark.createDataFrame(probes, "k int, t int")
+            if probes else spark.createDataFrame([], "k int, t int"))
+    got = {(r.k, r.t): r.v
+           for r in asof_join(left, right, "t", ["k"],
+                              value_cols=["v"]).collect()}
+    for k, t in probes:
+        cands = [(rt, rv) for (rk, rt), rv in uniq.items()
+                 if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[(k, t)] == expect
+
+
 TEXTS = st.lists(
     st.text(alphabet="ab cd", min_size=0, max_size=40),
     min_size=0, max_size=12)
