@@ -15,7 +15,8 @@ nor Pillow-decodable does it fall back to a clearly-marked
 **deterministic fake decoder** (pixels derived from a rolling hash of
 the payload), so the Spark-side plumbing — schemas, partitioning, UDF
 signatures, Arrow batch shapes — is exercised identically either way.
-:func:`decode_audio` stays an honest stub (no audio codec here).
+:func:`decode_audio` likewise decodes RIFF/WAVE PCM for real with a
+builtin parser; only compressed audio (mp3/flac/ogg) raises.
 
 Scale notes: media rows are wide (MBs); ``repartition_for_media`` sizes
 partitions by *bytes*, not rows, so a 100 TB corpus doesn't produce
@@ -312,13 +313,77 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
     return df.mapInPandas(sample, out_schema)
 
 
-def decode_audio(df: DataFrame, binary_col: str,  # pragma: no cover - stub
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-Python decoder for RIFF/WAVE PCM (8/16/32-bit int and
+    32-bit float) — a REAL audio decode path that needs no external
+    library. Returns ``(samples, sample_rate)`` with samples as
+    float32 in [-1, 1], channel-interleaved exactly as stored."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 3 and bits == 32:  # IEEE float
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        samples = (np.frombuffer(data, dtype="<i4").astype(np.float32)
+                   / 2147483648.0)
+    elif audio_format == 1 and bits == 8:  # unsigned in WAV
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                   - 128.0) / 128.0
+    else:
+        raise ValueError(
+            f"builtin WAV decoder handles PCM 8/16/32 and float32 only "
+            f"(got format={audio_format}, bits={bits})")
+    return samples, sample_rate
+
+
+def decode_audio(df: DataFrame, binary_col: str,
                  meta_col: str = "media_meta",
                  out_col: str = "samples") -> DataFrame:
-    """Audio decode requires a codec library not present in this
-    container. The signature and output schema (``array<float>`` PCM
-    samples) are fixed here; the body is intentionally unimplemented."""
-    raise NotImplementedError(
-        "decode_audio needs an audio codec (e.g. soundfile/librosa); "
-        "not available in this environment. Use byte_histogram_features "
-        "for codec-free audio fingerprinting.")
+    """Decode audio bytes to ``array<float>`` PCM samples in [-1, 1].
+
+    RIFF/WAVE PCM decodes for REAL via the builtin :func:`_decode_wav`
+    (no dependency); other containers (mp3/flac/ogg) would need a codec
+    library not present here, so non-WAV payloads raise a clear
+    ``NotImplementedError`` from inside the executor batch — the
+    Arrow plumbing (schema, batching) is identical either way. Use
+    :func:`byte_histogram_features` for codec-free fingerprinting of
+    compressed audio."""
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[binary_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                payload = bytes(payload)
+                if not payload.startswith(b"RIFF"):
+                    raise NotImplementedError(
+                        "decode_audio: only RIFF/WAVE PCM decodes without "
+                        "a codec library (none in this environment)")
+                samples, _ = _decode_wav(payload)
+                out.append(samples)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)

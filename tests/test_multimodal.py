@@ -99,9 +99,57 @@ def test_repartition_for_media_partition_count(media):
         repartition_for_media(media, "payload", None)
 
 
-def test_decode_audio_is_explicit_stub(media):
-    with pytest.raises(NotImplementedError):
-        decode_audio(media, "payload")
+def _wav_bytes(samples: np.ndarray, rate: int = 16000,
+               bits: int = 16) -> bytes:
+    """Minimal RIFF/WAVE writer (PCM16 or float32) for round-trips."""
+    if bits == 16:
+        data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+        audio_format, block = 1, 2
+    else:
+        data = samples.astype("<f4").tobytes()
+        audio_format, block = 3, 4
+    fmt = (audio_format.to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def test_decode_audio_real_wav_pcm16(spark):
+    """The REAL audio decode branch: PCM16 WAV through the mapInPandas
+    path reproduces the waveform within 16-bit quantization."""
+    t = np.arange(800, dtype=np.float32)
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.float32)
+    df = pack_media(
+        spark.createDataFrame([(1, bytearray(_wav_bytes(wave)))],
+                              "doc_id long, payload binary"),
+        "payload", fmt="audio/wav", sample_rate=16000)
+    r = decode_audio(df, "payload").first()
+    got = np.asarray(r.samples, dtype=np.float32)
+    assert got.shape == wave.shape
+    # encoder rounds at 32767 full-scale, decoder divides by 32768 —
+    # worst case ~1.5 LSB
+    assert np.abs(got - wave).max() < 2.0 / 32768
+
+
+def test_decode_audio_real_wav_float32(spark):
+    wave = np.linspace(-1, 1, 64, dtype=np.float32)
+    df = pack_media(
+        spark.createDataFrame([(1, bytearray(_wav_bytes(wave, bits=32)))],
+                              "doc_id long, payload binary"),
+        "payload", fmt="audio/wav", sample_rate=8000)
+    r = decode_audio(df, "payload").first()
+    assert np.array_equal(np.asarray(r.samples, dtype=np.float32), wave)
+
+
+def test_decode_audio_compressed_raises(spark, media):
+    """Non-WAV payloads (no codec library here) raise a clear
+    NotImplementedError from the executor batch."""
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises((Py4JJavaError, Exception)):
+        decode_audio(media, "payload").collect()
 
 
 def _ppm_bytes(img: np.ndarray) -> bytes:
