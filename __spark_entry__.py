@@ -52,7 +52,9 @@ HOUR_US = 3_600_000_000
 GAP_US = 1_800_000_000  # 30 min session gap
 
 
-_PREPARED_SESSIONS: set[int] = set()
+import weakref
+
+_PREPARED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def prepare_session(spark: SparkSession) -> SparkSession:
@@ -72,10 +74,10 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     one named, documented place callers can also invoke up front
     (r3 ADVICE: a read helper silently mutating session state was a
     foot-gun)."""
-    if id(spark) not in _PREPARED_SESSIONS:
+    if spark not in _PREPARED_SESSIONS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _PREPARED_SESSIONS.add(id(spark))
+        _PREPARED_SESSIONS.add(spark)
     return spark
 
 
