@@ -75,6 +75,16 @@ def test_window_running_one_exchange_two_frames(spark):
     assert count_exchanges(df) == 1
 
 
+def test_asof_nearest_chain_reuses_partitioning(spark):
+    """Chained forward + nearest as-of joins both key on user_id: the
+    plan must stay at two exchanges (one per union stage) and three
+    window passes (forward; nearest backward + forward candidates) —
+    a per-join re-shuffle of the left side would show more."""
+    df = entry.q_asof_nearest(spark, SF_DIR)
+    assert count_exchanges(df) == 2
+    assert count_window_ops(df) == 3
+
+
 def test_scene_geometry_stays_in_codegen(spark):
     """The geometric operator compiles to Catalyst expressions — no
     BatchEvalPython / per-row Python in the plan (unlike the reference's

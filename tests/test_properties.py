@@ -128,6 +128,36 @@ def test_asof_join_null_values_come_from_matched_row(spark, mk_df, rows,
         assert got[(k, t)] == expect
 
 
+@SETTINGS
+@given(rows=events_strategy, probes=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), max_size=15))
+def test_asof_nearest_matches_python_oracle(spark, mk_df, rows, probes):
+    """nearest = whichever right row is closer in time (ties prefer
+    backward), value taken from THAT row even when NULL."""
+    uniq = {}
+    for k, t, v in rows:
+        uniq[(k, t)] = v
+    right = mk_df([(k, t, v) for (k, t), v in uniq.items()])
+    left = (spark.createDataFrame(probes, "k int, t int")
+            if probes else spark.createDataFrame([], "k int, t int"))
+    got = {(r.k, r.t): r.v
+           for r in asof_join(left, right, "t", ["k"], value_cols=["v"],
+                              direction="nearest").collect()}
+    for k, t in probes:
+        cands = [(rt, rv) for (rk, rt), rv in uniq.items() if rk == k]
+        back = [(rt, rv) for rt, rv in cands if rt <= t]
+        fwd = [(rt, rv) for rt, rv in cands if rt >= t]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is not None and (f is None or t - b[0] <= f[0] - t):
+            expect = b[1]
+        elif f is not None:
+            expect = f[1]
+        else:
+            expect = None
+        assert got[(k, t)] == expect
+
+
 TEXTS = st.lists(
     st.text(alphabet="ab cd", min_size=0, max_size=40),
     min_size=0, max_size=12)
