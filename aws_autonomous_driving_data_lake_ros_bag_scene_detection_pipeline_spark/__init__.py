@@ -27,7 +27,7 @@ __version__ = "0.1.0"
 from .operators import (  # noqa: E402,F401
     asof_join, binned_interval_join, brute_force_topk, byte_histogram_features,
     change_point_intervals, chunk_documents, contamination, decode_audio,
-    decode_image, dup_clusters, duplicate_ids,
+    decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     embedding_dup_pairs, exact_dedup, forward_fill, hash_sample, ivf_topk, jaccard, lag_lead,
     lm_bigram_score,
     lsh_topk, minhash_lsh_pairs, minhash_signature, ngram_jaccard_pairs,

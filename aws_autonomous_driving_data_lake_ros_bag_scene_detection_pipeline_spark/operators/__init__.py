@@ -17,14 +17,17 @@ from .sampling import (
 )
 from .similarity import brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk
 from .sessionize import change_point_intervals, sessionize
-from .timeseries import asof_join, forward_fill, lag_lead, resample_asof, time_spine
+from .timeseries import (
+    asof_join, downsample_cascade, forward_fill, lag_lead, resample_asof,
+    time_spine,
+)
 from .topk import top_k_per_group
 
 __all__ = [
     "asof_join", "binned_interval_join", "brute_force_topk",
     "byte_histogram_features",
     "change_point_intervals", "chunk_documents", "contamination",
-    "decode_audio", "decode_image",
+    "decode_audio", "decode_image", "downsample_cascade",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
     "hash_sample", "hash_sample_sql", "ivf_topk", "jaccard", "lag_lead",

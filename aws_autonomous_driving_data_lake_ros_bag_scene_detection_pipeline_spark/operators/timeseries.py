@@ -197,6 +197,65 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
           for c in value_cols])
 
 
+def downsample_cascade(df: DataFrame, keys: list[str], time_col: str,
+                       value_col: str,
+                       resolutions: list[float]) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one row per
+    ``(keys, resolution, bucket)`` with ``n / sum / min / max / avg``
+    of ``value_col``, for every step in ``resolutions``.
+
+    CASCADED aggregation — the continuous-aggregate design of
+    time-series stores: raw rows are shuffled ONCE (the finest
+    resolution's groupBy); every coarser tier re-aggregates the
+    previous tier's partials, whose row count is already collapsed by
+    the finer bucketing, so tier k's shuffle moves ~|keys|·|range|/res_k
+    rows instead of the raw corpus. At 100 TB the naive alternative —
+    one full groupBy per resolution — rescans and reshuffles the raw
+    data |resolutions| times; the cascade's tiers after the first are
+    ~free. sum/count/min/max compose exactly across tiers (avg is
+    derived as sum/count at the end, never averaged-of-averages).
+
+    Each coarser step must be an integer multiple of the previous
+    (validated) so buckets nest exactly. Buckets are
+    ``floor(t/step)*step`` aligned, like :func:`time_spine`."""
+    if not resolutions:
+        raise ValueError("resolutions must be non-empty")
+    steps = sorted(float(s) for s in resolutions)
+    for fine, coarse in zip(steps, steps[1:]):
+        ratio = coarse / fine
+        if abs(ratio - round(ratio)) > 1e-9:
+            raise ValueError(
+                f"each resolution must be an integer multiple of the "
+                f"previous for exact bucket nesting: {coarse} / {fine}")
+
+    def bucket(c, step):
+        return (F.floor(F.round(c / F.lit(step), 6)).cast("long")
+                * F.lit(step))
+
+    v = F.col(value_col)
+    finest = (df.groupBy(*keys, bucket(F.col(time_col), steps[0])
+                         .alias("bucket"))
+              .agg(F.count(v).alias("n"), F.sum(v).alias("sum"),
+                   F.min(v).alias("min"), F.max(v).alias("max"))
+              .withColumn("resolution", F.lit(steps[0])))
+    tiers = [finest]
+    for step in steps[1:]:
+        prev = tiers[-1]
+        tiers.append(
+            prev.groupBy(*keys, bucket(F.col("bucket"), step)
+                         .alias("bucket"))
+            .agg(F.sum("n").alias("n"), F.sum("sum").alias("sum"),
+                 F.min("min").alias("min"), F.max("max").alias("max"))
+            .withColumn("resolution", F.lit(step)))
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.select(*keys, "resolution", "bucket", "n", "sum", "min",
+                      "max",
+                      F.when(F.col("n") > 0, F.col("sum") / F.col("n"))
+                       .alias("avg"))
+
+
 def lag_lead(df: DataFrame, keys: list[str], order_col: str, col: str,
              offsets: tuple[int, ...] = (1,)) -> DataFrame:
     """Attach lag/lead columns (SURVEY #39-#40; detect_scenes.py:197-214)."""

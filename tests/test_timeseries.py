@@ -7,8 +7,10 @@ and as-of join (match is the latest at-or-before right row).
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
-    asof_join, forward_fill, resample_asof, time_spine,
+    asof_join, downsample_cascade, forward_fill, resample_asof, time_spine,
 )
 
 
@@ -127,3 +129,40 @@ def test_asof_join_nearest(spark):
     assert tol[("a", 16.0)] == 2.0    # gap 4 <= 4 kept
     assert tol[("a", 30.0)] is None   # gap 10 dropped
     assert tol[("b", 5.0)] == 3.0     # gap 3 kept
+
+
+def test_downsample_cascade_matches_direct_aggregation(spark):
+    """Every cascaded tier must equal aggregating the RAW rows directly
+    at that resolution — re-aggregating finer partials loses nothing
+    for composable stats (sum/count/min/max; avg derived at the end)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(k, rng.uniform(0, 1000), rng.uniform(-50, 50))
+            for k in ("a", "b") for _ in range(300)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    got = downsample_cascade(df, ["k"], "t", "v", [10.0, 60.0, 600.0])
+
+    from pyspark.sql import functions as F
+    for step in (10.0, 60.0, 600.0):
+        direct = (df.groupBy(
+            "k", (F.floor(F.round(F.col("t") / step, 6)).cast("long")
+                  * F.lit(step)).alias("bucket"))
+            .agg(F.count("v").alias("n"), F.sum("v").alias("sum"),
+                 F.min("v").alias("min"), F.max("v").alias("max")))
+        d = {(r.k, r.bucket): (r.n, round(r.sum, 6), r.min, r.max)
+             for r in direct.collect()}
+        g = {(r.k, r.bucket): (r.n, round(r.sum, 6), r.min, r.max)
+             for r in got.where(F.col("resolution") == step).collect()}
+        assert g == d, f"tier {step} diverges from direct aggregation"
+    # avg is sum/count, never an average of tier averages
+    r = got.where("resolution = 600.0").first()
+    assert abs(r.avg - r.sum / r.n) < 1e-12
+
+
+def test_downsample_cascade_validates_nesting(spark):
+    df = spark.createDataFrame([("a", 1.0, 1.0)], "k string, t double, v double")
+    with pytest.raises(ValueError, match="integer multiple"):
+        downsample_cascade(df, ["k"], "t", "v", [10.0, 25.0])
+    with pytest.raises(ValueError, match="non-empty"):
+        downsample_cascade(df, ["k"], "t", "v", [])
