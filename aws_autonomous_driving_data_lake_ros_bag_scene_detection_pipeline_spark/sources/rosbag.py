@@ -226,7 +226,8 @@ def parse_bag_bytes(bag_file: str, buf: bytes) -> Iterator[tuple]:
 # --------------------------------------------------------------- Spark source
 
 def read_bag_messages(spark: SparkSession, path: str,
-                      glob: str = "*.bag") -> DataFrame:
+                      glob: str = "*.bag",
+                      on_error: str = "fail") -> DataFrame:
     """Long message table ``(bag_file, topic, msg_type, md5sum,
     message_definition, time_ns, data)`` for every message in every bag
     under ``path``.
@@ -236,7 +237,20 @@ def read_bag_messages(spark: SparkSession, path: str,
     one-container-per-bag unit of work, ecs_stack.py:293-318); the parse
     is a ``mapInPandas`` generator so message rows stream out in Arrow
     batches without materializing a full bag's messages in one list.
+
+    ``on_error``: ``'fail'`` (default) propagates any parse error and
+    kills the job — right for curated inputs; ``'skip'`` salvages every
+    message parsed BEFORE the corruption point of a truncated/corrupt
+    bag and drops the rest of that bag only. At fleet scale one bad
+    upload among tens of thousands of bags should cost one bag, not
+    the batch — the reference's per-bag containers got this isolation
+    for free (ecs_stack.py:293-318); a single Spark job must opt into
+    it. Skipped-bag detection is left to the caller: anti-join the
+    distinct ``bag_file`` values against the file listing to quarantine
+    inputs that yielded nothing.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     bags = (spark.read.format("binaryFile")
             .option("pathGlobFilter", glob).load(path)
             .select("path", "content"))
@@ -246,7 +260,14 @@ def read_bag_messages(spark: SparkSession, path: str,
         for pdf in batches:
             for bag_path, content in zip(pdf["path"], pdf["content"]):
                 name = bag_path.rsplit("/", 1)[-1]
-                rows = list(parse_bag_bytes(name, bytes(content)))
+                rows: list[tuple] = []
+                try:
+                    for row in parse_bag_bytes(name, bytes(content)):
+                        rows.append(row)
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    # keep the pre-corruption prefix, drop the remainder
                 yield pd.DataFrame(rows, columns=cols)
 
     return bags.mapInPandas(extract, MESSAGE_SCHEMA)

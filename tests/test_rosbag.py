@@ -177,6 +177,28 @@ def test_read_bag_messages_distributed(spark, bag_dir):
     assert "float64 steering_wheel_angle" in steering[0].message_definition
 
 
+def test_read_bag_messages_skip_salvages_corrupt_bag(spark, tmp_path):
+    """on_error='skip' keeps the pre-corruption prefix of a truncated
+    bag and all messages of healthy bags; the default mode fails the
+    job (curated-input behavior)."""
+    good = make_bag()
+    (tmp_path / "good.bag").write_bytes(good)
+    # truncate mid-way through the record stream: header magic intact,
+    # last record cut → struct.unpack/length errors at the cut point
+    (tmp_path / "bad.bag").write_bytes(good[: len(good) - 30])
+    strict = read_bag_messages(spark, str(tmp_path))
+    with pytest.raises(Exception):
+        strict.collect()
+    rows = read_bag_messages(spark, str(tmp_path), on_error="skip").collect()
+    by_bag = {}
+    for r in rows:
+        by_bag.setdefault(r.bag_file, []).append(r)
+    assert len(by_bag["good.bag"]) == 5          # healthy bag untouched
+    assert 0 <= len(by_bag.get("bad.bag", [])) < 5   # prefix only
+    with pytest.raises(ValueError, match="on_error"):
+        read_bag_messages(spark, str(tmp_path), on_error="quarantine")
+
+
 def test_topic_metadata_stats(spark, bag_dir):
     meta = {r.topic: r for r in
             topic_metadata(read_bag_messages(spark, bag_dir)).collect()}
