@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
-from ..functions.text import fingerprint, shingles, token_count, tokens
+from ..functions.text import fingerprint, shingles, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
