@@ -863,7 +863,14 @@ def q_exact_dedup(spark, sf_dir):
     retired q_duplicate_ids / q_doc_fingerprint: fingerprinting, group
     grain, and delete-list grain are all hash-checked here. The corpus
     is unioned with an id-shifted copy of itself so the delete-list is
-    provably non-empty (the raw documents table has no exact dups)."""
+    provably non-empty (the raw documents table has no exact dups).
+
+    Plan note: composing the two public operators costs two fingerprint
+    shuffles plus the kept_id join (4 exchanges). A 100 TB deployment
+    wanting only this combined output would fuse it into ONE window
+    pass — min(id)/count over partitionBy(fingerprint), then filter —
+    at a single shuffle; the gate deliberately exercises the
+    composition of the operators users actually call."""
     docs = _t("documents")(spark, sf_dir)
     shifted = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
                           "text")
