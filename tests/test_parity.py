@@ -44,3 +44,15 @@ def test_double_agg_round_parity(spark, duck):
     d = duck.sql(
         "select round(sum(l_extendedprice*(1-l_discount)),2) from lineitem").fetchone()[0]
     assert s == d
+
+
+def test_contract_fits_driver_gate_cap():
+    """The correctness driver evaluates at most 50 queries() entries;
+    anything past the cap never gets a hard verdict (the r3 tail
+    problem). Every entry must also have an oracle, and the two maps
+    must key identically."""
+    import __spark_entry__ as entry
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert len(qs) <= 50, "contract outgrew the driver's 50-row gate cap"
+    assert set(qs) == set(osql)
