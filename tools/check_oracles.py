@@ -3,6 +3,12 @@
 compare row count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+       python tools/check_oracles.py [sf_dir] --skip-quadratic
+
+``--skip-quadratic`` excludes the queries whose DuckDB oracle is an
+all-pairs O(n²) computation — at sf0.1 those oracles take minutes while
+everything else finishes in seconds. The r4 three-scale validation ran
+the full contract at sf0.001/sf0.01 and both batches at sf0.1.
 """
 
 from __future__ import annotations
@@ -19,6 +25,10 @@ sys.path.insert(0, "/root/repo")
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
+# queries whose DuckDB oracle is an exact all-pairs O(n²) computation
+QUADRATIC_ORACLES = {"q_minhash_dedup", "q_ngram_jaccard", "q_dup_clusters",
+                     "q_simhash_pairs", "q_embedding_dups"}
+
 
 def norm(v):
     if isinstance(v, float):
@@ -29,8 +39,10 @@ def norm(v):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--skip-quadratic"]
+    skip = QUADRATIC_ORACLES if "--skip-quadratic" in sys.argv[1:] else set()
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
@@ -52,7 +64,7 @@ def main():
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
