@@ -109,6 +109,85 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _band_buckets(sig: DataFrame, id_col: str, bands: int,
+                  rows_per_band: int, max_bucket: int) -> DataFrame:
+    """``(id, shingles, band, bh)`` band-bucket relation from a
+    signature frame: one row per (doc, band), ``bh`` = portable hash of
+    that band's signature slice. Pathological buckets
+    (boilerplate-heavy corpora) are bounded by ``max_bucket`` to keep
+    any join over (band, bh) skew-safe at scale."""
+    band_key = F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            hash64(F.concat_ws(",", *[
+                F.col("sig")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)])).alias("bh"),
+        )
+        for b in range(bands)
+    ])).alias("bk")
+    buckets = (sig.where(F.size("shingles") > 0)
+               .select(id_col, "shingles", band_key)
+               .select(id_col, "shingles",
+                       F.col("bk.band").alias("band"),
+                       F.col("bk.bh").alias("bh")))
+    wcount = Window.partitionBy("band", "bh")
+    return (buckets.withColumn("_bn", F.count(F.lit(1)).over(wcount))
+            .where(F.col("_bn") <= max_bucket).drop("_bn"))
+
+
+def minhash_index(df: DataFrame, text_col: str, id_col: str,
+                  num_perm: int = 32, bands: int | None = None,
+                  rows_per_band: int = 2, shingle_n: int = 3,
+                  max_bucket: int = 1000) -> DataFrame:
+    """Persistable LSH index of a corpus: the ``(id, shingles, band,
+    bh)`` bucket relation that :func:`minhash_match_pairs` probes.
+
+    The INCREMENTAL-ingest shape: index the existing corpus once, write
+    it out (at scale, ``sources.tables.write_bucketed`` on
+    ``["band", "bh"]`` so later probe joins are co-located,
+    zero-exchange on the index side), then dedup each arriving batch
+    against it with :func:`minhash_match_pairs` — instead of re-mining
+    all pairs over corpus+batch, the only per-batch work is the batch's
+    own signatures and one bucket join. Build parameters (num_perm,
+    bands, rows_per_band, shingle_n) must match between index and
+    probe; they determine the band hash values."""
+    bands = bands or num_perm // rows_per_band
+    sig = minhash_signature(df, text_col, id_col, num_perm, shingle_n)
+    return _band_buckets(sig, id_col, bands, rows_per_band, max_bucket)
+
+
+def minhash_match_pairs(new_df: DataFrame, index: DataFrame,
+                        text_col: str, id_col: str,
+                        threshold: float = 0.8, num_perm: int = 32,
+                        bands: int | None = None, rows_per_band: int = 2,
+                        shingle_n: int = 3,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an indexed corpus
+    (:func:`minhash_index`, same parameters) — returns
+    ``(new_id, corpus_id, jaccard)`` with exact-Jaccard verification,
+    without re-mining corpus-internal pairs.
+
+    One bucket join on (band, bh): with the index bucketed on those
+    keys only the new batch shuffles. A doc present in both sides
+    matches itself at jaccard 1.0 — filter ``new_id != corpus_id``
+    downstream if ids overlap."""
+    bands = bands or num_perm // rows_per_band
+    sig = minhash_signature(new_df, text_col, id_col, num_perm, shingle_n)
+    probe = _band_buckets(sig, id_col, bands, rows_per_band, max_bucket)
+    n, c = probe.alias("n"), index.alias("c")
+    cand = (n.join(c, ["band", "bh"])
+            .select(F.col(f"n.{id_col}").alias("new_id"),
+                    F.col(f"c.{id_col}").alias("corpus_id"),
+                    F.col("n.shingles").alias("sh_a"),
+                    F.col("c.shingles").alias("sh_b"))
+            .dropDuplicates(["new_id", "corpus_id"]))
+    return (cand
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .where(F.col("jaccard") >= threshold)
+            .select("new_id", "corpus_id",
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.8, num_perm: int = 32,
                       bands: int | None = None, rows_per_band: int = 2,
@@ -138,26 +217,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # boundary keeps the size(shingles) filter from being pushed beneath
     # the signature projection (re-evaluating it in the scan filter)
     sig = minhash_signature(df, text_col, id_col, num_perm, shingle_n).persist()
-
-    band_key = F.explode(F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            hash64(F.concat_ws(",", *[
-                F.col("sig")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)])).alias("bh"),
-        )
-        for b in range(bands)
-    ])).alias("bk")
-    buckets = sig.where(F.size("shingles") > 0).select(id_col, "shingles", band_key)
-    buckets = buckets.select(id_col, "shingles",
-                             F.col("bk.band").alias("band"),
-                             F.col("bk.bh").alias("bh"))
-
-    # Bound pathological buckets (boilerplate-heavy corpora) to keep the
-    # self-join skew-safe at scale.
-    wcount = Window.partitionBy("band", "bh")
-    buckets = (buckets.withColumn("_bn", F.count(F.lit(1)).over(wcount))
-               .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    buckets = _band_buckets(sig, id_col, bands, rows_per_band, max_bucket)
 
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -6,7 +6,8 @@ from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
     contamination, dup_clusters, duplicate_ids, exact_dedup,
-    minhash_lsh_pairs, ngram_jaccard_pairs,
+    minhash_index, minhash_lsh_pairs, minhash_match_pairs,
+    ngram_jaccard_pairs,
     simhash, simhash_pairs,
 )
 from tests.conftest import SF_DIR
@@ -62,6 +63,30 @@ def test_minhash_agrees_with_exact_on_documents(spark):
     ex = {(r.id_a, r.id_b): r.jaccard for r in
           ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
     assert mh == ex
+
+
+def test_minhash_incremental_matches_full_remine(spark):
+    """Index-then-probe (the incremental-ingest shape) must surface
+    exactly the cross pairs that full re-mining over corpus ∪ batch
+    finds between the two sides — no corpus-internal re-mining, same
+    recall (identical band hashes on both paths)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    idx = minhash_index(corpus, "text", "doc_id", num_perm=32)
+    got = {(r.new_id, r.corpus_id): r.jaccard for r in
+           minhash_match_pairs(batch, idx, "text", "doc_id",
+                               threshold=0.5, num_perm=32).collect()}
+    full = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
+                             num_perm=32).collect()
+    expect = {}
+    for r in full:
+        if r.id_a % 2 != r.id_b % 2:  # cross pairs only
+            new_id = r.id_a if r.id_a % 2 == 1 else r.id_b
+            corpus_id = r.id_b if r.id_a % 2 == 1 else r.id_a
+            expect[(new_id, corpus_id)] = r.jaccard
+    assert got == expect
+    assert expect, "fixture must produce at least one cross pair"
 
 
 def test_dup_clusters_components(spark):
