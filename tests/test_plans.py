@@ -151,6 +151,50 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("drop table if exists t_lineitem_b")
 
 
+def test_minhash_index_bucketed_probe_join(spark):
+    """The incremental-dedup docstring's scale claim, proven on the
+    plan: with the corpus index persisted BUCKETED on (band, bh), the
+    per-batch probe join reads the index with no index-side exchange —
+    only the (small) arriving batch shuffles."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        minhash_index, minhash_match_pairs,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        write_bucketed,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        count_exchanges,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = minhash_index(docs.where("doc_id % 2 = 0"), "text", "doc_id")
+    write_bucketed(idx, "t_mh_index", ["band", "bh"], 8)
+    idx.write.mode("overwrite").saveAsTable("t_mh_index_plain")
+    # at corpus scale the index outgrows broadcast; force the
+    # sort-merge path the claim is about (a tiny test index would
+    # otherwise broadcast and hide the layout difference)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = docs.where("doc_id % 2 = 1")
+        bucketed = minhash_match_pairs(batch, spark.table("t_mh_index"),
+                                       "text", "doc_id", threshold=0.5)
+        plain = minhash_match_pairs(batch, spark.table("t_mh_index_plain"),
+                                    "text", "doc_id", threshold=0.5)
+        # bucketed: probe-side exchange + dropDuplicates only; plain
+        # pays one more to shuffle the index on every probe
+        assert count_exchanges(bucketed) == 2
+        assert count_exchanges(plain) == 3
+        assert "SortMergeJoin" in formatted_plan(bucketed)
+        assert bucketed.count() == plain.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists t_mh_index")
+        spark.sql("drop table if exists t_mh_index_plain")
+
+
 def test_dedup_text_pipeline_is_python_free(spark):
     """MinHash signatures + banding are pure Catalyst expressions."""
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
