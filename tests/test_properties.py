@@ -165,6 +165,31 @@ TEXTS = st.lists(
 
 @SETTINGS
 @given(texts=TEXTS)
+def test_incremental_minhash_equals_full_remine_cross_pairs(spark, texts):
+    """For ANY corpus/batch split (evens/odds), index-then-probe must
+    surface exactly the cross pairs full re-mining finds — the
+    incremental path may never lose or invent a match."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        minhash_index, minhash_match_pairs,
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string") \
+        if texts else spark.createDataFrame([], "doc_id long, text string")
+    idx = minhash_index(docs.where("doc_id % 2 = 0"), "text", "doc_id")
+    got = {(r.new_id, r.corpus_id): r.jaccard for r in
+           minhash_match_pairs(docs.where("doc_id % 2 = 1"), idx,
+                               "text", "doc_id", threshold=0.5).collect()}
+    expect = {}
+    for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                               threshold=0.5).collect():
+        if r.id_a % 2 != r.id_b % 2:
+            new_id = r.id_a if r.id_a % 2 == 1 else r.id_b
+            expect[(new_id, r.id_a + r.id_b - new_id)] = r.jaccard
+    assert got == expect
+
+
+@SETTINGS
+@given(texts=TEXTS)
 def test_lsh_pairs_subset_of_exact_pairs(spark, texts):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string") \
