@@ -205,8 +205,8 @@ def downsample_cascade(df: DataFrame, keys: list[str], time_col: str,
     of ``value_col``, for every step in ``resolutions``.
 
     CASCADED aggregation — the continuous-aggregate design of
-    time-series stores: raw rows are shuffled ONCE (the finest
-    resolution's groupBy); every coarser tier re-aggregates the
+    time-series stores: raw rows are scanned and shuffled ONCE (the
+    finest resolution's groupBy); every coarser tier re-aggregates the
     previous tier's partials, whose row count is already collapsed by
     the finer bucketing, so tier k's shuffle moves ~|keys|·|range|/res_k
     rows instead of the raw corpus. At 100 TB the naive alternative —
@@ -214,6 +214,15 @@ def downsample_cascade(df: DataFrame, keys: list[str], time_col: str,
     data |resolutions| times; the cascade's tiers after the first are
     ~free. sum/count/min/max compose exactly across tiers (avg is
     derived as sum/count at the end, never averaged-of-averages).
+
+    Each intermediate tier is ``persist()``-ed: the output union would
+    otherwise re-execute the finer tiers' whole lineage inside every
+    coarser branch (union branches don't share work in the physical
+    plan, and AQE stage reuse is a runtime maybe, not a contract —
+    observed 3 separate raw scans without the cache). The cached tiers
+    are aggregated partials, orders of magnitude smaller than raw;
+    same caller-owned cache lifetime as the dedup pair operators
+    (``spark.catalog.clearCache()`` between jobs).
 
     Each coarser step must be an integer multiple of the previous
     (validated) so buckets nest exactly. Buckets are
@@ -240,7 +249,11 @@ def downsample_cascade(df: DataFrame, keys: list[str], time_col: str,
               .withColumn("resolution", F.lit(steps[0])))
     tiers = [finest]
     for step in steps[1:]:
-        prev = tiers[-1]
+        # persist the tier that both the union output and the next
+        # coarser tier consume (see docstring; no-op for the last tier,
+        # which only the union reads)
+        prev = tiers[-1].persist()
+        tiers[-1] = prev
         tiers.append(
             prev.groupBy(*keys, bucket(F.col("bucket"), step)
                          .alias("bucket"))

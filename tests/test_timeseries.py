@@ -160,6 +160,24 @@ def test_downsample_cascade_matches_direct_aggregation(spark):
     assert abs(r.avg - r.sum / r.n) < 1e-12
 
 
+def test_downsample_cascade_caches_intermediate_tiers(spark):
+    """Coarser tiers must read the persisted finer partials, not
+    re-execute the raw lineage per union branch (the plan shows
+    InMemoryTableScan reads; without the cache it showed one raw
+    parquet scan PER tier)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet").selectExpr(
+        "user_id as k", "cast(value as double) as v",
+        "cast(event_id as double) as t")
+    out = downsample_cascade(df, ["k"], "t", "v", [10.0, 100.0])
+    plan = formatted_plan(out)
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
 def test_downsample_cascade_validates_nesting(spark):
     df = spark.createDataFrame([("a", 1.0, 1.0)], "k string, t double, v double")
     with pytest.raises(ValueError, match="integer multiple"):
