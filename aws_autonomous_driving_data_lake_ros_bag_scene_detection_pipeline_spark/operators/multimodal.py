@@ -7,16 +7,19 @@ Arrow-batched ``mapInPandas`` (one Python round-trip per ~10k-row batch,
 never per row — unlike the reference's ``df.rdd.map`` pattern,
 detect_scenes.py:115-117).
 
-Decoders: :func:`decode_image` is REAL for uncompressed formats — a
-pure-Python/numpy parser handles PPM (P6) and 24-bit uncompressed BMP
-with no external library, and Pillow is used for everything else when
-present. Only when the payload is neither a known uncompressed format
-nor Pillow-decodable does it fall back to a clearly-marked
-**deterministic fake decoder** (pixels derived from a rolling hash of
-the payload), so the Spark-side plumbing — schemas, partitioning, UDF
-signatures, Arrow batch shapes — is exercised identically either way.
-:func:`decode_audio` likewise decodes RIFF/WAVE PCM for real with a
-builtin parser; only compressed audio (mp3/flac/ogg) raises.
+Decoders: :func:`decode_image` is REAL for PPM (P6), 24-bit
+uncompressed BMP, and — via stdlib ``zlib`` inflate plus per-row
+Sub/Up/Average/Paeth unfiltering — 8-bit non-interlaced PNG
+(gray / gray+alpha / RGB / RGBA / palette), with no external library.
+Pillow handles anything else when present. Payloads none of those
+paths can decode RAISE by default; callers may opt into the
+clearly-marked **deterministic fake decoder** (pixels derived from a
+rolling hash of the payload) with ``allow_fake=True``, and every output
+row carries a ``codec`` provenance column ("ppm" / "bmp" / "png" /
+"pillow" / "fake") so fake pixels can never silently masquerade as
+real ones. :func:`decode_audio` likewise decodes RIFF/WAVE PCM for
+real with a builtin parser; only compressed audio (mp3/flac/ogg)
+raises.
 
 Scale notes: media rows are wide (MBs); ``repartition_for_media`` sizes
 partitions by *bytes*, not rows, so a 100 TB corpus doesn't produce
@@ -27,6 +30,7 @@ scan side; ``target_partition_bytes`` governs the shuffle side.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -67,13 +71,16 @@ def pack_media(df: DataFrame, binary_col: str, fmt: str,
     ))
 
 
-def repartition_for_media(df: DataFrame, binary_col: str,
+def repartition_for_media(df: DataFrame, binary_col: str, *,
                           total_bytes: int,
                           target_partition_bytes: int = 128 << 20) -> DataFrame:
     """Repartition so each partition carries ~``target_partition_bytes``
     of payload — byte-aware sizing for wide binary rows.
 
-    ``total_bytes`` is REQUIRED: pass the corpus payload size from
+    ``total_bytes`` is REQUIRED and keyword-only (an earlier signature
+    took ``target_partition_bytes`` in this position — keyword-only
+    makes stale positional call sites fail loudly instead of silently
+    collapsing the corpus to one partition): pass the corpus payload size from
     metadata the caller already has — file-listing sizes, a manifest, or
     table statistics (``spark.sql("DESCRIBE EXTENDED ...")`` /
     ``df.inputFiles()`` + filesystem stats). An operator must not embed
@@ -176,6 +183,97 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG per-row filtering (types 0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) over the inflated scanline stream."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=pos).copy()
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: + reconstructed byte bpp to the left
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up: + reconstructed byte above (vectorizable)
+            row += prev
+        elif ftype == 3:  # Average: + floor((left + above) / 2)
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder — ``zlib`` inflate of the IDAT stream plus
+    per-row unfiltering; no external library. Handles 8-bit
+    non-interlaced gray (1ch), gray+alpha (2ch), RGB (3ch), RGBA (4ch),
+    and paletted images; 16-bit and Adam7-interlaced PNGs raise.
+    Returns (height, width, channels) uint8."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        cid = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"builtin PNG decoder handles 8-bit non-interlaced only "
+            f"(got bit_depth={bit_depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG: invalid color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG: scanline stream is {len(raw)} bytes, "
+            f"expected {h * (stride + 1)}")
+    img = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color_type == 3:  # palette indices -> RGB
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return img
+
+
 def _fake_decode_bytes(payload: bytes, width: int, height: int,
                        channels: int) -> np.ndarray:
     """DETERMINISTIC FAKE DECODER (no codec in this container).
@@ -199,50 +297,84 @@ def _fake_decode_bytes(payload: bytes, width: int, height: int,
     return out.reshape(height, width, channels)
 
 
-def _decode_image_bytes(payload: bytes, width: int, height: int,
-                        channels: int) -> np.ndarray:
-    """Codec dispatch for one payload: builtin PPM/BMP parsers first
-    (real decodes, no dependency), Pillow for compressed formats when
-    present, deterministic fake otherwise."""
+def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
+    """Codec dispatch for one payload: builtin PPM/BMP/PNG parsers first
+    (real decodes, no dependency), Pillow for other formats when
+    present. Returns ``(pixels, codec)``; ``(None, None)`` when no real
+    decoder applies (caller decides whether to fake or raise)."""
     if payload.startswith(b"P6"):
-        return _decode_ppm(payload)
+        return _decode_ppm(payload), "ppm"
     if payload.startswith(b"BM"):
-        return _decode_bmp(payload)
+        return _decode_bmp(payload), "bmp"
+    if payload.startswith(_PNG_SIG):
+        return _decode_png(payload), "png"
     if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
         import io
 
         from PIL import Image as _I
-        return np.asarray(_I.open(io.BytesIO(payload)).convert("RGB"))
-    return _fake_decode_bytes(payload, width, height, channels)
+        return np.asarray(_I.open(io.BytesIO(payload)).convert("RGB")), "pillow"
+    return None, None
 
 
 def decode_image(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
-                 out_col: str = "pixels") -> DataFrame:
+                 out_col: str = "pixels", codec_col: str = "codec",
+                 allow_fake: bool = False) -> DataFrame:
     """Decode image bytes to a flat ``array<int>`` pixel buffer
-    (row-major, ``height × width × channels``). PPM (P6) and 24-bit BMP
-    decode for real with the builtin parsers; other formats use Pillow
-    when present, else the deterministic fake decoder.
+    (row-major, ``height × width × channels``) plus a ``codec``
+    provenance column. PPM (P6), 24-bit BMP, and 8-bit non-interlaced
+    PNG decode for REAL with the builtin parsers (PNG via stdlib zlib);
+    other formats use Pillow when present.
+
+    A payload no real path can decode **raises** unless
+    ``allow_fake=True``, in which case the deterministic fake decoder
+    runs and the row is marked ``codec="fake"`` — downstream consumers
+    can (and should) filter on it. Real decodes are validated against
+    the ``media_meta`` dims so a swapped width/height or wrong channel
+    count fails here, with a clear message, instead of scrambling
+    pixels in a later ``reshape``.
 
     The output schema, batching, and downstream ops are identical
     whichever codec path runs — the codec is the only swappable piece.
     """
     fields = df.schema.fields
     out_schema = T.StructType(
-        list(fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))])
+        list(fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType())),
+           T.StructField(codec_col, T.StringType())])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = []
+            pixels, codecs = [], []
             for payload, meta in zip(pdf[binary_col], pdf[meta_col]):
                 if payload is None:
                     pixels.append(None)
+                    codecs.append(None)
                     continue
                 w, h, c = (int(meta["width"]), int(meta["height"]),
                            int(meta["channels"]))
-                pixels.append(_decode_image_bytes(bytes(payload), w, h, c)
-                              .reshape(-1).astype(np.int32))
+                arr, codec = _decode_image_bytes(bytes(payload))
+                if arr is None:
+                    if not allow_fake:
+                        raise NotImplementedError(
+                            "decode_image: payload is not PPM/BMP/PNG and "
+                            "Pillow is unavailable; pass allow_fake=True to "
+                            "substitute the deterministic fake decoder "
+                            "(output will NOT reflect real pixels and is "
+                            "marked codec='fake')")
+                    arr, codec = (_fake_decode_bytes(bytes(payload), w, h, c),
+                                  "fake")
+                elif arr.shape != (h, w, c):
+                    raise ValueError(
+                        f"decode_image: decoded {codec} payload has dims "
+                        f"(h, w, c)={arr.shape} but media_meta says "
+                        f"(height={h}, width={w}, channels={c}) — fix the "
+                        f"pack_media metadata (a mismatch would scramble "
+                        f"pixels downstream)")
+                pixels.append(arr.reshape(-1).astype(np.int32))
+                codecs.append(codec)
             pdf = pdf.copy()
             pdf[out_col] = pixels
+            pdf[codec_col] = codecs
             yield pdf
 
     return df.mapInPandas(decode, out_schema)

@@ -53,18 +53,26 @@ def test_byte_histogram_deterministic(media):
 
 
 def test_decode_image_fake_codec_shape_and_determinism(spark, media):
-    decoded = decode_image(media, "payload")
+    decoded = decode_image(media, "payload", allow_fake=True)
     rows = decoded.limit(3).collect()
     for r in rows:
         assert len(r.pixels) == 8 * 6 * 3
+        assert r.codec == "fake"  # provenance column marks the fake path
         # pinned to the fake decoder: first byte = md5(payload[:64] || 0)[0]
         seed = bytes(r.payload)[:64]
         expect = hashlib.md5(seed + (0).to_bytes(4, "big")).digest()[0]
         assert r.pixels[0] == expect
 
 
+def test_decode_image_refuses_fake_by_default(spark, media):
+    """Undecodable payloads raise unless the caller opts into the fake
+    decoder — fake pixels can't silently masquerade as real ones."""
+    with pytest.raises(Exception, match="allow_fake"):
+        decode_image(media, "payload").collect()
+
+
 def test_resize_pixels_nearest_neighbor(spark, media):
-    decoded = decode_image(media, "payload")
+    decoded = decode_image(media, "payload", allow_fake=True)
     resized = resize_pixels(decoded, "pixels", "media_meta", 4, 3)
     r = resized.first()
     img = np.asarray(r.pixels, dtype=np.int32).reshape(6, 8, 3)
@@ -90,13 +98,17 @@ def test_sample_frames_explodes_executor_side(media):
 
 def test_repartition_for_media_partition_count(media):
     total = media.select(F.sum(F.length("payload"))).first()[0]
-    small = repartition_for_media(media, "payload", total,
+    small = repartition_for_media(media, "payload", total_bytes=total,
                                   target_partition_bytes=1 << 10)
     assert small.rdd.getNumPartitions() == total // (1 << 10) + 1
     # total_bytes is required — the operator must never run driver
     # actions at plan time to estimate it
     with pytest.raises((ValueError, TypeError)):
-        repartition_for_media(media, "payload", None)
+        repartition_for_media(media, "payload", total_bytes=None)
+    # keyword-only: a stale positional call (old signature had
+    # target_partition_bytes third) must fail loudly, not reinterpret
+    with pytest.raises(TypeError):
+        repartition_for_media(media, "payload", 64 << 20)
 
 
 def _wav_bytes(samples: np.ndarray, rate: int = 16000,
@@ -206,6 +218,122 @@ def test_decode_image_real_bmp(spark, rgb_img):
     r = decode_image(df, "payload").first()
     got = np.asarray(r.pixels, dtype=np.int32).reshape(5, 7, 3)
     assert (got == rgb_img).all()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    import zlib as _z
+    return (len(body).to_bytes(4, "big") + cid + body
+            + _z.crc32(cid + body).to_bytes(4, "big"))
+
+
+def _png_bytes(img: np.ndarray, filters=(0,)) -> bytes:
+    """Minimal PNG writer that applies the given per-row filter types
+    (cycled), so the decoder's Sub/Up/Average/Paeth unfiltering is
+    exercised against ground truth."""
+    import zlib as _z
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int64)
+        ft = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+        upleft = np.concatenate([np.zeros(c, dtype=np.int64), prev[:-c]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = (row - left) % 256
+        elif ft == 2:
+            enc = (row - prev) % 256
+        elif ft == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (row - pred) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_one(spark, payload: bytes, w: int, h: int, c: int):
+    df = pack_media(
+        spark.createDataFrame([(1, bytearray(payload))],
+                              "doc_id long, payload binary"),
+        "payload", fmt="image/png", width=w, height=h, channels=c)
+    return decode_image(df, "payload").first()
+
+
+def test_decode_image_real_png_all_filters(spark):
+    """The stdlib-zlib PNG path: every filter type (None/Sub/Up/Average/
+    Paeth) unfilters back to the exact source pixels."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+    r = _decode_one(spark, _png_bytes(img, filters=(0, 1, 2, 3, 4)),
+                    9, 10, 3)
+    got = np.asarray(r.pixels, dtype=np.int32).reshape(10, 9, 3)
+    assert (got == img).all()
+    assert r.codec == "png"
+
+
+def test_decode_image_real_png_gray_and_rgba(spark):
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, size=(6, 5, 1), dtype=np.uint8)
+    r = _decode_one(spark, _png_bytes(gray, filters=(1, 4)), 5, 6, 1)
+    assert (np.asarray(r.pixels, dtype=np.int32).reshape(6, 5, 1)
+            == gray).all()
+    rgba = rng.integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
+    r = _decode_one(spark, _png_bytes(rgba, filters=(3, 2)), 7, 4, 4)
+    assert (np.asarray(r.pixels, dtype=np.int32).reshape(4, 7, 4)
+            == rgba).all()
+
+
+def test_decode_image_real_png_palette(spark):
+    """Paletted PNG (color type 3): indices resolve through PLTE."""
+    import zlib as _z
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = ((4).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0]))
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", pal.tobytes())
+               + _png_chunk(b"IDAT", _z.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    r = _decode_one(spark, payload, 4, 2, 3)
+    got = np.asarray(r.pixels, dtype=np.int32).reshape(2, 4, 3)
+    assert (got == pal[idx]).all()
+
+
+def test_decode_image_meta_mismatch_fails_at_decode(spark, rgb_img):
+    """Swapped width/height in media_meta must fail at decode time with
+    a clear message, not scramble pixels in a later reshape."""
+    df = pack_media(
+        spark.createDataFrame([(1, bytearray(_ppm_bytes(rgb_img)))],
+                              "doc_id long, payload binary"),
+        "payload", fmt="image/ppm", width=5, height=7)  # swapped!
+    with pytest.raises(Exception, match="media_meta"):
+        decode_image(df, "payload").collect()
+
+
+def test_decode_image_codec_provenance(spark, rgb_img):
+    for payload, codec in ((_ppm_bytes(rgb_img), "ppm"),
+                           (_bmp_bytes(rgb_img), "bmp")):
+        r = _decode_one(spark, payload, 7, 5, 3)
+        assert r.codec == codec
 
 
 def test_decode_image_pillow_roundtrip(spark, rgb_img):
