@@ -9,6 +9,6 @@ multi-column window fills collapse into one Window operator.
 
 from .inspect import (  # noqa: F401
     broadcast_join_count, count_exchanges, count_window_ops, formatted_plan,
-    pushed_filters, read_schema_columns, shuffle_join_count,
+    pushed_filters, read_schema_columns, scan_output_rows, shuffle_join_count,
     wholestage_codegen_spans,
 )

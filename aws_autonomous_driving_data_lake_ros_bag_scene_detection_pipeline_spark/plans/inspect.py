@@ -74,3 +74,27 @@ def count_window_ops(df: DataFrame) -> int:
 def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
                               formatted_plan(df))))
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Rows the plan's leaf scans actually produced — AFTER parquet
+    row-group skipping (zone-map min/max pruning), BEFORE any post-scan
+    Filter re-evaluation. The caller must have executed the DataFrame
+    (e.g. ``df.collect()``) so the SQL metrics are populated; sums
+    ``numOutputRows`` over all leaf scan nodes."""
+    def leaves(node):
+        children = node.children()
+        if children.isEmpty():
+            return [node]
+        out = []
+        it = children.iterator()
+        while it.hasNext():
+            out.extend(leaves(it.next()))
+        return out
+
+    total = 0
+    for leaf in leaves(df._jdf.queryExecution().executedPlan()):  # noqa: SLF001
+        metrics = leaf.metrics()
+        if metrics.contains("numOutputRows"):
+            total += metrics.apply("numOutputRows").value()
+    return total

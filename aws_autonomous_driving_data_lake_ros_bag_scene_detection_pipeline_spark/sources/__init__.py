@@ -1,7 +1,7 @@
 from .tables import (
     TPCH_TABLES, load_table, load_tables, read_topics, write_bucketed,
-    write_partitioned,
+    write_partitioned, write_time_sorted,
 )
 
 __all__ = ["TPCH_TABLES", "load_table", "load_tables", "read_topics",
-           "write_bucketed", "write_partitioned"]
+           "write_bucketed", "write_partitioned", "write_time_sorted"]

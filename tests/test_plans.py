@@ -195,6 +195,51 @@ def test_minhash_index_bucketed_probe_join(spark):
         spark.sql("drop table if exists t_mh_index_plain")
 
 
+def test_time_sorted_layout_prunes_row_groups(spark, tmp_path):
+    """Zone-map pruning proof (the 100 TB complement to partition
+    pruning): the SAME time-range predicate over the SAME rows reads a
+    small fraction of the data from the time-sorted layout but nearly
+    all of it from a time-shuffled layout — measured on the scan's own
+    numOutputRows metric, i.e. rows surviving parquet row-group min/max
+    skipping, not post-scan filtering."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
+        scan_output_rows,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        write_time_sorted,
+    )
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = raw.select("user_id", entry._ts_us(raw).alias("t"), "value")
+    total = ev.count()
+    t_lo, t_hi = ev.agg(F.min("t"), F.max("t")).first()
+    # a ~5% slice of the time span
+    lo = t_lo + (t_hi - t_lo) * 50 // 100
+    hi = t_lo + (t_hi - t_lo) * 55 // 100
+
+    sorted_path = str(tmp_path / "sorted")
+    shuffled_path = str(tmp_path / "shuffled")
+    write_time_sorted(ev, sorted_path, "t", num_files=16, mode="overwrite")
+    # adversarial layout: every file spans the whole time range
+    ev.repartition(16).write.mode("overwrite").parquet(shuffled_path)
+
+    def rows_scanned(path):
+        df = spark.read.parquet(path).where(F.col("t").between(lo, hi))
+        assert any("t" in f for f in pushed_filters(df)), \
+            "time predicate must reach the parquet scan"
+        matched = df.count()
+        df.collect()
+        return matched, scan_output_rows(df)
+
+    matched_s, scanned_sorted = rows_scanned(sorted_path)
+    matched_r, scanned_shuffled = rows_scanned(shuffled_path)
+    assert matched_s == matched_r > 0          # same answer either way
+    # shuffled layout: every row group overlaps the range -> full scan
+    assert scanned_shuffled >= total * 0.9
+    # sorted layout: only the row groups covering the 5% slice are read
+    assert scanned_sorted <= total * 0.25
+    assert scanned_sorted < scanned_shuffled / 3
+
+
 def test_dedup_text_pipeline_is_python_free(spark):
     """MinHash signatures + banding are pure Catalyst expressions."""
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
