@@ -1,5 +1,6 @@
 from ..sources.tables import union_by_name
 from .dedup import (
+    banding_for_recall,
     contamination, dup_clusters, duplicate_ids, exact_dedup, jaccard,
     minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature,
@@ -32,7 +33,7 @@ __all__ = [
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
     "hash_sample", "hash_sample_sql", "ivf_topk", "jaccard", "lag_lead",
-    "lm_bigram_score", "lsh_topk", "minhash_lsh_pairs",
+    "banding_for_recall", "lm_bigram_score", "lsh_topk", "minhash_lsh_pairs",
     "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",

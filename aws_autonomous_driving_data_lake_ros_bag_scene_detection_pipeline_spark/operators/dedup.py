@@ -32,11 +32,62 @@ caller's last action over the returned plan has run.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
 from ..functions.text import fingerprint, shingles, tokens
+
+
+def banding_for_recall(threshold: float, target_recall: float = 0.95,
+                       kind: str = "jaccard",
+                       max_perm: int = 512) -> tuple[int, int]:
+    """Derive ``(bands, rows_per_band)`` so LSH banding recall AT the
+    similarity threshold meets ``target_recall`` — the operating point
+    becomes a contract instead of caller-side S-curve math.
+
+    For a pair at exactly similarity τ, one row of a band agrees with
+    probability p₁ (= τ for minhash on Jaccard; = 1 − arccos(τ)/π for
+    signed random hyperplanes on cosine), a band of r rows collides
+    with p₁^r, and the pair becomes a candidate with
+    1 − (1 − p₁^r)^b. Solving for the smallest b that reaches the
+    target, this picks the LARGEST r whose b·r fits ``max_perm``:
+    recall at τ is pinned by construction, and a steeper curve (larger
+    r) minimizes false candidates below τ — the term that dominates
+    shuffle volume at corpus scale. Pairs above τ always exceed the
+    target (recall is monotone in similarity).
+
+    Raises when the target is unreachable within ``max_perm``
+    signature slots (low τ + high recall needs many bands).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}")
+    if kind == "jaccard":
+        p1 = threshold
+    elif kind == "cosine":
+        p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    else:
+        raise ValueError(f"kind must be 'jaccard' or 'cosine', got {kind!r}")
+    best = None
+    for r in range(1, 65):
+        p_band = p1 ** r
+        if p_band <= 0.0:
+            break
+        b = max(1, math.ceil(math.log1p(-target_recall)
+                             / math.log1p(-p_band)))
+        if b * r <= max_perm:
+            best = (b, r)
+    if best is None:
+        raise ValueError(
+            f"target_recall={target_recall} at threshold={threshold} "
+            f"({kind}) needs more than max_perm={max_perm} hash slots; "
+            f"raise max_perm or lower the target")
+    return best
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -192,7 +243,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.8, num_perm: int = 32,
                       bands: int | None = None, rows_per_band: int = 2,
                       shingle_n: int = 3,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000,
+                      target_recall: float | None = None,
+                      max_perm: int = 512) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard ≥ ``threshold``.
 
@@ -211,7 +264,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     (26.4s → 15.5s cold). r=4 (num_perm=64) cuts candidates to exactly
     the true pairs here, but its midpoint (1/16)^(1/4) = 0.5 collides
     with a τ=0.5 query (36% miss AT the threshold) — only safe for
-    τ ≥ 0.8 corpora, so it is opt-in, not the default."""
+    τ ≥ 0.8 corpora, so it is opt-in, not the default.
+
+    ``target_recall=0.95`` derives (bands, rows_per_band) — and with
+    them num_perm — from ``threshold`` via :func:`banding_for_recall`,
+    overriding the manual banding parameters: recall at the threshold
+    becomes a contract instead of caller math."""
+    if target_recall is not None:
+        bands, rows_per_band = banding_for_recall(threshold, target_recall,
+                                                  kind="jaccard",
+                                                  max_perm=max_perm)
+        num_perm = bands * rows_per_band
     bands = bands or num_perm // rows_per_band
     # persist: both self-join sides reuse the signatures, and the cache
     # boundary keeps the size(shingles) filter from being pushed beneath

@@ -275,7 +275,9 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.99, bands: int = 8,
                         rows_per_band: int = 8, dim: int = 64,
                         exact: bool = False,
-                        max_bucket: int = 1000) -> DataFrame:
+                        max_bucket: int = 1000,
+                        target_recall: float | None = None,
+                        max_perm: int = 512) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
 
     Default path is banded hyperplane LSH candidates + exact cosine
@@ -299,7 +301,18 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     d-ordered accumulator per pair — no cross-partition float merge.
     The per-pair ``zip_with/aggregate`` expression form would be
     CodegenFallback (interpreted, measured ~0.4 ms/pair at dim 64);
-    this explode/agg plan is whole-stage codegen throughout."""
+    this explode/agg plan is whole-stage codegen throughout.
+
+    ``target_recall=0.95`` derives (bands, rows_per_band) from
+    ``threshold`` via :func:`~..operators.dedup.banding_for_recall`
+    (kind="cosine": one sign bit agrees with 1 − arccos(τ)/π),
+    overriding the manual banding parameters — recall at the threshold
+    becomes a contract instead of caller-side S-curve math."""
+    if target_recall is not None and not exact:
+        from .dedup import banding_for_recall
+        bands, rows_per_band = banding_for_recall(threshold, target_recall,
+                                                  kind="cosine",
+                                                  max_perm=max_perm)
     vecs = df.select(F.col(id_col).alias("_id"),
                      F.col(vec_col).cast("array<double>").alias("_v"))
     if exact:

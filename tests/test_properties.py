@@ -235,3 +235,75 @@ def test_dup_clusters_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == expected
+
+
+@SETTINGS
+@given(tau=st.floats(0.2, 0.95), rho=st.floats(0.5, 0.99),
+       kind=st.sampled_from(["jaccard", "cosine"]))
+def test_banding_for_recall_meets_analytic_target(tau, rho, kind):
+    """The derived (bands, rows_per_band) must satisfy the S-curve
+    recall bound at the threshold and fit the permutation budget, for
+    ANY (threshold, target, kind)."""
+    import math
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import banding_for_recall
+
+    try:
+        b, r = banding_for_recall(tau, rho, kind=kind, max_perm=512)
+    except ValueError:
+        return  # infeasible within budget is a legal, explicit outcome
+    p1 = tau if kind == "jaccard" else 1 - math.acos(tau) / math.pi
+    assert 1 - (1 - p1 ** r) ** b >= rho - 1e-12
+    assert 1 <= b * r <= 512
+
+
+def test_banding_for_recall_rejects_bad_inputs():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import banding_for_recall
+    with pytest.raises(ValueError):
+        banding_for_recall(0.0, 0.9)
+    with pytest.raises(ValueError):
+        banding_for_recall(0.5, 1.0)
+    with pytest.raises(ValueError):
+        banding_for_recall(0.5, 0.9, kind="hamming")
+    with pytest.raises(ValueError, match="max_perm"):
+        # 99.9% recall at tau=0.1 cannot fit 16 hash slots
+        banding_for_recall(0.1, 0.999, max_perm=16)
+
+
+def test_minhash_target_recall_on_corpus(spark):
+    """target_recall-derived banding meets the target empirically:
+    exact n-gram Jaccard is ground truth, minhash candidates are
+    exact-verified (precision 1 by construction), so recall is the
+    only free variable. Deterministic: xxhash64 families are seeded."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import minhash_lsh_pairs as mlp
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id",
+                                 threshold=0.5).collect()}
+    assert len(truth) >= 10
+    found = {(r.id_a, r.id_b) for r in
+             mlp(docs, "text", "doc_id", threshold=0.5,
+                 target_recall=0.9, max_perm=64).collect()}
+    spark.catalog.clearCache()
+    assert found <= truth                      # exact verify: no FPs
+    assert len(found & truth) / len(truth) >= 0.9
+
+
+def test_embedding_target_recall_on_corpus(spark):
+    """Same contract for hyperplane-LSH cosine near-dup: at the r4
+    fixed operating point recall was 0.69; with target_recall=0.9 the
+    derived banding reaches >=0.9 against brute-force truth.
+    Deterministic: plane components are hash-derived."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import embedding_dup_pairs as edp
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {(r.id_a, r.id_b) for r in
+             edp(emb, "vec_id", "embedding", threshold=0.4,
+                 exact=True).collect()}
+    assert len(truth) >= 20
+    found = {(r.id_a, r.id_b) for r in
+             edp(emb, "vec_id", "embedding", threshold=0.4,
+                 target_recall=0.9, max_perm=96).collect()}
+    assert found <= truth
+    assert len(found & truth) / len(truth) >= 0.9
