@@ -30,7 +30,7 @@ from .operators import (  # noqa: E402,F401
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     embedding_dup_pairs, exact_dedup, forward_fill, hash_sample, ivf_topk, jaccard, lag_lead,
     lm_bigram_score,
-    banding_for_recall, lsh_topk, minhash_index, minhash_lsh_pairs, minhash_match_pairs,
+    banding_for_recall, cache_scope, lsh_topk, minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, ngram_jaccard_pairs,
     pack_media, pack_sequences, pivot_wide, repartition_for_media, resample_asof, salted_join,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs, stratified_hash_sample,

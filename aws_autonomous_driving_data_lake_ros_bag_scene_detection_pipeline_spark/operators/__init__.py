@@ -1,4 +1,5 @@
 from ..sources.tables import union_by_name
+from .caching import cache_scope, register_persist
 from .dedup import (
     banding_for_recall,
     contamination, dup_clusters, duplicate_ids, exact_dedup, jaccard,
@@ -33,7 +34,7 @@ __all__ = [
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
     "hash_sample", "hash_sample_sql", "ivf_topk", "jaccard", "lag_lead",
-    "banding_for_recall", "lm_bigram_score", "lsh_topk", "minhash_lsh_pairs",
+    "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
     "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",

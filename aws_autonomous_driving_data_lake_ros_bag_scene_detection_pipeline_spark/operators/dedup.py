@@ -21,13 +21,14 @@ Scale notes (100 TB corpus, 1000 executors):
 - hot buckets (boilerplate shingles) are bounded with ``max_bucket`` to
   keep the self-join skew-safe; AQE skew-join splitting handles the rest.
 
-Caching contract: the pair operators ``persist()`` their signature
-frames (both self-join sides reuse them, and the cache boundary pins
-measured plan shapes — see the inline notes). The cached blocks live
-until the session ends or the caller cleans up; a long-lived session
-running many dedup jobs should ``spark.catalog.clearCache()`` between
-jobs (or unpersist the lineage) — the operators cannot know when the
-caller's last action over the returned plan has run.
+Caching contract: the pair operators persist their signature frames
+(both self-join sides reuse them, and the cache boundary pins measured
+plan shapes — see the inline notes) via
+:func:`~.caching.register_persist`. Lifetime is the caller's: wrap
+composed jobs in ``with cache_scope():`` (operators/caching.py) and
+the blocks are freed, verifiably, at scope exit; without a scope the
+blocks live until the session ends or the caller runs
+``spark.catalog.clearCache()``.
 """
 
 from __future__ import annotations
@@ -39,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
 from ..functions.text import fingerprint, shingles, tokens
+from .caching import register_persist
 
 
 def banding_for_recall(threshold: float, target_recall: float = 0.95,
@@ -279,7 +281,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # persist: both self-join sides reuse the signatures, and the cache
     # boundary keeps the size(shingles) filter from being pushed beneath
     # the signature projection (re-evaluating it in the scan filter)
-    sig = minhash_signature(df, text_col, id_col, num_perm, shingle_n).persist()
+    sig = register_persist(
+        minhash_signature(df, text_col, id_col, num_perm, shingle_n))
     buckets = _band_buckets(sig, id_col, bands, rows_per_band, max_bucket)
 
     a = buckets.alias("a")
@@ -349,8 +352,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
            .withColumn("p_len",
                        (F.col("n_sh")
                         - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
-                        + 1))
-           .persist())  # reused by the index and both verify sides
+                        + 1)))
+    arr = register_persist(arr)  # reused by the index and both verify sides
 
     inv = arr.select("id", "n_sh",
                      F.explode(F.slice("h_arr", F.lit(1), F.col("p_len")))
@@ -611,7 +614,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     # Catalyst pushing isnotnull(simhash) beneath the projection — which
     # would re-evaluate the whole signature expression inside the scan
     # filter (observed 5x slowdown)
-    sig = simhash(df, text_col, id_col, bits).persist()
+    sig = register_persist(simhash(df, text_col, id_col, bits))
     nb = max_hamming + 1
     widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
     offs = [sum(widths[:i]) for i in range(nb)]

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import register_persist
+
 
 def time_spine(df: DataFrame, keys: list[str], time_col: str, step: float,
                spine_col: str = None) -> DataFrame:
@@ -252,7 +254,7 @@ def downsample_cascade(df: DataFrame, keys: list[str], time_col: str,
         # persist the tier that both the union output and the next
         # coarser tier consume (see docstring; no-op for the last tier,
         # which only the union reads)
-        prev = tiers[-1].persist()
+        prev = register_persist(tiers[-1])
         tiers[-1] = prev
         tiers.append(
             prev.groupBy(*keys, bucket(F.col("bucket"), step)

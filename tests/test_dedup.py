@@ -236,3 +236,48 @@ def test_simhash_pairs_matches_brute_force(spark):
     got = {(r.id_a, r.id_b): r.hamming for r in
            simhash_pairs(docs, "text", "doc_id", max_hamming=k).collect()}
     assert got == expected
+
+
+def _cached_plans(spark) -> bool:
+    """True iff Spark's CacheManager holds any cached plan."""
+    return not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_cache_scope_frees_storage_on_exit(spark):
+    """Operator-internal caches (minhash signatures) must be freed when
+    the cache_scope closes — composed pipelines can't leak blocks."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import cache_scope, minhash_lsh_pairs
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    with cache_scope():
+        pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+        assert pairs.count() >= 0        # action inside the scope
+        assert _cached_plans(spark), "signature frame should be cached"
+    assert not _cached_plans(spark), "scope exit must unpersist"
+
+
+def test_cache_scope_nested_and_unscoped(spark):
+    """Inner scopes free only their own frames; persists outside any
+    scope keep the old caller-owned lifetime."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import cache_scope
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.caching import (
+        register_persist,
+    )
+
+    spark.catalog.clearCache()
+    outer_df = spark.range(10)
+    inner_df = spark.range(20)
+    with cache_scope():
+        register_persist(outer_df).count()
+        with cache_scope():
+            register_persist(inner_df).count()
+            assert inner_df.storageLevel.useMemory
+        assert not inner_df.storageLevel.useMemory   # inner freed
+        assert outer_df.storageLevel.useMemory       # outer survives
+    assert not outer_df.storageLevel.useMemory
+
+    plain = spark.range(30)
+    register_persist(plain).count()                  # no scope active
+    assert plain.storageLevel.useMemory              # caller-owned
+    plain.unpersist(blocking=True)
