@@ -95,3 +95,62 @@ def test_binned_interval_join_matches_plain_predicate(spark):
     assert matched == {p for p, _ in expected}
     assert left.where(F.col("iid").isNull()).count() == \
         pts.count() - len({p for p, _ in expected} )
+
+
+def test_salted_join_measured_skew_spread(spark):
+    """Measured evidence for the salting rationale (not just semantics):
+    with a hot key carrying ~85% of the probe rows and the build side
+    too big to broadcast (forced off), the plain shuffle join lands the
+    hot key's entire output on ONE reducer partition, while the salted
+    join spreads it across ~salt partitions. Partition row counts are
+    the deterministic cause of task-time spread (wall-clock itself is
+    ±30% box noise, so we pin the distribution, not the clock)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import salted_join
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import formatted_plan
+
+    n_hot, n_cold, n_keys = 50_000, 500, 20
+    probe = spark.range(n_hot).select(
+        F.lit(0).alias("k"), F.col("id").alias("rid")).unionAll(
+        spark.range(n_cold * (n_keys - 1)).select(
+            (F.col("id") % (n_keys - 1) + 1).cast("int").alias("k"),
+            (F.col("id") + n_hot).alias("rid")))
+    build = spark.range(n_keys).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("label_"), F.col("id")).alias("label"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE's small-partition coalescing would merge this test-sized
+    # output into one partition and hide the reducer layout; at real
+    # scale the hot partition is far above the coalesce target anyway
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        plain = probe.join(build, ["k"])
+        salted = salted_join(probe, build, ["k"], salt_by="rid", salt=16)
+        assert plain.count() == salted.count() == n_hot + n_cold * (n_keys - 1)
+
+        # plan pin: the salted join's equi-keys include the salt column
+        assert "_salt" in formatted_plan(salted)
+        assert "_salt" not in formatted_plan(plain)
+
+        def partition_shares(df):
+            sizes = [r.cnt for r in
+                     df.withColumn("_pid", F.spark_partition_id())
+                       .groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
+                       .collect()]
+            total = sum(sizes)
+            return max(sizes) / total, len(sizes)
+
+        plain_max, _ = partition_shares(plain)
+        salted_max, salted_parts = partition_shares(salted)
+        # plain: the hot key (~84% of rows) is one reducer's task
+        assert plain_max >= 0.8
+        # salted: no reducer holds more than ~2/salt of the rows
+        assert salted_max <= 0.25
+        assert salted_parts > 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       prev_coalesce)
