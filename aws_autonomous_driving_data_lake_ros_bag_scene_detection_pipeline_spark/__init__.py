@@ -36,5 +36,5 @@ from .operators import (  # noqa: E402,F401
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs, stratified_hash_sample,
     tfidf_top_terms, time_spine, token_repetition, top_k_per_group, union_by_name,
 )
-from .session import get_spark  # noqa: E402,F401
+from .session import get_spark, set_state_store  # noqa: E402,F401
 from . import functions  # noqa: E402,F401

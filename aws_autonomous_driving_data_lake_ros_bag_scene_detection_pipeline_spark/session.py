@@ -19,9 +19,32 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Streaming state-store providers. The default HDFS-backed store keeps
+# every key in executor heap — fine for small state, fatal for a 100 TB
+# ingest dedup horizon (state is O(distinct keys within watermark)).
+# RocksDB spills state to local disk with an in-memory working set and
+# ships incremental snapshots to the checkpoint; it is bundled with
+# Spark (no extra jars).
+STATE_STORE_PROVIDERS = {
+    "rocksdb": ("org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"),
+    "hdfs": ("org.apache.spark.sql.execution.streaming.state."
+             "HDFSBackedStateStoreProvider"),
+}
+
+
+def set_state_store(spark: SparkSession, provider: str) -> None:
+    """Select the streaming state-store provider ('rocksdb', 'hdfs', or
+    a fully-qualified provider class). The conf is read when a streaming
+    query STARTS, so this applies to queries started after the call;
+    running queries keep their provider."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   STATE_STORE_PROVIDERS.get(provider, provider))
+
 
 def get_spark(app_name: str = "adsl-spark", shuffle_partitions: int | None = None,
-              extra_conf: dict | None = None) -> SparkSession:
+              extra_conf: dict | None = None,
+              state_store: str | None = None) -> SparkSession:
     # ensure executor-side Python workers can unpickle this package's
     # mapInPandas functions regardless of the driver process's cwd
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -51,6 +74,10 @@ def get_spark(app_name: str = "adsl-spark", shuffle_partitions: int | None = Non
         # (progress bars interleave with print() and corrupt the line)
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS.get(state_store, state_store))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

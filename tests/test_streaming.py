@@ -199,3 +199,43 @@ def test_completeness_gate_foreach_batch(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert released == [["bagA", "bagB"]]
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_stateful_streaming_under_both_state_stores(spark, tmp_path, provider):
+    """The same watermark-dedup + windowed-agg pipeline produces
+    identical results under the default HDFS-backed store and RocksDB
+    (the large-state provider a 100 TB ingest dedup horizon needs —
+    state spills to disk instead of executor heap)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import set_state_store
+
+    path = str(tmp_path / f"in_{provider}")
+    _write_events(spark, path, [
+        (1, 1, 10 * US, 1.0), (1, 1, 10 * US, 1.0),    # dup within watermark
+        (3, 1, 20 * US, 4.0), (4, 1, 70 * US, 8.0),
+    ])
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    set_state_store(spark, provider)
+    try:
+        assert provider[:4] in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass").lower()
+        deduped = _run_available_now(
+            dedup_stream(file_stream(spark, path, EVENT_SCHEMA),
+                         ["event_id"], "t", watermark="1 hour"))
+        assert sorted(r.event_id for r in deduped) == [1, 3, 4]
+        agg = _run_available_now(
+            windowed_agg(file_stream(spark, path, EVENT_SCHEMA),
+                         ["user_id"], "t",
+                         {"n": F.count(F.lit(1)), "total": F.sum("value")},
+                         window="1 minute", watermark="0 seconds"))
+        # watermark reaches 70s; [0,60) closes: 3 rows (dup NOT dropped
+        # here — dedup and agg are separate queries), total 6.0
+        assert sorted((r.window_start, r.n, r.total) for r in agg) == \
+            [(0, 3, 6.0)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
