@@ -245,32 +245,53 @@ def read_bag_messages(spark: SparkSession, path: str,
     upload among tens of thousands of bags should cost one bag, not
     the batch — the reference's per-bag containers got this isolation
     for free (ecs_stack.py:293-318); a single Spark job must opt into
-    it. Skipped-bag detection is left to the caller: anti-join the
-    distinct ``bag_file`` values against the file listing to quarantine
-    inputs that yielded nothing.
+    it.
+
+    In skip mode the output gains an ``error`` string column: null on
+    every message row, and each salvaged bag additionally emits ONE
+    marker row (``bag_file`` + ``error`` set, message fields null) so
+    callers can quarantine bad inputs with
+    ``where("error is not null")`` instead of re-listing files. Only
+    *input*-shaped failures are skipped (truncation, bad lengths,
+    missing header fields, codec/decompression errors, unsupported
+    chunk compression); a decoder BUG (TypeError, AttributeError, …)
+    still fails the job — silently truncating every bag on a code
+    defect would be indistinguishable from corruption.
     """
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     bags = (spark.read.format("binaryFile")
             .option("pathGlobFilter", glob).load(path)
             .select("path", "content"))
+    out_schema = MESSAGE_SCHEMA
+    if on_error == "skip":
+        out_schema = T.StructType(
+            list(MESSAGE_SCHEMA.fields)
+            + [T.StructField("error", T.StringType())])
+    # corrupt/truncated/unsupported INPUT raises these from the parse
+    # path; anything else is a decoder defect and must propagate
+    input_errors = (ValueError, KeyError, IndexError, EOFError,
+                    struct.error, OSError, NotImplementedError)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in MESSAGE_SCHEMA.fields]
+        cols = [f.name for f in out_schema.fields]
+        skip = on_error == "skip"
         for pdf in batches:
             for bag_path, content in zip(pdf["path"], pdf["content"]):
                 name = bag_path.rsplit("/", 1)[-1]
                 rows: list[tuple] = []
                 try:
                     for row in parse_bag_bytes(name, bytes(content)):
-                        rows.append(row)
-                except Exception:
-                    if on_error == "fail":
+                        rows.append(row + (None,) if skip else row)
+                except input_errors as e:
+                    if not skip:
                         raise
-                    # keep the pre-corruption prefix, drop the remainder
+                    # keep the pre-corruption prefix and mark the bag
+                    rows.append((name, None, None, None, None, None, None,
+                                 f"{type(e).__name__}: {e}"))
                 yield pd.DataFrame(rows, columns=cols)
 
-    return bags.mapInPandas(extract, MESSAGE_SCHEMA)
+    return bags.mapInPandas(extract, out_schema)
 
 
 def topic_metadata(messages: DataFrame) -> DataFrame:

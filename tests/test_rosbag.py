@@ -189,12 +189,23 @@ def test_read_bag_messages_skip_salvages_corrupt_bag(spark, tmp_path):
     strict = read_bag_messages(spark, str(tmp_path))
     with pytest.raises(Exception):
         strict.collect()
-    rows = read_bag_messages(spark, str(tmp_path), on_error="skip").collect()
+    salvaged = read_bag_messages(spark, str(tmp_path), on_error="skip")
+    rows = salvaged.collect()
     by_bag = {}
     for r in rows:
         by_bag.setdefault(r.bag_file, []).append(r)
-    assert len(by_bag["good.bag"]) == 5          # healthy bag untouched
-    assert 0 <= len(by_bag.get("bad.bag", [])) < 5   # prefix only
+    good_rows = by_bag["good.bag"]
+    assert len(good_rows) == 5                   # healthy bag untouched
+    assert all(r.error is None for r in good_rows)
+    # the corrupt bag emits its salvageable prefix plus ONE marker row
+    # so callers can quarantine via where("error is not null")
+    bad_markers = [r for r in by_bag["bad.bag"] if r.error is not None]
+    assert len(bad_markers) == 1
+    assert bad_markers[0].topic is None
+    assert 0 <= len(by_bag["bad.bag"]) - 1 < 5   # prefix only
+    quarantined = [r.bag_file for r in
+                   salvaged.where("error is not null").collect()]
+    assert quarantined == ["bad.bag"]
     with pytest.raises(ValueError, match="on_error"):
         read_bag_messages(spark, str(tmp_path), on_error="quarantine")
 

@@ -64,7 +64,9 @@ def main():
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if (only and name not in only) or name in skip:
+        # the skip set (--skip-quadratic) must not override queries the
+        # caller asked for by name
+        if (only and name not in only) or (not only and name in skip):
             continue
         t0 = time.time()
         try:
