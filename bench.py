@@ -4,7 +4,8 @@
 
     {"metric": "total_query_time", "value": N, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...},
-     "queries_p50": {...}, "warmup_sec": W, "runs": 2, "sf": 0.1}
+     "queries_p50": {...}, "queries_last": {...}, "value_last": M,
+     "warmup_sec": W, "runs": 2, "sf": 0.1}
 
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no serialization to disk, no driver collect) so the measured time is the
@@ -13,9 +14,12 @@ Spark plan's, not the harness's.
 Round-over-round attribution: ``queries``/``value`` stay the min across
 runs (steady state, the comparable headline), ``queries_p50`` is the
 median of the same runs (captures first-run codegen/broadcast cost and
-run variance), and ``warmup_sec`` is the one-time session bring-up that
-is deliberately OUTSIDE every query timing — so a regression shows up in
-exactly one field instead of smearing across all of them.
+run variance), ``queries_last``/``value_last`` is the final run alone
+(what a single-run harness like the driver's BENCH_r{N} records — docs
+must cite whichever committed number they mean), and ``warmup_sec`` is
+the one-time session bring-up that is deliberately OUTSIDE every query
+timing — so a regression shows up in exactly one field instead of
+smearing across all of them.
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ def main() -> None:
     qs = entry.queries()
     timings: dict[str, float] = {}
     p50s: dict[str, float] = {}
+    lasts: dict[str, float] = {}
     for name, fn in qs.items():
         samples: list[float] = []
         try:
@@ -64,20 +69,24 @@ def main() -> None:
                 samples.append(time.time() - t0)
             timings[name] = round(min(samples), 3)
             p50s[name] = round(statistics.median(samples), 3)
+            lasts[name] = round(samples[-1], 3)
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"bench error in {name}: {type(e).__name__}: {e}",
                   file=sys.stderr)
             timings[name] = -1.0
             p50s[name] = -1.0
+            lasts[name] = -1.0
         # the dedup pair operators persist() their signature relation and
         # document that the CALLER owns the cache lifetime (dedup.py:24-29);
         # leaked cache from earlier queries skews later measurements
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_last = round(sum(t for t in lasts.values() if t >= 0), 3)
     full = json.dumps({"metric": "total_query_time", "value": total,
                        "unit": "sec", "queries": timings,
-                       "queries_p50": p50s, "warmup_sec": warmup,
+                       "queries_p50": p50s, "queries_last": lasts,
+                       "value_last": total_last, "warmup_sec": warmup,
                        "runs": runs, "sf": sf})
     # The stdout line carries ONLY the spec-required fields: r3's
     # artifact had parsed:null because the harness keeps a bounded tail
