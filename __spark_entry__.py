@@ -27,13 +27,14 @@ from pyspark.sql import functions as F
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
     asof_join, binned_interval_join, brute_force_topk,
     byte_histogram_features,
-    change_point_intervals, chunk_documents, contamination, dup_clusters,
+    change_point_intervals, chunk_documents, contamination,
+    distinct_sketch, dup_clusters,
     duplicate_ids,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     ngram_jaccard_pairs,
     pack_media, pack_sequences,
-    resample_asof, sessionize, simhash_pairs,
+    resample_asof, rollup_distinct, sessionize, simhash_pairs,
     stratified_hash_sample, tfidf_top_terms,
     token_repetition, top_k_per_group, union_by_name,
 )
@@ -602,15 +603,31 @@ where not exists (select 1 from orders where o_custkey = c_custkey)
 
 
 def q_distinct_agg(spark, sf_dir):
+    """Exact distinct aggregate PLUS the mergeable-sketch scale path:
+    HLL sketches built at the finer (status, priority) granularity and
+    merged up to status (operators/sketches.py — hll_sketch_agg /
+    hll_union_agg, the additive replacement for non-additive COUNT
+    DISTINCT at 100 TB). The merged estimate is pinned inside the
+    documented 3σ envelope (lg_k=14 → RSE 0.8%, bound 2.5%) of the
+    exact count, asserted as a literal-true boolean the oracle
+    reproduces — the same sketch-gating shape as q_percentiles'
+    percentile_approx envelope."""
     orders = _t("orders")(spark, sf_dir)
-    return (orders.groupBy("o_orderstatus")
-            .agg(F.countDistinct("o_custkey").alias("n_custs"),
-                 F.count(F.lit(1)).alias("n_orders")))
+    exact = (orders.groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("n_custs"),
+                  F.count(F.lit(1)).alias("n_orders")))
+    fine = distinct_sketch(orders, ["o_orderstatus", "o_orderpriority"],
+                           "o_custkey")
+    est = rollup_distinct(fine, ["o_orderstatus"])
+    return (exact.join(est, "o_orderstatus")
+            .select("o_orderstatus", "n_custs", "n_orders",
+                    (F.abs(F.col("approx_distinct") - F.col("n_custs"))
+                     <= 0.025 * F.col("n_custs")).alias("sketch_ok")))
 
 
 Q_DISTINCT_SQL = """
 select o_orderstatus, count(distinct o_custkey) as n_custs,
-  count(*) as n_orders
+  count(*) as n_orders, true as sketch_ok
 from orders group by o_orderstatus
 """
 

@@ -19,6 +19,7 @@ from .sampling import (
     stratified_hash_sample,
 )
 from .similarity import brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk
+from .sketches import distinct_rollup_check, distinct_sketch, rollup_distinct
 from .sessionize import change_point_intervals, sessionize
 from .timeseries import (
     asof_join, downsample_cascade, forward_fill, lag_lead, resample_asof,
@@ -37,6 +38,7 @@ __all__ = [
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
     "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
+    "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
     "tfidf_top_terms", "time_spine", "token_repetition", "top_k_per_group", "union_by_name",
 ]
