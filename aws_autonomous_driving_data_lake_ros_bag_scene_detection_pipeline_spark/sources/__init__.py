@@ -1,7 +1,8 @@
 from .tables import (
     TPCH_TABLES, load_table, load_tables, read_topics, write_bucketed,
-    write_partitioned, write_time_sorted,
+    write_partitioned, write_time_sorted, write_zordered, zorder_key,
 )
 
 __all__ = ["TPCH_TABLES", "load_table", "load_tables", "read_topics",
-           "write_bucketed", "write_partitioned", "write_time_sorted"]
+           "write_bucketed", "write_partitioned", "write_time_sorted",
+           "write_zordered", "zorder_key"]

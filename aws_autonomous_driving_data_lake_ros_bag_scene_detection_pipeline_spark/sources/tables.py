@@ -136,6 +136,81 @@ def write_time_sorted(df: DataFrame, path: str, time_col: str,
     w.parquet(path)
 
 
+def zorder_key(cols: list, *, bits: int = 16,
+               ranges: dict[str, tuple[float, float]] | None = None):
+    """Morton (Z-order) interleave of ``cols`` as a pure Catalyst
+    expression: each column is quantized to ``bits`` equi-width levels
+    inside its [min, max] range (``width_bucket``), then the level bits
+    are interleaved LSB-first across columns so nearby z-values are
+    nearby in EVERY dimension at once.
+
+    ``ranges`` maps column name -> (min, max); required — quantization
+    bounds are data statistics the caller owns (compute once with one
+    ``agg`` or carry them in a manifest; plan-building code must not
+    run driver actions). Out-of-range values clamp to the edge levels.
+    All arithmetic is shift/and/or on longs — whole-stage codegen.
+    """
+    if ranges is None:
+        raise ValueError("ranges is required: {col: (min, max)}; compute "
+                         "once with df.agg(min/max) or from a manifest")
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long's width")
+    levels = []
+    for c in cols:
+        lo, hi = (float(v) for v in ranges[c])
+        if not hi > lo:
+            raise ValueError(f"range for {c} must have max > min")
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi),
+                           F.lit(1 << bits)) - 1
+        levels.append(F.greatest(F.lit(0),
+                                 F.least(b, F.lit((1 << bits) - 1)))
+                      .cast("long"))
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        for i, lvl in enumerate(levels):
+            bit = F.shiftright(lvl, k).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, k * n + i))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
+                   *, ranges: dict[str, tuple[float, float]],
+                   bits: int = 16, num_files: int | None = None,
+                   partition_cols: list[str] | None = None,
+                   mode: str = "append") -> None:
+    """Z-ordered parquet layout — zone-map pruning on SEVERAL columns
+    at once, the multi-dimensional complement to
+    :func:`write_time_sorted` (which gives one column perfect
+    clustering and the others none).
+
+    Range-partitioning and sorting on the Morton key gives every
+    output file/row group a hyper-rectangle-ish footprint: its min/max
+    footer stats are narrow in *each* z-ordered column, so a pushed-
+    down range predicate on ANY of them skips most row groups. At
+    100 TB this is the layout for tables queried along more than one
+    axis (e.g. events by user AND by time) where a single sort column
+    would force full scans on the second axis. Proven on scan metrics
+    in tests/test_plans.py::test_zordered_layout_prunes_both_columns.
+
+    ``ranges`` holds the quantization bounds (see :func:`zorder_key`).
+    Clustering degrades gracefully: values outside the given ranges
+    clamp to edge cells, so stale bounds cost pruning power, never
+    correctness.
+    """
+    z = zorder_key(zorder_cols, bits=bits, ranges=ranges)
+    tagged = df.withColumn("__z", z)
+    if num_files is None:
+        out = tagged.repartitionByRange("__z")
+    else:
+        out = tagged.repartitionByRange(num_files, "__z")
+    out = out.sortWithinPartitions("__z").drop("__z")
+    w = out.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
 def add_lineage(df: DataFrame, **cols: str) -> DataFrame:
     """Tag lineage/literal columns (SURVEY §2 #15; synchronize_topics.py:47-49)."""
     for name, value in cols.items():
