@@ -26,9 +26,17 @@ package replaces that stack with Structured Streaming primitives:
                                 an ``applyInPandasWithState`` operator —
                                 the streaming form of
                                 detect_scenes.py:192-222.
+- ``ingest.incremental_dedup_stream`` : the production ingest loop —
+                                every micro-batch is deduped within
+                                itself and against the persisted corpus
+                                index, then appended to it (idempotent
+                                per batch id via dynamic partition
+                                overwrite).
 """
 
 from .gate import CompletenessGate  # noqa: F401
+from .ingest import (incremental_dedup_batch,  # noqa: F401
+                     incremental_dedup_stream)
 from .ops import (dedup_stream, interval_join_stream,  # noqa: F401
                   sessionize_stream, windowed_agg)
 from .sources import file_stream  # noqa: F401

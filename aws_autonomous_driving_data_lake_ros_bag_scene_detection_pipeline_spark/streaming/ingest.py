@@ -1,0 +1,119 @@
+"""Streaming incremental dedup: the production ingest shape, end to end.
+
+Ties the incremental dedup operators (``operators.dedup.minhash_index``
+/ ``minhash_match_pairs``) to Structured Streaming: each arriving
+micro-batch of documents is
+
+1. matched WITHIN itself (``minhash_lsh_pairs`` — two copies landing in
+   one batch must still be caught),
+2. probed against the persisted corpus index built from all PRIOR
+   batches (``minhash_match_pairs`` — one bucket join, no corpus
+   re-mining), and
+3. appended to that index, so later batches see it.
+
+This is the 100 TB ingest loop: per-batch cost is the batch's own
+signatures plus one co-located bucket join against an index that only
+ever grows by appended batch partitions — never a re-scan of the
+corpus. The batch-equivalence property (union of per-batch pairs ==
+full re-mining over everything ingested) is pinned by
+tests/test_streaming.py::test_incremental_dedup_stream_matches_full_mining.
+
+Fault tolerance: ``foreachBatch`` may re-run a batch after a failure,
+so both sinks partition by ``_batch_id`` and use dynamic partition
+overwrite — a replayed batch overwrites its own partition instead of
+appending duplicates (idempotent per batch id, the standard
+exactly-once foreachBatch recipe). At scale, point ``index_path`` at a
+``write_bucketed``-style (band, bh)-bucketed table instead of plain
+parquet to make the probe join index-side zero-exchange
+(tests/test_plans.py::test_minhash_probe_join_is_zero_exchange_on_index_side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from ..operators.dedup import (
+    minhash_index, minhash_lsh_pairs, minhash_match_pairs,
+)
+
+
+def incremental_dedup_batch(batch_df: DataFrame, batch_id: int,
+                            text_col: str, id_col: str, *,
+                            index_path: str, pairs_path: str,
+                            threshold: float = 0.8, num_perm: int = 32,
+                            bands: int | None = None,
+                            rows_per_band: int = 2, shingle_n: int = 3,
+                            max_bucket: int = 1000) -> None:
+    """Process ONE micro-batch: intra-batch pairs + index probe, then
+    index append. Usable directly for driver-side batch loops; the
+    streaming wrapper below hands it to ``foreachBatch``."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    params = dict(threshold=threshold, num_perm=num_perm, bands=bands,
+                  rows_per_band=rows_per_band, shingle_n=shingle_n,
+                  max_bucket=max_bucket)
+    batch_df = batch_df.persist()
+    try:
+        intra = (minhash_lsh_pairs(batch_df, text_col, id_col, **params)
+                 .select(F.col("id_b").alias("new_id"),
+                         F.col("id_a").alias("corpus_id"), "jaccard"))
+        try:
+            # probe strictly EARLIER batches only: a replayed batch must
+            # not see its own (already-appended) partition — this keeps
+            # replay idempotent and is also what partition pruning wants
+            index = (spark.read.parquet(index_path)
+                     .where(F.col("_batch_id") < batch_id)
+                     .drop("_batch_id"))
+        except AnalysisException:
+            index = None          # first batch: nothing indexed yet
+        if index is not None:
+            cross = minhash_match_pairs(batch_df, index, text_col, id_col,
+                                        **params)
+            pairs = intra.unionByName(cross)
+        else:
+            pairs = intra
+        (pairs.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(pairs_path))
+        idx_params = {k: v for k, v in params.items() if k != "threshold"}
+        (minhash_index(batch_df, text_col, id_col, **idx_params)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(index_path))
+    finally:
+        batch_df.unpersist()
+
+
+def incremental_dedup_stream(stream: DataFrame, text_col: str,
+                             id_col: str, *, index_path: str,
+                             pairs_path: str, checkpoint_dir: str,
+                             threshold: float = 0.8, num_perm: int = 32,
+                             bands: int | None = None,
+                             rows_per_band: int = 2, shingle_n: int = 3,
+                             max_bucket: int = 1000,
+                             available_now: bool = True) -> StreamingQuery:
+    """Run the incremental dedup loop over a streaming document source.
+
+    Returns the started query; pair rows land under ``pairs_path``
+    (``new_id``, ``corpus_id``, ``jaccard``, partitioned by batch) and
+    the growing corpus index under ``index_path``. With
+    ``available_now`` the query drains the current backlog and stops —
+    the scheduled-ingest shape; pass ``False`` for a continuously
+    running query.
+    """
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_dedup_batch(
+            batch_df, batch_id, text_col, id_col,
+            index_path=index_path, pairs_path=pairs_path,
+            threshold=threshold, num_perm=num_perm, bands=bands,
+            rows_per_band=rows_per_band, shingle_n=shingle_n,
+            max_bucket=max_bucket)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -239,3 +239,94 @@ def test_stateful_streaming_under_both_state_stores(spark, tmp_path, provider):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+_DOC_BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+             "watches from the warm window sill in the morning sun")
+
+
+def _doc_batches():
+    """Three batches with dup structure WITHIN batches and ACROSS them:
+    0≡1 (same batch), 0≈4 (batch 0 vs 1), 4≈8 (batch 1 vs 2), and
+    unrelated filler everywhere."""
+    near = _DOC_BASE.replace("morning", "evening")
+    other = ("completely different text about spark query engines and "
+             "shuffle partitions at terabyte scale with adaptive plans")
+    return [
+        [(0, _DOC_BASE), (1, _DOC_BASE), (2, other), (3, other + " x")],
+        [(4, near), (5, "short unrelated text about nothing in common"),
+         (6, other.replace("spark", "flink"))],
+        [(8, near.replace("cat", "bird")), (9, _DOC_BASE + " extended"),
+         (10, "yet another filler row with unique words entirely")],
+    ]
+
+
+def test_incremental_dedup_stream_matches_full_mining(spark, tmp_path):
+    """The streaming ingest loop (per-micro-batch intra pairs + index
+    probe + index append) finds EXACTLY the pair set full re-mining
+    finds over everything ingested — the batch-equivalence contract of
+    the incremental dedup design, now proven through the real
+    Structured Streaming path (maxFilesPerTrigger=1 so each parquet
+    file is its own micro-batch)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import minhash_lsh_pairs
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        incremental_dedup_stream,
+    )
+    src = str(tmp_path / "docs")
+    for batch in _doc_batches():
+        spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+    q = incremental_dedup_stream(
+        file_stream(spark, src, DOC_SCHEMA, max_files_per_trigger=1),
+        "text", "doc_id",
+        index_path=str(tmp_path / "index"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5)
+    q.awaitTermination(180)
+
+    got = {(min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id),
+            round(r.jaccard, 6))
+           for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    all_docs = spark.createDataFrame(
+        [r for b in _doc_batches() for r in b], DOC_SCHEMA)
+    want = {(r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in minhash_lsh_pairs(all_docs, "text", "doc_id",
+                                       threshold=0.5).collect()}
+    assert got == want and len(want) >= 3
+    # the index now covers every ingested doc (ids 0-6 and 8-10)
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.select("doc_id").distinct().count() == 10
+    spark.catalog.clearCache()
+
+
+def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replays a batch after failure: re-running the same
+    batch_id must overwrite its own output partition, not append
+    duplicates (dynamic partition overwrite keyed by _batch_id)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        incremental_dedup_batch,
+    )
+    b0, b1 = _doc_batches()[0], _doc_batches()[1]
+    kw = dict(index_path=str(tmp_path / "index"),
+              pairs_path=str(tmp_path / "pairs"), threshold=0.5)
+    incremental_dedup_batch(spark.createDataFrame(b0, DOC_SCHEMA), 0,
+                            "text", "doc_id", **kw)
+    incremental_dedup_batch(spark.createDataFrame(b1, DOC_SCHEMA), 1,
+                            "text", "doc_id", **kw)
+    pairs_once = sorted((r.new_id, r.corpus_id) for r in
+                        spark.read.parquet(kw["pairs_path"]).collect())
+    idx_once = spark.read.parquet(kw["index_path"]).count()
+    # replay batch 1 (as after a post-write pre-commit crash)
+    incremental_dedup_batch(spark.createDataFrame(b1, DOC_SCHEMA), 1,
+                            "text", "doc_id", **kw)
+    pairs_again = sorted((r.new_id, r.corpus_id) for r in
+                         spark.read.parquet(kw["pairs_path"]).collect())
+    assert pairs_again == pairs_once
+    assert spark.read.parquet(kw["index_path"]).count() == idx_once
+    spark.catalog.clearCache()
