@@ -211,6 +211,59 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
     w.parquet(path)
 
 
+def dataset_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes under ``path`` via the Hadoop FileSystem API
+    (works for any supported scheme — local, HDFS, s3a). One listing
+    call on the driver; compaction and media repartitioning both need
+    this statistic and it must come from the filesystem, not a scan."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(jpath).getLength()
+
+
+def compact_files(spark: SparkSession, src_path: str, dst_path: str, *,
+                  target_file_bytes: int = 128 << 20,
+                  partition_cols: list[str] | None = None,
+                  sort_cols: list[str] | None = None,
+                  mode: str = "overwrite") -> int:
+    """Rewrite a parquet dataset into ~``total/target_file_bytes``
+    right-sized files; returns the file count written.
+
+    The small-file problem is a first-order 100 TB cost: streaming
+    sinks and per-batch appends (this engine's incremental dedup index,
+    the reference's per-bag writes) accumulate thousands of KB-sized
+    files, and every later scan pays per-file open/footer/listing
+    overhead plus one scheduler task per file. Periodic compaction
+    restores ~128 MB files so scans run at sequential-read speed.
+
+    Writes to ``dst_path`` (never in place — readers of ``src_path``
+    stay consistent; swap directories after success, the standard
+    compact-then-swap recipe). ``sort_cols`` re-establishes a sorted
+    layout in the same pass (compaction is the natural moment to
+    restore :func:`write_time_sorted`/:func:`write_zordered` clustering
+    that appends have degraded); ``partition_cols`` keeps hive
+    partitioning, with files repartitioned BY the partition key so each
+    output task writes whole partitions instead of a file per
+    (task x partition) pair.
+    """
+    total = dataset_bytes(spark, src_path)
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        out = (df.repartitionByRange(n, *sort_cols)
+               .sortWithinPartitions(*sort_cols))
+    elif partition_cols:
+        out = df.repartition(n, *partition_cols)
+    else:
+        out = df.repartition(n)
+    w = out.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(dst_path)
+    return n
+
+
 def add_lineage(df: DataFrame, **cols: str) -> DataFrame:
     """Tag lineage/literal columns (SURVEY §2 #15; synchronize_topics.py:47-49)."""
     for name, value in cols.items():

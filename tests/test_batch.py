@@ -65,3 +65,40 @@ def test_register_table_partitioned(spark, topic_data, tmp_path):
         assert n == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS sync_test")
+
+
+def test_compact_files_right_sizes_and_preserves_data(spark, tmp_path):
+    """64 tiny append files (the streaming-sink shape) compact into
+    ~total/target files with identical data; sort_cols re-establishes
+    time clustering in the same pass (disjoint per-file min/max)."""
+    import glob
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        compact_files, dataset_bytes,
+    )
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 7 % 97).alias("v"))
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    total = dataset_bytes(spark, src)
+    n = compact_files(spark, src, dst, target_file_bytes=total // 4 + 1)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n <= 5
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+    # compact + re-sort: per-file id ranges must be disjoint
+    dst2 = str(tmp_path / "sorted")
+    compact_files(spark, src, dst2, target_file_bytes=total // 4 + 1,
+                  sort_cols=["id"])
+    import pyarrow.parquet as pq
+    spans = []
+    for f in sorted(glob.glob(f"{dst2}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        ids = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        spans.append((min(s.min for s in ids), max(s.max for s in ids)))
+    spans.sort()
+    assert all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]))
