@@ -18,7 +18,10 @@ from .sampling import (
     chunk_documents, hash_sample, hash_sample_sql, pack_sequences,
     stratified_hash_sample,
 )
-from .similarity import brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_topk
+from .similarity import (
+    brute_force_topk, embedding_dup_pairs, ivf_index, ivf_pivots,
+    ivf_probe, ivf_topk, lsh_topk,
+)
 from .sketches import distinct_rollup_check, distinct_sketch, rollup_distinct
 from .sessionize import change_point_intervals, sessionize
 from .timeseries import (
@@ -34,7 +37,8 @@ __all__ = [
     "decode_audio", "decode_image", "downsample_cascade",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
-    "hash_sample", "hash_sample_sql", "ivf_topk", "jaccard", "lag_lead",
+    "hash_sample", "hash_sample_sql", "ivf_index", "ivf_pivots",
+    "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
     "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",

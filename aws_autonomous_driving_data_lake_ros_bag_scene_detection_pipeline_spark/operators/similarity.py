@@ -239,6 +239,101 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                     F.col("rank").cast("bigint").alias("rank")))
 
 
+def ivf_pivots(corpus: DataFrame, id_col: str, vec_col: str,
+               nlist: int = 16) -> DataFrame:
+    """The coarse codebook: the ``nlist`` corpus vectors with the
+    smallest ids (deterministic data-sampled pivots — same rule as
+    :func:`ivf_topk`; a trained k-means codebook is a drop-in).
+    Returns ``(_pid, vec_col)``; store it next to the index."""
+    return (corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+            .select(F.col(id_col).alias("_pid"), F.col(vec_col)))
+
+
+def _assign_cells(ev: DataFrame, idc: str, x_name: str,
+                  pe: DataFrame, rank_n: int) -> DataFrame:
+    """Nearest ``rank_n`` pivot cells per vector by squared L2
+    (ties → lowest pivot id); broadcast pivot elements keep the
+    vector elements in place (d-ordered sums, codegen)."""
+    d2 = (ev.join(F.broadcast(pe), "_d")
+          .groupBy(idc, "_pid")
+          .agg(F.sum((F.col(x_name) - F.col("_px"))
+                     * (F.col(x_name) - F.col("_px"))).alias("_d2")))
+    w = Window.partitionBy(idc).orderBy(F.asc("_d2"), F.asc("_pid"))
+    return (d2.withColumn("_cr", F.row_number().over(w))
+            .where(F.col("_cr") <= rank_n)
+            .select(idc, F.col("_pid").alias("cell")))
+
+
+def ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
+              pivots: DataFrame) -> DataFrame:
+    """Cell-assigned corpus — the persistable IVF index.
+
+    Returns the corpus rows plus a ``cell`` column (nearest pivot by
+    squared L2). The production shape mirrors
+    :func:`~.dedup.minhash_index`: assign cells ONCE, write with
+    ``sources.write_partitioned(index, path, ["cell"])``, and every
+    later probe reads ONLY its probed cells' partitions from storage —
+    hive partition pruning turns ``nprobe/nlist`` candidate math into
+    ``nprobe/nlist`` *bytes read*, which at 100 TB is the entire point
+    of IVF. Proven on scan metrics in
+    tests/test_similarity.py::test_ivf_probe_reads_only_probed_cells.
+    """
+    ce = _explode_vec(corpus, [F.col(id_col).alias("_iid")], vec_col, "_cx")
+    pe = _explode_vec(pivots, ["_pid"], vec_col, "_px")
+    cells = _assign_cells(ce, "_iid", "_cx", pe, 1)
+    return corpus.join(cells.withColumnRenamed("_iid", id_col), id_col)
+
+
+def ivf_probe(index: DataFrame, queries: DataFrame, id_col: str,
+              vec_col: str, pivots: DataFrame, k: int = 10,
+              nprobe: int = 4,
+              query_id_col: str | None = None) -> DataFrame:
+    """Top-k over a prebuilt cell-assigned index (:func:`ivf_index`).
+
+    The query batch's probed cell ids are collected to the driver
+    (bounded by ``nprobe x |queries|`` ints — probe metadata, the same
+    class as batch manifests) and pushed into the index read as a
+    LITERAL ``cell IN (...)`` predicate, so a cell-partitioned index
+    only lists/opens the probed partitions. Scoring then runs the
+    identical exact-cosine element plan as :func:`ivf_topk`; with the
+    same pivots and ``nprobe`` the results are row-identical to the
+    from-scratch operator (equivalence test).
+    """
+    query_id_col = query_id_col or id_col
+    pe = _explode_vec(pivots, ["_pid"], vec_col, "_px")
+    qe = _explode_vec(queries, [F.col(query_id_col).alias("query_id")],
+                      vec_col, "_qx")
+    q_cells = _assign_cells(qe, "query_id", "_qx", pe, nprobe)
+
+    probed = sorted({r["cell"] for r in
+                     q_cells.select("cell").distinct().collect()})
+    hit = index.where(F.col("cell").isin(probed))
+
+    ce = _explode_vec(hit, [F.col(id_col).alias("neighbor_id"), "cell"],
+                      vec_col, "_cx")
+    cand = (ce.select("neighbor_id", "cell").distinct()
+            .join(F.broadcast(q_cells), "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id").distinct())
+
+    sums = (ce.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qe), ["query_id", "_d"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum(F.col("_cx") * F.col("_qx")).alias("_dot"),
+                 F.sum(F.col("_cx") * F.col("_cx")).alias("_cn2"),
+                 F.sum(F.col("_qx") * F.col("_qx")).alias("_qn2")))
+    scored = sums.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("_dot") / F.sqrt("_qn2") / F.sqrt("_cn2"), 6)
+         .alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
 def _band_buckets(ev: DataFrame, id_name: str, x_name: str, bands: int,
                   rows_per_band: int, dim: int) -> DataFrame:
     """(id, band, bval) keys from sign bits of ``bands × rows_per_band``
