@@ -29,13 +29,13 @@ from .operators import (  # noqa: E402,F401
     change_point_intervals, chunk_documents, contamination, decode_audio,
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     distinct_rollup_check, distinct_sketch, rollup_distinct,
-    embedding_dup_pairs, exact_dedup, forward_fill, hash_sample, ivf_index, ivf_pivots, ivf_probe, ivf_topk, jaccard, lag_lead,
+    embedding_dup_pairs, exact_dedup, forward_fill, hash_sample, hash_split, ivf_index, ivf_pivots, ivf_probe, ivf_topk, jaccard, lag_lead,
     lm_bigram_score,
     banding_for_recall, cache_scope, lsh_topk, minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, ngram_jaccard_pairs,
     pack_media, pack_sequences, pivot_wide, repartition_for_media, resample_asof, salted_join,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs, stratified_hash_sample,
-    tfidf_top_terms, time_spine, token_repetition, top_k_per_group, union_by_name,
+    temperature_mix_rates, tfidf_top_terms, time_spine, token_repetition, top_k_per_group, union_by_name,
 )
 from .session import get_spark, set_state_store  # noqa: E402,F401
 from . import functions  # noqa: E402,F401

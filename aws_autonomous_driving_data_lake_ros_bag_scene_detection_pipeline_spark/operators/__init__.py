@@ -15,8 +15,8 @@ from .joins import binned_interval_join, salted_join
 from .pivot import pivot_wide
 from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
 from .sampling import (
-    chunk_documents, hash_sample, hash_sample_sql, pack_sequences,
-    stratified_hash_sample,
+    chunk_documents, hash_sample, hash_sample_sql, hash_split,
+    pack_sequences, stratified_hash_sample, temperature_mix_rates,
 )
 from .similarity import (
     brute_force_topk, embedding_dup_pairs, ivf_index, ivf_pivots,
@@ -37,12 +37,13 @@ __all__ = [
     "decode_audio", "decode_image", "downsample_cascade",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
-    "hash_sample", "hash_sample_sql", "ivf_index", "ivf_pivots",
+    "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
     "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "repartition_for_media", "resample_asof", "resize_pixels",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
-    "tfidf_top_terms", "time_spine", "token_repetition", "top_k_per_group", "union_by_name",
+    "temperature_mix_rates", "tfidf_top_terms", "time_spine",
+    "token_repetition", "top_k_per_group", "union_by_name",
 ]

@@ -138,3 +138,56 @@ def pack_sequences(df: DataFrame, id_col: str, size_col: str,
         F.col("shard"),
         F.floor(cum_before / capacity).cast("bigint").alias("bin_id"),
         F.pmod(cum_before, F.lit(capacity)).cast("bigint").alias("offset"))
+
+
+def hash_split(df: DataFrame, key_col: str,
+               fractions: dict[str, float],
+               salt: str = "split",
+               split_col: str = "split") -> DataFrame:
+    """Deterministic, disjoint train/val/test assignment: one
+    ``split_col`` label per row, allocated by consecutive hash-bucket
+    ranges in sorted-label order. The same row gets the same split on
+    every run, engine, and partitioning (the property random splits
+    lose the moment data moves), and membership is a pure projection —
+    no shuffle, no RNG. Fractions must sum to ≤ 1; remainder rows get
+    NULL (i.e. held out entirely)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = _bucket(F.col(key_col), salt)
+    expr: Column = F.lit(None).cast("string")
+    hi = 0
+    for label, frac in sorted(fractions.items()):
+        lo, hi = hi, hi + int(frac * _BUCKETS)
+        expr = F.when((b >= lo) & (b < hi), F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def temperature_mix_rates(df: DataFrame, strata_col: str,
+                          alpha: float = 0.7,
+                          target_rows: int | None = None
+                          ) -> dict[str, float]:
+    """Per-stratum sampling rates from temperature-scaled counts — the
+    multilingual/multi-domain mixing rule (sample stratum s
+    proportionally to ``count(s)^alpha``; alpha<1 up-weights small
+    domains). Returns a rates dict for
+    :func:`stratified_hash_sample`.
+
+    Driver-side by design: the grouped counts are one aggregate row
+    per stratum (domains/languages — thousands at most, the same class
+    of metadata as a batch manifest), and the resulting dict compiles
+    into the sampler's CASE expression. With ``target_rows`` the rates
+    are scaled so the expected sample size is ~that many rows
+    (rates cap at 1.0 — a stratum can't yield more rows than it has).
+    """
+    counts = {r["s"]: r["n"] for r in
+              df.groupBy(F.col(strata_col).alias("s"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return {}
+    weights = {s: n ** alpha for s, n in counts.items()}
+    wsum = sum(weights.values())
+    n_total = sum(counts.values())
+    target = n_total if target_rows is None else target_rows
+    return {s: min(1.0, (weights[s] / wsum) * target / counts[s])
+            for s in counts}

@@ -100,3 +100,67 @@ def test_chunk_documents_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_hash_split_disjoint_deterministic_and_sized(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import hash_split
+
+    df = _corpus(spark, 5000)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, "doc_id", fr)
+    rows = out.collect()
+    # total coverage (fractions sum to 1) and per-split sizing
+    by = {}
+    for r in rows:
+        by.setdefault(r.split, set()).add(r.doc_id)
+    assert set(by) == {"train", "val", "test"}
+    assert abs(len(by["train"]) / 5000 - 0.8) < 0.04
+    assert abs(len(by["val"]) / 5000 - 0.1) < 0.03
+    # disjoint and exhaustive
+    assert sum(len(v) for v in by.values()) == 5000
+    # deterministic under repartitioning
+    again = {(r.doc_id, r.split)
+             for r in hash_split(df.repartition(17), "doc_id", fr).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+    # membership is decided per row key, independent of which other
+    # rows are present (the streaming/sharded-ingest property)
+    half = hash_split(df.where("doc_id < 2500"), "doc_id", fr).collect()
+    assert {(r.doc_id, r.split) for r in half} == \
+        {(r.doc_id, r.split) for r in rows if r.doc_id < 2500}
+
+
+def test_hash_split_remainder_is_held_out(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import hash_split
+
+    out = hash_split(_corpus(spark), "doc_id", {"train": 0.5})
+    n_null = out.where(F.col("split").isNull()).count()
+    assert abs(n_null / 2000 - 0.5) < 0.05
+    import pytest
+    with pytest.raises(ValueError):
+        hash_split(_corpus(spark), "doc_id", {"a": 0.7, "b": 0.4})
+
+
+def test_temperature_mix_rates_upweights_small_domains(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        stratified_hash_sample, temperature_mix_rates,
+    )
+    # skewed corpus: src0 has 8x the rows of src3
+    df = spark.range(4400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3200, "big").when(F.col("id") < 4000, "mid")
+         .otherwise("small").alias("source"))
+    rates = temperature_mix_rates(df, "source", alpha=0.5,
+                                  target_rows=1000)
+    # alpha<1: small domains keep a larger fraction of themselves
+    assert rates["small"] > rates["mid"] > rates["big"]
+    # expected sample size ~ target
+    exp = sum(rates[s] * n for s, n in
+              {"big": 3200, "mid": 800, "small": 400}.items())
+    assert abs(exp - 1000) < 1
+    # rates cap at 1.0 even when the target exceeds the corpus
+    capped = temperature_mix_rates(df, "source", alpha=0.1,
+                                   target_rows=100_000)
+    assert all(v <= 1.0 for v in capped.values())
+    # and the rates drive the actual sampler
+    got = stratified_hash_sample(df, "doc_id", "source", rates).count()
+    assert abs(got - exp) < 0.15 * exp
