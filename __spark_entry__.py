@@ -35,7 +35,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     ngram_jaccard_pairs,
     pack_media, pack_sequences,
     resample_asof, rollup_distinct, sessionize, simhash_pairs,
-    stratified_hash_sample, tfidf_top_terms,
+    hash_split, stratified_hash_sample, tfidf_top_terms,
     token_repetition, top_k_per_group, union_by_name,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
@@ -1250,25 +1250,42 @@ from uni u left join bstat b using (doc_id)
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-source corpus mixture sampling
     (operators/sampling.stratified_hash_sample): portable-hash bucket
     filter, reproducible row-for-row across engines and runs — the
     scale-correct alternative to partition-seeded df.sample. Pure
-    narrow filter: no shuffle, runs inside the scan stage."""
+    narrow filter: no shuffle, runs inside the scan stage. The sampled
+    rows then get a deterministic disjoint train/val/test label
+    (sampling.hash_split, r5) — also portable-hash math, so the oracle
+    reproduces every label exactly."""
     docs = _t("documents")(spark, sf_dir)
     samp = stratified_hash_sample(docs, "doc_id", "source",
                                   _SAMPLE_RATES, default_rate=0.1)
-    return samp.select("doc_id", "source")
+    return (hash_split(samp, "doc_id", _SPLIT_FRACTIONS)
+            .select("doc_id", "source", "split"))
 
 
 def _sample_sql() -> str:
     h = ("(('0x' || substring(md5('sample|' || cast(doc_id as varchar)),"
          " 1, 15))::BIGINT)")
+    hs = ("(('0x' || substring(md5('split|' || cast(doc_id as varchar)),"
+          " 1, 15))::BIGINT)")
     cases = " ".join(f"when source = '{s}' then {r}"
                      for s, r in sorted(_SAMPLE_RATES.items()))
+    # hash_split allocates consecutive bucket ranges in sorted-label
+    # order: test [0,1000), train [1000,9000), val [9000,10000)
+    edges, hi = [], 0
+    for label, frac in sorted(_SPLIT_FRACTIONS.items()):
+        hi += int(frac * 10000)
+        edges.append(f"when ({hs} % 10000 + 10000) % 10000 < {hi} "
+                     f"then '{label}'")
+    split_case = "case " + " ".join(edges) + " else null end"
     return f"""
-select doc_id, source from documents
+select doc_id, source, {split_case} as split from documents
 where ({h} % 10000 + 10000) % 10000
       < cast((case {cases} else 0.1 end) * 10000 as int)
 """
