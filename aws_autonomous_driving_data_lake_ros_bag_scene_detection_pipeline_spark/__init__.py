@@ -26,7 +26,7 @@ __version__ = "0.1.0"
 
 from .operators import (  # noqa: E402,F401
     asof_join, binned_interval_join, brute_force_topk, byte_histogram_features,
-    change_point_intervals, chunk_documents, contamination, decode_audio,
+    cascade_update, change_point_intervals, chunk_documents, contamination, decode_audio,
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     distinct_rollup_check, distinct_sketch, rollup_distinct,
     embedding_dup_pairs, exact_dedup, forward_fill, hash_sample, hash_split, ivf_index, ivf_pivots, ivf_probe, ivf_topk, jaccard, lag_lead,

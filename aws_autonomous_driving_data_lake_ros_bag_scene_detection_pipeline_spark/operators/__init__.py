@@ -25,15 +25,16 @@ from .similarity import (
 from .sketches import distinct_rollup_check, distinct_sketch, rollup_distinct
 from .sessionize import change_point_intervals, sessionize
 from .timeseries import (
-    asof_join, downsample_cascade, forward_fill, lag_lead, resample_asof,
-    time_spine,
+    asof_join, cascade_update, downsample_cascade, forward_fill, lag_lead,
+    resample_asof, time_spine,
 )
 from .topk import top_k_per_group
 
 __all__ = [
     "asof_join", "binned_interval_join", "brute_force_topk",
     "byte_histogram_features",
-    "change_point_intervals", "chunk_documents", "contamination",
+    "cascade_update", "change_point_intervals", "chunk_documents",
+    "contamination",
     "decode_audio", "decode_image", "downsample_cascade",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",

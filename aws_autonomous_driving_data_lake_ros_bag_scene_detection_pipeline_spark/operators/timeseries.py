@@ -271,6 +271,40 @@ def downsample_cascade(df: DataFrame, keys: list[str], time_col: str,
                        .alias("avg"))
 
 
+def cascade_update(tiers: DataFrame, batch: DataFrame, keys: list[str],
+                   time_col: str, value_col: str,
+                   resolutions: list[float]) -> DataFrame:
+    """Fold a new raw batch into an existing :func:`downsample_cascade`
+    output WITHOUT re-scanning the historical corpus — continuous-
+    aggregate maintenance, the ingest-side complement to the cascade.
+
+    ``tiers`` is a prior cascade result (persisted table); ``batch`` is
+    new raw rows. The batch is cascaded on its own (batch-sized work),
+    then merged with the old tiers by one aggregate over
+    ``(keys, resolution, bucket)``: n and sum add, min/max fold, avg is
+    re-derived last — the same exact-composition property that makes
+    the cascade itself correct. Late-arriving data needs no special
+    path: a batch row landing in an old bucket simply merges into it.
+
+    Scale shape: per batch, the only shuffled rows are the batch's own
+    partials plus the tier rows — never historical raw data. Write the
+    tiers table partitioned by ``resolution`` (and bucket range at very
+    large key cardinality) so the merge's scan prunes to touched
+    partitions. Equality with a full rebuild over old+new raw data is
+    pinned by tests/test_timeseries.py (including a late-data batch).
+    """
+    delta = downsample_cascade(batch, keys, time_col, value_col,
+                               resolutions)
+    merged = (tiers.drop("avg").unionByName(delta.drop("avg"))
+              .groupBy(*keys, "resolution", "bucket")
+              .agg(F.sum("n").alias("n"), F.sum("sum").alias("sum"),
+                   F.min("min").alias("min"), F.max("max").alias("max")))
+    return merged.select(*keys, "resolution", "bucket", "n", "sum",
+                         "min", "max",
+                         F.when(F.col("n") > 0, F.col("sum") / F.col("n"))
+                          .alias("avg"))
+
+
 def lag_lead(df: DataFrame, keys: list[str], order_col: str, col: str,
              offsets: tuple[int, ...] = (1,)) -> DataFrame:
     """Attach lag/lead columns (SURVEY #39-#40; detect_scenes.py:197-214)."""

@@ -184,3 +184,51 @@ def test_downsample_cascade_validates_nesting(spark):
         downsample_cascade(df, ["k"], "t", "v", [10.0, 25.0])
     with pytest.raises(ValueError, match="non-empty"):
         downsample_cascade(df, ["k"], "t", "v", [])
+
+
+def test_cascade_update_equals_full_rebuild(spark):
+    """Folding a new batch into persisted tiers (cascade_update) equals
+    rebuilding the cascade over old+new raw — including a LATE batch
+    whose rows land inside the historical time range. Integer-valued
+    doubles keep float sums exactly associative so equality is exact."""
+    import random
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import cascade_update
+
+    rng = random.Random(23)
+    res = [10.0, 60.0, 600.0]
+    old_rows = [(k, float(rng.randrange(0, 1000)),
+                 float(rng.randrange(-50, 50)))
+                for k in ("a", "b") for _ in range(200)]
+    # late + new-range + new-key rows
+    new_rows = ([("a", float(rng.randrange(0, 1000)),
+                  float(rng.randrange(-50, 50))) for _ in range(50)]
+                + [("c", float(rng.randrange(1000, 1500)),
+                    float(rng.randrange(0, 10))) for _ in range(30)])
+    schema = "k string, t double, v double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    tiers = downsample_cascade(old, ["k"], "t", "v", res)
+    got = {(r.k, r.resolution, r.bucket):
+           (r.n, r.sum, r.min, r.max, round(r.avg, 9))
+           for r in cascade_update(tiers, new, ["k"], "t", "v",
+                                   res).collect()}
+    want = {(r.k, r.resolution, r.bucket):
+            (r.n, r.sum, r.min, r.max, round(r.avg, 9))
+            for r in downsample_cascade(old.unionByName(new),
+                                        ["k"], "t", "v", res).collect()}
+    assert got == want
+    # updates compose: a second batch folds into the updated tiers
+    third = spark.createDataFrame(
+        [("b", 42.0, 7.0), ("c", 1400.0, 3.0)], schema)
+    got2 = {(r.k, r.resolution, r.bucket): (r.n, r.sum)
+            for r in cascade_update(
+                cascade_update(tiers, new, ["k"], "t", "v", res),
+                third, ["k"], "t", "v", res).collect()}
+    want2 = {(r.k, r.resolution, r.bucket): (r.n, r.sum)
+             for r in downsample_cascade(
+                 old.unionByName(new).unionByName(third),
+                 ["k"], "t", "v", res).collect()}
+    assert got2 == want2
+    spark.catalog.clearCache()
