@@ -13,6 +13,7 @@ from .multimodal import (
 )
 from .joins import binned_interval_join, salted_join
 from .pivot import pivot_wide
+from .profile import profile_table
 from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
 from .sampling import (
     chunk_documents, hash_sample, hash_sample_sql, hash_split,
@@ -42,7 +43,7 @@ __all__ = [
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
     "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
-    "repartition_for_media", "resample_asof", "resize_pixels",
+    "profile_table", "repartition_for_media", "resample_asof", "resize_pixels",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
     "temperature_mix_rates", "tfidf_top_terms", "time_spine",

@@ -164,3 +164,33 @@ def test_temperature_mix_rates_upweights_small_domains(spark):
     # and the rates drive the actual sampler
     got = stratified_hash_sample(df, "doc_id", "source", rates).count()
     assert abs(got - exp) < 0.15 * exp
+
+
+def test_profile_table_one_pass_long_format(spark):
+    """profile_table: per-column stats from ONE scan (single agg),
+    correct null/distinct/range/moment values, long-format output."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import profile_table
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, None, 4.0), (4, "a", 9.0)],
+        "id long, s string, v double")
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"].n_rows == 4 and prof["id"].n_null == 0
+    assert prof["s"].n_null == 1 and abs(prof["s"].null_frac - 0.25) < 1e-9
+    assert prof["s"].approx_distinct == 2
+    assert prof["id"].min_str == "1" and prof["id"].max_str == "4"
+    assert abs(prof["v"].mean - 14.0 / 3) < 1e-9
+    assert prof["s"].mean is None and prof["s"].stddev is None
+    # one scan, no per-column jobs: exactly one leaf node in the plan
+    import re
+    plan = formatted_plan(profile_table(df))
+    leaves = [n for n in re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+              if "Scan" in n]
+    assert len(leaves) == 1
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
