@@ -49,8 +49,16 @@ def distinct_sketch(df: DataFrame, group_cols: list[str], value_col: str,
     if not group_cols:
         raise ValueError("group_cols must be non-empty; for a global "
                          "sketch pass a constant grouping column")
+    # hll_sketch_agg accepts int/bigint/string/binary; other types are
+    # hashed through their canonical string form (a distinct-preserving
+    # mapping — the sketch counts distincts, not values)
+    supported = {"int", "bigint", "string", "binary"}
+    dtype = dict(df.dtypes).get(value_col)
+    v = F.col(value_col)
+    if dtype not in supported:
+        v = v.cast("string")
     return (df.groupBy(*group_cols)
-            .agg(F.hll_sketch_agg(value_col, lg_k).alias(sketch_col)))
+            .agg(F.hll_sketch_agg(v, lg_k).alias(sketch_col)))
 
 
 def rollup_distinct(sketches: DataFrame, group_cols: list[str],

@@ -307,3 +307,49 @@ def test_embedding_target_recall_on_corpus(spark):
                  target_recall=0.9, max_perm=96).collect()}
     assert found <= truth
     assert len(found & truth) / len(truth) >= 0.9
+
+
+@SETTINGS
+@given(fracs=st.lists(st.floats(0.01, 0.5, allow_nan=False),
+                      min_size=1, max_size=4),
+       n=st.integers(1, 300))
+def test_hash_split_partition_properties(spark, fracs, n):
+    """For ANY fraction map (sum <= 1) and corpus: every row gets at
+    most one label, labeled fractions are disjoint by construction,
+    assignment depends only on the row key (subset stability), and
+    NULL rows are exactly the remainder mass."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import hash_split
+
+    total = sum(fracs)
+    if total > 1.0:
+        fracs = [f / total for f in fracs]
+    labels = {f"s{i}": f for i, f in enumerate(fracs)}
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    rows = hash_split(df, "doc_id", labels).collect()
+    assert len(rows) == n                          # no row lost or duped
+    assigned = {r.doc_id: r.split for r in rows}
+    assert set(assigned.values()) - {None} <= set(labels)
+    # subset stability: any sub-corpus gets identical labels
+    sub = hash_split(df.where("doc_id % 3 = 0"), "doc_id",
+                     labels).collect()
+    assert all(assigned[r.doc_id] == r.split for r in sub)
+
+
+@SETTINGS
+@given(vals=st.lists(st.floats(-100, 100, allow_nan=False,
+                               allow_infinity=False),
+                     min_size=0, max_size=40))
+def test_distinct_sketch_never_misses_by_much(spark, vals):
+    """HLL estimate of ANY small value set lands within the 3σ
+    envelope of the exact distinct count (at small n the sketch is in
+    sparse mode and typically exact)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        distinct_sketch, rollup_distinct,
+    )
+    df = spark.createDataFrame([(v,) for v in vals] or [(None,)],
+                               "v double")
+    est = rollup_distinct(
+        distinct_sketch(df.withColumn("g", F.lit(1)), ["g"], "v"),
+        [], estimate_col="n").first()["n"]
+    exact = df.agg(F.countDistinct("v")).first()[0]
+    assert abs(est - exact) <= max(1, 0.025 * exact)
