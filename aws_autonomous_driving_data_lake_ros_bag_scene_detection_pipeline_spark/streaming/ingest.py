@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
+from ..operators.caching import cache_scope
 from ..operators.dedup import (
     minhash_index, minhash_lsh_pairs, minhash_match_pairs,
 )
@@ -55,33 +56,39 @@ def incremental_dedup_batch(batch_df: DataFrame, batch_id: int,
                   rows_per_band=rows_per_band, shingle_n=shingle_n,
                   max_bucket=max_bucket)
     batch_df = batch_df.persist()
+    # scope the operators' internal signature caches to this batch —
+    # a long-running stream must not accumulate cached blocks
     try:
-        intra = (minhash_lsh_pairs(batch_df, text_col, id_col, **params)
-                 .select(F.col("id_b").alias("new_id"),
-                         F.col("id_a").alias("corpus_id"), "jaccard"))
-        try:
-            # probe strictly EARLIER batches only: a replayed batch must
-            # not see its own (already-appended) partition — this keeps
-            # replay idempotent and is also what partition pruning wants
-            index = (spark.read.parquet(index_path)
-                     .where(F.col("_batch_id") < batch_id)
-                     .drop("_batch_id"))
-        except AnalysisException:
-            index = None          # first batch: nothing indexed yet
-        if index is not None:
-            cross = minhash_match_pairs(batch_df, index, text_col, id_col,
-                                        **params)
-            pairs = intra.unionByName(cross)
-        else:
-            pairs = intra
-        (pairs.withColumn("_batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("_batch_id")
-         .parquet(pairs_path))
-        idx_params = {k: v for k, v in params.items() if k != "threshold"}
-        (minhash_index(batch_df, text_col, id_col, **idx_params)
-         .withColumn("_batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("_batch_id")
-         .parquet(index_path))
+        with cache_scope():
+            intra = (minhash_lsh_pairs(batch_df, text_col, id_col,
+                                       **params)
+                     .select(F.col("id_b").alias("new_id"),
+                             F.col("id_a").alias("corpus_id"), "jaccard"))
+            try:
+                # probe strictly EARLIER batches only: a replayed batch
+                # must not see its own (already-appended) partition —
+                # this keeps replay idempotent and is also what
+                # partition pruning wants
+                index = (spark.read.parquet(index_path)
+                         .where(F.col("_batch_id") < batch_id)
+                         .drop("_batch_id"))
+            except AnalysisException:
+                index = None      # first batch: nothing indexed yet
+            if index is not None:
+                cross = minhash_match_pairs(batch_df, index, text_col,
+                                            id_col, **params)
+                pairs = intra.unionByName(cross)
+            else:
+                pairs = intra
+            (pairs.withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(pairs_path))
+            idx_params = {k: v for k, v in params.items()
+                          if k != "threshold"}
+            (minhash_index(batch_df, text_col, id_col, **idx_params)
+             .withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(index_path))
     finally:
         batch_df.unpersist()
 
@@ -110,6 +117,75 @@ def incremental_dedup_stream(stream: DataFrame, text_col: str,
             threshold=threshold, num_perm=num_perm, bands=bands,
             rows_per_band=rows_per_band, shingle_n=shingle_n,
             max_bucket=max_bucket)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def continuous_cascade_batch(batch_df: DataFrame, batch_id: int,
+                             keys: list[str], time_col: str,
+                             value_col: str, resolutions: list[float],
+                             *, tiers_path: str) -> None:
+    """Fold ONE micro-batch into the versioned tiers store.
+
+    The tiers table is stored as ``tiers_path/_version=<batch_id>``
+    snapshots: each batch reads the LATEST version strictly below its
+    own batch_id, folds itself in with
+    :func:`~..operators.timeseries.cascade_update`, and writes its own
+    version partition (dynamic overwrite — a replayed batch rewrites
+    its snapshot instead of double-counting, the same idempotency
+    recipe as :func:`incremental_dedup_batch`). Old versions are
+    retention, not correctness: drop them with a periodic cleanup (or
+    :func:`~..sources.tables.compact_files` the latest into a plain
+    table).
+    """
+    from ..operators.timeseries import cascade_update, downsample_cascade
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        versions = (spark.read.parquet(tiers_path)
+                    .where(F.col("_version") < batch_id))
+        prev_v = versions.agg(F.max("_version")).first()[0]
+    except AnalysisException:
+        prev_v = None
+    # scope the cascade's internal tier caches to this batch — a
+    # long-running stream must not accumulate cached blocks
+    with cache_scope():
+        if prev_v is None:
+            out = downsample_cascade(batch_df, keys, time_col, value_col,
+                                     resolutions)
+        else:
+            tiers = (spark.read.parquet(tiers_path)
+                     .where(F.col("_version") == prev_v).drop("_version"))
+            out = cascade_update(tiers, batch_df, keys, time_col,
+                                 value_col, resolutions)
+        (out.withColumn("_version", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_version")
+         .parquet(tiers_path))
+
+
+def continuous_cascade_stream(stream: DataFrame, keys: list[str],
+                              time_col: str, value_col: str,
+                              resolutions: list[float], *,
+                              tiers_path: str, checkpoint_dir: str,
+                              available_now: bool = True
+                              ) -> StreamingQuery:
+    """Maintain multi-resolution continuous aggregates over a stream:
+    every micro-batch folds into the persisted cascade tiers via
+    :func:`continuous_cascade_batch` — per-batch cost is the batch's
+    own partials plus the (already collapsed) tier rows, never a
+    re-scan of historical raw data, and late rows merge into their
+    original buckets with no special path. The streaming counterpart
+    of a time-series store's continuous aggregate refresh."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        continuous_cascade_batch(batch_df, batch_id, keys, time_col,
+                                 value_col, resolutions,
+                                 tiers_path=tiers_path)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir)

@@ -330,3 +330,54 @@ def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert pairs_again == pairs_once
     assert spark.read.parquet(kw["index_path"]).count() == idx_once
     spark.catalog.clearCache()
+
+
+def test_continuous_cascade_stream_matches_batch_rebuild(spark, tmp_path):
+    """Streaming continuous aggregates: after draining N micro-batches,
+    the latest tiers version equals downsample_cascade over ALL raw
+    rows — including a late batch landing in earlier buckets. Then a
+    replayed batch id rewrites its snapshot instead of double-counting."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import downsample_cascade
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        continuous_cascade_batch, continuous_cascade_stream,
+    )
+    res = [10.0, 60.0]
+    src = str(tmp_path / "ev")
+    batches = [
+        [(1, 1, 5 * US, 2.0), (2, 1, 15 * US, 4.0), (3, 2, 70 * US, 6.0)],
+        [(4, 1, 65 * US, 8.0), (5, 2, 75 * US, 1.0)],
+        [(6, 1, 7 * US, 3.0)],                    # late: bucket [0, 10)
+    ]
+    for b in batches:
+        _write_events(spark, src, b)
+    ev = file_stream(spark, src, EVENT_SCHEMA, max_files_per_trigger=1) \
+        .withColumn("ts", F.col("t") / F.lit(US))
+    q = continuous_cascade_stream(
+        ev, ["user_id"], "ts", "value", res,
+        tiers_path=str(tmp_path / "tiers"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    tiers = spark.read.parquet(str(tmp_path / "tiers"))
+    latest = tiers.agg(F.max("_version")).first()[0]
+    got = {(r.user_id, r.resolution, r.bucket): (r.n, r.sum, r.min, r.max)
+           for r in tiers.where(F.col("_version") == latest).collect()}
+    all_ev = spark.createDataFrame([r for b in batches for r in b],
+                                   EVENT_SCHEMA) \
+        .withColumn("ts", F.col("t") / F.lit(US))
+    want = {(r.user_id, r.resolution, r.bucket): (r.n, r.sum, r.min, r.max)
+            for r in downsample_cascade(all_ev, ["user_id"], "ts",
+                                        "value", res).collect()}
+    assert got == want
+    # replay the LAST batch id with the same data: snapshot rewritten,
+    # totals unchanged (no double count)
+    continuous_cascade_batch(
+        spark.createDataFrame(batches[-1], EVENT_SCHEMA)
+        .withColumn("ts", F.col("t") / F.lit(US)),
+        latest, ["user_id"], "ts", "value", res,
+        tiers_path=str(tmp_path / "tiers"))
+    again = {(r.user_id, r.resolution, r.bucket): (r.n, r.sum, r.min, r.max)
+             for r in spark.read.parquet(str(tmp_path / "tiers"))
+             .where(F.col("_version") == latest).collect()}
+    assert again == want
+    spark.catalog.clearCache()
