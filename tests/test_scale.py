@@ -92,3 +92,64 @@ def test_incremental_dedup_per_batch_cost_stays_flat(spark):
             f"late={late:.2f}s times={['%.2f' % t for t in times]}")
     finally:
         spark.sql(f"drop table if exists {table}")
+
+
+@pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+                    reason="slow scale test disabled")
+def test_cascade_update_per_batch_cost_stays_flat(spark, tmp_path):
+    """Continuous-aggregate maintenance at scale: fold 10 sequential
+    raw batches into persisted tiers (cascade_update → overwrite tiers
+    parquet → reload), with each batch covering a NEW time range so
+    history (and the tiers table) grows linearly — asserting the
+    per-batch cost claim in timeseries.py (only the batch's partials
+    plus tier rows shuffle, never historical raw data) on recorded
+    wall times, and exact equality with a full rebuild at the end."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        cascade_update, downsample_cascade,
+    )
+
+    res = [10.0, 100.0, 1000.0]
+    n_rows, span = 50_000, 10_000.0
+
+    def batch(k):
+        # integer-valued doubles -> exactly associative sums
+        return spark.range(n_rows).select(
+            (F.col("id") % 20).alias("k"),
+            (F.lit(k * span) + (F.col("id") % 10_000).cast("double"))
+            .alias("t"),
+            ((F.col("id") * 7) % 100).cast("double").alias("v"))
+
+    tiers_path = str(tmp_path / "tiers")
+    downsample_cascade(batch(0), ["k"], "t", "v", res) \
+        .write.mode("overwrite").parquet(tiers_path)
+    spark.catalog.clearCache()
+    times = []
+    for kb in range(1, 10):
+        t0 = time.monotonic()
+        tiers = spark.read.parquet(tiers_path)
+        out = cascade_update(tiers, batch(kb), ["k"], "t", "v", res)
+        out.write.mode("overwrite").parquet(str(tmp_path / "next"))
+        times.append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+        # swap: next becomes current
+        import shutil
+        shutil.rmtree(tiers_path)
+        shutil.move(str(tmp_path / "next"), tiers_path)
+
+    early = statistics.median(times[1:4])
+    late = statistics.median(times[-3:])
+    assert late <= early * 3, (
+        f"per-batch cost grew with history: early={early:.2f}s "
+        f"late={late:.2f}s times={['%.2f' % t for t in times]}")
+
+    # exactness after 10 folds: equals one cascade over all raw rows
+    import functools
+    all_raw = functools.reduce(lambda a, b: a.unionByName(b),
+                               [batch(k) for k in range(10)])
+    want = {(r.k, r.resolution, r.bucket): (r.n, r.sum, r.min, r.max)
+            for r in downsample_cascade(all_raw, ["k"], "t", "v",
+                                        res).collect()}
+    got = {(r.k, r.resolution, r.bucket): (r.n, r.sum, r.min, r.max)
+           for r in spark.read.parquet(tiers_path).collect()}
+    assert got == want
+    spark.catalog.clearCache()
