@@ -24,10 +24,10 @@ from .similarity import (
     ivf_probe, ivf_topk, lsh_topk,
 )
 from .sketches import distinct_rollup_check, distinct_sketch, rollup_distinct
-from .sessionize import change_point_intervals, sessionize
+from .sessionize import change_point_intervals, merge_intervals, sessionize
 from .timeseries import (
     asof_join, cascade_update, downsample_cascade, forward_fill, lag_lead,
-    resample_asof, time_spine,
+    resample_asof, resample_interpolate, time_spine,
 )
 from .topk import top_k_per_group
 
@@ -42,8 +42,9 @@ __all__ = [
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
-    "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
-    "profile_table", "repartition_for_media", "resample_asof", "resize_pixels",
+    "merge_intervals", "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
+    "profile_table", "repartition_for_media", "resample_asof",
+    "resample_interpolate", "resize_pixels",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
     "temperature_mix_rates", "tfidf_top_terms", "time_spine",

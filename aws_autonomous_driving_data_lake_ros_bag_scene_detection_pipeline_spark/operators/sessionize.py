@@ -70,3 +70,36 @@ def change_point_intervals(df: DataFrame, keys: list[str], time_col: str,
         *(extra_cols or []),
     )
     return out.withColumn("interval_length", F.col("end_time") - F.col("start_time"))
+
+
+def merge_intervals(df: DataFrame, keys: list[str], start_col: str,
+                    end_col: str) -> DataFrame:
+    """Union overlapping-or-touching intervals per key into maximal
+    disjoint spans — the cleanup step after interval-producing
+    operators (scene intervals from ``change_point_intervals``,
+    sessions, detection windows): output ``(keys…, start, end,
+    n_merged)`` where consecutive inputs with ``start <= running
+    max(end)`` coalesce.
+
+    Gaps-and-islands shape: ONE window pass (running max of end over
+    strictly-preceding rows flags island starts; a running sum numbers
+    the islands) + one aggregate — both hash-partitioned on ``keys``,
+    so the plan has a single exchange. SQL-portable (plain window
+    functions), covered by a DuckDB oracle in tests/test_timeseries.py.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col).asc(),
+                                          F.col(end_col).asc())
+    prev_max = (F.max(end_col)
+                .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    new_island = F.when(prev_max.isNull()
+                        | (F.col(start_col) > prev_max), 1).otherwise(0)
+    island = (F.sum(new_island)
+              .over(w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
+    return (df
+            .withColumn("_island", island)
+            .groupBy(*keys, "_island")
+            .agg(F.min(start_col).alias(start_col),
+                 F.max(end_col).alias(end_col),
+                 F.count(F.lit(1)).cast("bigint").alias("n_merged"))
+            .drop("_island"))

@@ -314,3 +314,56 @@ def lag_lead(df: DataFrame, keys: list[str], order_col: str, col: str,
         out = out.withColumn(f"{col}_lag{k}", F.lag(col, k).over(w))
         out = out.withColumn(f"{col}_lead{k}", F.lead(col, k).over(w))
     return out
+
+
+def resample_interpolate(df: DataFrame, keys: list[str], time_col: str,
+                         step: float,
+                         value_cols: list[str]) -> DataFrame:
+    """Resample onto a regular grid with LINEAR interpolation between
+    the surrounding observations — the numeric-sensor companion to
+    :func:`resample_asof`'s LOCF (hold semantics are right for states
+    like gear; interpolation is right for continuous signals like
+    speed/position).
+
+    Each grid tick gets ``vp + (vn − vp)·(t − tp)/(tn − tp)`` from the
+    nearest observation at-or-before (tp, vp) and strictly-after
+    (tn, vn); a tick exactly on an observation returns that value;
+    ticks before the first or after the last observation of a key are
+    NULL (strict interpolation, no extrapolation). NULL observations
+    are transparent (skipped, like forward_fill).
+
+    Plan shape: same spine ∪ signals union as :func:`resample_asof`,
+    then TWO frames over ONE window ordering (backward `last`, forward
+    `first` — same partitioning and sort, so Catalyst plans one
+    exchange and one sort feeding both Window passes).
+    """
+    spine = time_spine(df, keys, time_col, step) \
+        .withColumn("_is_spine", F.lit(1))
+    signals = df.select(*keys, time_col, *value_cols) \
+        .withColumn("_is_spine", F.lit(0))
+    unioned = spine.unionByName(signals, allowMissingColumns=True)
+
+    order = [F.col(time_col).asc(), F.col("_is_spine").asc()]
+    wb = (Window.partitionBy(*keys).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*keys).orderBy(*order)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    t = F.col(time_col)
+    out_cols = []
+    proj = unioned
+    for c in value_cols:
+        obs = F.when((F.col("_is_spine") == 0) & F.col(c).isNotNull(),
+                     F.struct(t.alias("t"), F.col(c).alias("v")))
+        proj = (proj
+                .withColumn(f"_p_{c}", F.last(obs, ignorenulls=True)
+                            .over(wb))
+                .withColumn(f"_n_{c}", F.first(obs, ignorenulls=True)
+                            .over(wf)))
+        tp, vp = F.col(f"_p_{c}.t"), F.col(f"_p_{c}.v")
+        tn, vn = F.col(f"_n_{c}.t"), F.col(f"_n_{c}.v")
+        lerp = (F.when(tp == t, vp)          # exact observation on tick
+                 .when(tp.isNotNull() & tn.isNotNull() & (tn > tp),
+                       vp + (vn - vp) * (t - tp) / (tn - tp)))
+        out_cols.append(lerp.alias(c))
+    return (proj.where(F.col("_is_spine") == 1)
+            .select(*keys, time_col, *out_cols))

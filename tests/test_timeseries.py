@@ -232,3 +232,86 @@ def test_cascade_update_equals_full_rebuild(spark):
                  ["k"], "t", "v", res).collect()}
     assert got2 == want2
     spark.catalog.clearCache()
+
+
+def test_resample_interpolate_linear_values(spark):
+    """Grid ticks between observations lerp exactly; ticks on an
+    observation return it; outside the observed span -> NULL; NULL
+    observations are transparent."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import resample_interpolate
+
+    rows = [("a", 0.0, 0.0), ("a", 10.0, 100.0), ("a", 15.0, None),
+            ("a", 20.0, 50.0), ("b", 3.0, 6.0), ("b", 7.0, 14.0)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    got = {(r.k, r.t): r.v for r in
+           resample_interpolate(df, ["k"], "t", 5.0, ["v"]).collect()}
+    assert got[("a", 0.0)] == 0.0          # exact observation
+    assert got[("a", 5.0)] == 50.0         # lerp 0->100 midway
+    assert got[("a", 10.0)] == 100.0
+    # NULL obs at t=15 skipped: lerp between (10,100) and (20,50)
+    assert got[("a", 15.0)] == 75.0
+    assert got[("a", 20.0)] == 50.0
+    # key b: grid covers [0,5] (floor-aligned); tick 0 precedes the
+    # first observation -> NULL, tick 5 lerps 6->14 at t=5
+    assert got[("b", 0.0)] is None
+    assert abs(got[("b", 5.0)] - 10.0) < 1e-9
+
+
+def test_resample_interpolate_single_exchange(spark):
+    """Both window directions share one partitioning: the plan carries
+    exactly the two shuffles of resample_asof (spine agg + window), not
+    an extra exchange for the forward pass."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        resample_asof, resample_interpolate,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
+        count_exchanges,
+    )
+    df = spark.createDataFrame([("a", 1.0, 2.0)], "k string, t double, v double")
+    n_locf = count_exchanges(resample_asof(df, ["k"], "t", 1.0, ["v"]))
+    n_lerp = count_exchanges(resample_interpolate(df, ["k"], "t", 1.0, ["v"]))
+    assert n_lerp <= n_locf + 1
+
+
+def test_merge_intervals_against_duckdb_oracle(spark, duck):
+    """Gaps-and-islands merge: random intervals vs the identical SQL on
+    DuckDB (touching intervals coalesce, distinct islands stay apart)."""
+    import random
+
+    from tests.conftest import assert_df_matches_oracle
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import merge_intervals
+
+    rng = random.Random(7)
+    rows = [(k, float(s), float(s + rng.randrange(1, 15)))
+            for k in ("x", "y") for s in rng.sample(range(100), 40)]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    df.createOrReplaceTempView("iv_spark")
+    duck.sql("drop table if exists iv")
+    duck.sql("create table iv as select * from (values "
+             + ",".join(f"('{k}', {s}, {e})" for k, s, e in rows)
+             + ") t(k, s, e)")
+    got = merge_intervals(df, ["k"], "s", "e")
+    assert_df_matches_oracle(got, duck, """
+        with w as (
+          select k, s, e,
+                 max(e) over (partition by k order by s, e
+                              rows between unbounded preceding
+                              and 1 preceding) as pm
+          from iv),
+        isl as (
+          select k, s, e,
+                 sum(case when pm is null or s > pm then 1 else 0 end)
+                   over (partition by k order by s, e
+                         rows between unbounded preceding
+                         and current row) as island
+          from w)
+        select k, min(s) as s, max(e) as e, count(*) as n_merged
+        from isl group by k, island
+    """)
+    # sanity: merged spans are disjoint and ordered per key
+    spans = {}
+    for r in got.collect():
+        spans.setdefault(r.k, []).append((r.s, r.e))
+    for v in spans.values():
+        v.sort()
+        assert all(a_e < b_s for (_, a_e), (b_s, _) in zip(v, v[1:]))
