@@ -20,7 +20,8 @@ from .sampling import (
     pack_sequences, stratified_hash_sample, temperature_mix_rates,
 )
 from .similarity import (
-    brute_force_topk, embedding_dup_pairs, ivf_index, ivf_pivots,
+    brute_force_topk, embedding_dup_pairs, embedding_index,
+    embedding_match_pairs, ivf_index, ivf_pivots,
     ivf_probe, ivf_topk, lsh_topk,
 )
 from .sketches import distinct_rollup_check, distinct_sketch, rollup_distinct
@@ -38,7 +39,8 @@ __all__ = [
     "contamination",
     "decode_audio", "decode_image", "downsample_cascade",
     "dup_clusters",
-    "duplicate_ids", "embedding_dup_pairs", "exact_dedup", "forward_fill",
+    "duplicate_ids", "embedding_dup_pairs", "embedding_index",
+    "embedding_match_pairs", "exact_dedup", "forward_fill",
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",

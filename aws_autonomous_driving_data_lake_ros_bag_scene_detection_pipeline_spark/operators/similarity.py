@@ -455,3 +455,70 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                     F.round(F.col("_dot") / F.sqrt("_na2") / F.sqrt("_nb2"),
                             6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def embedding_index(df: DataFrame, id_col: str, vec_col: str,
+                    bands: int = 10, rows_per_band: int = 5,
+                    dim: int = 64) -> DataFrame:
+    """Persistable hyperplane-LSH band index of an embedding corpus:
+    the ``(id, band, bval)`` bucket relation
+    :func:`embedding_match_pairs` probes — the cosine-space twin of
+    :func:`~.dedup.minhash_index` (same incremental-ingest shape: index
+    once, write bucketed on ``["band", "bval"]`` for an index-side
+    zero-exchange probe join, dedup each arriving batch without
+    re-mining corpus pairs). Band parameters must match between index
+    and probe."""
+    ev = _explode_vec(df, [F.col(id_col).alias("_id")], vec_col, "_x")
+    return (_band_buckets(ev, "_id", "_x", bands, rows_per_band, dim)
+            .withColumnRenamed("_id", id_col))
+
+
+def embedding_match_pairs(new_df: DataFrame, index: DataFrame,
+                          corpus: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.99, bands: int = 10,
+                          rows_per_band: int = 5, dim: int = 64,
+                          max_bucket: int = 1000) -> DataFrame:
+    """Cosine near-dup pairs between a NEW batch and an indexed corpus
+    (:func:`embedding_index`, same band parameters) — returns
+    ``(new_id, corpus_id, cosine)`` with exact-cosine verification over
+    candidates only, never corpus-internal pairs.
+
+    ``corpus`` supplies the indexed side's vectors for the verify step
+    (the band index deliberately stores only bucket keys — duplicating
+    a vector per band would multiply index bytes by ``bands``). One
+    bucket join produces candidates; scoring reuses the exploded
+    element plan of :func:`embedding_dup_pairs` (d-ordered partial
+    sums, whole-stage codegen). A doc present in both sides matches
+    itself at cosine 1.0 — filter ``new_id != corpus_id`` downstream if
+    ids overlap. Hot buckets are bounded on the PROBE side by
+    ``max_bucket``; bound the index side at build time if needed."""
+    ev = _explode_vec(new_df, [F.col(id_col).alias("_id")], vec_col, "_x")
+    nb = _band_buckets(ev, "_id", "_x", bands, rows_per_band, dim)
+    w = Window.partitionBy("band", "bval").orderBy(F.asc("_id"))
+    nb = (nb.withColumn("_bn", F.row_number().over(w))
+          .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    cand = (nb.join(index.select(F.col(id_col).alias("_cid"),
+                                 "band", "bval"),
+                    ["band", "bval"])
+            .select(F.col("_id").alias("new_id"),
+                    F.col("_cid").alias("corpus_id"))
+            .distinct())
+
+    va = new_df.select(F.col(id_col).alias("new_id"),
+                       F.col(vec_col).cast("array<double>").alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.col(vec_col).cast("array<double>").alias("_vb"))
+    z = (cand.join(va, "new_id").join(vb, "corpus_id")
+         .select("new_id", "corpus_id",
+                 F.explode(F.arrays_zip("_va", "_vb")).alias("_e"))
+         .select("new_id", "corpus_id",
+                 F.col("_e._va").alias("_ax"), F.col("_e._vb").alias("_bx")))
+    pairs = (z.groupBy("new_id", "corpus_id")
+             .agg(F.sum(F.col("_ax") * F.col("_bx")).alias("_dot"),
+                  F.sum(F.col("_ax") * F.col("_ax")).alias("_na2"),
+                  F.sum(F.col("_bx") * F.col("_bx")).alias("_nb2")))
+    return (pairs
+            .select("new_id", "corpus_id",
+                    F.round(F.col("_dot") / F.sqrt("_na2") / F.sqrt("_nb2"),
+                            6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))

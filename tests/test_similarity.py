@@ -162,3 +162,40 @@ def test_ivf_probe_reads_only_probed_cells(spark, emb, tmp_path):
     assert 0 < matched < total * 0.7
     assert scanned == matched, "cell predicate must prune partitions, " \
         "not filter post-scan"
+
+
+def test_embedding_incremental_matches_full_mining(spark, emb):
+    """Cosine-space incremental dedup (embedding_index +
+    embedding_match_pairs, the minhash_index twin): intra-batch pairs
+    plus index-probe pairs reproduce EXACTLY the pair set
+    embedding_dup_pairs mines over the whole corpus at the same banding
+    and threshold."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        embedding_index, embedding_match_pairs,
+    )
+    kw = dict(bands=10, rows_per_band=5, dim=64)
+    corpus = emb.where("vec_id % 2 = 0")
+    batch = emb.where("vec_id % 2 = 1")
+    index = embedding_index(corpus, "vec_id", "embedding", **kw)
+
+    cross = embedding_match_pairs(batch, index, corpus, "vec_id",
+                                  "embedding", threshold=0.4, **kw)
+    intra = (embedding_dup_pairs(batch, "vec_id", "embedding",
+                                 threshold=0.4, **kw)
+             .select(F.col("id_b").alias("new_id"),
+                     F.col("id_a").alias("corpus_id"), "cosine"))
+    got = {(min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id),
+            r.cosine)
+           for r in cross.unionByName(intra).collect()}
+    # corpus-internal pairs are deliberately NOT re-mined by the probe;
+    # add them once (the already-indexed history) for the comparison
+    hist = {(r.id_a, r.id_b, r.cosine)
+            for r in embedding_dup_pairs(corpus, "vec_id", "embedding",
+                                         threshold=0.4, **kw).collect()}
+    want = {(r.id_a, r.id_b, r.cosine)
+            for r in embedding_dup_pairs(emb, "vec_id", "embedding",
+                                         threshold=0.4, **kw).collect()}
+    assert got | hist == want
+    assert got.isdisjoint(hist)
+    assert got and hist            # both paths actually exercised
+    spark.catalog.clearCache()
