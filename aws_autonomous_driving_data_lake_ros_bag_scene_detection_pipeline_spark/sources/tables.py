@@ -200,11 +200,15 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
     """
     z = zorder_key(zorder_cols, bits=bits, ranges=ranges)
     tagged = df.withColumn("__z", z)
+    # hive partition cols lead the range key so each task writes whole
+    # partitions — range-partitioning on z alone would fan every task
+    # out across all hive partitions (file-count x partitions blowup)
+    keys = [*(partition_cols or []), "__z"]
     if num_files is None:
-        out = tagged.repartitionByRange("__z")
+        out = tagged.repartitionByRange(*keys)
     else:
-        out = tagged.repartitionByRange(num_files, "__z")
-    out = out.sortWithinPartitions("__z").drop("__z")
+        out = tagged.repartitionByRange(num_files, *keys)
+    out = out.sortWithinPartitions(*keys).drop("__z")
     w = out.write.mode(mode)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -251,8 +255,11 @@ def compact_files(spark: SparkSession, src_path: str, dst_path: str, *,
     n = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(src_path)
     if sort_cols:
-        out = (df.repartitionByRange(n, *sort_cols)
-               .sortWithinPartitions(*sort_cols))
+        # partition cols lead the range key (see write_zordered): each
+        # task then writes whole hive partitions, sorted within
+        keys = [*(partition_cols or []), *sort_cols]
+        out = (df.repartitionByRange(n, *keys)
+               .sortWithinPartitions(*keys))
     elif partition_cols:
         out = df.repartition(n, *partition_cols)
     else:

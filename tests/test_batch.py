@@ -102,3 +102,28 @@ def test_compact_files_right_sizes_and_preserves_data(spark, tmp_path):
         spans.append((min(s.min for s in ids), max(s.max for s in ids)))
     spans.sort()
     assert all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]))
+
+
+def test_zordered_with_hive_partitions_no_file_blowup(spark, tmp_path):
+    """Partition cols lead the z-range key: each output task writes
+    whole hive partitions, so total files stay ~num_files instead of
+    num_files x partitions."""
+    import glob
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        write_zordered,
+    )
+    df = spark.range(4000).select(
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        ((F.col("id") * 13) % 100).cast("double").alias("y"))
+    path = str(tmp_path / "zp")
+    write_zordered(df, path, ["x", "y"],
+                   ranges={"x": (0, 99), "y": (0, 99)},
+                   num_files=8, partition_cols=["part"], mode="overwrite")
+    files = glob.glob(f"{path}/part=*/*.parquet")
+    # 8 range partitions, each writing into the few hive partitions its
+    # range covers -> bounded by num_files + partitions slack, not 8*4
+    assert len(files) <= 12
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
