@@ -1,8 +1,9 @@
 from .hashing import hash64, hash64_seeded, hash64_seeded_sql, hash64_sql
 from .text import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
-    fingerprint, lang_id, pii_count, pii_redact, punct_ratio,
-    quality_score, shingles, stopword_ratio, subword_count, token_count, tokens,
+    fingerprint, lang_id, normalize_text, pii_count, pii_redact, punct_ratio,
+    quality_score, shingles, stopword_ratio, strip_boilerplate_lines,
+    subword_count, token_count, tokens,
 )
 from .vectors import cosine, dot, l2_distance, norm
 
@@ -10,7 +11,8 @@ __all__ = [
     "ENGLISH_STOPWORDS", "LANG_STOPWORDS", "PII_PATTERNS",
     "PII_REDACTION_ORDER", "cosine", "dot", "fingerprint",
     "hash64", "hash64_seeded", "hash64_seeded_sql", "hash64_sql", "l2_distance",
-    "lang_id", "norm", "pii_count", "pii_redact", "punct_ratio",
+    "lang_id", "norm", "normalize_text", "pii_count", "pii_redact", "punct_ratio",
     "quality_score", "shingles",
-    "stopword_ratio", "subword_count", "token_count", "tokens",
+    "stopword_ratio", "strip_boilerplate_lines", "subword_count",
+    "token_count", "tokens",
 ]

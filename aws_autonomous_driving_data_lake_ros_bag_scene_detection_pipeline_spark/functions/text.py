@@ -188,3 +188,48 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.concat_ws(" ", tokens(c))
     return hash64(normalized)
+
+
+def normalize_text(col: Column | str, *, lower: bool = False) -> Column:
+    """Canonical whitespace/control normalization for web-corpus text:
+    strip C0/C1 control characters (keeping \\t \\n), collapse runs of
+    horizontal whitespace to one space, collapse 3+ newlines to two
+    (paragraph break), trim. Pure regexp chain (codegen; Java∩RE2
+    syntax like the PII patterns). ``lower=True`` also case-folds —
+    OFF by default because dedup fingerprints already fold case and
+    models want original casing."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    c = F.trim(c)
+    return F.lower(c) if lower else c
+
+
+def strip_boilerplate_lines(col: Column | str,
+                            min_words: int = 4,
+                            max_link_ratio: float = 0.5) -> Column:
+    """Drop boilerplate LINES from a document: lines with fewer than
+    ``min_words`` words (nav items, buttons, bullets) or where more
+    than ``max_link_ratio`` of the words are URLs (link farms). The
+    line filter runs as split → higher-order ``filter`` →
+    ``array_join`` — per-line logic without exploding rows, so the doc
+    row count (and any id-keyed join downstream) is untouched.
+
+    A deliberately simple, deterministic stand-in for trafilatura-class
+    extraction: the Spark-side shape (line-wise predicates inside one
+    projection) is the part that matters at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+
+    def keep(line):
+        words = F.filter(F.split(F.trim(line), "[ \\t]+"),
+                         lambda w: w != F.lit(""))
+        n = F.size(words)
+        links = F.size(F.filter(
+            words, lambda w: w.rlike("^https?://|^www\\.")))
+        return (n >= F.lit(min_words)) & \
+            (links <= F.lit(max_link_ratio) * n)
+
+    return F.array_join(F.filter(lines, keep), "\n")

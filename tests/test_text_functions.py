@@ -162,3 +162,47 @@ def test_lm_bigram_score_hand_computed(spark):
     assert out[1] == (1, round(math.log(2 / 3), 6))
     # doc 2: ln(2/3) [a b] + ln(1/1) [b a] + ln(1/3) [a c]
     assert out[2] == (3, round((math.log(2 / 3) + 0.0 + math.log(1 / 3)) / 3, 6))
+
+
+def test_normalize_text(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+    rows = [("  a\tb  c \n\n\n\n d\x00e\x1f \n f  ",)]
+    df = spark.createDataFrame(rows, "t string")
+    out = df.select(normalize_text("t").alias("n")).first()["n"]
+    assert out == "a b c\n\nde\nf"
+    low = df.select(normalize_text("t", lower=True).alias("n")).first()["n"]
+    assert low == "a b c\n\nde\nf"
+    # idempotent
+    again = df.select(normalize_text(normalize_text("t")).alias("n")) \
+        .first()["n"]
+    assert again == out
+
+
+def test_strip_boilerplate_lines(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions.text import (
+        strip_boilerplate_lines,
+    )
+    doc = "\n".join([
+        "Home",                                        # < 4 words
+        "This is a real paragraph with actual content here.",
+        "click http://x.com see www.y.com go http://z.com now",  # 3/7 links ok
+        "a http://a.com http://b.com http://c.com",    # 3/4 links -> drop
+        "Buy now",                                     # < 4 words
+        "Another genuine sentence follows the navigation chrome.",
+    ])
+    df = spark.createDataFrame([(doc,)], "t string")
+    out = df.select(strip_boilerplate_lines("t").alias("s")).first()["s"]
+    kept = out.split("\n")
+    assert kept == [
+        "This is a real paragraph with actual content here.",
+        "click http://x.com see www.y.com go http://z.com now",
+        "Another genuine sentence follows the navigation chrome.",
+    ]
+    # plan stays Python-free
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    plan = formatted_plan(df.select(strip_boilerplate_lines("t")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
