@@ -37,6 +37,7 @@ package replaces that stack with Structured Streaming primitives:
 from .gate import CompletenessGate  # noqa: F401
 from .ingest import (continuous_cascade_batch,  # noqa: F401
                      continuous_cascade_stream,
+                     embedding_dedup_batch, embedding_dedup_stream,
                      incremental_dedup_batch,
                      incremental_dedup_stream)
 from .ops import (dedup_stream, interval_join_stream,  # noqa: F401

@@ -193,3 +193,81 @@ def continuous_cascade_stream(stream: DataFrame, keys: list[str],
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def embedding_dedup_batch(batch_df: DataFrame, batch_id: int,
+                          id_col: str, vec_col: str, *,
+                          index_path: str, corpus_path: str,
+                          pairs_path: str, threshold: float = 0.99,
+                          bands: int = 10, rows_per_band: int = 5,
+                          dim: int = 64, max_bucket: int = 1000) -> None:
+    """One micro-batch of the cosine-space ingest loop: intra-batch
+    pairs (``embedding_dup_pairs``) + probe of the persisted band index
+    (``embedding_match_pairs``), then append the batch's bucket keys to
+    the index AND its vectors to the corpus store (the index holds only
+    bucket keys — see embedding_match_pairs — so the verify step needs
+    the vectors persisted alongside). Same ``_batch_id`` dynamic-
+    overwrite idempotency and strictly-earlier-batch reads as the
+    minhash loop."""
+    from ..operators.similarity import (
+        embedding_dup_pairs, embedding_index, embedding_match_pairs,
+    )
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    band_kw = dict(bands=bands, rows_per_band=rows_per_band, dim=dim)
+    with cache_scope():
+        intra = (embedding_dup_pairs(batch_df, id_col, vec_col,
+                                     threshold=threshold,
+                                     max_bucket=max_bucket, **band_kw)
+                 .select(F.col("id_b").alias("new_id"),
+                         F.col("id_a").alias("corpus_id"), "cosine"))
+        try:
+            index = (spark.read.parquet(index_path)
+                     .where(F.col("_batch_id") < batch_id)
+                     .drop("_batch_id"))
+            corpus = (spark.read.parquet(corpus_path)
+                      .where(F.col("_batch_id") < batch_id)
+                      .drop("_batch_id"))
+        except AnalysisException:
+            index = corpus = None     # first batch: nothing indexed yet
+        pairs = intra if index is None else intra.unionByName(
+            embedding_match_pairs(batch_df, index, corpus, id_col,
+                                  vec_col, threshold=threshold,
+                                  max_bucket=max_bucket, **band_kw))
+        (pairs.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(pairs_path))
+        (embedding_index(batch_df, id_col, vec_col, **band_kw)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(index_path))
+        (batch_df.select(id_col, vec_col)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(corpus_path))
+
+
+def embedding_dedup_stream(stream: DataFrame, id_col: str, vec_col: str,
+                           *, index_path: str, corpus_path: str,
+                           pairs_path: str, checkpoint_dir: str,
+                           threshold: float = 0.99, bands: int = 10,
+                           rows_per_band: int = 5, dim: int = 64,
+                           max_bucket: int = 1000,
+                           available_now: bool = True) -> StreamingQuery:
+    """Streaming embedding near-dup ingest — the cosine twin of
+    :func:`incremental_dedup_stream`; see
+    :func:`embedding_dedup_batch` for the per-batch contract."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        embedding_dedup_batch(
+            batch_df, batch_id, id_col, vec_col,
+            index_path=index_path, corpus_path=corpus_path,
+            pairs_path=pairs_path, threshold=threshold, bands=bands,
+            rows_per_band=rows_per_band, dim=dim, max_bucket=max_bucket)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

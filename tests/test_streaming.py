@@ -381,3 +381,54 @@ def test_continuous_cascade_stream_matches_batch_rebuild(spark, tmp_path):
              .where(F.col("_version") == latest).collect()}
     assert again == want
     spark.catalog.clearCache()
+
+
+def test_embedding_dedup_stream_matches_full_mining(spark, tmp_path):
+    """The cosine-space streaming ingest loop finds exactly the pair
+    set embedding_dup_pairs mines over everything ingested — clones
+    within a batch and across batches both caught, via the real
+    streaming path with one micro-batch per file."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import embedding_dup_pairs
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        embedding_dedup_stream,
+    )
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    import random
+    rng = random.Random(3)
+
+    def vec(seed=None):
+        r = random.Random(seed) if seed is not None else rng
+        return [r.uniform(-1, 1) for _ in range(64)]
+
+    batches = [
+        [(0, vec(100)), (1, vec(100)), (2, vec())],     # 0≡1 intra
+        [(3, vec(100)), (4, vec())],                    # 3≡0,1 cross
+        [(5, vec(200)), (6, vec(200)), (7, vec(100))],  # 5≡6 intra, 7 cross
+    ]
+    src = str(tmp_path / "vecs")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    q = embedding_dedup_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        "vec_id", "embedding",
+        index_path=str(tmp_path / "idx"),
+        corpus_path=str(tmp_path / "corpus"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.99)
+    q.awaitTermination(180)
+
+    got = {(min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id))
+           for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    all_vecs = spark.createDataFrame([r for b in batches for r in b],
+                                     schema)
+    want = {(r.id_a, r.id_b)
+            for r in embedding_dup_pairs(all_vecs, "vec_id", "embedding",
+                                         threshold=0.99).collect()}
+    assert got == want
+    assert {(0, 1), (0, 3), (1, 3), (5, 6), (0, 7)} <= got
+    spark.catalog.clearCache()
