@@ -32,7 +32,7 @@ from .operators import (  # noqa: E402,F401
     embedding_dup_pairs, embedding_index, embedding_match_pairs, exact_dedup, forward_fill, hash_sample, hash_split, ivf_index, ivf_pivots, ivf_probe, ivf_topk, jaccard, lag_lead,
     lm_bigram_score,
     banding_for_recall, cache_scope, lsh_topk, minhash_index, minhash_lsh_pairs, minhash_match_pairs,
-    minhash_signature, ngram_jaccard_pairs,
+    minhash_signature, near_dedup, ngram_jaccard_pairs,
     merge_intervals, pack_media, pack_sequences, pivot_wide, profile_table, repartition_for_media, resample_asof, resample_interpolate, salted_join,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs, stratified_hash_sample,
     temperature_mix_rates, tfidf_top_terms, time_spine, token_repetition, top_k_per_group, union_by_name,

@@ -4,7 +4,7 @@ from .dedup import (
     banding_for_recall,
     contamination, dup_clusters, duplicate_ids, exact_dedup, jaccard,
     minhash_index, minhash_lsh_pairs, minhash_match_pairs,
-    minhash_signature,
+    minhash_signature, near_dedup,
     ngram_jaccard_pairs, simhash, simhash_pairs,
 )
 from .multimodal import (
@@ -44,7 +44,8 @@ __all__ = [
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
-    "merge_intervals", "minhash_index", "minhash_match_pairs", "minhash_signature", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
+    "merge_intervals", "minhash_index", "minhash_match_pairs",
+    "minhash_signature", "near_dedup", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "profile_table", "repartition_for_media", "resample_asof",
     "resample_interpolate", "resize_pixels",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",

@@ -640,3 +640,23 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                     hamming.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .dropDuplicates(["id_a", "id_b"]))
+
+
+def near_dedup(df: DataFrame, text_col: str, id_col: str,
+               threshold: float = 0.8, **lsh_kwargs) -> DataFrame:
+    """One-call near-dedup: mine MinHash-LSH pairs, cluster them, keep
+    the smallest id per cluster, and return ``df`` with non-
+    representative members removed — the composition every pipeline
+    writes by hand (:func:`minhash_lsh_pairs` → :func:`dup_clusters` →
+    anti-join), as one operator. ``lsh_kwargs`` pass through to the
+    pair miner (``num_perm``, ``bands``, ``target_recall``, …).
+
+    Run actions inside a ``with cache_scope():`` block (or clear the
+    cache after) — the pair miner persists its signatures.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col,
+                              threshold=threshold, **lsh_kwargs)
+    clusters = dup_clusters(pairs, "id_a", "id_b")
+    drop = (clusters.where(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias("_drop_id")))
+    return df.join(drop, df[id_col] == drop["_drop_id"], "left_anti")

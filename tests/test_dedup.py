@@ -281,3 +281,16 @@ def test_cache_scope_nested_and_unscoped(spark):
     register_persist(plain).count()                  # no scope active
     assert plain.storageLevel.useMemory              # caller-owned
     plain.unpersist(blocking=True)
+
+
+def test_near_dedup_one_call(spark, corpus):
+    """near_dedup keeps exactly one representative (the smallest id)
+    per near-dup cluster and all singletons."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import cache_scope, near_dedup
+
+    with cache_scope():
+        kept = sorted(r.doc_id for r in
+                      near_dedup(corpus, "text", "doc_id",
+                                 threshold=0.5).collect())
+    # docs 0,1,2,3 are one near-dup cluster (keep 0); 4 is unrelated
+    assert kept == [0, 4]
