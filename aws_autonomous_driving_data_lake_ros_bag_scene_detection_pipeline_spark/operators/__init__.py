@@ -17,7 +17,8 @@ from .profile import profile_table
 from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
 from .sampling import (
     chunk_documents, hash_sample, hash_sample_sql, hash_split,
-    pack_sequences, stratified_hash_sample, temperature_mix_rates,
+    pack_sequences, reservoir_sample, reservoir_sample_sql,
+    stratified_hash_sample, temperature_mix_rates, weighted_sample,
 )
 from .similarity import (
     brute_force_topk, embedding_dup_pairs, embedding_index,

@@ -163,6 +163,84 @@ def hash_split(df: DataFrame, key_col: str,
     return df.withColumn(split_col, expr)
 
 
+def reservoir_sample(df: DataFrame, key_col: str, k: int,
+                     by: list[str] | None = None,
+                     salt: str = "reservoir") -> DataFrame:
+    """Fixed-**size** deterministic uniform sample: exactly
+    ``min(k, group_size)`` rows (per group when ``by`` is given, else
+    globally). The distributed equivalent of reservoir sampling — keep
+    the ``k`` rows whose salted hash priority is smallest — except the
+    "reservoir" is a pure order statistic of a stable hash, so the
+    result is identical on every run, engine, and partitioning, and a
+    row's membership survives corpus growth unless a lower-priority row
+    displaces it (the same subset-stability hash_sample has, but with a
+    guaranteed output size instead of a rate).
+
+    Scale shape: the global form compiles to ``TakeOrderedAndProject``
+    — each task keeps its local top-``k`` and the driver merges
+    ``k × partitions`` candidates, no global sort, no single-partition
+    shuffle. The grouped form is one ``row_number`` window keyed on
+    ``by`` (one exchange; skew bounded by group size, same stance as
+    top_k_per_group)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pri = hash64(F.concat(F.lit(f"{salt}|"),
+                          F.col(key_col).cast("string")))
+    if not by:
+        return (df.withColumn("_pri", pri)
+                .orderBy("_pri", key_col).limit(k).drop("_pri"))
+    w = Window.partitionBy(*by).orderBy(pri.asc(), F.col(key_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    by: list[str] | None = None,
+                    salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sample without replacement of exactly
+    ``min(k, group_size)`` rows — Efraimidis–Spirakis A-ES: each row
+    draws ``u ∈ (0,1)`` and is ranked by ``ln(u) / w`` (descending ⇔
+    ``u^(1/w)`` descending), so a row's inclusion probability scales
+    with its weight and the sample is drawn *without replacement* in
+    one pass. ``u`` is derived from the salted row-key hash instead of
+    an RNG, making the draw reproducible across runs, engines, and
+    partitioning. Rows with NULL or non-positive weight are excluded
+    (they can never be sampled).
+
+    Scale shape: identical to :func:`reservoir_sample` —
+    ``TakeOrderedAndProject`` globally, one ``row_number`` window per
+    group."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = 1 << 40
+    u = (F.pmod(hash64(F.concat(F.lit(f"{salt}|"),
+                                F.col(key_col).cast("string"))),
+                F.lit(m)) + 0.5) / float(m)
+    score = F.log(u) / F.col(weight_col).cast("double")
+    out = df.where(F.col(weight_col).isNotNull()
+                   & (F.col(weight_col) > 0))
+    if not by:
+        return (out.withColumn("_sc", score)
+                .orderBy(F.col("_sc").desc(), F.col(key_col).asc())
+                .limit(k).drop("_sc"))
+    w = Window.partitionBy(*by).orderBy(F.col("_sc").desc(),
+                                        F.col(key_col).asc())
+    return (out.withColumn("_sc", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn", "_sc"))
+
+
+def reservoir_sample_sql(key_expr: str, k: int, by_exprs: list[str],
+                         salt: str = "reservoir") -> str:
+    """DuckDB mirror of :func:`reservoir_sample`'s grouped predicate —
+    a ``QUALIFY row_number()`` clause fragment (the caller supplies the
+    surrounding SELECT)."""
+    h = hash64_sql(f"'{salt}|' || cast({key_expr} as varchar)")
+    part = f"partition by {', '.join(by_exprs)} " if by_exprs else ""
+    return (f"row_number() over ({part}order by {h} asc, "
+            f"{key_expr} asc) <= {k}")
+
+
 def temperature_mix_rates(df: DataFrame, strata_col: str,
                           alpha: float = 0.7,
                           target_rows: int | None = None

@@ -194,3 +194,85 @@ def test_profile_table_one_pass_long_format(spark):
     assert len(leaves) == 1
     with pytest.raises(ValueError):
         profile_table(df, ["nope"])
+
+
+def _py_hash64(s: str) -> int:
+    """Pure-Python mirror of functions.hashing.hash64 (md5 60-bit)."""
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_reservoir_sample_exact_size_and_membership(spark):
+    """reservoir_sample: exactly min(k, n) rows, and the EXACT row set
+    the hash order statistic predicts (reproduced in pure Python)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import reservoir_sample
+
+    df = _corpus(spark, 500)
+    got = sorted(r.doc_id for r in
+                 reservoir_sample(df, "doc_id", 40).collect())
+    assert len(got) == 40
+    expected = sorted(
+        sorted(range(500),
+               key=lambda i: (_py_hash64(f"reservoir|{i}"), i))[:40])
+    assert got == expected
+    # k >= n degrades to the full input
+    assert reservoir_sample(df, "doc_id", 10_000).count() == 500
+
+
+def test_reservoir_sample_per_group_and_repartition_stable(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import reservoir_sample
+
+    df = _corpus(spark, 400)
+    out = reservoir_sample(df, "doc_id", 7, by=["source"])
+    sizes = {r.source: r.n for r in
+             out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {f"src{i}": 7 for i in range(4)}
+    # identical membership regardless of physical partitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in
+               reservoir_sample(df.repartition(13), "doc_id", 7,
+                                by=["source"]).collect())
+    assert a == b
+
+
+def test_reservoir_sample_global_is_take_ordered(spark):
+    """Global fixed-k compiles to TakeOrderedAndProject — per-task
+    local top-k merged on the driver, no global sort exchange."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import reservoir_sample
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(reservoir_sample(_corpus(spark), "doc_id", 10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_matches_python_a_es(spark):
+    """weighted_sample reproduces the Efraimidis–Spirakis draw computed
+    in pure Python, excludes non-positive weights, and a 100x-weight
+    row is (near-)always included while being absent from most uniform
+    samples of the same size."""
+    import math
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import weighted_sample
+
+    n, m = 300, 1 << 40
+    rows = [(i, "s", 100.0 if i == 7 else 1.0) for i in range(n)]
+    rows.append((n, "s", 0.0))      # never sampled
+    rows.append((n + 1, "s", None))  # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+
+    def score(i, w):
+        u = (_py_hash64(f"wsample|{i}") % m + 0.5) / m
+        return math.log(u) / w
+
+    expected = sorted(
+        sorted(range(n), key=lambda i: (-score(i, 100.0 if i == 7 else 1.0),
+                                        i))[:25])
+    got = sorted(r.doc_id for r in
+                 weighted_sample(df, "doc_id", "w", 25).collect())
+    assert got == expected
+    # the heavy row survives: P(miss) = (1 - 100/399)^25-ish ~ 0
+    assert 7 in got
+    grouped = weighted_sample(df, "doc_id", "w", 25, by=["source"])
+    assert sorted(r.doc_id for r in grouped.collect()) == expected
