@@ -29,7 +29,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     byte_histogram_features,
     change_point_intervals, chunk_documents, contamination,
     distinct_sketch, dup_clusters,
-    duplicate_ids,
+    duplicate_ids, edit_distance_pairs,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -575,30 +575,63 @@ from b join f using (event_id)
 """
 
 
-def q_semi_join(spark, sf_dir):
+def q_semi_anti_join(spark, sf_dir):
+    """Left-semi and left-anti joins (§2.6 set-membership ops), folded
+    into one tagged union so both §2 operators stay driver-gated within
+    the 50-entry cap (r5 fold; they were separate entries through r4)."""
     cust = _t("customer")(spark, sf_dir)
-    orders = _t("orders")(spark, sf_dir).where(F.col("o_totalprice") > 300000)
-    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-            .select("c_custkey", "c_name"))
+    big = _t("orders")(spark, sf_dir).where(F.col("o_totalprice") > 300000)
+    orders = _t("orders")(spark, sf_dir)
+    semi = (cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+            .select(F.lit("semi").alias("kind"), "c_custkey", "c_name",
+                    F.lit(None).cast("double").alias("c_acctbal")))
+    anti = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select(F.lit("anti").alias("kind"), "c_custkey",
+                    F.lit(None).cast("string").alias("c_name"),
+                    "c_acctbal"))
+    return semi.unionByName(anti)
 
 
-Q_SEMI_SQL = """
-select c_custkey, c_name from customer
+Q_SEMI_ANTI_SQL = """
+select 'semi' as kind, c_custkey, c_name, cast(null as double) as c_acctbal
+from customer
 where exists (select 1 from orders
               where o_custkey = c_custkey and o_totalprice > 300000)
+union all
+select 'anti' as kind, c_custkey, cast(null as varchar) as c_name, c_acctbal
+from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
 """
 
 
-def q_anti_join(spark, sf_dir):
-    cust = _t("customer")(spark, sf_dir)
-    orders = _t("orders")(spark, sf_dir)
-    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-            .select("c_custkey", "c_acctbal"))
+def q_edit_distance(spark, sf_dir):
+    """Edit-distance similarity self-join (operators/fuzzy.py): all
+    string pairs within levenshtein distance 2, q-gram pigeonhole
+    blocking + banded-levenshtein verify — never a nested loop. Input:
+    the distinct part names salted with a deterministic 1-char mutation
+    of each (the raw vocabulary is too far apart to pair), so the gate
+    exercises real sub/equal matches; the oracle is the exact all-pairs
+    levenshtein answer, so blocking recall is verified to be 1.0."""
+    part = _t("part")(spark, sf_dir)
+    names = part.select(F.col("p_name").alias("s")).distinct()
+    muts = names.select(
+        F.concat(F.substring("s", 1, 1), F.lit("q"),
+                 F.expr("substring(s, 3)")).alias("s")).distinct()
+    corpus = names.unionByName(muts).distinct()
+    return (edit_distance_pairs(corpus, "s", "s", max_dist=2)
+            .select(F.col("id_a").alias("name_a"),
+                    F.col("id_b").alias("name_b"), "distance"))
 
 
-Q_ANTI_SQL = """
-select c_custkey, c_acctbal from customer
-where not exists (select 1 from orders where o_custkey = c_custkey)
+Q_EDIT_DISTANCE_SQL = """
+with names as (select distinct p_name as s from part),
+muts as (select distinct substring(s, 1, 1) || 'q' || substring(s, 3) as s
+         from names),
+un as (select s from names union select s from muts)
+select a.s as name_a, b.s as name_b,
+       cast(levenshtein(a.s, b.s) as int) as distance
+from un a join un b on a.s < b.s
+where levenshtein(a.s, b.s) <= 2
 """
 
 
@@ -1822,8 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_join": q_interval_join,
         "q_asof_tolerance": q_asof_tolerance,
         "q_asof_nearest": q_asof_nearest,
-        "q_semi_join": q_semi_join,
-        "q_anti_join": q_anti_join,
+        "q_semi_anti_join": q_semi_anti_join,
+        "q_edit_distance": q_edit_distance,
         "q_distinct_agg": q_distinct_agg,
         "q_window_running": q_window_running,
         "q_union_align": q_union_align,
@@ -1877,8 +1910,8 @@ def oracle_sql() -> dict[str, str]:
         "q_interval_join": Q_INTERVAL_JOIN_SQL,
         "q_asof_tolerance": Q_ASOF_TOL_SQL,
         "q_asof_nearest": Q_ASOF_NEAREST_SQL,
-        "q_semi_join": Q_SEMI_SQL,
-        "q_anti_join": Q_ANTI_SQL,
+        "q_semi_anti_join": Q_SEMI_ANTI_SQL,
+        "q_edit_distance": Q_EDIT_DISTANCE_SQL,
         "q_distinct_agg": Q_DISTINCT_SQL,
         "q_window_running": Q_WINDOW_SQL,
         "q_union_align": Q_UNION_SQL,
