@@ -29,7 +29,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     byte_histogram_features,
     change_point_intervals, chunk_documents, contamination,
     distinct_sketch, dup_clusters,
-    duplicate_ids, edit_distance_pairs,
+    duplicate_ids, edit_distance_pairs, freq_estimate, freq_sketch,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1237,17 +1237,40 @@ from m
 
 
 def q_token_histogram(spark, sf_dir):
-    """Corpus token frequency top-20 (explode + agg + deterministic order)."""
+    """Corpus token frequency top-20 (explode + agg + deterministic
+    order), PLUS the mergeable count-min estimate of each top token
+    (operators/sketches.freq_sketch / freq_estimate — the additive
+    frequency state that answers heavy-hitter questions at 100 TB
+    without re-shuffling the raw token stream). The oracle rebuilds the
+    ENTIRE sketch cell-for-cell in SQL (the cell hash is the portable
+    md5 family), so cm_est is verified exactly, not just enveloped."""
     docs = _spread(_t("documents")(spark, sf_dir))
-    return (docs.select(F.explode(tokens("text")).alias("token"))
-            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), F.asc("token")).limit(20))
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    top = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), F.asc("token")).limit(20))
+    sk = freq_sketch(tok, [], "token")
+    est = freq_estimate(sk, top, "token", estimate_col="cm_est")
+    return (top.join(est, "token")
+            .select("token", "n", F.col("cm_est").cast("bigint")
+                    .alias("cm_est")))
 
+
+_CM_CELL_SQL = ("((('0x' || substring(md5(cast(d as varchar) || '|' || "
+                "token), 1, 15))::BIGINT % 2048 + 2048) % 2048)")
 
 Q_TOKEN_HIST_SQL = f"""
-select token, count(*) as n
-from (select unnest({TOKS}) as token from documents)
-group by token order by n desc, token asc limit 20
+with tok as (select unnest({TOKS}) as token from documents),
+top as (select token, count(*) as n from tok
+        group by token order by n desc, token asc limit 20),
+sk as (select d, {_CM_CELL_SQL} as cell, count(*) as cnt
+       from tok cross join range(5) t(d)
+       group by 1, 2),
+probe as (select top.token, top.n, d, {_CM_CELL_SQL} as cell
+          from top cross join range(5) t(d))
+select probe.token, probe.n,
+       cast(min(coalesce(sk.cnt, 0)) as bigint) as cm_est
+from probe left join sk using (d, cell)
+group by probe.token, probe.n
 """
 
 

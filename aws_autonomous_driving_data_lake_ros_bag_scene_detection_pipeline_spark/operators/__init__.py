@@ -26,7 +26,10 @@ from .similarity import (
     embedding_match_pairs, ivf_index, ivf_pivots,
     ivf_probe, ivf_topk, lsh_topk,
 )
-from .sketches import distinct_rollup_check, distinct_sketch, rollup_distinct
+from .sketches import (
+    distinct_rollup_check, distinct_sketch, freq_estimate, freq_sketch,
+    rollup_distinct, rollup_freq,
+)
 from .sessionize import change_point_intervals, merge_intervals, sessionize
 from .timeseries import (
     asof_join, cascade_update, downsample_cascade, forward_fill, lag_lead,

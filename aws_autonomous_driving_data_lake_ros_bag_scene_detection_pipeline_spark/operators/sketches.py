@@ -1,5 +1,7 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL via the
-Spark built-ins ``hll_sketch_agg`` / ``hll_union_agg``).
+"""Mergeable sketches: distinct counts (HLL) and frequencies (count-min).
+
+Distinct counts use Apache DataSketches HLL via the Spark built-ins
+``hll_sketch_agg`` / ``hll_union_agg``.
 
 ``COUNT(DISTINCT x)`` is the one classic aggregate that is NOT
 additive: exact distinct counts cannot be rolled up from finer
@@ -23,10 +25,28 @@ DataSketches state) — no Python in the path, and partial aggregation
 (map-side sketch building) applies before the shuffle exactly as for
 additive aggregates.
 
+Frequencies use a **relational count-min sketch** (Cormode &
+Muthukrishnan 2005): instead of a binary blob, the sketch IS a bounded
+relation ``(group…, _d, _cell, cnt)`` — each value hashes to one cell
+per depth row, and a cell's count is the exact sum of everything that
+hashed there. That representation keeps every step a plain Spark
+aggregate (map-side partials over a key space of at most
+``depth × width`` cells per group, so the combine ratio approaches the
+group's row count), merging is literally ``GROUP BY … SUM(cnt)``
+(additive, lossless), and the whole thing is oracle-checkable because
+the cell hash is the DuckDB-portable md5 family. Estimate for a value
+= min over its ``depth`` cells; guarantees: estimate ≥ true count
+always, and ≤ true + ε·N with probability ≥ 1 − δ per probe, where
+ε = e/width and δ = e^(−depth) (defaults: width 2048 → ε ≈ 0.13%,
+depth 5 → δ ≈ 0.7%). The use case is the same as HLL's: persist tiny
+per-(fine-group) sketch relations once, answer any coarser
+frequency/heavy-hitter question by summing cells — never re-shuffling
+the raw token stream.
+
 Reference parity note: the reference pipeline has no distinct-count
-rollup surface (its aggregates are per-batch, ``detect_scenes.py``);
-this module is part of the beyond-reference scale surface alongside
-dedup/similarity.
+or frequency rollup surface (its aggregates are per-batch,
+``detect_scenes.py``); this module is part of the beyond-reference
+scale surface alongside dedup/similarity.
 """
 
 from __future__ import annotations
@@ -34,7 +54,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64_seeded
+
 DEFAULT_LG_K = 14
+DEFAULT_CM_DEPTH = 5
+DEFAULT_CM_WIDTH = 2048
 
 
 def distinct_sketch(df: DataFrame, group_cols: list[str], value_col: str,
@@ -108,3 +132,81 @@ def distinct_rollup_check(df: DataFrame, group_cols: list[str],
                         (F.abs(F.col(estimate_col) - F.col("_exact"))
                          <= F.lit(rel_tol) * F.col("_exact")))
             .drop("_exact"))
+
+
+def _cm_cells(value, depth: int, width: int):
+    """Array of (depth, cell) structs for a value — one md5-family hash
+    per depth row, so the cell layout is engine-portable."""
+    return F.array(*[
+        F.struct(F.lit(d).alias("_d"),
+                 F.pmod(hash64_seeded(value.cast("string"), d),
+                        F.lit(width)).alias("_cell"))
+        for d in range(depth)])
+
+
+def freq_sketch(df: DataFrame, group_cols: list[str], value_col: str,
+                *, depth: int = DEFAULT_CM_DEPTH,
+                width: int = DEFAULT_CM_WIDTH,
+                weight_col: str | None = None) -> DataFrame:
+    """Per-group count-min sketch of ``value_col`` occurrences →
+    ``(group…, _d, _cell, cnt)``, at most ``depth × width`` rows per
+    group no matter how many distinct values flow in.
+
+    One shuffle keyed on ``(group…, _d, _cell)`` with map-side partial
+    sums — the tiny key space means almost everything combines before
+    the exchange. ``weight_col`` counts each row with a weight instead
+    of 1 (e.g. token counts pre-aggregated per document). NULL values
+    are ignored (a NULL has no frequency)."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    w = (F.col(weight_col).cast("bigint") if weight_col
+         else F.lit(1).cast("bigint"))
+    return (df.where(F.col(value_col).isNotNull())
+            .select(*group_cols,
+                    F.explode(_cm_cells(F.col(value_col), depth, width))
+                     .alias("_c"),
+                    w.alias("_w"))
+            .groupBy(*group_cols, F.col("_c._d").alias("_d"),
+                     F.col("_c._cell").alias("_cell"))
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def rollup_freq(sketches: DataFrame, group_cols: list[str],
+                *, count_col: str = "cnt") -> DataFrame:
+    """Merge finer count-min sketches up to a coarser grouping —
+    cells simply add (``GROUP BY … SUM``), so merging is lossless in
+    the sketch sense: the merged relation is EXACTLY the sketch a
+    direct build over the union would produce (pinned by test).
+    ``group_cols`` may be empty for a global sketch. Only sketch rows
+    shuffle — bounded by finer-groups × depth × width."""
+    return (sketches.groupBy(*group_cols, "_d", "_cell")
+            .agg(F.sum(count_col).alias(count_col)))
+
+
+def freq_estimate(sketch: DataFrame, probes: DataFrame, value_col: str,
+                  group_cols: list[str] | None = None,
+                  *, depth: int = DEFAULT_CM_DEPTH,
+                  width: int = DEFAULT_CM_WIDTH,
+                  estimate_col: str = "approx_count") -> DataFrame:
+    """Estimated frequency of each probe value →
+    ``(group…, value_col, estimate_col)`` (probes deduplicated).
+    ``depth``/``width`` must match the build. Estimate = min over the
+    value's ``depth`` cells, with absent cells counting 0 — so the
+    estimate is exactly 0 iff the value never occurred (one-sided
+    error: never an undercount).
+
+    Plan shape: probes explode to ``depth`` rows, LEFT-join the sketch
+    on (group…, _d, _cell) — a sketch bounded at depth × width rows per
+    group broadcasts under AQE — then a min-aggregate keyed by the
+    probe row."""
+    group_cols = group_cols or []
+    p = (probes.select(*group_cols, F.col(value_col))
+         .where(F.col(value_col).isNotNull()).distinct()
+         .select(*group_cols, value_col,
+                 F.explode(_cm_cells(F.col(value_col), depth, width))
+                  .alias("_c"))
+         .select(*group_cols, value_col, "_c._d", "_c._cell"))
+    joined = p.join(sketch, [*group_cols, "_d", "_cell"], "left")
+    return (joined.groupBy(*group_cols, value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias(estimate_col)))

@@ -75,3 +75,78 @@ def test_sketch_plan_is_jvm_only(spark, events):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # partial sketch aggregation runs below the exchange (map-side)
     assert plan.index("ObjectHashAggregate") < plan.index("Exchange")
+
+
+# ------------------------------------------------------- count-min sketch
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (  # noqa: E402
+    freq_estimate, freq_sketch, rollup_freq,
+)
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    """Skewed token stream: value i appears ~N/i times (zipf-ish)."""
+    rows = []
+    for i in range(1, 200):
+        rows += [(f"tok{i}", d) for d in range(max(1, 2000 // i))]
+    return spark.createDataFrame(rows, "token string, src int").select(
+        "token", (F.col("src") % 3).alias("part"))
+
+
+def test_cm_estimate_one_sided_and_in_envelope(spark, tokens_df):
+    """CM guarantees: estimate >= true always; <= true + eps*N for
+    every probe here (deterministic given the fixed hash family)."""
+    sk = freq_sketch(tokens_df, [], "token")
+    exact = {r.token: r.n for r in
+             tokens_df.groupBy("token").agg(F.count("*").alias("n"))
+             .collect()}
+    n_total = sum(exact.values())
+    eps_n = (2.718281828 / 2048) * n_total
+    probes = tokens_df.select("token").distinct()
+    est = {r.token: r.approx_count for r in
+           freq_estimate(sk, probes, "token").collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n, t
+        assert est[t] <= n + eps_n + 1, t
+    # a never-seen value estimates exactly 0 (absent cells count 0)
+    ghost = spark.createDataFrame([("never-seen-xyz",)], "token string")
+    assert freq_estimate(sk, ghost, "token").first().approx_count == 0
+
+
+def test_cm_merge_equals_direct_build(spark, tokens_df):
+    """rollup_freq over per-part sketches == the direct global sketch,
+    cell for cell (CM merging is exact addition, not approximation)."""
+    per_part = freq_sketch(tokens_df, ["part"], "token")
+    merged = rollup_freq(per_part, [])
+    direct = freq_sketch(tokens_df, [], "token")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cm_weighted_build(spark):
+    """weight_col counts each row with its weight — equal to unweighted
+    build over the expanded stream."""
+    w = spark.createDataFrame([("a", 5), ("b", 2), ("a", 1)],
+                              "v string, n int")
+    expanded = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2, "v string")
+    sk_w = freq_sketch(w, [], "v", weight_col="n")
+    sk_e = freq_sketch(expanded, [], "v")
+    assert sk_w.exceptAll(sk_e).count() == 0
+    assert sk_e.exceptAll(sk_w).count() == 0
+
+
+def test_cm_sketch_bounded_and_mapside_partial(spark, tokens_df):
+    """Sketch row count is bounded by depth*width regardless of
+    distinct values, and partial aggregation runs below the exchange."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    sk = freq_sketch(tokens_df, [], "token", depth=3, width=64)
+    assert sk.count() <= 3 * 64
+    plan = formatted_plan(sk)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    with pytest.raises(ValueError):
+        freq_sketch(tokens_df, [], "token", depth=0)
