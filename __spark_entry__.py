@@ -34,7 +34,8 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     ngram_jaccard_pairs,
     pack_media, pack_sequences,
-    resample_asof, rollup_distinct, sessionize, simhash_pairs,
+    resample_asof, reservoir_sample, rollup_distinct, sessionize,
+    simhash_pairs,
     hash_split, stratified_hash_sample, tfidf_top_terms,
     token_repetition, top_k_per_group, union_by_name,
 )
@@ -42,6 +43,9 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.fun
     ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
     hash64, lang_id, pii_count, pii_redact, punct_ratio,
     quality_score, stopword_ratio, subword_count, token_count, tokens,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sampling import (
+    reservoir_sample_sql,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
     dedup_stream, file_stream, interval_join_stream)
@@ -1317,12 +1321,20 @@ def q_stratified_sample(spark, sf_dir):
     narrow filter: no shuffle, runs inside the scan stage. The sampled
     rows then get a deterministic disjoint train/val/test label
     (sampling.hash_split, r5) — also portable-hash math, so the oracle
-    reproduces every label exactly."""
+    reproduces every label exactly — and a fixed-size per-source
+    reservoir flag (sampling.reservoir_sample, r5: hash-priority order
+    statistic, exactly 10 rows per source marked, stable under
+    repartitioning), which the oracle reproduces row-for-row too."""
     docs = _t("documents")(spark, sf_dir)
     samp = stratified_hash_sample(docs, "doc_id", "source",
                                   _SAMPLE_RATES, default_rate=0.1)
-    return (hash_split(samp, "doc_id", _SPLIT_FRACTIONS)
-            .select("doc_id", "source", "split"))
+    out = (hash_split(samp, "doc_id", _SPLIT_FRACTIONS)
+           .select("doc_id", "source", "split"))
+    res = (reservoir_sample(out, "doc_id", 10, by=["source"])
+           .select("doc_id", F.lit(True).alias("in_reservoir")))
+    return (out.join(res, "doc_id", "left")
+            .withColumn("in_reservoir",
+                        F.coalesce("in_reservoir", F.lit(False))))
 
 
 def _sample_sql() -> str:
@@ -1340,10 +1352,14 @@ def _sample_sql() -> str:
         edges.append(f"when ({hs} % 10000 + 10000) % 10000 < {hi} "
                      f"then '{label}'")
     split_case = "case " + " ".join(edges) + " else null end"
+    res = reservoir_sample_sql("doc_id", 10, ["source"])
     return f"""
-select doc_id, source, {split_case} as split from documents
-where ({h} % 10000 + 10000) % 10000
-      < cast((case {cases} else 0.1 end) * 10000 as int)
+with s as (
+  select doc_id, source, {split_case} as split from documents
+  where ({h} % 10000 + 10000) % 10000
+        < cast((case {cases} else 0.1 end) * 10000 as int)
+)
+select doc_id, source, split, ({res}) as in_reservoir from s
 """
 
 
