@@ -28,7 +28,8 @@ from .similarity import (
 )
 from .sketches import (
     distinct_rollup_check, distinct_sketch, freq_estimate, freq_sketch,
-    rollup_distinct, rollup_freq,
+    histogram_sketch, quantile_estimate, rollup_distinct, rollup_freq,
+    rollup_histogram,
 )
 from .sessionize import change_point_intervals, merge_intervals, sessionize
 from .timeseries import (

@@ -210,3 +210,95 @@ def freq_estimate(sketch: DataFrame, probes: DataFrame, value_col: str,
     return (joined.groupBy(*group_cols, value_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias(estimate_col)))
+
+
+def histogram_sketch(df: DataFrame, group_cols: list[str], value_col: str,
+                     *, lo: float, hi: float, bins: int = 1024,
+                     weight_col: str | None = None) -> DataFrame:
+    """Per-group fixed-grid histogram of ``value_col`` →
+    ``(group…, _bin, cnt)`` — the mergeable quantile/distribution
+    state. ``percentile_approx`` merges internally but its state can't
+    be persisted across tables; a fixed-bin histogram relation CAN: at
+    most ``bins + 2`` rows per group, merge = ``GROUP BY … SUM`` (exact,
+    like the count-min cells), and any quantile is answered from the
+    persisted relation with absolute error ≤ ``(hi − lo) / bins``
+    (one bin width) via :func:`quantile_estimate`.
+
+    The grid ``[lo, hi)`` must be FIXED across everything that will
+    ever merge — that is the mergeability contract (same stance as
+    Prometheus-style histograms); pick bounds from
+    :func:`~.profile.profile_table`'s min/max. Out-of-range values
+    clamp into sentinel bins −1 (below ``lo``) and ``bins`` (at/above
+    ``hi``), so mass is never dropped — quantiles falling in a sentinel
+    report the clamped edge. One shuffle on ``(group…, _bin)`` with
+    map-side partials, identical plan shape to :func:`freq_sketch`."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    w = (F.col(weight_col).cast("bigint") if weight_col
+         else F.lit(1).cast("bigint"))
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(value_col).cast("double") - lo) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(-1)), F.lit(bins)).cast("int")
+    return (df.where(F.col(value_col).isNotNull())
+            .select(*group_cols, b.alias("_bin"), w.alias("_w"))
+            .groupBy(*group_cols, "_bin")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def rollup_histogram(sketches: DataFrame, group_cols: list[str],
+                     *, count_col: str = "cnt") -> DataFrame:
+    """Merge finer histogram sketches to a coarser grouping (bins add;
+    exact — the merged relation equals a direct build over the union).
+    Only sketch rows shuffle: finer-groups × (bins + 2) at most."""
+    return (sketches.groupBy(*group_cols, "_bin")
+            .agg(F.sum(count_col).alias(count_col)))
+
+
+def quantile_estimate(sketch: DataFrame, group_cols: list[str],
+                      probs: list[float], *, lo: float, hi: float,
+                      bins: int = 1024) -> DataFrame:
+    """Quantiles from a persisted histogram sketch →
+    ``(group…, prob, quantile_est)``, one row per group × prob.
+    ``lo``/``hi``/``bins`` must match the build.
+
+    Estimate: invert the per-group CDF to the covering bin, then
+    interpolate linearly inside it — absolute error ≤ one bin width
+    for any in-range quantile (sentinel bins report the clamped grid
+    edge). Plan shape: one cumulative-sum window over ≤ bins + 2 rows
+    per group, a broadcast-sized probs literal, and a ``min_by``
+    aggregate — nothing touches raw data."""
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    width = (hi - lo) / bins
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy("_bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot_w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = (sketch.withColumn("_cum", F.sum("cnt").over(w))
+           .withColumn("_tot", F.sum("cnt").over(tot_w)))
+    pr = F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("prob")
+    cand = (cum.select(*group_cols, "_bin", "cnt", "_cum", "_tot", pr)
+            # target rank in [1, _tot]; the covering bin is the first
+            # with _cum >= rank
+            .withColumn("_rank",
+                        F.greatest(F.lit(1.0), F.col("prob") * F.col("_tot")))
+            .where(F.col("_cum") >= F.col("_rank")))
+    pick = (cand.groupBy(*group_cols, "prob")
+            .agg(F.min_by(F.struct("_bin", "cnt", "_cum", "_rank"), "_bin")
+                 .alias("_s")))
+    bin_, cnt, cum_, rank_ = (F.col("_s._bin"), F.col("_s.cnt"),
+                              F.col("_s._cum"), F.col("_s._rank"))
+    frac = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                   (rank_ - (cum_ - cnt)) / cnt))
+    # sentinel bins clamp to the grid edge; interior bins interpolate
+    est = (F.when(bin_ < 0, F.lit(float(lo)))
+           .when(bin_ >= bins, F.lit(float(hi)))
+           .otherwise(F.lit(lo) + F.lit(width) * (bin_ + frac)))
+    return pick.select(*group_cols, "prob",
+                       est.cast("double").alias("quantile_est"))

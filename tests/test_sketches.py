@@ -150,3 +150,66 @@ def test_cm_sketch_bounded_and_mapside_partial(spark, tokens_df):
     assert plan.index("HashAggregate") < plan.index("Exchange")
     with pytest.raises(ValueError):
         freq_sketch(tokens_df, [], "token", depth=0)
+
+
+# ------------------------------------------------ histogram / quantiles
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (  # noqa: E402
+    histogram_sketch, quantile_estimate, rollup_histogram,
+)
+
+
+def test_histogram_quantiles_within_one_bin(spark):
+    """Estimated quantiles land within one bin width of the exact
+    quantile, per group, for a non-uniform distribution."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vals = {"a": np.concatenate([rng.normal(20, 5, 4000),
+                                 rng.normal(70, 2, 1000)]),
+            "b": rng.exponential(10, 3000)}
+    rows = [(g, float(v)) for g, arr in vals.items() for v in arr]
+    df = spark.createDataFrame(rows, "g string, v double")
+    lo, hi, bins = 0.0, 100.0, 500
+    binw = (hi - lo) / bins
+    sk = histogram_sketch(df, ["g"], "v", lo=lo, hi=hi, bins=bins)
+    probs = [0.1, 0.5, 0.9, 0.99]
+    est = {(r.g, r.prob): r.quantile_est for r in
+           quantile_estimate(sk, ["g"], probs, lo=lo, hi=hi, bins=bins)
+           .collect()}
+    for g, arr in vals.items():
+        clipped = np.clip(arr, lo, hi)
+        for p in probs:
+            exact = float(np.quantile(clipped, p))
+            assert abs(est[(g, p)] - exact) <= binw + 1e-9, (g, p)
+
+
+def test_histogram_merge_equals_direct(spark):
+    """rollup_histogram over per-part sketches == direct build, bin
+    for bin (merging is exact addition), and the sentinel bins keep
+    out-of-range mass."""
+    rows = [(i % 4, float(i)) for i in range(-50, 250)]
+    df = spark.createDataFrame(rows, "part int, v double")
+    per = histogram_sketch(df, ["part"], "v", lo=0.0, hi=100.0, bins=10)
+    merged = rollup_histogram(per, [])
+    direct = histogram_sketch(df, [], "v", lo=0.0, hi=100.0, bins=10)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    cnts = {r._bin: r.cnt for r in direct.collect()}
+    assert cnts[-1] == 50 and cnts[10] == 150  # clamped mass retained
+    assert sum(cnts.values()) == 300
+
+
+def test_histogram_quantile_sentinels_and_validation(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(-10, 10)],
+                               "v double")
+    sk = histogram_sketch(df, [], "v", lo=0.0, hi=5.0, bins=5)
+    est = {r.prob: r.quantile_est for r in
+           quantile_estimate(sk, [], [0.0, 1.0], lo=0.0, hi=5.0, bins=5)
+           .collect()}
+    assert est[0.0] == 0.0   # below-lo mass reports the lo edge
+    assert est[1.0] == 5.0   # at/above-hi mass reports the hi edge
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        histogram_sketch(df, [], "v", lo=1.0, hi=1.0)
+    with _pt.raises(ValueError):
+        quantile_estimate(sk, [], [1.5], lo=0.0, hi=5.0, bins=5)
