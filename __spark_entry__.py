@@ -30,6 +30,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     change_point_intervals, chunk_documents, contamination,
     distinct_sketch, dup_clusters,
     duplicate_ids, edit_distance_pairs, freq_estimate, freq_sketch,
+    histogram_sketch, quantile_estimate,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -389,7 +390,17 @@ def q_percentiles(spark, sf_dir):
       [q−1e-3, q+1e-3] quantile envelope (10× slack absorbs the ±1-rank
       interpolation gap at sf0.01 group sizes; a broken sketch lands
       far outside it). The oracle asserts the booleans are literally
-      true, so a sketch regression hash-mismatches the gate.
+      true, so a sketch regression hash-mismatches the gate;
+    - (r5) the PERSISTABLE mergeable path: a fixed-grid
+      histogram_sketch relation (operators/sketches.py) inverted by
+      quantile_estimate, pinned inside the exact [q−1e-3, q+1e-3]
+      quantile envelope widened by one bin width — rank slack for the
+      ≤1-rank definition gap (1/n ≤ 1e-3 at every SF's group sizes),
+      bin width for the grid resolution; a value-only envelope is NOT
+      a theorem on sparse data, where adjacent order statistics can be
+      many bins apart. This is the state that, unlike
+      percentile_approx's, can be written out and rolled up across
+      tables/days.
     """
     # _spread: the exact-percentile partial aggregate buffers every value,
     # so it must not run inside the (single-row-group ⇒ 1-task) scan stage
@@ -409,6 +420,16 @@ def q_percentiles(spark, sf_dir):
         F.percentile("l_extendedprice", F.lit(qall)).alias("_ps"),
         F.percentile_approx("l_extendedprice", F.lit(list(qs)),
                             F.lit(10000)).alias("_ap"))
+    lo, hi, bins = 0.0, 120_000.0, 2400
+    binw = (hi - lo) / bins
+    sk = histogram_sketch(li, ["l_returnflag"], "l_extendedprice",
+                          lo=lo, hi=hi, bins=bins)
+    hist = (quantile_estimate(sk, ["l_returnflag"], list(qs),
+                              lo=lo, hi=hi, bins=bins)
+            .groupBy("l_returnflag")
+            .pivot("prob", [float(q) for q in qs])
+            .agg(F.first("quantile_est")))
+    agged = agged.join(hist, "l_returnflag")
     return agged.select(
         "l_returnflag",
         *[F.round(F.col("_ps")[i], 6).alias(f"p{int(q * 100)}")
@@ -416,6 +437,10 @@ def q_percentiles(spark, sf_dir):
         *[((F.col("_ap")[i] >= F.col("_ps")[nq + i])
            & (F.col("_ap")[i] <= F.col("_ps")[2 * nq + i]))
           .alias(f"approx_ok_p{int(q * 100)}")
+          for i, q in enumerate(qs)],
+        *[((F.col(f"`{float(q)}`") >= F.col("_ps")[nq + i] - binw)
+           & (F.col(f"`{float(q)}`") <= F.col("_ps")[2 * nq + i] + binw))
+          .alias(f"hist_ok_p{int(q * 100)}")
           for i, q in enumerate(qs)])
 
 
@@ -426,7 +451,9 @@ select l_returnflag,
   round(quantile_cont(l_extendedprice, 0.75)::DOUBLE, 6) as p75,
   round(quantile_cont(l_extendedprice, 0.95)::DOUBLE, 6) as p95,
   true as approx_ok_p25, true as approx_ok_p50,
-  true as approx_ok_p75, true as approx_ok_p95
+  true as approx_ok_p75, true as approx_ok_p95,
+  true as hist_ok_p25, true as hist_ok_p50,
+  true as hist_ok_p75, true as hist_ok_p95
 from lineitem group by l_returnflag
 """
 
