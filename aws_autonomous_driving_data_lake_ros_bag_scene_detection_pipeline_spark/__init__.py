@@ -38,7 +38,8 @@ from .operators import (  # noqa: E402,F401
     merge_intervals, pack_media, pack_sequences, pivot_wide, profile_table,
     repartition_for_media, resample_asof, resample_interpolate,
     reservoir_sample, salted_join, weighted_sample,
-    resize_pixels, sample_frames, sessionize, simhash, simhash_pairs, stratified_hash_sample,
+    resize_pixels, sample_frames, sessionize, simhash, simhash_pairs,
+    snapshot_diff, stratified_hash_sample,
     temperature_mix_rates, tfidf_top_terms, time_spine, token_repetition, top_k_per_group, union_by_name,
 )
 from .session import get_spark, set_state_store  # noqa: E402,F401

@@ -11,6 +11,7 @@ from .multimodal import (
     byte_histogram_features, decode_audio, decode_image, pack_media,
     repartition_for_media, resize_pixels, sample_frames,
 )
+from .diff import snapshot_diff
 from .fuzzy import edit_distance_pairs, fuzzy_join
 from .joins import binned_interval_join, salted_join
 from .pivot import pivot_wide

@@ -271,6 +271,55 @@ def compact_files(spark: SparkSession, src_path: str, dst_path: str, *,
     return n
 
 
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 keys: list[str], *, partition_cols: list[str],
+                 order_col: str | None = None) -> None:
+    """Keyed merge (SCD1 upsert) into a hive-partitioned parquet
+    dataset IN PLACE, rewriting only the partitions the updates touch.
+    Semantics: one row per key survives — the highest ``order_col``
+    value wins when given (late/replayed data safe, deterministic under
+    reordering); otherwise updates beat existing rows.
+
+    Scale shape: the target is read ONLY in the affected partitions
+    (left-semi join against the updates' distinct partition values, so
+    partition pruning applies — at 100 TB an upsert touching one day
+    reads one day), the merge is one window keyed on ``keys``, and the
+    write uses **dynamic partition overwrite** so untouched partitions'
+    files are not rewritten (pinned by test on the file listing). The
+    merged result is materialized (eager ``localCheckpoint``) before
+    the overwrite so the write never races the files it replaces —
+    the standard read-merge-overwrite barrier.
+
+    ``updates`` must carry ``partition_cols``; ``keys`` must be unique
+    per row in ``updates`` (enforce upstream — last-wins inside a batch
+    needs an ``order_col``)."""
+    if not partition_cols:
+        raise ValueError("merge_upsert needs partition_cols: in-place "
+                         "merge without partitioning would rewrite the "
+                         "whole dataset — use compact_files-style "
+                         "write-elsewhere instead")
+    from pyspark.sql import Window
+    aff = updates.select(*partition_cols).distinct()
+    existing = (spark.read.parquet(path)
+                .join(F.broadcast(aff), partition_cols, "left_semi"))
+    tagged = (existing.withColumn("_src", F.lit(0))
+              .unionByName(updates.withColumn("_src", F.lit(1))))
+    order = ([F.col(order_col).desc_nulls_last()] if order_col else []) \
+        + [F.col("_src").desc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    merged = (tagged.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn", "_src")
+              .localCheckpoint(eager=True))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.write.mode("overwrite")
+         .partitionBy(*partition_cols).parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def add_lineage(df: DataFrame, **cols: str) -> DataFrame:
     """Tag lineage/literal columns (SURVEY §2 #15; synchronize_topics.py:47-49)."""
     for name, value in cols.items():

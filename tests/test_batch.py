@@ -127,3 +127,90 @@ def test_zordered_with_hive_partitions_no_file_blowup(spark, tmp_path):
     assert len(files) <= 12
     back = spark.read.parquet(path)
     assert back.count() == 4000
+
+
+def test_merge_upsert_latest_wins_and_partition_preserving(spark, tmp_path):
+    """merge_upsert: updates win (or highest order_col), only touched
+    partitions are rewritten, untouched partition files stay put."""
+    import os
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "d1", "a", 10), (2, "d1", "b", 10), (3, "d2", "c", 10)],
+        "id long, day string, val string, ver int")
+    base.write.partitionBy("day").parquet(path)
+
+    def files(day):
+        d = f"{path}/day={day}"
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    d2_before = files("d2")
+    updates = spark.createDataFrame(
+        [(2, "d1", "b2", 11), (4, "d1", "new", 11)],
+        "id long, day string, val string, ver int")
+    merge_upsert(spark, path, updates, ["id"], partition_cols=["day"],
+                 order_col="ver")
+    got = {(r.id, r.day, r.val, r.ver)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1", "a", 10), (2, "d1", "b2", 11),
+                   (4, "d1", "new", 11), (3, "d2", "c", 10)}
+    assert files("d2") == d2_before  # untouched partition not rewritten
+
+    # order_col protects against stale replays: an older ver loses
+    stale = spark.createDataFrame([(2, "d1", "old", 5)],
+                                  "id long, day string, val string, ver int")
+    merge_upsert(spark, path, stale, ["id"], partition_cols=["day"],
+                 order_col="ver")
+    assert {(r.id, r.val) for r in
+            spark.read.parquet(path).where("day='d1'").collect()} == \
+        {(1, "a"), (2, "b2"), (4, "new")}
+
+    import pytest
+    with pytest.raises(ValueError):
+        merge_upsert(spark, path, updates, ["id"], partition_cols=[])
+
+
+def test_snapshot_diff_add_remove_change(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),          # unchanged -> no row
+         (2, "b", 2.0),          # NULL -> value = changed
+         (3, "cc", 3.0),         # s changed
+         (5, "e", 5.0)],         # added; 4 removed
+        "id long, s string, v double")
+    out = {r.id: r for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[5].change == "added" and out[4].change == "removed"
+    assert out[2].change == "changed" and out[2].changed_cols == ["v"]
+    assert out[3].changed_cols == ["s"]
+    assert out[3].old_s == "c" and out[3].new_s == "cc"
+
+    import pytest
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, ["id"], ["nope"])
+
+
+def test_snapshot_diff_output_scales_with_churn_not_table(spark):
+    """Identical snapshots diff to zero rows, and the plan is one
+    full-outer equi-join (no nested loop)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import snapshot_diff
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    d = snapshot_diff(orders, orders, ["o_orderkey"])
+    assert d.count() == 0
+    plan = formatted_plan(d)
+    assert "FullOuter" in plan and "NestedLoop" not in plan
