@@ -29,8 +29,10 @@ from .operators import (  # noqa: E402,F401
     cascade_update, change_point_intervals, chunk_documents, contamination, decode_audio,
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     distinct_rollup_check, distinct_sketch, rollup_distinct,
-    edit_distance_pairs, freq_estimate, freq_sketch, fuzzy_join,
-    histogram_sketch, quantile_estimate, rollup_freq, rollup_histogram,
+    edit_distance_pairs, embedding_moments, fit_pca, freq_estimate,
+    freq_sketch, fuzzy_join,
+    histogram_sketch, project_embeddings, quantile_estimate,
+    rollup_freq, rollup_histogram, PCAModel,
     embedding_dup_pairs, embedding_index, embedding_match_pairs, exact_dedup, forward_fill, hash_sample, hash_split, ivf_index, ivf_pivots, ivf_probe, ivf_topk, jaccard, lag_lead,
     lm_bigram_score,
     banding_for_recall, cache_scope, lsh_topk, minhash_index, minhash_lsh_pairs, minhash_match_pairs,

@@ -12,6 +12,9 @@ from .multimodal import (
     repartition_for_media, resize_pixels, sample_frames,
 )
 from .diff import snapshot_diff
+from .embeddings import (
+    PCAModel, embedding_moments, fit_pca, project_embeddings,
+)
 from .fuzzy import edit_distance_pairs, fuzzy_join
 from .joins import binned_interval_join, salted_join
 from .pivot import pivot_wide

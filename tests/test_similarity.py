@@ -199,3 +199,70 @@ def test_embedding_incremental_matches_full_mining(spark, emb):
     assert got.isdisjoint(hist)
     assert got and hist            # both paths actually exercised
     spark.catalog.clearCache()
+
+
+# --------------------------------------------------------------- PCA
+
+def test_pca_matches_numpy_and_projects(spark):
+    """Distributed moments == numpy moments; fitted components span the
+    same top-k subspace; projection matches (X - mean) @ W.T."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        embedding_moments, fit_pca, project_embeddings,
+    )
+
+    rng = np.random.default_rng(3)
+    # anisotropic: variance concentrated in 3 of 8 dims via a mixing matrix
+    base = rng.normal(size=(500, 3)) @ rng.normal(size=(3, 8)) * 5
+    x = base + rng.normal(scale=0.1, size=(500, 8)) + rng.normal(size=8)
+    df = spark.createDataFrame(
+        [(i, row.astype(np.float32).tolist()) for i, row in enumerate(x)],
+        "id long, embedding array<float>")
+    xf = x.astype(np.float32).astype(np.float64)  # storage-precision truth
+
+    n, mean, cov = embedding_moments(df, "embedding")
+    assert n == 500
+    assert np.allclose(mean, xf.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(xf.T, bias=True), atol=1e-7)
+
+    model = fit_pca(df, "embedding", 3)
+    evals = np.linalg.eigvalsh(np.cov(xf.T, bias=True))[::-1][:3]
+    assert np.allclose(model.explained_variance, evals, rtol=1e-6)
+
+    out = project_embeddings(df, "embedding", model)
+    got = {r.id: np.asarray(r.pca) for r in out.collect()}
+    expect = (xf - xf.mean(axis=0)) @ model.components.T
+    for i in range(500):
+        assert np.allclose(got[i], expect[i], atol=1e-3)
+    # projected variance per component ~= explained_variance
+    proj = np.asarray([got[i] for i in range(500)])
+    assert np.allclose(proj.var(axis=0), model.explained_variance,
+                       rtol=1e-3)
+
+
+def test_pca_whiten_and_partition_stability(spark):
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        embedding_moments, fit_pca, project_embeddings,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n1, m1, c1 = embedding_moments(emb, "embedding")
+    n2, m2, c2 = embedding_moments(emb.repartition(17), "embedding")
+    assert n1 == n2
+    assert np.allclose(m1, m2, atol=1e-9) and np.allclose(c1, c2, atol=1e-9)
+
+    model = fit_pca(emb, "embedding", 4, whiten=True)
+    out = project_embeddings(emb, "embedding", model, out_col="w")
+    proj = np.asarray([r.w for r in out.collect()])
+    # whitened components have ~unit variance
+    assert np.allclose(proj.var(axis=0), 1.0, rtol=5e-2)
+
+    import pytest
+    with pytest.raises(ValueError):
+        fit_pca(emb, "embedding", 0)
+    with pytest.raises(ValueError):
+        fit_pca(emb, "embedding", 10_000)
