@@ -30,7 +30,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     change_point_intervals, chunk_documents, contamination,
     distinct_sketch, dup_clusters,
     duplicate_ids, edit_distance_pairs, freq_estimate, freq_sketch,
-    histogram_sketch, quantile_estimate,
+    funnel, histogram_sketch, quantile_estimate,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -296,42 +296,78 @@ where rank <= 3
 """
 
 
-def q_rollup(spark, sf_dir):
-    """ROLLUP grouping sets (beyond-reference relational surface)."""
+def q_grouping_family(spark, sf_dir):
+    """ROLLUP + explicit GROUPING SETS in one tagged union (r5 fold of
+    q_rollup and q_grouping_sets; both lower to the same Expand +
+    partial-agg plan, and the set list spells out
+    CUBE(o_orderstatus, o_orderpriority)'s four combinations, so this
+    single entry pins the whole grouping-set family)."""
     orders = _t("orders")(spark, sf_dir)
-    return (orders.rollup("o_orderpriority", "o_orderstatus")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("o_totalprice"), 2).alias("total")))
-
-
-Q_ROLLUP_SQL = """
-select o_orderpriority, o_orderstatus, count(*) as n,
-  round(sum(o_totalprice), 2) as total
-from orders group by rollup (o_orderpriority, o_orderstatus)
-"""
-
-
-def q_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS — the general grouping-set engine. The
-    set list is exactly CUBE(o_orderstatus, o_orderpriority)'s four
-    combinations spelled out (this absorbed the retired q_cube: CUBE
-    and ROLLUP both lower to this same Expand + partial-agg plan, so
-    one gate query pins the whole family alongside q_rollup)."""
-    orders = _t("orders")(spark, sf_dir)
-    return (orders.groupingSets(
+    ru = (orders.rollup("o_orderpriority", "o_orderstatus")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.round(F.sum("o_totalprice"), 2).alias("total"))
+          .select(F.lit("rollup").alias("kind"), "o_orderpriority",
+                  "o_orderstatus", "n", "total",
+                  F.lit(None).cast("double").alias("avg_price")))
+    gs = (orders.groupingSets(
         [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
          ["o_orderpriority"], []],
         "o_orderstatus", "o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("o_totalprice"), 2).alias("avg_price")))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .select(F.lit("gsets").alias("kind"), "o_orderpriority",
+                "o_orderstatus", "n",
+                F.lit(None).cast("double").alias("total"), "avg_price"))
+    return ru.unionByName(gs)
 
 
-Q_GROUPING_SETS_SQL = """
-select o_orderstatus, o_orderpriority, count(*) as n,
-  round(avg(o_totalprice), 2) as avg_price
+Q_GROUPING_FAMILY_SQL = """
+select 'rollup' as kind, o_orderpriority, o_orderstatus, count(*) as n,
+  round(sum(o_totalprice), 2) as total, cast(null as double) as avg_price
+from orders group by rollup (o_orderpriority, o_orderstatus)
+union all
+select 'gsets' as kind, o_orderpriority, o_orderstatus, count(*) as n,
+  cast(null as double) as total, round(avg(o_totalprice), 2) as avg_price
 from orders
 group by grouping sets ((o_orderstatus, o_orderpriority),
                         (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase per user with a 3-day
+    horizon anchored at step 1 (operators/sessionize.funnel): k−1
+    chained earliest-occurrence joins, each a key-hash shuffle over
+    only that step's filtered events — never a whole-stream window.
+    The product-analytics sequence query the events table exists for."""
+    ev = _events(spark, sf_dir)
+    h = 3 * 86_400 * 1_000_000  # 3 days in integer microseconds
+    out = funnel(ev, ["user_id"], "t", "event_type",
+                 ["view", "click", "purchase"], horizon=h)
+    return out.select("user_id", "step_1_t", "step_2_t", "step_3_t",
+                      "steps_completed")
+
+
+Q_FUNNEL_SQL = """
+with ev as (select user_id, event_type, epoch_us(ts) as t from events),
+s1 as (select user_id, min(t) as step_1_t from ev
+       where event_type = 'view' group by user_id),
+s2 as (select e.user_id, min(e.t) as step_2_t
+       from ev e join s1 on e.user_id = s1.user_id
+       where e.event_type = 'click' and e.t > s1.step_1_t
+         and e.t <= s1.step_1_t + 259200000000
+       group by e.user_id),
+s3 as (select e.user_id, min(e.t) as step_3_t
+       from ev e join s1 on e.user_id = s1.user_id
+                 join s2 on e.user_id = s2.user_id
+       where e.event_type = 'purchase' and e.t > s2.step_2_t
+         and e.t <= s1.step_1_t + 259200000000
+       group by e.user_id)
+select s1.user_id, s1.step_1_t, s2.step_2_t, s3.step_3_t,
+  cast(1 + coalesce((s2.step_2_t is not null)::int, 0)
+         + coalesce((s3.step_3_t is not null)::int, 0) as int)
+    as steps_completed
+from s1 left join s2 using (user_id) left join s3 using (user_id)
 """
 
 
@@ -1912,8 +1948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
         "q_topk_per_group": q_topk_per_group,
-        "q_rollup": q_rollup,
-        "q_grouping_sets": q_grouping_sets,
+        "q_grouping_family": q_grouping_family,
+        "q_funnel": q_funnel,
         "q_rank_family": q_rank_family,
         "q_min_max_by": q_min_max_by,
         "q_percentiles": q_percentiles,
@@ -1967,8 +2003,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": Q3_SQL,
         "q5_local_supplier": Q5_SQL,
         "q_topk_per_group": Q_TOPK_SQL,
-        "q_rollup": Q_ROLLUP_SQL,
-        "q_grouping_sets": Q_GROUPING_SETS_SQL,
+        "q_grouping_family": Q_GROUPING_FAMILY_SQL,
+        "q_funnel": Q_FUNNEL_SQL,
         "q_rank_family": Q_RANK_SQL,
         "q_min_max_by": Q_MIN_MAX_BY_SQL,
         "q_percentiles": Q_PERCENTILES_SQL,

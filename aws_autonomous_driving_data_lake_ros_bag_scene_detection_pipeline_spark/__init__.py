@@ -30,7 +30,7 @@ from .operators import (  # noqa: E402,F401
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     distinct_rollup_check, distinct_sketch, rollup_distinct,
     edit_distance_pairs, embedding_moments, fit_pca, freq_estimate,
-    freq_sketch, fuzzy_join,
+    freq_sketch, funnel, fuzzy_join,
     histogram_sketch, project_embeddings, quantile_estimate,
     rollup_freq, rollup_histogram, PCAModel,
     embedding_dup_pairs, embedding_index, embedding_match_pairs, exact_dedup, forward_fill, hash_sample, hash_split, ivf_index, ivf_pivots, ivf_probe, ivf_topk, jaccard, lag_lead,

@@ -35,7 +35,9 @@ from .sketches import (
     histogram_sketch, quantile_estimate, rollup_distinct, rollup_freq,
     rollup_histogram,
 )
-from .sessionize import change_point_intervals, merge_intervals, sessionize
+from .sessionize import (
+    change_point_intervals, funnel, merge_intervals, sessionize,
+)
 from .timeseries import (
     asof_join, cascade_update, downsample_cascade, forward_fill, lag_lead,
     resample_asof, resample_interpolate, time_spine,

@@ -103,3 +103,47 @@ def merge_intervals(df: DataFrame, keys: list[str], start_col: str,
                  F.max(end_col).alias(end_col),
                  F.count(F.lit(1)).cast("bigint").alias("n_merged"))
             .drop("_island"))
+
+
+def funnel(df: DataFrame, keys: list[str], time_col: str,
+           event_col: str, steps: list[str],
+           horizon: float | None = None) -> DataFrame:
+    """Ordered funnel completion per key: for the step sequence
+    ``steps = [s1, s2, …]``, find each key's earliest ``s1``, then the
+    earliest ``s2`` strictly after it, and so on → one row per key that
+    reached step 1, with columns ``step_1_t … step_k_t`` (NULL once the
+    funnel stalls) and ``steps_completed``. ``horizon`` bounds the whole
+    funnel to ``step_1_t + horizon`` (the "converted within N minutes"
+    form). The classic product-analytics sequence query, expressed as
+    (k−1) chained earliest-occurrence joins.
+
+    Shape: step i is ``filter(event = sᵢ) ⋈ keys`` against the
+    accumulated prefix, then a min-aggregate over (keys, prefix times)
+    — prefix times are functionally dependent on the keys, so the
+    grouping key stays the entity key. k−1 key-hash shuffles total,
+    each over only that step's event subset (the filter runs in the
+    scan), never a window over the whole stream, and no driver
+    iteration count depends on data — only on ``len(steps)``.
+
+    Greedy earliest-match semantics (the standard funnel definition:
+    matching the earliest s1 never misses a completion that matching a
+    later s1 would find, for any fixed horizon anchored at s1)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    t, e = F.col(time_col), F.col(event_col)
+    cur = (df.where(e == steps[0]).groupBy(*keys)
+           .agg(F.min(t).alias("step_1_t")))
+    for i, s in enumerate(steps[1:], start=2):
+        prev_cols = [f"step_{j}_t" for j in range(1, i)]
+        cond = t > F.col(f"step_{i - 1}_t")
+        if horizon is not None:
+            cond = cond & (t <= F.col("step_1_t") + F.lit(horizon))
+        nxt = (df.where(e == s).join(cur, keys)
+               .where(cond)
+               .groupBy(*keys, *prev_cols)
+               .agg(F.min(t).alias(f"step_{i}_t"))
+               .select(*keys, f"step_{i}_t"))
+        cur = cur.join(nxt, keys, "left")
+    done = sum(F.col(f"step_{i}_t").isNotNull().cast("int")
+               for i in range(1, len(steps) + 1))
+    return cur.withColumn("steps_completed", done.cast("int"))

@@ -315,3 +315,40 @@ def test_merge_intervals_against_duckdb_oracle(spark, duck):
     for v in spans.values():
         v.sort()
         assert all(a_e < b_s for (_, a_e), (b_s, _) in zip(v, v[1:]))
+
+
+def test_funnel_ordered_horizon_and_stalls(spark):
+    """funnel: strict ordering (same-timestamp doesn't count), horizon
+    anchored at step 1, stalls leave NULL tails, keys without step 1
+    are absent."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import funnel
+
+    rows = [
+        # u1 completes in order
+        (1, 10.0, "view"), (1, 20.0, "click"), (1, 30.0, "buy"),
+        # u2: click BEFORE view -> stalls at step 1
+        (2, 10.0, "click"), (2, 20.0, "view"),
+        # u3: click at the SAME time as view -> strict > means stall
+        (3, 10.0, "view"), (3, 10.0, "click"),
+        # u4: completes but outside horizon
+        (4, 10.0, "view"), (4, 500.0, "click"),
+        # u5: never views -> no row
+        (5, 10.0, "click"), (5, 20.0, "buy"),
+        # u6: earliest view counts, later duplicate views ignored
+        (6, 10.0, "view"), (6, 50.0, "view"), (6, 60.0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user long, t double, e string")
+    out = {r.user: r for r in
+           funnel(df, ["user"], "t", "e", ["view", "click", "buy"],
+                  horizon=100.0).collect()}
+    assert set(out) == {1, 2, 3, 4, 6}
+    assert (out[1].step_1_t, out[1].step_2_t, out[1].step_3_t) == (10, 20, 30)
+    assert out[1].steps_completed == 3
+    assert out[2].step_2_t is None and out[2].steps_completed == 1
+    assert out[3].step_2_t is None
+    assert out[4].step_2_t is None  # 500 > 10 + 100 horizon
+    assert out[6].step_1_t == 10.0 and out[6].step_2_t == 60.0
+    with pytest.raises(ValueError):
+        funnel(df, ["user"], "t", "e", ["view"])
