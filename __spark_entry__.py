@@ -458,7 +458,11 @@ def q_percentiles(spark, sf_dir):
                             F.lit(10000)).alias("_ap"))
     lo, hi, bins = 0.0, 120_000.0, 2400
     binw = (hi - lo) / bins
-    sk = histogram_sketch(li, ["l_returnflag"], "l_extendedprice",
+    # histogram build off the RAW scan (not _spread): a bounded-key
+    # hash agg combines map-side, so the round-robin exchange that the
+    # value-buffering exact percentile needs would only add a shuffle
+    sk = histogram_sketch(_t("lineitem")(spark, sf_dir),
+                          ["l_returnflag"], "l_extendedprice",
                           lo=lo, hi=hi, bins=bins)
     hist = (quantile_estimate(sk, ["l_returnflag"], list(qs),
                               lo=lo, hi=hi, bins=bins)

@@ -643,13 +643,22 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def near_dedup(df: DataFrame, text_col: str, id_col: str,
-               threshold: float = 0.8, **lsh_kwargs) -> DataFrame:
+               threshold: float = 0.8, keep_by: str | None = None,
+               **lsh_kwargs) -> DataFrame:
     """One-call near-dedup: mine MinHash-LSH pairs, cluster them, keep
-    the smallest id per cluster, and return ``df`` with non-
-    representative members removed — the composition every pipeline
-    writes by hand (:func:`minhash_lsh_pairs` → :func:`dup_clusters` →
-    anti-join), as one operator. ``lsh_kwargs`` pass through to the
-    pair miner (``num_perm``, ``bands``, ``target_recall``, …).
+    one representative per cluster, and return ``df`` with the other
+    members removed — the composition every pipeline writes by hand
+    (:func:`minhash_lsh_pairs` → :func:`dup_clusters` → anti-join), as
+    one operator. ``lsh_kwargs`` pass through to the pair miner
+    (``num_perm``, ``bands``, ``target_recall``, …).
+
+    Representative choice: smallest id by default (deterministic, no
+    extra data needed); with ``keep_by=<score column>`` the HIGHEST-
+    scoring member survives instead (ties broken by smallest id) — the
+    production shape where a quality score decides which near-copy to
+    train on. That costs one extra join of the cluster relation against
+    ``df``'s (id, score) projection plus a ``max_by`` per cluster —
+    cluster-keyed, so skew is bounded by the largest dup cluster.
 
     Run actions inside a ``with cache_scope():`` block (or clear the
     cache after) — the pair miner persists its signatures.
@@ -657,6 +666,23 @@ def near_dedup(df: DataFrame, text_col: str, id_col: str,
     pairs = minhash_lsh_pairs(df, text_col, id_col,
                               threshold=threshold, **lsh_kwargs)
     clusters = dup_clusters(pairs, "id_a", "id_b")
-    drop = (clusters.where(F.col("id") != F.col("cluster_id"))
-            .select(F.col("id").alias("_drop_id")))
+    if keep_by is not None:
+        # max score per cluster, then smallest id among the members
+        # that achieve it (null-safe: an all-NULL-score cluster keeps
+        # its smallest id rather than vanishing). Generic over id and
+        # score types — no negation tricks.
+        scored = clusters.join(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(keep_by).alias("_score")), "id")
+        mx = scored.groupBy("cluster_id").agg(F.max("_score").alias("_ms"))
+        best = (scored.join(mx, "cluster_id")
+                .where(F.col("_score").eqNullSafe(F.col("_ms")))
+                .groupBy("cluster_id")
+                .agg(F.min("id").alias("_keep_id")))
+        drop = (clusters.join(best, "cluster_id")
+                .where(F.col("id") != F.col("_keep_id"))
+                .select(F.col("id").alias("_drop_id")))
+    else:
+        drop = (clusters.where(F.col("id") != F.col("cluster_id"))
+                .select(F.col("id").alias("_drop_id")))
     return df.join(drop, df[id_col] == drop["_drop_id"], "left_anti")

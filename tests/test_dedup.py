@@ -294,3 +294,33 @@ def test_near_dedup_one_call(spark, corpus):
                                  threshold=0.5).collect())
     # docs 0,1,2,3 are one near-dup cluster (keep 0); 4 is unrelated
     assert kept == [0, 4]
+
+
+def test_near_dedup_keep_by_best_score(spark, corpus):
+    """keep_by keeps the HIGHEST-scoring cluster member (ties -> the
+    smallest id), and NULL scores lose to any non-NULL score."""
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import cache_scope, near_dedup
+
+    scored = corpus.withColumn(
+        "quality",
+        F.when(F.col("doc_id") == 2, 9.0)
+         .when(F.col("doc_id") == 0, F.lit(None).cast("double"))
+         .otherwise(1.0))
+    with cache_scope():
+        kept = sorted(r.doc_id for r in
+                      near_dedup(scored, "text", "doc_id",
+                                 threshold=0.5, keep_by="quality")
+                      .collect())
+    # cluster {0,1,2,3}: doc 2 has the top score -> it survives, not 0
+    assert kept == [2, 4]
+
+    # ties: all equal scores -> smallest id, matching the default
+    tied = corpus.withColumn("quality", F.lit(1.0))
+    with cache_scope():
+        kept = sorted(r.doc_id for r in
+                      near_dedup(tied, "text", "doc_id",
+                                 threshold=0.5, keep_by="quality")
+                      .collect())
+    assert kept == [0, 4]
