@@ -28,7 +28,8 @@ from .operators import (  # noqa: E402,F401
     asof_join, binned_interval_join, brute_force_topk, byte_histogram_features,
     cascade_update, change_point_intervals, chunk_documents, contamination, decode_audio,
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
-    distinct_rollup_check, distinct_sketch, rollup_distinct,
+    distinct_rollup_check, distinct_sketch, duplicate_passages,
+    rollup_distinct,
     edit_distance_pairs, embedding_moments, fit_pca, freq_estimate,
     freq_sketch, funnel, fuzzy_join,
     histogram_sketch, project_embeddings, quantile_estimate,

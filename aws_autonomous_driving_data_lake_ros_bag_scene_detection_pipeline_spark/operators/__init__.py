@@ -2,7 +2,8 @@ from ..sources.tables import union_by_name
 from .caching import cache_scope, register_persist
 from .dedup import (
     banding_for_recall,
-    contamination, dup_clusters, duplicate_ids, exact_dedup, jaccard,
+    contamination, dup_clusters, duplicate_ids, duplicate_passages,
+    exact_dedup, jaccard,
     minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, near_dedup,
     ngram_jaccard_pairs, simhash, simhash_pairs,

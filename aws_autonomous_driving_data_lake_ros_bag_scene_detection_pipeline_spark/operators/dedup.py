@@ -686,3 +686,75 @@ def near_dedup(df: DataFrame, text_col: str, id_col: str,
         drop = (clusters.where(F.col("id") != F.col("cluster_id"))
                 .select(F.col("id").alias("_drop_id")))
     return df.join(drop, df[id_col] == drop["_drop_id"], "left_anti")
+
+
+def duplicate_passages(df: DataFrame, text_col: str, id_col: str,
+                       shingle_n: int = 8, min_run: int = 3) -> DataFrame:
+    """Passage-level exact-duplicate detection: maximal runs of ≥
+    ``min_run`` consecutive shared word ``shingle_n``-grams between two
+    documents → one row per duplicated span,
+    ``(id_a, id_b, start_a, start_b, n_shingles, n_tokens)`` with
+    ``start_*`` the 0-based token offset and
+    ``n_tokens = n_shingles + shingle_n − 1`` the span length.
+
+    Doc-level dedup (minhash/jaccard) misses the common real case of
+    *partial* duplication — a quoted paragraph, a boilerplate footer, a
+    license block inside otherwise-distinct documents; the published
+    remedy is exact substring dedup over the corpus (suffix-array
+    ExactSubstr in "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022). A suffix array doesn't distribute;
+    the relational equivalent here does: a shared substring of length
+    ≥ ``min_run + shingle_n − 1`` tokens IS a run of ≥ ``min_run``
+    consecutive equal shingles sitting on one (pos_a − pos_b) diagonal
+    — the classic seed-chain diagonal trick — and runs on a diagonal
+    are a gaps-and-islands window over the matching positions.
+
+    Shape: positional shingles are built relationally (posexplode +
+    one lead window, same finding as ngram_jaccard_pairs), pairs of
+    equal shingle hashes come from ONE equi-join on the 64-bit hash
+    (hot boilerplate shingles skew the join; that is intrinsic — the
+    hot shingles ARE the duplicated content — and AQE's skew split
+    absorbs it), and the run detection is one window keyed by
+    (id_a, id_b, diagonal). Everything shuffles on join/window keys;
+    nothing is quadratic in document length or corpus size — only in
+    the true duplication volume.
+
+    Shingles are compared by ``xxhash64`` (2^-40 collision scale,
+    the module's documented stance)."""
+    if shingle_n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.posexplode(tokens(text_col)).alias("pos", "_w"))
+    if shingle_n == 1:
+        gram = F.col("_w")
+    else:
+        w = Window.partitionBy("id").orderBy("pos")
+        nxt = [F.lead("_w", j).over(w) for j in range(1, shingle_n)]
+        gram = F.when(nxt[-1].isNotNull(),
+                      F.concat_ws(" ", F.col("_w"), *nxt))
+    sh = (tok.select("id", "pos", gram.alias("_g"))
+          .where(F.col("_g").isNotNull())
+          .select("id", "pos", F.xxhash64("_g").alias("_h")))
+    a, b = sh.alias("a"), sh.alias("b")
+    hits = (a.join(b, "_h")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.pos").alias("pos_a"),
+                    F.col("b.pos").alias("pos_b"),
+                    (F.col("a.pos") - F.col("b.pos")).alias("_diag")))
+    rw = Window.partitionBy("id_a", "id_b", "_diag").orderBy("pos_a")
+    runs = (hits.withColumn("_grp",
+                            F.col("pos_a") - F.row_number().over(rw))
+            .groupBy("id_a", "id_b", "_diag", "_grp")
+            .agg(F.min("pos_a").alias("start_a"),
+                 F.min("pos_b").alias("start_b"),
+                 F.count(F.lit(1)).alias("n_shingles"))
+            .where(F.col("n_shingles") >= min_run))
+    return runs.select(
+        "id_a", "id_b", "start_a", "start_b",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        (F.col("n_shingles") + shingle_n - 1).cast("bigint")
+        .alias("n_tokens"))

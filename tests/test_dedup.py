@@ -324,3 +324,91 @@ def test_near_dedup_keep_by_best_score(spark, corpus):
                                  threshold=0.5, keep_by="quality")
                       .collect())
     assert kept == [0, 4]
+
+
+def test_duplicate_passages_finds_shared_spans(spark):
+    """A quoted passage inside otherwise-distinct documents is found
+    with correct offsets and length; short overlaps below min_run and
+    unrelated docs produce nothing."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import duplicate_passages
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    a = "intro words here " + quote + " closing remarks"
+    b = "completely different opening text that runs on " + quote
+    c = "no shared passages live in this document at all whatsoever"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    out = duplicate_passages(df, "text", "doc_id",
+                             shingle_n=4, min_run=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    # quote = 12 tokens -> 9 shingles of 4; offsets: a has 3 lead
+    # tokens, b has 7
+    assert (r.start_a, r.start_b) == (3, 7)
+    assert r.n_shingles == 9 and r.n_tokens == 12
+
+    with pytest.raises(ValueError):
+        duplicate_passages(df, "text", "doc_id", min_run=0)
+
+
+def test_duplicate_passages_against_duckdb_oracle(spark, duck):
+    """Random corpus with planted repeats: the diagonal-run output
+    matches an independent SQL formulation (string-equality shingles,
+    gaps-and-islands) on DuckDB."""
+    import random
+
+    from tests.conftest import assert_df_matches_oracle
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import duplicate_passages
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(10))
+    docs = []
+    for i in range(12):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(15, 40))]
+        if i % 3 == 0:      # plant the boilerplate block in a third
+            at = rng.randrange(0, len(words))
+            words[at:at] = boiler.split()
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    duck.sql("drop table if exists pdocs")
+    duck.sql("create table pdocs as select * from (values "
+             + ",".join(f"({i}, '{t}')" for i, t in docs)
+             + ") t(doc_id, text)")
+    got = duplicate_passages(df, "text", "doc_id",
+                             shingle_n=5, min_run=2)
+    assert got.count() > 0  # the planted block is found
+    assert_df_matches_oracle(got, duck, """
+        with tk as (select doc_id, string_split(text, ' ') as a
+                    from pdocs),
+        tok as (
+          select doc_id, a[i] as w, i - 1 as pos
+          from tk, unnest(range(1, len(a) + 1)) as r(i)),
+        sh as (
+          select t0.doc_id, t0.pos,
+                 t0.w || ' ' || t1.w || ' ' || t2.w || ' ' || t3.w
+                      || ' ' || t4.w as g
+          from tok t0
+          join tok t1 on t1.doc_id = t0.doc_id and t1.pos = t0.pos + 1
+          join tok t2 on t2.doc_id = t0.doc_id and t2.pos = t0.pos + 2
+          join tok t3 on t3.doc_id = t0.doc_id and t3.pos = t0.pos + 3
+          join tok t4 on t4.doc_id = t0.doc_id and t4.pos = t0.pos + 4),
+        hits as (
+          select a.doc_id as id_a, b.doc_id as id_b,
+                 a.pos as pos_a, b.pos as pos_b,
+                 a.pos - b.pos as diag
+          from sh a join sh b on a.g = b.g and a.doc_id < b.doc_id),
+        runs as (
+          select id_a, id_b, diag,
+                 pos_a - row_number() over (partition by id_a, id_b, diag
+                                            order by pos_a) as grp,
+                 pos_a, pos_b
+          from hits)
+        select id_a, id_b, min(pos_a) as start_a, min(pos_b) as start_b,
+               count(*) as n_shingles, count(*) + 4 as n_tokens
+        from runs group by id_a, id_b, diag, grp
+        having count(*) >= 2
+    """)
