@@ -353,3 +353,86 @@ def test_distinct_sketch_never_misses_by_much(spark, vals):
         [], estimate_col="n").first()["n"]
     exact = df.agg(F.countDistinct("v")).first()[0]
     assert abs(est - exact) <= max(1, 0.025 * exact)
+
+
+@SETTINGS
+@given(texts=st.lists(st.text(alphabet="abc ", max_size=12),
+                      min_size=0, max_size=25),
+       k=st.integers(1, 3))
+def test_edit_distance_pairs_equals_brute_force(spark, texts, k):
+    """Pigeonhole blocking is EXACT for any corpus and any max_dist:
+    the pair set equals the all-pairs levenshtein answer."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import edit_distance_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(texts))
+    df = (spark.createDataFrame(rows, "id long, s string") if rows
+          else spark.createDataFrame([], "id long, s string"))
+    got = {(r.id_a, r.id_b, r.distance) for r in
+           edit_distance_pairs(df, "s", "id", max_dist=k).collect()}
+    want = {(i, j, lev(texts[i], texts[j]))
+            for i in range(len(texts)) for j in range(i + 1, len(texts))
+            if lev(texts[i], texts[j]) <= k}
+    assert got == want
+
+
+@SETTINGS
+@given(vals=st.lists(st.text(alphabet="xyz", min_size=1, max_size=3),
+                     min_size=1, max_size=60))
+def test_cm_sketch_one_sided_for_any_stream(spark, vals):
+    """Count-min never undercounts, never exceeds true + eps*N, and
+    per-partition builds merged == direct build, for ANY value stream."""
+    from collections import Counter
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        freq_estimate, freq_sketch, rollup_freq,
+    )
+
+    df = spark.createDataFrame([(v, i % 3) for i, v in enumerate(vals)],
+                               "v string, p int")
+    sk = freq_sketch(df, [], "v", depth=3, width=64)
+    merged = rollup_freq(freq_sketch(df, ["p"], "v", depth=3, width=64), [])
+    assert sk.exceptAll(merged).count() == 0
+    assert merged.exceptAll(sk).count() == 0
+    truth = Counter(vals)
+    est = {r.v: r.approx_count for r in
+           freq_estimate(sk, df, "v", depth=3, width=64).collect()}
+    n = len(vals)
+    for v, c in truth.items():
+        assert c <= est[v] <= c + (2.718281828 / 64) * n + 1
+
+
+@SETTINGS
+@given(vals=st.lists(st.floats(-50, 150, allow_nan=False),
+                     min_size=1, max_size=80),
+       p=st.floats(0.0, 1.0))
+def test_histogram_quantile_rank_property(spark, vals, p):
+    """For ANY data and prob, the histogram estimate is bounded by the
+    bin edges of a value whose rank is within 1 of the target rank
+    (clamped to the grid)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        histogram_sketch, quantile_estimate,
+    )
+
+    lo, hi, bins = 0.0, 100.0, 20
+    binw = (hi - lo) / bins
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    sk = histogram_sketch(df, [], "v", lo=lo, hi=hi, bins=bins)
+    est = quantile_estimate(sk, [], [p], lo=lo, hi=hi,
+                            bins=bins).first().quantile_est
+    clipped = sorted(min(max(v, lo), hi) for v in vals)
+    n = len(clipped)
+    rank = max(1.0, p * n)
+    idx = int(rank) - 1
+    candidates = clipped[max(0, idx - 1):min(n, idx + 2)]
+    assert any(v - binw - 1e-9 <= est <= v + binw + 1e-9
+               for v in candidates), (est, candidates)
