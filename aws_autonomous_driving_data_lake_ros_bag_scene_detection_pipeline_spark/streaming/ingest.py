@@ -271,3 +271,59 @@ def embedding_dedup_stream(stream: DataFrame, id_col: str, vec_col: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_batch(batch_df: DataFrame, keys: list[str], *,
+                 path: str, partition_cols: list[str],
+                 order_col: str) -> None:
+    """Apply ONE micro-batch of changes as a keyed upsert into the
+    hive-partitioned target (:func:`~..sources.tables.merge_upsert`).
+
+    Intra-batch duplicates of a key are resolved FIRST (highest
+    ``order_col`` wins; ties broken by a deterministic row hash so a
+    replayed batch resolves identically), then the winners merge into
+    the target reading only the touched partitions. Replay safety comes
+    from ``order_col`` semantics, not bookkeeping: re-applying a batch
+    whose rows already lost to (or already are) the current winners
+    changes nothing — upserts with a monotone version column are
+    naturally idempotent, including batches replayed AFTER later
+    batches were applied (a stale replay loses to the newer versions
+    already in the table; the ``_batch_id``-partition recipe the dedup
+    loops use cannot offer that, because their sinks are append-shaped)."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import merge_upsert
+
+    spark = batch_df.sparkSession
+    tie = F.xxhash64(F.struct(*[F.col(c) for c in batch_df.columns]))
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(order_col).desc_nulls_last(), tie))
+    winners = (batch_df.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+    try:
+        merge_upsert(spark, path, winners, keys,
+                     partition_cols=partition_cols, order_col=order_col)
+    except AnalysisException:
+        # first batch: no target yet — the upsert degenerates to a write
+        winners.write.mode("overwrite").partitionBy(*partition_cols) \
+            .parquet(path)
+
+
+def upsert_stream(stream: DataFrame, keys: list[str], *, path: str,
+                  partition_cols: list[str], order_col: str,
+                  checkpoint_dir: str,
+                  available_now: bool = True) -> StreamingQuery:
+    """Maintain a keyed, hive-partitioned parquet table from a change
+    stream (CDC apply): every micro-batch upserts via
+    :func:`upsert_batch`, touching only the partitions it changes.
+    The streaming face of :func:`~..sources.tables.merge_upsert`."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch(batch_df, keys, path=path,
+                     partition_cols=partition_cols, order_col=order_col)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -432,3 +432,45 @@ def test_embedding_dedup_stream_matches_full_mining(spark, tmp_path):
     assert got == want
     assert {(0, 1), (0, 3), (1, 3), (5, 6), (0, 7)} <= got
     spark.catalog.clearCache()
+
+
+def test_upsert_stream_maintains_keyed_table(spark, tmp_path):
+    """CDC apply through real Structured Streaming: three change
+    batches (inserts, updates, intra-batch duplicate keys) converge to
+    the keyed latest-wins table, and replaying a stale batch after a
+    newer one is a no-op (version semantics, not bookkeeping)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        upsert_batch, upsert_stream,
+    )
+
+    schema = "id long, day string, val string, ver long"
+    batches = [
+        [(1, "d1", "a0", 1), (2, "d1", "b0", 1), (3, "d2", "c0", 1)],
+        # update 1, insert 4; intra-batch dup for id=4 (ver 3 wins)
+        [(1, "d1", "a1", 2), (4, "d2", "x0", 2), (4, "d2", "x1", 3)],
+        [(2, "d1", "b1", 4)],
+    ]
+    src = str(tmp_path / "changes")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    path = str(tmp_path / "table")
+    q = upsert_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        ["id"], path=path, partition_cols=["day"], order_col="ver",
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    expect = {(1, "d1", "a1", 2), (2, "d1", "b1", 4),
+              (3, "d2", "c0", 1), (4, "d2", "x1", 3)}
+    got = {(r.id, r.day, r.val, r.ver)
+           for r in spark.read.parquet(path).collect()}
+    assert got == expect
+
+    # stale replay AFTER newer data applied: batch 2's rows all lose
+    stale = spark.createDataFrame(batches[1], schema)
+    upsert_batch(stale, ["id"], path=path, partition_cols=["day"],
+                 order_col="ver")
+    got = {(r.id, r.day, r.val, r.ver)
+           for r in spark.read.parquet(path).collect()}
+    assert got == expect
