@@ -153,3 +153,40 @@ def test_cascade_update_per_batch_cost_stays_flat(spark, tmp_path):
            for r in spark.read.parquet(tiers_path).collect()}
     assert got == want
     spark.catalog.clearCache()
+
+
+@pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+                    reason="slow scale test disabled")
+def test_edit_distance_pairs_scales_with_matches_not_pairs(spark):
+    """Fuzzy-join blocking at 10x: candidate volume (and wall time)
+    tracks the true-match count, not n^2. A 20k-string corpus with
+    ~2k planted near-misses resolves in seconds; the all-pairs space
+    would be 2x10^8 levenshtein calls."""
+    n = 10_000
+    # discriminating characters FIRST (the documented usage stance:
+    # a corpus-wide template prefix concentrates the candidate join on
+    # the template grams — strip it or lead with the varying part)
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(F.col("id").cast("string"),
+                 F.lit(" record identifier alpha")).alias("s"))
+    # plant one near-miss per 10 originals: drop the last character
+    mut = (base.where(F.col("id") % 10 == 0)
+           .select((F.col("id") + n).alias("id"),
+                   F.expr("substring(s, 1, length(s) - 1)").alias("s")))
+    corpus = base.unionByName(mut)
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import edit_distance_pairs
+
+    t0 = time.time()
+    pairs = edit_distance_pairs(corpus, "s", "id", max_dist=1, q=3)
+    out = pairs.collect()
+    wall = time.time() - t0
+    # every planted mutant pairs with its source at distance 1 ...
+    planted = {(i, i + n) for i in range(0, n, 10)}
+    got = {(r.id_a, r.id_b) for r in out}
+    assert planted <= got
+    # ... plus the id-suffix near-misses the corpus genuinely contains
+    # (e.g. "...1" vs "...11" is one insertion); everything verified
+    for r in out:
+        assert r.distance <= 1
+    assert wall < 120, f"fuzzy blocking took {wall:.0f}s at 20k strings"
