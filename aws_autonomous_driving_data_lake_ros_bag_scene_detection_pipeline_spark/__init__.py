@@ -30,8 +30,9 @@ from .operators import (  # noqa: E402,F401
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     distinct_rollup_check, distinct_sketch, duplicate_passages,
     rollup_distinct,
-    edit_distance_pairs, embedding_moments, fit_pca, freq_estimate,
-    freq_sketch, funnel, fuzzy_join,
+    edit_distance_pairs, embedding_moments, fit_logistic, fit_pca,
+    freq_estimate, freq_sketch, funnel, fuzzy_join, logistic_expr,
+    score_logistic, LogisticModel,
     histogram_sketch, project_embeddings, quantile_estimate,
     rollup_freq, rollup_histogram, PCAModel,
     embedding_dup_pairs, embedding_index, embedding_match_pairs, exact_dedup, forward_fill, hash_sample, hash_split, ivf_index, ivf_pivots, ivf_probe, ivf_topk, jaccard, lag_lead,

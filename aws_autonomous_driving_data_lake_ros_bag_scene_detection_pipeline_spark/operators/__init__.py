@@ -12,6 +12,9 @@ from .multimodal import (
     byte_histogram_features, decode_audio, decode_image, pack_media,
     repartition_for_media, resize_pixels, sample_frames,
 )
+from .classifier import (
+    LogisticModel, fit_logistic, logistic_expr, score_logistic,
+)
 from .diff import snapshot_diff
 from .embeddings import (
     PCAModel, embedding_moments, fit_pca, project_embeddings,
