@@ -3,7 +3,7 @@ from .text import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
     fingerprint, lang_id, normalize_text, pii_count, pii_redact, punct_ratio,
     quality_score, shingles, stopword_ratio, strip_boilerplate_lines,
-    subword_count, token_count, tokens,
+    subword_count, text_feature_vector, token_count, tokens,
 )
 from .vectors import cosine, dot, l2_distance, norm
 
@@ -14,5 +14,6 @@ __all__ = [
     "lang_id", "norm", "normalize_text", "pii_count", "pii_redact", "punct_ratio",
     "quality_score", "shingles",
     "stopword_ratio", "strip_boilerplate_lines", "subword_count",
+    "text_feature_vector",
     "token_count", "tokens",
 ]

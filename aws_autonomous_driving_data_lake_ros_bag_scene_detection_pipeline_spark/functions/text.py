@@ -233,3 +233,32 @@ def strip_boilerplate_lines(col: Column | str,
             (links <= F.lit(max_link_ratio) * n)
 
     return F.array_join(F.filter(lines, keep), "\n")
+
+
+def text_feature_vector(col: Column | str) -> Column:
+    """Cheap per-document feature vector (``array<double>``, fixed
+    order) for the trainable quality head
+    (:func:`~..operators.classifier.fit_logistic`): log length, token
+    count, mean token length, punctuation / stopword / digit /
+    uppercase ratios, and the per-language stopword-hit scores. All
+    Catalyst expressions — featurizing 100 TB is a projection inside
+    the scan. Feature order is part of the contract (a fitted model
+    encodes it): [log1p_chars, log1p_tokens, mean_tok_len, punct,
+    stop_en, digit, upper, lang_scores…alphabetical]."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tok = token_count(c).cast("double")
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double")
+    feats = [
+        F.log1p(n_chars),
+        F.log1p(n_tok),
+        F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0)),
+        punct_ratio(c).cast("double"),
+        stopword_ratio(c).cast("double"),
+        F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)),
+        F.when(n_chars > 0, uppers / n_chars).otherwise(F.lit(0.0)),
+    ]
+    scores = lang_scores(c)
+    feats += [scores[k].cast("double") for k in sorted(scores)]
+    return F.array(*feats)

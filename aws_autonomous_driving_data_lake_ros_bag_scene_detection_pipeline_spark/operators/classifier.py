@@ -42,14 +42,25 @@ class LogisticModel:
 
 def fit_logistic(df: DataFrame, features_col: str, label_col: str,
                  *, iters: int = 60, lr: float = 1.0, l2: float = 0.0,
+                 standardize: bool = True,
                  cache: bool = True) -> LogisticModel:
     """Fit binary logistic regression over an ``array<float|double>``
     feature column and a 0/1 label. Full-batch GD with a decaying step
     (lr / sqrt(1+t)); returns the model plus the per-iteration loss
-    trace so a caller can see convergence instead of trusting it."""
+    trace so a caller can see convergence instead of trusting it.
+
+    ``standardize`` (default) z-scores features internally from a
+    one-pass moment estimate — raw-scale features (doc lengths next to
+    ratios) otherwise condition GD so badly that any single step size
+    diverges on one axis while crawling on another. The fitted weights
+    are mapped BACK to raw feature space before returning
+    (w_raw = w_std/σ, b_raw = b_std − Σ w_std·μ/σ), so scoring stays a
+    plain dot product and the standardization never leaves the
+    trainer. L2 applies in the standardized space (the scale-free
+    formulation)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    data = df.select(F.col(features_col).alias("x"),
+    data = df.select(F.col(features_col).cast("array<double>").alias("x"),
                      F.col(label_col).cast("double").alias("y")) \
              .where(F.col(features_col).isNotNull()
                     & F.col(label_col).isNotNull())
@@ -60,6 +71,18 @@ def fit_logistic(df: DataFrame, features_col: str, label_col: str,
         if first is None:
             raise ValueError("no rows with non-null features and label")
         d = len(first["x"])
+        if standardize:
+            mrow = data.select(
+                F.count(F.lit(1)).alias("n"),
+                F.array(*[F.avg(F.col("x")[i]) for i in range(d)])
+                 .alias("mu"),
+                F.array(*[F.avg(F.col("x")[i] * F.col("x")[i])
+                          for i in range(d)]).alias("m2")).first()
+            mu = np.asarray(mrow["mu"], dtype=np.float64)
+            var = np.asarray(mrow["m2"], dtype=np.float64) - mu * mu
+            sd = np.sqrt(np.maximum(var, 1e-12))
+        else:
+            mu, sd = np.zeros(d), np.ones(d)
         w = np.zeros(d)
         b = 0.0
         losses = []
@@ -70,6 +93,7 @@ def fit_logistic(df: DataFrame, features_col: str, label_col: str,
                 for pdf in it:
                     x = np.asarray([np.asarray(v, dtype=np.float64)
                                     for v in pdf["x"]])
+                    x = (x - mu) / sd
                     y = pdf["y"].to_numpy()
                     z = x @ w_now + b_now
                     p = 1.0 / (1.0 + np.exp(-z))
@@ -97,7 +121,11 @@ def fit_logistic(df: DataFrame, features_col: str, label_col: str,
             w -= step * (g / n + l2 * w)
             b -= step * (gb / n)
             losses.append(loss / n + 0.5 * l2 * float(w @ w))
-        return LogisticModel(weights=w, bias=b, losses=tuple(losses))
+        # map back to raw feature space so scoring is a plain dot
+        w_raw = w / sd
+        b_raw = b - float((w * mu / sd).sum())
+        return LogisticModel(weights=w_raw, bias=b_raw,
+                             losses=tuple(losses))
     finally:
         if cache:
             data.unpersist()

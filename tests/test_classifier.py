@@ -66,3 +66,40 @@ def test_l2_shrinks_weights(spark):
     m0 = fit_logistic(df, "f", "y", iters=20, lr=1.0, l2=0.0)
     m1 = fit_logistic(df, "f", "y", iters=20, lr=1.0, l2=0.5)
     assert np.linalg.norm(m1.weights) < np.linalg.norm(m0.weights)
+
+
+def test_text_features_train_quality_classifier(spark):
+    """End-to-end quality head over the real documents table:
+    text_feature_vector (pure Catalyst featurizer) + fit_logistic
+    separates noise-salted documents (punctuation/digit spam appended
+    to half the corpus) from clean ones — the trainable filter composed
+    from the engine's own pieces. (The corpus's lang column is NOT
+    text-derivable in this synthetic data, so the quality target is the
+    honest learnable one.)"""
+    from tests.conftest import SF_DIR
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+        text_feature_vector,
+    )
+
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noise = F.concat(F.col("text"),
+                     F.lit(" !!!! ???? 0123456789 $$$$ 9876543210 !!"))
+    docs = (raw.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, noise).otherwise(F.col("text"))
+         .alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("y"))
+        .select("doc_id", "y", text_feature_vector("text").alias("f")))
+    model = fit_logistic(docs, "f", "y", iters=30, lr=1.0)
+    assert model.losses[-1] < model.losses[0]
+    scored = score_logistic(docs, "f", model)
+    acc = (scored.select(((F.col("score") > 0.5).cast("int")
+                          == F.col("y")).cast("int").alias("ok"))
+           .agg(F.avg("ok")).first()[0])
+    assert acc > 0.97
+    # featurizing is a pure projection: no exchange, no Python
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    plan = formatted_plan(docs)
+    assert "Exchange" not in plan and "EvalPython" not in plan
