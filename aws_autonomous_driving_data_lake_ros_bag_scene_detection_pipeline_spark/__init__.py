@@ -42,6 +42,7 @@ from .operators import (  # noqa: E402,F401
     merge_intervals, pack_media, pack_sequences, pivot_wide, profile_table,
     repartition_for_media, resample_asof, resample_interpolate,
     reservoir_sample, salted_join, weighted_sample,
+    remove_duplicate_spans,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs,
     snapshot_diff, stratified_hash_sample,
     temperature_mix_rates, tfidf_top_terms, time_spine, token_repetition, top_k_per_group, union_by_name,

@@ -6,7 +6,7 @@ from .dedup import (
     exact_dedup, jaccard,
     minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, near_dedup,
-    ngram_jaccard_pairs, simhash, simhash_pairs,
+    ngram_jaccard_pairs, remove_duplicate_spans, simhash, simhash_pairs,
 )
 from .multimodal import (
     byte_histogram_features, decode_audio, decode_image, pack_media,

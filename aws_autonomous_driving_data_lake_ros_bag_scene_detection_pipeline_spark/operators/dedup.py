@@ -758,3 +758,65 @@ def duplicate_passages(df: DataFrame, text_col: str, id_col: str,
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         (F.col("n_shingles") + shingle_n - 1).cast("bigint")
         .alias("n_tokens"))
+
+
+def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
+                           text_col: str, id_col: str) -> DataFrame:
+    """Cut duplicated passages out of the LATER document of each pair
+    (``id_b`` — the convention that the first/earliest occurrence is
+    the one kept), given :func:`duplicate_passages` output. Returns
+    ``df`` with ``text_col`` rebuilt minus the removed tokens and an
+    ``n_removed_tokens`` column — the "remove" half of exact-substring
+    dedup (train-data pipelines cut the repeated bytes, not the whole
+    document).
+
+    Shape: spans per doc are first coalesced with
+    :func:`~.sessionize.merge_intervals` (overlapping spans from
+    different partners must not double-cut), tokens meet spans through
+    the binned interval join (:func:`~.joins.binned_interval_join` —
+    equi on doc id + bin, never a nested loop), and the surviving
+    tokens rebuild the text with one order-restoring
+    ``sort_array(collect_list(struct))`` aggregate per doc — the same
+    aggregate shape as chunk_documents. Token-boundary caveat: the
+    rebuilt text is single-space joined (tokenization is lossy about
+    original whitespace), which is the standard behavior of token-level
+    span removal."""
+    from .joins import binned_interval_join
+    from .sessionize import merge_intervals
+
+    from ..functions.text import tokens as _tokens
+
+    cut = (spans.select(F.col("id_b").alias("_cut_id"),
+                        F.col("start_b").cast("double").alias("_s"),
+                        (F.col("start_b") + F.col("n_tokens") - 1)
+                        .cast("double").alias("_e")))
+    merged = (merge_intervals(cut, ["_cut_id"], "_s", "_e")
+              .select("_cut_id", F.col("_s"), F.col("_e")))
+
+    tok = df.select(F.col(id_col).alias("_cut_id"),
+                    F.posexplode(_tokens(text_col)).alias("_pos", "_w"))
+    tok = tok.withColumn("_p", F.col("_pos").cast("double"))
+    joined = binned_interval_join(tok, merged, "_p", "_s", "_e",
+                                  bin_width=64, keys=["_cut_id"],
+                                  how="left")
+    keep = joined.where(F.col("_s").isNull())
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("_pos", "_w"))),
+        lambda s: s["_w"])
+    rebuilt = (keep.groupBy("_cut_id")
+               .agg(F.concat_ws(" ", ordered).alias("_new_text"),
+                    F.count(F.lit(1)).alias("_n_kept")))
+    rebuilt = rebuilt.withColumnRenamed("_cut_id", "_rid")
+    orig_n = df.select(F.col(id_col).alias("_oid"),
+                       F.size(_tokens(text_col)).alias("_n_orig"))
+    out = (df.join(rebuilt, df[id_col] == rebuilt["_rid"], "left")
+           .join(orig_n, df[id_col] == orig_n["_oid"], "left"))
+    new_text = F.coalesce(F.col("_new_text"), F.lit(""))
+    removed = (F.coalesce(F.col("_n_orig"), F.lit(0))
+               - F.coalesce(F.col("_n_kept"), F.lit(0)))
+    # docs with no tokens removed keep their ORIGINAL text verbatim
+    # (no lossy re-join for untouched rows)
+    final_text = F.when(removed > 0, new_text).otherwise(F.col(text_col))
+    return (out.withColumn(text_col, final_text)
+            .withColumn("n_removed_tokens", removed.cast("bigint"))
+            .drop("_rid", "_oid", "_new_text", "_n_kept", "_n_orig"))

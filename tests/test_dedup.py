@@ -412,3 +412,29 @@ def test_duplicate_passages_against_duckdb_oracle(spark, duck):
         from runs group by id_a, id_b, diag, grp
         having count(*) >= 2
     """)
+
+
+def test_remove_duplicate_spans_cuts_later_doc_only(spark):
+    """The id_b side loses exactly the duplicated tokens (overlapping
+    spans coalesce first), the id_a side and untouched docs keep their
+    ORIGINAL text verbatim, and a fully-duplicated doc empties."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        duplicate_passages, remove_duplicate_spans,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    a = "unique head " + quote + " unique tail"
+    b = "other opening words " + quote
+    c = quote                       # fully duplicated vs a and b
+    d = "completely unrelated content lives here"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string")
+    spans = duplicate_passages(df, "text", "doc_id",
+                               shingle_n=3, min_run=2)
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(df, spans, "text", "doc_id").collect()}
+    assert out[1].text == a and out[1].n_removed_tokens == 0
+    assert out[4].text == d and out[4].n_removed_tokens == 0
+    assert out[2].text == "other opening words"
+    assert out[2].n_removed_tokens == 8
+    assert out[3].text == "" and out[3].n_removed_tokens == 8
