@@ -325,3 +325,87 @@ def add_lineage(df: DataFrame, **cols: str) -> DataFrame:
     for name, value in cols.items():
         df = df.withColumn(name, F.lit(value))
     return df
+
+
+def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame,
+                keys: list[str], *, partition_cols: list[str]) -> None:
+    """Propagate deletions (right-to-erasure / retraction lists) into a
+    hive-partitioned parquet dataset in place: every row whose key
+    appears in ``keys_df`` is removed, rewriting ONLY the partitions
+    that contain matches. The delete-side twin of :func:`merge_upsert`
+    — same affected-partition discovery (the matching partitions come
+    from a semi-join of the target against the broadcast key list),
+    same eager-materialize barrier, same dynamic partition overwrite.
+
+    ``keys_df`` needs only the key columns (it usually comes from a
+    dedup delete-list or a compliance feed); at 100 TB the rewrite cost
+    is proportional to the partitions the keys actually live in, never
+    the table."""
+    if not partition_cols:
+        raise ValueError("delete_keys needs partition_cols (see "
+                         "merge_upsert for the rationale)")
+    kd = keys_df.select(*keys).distinct()
+    tgt = spark.read.parquet(path)
+    aff = (tgt.join(F.broadcast(kd), keys, "left_semi")
+           .select(*partition_cols).distinct())
+    remaining = (tgt.join(F.broadcast(aff), partition_cols, "left_semi")
+                 .join(F.broadcast(kd), keys, "left_anti")
+                 .localCheckpoint(eager=True))
+    # dynamic overwrite only touches partitions PRESENT in the written
+    # frame — a partition whose rows were all deleted would silently
+    # keep its old files. Those must be dropped explicitly (the
+    # affected-partition list is driver-side metadata by construction).
+    aff_vals = {tuple(r) for r in aff.collect()}
+    kept_vals = {tuple(r) for r in
+                 remaining.select(*partition_cols).distinct().collect()}
+    emptied = aff_vals - kept_vals
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (remaining.write.mode("overwrite")
+         .partitionBy(*partition_cols).parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        for vals in emptied:
+            sub = "/".join(f"{c}={v}"
+                           for c, v in zip(partition_cols, vals))
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"),
+                      True)
+
+
+def prune_versions(spark: SparkSession, path: str, *,
+                   keep_latest: int = 1,
+                   version_prefix: str = "_version=") -> list[int]:
+    """Retention for ``_version=<batch_id>`` snapshot stores (the
+    streaming cascade/upsert sinks): delete all but the newest
+    ``keep_latest`` version partitions; returns the dropped version
+    numbers. Old versions are retention, not correctness — readers
+    always take the max version — so pruning is safe at any time;
+    keeping ≥1 older version preserves a rollback point. One driver-
+    side filesystem listing + per-directory delete, the same metadata
+    class as a batch manifest."""
+    if keep_latest < 1:
+        raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    versions = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith(version_prefix):
+            try:
+                versions.append(int(name[len(version_prefix):]))
+            except ValueError:
+                continue
+    drop = sorted(versions)[:-keep_latest]
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{version_prefix}{v}"), True)
+    return drop

@@ -214,3 +214,55 @@ def test_snapshot_diff_output_scales_with_churn_not_table(spark):
     assert d.count() == 0
     plan = formatted_plan(d)
     assert "FullOuter" in plan and "NestedLoop" not in plan
+
+
+def test_delete_keys_removes_rows_partition_preserving(spark, tmp_path):
+    """delete_keys: listed keys vanish, untouched partitions' files
+    are not rewritten."""
+    import os
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        delete_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "id long, day string, val string") \
+        .write.partitionBy("day").parquet(path)
+
+    def files(day):
+        d = f"{path}/day={day}"
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    d3_before = files("d3")
+    dels = spark.createDataFrame([(2,), (3,), (99,)], "id long")
+    delete_keys(spark, path, dels, ["id"], partition_cols=["day"])
+    got = {(r.id, r.day) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1"), (4, "d3")}
+    assert files("d3") == d3_before
+
+    import pytest
+    with pytest.raises(ValueError):
+        delete_keys(spark, path, dels, ["id"], partition_cols=[])
+
+
+def test_prune_versions_keeps_latest(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        prune_versions,
+    )
+
+    path = str(tmp_path / "snap")
+    for v in (3, 7, 11):
+        spark.range(5).withColumn("_version", F.lit(v)) \
+            .write.mode("append").partitionBy("_version").parquet(path)
+    dropped = prune_versions(spark, path, keep_latest=1)
+    assert dropped == [3, 7]
+    left = spark.read.parquet(path)
+    assert left.select("_version").distinct().collect()[0][0] == 11
+    # idempotent; missing path is a no-op
+    assert prune_versions(spark, path, keep_latest=1) == []
+    assert prune_versions(spark, str(tmp_path / "nope")) == []
+    import pytest
+    with pytest.raises(ValueError):
+        prune_versions(spark, path, keep_latest=0)
