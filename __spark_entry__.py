@@ -29,7 +29,8 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     byte_histogram_features,
     change_point_intervals, chunk_documents, contamination,
     distinct_sketch, dup_clusters,
-    duplicate_ids, edit_distance_pairs, freq_estimate, freq_sketch,
+    duplicate_ids, duplicate_passages, edit_distance_pairs,
+    freq_estimate, freq_sketch,
     funnel, histogram_sketch, quantile_estimate,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
@@ -1029,9 +1030,56 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
+    PLUS passage-level exact-duplicate spans (r5 fold:
+    operators/dedup.duplicate_passages — shingle-hash equi-join +
+    gaps-and-islands diagonal runs, the distributed ExactSubstr) in one
+    tagged union; the span oracle is an independent string-equality SQL
+    formulation, so both the hash layer and the run detection are
+    driver-verified."""
     docs = _spread(_t("documents")(spark, sf_dir))
-    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    nulls = [F.lit(None).cast("bigint").alias(c)
+             for c in ("start_a", "start_b", "n_shingles", "n_tokens")]
+    jac = (ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+           .select(F.lit("jaccard").alias("kind"), "id_a", "id_b",
+                   "jaccard", *nulls))
+    spans = (duplicate_passages(docs, "text", "doc_id",
+                                shingle_n=8, min_run=3)
+             .select(F.lit("passage").alias("kind"),
+                     F.col("id_a").cast("bigint").alias("id_a"),
+                     F.col("id_b").cast("bigint").alias("id_b"),
+                     F.lit(None).cast("double").alias("jaccard"),
+                     F.col("start_a").cast("bigint").alias("start_a"),
+                     F.col("start_b").cast("bigint").alias("start_b"),
+                     "n_shingles", "n_tokens"))
+    return jac.unionByName(spans)
+
+
+Q_NGRAM_PASSAGE_SQL = f"""
+with toks as (select doc_id, {TOKS} as a from documents),
+jac as ({{jac}}),
+psh as (select doc_id,
+               r.pos,
+               array_to_string(a[r.pos + 1 : r.pos + 8], ' ') as g
+        from toks, unnest(range(0, greatest(len(a) - 7, 0))) as r(pos)),
+hits as (select x.doc_id as id_a, y.doc_id as id_b,
+                x.pos as pos_a, y.pos as pos_b, x.pos - y.pos as diag
+         from psh x join psh y on x.g = y.g and x.doc_id < y.doc_id),
+runs as (select id_a, id_b, diag, pos_a, pos_b,
+                pos_a - row_number() over (partition by id_a, id_b, diag
+                                           order by pos_a) as grp
+         from hits)
+select 'jaccard' as kind, id_a, id_b, jaccard,
+       cast(null as bigint) as start_a, cast(null as bigint) as start_b,
+       cast(null as bigint) as n_shingles, cast(null as bigint) as n_tokens
+from jac
+union all
+select 'passage' as kind, id_a, id_b, cast(null as double) as jaccard,
+       min(pos_a) as start_a, min(pos_b) as start_b,
+       count(*) as n_shingles, count(*) + 7 as n_tokens
+from runs group by id_a, id_b, diag, grp
+having count(*) >= 3
+"""
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -2031,7 +2079,8 @@ def oracle_sql() -> dict[str, str]:
         "q_scene_geometry": Q_SCENE_SQL,
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
         "q_minhash_dedup": JACCARD_PAIRS_SQL,
-        "q_ngram_jaccard": JACCARD_PAIRS_SQL,
+        "q_ngram_jaccard": Q_NGRAM_PASSAGE_SQL.format(
+            jac=JACCARD_PAIRS_SQL),
         "q_dup_clusters": Q_DUP_CLUSTERS_SQL,
         "q_pii": _pii_sql(),
         "q_contamination": _contamination_sql(),
