@@ -16,6 +16,7 @@ from .classifier import (
     LogisticModel, fit_logistic, logistic_expr, score_logistic,
 )
 from .diff import snapshot_diff
+from .expectations import check_expectations, violation_samples
 from .embeddings import (
     PCAModel, embedding_moments, fit_pca, project_embeddings,
 )
