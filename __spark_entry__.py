@@ -28,7 +28,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     asof_join, binned_interval_join, brute_force_topk,
     byte_histogram_features,
     change_point_intervals, chunk_documents, contamination,
-    distinct_sketch, dup_clusters,
+    check_expectations, distinct_sketch, dup_clusters,
     duplicate_ids, duplicate_passages, edit_distance_pairs,
     freq_estimate, freq_sketch,
     funnel, histogram_sketch, quantile_estimate,
@@ -1296,7 +1296,9 @@ group by bi.doc_id
 
 
 def q_text_stats(spark, sf_dir):
-    """Token counting + quality scoring (beyond-reference text analysis)."""
+    """Token counting + quality scoring + language id in ONE per-doc
+    projection (r5 fold of q_lang_id into q_text_stats — identical row
+    grain, and the fold frees a gate slot for q_expectations)."""
     docs = _spread(_t("documents")(spark, sf_dir))
     return docs.select(
         "doc_id",
@@ -1304,7 +1306,8 @@ def q_text_stats(spark, sf_dir):
         subword_count("text").alias("n_subwords"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(quality_score("text"), 6).alias("quality_score"))
+        F.round(quality_score("text"), 6).alias("quality_score"),
+        lang_id("text").alias("lang_pred"))
 
 
 Q_TEXT_STATS_SQL = f"""
@@ -1334,9 +1337,55 @@ from st
 """
 
 
-def q_lang_id(spark, sf_dir):
-    docs = _spread(_t("documents")(spark, sf_dir))
-    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality report over orders
+    (operators/expectations.check_expectations): all row-level rules in
+    one aggregate pass, uniqueness as one keyed aggregate; the rule set
+    deliberately includes failing rules (a 400k price cap and a
+    no-spaces priority pattern) so the violation counts are non-trivial
+    and hash-checked, not all-zeros."""
+    orders = _t("orders")(spark, sf_dir)
+    return check_expectations(orders, [
+        {"type": "unique", "cols": ["o_orderkey"]},
+        {"type": "not_null", "col": "o_custkey"},
+        {"type": "range", "col": "o_totalprice",
+         "min": 0.0, "max": 400_000.0},
+        {"type": "values_in", "col": "o_orderstatus",
+         "values": ["F", "O", "P"]},
+        {"type": "matches", "col": "o_orderpriority",
+         "pattern": "^[1-5]-[A-Z]+$"},
+        {"type": "row_count_min", "n": 100},
+    ])
+
+
+Q_EXPECTATIONS_SQL = """
+with u as (select coalesce(sum(c - 1), 0)::BIGINT as v
+           from (select count(*) as c from orders group by o_orderkey) t),
+r as (select
+        sum((o_custkey is null)::int)::BIGINT as v_null,
+        sum((o_totalprice is not null and
+             (o_totalprice < 0.0 or o_totalprice > 400000.0))::int)::BIGINT
+          as v_range,
+        sum((o_orderstatus is not null and
+             o_orderstatus not in ('F', 'O', 'P'))::int)::BIGINT as v_in,
+        sum((o_orderpriority is not null and
+             not regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$'))::int
+            )::BIGINT as v_re,
+        greatest(0, 100 - count(*))::BIGINT as v_cnt
+      from orders)
+select 'unique' as rule, 'o_orderkey' as "column", (v = 0) as passed,
+       v as n_violations from u
+union all
+select 'not_null', 'o_custkey', v_null = 0, v_null from r
+union all
+select 'range', 'o_totalprice', v_range = 0, v_range from r
+union all
+select 'values_in', 'o_orderstatus', v_in = 0, v_in from r
+union all
+select 'matches', 'o_orderpriority', v_re = 0, v_re from r
+union all
+select 'row_count_min', cast(null as varchar), v_cnt = 0, v_cnt from r
+"""
 
 
 def _lang_id_sql() -> str:
@@ -2033,7 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_media_features": q_media_features,
         "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
+        "q_expectations": q_expectations,
         "q_token_histogram": q_token_histogram,
         "q_repetition": q_repetition,
         "q_stratified_sample": q_stratified_sample,
@@ -2087,9 +2136,12 @@ def oracle_sql() -> dict[str, str]:
         "q_lm_score": Q_LM_SCORE_SQL,
         "q_chunk_documents": Q_CHUNK_SQL,
         "q_simhash_pairs": _simhash_pairs_sql(),
-        "q_text_stats": Q_TEXT_STATS_SQL,
+        "q_text_stats": f"""
+with ts as ({Q_TEXT_STATS_SQL}), li as ({_lang_id_sql()})
+select ts.*, li.lang_pred from ts join li using (doc_id)
+""",
         "q_media_features": Q_MEDIA_SQL,
-        "q_lang_id": _lang_id_sql(),
+        "q_expectations": Q_EXPECTATIONS_SQL,
         "q_token_histogram": Q_TOKEN_HIST_SQL,
         "q_repetition": Q_REPETITION_SQL,
         "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
