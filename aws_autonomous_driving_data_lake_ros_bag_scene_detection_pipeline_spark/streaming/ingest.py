@@ -327,3 +327,59 @@ def upsert_stream(stream: DataFrame, keys: list[str], *, path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quarantine_batch(batch_df: DataFrame, batch_id: int,
+                     rules: list[dict], *, good_path: str,
+                     quarantine_path: str) -> None:
+    """Route ONE micro-batch's rows by the row-level expectation rules
+    (:mod:`..operators.expectations`): rows violating ANY rule land in
+    the quarantine sink with a ``_violations`` column naming the rules
+    they broke; clean rows land in the good sink. Both sinks partition
+    by ``_batch_id`` with dynamic overwrite (idempotent replay, the
+    module's standard recipe). Only row-level rules route — uniqueness
+    is a cross-batch property that belongs to the downstream
+    merge/dedup step, not a row filter."""
+    from ..operators.expectations import _ROW_RULES, _row_violation
+
+    bad_types = [r["type"] for r in rules if r["type"] not in _ROW_RULES]
+    if bad_types:
+        raise ValueError(f"quarantine routes row-level rules only, got "
+                         f"{bad_types}")
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tags = F.array_compact(F.array(*[
+        F.when(_row_violation(r), F.lit(f"{r['type']}:{r['col']}"))
+        for r in rules]))
+    tagged = batch_df.withColumn("_violations", tags)
+    good = (tagged.where(F.size("_violations") == 0)
+            .drop("_violations"))
+    bad = tagged.where(F.size("_violations") > 0)
+    (good.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite").partitionBy("_batch_id")
+     .parquet(good_path))
+    (bad.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite").partitionBy("_batch_id")
+     .parquet(quarantine_path))
+
+
+def quarantine_stream(stream: DataFrame, rules: list[dict], *,
+                      good_path: str, quarantine_path: str,
+                      checkpoint_dir: str,
+                      available_now: bool = True) -> StreamingQuery:
+    """Validated ingest: every micro-batch splits into clean rows and
+    quarantined rows (tagged with the rules they violate) via
+    :func:`quarantine_batch` — the streaming face of the batch
+    expectation checks, and the row-level generalization of the
+    reference's "enough topics present" trigger gate."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        quarantine_batch(batch_df, batch_id, rules,
+                         good_path=good_path,
+                         quarantine_path=quarantine_path)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -474,3 +474,50 @@ def test_upsert_stream_maintains_keyed_table(spark, tmp_path):
     got = {(r.id, r.day, r.val, r.ver)
            for r in spark.read.parquet(path).collect()}
     assert got == expect
+
+
+def test_quarantine_stream_routes_rows(spark, tmp_path):
+    """Validated ingest through real micro-batches: clean rows reach
+    the good sink, violating rows reach quarantine tagged with every
+    rule they broke; non-row-level rules are rejected."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        quarantine_batch, quarantine_stream,
+    )
+
+    schema = "id long, v double, email string"
+    batches = [
+        [(1, 10.0, "a@b.com"), (2, -5.0, "c@d.org")],        # 2: range
+        [(3, 20.0, "nope"), (4, 200.0, None), (5, 7.0, "e@f.io")],
+    ]
+    src = str(tmp_path / "in")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    rules = [
+        {"type": "range", "col": "v", "min": 0.0, "max": 100.0},
+        {"type": "matches", "col": "email", "pattern": "^[^@]+@[^@]+$"},
+        {"type": "not_null", "col": "email"},
+    ]
+    q = quarantine_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        rules, good_path=str(tmp_path / "good"),
+        quarantine_path=str(tmp_path / "quar"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    good = {r.id for r in
+            spark.read.parquet(str(tmp_path / "good")).collect()}
+    quar = {r.id: sorted(r._violations) for r in
+            spark.read.parquet(str(tmp_path / "quar")).collect()}
+    assert good == {1, 5}
+    assert quar[2] == ["range:v"]
+    assert quar[3] == ["matches:email"]
+    assert quar[4] == ["not_null:email", "range:v"]
+
+    with pytest.raises(ValueError):
+        batch = spark.createDataFrame(batches[0], schema)
+        quarantine_batch(batch, 0, [{"type": "unique", "cols": ["id"]}],
+                         good_path=str(tmp_path / "g2"),
+                         quarantine_path=str(tmp_path / "q2"))
