@@ -26,6 +26,8 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 # queries whose DuckDB oracle is an exact all-pairs O(n²) computation
+# (q_edit_distance's all-pairs levenshtein runs over the bounded
+# distinct-name vocabulary, not the table, so it stays in the fast set)
 QUADRATIC_ORACLES = {"q_minhash_dedup", "q_ngram_jaccard", "q_dup_clusters",
                      "q_simhash_pairs", "q_embedding_dups"}
 
