@@ -243,7 +243,8 @@ def reservoir_sample_sql(key_expr: str, k: int, by_exprs: list[str],
 
 def temperature_mix_rates(df: DataFrame, strata_col: str,
                           alpha: float = 0.7,
-                          target_rows: int | None = None
+                          target_rows: int | None = None,
+                          size_col: str | None = None
                           ) -> dict[str, float]:
     """Per-stratum sampling rates from temperature-scaled counts — the
     multilingual/multi-domain mixing rule (sample stratum s
@@ -251,16 +252,24 @@ def temperature_mix_rates(df: DataFrame, strata_col: str,
     domains). Returns a rates dict for
     :func:`stratified_hash_sample`.
 
+    ``size_col`` switches the unit of account from rows to that
+    column's sum (e.g. a token count): published pretraining mixtures
+    are sized in TOKENS, and a domain of few huge documents would
+    otherwise be over-weighted by a row-count rule. With it,
+    ``target_rows`` is interpreted in the same unit (a token budget).
+
     Driver-side by design: the grouped counts are one aggregate row
     per stratum (domains/languages — thousands at most, the same class
     of metadata as a batch manifest), and the resulting dict compiles
     into the sampler's CASE expression. With ``target_rows`` the rates
-    are scaled so the expected sample size is ~that many rows
-    (rates cap at 1.0 — a stratum can't yield more rows than it has).
+    are scaled so the expected sample size is ~that many units
+    (rates cap at 1.0 — a stratum can't yield more than it has).
     """
+    measure = (F.sum(F.col(size_col)) if size_col
+               else F.count(F.lit(1)))
     counts = {r["s"]: r["n"] for r in
               df.groupBy(F.col(strata_col).alias("s"))
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
+                .agg(measure.alias("n")).collect()}
     if not counts:
         return {}
     weights = {s: n ** alpha for s, n in counts.items()}

@@ -276,3 +276,33 @@ def test_weighted_sample_matches_python_a_es(spark):
     assert 7 in got
     grouped = weighted_sample(df, "doc_id", "w", 25, by=["source"])
     assert sorted(r.doc_id for r in grouped.collect()) == expected
+
+
+def test_temperature_mix_rates_token_budget(spark):
+    """size_col sizes the mixture in tokens: a domain of few huge docs
+    stops being over-weighted by the row rule, and target sizes are
+    honored in the token unit."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import temperature_mix_rates
+
+    rows = ([("big", 10_000)] * 10          # 10 docs x 10k tokens
+            + [("small", 100)] * 100)       # 100 docs x 100 tokens
+    df = spark.createDataFrame(rows, "src string, n_tokens long")
+
+    # alpha<1 up-weights the SMALL stratum — but "small" differs by
+    # unit: by rows, big (10 docs) is the minority and gets the boost;
+    # by tokens, small (10k tokens vs 100k) is the minority instead
+    by_rows = temperature_mix_rates(df, "src", alpha=0.5,
+                                    target_rows=50)
+    by_tokens = temperature_mix_rates(df, "src", alpha=0.5,
+                                      size_col="n_tokens",
+                                      target_rows=5000)
+    assert by_rows["big"] > by_rows["small"]
+    assert by_tokens["small"] > by_tokens["big"]
+
+    # token budget: expected sampled tokens ~ target
+    budget = 20_000
+    rates = temperature_mix_rates(df, "src", alpha=1.0,
+                                  size_col="n_tokens",
+                                  target_rows=budget)
+    expected = rates["big"] * 100_000 + rates["small"] * 10_000
+    assert abs(expected - budget) / budget < 0.01
