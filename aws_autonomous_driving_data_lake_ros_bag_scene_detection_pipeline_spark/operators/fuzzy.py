@@ -137,7 +137,9 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     matching (left, right) pair with a ``distance`` column (record
     linkage / canonical-label lookup). Same q-gram pigeonhole blocking
     as :func:`edit_distance_pairs`; ``how='left'`` keeps unmatched left
-    rows with NULL right columns."""
+    rows with NULL right columns. Identically-named non-key columns on
+    the two sides are carried as-is (alias before joining if you need
+    to select them unambiguously downstream)."""
     if how not in ("inner", "left"):
         raise ValueError(f"fuzzy_join supports inner/left, got {how!r}")
     # disjoint id spaces via a side tag, then one self-pair mining pass
