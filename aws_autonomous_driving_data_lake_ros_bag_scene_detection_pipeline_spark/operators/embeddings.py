@@ -42,15 +42,29 @@ def embedding_moments(df: DataFrame, vec_col: str
     batch (a corpus mixing dims is a bug upstream)."""
     def partials(it):
         import pandas as pd
+        # accumulate across ALL Arrow batches and emit ONE partial per
+        # partition — a per-batch yield would make the collected state
+        # scale with corpus size (batch count), not partition count,
+        # and at d=4096 a single d^2 partial is ~134 MB
+        n = 0
+        s = ss = None
         for pdf in it:
             vs = [v for v in pdf[vec_col] if v is not None]
             if not vs:
                 continue
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            n += x.shape[0]
+            if s is None:
+                s = x.sum(axis=0)
+                ss = x.T @ x
+            else:
+                s += x.sum(axis=0)
+                ss += x.T @ x
+        if n:
             yield pd.DataFrame({
-                "n": [x.shape[0]],
-                "s": [x.sum(axis=0).tolist()],
-                "ss": [(x.T @ x).ravel().tolist()],
+                "n": [n],
+                "s": [s.tolist()],
+                "ss": [ss.ravel().tolist()],
             })
 
     rows = (df.select(vec_col)

@@ -69,8 +69,10 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     names = []
     for i, r in enumerate(rules):
         if r["type"] in _ROW_RULES:
-            aggs.append(F.sum(_row_violation(r).cast("long"))
-                        .alias(f"_v{i}"))
+            # coalesce: SUM over zero rows is NULL — an EMPTY table is
+            # exactly what a quality gate must report on, not crash on
+            aggs.append(F.coalesce(F.sum(_row_violation(r).cast("long")),
+                                   F.lit(0)).alias(f"_v{i}"))
             names.append(i)
     base = df.agg(*aggs).first() if names or any(
         r["type"] == "row_count_min" for r in rules) else None

@@ -267,14 +267,20 @@ def temperature_mix_rates(df: DataFrame, strata_col: str,
     """
     measure = (F.sum(F.col(size_col)) if size_col
                else F.count(F.lit(1)))
-    counts = {r["s"]: r["n"] for r in
-              df.groupBy(F.col(strata_col).alias("s"))
-                .agg(measure.alias("n")).collect()}
+    raw = {r["s"]: r["n"] for r in
+           df.groupBy(F.col(strata_col).alias("s"))
+             .agg(measure.alias("n")).collect()}
+    # a stratum whose size sum is 0/NULL (all-empty or all-NULL
+    # size_col) has nothing to sample: rate 0.0, excluded from weights
+    zero = {s for s, n in raw.items() if not n}
+    counts = {s: n for s, n in raw.items() if n}
     if not counts:
-        return {}
+        return {s: 0.0 for s in zero}
     weights = {s: n ** alpha for s, n in counts.items()}
     wsum = sum(weights.values())
     n_total = sum(counts.values())
     target = n_total if target_rows is None else target_rows
-    return {s: min(1.0, (weights[s] / wsum) * target / counts[s])
-            for s in counts}
+    rates = {s: min(1.0, (weights[s] / wsum) * target / counts[s])
+             for s in counts}
+    rates.update({s: 0.0 for s in zero})
+    return rates

@@ -125,9 +125,14 @@ def funnel(df: DataFrame, keys: list[str], time_col: str,
     scan), never a window over the whole stream, and no driver
     iteration count depends on data — only on ``len(steps)``.
 
-    Greedy earliest-match semantics (the standard funnel definition:
-    matching the earliest s1 never misses a completion that matching a
-    later s1 would find, for any fixed horizon anchored at s1)."""
+    Greedy earliest-match semantics — the standard funnel definition,
+    with its standard caveat: the funnel anchors at each key's EARLIEST
+    s1, so with a ``horizon`` set, a user who abandons one attempt and
+    restarts later (view@day0, view@day4, click@day5, horizon=3d) is
+    counted against the day-0 anchor and reported as stalled even
+    though the day-4 attempt converted. Windowed/per-attempt funnels
+    are a different (sessionize-then-funnel) query: split attempts
+    with :func:`sessionize` first and funnel within each session."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
     t, e = F.col(time_col), F.col(event_col)

@@ -273,7 +273,8 @@ def compact_files(spark: SparkSession, src_path: str, dst_path: str, *,
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                  keys: list[str], *, partition_cols: list[str],
-                 order_col: str | None = None) -> None:
+                 order_col: str | None = None,
+                 immutable_partitions: bool = True) -> None:
     """Keyed merge (SCD1 upsert) into a hive-partitioned parquet
     dataset IN PLACE, rewriting only the partitions the updates touch.
     Semantics: one row per key survives — the highest ``order_col``
@@ -290,6 +291,15 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     the overwrite so the write never races the files it replaces —
     the standard read-merge-overwrite barrier.
 
+    ``immutable_partitions=True`` (default) is a CONTRACT: a key's
+    partition-column values never change between versions. If an
+    update CAN move a key to a different partition, pass ``False`` —
+    the affected-partition discovery then also scans the target for
+    the updated keys' current partitions (a full-table semi-join: no
+    pruning, the unavoidable price of mutable partition keys) so the
+    stale copy in the old partition is merged away instead of
+    surviving as a duplicate.
+
     ``updates`` must carry ``partition_cols``; ``keys`` must be unique
     per row in ``updates`` (enforce upstream — last-wins inside a batch
     needs an ``order_col``)."""
@@ -300,6 +310,12 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                          "write-elsewhere instead")
     from pyspark.sql import Window
     aff = updates.select(*partition_cols).distinct()
+    if not immutable_partitions:
+        moved = (spark.read.parquet(path)
+                 .join(updates.select(*keys).distinct(), keys,
+                       "left_semi")
+                 .select(*partition_cols).distinct())
+        aff = aff.unionByName(moved).distinct()
     existing = (spark.read.parquet(path)
                 .join(F.broadcast(aff), partition_cols, "left_semi"))
     tagged = (existing.withColumn("_src", F.lit(0))
@@ -310,6 +326,16 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     merged = (tagged.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") == 1).drop("_rn", "_src")
               .localCheckpoint(eager=True))
+    emptied = set()
+    if not immutable_partitions:
+        # a key moving OUT can leave its old partition with zero rows;
+        # dynamic overwrite never touches an absent partition, so those
+        # directories must be dropped explicitly (same hole as
+        # delete_keys' all-deleted partitions)
+        aff_vals = {tuple(r) for r in aff.collect()}
+        kept_vals = {tuple(r) for r in
+                     merged.select(*partition_cols).distinct().collect()}
+        emptied = aff_vals - kept_vals
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -318,6 +344,8 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
          .partitionBy(*partition_cols).parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        _drop_partition_dirs(spark, path, partition_cols, emptied)
 
 
 def add_lineage(df: DataFrame, **cols: str) -> DataFrame:
@@ -327,29 +355,75 @@ def add_lineage(df: DataFrame, **cols: str) -> DataFrame:
     return df
 
 
+# characters Hive/Spark percent-escape in partition directory names
+# (ExternalCatalogUtils.escapePathName's charset — public Spark source)
+_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_partition_dir(cols: list[str], vals: tuple) -> str:
+    """Relative partition directory for a value tuple, using Hive's
+    NULL sentinel and percent-escaping so the name matches what the
+    writer produced."""
+    def esc(s: str) -> str:
+        return "".join(f"%{ord(ch):02X}"
+                       if (ch in _HIVE_UNSAFE or ord(ch) < 32) else ch
+                       for ch in s)
+    parts = []
+    for c, v in zip(cols, vals):
+        if v is None:
+            parts.append(f"{c}=__HIVE_DEFAULT_PARTITION__")
+        else:
+            parts.append(f"{c}={esc(str(v))}")
+    return "/".join(parts)
+
+
+def _drop_partition_dirs(spark: SparkSession, path: str,
+                         partition_cols: list[str],
+                         value_tuples) -> None:
+    """Delete specific hive partition directories; RAISES if a
+    directory can't be located (e.g. partition-value type inference
+    changed its textual form) — a silent no-op would resurrect rows
+    the caller believes deleted."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    for vals in value_tuples:
+        sub = _hive_partition_dir(partition_cols, vals)
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        if not fs.exists(jp):
+            raise RuntimeError(
+                f"cannot locate partition directory {sub!r} under "
+                f"{path} to drop it; its rows were all deleted but the "
+                f"directory name derived from the read-back value "
+                f"tuple {vals!r} does not match the on-disk layout")
+        fs.delete(jp, True)
+
+
 def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame,
                 keys: list[str], *, partition_cols: list[str]) -> None:
     """Propagate deletions (right-to-erasure / retraction lists) into a
     hive-partitioned parquet dataset in place: every row whose key
     appears in ``keys_df`` is removed, rewriting ONLY the partitions
     that contain matches. The delete-side twin of :func:`merge_upsert`
-    — same affected-partition discovery (the matching partitions come
-    from a semi-join of the target against the broadcast key list),
-    same eager-materialize barrier, same dynamic partition overwrite.
+    — same affected-partition discovery, same eager-materialize
+    barrier, same dynamic partition overwrite.
 
-    ``keys_df`` needs only the key columns (it usually comes from a
-    dedup delete-list or a compliance feed); at 100 TB the rewrite cost
-    is proportional to the partitions the keys actually live in, never
+    ``keys_df`` needs only the key columns; it may be corpus-scale (a
+    dedup delete-list), so it is joined WITHOUT a broadcast hint — the
+    optimizer broadcasts small lists on its own and falls back to a
+    shuffle join for huge ones instead of failing. Only the bounded
+    distinct-partition-value frame is force-broadcast. Rewrite cost is
+    proportional to the partitions the keys actually live in, never
     the table."""
     if not partition_cols:
         raise ValueError("delete_keys needs partition_cols (see "
                          "merge_upsert for the rationale)")
     kd = keys_df.select(*keys).distinct()
     tgt = spark.read.parquet(path)
-    aff = (tgt.join(F.broadcast(kd), keys, "left_semi")
+    aff = (tgt.join(kd, keys, "left_semi")
            .select(*partition_cols).distinct())
     remaining = (tgt.join(F.broadcast(aff), partition_cols, "left_semi")
-                 .join(F.broadcast(kd), keys, "left_anti")
+                 .join(kd, keys, "left_anti")
                  .localCheckpoint(eager=True))
     # dynamic overwrite only touches partitions PRESENT in the written
     # frame — a partition whose rows were all deleted would silently
@@ -368,14 +442,7 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     if emptied:
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-            spark._jsc.hadoopConfiguration())
-        for vals in emptied:
-            sub = "/".join(f"{c}={v}"
-                           for c, v in zip(partition_cols, vals))
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"),
-                      True)
+        _drop_partition_dirs(spark, path, partition_cols, emptied)
 
 
 def prune_versions(spark: SparkSession, path: str, *,

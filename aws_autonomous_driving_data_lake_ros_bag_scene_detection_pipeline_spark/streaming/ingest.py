@@ -300,10 +300,18 @@ def upsert_batch(batch_df: DataFrame, keys: list[str], *,
          .orderBy(F.col(order_col).desc_nulls_last(), tie))
     winners = (batch_df.withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") == 1).drop("_rn"))
+    # probe ONLY the target read for absence — wrapping the whole merge
+    # would turn any analysis error (schema drift, renamed column) into
+    # a silent full overwrite of the existing table
     try:
+        spark.read.parquet(path).schema
+        exists = True
+    except AnalysisException:
+        exists = False
+    if exists:
         merge_upsert(spark, path, winners, keys,
                      partition_cols=partition_cols, order_col=order_col)
-    except AnalysisException:
+    else:
         # first batch: no target yet — the upsert degenerates to a write
         winners.write.mode("overwrite").partitionBy(*partition_cols) \
             .parquet(path)
@@ -351,16 +359,22 @@ def quarantine_batch(batch_df: DataFrame, batch_id: int,
     tags = F.array_compact(F.array(*[
         F.when(_row_violation(r), F.lit(f"{r['type']}:{r['col']}"))
         for r in rules]))
-    tagged = batch_df.withColumn("_violations", tags)
-    good = (tagged.where(F.size("_violations") == 0)
-            .drop("_violations"))
-    bad = tagged.where(F.size("_violations") > 0)
-    (good.withColumn("_batch_id", F.lit(batch_id))
-     .write.mode("overwrite").partitionBy("_batch_id")
-     .parquet(good_path))
-    (bad.withColumn("_batch_id", F.lit(batch_id))
-     .write.mode("overwrite").partitionBy("_batch_id")
-     .parquet(quarantine_path))
+    # persist the tagged batch: the two sink writes would otherwise
+    # each re-read the source and re-evaluate every rule (the module's
+    # standard multi-sink recipe, cf. incremental_dedup_batch)
+    tagged = batch_df.withColumn("_violations", tags).persist()
+    try:
+        good = (tagged.where(F.size("_violations") == 0)
+                .drop("_violations"))
+        bad = tagged.where(F.size("_violations") > 0)
+        (good.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(good_path))
+        (bad.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(quarantine_path))
+    finally:
+        tagged.unpersist()
 
 
 def quarantine_stream(stream: DataFrame, rules: list[dict], *,

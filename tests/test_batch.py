@@ -266,3 +266,69 @@ def test_prune_versions_keeps_latest(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         prune_versions(spark, path, keep_latest=0)
+
+
+def test_merge_upsert_mutable_partition_key(spark, tmp_path):
+    """immutable_partitions=False merges away the stale copy when an
+    update MOVES a key to another partition; the default contract
+    documents that it would not."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "d1", "a", 1), (2, "d2", "b", 1)],
+                          "id long, day string, val string, ver int") \
+        .write.partitionBy("day").parquet(path)
+    moved = spark.createDataFrame([(1, "d2", "a2", 2)],
+                                  "id long, day string, val string, ver int")
+    merge_upsert(spark, path, moved, ["id"], partition_cols=["day"],
+                 order_col="ver", immutable_partitions=False)
+    got = {(r.id, r.day, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d2", "a2"), (2, "d2", "b")}
+
+
+def test_delete_keys_null_and_escaped_partition_values(spark, tmp_path):
+    """Emptied partitions with NULL or percent-escaped values are
+    located and dropped via Hive's naming rules (silent no-op would
+    resurrect 'deleted' rows)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        delete_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, None, "x"), (2, "a:b", "y"), (3, "ok", "z")],
+        "id long, day string, val string") \
+        .write.partitionBy("day").parquet(path)
+    dels = spark.createDataFrame([(1,), (2,)], "id long")
+    delete_keys(spark, path, dels, ["id"], partition_cols=["day"])
+    got = {(r.id, r.day) for r in spark.read.parquet(path).collect()}
+    assert got == {(3, "ok")}
+
+
+def test_expectations_empty_table_reports_not_crashes(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import check_expectations
+
+    empty = spark.createDataFrame([], "id long, v double")
+    rep = {r.rule: r for r in check_expectations(empty, [
+        {"type": "not_null", "col": "v"},
+        {"type": "row_count_min", "n": 5},
+        {"type": "unique", "cols": ["id"]},
+    ]).collect()}
+    assert rep["not_null"].passed and rep["not_null"].n_violations == 0
+    assert not rep["row_count_min"].passed
+    assert rep["row_count_min"].n_violations == 5
+    assert rep["unique"].passed
+
+
+def test_temperature_mix_rates_zero_and_null_strata(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import temperature_mix_rates
+
+    df = spark.createDataFrame(
+        [("full", 100), ("empty", 0), ("empty", 0),
+         ("nulls", None), ("full", 50)],
+        "src string, n long")
+    rates = temperature_mix_rates(df, "src", size_col="n")
+    assert rates["empty"] == 0.0 and rates["nulls"] == 0.0
+    assert rates["full"] == 1.0
