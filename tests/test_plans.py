@@ -310,3 +310,23 @@ def test_dedup_text_pipeline_is_python_free(spark):
     df = entry.q_minhash_dedup(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_plan_is_hash_joins_only(spark):
+    """funnel's chained earliest-occurrence joins never degrade to a
+    nested loop / cartesian product, and each step's event filter is
+    pushed into the scan."""
+    from tests.conftest import SF_DIR
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import funnel
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .select("user_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("t")))
+    plan = formatted_plan(funnel(ev, ["user_id"], "t", "event_type",
+                                 ["view", "click", "purchase"],
+                                 horizon=10_000_000))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters" in plan

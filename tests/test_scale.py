@@ -190,3 +190,36 @@ def test_edit_distance_pairs_scales_with_matches_not_pairs(spark):
     for r in out:
         assert r.distance <= 1
     assert wall < 120, f"fuzzy blocking took {wall:.0f}s at 20k strings"
+
+
+@pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+                    reason="slow scale test disabled")
+def test_duplicate_passages_cost_tracks_duplication_volume(spark):
+    """Passage mining over 20k docs with a planted boilerplate block in
+    5% of them: output is exactly the planted pair structure's spans,
+    and wall time stays in seconds because the shingle join's fan-out
+    is the true duplication volume, not corpus^2."""
+    n = 20_000
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.lit("document body segment "), F.col("id").cast("string"),
+            F.lit(" carries unique filler content portion "),
+            (F.col("id") * 7 % 997).cast("string"),
+            F.when(F.col("id") % 20 == 0,
+                   F.lit(" standard legal boilerplate notice all rights "
+                         "reserved redistribution prohibited without "
+                         "written permission of the publisher"))
+            .otherwise(F.lit(""))).alias("text"))
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import duplicate_passages
+
+    t0 = time.time()
+    spans = duplicate_passages(base, "text", "id",
+                               shingle_n=8, min_run=3)
+    n_spans = spans.count()
+    wall = time.time() - t0
+    # 1000 docs share the 16-token block -> C(1000,2) pair spans
+    assert n_spans == 1000 * 999 // 2
+    one = spans.first()
+    assert one.n_tokens >= 10
+    assert wall < 120, f"passage mining took {wall:.0f}s at 20k docs"
