@@ -32,7 +32,8 @@ from .operators import (  # noqa: E402,F401
     distinct_rollup_check, distinct_sketch, duplicate_passages,
     rollup_distinct,
     edit_distance_pairs, embedding_moments, fit_logistic, fit_pca,
-    freq_estimate, freq_sketch, funnel, fuzzy_join, logistic_expr,
+    freq_estimate, freq_sketch, funnel, funnel_per_session,
+    fuzzy_join, logistic_expr,
     score_logistic, LogisticModel,
     histogram_sketch, project_embeddings, quantile_estimate,
     rollup_freq, rollup_histogram, PCAModel,

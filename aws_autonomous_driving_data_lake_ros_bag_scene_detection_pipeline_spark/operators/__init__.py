@@ -41,7 +41,8 @@ from .sketches import (
     rollup_histogram,
 )
 from .sessionize import (
-    change_point_intervals, funnel, merge_intervals, sessionize,
+    change_point_intervals, funnel, funnel_per_session,
+    merge_intervals, sessionize,
 )
 from .timeseries import (
     asof_join, cascade_update, downsample_cascade, forward_fill, lag_lead,

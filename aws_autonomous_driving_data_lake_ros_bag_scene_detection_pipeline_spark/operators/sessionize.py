@@ -152,3 +152,28 @@ def funnel(df: DataFrame, keys: list[str], time_col: str,
     done = sum(F.col(f"step_{i}_t").isNotNull().cast("int")
                for i in range(1, len(steps) + 1))
     return cur.withColumn("steps_completed", done.cast("int"))
+
+
+def funnel_per_session(df: DataFrame, keys: list[str], time_col: str,
+                       event_col: str, steps: list[str], gap: float,
+                       horizon: float | None = None) -> DataFrame:
+    """Per-ATTEMPT funnel: split each key's stream into sessions
+    separated by more than ``gap`` (same islands logic as
+    :func:`sessionize`), then run :func:`funnel` within each
+    (key, session) — so a user who abandons and restarts is measured
+    per attempt instead of being pinned to their earliest step-1 (the
+    greedy-anchor caveat in funnel's docstring). One extra window over
+    the same key partitioning, then the funnel's usual k−1 joins keyed
+    on (keys…, session_id)."""
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    t = F.col(time_col)
+    new_session = F.when(
+        (t - F.lag(time_col, 1).over(w)) > F.lit(gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy(time_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = (df.withColumn("_new", new_session)
+              .withColumn("session_id", F.sum("_new").over(run))
+              .drop("_new"))
+    return funnel(tagged, [*keys, "session_id"], time_col, event_col,
+                  steps, horizon=horizon)

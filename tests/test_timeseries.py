@@ -352,3 +352,23 @@ def test_funnel_ordered_horizon_and_stalls(spark):
     assert out[6].step_1_t == 10.0 and out[6].step_2_t == 60.0
     with pytest.raises(ValueError):
         funnel(df, ["user"], "t", "e", ["view"])
+
+
+def test_funnel_per_session_counts_restarted_attempts(spark):
+    """The docstring's restart example: the greedy single-anchor funnel
+    reports a stall, the per-session funnel finds the converted second
+    attempt."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        funnel, funnel_per_session,
+    )
+
+    day = 86_400.0
+    rows = [(1, 0.0, "view"), (1, 4 * day, "view"), (1, 5 * day, "click")]
+    df = spark.createDataFrame(rows, "user long, t double, e string")
+    greedy = funnel(df, ["user"], "t", "e", ["view", "click"],
+                    horizon=3 * day).first()
+    assert greedy.steps_completed == 1            # anchored at day 0
+    per = {r.session_id: r.steps_completed for r in
+           funnel_per_session(df, ["user"], "t", "e", ["view", "click"],
+                              gap=2 * day, horizon=3 * day).collect()}
+    assert per == {0: 1, 1: 2}                    # attempt 2 converts
