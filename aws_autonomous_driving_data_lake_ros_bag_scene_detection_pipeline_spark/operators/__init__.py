@@ -23,7 +23,7 @@ from .embeddings import (
 from .fuzzy import edit_distance_pairs, fuzzy_join
 from .joins import binned_interval_join, salted_join
 from .pivot import pivot_wide
-from .profile import profile_table
+from .profile import profile_drift, profile_table
 from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
 from .sampling import (
     chunk_documents, hash_sample, hash_sample_sql, hash_split,

@@ -82,3 +82,71 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     ]
     return (wide.select(F.explode(F.array(*entries)).alias("p"))
             .select("p.*"))
+
+
+def profile_drift(old_profile: DataFrame, new_profile: DataFrame,
+                  *, null_frac_tol: float = 0.01,
+                  distinct_rel_tol: float = 0.10,
+                  mean_sigma_tol: float = 3.0) -> DataFrame:
+    """Compare two :func:`profile_table` outputs →
+    ``(column, drift, detail)`` rows for every drifted column — the
+    monitoring step between pipeline runs: persisted profiles are tiny
+    (one row per column), so drift detection costs a join of two
+    metadata tables, never a second scan of either dataset.
+
+    Flags, in severity order: ``schema`` (column added/removed or dtype
+    changed), ``nulls`` (null fraction moved by more than
+    ``null_frac_tol`` absolute), ``cardinality`` (approx distinct moved
+    by more than ``distinct_rel_tol`` relative — beyond the sketch's
+    own error), ``mean`` (mean moved by more than ``mean_sigma_tol``
+    standard errors, using the old profile's stddev and row count).
+    Columns with no drift emit nothing — output scales with drift."""
+    o = old_profile.select(
+        F.col("column"), F.col("dtype").alias("_odt"),
+        F.col("n_rows").alias("_on"), F.col("null_frac").alias("_onf"),
+        F.col("approx_distinct").alias("_oad"),
+        F.col("mean").alias("_omean"), F.col("stddev").alias("_osd"),
+        F.lit(True).alias("_in_old"))
+    n = new_profile.select(
+        F.col("column"), F.col("dtype").alias("_ndt"),
+        F.col("null_frac").alias("_nnf"),
+        F.col("approx_distinct").alias("_nad"),
+        F.col("mean").alias("_nmean"),
+        F.lit(True).alias("_in_new"))
+    j = o.join(n, "column", "full_outer")
+
+    schema_drift = (F.col("_in_old").isNull() | F.col("_in_new").isNull()
+                    | (F.col("_odt") != F.col("_ndt")))
+    nulls_drift = (F.abs(F.col("_nnf") - F.col("_onf"))
+                   > F.lit(null_frac_tol))
+    card_drift = (F.abs(F.col("_nad") - F.col("_oad"))
+                  > F.lit(distinct_rel_tol)
+                  * F.greatest(F.col("_oad"), F.lit(1)))
+    se = F.col("_osd") / F.sqrt(F.greatest(F.col("_on"), F.lit(1)))
+    mean_drift = (F.col("_omean").isNotNull()
+                  & F.col("_nmean").isNotNull()
+                  & (F.abs(F.col("_nmean") - F.col("_omean"))
+                     > F.lit(mean_sigma_tol) * se))
+
+    def row(kind, cond, detail):
+        return (j.where(cond)
+                .select("column", F.lit(kind).alias("drift"),
+                        detail.alias("detail")))
+
+    out = row("schema", schema_drift,
+              F.concat_ws(" -> ", F.coalesce(F.col("_odt"),
+                                             F.lit("(absent)")),
+                          F.coalesce(F.col("_ndt"), F.lit("(absent)"))))
+    out = out.unionByName(row(
+        "nulls", ~schema_drift & nulls_drift,
+        F.concat_ws(" -> ", F.round("_onf", 4).cast("string"),
+                    F.round("_nnf", 4).cast("string"))))
+    out = out.unionByName(row(
+        "cardinality", ~schema_drift & card_drift,
+        F.concat_ws(" -> ", F.col("_oad").cast("string"),
+                    F.col("_nad").cast("string"))))
+    out = out.unionByName(row(
+        "mean", ~schema_drift & mean_drift,
+        F.concat_ws(" -> ", F.round("_omean", 4).cast("string"),
+                    F.round("_nmean", 4).cast("string"))))
+    return out

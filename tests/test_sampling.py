@@ -306,3 +306,30 @@ def test_temperature_mix_rates_token_budget(spark):
                                   target_rows=budget)
     expected = rates["big"] * 100_000 + rates["small"] * 10_000
     assert abs(expected - budget) / budget < 0.01
+
+
+def test_profile_drift_flags_and_silence(spark):
+    """profile_drift: schema/nulls/cardinality/mean drifts are flagged
+    with before->after detail; identical profiles emit nothing."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        profile_drift, profile_table,
+    )
+
+    old = spark.createDataFrame(
+        [(i, float(i % 50), "x") for i in range(1000)],
+        "id long, v double, s string")
+    new = spark.createDataFrame(
+        # v's mean shifts hard; s gains nulls; id becomes string; drop
+        # nothing, add column w
+        [(str(i), float(i % 50) + 100.0,
+          None if i % 4 == 0 else "x", 1.0) for i in range(1000)],
+        "id string, v double, s string, w double")
+    po, pn = profile_table(old), profile_table(new)
+    got = {(r.column, r.drift): r.detail
+           for r in profile_drift(po, pn).collect()}
+    assert ("id", "schema") in got and "bigint -> string" in got[("id", "schema")]
+    assert ("w", "schema") in got and "(absent)" in got[("w", "schema")]
+    assert ("s", "nulls") in got
+    assert ("v", "mean") in got
+    # no drift -> no rows
+    assert profile_drift(po, profile_table(old)).count() == 0
