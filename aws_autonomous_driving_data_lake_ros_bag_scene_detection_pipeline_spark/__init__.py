@@ -47,7 +47,8 @@ from .operators import (  # noqa: E402,F401
     remove_duplicate_spans,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs,
     snapshot_diff, stratified_hash_sample,
-    temperature_mix_rates, tfidf_top_terms, time_spine, token_repetition, top_k_per_group, union_by_name,
+    temperature_mix_rates, tfidf_top_terms, time_spine, token_repetition,
+    top_k_per_group, union_by_name, windowed_agg_batch,
 )
 from .session import get_spark, set_state_store  # noqa: E402,F401
 from . import functions  # noqa: E402,F401

@@ -46,6 +46,7 @@ from .sessionize import (
 )
 from .timeseries import (
     asof_join, cascade_update, downsample_cascade, forward_fill, lag_lead,
+    windowed_agg_batch,
     resample_asof, resample_interpolate, time_spine,
 )
 from .topk import top_k_per_group

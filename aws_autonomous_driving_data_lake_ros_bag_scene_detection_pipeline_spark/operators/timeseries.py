@@ -367,3 +367,46 @@ def resample_interpolate(df: DataFrame, keys: list[str], time_col: str,
         out_cols.append(lerp.alias(c))
     return (proj.where(F.col("_is_spine") == 1)
             .select(*keys, time_col, *out_cols))
+
+
+def windowed_agg_batch(df: DataFrame, keys: list[str], time_col: str,
+                       aggs: dict[str, Column],
+                       width, slide=None) -> DataFrame:
+    """Tumbling/hopping event-time aggregation over a BATCH table —
+    the backfill twin of :func:`~..streaming.ops.windowed_agg` (same
+    output shape: ``keys…, window_start, window_end, aggs…``), for the
+    "recompute last month's hourly rollups" path where Structured
+    Streaming's watermark machinery is pure overhead.
+
+    ``time_col`` is numeric (the engine's integer-microsecond
+    convention); ``width``/``slide`` are in the same unit. Tumbling
+    (``slide`` None or == width) assigns each row to exactly one bucket
+    — a plain hash aggregate. Hopping explodes each row to the
+    ``⌈width/slide⌉`` windows covering it (the same bounded fan-out
+    argument as binned_interval_join) and aggregates — one shuffle on
+    (keys…, window_start) either way, map-side partials apply."""
+    slide = width if slide is None else slide
+    if slide <= 0 or width <= 0:
+        raise ValueError(f"width/slide must be > 0, got {width}/{slide}")
+    if slide > width:
+        raise ValueError("slide > width leaves gaps — use a tumbling "
+                         "window of the slide size instead")
+    t = F.col(time_col)
+    if slide == width:
+        start = (F.floor(t / F.lit(width)) * F.lit(width)).cast("long")
+        rows = df.withColumn("_ws", start)
+    else:
+        # windows covering t start at slide-multiples in
+        # (t - width, t]: first = floor((t - width)/slide) + 1
+        k_lo = (F.floor((t - F.lit(width)) / F.lit(slide)) + 1)
+        k_hi = F.floor(t / F.lit(slide))
+        rows = (df.withColumn(
+            "_k", F.explode(F.sequence(k_lo.cast("long"),
+                                       k_hi.cast("long"))))
+            .withColumn("_ws", F.col("_k") * F.lit(slide)).drop("_k"))
+    return (rows.groupBy(*keys, "_ws")
+            .agg(*[expr.alias(name) for name, expr in aggs.items()])
+            .select(*keys, F.col("_ws").cast("long").alias("window_start"),
+                    (F.col("_ws") + F.lit(width)).cast("long")
+                    .alias("window_end"),
+                    *aggs.keys()))

@@ -372,3 +372,48 @@ def test_funnel_per_session_counts_restarted_attempts(spark):
            funnel_per_session(df, ["user"], "t", "e", ["view", "click"],
                               gap=2 * day, horizon=3 * day).collect()}
     assert per == {0: 1, 1: 2}                    # attempt 2 converts
+
+
+def test_windowed_agg_batch_against_duckdb(spark, duck):
+    """Tumbling AND hopping batch windows vs the equivalent SQL on
+    DuckDB (hopping = generate_series of covering window starts)."""
+    import random
+
+    from tests.conftest import assert_df_matches_oracle
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import windowed_agg_batch
+
+    rng = random.Random(3)
+    rows = [(k, rng.randrange(0, 1000), float(rng.randrange(100)))
+            for k in ("a", "b") for _ in range(300)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    duck.sql("drop table if exists wev")
+    duck.sql("create table wev as select * from (values "
+             + ",".join(f"('{k}', {t}, {v})" for k, t, v in rows)
+             + ") t(k, t, v)")
+    aggs = {"n": F.count(F.lit(1)), "sum_v": F.round(F.sum("v"), 6)}
+
+    tumb = windowed_agg_batch(df, ["k"], "t", aggs, width=100)
+    assert_df_matches_oracle(tumb, duck, """
+        select k, cast(floor(t / 100.0) * 100 as bigint) as window_start,
+               cast(floor(t / 100.0) * 100 + 100 as bigint) as window_end,
+               count(*) as n, round(sum(v)::DOUBLE, 6) as sum_v
+        from wev group by 1, 2, 3
+    """)
+
+    hop = windowed_agg_batch(df, ["k"], "t", aggs, width=100, slide=40)
+    assert_df_matches_oracle(hop, duck, """
+        with cov as (
+          select k, t, v, ws
+          from wev, unnest(generate_series(
+                 (cast(floor((t - 100.0) / 40) as bigint) + 1) * 40,
+                 cast(floor(t / 40.0) as bigint) * 40, 40)) u(ws))
+        select k, ws as window_start, ws + 100 as window_end,
+               count(*) as n, round(sum(v)::DOUBLE, 6) as sum_v
+        from cov group by 1, 2, 3
+    """)
+
+    import pytest
+    with pytest.raises(ValueError):
+        windowed_agg_batch(df, ["k"], "t", aggs, width=100, slide=200)
+    with pytest.raises(ValueError):
+        windowed_agg_batch(df, ["k"], "t", aggs, width=0)
