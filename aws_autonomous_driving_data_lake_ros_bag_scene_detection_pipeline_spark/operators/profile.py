@@ -115,38 +115,48 @@ def profile_drift(old_profile: DataFrame, new_profile: DataFrame,
         F.lit(True).alias("_in_new"))
     j = o.join(n, "column", "full_outer")
 
+    # every predicate is made NULL-proof: a NULL statistic in a
+    # MONITORING operator must never silently filter a real drift into
+    # a false all-clear (where(NULL) drops the row)
     schema_drift = (F.col("_in_old").isNull() | F.col("_in_new").isNull()
                     | (F.col("_odt") != F.col("_ndt")))
-    nulls_drift = (F.abs(F.col("_nnf") - F.col("_onf"))
-                   > F.lit(null_frac_tol))
-    card_drift = (F.abs(F.col("_nad") - F.col("_oad"))
-                  > F.lit(distinct_rel_tol)
-                  * F.greatest(F.col("_oad"), F.lit(1)))
-    se = F.col("_osd") / F.sqrt(F.greatest(F.col("_on"), F.lit(1)))
+    onf = F.coalesce(F.col("_onf"), F.lit(0.0))
+    nnf = F.coalesce(F.col("_nnf"), F.lit(0.0))
+    nulls_drift = F.abs(nnf - onf) > F.lit(null_frac_tol)
+    oad = F.coalesce(F.col("_oad"), F.lit(0))
+    nad = F.coalesce(F.col("_nad"), F.lit(0))
+    card_drift = (F.abs(nad - oad)
+                  > F.lit(distinct_rel_tol) * F.greatest(oad, F.lit(1)))
+    # NULL old stddev (single-row/empty old profile) -> no band can be
+    # established: ANY mean change flags (se falls back to 0)
+    se = F.coalesce(F.col("_osd")
+                    / F.sqrt(F.greatest(F.col("_on"), F.lit(1))),
+                    F.lit(0.0))
     mean_drift = (F.col("_omean").isNotNull()
                   & F.col("_nmean").isNotNull()
                   & (F.abs(F.col("_nmean") - F.col("_omean"))
                      > F.lit(mean_sigma_tol) * se))
 
-    def row(kind, cond, detail):
-        return (j.where(cond)
-                .select("column", F.lit(kind).alias("drift"),
-                        detail.alias("detail")))
+    def check(kind, cond, detail):
+        return F.when(cond, F.struct(F.lit(kind).alias("drift"),
+                                     detail.alias("detail")))
 
-    out = row("schema", schema_drift,
-              F.concat_ws(" -> ", F.coalesce(F.col("_odt"),
-                                             F.lit("(absent)")),
-                          F.coalesce(F.col("_ndt"), F.lit("(absent)"))))
-    out = out.unionByName(row(
-        "nulls", ~schema_drift & nulls_drift,
-        F.concat_ws(" -> ", F.round("_onf", 4).cast("string"),
-                    F.round("_nnf", 4).cast("string"))))
-    out = out.unionByName(row(
-        "cardinality", ~schema_drift & card_drift,
-        F.concat_ws(" -> ", F.col("_oad").cast("string"),
-                    F.col("_nad").cast("string"))))
-    out = out.unionByName(row(
-        "mean", ~schema_drift & mean_drift,
-        F.concat_ws(" -> ", F.round("_omean", 4).cast("string"),
-                    F.round("_nmean", 4).cast("string"))))
-    return out
+    # ONE pass: conditional structs -> array_compact -> explode, so the
+    # join (and any non-materialized upstream profiling scan) runs once
+    checks = F.array_compact(F.array(
+        check("schema", schema_drift,
+              F.concat_ws(" -> ",
+                          F.coalesce(F.col("_odt"), F.lit("(absent)")),
+                          F.coalesce(F.col("_ndt"), F.lit("(absent)")))),
+        check("nulls", ~schema_drift & nulls_drift,
+              F.concat_ws(" -> ", F.round(onf, 4).cast("string"),
+                          F.round(nnf, 4).cast("string"))),
+        check("cardinality", ~schema_drift & card_drift,
+              F.concat_ws(" -> ", oad.cast("string"), nad.cast("string"))),
+        check("mean", ~schema_drift & mean_drift,
+              F.concat_ws(" -> ", F.round("_omean", 4).cast("string"),
+                          F.round("_nmean", 4).cast("string"))),
+    ))
+    return (j.select("column", F.explode(checks).alias("_c"))
+            .select("column", F.col("_c.drift").alias("drift"),
+                    F.col("_c.detail").alias("detail")))

@@ -12,6 +12,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tag_sessions(df: DataFrame, keys: list[str], time_col: str,
+                  gap: float) -> DataFrame:
+    """Gaps-and-islands session tagging shared by :func:`sessionize`
+    and :func:`funnel_per_session`: appends ``session_id`` (0-based per
+    key, split where the time gap exceeds ``gap``). Raises if the input
+    already carries a ``session_id``/``_new`` column — silently
+    overwriting caller-assigned sessions would answer a different
+    question than the caller asked."""
+    clash = {"session_id", "_new"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has column(s) {sorted(clash)}; "
+                         "rename them (or funnel within your own "
+                         "session column directly)")
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    t = F.col(time_col)
+    new_session = F.when(
+        (t - F.lag(time_col, 1).over(w)) > F.lit(gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy(time_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (df.withColumn("_new", new_session)
+            .withColumn("session_id", F.sum("_new").over(run))
+            .drop("_new"))
+
+
 def sessionize(df: DataFrame, keys: list[str], time_col: str,
                gap: float, agg_cols: dict | None = None) -> DataFrame:
     """Split each key's event stream into sessions separated by more
@@ -20,15 +45,7 @@ def sessionize(df: DataFrame, keys: list[str], time_col: str,
     Returns ``keys + [session_id, start_time, end_time, n_events]`` plus
     any extra aggregates from ``agg_cols`` ({out_name: Column}).
     """
-    w = Window.partitionBy(*keys).orderBy(time_col)
-    t = F.col(time_col)
-    new_session = F.when(
-        (t - F.lag(time_col, 1).over(w)) > F.lit(gap), F.lit(1)
-    ).otherwise(F.lit(0))
-    run = Window.partitionBy(*keys).orderBy(time_col) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessions = df.withColumn("_new", new_session) \
-                 .withColumn("session_id", F.sum("_new").over(run))
+    sessions = _tag_sessions(df, keys, time_col, gap)
     aggs = [
         F.min(time_col).alias("start_time"),
         F.max(time_col).alias("end_time"),
@@ -163,17 +180,9 @@ def funnel_per_session(df: DataFrame, keys: list[str], time_col: str,
     (key, session) — so a user who abandons and restarts is measured
     per attempt instead of being pinned to their earliest step-1 (the
     greedy-anchor caveat in funnel's docstring). One extra window over
-    the same key partitioning, then the funnel's usual k−1 joins keyed
-    on (keys…, session_id)."""
-    w = Window.partitionBy(*keys).orderBy(time_col)
-    t = F.col(time_col)
-    new_session = F.when(
-        (t - F.lag(time_col, 1).over(w)) > F.lit(gap), F.lit(1)
-    ).otherwise(F.lit(0))
-    run = Window.partitionBy(*keys).orderBy(time_col) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged = (df.withColumn("_new", new_session)
-              .withColumn("session_id", F.sum("_new").over(run))
-              .drop("_new"))
+    the same key partitioning (:func:`_tag_sessions` — the same
+    boundary semantics as :func:`sessionize`, by construction), then
+    the funnel's usual k−1 joins keyed on (keys…, session_id)."""
+    tagged = _tag_sessions(df, keys, time_col, gap)
     return funnel(tagged, [*keys, "session_id"], time_col, event_col,
                   steps, horizon=horizon)

@@ -13,7 +13,7 @@ window passes over data partitioned by the entity key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .caching import register_persist
@@ -393,11 +393,17 @@ def windowed_agg_batch(df: DataFrame, keys: list[str], time_col: str,
                          "window of the slide size instead")
     t = F.col(time_col)
     if slide == width:
-        start = (F.floor(t / F.lit(width)) * F.lit(width)).cast("long")
+        # no long casts anywhere: a fractional width must produce
+        # fractional window starts — casting merged distinct windows
+        # and truncated bounds (window_end == window_start) silently
+        start = F.floor(t / F.lit(width)) * F.lit(width)
         rows = df.withColumn("_ws", start)
     else:
         # windows covering t start at slide-multiples in
-        # (t - width, t]: first = floor((t - width)/slide) + 1
+        # (t - width, t]: first = floor((t - width)/slide) + 1.
+        # Window INDICES are integral for any numeric slide, so the
+        # sequence stays long; the start value k*slide follows the
+        # slide's type
         k_lo = (F.floor((t - F.lit(width)) / F.lit(slide)) + 1)
         k_hi = F.floor(t / F.lit(slide))
         rows = (df.withColumn(
@@ -406,7 +412,6 @@ def windowed_agg_batch(df: DataFrame, keys: list[str], time_col: str,
             .withColumn("_ws", F.col("_k") * F.lit(slide)).drop("_k"))
     return (rows.groupBy(*keys, "_ws")
             .agg(*[expr.alias(name) for name, expr in aggs.items()])
-            .select(*keys, F.col("_ws").cast("long").alias("window_start"),
-                    (F.col("_ws") + F.lit(width)).cast("long")
-                    .alias("window_end"),
+            .select(*keys, F.col("_ws").alias("window_start"),
+                    (F.col("_ws") + F.lit(width)).alias("window_end"),
                     *aggs.keys()))

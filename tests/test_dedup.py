@@ -438,3 +438,21 @@ def test_remove_duplicate_spans_cuts_later_doc_only(spark):
     assert out[2].text == "other opening words"
     assert out[2].n_removed_tokens == 8
     assert out[3].text == "" and out[3].n_removed_tokens == 8
+
+
+def test_sessionize_rejects_session_id_collision(spark):
+    """Silently overwriting a caller's session_id would funnel over
+    different attempt boundaries than asked — both operators raise."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        funnel_per_session, sessionize,
+    )
+
+    df = spark.createDataFrame([(1, 1.0, "view", 7)],
+                               "u long, t double, e string, session_id int")
+    with pytest.raises(ValueError, match="session_id"):
+        sessionize(df, ["u"], "t", gap=10.0)
+    with pytest.raises(ValueError, match="session_id"):
+        funnel_per_session(df, ["u"], "t", "e", ["view", "click"],
+                           gap=10.0)

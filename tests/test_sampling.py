@@ -333,3 +333,30 @@ def test_profile_drift_flags_and_silence(spark):
     assert ("v", "mean") in got
     # no drift -> no rows
     assert profile_drift(po, profile_table(old)).count() == 0
+
+
+def test_profile_drift_null_stats_still_flag(spark):
+    """A NULL old stddev (single-row profile) must not suppress a mean
+    drift into a false all-clear, and the plan runs the join once."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        profile_drift, profile_table,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    old = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    new = spark.createDataFrame([(i, 1000.0) for i in range(100)],
+                                "id long, v double")
+    got = {(r.column, r.drift) for r in
+           profile_drift(profile_table(old), profile_table(new)).collect()}
+    assert ("v", "mean") in got
+    import re
+    plan = formatted_plan(profile_drift(profile_table(old),
+                                        profile_table(new)))
+    # count plan NODES (the formatted output also repeats each node in
+    # its detail section)
+    joins = re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\w* \w+ \(\d+\)",
+        plan)
+    assert len(joins) == 1, joins

@@ -417,3 +417,18 @@ def test_windowed_agg_batch_against_duckdb(spark, duck):
         windowed_agg_batch(df, ["k"], "t", aggs, width=100, slide=200)
     with pytest.raises(ValueError):
         windowed_agg_batch(df, ["k"], "t", aggs, width=0)
+
+
+def test_windowed_agg_batch_fractional_width(spark):
+    """Fractional width/slide produce correct fractional window bounds
+    (a long-cast here once merged distinct windows silently)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import windowed_agg_batch
+
+    df = spark.createDataFrame([(0.6, 10.0), (1.2, 100.0), (1.7, 1000.0)],
+                               "t double, v double")
+    got = {(r.window_start, r.window_end): r.s
+           for r in windowed_agg_batch(df, [], "t",
+                                       {"s": F.sum("v")},
+                                       width=0.5).collect()}
+    assert got == {(0.5, 1.0): 10.0, (1.0, 1.5): 100.0,
+                   (1.5, 2.0): 1000.0}
