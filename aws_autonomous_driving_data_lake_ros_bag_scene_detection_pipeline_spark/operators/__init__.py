@@ -32,6 +32,7 @@ from .sampling import (
 )
 from .similarity import (
     brute_force_topk, embedding_dup_pairs, embedding_index,
+    embedding_near_dedup,
     embedding_match_pairs, ivf_index, ivf_pivots,
     ivf_probe, ivf_topk, lsh_topk,
 )

@@ -266,3 +266,38 @@ def test_pca_whiten_and_partition_stability(spark):
         fit_pca(emb, "embedding", 0)
     with pytest.raises(ValueError):
         fit_pca(emb, "embedding", 10_000)
+
+
+def test_embedding_near_dedup_one_call(spark):
+    """The cosine twin of near_dedup: exact-duplicate vectors collapse
+    to one representative (smallest id, or best keep_by score)."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        cache_scope, embedding_near_dedup,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(5, 16)).astype(np.float32)
+    rows = []
+    # ids 0-4: distinct vectors; 10-12: copies of vector 0; 20: copy of 1
+    for i in range(5):
+        rows.append((i, base[i].tolist(), float(i)))
+    for j, src in ((10, 0), (11, 0), (12, 0), (20, 1)):
+        rows.append((j, base[src].tolist(), float(j)))
+    df = spark.createDataFrame(rows, "vid long, v array<float>, q double")
+
+    with cache_scope():
+        kept = sorted(r.vid for r in
+                      embedding_near_dedup(df, "vid", "v",
+                                           threshold=0.999,
+                                           dim=16).collect())
+    assert kept == [0, 1, 2, 3, 4]
+
+    with cache_scope():
+        kept = sorted(r.vid for r in
+                      embedding_near_dedup(df, "vid", "v",
+                                           threshold=0.999, dim=16,
+                                           keep_by="q").collect())
+    # highest q in cluster {0,10,11,12} is 12; in {1,20} is 20
+    assert kept == [2, 3, 4, 12, 20]
