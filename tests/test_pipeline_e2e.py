@@ -85,3 +85,91 @@ def test_pretraining_pipeline_end_to_end(spark):
         assert total == packed.count()
         assert 0.8 < counts["train"] / total < 0.97
     spark.catalog.clearCache()
+
+
+def test_governed_pipeline_end_to_end(spark):
+    """The operational/governance companion to the pretraining e2e:
+    expectations gate → passage-level cut → quality-classifier scoring
+    → best-member near-dedup → token-budget mixing → partitioned sink
+    maintained by upsert → drift check against the original profile.
+    Every stage is an operator from this engine."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        cache_scope, check_expectations, duplicate_passages, fit_logistic,
+        near_dedup, profile_drift, profile_table, remove_duplicate_spans,
+        score_logistic, temperature_mix_rates,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+        text_feature_vector, token_count,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        merge_upsert,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # 1. gate the source on declared expectations
+    rep = {r.rule: r for r in check_expectations(docs, [
+        {"type": "unique", "cols": ["doc_id"]},
+        {"type": "not_null", "col": "text"},
+        {"type": "row_count_min", "n": 100},
+    ]).collect()}
+    assert all(r.passed for r in rep.values())
+
+    with cache_scope():
+        # 2. cut duplicated passages (keep first occurrence)
+        spans = duplicate_passages(docs, "text", "doc_id",
+                                   shingle_n=8, min_run=3)
+        cut = remove_duplicate_spans(docs, spans, "text", "doc_id")
+        assert cut.count() == docs.count()
+        assert cut.where("n_removed_tokens > 0").count() > 0
+
+        # 3. quality classifier over engine-built features (noise-
+        #    salted labels teach it; the scored column then filters)
+        labeled = cut.withColumn(
+            "y", (F.col("doc_id") % 2 == 0).cast("int")).withColumn(
+            "text2",
+            F.when(F.col("y") == 1,
+                   F.concat(F.col("text"), F.lit(" !! 000 $$ 111 %%")))
+            .otherwise(F.col("text")))
+        feats = labeled.select("doc_id", "y",
+                               text_feature_vector("text2").alias("f"))
+        model = fit_logistic(feats, "f", "y", iters=20, lr=1.0)
+        scored = (score_logistic(feats, "f", model)
+                  .join(cut, "doc_id")
+                  .withColumn("quality", 1.0 - F.col("score")))
+
+        # 4. near-dedup keeping the HIGHEST-quality member
+        kept = near_dedup(scored, "text", "doc_id", threshold=0.5,
+                          keep_by="quality")
+        assert 0 < kept.count() <= scored.count()
+
+        # 5. token-budget mixing rates over the deduped corpus
+        sized = kept.withColumn("n_tok", token_count("text"))
+        rates = temperature_mix_rates(sized, "lang", alpha=0.7,
+                                      size_col="n_tok",
+                                      target_rows=10_000)
+        assert rates and all(0.0 <= v <= 1.0 for v in rates.values())
+
+    # 6. land in a partitioned table via upsert; re-upsert is a no-op
+    import tempfile
+    path = tempfile.mkdtemp() + "/corpus"
+    out = kept.select("doc_id", "lang", "text",
+                      F.lit(1).cast("long").alias("ver"))
+    out.write.partitionBy("lang").parquet(path)
+    merge_upsert(spark, path, out, ["doc_id"], partition_cols=["lang"],
+                 order_col="ver")
+    assert spark.read.parquet(path).count() == kept.count()
+
+    # 7. drift check: the landed corpus vs the raw profile — doc count
+    #    and text stats moved (rows dropped, passages cut), which drift
+    #    detection must surface rather than bless
+    drifts = profile_drift(
+        profile_table(docs.select("doc_id", "lang", "text")),
+        profile_table(spark.read.parquet(path)
+                      .select("doc_id", "lang", "text")),
+        # a governed corpus is monitored tightly: rewritten text
+        # content (the passage cuts) IS the signal here
+        distinct_rel_tol=0.02)
+    assert ("text", "cardinality") in {(r.column, r.drift)
+                                       for r in drifts.collect()}
+    spark.catalog.clearCache()
