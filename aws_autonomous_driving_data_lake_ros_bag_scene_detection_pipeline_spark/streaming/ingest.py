@@ -397,3 +397,29 @@ def quarantine_stream(stream: DataFrame, rules: list[dict], *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def delete_stream(stream: DataFrame, keys: list[str], *, path: str,
+                  partition_cols: list[str], checkpoint_dir: str,
+                  available_now: bool = True) -> StreamingQuery:
+    """Propagate a stream of deletion keys (a compliance feed, a dedup
+    delete-list topic) into a hive-partitioned table: every micro-batch
+    applies :func:`~..sources.tables.delete_keys`, rewriting only the
+    partitions the batch's keys live in. Deletion is naturally
+    idempotent (re-deleting an absent key is a no-op), so batch replay
+    needs no bookkeeping. Completes the table-maintenance trio with
+    :func:`upsert_stream` and :func:`quarantine_stream`."""
+    from ..sources.tables import delete_keys
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delete_keys(batch_df.sparkSession, path, batch_df, keys,
+                    partition_cols=partition_cols)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -521,3 +521,38 @@ def test_quarantine_stream_routes_rows(spark, tmp_path):
         quarantine_batch(batch, 0, [{"type": "unique", "cols": ["id"]}],
                          good_path=str(tmp_path / "g2"),
                          quarantine_path=str(tmp_path / "q2"))
+
+
+def test_delete_stream_propagates_erasure(spark, tmp_path):
+    """A stream of deletion keys erases rows batch by batch; replaying
+    the same keys is a no-op (deletion is idempotent by nature)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        delete_keys,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        delete_stream,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"d{i % 3}", f"v{i}") for i in range(30)],
+        "id long, day string, val string") \
+        .write.partitionBy("day").parquet(path)
+
+    src = str(tmp_path / "dels")
+    for batch in ([(0,), (3,)], [(6,), (9,), (12,)]):
+        spark.createDataFrame(batch, "id long").coalesce(1) \
+            .write.mode("append").parquet(src)
+    q = delete_stream(
+        file_stream(spark, src, "id long", max_files_per_trigger=1),
+        ["id"], path=path, partition_cols=["day"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    left = {r.id for r in spark.read.parquet(path).collect()}
+    assert left == set(range(30)) - {0, 3, 6, 9, 12}
+    # replay the same keys directly: no-op
+    delete_keys(spark, path,
+                spark.createDataFrame([(0,), (6,)], "id long"),
+                ["id"], partition_cols=["day"])
+    assert {r.id for r in spark.read.parquet(path).collect()} == left
