@@ -3,7 +3,7 @@ from .caching import cache_scope, register_persist
 from .dedup import (
     banding_for_recall,
     contamination, dup_clusters, duplicate_ids, duplicate_passages,
-    exact_dedup, jaccard,
+    exact_dedup, jaccard, keep_cluster_representatives,
     minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, near_dedup,
     ngram_jaccard_pairs, remove_duplicate_spans, simhash, simhash_pairs,

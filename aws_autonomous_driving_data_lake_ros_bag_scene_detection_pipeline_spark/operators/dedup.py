@@ -666,6 +666,20 @@ def near_dedup(df: DataFrame, text_col: str, id_col: str,
     pairs = minhash_lsh_pairs(df, text_col, id_col,
                               threshold=threshold, **lsh_kwargs)
     clusters = dup_clusters(pairs, "id_a", "id_b")
+    return keep_cluster_representatives(df, id_col, clusters,
+                                        keep_by=keep_by)
+
+
+def keep_cluster_representatives(df: DataFrame, id_col: str,
+                                 clusters: DataFrame,
+                                 keep_by: str | None = None) -> DataFrame:
+    """Shared representative-election + anti-join step behind
+    :func:`near_dedup` and
+    :func:`~.similarity.embedding_near_dedup` — one implementation so
+    election semantics (null-safe keep_by, smallest-id tiebreak) can
+    never drift between the text and embedding paths. ``clusters`` is
+    :func:`dup_clusters` output; returns ``df`` minus the
+    non-representative members."""
     if keep_by is not None:
         # max score per cluster, then smallest id among the members
         # that achieve it (null-safe: an all-NULL-score cluster keeps

@@ -532,31 +532,21 @@ def embedding_near_dedup(df: DataFrame, id_col: str, vec_col: str,
     :func:`~.dedup.near_dedup`: mine pairs
     (:func:`embedding_dup_pairs`), cluster them
     (:func:`~.dedup.dup_clusters`), keep one representative per
-    cluster (smallest id, or the highest ``keep_by`` score), and
+    cluster (smallest id, or the highest ``keep_by`` score — the same
+    :func:`~.dedup.keep_cluster_representatives` election as
+    :func:`~.dedup.near_dedup`, shared so semantics can't drift), and
     return ``df`` with the other members removed. ``pair_kwargs`` pass
     through to the pair miner (``bands``, ``rows_per_band``, ``dim``,
     ``target_recall``, …).
 
-    Run actions inside a ``with cache_scope():`` block (or clear the
-    cache after) — the pair miner persists its bucket frames."""
-    from .dedup import dup_clusters
+    Cache note: the pair miner itself persists nothing (it re-derives
+    bucket keys per pass by design — see embedding_dup_pairs); the
+    retained state here is :func:`~.dedup.dup_clusters`' per-round
+    ``localCheckpoint`` blocks, which die with the session."""
+    from .dedup import dup_clusters, keep_cluster_representatives
 
     pairs = embedding_dup_pairs(df, id_col, vec_col,
                                 threshold=threshold, **pair_kwargs)
     clusters = dup_clusters(pairs, "id_a", "id_b")
-    if keep_by is not None:
-        scored = clusters.join(
-            df.select(F.col(id_col).alias("id"),
-                      F.col(keep_by).alias("_score")), "id")
-        mx = scored.groupBy("cluster_id").agg(F.max("_score").alias("_ms"))
-        best = (scored.join(mx, "cluster_id")
-                .where(F.col("_score").eqNullSafe(F.col("_ms")))
-                .groupBy("cluster_id")
-                .agg(F.min("id").alias("_keep_id")))
-        drop = (clusters.join(best, "cluster_id")
-                .where(F.col("id") != F.col("_keep_id"))
-                .select(F.col("id").alias("_drop_id")))
-    else:
-        drop = (clusters.where(F.col("id") != F.col("cluster_id"))
-                .select(F.col("id").alias("_drop_id")))
-    return df.join(drop, df[id_col] == drop["_drop_id"], "left_anti")
+    return keep_cluster_representatives(df, id_col, clusters,
+                                        keep_by=keep_by)

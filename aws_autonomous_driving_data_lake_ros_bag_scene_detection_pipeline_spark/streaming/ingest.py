@@ -407,14 +407,22 @@ def delete_stream(stream: DataFrame, keys: list[str], *, path: str,
     applies :func:`~..sources.tables.delete_keys`, rewriting only the
     partitions the batch's keys live in. Deletion is naturally
     idempotent (re-deleting an absent key is a no-op), so batch replay
-    needs no bookkeeping. Completes the table-maintenance trio with
-    :func:`upsert_stream` and :func:`quarantine_stream`."""
+    needs no bookkeeping — including the edge where a batch (or its
+    replay) already emptied the whole table: a missing/empty target is
+    a NO-OP, not a crash, because a crash in foreachBatch wedges the
+    stream in a permanent replay loop. Completes the table-maintenance
+    trio with :func:`upsert_stream` and :func:`quarantine_stream`."""
     from ..sources.tables import delete_keys
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        delete_keys(batch_df.sparkSession, path, batch_df, keys,
+        spark = batch_df.sparkSession
+        try:
+            spark.read.parquet(path).schema
+        except AnalysisException:
+            return   # no target (yet, or anymore): nothing to delete
+        delete_keys(spark, path, batch_df, keys,
                     partition_cols=partition_cols)
 
     writer = (stream.writeStream.foreachBatch(_process)

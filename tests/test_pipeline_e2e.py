@@ -87,7 +87,7 @@ def test_pretraining_pipeline_end_to_end(spark):
     spark.catalog.clearCache()
 
 
-def test_governed_pipeline_end_to_end(spark):
+def test_governed_pipeline_end_to_end(spark, tmp_path):
     """The operational/governance companion to the pretraining e2e:
     expectations gate → passage-level cut → quality-classifier scoring
     → best-member near-dedup → token-budget mixing → partitioned sink
@@ -151,8 +151,7 @@ def test_governed_pipeline_end_to_end(spark):
         assert rates and all(0.0 <= v <= 1.0 for v in rates.values())
 
     # 6. land in a partitioned table via upsert; re-upsert is a no-op
-    import tempfile
-    path = tempfile.mkdtemp() + "/corpus"
+    path = str(tmp_path / "corpus")
     out = kept.select("doc_id", "lang", "text",
                       F.lit(1).cast("long").alias("ver"))
     out.write.partitionBy("lang").parquet(path)

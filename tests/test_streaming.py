@@ -556,3 +556,35 @@ def test_delete_stream_propagates_erasure(spark, tmp_path):
                 spark.createDataFrame([(0,), (6,)], "id long"),
                 ["id"], partition_cols=["day"])
     assert {r.id for r in spark.read.parquet(path).collect()} == left
+
+
+def test_delete_stream_survives_emptied_and_missing_target(spark, tmp_path):
+    """A batch that empties the table (or a replay against a missing
+    target) must be a no-op, not a crash — a foreachBatch crash wedges
+    the stream in a permanent replay loop."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        delete_stream,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "d1"), (2, "d1")], "id long, day string") \
+        .write.partitionBy("day").parquet(path)
+    src = str(tmp_path / "dels")
+    # batch 1 empties the table; batch 2 runs against the empty table
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame([(3,)], "id long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = delete_stream(
+        file_stream(spark, src, "id long", max_files_per_trigger=1),
+        ["id"], path=path, partition_cols=["day"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert q.exception() is None
+    # stream against a never-created target: also a clean no-op
+    q2 = delete_stream(
+        file_stream(spark, src, "id long", max_files_per_trigger=1),
+        ["id"], path=str(tmp_path / "nope"), partition_cols=["day"],
+        checkpoint_dir=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    assert q2.exception() is None
