@@ -46,6 +46,24 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
                if c not in old.columns or c not in new.columns]
     if missing:
         raise ValueError(f"columns missing from a snapshot: {missing}")
+    # the diff plan introduces _in_old/_in_new markers plus old_<c>/
+    # new_<c> prefixed copies of every compared column; a key column
+    # with one of those names would collide — producing an ambiguous-
+    # column error or, worse, a silently wrong added/removed/changed
+    # classification. Fail loudly instead.
+    from collections import Counter
+    produced = [*keys,
+                *(f"old_{c}" for c in compare_cols),
+                *(f"new_{c}" for c in compare_cols),
+                "_in_old", "_in_new", change_col, changed_cols_col]
+    clashes = sorted(n for n, cnt in Counter(produced).items() if cnt > 1)
+    if clashes:
+        raise ValueError(
+            f"snapshot_diff name collision: {clashes} — key columns must "
+            f"not be named _in_old/_in_new, match an old_/new_-prefixed "
+            f"compared column, or equal change_col/changed_cols_col; "
+            f"rename the inputs or pass different change_col/"
+            f"changed_cols_col")
 
     o = old.select(*keys,
                    *[F.col(c).alias(f"old_{c}") for c in compare_cols],

@@ -215,6 +215,37 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
     w.parquet(path)
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem existence probe via the Hadoop FileSystem API (any
+    supported scheme). The narrow replacement for ``try: read /
+    except AnalysisException`` guards: a catch-all on the read turns
+    schema corruption or a misconfigured path into a silent no-op,
+    while an existence probe only answers the one question the caller
+    is actually asking."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def dataset_has_data(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and has at least one non-hidden child
+    (a data file or a partition directory). Distinguishes "table
+    emptied by deletions" (root dir remains with only ``_SUCCESS``-
+    style hidden/metadata entries — a no-op for delete feeds) from a
+    real table, without reading any data. One top-level listing."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
+
+
 def dataset_bytes(spark: SparkSession, path: str) -> int:
     """Total on-disk bytes under ``path`` via the Hadoop FileSystem API
     (works for any supported scheme — local, HDFS, s3a). One listing
@@ -331,11 +362,18 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         # a key moving OUT can leave its old partition with zero rows;
         # dynamic overwrite never touches an absent partition, so those
         # directories must be dropped explicitly (same hole as
-        # delete_keys' all-deleted partitions)
+        # delete_keys' all-deleted partitions). Only directories that
+        # actually EXIST can be emptied: an update row may name a
+        # partition absent from disk (stale CDC replay after the key
+        # moved, losing the merge to the newer existing row), so
+        # intersect with the partitions the affected read found on disk
+        # before treating the difference as directories to drop.
         aff_vals = {tuple(r) for r in aff.collect()}
+        on_disk = {tuple(r) for r in
+                   existing.select(*partition_cols).distinct().collect()}
         kept_vals = {tuple(r) for r in
                      merged.select(*partition_cols).distinct().collect()}
-        emptied = aff_vals - kept_vals
+        emptied = (aff_vals & on_disk) - kept_vals
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

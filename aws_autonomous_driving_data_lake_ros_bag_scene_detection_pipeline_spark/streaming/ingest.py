@@ -30,14 +30,32 @@ parquet to make the probe join index-side zero-exchange
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
 
 from ..operators.caching import cache_scope
 from ..operators.dedup import (
     minhash_index, minhash_lsh_pairs, minhash_match_pairs,
 )
+from ..sources.tables import dataset_has_data, path_exists
+
+
+@contextmanager
+def _dynamic_overwrite(spark):
+    """Scope ``partitionOverwriteMode=dynamic`` to one batch: the batch
+    sinks rely on dynamic overwrite for replay idempotency, but leaking
+    the setting on the shared session would silently change the
+    semantics of later unrelated overwrite writes (matching the
+    save/restore discipline of tables.merge_upsert/delete_keys)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def incremental_dedup_batch(batch_df: DataFrame, batch_id: int,
@@ -51,7 +69,6 @@ def incremental_dedup_batch(batch_df: DataFrame, batch_id: int,
     index append. Usable directly for driver-side batch loops; the
     streaming wrapper below hands it to ``foreachBatch``."""
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     params = dict(threshold=threshold, num_perm=num_perm, bands=bands,
                   rows_per_band=rows_per_band, shingle_n=shingle_n,
                   max_bucket=max_bucket)
@@ -59,20 +76,23 @@ def incremental_dedup_batch(batch_df: DataFrame, batch_id: int,
     # scope the operators' internal signature caches to this batch —
     # a long-running stream must not accumulate cached blocks
     try:
-        with cache_scope():
+        with _dynamic_overwrite(spark), cache_scope():
             intra = (minhash_lsh_pairs(batch_df, text_col, id_col,
                                        **params)
                      .select(F.col("id_b").alias("new_id"),
                              F.col("id_a").alias("corpus_id"), "jaccard"))
-            try:
+            if path_exists(spark, index_path):
                 # probe strictly EARLIER batches only: a replayed batch
                 # must not see its own (already-appended) partition —
                 # this keeps replay idempotent and is also what
-                # partition pruning wants
+                # partition pruning wants. First-batch detection is a
+                # filesystem probe, not an AnalysisException catch — a
+                # corrupt/unreadable existing index must raise, not be
+                # silently treated as empty.
                 index = (spark.read.parquet(index_path)
                          .where(F.col("_batch_id") < batch_id)
                          .drop("_batch_id"))
-            except AnalysisException:
+            else:
                 index = None      # first batch: nothing indexed yet
             if index is not None:
                 cross = minhash_match_pairs(batch_df, index, text_col,
@@ -146,16 +166,15 @@ def continuous_cascade_batch(batch_df: DataFrame, batch_id: int,
     from ..operators.timeseries import cascade_update, downsample_cascade
 
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    if path_exists(spark, tiers_path):
         versions = (spark.read.parquet(tiers_path)
                     .where(F.col("_version") < batch_id))
         prev_v = versions.agg(F.max("_version")).first()[0]
-    except AnalysisException:
+    else:
         prev_v = None
     # scope the cascade's internal tier caches to this batch — a
     # long-running stream must not accumulate cached blocks
-    with cache_scope():
+    with _dynamic_overwrite(spark), cache_scope():
         if prev_v is None:
             out = downsample_cascade(batch_df, keys, time_col, value_col,
                                      resolutions)
@@ -214,22 +233,22 @@ def embedding_dedup_batch(batch_df: DataFrame, batch_id: int,
     )
 
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     band_kw = dict(bands=bands, rows_per_band=rows_per_band, dim=dim)
-    with cache_scope():
+    with _dynamic_overwrite(spark), cache_scope():
         intra = (embedding_dup_pairs(batch_df, id_col, vec_col,
                                      threshold=threshold,
                                      max_bucket=max_bucket, **band_kw)
                  .select(F.col("id_b").alias("new_id"),
                          F.col("id_a").alias("corpus_id"), "cosine"))
-        try:
+        if path_exists(spark, index_path) and path_exists(spark,
+                                                          corpus_path):
             index = (spark.read.parquet(index_path)
                      .where(F.col("_batch_id") < batch_id)
                      .drop("_batch_id"))
             corpus = (spark.read.parquet(corpus_path)
                       .where(F.col("_batch_id") < batch_id)
                       .drop("_batch_id"))
-        except AnalysisException:
+        else:
             index = corpus = None     # first batch: nothing indexed yet
         pairs = intra if index is None else intra.unionByName(
             embedding_match_pairs(batch_df, index, corpus, id_col,
@@ -300,15 +319,12 @@ def upsert_batch(batch_df: DataFrame, keys: list[str], *,
          .orderBy(F.col(order_col).desc_nulls_last(), tie))
     winners = (batch_df.withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") == 1).drop("_rn"))
-    # probe ONLY the target read for absence — wrapping the whole merge
-    # would turn any analysis error (schema drift, renamed column) into
-    # a silent full overwrite of the existing table
-    try:
-        spark.read.parquet(path).schema
-        exists = True
-    except AnalysisException:
-        exists = False
-    if exists:
+    # a filesystem existence probe, NOT a read wrapped in
+    # except-AnalysisException: any analysis error (schema corruption,
+    # renamed column, misconfigured path) must raise instead of being
+    # mistaken for "first batch" and silently full-overwriting the
+    # existing table
+    if path_exists(spark, path):
         merge_upsert(spark, path, winners, keys,
                      partition_cols=partition_cols, order_col=order_col)
     else:
@@ -355,7 +371,6 @@ def quarantine_batch(batch_df: DataFrame, batch_id: int,
         raise ValueError(f"quarantine routes row-level rules only, got "
                          f"{bad_types}")
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tags = F.array_compact(F.array(*[
         F.when(_row_violation(r), F.lit(f"{r['type']}:{r['col']}"))
         for r in rules]))
@@ -364,15 +379,16 @@ def quarantine_batch(batch_df: DataFrame, batch_id: int,
     # standard multi-sink recipe, cf. incremental_dedup_batch)
     tagged = batch_df.withColumn("_violations", tags).persist()
     try:
-        good = (tagged.where(F.size("_violations") == 0)
-                .drop("_violations"))
-        bad = tagged.where(F.size("_violations") > 0)
-        (good.withColumn("_batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("_batch_id")
-         .parquet(good_path))
-        (bad.withColumn("_batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("_batch_id")
-         .parquet(quarantine_path))
+        with _dynamic_overwrite(spark):
+            good = (tagged.where(F.size("_violations") == 0)
+                    .drop("_violations"))
+            bad = tagged.where(F.size("_violations") > 0)
+            (good.withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(good_path))
+            (bad.withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(quarantine_path))
     finally:
         tagged.unpersist()
 
@@ -418,9 +434,16 @@ def delete_stream(stream: DataFrame, keys: list[str], *, path: str,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            spark.read.parquet(path).schema
-        except AnalysisException:
+        # existence is probed on the FILESYSTEM, not by catching
+        # AnalysisException around the read: a catch-all would turn
+        # schema corruption or a misconfigured path into a permanent
+        # silent no-op of a compliance deletion feed. Only a genuinely
+        # absent target — or one whose partitions were all dropped by
+        # an earlier batch, leaving just the root dir and hidden
+        # metadata — skips; any other analysis error propagates (and
+        # wedges the stream loudly, which is the correct failure mode
+        # for a deletion pipeline).
+        if not dataset_has_data(spark, path):
             return   # no target (yet, or anymore): nothing to delete
         delete_keys(spark, path, batch_df, keys,
                     partition_cols=partition_cols)

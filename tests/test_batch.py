@@ -288,6 +288,76 @@ def test_merge_upsert_mutable_partition_key(spark, tmp_path):
     assert got == {(1, "d2", "a2"), (2, "d2", "b")}
 
 
+def test_merge_upsert_stale_replay_to_phantom_partition(spark, tmp_path):
+    """A stale CDC replay can carry a partition value that was never
+    written to disk (the key has since moved on and the replayed row
+    loses the merge): with immutable_partitions=False the merge must
+    not try to drop the phantom directory — the emptied set only
+    contains partitions actually present on disk."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "d2", "current", 5), (2, "d1", "b", 1)],
+                          "id long, day string, val string, ver int") \
+        .write.partitionBy("day").parquet(path)
+    # key 1 once lived in d9 — never materialized here — and the replay
+    # loses to ver 5 already in the table
+    stale = spark.createDataFrame([(1, "d9", "old", 2)],
+                                  "id long, day string, val string, ver int")
+    merge_upsert(spark, path, stale, ["id"], partition_cols=["day"],
+                 order_col="ver", immutable_partitions=False)
+    got = {(r.id, r.day, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d2", "current"), (2, "d1", "b")}
+    import os
+    assert not os.path.exists(os.path.join(path, "day=d9"))
+
+
+def test_snapshot_diff_name_collision_raises(spark):
+    """Key/option names colliding with the diff's internal columns
+    (_in_old/_in_new, old_/new_ prefixes, change_col) raise a clear
+    ValueError instead of an ambiguous-column error or a silently
+    wrong classification."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import snapshot_diff
+
+    df = spark.createDataFrame([(1, "x", "y")],
+                               "old_val string, val string, _in_old string")
+    with pytest.raises(ValueError, match="collision"):
+        snapshot_diff(df.select("old_val", "val"),
+                      df.select("old_val", "val"),
+                      ["old_val"], ["val"])
+    with pytest.raises(ValueError, match="collision"):
+        snapshot_diff(df.select("_in_old", "val"),
+                      df.select("_in_old", "val"),
+                      ["_in_old"], ["val"])
+    ok = spark.createDataFrame([(1, "a")], "id long, val string")
+    with pytest.raises(ValueError, match="collision"):
+        snapshot_diff(ok, ok, ["id"], ["val"], change_col="id")
+
+
+def test_fs_probes(spark, tmp_path):
+    """path_exists / dataset_has_data answer the filesystem questions
+    the ingest guards ask — without reading data."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.tables import (
+        dataset_has_data, path_exists,
+    )
+
+    missing = str(tmp_path / "nope")
+    assert not path_exists(spark, missing)
+    assert not dataset_has_data(spark, missing)
+    empty = tmp_path / "emptied"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_text("")
+    assert path_exists(spark, str(empty))
+    assert not dataset_has_data(spark, str(empty))
+    real = str(tmp_path / "tbl")
+    spark.range(3).write.parquet(real)
+    assert dataset_has_data(spark, real)
+
+
 def test_delete_keys_null_and_escaped_partition_values(spark, tmp_path):
     """Emptied partitions with NULL or percent-escaped values are
     located and dropped via Hive's naming rules (silent no-op would

@@ -523,6 +523,35 @@ def test_quarantine_stream_routes_rows(spark, tmp_path):
                          quarantine_path=str(tmp_path / "q2"))
 
 
+def test_batch_helpers_restore_overwrite_mode(spark, tmp_path):
+    """Every foreachBatch helper scopes partitionOverwriteMode=dynamic
+    to its own writes (save/restore) — a leaked setting would silently
+    change the semantics of later unrelated overwrite writes on the
+    shared session."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        incremental_dedup_batch, quarantine_batch,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "static")
+    try:
+        batch = spark.createDataFrame([(1, 10.0)], "id long, v double")
+        quarantine_batch(batch, 0,
+                         [{"type": "not_null", "col": "v"}],
+                         good_path=str(tmp_path / "good"),
+                         quarantine_path=str(tmp_path / "quar"))
+        assert spark.conf.get(key) == "static"
+        docs = spark.createDataFrame([(1, "some text here")],
+                                     "doc_id long, body string")
+        incremental_dedup_batch(docs, 0, "body", "doc_id",
+                                index_path=str(tmp_path / "idx"),
+                                pairs_path=str(tmp_path / "pairs"))
+        assert spark.conf.get(key) == "static"
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_delete_stream_propagates_erasure(spark, tmp_path):
     """A stream of deletion keys erases rows batch by batch; replaying
     the same keys is a no-op (deletion is idempotent by nature)."""
