@@ -175,16 +175,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
-             query_id_col: str | None = None) -> DataFrame:
+             query_id_col: str | None = None,
+             pivots: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate top-k: coarse quantization into ``nlist``
     cells, exact cosine ranking within the query's ``nprobe`` nearest
     cells.
 
-    The coarse centroids are the ``nlist`` corpus vectors with the
-    smallest ids — a deterministic data-sampled codebook rather than a
-    trained k-means one, so the whole operator is reproducible in the
-    DuckDB oracle (a learned codebook is a drop-in: swap the pivot
-    frame). Cells are assigned by squared-L2 argmin (ties → lowest
+    ``pivots`` supplies the coarse codebook (``(_pid, vec_col)`` — use
+    :func:`kmeans_pivots` for a trained, cell-balanced one; that is the
+    production path). When omitted, the codebook defaults to the
+    ``nlist`` corpus vectors with the smallest ids — a deterministic
+    data-sampled rule kept ONLY because it is reproducible in the
+    DuckDB oracle (the q_ann_ivf gate rebuilds it in SQL); on real
+    corpora whose ids correlate with crawl time/domain it clusters the
+    pivots and skews the cells, so callers should pass trained pivots.
+    Cells are assigned by squared-L2 argmin (ties → lowest
     pivot id), queries probe their ``nprobe`` nearest cells, and only
     cell-matched pairs are scored — candidate work is
     ~``nprobe/nlist`` of brute force, the classic IVF trade.
@@ -194,8 +199,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     order so results are float-identical to sequential expressions.
     Columns: (query_id, neighbor_id, cosine, rank)."""
     query_id_col = query_id_col or id_col
-    pv = (corpus.orderBy(F.col(id_col).asc()).limit(nlist)
-          .select(F.col(id_col).alias("_pid"), F.col(vec_col)))
+    pv = pivots if pivots is not None else (
+        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(F.col(id_col).alias("_pid"), F.col(vec_col)))
     pe = _explode_vec(pv, ["_pid"], vec_col, "_px")
 
     def cells(ev, idc, rank_n):
@@ -240,13 +246,161 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 
 def ivf_pivots(corpus: DataFrame, id_col: str, vec_col: str,
-               nlist: int = 16) -> DataFrame:
-    """The coarse codebook: the ``nlist`` corpus vectors with the
-    smallest ids (deterministic data-sampled pivots — same rule as
-    :func:`ivf_topk`; a trained k-means codebook is a drop-in).
-    Returns ``(_pid, vec_col)``; store it next to the index."""
-    return (corpus.orderBy(F.col(id_col).asc()).limit(nlist)
-            .select(F.col(id_col).alias("_pid"), F.col(vec_col)))
+               nlist: int = 16, *, method: str = "kmeans",
+               iters: int = 10) -> DataFrame:
+    """The coarse codebook, ``(_pid, vec_col)``; store it next to the
+    index.
+
+    ``method="kmeans"`` (default) trains it with distributed Lloyd's
+    iterations (:func:`kmeans_pivots`) — the production rule, with a
+    cell-balance contract tested on id-clustered corpora.
+    ``method="first_ids"`` is the legacy smallest-ids rule, kept ONLY
+    for oracle-reproducible tests (it is expressible in plain SQL);
+    on corpora whose ids correlate with content it clusters the pivots
+    and the nprobe/nlist pruning guarantee silently degrades."""
+    if method == "kmeans":
+        return kmeans_pivots(corpus, id_col, vec_col, nlist, iters=iters)
+    if method == "first_ids":
+        return (corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+                .select(F.col(id_col).alias("_pid"), F.col(vec_col)))
+    raise ValueError(f"unknown pivot method {method!r}: "
+                     f"expected 'kmeans' or 'first_ids'")
+
+
+def kmeans_pivots(corpus: DataFrame, id_col: str, vec_col: str,
+                  nlist: int = 16, *, iters: int = 10,
+                  tol: float = 1e-6) -> DataFrame:
+    """Trained IVF codebook: distributed Lloyd's k-means over the
+    corpus, returning ``nlist`` centroids as ``(_pid, vec_col)`` —
+    drop-in pivots for :func:`ivf_topk` / :func:`ivf_index` /
+    :func:`ivf_probe`.
+
+    Scale shape (the same Arrow-partials pattern as
+    ``classifier.fit_logistic`` and ``embeddings.embedding_moments``):
+    the MODEL (nlist x dim doubles) lives on the driver and ships to
+    tasks in the closure; each Lloyd iteration is ONE distributed pass
+    where every Arrow batch assigns its vectors to the nearest centroid
+    with one numpy matmul and emits per-centroid (count, sum-vector)
+    partials — driver state per iteration is O(arrow_batches x nlist),
+    never the corpus. Iterations stop early when the largest centroid
+    displacement falls under ``tol``.
+
+    Determinism: initialization is k-means‖-style — oversample
+    ``8 x nlist`` candidates by smallest ``xxhash64(id)`` (reproducible
+    given the data yet UNCORRELATED with id order — the failure mode of
+    the first-ids rule: on corpora where ids track crawl time/domain,
+    consecutive ids are near-duplicates, the pivots cluster, and most
+    of the corpus lands in one giant cell), then reduce to ``nlist``
+    seeds with greedy farthest-point on the driver (O(oversample x
+    nlist x dim), model-sized) so well-separated regions each get a
+    seed even when a plain ``nlist``-sized hash sample would miss some
+    (the coupon-collector gap). Empty cells keep their
+    previous centroid. Float partials merge on the driver, so exact
+    bit-patterns may vary with partitioning — callers pin results by
+    passing the RETURNED pivots frame everywhere, not by re-training.
+
+    Centroids are literal data (``createDataFrame``), so downstream
+    cell assignment broadcasts them exactly like any other pivot frame.
+    """
+    if nlist < 1:
+        raise ValueError(f"nlist must be >= 1, got {nlist}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    import numpy as np
+
+    spark = corpus.sparkSession
+    data = (corpus.select(F.col(vec_col).cast("array<double>").alias("x"))
+            .where(F.col(vec_col).isNotNull())
+            .persist())
+    try:
+        seed_rows = (corpus
+                     .select(F.col(vec_col).cast("array<double>")
+                             .alias("x"),
+                             F.xxhash64(F.col(id_col).cast("string"))
+                             .alias("_h"))
+                     .where(F.col(vec_col).isNotNull())
+                     .orderBy(F.asc("_h"))
+                     .limit(8 * nlist).collect())
+        if not seed_rows:
+            raise ValueError("no rows with non-null vectors")
+        cand = np.asarray([r["x"] for r in seed_rows], dtype=np.float64)
+        # greedy farthest-point reduction: start from the smallest-hash
+        # candidate, then repeatedly take the candidate farthest from
+        # every chosen seed — covers separated regions deterministically
+        chosen = [0]
+        d_min = ((cand - cand[0]) ** 2).sum(axis=1)
+        while len(chosen) < min(nlist, len(cand)):
+            nxt = int(d_min.argmax())
+            chosen.append(nxt)
+            d_min = np.minimum(d_min, ((cand - cand[nxt]) ** 2).sum(axis=1))
+        cent = cand[chosen]
+        nlist = len(cent)              # corpus smaller than nlist: use all
+        dim = cent.shape[1]
+
+        for _ in range(iters):
+            c_now = cent
+
+            def partials(it):
+                import pandas as pd
+                for pdf in it:
+                    x = np.asarray([np.asarray(v, dtype=np.float64)
+                                    for v in pdf["x"]])
+                    if len(x) == 0:
+                        continue
+                    # squared L2 via the expansion; argmin per row
+                    d2 = ((x * x).sum(axis=1)[:, None]
+                          - 2.0 * (x @ c_now.T)
+                          + (c_now * c_now).sum(axis=1)[None, :])
+                    a = d2.argmin(axis=1)
+                    cnt = np.bincount(a, minlength=nlist)
+                    sums = np.zeros((nlist, dim), dtype=np.float64)
+                    np.add.at(sums, a, x)
+                    yield pd.DataFrame({"cnt": [cnt.tolist()],
+                                        "sums": [sums.ravel().tolist()]})
+
+            rows = data.mapInPandas(
+                partials, "cnt array<long>, sums array<double>").collect()
+            cnt = np.zeros(nlist, dtype=np.int64)
+            sums = np.zeros((nlist, dim), dtype=np.float64)
+            for r in rows:
+                cnt += np.asarray(r["cnt"], dtype=np.int64)
+                sums += np.asarray(r["sums"],
+                                   dtype=np.float64).reshape(nlist, dim)
+            nz = cnt > 0
+            new = cent.copy()
+            new[nz] = sums[nz] / cnt[nz, None]
+            shift = float(np.abs(new - cent).max())
+            cent = new
+            if shift < tol:
+                break
+    finally:
+        data.unpersist()
+    return spark.createDataFrame(
+        [(int(i), cent[i].tolist()) for i in range(nlist)],
+        f"_pid long, {vec_col} array<double>")
+
+
+def cell_balance(cell_counts: DataFrame, nlist: int, *,
+                 cell_col: str = "cell",
+                 count_col: str = "count") -> dict:
+    """Cell-size balance statistics from a ``(cell, count)`` frame —
+    the IVF pruning-health metric: ``imbalance`` = max cell size over
+    the mean size across ALL ``nlist`` cells (empty cells count as 0,
+    so dead pivots RAISE the ratio). ``imbalance`` near 1 means
+    ``nprobe/nlist`` candidate math translates into ``nprobe/nlist``
+    bytes read; a large value means one giant cell is silently
+    defeating the pruning (the first-ids-codebook failure mode).
+    Collects at most ``nlist`` rows — driver-side model metadata."""
+    if nlist < 1:
+        raise ValueError(f"nlist must be >= 1, got {nlist}")
+    sizes = [r[count_col] for r in
+             cell_counts.select(cell_col, count_col).collect()]
+    total = sum(sizes)
+    mx = max(sizes) if sizes else 0
+    mean = total / nlist
+    return {"nlist": nlist, "nonempty": len([s for s in sizes if s > 0]),
+            "total": total, "max": mx, "mean": mean,
+            "imbalance": (mx / mean) if mean > 0 else float("inf")}
 
 
 def _assign_cells(ev: DataFrame, idc: str, x_name: str,

@@ -40,6 +40,7 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      embedding_dedup_batch, embedding_dedup_stream,
                      incremental_dedup_batch,
                      incremental_dedup_stream,
+                     ivf_append_batch, read_ivf_index,
                      delete_stream,
                      quarantine_batch, quarantine_stream,
                      upsert_batch, upsert_stream)

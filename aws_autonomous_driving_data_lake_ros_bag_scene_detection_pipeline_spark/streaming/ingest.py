@@ -292,6 +292,68 @@ def embedding_dedup_stream(stream: DataFrame, id_col: str, vec_col: str,
     return writer.start()
 
 
+def ivf_append_batch(batch_df: DataFrame, batch_id: int, id_col: str,
+                     vec_col: str, *, pivots: DataFrame,
+                     index_path: str,
+                     rebalance_threshold: float = 4.0) -> dict:
+    """Append ONE batch of vectors to a persisted cell-partitioned IVF
+    index (:func:`~..operators.similarity.ivf_index` layout) and return
+    a drift advisory — the index-maintenance loop the minhash/embedding
+    dedup indexes already have.
+
+    The batch's vectors are assigned to the EXISTING cells (pivots are
+    frozen — assignment is per-row and deterministic given the pivot
+    frame, so the accumulated index is row-identical to a full rebuild
+    with the same pivots) and written under
+    ``index_path/cell=<c>/_batch_id=<b>`` with dynamic overwrite: a
+    replayed batch rewrites exactly its own subpartitions.
+    :func:`~..operators.similarity.ivf_probe` reads the accumulated
+    index unchanged — ``cell`` stays the leading partition column, so
+    the probed-cells-only pruning keeps working across appends.
+
+    Drift advisory WITHOUT re-scanning the index: each batch also
+    writes its per-cell counts (≤ nlist rows) to
+    ``index_path/_cellstats``; the advisory aggregates that tiny stats
+    table over batches ``<= batch_id`` into cumulative cell sizes and
+    flags ``repivot_advised`` when max/mean exceeds
+    ``rebalance_threshold`` (see
+    :func:`~..operators.similarity.cell_balance`) — per-batch cost is
+    the batch's own assignment plus an aggregate over O(nlist x
+    batches) stats rows, never the corpus. Re-pivoting itself is the
+    caller's move (train new pivots, rebuild via
+    :func:`~..operators.similarity.ivf_index`): reassigning history is
+    a full rewrite and must be an explicit operation, not a side
+    effect."""
+    from ..operators.similarity import cell_balance, ivf_index
+
+    spark = batch_df.sparkSession
+    nlist = pivots.count()
+    stats_path = f"{index_path}/_cellstats"
+    with _dynamic_overwrite(spark):
+        idx = ivf_index(batch_df, id_col, vec_col, pivots)
+        (idx.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("cell", "_batch_id")
+         .parquet(index_path))
+        (idx.groupBy("cell").count()
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(stats_path))
+    cum = (spark.read.parquet(stats_path)
+           .where(F.col("_batch_id") <= batch_id)
+           .groupBy("cell").agg(F.sum("count").alias("count")))
+    bal = cell_balance(cum, nlist)
+    bal["repivot_advised"] = bal["imbalance"] > rebalance_threshold
+    return bal
+
+
+def read_ivf_index(spark, index_path: str) -> DataFrame:
+    """Load an appended IVF index for :func:`~..operators.similarity.
+    ivf_probe`: the data partitions minus the ``_batch_id`` bookkeeping
+    column (``_cellstats`` is hidden from the read by its underscore
+    prefix)."""
+    return spark.read.parquet(index_path).drop("_batch_id")
+
+
 def upsert_batch(batch_df: DataFrame, keys: list[str], *,
                  path: str, partition_cols: list[str],
                  order_col: str) -> None:

@@ -157,6 +157,51 @@ def test_cascade_update_per_batch_cost_stays_flat(spark, tmp_path):
 
 @pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
                     reason="slow scale test disabled")
+def test_ivf_append_per_batch_cost_stays_flat(spark, tmp_path):
+    """IVF index maintenance at scale: appending batch 9 to a 9x index
+    costs about what batch 2 cost — each append pays its own cell
+    assignment plus an aggregate over the tiny per-batch cell-stats
+    table, never a re-scan of the accumulated index (mirrors the
+    incremental-dedup proof)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import kmeans_pivots
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        ivf_append_batch, read_ivf_index,
+    )
+
+    n, dim = 3000, 16
+
+    def vec_batch(k):
+        base = (F.col("id") % 8).cast("double")
+        return spark.range(n).select(
+            (F.col("id") + F.lit(k * n)).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: base * (d + 1) / F.lit(float(dim))
+                + F.pmod(F.col("id") * (d + 3), F.lit(97)) / 970.0
+            ).alias("embedding"))
+
+    piv = kmeans_pivots(vec_batch(0), "vec_id", "embedding", nlist=8,
+                        iters=5)
+    idx_path = str(tmp_path / "ivf")
+    times = []
+    for k in range(10):
+        t0 = time.monotonic()
+        stats = ivf_append_batch(vec_batch(k), k, "vec_id", "embedding",
+                                 pivots=piv, index_path=idx_path)
+        times.append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+    assert stats["total"] == 10 * n
+
+    early = statistics.median(times[1:4])
+    late = statistics.median(times[-3:])
+    assert late <= early * 3, (
+        f"per-batch append cost grew with index size: early={early:.2f}s "
+        f"late={late:.2f}s times={['%.2f' % t for t in times]}")
+    assert read_ivf_index(spark, idx_path).count() == 10 * n
+
+
+@pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+                    reason="slow scale test disabled")
 def test_edit_distance_pairs_scales_with_matches_not_pairs(spark):
     """Fuzzy-join blocking at 10x: candidate volume (and wall time)
     tracks the true-match count, not n^2. A 20k-string corpus with

@@ -116,6 +116,8 @@ def test_ivf_probe_matches_from_scratch_operator(spark, emb, tmp_path):
         write_partitioned,
     )
     queries = emb.where("vec_id < 5")
+    # trained pivots are the production codebook; equivalence must hold
+    # for whatever frame is passed, so pin the SAME pivots on both sides
     piv = ivf_pivots(emb, "vec_id", "embedding", nlist=16)
     idx_path = str(tmp_path / "ivf")
     write_partitioned(ivf_index(emb, "vec_id", "embedding", piv),
@@ -127,8 +129,88 @@ def test_ivf_probe_matches_from_scratch_operator(spark, emb, tmp_path):
                            k=5, nprobe=4).collect())
     want = sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in
                   ivf_topk(emb, queries, "vec_id", "embedding",
-                           k=5, nlist=16, nprobe=4).collect())
+                           k=5, nlist=16, nprobe=4, pivots=piv).collect())
     assert got == want and len(got) == 25
+
+    # the legacy first-ids rule stays the oracle-reproducible default
+    # of ivf_topk when no pivots are passed
+    fid = ivf_pivots(emb, "vec_id", "embedding", nlist=16,
+                     method="first_ids")
+    got2 = sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in
+                  ivf_topk(emb, queries, "vec_id", "embedding",
+                           k=5, nlist=16, nprobe=4, pivots=fid).collect())
+    want2 = sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in
+                   ivf_topk(emb, queries, "vec_id", "embedding",
+                            k=5, nlist=16, nprobe=4).collect())
+    assert got2 == want2
+
+
+def test_kmeans_pivots_cell_balance_contract(spark):
+    """The trained codebook's whole point: on an id-correlated corpus
+    (embeddings drift with id, as crawl-time-ordered corpora do) the
+    first-ids rule puts every pivot at the start of the drift and one
+    cell swallows nearly the whole corpus — nprobe/nlist pruning
+    silently stops pruning. kmeans pivots keep max-cell/mean-cell
+    bounded on the same data."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        cell_balance, ivf_index, ivf_pivots, kmeans_pivots,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, nlist = 800, 16, 8
+    # embeddings drift along a line as id grows + small isotropic noise
+    base = np.zeros((n, dim))
+    base[:, 0] = np.linspace(0.0, 10.0, n)
+    vecs = base + rng.normal(0.0, 0.05, size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    first = ivf_pivots(df, "vec_id", "embedding", nlist=nlist,
+                       method="first_ids")
+    bal_first = cell_balance(
+        ivf_index(df, "vec_id", "embedding", first).groupBy("cell").count(),
+        nlist)
+    trained = kmeans_pivots(df, "vec_id", "embedding", nlist=nlist)
+    bal_kmeans = cell_balance(
+        ivf_index(df, "vec_id", "embedding", trained)
+        .groupBy("cell").count(), nlist)
+
+    # first-ids: all 8 pivots sit in the first ~1% of the drift, so the
+    # last pivot's cell captures essentially everything downstream
+    assert bal_first["imbalance"] > 4.0, bal_first
+    # trained: farthest-point init + Lloyd spread the centroids along
+    # the drift; every cell stays near the mean size
+    assert bal_kmeans["imbalance"] <= 2.0, bal_kmeans
+    assert bal_kmeans["nonempty"] == nlist
+    assert bal_first["total"] == bal_kmeans["total"] == n
+
+
+def test_ivf_recall_vs_nprobe_curve(spark, emb):
+    """Pin the recall-vs-probe trade with trained pivots: candidates
+    only grow with nprobe (exact ranking within them), so recall@k is
+    monotone in nprobe and reaches 1.0 at nprobe=nlist (full probe ==
+    brute force)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import kmeans_pivots
+
+    nlist = 8
+    piv = kmeans_pivots(emb, "vec_id", "embedding", nlist=nlist)
+    queries = emb.where("vec_id < 10")
+    bf = {(r.query_id, r.neighbor_id) for r in
+          brute_force_topk(emb, queries, "vec_id", "embedding",
+                           k=5).collect()}
+    recall = {}
+    for nprobe in (1, 2, 4, nlist):
+        got = {(r.query_id, r.neighbor_id) for r in
+               ivf_topk(emb, queries, "vec_id", "embedding", k=5,
+                        nlist=nlist, nprobe=nprobe,
+                        pivots=piv).collect()}
+        recall[nprobe] = len(got & bf) / len(bf)
+    assert recall[1] <= recall[2] <= recall[4] <= recall[nlist]
+    assert recall[nlist] == 1.0
+    assert recall[2] >= 0.3, recall
 
 
 def test_ivf_probe_reads_only_probed_cells(spark, emb, tmp_path):
@@ -162,6 +244,68 @@ def test_ivf_probe_reads_only_probed_cells(spark, emb, tmp_path):
     assert 0 < matched < total * 0.7
     assert scanned == matched, "cell predicate must prune partitions, " \
         "not filter post-scan"
+
+
+def test_ivf_append_matches_full_rebuild_and_advises_repivot(
+        spark, emb, tmp_path):
+    """Incremental IVF maintenance: appended batches accumulate into
+    exactly the index a full rebuild with the same pivots produces
+    (assignment is per-row deterministic given frozen pivots), replay
+    of a batch is idempotent, probes keep working over the appended
+    layout, and the drift advisory fires when arriving data piles into
+    one cell."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        ivf_index, ivf_probe, kmeans_pivots,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        ivf_append_batch, read_ivf_index,
+    )
+
+    piv = kmeans_pivots(emb, "vec_id", "embedding", nlist=8)
+    batches = [emb.where(f"vec_id % 3 = {k}") for k in range(3)]
+    idx_path = str(tmp_path / "ivf")
+    stats = [ivf_append_batch(b, k, "vec_id", "embedding", pivots=piv,
+                              index_path=idx_path)
+             for k, b in enumerate(batches)]
+    # in-distribution batches: no advisory
+    assert not any(s["repivot_advised"] for s in stats)
+    assert stats[-1]["total"] == emb.count()
+
+    def snap(df):
+        return sorted((r.vec_id, r.cell) for r in
+                      df.select("vec_id", "cell").collect())
+
+    accumulated = snap(read_ivf_index(spark, idx_path))
+    rebuilt = snap(ivf_index(emb, "vec_id", "embedding", piv))
+    assert accumulated == rebuilt
+
+    # replaying batch 1 rewrites its own subpartitions — no duplicates
+    ivf_append_batch(batches[1], 1, "vec_id", "embedding", pivots=piv,
+                     index_path=idx_path)
+    assert snap(read_ivf_index(spark, idx_path)) == rebuilt
+
+    # probe over the appended layout == probe over a rebuilt index
+    queries = emb.where("vec_id < 3")
+    got = sorted(tuple(r) for r in
+                 ivf_probe(read_ivf_index(spark, idx_path), queries,
+                           "vec_id", "embedding", piv, k=5,
+                           nprobe=3).collect())
+    want = sorted(tuple(r) for r in
+                  ivf_probe(ivf_index(emb, "vec_id", "embedding", piv),
+                            queries, "vec_id", "embedding", piv, k=5,
+                            nprobe=3).collect())
+    assert got == want and len(got) > 0
+
+    # a drifted batch (far outside every trained cell) swells one cell
+    # past the threshold -> advisory fires
+    import numpy as np
+    far = spark.createDataFrame(
+        [(10_000 + i, (np.full(64, 50.0) + i).tolist())
+         for i in range(3 * emb.count())],
+        "vec_id long, embedding array<double>")
+    drifted = ivf_append_batch(far, 3, "vec_id", "embedding", pivots=piv,
+                               index_path=idx_path)
+    assert drifted["repivot_advised"], drifted
 
 
 def test_embedding_incremental_matches_full_mining(spark, emb):
