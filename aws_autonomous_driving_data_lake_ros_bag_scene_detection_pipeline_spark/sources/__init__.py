@@ -1,11 +1,20 @@
+from .snapshots import (
+    ConcurrentCommit, latest_version, read_snapshot, snapshot_delete,
+    snapshot_prune, snapshot_upsert, snapshot_write,
+)
 from .tables import (
-    TPCH_TABLES, compact_files, dataset_bytes, delete_keys, load_table,
-    load_tables, merge_upsert, prune_versions, read_topics, write_bucketed,
+    TPCH_TABLES, compact_files, dataset_bytes, dataset_has_data,
+    delete_keys, load_table, load_tables, merge_upsert, path_exists,
+    prune_versions, read_topics, write_bucketed,
     write_partitioned, write_time_sorted, write_zordered, zorder_key,
 )
 
-__all__ = ["TPCH_TABLES", "compact_files", "dataset_bytes",
-           "delete_keys", "load_table", "load_tables", "merge_upsert",
-           "prune_versions", "read_topics",
+__all__ = ["TPCH_TABLES", "ConcurrentCommit", "compact_files",
+           "dataset_bytes", "dataset_has_data",
+           "delete_keys", "latest_version", "load_table", "load_tables",
+           "merge_upsert", "path_exists",
+           "prune_versions", "read_snapshot", "read_topics",
+           "snapshot_delete", "snapshot_prune", "snapshot_upsert",
+           "snapshot_write",
            "write_bucketed", "write_partitioned", "write_time_sorted",
            "write_zordered", "zorder_key"]

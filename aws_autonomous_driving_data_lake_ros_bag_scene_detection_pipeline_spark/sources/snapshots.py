@@ -1,0 +1,377 @@
+"""Snapshot-committed tables: atomic batch maintenance over parquet.
+
+:func:`~.tables.merge_upsert` / :func:`~.tables.delete_keys` rewrite
+hive partitions IN PLACE (dynamic overwrite, then an explicit drop of
+emptied directories) — correct semantics for a single writer that
+never crashes, but a crash between the two steps, or a reader listing
+the directory mid-overwrite, observes a mixed table state. At 100 TB
+with concurrent jobs that is not an edge case; the fix is the standard
+one every table format (Iceberg/Delta/Hudi) converged on, rebuilt here
+from plain parquet + one manifest file:
+
+- **Data files are immutable.** Every commit writes NEW files under
+  ``<path>/data/<hive partition dirs>/<commit-uuid>-part-*.parquet``;
+  nothing a published snapshot references is ever modified or deleted
+  by a commit (only :func:`snapshot_prune` removes files, and only
+  ones no retained snapshot references).
+- **A snapshot is a manifest**, ``<path>/_manifests/<version>.json``:
+  the list of data files (with their hive partition dir) that make up
+  the table at that version. A partition-granular upsert/delete
+  carries forward the untouched partitions' entries BY REFERENCE and
+  lists new files only for rewritten partitions — commit cost is the
+  affected partitions, exactly like the in-place path, but crash-safe.
+- **Publishing is ONE atomic rename**: the manifest is written to a
+  hidden temp name and renamed to ``<version>.json``. Readers resolve
+  ``max(version)`` over the manifest directory, so a half-written
+  commit is invisible (the temp name never matches) and a crash
+  anywhere before the rename leaves only unreferenced garbage files.
+  The rename also provides optimistic concurrency: two writers racing
+  to commit the same version — rename-to-existing fails — produce one
+  winner and one clean ``ConcurrentCommit`` error, never interleaved
+  state. (Rename atomicity holds on HDFS and POSIX filesystems; on
+  S3 proper, front the manifest dir with a consistent store — the
+  same caveat every manifest-based format documents.)
+- **Readers are isolated**: :func:`read_snapshot` pins the file list
+  at resolve time, so a query keeps reading its version's files even
+  if newer versions commit mid-query; files stay on disk until
+  :func:`snapshot_prune` drops versions past the retention window.
+
+The reference's only comparable guarantee is Step-Functions execution
+dedup around whole-pipeline runs (trigger.py:55-68) — nothing at the
+storage layer.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import _hive_partition_dir
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommit(RuntimeError):
+    """Another writer published this version first; re-read the table
+    state and retry the operation."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    jvm, fs, jpath = _fs(spark, path)
+    out = fs.create(jpath, False)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    jvm, fs, jpath = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def latest_version(spark: SparkSession, path: str) -> int | None:
+    """Highest published snapshot version, or None for an empty/new
+    table. One directory listing — only fully-renamed ``<n>.json``
+    manifests are visible, so an in-flight commit can't be resolved."""
+    jvm, fs, jdir = _fs(spark, f"{path}/{_MANIFEST_DIR}")
+    if not fs.exists(jdir):
+        return None
+    versions = []
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                versions.append(int(name[:-len(".json")]))
+            except ValueError:
+                continue
+    return max(versions) if versions else None
+
+
+def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    return json.loads(_read_text(
+        spark, f"{path}/{_MANIFEST_DIR}/{version}.json"))
+
+
+def _commit_manifest(spark: SparkSession, path: str, version: int,
+                     manifest: dict) -> None:
+    """Publish a manifest with one atomic rename. The CAS point of the
+    whole format: rename to an existing destination fails, so exactly
+    one writer wins a version."""
+    jvm, fs, _ = _fs(spark, path)
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
+    tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+    _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(f"{mdir}/{version}.json")
+    if fs.exists(dst) or not fs.rename(src, dst):
+        fs.delete(src, False)
+        raise ConcurrentCommit(
+            f"version {version} of {path} was published by another "
+            f"writer; reload and retry")
+
+
+def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
+                      partition_cols: list[str]) -> list[dict]:
+    """Materialize ``df`` as immutable commit-scoped data files and
+    return their manifest entries.
+
+    The frame is written to a scratch dir (so Spark controls
+    parallelism and hive layout), then each data file is renamed into
+    ``data/<partition dirs>/<commit>-<name>`` — renames are metadata
+    ops on a real filesystem, one per file, driver-side but bounded by
+    the files this commit produced (same class as a batch manifest).
+    Nothing is visible to readers until the manifest commit."""
+    commit = uuid.uuid4().hex
+    jvm, fs, _ = _fs(spark, path)
+    scratch = f"{path}/_tmp/{commit}"
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(scratch)
+
+    scratch_path = jvm.org.apache.hadoop.fs.Path(scratch)
+    entries = []
+    it = fs.listFiles(scratch_path, True)
+    scratch_uri = fs.makeQualified(scratch_path).toString()
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        rel = p.toString()[len(scratch_uri):].lstrip("/")
+        part_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        dst_rel = (f"{part_dir}/{commit}-{name}" if part_dir
+                   else f"{commit}-{name}")
+        dst = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_DATA_DIR}/{dst_rel}")
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(p, dst):
+            raise RuntimeError(f"failed to place data file {dst_rel}")
+        entries.append({"path": dst_rel, "partition": part_dir})
+    fs.delete(scratch_path, True)
+    return entries
+
+
+def _read_files(spark: SparkSession, path: str,
+                entries: list[dict]) -> DataFrame:
+    files = [f"{path}/{_DATA_DIR}/{e['path']}" for e in entries]
+    return (spark.read.option("basePath", f"{path}/{_DATA_DIR}")
+            .parquet(*files))
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  version: int | None = None) -> DataFrame:
+    """The table at ``version`` (default: latest published). The file
+    list is pinned at resolve time — concurrent commits cannot change
+    what this DataFrame reads. Raises on a table with no published
+    snapshot."""
+    if version is None:
+        version = latest_version(spark, path)
+        if version is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {path}")
+    m = _load_manifest(spark, path, version)
+    if not m["files"]:
+        schema = m.get("schema")
+        if not schema:
+            raise FileNotFoundError(
+                f"snapshot {version} of {path} is empty and carries "
+                f"no schema")
+        from pyspark.sql.types import StructType
+        return spark.createDataFrame([],
+                                     StructType.fromJson(json.loads(schema)))
+    return _read_files(spark, path, m["files"])
+
+
+def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
+                   partition_cols: list[str]) -> int:
+    """Publish ``df`` as the table's next full snapshot (initial load
+    or wholesale replace). Returns the committed version."""
+    entries = _write_data_files(spark, path, df, partition_cols)
+    prev = latest_version(spark, path)
+    version = 0 if prev is None else prev + 1
+    _commit_manifest(spark, path, version, {
+        "version": version, "partition_cols": partition_cols,
+        "schema": df.schema.json(), "files": entries})
+    return version
+
+
+def _affected_dirs(updates_vals: list[tuple],
+                   partition_cols: list[str]) -> set[str]:
+    return {_hive_partition_dir(partition_cols, v) for v in updates_vals}
+
+
+def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                    keys: list[str], *, partition_cols: list[str],
+                    order_col: str | None = None,
+                    immutable_partitions: bool = True) -> int:
+    """Keyed SCD1 merge as a copy-on-write snapshot commit — the
+    crash-safe, concurrent-reader-safe form of
+    :func:`~.tables.merge_upsert`, with the identical merge semantics
+    (one row per key survives; highest ``order_col`` wins when given,
+    else updates beat existing; ``immutable_partitions=False`` also
+    rewrites the partitions the updated keys currently live in so a
+    moved key's stale copy is merged away).
+
+    Commit shape: only the affected partitions' rows are read and
+    rewritten; untouched partitions are carried forward BY REFERENCE
+    in the new manifest (zero data movement). A crash at any point
+    leaves the previous snapshot fully readable — at worst some
+    unreferenced data files for :func:`snapshot_prune` to collect.
+    Returns the committed version."""
+    prev = latest_version(spark, path)
+    if prev is None:
+        return snapshot_write(spark, path, updates,
+                              partition_cols=partition_cols)
+    m = _load_manifest(spark, path, prev)
+    if m["partition_cols"] != partition_cols:
+        raise ValueError(
+            f"partition_cols {partition_cols} do not match the "
+            f"table's {m['partition_cols']}")
+
+    aff_vals = [tuple(r) for r in
+                updates.select(*partition_cols).distinct().collect()]
+    aff = _affected_dirs(aff_vals, partition_cols)
+    if not immutable_partitions:
+        current = _read_files(spark, path, m["files"]) if m["files"] \
+            else None
+        if current is not None:
+            moved = [tuple(r) for r in
+                     (current.join(updates.select(*keys).distinct(),
+                                   keys, "left_semi")
+                      .select(*partition_cols).distinct().collect())]
+            aff |= _affected_dirs(moved, partition_cols)
+
+    carry = [e for e in m["files"] if e["partition"] not in aff]
+    hit = [e for e in m["files"] if e["partition"] in aff]
+
+    if hit:
+        existing = _read_files(spark, path, hit)
+        tagged = (existing.withColumn("_src", F.lit(0))
+                  .unionByName(updates.withColumn("_src", F.lit(1))))
+    else:
+        tagged = updates.withColumn("_src", F.lit(1))
+    order = ([F.col(order_col).desc_nulls_last()] if order_col else []) \
+        + [F.col("_src").desc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    merged = (tagged.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn", "_src"))
+
+    new_entries = _write_data_files(spark, path, merged, partition_cols)
+    _commit_manifest(spark, path, prev + 1, {
+        "version": prev + 1, "partition_cols": partition_cols,
+        "schema": m.get("schema"), "files": carry + new_entries})
+    return prev + 1
+
+
+def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
+                    keys: list[str], *,
+                    partition_cols: list[str]) -> int:
+    """Keyed deletion as a copy-on-write snapshot commit — the
+    crash-safe form of :func:`~.tables.delete_keys`. Affected
+    partitions (the ones containing matches) are rewritten without the
+    matching rows; a partition whose rows are all deleted simply has
+    no files in the new manifest — no directory-drop step to crash
+    between. Returns the committed version."""
+    prev = latest_version(spark, path)
+    if prev is None:
+        raise FileNotFoundError(f"no published snapshot under {path}")
+    m = _load_manifest(spark, path, prev)
+    if m["partition_cols"] != partition_cols:
+        raise ValueError(
+            f"partition_cols {partition_cols} do not match the "
+            f"table's {m['partition_cols']}")
+    if not m["files"]:
+        return prev                      # empty table: nothing to do
+
+    kd = keys_df.select(*keys).distinct()
+    current = _read_files(spark, path, m["files"])
+    aff_vals = [tuple(r) for r in
+                (current.join(kd, keys, "left_semi")
+                 .select(*partition_cols).distinct().collect())]
+    if not aff_vals:
+        return prev                      # no matches: nothing to do
+    aff = _affected_dirs(aff_vals, partition_cols)
+
+    carry = [e for e in m["files"] if e["partition"] not in aff]
+    hit = [e for e in m["files"] if e["partition"] in aff]
+    remaining = _read_files(spark, path, hit).join(kd, keys, "left_anti")
+    new_entries = _write_data_files(spark, path, remaining,
+                                    partition_cols)
+    _commit_manifest(spark, path, prev + 1, {
+        "version": prev + 1, "partition_cols": partition_cols,
+        "schema": m.get("schema"), "files": carry + new_entries})
+    return prev + 1
+
+
+def snapshot_prune(spark: SparkSession, path: str, *,
+                   keep_latest: int = 2) -> dict:
+    """Retention + garbage collection: drop all but the newest
+    ``keep_latest`` manifests, then delete every data file no retained
+    manifest references (including leftovers from crashed commits and
+    any ``_tmp`` scratch). Keeping ≥2 versions preserves a rollback
+    point AND a grace window for readers that resolved the previous
+    version just before a commit. Returns counts of dropped manifests
+    and deleted files."""
+    if keep_latest < 1:
+        raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    jvm, fs, _ = _fs(spark, path)
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    jmdir = jvm.org.apache.hadoop.fs.Path(mdir)
+    if not fs.exists(jmdir):
+        return {"manifests_dropped": 0, "files_deleted": 0}
+    versions = []
+    for st in fs.listStatus(jmdir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                versions.append(int(name[:-len(".json")]))
+            except ValueError:
+                continue
+    keep = sorted(versions)[-keep_latest:]
+    drop = [v for v in versions if v not in keep]
+
+    referenced = set()
+    for v in keep:
+        for e in _load_manifest(spark, path, v)["files"]:
+            referenced.add(e["path"])
+
+    deleted = 0
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{path}/{_DATA_DIR}")
+    if fs.exists(data_root):
+        root_uri = fs.makeQualified(data_root).toString()
+        it = fs.listFiles(data_root, True)
+        to_delete = []
+        while it.hasNext():
+            p = it.next().getPath()
+            rel = p.toString()[len(root_uri):].lstrip("/")
+            if rel not in referenced:
+                to_delete.append(p)
+        for p in to_delete:
+            fs.delete(p, False)
+            deleted += 1
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{mdir}/{v}.json"),
+                  False)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/_tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    return {"manifests_dropped": len(drop), "files_deleted": deleted}

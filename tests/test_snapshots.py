@@ -1,0 +1,228 @@
+"""Atomic snapshot commits: crash injection, reader isolation,
+single-winner concurrency, partition-granular carry-forward, GC."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+    ConcurrentCommit, latest_version, read_snapshot, snapshot_delete,
+    snapshot_prune, snapshot_upsert, snapshot_write,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshots as snapmod
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_snapshot_upsert_delete_semantics(spark, tmp_path):
+    """Same merge semantics as the in-place path: highest order_col
+    wins, stale replays lose, deletes drop rows and emptied partitions
+    vanish from the manifest (no directory-drop step to crash in)."""
+    path = str(tmp_path / "tbl")
+    v0 = snapshot_write(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "d1", "a", 1), (2, "d1", "b", 1), (3, "d2", "c", 1)],
+            "id long, day string, val string, ver int"),
+        partition_cols=["day"])
+    assert v0 == 0
+
+    ups = spark.createDataFrame([(1, "d1", "a2", 2), (4, "d2", "d", 2)],
+                                "id long, day string, val string, ver int")
+    v1 = snapshot_upsert(spark, path, ups, ["id"],
+                         partition_cols=["day"], order_col="ver")
+    assert v1 == 1
+    got = _rows(read_snapshot(spark, path).select("id", "day", "val"))
+    assert got == {(1, "d1", "a2"), (2, "d1", "b"),
+                   (3, "d2", "c"), (4, "d2", "d")}
+
+    # stale replay loses to the newer rows already committed
+    stale = spark.createDataFrame([(1, "d1", "old", 1)],
+                                  "id long, day string, val string, ver int")
+    snapshot_upsert(spark, path, stale, ["id"],
+                    partition_cols=["day"], order_col="ver")
+    assert _rows(read_snapshot(spark, path)
+                 .where("id = 1").select("val")) == {("a2",)}
+
+    # delete all of d2 -> partition disappears entirely
+    dels = spark.createDataFrame([(3,), (4,)], "id long")
+    snapshot_delete(spark, path, dels, ["id"], partition_cols=["day"])
+    got = _rows(read_snapshot(spark, path).select("id", "day"))
+    assert got == {(1, "d1"), (2, "d1")}
+    m = snapmod._load_manifest(spark, path,
+                               latest_version(spark, path))
+    assert all(e["partition"] != "day=d2" for e in m["files"])
+
+    # deleting absent keys is a version-preserving no-op
+    v_before = latest_version(spark, path)
+    assert snapshot_delete(spark, path,
+                           spark.createDataFrame([(99,)], "id long"),
+                           ["id"], partition_cols=["day"]) == v_before
+
+
+def test_snapshot_untouched_partitions_carried_by_reference(spark,
+                                                            tmp_path):
+    """An upsert touching d1 must carry d2's file entries forward
+    verbatim — commit cost is the affected partitions only."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    m0 = snapmod._load_manifest(spark, path, 0)
+    d2_files = sorted(e["path"] for e in m0["files"]
+                      if e["partition"] == "day=d2")
+    snapshot_upsert(spark, path,
+                    spark.createDataFrame([(1, "d1", "a2")],
+                                          "id long, day string, val string"),
+                    ["id"], partition_cols=["day"])
+    m1 = snapmod._load_manifest(spark, path, 1)
+    assert sorted(e["path"] for e in m1["files"]
+                  if e["partition"] == "day=d2") == d2_files
+    assert sorted(e["path"] for e in m1["files"]
+                  if e["partition"] == "day=d1") != \
+        sorted(e["path"] for e in m0["files"]
+               if e["partition"] == "day=d1")
+
+
+def test_snapshot_crash_between_write_and_publish(spark, tmp_path,
+                                                  monkeypatch):
+    """Kill the writer after data files land but before the manifest
+    rename: readers still resolve the old consistent snapshot, and a
+    retry commits cleanly."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+
+    real_commit = snapmod._commit_manifest
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(snapmod, "_commit_manifest", crash)
+    ups = spark.createDataFrame([(1, "d1", "a2")],
+                                "id long, day string, val string")
+    with pytest.raises(RuntimeError, match="injected"):
+        snapshot_upsert(spark, path, ups, ["id"],
+                        partition_cols=["day"])
+    # old snapshot untouched and fully readable
+    assert latest_version(spark, path) == 0
+    assert _rows(read_snapshot(spark, path).select("val")) == {("a",)}
+
+    # retry succeeds; the crashed attempt's orphan files are invisible
+    monkeypatch.setattr(snapmod, "_commit_manifest", real_commit)
+    v = snapshot_upsert(spark, path, ups, ["id"],
+                        partition_cols=["day"])
+    assert v == 1
+    assert _rows(read_snapshot(spark, path).select("val")) == {("a2",)}
+    # ... and GC collects them
+    stats = snapshot_prune(spark, path, keep_latest=1)
+    assert stats["files_deleted"] >= 1
+    assert _rows(read_snapshot(spark, path).select("val")) == {("a2",)}
+
+
+def test_snapshot_concurrent_reader_sees_pinned_version(spark, tmp_path):
+    """A reader that resolved version N keeps reading N's files even
+    after a newer version commits mid-query (files are immutable and
+    survive until pruned past retention)."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a"), (2, "d1", "b")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    reader = read_snapshot(spark, path)        # pins version 0's files
+    snapshot_upsert(spark, path,
+                    spark.createDataFrame([(1, "d1", "changed")],
+                                          "id long, day string, val string"),
+                    ["id"], partition_cols=["day"])
+    assert _rows(reader.select("id", "val")) == {(1, "a"), (2, "b")}
+    assert _rows(read_snapshot(spark, path).select("id", "val")) == \
+        {(1, "changed"), (2, "b")}
+
+
+def test_snapshot_concurrent_commit_single_winner(spark, tmp_path):
+    """Two writers racing to publish the same version: the second
+    rename hits an existing manifest and raises ConcurrentCommit
+    instead of interleaving state."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    snapshot_upsert(spark, path,
+                    spark.createDataFrame([(1, "d1", "w1")],
+                                          "id long, day string, val string"),
+                    ["id"], partition_cols=["day"])   # publishes v1
+    with pytest.raises(ConcurrentCommit):
+        snapmod._commit_manifest(spark, path, 1, {"version": 1,
+                                                  "partition_cols": ["day"],
+                                                  "files": []})
+    # winner's state intact
+    assert _rows(read_snapshot(spark, path).select("val")) == {("w1",)}
+
+
+def test_snapshot_prune_retention_and_gc(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "v0")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    for k in range(1, 4):
+        snapshot_upsert(
+            spark, path,
+            spark.createDataFrame([(1, "d1", f"v{k}")],
+                                  "id long, day string, val string"),
+            ["id"], partition_cols=["day"])
+    assert latest_version(spark, path) == 3
+    stats = snapshot_prune(spark, path, keep_latest=2)
+    assert stats["manifests_dropped"] == 2
+    assert stats["files_deleted"] >= 2
+    # retained versions still read
+    assert _rows(read_snapshot(spark, path).select("val")) == {("v3",)}
+    assert _rows(read_snapshot(spark, path, version=2)
+                 .select("val")) == {("v2",)}
+    with pytest.raises(Exception):
+        read_snapshot(spark, path, version=0).collect()
+    # only retained files remain under data/
+    m2 = snapmod._load_manifest(spark, path, 2)
+    m3 = snapmod._load_manifest(spark, path, 3)
+    kept = {e["path"] for e in m2["files"]} | \
+        {e["path"] for e in m3["files"]}
+    on_disk = set()
+    for root, _, names in os.walk(str(tmp_path / "tbl" / "data")):
+        for n in names:
+            if not n.startswith(("_", ".")):
+                rel = os.path.relpath(os.path.join(root, n),
+                                      str(tmp_path / "tbl" / "data"))
+                on_disk.add(rel)
+    assert on_disk == kept
+
+
+def test_snapshot_mutable_partition_key_and_null_partition(spark,
+                                                           tmp_path):
+    """immutable_partitions=False merges away a moved key's stale copy;
+    NULL partition values round-trip through the hive dir naming."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a", 1), (2, None, "b", 1)],
+                              "id long, day string, val string, ver int"),
+        partition_cols=["day"])
+    moved = spark.createDataFrame([(1, "d2", "a2", 2)],
+                                  "id long, day string, val string, ver int")
+    snapshot_upsert(spark, path, moved, ["id"], partition_cols=["day"],
+                    order_col="ver", immutable_partitions=False)
+    got = _rows(read_snapshot(spark, path).select("id", "day", "val"))
+    assert got == {(1, "d2", "a2"), (2, None, "b")}
