@@ -170,11 +170,19 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
     return entries
 
 
-def _read_files(spark: SparkSession, path: str,
-                entries: list[dict]) -> DataFrame:
+def _read_files(spark: SparkSession, path: str, entries: list[dict],
+                schema_json: str | None = None) -> DataFrame:
+    """Read exactly the listed data files. With ``schema_json`` (the
+    manifest's), the table schema is declared instead of inferred from
+    one footer — after a schema evolution, files written before the
+    new column existed read as NULL for it without needing the
+    mergeSchema footer sweep."""
     files = [f"{path}/{_DATA_DIR}/{e['path']}" for e in entries]
-    return (spark.read.option("basePath", f"{path}/{_DATA_DIR}")
-            .parquet(*files))
+    reader = spark.read.option("basePath", f"{path}/{_DATA_DIR}")
+    if schema_json:
+        from pyspark.sql.types import StructType
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(*files)
 
 
 def read_snapshot(spark: SparkSession, path: str,
@@ -198,7 +206,7 @@ def read_snapshot(spark: SparkSession, path: str,
         from pyspark.sql.types import StructType
         return spark.createDataFrame([],
                                      StructType.fromJson(json.loads(schema)))
-    return _read_files(spark, path, m["files"])
+    return _read_files(spark, path, m["files"], m.get("schema"))
 
 
 def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
@@ -222,14 +230,20 @@ def _affected_dirs(updates_vals: list[tuple],
 def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
                     keys: list[str], *, partition_cols: list[str],
                     order_col: str | None = None,
-                    immutable_partitions: bool = True) -> int:
+                    immutable_partitions: bool = True,
+                    schema_evolution: bool = False) -> int:
     """Keyed SCD1 merge as a copy-on-write snapshot commit — the
     crash-safe, concurrent-reader-safe form of
     :func:`~.tables.merge_upsert`, with the identical merge semantics
     (one row per key survives; highest ``order_col`` wins when given,
     else updates beat existing; ``immutable_partitions=False`` also
     rewrites the partitions the updated keys currently live in so a
-    moved key's stale copy is merged away).
+    moved key's stale copy is merged away) and the identical
+    ``schema_evolution`` contract (drifted update columns raise by
+    default; with ``True``, new columns evolve the table — and because
+    the MANIFEST carries the evolved schema, readers see the new
+    column as NULL in carried-forward partitions with no mergeSchema
+    needed, the caveat the in-place path has).
 
     Commit shape: only the affected partitions' rows are read and
     rewritten; untouched partitions are carried forward BY REFERENCE
@@ -247,12 +261,21 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
             f"partition_cols {partition_cols} do not match the "
             f"table's {m['partition_cols']}")
 
+    from pyspark.sql.types import StructType
+
+    from .tables import _check_schema_drift
+    table_cols = ([f.name for f in StructType.fromJson(
+        json.loads(m["schema"])).fields] if m.get("schema") else [])
+    if table_cols:
+        _check_schema_drift(table_cols, updates.columns, keys,
+                            partition_cols, schema_evolution)
+
     aff_vals = [tuple(r) for r in
                 updates.select(*partition_cols).distinct().collect()]
     aff = _affected_dirs(aff_vals, partition_cols)
     if not immutable_partitions:
-        current = _read_files(spark, path, m["files"]) if m["files"] \
-            else None
+        current = _read_files(spark, path, m["files"], m.get("schema")) \
+            if m["files"] else None
         if current is not None:
             moved = [tuple(r) for r in
                      (current.join(updates.select(*keys).distinct(),
@@ -264,11 +287,19 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
     hit = [e for e in m["files"] if e["partition"] in aff]
 
     if hit:
-        existing = _read_files(spark, path, hit)
+        existing = _read_files(spark, path, hit, m.get("schema"))
         tagged = (existing.withColumn("_src", F.lit(0))
-                  .unionByName(updates.withColumn("_src", F.lit(1))))
+                  .unionByName(updates.withColumn("_src", F.lit(1)),
+                               allowMissingColumns=schema_evolution))
     else:
         tagged = updates.withColumn("_src", F.lit(1))
+        if schema_evolution and m.get("schema"):
+            # no affected files, but the table schema must still union
+            # with the updates' so carried partitions keep their columns
+            empty = spark.createDataFrame([], StructType.fromJson(
+                json.loads(m["schema"])))
+            tagged = (empty.withColumn("_src", F.lit(0))
+                      .unionByName(tagged, allowMissingColumns=True))
     order = ([F.col(order_col).desc_nulls_last()] if order_col else []) \
         + [F.col("_src").desc()]
     w = Window.partitionBy(*keys).orderBy(*order)
@@ -278,7 +309,7 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
     new_entries = _write_data_files(spark, path, merged, partition_cols)
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": partition_cols,
-        "schema": m.get("schema"), "files": carry + new_entries})
+        "schema": merged.schema.json(), "files": carry + new_entries})
     return prev + 1
 
 

@@ -305,7 +305,8 @@ def compact_files(spark: SparkSession, src_path: str, dst_path: str, *,
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                  keys: list[str], *, partition_cols: list[str],
                  order_col: str | None = None,
-                 immutable_partitions: bool = True) -> None:
+                 immutable_partitions: bool = True,
+                 schema_evolution: bool = False) -> None:
     """Keyed merge (SCD1 upsert) into a hive-partitioned parquet
     dataset IN PLACE, rewriting only the partitions the updates touch.
     Semantics: one row per key survives — the highest ``order_col``
@@ -333,24 +334,42 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
 
     ``updates`` must carry ``partition_cols``; ``keys`` must be unique
     per row in ``updates`` (enforce upstream — last-wins inside a batch
-    needs an ``order_col``)."""
+    needs an ``order_col``).
+
+    Schema contract: by default an updates batch whose columns differ
+    from the table's raises ``ValueError`` naming the added/missing
+    columns — silent drift in a CDC feed is a bug, not an evolution.
+    ``schema_evolution=True`` opts in: NEW columns are added to the
+    table (existing rows read as NULL), and update rows MISSING a
+    table column win with NULL for it (SCD1 whole-row semantics — the
+    update replaces the row, it does not patch fields). Caveat of the
+    in-place layout: untouched partitions' files keep the old physical
+    schema, so readers of an evolved table must pass
+    ``.option("mergeSchema", "true")`` (or an explicit schema) to see
+    the new column everywhere — the snapshot path
+    (:func:`~.snapshots.snapshot_upsert`) has no such caveat because
+    the manifest carries the evolved schema. Keys and partition
+    columns can never be evolved away."""
     if not partition_cols:
         raise ValueError("merge_upsert needs partition_cols: in-place "
                          "merge without partitioning would rewrite the "
                          "whole dataset — use compact_files-style "
                          "write-elsewhere instead")
     from pyspark.sql import Window
+    target = spark.read.parquet(path)
+    _check_schema_drift(target.columns, updates.columns, keys,
+                        partition_cols, schema_evolution)
     aff = updates.select(*partition_cols).distinct()
     if not immutable_partitions:
-        moved = (spark.read.parquet(path)
+        moved = (target
                  .join(updates.select(*keys).distinct(), keys,
                        "left_semi")
                  .select(*partition_cols).distinct())
         aff = aff.unionByName(moved).distinct()
-    existing = (spark.read.parquet(path)
-                .join(F.broadcast(aff), partition_cols, "left_semi"))
+    existing = target.join(F.broadcast(aff), partition_cols, "left_semi")
     tagged = (existing.withColumn("_src", F.lit(0))
-              .unionByName(updates.withColumn("_src", F.lit(1))))
+              .unionByName(updates.withColumn("_src", F.lit(1)),
+                           allowMissingColumns=schema_evolution))
     order = ([F.col(order_col).desc_nulls_last()] if order_col else []) \
         + [F.col("_src").desc()]
     w = Window.partitionBy(*keys).orderBy(*order)
@@ -384,6 +403,31 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     if emptied:
         _drop_partition_dirs(spark, path, partition_cols, emptied)
+
+
+def _check_schema_drift(existing_cols: list[str], update_cols: list[str],
+                        keys: list[str], partition_cols: list[str],
+                        schema_evolution: bool) -> None:
+    """The upsert schema contract (shared by the in-place and snapshot
+    paths): key/partition columns are always required in the updates;
+    any other column-set difference raises unless the caller opted into
+    evolution."""
+    up = set(update_cols)
+    required = [c for c in (*keys, *partition_cols) if c not in up]
+    if required:
+        raise ValueError(
+            f"updates batch is missing key/partition columns "
+            f"{required} — these can never be evolved away")
+    ex = set(existing_cols)
+    added = sorted(up - ex)
+    dropped = sorted(ex - up)
+    if (added or dropped) and not schema_evolution:
+        raise ValueError(
+            f"updates schema drifted from the table's "
+            f"(new columns: {added}, missing columns: {dropped}); "
+            f"pass schema_evolution=True to evolve the table (new "
+            f"columns appear as NULL on old rows; update rows missing "
+            f"a column win with NULL for it)")
 
 
 def add_lineage(df: DataFrame, **cols: str) -> DataFrame:

@@ -314,6 +314,57 @@ def test_merge_upsert_stale_replay_to_phantom_partition(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "day=d9"))
 
 
+def test_merge_upsert_schema_evolution_contract(spark, tmp_path):
+    """Default: a drifted updates schema raises, naming the columns.
+    schema_evolution=True: new columns evolve the table (old rows NULL
+    via mergeSchema), update rows missing a column win with NULL."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")],
+                          "id long, day string, val string") \
+        .write.partitionBy("day").parquet(path)
+
+    with_new = spark.createDataFrame([(1, "d1", "a2", 9.5)],
+                                     "id long, day string, val string,"
+                                     " score double")
+    with pytest.raises(ValueError, match="score"):
+        merge_upsert(spark, path, with_new, ["id"],
+                     partition_cols=["day"])
+    missing_col = spark.createDataFrame([(2, "d2")],
+                                        "id long, day string")
+    with pytest.raises(ValueError, match="val"):
+        merge_upsert(spark, path, missing_col, ["id"],
+                     partition_cols=["day"])
+    # key/partition columns can never be evolved away, even opted-in
+    with pytest.raises(ValueError, match="never"):
+        merge_upsert(spark, path, spark.createDataFrame([(1, "x")],
+                                                        "id long, val string"),
+                     ["id"], partition_cols=["day"],
+                     schema_evolution=True)
+
+    # add-column evolution
+    merge_upsert(spark, path, with_new, ["id"], partition_cols=["day"],
+                 schema_evolution=True)
+    got = {(r.id, r.val, r.score) for r in
+           spark.read.option("mergeSchema", "true").parquet(path)
+           .collect()}
+    assert got == {(1, "a2", 9.5), (2, "b", None)}
+
+    # drop-column update batch: the winning row carries NULL for the
+    # absent column (whole-row SCD1 replace, not a field patch)
+    merge_upsert(spark, path, missing_col, ["id"],
+                 partition_cols=["day"], schema_evolution=True)
+    got = {(r.id, r.val) for r in
+           spark.read.option("mergeSchema", "true").parquet(path)
+           .select("id", "val").collect()}
+    assert got == {(1, "a2"), (2, None)}
+
+
 def test_snapshot_diff_name_collision_raises(spark):
     """Key/option names colliding with the diff's internal columns
     (_in_old/_in_new, old_/new_ prefixes, change_col) raise a clear

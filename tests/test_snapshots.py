@@ -210,6 +210,39 @@ def test_snapshot_prune_retention_and_gc(spark, tmp_path):
     assert on_disk == kept
 
 
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """Snapshot tables evolve without the in-place path's mergeSchema
+    caveat: the manifest carries the evolved schema, so carried-forward
+    partitions (whose files predate the new column) read it as NULL."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    with_new = spark.createDataFrame(
+        [(1, "d1", "a2", 9.5)],
+        "id long, day string, val string, score double")
+    with pytest.raises(ValueError, match="score"):
+        snapshot_upsert(spark, path, with_new, ["id"],
+                        partition_cols=["day"])
+    snapshot_upsert(spark, path, with_new, ["id"],
+                    partition_cols=["day"], schema_evolution=True)
+    # d2 was untouched (carried by reference) yet exposes the new
+    # column as NULL — no mergeSchema option anywhere
+    got = _rows(read_snapshot(spark, path).select("id", "val", "score"))
+    assert got == {(1, "a2", 9.5), (2, "b", None)}
+
+    # a later batch missing the evolved column still merges (rows win
+    # with NULL), and the schema keeps the column
+    older = spark.createDataFrame([(2, "d2", "b2")],
+                                  "id long, day string, val string")
+    snapshot_upsert(spark, path, older, ["id"], partition_cols=["day"],
+                    schema_evolution=True)
+    got = _rows(read_snapshot(spark, path).select("id", "val", "score"))
+    assert got == {(1, "a2", 9.5), (2, "b2", None)}
+
+
 def test_snapshot_mutable_partition_key_and_null_partition(spark,
                                                            tmp_path):
     """immutable_partitions=False merges away a moved key's stale copy;
