@@ -48,7 +48,7 @@ from .sessionize import (
 from .timeseries import (
     asof_join, cascade_update, downsample_cascade, forward_fill, lag_lead,
     windowed_agg_batch,
-    resample_asof, resample_interpolate, time_spine,
+    resample_asof, resample_interpolate, running_agg, time_spine,
 )
 from .topk import top_k_per_group
 
@@ -68,7 +68,7 @@ __all__ = [
     "merge_intervals", "minhash_index", "minhash_match_pairs",
     "minhash_signature", "near_dedup", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "profile_table", "repartition_for_media", "resample_asof",
-    "resample_interpolate", "resize_pixels",
+    "resample_interpolate", "resize_pixels", "running_agg",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
     "temperature_mix_rates", "tfidf_top_terms", "time_spine",

@@ -305,6 +305,97 @@ def cascade_update(tiers: DataFrame, batch: DataFrame, keys: list[str],
                           .alias("avg"))
 
 
+_RUNNING_AGGS = {"sum": F.sum, "min": F.min, "max": F.max,
+                 "count": lambda c: F.count(F.lit(1))}
+
+
+def running_agg(df: DataFrame, keys: list[str], order_col: str,
+                aggs: dict[str, tuple[str, str | None]], *,
+                chunk_width: float | None = None) -> DataFrame:
+    """Running (cumulative) aggregates per key in event order, with an
+    optional SKEW-BOUNDED two-phase plan for hot keys.
+
+    ``aggs`` maps output name → ``(fn, value_col)`` with ``fn`` one of
+    ``sum | min | max | count`` (``value_col`` ignored for count) —
+    exactly the monotone/associative running aggregations that admit a
+    two-phase decomposition. Frames are RANGE (peers by equal
+    ``order_col`` aggregate together), so results are deterministic
+    under ties and identical between both plans.
+
+    Default (``chunk_width=None``): one window pass,
+    ``partitionBy(keys).orderBy(order_col)``. Correct at any scale per
+    key that fits a task — but every sessionize/funnel/LOCF-style
+    window shares this shape's failure mode: ONE pathological key (a
+    bot user with 10^8 events) serializes an entire task while 999
+    executors idle.
+
+    ``chunk_width=w`` bounds the per-task row count by the key's event
+    density within ``w`` order units, at the price of one extra (tiny)
+    shuffle:
+
+    1. chunk id = ``floor(order_col / w)``; the running value WITHIN
+       each (key, chunk) is a window over that bounded partition;
+    2. per-(key, chunk) totals — a map-side-combinable groupBy whose
+       output is |keys| x |chunks| rows — get a per-key running offset
+       over STRICTLY EARLIER chunks (a window over chunk counts, not
+       events);
+    3. offsets join back on (key, chunk) — the same hash partitioning
+       phase 1 produced, and the offsets side is small enough that the
+       optimizer broadcasts it — and combine: sum/count add, min/max
+       fold with ``least``/``greatest`` (null offset for a key's first
+       chunk is the identity).
+
+    Pick ``w`` so a hot key's densest window fits a task (e.g. one
+    hour of a bot's events), the same sizing judgement as
+    ``downsample_cascade`` resolutions. ``order_col`` must be numeric
+    (cast timestamps to epoch seconds upstream). Equal order values
+    always share a chunk, preserving RANGE-frame tie semantics.
+    Equivalence plain==chunked and the measured reducer-spread
+    evidence live in tests/test_timeseries.py (mirroring
+    test_joins.py's salted_join proofs)."""
+    bad = [f for f, _ in aggs.values() if f not in _RUNNING_AGGS]
+    if bad:
+        raise ValueError(f"unsupported running aggs {bad}: two-phase "
+                         f"decomposition needs monotone/associative "
+                         f"functions ({sorted(_RUNNING_AGGS)})")
+    if chunk_width is None:
+        w = Window.partitionBy(*keys).orderBy(order_col)
+        out = df
+        for name, (fn, col) in aggs.items():
+            out = out.withColumn(name, _RUNNING_AGGS[fn](col).over(w))
+        return out
+    if chunk_width <= 0:
+        raise ValueError(f"chunk_width must be > 0, got {chunk_width}")
+
+    tagged = df.withColumn(
+        "_chunk", F.floor(F.col(order_col) / F.lit(float(chunk_width))))
+    wi = Window.partitionBy(*keys, "_chunk").orderBy(order_col)
+    out = tagged
+    for name, (fn, col) in aggs.items():
+        out = out.withColumn(name, _RUNNING_AGGS[fn](col).over(wi))
+
+    totals = tagged.groupBy(*keys, "_chunk").agg(
+        *[_RUNNING_AGGS[fn](col).alias(f"_tot_{name}")
+          for name, (fn, col) in aggs.items()])
+    wc = (Window.partitionBy(*keys).orderBy("_chunk")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        *keys, "_chunk",
+        *[_RUNNING_AGGS[fn if fn != "count" else "sum"]
+          (f"_tot_{name}").over(wc).alias(f"_off_{name}")
+          for name, (fn, _) in aggs.items()])
+
+    joined = out.join(offsets, [*keys, "_chunk"])
+    combine = {"sum": lambda i, o: i + F.coalesce(o, F.lit(0)),
+               "count": lambda i, o: i + F.coalesce(o, F.lit(0)),
+               "min": F.least, "max": F.greatest}
+    for name, (fn, _) in aggs.items():
+        joined = joined.withColumn(
+            name, combine[fn](F.col(name), F.col(f"_off_{name}")))
+    return joined.drop("_chunk",
+                       *[f"_off_{name}" for name in aggs])
+
+
 def lag_lead(df: DataFrame, keys: list[str], order_col: str, col: str,
              offsets: tuple[int, ...] = (1,)) -> DataFrame:
     """Attach lag/lead columns (SURVEY #39-#40; detect_scenes.py:197-214)."""

@@ -432,3 +432,86 @@ def test_windowed_agg_batch_fractional_width(spark):
                                        width=0.5).collect()}
     assert got == {(0.5, 1.0): 10.0, (1.0, 1.5): 100.0,
                    (1.5, 2.0): 1000.0}
+
+
+def test_running_agg_chunked_matches_plain(spark):
+    """The two-phase chunked plan is observationally identical to the
+    single-window plan — including RANGE-frame tie semantics (equal
+    order values aggregate together) and negative order values."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import running_agg
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("k"),
+        # ties: every third row shares its order value; negatives too
+        ((F.col("id") * 13 % 400) - 50).cast("double").alias("t"),
+        ((F.col("id") * 31) % 97).cast("double").alias("v"))
+    aggs = {"rsum": ("sum", "v"), "rmin": ("min", "v"),
+            "rmax": ("max", "v"), "rcnt": ("count", None)}
+
+    def rows(d):
+        return sorted(tuple(r) for r in
+                      d.select("k", "t", "v", "rsum", "rmin", "rmax",
+                               "rcnt").collect())
+
+    plain = rows(running_agg(df, ["k"], "t", aggs))
+    for width in (7.0, 100.0, 1000.0):
+        assert rows(running_agg(df, ["k"], "t", aggs,
+                                chunk_width=width)) == plain
+
+    import pytest
+    with pytest.raises(ValueError, match="unsupported"):
+        running_agg(df, ["k"], "t", {"a": ("avg", "v")})
+    with pytest.raises(ValueError, match="chunk_width"):
+        running_agg(df, ["k"], "t", aggs, chunk_width=0)
+
+
+def test_running_agg_chunked_measured_skew_spread(spark):
+    """Measured evidence for the chunking rationale (mirrors
+    test_salted_join_measured_skew_spread): with one bot key carrying
+    ~90% of the rows, the plain window lands that key's entire stream
+    on ONE task, while the chunked plan bounds every task by the
+    per-chunk row count. Partition row counts are the deterministic
+    cause of task-time spread; wall-clock itself is box noise."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import running_agg
+
+    n_hot, n_cold, n_keys = 60_000, 500, 14
+    hot = spark.range(n_hot).select(
+        F.lit(0).alias("k"), F.col("id").cast("double").alias("t"),
+        F.lit(1.0).alias("v"))
+    cold = spark.range(n_cold * (n_keys - 1)).select(
+        (F.col("id") % (n_keys - 1) + 1).alias("k"),
+        (F.col("id") * 3).cast("double").alias("t"), F.lit(1.0).alias("v"))
+    df = hot.unionAll(cold)
+    aggs = {"rsum": ("sum", "v")}
+
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        def partition_shares(d):
+            # the aggregate must CONSUME the running column: otherwise
+            # column pruning deletes the unused window (and its
+            # exchange) and _pid would reflect the raw scan layout
+            sizes = [r.cnt for r in
+                     d.withColumn("_pid", F.spark_partition_id())
+                      .groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"),
+                                           F.sum("rsum"))
+                      .collect()]
+            return max(sizes) / sum(sizes)
+
+        plain = running_agg(df, ["k"], "t", aggs)
+        chunked = running_agg(df, ["k"], "t", aggs, chunk_width=1000.0)
+        # same answers on the hot key's tail
+        assert plain.where("k = 0 and t = 59999").collect()[0]["rsum"] \
+            == chunked.where("k = 0 and t = 59999").collect()[0]["rsum"] \
+            == float(n_hot)
+        # plain: the bot key (~90% of rows) is one task
+        assert partition_shares(plain) >= 0.8
+        # chunked: the bot's 60 chunks hash across the 32 reducers; a
+        # reducer holds a handful of 1000-row chunks, never the key
+        # (bound leaves room for hash clumping, still 4x under plain)
+        assert partition_shares(chunked) <= 0.2
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       prev_coalesce)
