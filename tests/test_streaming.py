@@ -176,6 +176,65 @@ def test_completeness_gate_semantics(tmp_path):
     assert gate2.observe([("D", "camera"), ("D", "lidar")]) == ["C", "D"]
 
 
+def _reference_trigger_fires(events, num_topics,
+                             min_num_bags_to_process=2):
+    """Faithful replay of the reference's firing rule
+    (trigger.py:150-165 `should_lambda_trigger_pipeline` +
+    process_sns_message's per-file state): after each S3 file event it
+    checks (a) the latest-arrived bag's DEDUPED topic list covers
+    NUM_TOPICS and (b) total files / NUM_TOPICS >= 2. Returns the
+    0-based event index of the first fire, or None."""
+    bag_topics: dict[str, list] = {}
+    num_files = 0
+    for i, (bag, topic) in enumerate(events):
+        bag_topics.setdefault(bag, []).append(topic)
+        num_files += 1
+        all_topics = len(set(bag_topics[bag])) == num_topics
+        if all_topics and num_files / num_topics >= min_num_bags_to_process:
+            return i
+    return None
+
+
+def test_completeness_gate_parity_with_reference_rule(tmp_path):
+    """Replay the reference's canonical event sequence (two bags, each
+    delivering its full topic set file-by-file) through BOTH rules:
+    the gate must release the same bag group at the same event index
+    the reference's trigger fires — identical batch boundaries."""
+    topics = {"camera", "lidar", "gps"}
+    events = [("bag1", "camera"), ("bag1", "lidar"), ("bag2", "camera"),
+              ("bag1", "gps"), ("bag2", "lidar"), ("bag2", "gps")]
+
+    ref_fire = _reference_trigger_fires(events, num_topics=len(topics))
+    gate = CompletenessGate(topics, min_bags=2)
+    gate_fire, group = None, None
+    for i, ev in enumerate(events):
+        released = gate.observe([ev])
+        if released is not None:
+            gate_fire, group = i, released
+            break
+    # both fire on the 6th event, releasing exactly the two bags
+    assert ref_fire == gate_fire == 5
+    assert group == ["bag1", "bag2"]
+
+
+def test_completeness_gate_rejects_reference_misfire(tmp_path):
+    """The reference's NumFiles/NUM_TOPICS proxy (trigger.py:161-165,
+    its own FIXME) counts duplicate-topic files as progress: one bag
+    re-delivering topics reaches files/num_topics >= 2 and fires with
+    only ONE complete bag. The gate counts COMPLETE BAGS, so it holds —
+    an intentional, documented divergence from the reference bug."""
+    topics = {"camera", "lidar", "gps"}
+    events = [("bag1", "camera"), ("bag1", "camera"), ("bag1", "lidar"),
+              ("bag1", "lidar"), ("bag1", "gps"), ("bag1", "gps")]
+    assert _reference_trigger_fires(events, len(topics)) == 5  # misfire
+    gate = CompletenessGate(topics, min_bags=2)
+    assert all(gate.observe([ev]) is None for ev in events)
+    # ... and completes correctly once a second bag really lands
+    for ev in [("bag2", "camera"), ("bag2", "lidar")]:
+        assert gate.observe([ev]) is None
+    assert gate.observe([("bag2", "gps")]) == ["bag1", "bag2"]
+
+
 def test_completeness_gate_foreach_batch(spark, tmp_path):
     """End-to-end: file stream of (bag_file, topic) arrivals drives the
     gate inside foreachBatch — the reference's trigger.py:205-251 loop."""
