@@ -743,15 +743,30 @@ def q_window_running(spark, sf_dir):
     rolling 10-minute count/sum over the event-time axis (rangeBetween
     value frame — absorbing the retired q_window_range; the reference
     only ever uses default frames, SURVEY §2.5). Both specs share the
-    user_id hash partitioning: one exchange, two sorted passes."""
+    user_id hash partitioning: one exchange, two sorted passes.
+
+    r6 fold: the RANGE-frame cumulative count comes from the SKEW-
+    BOUNDED two-phase plan (operators.timeseries.running_agg with
+    chunk_width — intra-chunk window + per-chunk offsets + join-back)
+    so the hot-key-safe decomposition is itself oracle-verified: the
+    SQL reproduces it as a plain `count over (range unbounded
+    preceding)`, which the two-phase plan must equal row-for-row
+    (count is exactly associative, so no float-order caveat)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import running_agg
+
     ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
+    # 1-hour chunks in μs: the per-task bound a bot key would get
+    ra = running_agg(ev, ["user_id"], "t",
+                     {"running_n": ("count", None)},
+                     chunk_width=3_600_000_000.0)
     wr = (Window.partitionBy("user_id").orderBy("t", "event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wv = (Window.partitionBy("user_id").orderBy("t")
           .rangeBetween(-600_000_000, 0))  # 10 min in μs
-    return ev.select(
+    return ra.select(
         "user_id", "event_id",
         F.round(F.sum("value").over(wr), 6).alias("running_value"),
+        F.col("running_n"),
         F.count(F.lit(1)).over(wv).alias("n_10m"),
         F.round(F.sum("value").over(wv), 6).alias("sum_10m"))
 
@@ -763,6 +778,9 @@ select user_id, event_id,
   round(sum(value) over (
     partition by user_id order by t, event_id
     rows between unbounded preceding and current row), 6) as running_value,
+  count(*) over (partition by user_id order by t
+                 range between unbounded preceding and current row)
+    as running_n,
   count(*) over w as n_10m,
   round(sum(value) over w, 6) as sum_10m
 from e

@@ -1,6 +1,7 @@
 from .snapshots import (
-    ConcurrentCommit, latest_version, read_snapshot, snapshot_delete,
-    snapshot_prune, snapshot_upsert, snapshot_write,
+    ConcurrentCommit, latest_version, read_snapshot, snapshot_compact,
+    snapshot_delete, snapshot_prune, snapshot_rollback, snapshot_upsert,
+    snapshot_write,
 )
 from .tables import (
     TPCH_TABLES, compact_files, dataset_bytes, dataset_has_data,
@@ -14,7 +15,7 @@ __all__ = ["TPCH_TABLES", "ConcurrentCommit", "compact_files",
            "delete_keys", "latest_version", "load_table", "load_tables",
            "merge_upsert", "path_exists",
            "prune_versions", "read_snapshot", "read_topics",
-           "snapshot_delete", "snapshot_prune", "snapshot_upsert",
-           "snapshot_write",
+           "snapshot_compact", "snapshot_delete", "snapshot_prune",
+           "snapshot_rollback", "snapshot_upsert", "snapshot_write",
            "write_bucketed", "write_partitioned", "write_time_sorted",
            "write_zordered", "zorder_key"]

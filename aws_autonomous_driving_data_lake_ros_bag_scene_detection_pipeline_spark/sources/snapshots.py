@@ -353,6 +353,71 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
     return prev + 1
 
 
+def snapshot_rollback(spark: SparkSession, path: str,
+                      to_version: int) -> int:
+    """Publish a NEW version whose content is an old version's file
+    list — the undo button every snapshot store owes its operators
+    (bad upsert, poisoned CDC batch). Rolling FORWARD a copy (rather
+    than deleting newer manifests) keeps history linear: the mistake
+    and its undo are both auditable, and concurrent readers of the bad
+    version stay consistent. The files must still exist — roll back
+    within the :func:`snapshot_prune` retention window. Returns the
+    new version."""
+    prev = latest_version(spark, path)
+    if prev is None:
+        raise FileNotFoundError(f"no published snapshot under {path}")
+    m = _load_manifest(spark, path, to_version)
+    _commit_manifest(spark, path, prev + 1, {
+        "version": prev + 1, "partition_cols": m["partition_cols"],
+        "schema": m.get("schema"), "files": m["files"],
+        "rolled_back_from": to_version})
+    return prev + 1
+
+
+def snapshot_compact(spark: SparkSession, path: str, *,
+                     target_file_bytes: int = 128 << 20,
+                     partitions: list[str] | None = None) -> int:
+    """Compact a snapshot table's small files in place of the NEXT
+    version — the snapshot-layer twin of
+    :func:`~.tables.compact_files`, minus its swap-directories step
+    (the manifest commit IS the swap). Appends/upserts accumulate
+    per-commit file fragments; this rewrites each affected hive
+    partition's rows into ~``ceil(bytes/target)`` files and publishes
+    a manifest where those partitions' entries are replaced and all
+    others carry forward by reference. ``partitions`` limits the pass
+    to specific partition dirs (e.g. ``["day=d1"]``) so compaction can
+    run incrementally over a huge table. Readers of prior versions are
+    untouched (old files live until pruned). Returns the new
+    version."""
+    prev = latest_version(spark, path)
+    if prev is None:
+        raise FileNotFoundError(f"no published snapshot under {path}")
+    m = _load_manifest(spark, path, prev)
+    part_cols = m["partition_cols"]
+    all_dirs = {e["partition"] for e in m["files"]}
+    target_dirs = set(partitions) if partitions is not None else all_dirs
+    unknown = target_dirs - all_dirs
+    if unknown:
+        raise ValueError(f"unknown partitions {sorted(unknown)}; "
+                         f"table has {sorted(all_dirs)}")
+    hit = [e for e in m["files"] if e["partition"] in target_dirs]
+    carry = [e for e in m["files"] if e["partition"] not in target_dirs]
+    if not hit:
+        return prev
+    jvm, fs, _ = _fs(spark, path)
+    total = sum(fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{_DATA_DIR}/{e['path']}")).getLen() for e in hit)
+    n = max(1, -(-total // target_file_bytes))
+    rows = _read_files(spark, path, hit, m.get("schema"))
+    compacted = (rows.repartition(n, *part_cols) if part_cols
+                 else rows.repartition(n))
+    new_entries = _write_data_files(spark, path, compacted, part_cols)
+    _commit_manifest(spark, path, prev + 1, {
+        "version": prev + 1, "partition_cols": part_cols,
+        "schema": m.get("schema"), "files": carry + new_entries})
+    return prev + 1
+
+
 def snapshot_prune(spark: SparkSession, path: str, *,
                    keep_latest: int = 2) -> dict:
     """Retention + garbage collection: drop all but the newest

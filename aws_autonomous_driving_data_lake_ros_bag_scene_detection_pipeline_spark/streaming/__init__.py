@@ -40,7 +40,9 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      embedding_dedup_batch, embedding_dedup_stream,
                      incremental_dedup_batch,
                      incremental_dedup_stream,
-                     ivf_append_batch, read_ivf_index,
+                     ivf_append_batch, ivf_append_stream,
+                     read_ivf_index,
+                     snapshot_upsert_batch, snapshot_upsert_stream,
                      delete_stream,
                      quarantine_batch, quarantine_stream,
                      upsert_batch, upsert_stream)

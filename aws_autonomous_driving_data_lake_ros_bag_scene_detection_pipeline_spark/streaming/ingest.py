@@ -415,6 +415,84 @@ def upsert_stream(stream: DataFrame, keys: list[str], *, path: str,
     return writer.start()
 
 
+def snapshot_upsert_batch(batch_df: DataFrame, keys: list[str], *,
+                          path: str, partition_cols: list[str],
+                          order_col: str,
+                          schema_evolution: bool = False) -> None:
+    """One micro-batch of changes applied as an ATOMIC snapshot commit
+    (:func:`~..sources.snapshots.snapshot_upsert`) — the crash-safe
+    face of :func:`upsert_batch`: a failure mid-batch leaves the
+    previous snapshot fully readable instead of a half-overwritten
+    table, and concurrent readers keep their pinned version.
+
+    Same replay story as :func:`upsert_batch`: intra-batch duplicates
+    resolve first (highest ``order_col``, deterministic hash
+    tiebreak), and re-applying a batch whose rows already lost to (or
+    are) the current winners publishes a content-identical new version
+    — idempotent in CONTENT by the monotone ``order_col``, with the
+    version number recording the replay."""
+    from pyspark.sql import Window
+
+    from ..sources.snapshots import snapshot_upsert
+
+    spark = batch_df.sparkSession
+    tie = F.xxhash64(F.struct(*[F.col(c) for c in batch_df.columns]))
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(order_col).desc_nulls_last(), tie))
+    winners = (batch_df.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+    snapshot_upsert(spark, path, winners, keys,
+                    partition_cols=partition_cols, order_col=order_col,
+                    schema_evolution=schema_evolution)
+
+
+def snapshot_upsert_stream(stream: DataFrame, keys: list[str], *,
+                           path: str, partition_cols: list[str],
+                           order_col: str, checkpoint_dir: str,
+                           schema_evolution: bool = False,
+                           available_now: bool = True) -> StreamingQuery:
+    """Maintain a snapshot-committed keyed table from a change stream —
+    :func:`upsert_stream` with atomic publication per micro-batch."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_upsert_batch(batch_df, keys, path=path,
+                              partition_cols=partition_cols,
+                              order_col=order_col,
+                              schema_evolution=schema_evolution)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ivf_append_stream(stream: DataFrame, id_col: str, vec_col: str, *,
+                      pivots: DataFrame, index_path: str,
+                      checkpoint_dir: str,
+                      rebalance_threshold: float = 4.0,
+                      on_advisory=None,
+                      available_now: bool = True) -> StreamingQuery:
+    """Streaming IVF index maintenance: every micro-batch of vectors
+    appends to the cell-partitioned index via
+    :func:`ivf_append_batch`; ``on_advisory(batch_id, stats)`` (if
+    given) receives each batch's drift advisory so an operator can
+    schedule a re-pivot when ``stats["repivot_advised"]`` fires."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        stats = ivf_append_batch(batch_df, batch_id, id_col, vec_col,
+                                 pivots=pivots, index_path=index_path,
+                                 rebalance_threshold=rebalance_threshold)
+        if on_advisory is not None:
+            on_advisory(batch_id, stats)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def quarantine_batch(batch_df: DataFrame, batch_id: int,
                      rules: list[dict], *, good_path: str,
                      quarantine_path: str) -> None:

@@ -259,3 +259,67 @@ def test_snapshot_mutable_partition_key_and_null_partition(spark,
                     order_col="ver", immutable_partitions=False)
     got = _rows(read_snapshot(spark, path).select("id", "day", "val"))
     assert got == {(1, "d2", "a2"), (2, None, "b")}
+
+
+def test_snapshot_rollback_publishes_forward_copy(spark, tmp_path):
+    """Rollback = a NEW version with the old version's file list —
+    history stays linear and auditable; the bad version remains
+    readable inside the retention window."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "good")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    snapshot_upsert(spark, path,
+                    spark.createDataFrame([(1, "d1", "poisoned")],
+                                          "id long, day string, val string"),
+                    ["id"], partition_cols=["day"])
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_rollback,
+    )
+    v = snapshot_rollback(spark, path, to_version=0)
+    assert v == 2 and latest_version(spark, path) == 2
+    assert _rows(read_snapshot(spark, path).select("val")) == {("good",)}
+    # the mistake is still auditable
+    assert _rows(read_snapshot(spark, path, version=1)
+                 .select("val")) == {("poisoned",)}
+    m = snapmod._load_manifest(spark, path, 2)
+    assert m["rolled_back_from"] == 0
+
+
+def test_snapshot_compact_merges_fragments(spark, tmp_path):
+    """Repeated upserts fragment a partition into per-commit files;
+    compaction rewrites affected partitions into few files in ONE new
+    version, carrying untouched partitions by reference."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    # fragment d1 at write time: 6 writer tasks each hold d1 rows, so
+    # the commit lands ~6 small files in that partition dir (the same
+    # sprawl a wide-parallelism job or streaming sink produces)
+    frag = spark.createDataFrame(
+        [(i, "d1", f"v{i}") for i in range(60)] + [(1000, "d2", "w")],
+        "id long, day string, val string").repartition(6)
+    snapshot_write(spark, path, frag, partition_cols=["day"])
+    before = snapmod._load_manifest(spark, path,
+                                    latest_version(spark, path))
+    d1_before = [e for e in before["files"] if e["partition"] == "day=d1"]
+    d2_before = [e for e in before["files"] if e["partition"] == "day=d2"]
+    rows_before = _rows(read_snapshot(spark, path))
+
+    v = snapshot_compact(spark, path, partitions=["day=d1"])
+    after = snapmod._load_manifest(spark, path, v)
+    d1_after = [e for e in after["files"] if e["partition"] == "day=d1"]
+    d2_after = [e for e in after["files"] if e["partition"] == "day=d2"]
+    assert len(d1_after) < len(d1_before) and len(d1_after) >= 1
+    # d2 carried by reference, data identical
+    assert sorted(e["path"] for e in d2_after) == \
+        sorted(e["path"] for e in d2_before)
+    assert _rows(read_snapshot(spark, path)) == rows_before
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown partitions"):
+        snapshot_compact(spark, path, partitions=["day=nope"])

@@ -676,3 +676,81 @@ def test_delete_stream_survives_emptied_and_missing_target(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt2"))
     q2.awaitTermination(180)
     assert q2.exception() is None
+
+
+def test_snapshot_upsert_stream_atomic_cdc_apply(spark, tmp_path):
+    """The crash-safe CDC apply: micro-batches publish snapshot
+    versions; the final table matches the keyed merge of all changes,
+    and every intermediate version remains readable."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        latest_version, read_snapshot,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        snapshot_upsert_stream,
+    )
+
+    schema = "id long, day string, val string, ver long"
+    batches = [
+        [(1, "d1", "a", 1), (2, "d2", "b", 1)],
+        [(1, "d1", "a2", 2), (3, "d1", "c", 2)],
+        [(2, "d2", "b3", 3), (1, "d1", "stale", 0)],
+    ]
+    src = str(tmp_path / "in")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    path = str(tmp_path / "tbl")
+    q = snapshot_upsert_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        ["id"], path=path, partition_cols=["day"], order_col="ver",
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {(r.id, r.val) for r in read_snapshot(spark, path).collect()}
+    assert got == {(1, "a2"), (2, "b3"), (3, "c")}
+    assert latest_version(spark, path) >= 1
+
+
+def test_ivf_append_stream_maintains_index(spark, tmp_path):
+    """Streaming IVF maintenance: batches append through real
+    micro-batches; the accumulated index equals a full rebuild and the
+    advisory callback sees every batch."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        ivf_index, kmeans_pivots,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        ivf_append_stream, read_ivf_index,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    piv = kmeans_pivots(emb, "vec_id", "embedding", nlist=4, iters=3)
+    src = str(tmp_path / "in")
+    for k in range(3):
+        emb.where(f"vec_id % 3 = {k}") \
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")) \
+           .coalesce(1).write.mode("append").parquet(src)
+    idx_path = str(tmp_path / "ivf")
+    advisories = []
+    q = ivf_append_stream(
+        file_stream(spark, src, "vec_id long, embedding array<double>",
+                    max_files_per_trigger=1),
+        "vec_id", "embedding", pivots=piv, index_path=idx_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_advisory=lambda b, s: advisories.append((b, s)))
+    q.awaitTermination(180)
+
+    assert len(advisories) == 3
+    assert advisories[-1][1]["total"] == emb.count()
+    got = sorted((r.vec_id, r.cell) for r in
+                 read_ivf_index(spark, idx_path)
+                 .select("vec_id", "cell").collect())
+    want = sorted((r.vec_id, r.cell) for r in
+                  ivf_index(emb.select("vec_id",
+                                       F.col("embedding")
+                                       .cast("array<double>")
+                                       .alias("embedding")),
+                            "vec_id", "embedding", piv)
+                  .select("vec_id", "cell").collect())
+    assert got == want
