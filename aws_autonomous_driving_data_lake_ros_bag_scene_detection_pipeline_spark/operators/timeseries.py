@@ -374,6 +374,14 @@ def running_agg(df: DataFrame, keys: list[str], order_col: str,
     for name, (fn, col) in aggs.items():
         out = out.withColumn(name, _RUNNING_AGGS[fn](col).over(wi))
 
+    # totals derive from the RAW frame, not the window output: the
+    # groupBy's shuffle then carries only map-side PARTIAL aggregates
+    # (≤ one row per (key, chunk) per input partition — metadata, not
+    # data), where a window-output derivation would force a second
+    # full data shuffle through the window subtree (measured: the
+    # self-join re-aliasing defeats exchange/stage reuse). The price
+    # is one extra column-pruned source scan; the data itself still
+    # shuffles exactly once (plan-pinned in tests/test_plans.py)
     totals = tagged.groupBy(*keys, "_chunk").agg(
         *[_RUNNING_AGGS[fn](col).alias(f"_tot_{name}")
           for name, (fn, col) in aggs.items()])

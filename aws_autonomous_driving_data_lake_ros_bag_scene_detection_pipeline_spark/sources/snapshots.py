@@ -376,7 +376,8 @@ def snapshot_rollback(spark: SparkSession, path: str,
 
 def snapshot_compact(spark: SparkSession, path: str, *,
                      target_file_bytes: int = 128 << 20,
-                     partitions: list[str] | None = None) -> int:
+                     partitions: list[str] | None = None,
+                     sort_cols: list[str] | None = None) -> int:
     """Compact a snapshot table's small files in place of the NEXT
     version — the snapshot-layer twin of
     :func:`~.tables.compact_files`, minus its swap-directories step
@@ -386,9 +387,12 @@ def snapshot_compact(spark: SparkSession, path: str, *,
     a manifest where those partitions' entries are replaced and all
     others carry forward by reference. ``partitions`` limits the pass
     to specific partition dirs (e.g. ``["day=d1"]``) so compaction can
-    run incrementally over a huge table. Readers of prior versions are
-    untouched (old files live until pruned). Returns the new
-    version."""
+    run incrementally over a huge table. ``sort_cols`` re-establishes
+    a sorted layout in the same pass (range-partition + sort-within,
+    exactly :func:`~.tables.compact_files`'s recipe — compaction is
+    the natural moment to restore the zone-map clustering that
+    upserts have degraded). Readers of prior versions are untouched
+    (old files live until pruned). Returns the new version."""
     prev = latest_version(spark, path)
     if prev is None:
         raise FileNotFoundError(f"no published snapshot under {path}")
@@ -409,8 +413,16 @@ def snapshot_compact(spark: SparkSession, path: str, *,
         f"{path}/{_DATA_DIR}/{e['path']}")).getLen() for e in hit)
     n = max(1, -(-total // target_file_bytes))
     rows = _read_files(spark, path, hit, m.get("schema"))
-    compacted = (rows.repartition(n, *part_cols) if part_cols
-                 else rows.repartition(n))
+    if sort_cols:
+        # partition cols lead the range key so each task writes whole
+        # hive partitions (see tables.write_zordered)
+        keys = [*part_cols, *sort_cols]
+        compacted = (rows.repartitionByRange(n, *keys)
+                     .sortWithinPartitions(*keys))
+    elif part_cols:
+        compacted = rows.repartition(n, *part_cols)
+    else:
+        compacted = rows.repartition(n)
     new_entries = _write_data_files(spark, path, compacted, part_cols)
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": part_cols,

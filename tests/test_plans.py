@@ -330,3 +330,58 @@ def test_funnel_plan_is_hash_joins_only(spark):
                                  horizon=10_000_000))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "PushedFilters" in plan
+
+
+def test_running_agg_chunked_shuffles_data_once(spark):
+    """The two-phase chunked plan's scale contract: the DATA shuffles
+    exactly once (the (key, chunk) window exchange); the other two
+    exchanges carry map-side partial aggregates and per-chunk totals —
+    metadata, not data — and the offsets side joins back broadcast,
+    never sort-merge."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import running_agg
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import count_exchanges
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 997).cast("double").alias("t"),
+        F.lit(1.0).alias("v"))
+    ch = running_agg(df, ["k"], "t", {"rs": ("sum", "v")},
+                     chunk_width=100.0)
+    plan = formatted_plan(ch)
+    assert count_exchanges(ch) == 3
+    # totals shuffle is map-side combined (partial aggregate below it)
+    assert "partial_sum" in plan
+    # offsets join back broadcast — no second sort-merge of the data
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_read_snapshot_pushes_filters_to_scan(spark, tmp_path):
+    """Snapshot reads are plain parquet scans under the hood: the
+    declared manifest schema and explicit file list must not defeat
+    predicate pushdown or partition pruning."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan, pushed_filters,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot, snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.range(1000).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("day"),
+            (F.col("id") * 2.0).alias("v")),
+        partition_cols=["day"])
+    snap = read_snapshot(spark, path).where(F.col("v") > 100.0)
+    pf = " ".join(pushed_filters(snap))
+    assert "GreaterThan(v" in pf
+    # partition pruning on the hive column survives the explicit list
+    pruned = read_snapshot(spark, path).where(F.col("day") == "2")
+    assert pruned.count() == 250
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
