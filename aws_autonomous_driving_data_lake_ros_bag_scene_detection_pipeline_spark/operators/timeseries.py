@@ -306,7 +306,8 @@ def cascade_update(tiers: DataFrame, batch: DataFrame, keys: list[str],
 
 
 _RUNNING_AGGS = {"sum": F.sum, "min": F.min, "max": F.max,
-                 "count": lambda c: F.count(F.lit(1))}
+                 "count": lambda c: F.count(F.lit(1)),
+                 "last": lambda c: F.last(c, ignorenulls=True)}
 
 
 def running_agg(df: DataFrame, keys: list[str], order_col: str,
@@ -316,11 +317,20 @@ def running_agg(df: DataFrame, keys: list[str], order_col: str,
     optional SKEW-BOUNDED two-phase plan for hot keys.
 
     ``aggs`` maps output name → ``(fn, value_col)`` with ``fn`` one of
-    ``sum | min | max | count`` (``value_col`` ignored for count) —
-    exactly the monotone/associative running aggregations that admit a
-    two-phase decomposition. Frames are RANGE (peers by equal
+    ``sum | min | max | count | last`` (``value_col`` ignored for
+    count) — exactly the monotone/associative running aggregations
+    that admit a two-phase decomposition. ``last`` is running LOCF
+    (``last(col, ignorenulls=True)`` — the forward-fill core): its
+    chunk total is the value at the chunk's latest non-null row
+    (``max_by`` over a null-masked order), its offset folds with a
+    ``last ignorenulls`` over chunks, and combine is ``coalesce`` —
+    so gap-filling a bot key no longer serializes one task either.
+    Frames are RANGE (peers by equal
     ``order_col`` aggregate together), so results are deterministic
-    under ties and identical between both plans.
+    under ties and identical between both plans — except ``last``,
+    which (like any LOCF) needs a total order per key: peers with
+    DIFFERENT non-null values make "the last one" undefined in both
+    plans; keep ``order_col`` unique per key for it.
 
     Default (``chunk_width=None``): one window pass,
     ``partitionBy(keys).orderBy(order_col)``. Correct at any scale per
@@ -382,21 +392,32 @@ def running_agg(df: DataFrame, keys: list[str], order_col: str,
     # self-join re-aliasing defeats exchange/stage reuse). The price
     # is one extra column-pruned source scan; the data itself still
     # shuffles exactly once (plan-pinned in tests/test_plans.py)
+    def total_expr(name, fn, col):
+        if fn == "last":
+            # deterministic "value at the latest non-null row": groupBy
+            # F.last would depend on intra-group row order
+            return F.max_by(F.col(col),
+                            F.when(F.col(col).isNotNull(),
+                                   F.col(order_col))).alias(f"_tot_{name}")
+        return _RUNNING_AGGS[fn](col).alias(f"_tot_{name}")
+
     totals = tagged.groupBy(*keys, "_chunk").agg(
-        *[_RUNNING_AGGS[fn](col).alias(f"_tot_{name}")
-          for name, (fn, col) in aggs.items()])
+        *[total_expr(name, fn, col) for name, (fn, col) in aggs.items()])
     wc = (Window.partitionBy(*keys).orderBy("_chunk")
           .rowsBetween(Window.unboundedPreceding, -1))
+    _OFF = {"sum": "sum", "count": "sum", "min": "min", "max": "max",
+            "last": "last"}
     offsets = totals.select(
         *keys, "_chunk",
-        *[_RUNNING_AGGS[fn if fn != "count" else "sum"]
-          (f"_tot_{name}").over(wc).alias(f"_off_{name}")
+        *[_RUNNING_AGGS[_OFF[fn]](f"_tot_{name}").over(wc)
+          .alias(f"_off_{name}")
           for name, (fn, _) in aggs.items()])
 
     joined = out.join(offsets, [*keys, "_chunk"])
     combine = {"sum": lambda i, o: i + F.coalesce(o, F.lit(0)),
                "count": lambda i, o: i + F.coalesce(o, F.lit(0)),
-               "min": F.least, "max": F.greatest}
+               "min": F.least, "max": F.greatest,
+               "last": F.coalesce}
     for name, (fn, _) in aggs.items():
         joined = joined.withColumn(
             name, combine[fn](F.col(name), F.col(f"_off_{name}")))

@@ -515,3 +515,34 @@ def test_running_agg_chunked_measured_skew_spread(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
                        prev_coalesce)
+
+
+def test_running_agg_last_is_chunked_locf(spark):
+    """fn='last' = running LOCF: the chunked plan must reproduce the
+    plain window's last-non-null exactly (unique order per key, nulls
+    interleaved, leading nulls stay null across chunk boundaries)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import running_agg
+
+    df = spark.range(4000).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 7 % 7919).cast("double").alias("t"),
+        F.when((F.col("id") % 3) == 0,
+               (F.col("id") % 89).cast("double")).alias("v"))
+
+    def rows(d):
+        return sorted(
+            ((r.k, r.t, r.v, r.locf) for r in d.collect()),
+            key=lambda x: (x[0], x[1]))
+
+    plain = rows(running_agg(df, ["k"], "t", {"locf": ("last", "v")}))
+    # sanity: LOCF really fills gaps and leaves leading nulls
+    assert any(v is None and f is not None for _, _, v, f in plain)
+    assert any(f is None for _, _, _, f in plain)
+    for width in (50.0, 500.0, 100000.0):
+        assert rows(running_agg(df, ["k"], "t", {"locf": ("last", "v")},
+                                chunk_width=width)) == plain
+    # mixed with the other aggs in one call
+    mixed = running_agg(df, ["k"], "t",
+                        {"locf": ("last", "v"), "rc": ("count", None)},
+                        chunk_width=100.0)
+    assert mixed.where("rc is null").count() == 0
