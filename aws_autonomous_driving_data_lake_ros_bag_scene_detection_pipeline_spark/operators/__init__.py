@@ -34,7 +34,7 @@ from .similarity import (
     brute_force_topk, embedding_dup_pairs, embedding_index,
     embedding_near_dedup,
     cell_balance, embedding_match_pairs, ivf_index, ivf_pivots,
-    ivf_probe, ivf_topk, kmeans_pivots, lsh_topk,
+    ivf_probe, ivf_repivot, ivf_topk, kmeans_pivots, lsh_topk,
 )
 from .sketches import (
     distinct_rollup_check, distinct_sketch, freq_estimate, freq_sketch,
@@ -62,7 +62,7 @@ __all__ = [
     "duplicate_ids", "embedding_dup_pairs", "embedding_index",
     "embedding_match_pairs", "exact_dedup", "forward_fill",
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
-    "cell_balance", "kmeans_pivots",
+    "cell_balance", "ivf_repivot", "kmeans_pivots",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
     "merge_intervals", "minhash_index", "minhash_match_pairs",

@@ -488,6 +488,24 @@ def ivf_probe(index: DataFrame, queries: DataFrame, id_col: str,
                     F.col("rank").cast("bigint").alias("rank")))
 
 
+def ivf_repivot(index: DataFrame, id_col: str, vec_col: str,
+                nlist: int = 16, *, iters: int = 10) -> tuple[DataFrame,
+                                                              DataFrame]:
+    """The explicit answer to ``ivf_append_batch``'s drift advisory:
+    train a FRESH codebook on the accumulated index's vectors
+    (:func:`kmeans_pivots`) and reassign every row
+    (:func:`ivf_index`). Returns ``(new_pivots, new_index)`` — the
+    caller writes the new index (ideally as a snapshot commit /
+    ``write_partitioned(..., ["cell"])``) and stores the pivots beside
+    it. Deliberately a full-rewrite OPERATION, never a side effect of
+    an append: reassigning history rewrites every cell partition, and
+    that cost decision belongs to an operator reading the advisory,
+    not to the ingest loop."""
+    fresh = kmeans_pivots(index.select(id_col, vec_col), id_col, vec_col,
+                          nlist, iters=iters)
+    return fresh, ivf_index(index.drop("cell"), id_col, vec_col, fresh)
+
+
 def _band_buckets(ev: DataFrame, id_name: str, x_name: str, bands: int,
                   rows_per_band: int, dim: int) -> DataFrame:
     """(id, band, bval) keys from sign bits of ``bands × rows_per_band``

@@ -3,6 +3,9 @@ from .snapshots import (
     snapshot_delete, snapshot_prune, snapshot_rollback, snapshot_upsert,
     snapshot_write,
 )
+from .textual import (  # noqa: F401
+    QuarantinedRead, read_csv, read_jsonl,
+)
 from .tables import (
     TPCH_TABLES, compact_files, dataset_bytes, dataset_has_data,
     delete_keys, load_table, load_tables, merge_upsert, path_exists,
@@ -10,7 +13,8 @@ from .tables import (
     write_partitioned, write_time_sorted, write_zordered, zorder_key,
 )
 
-__all__ = ["TPCH_TABLES", "ConcurrentCommit", "compact_files",
+__all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
+           "TPCH_TABLES", "ConcurrentCommit", "compact_files",
            "dataset_bytes", "dataset_has_data",
            "delete_keys", "latest_version", "load_table", "load_tables",
            "merge_upsert", "path_exists",

@@ -445,3 +445,45 @@ def test_embedding_near_dedup_one_call(spark):
                                            keep_by="q").collect())
     # highest q in cluster {0,10,11,12} is 12; in {1,20} is 20
     assert kept == [2, 3, 4, 12, 20]
+
+
+def test_ivf_repivot_retrains_and_reassigns(spark, tmp_path):
+    """The drift advisory's explicit answer: repivot trains a fresh
+    codebook on the accumulated index and reassigns every row —
+    restoring cell balance a drifted ingest destroyed."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        cell_balance, ivf_repivot, kmeans_pivots,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        ivf_append_batch, read_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, nlist = 16, 8
+
+    def cloud(center, n, id0):
+        pts = rng.normal(0, 0.05, (n, dim)) + center
+        return spark.createDataFrame(
+            [(id0 + i, pts[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>")
+
+    base = cloud(np.zeros(dim), 400, 0)
+    piv = kmeans_pivots(base, "vec_id", "embedding", nlist=nlist)
+    idx_path = str(tmp_path / "ivf")
+    ivf_append_batch(base, 0, "vec_id", "embedding", pivots=piv,
+                     index_path=idx_path)
+    # drifted batch far from every trained cell -> advisory fires
+    far = cloud(np.full(dim, 30.0), 1200, 10_000)
+    stats = ivf_append_batch(far, 1, "vec_id", "embedding", pivots=piv,
+                             index_path=idx_path)
+    assert stats["repivot_advised"]
+
+    index = read_ivf_index(spark, idx_path)
+    new_piv, new_index = ivf_repivot(index, "vec_id", "embedding",
+                                     nlist=nlist)
+    bal = cell_balance(new_index.groupBy("cell").count(), nlist)
+    assert bal["imbalance"] <= 2.5, bal
+    assert new_index.count() == 1600
+    assert new_piv.count() == nlist

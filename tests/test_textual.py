@@ -1,0 +1,54 @@
+"""JSONL/CSV quarantine ingestion: declared schemas, malformed lines
+preserved verbatim, no inference."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+    read_csv, read_jsonl,
+)
+
+
+def test_read_jsonl_routes_malformed_lines(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join([
+        '{"doc_id": 1, "body": "hello world", "lang": "en"}',
+        '{"doc_id": 2, "body": "bonjour"}',              # missing field -> null
+        'this is not json at all',                       # quarantine
+        '{"doc_id": "not a number", "body": "x"}',       # type clash -> quarantine
+        '{"doc_id": 5, "body": "ok", "extra": "ignored"}',
+    ]))
+    q = read_jsonl(spark, str(p),
+                   "doc_id long, body string, lang string")
+    try:
+        good = {r.doc_id: (r.body, r.lang) for r in q.good.collect()}
+        assert good == {1: ("hello world", "en"),
+                        2: ("bonjour", None),
+                        5: ("ok", None)}
+        bad = sorted(r.raw_line for r in q.bad.collect())
+        assert bad == ['this is not json at all',
+                       '{"doc_id": "not a number", "body": "x"}']
+        assert "extra" not in q.good.columns
+    finally:
+        q.unpersist()
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, str(p), "doc_id long, _corrupt_record string")
+
+
+def test_read_csv_routes_malformed_rows(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text("\n".join([
+        "doc_id,score",
+        "1,0.5",
+        "2,not_a_double",
+        "3,1.25",
+    ]))
+    q = read_csv(spark, str(p), "doc_id long, score double")
+    try:
+        good = {r.doc_id: r.score for r in q.good.collect()}
+        assert good == {1: 0.5, 3: 1.25}
+        assert [r.raw_line for r in q.bad.collect()] == ["2,not_a_double"]
+    finally:
+        q.unpersist()
