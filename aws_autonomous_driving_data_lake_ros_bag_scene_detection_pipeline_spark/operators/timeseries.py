@@ -414,7 +414,17 @@ def running_agg(df: DataFrame, keys: list[str], order_col: str,
           for name, (fn, _) in aggs.items()])
 
     joined = out.join(offsets, [*keys, "_chunk"])
-    combine = {"sum": lambda i, o: i + F.coalesce(o, F.lit(0)),
+
+    def _add_null_safe(i, o):
+        # SQL sum is NULL over a value-free frame: a chunk whose rows
+        # so far are all NULL has intra=NULL but may have a real
+        # offset (and vice versa) — add treating NULL as 0, and stay
+        # NULL only when BOTH sides are (caught by the property test)
+        return (F.when(i.isNull() & o.isNull(), F.lit(None))
+                .otherwise(F.coalesce(i, F.lit(0))
+                           + F.coalesce(o, F.lit(0))))
+
+    combine = {"sum": _add_null_safe,
                "count": lambda i, o: i + F.coalesce(o, F.lit(0)),
                "min": F.least, "max": F.greatest,
                "last": F.coalesce}

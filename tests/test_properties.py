@@ -436,3 +436,100 @@ def test_histogram_quantile_rank_property(spark, vals, p):
     candidates = clipped[max(0, idx - 1):min(n, idx + 2)]
     assert any(v - binw - 1e-9 <= est <= v + binw + 1e-9
                for v in candidates), (est, candidates)
+
+
+# --- model-based snapshot table check --------------------------------
+# a random sequence of upsert / delete / rollback operations applied to
+# BOTH the snapshot table and a plain-dict model; after every op the
+# published snapshot must equal the model exactly. This is the
+# strongest correctness artifact a storage layer can have short of a
+# formal spec: any atomicity, carry-forward, emptied-partition, or
+# rollback bug surfaces as a model divergence.
+
+snapshot_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"),
+                  st.lists(st.tuples(st.integers(0, 6),      # key
+                                     st.integers(0, 2),      # partition
+                                     st.integers(0, 99),     # value
+                                     st.integers(0, 9)),     # version
+                           min_size=1, max_size=4)),
+        st.tuples(st.just("delete"),
+                  st.lists(st.integers(0, 6), min_size=1, max_size=3)),
+        st.tuples(st.just("rollback"), st.just(None)),
+    ),
+    min_size=1, max_size=6)
+
+
+@SETTINGS
+@given(ops=snapshot_ops)
+def test_snapshot_table_matches_dict_model(spark, tmp_path_factory, ops):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        latest_version, read_snapshot, snapshot_delete,
+        snapshot_rollback, snapshot_upsert, snapshot_write,
+    )
+
+    path = str(tmp_path_factory.mktemp("snap") / "tbl")
+    schema = "id long, part string, val long, ver long"
+    base = [(k, str(k % 2), -1, 0) for k in range(3)]
+    snapshot_write(spark, path,
+                   spark.createDataFrame(base, schema),
+                   partition_cols=["part"])
+    model = {k: (str(k % 2), -1, 0) for k in range(3)}
+    states = {0: dict(model)}     # model snapshot BY PUBLISHED VERSION
+
+    for op, arg in ops:
+        if op == "upsert":
+            # one row per key within a batch (the documented contract);
+            # partition derives from the key (immutable partitions)
+            batch = {}
+            for k, _, val, ver in arg:
+                batch[k] = (k, str(k % 2), val, ver)
+            snapshot_upsert(
+                spark, path,
+                spark.createDataFrame(list(batch.values()), schema),
+                ["id"], partition_cols=["part"], order_col="ver")
+            for k, (_, part, val, ver) in ((k, (k, str(k % 2), v, ve))
+                                           for k, (_, _, v, ve)
+                                           in batch.items()):
+                if k not in model or ver >= model[k][2]:
+                    model[k] = (part, val, ver)
+        elif op == "delete":
+            snapshot_delete(spark, path,
+                            spark.createDataFrame([(k,) for k in arg],
+                                                  "id long"),
+                            ["id"], partition_cols=["part"])
+            for k in arg:
+                model.pop(k, None)
+        else:
+            target = max(0, latest_version(spark, path) - 1)
+            snapshot_rollback(spark, path, to_version=target)
+            model = dict(states[target])
+        states[latest_version(spark, path)] = dict(model)
+
+        got = {r.id: (r.part, r.val, r.ver)
+               for r in read_snapshot(spark, path).collect()}
+        assert got == model, f"diverged after {op}"
+
+
+@SETTINGS
+@given(rows=events_strategy, width=st.sampled_from([1.0, 3.0, 17.0, 1e6]))
+def test_running_agg_chunked_equivalence_property(mk_df, rows, width):
+    """For ANY event set (ties, nulls, negative-free ints as order) and
+    ANY chunk width, the two-phase plan equals the single-window plan
+    on every monotone aggregation — 'last' included when the order is
+    unique per key (dedupe (k,t) first, the documented contract)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import running_agg
+
+    df = mk_df(rows).groupBy("k", "t").agg(F.max("v").alias("v"))
+    aggs = {"rs": ("sum", "v"), "rmin": ("min", "v"),
+            "rmax": ("max", "v"), "rc": ("count", None),
+            "locf": ("last", "v")}
+
+    def snap(d):
+        return sorted(((r.k, r.t, r.v, r.rs, r.rmin, r.rmax, r.rc,
+                        r.locf) for r in d.collect()),
+                      key=lambda x: (x[0], x[1]))
+
+    assert snap(running_agg(df, ["k"], "t", aggs, chunk_width=width)) \
+        == snap(running_agg(df, ["k"], "t", aggs))
