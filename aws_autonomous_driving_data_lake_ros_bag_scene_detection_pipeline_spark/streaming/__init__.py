@@ -42,6 +42,7 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      incremental_dedup_stream,
                      ivf_append_batch, ivf_append_stream,
                      read_ivf_index,
+                     snapshot_enrich_stream,
                      snapshot_upsert_batch, snapshot_upsert_stream,
                      delete_stream,
                      quarantine_batch, quarantine_stream,

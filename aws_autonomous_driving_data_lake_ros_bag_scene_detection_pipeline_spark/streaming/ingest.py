@@ -493,6 +493,45 @@ def ivf_append_stream(stream: DataFrame, id_col: str, vec_col: str, *,
     return writer.start()
 
 
+def snapshot_enrich_stream(stream: DataFrame, *, snapshot_path: str,
+                           on: list[str], out_path: str,
+                           checkpoint_dir: str, how: str = "left",
+                           available_now: bool = True) -> StreamingQuery:
+    """Enrich a stream against a snapshot-committed dimension table:
+    each micro-batch joins the LATEST PUBLISHED version
+    (:func:`~..sources.snapshots.read_snapshot`), resolved once per
+    batch.
+
+    Why not a plain stream-static parquet join: Spark re-lists a
+    static parquet source per micro-batch, so a dimension being
+    rewritten in place can serve a batch half old files, half new —
+    exactly the torn read the snapshot layer exists to prevent. Here a
+    batch sees ONE consistent published version (dimension updates
+    land via ``snapshot_upsert`` and take effect at the next batch),
+    and the enriched sink is ``_batch_id``-partitioned with dynamic
+    overwrite for replay idempotency — though note a batch REPLAYED
+    after a dimension commit re-enriches against the newer version
+    (at-least-once enrichment freshness; pin versions upstream if a
+    replay must be byte-identical)."""
+    from ..sources.snapshots import read_snapshot
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = read_snapshot(spark, snapshot_path)
+        with _dynamic_overwrite(spark):
+            (batch_df.join(dim, on, how)
+             .withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(out_path))
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def quarantine_batch(batch_df: DataFrame, batch_id: int,
                      rules: list[dict], *, good_path: str,
                      quarantine_path: str) -> None:

@@ -754,3 +754,50 @@ def test_ivf_append_stream_maintains_index(spark, tmp_path):
                             "vec_id", "embedding", piv)
                   .select("vec_id", "cell").collect())
     assert got == want
+
+
+def test_snapshot_enrich_stream_uses_latest_published_version(
+        spark, tmp_path):
+    """Each micro-batch enriches against ONE consistent published
+    dimension version; a dimension commit between runs takes effect at
+    the next batch — never a torn half-old/half-new read."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_upsert, snapshot_write,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        snapshot_enrich_stream,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    snapshot_write(
+        spark, dim_path,
+        spark.createDataFrame([(1, "d", "bronze"), (2, "d", "silver")],
+                              "user_id long, part string, tier string"),
+        partition_cols=["part"])
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = snapshot_enrich_stream(
+            file_stream(spark, src, schema, max_files_per_trigger=1),
+            snapshot_path=dim_path, on=["user_id"], out_path=out,
+            checkpoint_dir=ckpt)
+        q.awaitTermination(180)
+
+    run([(100, 1), (101, 2)])
+    # dimension evolves BETWEEN runs; earlier enriched rows keep the
+    # version they saw, new batches see the new version
+    snapshot_upsert(spark, dim_path,
+                    spark.createDataFrame([(1, "d", "gold")],
+                                          "user_id long, part string,"
+                                          " tier string"),
+                    ["user_id"], partition_cols=["part"])
+    run([(102, 1)])
+
+    got = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
+    assert got == {100: "bronze", 101: "silver", 102: "gold"}
