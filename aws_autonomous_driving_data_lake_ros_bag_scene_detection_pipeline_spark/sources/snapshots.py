@@ -431,16 +431,27 @@ def snapshot_compact(spark: SparkSession, path: str, *,
 
 
 def snapshot_prune(spark: SparkSession, path: str, *,
-                   keep_latest: int = 2) -> dict:
+                   keep_latest: int = 2,
+                   orphan_grace_seconds: float = 3600.0) -> dict:
     """Retention + garbage collection: drop all but the newest
     ``keep_latest`` manifests, then delete every data file no retained
     manifest references (including leftovers from crashed commits and
     any ``_tmp`` scratch). Keeping ≥2 versions preserves a rollback
     point AND a grace window for readers that resolved the previous
     version just before a commit. Returns counts of dropped manifests
-    and deleted files."""
+    and deleted files.
+
+    ``orphan_grace_seconds``: unreferenced files YOUNGER than this are
+    left alone — a concurrent writer mid-commit has written its data
+    files but not yet published its manifest, and a prune racing it
+    would otherwise delete them and break the commit (the same
+    orphan-retention rule every manifest-based table format applies).
+    Set it comfortably above the longest commit's data-write time;
+    0 only when no writer can be running."""
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    import time
+    cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
     jvm, fs, _ = _fs(spark, path)
     mdir = f"{path}/{_MANIFEST_DIR}"
     jmdir = jvm.org.apache.hadoop.fs.Path(mdir)
@@ -469,9 +480,11 @@ def snapshot_prune(spark: SparkSession, path: str, *,
         it = fs.listFiles(data_root, True)
         to_delete = []
         while it.hasNext():
-            p = it.next().getPath()
+            st = it.next()
+            p = st.getPath()
             rel = p.toString()[len(root_uri):].lstrip("/")
-            if rel not in referenced:
+            if rel not in referenced \
+                    and st.getModificationTime() < cutoff_ms:
                 to_delete.append(p)
         for p in to_delete:
             fs.delete(p, False)
@@ -481,5 +494,7 @@ def snapshot_prune(spark: SparkSession, path: str, *,
                   False)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/_tmp")
     if fs.exists(tmp):
-        fs.delete(tmp, True)
+        for st in fs.listStatus(tmp):
+            if st.getModificationTime() < cutoff_ms:
+                fs.delete(st.getPath(), True)
     return {"manifests_dropped": len(drop), "files_deleted": deleted}

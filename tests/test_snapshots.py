@@ -125,7 +125,8 @@ def test_snapshot_crash_between_write_and_publish(spark, tmp_path,
     assert v == 1
     assert _rows(read_snapshot(spark, path).select("val")) == {("a2",)}
     # ... and GC collects them
-    stats = snapshot_prune(spark, path, keep_latest=1)
+    stats = snapshot_prune(spark, path, keep_latest=1,
+                           orphan_grace_seconds=0)
     assert stats["files_deleted"] >= 1
     assert _rows(read_snapshot(spark, path).select("val")) == {("a2",)}
 
@@ -186,7 +187,8 @@ def test_snapshot_prune_retention_and_gc(spark, tmp_path):
                                   "id long, day string, val string"),
             ["id"], partition_cols=["day"])
     assert latest_version(spark, path) == 3
-    stats = snapshot_prune(spark, path, keep_latest=2)
+    stats = snapshot_prune(spark, path, keep_latest=2,
+                           orphan_grace_seconds=0)
     assert stats["manifests_dropped"] == 2
     assert stats["files_deleted"] >= 2
     # retained versions still read
@@ -323,3 +325,34 @@ def test_snapshot_compact_merges_fragments(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="unknown partitions"):
         snapshot_compact(spark, path, partitions=["day=nope"])
+
+
+def test_snapshot_prune_grace_protects_inflight_commit(spark, tmp_path,
+                                                       monkeypatch):
+    """A prune racing a writer mid-commit must NOT delete the writer's
+    freshly-written (not-yet-referenced) data files: young orphans are
+    protected by the grace window; with grace 0 they are collected."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    # simulate mid-commit: data files written, manifest not yet
+    monkeypatch.setattr(snapmod, "_commit_manifest",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("pause before publish")))
+    with pytest.raises(RuntimeError):
+        snapshot_upsert(spark, path,
+                        spark.createDataFrame([(1, "d1", "a2")],
+                                              "id long, day string,"
+                                              " val string"),
+                        ["id"], partition_cols=["day"])
+    # default grace: the in-flight files survive the prune
+    stats = snapshot_prune(spark, path, keep_latest=1)
+    assert stats["files_deleted"] == 0
+    # grace 0 (explicit "no writers running"): they are collected
+    stats = snapshot_prune(spark, path, keep_latest=1,
+                           orphan_grace_seconds=0)
+    assert stats["files_deleted"] >= 1
+    assert _rows(read_snapshot(spark, path).select("val")) == {("a",)}
