@@ -1,0 +1,134 @@
+"""Time-series pattern search: find signal windows similar to a query
+subsequence — "which drives contain a braking signature like THIS one".
+
+The natural follow-on query to the reference's scene detection
+(detect_scenes.py finds PREDEFINED conditions; this finds windows
+similar to an EXAMPLE), and the distributed-similarity-search theme of
+the retrieved corpus (e.g. EDBT'19 time-series similarity search /
+ICDE'20 distributed set-similarity join — used for the shape of the
+problem, not code).
+
+Spark-first decomposition:
+
+- :func:`sliding_windows` — every length-``m`` subsequence per key as
+  one array row, via ``collect_list`` over a rows-frame window: a
+  single pass, one exchange on the key, O(m) state per row. The window
+  START time is the row's own time, so results are addressable.
+- :func:`pattern_topk` — z-normalized squared-euclidean distance
+  between each candidate window and the (driver-literal, broadcast)
+  query pattern, exact top-k. Scoring runs on EXPLODED elements
+  through one aggregate — whole-stage codegen, element-order float
+  determinism — identical machinery to `similarity`'s exact-cosine
+  plans, NOT per-row higher-order lambdas (CodegenFallback).
+  Z-normalization (subtract window mean, divide by window std) makes
+  the match amplitude/offset-invariant — the standard subsequence
+  semantics (UCR/MASS); pass ``znormalize=False`` for raw euclidean.
+
+Scale shape: candidate scoring is O(n·m) element rows — a projection
++ one aggregate, embarrassingly parallel, no shuffle beyond the
+per-key window pass; ``step`` thins candidates for long series. For
+repeated queries over the same corpus, persist ``sliding_windows``
+output once and reuse (or band-bucket the normalized windows with
+`similarity._band_buckets` for an ANN-style prefilter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sliding_windows(df: DataFrame, keys: list[str], time_col: str,
+                    value_col: str, m: int, *, step: int = 1,
+                    out_col: str = "window") -> DataFrame:
+    """All length-``m`` subsequences per key:
+    ``(keys…, start_time, window: array<double>)``.
+
+    One window pass ordered by ``time_col`` with a
+    ``[current, current+m-1]`` rows frame; rows too close to the end
+    of their series (incomplete windows) are dropped. ``step`` keeps
+    every ``step``-th start position (stride) — candidate count scales
+    as n/step."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    w = (Window.partitionBy(*keys).orderBy(time_col)
+         .rowsBetween(Window.currentRow, m - 1))
+    out = (df.withColumn(out_col,
+                         F.collect_list(F.col(value_col).cast("double"))
+                         .over(w))
+           .where(F.size(out_col) == m)
+           .select(*keys, F.col(time_col).alias("start_time"),
+                   F.col(out_col)))
+    if step > 1:
+        wn = Window.partitionBy(*keys).orderBy("start_time")
+        out = (out.withColumn("_rn", F.row_number().over(wn))
+               .where((F.col("_rn") - 1) % step == 0).drop("_rn"))
+    return out
+
+
+def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
+                 value_col: str, query: list[float], *, k: int = 10,
+                 step: int = 1, znormalize: bool = True) -> DataFrame:
+    """Top-``k`` windows most similar to ``query`` across all keys:
+    ``(keys…, start_time, dist, rank)``, ascending z-normalized squared
+    euclidean distance (ties → earliest start, then key columns are
+    NOT tie-broken — pass unique keys upstream if total determinism
+    matters beyond (dist, start_time)).
+
+    The query is z-normalized on the driver (it is a literal); each
+    candidate window z-normalizes from its own exploded element sums —
+    distance = Σ (ẑᵢ - q̂ᵢ)² expands to m + m·Σq̂ᵢ² ... computed here
+    directly from the raw sums: with s1=Σx, s2=Σx², μ=s1/m,
+    σ²=s2/m−μ², and r=Σxᵢq̂ᵢ, the z-normalized squared distance is
+    2m − 2·r/σ (q̂ already zero-mean ⇒ Σq̂ᵢ(xᵢ−μ)=r−μ·Σq̂ᵢ=r) when
+    σ>0 — the classic MASS identity, needing ONE joint pass over the
+    elements. Constant windows (σ=0) have no z-form; they get the
+    uncorrelated distance 2m (a constant QUERY raises instead).
+
+    The global top-k compiles to ``TakeOrderedAndProject`` (each task
+    keeps its local k; the driver merges) — a global row_number window
+    would funnel EVERY scored row through one task."""
+    m = len(query)
+    if m < 2:
+        raise ValueError(f"query must have >= 2 points, got {m}")
+    import math
+    if znormalize:
+        mu = sum(query) / m
+        var = sum((x - mu) ** 2 for x in query) / m
+        if var <= 0:
+            raise ValueError("query is constant; z-normalized distance "
+                             "is undefined — pass znormalize=False")
+        qn = [(x - mu) / math.sqrt(var) for x in query]
+    else:
+        qn = [float(x) for x in query]
+
+    wins = sliding_windows(df, keys, time_col, value_col, m, step=step)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(d, float(qn[d])) for d in range(m)],
+                                "_d int, _q double")
+    ev = wins.select(*keys, "start_time",
+                     F.posexplode("window").alias("_d", "_x"))
+    sums = (ev.join(F.broadcast(qdf), "_d")
+            .groupBy(*keys, "start_time")
+            .agg(F.sum("_x").alias("_s1"),
+                 F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+                 F.sum(F.col("_x") * F.col("_q")).alias("_r")))
+    if znormalize:
+        sigma = F.sqrt(F.greatest(
+            F.col("_s2") / m - (F.col("_s1") / m) ** 2, F.lit(0.0)))
+        dist = (F.when(sigma > 1e-12,
+                       F.lit(2.0 * m) - 2.0 * F.col("_r") / sigma)
+                .otherwise(F.lit(2.0 * m)))
+    else:
+        # Σ(x-q)² = s2 - 2r + Σq²
+        dist = F.col("_s2") - 2.0 * F.col("_r") \
+            + F.lit(float(sum(x * x for x in qn)))
+    scored = sums.select(*keys, "start_time",
+                         F.round(dist, 6).alias("dist"))
+    top = scored.orderBy(F.asc("dist"), F.asc("start_time")).limit(k)
+    w = Window.orderBy(F.asc("dist"), F.asc("start_time"))  # k rows only
+    return (top.withColumn("rank",
+                           F.row_number().over(w).cast("bigint"))
+            .select(*keys, "start_time", "dist", "rank"))

@@ -67,12 +67,27 @@ def test_resample_locf_no_extra_shuffles(spark):
 
 
 def test_window_running_one_exchange_two_frames(spark):
-    """The folded rows+range query must hash-partition on user_id ONCE:
-    both window specs share the key, so the plan is one exchange feeding
-    two sorted Window passes — not one exchange per frame."""
+    """The folded rows+range+chunked query's exchange budget: the two
+    classic frames share ONE hash(user_id) exchange and the r6 chunked
+    running_n adds exactly its contracted three (data on
+    (user_id, chunk); partial-aggregated totals; per-chunk offsets on
+    user_id — see test_running_agg_chunked_shuffles_data_once). Four
+    windows total: intra-chunk count, chunk offsets, rows frame, range
+    frame."""
     df = entry.q_window_running(spark, SF_DIR)
-    assert count_window_ops(df) == 2      # rows frame + range frame
-    assert count_exchanges(df) == 1
+    assert count_window_ops(df) == 4
+    assert count_exchanges(df) == 4
+    # the two classic frames still share one hash(user_id) exchange
+    # (they'd be 2 extra exchanges otherwise, 5 total)
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    plan = formatted_plan(df)
+    import re
+    data_parts = [h for h in
+                  re.findall(r"hashpartitioning\([^)]*\)", plan)
+                  if "_chunk" not in h]
+    assert len(data_parts) == 2           # offsets key + shared frames key
 
 
 def test_asof_nearest_chain_reuses_partitioning(spark):

@@ -1,0 +1,109 @@
+"""Time-series pattern search vs a NumPy oracle: z-normalized
+subsequence distances, amplitude/offset invariance, TakeOrdered plan."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import pattern_topk, sliding_windows
+
+
+def _series(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    for k in range(3):
+        vals = rng.normal(0, 1, 200)
+        rows += [(k, float(t), float(vals[t])) for t in range(200)]
+    return rows
+
+
+def _znorm(x):
+    mu, sd = x.mean(), x.std()
+    return (x - mu) / sd if sd > 0 else None
+
+
+def _oracle(rows, query, k):
+    q = _znorm(np.asarray(query, dtype=float))
+    m = len(query)
+    by_key = {}
+    for key, t, v in rows:
+        by_key.setdefault(key, []).append((t, v))
+    scored = []
+    for key, pts in by_key.items():
+        pts.sort()
+        vals = np.asarray([v for _, v in pts])
+        for i in range(len(vals) - m + 1):
+            w = _znorm(vals[i:i + m])
+            d = 2.0 * m if w is None else float(((w - q) ** 2).sum())
+            scored.append((round(d, 6), pts[i][0], key))
+    scored.sort()
+    return scored[:k]
+
+
+def test_sliding_windows_shape_and_stride(spark):
+    df = spark.createDataFrame([(0, float(t), float(t)) for t in range(10)],
+                               "k int, t double, v double")
+    w = sliding_windows(df, ["k"], "t", "v", 4).collect()
+    assert len(w) == 7                      # 10 - 4 + 1
+    first = sorted(w, key=lambda r: r.start_time)[0]
+    assert first.start_time == 0.0 and first.window == [0.0, 1.0, 2.0, 3.0]
+    s = sliding_windows(df, ["k"], "t", "v", 4, step=3).collect()
+    assert sorted(r.start_time for r in s) == [0.0, 3.0, 6.0]
+
+
+def test_pattern_topk_matches_numpy_oracle(spark):
+    rows = _series(spark)
+    df = spark.createDataFrame(rows, "k int, t double, v double")
+    query = [0.0, 1.0, 4.0, 1.0, 0.0, -2.0, 0.0, 2.0]
+    got = [(r.dist, r.start_time, r.k) for r in
+           pattern_topk(df, ["k"], "t", "v", query, k=7)
+           .orderBy("rank").collect()]
+    want = _oracle(rows, query, 7)
+    assert [(g[1], g[2]) for g in got] == [(w[1], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[0] - w[0]) < 1e-4
+
+
+def test_pattern_topk_invariance_and_plan(spark):
+    """A planted scaled+shifted copy of the query must rank 1 at
+    distance ~0 (z-normalization = amplitude/offset invariance), and
+    the global top-k must compile to TakeOrderedAndProject, never a
+    single-task global window."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    rng = np.random.default_rng(7)
+    query = [0.0, 2.0, 5.0, 2.0, 0.0, -3.0, 0.0]
+    rows = [(0, float(t), float(v)) for t, v in
+            enumerate(rng.normal(0, 1, 100))]
+    planted = [100.0 + 7.5 * x for x in query]       # offset + scale
+    rows += [(1, float(100 + i), planted[i]) for i in range(len(query))]
+    rows += [(1, float(100 + len(query) + i), float(v))
+             for i, v in enumerate(rng.normal(0, 1, 20))]
+    df = spark.createDataFrame(rows, "k int, t double, v double")
+
+    res = pattern_topk(df, ["k"], "t", "v", query, k=3)
+    top = res.orderBy("rank").collect()
+    assert (top[0].k, top[0].start_time) == (1, 100.0)
+    assert top[0].dist < 1e-6
+    plan = formatted_plan(res)
+    assert "TakeOrderedAndProject" in plan
+
+    with pytest.raises(ValueError, match="constant"):
+        pattern_topk(df, ["k"], "t", "v", [1.0, 1.0, 1.0])
+
+
+def test_pattern_topk_raw_euclidean(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0, 1.0), (0, 1.0, 2.0), (0, 2.0, 3.0), (0, 3.0, 7.0)],
+        "k int, t double, v double")
+    got = {r.start_time: r.dist for r in
+           pattern_topk(df, ["k"], "t", "v", [1.0, 2.0], k=5,
+                        znormalize=False).collect()}
+    # windows: [1,2]@0 d=0, [2,3]@1 d=2, [3,7]@2 d=29
+    assert got == {0.0: 0.0, 1.0: 2.0, 2.0: 29.0}
