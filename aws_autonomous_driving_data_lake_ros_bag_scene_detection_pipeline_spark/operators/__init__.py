@@ -51,7 +51,7 @@ from .timeseries import (
     resample_asof, resample_interpolate, running_agg, time_spine,
 )
 from .tsmatch import (  # noqa: F401
-    pattern_topk, sliding_windows,
+    motif_pairs, pattern_topk, sliding_windows,
 )
 from .topk import top_k_per_group
 
@@ -72,7 +72,7 @@ __all__ = [
     "minhash_signature", "near_dedup", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "profile_table", "repartition_for_media", "resample_asof",
     "resample_interpolate", "resize_pixels", "running_agg",
-    "pattern_topk", "sliding_windows",
+    "motif_pairs", "pattern_topk", "sliding_windows",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
     "temperature_mix_rates", "tfidf_top_terms", "time_spine",

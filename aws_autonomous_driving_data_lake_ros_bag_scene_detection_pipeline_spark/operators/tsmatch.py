@@ -68,6 +68,92 @@ def sliding_windows(df: DataFrame, keys: list[str], time_col: str,
     return out
 
 
+def motif_pairs(df: DataFrame, keys: list[str], time_col: str,
+                value_col: str, m: int, *, min_cosine: float = 0.95,
+                step: int = 1, bands: int = 8, rows_per_band: int = 6,
+                max_bucket: int = 1000,
+                exclusion: float | None = None) -> DataFrame:
+    """Motif discovery: pairs of length-``m`` windows (anywhere in the
+    corpus, any keys) whose Z-NORMALIZED shapes agree — repeated
+    signatures nobody defined in advance, the self-join complement of
+    :func:`pattern_topk` (matrix-profile-style semantics, mined
+    relationally).
+
+    Never an all-pairs join: windows explode to elements ONCE, each
+    element z-normalizes against its window's (broadcast-joined)
+    moments — all codegen, no per-row lambdas — and the normalized
+    element stream feeds the SAME banded hyperplane-LSH machinery as
+    `similarity.embedding_dup_pairs` (`_band_buckets`): candidates are
+    bucket collisions, verified with one exact element-join pass. For
+    z-normalized windows ‖ẑ‖² = m exactly, so cosine = r/m and the
+    z-distance² is 2m(1−cos) — ``min_cosine`` IS a z-distance bound.
+
+    ``exclusion`` (default ``m`` time units) drops trivial matches: a
+    window overlapping itself shifted by one tick is always similar;
+    same-key pairs closer than the exclusion zone are suppressed, the
+    standard matrix-profile rule. Returns
+    ``(<key>_a…, start_a, <key>_b…, start_b, cosine)`` with the pair
+    ordered lexicographically by (keys…, start)."""
+    if exclusion is None:
+        exclusion = float(m)
+    from .similarity import _band_buckets
+
+    wins = sliding_windows(df, keys, time_col, value_col, m, step=step)
+    wid = F.struct(*[F.col(c) for c in keys],
+                   F.col("start_time")).alias("_id")
+    ev = wins.select(wid, F.posexplode("window").alias("_d", "_x"))
+    stats = (ev.groupBy("_id")
+             .agg(F.sum("_x").alias("_s1"),
+                  F.sum(F.col("_x") * F.col("_x")).alias("_s2"))
+             .select("_id", (F.col("_s1") / m).alias("_mu"),
+                     F.sqrt(F.greatest(
+                         F.col("_s2") / m - (F.col("_s1") / m) ** 2,
+                         F.lit(0.0))).alias("_sd"))
+             .where(F.col("_sd") > 1e-12))
+    evn = (ev.join(stats, "_id")
+           .select("_id", "_d",
+                   ((F.col("_x") - F.col("_mu")) / F.col("_sd"))
+                   .alias("_x")))
+
+    bb = _band_buckets(evn, "_id", "_x", bands, rows_per_band, dim=m)
+    w = Window.partitionBy("band", "bval").orderBy(F.asc("_id"))
+    grp = (bb.withColumn("_bn", F.row_number().over(w))
+           .where(F.col("_bn") <= max_bucket)
+           .groupBy("band", "bval")
+           .agg(F.collect_list("_id").alias("_ids"))
+           .where(F.size("_ids") >= 2))
+    cand = (grp.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .distinct())
+
+    ea = evn.select(F.col("_id").alias("id_a"), "_d",
+                    F.col("_x").alias("_xa"))
+    eb = evn.select(F.col("_id").alias("id_b"), "_d",
+                    F.col("_x").alias("_xb"))
+    pairs = (cand.join(ea, "id_a").join(eb, ["id_b", "_d"])
+             .groupBy("id_a", "id_b")
+             .agg(F.sum(F.col("_xa") * F.col("_xb")).alias("_r"))
+             .select("id_a", "id_b",
+                     F.round(F.col("_r") / m, 6).alias("cosine"))
+             .where(F.col("cosine") >= min_cosine))
+
+    same_key = None
+    for c in keys:
+        cond = F.col(f"id_a.{c}") == F.col(f"id_b.{c}")
+        same_key = cond if same_key is None else (same_key & cond)
+    trivial = (same_key if same_key is not None else F.lit(True)) & \
+        (F.abs(F.col("id_a.start_time") - F.col("id_b.start_time"))
+         < F.lit(float(exclusion)))
+    flat = pairs.where(~trivial).select(
+        *[F.col(f"id_a.{c}").alias(f"{c}_a") for c in keys],
+        F.col("id_a.start_time").alias("start_a"),
+        *[F.col(f"id_b.{c}").alias(f"{c}_b") for c in keys],
+        F.col("id_b.start_time").alias("start_b"),
+        "cosine")
+    return flat
+
+
 def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
                  value_col: str, query: list[float], *, k: int = 10,
                  step: int = 1, znormalize: bool = True) -> DataFrame:

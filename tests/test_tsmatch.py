@@ -107,3 +107,82 @@ def test_pattern_topk_raw_euclidean(spark):
                         znormalize=False).collect()}
     # windows: [1,2]@0 d=0, [2,3]@1 d=2, [3,7]@2 d=29
     assert got == {0.0: 0.0, 1.0: 2.0, 2.0: 29.0}
+
+
+def test_motif_pairs_finds_planted_repeats(spark):
+    """A signature planted twice (different keys, different amplitude/
+    offset) must surface as a motif pair at cosine ~1; overlapping
+    same-key shifts inside the exclusion zone must not; the plan never
+    contains an all-pairs join."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import motif_pairs
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    rng = np.random.default_rng(5)
+    sig = [0.0, 3.0, 8.0, 3.0, 0.0, -5.0, -2.0, 0.0]
+    m = len(sig)
+
+    def noise(k, t0, n):
+        return [(k, float(t0 + i), float(v))
+                for i, v in enumerate(rng.normal(0, 1, n))]
+
+    rows = noise(0, 0, 40)
+    rows += [(0, float(40 + i), 10.0 + 2.0 * sig[i]) for i in range(m)]
+    rows += noise(0, 40 + m, 40)
+    rows += noise(1, 0, 25)
+    rows += [(1, float(25 + i), -3.0 + 0.5 * sig[i]) for i in range(m)]
+    rows += noise(1, 25 + m, 25)
+    df = spark.createDataFrame(rows, "k int, t double, v double")
+
+    out = motif_pairs(df, ["k"], "t", "v", m, min_cosine=0.999,
+                      bands=12, rows_per_band=4)
+    got = [((r.k_a, r.start_a), (r.k_b, r.start_b), r.cosine)
+           for r in out.collect()]
+    assert (((0, 40.0), (1, 25.0)) in
+            [(a, b) for a, b, _ in got]), got
+    planted = [c for a, b, c in got
+               if (a, b) == ((0, 40.0), (1, 25.0))][0]
+    assert planted > 0.999
+    # exclusion: no same-key pair closer than m ticks
+    assert all(abs(a[1] - b[1]) >= m for a, b, _ in got
+               if a[0] == b[0])
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_motif_pairs_subset_of_bruteforce_oracle(spark):
+    """Every returned pair must appear in the exact numpy all-pairs
+    answer with a matching cosine (LSH gives recall<1 but NEVER a
+    false positive after exact verification)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import motif_pairs
+
+    rng = np.random.default_rng(13)
+    m = 6
+    rows = [(0, float(t), float(v))
+            for t, v in enumerate(rng.normal(0, 1, 60))]
+    df = spark.createDataFrame(rows, "k int, t double, v double")
+    got = {((r.k_a, r.start_a), (r.k_b, r.start_b)): r.cosine
+           for r in motif_pairs(df, ["k"], "t", "v", m,
+                                min_cosine=0.5, bands=16,
+                                rows_per_band=2).collect()}
+
+    vals = np.asarray([v for _, _, v in rows])
+    wins = {}
+    for i in range(len(vals) - m + 1):
+        w = vals[i:i + m]
+        sd = w.std()
+        if sd > 0:
+            wins[float(i)] = (w - w.mean()) / sd
+    exact = {}
+    for a in wins:
+        for b in wins:
+            if a < b and abs(a - b) >= m:
+                cos = float((wins[a] * wins[b]).sum() / m)
+                if cos >= 0.5:
+                    exact[((0, a), (0, b))] = round(cos, 6)
+    assert set(got) <= set(exact)
+    for pair, cos in got.items():
+        assert abs(cos - exact[pair]) < 1e-4
+    assert len(got) >= 1              # useful recall at these bands
