@@ -34,6 +34,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     funnel, histogram_sketch, quantile_estimate,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
+    pattern_topk,
     ngram_jaccard_pairs,
     pack_media, pack_sequences,
     resample_asof, reservoir_sample, rollup_distinct, sessionize,
@@ -581,69 +582,126 @@ group by sess.user_id, sess.session_id
 """
 
 
-def q_asof_tolerance(spark, sf_dir):
-    """As-of join with a max-staleness tolerance: matches older than
-    1 hour are nulled (the sync job's real-world guard against stale
-    sensor values)."""
-    ev = _events(spark, sf_dir)
-    clicks = ev.where(F.col("event_type") == "click") \
-               .select("event_id", "user_id", "t")
-    purchases = ev.where(F.col("event_type") == "purchase") \
-                  .select("user_id", "t", F.col("value").alias("purchase_value"))
-    return asof_join(clicks, purchases, "t", ["user_id"],
-                     value_cols=["purchase_value"], tolerance=HOUR_US)
-
-
-Q_ASOF_TOL_SQL = f"""
-with ev as ({EVENTS_SQL}),
-clicks as (select event_id, user_id, t from ev where event_type = 'click'),
-purchases as (select user_id, t, value as purchase_value from ev
-              where event_type = 'purchase')
-select c.event_id, c.user_id, c.t,
-  case when c.t - p.t <= {HOUR_US} then p.purchase_value end as purchase_value
-from clicks c asof left join purchases p
-  on c.user_id = p.user_id and c.t >= p.t
-"""
-
-
-def q_asof_nearest(spark, sf_dir):
-    """Nearest AND forward as-of joins in one gate query. ``nearest``
-    picks whichever right row (before or after) is closer in event
-    time, ties preferring backward — the sensor-fusion alignment mode
-    (match each camera frame to the closest lidar sweep, not merely the
-    last one). The chained ``forward`` join (absorbing the retired
-    q_asof_forward) adds the look-ahead column; both passes shuffle on
-    the same user_id key, so the second join reuses the partitioning
+def q_asof_variants(spark, sf_dir):
+    """Tolerance + nearest + forward as-of joins in ONE tagged union
+    (r6 fold of q_asof_tolerance into the nearest/forward entry,
+    freeing a gate slot for q_pattern_match; all three directions were
+    separate entries through r4/r5). ``tolerance`` nulls matches older
+    than 1 hour (the sync job's staleness guard); ``nearest`` picks
+    whichever right row is closer in event time, ties preferring
+    backward (sensor fusion: each camera frame to the closest lidar
+    sweep); the chained ``forward`` join adds the look-ahead column —
+    all passes shuffle on the same user_id key
     (operators/timeseries.asof_join)."""
     ev = _events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click") \
                .select("event_id", "user_id", "t")
     purchases = ev.where(F.col("event_type") == "purchase") \
                   .select("user_id", "t", F.col("value").alias("purchase_value"))
+    tol = (asof_join(clicks, purchases, "t", ["user_id"],
+                     value_cols=["purchase_value"], tolerance=HOUR_US)
+           .select(F.lit("tolerance").alias("kind"), "event_id",
+                   "user_id", "t",
+                   F.lit(None).cast("double").alias("purchase_value_fwd"),
+                   "purchase_value"))
     fwd = asof_join(clicks, purchases, "t", ["user_id"],
                     value_cols=["purchase_value"], direction="forward") \
         .withColumnRenamed("purchase_value", "purchase_value_fwd")
-    return asof_join(fwd, purchases, "t", ["user_id"],
-                     value_cols=["purchase_value"], direction="nearest")
+    near = (asof_join(fwd, purchases, "t", ["user_id"],
+                      value_cols=["purchase_value"], direction="nearest")
+            .select(F.lit("nearest").alias("kind"), "event_id",
+                    "user_id", "t", "purchase_value_fwd",
+                    "purchase_value"))
+    return tol.unionByName(near)
 
 
-Q_ASOF_NEAREST_SQL = f"""
+Q_ASOF_VARIANTS_SQL = f"""
 with ev as ({EVENTS_SQL}),
 clicks as (select event_id, user_id, t from ev where event_type = 'click'),
 purchases as (select user_id, t, value as purchase_value from ev
               where event_type = 'purchase'),
+tolq as (select c.event_id, c.user_id, c.t,
+           case when c.t - p.t <= {HOUR_US} then p.purchase_value end
+             as purchase_value
+         from clicks c asof left join purchases p
+           on c.user_id = p.user_id and c.t >= p.t),
 b as (select c.event_id, c.user_id, c.t,
              p.t as bt, p.purchase_value as bv
       from clicks c asof left join purchases p
         on c.user_id = p.user_id and c.t >= p.t),
 f as (select c.event_id, p.t as ft, p.purchase_value as fv
       from clicks c asof left join purchases p
-        on c.user_id = p.user_id and c.t <= p.t)
-select b.event_id, b.user_id, b.t, f.fv as purchase_value_fwd,
-  case when bt is not null and (ft is null or (b.t - bt) <= (ft - b.t))
-       then bv
-       when ft is not null then fv end as purchase_value
-from b join f using (event_id)
+        on c.user_id = p.user_id and c.t <= p.t),
+nearq as (select b.event_id, b.user_id, b.t, f.fv as purchase_value_fwd,
+            case when bt is not null
+                      and (ft is null or (b.t - bt) <= (ft - b.t))
+                 then bv
+                 when ft is not null then fv end as purchase_value
+          from b join f using (event_id))
+select 'tolerance' as kind, event_id, user_id, t,
+  cast(null as double) as purchase_value_fwd, purchase_value from tolq
+union all
+select 'nearest' as kind, event_id, user_id, t, purchase_value_fwd,
+  purchase_value from nearq
+"""
+
+
+# z-normalized on the driver exactly as pattern_topk does — the SQL
+# embeds the same normalized literals, so both engines score against
+# bit-identical query components
+PATTERN_RAW = [0.0, 1.0, 3.0, 1.0, 0.0, -2.0]
+_PM = len(PATTERN_RAW)
+_p_mu = sum(PATTERN_RAW) / _PM
+_p_sd = (sum((x - _p_mu) ** 2 for x in PATTERN_RAW) / _PM) ** 0.5
+PATTERN_Z = [(x - _p_mu) / _p_sd for x in PATTERN_RAW]
+
+
+def q_pattern_match(spark, sf_dir):
+    """Time-series pattern search (r6, operators/tsmatch.pattern_topk):
+    top-20 signal windows across users most similar to a query
+    subsequence under z-normalized euclidean distance — the
+    example-driven counterpart to detect_scenes' predefined conditions.
+    The MASS-identity scoring (2m − 2r/σ from one exploded-element
+    pass) and the TakeOrderedAndProject top-k are both reproduced
+    exactly by the DuckDB oracle (list window + list_dot_product), so
+    the whole operator is hash-gated, not just sanity-checked."""
+    ev = (_events(spark, sf_dir)
+          .where((F.col("user_id") < 8) & F.col("value").isNotNull())
+          .select("user_id", "t", "value"))
+    return pattern_topk(ev, ["user_id"], "t", "value", PATTERN_RAW,
+                        k=20)
+
+
+_QLITS = ", ".join(repr(x) for x in PATTERN_Z)
+Q_PATTERN_MATCH_SQL = f"""
+with e as (select user_id, epoch_us(ts) as t, value from events
+           where user_id < 8 and value is not null),
+w as (select user_id, t as start_time,
+        list(value) over (partition by user_id order by t
+                          rows between current row and {_PM - 1} following)
+          as win
+      from e),
+fw as (select * from w where len(win) = {_PM}),
+s as (select user_id, start_time,
+        list_sum(win) as s1,
+        list_sum(list_transform(win, x -> x * x)) as s2,
+        list_dot_product(win, [{_QLITS}]) as r
+      from fw),
+d as (select user_id, start_time,
+        case when sqrt(greatest(s2 / {_PM}.0
+                                - (s1 / {_PM}.0) * (s1 / {_PM}.0), 0.0))
+                  > 1e-12
+             then round({2 * _PM}.0 - 2.0 * r /
+                        sqrt(greatest(s2 / {_PM}.0
+                                      - (s1 / {_PM}.0) * (s1 / {_PM}.0),
+                                      0.0)), 6)
+             else {2 * _PM}.0 end as dist
+      from s),
+rk as (select user_id, start_time, dist,
+         row_number() over (order by dist, start_time, user_id) as rank
+       from d)
+select user_id, start_time, dist, rank::BIGINT as rank
+from rk where rank <= 20
 """
 
 
@@ -2074,8 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "q_range_join": q_range_join,
         "q_interval_join": q_interval_join,
-        "q_asof_tolerance": q_asof_tolerance,
-        "q_asof_nearest": q_asof_nearest,
+        "q_asof_variants": q_asof_variants,
+        "q_pattern_match": q_pattern_match,
         "q_semi_anti_join": q_semi_anti_join,
         "q_edit_distance": q_edit_distance,
         "q_distinct_agg": q_distinct_agg,
@@ -2129,8 +2187,8 @@ def oracle_sql() -> dict[str, str]:
         "q_percentiles": Q_PERCENTILES_SQL,
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_join": Q_INTERVAL_JOIN_SQL,
-        "q_asof_tolerance": Q_ASOF_TOL_SQL,
-        "q_asof_nearest": Q_ASOF_NEAREST_SQL,
+        "q_asof_variants": Q_ASOF_VARIANTS_SQL,
+        "q_pattern_match": Q_PATTERN_MATCH_SQL,
         "q_semi_anti_join": Q_SEMI_ANTI_SQL,
         "q_edit_distance": Q_EDIT_DISTANCE_SQL,
         "q_distinct_agg": Q_DISTINCT_SQL,

