@@ -156,8 +156,12 @@ def motif_pairs(df: DataFrame, keys: list[str], time_col: str,
 
 def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
                  value_col: str, query: list[float], *, k: int = 10,
-                 step: int = 1, znormalize: bool = True) -> DataFrame:
-    """Top-``k`` windows most similar to ``query`` across all keys:
+                 step: int = 1, znormalize: bool = True,
+                 per_key: bool = False) -> DataFrame:
+    """Top-``k`` windows most similar to ``query`` across all keys —
+    or, with ``per_key=True``, the top-``k`` WITHIN each key ("the 5
+    closest matches in every drive", one window pass partitioned on
+    the keys instead of a global TakeOrdered):
     ``(keys…, start_time, dist, rank)``, ascending z-normalized squared
     euclidean distance, ties broken by (start_time, keys…) so the
     ranking is total and oracle-reproducible.
@@ -218,6 +222,12 @@ def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
                          F.round(dist, 6).alias("dist"))
     order = [F.asc("dist"), F.asc("start_time"),
              *[F.asc(c) for c in keys]]
+    if per_key:
+        wk = Window.partitionBy(*keys).orderBy(*order)
+        return (scored.withColumn("rank", F.row_number().over(wk)
+                                  .cast("bigint"))
+                .where(F.col("rank") <= k)
+                .select(*keys, "start_time", "dist", "rank"))
     top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)                          # k rows only
     return (top.withColumn("rank",

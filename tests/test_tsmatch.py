@@ -186,3 +186,26 @@ def test_motif_pairs_subset_of_bruteforce_oracle(spark):
     for pair, cos in got.items():
         assert abs(cos - exact[pair]) < 1e-4
     assert len(got) >= 1              # useful recall at these bands
+
+
+def test_pattern_topk_per_key(spark):
+    """per_key=True ranks within each key: every key returns its own
+    top-k, matching the per-key slice of the global scoring."""
+    rows = _series(spark)
+    df = spark.createDataFrame(rows, "k int, t double, v double")
+    query = [0.0, 1.0, 4.0, 1.0, 0.0, -2.0, 0.0, 2.0]
+    per = pattern_topk(df, ["k"], "t", "v", query, k=3, per_key=True)
+    got = {}
+    for r in per.collect():
+        got.setdefault(r.k, []).append((r.rank, r.start_time, r.dist))
+    assert set(got) == {0, 1, 2}
+    for k, lst in got.items():
+        assert sorted(x[0] for x in lst) == [1, 2, 3]
+    # each key's rank-1 equals the best of the numpy oracle's rows
+    # restricted to that key
+    want = _oracle(rows, query, 10**6)
+    for k in (0, 1, 2):
+        best = min((d, t) for d, t, key in want if key == k)
+        r1 = next(x for x in got[k] if x[0] == 1)
+        assert (r1.__getitem__(1), ) == (best[1], )
+        assert abs(r1[2] - best[0]) < 1e-4
