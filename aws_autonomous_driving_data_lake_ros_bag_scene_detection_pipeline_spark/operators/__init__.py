@@ -46,7 +46,8 @@ from .sessionize import (
     merge_intervals, sessionize,
 )
 from .timeseries import (
-    asof_join, cascade_update, downsample_cascade, forward_fill, lag_lead,
+    asof_join, cascade_update, detect_anomalies, downsample_cascade,
+    forward_fill, lag_lead,
     windowed_agg_batch,
     resample_asof, resample_interpolate, running_agg, time_spine,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "merge_intervals", "minhash_index", "minhash_match_pairs",
     "minhash_signature", "near_dedup", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "profile_table", "repartition_for_media", "resample_asof",
+    "detect_anomalies",
     "resample_interpolate", "resize_pixels", "running_agg",
     "motif_pairs", "pattern_topk", "sliding_windows",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",

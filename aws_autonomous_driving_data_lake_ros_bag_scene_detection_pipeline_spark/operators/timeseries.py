@@ -545,3 +545,92 @@ def windowed_agg_batch(df: DataFrame, keys: list[str], time_col: str,
             .select(*keys, F.col("_ws").alias("window_start"),
                     (F.col("_ws") + F.lit(width)).alias("window_end"),
                     *aggs.keys()))
+
+
+def detect_anomalies(df: DataFrame, keys: list[str], order_col: str,
+                     value_col: str, *,
+                     width: float | None = None, n: int | None = None,
+                     threshold: float = 3.0,
+                     min_points: int = 5) -> DataFrame:
+    """Flag points that deviate from their OWN trailing baseline — the
+    scene detector for conditions nobody predefined. The reference only
+    fires on hand-written predicates (detect_scenes.py:229-247, "person
+    in lane"); this finds the statistical surprises (sensor glitches,
+    sudden speed drops, stuck-value runs ending) the same way a
+    monitoring pipeline would, per key, in one window pass.
+
+    Baseline = LEAVE-ONE-OUT mean/std of the trailing window: the
+    window aggregates (count, sum, sum of squares) INCLUDE the current
+    row — range frames cannot exclude it — and the current value is
+    subtracted arithmetically afterwards. Without leave-one-out a
+    single huge spike inflates the very std it is judged against and
+    masks itself; with it the spike is scored purely against its
+    neighbours.
+
+    Exactly one of ``width`` (trailing RANGE frame, ``order_col``
+    units — rows at equal order are peers and share a baseline) or
+    ``n`` (trailing ROWS frame of the n previous rows — here the
+    current row genuinely is excluded by the frame, so no correction
+    is needed) must be given. Points whose baseline holds fewer than
+    ``min_points`` values (warm-up, sparse keys) or has zero spread
+    get NULL ``zscore`` and ``is_anomaly=false``.
+
+    Output: input columns + ``baseline_mean``, ``baseline_std``
+    (sample std of the leave-one-out baseline), ``zscore``,
+    ``is_anomaly``. Plan shape: ONE window
+    (``partitionBy(keys).orderBy(order_col)``), three aggregates over
+    the same frame → one exchange + one sort, all codegen; mirrors to
+    ANSI SQL window frames verbatim (the DuckDB oracle recomputes the
+    identical arithmetic). The Σx²−n·μ² variance form can cancel
+    catastrophically when |mean| ≫ std at float precision — center
+    values upstream if your signal rides a 1e12 offset."""
+    if (width is None) == (n is None):
+        raise ValueError("pass exactly one of width= (range frame) "
+                         "or n= (rows frame)")
+    if min_points < 2:
+        raise ValueError("min_points must be ≥ 2 (std needs 2 values)")
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).cast("double"))
+    v = F.col(value_col).cast("double")
+    if width is not None:
+        if width <= 0:
+            raise ValueError(f"width must be > 0, got {width}")
+        if width != int(width):
+            # Spark range-frame bounds are long; scale the order column
+            # (the engine's integer-microsecond convention) for
+            # sub-unit baselines instead of fractional widths
+            raise ValueError(f"width must be a whole number of "
+                             f"order_col units, got {width}")
+        frame = w.rangeBetween(-int(width), 0)
+        # leave-one-out: the frame includes the current row (and any
+        # equal-order peers; only the row itself is removed)
+        cnt = F.count(v).over(frame) - F.when(v.isNotNull(), 1) \
+                                        .otherwise(0)
+        s1 = F.sum(v).over(frame) - F.coalesce(v, F.lit(0.0))
+        s2 = (F.sum(v * v).over(frame)
+              - F.coalesce(v * v, F.lit(0.0)))
+    else:
+        if n < 2:
+            raise ValueError(f"n must be ≥ 2, got {n}")
+        frame = w.rowsBetween(-int(n), -1)
+        cnt = F.count(v).over(frame)
+        s1 = F.sum(v).over(frame)
+        s2 = F.sum(v * v).over(frame)
+    mean = s1 / cnt
+    # sample variance (Σx² − n·μ²)/(n−1), clamped: float cancellation
+    # on a near-constant baseline can dip fractionally below zero
+    var = F.greatest((s2 - cnt * mean * mean) / (cnt - 1), F.lit(0.0))
+    std = F.sqrt(var)
+    ok = v.isNotNull() & (cnt >= min_points) & (std > 0)
+    z = F.when(ok, (v - mean) / std)
+    # one select, not chained withColumns: each withColumn plants its
+    # own logical Window node and the collapse rules don't always fold
+    # them back — a single projection extracts ONE Window operator
+    # computing the three shared aggregates (plan-pinned in
+    # tests/test_plans.py)
+    return df.select(
+        "*",
+        F.when(cnt >= min_points, mean).alias("baseline_mean"),
+        F.when(cnt >= min_points, std).alias("baseline_std"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False))
+         .alias("is_anomaly"))

@@ -401,3 +401,24 @@ def test_read_snapshot_pushes_filters_to_scan(spark, tmp_path):
     assert pruned.count() == 250
     plan = formatted_plan(pruned)
     assert "PartitionFilters" in plan
+
+
+def test_detect_anomalies_single_window_pass(spark):
+    """All three baseline aggregates (count/sum/sumsq) share one frame:
+    exactly one Window op, one exchange, and the arithmetic stays in
+    whole-stage codegen (no Python in the plan)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import detect_anomalies
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        count_exchanges, count_window_ops, formatted_plan,
+    )
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = raw.select("user_id", entry._ts_us(raw).alias("t"), "value")
+    out = detect_anomalies(ev, ["user_id"], "t", "value",
+                           width=3_600_000_000)
+    # consume every operator output so pruning can't fake the contract
+    probe = out.select("user_id", "zscore", "baseline_mean",
+                       "baseline_std", "is_anomaly")
+    assert count_window_ops(probe) == 1
+    assert count_exchanges(probe) == 1
+    assert "Python" not in formatted_plan(probe)

@@ -546,3 +546,107 @@ def test_running_agg_last_is_chunked_locf(spark):
                         {"locf": ("last", "v"), "rc": ("count", None)},
                         chunk_width=100.0)
     assert mixed.where("rc is null").count() == 0
+
+
+def _loo_oracle(vals, idx, lo, hi):
+    """Leave-one-out mean/std of vals[lo:hi] excluding index idx."""
+    import math
+    base = [v for j, v in enumerate(vals[lo:hi], start=lo)
+            if j != idx and v is not None]
+    n = len(base)
+    if n < 2:
+        return n, None, None
+    mean = sum(base) / n
+    var = max((sum(v * v for v in base) - n * mean * mean) / (n - 1), 0.0)
+    return n, mean, math.sqrt(var)
+
+
+def test_detect_anomalies_rows_mode_matches_python_oracle(spark):
+    """n= mode: zscore equals the hand-computed leave-one-out trailing
+    baseline (the frame excludes the current row by construction)."""
+    import random
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import detect_anomalies
+
+    rng = random.Random(11)
+    vals = [rng.gauss(10.0, 2.0) for _ in range(60)]
+    vals[30] = 60.0                               # planted spike
+    vals[12] = None                               # null observation
+    rows = [("k", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    got = {r.t: r for r in detect_anomalies(
+        df, ["k"], "t", "v", n=8, threshold=5.0).collect()}
+    for i, v in enumerate(vals):
+        r = got[float(i)]
+        n, mean, std = _loo_oracle(vals, -1, max(0, i - 8), i)
+        if v is None or mean is None or n < 5 or std == 0:
+            if v is None or n < 5:
+                assert r.zscore is None
+            assert not r.is_anomaly or r.zscore is not None
+            continue
+        assert abs(r.baseline_mean - mean) < 1e-9
+        assert abs(r.zscore - (v - mean) / std) < 1e-9
+    assert got[30.0].is_anomaly
+    assert sum(1 for r in got.values() if r.is_anomaly) == 1
+
+
+def test_detect_anomalies_range_mode_leave_one_out(spark):
+    """width= mode subtracts the current row from the range frame: a
+    spike's baseline stats equal the neighbours-only computation, so
+    the spike cannot mask itself."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import detect_anomalies
+
+    vals = [5.0, 5.2, 4.8, 5.1, 4.9, 5.0, 100.0, 5.05, 4.95]
+    rows = [("k", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    got = {r.t: r for r in detect_anomalies(
+        df, ["k"], "t", "v", width=6.0, threshold=4.0).collect()}
+    spike = got[6.0]
+    n, mean, std = _loo_oracle(vals, 6, 0, 7)
+    assert abs(spike.baseline_mean - mean) < 1e-9
+    assert abs(spike.baseline_std - std) < 1e-9
+    assert spike.is_anomaly and abs(spike.zscore) > 4.0
+    # the two rows after the spike inherit it in THEIR baseline: huge
+    # std -> not anomalous, but never None once warm
+    assert not got[7.0].is_anomaly and got[7.0].zscore is not None
+    # warm-up rows (fewer than min_points in baseline) are unflagged
+    assert got[0.0].zscore is None and not got[0.0].is_anomaly
+
+
+def test_detect_anomalies_against_duckdb_window_oracle(spark, duck):
+    """Range-frame leave-one-out arithmetic reproduced verbatim as an
+    ANSI window query on the events table (sf0.001)."""
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import detect_anomalies
+    import __spark_entry__ as e
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    e.prepare_session(spark)
+    ev = raw.select("user_id", (e._ts_us(raw) / 1e6).alias("t"), "value")
+    got = (detect_anomalies(ev, ["user_id"], "t", "value",
+                            width=86400.0, threshold=2.5)
+           .where(F.col("zscore").isNotNull())
+           .select("user_id", "t", F.round("zscore", 3).alias("z"),
+                   "is_anomaly"))
+    assert_df_matches_oracle(got, duck, """
+        with ev as (
+          select user_id, epoch_us(ts)/1e6 as t, value from events),
+        w as (
+          select user_id, t, value,
+            count(value) over fr - case when value is not null
+                                        then 1 else 0 end as cnt,
+            sum(value) over fr - coalesce(value, 0) as s1,
+            sum(value*value) over fr - coalesce(value*value, 0) as s2
+          from ev
+          window fr as (partition by user_id order by t
+                        range between 86400.0 preceding and current row)),
+        z as (
+          select user_id, t, value, cnt, s1/cnt as mean,
+            sqrt(greatest((s2 - cnt*(s1/cnt)*(s1/cnt))/(cnt-1), 0)) as std
+          from w)
+        select user_id, t,
+               round((value - mean)/std, 3) as z,
+               abs((value - mean)/std) > 2.5 as is_anomaly
+        from z
+        where value is not null and cnt >= 5 and std > 0
+    """)
