@@ -262,3 +262,102 @@ def text_feature_vector(col: Column | str) -> Column:
     scores = lang_scores(c)
     feats += [scores[k].cast("double") for k in sorted(scores)]
     return F.array(*feats)
+
+
+# The published Gopher corpus-filter thresholds (Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", table A1). Kept as a visible dict so a pipeline can tighten/
+# loosen individual rules without re-deriving the expressions.
+GOPHER_THRESHOLDS = {
+    "min_words": 50, "max_words": 100_000,
+    "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_ratio": 0.9,
+    "max_ellipsis_line_ratio": 0.3,
+    "min_alpha_word_ratio": 0.8,
+    "min_stopword_hits": 2,
+}
+
+# the paper's 8-word "required word" list for the stopword rule
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_rules(col: Column | str,
+                 thresholds: dict | None = None) -> dict[str, Column]:
+    """The Gopher quality-filter rules as named boolean columns — the
+    standard first-pass LLM corpus filter, with per-rule diagnostics
+    instead of one opaque keep bit (so a corpus report can say WHICH
+    rule rejects what fraction). All Catalyst expressions; each rule's
+    DuckDB mirror is the same split/list arithmetic (list_filter /
+    string_split / length), hash-checked in tests.
+
+    Rules (each True = passes):
+    ``word_count_ok``  50 ≤ words ≤ 100k; ``mean_word_len_ok`` mean
+    word length in [3, 10]; ``symbol_ratio_ok`` (# + …/...) per word
+    ≤ 0.1; ``bullet_ratio_ok`` ≤ 90% of lines start with a bullet;
+    ``ellipsis_ratio_ok`` ≤ 30% of lines end with an ellipsis;
+    ``alpha_word_ratio_ok`` ≥ 80% of words contain a letter;
+    ``stopword_hits_ok`` ≥ 2 distinct required words present.
+
+    Words here are WHITESPACE-split (the paper's unit — punctuation
+    stays attached), not :func:`tokens`' alphanumeric runs; both
+    engines split on ``\\s+`` and drop empties."""
+    th = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n = F.size(words).cast("double")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("double")
+
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(words, F.lit(0).cast("double"),
+                    lambda acc, w: acc + F.length(w)) / n)
+    hashes = (F.length(c) - F.length(F.replace(c, F.lit("#")))) \
+        .cast("double")
+    # unicode ellipsis counts once; '...' counts per three dots
+    uni_ell = (F.length(c) - F.length(F.replace(c, F.lit("…")))) \
+        .cast("double")
+    dot_ell = ((F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+               / 3).cast("double")
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))).cast("double")
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))) \
+        .cast("double")
+    alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+    stop_hits = F.size(F.array_intersect(
+        F.transform(words, F.lower),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+
+    return {
+        "word_count_ok": (n >= th["min_words"]) & (n <= th["max_words"]),
+        "mean_word_len_ok": F.coalesce(
+            (mean_len >= th["min_mean_word_len"])
+            & (mean_len <= th["max_mean_word_len"]), F.lit(False)),
+        "symbol_ratio_ok": F.coalesce(
+            F.when(n > 0, (hashes + uni_ell + dot_ell) / n
+                   <= th["max_symbol_word_ratio"]), F.lit(False)),
+        "bullet_ratio_ok": F.coalesce(
+            F.when(n_lines > 0, bullet_lines / n_lines
+                   <= th["max_bullet_line_ratio"]), F.lit(False)),
+        "ellipsis_ratio_ok": F.coalesce(
+            F.when(n_lines > 0, ellipsis_lines / n_lines
+                   <= th["max_ellipsis_line_ratio"]), F.lit(False)),
+        "alpha_word_ratio_ok": F.coalesce(
+            F.when(n > 0, alpha_words / n
+                   >= th["min_alpha_word_ratio"]), F.lit(False)),
+        "stopword_hits_ok": stop_hits >= th["min_stopword_hits"],
+    }
+
+
+def gopher_keep(col: Column | str,
+                thresholds: dict | None = None) -> Column:
+    """AND of every :func:`gopher_rules` rule — the keep bit."""
+    rules = gopher_rules(col, thresholds)
+    out = F.lit(True)
+    for r in rules.values():
+        out = out & r
+    return out

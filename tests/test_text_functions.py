@@ -206,3 +206,119 @@ def test_strip_boilerplate_lines(spark):
     )
     plan = formatted_plan(df.select(strip_boilerplate_lines("t")))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_each_rule_isolates_its_failure(spark):
+    """Handcrafted docs each violating exactly one Gopher rule: the
+    per-rule diagnostic columns pinpoint it and gopher_keep rejects."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+        gopher_keep, gopher_rules,
+    )
+
+    good = ("The quick brown fox jumps over the lazy dog and then "
+            "walks back to the barn with a friend that it has known "
+            "for years. " * 3)        # ~75 words, natural prose
+    docs = {
+        "good": good,
+        "too_short": "The cat sat with me and that was that to be.",
+        "long_words": "The " + " ".join(
+            ["knowledge" + "x" * 20] * 80) + " to of and that be have with",
+        "symbols": good + " " + "# " * 20,
+        "bullets": "\n".join("- item of the list to be that have with"
+                             for _ in range(10)) + "\nplain line " +
+                   " ".join(["word"] * 60),
+        "ellipses": "\n".join(f"line {i} of the story that trails "
+                              f"off..." for i in range(10)),
+        "numeric": "The data to be of and that have with " +
+                   " ".join(str(i) for i in range(60)),
+        "no_stopwords": " ".join(f"word{i}" for i in range(60)),
+    }
+    df = spark.createDataFrame(list(docs.items()), "name string, body string")
+    rules = gopher_rules("body")
+    out = {r["name"]: r.asDict() for r in
+           df.select("name", *[v.alias(k) for k, v in rules.items()],
+                     gopher_keep("body").alias("keep")).collect()}
+
+    assert out["good"]["keep"] is True
+    assert all(v for k, v in out["good"].items() if k != "name")
+    expect_fail = {
+        "too_short": "word_count_ok",
+        "long_words": "mean_word_len_ok",
+        "symbols": "symbol_ratio_ok",
+        "bullets": "bullet_ratio_ok",
+        "ellipses": "ellipsis_ratio_ok",
+        "numeric": "alpha_word_ratio_ok",
+        "no_stopwords": "stopword_hits_ok",
+    }
+    for name, rule in expect_fail.items():
+        assert out[name][rule] is False, (name, rule, out[name])
+        assert out[name]["keep"] is False
+
+
+def test_gopher_rules_against_duckdb_oracle(spark, duck):
+    """Every rule recomputed as DuckDB list arithmetic on the documents
+    table — the per-rule booleans hash-match row for row."""
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+        gopher_keep, gopher_rules,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rules = gopher_rules("text")
+    got = df.select("doc_id",
+                    *[v.alias(k) for k, v in rules.items()],
+                    gopher_keep("text").alias("keep"))
+    assert_df_matches_oracle(got, duck, r"""
+        with w as (
+          select doc_id, text,
+            list_filter(string_split_regex(text, '\s+'),
+                        w -> w <> '') as words,
+            string_split(text, chr(10)) as lines
+          from documents),
+        m as (
+          select doc_id, text, words, lines,
+            len(words)::double as n, len(lines)::double as n_lines,
+            list_sum(list_transform(words,
+                     w -> length(w)::double)) / len(words) as mean_len,
+            (length(text) - length(replace(text, '#', '')))::double
+              + (length(text) - length(replace(text, '…', '')))::double
+              + (length(text) - length(replace(text, '...', '')))
+                  ::double / 3 as symbols,
+            len(list_filter(lines, l ->
+                regexp_matches(ltrim(l), '^[-*•]')))::double as bullets,
+            len(list_filter(lines, l ->
+                regexp_matches(rtrim(l), '(\.\.\.|…)$')))::double as ell,
+            len(list_filter(words, w ->
+                regexp_matches(w, '[A-Za-z]')))::double as alpha,
+            len(list_intersect(list_transform(words, w -> lower(w)),
+                ['the','be','to','of','and','that','have','with']))
+              as hits
+          from w)
+        select doc_id,
+          n >= 50 and n <= 100000 as word_count_ok,
+          coalesce(mean_len >= 3.0 and mean_len <= 10.0, false)
+            as mean_word_len_ok,
+          coalesce(case when n > 0 then symbols / n <= 0.1 end, false)
+            as symbol_ratio_ok,
+          coalesce(case when n_lines > 0
+                   then bullets / n_lines <= 0.9 end, false)
+            as bullet_ratio_ok,
+          coalesce(case when n_lines > 0
+                   then ell / n_lines <= 0.3 end, false)
+            as ellipsis_ratio_ok,
+          coalesce(case when n > 0 then alpha / n >= 0.8 end, false)
+            as alpha_word_ratio_ok,
+          hits >= 2 as stopword_hits_ok,
+          (n >= 50 and n <= 100000)
+            and coalesce(mean_len >= 3.0 and mean_len <= 10.0, false)
+            and coalesce(case when n > 0 then symbols / n <= 0.1 end,
+                         false)
+            and coalesce(case when n_lines > 0
+                         then bullets / n_lines <= 0.9 end, false)
+            and coalesce(case when n_lines > 0
+                         then ell / n_lines <= 0.3 end, false)
+            and coalesce(case when n > 0 then alpha / n >= 0.8 end,
+                         false)
+            and hits >= 2 as keep
+        from m
+    """)
