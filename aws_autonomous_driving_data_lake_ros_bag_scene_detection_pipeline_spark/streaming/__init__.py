@@ -50,4 +50,4 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
 from .ops import (dedup_stream, interval_join_stream,  # noqa: F401
                   sessionize_stream, windowed_agg)
 from .sources import file_stream  # noqa: F401
-from .state import change_points_stateful  # noqa: F401
+from .state import anomalies_stateful, change_points_stateful  # noqa: F401

@@ -75,3 +75,77 @@ def change_points_stateful(stream: DataFrame, keys: list[str],
             .groupBy(*[F.col(k) for k in keys])
             .applyInPandasWithState(fn, out_schema, _STATE_SCHEMA,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+_ANOM_STATE_SCHEMA = "ring ARRAY<DOUBLE>"
+
+
+def anomalies_stateful(stream: DataFrame, keys: list[str],
+                       time_col: str, value_col: str, *, n: int,
+                       threshold: float = 3.0,
+                       min_points: int = 5) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.detect_anomalies(n=)``:
+    score each arriving point against the trailing n-row baseline of
+    its key, across micro-batch boundaries.
+
+    State per key is a bounded ring of the last ``n`` values (null
+    rows occupy a slot as NaN, exactly like the batch ROWS frame whose
+    aggregates then skip them) — n doubles, not history. Identical
+    arithmetic to the batch operator: leave-one-out is structural here
+    too (the ring holds only PREVIOUS rows), sample variance
+    ``(Σx² − n·μ²)/(n−1)`` clamped at 0, NULL zscore during warm-up /
+    zero spread / null value.
+
+    Same in-order caveat as :func:`change_points_stateful`: rows sort
+    by ``time_col`` within a micro-batch, but a point arriving in a
+    LATER batch than a newer point of its key is scored against the
+    newer baseline (streams can't retro-sort); batch equivalence holds
+    for in-order feeds (test-pinned)."""
+    if n < 2:
+        raise ValueError(f"n must be ≥ 2, got {n}")
+    if min_points < 2:
+        raise ValueError("min_points must be ≥ 2 (std needs 2 values)")
+    import math
+
+    dtypes = dict(stream.dtypes)
+    key_part = ", ".join(f"{k} {dtypes[k]}" for k in keys)
+    out_schema = (f"{key_part}, {time_col} {dtypes[time_col]}, "
+                  f"{value_col} DOUBLE, baseline_mean DOUBLE, "
+                  f"baseline_std DOUBLE, zscore DOUBLE, "
+                  f"is_anomaly BOOLEAN")
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        ring: list[float] = list(state.get[0]) if state.exists else []
+        out: list[tuple] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(time_col)
+            for t, v in zip(pdf[time_col], pdf[value_col]):
+                v = None if v is None or (isinstance(v, float)
+                                          and math.isnan(v)) else float(v)
+                base = [x for x in ring if not math.isnan(x)]
+                cnt = len(base)
+                mean = std = z = None
+                if cnt >= min_points:
+                    mean = sum(base) / cnt
+                    var = max((sum(x * x for x in base)
+                               - cnt * mean * mean) / (cnt - 1), 0.0)
+                    std = math.sqrt(var)
+                    if v is not None and std > 0:
+                        z = (v - mean) / std
+                out.append(key + (t, v, mean, std, z,
+                                  bool(z is not None
+                                       and abs(z) > threshold)))
+                ring.append(math.nan if v is None else v)
+                if len(ring) > n:
+                    ring = ring[-n:]
+        state.update((ring,))
+        yield pd.DataFrame(out, columns=list(keys)
+                           + [time_col, value_col, "baseline_mean",
+                              "baseline_std", "zscore", "is_anomaly"])
+
+    return (stream
+            .groupBy(*[F.col(k) for k in keys])
+            .applyInPandasWithState(fn, out_schema, _ANOM_STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))

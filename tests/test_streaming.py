@@ -801,3 +801,41 @@ def test_snapshot_enrich_stream_uses_latest_published_version(
 
     got = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
     assert got == {100: "bronze", 101: "silver", 102: "gold"}
+
+
+def test_anomalies_stateful_matches_batch_across_microbatches(spark, tmp_path):
+    """Streaming trailing-baseline anomaly scores equal the batch
+    detect_anomalies(n=) output when the feed is in order — including
+    a spike, a null, and the warm-up — with state carried across THREE
+    real micro-batches (maxFilesPerTrigger=1)."""
+    import random
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import detect_anomalies
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import anomalies_stateful
+
+    rng = random.Random(5)
+    vals = [rng.gauss(20.0, 3.0) for _ in range(30)]
+    vals[17] = 200.0
+    vals[8] = None
+    rows = [(i, 1 + (i % 2), (i + 1) * US, vals[i]) for i in range(30)]
+    path = str(tmp_path / "in")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):     # one file per batch
+        _write_events(spark, path, rows[lo:hi])
+    stream = file_stream(spark, path, EVENT_SCHEMA,
+                         max_files_per_trigger=1)
+    got = _run_available_now(anomalies_stateful(
+        stream.select("user_id", "t", "value"), ["user_id"], "t",
+        "value", n=6, threshold=3.0))
+    batch = detect_anomalies(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+        .select("user_id", "t", "value"),
+        ["user_id"], "t", "value", n=6, threshold=3.0).collect()
+
+    def norm(rs):
+        return sorted(
+            (r.user_id, r.t,
+             None if r.zscore is None else round(r.zscore, 9),
+             bool(r.is_anomaly)) for r in rs)
+    assert norm(got) == norm(batch)
+    assert any(r.is_anomaly for r in got)            # the spike fired
+    assert sum(r.zscore is None for r in got) > 4    # warm-up + null
