@@ -44,6 +44,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
+    gopher_keep, gopher_rules,
     hash64, lang_id, pii_count, pii_redact, punct_ratio,
     quality_score, stopword_ratio, subword_count, token_count, tokens,
 )
@@ -969,17 +970,51 @@ from s group by user_id, session_id
 
 
 def q_lag_lead(spark, sf_dir):
-    """lag/lead windows (SURVEY #39-#40)."""
+    """lag/lead windows (SURVEY #39-#40) + the r6 fold of
+    detect_anomalies (rows-mode leave-one-out trailing baseline): same
+    per-event row grain, and the fold puts the anomaly arithmetic —
+    count/sum/sumsq over a trailing ROWS frame, sample-variance z-score
+    — under the driver's hash gate (the oracle reproduces it verbatim
+    as window SQL). (user_id, t) is unique in events, so the rows
+    frame is deterministic."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import detect_anomalies
+
     ev = _events(spark, sf_dir).select("user_id", "t", "value")
-    return lag_lead(ev, ["user_id"], "t", "value", offsets=(1,))
+    out = detect_anomalies(lag_lead(ev, ["user_id"], "t", "value",
+                                    offsets=(1,)),
+                           ["user_id"], "t", "value",
+                           n=20, threshold=3.0)
+    return out.select("user_id", "t", "value", "value_lag1",
+                      "value_lead1", F.round("zscore", 6).alias("zscore"),
+                      "is_anomaly")
 
 
 Q_LAG_LEAD_SQL = f"""
-with ev as ({EVENTS_SQL})
-select user_id, t, value,
-  lag(value, 1) over (partition by user_id order by t) as value_lag1,
-  lead(value, 1) over (partition by user_id order by t) as value_lead1
-from ev
+with ev as ({EVENTS_SQL}),
+base as (
+  select user_id, t, value,
+    lag(value, 1) over w as value_lag1,
+    lead(value, 1) over w as value_lead1,
+    count(value) over fr as cnt,
+    sum(value) over fr as s1,
+    sum(value * value) over fr as s2
+  from ev
+  window w as (partition by user_id order by t),
+         fr as (partition by user_id order by t
+                rows between 20 preceding and 1 preceding)),
+z as (
+  select user_id, t, value, value_lag1, value_lead1, cnt,
+    s1 / cnt as mean,
+    sqrt(greatest((s2 - cnt * (s1/cnt) * (s1/cnt)) / (cnt - 1), 0))
+      as std
+  from base)
+select user_id, t, value, value_lag1, value_lead1,
+  case when value is not null and cnt >= 5 and std > 0
+       then round((value - mean) / std, 6) end as zscore,
+  coalesce(case when value is not null and cnt >= 5 and std > 0
+                then abs((value - mean) / std) > 3.0 end,
+           false) as is_anomaly
+from z
 """
 
 
@@ -1374,8 +1409,13 @@ group by bi.doc_id
 def q_text_stats(spark, sf_dir):
     """Token counting + quality scoring + language id in ONE per-doc
     projection (r5 fold of q_lang_id into q_text_stats — identical row
-    grain, and the fold frees a gate slot for q_expectations)."""
+    grain, and the fold frees a gate slot for q_expectations), + the
+    r6 fold of the Gopher quality-filter rules (functions/
+    text.gopher_rules): each published rule's boolean diagnostic and
+    the keep bit, hash-checked rule-for-rule against the same DuckDB
+    list arithmetic."""
     docs = _spread(_t("documents")(spark, sf_dir))
+    rules = gopher_rules("text")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -1383,7 +1423,9 @@ def q_text_stats(spark, sf_dir):
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         F.round(quality_score("text"), 6).alias("quality_score"),
-        lang_id("text").alias("lang_pred"))
+        lang_id("text").alias("lang_pred"),
+        *[v.alias(f"g_{k}") for k, v in rules.items()],
+        gopher_keep("text").alias("g_keep"))
 
 
 Q_TEXT_STATS_SQL = f"""
@@ -1477,6 +1519,59 @@ m as (select *, greatest({greatest}) as m from sc)
 select doc_id,
   case when m > 0 then (case {cases} end) else 'und' end as lang_pred
 from m
+"""
+
+
+def _gopher_sql() -> str:
+    """DuckDB mirror of functions/text.gopher_rules: words are
+    whitespace-split (empties dropped), lines newline-split; identical
+    threshold arithmetic, rule for rule."""
+    return r"""
+with w as (
+  select doc_id, text,
+    list_filter(string_split_regex(text, '\s+'), w -> w <> '') as words,
+    string_split(text, chr(10)) as lines
+  from documents),
+m as (
+  select doc_id,
+    len(words)::double as n, len(lines)::double as n_lines,
+    list_sum(list_transform(words,
+             w -> length(w)::double)) / len(words) as mean_len,
+    (length(text) - length(replace(text, '#', '')))::double
+      + (length(text) - length(replace(text, '…', '')))::double
+      + (length(text) - length(replace(text, '...', '')))::double / 3
+      as symbols,
+    len(list_filter(lines, l ->
+        regexp_matches(ltrim(l), '^[-*•]')))::double as bullets,
+    len(list_filter(lines, l ->
+        regexp_matches(rtrim(l), '(\.\.\.|…)$')))::double as ell,
+    len(list_filter(words, w ->
+        regexp_matches(w, '[A-Za-z]')))::double as alpha,
+    len(list_intersect(list_transform(words, w -> lower(w)),
+        ['the','be','to','of','and','that','have','with'])) as hits
+  from w),
+r as (
+  select doc_id,
+    n >= 50 and n <= 100000 as g_word_count_ok,
+    coalesce(mean_len >= 3.0 and mean_len <= 10.0, false)
+      as g_mean_word_len_ok,
+    coalesce(case when n > 0 then symbols / n <= 0.1 end, false)
+      as g_symbol_ratio_ok,
+    coalesce(case when n_lines > 0
+             then bullets / n_lines <= 0.9 end, false)
+      as g_bullet_ratio_ok,
+    coalesce(case when n_lines > 0
+             then ell / n_lines <= 0.3 end, false)
+      as g_ellipsis_ratio_ok,
+    coalesce(case when n > 0 then alpha / n >= 0.8 end, false)
+      as g_alpha_word_ratio_ok,
+    hits >= 2 as g_stopword_hits_ok
+  from m)
+select *,
+  g_word_count_ok and g_mean_word_len_ok and g_symbol_ratio_ok
+    and g_bullet_ratio_ok and g_ellipsis_ratio_ok
+    and g_alpha_word_ratio_ok and g_stopword_hits_ok as g_keep
+from r
 """
 
 
@@ -2213,8 +2308,10 @@ def oracle_sql() -> dict[str, str]:
         "q_chunk_documents": Q_CHUNK_SQL,
         "q_simhash_pairs": _simhash_pairs_sql(),
         "q_text_stats": f"""
-with ts as ({Q_TEXT_STATS_SQL}), li as ({_lang_id_sql()})
-select ts.*, li.lang_pred from ts join li using (doc_id)
+with ts as ({Q_TEXT_STATS_SQL}), li as ({_lang_id_sql()}),
+     go as ({_gopher_sql()})
+select ts.*, li.lang_pred, go.* exclude (doc_id)
+from ts join li using (doc_id) join go using (doc_id)
 """,
         "q_media_features": Q_MEDIA_SQL,
         "q_expectations": Q_EXPECTATIONS_SQL,
