@@ -26,7 +26,8 @@ from .pivot import pivot_wide
 from .profile import profile_drift, profile_table
 from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
 from .sampling import (
-    chunk_documents, hash_sample, hash_sample_sql, hash_split,
+    chunk_documents, deterministic_shuffle, hash_sample,
+    hash_sample_sql, hash_split,
     pack_sequences, reservoir_sample, reservoir_sample_sql,
     stratified_hash_sample, temperature_mix_rates, weighted_sample,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "embedding_index",
     "embedding_match_pairs", "exact_dedup", "forward_fill",
+    "deterministic_shuffle",
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
     "cell_balance", "ivf_repivot", "kmeans_pivots",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",

@@ -140,6 +140,34 @@ def pack_sequences(df: DataFrame, id_col: str, size_col: str,
         F.pmod(cum_before, F.lit(capacity)).cast("bigint").alias("offset"))
 
 
+def deterministic_shuffle(df: DataFrame, key_col: str,
+                          salt: str = "shuffle",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Reproducible pseudo-random training order: every row gets
+    ``_order = hash64(salt|key)`` and the frame comes back
+    range-partitioned + sorted on it — globally shuffled for the data
+    loader, identical on every run/engine/input-partitioning (the
+    property ``df.orderBy(rand())`` loses the moment anything moves),
+    and a different ``salt`` (e.g. ``"epoch3"``) is a fresh
+    independent permutation of the same corpus.
+
+    Scale shape: ``repartitionByRange`` on the hash + per-partition
+    sort — physically the same distributed range-exchange + local
+    sort a global ``orderBy`` plans, but with the order key PERSISTED
+    (``_order`` survives the write, so a reader can verify the order
+    or merge shards) and derived from data, not a RNG. Range
+    boundaries are sampled, so exact row→file placement may vary
+    between runs while the cross-file order stays fixed. DuckDB
+    mirror: ``order by md5-hash64(salt|key)``."""
+    h = hash64(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
+    out = df.withColumn("_order", h)
+    if num_partitions is not None:
+        out = out.repartitionByRange(num_partitions, "_order")
+    else:
+        out = out.repartitionByRange("_order")
+    return out.sortWithinPartitions("_order")
+
+
 def hash_split(df: DataFrame, key_col: str,
                fractions: dict[str, float],
                salt: str = "split",

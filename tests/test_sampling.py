@@ -360,3 +360,33 @@ def test_profile_drift_null_stats_still_flag(spark):
         r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\w* \w+ \(\d+\)",
         plan)
     assert len(joins) == 1, joins
+
+
+def test_deterministic_shuffle_order_matches_duckdb_and_is_stable(spark, duck):
+    """The global training order equals DuckDB's order-by on the same
+    portable hash, survives input repartitioning, and a different salt
+    (epoch) yields a genuinely different permutation."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import deterministic_shuffle
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id")
+    seq = [r.doc_id for r in
+           deterministic_shuffle(docs, "doc_id").select("doc_id")
+           .toLocalIterator()]
+    want = [r[0] for r in duck.sql("""
+        select doc_id from documents
+        order by ('0x' || substring(
+            md5('shuffle|' || doc_id::varchar), 1, 15))::BIGINT
+    """).fetchall()]
+    assert seq == want
+    # repartition-stability: same order from a differently-laid-out input
+    seq7 = [r.doc_id for r in
+            deterministic_shuffle(docs.repartition(7), "doc_id")
+            .select("doc_id").toLocalIterator()]
+    assert seq7 == seq
+    # epoch independence: a different salt is a different permutation
+    seq_e2 = [r.doc_id for r in
+              deterministic_shuffle(docs, "doc_id", salt="epoch2")
+              .select("doc_id").toLocalIterator()]
+    assert seq_e2 != seq and sorted(seq_e2) == sorted(seq)
