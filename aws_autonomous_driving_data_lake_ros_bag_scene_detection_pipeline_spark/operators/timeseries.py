@@ -589,7 +589,12 @@ def detect_anomalies(df: DataFrame, keys: list[str], order_col: str,
                          "or n= (rows frame)")
     if min_points < 2:
         raise ValueError("min_points must be ≥ 2 (std needs 2 values)")
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).cast("double"))
+    # order by the RAW column: a cast here would give this Window a
+    # different sort key from any sibling window on the same
+    # (keys, order_col) — a second Sort in the plan and no node merge
+    # (measured 6× on the q_lag_lead fold). Range bounds adapt to the
+    # order type, so no numeric unification is needed.
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
     v = F.col(value_col).cast("double")
     if width is not None:
         if width <= 0:

@@ -233,3 +233,77 @@ def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
     return (top.withColumn("rank",
                            F.row_number().over(w).cast("bigint"))
             .select(*keys, "start_time", "dist", "rank"))
+
+
+def xcorr_lags(df: DataFrame, keys: list[str], time_col: str,
+               a_col: str, b_col: str, *, max_lag: int,
+               step: int = 1) -> DataFrame:
+    """Cross-correlation of two signals per key over candidate sample
+    lags — "by how many samples does the lidar speed trail the camera
+    speed in this drive": ``(keys…, lag, xcorr, n_pairs)``, one row
+    per lag in ``-max_lag..max_lag`` (thinned by ``step``), where
+    ``xcorr = corr(a[t], b[t+lag])`` (Pearson, so amplitude/offset
+    drop out like pattern_topk's z-normalization).
+
+    The estimator the reference's topic synchronizer silently assumes
+    away: resample_asof aligns topics on one spine ASSUMING their
+    clocks agree; this measures the residual skew so the offset can be
+    corrected before alignment. Lags are in ROW units — run it on a
+    regularly-resampled signal (resample_asof / resample_interpolate),
+    then seconds = lag × grid step.
+
+    Plan shape: all ``lead(b, lag)`` shifted copies come from ONE
+    window pass (same partition/order for every lag → one Window
+    operator, one exchange), and the groupBy that follows keys on the
+    window's own partitioning, so Catalyst reuses the exchange — the
+    data shuffles once regardless of how many lags are scored. Rows
+    where either side is null (series edges) drop out of that lag's
+    pair count (``n_pairs``), never biasing the correlation.
+    ``corr`` returns NULL for degenerate (constant) windows — such
+    lags surface as NULL xcorr rather than fake certainty."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be ≥ 1, got {max_lag}")
+    if step < 1:
+        raise ValueError(f"step must be ≥ 1, got {step}")
+    lags = list(range(-max_lag, max_lag + 1, step))
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    shifted = df.select(
+        *keys, a.alias("_a"),
+        *[F.lead(b, lag).over(w).alias(f"_b_{i}") if lag >= 0
+          else F.lag(b, -lag).over(w).alias(f"_b_{i}")
+          for i, lag in enumerate(lags)])
+    agg = shifted.groupBy(*keys).agg(
+        *[F.corr("_a", f"_b_{i}").alias(f"_c_{i}") for i in range(len(lags))],
+        *[F.count(F.when(F.col("_a").isNotNull()
+                         & F.col(f"_b_{i}").isNotNull(), 1))
+          .alias(f"_n_{i}") for i in range(len(lags))])
+    pairs = F.array(*[
+        F.struct(F.lit(lag).cast("int").alias("lag"),
+                 F.col(f"_c_{i}").alias("xcorr"),
+                 F.col(f"_n_{i}").cast("bigint").alias("n_pairs"))
+        for i, lag in enumerate(lags)])
+    return (agg.select(*keys, F.explode(pairs).alias("_p"))
+            .select(*keys, "_p.lag", "_p.xcorr", "_p.n_pairs"))
+
+
+def estimate_lag(df: DataFrame, keys: list[str], time_col: str,
+                 a_col: str, b_col: str, *, max_lag: int,
+                 step: int = 1, min_pairs: int = 8) -> DataFrame:
+    """Best-lag summary of :func:`xcorr_lags`: per key, the lag with
+    the highest cross-correlation — ``(keys…, best_lag, best_xcorr)``.
+    Lags with fewer than ``min_pairs`` overlapping samples are
+    ineligible (series edges make extreme lags look spuriously
+    perfect on 2-3 points). Ties break to the smallest |lag|, then the
+    smaller lag, so the estimate is total and oracle-reproducible."""
+    x = xcorr_lags(df, keys, time_col, a_col, b_col,
+                   max_lag=max_lag, step=step)
+    ok = x.where(F.col("xcorr").isNotNull()
+                 & (F.col("n_pairs") >= min_pairs))
+    pref = F.struct(F.col("xcorr").alias("c"),
+                    (-F.abs(F.col("lag"))).cast("int").alias("absl"),
+                    (-F.col("lag")).cast("int").alias("l"))
+    return (ok.groupBy(*keys)
+            .agg(F.max_by(F.col("lag"), pref).alias("best_lag"),
+                 F.max(pref).getField("c").alias("best_xcorr")))

@@ -8,6 +8,7 @@ import math
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import pattern_topk, sliding_windows
 
@@ -209,3 +210,110 @@ def test_pattern_topk_per_key(spark):
         r1 = next(x for x in got[k] if x[0] == 1)
         assert (r1.__getitem__(1), ) == (best[1], )
         assert abs(r1[2] - best[0]) < 1e-4
+
+
+def test_xcorr_recovers_planted_clock_skew(spark):
+    """b trails a by exactly 3 samples (scaled + offset, so Pearson
+    must still see it): xcorr peaks at lag 3 per key, values match the
+    numpy corrcoef oracle at every candidate lag."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import estimate_lag, xcorr_lags
+
+    rng = np.random.default_rng(3)
+    rows = []
+    series = {}
+    for k in (0, 1):
+        a = np.cumsum(rng.normal(0, 1, 80))
+        b = np.full(80, np.nan)
+        b[3:] = 2.5 * a[:-3] + 7.0          # b[t] = scale·a[t-3]+off
+        series[k] = (a, b)
+        rows += [(k, float(t), float(a[t]),
+                  None if np.isnan(b[t]) else float(b[t]))
+                 for t in range(80)]
+    df = spark.createDataFrame(rows, "k int, t double, a double, b double")
+
+    got = {(r.k, r.lag): (r.xcorr, r.n_pairs) for r in
+           xcorr_lags(df, ["k"], "t", "a", "b", max_lag=5).collect()}
+    for k, (a, b) in series.items():
+        for lag in range(-5, 6):
+            sh = np.roll(b, -lag).astype(float)
+            if lag > 0:
+                sh[-lag:] = np.nan
+            elif lag < 0:
+                sh[:-lag] = np.nan
+            m = ~(np.isnan(a) | np.isnan(sh))
+            want = np.corrcoef(a[m], sh[m])[0, 1]
+            c, n = got[(k, lag)]
+            assert n == int(m.sum())
+            assert abs(c - want) < 1e-9, (k, lag)
+    best = {r.k: (r.best_lag, r.best_xcorr) for r in
+            estimate_lag(df, ["k"], "t", "a", "b", max_lag=5).collect()}
+    for k in (0, 1):
+        assert best[k][0] == 3 and best[k][1] > 0.999999
+
+
+def test_xcorr_against_duckdb_window_oracle(spark, duck):
+    """corr(a[t], b[t+lag]) reproduced as DuckDB lead/lag + corr on the
+    events table (a = value, b = value of the NEXT event — arbitrary
+    but deterministic pair of signals)."""
+    from tests.conftest import assert_df_matches_oracle
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import xcorr_lags
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    e.prepare_session(spark)
+    w = Window.partitionBy("user_id").orderBy("t")
+    ev = (raw.select("user_id", e._ts_us(raw).alias("t"), "value")
+          .select("user_id", "t", F.col("value").alias("a"),
+                  F.lead("value", 1).over(w).alias("b")))
+    got = (xcorr_lags(ev, ["user_id"], "t", "a", "b", max_lag=2)
+           .select("user_id", "lag", F.round("xcorr", 6).alias("xc"),
+                   "n_pairs"))
+    assert_df_matches_oracle(got, duck, """
+        with ev as (
+          select user_id, epoch_us(ts) as t, value from events),
+        ab as (
+          select user_id, t, value as a,
+            lead(value, 1) over (partition by user_id order by t) as b
+          from ev),
+        sh as (
+          select user_id, a,
+            lag(b, 2)  over w as b_m2, lag(b, 1) over w as b_m1, b as b_0,
+            lead(b, 1) over w as b_p1, lead(b, 2) over w as b_p2
+          from ab window w as (partition by user_id order by t))
+        select user_id, u.lag,
+          round(case u.lag when -2 then corr(a, b_m2)
+                           when -1 then corr(a, b_m1)
+                           when  0 then corr(a, b_0)
+                           when  1 then corr(a, b_p1)
+                           else corr(a, b_p2) end, 6) as xc,
+          case u.lag when -2 then count(case when a is not null and b_m2 is not null then 1 end)
+                     when -1 then count(case when a is not null and b_m1 is not null then 1 end)
+                     when  0 then count(case when a is not null and b_0  is not null then 1 end)
+                     when  1 then count(case when a is not null and b_p1 is not null then 1 end)
+                     else count(case when a is not null and b_p2 is not null then 1 end)
+          end as n_pairs
+        from sh cross join (values (-2),(-1),(0),(1),(2)) u(lag)
+        group by user_id, u.lag
+    """)
+
+
+
+def test_xcorr_single_exchange_one_window(spark):
+    """Every lag's shifted copy comes from one Window pass and the
+    groupBy reuses its partitioning: 1 Window op, 1 exchange."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import xcorr_lags
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        count_exchanges, count_window_ops,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("t"),
+        F.rand(1).alias("a"), F.rand(2).alias("b"))
+    out = xcorr_lags(df, ["k"], "t", "a", "b", max_lag=4)
+    probe = out.select("k", "lag", "xcorr", "n_pairs")
+    assert count_window_ops(probe) == 1
+    assert count_exchanges(probe) == 1
