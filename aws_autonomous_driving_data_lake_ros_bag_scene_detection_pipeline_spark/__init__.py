@@ -43,8 +43,8 @@ from .operators import (  # noqa: E402,F401
     banding_for_recall, cache_scope, cell_balance, lsh_topk, minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, near_dedup, ngram_jaccard_pairs,
     merge_intervals, pack_media, pack_sequences, pivot_wide, profile_drift, profile_table,
-    detect_anomalies, deterministic_shuffle,
-    motif_pairs, pattern_topk, repartition_for_media, resample_asof, resample_interpolate, running_agg, sliding_windows,
+    detect_anomalies, deterministic_shuffle, histogram_psi,
+    estimate_lag, motif_pairs, pattern_topk, repartition_for_media, xcorr_lags, resample_asof, resample_interpolate, running_agg, sliding_windows,
     reservoir_sample, salted_join, weighted_sample,
     remove_duplicate_spans,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs,

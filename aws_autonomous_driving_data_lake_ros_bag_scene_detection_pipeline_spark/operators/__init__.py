@@ -39,7 +39,8 @@ from .similarity import (
 )
 from .sketches import (
     distinct_rollup_check, distinct_sketch, freq_estimate, freq_sketch,
-    histogram_sketch, quantile_estimate, rollup_distinct, rollup_freq,
+    histogram_psi, histogram_sketch, quantile_estimate, rollup_distinct,
+    rollup_freq,
     rollup_histogram,
 )
 from .sessionize import (
@@ -53,7 +54,7 @@ from .timeseries import (
     resample_asof, resample_interpolate, running_agg, time_spine,
 )
 from .tsmatch import (  # noqa: F401
-    motif_pairs, pattern_topk, sliding_windows,
+    estimate_lag, motif_pairs, pattern_topk, sliding_windows, xcorr_lags,
 )
 from .topk import top_k_per_group
 

@@ -51,7 +51,7 @@ scale surface alongside dedup/similarity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_seeded
@@ -302,3 +302,50 @@ def quantile_estimate(sketch: DataFrame, group_cols: list[str],
            .otherwise(F.lit(lo) + F.lit(width) * (bin_ + frac)))
     return pick.select(*group_cols, "prob",
                        est.cast("double").alias("quantile_est"))
+
+
+def histogram_psi(old_sketch: DataFrame, new_sketch: DataFrame,
+                  group_cols: list[str], *,
+                  count_col: str = "cnt",
+                  smoothing: float = 0.5) -> DataFrame:
+    """Population Stability Index between two histogram sketches on
+    the SAME grid → ``(group…, psi, n_old, n_new)`` — the
+    distribution-level drift metric (industry rule of thumb:
+    < 0.1 stable, 0.1–0.25 shifting, > 0.25 shifted) completing
+    :func:`~.profile.profile_drift`'s moment-level checks. Because the
+    sketches are tiny persisted relations (≤ bins + 2 rows per group),
+    comparing last month's distribution to today's costs a join of two
+    metadata tables — the raw data is never re-scanned.
+
+    ``PSI = Σ_bins (p_b − q_b)·ln(p_b / q_b)`` over the full-outer bin
+    join (a bin present on one side only still contributes).
+    ``smoothing`` is the standard additive fallback that keeps empty
+    bins finite: each bin count gets ``+ smoothing`` before
+    normalizing — deterministic, and its effect vanishes as counts
+    grow. Groups present on only one side get NULL psi (no basis for
+    comparison) rather than a fake extreme."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    o = old_sketch.groupBy(*group_cols, "_bin").agg(
+        F.sum(count_col).alias("_oc"))
+    n = new_sketch.groupBy(*group_cols, "_bin").agg(
+        F.sum(count_col).alias("_nc"))
+    j = o.join(n, [*group_cols, "_bin"], "full_outer")
+    per_group = (Window.partitionBy(*group_cols) if group_cols
+                 else Window.partitionBy(F.lit(1)))
+    oc = F.coalesce(F.col("_oc"), F.lit(0)).cast("double")
+    nc = F.coalesce(F.col("_nc"), F.lit(0)).cast("double")
+    tot_o = F.sum(oc).over(per_group)
+    tot_n = F.sum(nc).over(per_group)
+    n_bins = F.count(F.lit(1)).over(per_group)
+    p = (oc + smoothing) / (tot_o + smoothing * n_bins)
+    q = (nc + smoothing) / (tot_n + smoothing * n_bins)
+    term = (p - q) * F.log(p / q)
+    return (j.select(*group_cols,
+                     term.alias("_t"),
+                     tot_o.alias("_to"), tot_n.alias("_tn"))
+            .groupBy(*group_cols)
+            .agg(F.when((F.max("_to") > 0) & (F.max("_tn") > 0),
+                        F.sum("_t")).alias("psi"),
+                 F.max("_to").cast("bigint").alias("n_old"),
+                 F.max("_tn").cast("bigint").alias("n_new")))

@@ -213,3 +213,64 @@ def test_histogram_quantile_sentinels_and_validation(spark):
         histogram_sketch(df, [], "v", lo=1.0, hi=1.0)
     with _pt.raises(ValueError):
         quantile_estimate(sk, [], [1.5], lo=0.0, hi=5.0, bins=5)
+
+
+def test_histogram_psi_detects_shift_and_matches_python_oracle(spark):
+    """PSI over persisted histogram sketches: ~0 for same-distribution
+    halves, large for a shifted group, exact vs the hand-computed
+    smoothed formula, NULL when a group exists on one side only."""
+    import math
+    import random
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import histogram_psi
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sketches import (
+        histogram_sketch,
+    )
+
+    rng = random.Random(9)
+    # group "stable": same gaussian both periods; "shifted": mean moves
+    old_rows = ([("stable", rng.gauss(50, 10)) for _ in range(4000)]
+                + [("shifted", rng.gauss(50, 10)) for _ in range(4000)]
+                + [("gone", rng.gauss(50, 10)) for _ in range(500)])
+    new_rows = ([("stable", rng.gauss(50, 10)) for _ in range(4000)]
+                + [("shifted", rng.gauss(75, 10)) for _ in range(4000)])
+    lo, hi, bins = 0.0, 100.0, 20
+    old = histogram_sketch(spark.createDataFrame(old_rows, "g string, v double"),
+                           ["g"], "v", lo=lo, hi=hi, bins=bins)
+    new = histogram_sketch(spark.createDataFrame(new_rows, "g string, v double"),
+                           ["g"], "v", lo=lo, hi=hi, bins=bins)
+    got = {r.g: r for r in histogram_psi(old, new, ["g"]).collect()}
+
+    assert got["stable"].psi < 0.05
+    assert got["shifted"].psi > 0.5
+    assert got["gone"].psi is None            # no new-side basis
+    assert got["stable"].n_old == 4000 and got["stable"].n_new == 4000
+
+    # exact oracle on the shifted group from the sketch cells
+    oc = {r._bin: r.cnt for r in old.where("g = 'shifted'").collect()}
+    nc = {r._bin: r.cnt for r in new.where("g = 'shifted'").collect()}
+    cells = sorted(set(oc) | set(nc))
+    s, to, tn, nb = 0.5, sum(oc.values()), sum(nc.values()), len(cells)
+    want = 0.0
+    for b in cells:
+        p = (oc.get(b, 0) + s) / (to + s * nb)
+        q = (nc.get(b, 0) + s) / (tn + s * nb)
+        want += (p - q) * math.log(p / q)
+    assert abs(got["shifted"].psi - want) < 1e-9
+
+
+def test_histogram_psi_global_no_groups(spark):
+    """group_cols=[] computes ONE corpus-level psi row."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import histogram_psi
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sketches import (
+        histogram_sketch,
+    )
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(1000).select(((F.col("id") % 100) + 30).cast("double").alias("v"))
+    sa = histogram_sketch(a, [], "v", lo=0.0, hi=100.0, bins=10)
+    sb = histogram_sketch(b, [], "v", lo=0.0, hi=100.0, bins=10)
+    rows = histogram_psi(sa, sb, []).collect()
+    assert len(rows) == 1 and rows[0].psi > 0.1
+    same = histogram_psi(sa, sa, []).collect()
+    assert abs(same[0].psi) < 1e-12
