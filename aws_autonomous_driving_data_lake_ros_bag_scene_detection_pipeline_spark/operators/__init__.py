@@ -56,6 +56,9 @@ from .timeseries import (
 from .tsmatch import (  # noqa: F401
     estimate_lag, motif_pairs, pattern_topk, sliding_windows, xcorr_lags,
 )
+from .retrieval import (  # noqa: F401
+    bm25_probe, bm25_topk, corpus_stats, inverted_index, rrf_fuse,
+)
 from .topk import top_k_per_group
 
 __all__ = [
@@ -67,7 +70,7 @@ __all__ = [
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "embedding_index",
     "embedding_match_pairs", "exact_dedup", "forward_fill",
-    "deterministic_shuffle",
+    "bm25_probe", "bm25_topk", "corpus_stats", "deterministic_shuffle",
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
     "cell_balance", "ivf_repivot", "kmeans_pivots",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
@@ -75,7 +78,7 @@ __all__ = [
     "merge_intervals", "minhash_index", "minhash_match_pairs",
     "minhash_signature", "near_dedup", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "profile_table", "repartition_for_media", "resample_asof",
-    "detect_anomalies",
+    "detect_anomalies", "inverted_index", "rrf_fuse",
     "resample_interpolate", "resize_pixels", "running_agg",
     "motif_pairs", "pattern_topk", "sliding_windows",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",

@@ -1,0 +1,198 @@
+"""Sparse retrieval: BM25 scoring, a persisted hash-bucketed inverted
+index, and reciprocal-rank fusion — the keyword counterpart to
+``similarity.py``'s dense ANN stack ("find documents about X in the
+corpus", then fuse with embedding neighbors for hybrid retrieval).
+
+The reference has no search surface at all; this rounds out the
+training-data engine the same way the IVF index does for embeddings:
+
+- :func:`bm25_topk` — one-shot scoring straight off the corpus table.
+- :func:`inverted_index` / :func:`corpus_stats` — the persistable
+  form: postings keyed by a PORTABLE hash bucket of the term, written
+  once with ``sources.write_partitioned(postings, path, ["term_bucket"])``;
+  a probe then reads ONLY its query terms' buckets (literal IN over the
+  hive layout — same bytes-pruned story, and test, as ``ivf_probe``).
+  Buckets (not ``partitionBy("term")``) because a web corpus has 10^8+
+  distinct noise terms — one directory per term would melt any
+  metastore listing, while 2^8-2^12 buckets keep listings O(1) and
+  pruning proportional.
+- :func:`bm25_probe` — BM25 over the pruned postings. Exact per-term
+  document frequencies ride inside each posting row (``df_t``,
+  denormalized at build time) precisely so the probe never needs the
+  unpruned index.
+- :func:`rrf_fuse` — reciprocal-rank fusion of any rankings that share
+  an id (classically: this module's sparse top-k + ``similarity``'s
+  dense top-k), rank-only so wildly different score scales compose.
+
+All scoring is codegen expressions over one exploded-token aggregate;
+corpus-level scalars (N, avgdl) join as broadcast 1-row frames, never
+driver collects (same stance as ``quality.tfidf_top_terms``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..functions.text import tokens
+
+_DEFAULT_BUCKETS = 256
+
+
+def _term_bucket(term, buckets: int):
+    return F.pmod(hash64(term), F.lit(buckets)).cast("int")
+
+
+def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, dl): term frequency per doc plus the doc's total
+    token length — one exploded-token aggregate, dl restored per row
+    by summing tf over the doc (no second scan of the text)."""
+    tf = (df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    wd = Window.partitionBy(id_col)
+    return tf.withColumn("dl", F.sum("tf").over(wd))
+
+
+def _bm25_score(k1: float, b: float):
+    """BM25 term contribution from columns tf, dl, df_t, n_docs,
+    avgdl (Robertson/Sparck-Jones idf, the Lucene-standard variant
+    with the +1 keeping idf positive)."""
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    return idf * norm
+
+
+def _validated_terms(query_terms: list[str]) -> list[str]:
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    # queries tokenize like documents: lowercase alphanumeric runs —
+    # a term the tokenizer can never produce would silently score 0
+    terms = sorted({t.lower() for t in query_terms})
+    bad = [t for t in terms if not t.isalnum()]
+    if bad:
+        raise ValueError(f"query terms must be single alphanumeric "
+                         f"tokens (got {bad}); multi-word queries "
+                         f"pass each word as its own term")
+    return terms
+
+
+def corpus_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-row ``(n_docs, avgdl)`` frame — persist it next to the
+    inverted index (a probe reads pruned buckets only, so corpus-level
+    stats can't be derived at query time)."""
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg(F.size(tokens(text_col)).cast("double")).alias("avgdl"))
+
+
+def inverted_index(df: DataFrame, id_col: str, text_col: str, *,
+                   buckets: int = _DEFAULT_BUCKETS) -> DataFrame:
+    """Postings ``(term, id, tf, dl, df_t, term_bucket)`` — write with
+    ``write_partitioned(index, path, ["term_bucket"])`` and probes read
+    only their terms' buckets. ``df_t`` (how many docs contain the
+    term) is denormalized onto every posting so pruned reads stay
+    self-sufficient; it adds one term-keyed aggregate at build time,
+    amortized over every query the index ever serves."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    p = _postings(df, id_col, text_col)
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("df_t"))
+    return (p.join(dfreq, "term")
+            .withColumn("term_bucket", _term_bucket(F.col("term"), buckets)))
+
+
+def bm25_probe(postings: DataFrame, stats: DataFrame,
+               query_terms: list[str], *, k: int = 10,
+               k1: float = 1.2, b: float = 0.75,
+               buckets: int = _DEFAULT_BUCKETS,
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` BM25 over a persisted :func:`inverted_index` →
+    ``(id, score, rank)``. The query's term buckets go into the read
+    as a LITERAL ``term_bucket IN (...)`` predicate (computed in
+    Python — the hash is just md5 — so no job runs to find them), then
+    the exact terms filter within the pruned buckets. ``buckets`` must
+    match the build. Ties break by id; ranks are dense over the k
+    rows; scores round to 6 for cross-engine comparability."""
+    import hashlib
+
+    terms = _validated_terms(query_terms)
+    # the bucket hash is the engine's PORTABLE md5 family — replicate
+    # it in pure Python so finding the probed buckets costs no Spark
+    # job at all (hash64 = first 15 md5 hex digits as a bigint)
+    probed = sorted({int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                     % buckets for t in terms})
+    hit = (postings.where(F.col("term_bucket").isin(probed))
+           .where(F.col("term").isin(terms)))
+    scored = (hit.join(F.broadcast(stats))
+              .withColumn("_s", _bm25_score(k1, b))
+              .groupBy(id_col)
+              .agg(F.round(F.sum("_s"), 6).alias("score")))
+    order = [F.desc("score"), F.asc(id_col)]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)                           # k rows only
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], *, k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """One-shot BM25 top-``k`` straight off the corpus table →
+    ``(id, score, rank)`` — identical scoring to the index path
+    (equivalence-tested), for ad-hoc queries that don't warrant
+    building the index. Document frequencies aggregate from the
+    query-term postings only (early term filter keeps the wide ops
+    proportional to matching docs, not the corpus vocabulary);
+    ``dl``/``avgdl``/``n_docs`` still cover ALL tokens and docs, as
+    BM25 requires."""
+    terms = _validated_terms(query_terms)
+    p = _postings(df, id_col, text_col).where(F.col("term").isin(terms))
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("df_t"))
+    stats = corpus_stats(df, id_col, text_col)
+    scored = (p.join(dfreq, "term")
+              .join(F.broadcast(stats))
+              .withColumn("_s", _bm25_score(k1, b))
+              .groupBy(id_col)
+              .agg(F.round(F.sum("_s"), 6).alias("score")))
+    order = [F.desc("score"), F.asc(id_col)]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def rrf_fuse(rankings: dict[str, DataFrame], id_col: str, *,
+             k: int = 60, topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of named rankings sharing ``id_col`` and
+    a ``rank`` column → ``(id, rrf_score, rank, sources)``:
+    ``rrf = Σ_r 1/(k + rank_r(d))`` (Cormack et al.'s k=60 default).
+    Rank-only, so BM25 scores and cosine similarities — incomparable
+    scales — fuse without calibration; a document missing from one
+    ranking simply contributes nothing (``sources`` says which lists
+    carried it). Inputs are top-k lists (small); the union-aggregate
+    is proportional to Σ|rankings|, not any corpus."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    parts = []
+    for name, r in sorted(rankings.items()):
+        parts.append(r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(float(k)) + F.col("rank"))).alias("_c"),
+            F.lit(name).alias("_src")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy(id_col)
+             .agg(F.round(F.sum("_c"), 6).alias("rrf_score"),
+                  F.sort_array(F.collect_set("_src")).alias("sources")))
+    order = [F.desc("rrf_score"), F.asc(id_col)]
+    top = fused.orderBy(*order).limit(topk)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select(id_col, "rrf_score", "rank", "sources"))

@@ -1,0 +1,132 @@
+"""Sparse retrieval (operators/retrieval.py): BM25 vs a full DuckDB
+SQL oracle, index-probe == direct-scoring equivalence, measured
+bucket-pruned index reads, and reciprocal-rank fusion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+    bm25_probe, bm25_topk, corpus_stats, inverted_index, rrf_fuse,
+)
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+QUERY = ["spark", "window", "merge"]
+
+
+def test_bm25_matches_duckdb_oracle(spark, duck):
+    """bm25_topk on the documents table vs the same formula written as
+    SQL (Robertson idf with +1, k1=1.2, b=0.75) — scores and ranking
+    hash-match."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = bm25_topk(docs, "doc_id", "text", QUERY, k=15)
+    assert_df_matches_oracle(got, duck, r"""
+        with toks as (
+          select doc_id,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        t -> t <> '') as tk
+          from documents),
+        tf as (
+          select doc_id, term, count(*)::bigint as tf
+          from (select doc_id, unnest(tk) as term from toks)
+          group by 1, 2),
+        dl as (select doc_id, len(tk)::bigint as dl from toks),
+        stats as (
+          select count(*)::bigint as n_docs, avg(len(tk)) as avgdl
+          from toks),
+        q as (
+          select tf.doc_id, tf.term, tf.tf, dl.dl
+          from tf join dl using (doc_id)
+          where tf.term in ('spark', 'window', 'merge')),
+        dfreq as (select term, count(*)::bigint as df_t from q group by 1),
+        s as (
+          select q.doc_id,
+            sum(ln(1 + (stats.n_docs - dfreq.df_t + 0.5)
+                       / (dfreq.df_t + 0.5))
+                * q.tf * 2.2
+                / (q.tf + 1.2 * (1 - 0.75 + 0.75 * q.dl / stats.avgdl)))
+              as score
+          from q join dfreq using (term) cross join stats
+          group by q.doc_id)
+        select doc_id, round(score, 6) as score,
+               row_number() over (order by score desc, doc_id)::bigint
+                 as rank
+        from s order by score desc, doc_id limit 15
+    """)
+
+
+def test_bm25_probe_equals_direct_and_prunes_buckets(spark, tmp_path):
+    """The persisted-index path returns row-identical results to
+    one-shot scoring, and its read materializes only the query terms'
+    buckets (measured on scan metrics, same proof as ivf_probe)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
+        scan_output_rows,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = inverted_index(docs, "doc_id", "text", buckets=32)
+    path = str(tmp_path / "inv")
+    write_partitioned(idx, path, ["term_bucket"], mode="overwrite")
+    write_partitioned(corpus_stats(docs, "doc_id", "text"),
+                      str(tmp_path / "stats"), [], mode="overwrite")
+    postings = spark.read.parquet(path)
+    stats = spark.read.parquet(str(tmp_path / "stats"))
+
+    direct = bm25_topk(docs, "doc_id", "text", QUERY, k=15).collect()
+    probe = bm25_probe(postings, stats, QUERY, k=15, buckets=32)
+    assert sorted((r.doc_id, r.score, r.rank) for r in probe.collect()) \
+        == sorted((r.doc_id, r.score, r.rank) for r in direct)
+
+    import hashlib
+    probed = sorted({int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                     % 32 for t in QUERY})
+    hit = postings.where(F.col("term_bucket").isin(probed))
+    hit.collect()
+    scanned = scan_output_rows(hit)
+    total = postings.count()
+    assert 0 < scanned < total * 0.5, \
+        "bucket predicate must prune partitions, not filter post-scan"
+
+
+def test_inverted_index_df_t_is_exact(spark):
+    """Denormalized df_t equals the true document frequency for every
+    term (the probe's idf depends on it being exact under pruning)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    idx = inverted_index(docs, "doc_id", "text", buckets=8)
+    bad = (idx.groupBy("term")
+           .agg(F.countDistinct("doc_id").alias("n"),
+                F.max("df_t").alias("df_t"), F.min("df_t").alias("df_lo"))
+           .where((F.col("n") != F.col("df_t"))
+                  | (F.col("df_t") != F.col("df_lo"))))
+    assert bad.count() == 0
+
+
+def test_rrf_fuse_hand_example_and_hybrid(spark):
+    """RRF on a hand example matches the formula; a doc ranked well in
+    BOTH lists beats single-list docs; sources records provenance."""
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2), (1, 3)], "doc_id int, rank int")
+    got = {r.doc_id: r for r in
+           rrf_fuse({"sparse": a, "dense": b}, "doc_id", k=60,
+                    topk=10).collect()}
+    import math
+    want = {1: 1 / 61 + 1 / 63, 2: 1 / 62 + 1 / 61, 3: 1 / 63, 4: 1 / 62}
+    for d, w in want.items():
+        assert math.isclose(got[d].rrf_score, round(w, 6), abs_tol=1e-9)
+    assert got[2].rank == 1 and got[1].rank == 2       # both-list docs first
+    assert got[2].sources == ["dense", "sparse"]
+    assert got[3].sources == ["sparse"]
+
+
+def test_retrieval_input_contracts(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, "doc_id", "text", [])
+    with pytest.raises(ValueError, match="alphanumeric"):
+        bm25_topk(docs, "doc_id", "text", ["two words"])
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse({}, "doc_id")
