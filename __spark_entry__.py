@@ -1702,12 +1702,25 @@ Q_STRATIFIED_SAMPLE_SQL = _sample_sql()
 
 
 def q_tfidf(spark, sf_dir):
-    """Top-3 TF-IDF terms per document
-    (operators/quality.tfidf_top_terms): two hash aggs + broadcast of
-    the vocabulary-sized document-frequency table + per-doc top-k
-    window. Inverse-frequency weighting for corpus search/filtering."""
+    """Term scoring, tagged union (r6 fold): top-3 TF-IDF terms per
+    document (operators/quality.tfidf_top_terms — two hash aggs +
+    broadcast df table + per-doc top-k window) ∪ BM25 top-15 for a
+    fixed keyword query (operators/retrieval.bm25_topk — Robertson
+    idf, early query-term pruning; the oracle reproduces the full
+    formula). Same corpus, both sides of the sparse-scoring surface
+    under one gate entry."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import bm25_topk
+
     docs = _spread(_t("documents")(spark, sf_dir))
-    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+    tfidf = (tfidf_top_terms(docs, "doc_id", "text", k=3)
+             .select(F.lit("tfidf").alias("kind"), "doc_id", "term",
+                     "score", F.col("rank").cast("bigint").alias("rank")))
+    bm25 = (bm25_topk(docs, "doc_id", "text",
+                      ["spark", "window", "merge"], k=15)
+            .select(F.lit("bm25").alias("kind"), "doc_id",
+                    F.lit(None).cast("string").alias("term"),
+                    "score", "rank"))
+    return tfidf.unionByName(bm25)
 
 
 Q_TFIDF_SQL = f"""
@@ -1724,7 +1737,37 @@ scored as (
 rk as (select *, row_number() over (partition by doc_id
                                     order by score desc, term asc) as rank
        from scored)
-select doc_id, term, score, rank from rk where rank <= 3
+select 'tfidf' as kind, doc_id, term, score, rank
+from rk where rank <= 3
+union all
+select 'bm25', doc_id, cast(null as varchar), score, rank
+from (
+  with toks as (
+    select doc_id, {TOKS} as tk from documents),
+  tf2 as (
+    select doc_id, term, count(*)::bigint as tf
+    from (select doc_id, unnest(tk) as term from toks)
+    group by 1, 2),
+  dl as (select doc_id, len(tk)::bigint as dl from toks),
+  stats as (
+    select count(*)::bigint as n_docs, avg(len(tk)) as avgdl from toks),
+  q as (
+    select tf2.doc_id, tf2.term, tf2.tf, dl.dl
+    from tf2 join dl using (doc_id)
+    where tf2.term in ('spark', 'window', 'merge')),
+  dfreq2 as (select term, count(*)::bigint as df_t from q group by 1),
+  s as (
+    select q.doc_id,
+      sum(ln(1 + (stats.n_docs - dfreq2.df_t + 0.5) / (dfreq2.df_t + 0.5))
+          * q.tf * 2.2
+          / (q.tf + 1.2 * (1 - 0.75 + 0.75 * q.dl / stats.avgdl)))
+        as score
+    from q join dfreq2 using (term) cross join stats
+    group by q.doc_id)
+  select doc_id, round(score, 6) as score,
+         row_number() over (order by score desc, doc_id)::bigint as rank
+  from s order by score desc, doc_id limit 15
+) b
 """
 
 
