@@ -2,7 +2,8 @@ from ..sources.tables import union_by_name
 from .caching import cache_scope, register_persist
 from .dedup import (
     banding_for_recall,
-    contamination, dup_clusters, duplicate_ids, duplicate_passages,
+    contamination, decontaminate, dup_clusters, duplicate_ids,
+    duplicate_passages,
     exact_dedup, jaccard, keep_cluster_representatives,
     minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, near_dedup,
@@ -65,7 +66,7 @@ __all__ = [
     "asof_join", "binned_interval_join", "brute_force_topk",
     "byte_histogram_features",
     "cascade_update", "change_point_intervals", "chunk_documents",
-    "contamination",
+    "contamination", "decontaminate",
     "decode_audio", "decode_image", "downsample_cascade",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "embedding_index",

@@ -834,3 +834,35 @@ def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
     return (out.withColumn(text_col, final_text)
             .withColumn("n_removed_tokens", removed.cast("bigint"))
             .drop("_rid", "_oid", "_new_text", "_n_kept", "_n_orig"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, *, bench_text_col: str | None = None,
+                  shingle_n: int = 8,
+                  max_ratio: float = 0.0) -> DataFrame:
+    """Drop documents whose benchmark n-gram overlap exceeds
+    ``max_ratio`` — the named composition of :func:`contamination` +
+    the keep-filter every pretraining pipeline runs before an eval set
+    can be trusted. ``max_ratio=0.0`` (default) removes ANY document
+    sharing even one distinct ``shingle_n``-gram with the benchmark —
+    the conservative published stance; raise it to tolerate incidental
+    short overlaps. Returns the surviving docs with their measured
+    ``contamination_ratio`` attached (audit trail: a kept doc shows
+    how close it came).
+
+    One extra join against the contamination relation (already keyed
+    by ``id_col``); everything upstream is the broadcast shingle-hit
+    plan documented on :func:`contamination`."""
+    if not 0.0 <= max_ratio < 1.0:
+        raise ValueError(f"max_ratio must be in [0, 1), got {max_ratio}")
+    if id_col not in benchmark.columns:
+        # contamination partitions benchmark shingle windows per eval
+        # row; any unique row id works
+        raise ValueError(f"benchmark needs an {id_col!r} column "
+                         f"(any unique per-row id) so its shingle "
+                         f"windows don't span eval documents")
+    c = contamination(docs, benchmark, id_col, text_col,
+                      bench_text_col=bench_text_col, shingle_n=shingle_n)
+    keep = c.where(F.col("contamination_ratio") <= max_ratio) \
+            .select(id_col, "contamination_ratio")
+    return docs.join(keep, id_col)

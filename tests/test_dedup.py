@@ -456,3 +456,36 @@ def test_sessionize_rejects_session_id_collision(spark):
     with pytest.raises(ValueError, match="session_id"):
         funnel_per_session(df, ["u"], "t", "e", ["view", "click"],
                            gap=10.0)
+
+
+def test_decontaminate_drops_benchmark_leaks(spark):
+    """A doc embedding a full benchmark question vanishes at the
+    conservative default; a doc sharing nothing survives with ratio 0;
+    raising max_ratio re-admits lightly-overlapping docs."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import decontaminate
+
+    bench_q = ("what is the capital of france and when was it founded "
+               "by the romans")
+    filler = ("totally unrelated prose about spark window aggregation "
+              "strategies and shuffle partitioning behaviour at scale")
+    docs = spark.createDataFrame([
+        (1, f"intro text {bench_q} trailing text words here"),  # leak
+        (2, filler),                                            # clean
+        (3, filler + " what is the capital of france and when"),  # 1 shingle
+    ], "doc_id int, text string")
+    bench = spark.createDataFrame([(100, bench_q)],
+                                  "doc_id int, text string")
+
+    strict = decontaminate(docs, bench, "doc_id", "text")
+    assert sorted(r.doc_id for r in strict.collect()) == [2]
+    loose = decontaminate(docs, bench, "doc_id", "text", max_ratio=0.5)
+    got = {r.doc_id: r.contamination_ratio for r in loose.collect()}
+    assert set(got) == {2, 3}
+    assert got[2] == 0.0 and 0.0 < got[3] <= 0.5
+    # original columns survive the filter
+    assert "text" in strict.columns
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_ratio"):
+        decontaminate(docs, bench, "doc_id", "text", max_ratio=1.0)
+    with _pt.raises(ValueError, match="unique per-row id"):
+        decontaminate(docs, bench.drop("doc_id"), "doc_id", "text")
