@@ -45,7 +45,7 @@ from .operators import (  # noqa: E402,F401
     merge_intervals, pack_media, pack_sequences, pivot_wide, profile_drift, profile_table,
     bm25_probe, bm25_topk, corpus_stats, decontaminate,
     detect_anomalies, deterministic_shuffle, histogram_psi,
-    inverted_index, rrf_fuse,
+    inverted_index, probe_buckets, rrf_fuse, term_stats,
     estimate_lag, motif_pairs, pattern_topk, repartition_for_media, xcorr_lags, resample_asof, resample_interpolate, running_agg, sliding_windows,
     reservoir_sample, salted_join, weighted_sample,
     remove_duplicate_spans,

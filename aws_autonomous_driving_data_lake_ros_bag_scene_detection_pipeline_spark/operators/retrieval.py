@@ -16,10 +16,12 @@ training-data engine the same way the IVF index does for embeddings:
   distinct noise terms — one directory per term would melt any
   metastore listing, while 2^8-2^12 buckets keep listings O(1) and
   pruning proportional.
-- :func:`bm25_probe` — BM25 over the pruned postings. Exact per-term
-  document frequencies ride inside each posting row (``df_t``,
-  denormalized at build time) precisely so the probe never needs the
-  unpruned index.
+- :func:`bm25_probe` — BM25 over the pruned postings. Per-term
+  document frequencies come from :func:`term_stats` — additive
+  per-batch DELTA rows under the same bucket layout, summed after
+  pruning — so the probe never needs the unpruned index AND appending
+  a batch never rewrites existing rows (append == rebuild,
+  test-pinned).
 - :func:`rrf_fuse` — reciprocal-rank fusion of any rankings that share
   an id (classically: this module's sparse top-k + ``similarity``'s
   dense top-k), rank-only so wildly different score scales compose.
@@ -81,54 +83,94 @@ def _validated_terms(query_terms: list[str]) -> list[str]:
 
 
 def corpus_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-row ``(n_docs, avgdl)`` frame — persist it next to the
-    inverted index (a probe reads pruned buckets only, so corpus-level
-    stats can't be derived at query time)."""
+    """One-row ADDITIVE ``(n_docs, n_tokens)`` frame — persist
+    append-mode next to the inverted index (a probe reads pruned
+    buckets only, so corpus-level stats can't be derived at query
+    time). Additive on purpose: each ingested batch appends its own
+    row, the probe sums whatever rows exist, and ``avgdl`` is derived
+    as ``n_tokens / n_docs`` at query time — appending never rewrites
+    history (same stance as the sketch relations)."""
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.avg(F.size(tokens(text_col)).cast("double")).alias("avgdl"))
+        F.sum(F.size(tokens(text_col)).cast("bigint")).alias("n_tokens"))
 
 
 def inverted_index(df: DataFrame, id_col: str, text_col: str, *,
                    buckets: int = _DEFAULT_BUCKETS) -> DataFrame:
-    """Postings ``(term, id, tf, dl, df_t, term_bucket)`` — write with
+    """Postings ``(term, id, tf, dl, term_bucket)`` — write with
     ``write_partitioned(index, path, ["term_bucket"])`` and probes read
-    only their terms' buckets. ``df_t`` (how many docs contain the
-    term) is denormalized onto every posting so pruned reads stay
-    self-sufficient; it adds one term-keyed aggregate at build time,
-    amortized over every query the index ever serves."""
+    only their terms' buckets.
+
+    INCREMENTAL by construction: ingesting a new (doc-disjoint) batch
+    is just three append writes — this frame, :func:`term_stats`, and
+    :func:`corpus_stats` for the batch — because every relation the
+    probe consumes is additive (postings are per-doc rows; term/corpus
+    stats are summable deltas). No df_t denormalized onto postings:
+    that would make every append rewrite all existing postings of
+    every term the batch touches. Append == rebuild, test-pinned."""
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     p = _postings(df, id_col, text_col)
-    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
-                                  .alias("df_t"))
-    return (p.join(dfreq, "term")
-            .withColumn("term_bucket", _term_bucket(F.col("term"), buckets)))
+    return p.withColumn("term_bucket",
+                        _term_bucket(F.col("term"), buckets))
 
 
-def bm25_probe(postings: DataFrame, stats: DataFrame,
-               query_terms: list[str], *, k: int = 10,
-               k1: float = 1.2, b: float = 0.75,
+def term_stats(df: DataFrame, id_col: str, text_col: str, *,
+               buckets: int = _DEFAULT_BUCKETS) -> DataFrame:
+    """Per-term document-frequency DELTAS for one batch:
+    ``(term, df_t, term_bucket)`` — write append-mode partitioned by
+    ``term_bucket`` like the postings. A probe sums the ``df_t`` rows
+    of its pruned buckets, so the idf stays exact across any number of
+    appended batches (batches must be doc-disjoint — the usual ingest
+    contract, same as the dedup indexes)."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    return (df.select(id_col, F.explode_outer(
+                F.array_distinct(tokens(text_col))).alias("term"))
+            .where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+            .withColumn("term_bucket",
+                        _term_bucket(F.col("term"), buckets)))
+
+
+def probe_buckets(query_terms: list[str], *,
+                  buckets: int = _DEFAULT_BUCKETS) -> list[int]:
+    """The bucket ids a query touches — PURE PYTHON (the bucket hash
+    is the engine's portable md5 family: first 15 md5 hex digits as a
+    bigint), so finding them costs no Spark job; push the result as a
+    literal ``term_bucket IN (...)`` predicate."""
+    import hashlib
+
+    return sorted({int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                   % buckets for t in _validated_terms(query_terms)})
+
+
+def bm25_probe(postings: DataFrame, terms_df: DataFrame,
+               stats: DataFrame, query_terms: list[str], *,
+               k: int = 10, k1: float = 1.2, b: float = 0.75,
                buckets: int = _DEFAULT_BUCKETS,
                id_col: str = "doc_id") -> DataFrame:
     """Top-``k`` BM25 over a persisted :func:`inverted_index` →
-    ``(id, score, rank)``. The query's term buckets go into the read
-    as a LITERAL ``term_bucket IN (...)`` predicate (computed in
-    Python — the hash is just md5 — so no job runs to find them), then
-    the exact terms filter within the pruned buckets. ``buckets`` must
-    match the build. Ties break by id; ranks are dense over the k
-    rows; scores round to 6 for cross-engine comparability."""
-    import hashlib
-
+    ``(id, score, rank)``. Reads: postings and :func:`term_stats`
+    pruned to :func:`probe_buckets`' literal IN (hive partition
+    pruning — bytes proportional to the query, not the corpus), the
+    tiny :func:`corpus_stats` relation summed (broadcast). ``buckets``
+    must match the build. Ties break by id; scores round to 6 for
+    cross-engine comparability."""
     terms = _validated_terms(query_terms)
-    # the bucket hash is the engine's PORTABLE md5 family — replicate
-    # it in pure Python so finding the probed buckets costs no Spark
-    # job at all (hash64 = first 15 md5 hex digits as a bigint)
-    probed = sorted({int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                     % buckets for t in terms})
+    probed = probe_buckets(terms, buckets=buckets)
     hit = (postings.where(F.col("term_bucket").isin(probed))
            .where(F.col("term").isin(terms)))
-    scored = (hit.join(F.broadcast(stats))
+    dfreq = (terms_df.where(F.col("term_bucket").isin(probed))
+             .where(F.col("term").isin(terms))
+             .groupBy("term")
+             .agg(F.sum("df_t").alias("df_t")))
+    totals = stats.agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+                       (F.sum("n_tokens") / F.sum("n_docs"))
+                       .alias("avgdl"))
+    scored = (hit.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(totals))
               .withColumn("_s", _bm25_score(k1, b))
               .groupBy(id_col)
               .agg(F.round(F.sum("_s"), 6).alias("score")))
@@ -153,9 +195,10 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     p = _postings(df, id_col, text_col).where(F.col("term").isin(terms))
     dfreq = p.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
                                   .alias("df_t"))
-    stats = corpus_stats(df, id_col, text_col)
+    totals = corpus_stats(df, id_col, text_col).select(
+        "n_docs", (F.col("n_tokens") / F.col("n_docs")).alias("avgdl"))
     scored = (p.join(dfreq, "term")
-              .join(F.broadcast(stats))
+              .join(F.broadcast(totals))
               .withColumn("_s", _bm25_score(k1, b))
               .groupBy(id_col)
               .agg(F.round(F.sum("_s"), 6).alias("score")))

@@ -56,34 +56,46 @@ def test_bm25_matches_duckdb_oracle(spark, duck):
     """)
 
 
-def test_bm25_probe_equals_direct_and_prunes_buckets(spark, tmp_path):
-    """The persisted-index path returns row-identical results to
-    one-shot scoring, and its read materializes only the query terms'
-    buckets (measured on scan metrics, same proof as ivf_probe)."""
-    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
-        scan_output_rows,
-    )
+def _write_index_batch(spark, docs, base, mode):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import term_stats
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
         write_partitioned,
     )
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    idx = inverted_index(docs, "doc_id", "text", buckets=32)
-    path = str(tmp_path / "inv")
-    write_partitioned(idx, path, ["term_bucket"], mode="overwrite")
+    write_partitioned(inverted_index(docs, "doc_id", "text", buckets=32),
+                      f"{base}/postings", ["term_bucket"], mode=mode)
+    write_partitioned(term_stats(docs, "doc_id", "text", buckets=32),
+                      f"{base}/terms", ["term_bucket"], mode=mode)
     write_partitioned(corpus_stats(docs, "doc_id", "text"),
-                      str(tmp_path / "stats"), [], mode="overwrite")
-    postings = spark.read.parquet(path)
-    stats = spark.read.parquet(str(tmp_path / "stats"))
+                      f"{base}/stats", [], mode=mode)
+
+
+def _read_index(spark, base):
+    return (spark.read.parquet(f"{base}/postings"),
+            spark.read.parquet(f"{base}/terms"),
+            spark.read.parquet(f"{base}/stats"))
+
+
+def test_bm25_probe_equals_direct_and_prunes_buckets(spark, tmp_path):
+    """The persisted-index path returns row-identical results to
+    one-shot scoring, and its read materializes only the query terms'
+    buckets (measured on scan metrics, same proof as ivf_probe)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import probe_buckets
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
+        scan_output_rows,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = str(tmp_path / "inv")
+    _write_index_batch(spark, docs, base, "overwrite")
+    postings, terms_df, stats = _read_index(spark, base)
 
     direct = bm25_topk(docs, "doc_id", "text", QUERY, k=15).collect()
-    probe = bm25_probe(postings, stats, QUERY, k=15, buckets=32)
+    probe = bm25_probe(postings, terms_df, stats, QUERY, k=15, buckets=32)
     assert sorted((r.doc_id, r.score, r.rank) for r in probe.collect()) \
         == sorted((r.doc_id, r.score, r.rank) for r in direct)
 
-    import hashlib
-    probed = sorted({int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                     % 32 for t in QUERY})
+    probed = probe_buckets(QUERY, buckets=32)
     hit = postings.where(F.col("term_bucket").isin(probed))
     hit.collect()
     scanned = scan_output_rows(hit)
@@ -92,16 +104,39 @@ def test_bm25_probe_equals_direct_and_prunes_buckets(spark, tmp_path):
         "bucket predicate must prune partitions, not filter post-scan"
 
 
-def test_inverted_index_df_t_is_exact(spark):
-    """Denormalized df_t equals the true document frequency for every
-    term (the probe's idf depends on it being exact under pruning)."""
+def test_bm25_index_append_equals_rebuild(spark, tmp_path):
+    """Ingesting the corpus as two doc-disjoint appended batches gives
+    the SAME probe results as one full build — every probe relation is
+    additive, so append never rewrites history."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half1, half2 = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+
+    inc = str(tmp_path / "inc")
+    _write_index_batch(spark, half1, inc, "overwrite")
+    _write_index_batch(spark, half2, inc, "append")
+    full = str(tmp_path / "full")
+    _write_index_batch(spark, docs, full, "overwrite")
+
+    got_inc = bm25_probe(*_read_index(spark, inc), QUERY, k=15,
+                         buckets=32).collect()
+    got_full = bm25_probe(*_read_index(spark, full), QUERY, k=15,
+                          buckets=32).collect()
+    assert sorted(map(tuple, got_inc)) == sorted(map(tuple, got_full))
+    assert len(got_inc) == 15
+
+
+def test_term_stats_df_t_is_exact(spark):
+    """term_stats deltas equal the true per-batch document frequency
+    (the probe's idf depends on summed deltas being exact)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import term_stats
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
-    idx = inverted_index(docs, "doc_id", "text", buckets=8)
-    bad = (idx.groupBy("term")
-           .agg(F.countDistinct("doc_id").alias("n"),
-                F.max("df_t").alias("df_t"), F.min("df_t").alias("df_lo"))
-           .where((F.col("n") != F.col("df_t"))
-                  | (F.col("df_t") != F.col("df_lo"))))
+    ts = term_stats(docs, "doc_id", "text", buckets=8)
+    truth = (inverted_index(docs, "doc_id", "text", buckets=8)
+             .groupBy("term").agg(F.countDistinct("doc_id").alias("n")))
+    bad = (ts.join(truth, "term", "full_outer")
+           .where(F.coalesce("df_t", F.lit(-1))
+                  != F.coalesce("n", F.lit(-2))))
     assert bad.count() == 0
 
 
