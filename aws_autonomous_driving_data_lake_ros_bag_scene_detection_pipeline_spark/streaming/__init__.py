@@ -40,8 +40,9 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      embedding_dedup_batch, embedding_dedup_stream,
                      incremental_dedup_batch,
                      incremental_dedup_stream,
+                     bm25_index_batch, bm25_index_stream,
                      ivf_append_batch, ivf_append_stream,
-                     read_ivf_index,
+                     read_bm25_index, read_ivf_index,
                      snapshot_enrich_stream,
                      snapshot_upsert_batch, snapshot_upsert_stream,
                      delete_stream,

@@ -633,3 +633,71 @@ def delete_stream(stream: DataFrame, keys: list[str], *, path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bm25_index_batch(batch_df: DataFrame, batch_id: int, id_col: str,
+                     text_col: str, *, index_path: str,
+                     buckets: int = 256) -> None:
+    """Append ONE batch of documents to a persisted BM25 inverted
+    index (:mod:`~..operators.retrieval` layout) — the text-search
+    member of the engine's index-maintenance family (minhash,
+    embedding, IVF all have this loop).
+
+    Every probe relation is additive (retrieval.py's design), so a
+    batch contributes three writes under its own ``_batch_id``
+    subpartitions with dynamic overwrite — a replayed batch rewrites
+    exactly itself, never double-counts:
+    ``index_path/postings/term_bucket=<b>/_batch_id=<i>``,
+    ``…/terms/…`` (df_t deltas), ``…/stats/_batch_id=<i>`` (corpus
+    deltas). Batches must be doc-disjoint (the usual ingest
+    contract). :func:`read_bm25_index` + ``retrieval.bm25_probe``
+    serve queries from the accumulated index unchanged —
+    ``term_bucket`` stays the leading partition column, so
+    probed-buckets-only pruning keeps working across appends."""
+    from ..operators.retrieval import (
+        corpus_stats, inverted_index, term_stats,
+    )
+
+    spark = batch_df.sparkSession
+    with _dynamic_overwrite(spark):
+        (inverted_index(batch_df, id_col, text_col, buckets=buckets)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("term_bucket", "_batch_id")
+         .parquet(f"{index_path}/postings"))
+        (term_stats(batch_df, id_col, text_col, buckets=buckets)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("term_bucket", "_batch_id")
+         .parquet(f"{index_path}/terms"))
+        (corpus_stats(batch_df, id_col, text_col)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(f"{index_path}/stats"))
+
+
+def read_bm25_index(spark, index_path: str):
+    """Load an appended BM25 index for
+    :func:`~..operators.retrieval.bm25_probe`: the
+    ``(postings, terms, stats)`` triple minus the ``_batch_id``
+    bookkeeping column."""
+    return tuple(spark.read.parquet(f"{index_path}/{part}")
+                 .drop("_batch_id")
+                 for part in ("postings", "terms", "stats"))
+
+
+def bm25_index_stream(stream: DataFrame, id_col: str, text_col: str, *,
+                      index_path: str, checkpoint_dir: str,
+                      buckets: int = 256,
+                      available_now: bool = True) -> StreamingQuery:
+    """Streaming BM25 index maintenance: each micro-batch of documents
+    appends to the bucket-partitioned index via
+    :func:`bm25_index_batch`; checkpointed, replay-idempotent."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bm25_index_batch(batch_df, batch_id, id_col, text_col,
+                         index_path=index_path, buckets=buckets)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

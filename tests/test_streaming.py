@@ -839,3 +839,44 @@ def test_anomalies_stateful_matches_batch_across_microbatches(spark, tmp_path):
     assert norm(got) == norm(batch)
     assert any(r.is_anomaly for r in got)            # the spike fired
     assert sum(r.zscore is None for r in got) > 4    # warm-up + null
+
+
+def test_bm25_index_stream_matches_direct_and_replay_idempotent(spark, tmp_path):
+    """Three micro-batches of documents build the same index a direct
+    one-shot scoring sees (probe == bm25_topk on the full corpus), and
+    replaying a batch (same _batch_id) changes nothing."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import bm25_probe, bm25_topk
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        bm25_index_batch, bm25_index_stream, file_stream, read_bm25_index,
+    )
+
+    from tests.conftest import SF_DIR
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").limit(120).cache())
+    src = str(tmp_path / "docs_in")
+    for m in range(3):                              # one file per batch
+        docs.where(F.col("doc_id") % 3 == m).coalesce(1) \
+            .write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "bm25")
+    q = bm25_index_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        "doc_id", "text", index_path=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"), buckets=16)
+    q.awaitTermination(120)
+    q.stop()
+
+    query = ["spark", "window", "merge"]
+    got = bm25_probe(*read_bm25_index(spark, idx), query, k=10,
+                     buckets=16).collect()
+    want = bm25_topk(docs, "doc_id", "text", query, k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # replay: re-apply one batch's docs under an already-used batch id
+    bm25_index_batch(docs.where(F.col("doc_id") % 3 == 1), 1,
+                     "doc_id", "text", index_path=idx, buckets=16)
+    again = bm25_probe(*read_bm25_index(spark, idx), query, k=10,
+                       buckets=16).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+    docs.unpersist()
