@@ -25,7 +25,9 @@ from .fuzzy import edit_distance_pairs, fuzzy_join
 from .joins import binned_interval_join, salted_join
 from .pivot import pivot_wide
 from .profile import profile_drift, profile_table
-from .quality import lm_bigram_score, tfidf_top_terms, token_repetition
+from .quality import (  # noqa: F401
+    corpus_report, lm_bigram_score, tfidf_top_terms, token_repetition,
+)
 from .sampling import (
     chunk_documents, deterministic_shuffle, hash_sample,
     hash_sample_sql, hash_split,
@@ -85,6 +87,7 @@ __all__ = [
     "motif_pairs", "pattern_topk", "sliding_windows",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
+    "corpus_report",
     "temperature_mix_rates", "tfidf_top_terms", "time_spine",
     "token_repetition", "top_k_per_group", "union_by_name",
 ]

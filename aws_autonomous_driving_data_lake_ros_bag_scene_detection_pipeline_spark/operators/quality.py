@@ -136,3 +136,55 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(id_col, "term", "score", "rank"))
+
+
+def corpus_report(df: DataFrame, text_col: str) -> DataFrame:
+    """One-scan corpus overview → ``(metric, value)`` rows — the first
+    thing run on any new corpus: sizes (docs, tokens, chars), mean
+    heuristic quality, each Gopher rule's PASS fraction (which rule
+    gates what share — per-rule diagnostics, not one opaque number),
+    the keep fraction, language mix (the lang-id set is fixed and
+    small, so per-language fractions are plain conditional averages),
+    and the PII incidence.
+
+    Plan shape: every metric is an aggregate over pure Catalyst
+    expressions — ONE scan, ONE aggregate row, melted to long format
+    with ``stack`` (driver never sees data, only the final ≤ 20-row
+    report). Text expressions are evaluated once per metric family via
+    a projection, not re-derived per aggregate."""
+    from ..functions.text import (
+        LANG_STOPWORDS, gopher_rules, lang_id, pii_count, quality_score,
+        token_count,
+    )
+
+    rules = gopher_rules(text_col)
+    proj = df.select(
+        token_count(text_col).alias("_nt"),
+        F.length(text_col).cast("bigint").alias("_nc"),
+        quality_score(text_col).alias("_q"),
+        lang_id(text_col).alias("_lang"),
+        (sum((pii_count(text_col, k) for k in ("email", "ipv4", "phone")),
+             F.lit(0)) > 0).alias("_pii"),
+        *[v.alias(f"_r_{k}") for k, v in rules.items()])
+    keep = F.lit(True)
+    for k in rules:
+        keep = keep & F.col(f"_r_{k}")
+    aggs = {
+        "n_docs": F.count(F.lit(1)).cast("double"),
+        "total_tokens": F.sum("_nt").cast("double"),
+        "total_chars": F.sum("_nc").cast("double"),
+        "mean_tokens": F.avg("_nt"),
+        "mean_quality": F.avg("_q"),
+        "frac_pii": F.avg(F.col("_pii").cast("double")),
+        "frac_keep": F.avg(keep.cast("double")),
+        **{f"frac_pass_{k}": F.avg(F.col(f"_r_{k}").cast("double"))
+           for k in rules},
+        **{f"frac_lang_{lang}": F.avg((F.col("_lang") == lang)
+                                      .cast("double"))
+           for lang in sorted([*LANG_STOPWORDS, "und"])},
+    }
+    wide = proj.agg(*[expr.alias(name) for name, expr in aggs.items()])
+    stack_args = ", ".join(f"'{name}', {name}" for name in aggs)
+    return (wide.selectExpr(
+        f"stack({len(aggs)}, {stack_args}) as (metric, value)")
+        .select("metric", F.round("value", 6).alias("value")))

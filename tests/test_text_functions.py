@@ -322,3 +322,63 @@ def test_gopher_rules_against_duckdb_oracle(spark, duck):
             and hits >= 2 as keep
         from m
     """)
+
+
+def test_corpus_report_exact_on_handcrafted_corpus(spark):
+    """Every metric hand-computable on a 4-doc corpus: sizes, quality,
+    rule-pass fractions, keep, language mix, PII incidence."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import corpus_report
+
+    good = ("The quick brown fox jumps over the lazy dog and then "
+            "walks back to the barn with a friend that it has known "
+            "for years. " * 3)
+    docs = [
+        good,                                        # en, keeps
+        "le la et les des est un une " * 4,          # fr, too short
+        "contact me at bob@example.com for details", # pii, too short
+        " ".join(f"w{i}" for i in range(60)),        # und, no stopwords
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = {r.metric: r.value for r in
+           corpus_report(df, "text").collect()}
+    assert got["n_docs"] == 4.0
+    assert got["frac_lang_en"] == 0.25 and got["frac_lang_fr"] == 0.25
+    # docs 3 and 4 hit no language's stopword list -> und
+    assert got["frac_lang_und"] == 0.5
+    assert got["frac_pii"] == 0.25
+    assert got["frac_keep"] == 0.25            # only the good doc
+    assert got["frac_pass_word_count_ok"] == 0.5   # good + w0..w59
+    assert got["frac_pass_stopword_hits_ok"] == 0.25
+    n_tok = sum(len([t for t in d.lower().split() if t]) for d in docs)
+    # token_count uses alphanumeric runs; emails split into pieces —
+    # just sanity-bound the totals rather than re-deriving the regex
+    assert got["total_tokens"] >= n_tok
+    assert got["total_chars"] == float(sum(len(d) for d in docs))
+    assert 0.0 <= got["mean_quality"] <= 1.0
+    assert abs(got["mean_tokens"] - got["total_tokens"] / 4) < 1e-6
+
+
+def test_corpus_report_single_aggregate_plan(spark, duck):
+    """One scan, one aggregate, no Python, no shuffle beyond the final
+    1-row agg — and spot-check two metrics against DuckDB on the real
+    documents table."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import corpus_report
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = corpus_report(docs, "text")
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        read_schema_columns,
+    )
+
+    plan = formatted_plan(rep)
+    assert "Python" not in plan
+    assert len(read_schema_columns(rep)) == 1      # one leaf scan
+    got = {r.metric: r.value for r in rep.collect()}
+    want_docs, want_chars = duck.sql(
+        "select count(*), sum(length(text)) from documents").fetchone()
+    assert got["n_docs"] == float(want_docs)
+    assert got["total_chars"] == float(want_chars)
