@@ -125,10 +125,11 @@ def test_tfidf_broadcast_is_adaptive_not_hinted(spark):
         formatted_plan,
     )
     df = entry.q_tfidf(spark, SF_DIR)
-    # exactly ONE hint in the logical plan: the deliberate 1-row n_docs
-    # literal — the vocabulary-sized dfreq join must carry none
+    # exactly TWO hints in the logical plan, both deliberate 1-row
+    # literals (tfidf's n_docs; the r6 bm25 branch's corpus totals) —
+    # the vocabulary-sized dfreq joins on both branches carry none
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") == 1
+    assert analyzed.count("ResolvedHint") == 2
     # after execution, AQE's final physical plan picks broadcast for the
     # small vocabulary anyway
     df.write.format("noop").mode("overwrite").save()
