@@ -268,3 +268,49 @@ def test_duplicate_passages_cost_tracks_duplication_volume(spark):
     one = spans.first()
     assert one.n_tokens >= 10
     assert wall < 120, f"passage mining took {wall:.0f}s at 20k docs"
+
+
+@pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+                    reason="slow scale test disabled")
+def test_bm25_append_per_batch_cost_stays_flat(spark, tmp_path):
+    """Inverted-index maintenance at scale: appending doc batch 9 to a
+    9x index costs about what batch 2 cost — every probe relation is
+    additive, so an append touches only its own batch's rows (mirrors
+    the incremental-dedup and IVF proofs). A final probe over the full
+    accumulated index returns exactly k rows."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import bm25_probe
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        bm25_index_batch, read_bm25_index,
+    )
+
+    n = 2000
+    words = ["spark", "window", "merge", "table", "scan", "query",
+             "batch", "row", "agg", "join", "filter", "sort"]
+
+    def doc_batch(k):
+        body = F.concat_ws(" ", *[
+            F.element_at(F.array(*[F.lit(w) for w in words]),
+                         (F.pmod(F.col("id") * (j + 3) + j, F.lit(12))
+                          + 1).cast("int"))
+            for j in range(30)])
+        return spark.range(n).select(
+            (F.col("id") + F.lit(k * n)).alias("doc_id"),
+            body.alias("text"))
+
+    idx = str(tmp_path / "bm25")
+    times = []
+    for k in range(10):
+        t0 = time.monotonic()
+        bm25_index_batch(doc_batch(k), k, "doc_id", "text",
+                         index_path=idx, buckets=16)
+        times.append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+
+    early = statistics.median(times[1:4])
+    late = statistics.median(times[-3:])
+    assert late <= early * 3, (
+        f"per-batch append cost grew with index size: early={early:.2f}s "
+        f"late={late:.2f}s times={['%.2f' % t for t in times]}")
+    hits = bm25_probe(*read_bm25_index(spark, idx),
+                      ["spark", "merge"], k=25, buckets=16)
+    assert hits.count() == 25
