@@ -533,3 +533,73 @@ def test_running_agg_chunked_equivalence_property(mk_df, rows, width):
 
     assert snap(running_agg(df, ["k"], "t", aggs, chunk_width=width)) \
         == snap(running_agg(df, ["k"], "t", aggs))
+
+
+def _anomaly_oracle(series, n, min_points):
+    """Pure-Python leave-one-out trailing rows-frame baseline."""
+    import math
+
+    out = []
+    for i, (t, v) in enumerate(series):
+        base = [x for _, x in series[max(0, i - n):i] if x is not None]
+        cnt = len(base)
+        z = None
+        if v is not None and cnt >= min_points:
+            mean = sum(base) / cnt
+            var = max((sum(x * x for x in base) - cnt * mean * mean)
+                      / (cnt - 1), 0.0)
+            std = math.sqrt(var)
+            if std > 0:
+                z = (v - mean) / std
+        out.append((t, z))
+    return out
+
+
+@SETTINGS
+@given(rows=events_strategy, n=st.integers(2, 12),
+       min_points=st.integers(2, 6))
+def test_detect_anomalies_rows_mode_matches_brute_force(mk_df, rows, n,
+                                                        min_points):
+    """detect_anomalies(n=) equals the pure-Python trailing baseline
+    for arbitrary series with nulls, any frame length, any warm-up —
+    ties in t are excluded (rows frames need a total order)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import detect_anomalies
+
+    dedup = {}
+    for k, t, v in rows:
+        dedup[(k, t)] = v                      # unique (key, t)
+    rows = sorted((k, t, v) for (k, t), v in dedup.items())
+    got = {(r.k, r.t): r.zscore for r in detect_anomalies(
+        mk_df(rows), ["k"], "t", "v", n=n,
+        min_points=min_points).collect()}
+    for k in {r[0] for r in rows}:
+        series = [(t, v) for kk, t, v in rows if kk == k]
+        for t, z in _anomaly_oracle(series, n, min_points):
+            g = got[(k, t)]
+            if z is None:
+                assert g is None, (k, t, g)
+            else:
+                assert g is not None and abs(g - z) < 1e-9, (k, t, g, z)
+
+
+@SETTINGS
+@given(lag=st.integers(-4, 4), seed=st.integers(0, 10**6))
+def test_estimate_lag_recovers_any_planted_skew(spark, lag, seed):
+    """For ANY integer skew in [-4, 4] (including 0), estimate_lag
+    finds it exactly on a scaled+offset copy of a random walk."""
+    import random
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import estimate_lag
+
+    rng = random.Random(seed)
+    a = [0.0]
+    for _ in range(59):
+        a.append(a[-1] + rng.gauss(0, 1))
+    rows = []
+    for t in range(60):
+        src = t - lag
+        b = 3.0 * a[src] - 5.0 if 0 <= src < 60 else None
+        rows.append(("k", float(t), a[t], b))
+    df = spark.createDataFrame(rows, "k string, t double, a double, b double")
+    got = estimate_lag(df, ["k"], "t", "a", "b", max_lag=4).collect()
+    assert len(got) == 1 and got[0].best_lag == lag, (lag, got)
