@@ -665,12 +665,35 @@ def q_pattern_match(spark, sf_dir):
     The MASS-identity scoring (2m − 2r/σ from one exploded-element
     pass) and the TakeOrderedAndProject top-k are both reproduced
     exactly by the DuckDB oracle (list window + list_dot_product), so
-    the whole operator is hash-gated, not just sanity-checked."""
+    the whole operator is hash-gated, not just sanity-checked.
+
+    r6 second-half fold: tagged union with `tsmatch.xcorr_lags` —
+    clock-skew cross-correlation of each user's signal against its
+    own 1-step lead (a deterministic second signal), every candidate
+    lag scored from ONE window pass; the oracle recomputes
+    corr(a, b[t+lag]) per lag with lead/lag windows. Unified columns:
+    (kind, user_id, pos, score, n) = (pattern: start_time, dist,
+    rank | xcorr: lag, corr, n_pairs)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import xcorr_lags
+
     ev = (_events(spark, sf_dir)
           .where((F.col("user_id") < 8) & F.col("value").isNotNull())
           .select("user_id", "t", "value"))
-    return pattern_topk(ev, ["user_id"], "t", "value", PATTERN_RAW,
+    pat = (pattern_topk(ev, ["user_id"], "t", "value", PATTERN_RAW,
                         k=20)
+           .select(F.lit("pattern").alias("kind"), "user_id",
+                   F.col("start_time").cast("double").alias("pos"),
+                   F.col("dist").alias("score"),
+                   F.col("rank").alias("n")))
+    w = Window.partitionBy("user_id").orderBy("t")
+    ab = ev.select("user_id", "t", F.col("value").alias("a"),
+                   F.lead("value", 1).over(w).alias("b"))
+    xc = (xcorr_lags(ab, ["user_id"], "t", "a", "b", max_lag=2)
+          .select(F.lit("xcorr").alias("kind"), "user_id",
+                  F.col("lag").cast("double").alias("pos"),
+                  F.round("xcorr", 4).alias("score"),
+                  F.col("n_pairs").alias("n")))
+    return pat.unionByName(xc)
 
 
 _QLITS = ", ".join(repr(x) for x in PATTERN_Z)
@@ -701,8 +724,35 @@ d as (select user_id, start_time,
 rk as (select user_id, start_time, dist,
          row_number() over (order by dist, start_time, user_id) as rank
        from d)
-select user_id, start_time, dist, rank::BIGINT as rank
+select 'pattern' as kind, user_id, start_time::DOUBLE as pos,
+       dist as score, rank::BIGINT as n
 from rk where rank <= 20
+union all
+select 'xcorr', user_id, u.lag::DOUBLE,
+  round(case u.lag when -2 then corr(a, b_m2)
+                   when -1 then corr(a, b_m1)
+                   when  0 then corr(a, b_0)
+                   when  1 then corr(a, b_p1)
+                   else corr(a, b_p2) end, 4),
+  case u.lag
+    when -2 then count(case when a is not null and b_m2 is not null then 1 end)
+    when -1 then count(case when a is not null and b_m1 is not null then 1 end)
+    when  0 then count(case when a is not null and b_0  is not null then 1 end)
+    when  1 then count(case when a is not null and b_p1 is not null then 1 end)
+    else count(case when a is not null and b_p2 is not null then 1 end)
+  end::BIGINT
+from (
+  select user_id, a,
+    lag(b, 2)  over w as b_m2, lag(b, 1) over w as b_m1, b as b_0,
+    lead(b, 1) over w as b_p1, lead(b, 2) over w as b_p2
+  from (
+    select user_id, t, value as a,
+      lead(value, 1) over (partition by user_id order by t) as b
+    from (select user_id, epoch_us(ts) as t, value from events
+          where user_id < 8 and value is not null))
+  window w as (partition by user_id order by t))
+cross join (values (-2),(-1),(0),(1),(2)) u(lag)
+group by user_id, u.lag
 """
 
 
