@@ -31,7 +31,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     check_expectations, distinct_sketch, dup_clusters,
     duplicate_ids, duplicate_passages, edit_distance_pairs,
     freq_estimate, freq_sketch,
-    funnel, histogram_sketch, quantile_estimate,
+    funnel, histogram_psi, histogram_sketch, quantile_estimate,
     embedding_dup_pairs, exact_dedup,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     pattern_topk,
@@ -473,6 +473,21 @@ def q_percentiles(spark, sf_dir):
             .pivot("prob", [float(q) for q in qs])
             .agg(F.first("quantile_est")))
     agged = agged.join(hist, "l_returnflag")
+    # (r6 fold) distribution-drift PSI between the odd/even-orderkey
+    # halves per group, through the REAL sketch machinery
+    # (histogram_sketch x2 -> histogram_psi) on a coarse 32-bin grid;
+    # the oracle rebuilds every cell and the smoothed formula in SQL,
+    # so the whole drift path is hash-gated
+    li_raw = _t("lineitem")(spark, sf_dir)
+    h_even = histogram_sketch(li_raw.where(F.col("l_orderkey") % 2 == 0),
+                              ["l_returnflag"], "l_extendedprice",
+                              lo=lo, hi=hi, bins=32)
+    h_odd = histogram_sketch(li_raw.where(F.col("l_orderkey") % 2 == 1),
+                             ["l_returnflag"], "l_extendedprice",
+                             lo=lo, hi=hi, bins=32)
+    psi = (histogram_psi(h_even, h_odd, ["l_returnflag"])
+           .select("l_returnflag", F.round("psi", 6).alias("psi_split")))
+    agged = agged.join(psi, "l_returnflag")
     return agged.select(
         "l_returnflag",
         *[F.round(F.col("_ps")[i], 6).alias(f"p{int(q * 100)}")
@@ -484,20 +499,44 @@ def q_percentiles(spark, sf_dir):
         *[((F.col(f"`{float(q)}`") >= F.col("_ps")[nq + i] - binw)
            & (F.col(f"`{float(q)}`") <= F.col("_ps")[2 * nq + i] + binw))
           .alias(f"hist_ok_p{int(q * 100)}")
-          for i, q in enumerate(qs)])
+          for i, q in enumerate(qs)],
+        "psi_split")
 
 
 Q_PERCENTILES_SQL = """
-select l_returnflag,
-  round(quantile_cont(l_extendedprice, 0.25)::DOUBLE, 6) as p25,
-  round(quantile_cont(l_extendedprice, 0.50)::DOUBLE, 6) as p50,
-  round(quantile_cont(l_extendedprice, 0.75)::DOUBLE, 6) as p75,
-  round(quantile_cont(l_extendedprice, 0.95)::DOUBLE, 6) as p95,
-  true as approx_ok_p25, true as approx_ok_p50,
-  true as approx_ok_p75, true as approx_ok_p95,
-  true as hist_ok_p25, true as hist_ok_p50,
-  true as hist_ok_p75, true as hist_ok_p95
-from lineitem group by l_returnflag
+with base as (
+  select l_returnflag,
+    round(quantile_cont(l_extendedprice, 0.25)::DOUBLE, 6) as p25,
+    round(quantile_cont(l_extendedprice, 0.50)::DOUBLE, 6) as p50,
+    round(quantile_cont(l_extendedprice, 0.75)::DOUBLE, 6) as p75,
+    round(quantile_cont(l_extendedprice, 0.95)::DOUBLE, 6) as p95,
+    true as approx_ok_p25, true as approx_ok_p50,
+    true as approx_ok_p75, true as approx_ok_p95,
+    true as hist_ok_p25, true as hist_ok_p50,
+    true as hist_ok_p75, true as hist_ok_p95
+  from lineitem group by l_returnflag),
+cells as (
+  select l_returnflag,
+    least(greatest(floor((l_extendedprice::DOUBLE - 0.0) / 3750.0),
+                   -1), 32)::int as b,
+    sum(case when l_orderkey % 2 = 0 then 1 else 0 end)::double as oc,
+    sum(case when l_orderkey % 2 = 1 then 1 else 0 end)::double as nc
+  from lineitem where l_extendedprice is not null
+  group by 1, 2),
+tot as (
+  select l_returnflag, sum(oc) as t_o, sum(nc) as t_n,
+         count(*)::double as nb
+  from cells group by 1),
+psi as (
+  select c.l_returnflag,
+    round(sum(((oc + 0.5) / (t_o + 0.5 * nb)
+               - (nc + 0.5) / (t_n + 0.5 * nb))
+              * ln(((oc + 0.5) / (t_o + 0.5 * nb))
+                   / ((nc + 0.5) / (t_n + 0.5 * nb)))), 6) as psi_split
+  from cells c join tot using (l_returnflag)
+  group by 1)
+select base.*, psi.psi_split
+from base join psi using (l_returnflag)
 """
 
 
