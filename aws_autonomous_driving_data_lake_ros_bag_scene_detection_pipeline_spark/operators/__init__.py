@@ -60,7 +60,8 @@ from .tsmatch import (  # noqa: F401
     estimate_lag, motif_pairs, pattern_topk, sliding_windows, xcorr_lags,
 )
 from .retrieval import (  # noqa: F401
-    bm25_probe, bm25_topk, corpus_stats, inverted_index, probe_buckets,
+    bm25_probe, bm25_probe_many, bm25_topk, corpus_stats, inverted_index,
+    probe_buckets,
     rrf_fuse, term_stats,
 )
 from .topk import top_k_per_group

@@ -239,3 +239,53 @@ def rrf_fuse(rankings: dict[str, DataFrame], id_col: str, *,
     w = Window.orderBy(*order)
     return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .select(id_col, "rrf_score", "rank", "sources"))
+
+
+def bm25_probe_many(postings: DataFrame, terms_df: DataFrame,
+                    stats: DataFrame, queries: dict[str, list[str]], *,
+                    k: int = 10, k1: float = 1.2, b: float = 0.75,
+                    buckets: int = _DEFAULT_BUCKETS,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Batch retrieval: top-``k`` BM25 per query for a WHOLE query set
+    → ``(query_id, id, score, rank)`` — the production shape (RAG
+    evaluation, hard-negative mining) scores thousands of queries in
+    one job, not one probe each.
+
+    One pruned index read covers every query: the literal IN carries
+    the UNION of all queries' buckets, the (query_id, term) pairs join
+    in as a broadcast relation (bounded by the query set, never the
+    corpus), and per-query ranking is a window partitioned by
+    query_id — so cost scales with matching postings + |queries|·k,
+    and the scoring arithmetic is shared with :func:`bm25_probe`
+    (per-query equivalence test-pinned). A query whose terms miss the
+    corpus entirely yields no rows (same as the single probe)."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    pairs = [(qid, t) for qid, terms in sorted(queries.items())
+             for t in _validated_terms(terms)]
+    all_terms = sorted({t for _, t in pairs})
+    probed = probe_buckets(all_terms, buckets=buckets)
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(pairs, "query_id string, term string")
+
+    hit = (postings.where(F.col("term_bucket").isin(probed))
+           .where(F.col("term").isin(all_terms)))
+    dfreq = (terms_df.where(F.col("term_bucket").isin(probed))
+             .where(F.col("term").isin(all_terms))
+             .groupBy("term")
+             .agg(F.sum("df_t").alias("df_t")))
+    totals = stats.agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+                       (F.sum("n_tokens") / F.sum("n_docs"))
+                       .alias("avgdl"))
+    scored = (hit.join(F.broadcast(qdf), "term")
+              .join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(totals))
+              .withColumn("_s", _bm25_score(k1, b))
+              .groupBy("query_id", id_col)
+              .agg(F.round(F.sum("_s"), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

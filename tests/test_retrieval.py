@@ -165,3 +165,36 @@ def test_retrieval_input_contracts(spark):
         bm25_topk(docs, "doc_id", "text", ["two words"])
     with pytest.raises(ValueError, match="non-empty"):
         rrf_fuse({}, "doc_id")
+
+
+def test_bm25_probe_many_matches_per_query_probes(spark, tmp_path):
+    """The batch probe equals one bm25_probe per query, in one job:
+    shared pruned read, per-query window ranking; a query with only
+    out-of-corpus terms contributes zero rows."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import bm25_probe_many
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = str(tmp_path / "inv")
+    _write_index_batch(spark, docs, base, "overwrite")
+    idx = _read_index(spark, base)
+
+    queries = {
+        "q_spark": ["spark", "window"],
+        "q_merge": ["merge", "batch"],
+        "q_scan": ["scan"],
+        "q_missing": ["zzzunseen"],
+    }
+    got = bm25_probe_many(*idx, queries, k=7, buckets=32)
+    rows = {}
+    for r in got.collect():
+        rows.setdefault(r.query_id, []).append((r.doc_id, r.score, r.rank))
+    assert "q_missing" not in rows
+    for qid, terms in queries.items():
+        if qid == "q_missing":
+            continue
+        want = sorted((r.doc_id, r.score, r.rank) for r in
+                      bm25_probe(*idx, terms, k=7, buckets=32).collect())
+        assert sorted(rows[qid]) == want, qid
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        bm25_probe_many(*idx, {}, buckets=32)
