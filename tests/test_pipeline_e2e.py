@@ -172,3 +172,79 @@ def test_governed_pipeline_end_to_end(spark, tmp_path):
     assert ("text", "cardinality") in {(r.column, r.drift)
                                        for r in drifts.collect()}
     spark.catalog.clearCache()
+
+
+def test_llm_curation_pipeline_end_to_end(spark, tmp_path):
+    """The whole training-data curation surface composed as one
+    pipeline on real testdata: report -> loosened quality filter ->
+    decontaminate vs a planted eval set -> near-dedup (with planted
+    near-copies) -> train/val/test split -> deterministic epoch
+    shuffle -> sequence packing -> write. Invariants checked at each
+    stage; the pipeline is deterministic end to end (second run
+    byte-identical keeps)."""
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        corpus_report, decontaminate, deterministic_shuffle, hash_split,
+        near_dedup, pack_sequences,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import gopher_keep
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions.text import subword_count
+    from tests.conftest import SF_DIR
+
+    raw = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+           .select("doc_id", "text"))
+    n_raw = raw.count()
+    # plant near-duplicates: 10 docs re-appear with a one-word suffix
+    dups = (raw.where("doc_id < 10")
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat("text", F.lit(" suffix")).alias("text")))
+    corpus = raw.unionByName(dups)
+
+    # 0) report: loosen exactly the rule the report says gates everything
+    rep = {r.metric: r.value for r in
+           corpus_report(corpus, "text").collect()}
+    assert rep["frac_pass_stopword_hits_ok"] < 0.05
+    th = {"min_stopword_hits": 0, "min_words": 30}
+
+    # 1) quality filter (loosened), then decontaminate vs planted evals
+    filtered = corpus.where(gopher_keep("text", th))
+    n_filtered = filtered.count()
+    assert 0 < n_filtered < n_raw + 10
+    bench = raw.where("doc_id % 97 = 3").select("doc_id", "text")
+    clean = decontaminate(filtered, bench, "doc_id", "text")
+    leaked = clean.join(bench.select("doc_id"), "doc_id").count()
+    assert leaked == 0                       # no eval doc survives
+
+    # 2) near-dedup removes the planted near-copies (keep smallest id)
+    deduped = near_dedup(clean.drop("contamination_ratio"), "text",
+                         "doc_id", threshold=0.7)
+    spark.catalog.clearCache()
+    assert deduped.where("doc_id >= 100000").count() == 0
+    n_dedup = deduped.count()
+
+    # 3) disjoint split + deterministic epoch order + packing
+    split = hash_split(deduped, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    sizes = {r.split: r["count"] for r in
+             split.groupBy("split").count().collect()}
+    assert sum(sizes.values()) == n_dedup
+    train = split.where("split = 'train'") \
+        .withColumn("n_sub", subword_count("text"))
+    ordered = deterministic_shuffle(train, "doc_id", salt="epoch0")
+    packed = pack_sequences(ordered, "doc_id", "n_sub",
+                            capacity=512, shards=8)
+    assert packed.count() == sizes.get("train", 0)
+    assert packed.where("offset >= 512").count() == 0
+
+    out = str(tmp_path / "train")
+    ordered.join(packed, "doc_id").write.parquet(out)
+
+    # 4) determinism: the same pipeline keeps the same documents
+    again = near_dedup(
+        decontaminate(corpus.where(gopher_keep("text", th)), bench,
+                      "doc_id", "text").drop("contamination_ratio"),
+        "text", "doc_id", threshold=0.7)
+    spark.catalog.clearCache()
+    assert sorted(r.doc_id for r in again.select("doc_id").collect()) \
+        == sorted(r.doc_id for r in deduped.select("doc_id").collect())
