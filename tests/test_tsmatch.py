@@ -317,3 +317,21 @@ def test_xcorr_single_exchange_one_window(spark):
     probe = out.select("k", "lag", "xcorr", "n_pairs")
     assert count_window_ops(probe) == 1
     assert count_exchanges(probe) == 1
+
+
+def test_pattern_topk_per_key_single_partitioned_window(spark):
+    """per_key ranking adds ONE key-partitioned window on top of the
+    scoring aggregate — no global sort/TakeOrdered appears."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(t), float((t * k) % 7))
+         for k in range(3) for t in range(30)],
+        "k int, t double, v double")
+    out = pattern_topk(df, ["k"], "t", "v", [0.0, 1.0, 0.0, -1.0],
+                       k=2, per_key=True)
+    plan = formatted_plan(out.select("k", "start_time", "dist", "rank"))
+    assert "TakeOrderedAndProject" not in plan
+    assert "hashpartitioning(k" in plan          # ranking shuffles by key
