@@ -209,24 +209,35 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
 
 
 def rrf_fuse(rankings: dict[str, DataFrame], id_col: str, *,
-             k: int = 60, topk: int = 10) -> DataFrame:
+             k: int = 60, topk: int = 10,
+             weights: dict[str, float] | None = None) -> DataFrame:
     """Reciprocal-rank fusion of named rankings sharing ``id_col`` and
     a ``rank`` column → ``(id, rrf_score, rank, sources)``:
     ``rrf = Σ_r 1/(k + rank_r(d))`` (Cormack et al.'s k=60 default).
     Rank-only, so BM25 scores and cosine similarities — incomparable
     scales — fuse without calibration; a document missing from one
     ranking simply contributes nothing (``sources`` says which lists
-    carried it). Inputs are top-k lists (small); the union-aggregate
-    is proportional to Σ|rankings|, not any corpus."""
+    carried it). ``weights`` optionally scales each ranking's
+    contribution (``w/(k + rank)`` — lean the fusion toward the list
+    you trust; unlisted names default to 1.0). Inputs are top-k lists
+    (small); the union-aggregate is proportional to Σ|rankings|, not
+    any corpus."""
     if not rankings:
         raise ValueError("rankings must be non-empty")
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    wts = weights or {}
+    bad = sorted(set(wts) - set(rankings))
+    if bad:
+        raise ValueError(f"weights name unknown rankings: {bad}")
+    if any(x <= 0 for x in wts.values()):
+        raise ValueError("weights must be > 0")
     parts = []
     for name, r in sorted(rankings.items()):
         parts.append(r.select(
             F.col(id_col),
-            (1.0 / (F.lit(float(k)) + F.col("rank"))).alias("_c"),
+            (F.lit(float(wts.get(name, 1.0)))
+             / (F.lit(float(k)) + F.col("rank"))).alias("_c"),
             F.lit(name).alias("_src")))
     u = parts[0]
     for p in parts[1:]:

@@ -198,3 +198,25 @@ def test_bm25_probe_many_matches_per_query_probes(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="non-empty"):
         bm25_probe_many(*idx, {}, buckets=32)
+
+
+def test_rrf_fuse_weights(spark):
+    """Weighted RRF: scaling one list's contribution reorders the
+    fusion exactly per the w/(k+rank) formula; bad weight names and
+    non-positive weights raise."""
+    import math
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (1, 2)], "doc_id int, rank int")
+    got = {r.doc_id: r for r in
+           rrf_fuse({"sparse": a, "dense": b}, "doc_id", k=60,
+                    weights={"dense": 3.0}).collect()}
+    want1 = 1 / 61 + 3 / 62
+    want2 = 1 / 62 + 3 / 61
+    assert math.isclose(got[1].rrf_score, round(want1, 6), abs_tol=1e-9)
+    assert math.isclose(got[2].rrf_score, round(want2, 6), abs_tol=1e-9)
+    assert got[2].rank == 1                   # dense upweight flips it
+    with pytest.raises(ValueError, match="unknown rankings"):
+        rrf_fuse({"a": a}, "doc_id", weights={"zzz": 2.0})
+    with pytest.raises(ValueError, match="> 0"):
+        rrf_fuse({"a": a}, "doc_id", weights={"a": 0.0})
