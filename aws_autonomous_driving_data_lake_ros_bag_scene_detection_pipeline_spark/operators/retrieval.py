@@ -71,10 +71,13 @@ def _bm25_score(k1: float, b: float):
 def _validated_terms(query_terms: list[str]) -> list[str]:
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    # queries tokenize like documents: lowercase alphanumeric runs —
-    # a term the tokenizer can never produce would silently score 0
+    # queries must use the DOCUMENT tokenizer's alphabet — ASCII
+    # [a-z0-9] runs (functions.text.tokens) — or they silently score 0.
+    # str.isalnum() is NOT that check: it accepts Unicode letters the
+    # tokenizer never emits.
+    import re
     terms = sorted({t.lower() for t in query_terms})
-    bad = [t for t in terms if not t.isalnum()]
+    bad = [t for t in terms if not re.fullmatch(r"[a-z0-9]+", t)]
     if bad:
         raise ValueError(f"query terms must be single alphanumeric "
                          f"tokens (got {bad}); multi-word queries "

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 def sliding_windows(df: DataFrame, keys: list[str], time_col: str,
                     value_col: str, m: int, *, step: int = 1,
-                    out_col: str = "window") -> DataFrame:
+                    out_col: str = "window",
+                    on_null: str = "raise") -> DataFrame:
     """All length-``m`` subsequences per key:
     ``(keys…, start_time, window: array<double>)``.
 
@@ -48,15 +49,38 @@ def sliding_windows(df: DataFrame, keys: list[str], time_col: str,
     ``[current, current+m-1]`` rows frame; rows too close to the end
     of their series (incomplete windows) are dropped. ``step`` keeps
     every ``step``-th start position (stride) — candidate count scales
-    as n/step."""
+    as n/step.
+
+    ``collect_list`` SKIPS nulls, so a null sample would silently
+    produce a window spanning more than ``m`` rows, misaligned with
+    its ``start_time`` — shape-shifted subsequences downstream.
+    ``on_null='raise'`` (default) fails at execution time on the first
+    null value; ``'drop'`` filters null samples first, with the
+    documented semantics that windows then span the REMAINING samples
+    (gaps close up — appropriate for already-resampled series where a
+    null means a missing grid point the caller accepts skipping)."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     if step < 1:
         raise ValueError(f"step must be >= 1, got {step}")
+    if on_null not in ("raise", "drop"):
+        raise ValueError(f"on_null must be 'raise' or 'drop', "
+                         f"got {on_null!r}")
+    if on_null == "drop":
+        df = df.where(F.col(value_col).isNotNull())
+        val = F.col(value_col).cast("double")
+    else:
+        # embedded in the collected expression so it is evaluated per
+        # row (a lazy-safe runtime check, not an eager scan)
+        val = (F.when(F.col(value_col).isNull(),
+                      F.raise_error(F.lit(
+                          f"sliding_windows: null in {value_col!r}; "
+                          f"drop nulls first or pass on_null='drop'")))
+               .otherwise(F.col(value_col).cast("double")))
     w = (Window.partitionBy(*keys).orderBy(time_col)
          .rowsBetween(Window.currentRow, m - 1))
     out = (df.withColumn(out_col,
-                         F.collect_list(F.col(value_col).cast("double"))
+                         F.collect_list(val)
                          .over(w))
            .where(F.size(out_col) == m)
            .select(*keys, F.col(time_col).alias("start_time"),

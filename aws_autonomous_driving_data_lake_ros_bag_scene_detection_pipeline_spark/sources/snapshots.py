@@ -334,7 +334,11 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
         return prev                      # empty table: nothing to do
 
     kd = keys_df.select(*keys).distinct()
-    current = _read_files(spark, path, m["files"])
+    # both reads carry the manifest schema (like upsert/compact): after
+    # a schema evolution, affected partitions mix physical schemas and
+    # a footer-inferred read would silently drop the evolved column
+    # from the rewrite
+    current = _read_files(spark, path, m["files"], m.get("schema"))
     aff_vals = [tuple(r) for r in
                 (current.join(kd, keys, "left_semi")
                  .select(*partition_cols).distinct().collect())]
@@ -344,7 +348,8 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
 
     carry = [e for e in m["files"] if e["partition"] not in aff]
     hit = [e for e in m["files"] if e["partition"] in aff]
-    remaining = _read_files(spark, path, hit).join(kd, keys, "left_anti")
+    remaining = (_read_files(spark, path, hit, m.get("schema"))
+                 .join(kd, keys, "left_anti"))
     new_entries = _write_data_files(spark, path, remaining,
                                     partition_cols)
     _commit_manifest(spark, path, prev + 1, {

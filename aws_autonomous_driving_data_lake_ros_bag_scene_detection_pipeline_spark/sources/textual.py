@@ -27,9 +27,18 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _CORRUPT = "_corrupt_record"
+
+
+def _with_corrupt_col(declared: StructType) -> StructType:
+    """Reader schema = declared + corrupt-record column, built as a
+    FRESH StructType: ``declared.add(...)`` mutates (and returns) the
+    caller's object, which would leak ``_corrupt_record`` into the
+    ``good`` frame and poison schema reuse across reads."""
+    return StructType(list(declared.fields)
+                      + [StructField(_CORRUPT, StringType())])
 
 
 @dataclass(frozen=True)
@@ -75,7 +84,7 @@ def read_jsonl(spark: SparkSession, path: str, schema, *,
     declared = _as_struct(spark, schema)
     if _CORRUPT in [f.name for f in declared.fields]:
         raise ValueError(f"declared schema must not contain {_CORRUPT}")
-    full = declared.add(_CORRUPT, StringType())
+    full = _with_corrupt_col(declared)
     reader = (spark.read.schema(full)
               .option("mode", "PERMISSIVE")
               .option("columnNameOfCorruptRecord", _CORRUPT)
@@ -93,7 +102,7 @@ def read_csv(spark: SparkSession, path: str, schema, *,
     declared = _as_struct(spark, schema)
     if _CORRUPT in [f.name for f in declared.fields]:
         raise ValueError(f"declared schema must not contain {_CORRUPT}")
-    full = declared.add(_CORRUPT, StringType())
+    full = _with_corrupt_col(declared)
     reader = (spark.read.schema(full)
               .option("mode", "PERMISSIVE")
               .option("columnNameOfCorruptRecord", _CORRUPT)

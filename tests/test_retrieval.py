@@ -220,3 +220,18 @@ def test_rrf_fuse_weights(spark):
         rrf_fuse({"a": a}, "doc_id", weights={"zzz": 2.0})
     with pytest.raises(ValueError, match="> 0"):
         rrf_fuse({"a": a}, "doc_id", weights={"a": 0.0})
+
+
+def test_query_terms_must_match_tokenizer_alphabet():
+    """r7 regression (ADVICE r6, low): validation must use the
+    tokenizer's ASCII [a-z0-9] alphabet — str.isalnum() accepts
+    Unicode terms that tokens() can never emit, so they'd silently
+    score 0."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.retrieval import _validated_terms
+
+    assert _validated_terms(["Spark", "42x"]) == ["42x", "spark"]
+    for bad in ["café", "日本", "a b", "a-b", ""]:
+        with pytest.raises(ValueError):
+            _validated_terms([bad])

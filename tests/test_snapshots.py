@@ -356,3 +356,30 @@ def test_snapshot_prune_grace_protects_inflight_commit(spark, tmp_path,
                            orphan_grace_seconds=0)
     assert stats["files_deleted"] >= 1
     assert _rows(read_snapshot(spark, path).select("val")) == {("a",)}
+
+
+def test_snapshot_delete_preserves_evolved_schema(spark, tmp_path):
+    """r7 regression (ADVICE r6, high): snapshot_delete must read the
+    affected partitions with the MANIFEST schema. After a schema
+    evolution, a delete spanning an old-schema and an evolved
+    partition used to infer the schema from one footer and silently
+    null the evolved column's surviving values in the rewrite."""
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    # evolve: new column `extra`, written only into d2
+    snapshot_upsert(
+        spark, path,
+        spark.createDataFrame([(3, "d2", "c", "KEEP")],
+                              "id long, day string, val string, extra string"),
+        ["id"], partition_cols=["day"], schema_evolution=True)
+    # delete one key from EACH partition: the rewrite now spans an
+    # old-schema partition (d1) and an evolved one (d2)
+    snapshot_delete(spark, path,
+                    spark.createDataFrame([(1,), (2,)], "id long"),
+                    ["id"], partition_cols=["day"])
+    got = _rows(read_snapshot(spark, path).select("id", "extra"))
+    assert got == {(3, "KEEP")}

@@ -52,3 +52,22 @@ def test_read_csv_routes_malformed_rows(spark, tmp_path):
         assert [r.raw_line for r in q.bad.collect()] == ["2,not_a_double"]
     finally:
         q.unpersist()
+
+
+def test_quarantine_read_does_not_mutate_declared_schema(spark, tmp_path):
+    """r7 regression (ADVICE r6, medium): the reader schema must be a
+    FRESH StructType — StructType.add mutates in place, which leaked
+    _corrupt_record into `good` and broke schema reuse across reads."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"id": 1, "t": "ok"}\nnot json\n')
+    declared = StructType([StructField("id", LongType()),
+                           StructField("t", StringType())])
+    r1 = read_jsonl(spark, str(p), declared)
+    assert r1.good.columns == ["id", "t"]          # no corrupt column
+    assert [f.name for f in declared.fields] == ["id", "t"]  # unmutated
+    # the same StructType object must be reusable for a second read
+    r2 = read_jsonl(spark, str(p), declared)
+    assert r2.good.count() == 1 and r2.bad.count() == 1
+    r1.unpersist(); r2.unpersist()

@@ -335,3 +335,27 @@ def test_pattern_topk_per_key_single_partitioned_window(spark):
     plan = formatted_plan(out.select("k", "start_time", "dist", "rank"))
     assert "TakeOrderedAndProject" not in plan
     assert "hashpartitioning(k" in plan          # ranking shuffles by key
+
+
+def test_sliding_windows_null_handling(spark):
+    """r7 regression (ADVICE r6, low): collect_list skips nulls, so a
+    null sample used to yield silently shape-shifted windows. Default
+    now raises at execution; on_null='drop' gives the documented
+    gap-closing semantics."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.tsmatch import sliding_windows
+
+    df = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 1, None), ("k", 2, 3.0), ("k", 3, 4.0)],
+        "key string, t int, v double")
+    with pytest.raises(Exception, match="sliding_windows: null"):
+        sliding_windows(df, ["key"], "t", "v", 2).collect()
+    got = {(r.start_time, tuple(r.window))
+           for r in sliding_windows(df, ["key"], "t", "v", 2,
+                                    on_null="drop").collect()}
+    # null at t=1 dropped; windows span the remaining samples
+    assert got == {(0, (1.0, 3.0)), (2, (3.0, 4.0))}
+    with pytest.raises(ValueError, match="on_null"):
+        sliding_windows(df, ["key"], "t", "v", 2, on_null="nope")
