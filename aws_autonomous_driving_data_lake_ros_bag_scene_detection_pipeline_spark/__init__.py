@@ -43,11 +43,12 @@ from .operators import (  # noqa: E402,F401
     banding_for_recall, cache_scope, cell_balance, lsh_topk, minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, near_dedup, ngram_jaccard_pairs,
     merge_intervals, pack_media, pack_sequences, pivot_wide, profile_drift, profile_table,
-    bm25_probe, bm25_probe_many, bm25_topk, corpus_report, corpus_stats,
+    bm25_deletion_deltas, bm25_probe, bm25_probe_many, bm25_topk,
+    corpus_report, corpus_stats,
     decontaminate,
     detect_anomalies, deterministic_shuffle, histogram_psi,
     inverted_index, probe_buckets, rrf_fuse, term_stats,
-    estimate_lag, motif_pairs, pattern_topk, repartition_for_media, xcorr_lags, resample_asof, resample_interpolate, running_agg, sliding_windows,
+    estimate_lag, motif_bucket_drops, motif_pairs, pattern_topk, repartition_for_media, xcorr_lags, resample_asof, resample_interpolate, running_agg, sliding_windows,
     reservoir_sample, salted_join, weighted_sample,
     remove_duplicate_spans,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs,

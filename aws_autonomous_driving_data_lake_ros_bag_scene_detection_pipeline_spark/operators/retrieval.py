@@ -137,6 +137,65 @@ def term_stats(df: DataFrame, id_col: str, text_col: str, *,
                         _term_bucket(F.col("term"), buckets)))
 
 
+def bm25_deletion_deltas(deleted_df: DataFrame, id_col: str,
+                         text_col: str, *,
+                         buckets: int = _DEFAULT_BUCKETS) -> dict:
+    """The ADDITIVE deletion record for documents leaving an indexed
+    corpus — the missing half of the incremental index contract
+    (appends never rewrite history; neither do deletes):
+
+    - ``tombstones``: ``(id, term_bucket)`` pairs — one row per bucket
+      any of the doc's terms hashes to, so a probe can exclude the
+      doc's postings after pruning to its own buckets (the tombstone
+      read is bucket-pruned exactly like the postings read).
+    - ``neg_terms``: :func:`term_stats` of the deleted docs with
+      ``df_t`` NEGATED — appended next to the positive deltas, the
+      probe's per-term sum yields the filtered corpus's exact document
+      frequencies.
+    - ``neg_stats``: :func:`corpus_stats` of the deleted docs negated —
+      summed ``n_docs``/``n_tokens`` (hence ``avgdl``) match the
+      filtered corpus exactly.
+
+    With all three applied, a tombstoned probe is SCORE-IDENTICAL to a
+    full rebuild over the corpus minus the deleted docs (gate-verified
+    in q_tfidf's ``bm25_del`` branch) — not the stale-stats
+    approximation segment-merge engines serve between merges. Requires
+    the deleted docs' TEXT (the GDPR/dedup-prune flow deletes from the
+    corpus table, which still has it); ids must be docs actually in
+    the index, deleted at most once (same doc-disjoint discipline as
+    appends)."""
+    neg_terms = (term_stats(deleted_df, id_col, text_col,
+                            buckets=buckets)
+                 .withColumn("df_t", -F.col("df_t")))
+    neg_stats = (corpus_stats(deleted_df, id_col, text_col)
+                 .select((-F.col("n_docs")).alias("n_docs"),
+                         (-F.col("n_tokens")).alias("n_tokens")))
+    tombstones = (deleted_df
+                  .select(F.col(id_col), F.explode_outer(
+                      F.array_distinct(tokens(text_col))).alias("term"))
+                  .where(F.col("term").isNotNull())
+                  .select(id_col,
+                          _term_bucket(F.col("term"), buckets)
+                          .alias("term_bucket"))
+                  .distinct())
+    return {"tombstones": tombstones, "neg_terms": neg_terms,
+            "neg_stats": neg_stats}
+
+
+def _without_tombstoned(hit: DataFrame, tombstones: DataFrame | None,
+                        probed: list[int], id_col: str) -> DataFrame:
+    """Exclude tombstoned docs' postings: anti-join on
+    ``(id, term_bucket)`` — exact because a deleted doc has a tombstone
+    row for EVERY bucket its terms hash to. The tombstone side is
+    pruned to the probe's buckets first, so the read stays proportional
+    to the query, not the delete history."""
+    if tombstones is None:
+        return hit
+    t = (tombstones.where(F.col("term_bucket").isin(probed))
+         .select(id_col, "term_bucket").distinct())
+    return hit.join(t, [id_col, "term_bucket"], "left_anti")
+
+
 def probe_buckets(query_terms: list[str], *,
                   buckets: int = _DEFAULT_BUCKETS) -> list[int]:
     """The bucket ids a query touches — PURE PYTHON (the bucket hash
@@ -153,18 +212,26 @@ def bm25_probe(postings: DataFrame, terms_df: DataFrame,
                stats: DataFrame, query_terms: list[str], *,
                k: int = 10, k1: float = 1.2, b: float = 0.75,
                buckets: int = _DEFAULT_BUCKETS,
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               tombstones: DataFrame | None = None) -> DataFrame:
     """Top-``k`` BM25 over a persisted :func:`inverted_index` →
     ``(id, score, rank)``. Reads: postings and :func:`term_stats`
     pruned to :func:`probe_buckets`' literal IN (hive partition
     pruning — bytes proportional to the query, not the corpus), the
     tiny :func:`corpus_stats` relation summed (broadcast). ``buckets``
     must match the build. Ties break by id; scores round to 6 for
-    cross-engine comparability."""
+    cross-engine comparability.
+
+    ``tombstones`` (from :func:`bm25_deletion_deltas`): deleted docs'
+    postings are anti-joined away after pruning. Pass ``terms_df`` /
+    ``stats`` with the negative deltas unioned in (the persisted
+    layout's reader does this) and the probe is score-identical to a
+    rebuild over the filtered corpus."""
     terms = _validated_terms(query_terms)
     probed = probe_buckets(terms, buckets=buckets)
     hit = (postings.where(F.col("term_bucket").isin(probed))
            .where(F.col("term").isin(terms)))
+    hit = _without_tombstoned(hit, tombstones, probed, id_col)
     dfreq = (terms_df.where(F.col("term_bucket").isin(probed))
              .where(F.col("term").isin(terms))
              .groupBy("term")
@@ -259,7 +326,8 @@ def bm25_probe_many(postings: DataFrame, terms_df: DataFrame,
                     stats: DataFrame, queries: dict[str, list[str]], *,
                     k: int = 10, k1: float = 1.2, b: float = 0.75,
                     buckets: int = _DEFAULT_BUCKETS,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    tombstones: DataFrame | None = None) -> DataFrame:
     """Batch retrieval: top-``k`` BM25 per query for a WHOLE query set
     → ``(query_id, id, score, rank)`` — the production shape (RAG
     evaluation, hard-negative mining) scores thousands of queries in
@@ -284,6 +352,7 @@ def bm25_probe_many(postings: DataFrame, terms_df: DataFrame,
 
     hit = (postings.where(F.col("term_bucket").isin(probed))
            .where(F.col("term").isin(all_terms)))
+    hit = _without_tombstoned(hit, tombstones, probed, id_col)
     dfreq = (terms_df.where(F.col("term_bucket").isin(probed))
              .where(F.col("term").isin(all_terms))
              .groupBy("term")

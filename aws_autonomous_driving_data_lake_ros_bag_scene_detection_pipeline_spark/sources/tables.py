@@ -9,10 +9,35 @@ predicate pushdown stay available to Catalyst.
 
 from __future__ import annotations
 
+import warnings
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class InPlaceMaintenanceWarning(UserWarning):
+    """Emitted by :func:`merge_upsert` / :func:`delete_keys` (r7): the
+    in-place path is correct ONLY for a single writer that doesn't
+    crash mid-maintenance — the recommended API for anything
+    concurrent or crash-sensitive is the snapshot family
+    (:func:`~.snapshots.snapshot_upsert` /
+    :func:`~.snapshots.snapshot_delete` — identical merge semantics,
+    manifest-committed). Silence deliberately with
+    ``warnings.filterwarnings("ignore",
+    category=InPlaceMaintenanceWarning)`` for single-writer scratch
+    pipelines that accept the contract."""
+
+
+def _warn_in_place(api: str, snapshot_api: str) -> None:
+    warnings.warn(
+        f"{api} rewrites partitions IN PLACE: single-writer only, and "
+        f"a crash between the overwrite and the directory-drop leaves "
+        f"a mixed state. For crash-safe / concurrent maintenance use "
+        f"sources.{snapshot_api} (same semantics, atomic manifest "
+        f"commit). Silence via warnings.filterwarnings('ignore', "
+        f"category=InPlaceMaintenanceWarning).",
+        InPlaceMaintenanceWarning, stacklevel=3)
 
 TPCH_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -241,7 +266,12 @@ def dataset_has_data(spark: SparkSession, path: str) -> bool:
         return False
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if not (name.startswith("_") or name.startswith(".")):
+        # Spark's own hidden-path rule exempts names containing "=" —
+        # a partition directory for an underscore-named column (e.g.
+        # `_batch_id=0/`) IS data, not metadata. Mirror it exactly.
+        hidden = (name.startswith("_") and "=" not in name) \
+            or name.startswith(".")
+        if not hidden:
             return True
     return False
 
@@ -355,6 +385,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                          "merge without partitioning would rewrite the "
                          "whole dataset — use compact_files-style "
                          "write-elsewhere instead")
+    _warn_in_place("merge_upsert", "snapshot_upsert")
     from pyspark.sql import Window
     target = spark.read.parquet(path)
     _check_schema_drift(target.columns, updates.columns, keys,
@@ -500,6 +531,7 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame,
     if not partition_cols:
         raise ValueError("delete_keys needs partition_cols (see "
                          "merge_upsert for the rationale)")
+    _warn_in_place("delete_keys", "snapshot_delete")
     kd = keys_df.select(*keys).distinct()
     tgt = spark.read.parquet(path)
     aff = (tgt.join(kd, keys, "left_semi")

@@ -41,7 +41,13 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      incremental_dedup_batch,
                      incremental_dedup_stream,
                      bm25_index_batch, bm25_index_stream,
+                     bm25_delete_batch, bm25_delete_stream,
+                     bm25_compact_deletes, read_bm25_tombstones,
                      ivf_append_batch, ivf_append_stream,
+                     ivf_delete_batch, ivf_delete_stream,
+                     ivf_compact_deletes,
+                     index_delete_batch, index_delete_stream,
+                     index_compact_deletes, read_index_tombstones,
                      read_bm25_index, read_ivf_index,
                      snapshot_enrich_stream,
                      snapshot_upsert_batch, snapshot_upsert_stream,

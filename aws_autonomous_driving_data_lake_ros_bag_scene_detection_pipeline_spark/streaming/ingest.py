@@ -81,17 +81,23 @@ def incremental_dedup_batch(batch_df: DataFrame, batch_id: int,
                                        **params)
                      .select(F.col("id_b").alias("new_id"),
                              F.col("id_a").alias("corpus_id"), "jaccard"))
-            if path_exists(spark, index_path):
+            if dataset_has_data(spark, index_path):
                 # probe strictly EARLIER batches only: a replayed batch
                 # must not see its own (already-appended) partition —
                 # this keeps replay idempotent and is also what
                 # partition pruning wants. First-batch detection is a
                 # filesystem probe, not an AnalysisException catch — a
                 # corrupt/unreadable existing index must raise, not be
-                # silently treated as empty.
+                # silently treated as empty (`dataset_has_data` also
+                # covers an index fully emptied by delete compaction).
                 index = (spark.read.parquet(index_path)
                          .where(F.col("_batch_id") < batch_id)
                          .drop("_batch_id"))
+                tombs = read_index_tombstones(spark, index_path)
+                if tombs is not None:
+                    # r7: deleted docs must stop matching immediately,
+                    # not at the next compaction
+                    index = index.join(tombs, id_col, "left_anti")
             else:
                 index = None      # first batch: nothing indexed yet
             if index is not None:
@@ -240,14 +246,20 @@ def embedding_dedup_batch(batch_df: DataFrame, batch_id: int,
                                      max_bucket=max_bucket, **band_kw)
                  .select(F.col("id_b").alias("new_id"),
                          F.col("id_a").alias("corpus_id"), "cosine"))
-        if path_exists(spark, index_path) and path_exists(spark,
-                                                          corpus_path):
+        if dataset_has_data(spark, index_path) and dataset_has_data(
+                spark, corpus_path):
             index = (spark.read.parquet(index_path)
                      .where(F.col("_batch_id") < batch_id)
                      .drop("_batch_id"))
             corpus = (spark.read.parquet(corpus_path)
                       .where(F.col("_batch_id") < batch_id)
                       .drop("_batch_id"))
+            tombs = read_index_tombstones(spark, index_path)
+            if tombs is not None:
+                # r7: tombstones live under the INDEX path and shadow
+                # both relations (index rows and their verify vectors)
+                index = index.join(tombs, id_col, "left_anti")
+                corpus = corpus.join(tombs, id_col, "left_anti")
         else:
             index = corpus = None     # first batch: nothing indexed yet
         pairs = intra if index is None else intra.unionByName(
@@ -341,17 +353,38 @@ def ivf_append_batch(batch_df: DataFrame, batch_id: int, id_col: str,
     cum = (spark.read.parquet(stats_path)
            .where(F.col("_batch_id") <= batch_id)
            .groupBy("cell").agg(F.sum("count").alias("count")))
+    del_path = f"{index_path}/_cellstats_deleted"
+    if dataset_has_data(spark, del_path):
+        # r7: the advisory measures the LIVE corpus — deletions'
+        # negative per-cell counts net out (still a metadata-sized
+        # aggregate, never an index scan)
+        cum = (cum.unionByName(spark.read.parquet(del_path)
+                               .select("cell", "count"))
+               .groupBy("cell").agg(F.sum("count").alias("count"))
+               .where(F.col("count") > 0))
     bal = cell_balance(cum, nlist)
     bal["repivot_advised"] = bal["imbalance"] > rebalance_threshold
     return bal
 
 
-def read_ivf_index(spark, index_path: str) -> DataFrame:
+def read_ivf_index(spark, index_path: str, *,
+                   apply_tombstones: bool = True) -> DataFrame:
     """Load an appended IVF index for :func:`~..operators.similarity.
     ivf_probe`: the data partitions minus the ``_batch_id`` bookkeeping
-    column (``_cellstats`` is hidden from the read by its underscore
-    prefix)."""
-    return spark.read.parquet(index_path).drop("_batch_id")
+    column (``_cellstats``/``_tombstones`` are hidden from the read by
+    their underscore prefix). With ``apply_tombstones`` (default),
+    deleted vectors (:func:`ivf_delete_batch`) are anti-joined on
+    ``(id, cell)`` — ``cell`` stays a join key on BOTH sides, so the
+    probe's literal ``cell IN (...)`` pushes through the anti-join and
+    partition pruning survives deletion (plan-pinned)."""
+    idx = spark.read.parquet(index_path).drop("_batch_id")
+    tpath = f"{index_path}/_tombstones"
+    if apply_tombstones and dataset_has_data(spark, tpath):
+        traw = spark.read.parquet(tpath).drop("_batch_id")
+        tid = [c for c in traw.columns if c != "cell"][0]
+        idx = idx.join(traw.select(tid, "cell").distinct(),
+                       [tid, "cell"], "left_anti")
+    return idx
 
 
 def upsert_batch(batch_df: DataFrame, keys: list[str], *,
@@ -678,10 +711,25 @@ def read_bm25_index(spark, index_path: str):
     """Load an appended BM25 index for
     :func:`~..operators.retrieval.bm25_probe`: the
     ``(postings, terms, stats)`` triple minus the ``_batch_id``
-    bookkeeping column."""
-    return tuple(spark.read.parquet(f"{index_path}/{part}")
-                 .drop("_batch_id")
-                 for part in ("postings", "terms", "stats"))
+    bookkeeping column. Deletion deltas (:func:`bm25_delete_batch`'s
+    ``terms_deleted``/``stats_deleted``) union in transparently — the
+    relations are additive, so the probe's sums yield the filtered
+    corpus's exact statistics; pair with
+    ``tombstones=read_bm25_tombstones(...)`` on the probe to exclude
+    the deleted postings themselves."""
+    out = []
+    for part, deleted in (("postings", None),
+                          ("terms", "terms_deleted"),
+                          ("stats", "stats_deleted")):
+        df = (spark.read.parquet(f"{index_path}/{part}")
+              .drop("_batch_id"))
+        if deleted is not None:
+            dpath = f"{index_path}/{deleted}"
+            if dataset_has_data(spark, dpath):
+                df = df.unionByName(
+                    spark.read.parquet(dpath).drop("_batch_id"))
+        out.append(df)
+    return tuple(out)
 
 
 def bm25_index_stream(stream: DataFrame, id_col: str, text_col: str, *,
@@ -701,3 +749,313 @@ def bm25_index_stream(stream: DataFrame, id_col: str, text_col: str, *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Deletion propagation into the persisted indexes (r7).
+#
+# The table layer has had a delete family since r4 (delete_keys /
+# snapshot_delete / delete_stream), but every persisted index was
+# append-only by contract — a pipeline that GDPR-deletes or
+# dedup-prunes AFTER indexing kept serving deleted docs from BM25/ANN
+# until a full rebuild. The deletion stance mirrors the append stance
+# (retrieval.py: "appending never rewrites history"):
+#
+# - a DELETE is an additive record: a tombstone relation (anti-joined
+#   at probe time, pruned like the data it shadows) plus, where the
+#   probe consumes statistics, NEGATIVE delta rows in the same additive
+#   relations the appends use — so a tombstoned BM25 probe is
+#   SCORE-identical to a rebuild over the filtered corpus, not a
+#   stale-stats approximation.
+# - COMPACTION folds tombstones in physically, rewriting only the
+#   partitions (term buckets / IVF cells / index batches) that contain
+#   tombstoned rows, then clears the tombstone relation. The
+#   correctness invariant "visible = physical minus tombstones" holds
+#   at EVERY intermediate step (rows are only removed if tombstoned;
+#   tombstones clear last), so a crashed compaction leaves a correct
+#   index and a re-run completes it — same single-writer in-place
+#   caveat as tables.delete_keys, documented there.
+# ---------------------------------------------------------------------------
+
+
+def _clear_dir(spark, path: str) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def bm25_delete_batch(deleted_df: DataFrame, batch_id: int, id_col: str,
+                      text_col: str, *, index_path: str,
+                      buckets: int = 256) -> None:
+    """Record ONE batch of document deletions against a persisted BM25
+    index (:func:`bm25_index_batch` layout) — three append-shaped
+    writes, never a rewrite of existing index rows:
+
+    - ``index_path/tombstones/term_bucket=<b>/_batch_id=<i>`` —
+      ``(id, term_bucket)`` pairs the probes anti-join (bucket-pruned,
+      so the probe's tombstone read is proportional to the query);
+    - ``…/terms_deleted/…`` — NEGATED df_t deltas;
+    - ``…/stats_deleted/…`` — negated corpus totals.
+
+    With all three, :func:`read_bm25_index` + ``bm25_probe(...,
+    tombstones=read_bm25_tombstones(...))`` is score-identical to an
+    index rebuilt over the corpus minus the deleted docs (test- and
+    gate-pinned). Needs the deleted docs' TEXT — delete from the
+    corpus table in the same motion (the delete feed has the rows).
+    ``batch_id`` is the DELETE feed's own monotone counter (separate
+    subdirs mean it can never collide with ingest batch ids); replays
+    rewrite exactly their own subpartitions."""
+    from ..operators.retrieval import bm25_deletion_deltas
+
+    spark = deleted_df.sparkSession
+    d = bm25_deletion_deltas(deleted_df, id_col, text_col,
+                             buckets=buckets)
+    with _dynamic_overwrite(spark):
+        (d["tombstones"].withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("term_bucket", "_batch_id")
+         .parquet(f"{index_path}/tombstones"))
+        (d["neg_terms"].withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("term_bucket", "_batch_id")
+         .parquet(f"{index_path}/terms_deleted"))
+        (d["neg_stats"].withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(f"{index_path}/stats_deleted"))
+
+
+def read_bm25_tombstones(spark, index_path: str) -> DataFrame | None:
+    """The accumulated tombstone relation for ``bm25_probe(...,
+    tombstones=)``, or None when nothing was ever deleted (or all
+    deletions were compacted away)."""
+    tpath = f"{index_path}/tombstones"
+    if not dataset_has_data(spark, tpath):
+        return None
+    return spark.read.parquet(tpath).drop("_batch_id")
+
+
+def bm25_delete_stream(stream: DataFrame, id_col: str, text_col: str, *,
+                       index_path: str, checkpoint_dir: str,
+                       buckets: int = 256,
+                       available_now: bool = True) -> StreamingQuery:
+    """Propagate a stream of deleted documents (id + text — a
+    compliance feed joined back to the corpus) into a persisted BM25
+    index via :func:`bm25_delete_batch`; checkpointed,
+    replay-idempotent. The index twin of :func:`delete_stream`."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bm25_delete_batch(batch_df, batch_id, id_col, text_col,
+                          index_path=index_path, buckets=buckets)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_compact_deletes(spark, index_path: str, *,
+                         id_col: str = "doc_id") -> dict:
+    """Fold accumulated BM25 tombstones in physically: rewrite ONLY
+    the term-bucket partitions containing tombstoned postings (the
+    bucket list comes from the tombstones themselves — partition-pruned
+    discovery, no full index scan), drop emptied ``(bucket, batch)``
+    subpartitions, then clear the tombstone relation. After
+    compaction, a probe WITHOUT tombstones equals the filtered rebuild
+    (test-pinned).
+
+    The negative ``terms_deleted``/``stats_deleted`` deltas are NOT
+    folded — they are exact, vocabulary-bounded, and remain the
+    correct statistics for the physically-compacted postings; collapse
+    them with :func:`~..sources.tables.compact_files` if their row
+    count ever matters. Crash-safe in the invariant sense (module
+    banner): a partial run leaves "postings minus tombstones"
+    unchanged; re-running completes the fold. Single-writer, like all
+    in-place maintenance."""
+    from ..sources.tables import _drop_partition_dirs
+
+    tpath = f"{index_path}/tombstones"
+    if not dataset_has_data(spark, tpath):
+        return {"buckets_rewritten": 0, "partitions_emptied": 0}
+    tombs = (spark.read.parquet(tpath)
+             .select(id_col, "term_bucket").distinct())
+    bucket_vals = sorted(r[0] for r in
+                         tombs.select("term_bucket").distinct().collect())
+    post_path = f"{index_path}/postings"
+    post = (spark.read.parquet(post_path)
+            .where(F.col("term_bucket").isin(bucket_vals)))
+    remaining = (post.join(tombs, [id_col, "term_bucket"], "left_anti")
+                 .localCheckpoint(eager=True))
+    aff = {tuple(r) for r in
+           post.select("term_bucket", "_batch_id").distinct().collect()}
+    kept = {tuple(r) for r in
+            remaining.select("term_bucket", "_batch_id").distinct()
+            .collect()}
+    emptied = aff - kept
+    with _dynamic_overwrite(spark):
+        (remaining.write.mode("overwrite")
+         .partitionBy("term_bucket", "_batch_id").parquet(post_path))
+    if emptied:
+        _drop_partition_dirs(spark, post_path,
+                             ["term_bucket", "_batch_id"], emptied)
+    _clear_dir(spark, tpath)
+    return {"buckets_rewritten": len(bucket_vals),
+            "partitions_emptied": len(emptied)}
+
+
+def ivf_delete_batch(deleted_df: DataFrame, batch_id: int, id_col: str,
+                     vec_col: str, *, pivots: DataFrame,
+                     index_path: str) -> None:
+    """Record ONE batch of vector deletions against a persisted IVF
+    index (:func:`ivf_append_batch` layout): tombstones are
+    ``(id, cell)`` pairs (cell re-derived from the vector with the
+    SAME frozen pivots as the append path, so the pair matches the
+    indexed row exactly), written under
+    ``index_path/_tombstones/_batch_id=<i>``; per-cell NEGATIVE counts
+    land in ``…/_cellstats_deleted`` so the drift advisory keeps
+    measuring the LIVE corpus. Needs the deleted vectors — the delete
+    feed carries them, same contract as :func:`bm25_delete_batch`'s
+    text."""
+    from ..operators.similarity import ivf_index
+
+    spark = deleted_df.sparkSession
+    idx = ivf_index(deleted_df, id_col, vec_col, pivots)
+    with _dynamic_overwrite(spark):
+        (idx.select(id_col, "cell")
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(f"{index_path}/_tombstones"))
+        (idx.groupBy("cell").count()
+         .withColumn("count", -F.col("count"))
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(f"{index_path}/_cellstats_deleted"))
+
+
+def ivf_delete_stream(stream: DataFrame, id_col: str, vec_col: str, *,
+                      pivots: DataFrame, index_path: str,
+                      checkpoint_dir: str,
+                      available_now: bool = True) -> StreamingQuery:
+    """Streaming IVF deletion propagation via
+    :func:`ivf_delete_batch`; checkpointed, replay-idempotent."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_delete_batch(batch_df, batch_id, id_col, vec_col,
+                         pivots=pivots, index_path=index_path)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ivf_compact_deletes(spark, index_path: str) -> dict:
+    """Fold IVF tombstones in physically: rewrite only the tombstoned
+    CELLS' ``(cell, _batch_id)`` subpartitions (cell list from the
+    tombstones — partition-pruned discovery), drop emptied ones, clear
+    the tombstones. ``_cellstats``/``_cellstats_deleted`` stay — their
+    sum already equals the live per-cell counts the compacted index
+    now holds physically. Same invariant-based crash story as
+    :func:`bm25_compact_deletes`."""
+    from ..sources.tables import _drop_partition_dirs
+
+    tpath = f"{index_path}/_tombstones"
+    if not dataset_has_data(spark, tpath):
+        return {"cells_rewritten": 0, "partitions_emptied": 0}
+    traw = spark.read.parquet(tpath).drop("_batch_id")
+    tid = [c for c in traw.columns if c != "cell"][0]
+    tombs = traw.select(tid, "cell").distinct()
+    cells = sorted(r[0] for r in
+                   tombs.select("cell").distinct().collect())
+    idx = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
+    remaining = (idx.join(tombs, [tid, "cell"], "left_anti")
+                 .localCheckpoint(eager=True))
+    aff = {tuple(r) for r in
+           idx.select("cell", "_batch_id").distinct().collect()}
+    kept = {tuple(r) for r in
+            remaining.select("cell", "_batch_id").distinct().collect()}
+    emptied = aff - kept
+    with _dynamic_overwrite(spark):
+        (remaining.write.mode("overwrite")
+         .partitionBy("cell", "_batch_id").parquet(index_path))
+    if emptied:
+        _drop_partition_dirs(spark, index_path, ["cell", "_batch_id"],
+                             emptied)
+    _clear_dir(spark, tpath)
+    return {"cells_rewritten": len(cells),
+            "partitions_emptied": len(emptied)}
+
+
+def index_delete_batch(ids_df: DataFrame, batch_id: int, id_col: str, *,
+                       index_path: str) -> None:
+    """Record ONE batch of id deletions against an id-keyed persisted
+    index (the minhash :func:`incremental_dedup_batch` index, the
+    embedding band index + corpus store): tombstoned ids land under
+    ``index_path/_tombstones/_batch_id=<i>`` (their own batch-id
+    space; dynamic overwrite keeps replays idempotent). The ingest
+    loops anti-join the accumulated tombstones when probing, so
+    deleted docs stop matching immediately; ids alone suffice — no
+    text/vector needed, because the dedup probes consume no corpus
+    statistics."""
+    spark = ids_df.sparkSession
+    with _dynamic_overwrite(spark):
+        (ids_df.select(id_col).distinct()
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(f"{index_path}/_tombstones"))
+
+
+def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
+    """Accumulated tombstoned ids for an id-keyed index, or None."""
+    tpath = f"{index_path}/_tombstones"
+    if not dataset_has_data(spark, tpath):
+        return None
+    return spark.read.parquet(tpath).drop("_batch_id").distinct()
+
+
+def index_delete_stream(stream: DataFrame, id_col: str, *,
+                        index_path: str, checkpoint_dir: str,
+                        available_now: bool = True) -> StreamingQuery:
+    """Streaming id-deletion propagation for the minhash/embedding
+    indexes via :func:`index_delete_batch`."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index_delete_batch(batch_df, batch_id, id_col,
+                           index_path=index_path)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def index_compact_deletes(spark, index_path: str, id_col: str, *,
+                          also_paths: tuple[str, ...] = ()) -> None:
+    """Fold an id-keyed index's tombstones in physically:
+    :func:`~..sources.tables.delete_keys` over the ``_batch_id``
+    partitions (discovery is a full index scan — ids carry no
+    partition information; run at maintenance cadence), then clear the
+    tombstones. ``also_paths`` lists sibling relations keyed by the
+    same ids that must fold in the SAME pass (the embedding loop's
+    vector corpus store) — they are compacted before the tombstones
+    clear, so a crash between them leaves the tombstones in place and
+    a re-run completes both. Compaction == rebuild-over-survivors,
+    test-pinned."""
+    from ..sources.tables import delete_keys
+
+    tombs = read_index_tombstones(spark, index_path)
+    if tombs is None:
+        return
+    for path in (index_path, *also_paths):
+        if dataset_has_data(spark, path):
+            delete_keys(spark, path, tombs, [id_col],
+                        partition_cols=["_batch_id"])
+    _clear_dir(spark, f"{index_path}/_tombstones")
