@@ -1791,48 +1791,80 @@ Q_STRATIFIED_SAMPLE_SQL = _sample_sql()
 
 
 def q_tfidf(spark, sf_dir):
-    """Term scoring, tagged union (r6 fold): top-3 TF-IDF terms per
-    document (operators/quality.tfidf_top_terms — two hash aggs +
-    broadcast df table + per-doc top-k window) ∪ BM25 top-15 for a
-    fixed keyword query (operators/retrieval.bm25_topk — Robertson
-    idf, early query-term pruning; the oracle reproduces the full
-    formula). Same corpus, both sides of the sparse-scoring surface
-    under one gate entry."""
-    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import bm25_topk
+    """Term scoring, tagged union (r6 fold + r7 fold): top-3 TF-IDF
+    terms per document (operators/quality.tfidf_top_terms — two hash
+    aggs + broadcast df table + per-doc top-k window) ∪ BM25 top-15
+    for a fixed keyword query (operators/retrieval.bm25_topk —
+    Robertson idf, early query-term pruning; the oracle reproduces the
+    full formula) ∪ `bm25_del` (r7): the TOMBSTONED index probe —
+    bm25_probe over the inverted-index relations with a deletion's
+    tombstones anti-joined and its NEGATIVE df_t/corpus deltas
+    (operators/retrieval.bm25_deletion_deltas) unioned in, exactly the
+    relations `streaming.read_bm25_index` assembles from the persisted
+    layout (disk round-trip pinned in tests/test_index_deletes.py).
+    The oracle is a from-scratch BM25 over the corpus MINUS the
+    deleted docs, so the gate pins score-identity of deletion
+    propagation, not just id exclusion.
+
+    ∪ ``rrf`` (r7 fold): HYBRID retrieval end-to-end — the BM25
+    ranking fused with a dense cosine top-15 for one query embedding
+    via operators/retrieval.rrf_fuse (Cormack RRF, k=60; rank-only so
+    the incomparable score scales compose); ``term`` carries the
+    fused sources list. doc_id/vec_id share the id space in the
+    testdata, making this the bm25+ANN hybrid a RAG stack runs."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        bm25_deletion_deltas, bm25_probe, bm25_topk, corpus_stats,
+        inverted_index, rrf_fuse, term_stats,
+    )
 
     docs = _spread(_t("documents")(spark, sf_dir))
+    query = ["spark", "window", "merge"]
     tfidf = (tfidf_top_terms(docs, "doc_id", "text", k=3)
              .select(F.lit("tfidf").alias("kind"), "doc_id", "term",
                      "score", F.col("rank").cast("bigint").alias("rank")))
-    bm25 = (bm25_topk(docs, "doc_id", "text",
-                      ["spark", "window", "merge"], k=15)
+    bm25 = (bm25_topk(docs, "doc_id", "text", query, k=15)
             .select(F.lit("bm25").alias("kind"), "doc_id",
                     F.lit(None).cast("string").alias("term"),
                     "score", "rank"))
-    return tfidf.unionByName(bm25)
+    deleted = docs.where(_BM25_DEL)
+    d = bm25_deletion_deltas(deleted, "doc_id", "text", buckets=64)
+    probe = bm25_probe(
+        inverted_index(docs, "doc_id", "text", buckets=64),
+        term_stats(docs, "doc_id", "text", buckets=64)
+        .unionByName(d["neg_terms"]),
+        corpus_stats(docs, "doc_id", "text")
+        .unionByName(d["neg_stats"]),
+        query, k=15, buckets=64, tombstones=d["tombstones"])
+    bm25_del = probe.select(
+        F.lit("bm25_del").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("term"), "score", "rank")
+    emb = _t("embeddings")(spark, sf_dir)
+    dense = (brute_force_topk(emb, emb.where("vec_id = 0"), "vec_id",
+                              "embedding", k=15)
+             .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    fused = rrf_fuse({"bm25": bm25.select("doc_id", "rank"),
+                      "dense": dense}, "doc_id", k=60, topk=15)
+    rrf = fused.select(
+        F.lit("rrf").alias("kind"), "doc_id",
+        F.array_join("sources", ",").alias("term"),
+        F.col("rrf_score").alias("score"), "rank")
+    return (tfidf.unionByName(bm25).unionByName(bm25_del)
+            .unionByName(rrf))
 
 
-Q_TFIDF_SQL = f"""
-with tf as (
-  select doc_id, term, count(*) as tf
-  from (select doc_id, unnest({TOKS}) as term from documents)
-  group by 1, 2),
-dfreq as (select term, count(*) as df from tf group by 1),
-n as (select count(*)::double as n_docs from documents),
-scored as (
-  select doc_id, term,
-         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) as score
-  from tf join dfreq using (term), n),
-rk as (select *, row_number() over (partition by doc_id
-                                    order by score desc, term asc) as rank
-       from scored)
-select 'tfidf' as kind, doc_id, term, score, rank
-from rk where rank <= 3
-union all
-select 'bm25', doc_id, cast(null as varchar), score, rank
-from (
+# the `bm25_del` delete predicate — shared by the Spark branch and the
+# oracle (the oracle rebuilds BM25 from scratch over the survivors,
+# pinning that the tombstoned probe's negative stat deltas land on the
+# filtered corpus's exact n_docs/avgdl/df_t)
+_BM25_DEL = "doc_id % 7 = 0"
+
+
+def _bm25_oracle_sql(where: str) -> str:
+    """From-scratch BM25 top-15 (Robertson idf, k1=1.2, b=0.75) over
+    ``documents where {where}`` — the DuckDB twin of bm25_topk."""
+    return f"""
   with toks as (
-    select doc_id, {TOKS} as tk from documents),
+    select doc_id, {TOKS} as tk from documents where {where}),
   tf2 as (
     select doc_id, term, count(*)::bigint as tf
     from (select doc_id, unnest(tk) as term from toks)
@@ -1856,7 +1888,55 @@ from (
   select doc_id, round(score, 6) as score,
          row_number() over (order by score desc, doc_id)::bigint as rank
   from s order by score desc, doc_id limit 15
-) b
+"""
+
+
+Q_TFIDF_SQL = f"""
+with tf as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest({TOKS}) as term from documents)
+  group by 1, 2),
+dfreq as (select term, count(*) as df from tf group by 1),
+n as (select count(*)::double as n_docs from documents),
+scored as (
+  select doc_id, term,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) as score
+  from tf join dfreq using (term), n),
+rk as (select *, row_number() over (partition by doc_id
+                                    order by score desc, term asc) as rank
+       from scored)
+select 'tfidf' as kind, doc_id, term, score, rank
+from rk where rank <= 3
+union all
+select 'bm25', doc_id, cast(null as varchar), score, rank
+from ({_bm25_oracle_sql("true")}) b
+union all
+select 'bm25_del', doc_id, cast(null as varchar), score, rank
+from ({_bm25_oracle_sql(f"not ({_BM25_DEL})")}) bd
+union all
+select 'rrf', doc_id, sources, rrf_score, rank
+from (
+  with b as ({_bm25_oracle_sql("true")}),
+  qv as (select embedding as qe from embeddings where vec_id = 0),
+  ds as (
+    select e.vec_id as doc_id,
+           round({_cos_sql('qe', 'e.embedding')}, 6) as cosine
+    from embeddings e, qv where e.vec_id <> 0),
+  d as (select doc_id, row_number() over (order by cosine desc,
+                                          doc_id asc) as rank
+        from ds order by cosine desc, doc_id limit 15),
+  u as (
+    select doc_id, 1.0 / (60 + rank) as c, 'bm25' as src from b
+    union all
+    select doc_id, 1.0 / (60 + rank), 'dense' from d),
+  f as (select doc_id, round(sum(c), 6) as rrf_score,
+               string_agg(src, ',' order by src) as sources
+        from u group by doc_id),
+  r as (select *, row_number() over (order by rrf_score desc,
+                                     doc_id asc) as rank from f
+        order by rrf_score desc, doc_id limit 15)
+  select doc_id, sources, rrf_score, rank::bigint as rank from r
+) h
 """
 
 

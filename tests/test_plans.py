@@ -125,11 +125,17 @@ def test_tfidf_broadcast_is_adaptive_not_hinted(spark):
         formatted_plan,
     )
     df = entry.q_tfidf(spark, SF_DIR)
-    # exactly TWO hints in the logical plan, both deliberate 1-row
-    # literals (tfidf's n_docs; the r6 bm25 branch's corpus totals) —
-    # the vocabulary-sized dfreq joins on both branches carry none
+    # exactly FIVE hint SITES in the logical plan, each a deliberately
+    # bounded relation: tfidf's n_docs (1 row), bm25_topk's corpus
+    # totals (1 row), and the r7 bm25_del probe's dfreq (≤ |query
+    # terms| rows AFTER bucket pruning — unlike the corpus-wide
+    # vocabulary) + summed totals (1 row) + the rrf branch's single
+    # query vector. The analyzed tree holds SIX hint nodes because the
+    # rrf branch reuses the bm25 ranking subtree (its totals hint
+    # appears under both union arms). The vocabulary-sized dfreq joins
+    # of the tfidf and bm25_topk branches carry none.
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") == 2
+    assert analyzed.count("ResolvedHint") == 6
     # after execution, AQE's final physical plan picks broadcast for the
     # small vocabulary anyway
     df.write.format("noop").mode("overwrite").save()
