@@ -1,5 +1,6 @@
 from .snapshots import (
-    ConcurrentCommit, latest_version, read_snapshot, snapshot_compact,
+    CommitStrategy, ConcurrentCommit, LockFileCommit, RenameCommit,
+    latest_version, read_snapshot, set_commit_strategy, snapshot_compact,
     snapshot_delete, snapshot_prune, snapshot_rollback, snapshot_upsert,
     snapshot_write,
 )
@@ -7,14 +8,18 @@ from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
 )
 from .tables import (
-    TPCH_TABLES, compact_files, dataset_bytes, dataset_has_data,
+    TPCH_TABLES, InPlaceMaintenanceWarning, compact_files,
+    dataset_bytes, dataset_has_data,
     delete_keys, load_table, load_tables, merge_upsert, path_exists,
     prune_versions, read_topics, write_bucketed,
     write_partitioned, write_time_sorted, write_zordered, zorder_key,
 )
 
 __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
-           "TPCH_TABLES", "ConcurrentCommit", "compact_files",
+           "TPCH_TABLES", "CommitStrategy", "ConcurrentCommit",
+           "InPlaceMaintenanceWarning",
+           "LockFileCommit", "RenameCommit", "set_commit_strategy",
+           "compact_files",
            "dataset_bytes", "dataset_has_data",
            "delete_keys", "latest_version", "load_table", "load_tables",
            "merge_upsert", "path_exists",

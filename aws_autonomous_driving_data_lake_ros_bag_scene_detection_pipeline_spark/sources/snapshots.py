@@ -20,17 +20,39 @@ from plain parquet + one manifest file:
   carries forward the untouched partitions' entries BY REFERENCE and
   lists new files only for rewritten partitions — commit cost is the
   affected partitions, exactly like the in-place path, but crash-safe.
-- **Publishing is ONE atomic rename**: the manifest is written to a
-  hidden temp name and renamed to ``<version>.json``. Readers resolve
-  ``max(version)`` over the manifest directory, so a half-written
-  commit is invisible (the temp name never matches) and a crash
-  anywhere before the rename leaves only unreferenced garbage files.
-  The rename also provides optimistic concurrency: two writers racing
-  to commit the same version — rename-to-existing fails — produce one
-  winner and one clean ``ConcurrentCommit`` error, never interleaved
-  state. (Rename atomicity holds on HDFS and POSIX filesystems; on
-  S3 proper, front the manifest dir with a consistent store — the
-  same caveat every manifest-based format documents.)
+- **Publishing is ONE atomic manifest commit** through a PLUGGABLE
+  :class:`CommitStrategy` (r7). The default, :class:`RenameCommit`,
+  writes the manifest to a hidden temp name and renames it to
+  ``<version>.json``. Readers resolve ``max(version)`` over the
+  manifest directory, so a half-written commit is invisible (the temp
+  name never matches) and a crash anywhere before the rename leaves
+  only unreferenced garbage files. The rename also provides
+  optimistic concurrency: two writers racing to commit the same
+  version — rename-to-existing fails — produce one winner and one
+  clean ``ConcurrentCommit`` error, never interleaved state.
+
+  **Failure matrix** (which strategy is safe where):
+
+  ========================  ==============  ==================
+  store                     RenameCommit    LockFileCommit
+  ========================  ==============  ==================
+  HDFS                      safe            safe
+  LocalFileSystem (POSIX)   safe            safe
+  RawLocalFileSystem        UNSAFE [1]_     safe
+  S3A (S3 proper)           UNSAFE [2]_     UNSAFE [2]_
+  ========================  ==============  ==================
+
+  .. [1] rename() silently overwrites an existing destination, so the
+     one-winner guarantee degrades to last-writer-wins — use
+     :class:`LockFileCommit`, whose CAS is ``create(path,
+     overwrite=false)`` (exclusive create), with the version-existence
+     check serialized under the lock.
+  .. [2] S3 rename is copy+delete and exclusive-create is emulated
+     with a HEAD-then-PUT race; neither strategy's CAS holds. Front
+     the MANIFEST DIRECTORY (tiny — the data files are fine on S3)
+     with HDFS/EFS, or plug in a :class:`CommitStrategy` backed by a
+     real conditional primitive (S3 conditional PUT / a DynamoDB
+     lock — the adapter surface is the one ``publish`` method).
 - **Readers are isolated**: :func:`read_snapshot` pins the file list
   at resolve time, so a query keeps reading its version's files even
   if newer versions commit mid-query; files stay on disk until
@@ -85,13 +107,54 @@ def _read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+_HINT = "_latest_hint"
+
+
+def _write_hint(spark: SparkSession, path: str, version: int) -> None:
+    """Best-effort advisory pointer to the latest version — written
+    AFTER the CAS publish, so it can lag (a resolve probes forward)
+    but never gates correctness (any failure here is swallowed; a
+    missing/corrupt hint falls back to the full listing)."""
+    try:
+        jvm, fs, _ = _fs(spark, path)
+        mdir = f"{path}/{_MANIFEST_DIR}"
+        tmp = f"{mdir}/.hint-{uuid.uuid4().hex}"
+        _write_text(spark, tmp, str(version))
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{mdir}/{_HINT}")
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        if not fs.rename(src, dst):
+            fs.delete(src, False)
+    except Exception:  # noqa: BLE001 — advisory only
+        pass
+
+
 def latest_version(spark: SparkSession, path: str) -> int | None:
     """Highest published snapshot version, or None for an empty/new
-    table. One directory listing — only fully-renamed ``<n>.json``
-    manifests are visible, so an in-flight commit can't be resolved."""
+    table. Resolution is O(1)+O(lag) on a hinted table (r7): the
+    ``_latest_hint`` pointer names a known-published version and the
+    resolver probes FORWARD with exists() calls until the first gap —
+    at 10⁵ commits that is a handful of metadata ops, not a directory
+    listing. Tables without a valid hint fall back to the full
+    listing, where only fully-renamed ``<n>.json`` manifests are
+    visible, so an in-flight commit can't be resolved either way."""
     jvm, fs, jdir = _fs(spark, f"{path}/{_MANIFEST_DIR}")
     if not fs.exists(jdir):
         return None
+    hint_path = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{_MANIFEST_DIR}/{_HINT}")
+    if fs.exists(hint_path):
+        try:
+            v = int(_read_text(spark, f"{path}/{_MANIFEST_DIR}/{_HINT}"))
+        except Exception:  # noqa: BLE001 — corrupt hint: fall back
+            v = None
+        if v is not None and fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{_MANIFEST_DIR}/{v}.json")):
+            while fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{_MANIFEST_DIR}/{v + 1}.json")):
+                v += 1
+            return v
     versions = []
     for st in fs.listStatus(jdir):
         name = st.getPath().getName()
@@ -108,23 +171,232 @@ def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
         spark, f"{path}/{_MANIFEST_DIR}/{version}.json"))
 
 
+class CommitStrategy:
+    """The CAS point of the whole format, made pluggable (r7): a
+    strategy's one job is to publish ``<version>.json`` such that
+    exactly ONE writer wins each version (losers raise
+    :class:`ConcurrentCommit`) and a crashed publish leaves no
+    partially-visible manifest. Everything else — immutable data
+    files, carry-by-reference manifests, reader pinning — is
+    strategy-independent. See the module docstring's failure matrix
+    for which strategy is safe on which store; adapters for real
+    conditional primitives (S3 conditional PUT, a lock service)
+    implement this one method."""
+
+    def publish(self, spark: SparkSession, path: str, version: int,
+                manifest: dict) -> None:
+        raise NotImplementedError
+
+
+class RenameCommit(CommitStrategy):
+    """Default: write to a hidden temp name, rename to the final name.
+    One winner iff the store's rename REFUSES an existing destination
+    (HDFS, Hadoop LocalFileSystem — verified; RawLocalFileSystem
+    overwrites, making this last-writer-wins there)."""
+
+    def _rename(self, fs, src, dst) -> bool:
+        # the one op whose semantics vary by store — overridable so
+        # tests can inject overwrite-semantics shims
+        return bool(fs.rename(src, dst))
+
+    def publish(self, spark: SparkSession, path: str, version: int,
+                manifest: dict) -> None:
+        jvm, fs, _ = _fs(spark, path)
+        mdir = f"{path}/{_MANIFEST_DIR}"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
+        tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+        _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{mdir}/{version}.json")
+        if fs.exists(dst) or not self._rename(fs, src, dst):
+            fs.delete(src, False)
+            raise ConcurrentCommit(
+                f"version {version} of {path} was published by another "
+                f"writer; reload and retry")
+
+
+class LockFileCommit(CommitStrategy):
+    """For stores whose rename overwrites but whose
+    ``create(path, overwrite=false)`` is a real exclusive create
+    (POSIX O_EXCL semantics — RawLocalFileSystem, NFS): the writer
+    takes a per-table lock file with exclusive create, checks the
+    version doesn't exist, publishes (rename under the lock — its
+    overwrite semantics no longer matter), and releases. A writer that
+    crashes holding the lock leaves it behind; locks older than
+    ``lock_timeout_seconds`` are broken (set it above the worst-case
+    manifest write — the guarded section writes one small JSON, not
+    data files, so seconds suffice; breaking is itself an exclusive
+    create on a takeover marker so two breakers can't both win)."""
+
+    def __init__(self, lock_timeout_seconds: float = 300.0):
+        if lock_timeout_seconds <= 0:
+            raise ValueError("lock_timeout_seconds must be > 0")
+        self.lock_timeout_seconds = lock_timeout_seconds
+
+    def _rename(self, fs, src, dst) -> bool:
+        return bool(fs.rename(src, dst))
+
+    def _try_create(self, spark, path: str) -> bool:
+        """Exclusive create; False if the path already exists."""
+        try:
+            _write_text(spark, path, uuid.uuid4().hex)
+            return True
+        except Exception as e:  # noqa: BLE001 — py4j wraps the Java
+            if "exists" in str(e).lower():
+                return False
+            raise
+
+    def _acquire(self, spark, fs, jvm, mdir: str) -> str:
+        import time
+        lock = f"{mdir}/.commit-lock"
+        jlock = jvm.org.apache.hadoop.fs.Path(lock)
+        if self._try_create(spark, lock):
+            return lock
+        try:
+            age_ms = (time.time() * 1000.0
+                      - fs.getFileStatus(jlock).getModificationTime())
+        except Exception:  # noqa: BLE001 — lock released between probes
+            age_ms = 0.0
+        if age_ms > self.lock_timeout_seconds * 1000.0:
+            # break the stale lock via a takeover marker (exclusive
+            # create — one breaker wins), then delete lock + marker
+            # and retry the normal acquisition once
+            marker = f"{lock}.takeover"
+            if self._try_create(spark, marker):
+                fs.delete(jlock, False)
+                fs.delete(jvm.org.apache.hadoop.fs.Path(marker), False)
+                if self._try_create(spark, lock):
+                    return lock
+        raise ConcurrentCommit(
+            f"commit lock {lock} is held by another writer; retry")
+
+    def publish(self, spark: SparkSession, path: str, version: int,
+                manifest: dict) -> None:
+        jvm, fs, _ = _fs(spark, path)
+        mdir = f"{path}/{_MANIFEST_DIR}"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
+        lock = self._acquire(spark, fs, jvm, mdir)
+        jlock = jvm.org.apache.hadoop.fs.Path(lock)
+        try:
+            dst = jvm.org.apache.hadoop.fs.Path(f"{mdir}/{version}.json")
+            if fs.exists(dst):
+                raise ConcurrentCommit(
+                    f"version {version} of {path} was published by "
+                    f"another writer; reload and retry")
+            tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+            _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+            src = jvm.org.apache.hadoop.fs.Path(tmp)
+            if not self._rename(fs, src, dst):
+                fs.delete(src, False)
+                raise RuntimeError(
+                    f"failed to publish manifest {version}.json")
+        finally:
+            fs.delete(jlock, False)
+
+
+#: module default — swap with :func:`set_commit_strategy` when the
+#: manifest directory lives on a store where rename overwrites
+_COMMIT_STRATEGY: CommitStrategy = RenameCommit()
+
+
+def set_commit_strategy(strategy: CommitStrategy) -> CommitStrategy:
+    """Install the commit strategy every snapshot writer uses from now
+    on; returns the previous one (so tests/callers can restore it)."""
+    global _COMMIT_STRATEGY
+    if not isinstance(strategy, CommitStrategy):
+        raise TypeError(f"expected a CommitStrategy, got {strategy!r}")
+    prev = _COMMIT_STRATEGY
+    _COMMIT_STRATEGY = strategy
+    return prev
+
+
 def _commit_manifest(spark: SparkSession, path: str, version: int,
                      manifest: dict) -> None:
-    """Publish a manifest with one atomic rename. The CAS point of the
-    whole format: rename to an existing destination fails, so exactly
-    one writer wins a version."""
-    jvm, fs, _ = _fs(spark, path)
-    mdir = f"{path}/{_MANIFEST_DIR}"
-    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
-    tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
-    _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(f"{mdir}/{version}.json")
-    if fs.exists(dst) or not fs.rename(src, dst):
-        fs.delete(src, False)
-        raise ConcurrentCommit(
-            f"version {version} of {path} was published by another "
-            f"writer; reload and retry")
+    _COMMIT_STRATEGY.publish(spark, path, version, manifest)
+    _write_hint(spark, path, version)
+
+
+# -- manifest segments (r7) -------------------------------------------------
+# A manifest's file list is ``files`` (inline entries) plus ``segments``
+# — references to immutable side files, each listing entries for a set
+# of partitions. A commit that touches few partitions carries untouched
+# SEGMENTS by reference (one ref per segment, not one entry per file),
+# so manifest-write cost is O(affected partitions + roll threshold),
+# not O(total files) — at 10⁶ files per snapshot the per-commit JSON
+# stays kilobytes. Inline entries roll into a new segment once they
+# exceed the threshold; segments a manifest stops referencing are
+# garbage-collected by snapshot_prune with the same grace rule as data
+# files.
+
+_SEGMENT_ROLL = 512
+
+
+def _write_segment(spark: SparkSession, path: str,
+                   entries: list[dict]) -> dict:
+    name = f"seg-{uuid.uuid4().hex}.segment"
+    _write_text(spark, f"{path}/{_MANIFEST_DIR}/{name}",
+                json.dumps({"files": entries}, sort_keys=True))
+    return {"path": name,
+            "partitions": sorted({e["partition"] for e in entries})}
+
+
+def _load_segment(spark: SparkSession, path: str, name: str) -> list[dict]:
+    return json.loads(_read_text(
+        spark, f"{path}/{_MANIFEST_DIR}/{name}"))["files"]
+
+
+def _manifest_entries(spark: SparkSession, path: str,
+                      m: dict) -> list[dict]:
+    """The manifest's complete data-file entry list: inline ``files``
+    plus every referenced segment's entries."""
+    entries = list(m.get("files") or [])
+    for seg in m.get("segments") or []:
+        entries += _load_segment(spark, path, seg["path"])
+    return entries
+
+
+def _build_file_refs(spark: SparkSession, path: str, m_prev: dict,
+                     aff: set[str], new_entries: list[dict]) -> dict:
+    """The next manifest's ``{files, segments}``: previous segments
+    disjoint from the affected partitions carry as REFERENCES; broken
+    segments' surviving entries, surviving inline entries, and the new
+    entries go inline — rolled into a fresh segment past the
+    threshold. Entries for affected partitions are dropped (the caller
+    rewrote those partitions into ``new_entries``)."""
+    carried, inline = [], []
+    for seg in (m_prev.get("segments") or []):
+        if aff.isdisjoint(seg["partitions"]):
+            carried.append(seg)
+        else:
+            inline += [e for e in _load_segment(spark, path, seg["path"])
+                       if e["partition"] not in aff]
+    inline += [e for e in (m_prev.get("files") or [])
+               if e["partition"] not in aff]
+    inline += new_entries
+    if len(inline) > _SEGMENT_ROLL:
+        rolled, inline = _roll_segments(spark, path, inline)
+        carried = carried + rolled
+    return {"files": inline, "segments": carried}
+
+
+def _roll_segments(spark: SparkSession, path: str,
+                   entries: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Roll inline entries into PARTITION-GROUPED segments: each
+    partition's entries live in exactly one segment, groups close at
+    the roll threshold, the sub-threshold tail stays inline. Grouping
+    by partition is what makes carry-by-reference effective — a later
+    commit touching one partition breaks one group, not a monolithic
+    all-partitions blob."""
+    by_part: dict[str, list[dict]] = {}
+    for e in entries:
+        by_part.setdefault(e["partition"], []).append(e)
+    segments, group = [], []
+    for part in sorted(by_part):
+        group += by_part[part]
+        if len(group) >= _SEGMENT_ROLL:
+            segments.append(_write_segment(spark, path, group))
+            group = []
+    return segments, group
 
 
 def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
@@ -135,9 +407,12 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
     The frame is written to a scratch dir (so Spark controls
     parallelism and hive layout), then each data file is renamed into
     ``data/<partition dirs>/<commit>-<name>`` — renames are metadata
-    ops on a real filesystem, one per file, driver-side but bounded by
-    the files this commit produced (same class as a batch manifest).
-    Nothing is visible to readers until the manifest commit."""
+    ops on a real filesystem, bounded by the files this commit
+    produced and issued from a DRIVER-SIDE THREAD POOL (r7: a large
+    compaction's 10⁴-10⁵ renames overlap instead of serializing on
+    round-trip latency; directories are pre-created once per partition
+    so the parallel phase is pure renames). Nothing is visible to
+    readers until the manifest commit."""
     commit = uuid.uuid4().hex
     jvm, fs, _ = _fs(spark, path)
     scratch = f"{path}/_tmp/{commit}"
@@ -147,7 +422,7 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
     w.parquet(scratch)
 
     scratch_path = jvm.org.apache.hadoop.fs.Path(scratch)
-    entries = []
+    moves = []                               # (src Path, dst_rel, part)
     it = fs.listFiles(scratch_path, True)
     scratch_uri = fs.makeQualified(scratch_path).toString()
     while it.hasNext():
@@ -160,12 +435,26 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
         part_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
         dst_rel = (f"{part_dir}/{commit}-{name}" if part_dir
                    else f"{commit}-{name}")
+        moves.append((p, dst_rel, part_dir))
+
+    for d in {part for _, _, part in moves}:
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_DATA_DIR}/{d}" if d else f"{path}/{_DATA_DIR}"))
+
+    def _place(move):
+        src, dst_rel, part = move
         dst = jvm.org.apache.hadoop.fs.Path(
             f"{path}/{_DATA_DIR}/{dst_rel}")
-        fs.mkdirs(dst.getParent())
-        if not fs.rename(p, dst):
+        if not fs.rename(src, dst):
             raise RuntimeError(f"failed to place data file {dst_rel}")
-        entries.append({"path": dst_rel, "partition": part_dir})
+        return {"path": dst_rel, "partition": part}
+
+    if len(moves) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(32, len(moves))) as pool:
+            entries = list(pool.map(_place, moves))
+    else:
+        entries = [_place(m) for m in moves]
     fs.delete(scratch_path, True)
     return entries
 
@@ -197,7 +486,8 @@ def read_snapshot(spark: SparkSession, path: str,
             raise FileNotFoundError(
                 f"no published snapshot under {path}")
     m = _load_manifest(spark, path, version)
-    if not m["files"]:
+    entries = _manifest_entries(spark, path, m)
+    if not entries:
         schema = m.get("schema")
         if not schema:
             raise FileNotFoundError(
@@ -206,7 +496,7 @@ def read_snapshot(spark: SparkSession, path: str,
         from pyspark.sql.types import StructType
         return spark.createDataFrame([],
                                      StructType.fromJson(json.loads(schema)))
-    return _read_files(spark, path, m["files"], m.get("schema"))
+    return _read_files(spark, path, entries, m.get("schema"))
 
 
 def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
@@ -218,7 +508,8 @@ def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
     version = 0 if prev is None else prev + 1
     _commit_manifest(spark, path, version, {
         "version": version, "partition_cols": partition_cols,
-        "schema": df.schema.json(), "files": entries})
+        "schema": df.schema.json(),
+        **_build_file_refs(spark, path, {}, set(), entries)})
     return version
 
 
@@ -270,12 +561,13 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
         _check_schema_drift(table_cols, updates.columns, keys,
                             partition_cols, schema_evolution)
 
+    entries = _manifest_entries(spark, path, m)
     aff_vals = [tuple(r) for r in
                 updates.select(*partition_cols).distinct().collect()]
     aff = _affected_dirs(aff_vals, partition_cols)
     if not immutable_partitions:
-        current = _read_files(spark, path, m["files"], m.get("schema")) \
-            if m["files"] else None
+        current = _read_files(spark, path, entries, m.get("schema")) \
+            if entries else None
         if current is not None:
             moved = [tuple(r) for r in
                      (current.join(updates.select(*keys).distinct(),
@@ -283,8 +575,7 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
                       .select(*partition_cols).distinct().collect())]
             aff |= _affected_dirs(moved, partition_cols)
 
-    carry = [e for e in m["files"] if e["partition"] not in aff]
-    hit = [e for e in m["files"] if e["partition"] in aff]
+    hit = [e for e in entries if e["partition"] in aff]
 
     if hit:
         existing = _read_files(spark, path, hit, m.get("schema"))
@@ -309,7 +600,8 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
     new_entries = _write_data_files(spark, path, merged, partition_cols)
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": partition_cols,
-        "schema": merged.schema.json(), "files": carry + new_entries})
+        "schema": merged.schema.json(),
+        **_build_file_refs(spark, path, m, aff, new_entries)})
     return prev + 1
 
 
@@ -330,7 +622,8 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
         raise ValueError(
             f"partition_cols {partition_cols} do not match the "
             f"table's {m['partition_cols']}")
-    if not m["files"]:
+    entries = _manifest_entries(spark, path, m)
+    if not entries:
         return prev                      # empty table: nothing to do
 
     kd = keys_df.select(*keys).distinct()
@@ -338,7 +631,7 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
     # a schema evolution, affected partitions mix physical schemas and
     # a footer-inferred read would silently drop the evolved column
     # from the rewrite
-    current = _read_files(spark, path, m["files"], m.get("schema"))
+    current = _read_files(spark, path, entries, m.get("schema"))
     aff_vals = [tuple(r) for r in
                 (current.join(kd, keys, "left_semi")
                  .select(*partition_cols).distinct().collect())]
@@ -346,15 +639,15 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
         return prev                      # no matches: nothing to do
     aff = _affected_dirs(aff_vals, partition_cols)
 
-    carry = [e for e in m["files"] if e["partition"] not in aff]
-    hit = [e for e in m["files"] if e["partition"] in aff]
+    hit = [e for e in entries if e["partition"] in aff]
     remaining = (_read_files(spark, path, hit, m.get("schema"))
                  .join(kd, keys, "left_anti"))
     new_entries = _write_data_files(spark, path, remaining,
                                     partition_cols)
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": partition_cols,
-        "schema": m.get("schema"), "files": carry + new_entries})
+        "schema": m.get("schema"),
+        **_build_file_refs(spark, path, m, aff, new_entries)})
     return prev + 1
 
 
@@ -374,7 +667,8 @@ def snapshot_rollback(spark: SparkSession, path: str,
     m = _load_manifest(spark, path, to_version)
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": m["partition_cols"],
-        "schema": m.get("schema"), "files": m["files"],
+        "schema": m.get("schema"), "files": m.get("files") or [],
+        "segments": m.get("segments") or [],
         "rolled_back_from": to_version})
     return prev + 1
 
@@ -403,14 +697,14 @@ def snapshot_compact(spark: SparkSession, path: str, *,
         raise FileNotFoundError(f"no published snapshot under {path}")
     m = _load_manifest(spark, path, prev)
     part_cols = m["partition_cols"]
-    all_dirs = {e["partition"] for e in m["files"]}
+    entries = _manifest_entries(spark, path, m)
+    all_dirs = {e["partition"] for e in entries}
     target_dirs = set(partitions) if partitions is not None else all_dirs
     unknown = target_dirs - all_dirs
     if unknown:
         raise ValueError(f"unknown partitions {sorted(unknown)}; "
                          f"table has {sorted(all_dirs)}")
-    hit = [e for e in m["files"] if e["partition"] in target_dirs]
-    carry = [e for e in m["files"] if e["partition"] not in target_dirs]
+    hit = [e for e in entries if e["partition"] in target_dirs]
     if not hit:
         return prev
     jvm, fs, _ = _fs(spark, path)
@@ -431,7 +725,8 @@ def snapshot_compact(spark: SparkSession, path: str, *,
     new_entries = _write_data_files(spark, path, compacted, part_cols)
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": part_cols,
-        "schema": m.get("schema"), "files": carry + new_entries})
+        "schema": m.get("schema"),
+        **_build_file_refs(spark, path, m, target_dirs, new_entries)})
     return prev + 1
 
 
@@ -473,9 +768,11 @@ def snapshot_prune(spark: SparkSession, path: str, *,
     keep = sorted(versions)[-keep_latest:]
     drop = [v for v in versions if v not in keep]
 
-    referenced = set()
+    referenced, live_segments = set(), set()
     for v in keep:
-        for e in _load_manifest(spark, path, v)["files"]:
+        m = _load_manifest(spark, path, v)
+        live_segments |= {s["path"] for s in m.get("segments") or []}
+        for e in _manifest_entries(spark, path, m):
             referenced.add(e["path"])
 
     deleted = 0
@@ -497,6 +794,14 @@ def snapshot_prune(spark: SparkSession, path: str, *,
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{mdir}/{v}.json"),
                   False)
+    # segment files no retained manifest references (same grace rule:
+    # a concurrent commit writes its segment just before publishing)
+    for st in fs.listStatus(jmdir):
+        name = st.getPath().getName()
+        if (name.startswith("seg-") and name.endswith(".segment")
+                and name not in live_segments
+                and st.getModificationTime() < cutoff_ms):
+            fs.delete(st.getPath(), False)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/_tmp")
     if fs.exists(tmp):
         for st in fs.listStatus(tmp):
