@@ -92,11 +92,79 @@ def sliding_windows(df: DataFrame, keys: list[str], time_col: str,
     return out
 
 
+def _normalized_window_elements(df: DataFrame, keys: list[str],
+                                time_col: str, value_col: str, m: int,
+                                step: int) -> DataFrame:
+    """Shared motif front end: windows → exploded elements,
+    z-normalized against their own window moments (constant windows
+    dropped — they have no z-form). Columns ``(_id, _d, _x)``."""
+    wins = sliding_windows(df, keys, time_col, value_col, m, step=step)
+    wid = F.struct(*[F.col(c) for c in keys],
+                   F.col("start_time")).alias("_id")
+    ev = wins.select(wid, F.posexplode("window").alias("_d", "_x"))
+    stats = (ev.groupBy("_id")
+             .agg(F.sum("_x").alias("_s1"),
+                  F.sum(F.col("_x") * F.col("_x")).alias("_s2"))
+             .select("_id", (F.col("_s1") / m).alias("_mu"),
+                     F.sqrt(F.greatest(
+                         F.col("_s2") / m - (F.col("_s1") / m) ** 2,
+                         F.lit(0.0))).alias("_sd"))
+             .where(F.col("_sd") > 1e-12))
+    return (ev.join(stats, "_id")
+            .select("_id", "_d",
+                    ((F.col("_x") - F.col("_mu")) / F.col("_sd"))
+                    .alias("_x")))
+
+
+def _motif_banding(min_cosine: float, bands: int, rows_per_band: int,
+                   target_recall: float | None,
+                   max_perm: int) -> tuple[int, int]:
+    if target_recall is not None:
+        from .dedup import banding_for_recall
+        return banding_for_recall(min_cosine, target_recall,
+                                  kind="cosine", max_perm=max_perm)
+    return bands, rows_per_band
+
+
+def motif_bucket_drops(df: DataFrame, keys: list[str], time_col: str,
+                       value_col: str, m: int, *,
+                       min_cosine: float = 0.95, step: int = 1,
+                       bands: int = 8, rows_per_band: int = 6,
+                       max_bucket: int = 1000,
+                       target_recall: float | None = None,
+                       max_perm: int = 512) -> DataFrame:
+    """Drop accounting for :func:`motif_pairs`' ``max_bucket`` valve —
+    the "no silent caps" ledger (r7, mirroring the minhash stance):
+    one row per truncated LSH bucket,
+    ``(band, bval, n_windows, n_dropped)`` with
+    ``n_dropped = n_windows − max_bucket``. Empty result ⇒ the valve
+    did not engage and the ``target_recall`` contract holds untrimmed;
+    otherwise ``sum(n_dropped)`` windows were excluded from candidate
+    generation in those buckets (typically constant-ish boilerplate
+    shapes). Pass the SAME parameters as the motif_pairs call being
+    audited; cost is the bucketing aggregation only — no pair join."""
+    from .similarity import _band_buckets
+
+    bands, rows_per_band = _motif_banding(min_cosine, bands,
+                                          rows_per_band, target_recall,
+                                          max_perm)
+    evn = _normalized_window_elements(df, keys, time_col, value_col,
+                                      m, step)
+    bb = _band_buckets(evn, "_id", "_x", bands, rows_per_band, dim=m)
+    return (bb.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("n_windows"))
+            .where(F.col("n_windows") > max_bucket)
+            .select("band", "bval", "n_windows",
+                    (F.col("n_windows") - max_bucket).alias("n_dropped")))
+
+
 def motif_pairs(df: DataFrame, keys: list[str], time_col: str,
                 value_col: str, m: int, *, min_cosine: float = 0.95,
                 step: int = 1, bands: int = 8, rows_per_band: int = 6,
                 max_bucket: int = 1000,
-                exclusion: float | None = None) -> DataFrame:
+                exclusion: float | None = None,
+                target_recall: float | None = None,
+                max_perm: int = 512) -> DataFrame:
     """Motif discovery: pairs of length-``m`` windows (anywhere in the
     corpus, any keys) whose Z-NORMALIZED shapes agree — repeated
     signatures nobody defined in advance, the self-join complement of
@@ -117,27 +185,24 @@ def motif_pairs(df: DataFrame, keys: list[str], time_col: str,
     same-key pairs closer than the exclusion zone are suppressed, the
     standard matrix-profile rule. Returns
     ``(<key>_a…, start_a, <key>_b…, start_b, cosine)`` with the pair
-    ordered lexicographically by (keys…, start)."""
+    ordered lexicographically by (keys…, start).
+
+    ``target_recall=0.95`` derives (bands, rows_per_band) from
+    ``min_cosine`` via :func:`~.dedup.banding_for_recall` (the cosine
+    S-curve), overriding the manual banding — recall AT the cosine
+    threshold becomes a contract, exactly the minhash stance (r7).
+    The ``max_bucket`` valve can still trim recall in degenerate hot
+    buckets; audit it with :func:`motif_bucket_drops` (same
+    parameters) — the valve is accounted, never silent."""
     if exclusion is None:
         exclusion = float(m)
     from .similarity import _band_buckets
 
-    wins = sliding_windows(df, keys, time_col, value_col, m, step=step)
-    wid = F.struct(*[F.col(c) for c in keys],
-                   F.col("start_time")).alias("_id")
-    ev = wins.select(wid, F.posexplode("window").alias("_d", "_x"))
-    stats = (ev.groupBy("_id")
-             .agg(F.sum("_x").alias("_s1"),
-                  F.sum(F.col("_x") * F.col("_x")).alias("_s2"))
-             .select("_id", (F.col("_s1") / m).alias("_mu"),
-                     F.sqrt(F.greatest(
-                         F.col("_s2") / m - (F.col("_s1") / m) ** 2,
-                         F.lit(0.0))).alias("_sd"))
-             .where(F.col("_sd") > 1e-12))
-    evn = (ev.join(stats, "_id")
-           .select("_id", "_d",
-                   ((F.col("_x") - F.col("_mu")) / F.col("_sd"))
-                   .alias("_x")))
+    bands, rows_per_band = _motif_banding(min_cosine, bands,
+                                          rows_per_band, target_recall,
+                                          max_perm)
+    evn = _normalized_window_elements(df, keys, time_col, value_col,
+                                      m, step)
 
     bb = _band_buckets(evn, "_id", "_x", bands, rows_per_band, dim=m)
     w = Window.partitionBy("band", "bval").orderBy(F.asc("_id"))

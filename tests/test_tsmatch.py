@@ -359,3 +359,65 @@ def test_sliding_windows_null_handling(spark):
     assert got == {(0, (1.0, 3.0)), (2, (3.0, 4.0))}
     with pytest.raises(ValueError, match="on_null"):
         sliding_windows(df, ["key"], "t", "v", 2, on_null="nope")
+
+
+def test_motif_target_recall_contract(spark):
+    """r7: target_recall-derived banding for motifs meets the target
+    empirically — exact numpy all-pairs cosine over the z-normalized
+    windows is ground truth, LSH candidates are exact-verified (no
+    false positives), so recall is the only free variable.
+    Deterministic: hyperplane components are hash-derived."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import motif_pairs
+
+    rng = np.random.default_rng(29)
+    m = 6
+    rows = [(0, float(t), float(v))
+            for t, v in enumerate(rng.normal(0, 1, 150))]
+    df = spark.createDataFrame(rows, "k int, t double, v double")
+
+    vals = np.asarray([v for _, _, v in rows])
+    wins = {}
+    for i in range(len(vals) - m + 1):
+        w = vals[i:i + m]
+        sd = w.std()
+        if sd > 0:
+            wins[float(i)] = (w - w.mean()) / sd
+    truth = {(a, b) for a in wins for b in wins
+             if a < b and abs(a - b) >= m
+             and (wins[a] * wins[b]).sum() / m >= 0.5}
+    assert len(truth) >= 10
+
+    found = {(r.start_a, r.start_b) for r in
+             motif_pairs(df, ["k"], "t", "v", m, min_cosine=0.5,
+                         target_recall=0.9, max_perm=256,
+                         max_bucket=10_000).collect()}
+    assert found <= truth                       # exact verify: no FPs
+    assert len(found & truth) / len(truth) >= 0.9
+
+
+def test_motif_bucket_drops_accounts_for_max_bucket_valve(spark):
+    """r7: the max_bucket valve is never silent — motif_bucket_drops
+    reports exactly (n_windows − max_bucket) per truncated bucket, and
+    is empty when the valve does not engage."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import motif_bucket_drops
+
+    # a pure repeating sawtooth: every same-phase window has the
+    # IDENTICAL z-shape, so same-phase windows share every band bucket
+    m = 8
+    saw = [0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0]
+    rows = [(0, float(t), saw[t % 8]) for t in range(96)]
+    df = spark.createDataFrame(rows, "k int, t double, v double")
+    kw = dict(min_cosine=0.9, bands=4, rows_per_band=4)
+
+    none = motif_bucket_drops(df, ["k"], "t", "v", m,
+                              max_bucket=10_000, **kw)
+    assert none.count() == 0
+
+    drops = motif_bucket_drops(df, ["k"], "t", "v", m,
+                               max_bucket=3, **kw).collect()
+    assert drops, "valve engaged but ledger empty"
+    for r in drops:
+        assert r.n_dropped == r.n_windows - 3 and r.n_dropped > 0
+    # 89 complete windows spread over 8 phases → the hottest phase
+    # groups land in hot buckets; totals must be self-consistent
+    assert all(r.n_windows <= 89 for r in drops)
