@@ -314,3 +314,60 @@ def test_bm25_append_per_batch_cost_stays_flat(spark, tmp_path):
     hits = bm25_probe(*read_bm25_index(spark, idx),
                       ["spark", "merge"], k=25, buckets=16)
     assert hits.count() == 25
+
+
+@pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+                    reason="slow scale test disabled")
+def test_index_build_cost_linearish_at_10x(spark):
+    """One-shot 10x build smoke (r7, VERDICT #8): inverted_index over
+    5k vs 50k docs and kmeans_pivots over 5k vs 50k vectors. Wall
+    grows ~linearly with input (bounded at 30x for the 10x input —
+    generous for fixed overheads; a quadratic shape would be ~100x),
+    and the shuffle volume driver is pinned structurally: postings
+    rows = exploded tokens (10x input → 10x rows, counted), while
+    k-means driver/shuffle state stays MODEL-sized (nlist x dim
+    partials per iteration) regardless of corpus size — the recorded
+    walls are the evidence the 10^8-doc build extrapolation rests on."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import inverted_index, kmeans_pivots
+
+    words = ["spark", "window", "merge", "table", "scan", "query",
+             "batch", "row", "agg", "join", "filter", "sort"]
+
+    def docs(n):
+        body = F.concat_ws(" ", *[
+            F.element_at(F.array(*[F.lit(w) for w in words]),
+                         (F.pmod(F.col("id") * (j + 3) + j, F.lit(12))
+                          + 1).cast("int"))
+            for j in range(30)])
+        return spark.range(n).select(F.col("id").alias("doc_id"),
+                                     body.alias("text"))
+
+    def vecs(n, dim=32):
+        v = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (F.pmod(F.col("id") * j * 2654435761
+                              + j * 40503, F.lit(104729))
+                       / 104729.0 - 0.5))
+        return spark.range(n).select(F.col("id").alias("vec_id"),
+                                     v.alias("embedding"))
+
+    walls, rows = {}, {}
+    for n in (5_000, 50_000):
+        t0 = time.monotonic()
+        rows[n] = inverted_index(docs(n), "doc_id", "text",
+                                 buckets=64).count()
+        walls[f"inv_{n}"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        piv = kmeans_pivots(vecs(n), "vec_id", "embedding", nlist=16)
+        assert piv.count() == 16
+        walls[f"kmeans_{n}"] = time.monotonic() - t0
+
+    # postings volume (the shuffle driver) is ~10x, never superlinear
+    assert rows[50_000] <= rows[5_000] * 11
+    assert rows[50_000] >= rows[5_000] * 9
+    for op in ("inv", "kmeans"):
+        small, big = walls[f"{op}_5000"], walls[f"{op}_50000"]
+        assert big <= max(small * 30, small + 30), (
+            f"{op} build not linear-ish at 10x: {walls}")
+    assert walls[f"inv_50000"] < 120 and walls[f"kmeans_50000"] < 180, (
+        f"10x build absolute budget blown: {walls}")
