@@ -712,8 +712,18 @@ def q_pattern_match(spark, sf_dir):
     lag scored from ONE window pass; the oracle recomputes
     corr(a, b[t+lag]) per lag with lead/lag windows. Unified columns:
     (kind, user_id, pos, score, n) = (pattern: start_time, dist,
-    rank | xcorr: lag, corr, n_pairs)."""
-    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import xcorr_lags
+    rank | xcorr: lag, corr, n_pairs).
+
+    r7 fold: `pattern2` — tsmatch.pattern_topk_multi, the d-channel
+    MASS generalization (channels value and value², independent
+    per-channel z-normalization, distances SUMMED): ONE window pass
+    collects both channels, one exploded aggregate produces all six
+    running sums, and the oracle rebuilds both per-channel MASS
+    identities with two list windows and sums them — the joint
+    multichannel ranking is hash-gated end to end."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        pattern_topk_multi, xcorr_lags,
+    )
 
     ev = (_events(spark, sf_dir)
           .where((F.col("user_id") < 8) & F.col("value").isNotNull())
@@ -732,7 +742,39 @@ def q_pattern_match(spark, sf_dir):
                   F.col("lag").cast("double").alias("pos"),
                   F.round("xcorr", 4).alias("score"),
                   F.col("n_pairs").alias("n")))
-    return pat.unionByName(xc)
+    ev2 = ev.select("user_id", "t", F.col("value").alias("va"),
+                    (F.col("value") * F.col("value")).alias("vb"))
+    p2 = (pattern_topk_multi(ev2, ["user_id"], "t", ["va", "vb"],
+                             {"va": PATTERN_RAW, "vb": PATTERN2_RAW},
+                             k=20)
+          .select(F.lit("pattern2").alias("kind"), "user_id",
+                  F.col("start_time").cast("double").alias("pos"),
+                  F.col("dist").alias("score"),
+                  F.col("rank").alias("n")))
+    return pat.unionByName(xc).unionByName(p2)
+
+
+PATTERN2_RAW = [1.0, 4.0, 0.0, 2.0, 3.0, 1.0]
+
+
+def _zlits(raw: list[float]) -> str:
+    mu = sum(raw) / len(raw)
+    sd = (sum((x - mu) ** 2 for x in raw) / len(raw)) ** 0.5
+    return ", ".join(repr((x - mu) / sd) for x in raw)
+
+
+def _mass_sql(win: str, qlits: str) -> str:
+    """Per-channel MASS distance expression over a DuckDB list column
+    ``win`` against z-normalized query literals — the exact arithmetic
+    of tsmatch.pattern_topk(_multi)'s channel term."""
+    s1 = f"list_sum({win})"
+    s2 = f"list_sum(list_transform({win}, x -> x * x))"
+    r = f"list_dot_product({win}, [{qlits}])"
+    sig = (f"sqrt(greatest({s2} / {_PM}.0 - ({s1} / {_PM}.0) * "
+           f"({s1} / {_PM}.0), 0.0))")
+    return (f"case when {sig} > 1e-12 "
+            f"then {2 * _PM}.0 - 2.0 * {r} / {sig} "
+            f"else {2 * _PM}.0 end")
 
 
 _QLITS = ", ".join(repr(x) for x in PATTERN_Z)
@@ -792,6 +834,28 @@ from (
   window w as (partition by user_id order by t))
 cross join (values (-2),(-1),(0),(1),(2)) u(lag)
 group by user_id, u.lag
+union all
+select 'pattern2', user_id, start_time::DOUBLE, dist, rank::BIGINT
+from (
+  with e2 as (select user_id, epoch_us(ts) as t, value from events
+              where user_id < 8 and value is not null),
+  w2 as (select user_id, t as start_time,
+           list(value) over win as wa,
+           list(value * value) over win as wb
+         from e2
+         window win as (partition by user_id order by t
+                        rows between current row and {_PM - 1} following)),
+  fw2 as (select * from w2 where len(wa) = {_PM}),
+  d2 as (select user_id, start_time,
+           round(({_mass_sql('wa', _zlits(PATTERN_RAW))})
+                 + ({_mass_sql('wb', _zlits(PATTERN2_RAW))}), 6) as dist
+         from fw2),
+  rk2 as (select user_id, start_time, dist,
+            row_number() over (order by dist, start_time, user_id)
+              as rank
+          from d2)
+  select * from rk2 where rank <= 20
+) p2
 """
 
 

@@ -48,7 +48,7 @@ from .operators import (  # noqa: E402,F401
     decontaminate,
     detect_anomalies, deterministic_shuffle, histogram_psi,
     inverted_index, probe_buckets, rrf_fuse, term_stats,
-    estimate_lag, motif_bucket_drops, motif_pairs, pattern_topk, repartition_for_media, xcorr_lags, resample_asof, resample_interpolate, running_agg, sliding_windows,
+    estimate_lag, motif_bucket_drops, motif_pairs, pattern_topk, pattern_topk_multi, repartition_for_media, xcorr_lags, resample_asof, resample_interpolate, running_agg, sliding_windows,
     reservoir_sample, salted_join, weighted_sample,
     remove_duplicate_spans,
     resize_pixels, sample_frames, sessionize, simhash, simhash_pairs,

@@ -57,7 +57,7 @@ from .timeseries import (
     resample_asof, resample_interpolate, running_agg, time_spine,
 )
 from .tsmatch import (  # noqa: F401
-    estimate_lag, motif_bucket_drops, motif_pairs, pattern_topk, sliding_windows, xcorr_lags,
+    estimate_lag, motif_bucket_drops, motif_pairs, pattern_topk, pattern_topk_multi, sliding_windows, xcorr_lags,
 )
 from .retrieval import (  # noqa: F401
     bm25_deletion_deltas, bm25_probe, bm25_probe_many, bm25_topk,
@@ -86,7 +86,7 @@ __all__ = [
     "profile_table", "repartition_for_media", "resample_asof",
     "detect_anomalies", "inverted_index", "rrf_fuse",
     "resample_interpolate", "resize_pixels", "running_agg",
-    "motif_bucket_drops", "motif_pairs", "pattern_topk", "sliding_windows",
+    "motif_bucket_drops", "motif_pairs", "pattern_topk", "pattern_topk_multi", "sliding_windows",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
     "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
     "corpus_report",

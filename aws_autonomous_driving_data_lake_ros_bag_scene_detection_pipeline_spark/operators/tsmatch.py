@@ -324,6 +324,126 @@ def pattern_topk(df: DataFrame, keys: list[str], time_col: str,
             .select(*keys, "start_time", "dist", "rank"))
 
 
+def pattern_topk_multi(df: DataFrame, keys: list[str], time_col: str,
+                       value_cols: list[str],
+                       query: dict[str, list[float]], *, k: int = 10,
+                       step: int = 1, znormalize: bool = True,
+                       per_key: bool = False) -> DataFrame:
+    """Multichannel :func:`pattern_topk` (r7): top-``k`` windows most
+    similar to a d-channel example — a braking signature is
+    speed+brake+pitch JOINTLY, which is exactly the shape of the
+    reference's wide synchronized table
+    (synchronize_topics.py:170-197, one column per topic field).
+    ``query`` maps each channel in ``value_cols`` to its length-``m``
+    pattern; the distance is the SUM over channels of the per-channel
+    z-normalized squared euclidean distance (each channel z-normalized
+    against its own window moments — amplitude/offset invariance per
+    channel, the standard multivariate subsequence semantics), ties
+    broken by (start_time, keys…).
+
+    Plan shape is the single-channel one, widened not multiplied: ONE
+    window pass collects all d channels' arrays (same spec → one
+    Window node), the zipped arrays explode ONCE, and all 3·d running
+    sums (s1_c, s2_c, r_c) come out of ONE hash aggregate — per-channel
+    MASS identities combine in a pure projection, and the global top-k
+    still compiles to TakeOrderedAndProject (plan-pinned). Null
+    samples raise (the single-channel contract); constant windows get
+    the uncorrelated distance 2m per affected channel, a constant
+    QUERY channel raises."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    if sorted(query) != sorted(value_cols):
+        raise ValueError(f"query channels {sorted(query)} must match "
+                         f"value_cols {sorted(value_cols)}")
+    m = len(query[value_cols[0]])
+    if m < 2:
+        raise ValueError(f"query must have >= 2 points, got {m}")
+    if any(len(q) != m for q in query.values()):
+        raise ValueError("all query channels must share one length")
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    import math
+    qn = {}
+    for c in value_cols:
+        q = [float(x) for x in query[c]]
+        if znormalize:
+            mu = sum(q) / m
+            var = sum((x - mu) ** 2 for x in q) / m
+            if var <= 0:
+                raise ValueError(f"query channel {c!r} is constant; "
+                                 f"pass znormalize=False")
+            qn[c] = [(x - mu) / math.sqrt(var) for x in q]
+        else:
+            qn[c] = q
+
+    def _val(c):
+        return (F.when(F.col(c).isNull(),
+                       F.raise_error(F.lit(
+                           f"pattern_topk_multi: null in {c!r}; "
+                           f"resample/fill first")))
+                .otherwise(F.col(c).cast("double")))
+
+    w = (Window.partitionBy(*keys).orderBy(time_col)
+         .rowsBetween(Window.currentRow, m - 1))
+    # ALL channels in one select → one Window node (chained
+    # withColumn would plant one Window per channel)
+    wins = (df.select(*keys, F.col(time_col).alias("start_time"),
+                      *[F.collect_list(_val(c)).over(w).alias(f"_w_{c}")
+                        for c in value_cols])
+            .where(F.size(f"_w_{value_cols[0]}") == m))
+    if step > 1:
+        wn = Window.partitionBy(*keys).orderBy("start_time")
+        wins = (wins.withColumn("_rn", F.row_number().over(wn))
+                .where((F.col("_rn") - 1) % step == 0).drop("_rn"))
+
+    zipped = F.arrays_zip(*[F.col(f"_w_{c}") for c in value_cols])
+    ev = wins.select(*keys, "start_time",
+                     F.posexplode(zipped).alias("_d", "_v"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [tuple([d] + [qn[c][d] for c in value_cols])
+         for d in range(m)],
+        "_d int, " + ", ".join(f"_q_{i} double"
+                               for i in range(len(value_cols))))
+    aggs = []
+    for i, c in enumerate(value_cols):
+        x = F.col("_v").getField(f"_w_{c}")
+        aggs += [F.sum(x).alias(f"_s1_{i}"),
+                 F.sum(x * x).alias(f"_s2_{i}"),
+                 F.sum(x * F.col(f"_q_{i}")).alias(f"_r_{i}")]
+    sums = (ev.join(F.broadcast(qdf), "_d")
+            .groupBy(*keys, "start_time").agg(*aggs))
+
+    total = None
+    for i, c in enumerate(value_cols):
+        if znormalize:
+            mean = F.col(f"_s1_{i}") / m
+            sigma = F.sqrt(F.greatest(
+                F.col(f"_s2_{i}") / m - mean * mean, F.lit(0.0)))
+            d_c = (F.when(sigma > 1e-12,
+                          F.lit(2.0 * m) - 2.0 * F.col(f"_r_{i}") / sigma)
+                   .otherwise(F.lit(2.0 * m)))
+        else:
+            d_c = F.col(f"_s2_{i}") - 2.0 * F.col(f"_r_{i}") \
+                + F.lit(float(sum(x * x for x in qn[c])))
+        total = d_c if total is None else total + d_c
+    scored = sums.select(*keys, "start_time",
+                         F.round(total, 6).alias("dist"))
+    order = [F.asc("dist"), F.asc("start_time"),
+             *[F.asc(c) for c in keys]]
+    if per_key:
+        wk = Window.partitionBy(*keys).orderBy(*order)
+        return (scored.withColumn("rank", F.row_number().over(wk)
+                                  .cast("bigint"))
+                .where(F.col("rank") <= k)
+                .select(*keys, "start_time", "dist", "rank"))
+    top = scored.orderBy(*order).limit(k)
+    wr = Window.orderBy(*order)                         # k rows only
+    return (top.withColumn("rank",
+                           F.row_number().over(wr).cast("bigint"))
+            .select(*keys, "start_time", "dist", "rank"))
+
+
 def xcorr_lags(df: DataFrame, keys: list[str], time_col: str,
                a_col: str, b_col: str, *, max_lag: int,
                step: int = 1) -> DataFrame:
