@@ -46,7 +46,7 @@ from .operators import (  # noqa: E402,F401
     bm25_deletion_deltas, bm25_probe, bm25_probe_many, bm25_topk,
     corpus_report, corpus_stats,
     decontaminate,
-    detect_anomalies, deterministic_shuffle, histogram_psi,
+    detect_anomalies, detect_anomalies_multi, deterministic_shuffle, histogram_psi,
     inverted_index, probe_buckets, rrf_fuse, term_stats,
     estimate_lag, motif_bucket_drops, motif_pairs, pattern_topk, pattern_topk_multi, repartition_for_media, xcorr_lags, resample_asof, resample_interpolate, running_agg, sliding_windows,
     reservoir_sample, salted_join, weighted_sample,

@@ -51,7 +51,7 @@ from .sessionize import (
     merge_intervals, sessionize,
 )
 from .timeseries import (
-    asof_join, cascade_update, detect_anomalies, downsample_cascade,
+    asof_join, cascade_update, detect_anomalies, detect_anomalies_multi, downsample_cascade,
     forward_fill, lag_lead,
     windowed_agg_batch,
     resample_asof, resample_interpolate, running_agg, time_spine,
@@ -84,7 +84,7 @@ __all__ = [
     "merge_intervals", "minhash_index", "minhash_match_pairs",
     "minhash_signature", "near_dedup", "ngram_jaccard_pairs", "pack_media", "pack_sequences", "pivot_wide", "salted_join",
     "profile_table", "repartition_for_media", "resample_asof",
-    "detect_anomalies", "inverted_index", "rrf_fuse",
+    "detect_anomalies", "detect_anomalies_multi", "inverted_index", "rrf_fuse",
     "resample_interpolate", "resize_pixels", "running_agg",
     "motif_bucket_drops", "motif_pairs", "pattern_topk", "pattern_topk_multi", "sliding_windows",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",

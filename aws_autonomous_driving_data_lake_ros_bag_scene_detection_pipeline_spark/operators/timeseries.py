@@ -639,3 +639,81 @@ def detect_anomalies(df: DataFrame, keys: list[str], order_col: str,
         z.alias("zscore"),
         F.coalesce(F.abs(z) > threshold, F.lit(False))
          .alias("is_anomaly"))
+
+
+def detect_anomalies_multi(df: DataFrame, keys: list[str],
+                           order_col: str, value_cols: list[str], *,
+                           width: float | None = None,
+                           n: int | None = None,
+                           threshold: float = 3.0,
+                           min_points: int = 5) -> DataFrame:
+    """Multichannel :func:`detect_anomalies` (r7): a point is judged
+    against its trailing baseline on EVERY channel jointly — a braking
+    anomaly is speed+brake+pitch together, the d-channel shape of the
+    reference's wide synchronized table (synchronize_topics.py:
+    170-197). Each channel gets the same leave-one-out z-score as the
+    single-channel operator (identical arithmetic — per-channel
+    equality is test-pinned); the joint score is the RMS over the
+    channels with a valid baseline, ``score = sqrt(mean_c z_c²)`` —
+    scale-free in channel count, so ``threshold=3`` keeps its meaning
+    for any d (a Mahalanobis distance under per-channel independence,
+    normalized by dimension). Channels with an invalid baseline
+    (warm-up, zero spread, NULL value) contribute nothing; a row with
+    NO valid channel gets NULL score and ``is_anomaly=false``.
+
+    Output: input columns + ``zscore_<c>`` per channel + ``score`` +
+    ``is_anomaly``. Plan: all 3·d aggregates share ONE window frame in
+    one projection → a single Window node, one exchange, one sort —
+    d channels widen the plan, never multiply it (plan-pinned)."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    if (width is None) == (n is None):
+        raise ValueError("pass exactly one of width= (range frame) "
+                         "or n= (rows frame)")
+    if min_points < 2:
+        raise ValueError("min_points must be ≥ 2 (std needs 2 values)")
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+    if width is not None:
+        if width <= 0:
+            raise ValueError(f"width must be > 0, got {width}")
+        if width != int(width):
+            raise ValueError(f"width must be a whole number of "
+                             f"order_col units, got {width}")
+        frame = w.rangeBetween(-int(width), 0)
+    else:
+        if n < 2:
+            raise ValueError(f"n must be ≥ 2, got {n}")
+        frame = w.rowsBetween(-int(n), -1)
+
+    zs = []
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        if width is not None:
+            cnt = F.count(v).over(frame) - F.when(v.isNotNull(), 1) \
+                                            .otherwise(0)
+            s1 = F.sum(v).over(frame) - F.coalesce(v, F.lit(0.0))
+            s2 = (F.sum(v * v).over(frame)
+                  - F.coalesce(v * v, F.lit(0.0)))
+        else:
+            cnt = F.count(v).over(frame)
+            s1 = F.sum(v).over(frame)
+            s2 = F.sum(v * v).over(frame)
+        mean = s1 / cnt
+        var = F.greatest((s2 - cnt * mean * mean) / (cnt - 1),
+                         F.lit(0.0))
+        std = F.sqrt(var)
+        ok = v.isNotNull() & (cnt >= min_points) & (std > 0)
+        zs.append(F.when(ok, (v - mean) / std))
+
+    n_valid = sum((F.when(z.isNotNull(), 1).otherwise(0) for z in zs),
+                  F.lit(0))
+    ssum = sum((F.coalesce(z * z, F.lit(0.0)) for z in zs), F.lit(0.0))
+    score = F.when(n_valid > 0, F.sqrt(ssum / n_valid))
+    # one select: every channel's aggregates share the one frame, so
+    # Catalyst emits a single Window node (chained withColumns would
+    # plant one per channel — the q_lag_lead lesson)
+    return df.select(
+        "*",
+        *[z.alias(f"zscore_{c}") for c, z in zip(value_cols, zs)],
+        score.alias("score"),
+        F.coalesce(score > threshold, F.lit(False)).alias("is_anomaly"))

@@ -1049,13 +1049,21 @@ def index_compact_deletes(spark, index_path: str, id_col: str, *,
     clear, so a crash between them leaves the tombstones in place and
     a re-run completes both. Compaction == rebuild-over-survivors,
     test-pinned."""
-    from ..sources.tables import delete_keys
+    import warnings
+
+    from ..sources.tables import InPlaceMaintenanceWarning, delete_keys
 
     tombs = read_index_tombstones(spark, index_path)
     if tombs is None:
         return
     for path in (index_path, *also_paths):
         if dataset_has_data(spark, path):
-            delete_keys(spark, path, tombs, [id_col],
-                        partition_cols=["_batch_id"])
+            with warnings.catch_warnings():
+                # index compaction is in-place BY DESIGN (the additive
+                # index layout, not a snapshot table) — delete_keys'
+                # advisory pointing at snapshot_delete would misdirect
+                warnings.simplefilter("ignore",
+                                      InPlaceMaintenanceWarning)
+                delete_keys(spark, path, tombs, [id_col],
+                            partition_cols=["_batch_id"])
     _clear_dir(spark, f"{index_path}/_tombstones")

@@ -650,3 +650,70 @@ def test_detect_anomalies_against_duckdb_window_oracle(spark, duck):
         from z
         where value is not null and cnt >= 5 and std > 0
     """)
+
+
+def test_detect_anomalies_multi_matches_per_channel_and_rms(spark):
+    """r7 multichannel anomalies: each channel's zscore_<c> equals the
+    single-channel operator's zscore on that channel (identical
+    arithmetic, both frame modes), and the joint score is the RMS over
+    valid channels — NULL when no channel has a valid baseline."""
+    import math
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        detect_anomalies, detect_anomalies_multi,
+    )
+    rows = []
+    for k in range(2):
+        for t in range(30):
+            va = float(t % 5) + k
+            vb = None if (k == 1 and t == 7) else float((t * 3) % 7)
+            if t == 20:
+                va, vb = 50.0, -40.0          # joint spike
+            rows.append((k, float(t), va, vb))
+    df = spark.createDataFrame(rows, "k int, t double, va double, vb double")
+
+    for kw in (dict(n=8), dict(width=8.0)):
+        got = {(r.k, r.t): r for r in
+               detect_anomalies_multi(df, ["k"], "t", ["va", "vb"],
+                                      min_points=4, **kw).collect()}
+        for c in ("va", "vb"):
+            single = {(r.k, r.t): r.zscore for r in
+                      detect_anomalies(df, ["k"], "t", c,
+                                       min_points=4, **kw).collect()}
+            for key, r in got.items():
+                zc = getattr(r, f"zscore_{c}")
+                if single[key] is None:
+                    assert zc is None, (key, c)
+                else:
+                    assert zc is not None and \
+                        abs(zc - single[key]) < 1e-9, (key, c)
+        for key, r in got.items():
+            zs = [z for z in (r.zscore_va, r.zscore_vb) if z is not None]
+            if not zs:
+                assert r.score is None and not r.is_anomaly
+            else:
+                rms = math.sqrt(sum(z * z for z in zs) / len(zs))
+                assert abs(r.score - rms) < 1e-9
+                assert r.is_anomaly == (rms > 3.0)
+        # the planted joint spike is flagged in both keys
+        assert got[(0, 20.0)].is_anomaly and got[(1, 20.0)].is_anomaly
+
+
+def test_detect_anomalies_multi_plan_single_window(spark):
+    """All 3*d aggregates share one frame in one projection → ONE
+    Window node, one exchange — channels widen the plan, never
+    multiply it."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import detect_anomalies_multi
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans.inspect import (
+        count_exchanges, formatted_plan,
+    )
+    df = spark.createDataFrame(
+        [(0, float(t), float(t), float(t * 2), float(t % 3))
+         for t in range(20)],
+        "k int, t double, a double, b double, c double")
+    out = detect_anomalies_multi(df, ["k"], "t", ["a", "b", "c"], n=5)
+    plan = formatted_plan(out)
+    n_windows = len([ln for ln in plan.splitlines()
+                     if ln.strip().startswith("(") and "Window" in ln])
+    assert n_windows == 1, plan
+    assert count_exchanges(out) == 1
