@@ -1,8 +1,8 @@
 from .snapshots import (
     CommitStrategy, ConcurrentCommit, LockFileCommit, RenameCommit,
-    latest_version, read_snapshot, set_commit_strategy, snapshot_compact,
-    snapshot_delete, snapshot_prune, snapshot_rollback, snapshot_upsert,
-    snapshot_write,
+    latest_version, read_snapshot, set_commit_strategy, snapshot_append,
+    snapshot_compact, snapshot_delete, snapshot_prune, snapshot_rollback,
+    snapshot_scan, snapshot_upsert, snapshot_write,
 )
 from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
@@ -24,7 +24,8 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "delete_keys", "latest_version", "load_table", "load_tables",
            "merge_upsert", "path_exists",
            "prune_versions", "read_snapshot", "read_topics",
-           "snapshot_compact", "snapshot_delete", "snapshot_prune",
-           "snapshot_rollback", "snapshot_upsert", "snapshot_write",
+           "snapshot_append", "snapshot_compact", "snapshot_delete",
+           "snapshot_prune", "snapshot_rollback", "snapshot_scan",
+           "snapshot_upsert", "snapshot_write",
            "write_bucketed", "write_partitioned", "write_time_sorted",
            "write_zordered", "zorder_key"]

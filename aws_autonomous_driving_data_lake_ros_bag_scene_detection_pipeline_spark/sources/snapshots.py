@@ -399,8 +399,50 @@ def _roll_segments(spark: SparkSession, path: str,
     return segments, group
 
 
+def _validate_stats_cols(df: DataFrame, stats_cols: list[str],
+                         partition_cols: list[str]) -> None:
+    from pyspark.sql.types import NumericType, StringType
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in stats_cols:
+        if c in partition_cols:
+            raise ValueError(
+                f"stats column {c!r} is a partition column — partition "
+                f"pruning already covers it; list data columns only")
+        if c not in by_name:
+            raise ValueError(f"stats column {c!r} not in the frame's "
+                             f"columns {sorted(by_name)}")
+        t = by_name[c]
+        if not isinstance(t, (NumericType, StringType)):
+            raise ValueError(
+                f"stats column {c!r} has type {t.simpleString()}; "
+                f"file-skipping stats support numeric and string columns "
+                f"(cast timestamps to epoch numbers upstream)")
+
+
+def _file_stats(spark: SparkSession, scratch: str,
+                stats_cols: list[str]) -> dict[str, dict]:
+    """Per-data-file min/max for ``stats_cols``, keyed by file basename
+    — ONE distributed column-pruned pass over the just-written scratch
+    files, grouped on ``input_file_name()``. The collect is
+    O(files x stats_cols) scalars: driver-side metadata, same bound as
+    the partition-values collects elsewhere in this module."""
+    sdf = (spark.read.option("basePath", scratch).parquet(scratch)
+           .select(*stats_cols,
+                   F.input_file_name().alias("_f")))
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    out: dict[str, dict] = {}
+    for r in sdf.groupBy("_f").agg(*aggs).collect():
+        base = r["_f"].rsplit("/", 1)[1]
+        out[base] = {c: {"min": r[f"_mn_{c}"], "max": r[f"_mx_{c}"]}
+                     for c in stats_cols}
+    return out
+
+
 def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
-                      partition_cols: list[str]) -> list[dict]:
+                      partition_cols: list[str],
+                      stats_cols: list[str] | None = None) -> list[dict]:
     """Materialize ``df`` as immutable commit-scoped data files and
     return their manifest entries.
 
@@ -412,7 +454,12 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
     compaction's 10⁴-10⁵ renames overlap instead of serializing on
     round-trip latency; directories are pre-created once per partition
     so the parallel phase is pure renames). Nothing is visible to
-    readers until the manifest commit."""
+    readers until the manifest commit.
+
+    With ``stats_cols`` (r7), each entry also carries per-file min/max
+    for those columns — the zone map :func:`snapshot_scan` prunes
+    with. Stats are computed from the scratch files in one distributed
+    column-pruned pass before placement."""
     commit = uuid.uuid4().hex
     jvm, fs, _ = _fs(spark, path)
     scratch = f"{path}/_tmp/{commit}"
@@ -420,6 +467,10 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(scratch)
+    stats_by_base: dict[str, dict] = {}
+    if stats_cols:
+        _validate_stats_cols(df, stats_cols, partition_cols)
+        stats_by_base = _file_stats(spark, scratch, stats_cols)
 
     scratch_path = jvm.org.apache.hadoop.fs.Path(scratch)
     moves = []                               # (src Path, dst_rel, part)
@@ -447,7 +498,11 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
             f"{path}/{_DATA_DIR}/{dst_rel}")
         if not fs.rename(src, dst):
             raise RuntimeError(f"failed to place data file {dst_rel}")
-        return {"path": dst_rel, "partition": part}
+        entry = {"path": dst_rel, "partition": part}
+        st = stats_by_base.get(src.getName())
+        if st is not None:
+            entry["stats"] = st
+        return entry
 
     if len(moves) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -499,18 +554,190 @@ def read_snapshot(spark: SparkSession, path: str,
     return _read_files(spark, path, entries, m.get("schema"))
 
 
+_SCAN_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _query_intervals(predicates: list[tuple]) -> dict[str, tuple]:
+    """Fold a predicate conjunction into one (lo, lo_incl, hi, hi_incl)
+    interval per column — tighter than per-predicate checks: a
+    between-style pair like ``x >= 15 AND x < 12`` proves itself empty
+    even when each bound alone overlaps a file's range."""
+    out: dict[str, tuple] = {}
+    for col, op, val in predicates:
+        lo, lo_i, hi, hi_i = out.get(col, (None, True, None, True))
+        if op in ("=", ">=", ">"):
+            inc = op != ">"
+            if lo is None or val > lo or (val == lo and not inc):
+                lo, lo_i = val, inc
+        if op in ("=", "<=", "<"):
+            inc = op != "<"
+            if hi is None or val < hi or (val == hi and not inc):
+                hi, hi_i = val, inc
+        out[col] = (lo, lo_i, hi, hi_i)
+    return out
+
+
+def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
+    """File-granular zone-map check: False only when the entry's
+    stats (or the conjunction's own emptiness) PROVE no row can
+    satisfy it. Entries without stats for a predicate's column are
+    always kept (new columns, tables that enabled stats mid-life); an
+    all-null file (min is None) is pruned — no non-null value exists
+    to satisfy a comparison."""
+    st = entry.get("stats") or {}
+    for col, (lo, lo_i, hi, hi_i) in _query_intervals(predicates).items():
+        if lo is not None and hi is not None and (
+                lo > hi or (lo == hi and not (lo_i and hi_i))):
+            return False               # self-contradictory conjunction
+        s = st.get(col)
+        if s is None:
+            continue
+        mn, mx = s["min"], s["max"]
+        if mn is None:
+            return False
+        if lo is not None and (mx < lo or (mx == lo and not lo_i)):
+            return False
+        if hi is not None and (mn > hi or (mn == hi and not hi_i)):
+            return False
+    return True
+
+
+def _prune_entries(entries: list[dict],
+                   predicates: list[tuple]) -> list[dict]:
+    for col, op, _ in predicates:
+        if op not in _SCAN_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} on "
+                             f"{col!r}; supported: {_SCAN_OPS}")
+    return [e for e in entries if _entry_may_match(e, predicates)]
+
+
+def snapshot_scan(spark: SparkSession, path: str,
+                  predicates: list[tuple], *,
+                  version: int | None = None) -> DataFrame:
+    """Read a snapshot with FILE-LEVEL data skipping: ``predicates``
+    is a conjunction of ``(column, op, value)`` triples (ops ``= < <=
+    > >=``) evaluated against the per-file min/max zone maps recorded
+    at write time (``stats_cols=``), so files whose value range
+    provably can't match are never handed to Spark at all — on a
+    time- or key-sorted layout (:func:`snapshot_compact` with
+    ``sort_cols``, `tables.write_time_sorted`) a selective scan reads
+    O(matching files), not O(table), BEFORE any executor spins up.
+    Hive-partition predicates don't need this (Catalyst prunes them
+    from the directory layout); zone maps cover the DATA columns
+    partitioning can't.
+
+    The same predicates are re-applied as a DataFrame filter (stats
+    are file-granular, rows inside a surviving file still need the
+    row-level cut, and parquet row-group pushdown gets its second
+    bite), so the result equals ``read_snapshot(...).where(...)``
+    exactly. Files without stats for a predicate column are kept —
+    skipping is an optimization, never a semantics change."""
+    if version is None:
+        version = latest_version(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no published snapshot under {path}")
+    m = _load_manifest(spark, path, version)
+    entries = _prune_entries(_manifest_entries(spark, path, m),
+                             predicates)
+    cond = F.lit(True)
+    for col, op, val in predicates:
+        c = F.col(col)
+        cond = cond & {"=": c == val, "<": c < val, "<=": c <= val,
+                       ">": c > val, ">=": c >= val}[op]
+    if not entries:
+        schema = m.get("schema")
+        if not schema:
+            raise FileNotFoundError(
+                f"snapshot {version} of {path} is empty and carries "
+                f"no schema")
+        from pyspark.sql.types import StructType
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema))).where(cond)
+    return _read_files(spark, path, entries, m.get("schema")).where(cond)
+
+
 def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
-                   partition_cols: list[str]) -> int:
+                   partition_cols: list[str],
+                   stats_cols: list[str] | None = None) -> int:
     """Publish ``df`` as the table's next full snapshot (initial load
-    or wholesale replace). Returns the committed version."""
-    entries = _write_data_files(spark, path, df, partition_cols)
+    or wholesale replace). ``stats_cols`` opts the table into per-file
+    min/max zone maps (see :func:`snapshot_scan`); once set it is
+    carried by every later commit, so the whole file list stays
+    prunable. Returns the committed version."""
     prev = latest_version(spark, path)
+    if stats_cols is None and prev is not None:
+        stats_cols = _load_manifest(spark, path, prev).get("stats_cols")
+    entries = _write_data_files(spark, path, df, partition_cols,
+                                stats_cols)
     version = 0 if prev is None else prev + 1
     _commit_manifest(spark, path, version, {
         "version": version, "partition_cols": partition_cols,
-        "schema": df.schema.json(),
+        "schema": df.schema.json(), "stats_cols": stats_cols,
         **_build_file_refs(spark, path, {}, set(), entries)})
     return version
+
+
+def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
+                    partition_cols: list[str] | None = None,
+                    schema_evolution: bool = False,
+                    stats_cols: list[str] | None = None) -> int:
+    """Append ``df``'s rows as the table's next snapshot — the
+    cheapest commit the format has and the one an ingest loop issues
+    most: NO existing data is read or rewritten, the new manifest
+    carries every previous file/segment BY REFERENCE and lists only
+    the files this batch produced, so commit cost is O(batch), however
+    large the table. (Contrast :func:`snapshot_upsert`, which must
+    read and rewrite the affected partitions to merge keys — append
+    has no keys and therefore no read side.)
+
+    Schema contract matches the upsert family: partition columns are
+    always required; any other column drift raises unless
+    ``schema_evolution=True``, in which case the manifest's schema
+    becomes the union (old files read NULL for new columns, new files
+    read NULL for dropped ones — no mergeSchema footer sweep, the
+    manifest IS the schema authority). ``partition_cols`` defaults to
+    the table's; on a brand-new table it (and optionally
+    ``stats_cols``) must be supplied and the call degenerates to
+    :func:`snapshot_write`. Returns the committed version."""
+    prev = latest_version(spark, path)
+    if prev is None:
+        if partition_cols is None:
+            raise ValueError(
+                "appending to a new table: pass partition_cols to "
+                "establish the layout")
+        return snapshot_write(spark, path, df,
+                              partition_cols=partition_cols,
+                              stats_cols=stats_cols)
+    m = _load_manifest(spark, path, prev)
+    if partition_cols is not None and m["partition_cols"] != partition_cols:
+        raise ValueError(
+            f"partition_cols {partition_cols} do not match the "
+            f"table's {m['partition_cols']}")
+    part_cols = m["partition_cols"]
+
+    from pyspark.sql.types import StructType
+
+    from .tables import _check_schema_drift
+    schema_json = m.get("schema")
+    if schema_json:
+        table_schema = StructType.fromJson(json.loads(schema_json))
+        _check_schema_drift([f.name for f in table_schema.fields],
+                            df.columns, [], part_cols, schema_evolution)
+        merged_schema = (spark.createDataFrame([], table_schema)
+                         .unionByName(df.limit(0),
+                                      allowMissingColumns=schema_evolution)
+                         .schema)
+    else:
+        merged_schema = df.schema
+
+    new_entries = _write_data_files(spark, path, df, part_cols,
+                                    stats_cols or m.get("stats_cols"))
+    _commit_manifest(spark, path, prev + 1, {
+        "version": prev + 1, "partition_cols": part_cols,
+        "schema": merged_schema.json(),
+        "stats_cols": stats_cols or m.get("stats_cols"),
+        **_build_file_refs(spark, path, m, set(), new_entries)})
+    return prev + 1
 
 
 def _affected_dirs(updates_vals: list[tuple],
@@ -597,10 +824,12 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
     merged = (tagged.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") == 1).drop("_rn", "_src"))
 
-    new_entries = _write_data_files(spark, path, merged, partition_cols)
+    new_entries = _write_data_files(spark, path, merged, partition_cols,
+                                    m.get("stats_cols"))
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": partition_cols,
         "schema": merged.schema.json(),
+        "stats_cols": m.get("stats_cols"),
         **_build_file_refs(spark, path, m, aff, new_entries)})
     return prev + 1
 
@@ -643,10 +872,10 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
     remaining = (_read_files(spark, path, hit, m.get("schema"))
                  .join(kd, keys, "left_anti"))
     new_entries = _write_data_files(spark, path, remaining,
-                                    partition_cols)
+                                    partition_cols, m.get("stats_cols"))
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": partition_cols,
-        "schema": m.get("schema"),
+        "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
         **_build_file_refs(spark, path, m, aff, new_entries)})
     return prev + 1
 
@@ -667,7 +896,8 @@ def snapshot_rollback(spark: SparkSession, path: str,
     m = _load_manifest(spark, path, to_version)
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": m["partition_cols"],
-        "schema": m.get("schema"), "files": m.get("files") or [],
+        "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+        "files": m.get("files") or [],
         "segments": m.get("segments") or [],
         "rolled_back_from": to_version})
     return prev + 1
@@ -722,10 +952,11 @@ def snapshot_compact(spark: SparkSession, path: str, *,
         compacted = rows.repartition(n, *part_cols)
     else:
         compacted = rows.repartition(n)
-    new_entries = _write_data_files(spark, path, compacted, part_cols)
+    new_entries = _write_data_files(spark, path, compacted, part_cols,
+                                    m.get("stats_cols"))
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": part_cols,
-        "schema": m.get("schema"),
+        "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
         **_build_file_refs(spark, path, m, target_dirs, new_entries)})
     return prev + 1
 

@@ -686,3 +686,199 @@ def test_in_place_maintenance_warns_toward_snapshots(spark, tmp_path):
                      spark.createDataFrame([(3, "d1", "c")],
                                            "id long, day string, v string"),
                      ["id"], partition_cols=["day"])
+
+
+# -- append commits (r7) ------------------------------------------------------
+
+
+def test_snapshot_append_carries_everything_by_reference(spark, tmp_path):
+    """Append is the zero-read commit: every previous entry survives
+    verbatim in the next manifest and only the batch's files are new."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_append
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    m0 = snapmod._load_manifest(spark, path, 0)
+    prev_paths = {e["path"] for e in m0["files"]}
+
+    v1 = snapshot_append(
+        spark, path,
+        spark.createDataFrame([(3, "d1", "c"), (4, "d3", "d")],
+                              "id long, day string, val string"))
+    assert v1 == 1
+    got = _rows(read_snapshot(spark, path).select("id", "day", "val"))
+    assert got == {(1, "d1", "a"), (2, "d2", "b"),
+                   (3, "d1", "c"), (4, "d3", "d")}
+    m1 = snapmod._load_manifest(spark, path, 1)
+    new_paths = {e["path"] for e in
+                 snapmod._manifest_entries(spark, path, m1)}
+    assert prev_paths <= new_paths, \
+        "append must carry every previous file by reference"
+    # readers of v0 stay pinned
+    assert _rows(read_snapshot(spark, path, version=0)
+                 .select("id")) == {(1,), (2,)}
+
+
+def test_snapshot_append_schema_contract(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_append
+    path = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="partition_cols"):
+        snapshot_append(spark, path, spark.range(1))
+    snapshot_write(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "a")],
+                              "id long, day string, val string"),
+        partition_cols=["day"])
+    # drifted columns raise without opt-in
+    drifted = spark.createDataFrame([(2, "d1", 7)],
+                                    "id long, day string, extra int")
+    with pytest.raises(ValueError, match="drifted"):
+        snapshot_append(spark, path, drifted)
+    # partition column can never be missing
+    with pytest.raises(ValueError, match="never be evolved"):
+        snapshot_append(spark, path,
+                        spark.createDataFrame([(2,)], "id long"),
+                        schema_evolution=True)
+    # with evolution: union schema, NULL-filled both directions
+    v = snapshot_append(spark, path, drifted, schema_evolution=True)
+    assert v == 1, "failed appends must not consume versions"
+    got = _rows(read_snapshot(spark, path)
+                .select("id", "val", "extra"))
+    assert got == {(1, "a", None), (2, None, 7)}
+    # wrong partition spec still raises
+    with pytest.raises(ValueError, match="do not match"):
+        snapshot_append(spark, path, drifted, partition_cols=["id"])
+
+
+# -- file-skipping zone maps (r7) --------------------------------------------
+
+
+def test_prune_entries_semantics():
+    """Pure zone-map logic: boundary inclusivity per op, missing stats
+    kept, all-null files pruned, unknown ops rejected."""
+    e = {"path": "f", "partition": "", "stats": {"x": {"min": 10,
+                                                       "max": 20}}}
+    keep = snapmod._entry_may_match
+    assert keep(e, [("x", "=", 10)]) and keep(e, [("x", "=", 20)])
+    assert not keep(e, [("x", "=", 9)]) and not keep(e, [("x", "=", 21)])
+    assert keep(e, [("x", "<", 11)]) and not keep(e, [("x", "<", 10)])
+    assert keep(e, [("x", "<=", 10)]) and not keep(e, [("x", "<=", 9)])
+    assert keep(e, [("x", ">", 19)]) and not keep(e, [("x", ">", 20)])
+    assert keep(e, [("x", ">=", 20)]) and not keep(e, [("x", ">=", 21)])
+    # conjunction: any disproving predicate prunes
+    assert not keep(e, [("x", ">=", 15), ("x", "<", 12)])
+    # stats absent for the column -> must keep
+    assert keep({"path": "f", "partition": ""}, [("x", "=", 0)])
+    assert keep({"path": "f", "partition": "",
+                 "stats": {"y": {"min": 1, "max": 2}}}, [("x", "=", 0)])
+    # all-null file: no non-null value can satisfy any comparison
+    assert not keep({"path": "f", "partition": "",
+                     "stats": {"x": {"min": None, "max": None}}},
+                    [("x", ">=", 0)])
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        snapmod._prune_entries([e], [("x", "!=", 3)])
+
+
+def test_snapshot_scan_skips_files_and_matches_plain_filter(spark,
+                                                            tmp_path):
+    """On a value-sorted layout a selective scan must hand Spark only
+    the intersecting files, and the result must equal the unpruned
+    read + filter exactly."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_scan
+    path = str(tmp_path / "tbl")
+    df = (spark.range(0, 1000)
+          .selectExpr("id", "cast(id as double) as score",
+                      "concat('u', lpad(cast(id as string), 4, '0')) "
+                      "as name"))
+    # range-partition on id so each of the 8 files owns a disjoint slab
+    snapshot_write(spark, path, df.repartitionByRange(8, "id"),
+                   partition_cols=[], stats_cols=["id", "score", "name"])
+    m = snapmod._load_manifest(spark, path, 0)
+    entries = snapmod._manifest_entries(spark, path, m)
+    assert len(entries) == 8
+    assert all(set(e["stats"]) == {"id", "score", "name"}
+               for e in entries)
+
+    scanned = snapshot_scan(spark, path, [("id", ">=", 900)])
+    assert len(scanned.inputFiles()) < len(entries), \
+        "selective scan must not hand Spark the whole file list"
+    expect = _rows(read_snapshot(spark, path).where("id >= 900"))
+    assert _rows(scanned) == expect
+
+    # string zone maps prune too (u0050 sits deep inside the first
+    # slab — range-partitioner boundaries are sampled, not exact)
+    s2 = snapshot_scan(spark, path, [("name", "<", "u0050")])
+    assert len(s2.inputFiles()) == 1
+    assert s2.count() == 50
+
+    # conjunction across columns, empty result still schema-stable
+    s3 = snapshot_scan(spark, path,
+                       [("score", ">=", 990.0), ("id", "<", 10)])
+    assert s3.count() == 0 and s3.columns == ["id", "score", "name"]
+
+
+def test_snapshot_scan_stats_survive_maintenance(spark, tmp_path):
+    """Carried-by-reference entries keep their zone maps; rewritten
+    partitions get fresh ones; appends inherit the table's stats_cols;
+    files predating stats are kept (never wrongly pruned)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_append, snapshot_scan,
+    )
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, "d1" if i < 50 else "d2", float(i)) for i in range(100)],
+        "id long, day string, score double")
+    snapshot_write(spark, path, base, partition_cols=["day"],
+                   stats_cols=["id", "score"])
+    # upsert rewrites d1 only; d2's entries carry with stats intact
+    ups = spark.createDataFrame([(1, "d1", 1000.0)],
+                                "id long, day string, score double")
+    snapshot_upsert(spark, path, ups, ["id"], partition_cols=["day"])
+    m = snapmod._load_manifest(spark, path,
+                               latest_version(spark, path))
+    es = snapmod._manifest_entries(spark, path, m)
+    assert all("stats" in e for e in es), \
+        "both carried and rewritten entries must keep zone maps"
+    got = snapshot_scan(spark, path, [("score", ">=", 999.0)])
+    assert _rows(got.select("id", "score")) == {(1, 1000.0)}
+
+    # append inherits stats_cols without restating them
+    snapshot_append(spark, path,
+                    spark.createDataFrame([(200, "d3", 2000.0)],
+                                          "id long, day string, "
+                                          "score double"))
+    m2 = snapmod._load_manifest(spark, path,
+                                latest_version(spark, path))
+    d3 = [e for e in snapmod._manifest_entries(spark, path, m2)
+          if e["partition"] == "day=d3"]
+    assert d3 and all("stats" in e for e in d3)
+
+    # a table that enabled stats mid-life keeps unstatted files
+    path2 = str(tmp_path / "tbl2")
+    snapshot_write(spark, path2, base, partition_cols=["day"])
+    snapshot_append(spark, path2,
+                    spark.createDataFrame([(500, "d1", 9.0)],
+                                          "id long, day string, "
+                                          "score double"),
+                    stats_cols=["id"])
+    got = snapshot_scan(spark, path2, [("id", "<=", 3)])
+    assert got.count() == 4, \
+        "files without stats must be kept, not wrongly pruned"
+
+
+def test_snapshot_stats_validation(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "d1", [1.0])],
+                               "id long, day string, vec array<double>")
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_write(spark, path, df, partition_cols=["day"],
+                       stats_cols=["day"])
+    with pytest.raises(ValueError, match="not in the frame"):
+        snapshot_write(spark, path, df, partition_cols=["day"],
+                       stats_cols=["nope"])
+    with pytest.raises(ValueError, match="numeric and string"):
+        snapshot_write(spark, path, df, partition_cols=["day"],
+                       stats_cols=["vec"])
