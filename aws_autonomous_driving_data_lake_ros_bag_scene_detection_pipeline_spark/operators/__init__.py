@@ -39,6 +39,8 @@ from .similarity import (
     embedding_near_dedup,
     cell_balance, embedding_match_pairs, ivf_index, ivf_pivots,
     ivf_probe, ivf_repivot, ivf_topk, kmeans_pivots, lsh_topk,
+    semantic_cell_drops, semantic_cells, semantic_dedup,
+    semantic_dup_pairs,
 )
 from .sketches import (
     distinct_rollup_check, distinct_sketch, freq_estimate, freq_sketch,
@@ -75,6 +77,8 @@ __all__ = [
     "decode_audio", "decode_image", "downsample_cascade",
     "dup_clusters",
     "duplicate_ids", "embedding_dup_pairs", "embedding_index",
+    "semantic_cell_drops", "semantic_cells", "semantic_dedup",
+    "semantic_dup_pairs",
     "embedding_match_pairs", "exact_dedup", "forward_fill",
     "bm25_probe", "bm25_topk", "corpus_stats", "deterministic_shuffle",
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",

@@ -613,20 +613,135 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     va = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     vb = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    z = (cand.join(va, "id_a").join(vb, "id_b")
-         .select("id_a", "id_b",
-                 F.explode(F.arrays_zip("_va", "_vb")).alias("_e"))
-         .select("id_a", "id_b",
+    return _verified_cosine(cand, va, vb, "id_a", "id_b", threshold)
+
+
+def _verified_cosine(cand: DataFrame, va: DataFrame, vb: DataFrame,
+                     a: str, b: str, threshold: float) -> DataFrame:
+    """Exact-cosine verification over CANDIDATE pairs only — the shared
+    scoring tail of every pair miner here (``va``/``vb`` carry the
+    pair-side vectors as ``_va``/``_vb``). Candidate pairs join both
+    full vectors, then ``explode(arrays_zip(...))`` emits each pair's
+    components consecutively in ascending element order inside ONE
+    partition, so the partial aggregate produces exactly one d-ordered
+    accumulator per pair — bit-exact w.r.t. sequential (DuckDB
+    ``list_sum``) float math, and whole-stage codegen throughout (the
+    per-pair ``zip_with/aggregate`` expression form is CodegenFallback,
+    measured ~0.4 ms/pair at dim 64)."""
+    z = (cand.join(va, a).join(vb, b)
+         .select(a, b, F.explode(F.arrays_zip("_va", "_vb")).alias("_e"))
+         .select(a, b,
                  F.col("_e._va").alias("_ax"), F.col("_e._vb").alias("_bx")))
-    pairs = (z.groupBy("id_a", "id_b")
+    pairs = (z.groupBy(a, b)
              .agg(F.sum(F.col("_ax") * F.col("_bx")).alias("_dot"),
                   F.sum(F.col("_ax") * F.col("_ax")).alias("_na2"),
                   F.sum(F.col("_bx") * F.col("_bx")).alias("_nb2")))
     return (pairs
-            .select("id_a", "id_b",
+            .select(a, b,
                     F.round(F.col("_dot") / F.sqrt("_na2") / F.sqrt("_nb2"),
                             6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def semantic_cells(df: DataFrame, id_col: str, vec_col: str,
+                   pivots: DataFrame) -> DataFrame:
+    """``(id, cell)`` — each vector's nearest pivot by squared L2, the
+    cluster-blocking step of :func:`semantic_dup_pairs` exposed so
+    callers can persist/inspect the assignment (cell sizes feed
+    :func:`cell_balance`; the cells are also exactly
+    :func:`ivf_index`'s)."""
+    ce = _explode_vec(df, [F.col(id_col).alias("_iid")], vec_col, "_cx")
+    pe = _explode_vec(pivots, ["_pid"], vec_col, "_px")
+    return (_assign_cells(ce, "_iid", "_cx", pe, 1)
+            .withColumnRenamed("_iid", id_col))
+
+
+def semantic_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                       threshold: float = 0.95, *,
+                       nlist: int = 64, iters: int = 10,
+                       pivots: DataFrame | None = None,
+                       max_cell: int = 4000) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (id_a < id_b,
+    cosine ≥ τ): cluster the embedding space with k-means, then find
+    pairs WITHIN each cluster by exact cosine — the published recipe
+    for pruning semantically redundant training data (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540; their pipeline is exactly
+    cluster → within-cluster pairwise cosine → drop all but one per
+    group).
+
+    Blocking contract vs :func:`embedding_dup_pairs` (hyperplane LSH):
+    LSH banding targets a RECALL at the threshold and finds cross-
+    cluster pairs too; semantic clustering is the SemDeDup trade —
+    candidate cost is ∑ cellsize² (∼n²/nlist for balanced cells,
+    measure with :func:`cell_balance`), pairs straddling a k-means
+    boundary are missed BY DESIGN (the paper accepts this: duplicates
+    cluster together), and the cells double as the IVF index cells so
+    one clustering pays for retrieval AND dedup. Pass a persisted
+    ``pivots`` frame to pin results (retraining shifts boundaries);
+    the default trains :func:`kmeans_pivots` on ``df`` itself.
+
+    Scale shape: ONE shuffle keys the corpus by cell; in-cell pairs
+    come from the same capped collect_list + double-explode as every
+    other blocked miner here (``max_cell`` is the skew valve —
+    :func:`semantic_cell_drops` is its no-silent-caps ledger); exact
+    cosine runs on candidates only via the shared d-ordered
+    explode/agg plan. Never an all-pairs self-join."""
+    if pivots is None:
+        pivots = kmeans_pivots(df, id_col, vec_col, nlist, iters=iters)
+    cells = semantic_cells(df, id_col, vec_col, pivots)
+    w = Window.partitionBy("cell").orderBy(F.asc(id_col))
+    grp = (cells.withColumn("_cn", F.row_number().over(w))
+           .where(F.col("_cn") <= max_cell)
+           .groupBy("cell")
+           .agg(F.collect_list(id_col).alias("_ids"))
+           .where(F.size("_ids") >= 2))
+    cand = (grp.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .distinct())
+    vecs = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    va = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return _verified_cosine(cand, va, vb, "id_a", "id_b", threshold)
+
+
+def semantic_cell_drops(df: DataFrame, id_col: str, vec_col: str,
+                        pivots: DataFrame, *,
+                        max_cell: int = 4000) -> DataFrame:
+    """Drop accounting for :func:`semantic_dup_pairs`' ``max_cell``
+    valve — one row per truncated cell, ``(cell, n_members,
+    n_dropped)``. Empty ⇒ the valve did not engage. Pass the SAME
+    pivots/max_cell as the audited call; cost is the cell-assignment
+    aggregation only, no pair join (the same ledger contract as
+    :func:`~.tsmatch.motif_bucket_drops` and minhash's)."""
+    cells = semantic_cells(df, id_col, vec_col, pivots)
+    return (cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .where(F.col("n_members") > max_cell)
+            .select("cell", "n_members",
+                    (F.col("n_members") - max_cell).alias("n_dropped")))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.95, *,
+                   keep_by: str | None = None,
+                   **pair_kwargs) -> DataFrame:
+    """One-call SemDeDup: mine within-cluster pairs
+    (:func:`semantic_dup_pairs`), cluster them transitively
+    (:func:`~.dedup.dup_clusters`), keep one representative per group
+    (smallest id, or highest ``keep_by`` — the shared
+    :func:`~.dedup.keep_cluster_representatives` election), return
+    ``df`` minus the rest. ``pair_kwargs`` pass through to the miner
+    (``nlist``, ``iters``, ``pivots``, ``max_cell``)."""
+    from .dedup import dup_clusters, keep_cluster_representatives
+
+    pairs = semantic_dup_pairs(df, id_col, vec_col, threshold,
+                               **pair_kwargs)
+    clusters = dup_clusters(pairs, "id_a", "id_b")
+    return keep_cluster_representatives(df, id_col, clusters,
+                                        keep_by=keep_by)
 
 
 def embedding_index(df: DataFrame, id_col: str, vec_col: str,
@@ -680,20 +795,8 @@ def embedding_match_pairs(new_df: DataFrame, index: DataFrame,
                        F.col(vec_col).cast("array<double>").alias("_va"))
     vb = corpus.select(F.col(id_col).alias("corpus_id"),
                        F.col(vec_col).cast("array<double>").alias("_vb"))
-    z = (cand.join(va, "new_id").join(vb, "corpus_id")
-         .select("new_id", "corpus_id",
-                 F.explode(F.arrays_zip("_va", "_vb")).alias("_e"))
-         .select("new_id", "corpus_id",
-                 F.col("_e._va").alias("_ax"), F.col("_e._vb").alias("_bx")))
-    pairs = (z.groupBy("new_id", "corpus_id")
-             .agg(F.sum(F.col("_ax") * F.col("_bx")).alias("_dot"),
-                  F.sum(F.col("_ax") * F.col("_ax")).alias("_na2"),
-                  F.sum(F.col("_bx") * F.col("_bx")).alias("_nb2")))
-    return (pairs
-            .select("new_id", "corpus_id",
-                    F.round(F.col("_dot") / F.sqrt("_na2") / F.sqrt("_nb2"),
-                            6).alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+    return _verified_cosine(cand, va, vb, "new_id", "corpus_id",
+                            threshold)
 
 
 def embedding_near_dedup(df: DataFrame, id_col: str, vec_col: str,

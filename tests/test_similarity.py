@@ -487,3 +487,98 @@ def test_ivf_repivot_retrains_and_reassigns(spark, tmp_path):
     assert bal["imbalance"] <= 2.5, bal
     assert new_index.count() == 1600
     assert new_piv.count() == nlist
+
+
+# -- SemDeDup semantic dedup (r7) ---------------------------------------------
+
+
+def _np_semantic_pairs(ids, mat, pivots, threshold):
+    """Reference: assign each vector to its nearest pivot (L2, lowest
+    pivot id on ties), then all within-cell pairs with cosine >= tau."""
+    d2 = ((mat[:, None, :] - pivots[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cell[i] != cell[j]:
+                continue
+            c = round(float(normed[i] @ normed[j]), 6)
+            if c >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, c))
+    return out
+
+
+def test_semantic_dup_pairs_matches_numpy_within_cells(spark, emb):
+    """Pinned pivots => the operator's (pairs, cosines) equal the
+    NumPy SemDeDup reference exactly: same cell assignment, same
+    within-cell pair set, bit-equal rounded cosines."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import semantic_dup_pairs
+    sub = emb.where("vec_id < 120")
+    pivots = (sub.orderBy("vec_id").limit(8)
+              .selectExpr("vec_id as _pid", "embedding"))
+    got = {(r.id_a, r.id_b, r.cosine) for r in
+           semantic_dup_pairs(sub, "vec_id", "embedding", 0.3,
+                              pivots=pivots).collect()}
+
+    pdf = sub.toPandas().sort_values("vec_id")
+    mat = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    expect = _np_semantic_pairs(ids, mat, mat[:8], 0.3)
+    assert got == expect and len(expect) > 0
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    """A planted near-identical group collapses to its smallest id
+    (or highest keep_by); far vectors survive; nothing crosses cells.
+    Uses trained k-means pivots - the production path."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import semantic_dedup
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(3, 16))
+    rows = []
+    # three well-separated centers; center 0 carries 4 near-copies
+    for gid, n in [(0, 4), (1, 1), (2, 1)]:
+        for k in range(n):
+            v = base[gid] * 10 + rng.normal(scale=1e-3, size=16)
+            rows.append((gid * 10 + k, v.tolist(), float(k)))
+    df = spark.createDataFrame(rows,
+                               "id long, vec array<double>, score double")
+    kept = semantic_dedup(df, "id", "vec", 0.999, nlist=3, iters=5)
+    assert {r.id for r in kept.select("id").collect()} == {0, 10, 20}
+    kept2 = semantic_dedup(df, "id", "vec", 0.999, nlist=3, iters=5,
+                           keep_by="score")
+    assert {r.id for r in kept2.select("id").collect()} == {3, 10, 20}
+
+
+def test_semantic_cell_drops_ledger(spark, emb):
+    """max_cell valve accounting: exact n_dropped per truncated cell,
+    empty frame when the valve never engages."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        semantic_cell_drops, semantic_cells,
+    )
+    sub = emb.where("vec_id < 60")
+    pivots = (sub.orderBy("vec_id").limit(4)
+              .selectExpr("vec_id as _pid", "embedding"))
+    sizes = {r.cell: r.cnt for r in
+             semantic_cells(sub, "vec_id", "embedding", pivots)
+             .groupBy("cell").agg(F.count("*").alias("cnt")).collect()}
+    cap = 5
+    got = {r.cell: (r.n_members, r.n_dropped) for r in
+           semantic_cell_drops(sub, "vec_id", "embedding", pivots,
+                               max_cell=cap).collect()}
+    expect = {c: (n, n - cap) for c, n in sizes.items() if n > cap}
+    assert got == expect and len(expect) > 0
+    assert semantic_cell_drops(sub, "vec_id", "embedding", pivots,
+                               max_cell=10 ** 6).count() == 0
+
+
+def test_semantic_dup_pairs_no_cartesian(spark, emb):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import semantic_dup_pairs
+    sub = emb.where("vec_id < 50")
+    pivots = (sub.orderBy("vec_id").limit(4)
+              .selectExpr("vec_id as _pid", "embedding"))
+    plan = (semantic_dup_pairs(sub, "vec_id", "embedding", 0.5,
+                               pivots=pivots)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
