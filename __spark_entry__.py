@@ -32,7 +32,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     duplicate_ids, duplicate_passages, edit_distance_pairs,
     freq_estimate, freq_sketch,
     funnel, histogram_psi, histogram_sketch, quantile_estimate,
-    embedding_dup_pairs, exact_dedup,
+    embedding_dup_pairs, exact_dedup, semantic_dup_pairs,
     ivf_topk, lag_lead, lm_bigram_score, lsh_topk, minhash_lsh_pairs,
     pattern_topk,
     ngram_jaccard_pairs,
@@ -2139,18 +2139,33 @@ select query_id, neighbor_id, cosine, rank from r where rank <= 10
 
 
 def q_embedding_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via banded hyperplane LSH
-    candidates + exact cosine verify — no all-pairs self-join anywhere
-    in the plan (the round-1 scale-killer). τ=0.4 yields pairs on the
-    synthetic testdata; 10 bands × 5 sign bits is the measured sweep
-    winner at that unusually low τ (sf0.1: recall 0.69 vs 0.52 for r2's
-    4×4 at comparable runtime — same asymptotic random-collision rate
-    b·2^-r, more OR-chances at the threshold). The planes are
-    deterministic md5 math, so the DuckDB oracle reproduces the banding
-    exactly (exact vs its own spec, like q_ann_lsh)."""
+    """Embedding near-dup pairs, BOTH blocking disciplines as a tagged
+    union (r7 fold — SemDeDup joins the LSH entry; same grain, one
+    slot). ``lsh``: banded hyperplane candidates + exact cosine verify
+    — no all-pairs self-join anywhere in the plan (the round-1
+    scale-killer). τ=0.4 yields pairs on the synthetic testdata;
+    10 bands × 5 sign bits is the measured sweep winner at that
+    unusually low τ (sf0.1: recall 0.69 vs 0.52 for r2's 4×4 at
+    comparable runtime). The planes are deterministic md5 math, so the
+    DuckDB oracle reproduces the banding exactly. ``sem``: SemDeDup
+    cluster blocking (operators/similarity.semantic_dup_pairs) over a
+    pinned first-ids codebook — the deterministic pivot rule exists
+    exactly so this oracle can rebuild the cell assignment in SQL
+    (argmin L2, lowest pid ties), then within-cell pairs at the same
+    τ; the production k-means codebook is pinned by NumPy equality in
+    tests/test_similarity.py instead."""
     emb = _spread(_t("embeddings")(spark, sf_dir))
-    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4,
+    lsh = (embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4,
                                bands=10, rows_per_band=5, dim=64)
+           .select(F.lit("lsh").alias("variant"),
+                   "id_a", "id_b", "cosine"))
+    pivots = (emb.orderBy("vec_id").limit(16)
+              .selectExpr("vec_id as _pid", "embedding"))
+    sem = (semantic_dup_pairs(emb, "vec_id", "embedding", 0.4,
+                              pivots=pivots)
+           .select(F.lit("sem").alias("variant"),
+                   "id_a", "id_b", "cosine"))
+    return lsh.unionByName(sem)
 
 
 def _band_sql(vec: str, bands: int = 10, rows_per_band: int = 5,
@@ -2192,7 +2207,31 @@ where round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= {threshold}
 """
 
 
-Q_EMB_DUPS_SQL = _emb_dups_sql()
+Q_EMB_DUPS_SQL = f"""
+with lshp as ({_emb_dups_sql()}),
+p as (select vec_id as pid, embedding as pe from embeddings
+      order by vec_id limit 16),
+d as (select e.vec_id, p.pid, {_l2sq_sql('e.embedding', 'p.pe')} as d2
+      from embeddings e cross join p),
+cells as (select vec_id, pid as cell from (
+            select vec_id, pid,
+              row_number() over (partition by vec_id
+                                 order by d2 asc, pid asc) as rn
+            from d) where rn = 1),
+scand as (select a.vec_id as id_a, b.vec_id as id_b
+          from cells a join cells b using (cell)
+          where a.vec_id < b.vec_id),
+semp as (select id_a, id_b,
+           round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) as cosine
+         from scand
+         join embeddings ea on ea.vec_id = id_a
+         join embeddings eb on eb.vec_id = id_b
+         where round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
+               >= 0.4)
+select 'lsh' as variant, id_a, id_b, cosine from lshp
+union all
+select 'sem' as variant, id_a, id_b, cosine from semp
+"""
 
 
 def q_simhash_pairs(spark, sf_dir):
