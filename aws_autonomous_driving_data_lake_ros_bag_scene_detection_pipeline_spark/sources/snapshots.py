@@ -421,11 +421,19 @@ def _validate_stats_cols(df: DataFrame, stats_cols: list[str],
 
 def _file_stats(spark: SparkSession, scratch: str,
                 stats_cols: list[str]) -> dict[str, dict]:
-    """Per-data-file min/max for ``stats_cols``, keyed by file basename
-    — ONE distributed column-pruned pass over the just-written scratch
-    files, grouped on ``input_file_name()``. The collect is
-    O(files x stats_cols) scalars: driver-side metadata, same bound as
-    the partition-values collects elsewhere in this module."""
+    """Per-data-file min/max for ``stats_cols``, keyed by the file's
+    SCRATCH-RELATIVE path (partition dirs + basename — basenames alone
+    collide: one write job names each task's file identically across
+    hive partition dirs, ``lang=en/part-00000-<job>…`` vs
+    ``lang=de/part-00000-<job>…``, and a basename-keyed map silently
+    cross-wires partitions' stats into wrong pruning). ONE distributed
+    column-pruned pass over the just-written scratch files, grouped on
+    ``input_file_name()``; the collect is O(files x stats_cols)
+    scalars — driver-side metadata, same bound as the partition-values
+    collects elsewhere in this module."""
+    from urllib.parse import unquote
+
+    marker = "/" + scratch.rstrip("/").rsplit("/", 1)[1] + "/"
     sdf = (spark.read.option("basePath", scratch).parquet(scratch)
            .select(*stats_cols,
                    F.input_file_name().alias("_f")))
@@ -434,9 +442,9 @@ def _file_stats(spark: SparkSession, scratch: str,
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
     out: dict[str, dict] = {}
     for r in sdf.groupBy("_f").agg(*aggs).collect():
-        base = r["_f"].rsplit("/", 1)[1]
-        out[base] = {c: {"min": r[f"_mn_{c}"], "max": r[f"_mx_{c}"]}
-                     for c in stats_cols}
+        rel = unquote(r["_f"].split(marker, 1)[1])
+        out[rel] = {c: {"min": r[f"_mn_{c}"], "max": r[f"_mx_{c}"]}
+                    for c in stats_cols}
     return out
 
 
@@ -467,10 +475,10 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(scratch)
-    stats_by_base: dict[str, dict] = {}
+    stats_by_rel: dict[str, dict] = {}
     if stats_cols:
         _validate_stats_cols(df, stats_cols, partition_cols)
-        stats_by_base = _file_stats(spark, scratch, stats_cols)
+        stats_by_rel = _file_stats(spark, scratch, stats_cols)
 
     scratch_path = jvm.org.apache.hadoop.fs.Path(scratch)
     moves = []                               # (src Path, dst_rel, part)
@@ -486,20 +494,21 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
         part_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
         dst_rel = (f"{part_dir}/{commit}-{name}" if part_dir
                    else f"{commit}-{name}")
-        moves.append((p, dst_rel, part_dir))
+        from urllib.parse import unquote
+        moves.append((p, dst_rel, part_dir, unquote(rel)))
 
-    for d in {part for _, _, part in moves}:
+    for d in {part for _, _, part, _ in moves}:
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(
             f"{path}/{_DATA_DIR}/{d}" if d else f"{path}/{_DATA_DIR}"))
 
     def _place(move):
-        src, dst_rel, part = move
+        src, dst_rel, part, orig_rel = move
         dst = jvm.org.apache.hadoop.fs.Path(
             f"{path}/{_DATA_DIR}/{dst_rel}")
         if not fs.rename(src, dst):
             raise RuntimeError(f"failed to place data file {dst_rel}")
         entry = {"path": dst_rel, "partition": part}
-        st = stats_by_base.get(src.getName())
+        st = stats_by_rel.get(orig_rel)
         if st is not None:
             entry["stats"] = st
         return entry
@@ -658,21 +667,31 @@ def snapshot_scan(spark: SparkSession, path: str,
 
 def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
                    partition_cols: list[str],
-                   stats_cols: list[str] | None = None) -> int:
+                   stats_cols: list[str] | None = None,
+                   _append_sources: dict | None = None) -> int:
     """Publish ``df`` as the table's next full snapshot (initial load
     or wholesale replace). ``stats_cols`` opts the table into per-file
     min/max zone maps (see :func:`snapshot_scan`); once set it is
     carried by every later commit, so the whole file list stays
-    prunable. Returns the committed version."""
+    prunable. ``_append_sources`` is :func:`snapshot_append`'s
+    replay-marker pass-through for the new-table case. Returns the
+    committed version."""
     prev = latest_version(spark, path)
-    if stats_cols is None and prev is not None:
-        stats_cols = _load_manifest(spark, path, prev).get("stats_cols")
+    srcs = dict(_append_sources or {})
+    if prev is not None:
+        m_prev = _load_manifest(spark, path, prev)
+        if stats_cols is None:
+            stats_cols = m_prev.get("stats_cols")
+        # replay markers survive a wholesale replace: a replayed old
+        # stream batch must stay a no-op afterward too
+        srcs = {**(m_prev.get("append_sources") or {}), **srcs}
     entries = _write_data_files(spark, path, df, partition_cols,
                                 stats_cols)
     version = 0 if prev is None else prev + 1
     _commit_manifest(spark, path, version, {
         "version": version, "partition_cols": partition_cols,
         "schema": df.schema.json(), "stats_cols": stats_cols,
+        "append_sources": srcs or None,
         **_build_file_refs(spark, path, {}, set(), entries)})
     return version
 
@@ -680,7 +699,8 @@ def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
 def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
                     partition_cols: list[str] | None = None,
                     schema_evolution: bool = False,
-                    stats_cols: list[str] | None = None) -> int:
+                    stats_cols: list[str] | None = None,
+                    source_batch: tuple[str, int] | None = None) -> int:
     """Append ``df``'s rows as the table's next snapshot — the
     cheapest commit the format has and the one an ingest loop issues
     most: NO existing data is read or rewritten, the new manifest
@@ -698,17 +718,35 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
     manifest IS the schema authority). ``partition_cols`` defaults to
     the table's; on a brand-new table it (and optionally
     ``stats_cols``) must be supplied and the call degenerates to
-    :func:`snapshot_write`. Returns the committed version."""
+    :func:`snapshot_write`. Returns the committed version.
+
+    ``source_batch=(source, batch_id)`` makes the append EXACTLY-ONCE
+    under replay: the manifest records the highest batch_id applied
+    per source, atomically with the data it admitted, and a replayed
+    batch (id ≤ the recorded one) is a version-preserving no-op — the
+    foreachBatch recipe with the marker riding the commit itself, so
+    no crash window exists between "rows visible" and "batch marked
+    applied". Use distinct ``source`` names when several streams feed
+    one table (batch ids are only monotone per checkpoint)."""
     prev = latest_version(spark, path)
     if prev is None:
         if partition_cols is None:
             raise ValueError(
                 "appending to a new table: pass partition_cols to "
                 "establish the layout")
+        srcs0 = {source_batch[0]: source_batch[1]} if source_batch \
+            else None
         return snapshot_write(spark, path, df,
                               partition_cols=partition_cols,
-                              stats_cols=stats_cols)
+                              stats_cols=stats_cols,
+                              _append_sources=srcs0)
     m = _load_manifest(spark, path, prev)
+    srcs = dict(m.get("append_sources") or {})
+    if source_batch is not None:
+        src, bid = source_batch
+        if bid <= srcs.get(src, -1):
+            return prev                  # replayed batch: no-op
+        srcs[src] = bid
     if partition_cols is not None and m["partition_cols"] != partition_cols:
         raise ValueError(
             f"partition_cols {partition_cols} do not match the "
@@ -736,6 +774,7 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
         "version": prev + 1, "partition_cols": part_cols,
         "schema": merged_schema.json(),
         "stats_cols": stats_cols or m.get("stats_cols"),
+        "append_sources": srcs or None,
         **_build_file_refs(spark, path, m, set(), new_entries)})
     return prev + 1
 
@@ -830,6 +869,7 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
         "version": prev + 1, "partition_cols": partition_cols,
         "schema": merged.schema.json(),
         "stats_cols": m.get("stats_cols"),
+        "append_sources": m.get("append_sources"),
         **_build_file_refs(spark, path, m, aff, new_entries)})
     return prev + 1
 
@@ -876,6 +916,7 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": partition_cols,
         "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+        "append_sources": m.get("append_sources"),
         **_build_file_refs(spark, path, m, aff, new_entries)})
     return prev + 1
 
@@ -897,6 +938,7 @@ def snapshot_rollback(spark: SparkSession, path: str,
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": m["partition_cols"],
         "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+        "append_sources": m.get("append_sources"),
         "files": m.get("files") or [],
         "segments": m.get("segments") or [],
         "rolled_back_from": to_version})
@@ -957,6 +999,7 @@ def snapshot_compact(spark: SparkSession, path: str, *,
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": part_cols,
         "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+        "append_sources": m.get("append_sources"),
         **_build_file_refs(spark, path, m, target_dirs, new_entries)})
     return prev + 1
 

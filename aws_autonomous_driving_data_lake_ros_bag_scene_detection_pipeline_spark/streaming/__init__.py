@@ -50,6 +50,7 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      index_compact_deletes, read_index_tombstones,
                      read_bm25_index, read_ivf_index,
                      snapshot_enrich_stream,
+                     snapshot_append_batch, snapshot_append_stream,
                      snapshot_upsert_batch, snapshot_upsert_stream,
                      delete_stream,
                      quarantine_batch, quarantine_stream,

@@ -500,6 +500,58 @@ def snapshot_upsert_stream(stream: DataFrame, keys: list[str], *,
     return writer.start()
 
 
+def snapshot_append_batch(batch_df: DataFrame, batch_id: int, *,
+                          path: str,
+                          partition_cols: list[str] | None = None,
+                          schema_evolution: bool = False,
+                          stats_cols: list[str] | None = None,
+                          source: str = "stream") -> int:
+    """One micro-batch appended as an ATOMIC snapshot commit with
+    EXACTLY-ONCE replay semantics: the committed manifest records
+    ``(source, batch_id)`` atomically with the rows it admitted
+    (:func:`~..sources.snapshots.snapshot_append` ``source_batch=``),
+    so a foreachBatch re-run after a crash is a version-preserving
+    no-op — unlike the in-place ``_batch_id`` dynamic-overwrite recipe
+    the index loops use, there is no window where rows are visible but
+    the batch is unmarked. Plain appends are NOT content-idempotent
+    (replay would duplicate rows), which is why the marker must ride
+    the commit. Returns the table version after the call (unchanged on
+    a replay skip)."""
+    from ..sources.snapshots import snapshot_append
+
+    return snapshot_append(batch_df.sparkSession, path, batch_df,
+                           partition_cols=partition_cols,
+                           schema_evolution=schema_evolution,
+                           stats_cols=stats_cols,
+                           source_batch=(source, batch_id))
+
+
+def snapshot_append_stream(stream: DataFrame, *, path: str,
+                           partition_cols: list[str],
+                           checkpoint_dir: str,
+                           schema_evolution: bool = False,
+                           stats_cols: list[str] | None = None,
+                           source: str = "stream",
+                           available_now: bool = True) -> StreamingQuery:
+    """Exactly-once streaming ingest into a snapshot table — every
+    micro-batch becomes one :func:`snapshot_append_batch` commit
+    (readers see whole batches or nothing; replays skip). Give each
+    stream feeding the same table its own ``source`` name: batch ids
+    are only monotone per checkpoint."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_append_batch(batch_df, batch_id, path=path,
+                              partition_cols=partition_cols,
+                              schema_evolution=schema_evolution,
+                              stats_cols=stats_cols, source=source)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ivf_append_stream(stream: DataFrame, id_col: str, vec_col: str, *,
                       pivots: DataFrame, index_path: str,
                       checkpoint_dir: str,

@@ -882,3 +882,24 @@ def test_snapshot_stats_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="numeric and string"):
         snapshot_write(spark, path, df, partition_cols=["day"],
                        stats_cols=["vec"])
+
+
+def test_zone_maps_not_cross_wired_across_partitions(spark, tmp_path):
+    """One write job emits IDENTICALLY-NAMED part files into every
+    hive partition dir; stats must key on the full relative path —
+    a basename-keyed map cross-wires partitions' stats and silently
+    prunes files that contain matching rows (caught live on the
+    streamed-ingest drive, r7)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_scan
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b", float(i)) for i in range(200)],
+        "id long, grp string, v double")
+    # repartition(4) → every task writes one same-named file per grp
+    snapshot_write(spark, path, df.repartition(4),
+                   partition_cols=["grp"], stats_cols=["id"])
+    got = snapshot_scan(spark, path, [("id", "<", 100)])
+    assert got.count() == 100, \
+        "cross-wired zone maps would prune grp=a files"
+    got2 = snapshot_scan(spark, path, [("id", ">=", 150)])
+    assert _rows(got2.select("id")) == {(i,) for i in range(150, 200)}

@@ -880,3 +880,87 @@ def test_bm25_index_stream_matches_direct_and_replay_idempotent(spark, tmp_path)
                        buckets=16).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
     docs.unpersist()
+
+
+def test_snapshot_append_batch_exactly_once_replay(spark, tmp_path):
+    """The replay marker rides the manifest commit: re-applying a
+    batch id is a version-preserving no-op, markers survive
+    interleaved maintenance commits, and distinct sources keep
+    independent counters."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        latest_version, read_snapshot, snapshot_upsert,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        snapshot_append_batch,
+    )
+    schema = "id long, day string, val string"
+    path = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")], schema)
+    v = snapshot_append_batch(b0, 0, path=path, partition_cols=["day"])
+    assert v == 0
+    # crash-replay of batch 0: no new version, no duplicate rows
+    assert snapshot_append_batch(b0, 0, path=path,
+                                 partition_cols=["day"]) == 0
+    assert read_snapshot(spark, path).count() == 2
+
+    b1 = spark.createDataFrame([(3, "d1", "c")], schema)
+    assert snapshot_append_batch(b1, 1, path=path) == 1
+    # an interleaved upsert must CARRY the replay markers
+    snapshot_upsert(spark, path,
+                    spark.createDataFrame([(1, "d1", "a2")], schema),
+                    ["id"], partition_cols=["day"])
+    v_now = latest_version(spark, path)
+    assert snapshot_append_batch(b1, 1, path=path) == v_now, \
+        "replayed batch after maintenance must still be skipped"
+    assert read_snapshot(spark, path).count() == 3
+    # a different source has its own counter
+    b_other = spark.createDataFrame([(9, "d2", "z")], schema)
+    assert snapshot_append_batch(b_other, 0, path=path,
+                                 source="other") == v_now + 1
+    assert {r.id for r in read_snapshot(spark, path).collect()} \
+        == {1, 2, 3, 9}
+
+
+def test_snapshot_append_stream_exactly_once(spark, tmp_path):
+    """End-to-end streaming ingest into a snapshot table: one commit
+    per micro-batch, the final table is the union of all batches, a
+    restart with the same checkpoint and no new input publishes
+    nothing, and late input appends only itself."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        latest_version, read_snapshot,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        snapshot_append_stream,
+    )
+    schema = "id long, day string, val double"
+    src = str(tmp_path / "in")
+    for k in range(3):
+        spark.createDataFrame([(k * 10 + i, f"d{i % 2}", float(k))
+                               for i in range(4)], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    q = snapshot_append_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        path=path, partition_cols=["day"], checkpoint_dir=ckpt)
+    q.awaitTermination(180)
+    assert read_snapshot(spark, path).count() == 12
+    v_after = latest_version(spark, path)
+    assert v_after == 2, "one commit per micro-batch"
+
+    # restart on the same checkpoint with nothing new: no commit
+    q2 = snapshot_append_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        path=path, partition_cols=["day"], checkpoint_dir=ckpt)
+    q2.awaitTermination(180)
+    assert latest_version(spark, path) == v_after
+
+    # one late file: exactly one more commit, only its rows added
+    spark.createDataFrame([(100, "d0", 9.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q3 = snapshot_append_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        path=path, partition_cols=["day"], checkpoint_dir=ckpt)
+    q3.awaitTermination(180)
+    assert latest_version(spark, path) == v_after + 1
+    assert read_snapshot(spark, path).count() == 13
