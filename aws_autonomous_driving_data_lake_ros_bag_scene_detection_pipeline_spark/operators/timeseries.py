@@ -355,6 +355,15 @@ def running_agg(df: DataFrame, keys: list[str], order_col: str,
        fold with ``least``/``greatest`` (null offset for a key's first
        chunk is the identity).
 
+    Float caveat: the chunked plan REASSOCIATES floating-point ``sum``
+    (intra-chunk partials accumulate in partition order, the offset
+    fold in chunk order), so a float running sum agrees with the
+    single-window plan only to within a few ULP — not bit-exact.
+    ``count``/``min``/``max``/``last`` and integer/decimal sums are
+    exactly associative and identical under both plans; pin those (as
+    the q_window_running gate does with ``running_n``) when bit
+    equality matters, or use decimals for exact money sums.
+
     Pick ``w`` so a hot key's densest window fits a task (e.g. one
     hour of a bot's events), the same sizing judgement as
     ``downsample_cascade`` resolutions. ``order_col`` must be numeric

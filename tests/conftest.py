@@ -19,10 +19,16 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.session import get_spark
 
-    spark = get_spark("tests", shuffle_partitions=8)
+    # Hermetic warehouse: saveAsTable fails with LOCATION_ALREADY_EXISTS
+    # when a killed prior session leaves ./spark-warehouse/<table> behind
+    # (the test's `finally` drop never ran). A per-session tmp warehouse
+    # means stale residue from any previous run can't poison this one.
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
+    spark = get_spark("tests", shuffle_partitions=8,
+                      extra_conf={"spark.sql.warehouse.dir": str(warehouse)})
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
     spark.stop()

@@ -8,6 +8,8 @@ single rows, duplicate timestamps) that example tests miss.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -518,7 +520,13 @@ def test_running_agg_chunked_equivalence_property(mk_df, rows, width):
     """For ANY event set (ties, nulls, negative-free ints as order) and
     ANY chunk width, the two-phase plan equals the single-window plan
     on every monotone aggregation — 'last' included when the order is
-    unique per key (dedupe (k,t) first, the documented contract)."""
+    unique per key (dedupe (k,t) first, the documented contract).
+
+    The float running sum ``rs`` is compared with isclose tolerance,
+    not ``==``: the chunked plan reassociates float addition (the
+    documented within-ULP contract in running_agg's docstring), and
+    hypothesis did find a genuine last-ULP divergence under bit-exact
+    comparison. count/min/max/last stay exactly equal."""
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import running_agg
 
     df = mk_df(rows).groupBy("k", "t").agg(F.max("v").alias("v"))
@@ -531,8 +539,18 @@ def test_running_agg_chunked_equivalence_property(mk_df, rows, width):
                         r.locf) for r in d.collect()),
                       key=lambda x: (x[0], x[1]))
 
-    assert snap(running_agg(df, ["k"], "t", aggs, chunk_width=width)) \
-        == snap(running_agg(df, ["k"], "t", aggs))
+    chunked = snap(running_agg(df, ["k"], "t", aggs, chunk_width=width))
+    plain = snap(running_agg(df, ["k"], "t", aggs))
+    assert len(chunked) == len(plain)
+    for c, p in zip(chunked, plain):
+        # exact for key/order/value and the exactly-associative aggs
+        assert c[:3] == p[:3] and c[4:] == p[4:], (c, p)
+        # float running sum: within-ULP, not bit-exact (reassociation)
+        cs, ps = c[3], p[3]
+        if cs is None or ps is None:
+            assert cs == ps, (c, p)
+        else:
+            assert math.isclose(cs, ps, rel_tol=1e-12, abs_tol=1e-9), (c, p)
 
 
 def _anomaly_oracle(series, n, min_points):
