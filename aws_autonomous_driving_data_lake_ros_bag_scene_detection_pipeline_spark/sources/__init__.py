@@ -1,5 +1,6 @@
 from .snapshots import (
-    CommitStrategy, ConcurrentCommit, LockFileCommit, RenameCommit,
+    CommitStrategy, ConcurrentCommit, ConditionalPutCommit,
+    LockFileCommit, RenameCommit,
     latest_version, read_snapshot, set_commit_strategy, snapshot_append,
     snapshot_compact, snapshot_delete, snapshot_prune, snapshot_rollback,
     snapshot_scan, snapshot_upsert, snapshot_write,
@@ -17,6 +18,7 @@ from .tables import (
 
 __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "TPCH_TABLES", "CommitStrategy", "ConcurrentCommit",
+           "ConditionalPutCommit",
            "InPlaceMaintenanceWarning",
            "LockFileCommit", "RenameCommit", "set_commit_strategy",
            "compact_files",

@@ -33,14 +33,14 @@ from plain parquet + one manifest file:
 
   **Failure matrix** (which strategy is safe where):
 
-  ========================  ==============  ==================
-  store                     RenameCommit    LockFileCommit
-  ========================  ==============  ==================
-  HDFS                      safe            safe
-  LocalFileSystem (POSIX)   safe            safe
-  RawLocalFileSystem        UNSAFE [1]_     safe
-  S3A (S3 proper)           UNSAFE [2]_     UNSAFE [2]_
-  ========================  ==============  ==================
+  ========================  ==============  ==============  ====================
+  store                     RenameCommit    LockFileCommit  ConditionalPutCommit
+  ========================  ==============  ==============  ====================
+  HDFS                      safe            safe            n/a [3]_
+  LocalFileSystem (POSIX)   safe            safe            n/a [3]_
+  RawLocalFileSystem        UNSAFE [1]_     safe            n/a [3]_
+  S3A (S3 proper)           UNSAFE [2]_     UNSAFE [2]_     safe
+  ========================  ==============  ==============  ====================
 
   .. [1] rename() silently overwrites an existing destination, so the
      one-winner guarantee degrades to last-writer-wins — use
@@ -48,11 +48,16 @@ from plain parquet + one manifest file:
      overwrite=false)`` (exclusive create), with the version-existence
      check serialized under the lock.
   .. [2] S3 rename is copy+delete and exclusive-create is emulated
-     with a HEAD-then-PUT race; neither strategy's CAS holds. Front
-     the MANIFEST DIRECTORY (tiny — the data files are fine on S3)
-     with HDFS/EFS, or plug in a :class:`CommitStrategy` backed by a
-     real conditional primitive (S3 conditional PUT / a DynamoDB
-     lock — the adapter surface is the one ``publish`` method).
+     with a HEAD-then-PUT race; neither strategy's CAS holds. Use
+     :class:`ConditionalPutCommit` (r8): its CAS is the store's OWN
+     conditional primitive (S3 ``If-None-Match: *`` PUT, GCS
+     ``ifGenerationMatch=0``, Azure ``If-None-Match``), so the
+     manifest publish is one atomic service-side create-if-absent —
+     no rename, no lock file. Alternatively front the MANIFEST
+     DIRECTORY (tiny — the data files are fine on S3) with HDFS/EFS.
+  .. [3] works (the test shim proves it over local files) but
+     pointless where rename/exclusive-create are already sound —
+     it exists for stores where they aren't.
 - **Readers are isolated**: :func:`read_snapshot` pins the file list
   at resolve time, so a query keeps reading its version's files even
   if newer versions commit mid-query; files stay on disk until
@@ -215,6 +220,36 @@ class RenameCommit(CommitStrategy):
                 f"writer; reload and retry")
 
 
+#: Java exception classes that mean "destination already exists" for
+#: an exclusive create, walked through the cause chain. Class-based
+#: classification (not message substrings): Hadoop filesystems word
+#: their messages differently, so a real FileAlreadyExists with
+#: unusual text must still read as contention, and an unrelated
+#: IOException that merely MENTIONS "exists" must not.
+_EXISTS_EXC_CLASSES = frozenset((
+    "org.apache.hadoop.fs.FileAlreadyExistsException",
+    "org.apache.hadoop.fs.PathExistsException",
+    "java.nio.file.FileAlreadyExistsException",
+))
+
+
+def _is_exists_error(e: BaseException) -> bool:
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        seen = 0
+        while je is not None and seen < 16:
+            try:
+                if je.getClass().getName() in _EXISTS_EXC_CLASSES:
+                    return True
+                je = je.getCause()
+            except Exception:  # noqa: BLE001 — dead gateway mid-walk
+                break
+            seen += 1
+        return False
+    # non-py4j path (pure-Python filesystem shims in tests)
+    return isinstance(e, FileExistsError)
+
+
 class LockFileCommit(CommitStrategy):
     """For stores whose rename overwrites but whose
     ``create(path, overwrite=false)`` is a real exclusive create
@@ -226,7 +261,24 @@ class LockFileCommit(CommitStrategy):
     ``lock_timeout_seconds`` are broken (set it above the worst-case
     manifest write — the guarded section writes one small JSON, not
     data files, so seconds suffice; breaking is itself an exclusive
-    create on a takeover marker so two breakers can't both win)."""
+    create on a takeover marker so two breakers can't both win, and
+    the marker has the SAME age-based expiry so a breaker that
+    crashes between creating and deleting it can't wedge stale-lock
+    recovery forever).
+
+    Fencing (r8): every acquisition writes a unique token into the
+    lock file, and ``publish`` re-verifies BOTH (a) the lock still
+    holds our token and (b) ``<version>.json`` is still absent,
+    immediately before the rename — so a holder stalled past
+    ``lock_timeout_seconds`` (GC pause, NFS stall) whose lock was
+    broken aborts with :class:`ConcurrentCommit` instead of renaming
+    over the successor's already-published manifest. Release is
+    likewise conditional on still owning the token (deleting a
+    broken-and-reacquired lock would unlock the successor
+    mid-publish). The residual window is the single rename call — the
+    irreducible cost of emulating CAS on these stores; use
+    :class:`ConditionalPutCommit` where a real conditional primitive
+    exists."""
 
     def __init__(self, lock_timeout_seconds: float = 300.0):
         if lock_timeout_seconds <= 0:
@@ -236,62 +288,169 @@ class LockFileCommit(CommitStrategy):
     def _rename(self, fs, src, dst) -> bool:
         return bool(fs.rename(src, dst))
 
-    def _try_create(self, spark, path: str) -> bool:
+    def _try_create(self, spark, path: str, text: str) -> bool:
         """Exclusive create; False if the path already exists."""
         try:
-            _write_text(spark, path, uuid.uuid4().hex)
+            _write_text(spark, path, text)
             return True
         except Exception as e:  # noqa: BLE001 — py4j wraps the Java
-            if "exists" in str(e).lower():
+            if _is_exists_error(e):
                 return False
             raise
 
-    def _acquire(self, spark, fs, jvm, mdir: str) -> str:
+    def _age_ms(self, fs, jvm, path: str) -> float:
         import time
+        try:
+            return (time.time() * 1000.0
+                    - fs.getFileStatus(
+                        jvm.org.apache.hadoop.fs.Path(path))
+                    .getModificationTime())
+        except Exception:  # noqa: BLE001 — released between probes
+            return 0.0
+
+    def _owns(self, spark, fs, jvm, lock: str, token: str) -> bool:
+        try:
+            jlock = jvm.org.apache.hadoop.fs.Path(lock)
+            return (fs.exists(jlock)
+                    and _read_text(spark, lock) == token)
+        except Exception:  # noqa: BLE001 — deleted between probes
+            return False
+
+    def _acquire(self, spark, fs, jvm, mdir: str) -> tuple[str, str]:
         lock = f"{mdir}/.commit-lock"
         jlock = jvm.org.apache.hadoop.fs.Path(lock)
-        if self._try_create(spark, lock):
-            return lock
-        try:
-            age_ms = (time.time() * 1000.0
-                      - fs.getFileStatus(jlock).getModificationTime())
-        except Exception:  # noqa: BLE001 — lock released between probes
-            age_ms = 0.0
-        if age_ms > self.lock_timeout_seconds * 1000.0:
+        token = uuid.uuid4().hex
+        if self._try_create(spark, lock, token):
+            return lock, token
+        timeout_ms = self.lock_timeout_seconds * 1000.0
+        if self._age_ms(fs, jvm, lock) > timeout_ms:
             # break the stale lock via a takeover marker (exclusive
             # create — one breaker wins), then delete lock + marker
             # and retry the normal acquisition once
             marker = f"{lock}.takeover"
-            if self._try_create(spark, marker):
-                fs.delete(jlock, False)
-                fs.delete(jvm.org.apache.hadoop.fs.Path(marker), False)
-                if self._try_create(spark, lock):
-                    return lock
+            jmarker = jvm.org.apache.hadoop.fs.Path(marker)
+            got_marker = self._try_create(spark, marker, token)
+            if not got_marker and self._age_ms(fs, jvm, marker) > timeout_ms:
+                # a breaker crashed between creating and deleting the
+                # marker; expire it by age so recovery isn't wedged
+                # forever, then contend for the takeover again
+                fs.delete(jmarker, False)
+                got_marker = self._try_create(spark, marker, token)
+            if got_marker:
+                try:
+                    fs.delete(jlock, False)
+                finally:
+                    fs.delete(jmarker, False)
+                if self._try_create(spark, lock, token):
+                    return lock, token
         raise ConcurrentCommit(
             f"commit lock {lock} is held by another writer; retry")
+
+    def _publish_under_lock(self, spark, fs, jvm, mdir: str,
+                            version: int, manifest: dict,
+                            lock: str, token: str) -> None:
+        dst = jvm.org.apache.hadoop.fs.Path(f"{mdir}/{version}.json")
+        if fs.exists(dst):
+            raise ConcurrentCommit(
+                f"version {version} was published by another writer; "
+                f"reload and retry")
+        tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+        _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        # fencing: last-moment ownership + absence re-check (see class
+        # docstring) — a stalled holder must lose here, not overwrite
+        if not self._owns(spark, fs, jvm, lock, token) \
+                or fs.exists(dst):
+            fs.delete(src, False)
+            raise ConcurrentCommit(
+                f"commit lock for version {version} was broken while "
+                f"stalled (held past lock_timeout_seconds="
+                f"{self.lock_timeout_seconds}); nothing published — "
+                f"reload and retry")
+        if not self._rename(fs, src, dst):
+            fs.delete(src, False)
+            raise RuntimeError(
+                f"failed to publish manifest {version}.json")
 
     def publish(self, spark: SparkSession, path: str, version: int,
                 manifest: dict) -> None:
         jvm, fs, _ = _fs(spark, path)
         mdir = f"{path}/{_MANIFEST_DIR}"
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
-        lock = self._acquire(spark, fs, jvm, mdir)
-        jlock = jvm.org.apache.hadoop.fs.Path(lock)
+        lock, token = self._acquire(spark, fs, jvm, mdir)
         try:
-            dst = jvm.org.apache.hadoop.fs.Path(f"{mdir}/{version}.json")
-            if fs.exists(dst):
-                raise ConcurrentCommit(
-                    f"version {version} of {path} was published by "
-                    f"another writer; reload and retry")
-            tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
-            _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
-            src = jvm.org.apache.hadoop.fs.Path(tmp)
-            if not self._rename(fs, src, dst):
-                fs.delete(src, False)
-                raise RuntimeError(
-                    f"failed to publish manifest {version}.json")
+            self._publish_under_lock(spark, fs, jvm, mdir, version,
+                                     manifest, lock, token)
         finally:
-            fs.delete(jlock, False)
+            try:
+                if self._owns(spark, fs, jvm, lock, token):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(lock),
+                              False)
+            except Exception:  # noqa: BLE001 — release is best-effort
+                pass
+
+
+class ConditionalPutCommit(CommitStrategy):
+    """For object stores with a REAL atomic create-if-absent
+    primitive — S3 conditional PUT (``If-None-Match: *``), GCS
+    ``ifGenerationMatch=0``, Azure Blob ``If-None-Match: *``. This is
+    the strategy for S3 proper, the failure matrix's [2] row, where
+    rename is copy+delete (overwrites) AND exclusive create is a
+    HEAD-then-PUT race — the one combination that defeats both
+    :class:`RenameCommit` and :class:`LockFileCommit`.
+
+    ``publish`` is ONE conditional PUT of the final
+    ``<version>.json`` body. The service-side precondition IS the
+    CAS, so there is no temp file, no rename, and no lock file — the
+    two unreliable primitives simply aren't used. Exactly one writer
+    per version gets ``201``; every loser gets a precondition
+    failure, surfaced as :class:`ConcurrentCommit`. Crash-safety is
+    trivial: the PUT either happened atomically or it didn't.
+
+    The byte transport is injected: ``put_if_absent(path, body) ->
+    bool`` (True = created; False = the key already exists /
+    precondition failed; transport errors raise). A boto3 adapter is
+    a few lines::
+
+        def s3_put_if_absent(path, body):
+            bucket, key = path[len("s3a://"):].split("/", 1)
+            try:
+                boto3.client("s3").put_object(
+                    Bucket=bucket, Key=key,
+                    Body=body.encode("utf-8"), IfNoneMatch="*")
+                return True
+            except botocore.exceptions.ClientError as e:
+                code = e.response["ResponseMetadata"]["HTTPStatusCode"]
+                if code in (412, 409):   # PreconditionFailed / racing
+                    return False
+                raise
+
+    (documentation, not shipped code — this environment has no cloud
+    SDK; tests/test_snapshots.py exercises the strategy against an
+    object-store shim with overwriting renames and non-exclusive
+    creates where only the conditional-PUT endpoint is atomic, and
+    shows the other two strategies silently lose a committed version
+    there while this one keeps exactly one winner.)"""
+
+    def __init__(self, put_if_absent):
+        if not callable(put_if_absent):
+            raise TypeError(
+                "put_if_absent must be a callable(path, body) -> bool")
+        self.put_if_absent = put_if_absent
+
+    def publish(self, spark: SparkSession, path: str, version: int,
+                manifest: dict) -> None:
+        jvm, fs, _ = _fs(spark, path)
+        mdir = f"{path}/{_MANIFEST_DIR}"
+        # directory creation is a no-op on keyed object stores; needed
+        # for the filesystem-backed test shim and mixed deployments
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
+        if not self.put_if_absent(f"{mdir}/{version}.json",
+                                  json.dumps(manifest, sort_keys=True)):
+            raise ConcurrentCommit(
+                f"version {version} of {path} was published by another "
+                f"writer (conditional PUT precondition failed); reload "
+                f"and retry")
 
 
 #: module default — swap with :func:`set_commit_strategy` when the
@@ -718,7 +877,13 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
     manifest IS the schema authority). ``partition_cols`` defaults to
     the table's; on a brand-new table it (and optionally
     ``stats_cols``) must be supplied and the call degenerates to
-    :func:`snapshot_write`. Returns the committed version.
+    :func:`snapshot_write`. ``stats_cols`` distinguishes None (keep
+    the table's recorded stats columns) from ``[]`` (explicitly
+    disable zone-map stats from this commit on); under
+    ``schema_evolution=True`` a recorded stats column legitimately
+    absent from this batch is skipped, not raised on — its files
+    simply carry no stats and stay un-prunable on that column.
+    Returns the committed version.
 
     ``source_batch=(source, batch_id)`` makes the append EXACTLY-ONCE
     under replay: the manifest records the highest batch_id applied
@@ -768,12 +933,24 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
     else:
         merged_schema = df.schema
 
+    # None = inherit the table's stats columns; [] = explicit disable
+    # (`or` would conflate the two, making stats impossible to turn
+    # off once enabled)
+    eff_stats = stats_cols if stats_cols is not None \
+        else (m.get("stats_cols") or [])
+    if schema_evolution:
+        # a recorded stats column absent from this batch is a legal
+        # schema-evolution drop: record no stats for it rather than
+        # failing the append (entries without stats are never pruned)
+        write_stats = [c for c in eff_stats if c in df.columns]
+    else:
+        write_stats = eff_stats
     new_entries = _write_data_files(spark, path, df, part_cols,
-                                    stats_cols or m.get("stats_cols"))
+                                    write_stats)
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": part_cols,
         "schema": merged_schema.json(),
-        "stats_cols": stats_cols or m.get("stats_cols"),
+        "stats_cols": eff_stats or None,
         "append_sources": srcs or None,
         **_build_file_refs(spark, path, m, set(), new_entries)})
     return prev + 1

@@ -549,6 +549,277 @@ def test_lockfile_commit_breaks_stale_lock_and_respects_fresh_one(
     assert not os.path.exists(f"{mdir}/1.json")
 
 
+def test_lockfile_takeover_marker_expires_after_crashed_breaker(
+        spark, tmp_path):
+    """A breaker that crashed between creating and deleting its
+    .takeover marker must not wedge stale-lock recovery forever: the
+    marker has the same age-based expiry as the lock, so a later
+    writer expires it, completes the takeover, and publishes."""
+    import time
+    path = str(tmp_path / "tbl")
+    mdir = f"{path}/_manifests"
+    os.makedirs(mdir)
+    old = time.time() - 3600
+    lock = f"{mdir}/.commit-lock"
+    marker = f"{lock}.takeover"
+    open(lock, "w").write("crashed-writer")
+    open(marker, "w").write("crashed-breaker")
+    os.utime(lock, (old, old))
+    os.utime(marker, (old, old))
+    snapmod.LockFileCommit(lock_timeout_seconds=60).publish(
+        spark, path, 0, {"version": 0, "partition_cols": [],
+                         "schema": None, "files": []})
+    assert os.path.exists(f"{mdir}/0.json")
+    assert not os.path.exists(lock) and not os.path.exists(marker)
+
+    # a FRESH marker (live breaker mid-takeover) is respected
+    open(lock, "w").write("crashed-writer")
+    os.utime(lock, (old, old))
+    open(marker, "w").write("live-breaker")
+    with pytest.raises(ConcurrentCommit):
+        snapmod.LockFileCommit(lock_timeout_seconds=60).publish(
+            spark, path, 1, {"version": 1, "partition_cols": [],
+                             "schema": None, "files": []})
+    assert not os.path.exists(f"{mdir}/1.json")
+    assert os.path.exists(marker)
+
+
+def test_lockfile_fencing_stalled_holder_cannot_clobber_successor(
+        spark, tmp_path):
+    """ADVICE r7 (medium): a holder stalled past lock_timeout_seconds
+    whose lock was broken must NOT rename its manifest over the
+    successor's state. The token fence catches both shapes: (a) the
+    successor already RELEASED (lock gone) and published our version
+    — the absence re-check fires; (b) the successor still HOLDS the
+    lock (different token) — the ownership re-check fires, and our
+    conditional release leaves the successor's lock in place."""
+    path = str(tmp_path / "tbl")
+    mdir = f"{path}/_manifests"
+
+    class _StallsThenResumes(snapmod.LockFileCommit):
+        """Simulates the GC/NFS stall INSIDE the guarded section: by
+        the time this holder reaches its rename, a breaker has expired
+        its lock and published the same version."""
+
+        def _publish_under_lock(self, spark_, fs, jvm, mdir_, version,
+                                manifest, lock, token):
+            import time
+            old = time.time() - 3600
+            os.utime(lock, (old, old))
+            snapmod.LockFileCommit(lock_timeout_seconds=60).publish(
+                spark_, path, version,
+                {"version": version, "partition_cols": [],
+                 "schema": None, "files": [], "writer": "successor"})
+            return super()._publish_under_lock(
+                spark_, fs, jvm, mdir_, version, manifest, lock, token)
+
+    with pytest.raises(ConcurrentCommit):
+        _StallsThenResumes(lock_timeout_seconds=60).publish(
+            spark, path, 0, {"version": 0, "partition_cols": [],
+                             "schema": None, "files": [],
+                             "writer": "stalled-holder"})
+    m = json.loads(open(f"{mdir}/0.json").read())
+    assert m["writer"] == "successor"          # not clobbered
+
+    # shape (b): successor still holds the lock when we resume
+    path2 = str(tmp_path / "tbl2")
+    mdir2 = f"{path2}/_manifests"
+    live = snapmod.LockFileCommit(lock_timeout_seconds=60)
+
+    class _StallsUnderLiveSuccessor(snapmod.LockFileCommit):
+        def _publish_under_lock(self, spark_, fs, jvm, mdir_, version,
+                                manifest, lock, token):
+            import time
+            old = time.time() - 3600
+            os.utime(lock, (old, old))
+            # successor breaks the stale lock and HOLDS it (no release
+            # yet — mid-publish), publishing a different version
+            self.successor = live._acquire(spark_, fs, jvm, mdir_)
+            return super()._publish_under_lock(
+                spark_, fs, jvm, mdir_, version, manifest, lock, token)
+
+    strat = _StallsUnderLiveSuccessor(lock_timeout_seconds=60)
+    with pytest.raises(ConcurrentCommit):
+        strat.publish(spark, path2, 0,
+                      {"version": 0, "partition_cols": [],
+                       "schema": None, "files": []})
+    assert not os.path.exists(f"{mdir2}/0.json")
+    # the stalled holder's conditional release left the successor's
+    # lock (and token) intact — it did not unlock a live writer
+    _, succ_token = strat.successor
+    assert open(f"{mdir2}/.commit-lock").read() == succ_token
+
+
+def test_exists_error_classification_is_class_based():
+    """ADVICE r7 (low): FileAlreadyExists is recognized by Java
+    exception CLASS through the cause chain, not message wording —
+    unusual wording still reads as contention, and an unrelated error
+    that merely mentions 'exists' does not."""
+
+    class _JCls:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JExc:
+        def __init__(self, name, cause=None):
+            self._cls, self._cause = _JCls(name), cause
+
+        def getClass(self):
+            return self._cls
+
+        def getCause(self):
+            return self._cause
+
+    class _Py4JError(Exception):
+        def __init__(self, je):
+            super().__init__("An error occurred while calling o1.create")
+            self.java_exception = je
+
+    direct = _Py4JError(_JExc(
+        "org.apache.hadoop.fs.FileAlreadyExistsException"))
+    wrapped = _Py4JError(_JExc(
+        "java.io.IOException",
+        cause=_JExc("java.nio.file.FileAlreadyExistsException")))
+    misleading = _Py4JError(_JExc(
+        "java.io.IOException"))   # suppose its message said "exists"
+    assert snapmod._is_exists_error(direct)
+    assert snapmod._is_exists_error(wrapped)
+    assert not snapmod._is_exists_error(misleading)
+    assert snapmod._is_exists_error(FileExistsError("shim"))
+    assert not snapmod._is_exists_error(
+        RuntimeError("checking whether path exists failed"))
+
+
+# ---------------------------------------------------------------------------
+# ConditionalPutCommit (r8): the S3-proper strategy — the CAS is the
+# store's own atomic create-if-absent, exercised against a shim where
+# BOTH filesystem primitives are unsafe (rename overwrites, create is
+# HEAD-then-PUT) and only the conditional-PUT endpoint is atomic.
+# ---------------------------------------------------------------------------
+
+
+def _atomic_put_if_absent(path, body):
+    """The service-side primitive, modeled locally with O_EXCL (on S3
+    this is the `If-None-Match: *` PUT — atomic at the service)."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(body)
+    return True
+
+
+def test_conditional_put_commit_end_to_end(spark, tmp_path,
+                                           _strategy_guard):
+    """The full upsert/delete/read flow under ConditionalPutCommit:
+    every semantic holds, a same-version double publish yields one
+    winner + ConcurrentCommit, and a transport failure mid-commit
+    leaves the previous version fully readable (no temp/lock residue
+    exists to leak — the strategy writes exactly one object)."""
+    snapmod.set_commit_strategy(
+        snapmod.ConditionalPutCommit(_atomic_put_if_absent))
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")],
+        "id long, day string, v string"), partition_cols=["day"])
+    snapshot_upsert(spark, path, spark.createDataFrame(
+        [(2, "d2", "B"), (3, "d2", "c")],
+        "id long, day string, v string"), ["id"],
+        partition_cols=["day"])
+    snapshot_delete(spark, path,
+                    spark.createDataFrame([(1,)], "id long"), ["id"],
+                    partition_cols=["day"])
+    assert _rows(read_snapshot(spark, path).select("id", "v")) == {
+        (2, "B"), (3, "c")}
+    with pytest.raises(ConcurrentCommit):
+        snapmod._commit_manifest(spark, path, 2, {
+            "version": 2, "partition_cols": ["day"], "schema": None,
+            "files": []})
+
+    def _broken_transport(p, body):
+        raise IOError("503 SlowDown")
+
+    snapmod.set_commit_strategy(
+        snapmod.ConditionalPutCommit(_broken_transport))
+    before = _rows(read_snapshot(spark, path).select("id", "v"))
+    with pytest.raises(IOError):
+        snapshot_upsert(spark, path, spark.createDataFrame(
+            [(9, "d2", "z")], "id long, day string, v string"),
+            ["id"], partition_cols=["day"])
+    assert latest_version(spark, path) == 2
+    assert _rows(read_snapshot(spark, path).select("id", "v")) == before
+
+
+def test_conditional_put_single_winner_where_both_primitives_fail(
+        spark, tmp_path, _strategy_guard):
+    """The failure matrix's S3 row, reproduced then fixed. On a store
+    whose rename overwrites AND whose exclusive create is a
+    HEAD-then-PUT race: (a) LockFileCommit loses a committed version
+    when the competitor lands in its irreducible rename window —
+    documented-unsafe, the reason [2] exists; (b) ConditionalPutCommit
+    under the SAME adversarial interleave keeps exactly one winner,
+    because the competitor's publish makes OUR conditional PUT fail
+    atomically."""
+    path = str(tmp_path / "tbl")
+
+    class _HeadThenPutLock(snapmod.LockFileCommit):
+        """Object-store shim: non-exclusive create (HEAD then PUT),
+        overwriting rename, competitor publishes inside the window."""
+        raced = False
+
+        def _try_create(self, spark_, path_, text) -> bool:
+            if os.path.exists(path_):           # HEAD
+                return False
+            os.makedirs(os.path.dirname(path_), exist_ok=True)
+            open(path_, "w").write(text)        # PUT (not atomic)
+            return True
+
+        def _rename(self, fs, src, dst) -> bool:
+            if not _HeadThenPutLock.raced:
+                _HeadThenPutLock.raced = True
+                # competitor commits the same version NOW — inside the
+                # post-fence window no lock emulation can close
+                _atomic_put_if_absent(
+                    dst.toUri().getPath(),
+                    json.dumps({"version": 1, "partition_cols": [],
+                                "schema": None, "files": [],
+                                "writer": "competitor"}))
+            if fs.exists(dst):
+                fs.delete(dst, False)           # rename overwrites
+            return bool(fs.rename(src, dst))
+
+    _HeadThenPutLock().publish(spark, path, 1, {
+        "version": 1, "partition_cols": [], "schema": None,
+        "files": [], "writer": "lock-believer"})
+    m = json.loads(open(f"{path}/_manifests/1.json").read())
+    # documented data loss: the competitor's committed version is gone
+    assert m["writer"] == "lock-believer"
+
+    # same interleave through the conditional primitive: one winner
+    path2 = str(tmp_path / "tbl2")
+    state = {"raced": False}
+
+    def _racing_put(p, body):
+        if not state["raced"]:
+            state["raced"] = True
+            assert _atomic_put_if_absent(p, json.dumps(
+                {"version": 1, "partition_cols": [], "schema": None,
+                 "files": [], "writer": "competitor"}))
+        return _atomic_put_if_absent(p, body)
+
+    with pytest.raises(ConcurrentCommit):
+        snapmod.ConditionalPutCommit(_racing_put).publish(
+            spark, path2, 1, {"version": 1, "partition_cols": [],
+                              "schema": None, "files": [],
+                              "writer": "loser"})
+    m2 = json.loads(open(f"{path2}/_manifests/1.json").read())
+    assert m2["writer"] == "competitor"        # winner survived
+
+
 # ---------------------------------------------------------------------------
 # Metadata scaling (r7): _latest_hint pointer + manifest segments.
 # ---------------------------------------------------------------------------
@@ -903,3 +1174,62 @@ def test_zone_maps_not_cross_wired_across_partitions(spark, tmp_path):
         "cross-wired zone maps would prune grp=a files"
     got2 = snapshot_scan(spark, path, [("id", ">=", 150)])
     assert _rows(got2.select("id")) == {(i,) for i in range(150, 200)}
+
+
+def test_append_stats_cols_empty_list_disables(spark, tmp_path):
+    """ADVICE r7 (low): `stats_cols=[]` must be an explicit disable,
+    distinct from None (= inherit the table's recorded stats cols) —
+    `or`-folding the two made stats impossible to turn off."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_append
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(1, "d1", 10.0)], "id long, day string, v double"),
+        partition_cols=["day"], stats_cols=["v"])
+    # None inherits: the appended files carry v stats
+    v1 = snapshot_append(spark, path, spark.createDataFrame(
+        [(2, "d1", 20.0)], "id long, day string, v double"))
+    m1 = snapmod._load_manifest(spark, path, v1)
+    assert m1["stats_cols"] == ["v"]
+    assert all("stats" in e and "v" in e["stats"]
+               for e in snapmod._manifest_entries(spark, path, m1))
+    # [] disables from this commit on
+    v2 = snapshot_append(spark, path, spark.createDataFrame(
+        [(3, "d1", 30.0)], "id long, day string, v double"),
+        stats_cols=[])
+    m2 = snapmod._load_manifest(spark, path, v2)
+    assert m2["stats_cols"] is None
+    v3 = snapshot_append(spark, path, spark.createDataFrame(
+        [(4, "d1", 40.0)], "id long, day string, v double"))
+    m3 = snapmod._load_manifest(spark, path, v3)
+    assert m3["stats_cols"] is None          # stays off
+    assert read_snapshot(spark, path).count() == 4
+
+
+def test_append_schema_evolution_skips_absent_stats_col(spark,
+                                                        tmp_path):
+    """A batch that legitimately drops a stats column under
+    schema_evolution=True must append (recording no stats for it),
+    not raise — and files without stats are never pruned."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_append, snapshot_scan,
+    )
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(1, "d1", 10.0)], "id long, day string, v double"),
+        partition_cols=["day"], stats_cols=["v"])
+    v1 = snapshot_append(spark, path, spark.createDataFrame(
+        [(2, "d1")], "id long, day string"), schema_evolution=True)
+    m1 = snapmod._load_manifest(spark, path, v1)
+    assert m1["stats_cols"] == ["v"]         # contract kept
+    entries = snapmod._manifest_entries(spark, path, m1)
+    assert any("v" in (e.get("stats") or {}) for e in entries)
+    assert any("v" not in (e.get("stats") or {}) for e in entries)
+    # without schema_evolution the same drop still raises (drift gate)
+    with pytest.raises(ValueError):
+        snapshot_append(spark, path, spark.createDataFrame(
+            [(3, "d1")], "id long, day string"))
+    # the stats-less file survives a v-predicate scan (id=2 has v NULL)
+    got = snapshot_scan(spark, path, [("v", ">=", 0.0)])
+    assert _rows(got.select("id")) == {(1,)}
+    assert _rows(read_snapshot(spark, path).select("id")) == {(1,),
+                                                              (2,)}
