@@ -45,8 +45,10 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
     gopher_keep, gopher_rules,
-    hash64, lang_id, pii_count, pii_redact, punct_ratio,
-    quality_score, stopword_ratio, subword_count, token_count, tokens,
+    hash64, lang_id, make_subword_tokenizer, pii_count, pii_redact,
+    punct_ratio,
+    quality_score, stopword_ratio, subword_count, subword_vocab_sql,
+    token_count, tokens,
 )
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sampling import (
     reservoir_sample_sql,
@@ -1465,31 +1467,86 @@ from sh s left join hits h on h.doc_id = s.doc_id
 """
 
 
+#: pinned piece vocabulary for the gate's exact-subword-count branch:
+#: all single [a-z0-9] chars (so segmentation never hits the unknown
+#: fallback on this corpus) + common English merges. The SAME literal
+#: drives the Spark applier and the DuckDB recursive-CTE oracle.
+import string as _string  # noqa: E402
+
+BPE_PINNED_PIECES = sorted(set(
+    list(_string.ascii_lowercase + _string.digits)
+    + ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+       "the", "ing", "and", "ion", "ent", "ati", "for", "ter"]))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-token-window chunking with overlap (128-token chunks,
     stride 96) — the pretraining/RAG document splitter
-    (operators/sampling.chunk_documents). chunk_text is fingerprinted
+    (operators/sampling.chunk_documents); chunk_text is fingerprinted
     so the gate verifies the exact reconstructed windows without
-    shipping them."""
+    shipping them. PLUS (r8 fold) tokenizer-ACCURATE per-document
+    subword counts from the pinned vocab artifact
+    (functions/bpe.make_subword_tokenizer — greedy longest-prefix
+    match, Arrow UDF): the 'bpe' branch's counts must hash-match an
+    independent DuckDB recursive-CTE segmentation over the same
+    vocab, proving the applier exact, not proxy."""
     docs = _spread(_t("documents")(spark, sf_dir))
-    ch = chunk_documents(docs, "doc_id", "text",
-                         chunk_tokens=128, overlap=32)
-    return ch.select("doc_id", "chunk_idx", "n_tokens",
-                     hash64(F.col("chunk_text")).alias("chunk_fp"))
+    ch = (chunk_documents(docs, "doc_id", "text",
+                          chunk_tokens=128, overlap=32)
+          .select(F.lit("chunk").alias("kind"),
+                  "doc_id", "chunk_idx", "n_tokens",
+                  hash64(F.col("chunk_text")).alias("chunk_fp")))
+    tok = make_subword_tokenizer(BPE_PINNED_PIECES)
+    bpe = docs.select(F.lit("bpe").alias("kind"),
+                      "doc_id",
+                      F.lit(-1).cast("long").alias("chunk_idx"),
+                      tok.count_of("text").alias("n_tokens"),
+                      F.lit(None).cast("bigint").alias("chunk_fp"))
+    return ch.unionByName(bpe)
 
+
+_BPE_V = subword_vocab_sql(BPE_PINNED_PIECES)
+_BPE_BEST = f"""
+      coalesce(
+        case when len(list_filter({_BPE_V}, p -> starts_with(rem, p))) = 0
+             then null
+             else list_reduce(
+                list_filter({_BPE_V}, p -> starts_with(rem, p)),
+                (a, b) -> case when length(b) > length(a)
+                          then b else a end)
+        end,
+        substr(rem, 1, 1))"""
 
 Q_CHUNK_SQL = f"""
-with toks as (select doc_id, {TOKS} as tk from documents),
+with recursive
+toks as (select doc_id, {TOKS} as tk from documents),
 tok as (select doc_id, i - 1 as pos, tk[i] as w
         from toks, unnest(range(1, len(tk) + 1)) as r(i)),
 ch as (select doc_id, pos, w,
          unnest(range(greatest(0, ceil((pos - 127) / 96.0)::BIGINT),
                       (pos // 96) + 1)) as chunk_idx
-       from tok)
-select doc_id, chunk_idx,
+       from tok),
+dw as (select distinct w from tok),
+seg as (
+  select w, w as rem, 0 as n from dw
+  union all
+  select w, substr(rem, length(best) + 1) as rem, n + 1 as n
+  from (select w, rem, n, {_BPE_BEST} as best
+        from seg where rem <> '')
+),
+wc as (select w, max(n) as np from seg where rem = '' group by w)
+select 'chunk' as kind, doc_id, chunk_idx,
   count(*)::BIGINT as n_tokens,
   {HASH64_SQL.format(x="string_agg(w, ' ' order by pos)")} as chunk_fp
 from ch group by doc_id, chunk_idx
+union all
+select 'bpe' as kind, d.doc_id, -1::BIGINT as chunk_idx,
+  coalesce(cnt.n, 0)::BIGINT as n_tokens,
+  NULL::BIGINT as chunk_fp
+from documents d
+left join (select tok.doc_id, sum(wc.np)::BIGINT as n
+           from tok join wc using (w) group by tok.doc_id) cnt
+  using (doc_id)
 """
 
 

@@ -1,3 +1,7 @@
+from .bpe import (
+    SubwordTokenizer, encode_word, make_subword_tokenizer,
+    subword_vocab_sql, train_subword_vocab,
+)
 from .hashing import hash64, hash64_seeded, hash64_seeded_sql, hash64_sql
 from .text import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
@@ -9,6 +13,8 @@ from .text import (
 from .vectors import cosine, dot, l2_distance, norm
 
 __all__ = [
+    "SubwordTokenizer", "encode_word", "make_subword_tokenizer",
+    "subword_vocab_sql", "train_subword_vocab",
     "ENGLISH_STOPWORDS", "LANG_STOPWORDS", "PII_PATTERNS",
     "PII_REDACTION_ORDER", "cosine", "dot", "fingerprint",
     "hash64", "hash64_seeded", "hash64_seeded_sql", "hash64_sql", "l2_distance",

@@ -68,7 +68,8 @@ def hash_sample_sql(key_expr: str, rate: float,
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     chunk_tokens: int = 128,
-                    overlap: int = 32) -> DataFrame:
+                    overlap: int = 32,
+                    token_fn=None) -> DataFrame:
     """Split documents into overlapping fixed-token windows —
     ``(id, chunk_idx, n_tokens, chunk_text)`` — the
     pretraining/RAG chunking step (stride = ``chunk_tokens − overlap``;
@@ -82,13 +83,22 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     with an order-restoring ``sort_array(collect_list(struct))``. The
     token stream is materialized once, every expression around the
     ObjectHashAggregate is codegen, and the only shuffle key is
-    (id, chunk) — skew bounded by the chunk size itself."""
+    (id, chunk) — skew bounded by the chunk size itself.
+
+    ``token_fn`` overrides the tokenization (default
+    ``text.tokens`` — whitespace-ish words): pass a
+    :class:`~..functions.bpe.SubwordTokenizer`'s ``pieces_of`` (or
+    :func:`~..functions.bpe.token_fn`) to budget chunks by EXACT
+    model-tokenizer counts instead of word counts — same relational
+    shape, the explode source is just the pieces array."""
     from ..functions.text import tokens
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    if token_fn is None:
+        token_fn = tokens
     stride = chunk_tokens - overlap
     tok = df.select(F.col(id_col),
-                    F.posexplode(tokens(text_col)).alias("_pos", "_w"))
+                    F.posexplode(token_fn(text_col)).alias("_pos", "_w"))
     k_lo = F.greatest(
         F.lit(0).cast("long"),
         F.ceil((F.col("_pos") - chunk_tokens + 1) / float(stride)).cast("long"))
