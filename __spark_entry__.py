@@ -2158,10 +2158,48 @@ def q_ann_ivf(spark, sf_dir):
     """IVF-flat ANN top-k — the cell-probing scale path alongside
     q_ann_lsh: 16 deterministic data-sampled pivots, corpus assigned by
     L2 argmin, queries probe their 4 nearest cells, exact cosine rank
-    within probed cells. Deterministic codebook ⇒ full DuckDB oracle."""
+    within probed cells. Deterministic codebook ⇒ full DuckDB oracle.
+
+    PLUS (r8 fold) the 'pq' branch: the SAME query through the IVFADC
+    path (operators/similarity.ivf_pq_index/ivf_pq_probe) with a
+    deterministic first-32-ids product-quantization codebook (m=8
+    subspaces x 32 sub-centroids over dim 64): encode the corpus to
+    codes, ADC-score probed cells from the codes + per-query LUT,
+    shortlist 3*k by rounded ADC cosine, exact-cosine re-rank the
+    shortlist. The oracle replays ALL of it relationally (subspace
+    argmin encoding, LUT dots, ADC ranking, re-rank), so the code
+    path that makes the index 8-16x smaller is value-verified, not
+    just recall-tested (tests/test_pq.py covers trained-codebook
+    recall + measured bytes)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        ivf_pq_index, ivf_pq_probe,
+    )
     emb = _spread(_t("embeddings")(spark, sf_dir))
-    return ivf_topk(emb, emb.where("vec_id < 5"), "vec_id", "embedding",
-                    k=10, nlist=16, nprobe=4)
+    flat = (ivf_topk(emb, emb.where("vec_id < 5"), "vec_id",
+                     "embedding", k=10, nlist=16, nprobe=4)
+            .select(F.lit("flat").alias("kind"), "query_id",
+                    "neighbor_id", "cosine", "rank"))
+
+    piv = (emb.orderBy(F.col("vec_id").asc()).limit(16)
+           .select(F.col("vec_id").alias("_pid"), F.col("embedding")))
+    w32 = Window.orderBy(F.col("vec_id").asc())
+    base = (emb.orderBy(F.col("vec_id").asc()).limit(32)
+            .select((F.row_number().over(w32) - 1).alias("cid"),
+                    "embedding"))
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("sub"),
+                 F.slice(F.col("embedding").cast("array<double>"),
+                         s * 8 + 1, 8).alias("center"))
+        for s in range(8)])
+    cb = (base.select("cid", F.explode(subs).alias("e"))
+          .select(F.col("e.sub").alias("sub"), "cid",
+                  F.col("e.center").alias("center")))
+    pq_idx = ivf_pq_index(emb, "vec_id", "embedding", piv, cb)
+    pq = (ivf_pq_probe(pq_idx, emb, emb.where("vec_id < 5"), "vec_id",
+                       "embedding", piv, cb, k=10, nprobe=4, rerank=3)
+          .select(F.lit("pq").alias("kind"), "query_id",
+                  "neighbor_id", "cosine", "rank"))
+    return flat.unionByName(pq)
 
 
 def _l2sq_sql(a: str, b: str) -> str:
@@ -2190,8 +2228,74 @@ s as (select query_id, neighbor_id,
       join embeddings q on q.vec_id = query_id
       join embeddings c on c.vec_id = neighbor_id),
 r as (select *, row_number() over (partition by query_id
-        order by cosine desc, neighbor_id asc) as rank from s)
-select query_id, neighbor_id, cosine, rank from r where rank <= 10
+        order by cosine desc, neighbor_id asc) as rank from s),
+-- r8 'pq' branch: the full IVFADC path relationally — first-32-ids
+-- PQ codebook (m=8 x ksub=32 x dsub=8), subspace-argmin encoding,
+-- per-query LUT dots, ADC shortlist (rounded to 9, id tie-break),
+-- exact-cosine re-rank of the shortlist
+cbv as (select row_number() over (order by vec_id) - 1 as cid,
+               embedding
+        from (select vec_id, embedding from embeddings
+              order by vec_id limit 32)),
+cb as (select s.sub, q.cid,
+              q.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] as center
+       from cbv q cross join (select unnest(range(0, 8)) as sub) s),
+hitids as (select cc.vec_id, cc.cell from cc
+           where cc.cell in (select distinct cell from qc)),
+d2e as (select h.vec_id, cb.sub, cb.cid,
+          list_sum(list_transform(range(1, 9),
+            i -> (e.embedding[cb.sub * 8 + i]::DOUBLE
+                  - cb.center[i]::DOUBLE)
+               * (e.embedding[cb.sub * 8 + i]::DOUBLE
+                  - cb.center[i]::DOUBLE))) as d2
+        from hitids h join embeddings e using (vec_id) cross join cb),
+enc as (select vec_id, sub, cid from (
+          select vec_id, sub, cid,
+            row_number() over (partition by vec_id, sub
+                               order by d2 asc, cid asc) as rn
+          from d2e) where rn = 1),
+cn as (select enc.vec_id,
+              sqrt(sum(list_sum(list_transform(cb.center,
+                   x -> x::DOUBLE * x::DOUBLE)))) as cnorm
+       from enc join cb using (sub, cid) group by enc.vec_id),
+lut as (select q.vec_id as query_id, cb.sub, cb.cid,
+          list_sum(list_transform(range(1, 9),
+            i -> q.embedding[cb.sub * 8 + i]::DOUBLE
+                 * cb.center[i]::DOUBLE)) as val
+        from embeddings q cross join cb where q.vec_id < 5),
+qn as (select vec_id as query_id,
+              sqrt(list_sum(list_transform(embedding,
+                   x -> x::DOUBLE * x::DOUBLE))) as qnorm
+       from embeddings where vec_id < 5),
+adc as (select qc.vec_id as query_id, h.vec_id as neighbor_id,
+          sum(lut.val) as adot
+        from hitids h
+        join qc on h.cell = qc.cell
+        join enc on enc.vec_id = h.vec_id
+        join lut on lut.query_id = qc.vec_id
+                and lut.sub = enc.sub and lut.cid = enc.cid
+        where h.vec_id <> qc.vec_id
+        group by 1, 2),
+short as (select query_id, neighbor_id from (
+   select adc.query_id, adc.neighbor_id,
+     row_number() over (partition by adc.query_id
+       order by round(adc.adot / cn.cnorm / qn.qnorm, 9) desc,
+                adc.neighbor_id asc) as ar
+   from adc join cn on cn.vec_id = adc.neighbor_id
+            join qn using (query_id))
+  where ar <= 30),
+ps as (select query_id, neighbor_id,
+         round({_cos_sql('q.embedding', 'c.embedding')}, 6) as cosine
+       from short
+       join embeddings q on q.vec_id = query_id
+       join embeddings c on c.vec_id = neighbor_id),
+pr as (select *, row_number() over (partition by query_id
+         order by cosine desc, neighbor_id asc) as rank from ps)
+select 'flat' as kind, query_id, neighbor_id, cosine, rank
+from r where rank <= 10
+union all
+select 'pq' as kind, query_id, neighbor_id, cosine, rank
+from pr where rank <= 10
 """
 
 

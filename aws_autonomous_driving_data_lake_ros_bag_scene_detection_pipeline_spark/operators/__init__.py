@@ -38,7 +38,8 @@ from .similarity import (
     brute_force_topk, embedding_dup_pairs, embedding_index,
     embedding_near_dedup,
     cell_balance, embedding_match_pairs, ivf_index, ivf_pivots,
-    ivf_probe, ivf_repivot, ivf_topk, kmeans_pivots, lsh_topk,
+    ivf_pq_index, ivf_pq_probe, ivf_probe, ivf_repivot, ivf_topk,
+    kmeans_pivots, lsh_topk, pq_codebooks, pq_encode,
     semantic_cell_drops, semantic_cells, semantic_dedup,
     semantic_dup_pairs,
 )
@@ -83,6 +84,7 @@ __all__ = [
     "bm25_probe", "bm25_topk", "corpus_stats", "deterministic_shuffle",
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
     "cell_balance", "ivf_repivot", "kmeans_pivots",
+    "ivf_pq_index", "ivf_pq_probe", "pq_codebooks", "pq_encode",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
     "merge_intervals", "minhash_index", "minhash_match_pairs",

@@ -825,3 +825,327 @@ def embedding_near_dedup(df: DataFrame, id_col: str, vec_col: str,
     clusters = dup_clusters(pairs, "id_a", "id_b")
     return keep_cluster_representatives(df, id_col, clusters,
                                         keep_by=keep_by)
+
+
+# -- product quantization (r8) ----------------------------------------------
+# The 100 TB step for the persisted IVF index: full-precision vectors
+# in the probed cells dominate bytes read (dim x 8 B/row); PQ stores
+# m one-byte-range codes instead (dim/m-dim subspace centroids), ADC
+# scores candidates from the codes relationally, and an exact-cosine
+# re-rank over ONLY the shortlist restores accuracy. Beyond-reference
+# (the reference has no vector surface); design follows the public
+# IVFADC construction (Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011).
+
+
+def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str, *,
+                 m: int, ksub: int = 256, iters: int = 10,
+                 tol: float = 1e-6) -> DataFrame:
+    """Train ``m`` independent subspace codebooks (``ksub`` centroids
+    each) — the PQ model, ``(sub, cid, center)`` with ``center`` of
+    length ``dim/m``.
+
+    Scale shape: the SAME Arrow-partials discipline as
+    :func:`kmeans_pivots` — the model (m x ksub x dim/m doubles) lives
+    on the driver; each Lloyd iteration is ONE distributed pass where
+    every Arrow batch assigns each row's m subvectors to their nearest
+    sub-centroids (one numpy matmul per subspace) and emits
+    per-(subspace, centroid) count/sum partials. All m subspaces train
+    in the same pass, so cost is iters passes total, not m x iters.
+    Initialization is the same deterministic hash-ordered oversample +
+    greedy farthest-point, per subspace. ``dim`` must be divisible by
+    ``m``."""
+    if m < 1 or ksub < 1 or ksub > 65536:
+        raise ValueError(f"need m >= 1 and 1 <= ksub <= 65536, "
+                         f"got m={m} ksub={ksub}")
+    import numpy as np
+
+    spark = corpus.sparkSession
+    data = (corpus.select(F.col(vec_col).cast("array<double>").alias("x"))
+            .where(F.col(vec_col).isNotNull()).persist())
+    try:
+        seed_rows = (corpus
+                     .select(F.col(vec_col).cast("array<double>")
+                             .alias("x"),
+                             F.xxhash64(F.col(id_col).cast("string"))
+                             .alias("_h"))
+                     .where(F.col(vec_col).isNotNull())
+                     .orderBy(F.asc("_h"))
+                     .limit(8 * ksub).collect())
+        if not seed_rows:
+            raise ValueError("no rows with non-null vectors")
+        full = np.asarray([r["x"] for r in seed_rows], dtype=np.float64)
+        dim = full.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        ksub = min(ksub, len(full))
+
+        def _farthest(cand: np.ndarray, k: int) -> np.ndarray:
+            chosen = [0]
+            d_min = ((cand - cand[0]) ** 2).sum(axis=1)
+            while len(chosen) < min(k, len(cand)):
+                nxt = int(d_min.argmax())
+                chosen.append(nxt)
+                d_min = np.minimum(
+                    d_min, ((cand - cand[nxt]) ** 2).sum(axis=1))
+            return cand[chosen]
+
+        cents = np.stack([_farthest(full[:, s * dsub:(s + 1) * dsub], ksub)
+                          for s in range(m)])       # (m, ksub, dsub)
+
+        for _ in range(iters):
+            c_now = cents
+
+            def partials(it):
+                import pandas as pd
+                for pdf in it:
+                    x = np.asarray([np.asarray(v, dtype=np.float64)
+                                    for v in pdf["x"]])
+                    if len(x) == 0:
+                        continue
+                    cnt = np.zeros((m, ksub), dtype=np.int64)
+                    sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+                    for s in range(m):
+                        xs = x[:, s * dsub:(s + 1) * dsub]
+                        cs = c_now[s]
+                        d2 = ((xs * xs).sum(axis=1)[:, None]
+                              - 2.0 * (xs @ cs.T)
+                              + (cs * cs).sum(axis=1)[None, :])
+                        a = d2.argmin(axis=1)
+                        cnt[s] = np.bincount(a, minlength=ksub)
+                        np.add.at(sums[s], a, xs)
+                    yield pd.DataFrame({"cnt": [cnt.ravel().tolist()],
+                                        "sums": [sums.ravel().tolist()]})
+
+            rows = data.mapInPandas(
+                partials, "cnt array<long>, sums array<double>").collect()
+            cnt = np.zeros((m, ksub), dtype=np.int64)
+            sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+            for r in rows:
+                cnt += np.asarray(r["cnt"],
+                                  dtype=np.int64).reshape(m, ksub)
+                sums += np.asarray(r["sums"],
+                                   dtype=np.float64).reshape(m, ksub, dsub)
+            new = cents.copy()
+            nz = cnt > 0
+            new[nz] = sums[nz] / cnt[nz][:, None]
+            shift = float(np.abs(new - cents).max())
+            cents = new
+            if shift < tol:
+                break
+    finally:
+        data.unpersist()
+    return spark.createDataFrame(
+        [(int(s), int(c), cents[s, c].tolist())
+         for s in range(m) for c in range(ksub)],
+        "sub int, cid int, center array<double>")
+
+
+def _codebook_model(codebooks: DataFrame):
+    """Collect the (tiny) codebook frame into the numpy model the
+    Arrow encoders close over — bounded driver metadata, m x ksub x
+    dsub doubles (the k-means partials bound)."""
+    import numpy as np
+
+    rows = codebooks.collect()
+    m = 1 + max(r["sub"] for r in rows)
+    ksub = 1 + max(r["cid"] for r in rows)
+    dsub = len(rows[0]["center"])
+    cents = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        cents[r["sub"], r["cid"]] = r["center"]
+    return cents
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: DataFrame, *,
+              keep_cols: list[str] | None = None) -> DataFrame:
+    """PQ-encode vectors: ``(id [, keep_cols...], codes, _cnorm)``
+    where ``codes[s]`` is the nearest sub-centroid of subvector ``s``
+    (deterministic: ties to the lowest cid) and ``_cnorm`` the norm of
+    the RECONSTRUCTION (so ADC can rank by approximate cosine without
+    touching the original vector again). One Arrow pass, one matmul
+    per subspace per batch; output drops the full vector — that's the
+    8-16x byte cut."""
+    import numpy as np
+
+    cents = _codebook_model(codebooks)
+    m, ksub, dsub = cents.shape
+    keep = keep_cols or []
+    in_cols = [id_col, *keep, vec_col]
+    cnorm2_tab = (cents * cents).sum(axis=2)          # (m, ksub)
+
+    def encode(it):
+        import pandas as pd
+        for pdf in it:
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            out = {id_col: pdf[id_col]}
+            for c in keep:
+                out[c] = pdf[c]
+            if len(x) == 0:
+                out["codes"] = pd.Series([], dtype=object)
+                out["_cnorm"] = pd.Series([], dtype=float)
+                yield pd.DataFrame(out)
+                continue
+            codes = np.zeros((len(x), m), dtype=np.int32)
+            norm2 = np.zeros(len(x), dtype=np.float64)
+            for s in range(m):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                cs = cents[s]
+                d2 = ((xs * xs).sum(axis=1)[:, None]
+                      - 2.0 * (xs @ cs.T)
+                      + (cs * cs).sum(axis=1)[None, :])
+                a = d2.argmin(axis=1)
+                codes[:, s] = a
+                norm2 += cnorm2_tab[s][a]
+            out["codes"] = list(codes.tolist())
+            out["_cnorm"] = np.sqrt(norm2)
+            yield pd.DataFrame(out)
+
+    id_t = dict(df.dtypes)[id_col]
+    keep_t = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in keep)
+    schema = (f"{id_col} {id_t}, "
+              + (keep_t + ", " if keep_t else "")
+              + "codes array<smallint>, _cnorm double")
+    return df.select(*in_cols).mapInPandas(encode, schema)
+
+
+def ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
+                 pivots: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Cell-assigned, PQ-encoded index: ``(id, cell, codes, _cnorm)``
+    — :func:`ivf_index`'s layout with the full-precision vector
+    replaced by ``m`` small codes. Persist with
+    ``write_partitioned(index, path, ["cell"])`` exactly like the
+    full-precision index; probes read only probed cells AND only
+    code bytes — the two multiplicative reductions compound."""
+    ce = _explode_vec(corpus, [F.col(id_col).alias("_iid")], vec_col,
+                      "_cx")
+    pe = _explode_vec(pivots, ["_pid"], vec_col, "_px")
+    cells = _assign_cells(ce, "_iid", "_cx", pe, 1) \
+        .withColumnRenamed("_iid", id_col)
+    enc = pq_encode(corpus, id_col, vec_col, codebooks)
+    return enc.join(cells, id_col)
+
+
+def ivf_pq_probe(pq_index: DataFrame, full_vectors: DataFrame,
+                 queries: DataFrame, id_col: str, vec_col: str,
+                 pivots: DataFrame, codebooks: DataFrame,
+                 k: int = 10, nprobe: int = 4, *,
+                 rerank: int = 4,
+                 query_id_col: str | None = None) -> DataFrame:
+    """IVFADC probe with exact re-rank: ADC-score the probed cells'
+    CODES, shortlist ``rerank * k`` per query, then re-score ONLY the
+    shortlist against ``full_vectors`` with the exact-cosine element
+    plan (the :func:`_verified_cosine` tail's shape) and return the
+    top ``k``.
+
+    Scale audit: (1) probed cells reach the index read as a literal
+    ``cell IN (...)`` — partition pruning as in :func:`ivf_probe`;
+    (2) ADC is a broadcast join of the exploded codes against the
+    per-query lookup table (|queries| x m x ksub rows — driver-bounded
+    probe metadata, the LUT twin of the probed-cell collect) followed
+    by one (query, id) sum — per-candidate cost m additions instead
+    of dim multiplies; (3) the only touch of full-precision vectors is
+    the shortlist join — O(rerank * k * |queries|) rows read from a
+    store that can stay id-bucketed. Never all-pairs, never a
+    cartesian."""
+    import numpy as np
+
+    query_id_col = query_id_col or id_col
+    cents = _codebook_model(codebooks)
+    m, ksub, dsub = cents.shape
+    spark = queries.sparkSession
+
+    pe = _explode_vec(pivots, ["_pid"], vec_col, "_px")
+    qe = _explode_vec(queries,
+                      [F.col(query_id_col).alias("query_id")],
+                      vec_col, "_qx")
+    q_cells = _assign_cells(qe, "query_id", "_qx", pe, nprobe)
+
+    probed = sorted({r["cell"] for r in
+                     q_cells.select("cell").distinct().collect()})
+    hit = pq_index.where(F.col("cell").isin(probed))
+
+    # per-query ADC lookup table: dot(q_s, c_{s,cid}) for every
+    # (subspace, centroid) — |queries| x m x ksub rows, built in one
+    # Arrow pass over the query batch and broadcast into the join
+    def lut_rows(it):
+        import pandas as pd
+        for pdf in it:
+            q = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            if len(q) == 0:
+                continue
+            qn = np.sqrt((q * q).sum(axis=1))
+            frames = []
+            for s in range(m):
+                qs = q[:, s * dsub:(s + 1) * dsub]
+                vals = qs @ cents[s].T                 # (|q|, ksub)
+                frames.append(pd.DataFrame({
+                    "query_id": pdf[query_id_col].repeat(ksub)
+                                   .reset_index(drop=True),
+                    "_qnorm": pd.Series(qn).repeat(ksub)
+                                 .reset_index(drop=True),
+                    "_sub": np.int32(s),
+                    "_cid": np.tile(np.arange(ksub, dtype=np.int32),
+                                    len(q)),
+                    "_val": vals.ravel(),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    qid_t = dict(queries.dtypes)[query_id_col]
+    lut = queries.select(query_id_col, vec_col).mapInPandas(
+        lut_rows,
+        f"query_id {qid_t}, _qnorm double, _sub int, _cid int, "
+        f"_val double")
+
+    codes_e = hit.select(
+        F.col(id_col).alias("neighbor_id"), "cell", "_cnorm",
+        F.posexplode("codes").alias("_sub", "_cid"))
+    adc = (codes_e.join(F.broadcast(q_cells), "cell")
+           .join(F.broadcast(lut.withColumn(
+               "_cid", F.col("_cid").cast("smallint"))),
+               ["query_id", "_sub", "_cid"])
+           .where(F.col("neighbor_id") != F.col("query_id"))
+           .groupBy("query_id", "neighbor_id")
+           .agg(F.sum("_val").alias("_adot"),
+                F.first("_cnorm").alias("_cn"),
+                F.first("_qnorm").alias("_qn")))
+    # shortlist ranks on the ADC cosine ROUNDED to 9 decimals with an
+    # id tie-break: the raw sum's float reassociation slack (~1e-15 —
+    # numpy partials here vs sequential math in a SQL twin) is far
+    # inside the grid, so the shortlist is deterministic across
+    # engines/partitionings; 1e-9 is far below any meaningful ADC
+    # score difference, so ranking quality is unaffected
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("_adot") / F.col("_cn") / F.col("_qn"),
+                       9)),
+        F.asc("neighbor_id"))
+    short = (adc.withColumn("_ar", F.row_number().over(w_adc))
+             .where(F.col("_ar") <= rerank * k)
+             .select("query_id", "neighbor_id"))
+
+    # exact re-rank: only the shortlist touches full vectors
+    ce = _explode_vec(
+        full_vectors.join(
+            F.broadcast(short.select("neighbor_id").distinct()),
+            full_vectors[id_col] == F.col("neighbor_id"), "left_semi"),
+        [F.col(id_col).alias("neighbor_id")], vec_col, "_cx")
+    sums = (ce.join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(qe), ["query_id", "_d"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum(F.col("_cx") * F.col("_qx")).alias("_dot"),
+                 F.sum(F.col("_cx") * F.col("_cx")).alias("_cn2"),
+                 F.sum(F.col("_qx") * F.col("_qx")).alias("_qn2")))
+    scored = sums.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("_dot") / F.sqrt("_qn2") / F.sqrt("_cn2"), 6)
+         .alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("bigint").alias("rank")))

@@ -596,13 +596,17 @@ def _file_stats(spark: SparkSession, scratch: str,
     sdf = (spark.read.option("basePath", scratch).parquet(scratch)
            .select(*stats_cols,
                    F.input_file_name().alias("_f")))
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
-        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        # null counts (r8) power IS [NOT] NULL skipping the way
+        # min/max power comparisons
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}"),
+                 F.count_if(F.col(c).isNull()).alias(f"_nl_{c}")]
     out: dict[str, dict] = {}
     for r in sdf.groupBy("_f").agg(*aggs).collect():
         rel = unquote(r["_f"].split(marker, 1)[1])
-        out[rel] = {c: {"min": r[f"_mn_{c}"], "max": r[f"_mx_{c}"]}
+        out[rel] = {c: {"min": r[f"_mn_{c}"], "max": r[f"_mx_{c}"],
+                        "nulls": r[f"_nl_{c}"], "rows": r["_rows"]}
                     for c in stats_cols}
     return out
 

@@ -307,7 +307,8 @@ def embedding_dedup_stream(stream: DataFrame, id_col: str, vec_col: str,
 def ivf_append_batch(batch_df: DataFrame, batch_id: int, id_col: str,
                      vec_col: str, *, pivots: DataFrame,
                      index_path: str,
-                     rebalance_threshold: float = 4.0) -> dict:
+                     rebalance_threshold: float = 4.0,
+                     codebooks: DataFrame | None = None) -> dict:
     """Append ONE batch of vectors to a persisted cell-partitioned IVF
     index (:func:`~..operators.similarity.ivf_index` layout) and return
     a drift advisory — the index-maintenance loop the minhash/embedding
@@ -335,14 +336,30 @@ def ivf_append_batch(batch_df: DataFrame, batch_id: int, id_col: str,
     caller's move (train new pivots, rebuild via
     :func:`~..operators.similarity.ivf_index`): reassigning history is
     a full rewrite and must be an explicit operation, not a side
-    effect."""
-    from ..operators.similarity import cell_balance, ivf_index
+    effect.
+
+    ``codebooks`` (r8) switches the appended rows to the PQ-encoded
+    layout (:func:`~..operators.similarity.ivf_pq_index` — ``codes``
+    + ``_cnorm`` instead of the full-precision vector): same frozen
+    pivots, same cell partitioning, same replay idempotency; the
+    accumulated index equals a from-scratch ``ivf_pq_index`` with the
+    same model and probes via
+    :func:`~..operators.similarity.ivf_pq_probe`. Codebooks are
+    frozen like pivots — retraining them is :func:`ivf_repivot`-class
+    explicit maintenance, never an append side effect."""
+    from ..operators.similarity import (
+        cell_balance, ivf_index, ivf_pq_index,
+    )
 
     spark = batch_df.sparkSession
     nlist = pivots.count()
     stats_path = f"{index_path}/_cellstats"
     with _dynamic_overwrite(spark):
-        idx = ivf_index(batch_df, id_col, vec_col, pivots)
+        if codebooks is not None:
+            idx = ivf_pq_index(batch_df, id_col, vec_col, pivots,
+                               codebooks)
+        else:
+            idx = ivf_index(batch_df, id_col, vec_col, pivots)
         (idx.withColumn("_batch_id", F.lit(batch_id))
          .write.mode("overwrite").partitionBy("cell", "_batch_id")
          .parquet(index_path))
