@@ -702,11 +702,22 @@ def _read_files(spark: SparkSession, path: str, entries: list[dict],
 
 
 def read_snapshot(spark: SparkSession, path: str,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None, *,
+                  where: str | None = None) -> DataFrame:
     """The table at ``version`` (default: latest published). The file
     list is pinned at resolve time — concurrent commits cannot change
     what this DataFrame reads. Raises on a table with no published
-    snapshot."""
+    snapshot.
+
+    ``where`` (r8) routes a SQL predicate through the zone maps
+    automatically: the expression is parsed with Spark's own parser
+    (:func:`sql_predicates`), the prunable subset skips files whose
+    recorded min/max/null-count stats prove them irrelevant, and the
+    FULL expression is re-applied row-level — result identical to
+    ``read_snapshot(...).where(where)``, bytes read proportional to
+    matching files on a sorted layout. Unparseable/unprunable
+    expressions degrade to the plain filtered read (sound
+    weakening)."""
     if version is None:
         version = latest_version(spark, path)
         if version is None:
@@ -714,6 +725,10 @@ def read_snapshot(spark: SparkSession, path: str,
                 f"no published snapshot under {path}")
     m = _load_manifest(spark, path, version)
     entries = _manifest_entries(spark, path, m)
+    if where is not None:
+        dnf = sql_predicates(spark, where)
+        if dnf is not None:
+            entries = _prune_entries(entries, dnf)
     if not entries:
         schema = m.get("schema")
         if not schema:
@@ -721,21 +736,33 @@ def read_snapshot(spark: SparkSession, path: str,
                 f"snapshot {version} of {path} is empty and carries "
                 f"no schema")
         from pyspark.sql.types import StructType
-        return spark.createDataFrame([],
-                                     StructType.fromJson(json.loads(schema)))
-    return _read_files(spark, path, entries, m.get("schema"))
+        out = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema)))
+        return out.where(where) if where is not None else out
+    out = _read_files(spark, path, entries, m.get("schema"))
+    return out.where(where) if where is not None else out
 
 
-_SCAN_OPS = ("=", "<", "<=", ">", ">=")
+#: predicate triples are ``(column, op, value)``: comparisons take a
+#: scalar, ``in`` a list of scalars, ``is_null``/``is_not_null``
+#: ignore the value (pass None)
+_SCAN_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
+_RANGE_OPS = ("=", "<", "<=", ">", ">=")
+#: DNF width cap for OR expansion — beyond this the expression is
+#: read unpruned rather than exploding the per-file check
+_MAX_DISJUNCTS = 64
 
 
 def _query_intervals(predicates: list[tuple]) -> dict[str, tuple]:
-    """Fold a predicate conjunction into one (lo, lo_incl, hi, hi_incl)
-    interval per column — tighter than per-predicate checks: a
-    between-style pair like ``x >= 15 AND x < 12`` proves itself empty
-    even when each bound alone overlaps a file's range."""
+    """Fold a conjunction's RANGE predicates into one (lo, lo_incl,
+    hi, hi_incl) interval per column — tighter than per-predicate
+    checks: a between-style pair like ``x >= 15 AND x < 12`` proves
+    itself empty even when each bound alone overlaps a file's
+    range."""
     out: dict[str, tuple] = {}
     for col, op, val in predicates:
+        if op not in _RANGE_OPS:
+            continue
         lo, lo_i, hi, hi_i = out.get(col, (None, True, None, True))
         if op in ("=", ">=", ">"):
             inc = op != ">"
@@ -749,13 +776,14 @@ def _query_intervals(predicates: list[tuple]) -> dict[str, tuple]:
     return out
 
 
-def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
-    """File-granular zone-map check: False only when the entry's
-    stats (or the conjunction's own emptiness) PROVE no row can
-    satisfy it. Entries without stats for a predicate's column are
-    always kept (new columns, tables that enabled stats mid-life); an
-    all-null file (min is None) is pruned — no non-null value exists
-    to satisfy a comparison."""
+def _conj_may_match(entry: dict, predicates: list[tuple]) -> bool:
+    """File-granular zone-map check for ONE conjunction: False only
+    when the entry's stats (or the conjunction's own emptiness) PROVE
+    no row can satisfy it. Entries without stats for a predicate's
+    column are always kept (new columns, tables that enabled stats
+    mid-life); an all-null file (min is None) is pruned for any
+    comparison/IN (no non-null value exists) and for ``is_not_null``;
+    ``is_null`` prunes files whose recorded null count is zero."""
     st = entry.get("stats") or {}
     for col, (lo, lo_i, hi, hi_i) in _query_intervals(predicates).items():
         if lo is not None and hi is not None and (
@@ -771,39 +799,246 @@ def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
             return False
         if hi is not None and (mn > hi or (mn == hi and not hi_i)):
             return False
+    for col, op, val in predicates:
+        s = st.get(col)
+        if s is None:
+            continue
+        if op == "in":
+            if not val:
+                return False           # x IN () is vacuously false
+            mn, mx = s["min"], s["max"]
+            if mn is None:
+                return False
+            if not any(mn <= v <= mx for v in val):
+                return False
+        elif op == "is_null":
+            if s.get("nulls") == 0:
+                return False
+        elif op == "is_not_null":
+            if s["min"] is None and s.get("rows", 0) > 0:
+                return False
+            nulls, rows = s.get("nulls"), s.get("rows")
+            if nulls is not None and rows is not None and nulls == rows:
+                return False
     return True
 
 
-def _prune_entries(entries: list[dict],
-                   predicates: list[tuple]) -> list[dict]:
-    for col, op, _ in predicates:
-        if op not in _SCAN_OPS:
-            raise ValueError(f"unsupported predicate op {op!r} on "
-                             f"{col!r}; supported: {_SCAN_OPS}")
-    return [e for e in entries if _entry_may_match(e, predicates)]
+def _entry_may_match(entry: dict, dnf: list[list[tuple]]) -> bool:
+    """Keep an entry iff ANY disjunct's conjunction may match."""
+    return any(_conj_may_match(entry, conj) for conj in dnf)
+
+
+def _as_dnf(predicates) -> list[list[tuple]]:
+    """Normalize the public predicate forms — a conjunction
+    ``[(col, op, val), ...]`` (back-compat) or a DNF
+    ``[[triple, ...], ...]`` (OR of conjunctions) — and validate
+    ops."""
+    if not predicates:
+        return [[]]
+    if isinstance(predicates[0][0], str):
+        dnf = [list(predicates)]
+    else:
+        dnf = [list(c) for c in predicates]
+    for conj in dnf:
+        for col, op, _ in conj:
+            if op not in _SCAN_OPS:
+                raise ValueError(
+                    f"unsupported predicate op {op!r} on {col!r}; "
+                    f"supported: {_SCAN_OPS}")
+    return dnf
+
+
+def _prune_entries(entries: list[dict], predicates) -> list[dict]:
+    dnf = _as_dnf(predicates)
+    return [e for e in entries if _entry_may_match(e, dnf)]
+
+
+def _predicates_condition(predicates) -> F.Column:
+    """The row-level Column equivalent of a predicate set — re-applied
+    after pruning so the result equals the unpruned filtered read
+    exactly (stats are file-granular; rows inside surviving files
+    still need the cut)."""
+    def conj_cond(conj):
+        cond = F.lit(True)
+        for col, op, val in conj:
+            c = F.col(col)
+            if op == "in":
+                cond = cond & (c.isin(list(val)) if val else F.lit(False))
+            elif op == "is_null":
+                cond = cond & c.isNull()
+            elif op == "is_not_null":
+                cond = cond & c.isNotNull()
+            else:
+                cond = cond & {"=": c == val, "<": c < val,
+                               "<=": c <= val, ">": c > val,
+                               ">=": c >= val}[op]
+        return cond
+
+    dnf = _as_dnf(predicates)
+    out = F.lit(False)
+    for conj in dnf:
+        out = out | conj_cond(conj)
+    return out
+
+
+def sql_predicates(spark: SparkSession, where: str):
+    """Parse a SQL boolean expression into the DNF triple form the
+    zone maps understand, via Spark's OWN parser (Catalyst AST walk —
+    the predicate semantics are exactly Spark's, no shadow grammar).
+
+    SOUND WEAKENING by construction: any subexpression the zone maps
+    can't evaluate (function calls, column-to-column comparisons,
+    NOT over comparisons, exotic literals) is widened — dropped from
+    its conjunction, or collapsing its whole disjunction to
+    "unprunable" — so the pruned file set is always a superset of the
+    matching files; the caller re-applies the FULL expression
+    row-level. Returns None when nothing prunable survives (callers
+    then skip pruning entirely). OR expansion is capped at
+    ``_MAX_DISJUNCTS``."""
+    node = spark._jsparkSession.sessionState().sqlParser() \
+        .parseExpression(where)
+
+    def lit_value(lit):
+        dt = lit.dataType().simpleString()
+        v = lit.value()
+        if v is None:
+            return None
+        if dt in ("int", "bigint", "smallint", "tinyint"):
+            return int(v)
+        if dt in ("double", "float") or dt.startswith("decimal"):
+            return float(str(v))
+        if dt == "string":
+            return str(v)
+        if dt == "boolean":
+            return bool(v)
+        raise ValueError(f"unsupported literal type {dt}")
+
+    def attr_name(a):
+        return str(a.name())
+
+    _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+
+    def leaf(n):
+        """One comparison → a triple, or None if not prunable."""
+        kind = n.getClass().getSimpleName()
+        ch = n.children()
+        kids = [ch.apply(i) for i in range(ch.size())]
+        names = [k.getClass().getSimpleName() for k in kids]
+        cmp_ops = {"EqualTo": "=", "LessThan": "<",
+                   "LessThanOrEqual": "<=", "GreaterThan": ">",
+                   "GreaterThanOrEqual": ">=", "EqualNullSafe": "="}
+        try:
+            if kind in cmp_ops and len(kids) == 2:
+                if names == ["UnresolvedAttribute", "Literal"]:
+                    v = lit_value(kids[1])
+                    if v is None:
+                        return ((attr_name(kids[0]), "is_null", None)
+                                if kind == "EqualNullSafe" else None)
+                    return (attr_name(kids[0]), cmp_ops[kind], v)
+                if names == ["Literal", "UnresolvedAttribute"]:
+                    v = lit_value(kids[0])
+                    if v is None:
+                        return ((attr_name(kids[1]), "is_null", None)
+                                if kind == "EqualNullSafe" else None)
+                    return (attr_name(kids[1]), _FLIP[cmp_ops[kind]], v)
+                return None
+            if kind == "In" and names[:1] == ["UnresolvedAttribute"]:
+                vals = []
+                for k, nm in zip(kids[1:], names[1:]):
+                    if nm != "Literal":
+                        return None
+                    v = lit_value(k)
+                    if v is None:
+                        continue       # IN (…, NULL) never matches NULL
+                    vals.append(v)
+                return (attr_name(kids[0]), "in", vals)
+            if kind == "IsNull" and names == ["UnresolvedAttribute"]:
+                return (attr_name(kids[0]), "is_null", None)
+            if kind == "IsNotNull" and names == ["UnresolvedAttribute"]:
+                return (attr_name(kids[0]), "is_not_null", None)
+            if kind == "Not" and len(kids) == 1:
+                inner = leaf(kids[0])
+                if inner and inner[1] == "is_null":
+                    return (inner[0], "is_not_null", None)
+                if inner and inner[1] == "is_not_null":
+                    return (inner[0], "is_null", None)
+                return None
+        except ValueError:
+            return None
+        return None
+
+    def dnf(n):
+        """DNF as list of conjunctions; None = unprunable subtree."""
+        kind = n.getClass().getSimpleName()
+        ch = n.children()
+        if kind == "And":
+            a, b = dnf(ch.apply(0)), dnf(ch.apply(1))
+            if a is None:
+                return b
+            if b is None:
+                return a
+            out = [ca + cb for ca in a for cb in b]
+            return out if len(out) <= _MAX_DISJUNCTS else None
+        if kind == "Or":
+            a, b = dnf(ch.apply(0)), dnf(ch.apply(1))
+            if a is None or b is None:
+                return None            # one wide branch widens the OR
+            out = a + b
+            return out if len(out) <= _MAX_DISJUNCTS else None
+        t = leaf(n)
+        return [[t]] if t is not None else None
+
+    out = dnf(node)
+    if out is None or out == [[]] or all(not c for c in out):
+        return None
+    return out
+
+
+def scan_pruning_stats(spark: SparkSession, path: str, predicates, *,
+                       version: int | None = None) -> dict:
+    """The observability half of "no silent caps" for the storage
+    layer: how much the zone maps actually skipped for a predicate
+    set — ``{"files_total", "files_read", "files_pruned"}`` — without
+    reading any data (manifest-only)."""
+    if version is None:
+        version = latest_version(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no published snapshot under {path}")
+    m = _load_manifest(spark, path, version)
+    entries = _manifest_entries(spark, path, m)
+    kept = _prune_entries(entries, predicates)
+    return {"files_total": len(entries), "files_read": len(kept),
+            "files_pruned": len(entries) - len(kept)}
 
 
 def snapshot_scan(spark: SparkSession, path: str,
-                  predicates: list[tuple], *,
+                  predicates, *,
                   version: int | None = None) -> DataFrame:
     """Read a snapshot with FILE-LEVEL data skipping: ``predicates``
-    is a conjunction of ``(column, op, value)`` triples (ops ``= < <=
-    > >=``) evaluated against the per-file min/max zone maps recorded
-    at write time (``stats_cols=``), so files whose value range
-    provably can't match are never handed to Spark at all — on a
-    time- or key-sorted layout (:func:`snapshot_compact` with
+    is a conjunction of ``(column, op, value)`` triples — ops ``= <
+    <= > >=``, ``in`` (value = list), ``is_null``/``is_not_null``
+    (value ignored) — or a DNF list of such conjunctions (OR of ANDs,
+    r8), evaluated against the per-file min/max/null-count zone maps
+    recorded at write time (``stats_cols=``), so files whose value
+    range provably can't match are never handed to Spark at all — on
+    a time- or key-sorted layout (:func:`snapshot_compact` with
     ``sort_cols``, `tables.write_time_sorted`) a selective scan reads
     O(matching files), not O(table), BEFORE any executor spins up.
     Hive-partition predicates don't need this (Catalyst prunes them
     from the directory layout); zone maps cover the DATA columns
-    partitioning can't.
+    partitioning can't. SQL-string predicates route automatically:
+    ``read_snapshot(spark, path, where="...")`` parses the expression
+    with Spark's own parser (:func:`sql_predicates`) and prunes with
+    whatever subset of it the zone maps can evaluate.
 
     The same predicates are re-applied as a DataFrame filter (stats
     are file-granular, rows inside a surviving file still need the
     row-level cut, and parquet row-group pushdown gets its second
     bite), so the result equals ``read_snapshot(...).where(...)``
     exactly. Files without stats for a predicate column are kept —
-    skipping is an optimization, never a semantics change."""
+    skipping is an optimization, never a semantics change.
+    :func:`scan_pruning_stats` reports files read/pruned for the same
+    predicates without reading data."""
     if version is None:
         version = latest_version(spark, path)
         if version is None:
@@ -811,11 +1046,7 @@ def snapshot_scan(spark: SparkSession, path: str,
     m = _load_manifest(spark, path, version)
     entries = _prune_entries(_manifest_entries(spark, path, m),
                              predicates)
-    cond = F.lit(True)
-    for col, op, val in predicates:
-        c = F.col(col)
-        cond = cond & {"=": c == val, "<": c < val, "<=": c <= val,
-                       ">": c > val, ">=": c >= val}[op]
+    cond = _predicates_condition(predicates)
     if not entries:
         schema = m.get("schema")
         if not schema:

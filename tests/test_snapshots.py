@@ -1032,7 +1032,7 @@ def test_prune_entries_semantics():
     kept, all-null files pruned, unknown ops rejected."""
     e = {"path": "f", "partition": "", "stats": {"x": {"min": 10,
                                                        "max": 20}}}
-    keep = snapmod._entry_may_match
+    keep = snapmod._conj_may_match
     assert keep(e, [("x", "=", 10)]) and keep(e, [("x", "=", 20)])
     assert not keep(e, [("x", "=", 9)]) and not keep(e, [("x", "=", 21)])
     assert keep(e, [("x", "<", 11)]) and not keep(e, [("x", "<", 10)])
@@ -1046,9 +1046,30 @@ def test_prune_entries_semantics():
     assert keep({"path": "f", "partition": "",
                  "stats": {"y": {"min": 1, "max": 2}}}, [("x", "=", 0)])
     # all-null file: no non-null value can satisfy any comparison
-    assert not keep({"path": "f", "partition": "",
-                     "stats": {"x": {"min": None, "max": None}}},
-                    [("x", ">=", 0)])
+    e_null = {"path": "f", "partition": "",
+              "stats": {"x": {"min": None, "max": None, "nulls": 7,
+                              "rows": 7}}}
+    assert not keep(e_null, [("x", ">=", 0)])
+    # r8 ops: IN against the range, null-count-driven IS [NOT] NULL
+    assert keep(e, [("x", "in", [1, 15])])
+    assert not keep(e, [("x", "in", [1, 25])])
+    assert not keep(e, [("x", "in", [])])
+    assert not keep(e_null, [("x", "in", [1])])
+    e_nn = {"path": "f", "partition": "",
+            "stats": {"x": {"min": 10, "max": 20, "nulls": 0,
+                            "rows": 7}}}
+    assert not keep(e_nn, [("x", "is_null", None)])
+    assert keep(e_nn, [("x", "is_not_null", None)])
+    assert keep(e_null, [("x", "is_null", None)])
+    assert not keep(e_null, [("x", "is_not_null", None)])
+    # legacy stats without null counts must stay conservative
+    assert keep(e, [("x", "is_null", None)])
+    assert keep(e, [("x", "is_not_null", None)])
+    # DNF: kept iff ANY disjunct may match
+    assert snapmod._entry_may_match(e, [[("x", "=", 9)],
+                                        [("x", "=", 15)]])
+    assert not snapmod._entry_may_match(e, [[("x", "=", 9)],
+                                            [("x", "=", 25)]])
     with pytest.raises(ValueError, match="unsupported predicate"):
         snapmod._prune_entries([e], [("x", "!=", 3)])
 
@@ -1233,3 +1254,108 @@ def test_append_schema_evolution_skips_absent_stats_col(spark,
     assert _rows(got.select("id")) == {(1,)}
     assert _rows(read_snapshot(spark, path).select("id")) == {(1,),
                                                               (2,)}
+
+
+def test_sql_predicates_catalyst_walk(spark):
+    """SQL predicates parse into the zone-map DNF through Spark's own
+    parser; unprunable subexpressions widen soundly — dropped under
+    AND, collapsing under OR — and an all-unprunable expression
+    returns None."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import sql_predicates as P
+    assert P(spark, "v >= 10") == [[("v", ">=", 10)]]
+    assert P(spark, "10 < v") == [[("v", ">", 10)]]
+    assert P(spark, "lang in ('en', 'de')") == \
+        [[("lang", "in", ["en", "de"])]]
+    assert P(spark, "v is null") == [[("v", "is_null", None)]]
+    assert P(spark, "v is not null") == [[("v", "is_not_null", None)]]
+    assert P(spark, "not (v is null)") == [[("v", "is_not_null", None)]]
+    assert P(spark, "v >= 1 and v < 5") == \
+        [[("v", ">=", 1), ("v", "<", 5)]]
+    assert P(spark, "v < 1 or v > 5") == \
+        [[("v", "<", 1)], [("v", ">", 5)]]
+    # distribution: (a or b) and c
+    assert P(spark, "(v < 1 or v > 5) and lang = 'en'") == \
+        [[("v", "<", 1), ("lang", "=", "en")],
+         [("v", ">", 5), ("lang", "=", "en")]]
+    # unprunable conjunct dropped (sound), unprunable disjunct widens
+    assert P(spark, "some_udf(v) > 2 and v >= 10") == \
+        [[("v", ">=", 10)]]
+    assert P(spark, "some_udf(v) > 2 or v >= 10") is None
+    assert P(spark, "a = b") is None
+    assert P(spark, "some_udf(v) > 2") is None
+    # float/decimal literals
+    assert P(spark, "score > 1.5") == [[("score", ">", 1.5)]]
+
+
+def test_snapshot_scan_in_or_null_pruning(spark, tmp_path):
+    """IN / OR(DNF) / IS [NOT] NULL predicates prune files on the
+    same range-sorted layout the r7 tests use, and every pruned scan
+    equals the unpruned filtered read exactly."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        scan_pruning_stats, snapshot_scan,
+    )
+    path = str(tmp_path / "tbl")
+    df = (spark.range(0, 1000)
+          .selectExpr("id",
+                      "case when id < 100 then null "
+                      "else cast(id as double) end as score"))
+    snapshot_write(spark, path, df.repartitionByRange(8, "id"),
+                   partition_cols=[], stats_cols=["id", "score"])
+    total = len(snapmod._manifest_entries(
+        spark, path, snapmod._load_manifest(spark, path, 0)))
+    assert total == 8
+
+    def check(preds, where):
+        got = snapshot_scan(spark, path, preds)
+        exp = _rows(read_snapshot(spark, path).where(where))
+        assert _rows(got) == exp, preds
+        return len(got.inputFiles())
+
+    # IN: two ids from opposite ends -> 2 files
+    n = check([("id", "in", [5, 995])], "id in (5, 995)")
+    assert n == 2
+    # DNF: OR of two ranges
+    n = check([[("id", "<", 50)], [("id", ">=", 950)]],
+              "id < 50 or id >= 950")
+    assert n == 2
+    # IS NULL: only the files holding ids < 100 have null scores
+    n = check([("score", "is_null", None)], "score is null")
+    assert n < total
+    # IS NOT NULL keeps everything here (no all-null file), still equal
+    check([("score", "is_not_null", None)], "score is not null")
+    # conjunction of IN with a contradicting range prunes to zero
+    st = scan_pruning_stats(spark, path,
+                            [("id", "in", [5]), ("id", ">=", 900)])
+    assert st == {"files_total": 8, "files_read": 0,
+                  "files_pruned": 8}
+    st2 = scan_pruning_stats(spark, path, [("id", ">=", 900)])
+    assert st2["files_read"] < 8 and st2["files_pruned"] >= 1
+
+
+def test_read_snapshot_where_auto_routes_through_zone_maps(spark,
+                                                          tmp_path):
+    """read_snapshot(where=...) prunes files automatically from a SQL
+    string — including the unprunable-subexpression degradation — and
+    always equals the plain filtered read."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).selectExpr(
+        "id", "cast(id as double) as score")
+    snapshot_write(spark, path, df.repartitionByRange(8, "id"),
+                   partition_cols=[], stats_cols=["id", "score"])
+    plain = read_snapshot(spark, path)
+    total = len(plain.inputFiles())
+
+    routed = read_snapshot(spark, path, where="id >= 900")
+    assert len(routed.inputFiles()) < total
+    assert _rows(routed) == _rows(plain.where("id >= 900"))
+
+    ored = read_snapshot(spark, path,
+                         where="id < 50 or (id >= 950 and score > 0)")
+    assert len(ored.inputFiles()) == 2
+    assert _rows(ored) == _rows(
+        plain.where("id < 50 or (id >= 950 and score > 0)"))
+
+    # unprunable expression: full read, same rows
+    fuzzy = read_snapshot(spark, path, where="id % 7 = 0")
+    assert len(fuzzy.inputFiles()) == total
+    assert _rows(fuzzy) == _rows(plain.where("id % 7 = 0"))

@@ -964,3 +964,65 @@ def test_snapshot_append_stream_exactly_once(spark, tmp_path):
     q3.awaitTermination(180)
     assert latest_version(spark, path) == v_after + 1
     assert read_snapshot(spark, path).count() == 13
+
+
+def test_snapshot_append_stream_builds_prunable_zone_maps(spark,
+                                                          tmp_path):
+    """A streaming-built snapshot table is a first-class zone-mapped
+    table (r8): stats_cols on the FIRST stream establish the contract,
+    later streams inherit it with stats_cols=None, scans prune files
+    the per-batch stats disprove, and scan_pruning_stats surfaces
+    files read/pruned as a metric (the storage layer's 'no silent
+    caps' observability)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot, scan_pruning_stats, snapshot_scan,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshots as snapmod
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        snapshot_append_stream,
+    )
+    schema = "id long, day string, v double"
+    src = str(tmp_path / "in")
+    # three disjoint id slabs, one per micro-batch file
+    for k in range(3):
+        spark.createDataFrame(
+            [(k * 100 + i, "d0", float(k * 100 + i)) for i in range(20)],
+            schema).coalesce(1).write.mode("append").parquet(src)
+    path = str(tmp_path / "tbl")
+    q = snapshot_append_stream(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        path=path, partition_cols=["day"],
+        checkpoint_dir=str(tmp_path / "ckpt"), stats_cols=["v"])
+    q.awaitTermination(180)
+
+    m = snapmod._load_manifest(spark, path,
+                               snapmod.latest_version(spark, path))
+    assert m["stats_cols"] == ["v"]
+    entries = snapmod._manifest_entries(spark, path, m)
+    assert all("v" in (e.get("stats") or {}) for e in entries)
+
+    st = scan_pruning_stats(spark, path, [("v", ">=", 200.0)])
+    assert st["files_total"] == len(entries)
+    assert st["files_pruned"] >= 1, \
+        "a streaming-built table must prune like a batch-built one"
+    got = snapshot_scan(spark, path, [("v", ">=", 200.0)])
+    assert len(got.inputFiles()) == st["files_read"]
+    rows = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
+    assert rows(got.select("id")) == rows(
+        read_snapshot(spark, path).where("v >= 200").select("id"))
+
+    # a second stream with stats_cols=None inherits the contract
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame([(900 + i, "d0", float(900 + i))
+                           for i in range(5)], schema) \
+        .coalesce(1).write.mode("append").parquet(src2)
+    q2 = snapshot_append_stream(
+        file_stream(spark, src2, schema, max_files_per_trigger=1),
+        path=path, partition_cols=["day"],
+        checkpoint_dir=str(tmp_path / "ckpt2"), source="s2")
+    q2.awaitTermination(180)
+    m2 = snapmod._load_manifest(spark, path,
+                                snapmod.latest_version(spark, path))
+    assert m2["stats_cols"] == ["v"]
+    st2 = scan_pruning_stats(spark, path, [("v", ">=", 900.0)])
+    assert st2["files_read"] == 1
