@@ -1094,7 +1094,8 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
                     partition_cols: list[str] | None = None,
                     schema_evolution: bool = False,
                     stats_cols: list[str] | None = None,
-                    source_batch: tuple[str, int] | None = None) -> int:
+                    source_batch: tuple[str, int] | None = None,
+                    retries: int = 5) -> int:
     """Append ``df``'s rows as the table's next snapshot — the
     cheapest commit the format has and the one an ingest loop issues
     most: NO existing data is read or rewritten, the new manifest
@@ -1127,7 +1128,18 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
     foreachBatch recipe with the marker riding the commit itself, so
     no crash window exists between "rows visible" and "batch marked
     applied". Use distinct ``source`` names when several streams feed
-    one table (batch ids are only monotone per checkpoint)."""
+    one table (batch ids are only monotone per checkpoint).
+
+    ``retries`` (r8) bounds the built-in retry-with-rebase under
+    multi-writer contention: an append that loses the version race
+    restacks its ALREADY-WRITTEN files on the new head (carry-by-
+    reference refs rebuilt, replay/partition/schema/stats contracts
+    re-checked against the new manifest) and retries only the
+    manifest commit — no data rewrite, linear history, both
+    appenders land. Exhausted retries re-raise ConcurrentCommit.
+    Appends are the ONLY rebase-safe commit (they read nothing);
+    upserts/deletes keep raise-only semantics because their merge
+    read is stale after a race — re-run the whole operation."""
     prev = latest_version(spark, path)
     if prev is None:
         if partition_cols is None:
@@ -1140,39 +1152,53 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
                               partition_cols=partition_cols,
                               stats_cols=stats_cols,
                               _append_sources=srcs0)
-    m = _load_manifest(spark, path, prev)
-    srcs = dict(m.get("append_sources") or {})
-    if source_batch is not None:
-        src, bid = source_batch
-        if bid <= srcs.get(src, -1):
-            return prev                  # replayed batch: no-op
-        srcs[src] = bid
-    if partition_cols is not None and m["partition_cols"] != partition_cols:
-        raise ValueError(
-            f"partition_cols {partition_cols} do not match the "
-            f"table's {m['partition_cols']}")
-    part_cols = m["partition_cols"]
-
     from pyspark.sql.types import StructType
 
     from .tables import _check_schema_drift
-    schema_json = m.get("schema")
-    if schema_json:
-        table_schema = StructType.fromJson(json.loads(schema_json))
-        _check_schema_drift([f.name for f in table_schema.fields],
-                            df.columns, [], part_cols, schema_evolution)
-        merged_schema = (spark.createDataFrame([], table_schema)
-                         .unionByName(df.limit(0),
-                                      allowMissingColumns=schema_evolution)
-                         .schema)
-    else:
-        merged_schema = df.schema
 
-    # None = inherit the table's stats columns; [] = explicit disable
-    # (`or` would conflate the two, making stats impossible to turn
-    # off once enabled)
-    eff_stats = stats_cols if stats_cols is not None \
-        else (m.get("stats_cols") or [])
+    def _prep(head: int):
+        """Per-head derivations — re-run on every rebase so the commit
+        always reflects the manifest it stacks on: replay markers
+        (another writer may have admitted our batch), partition
+        contract, schema merge, stats contract. Returns None when the
+        head already admitted this source_batch (no-op)."""
+        m = _load_manifest(spark, path, head)
+        srcs = dict(m.get("append_sources") or {})
+        if source_batch is not None:
+            src, bid = source_batch
+            if bid <= srcs.get(src, -1):
+                return None              # replayed batch: no-op
+            srcs[src] = bid
+        if partition_cols is not None \
+                and m["partition_cols"] != partition_cols:
+            raise ValueError(
+                f"partition_cols {partition_cols} do not match the "
+                f"table's {m['partition_cols']}")
+        part_cols = m["partition_cols"]
+        schema_json = m.get("schema")
+        if schema_json:
+            table_schema = StructType.fromJson(json.loads(schema_json))
+            _check_schema_drift([f.name for f in table_schema.fields],
+                                df.columns, [], part_cols,
+                                schema_evolution)
+            merged_schema = (
+                spark.createDataFrame([], table_schema)
+                .unionByName(df.limit(0),
+                             allowMissingColumns=schema_evolution)
+                .schema)
+        else:
+            merged_schema = df.schema
+        # None = inherit the table's stats columns; [] = explicit
+        # disable (`or` would conflate the two, making stats
+        # impossible to turn off once enabled)
+        eff_stats = stats_cols if stats_cols is not None \
+            else (m.get("stats_cols") or [])
+        return m, srcs, part_cols, merged_schema, eff_stats
+
+    prep = _prep(prev)
+    if prep is None:
+        return prev
+    m, srcs, part_cols, merged_schema, eff_stats = prep
     if schema_evolution:
         # a recorded stats column absent from this batch is a legal
         # schema-evolution drop: record no stats for it rather than
@@ -1182,13 +1208,35 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
         write_stats = eff_stats
     new_entries = _write_data_files(spark, path, df, part_cols,
                                     write_stats)
-    _commit_manifest(spark, path, prev + 1, {
-        "version": prev + 1, "partition_cols": part_cols,
-        "schema": merged_schema.json(),
-        "stats_cols": eff_stats or None,
-        "append_sources": srcs or None,
-        **_build_file_refs(spark, path, m, set(), new_entries)})
-    return prev + 1
+    # Bounded retry-with-REBASE (r8): an append touches no existing
+    # data, so losing the version race never invalidates the work —
+    # the already-written files restack on the new head (fresh
+    # carry-by-reference refs, re-run contract checks) and only the
+    # manifest commit retries. Upserts/deletes can NOT do this (their
+    # merge read is stale after a race) — they surface
+    # ConcurrentCommit for the caller to re-run whole.
+    head = prev
+    for attempt in range(retries + 1):
+        try:
+            _commit_manifest(spark, path, head + 1, {
+                "version": head + 1, "partition_cols": part_cols,
+                "schema": merged_schema.json(),
+                "stats_cols": eff_stats or None,
+                "append_sources": srcs or None,
+                **_build_file_refs(spark, path, m, set(), new_entries)})
+            return head + 1
+        except ConcurrentCommit:
+            if attempt >= retries:
+                raise
+            new_head = latest_version(spark, path)
+            if new_head is None or new_head <= head:
+                raise                    # not a version race: give up
+            head = new_head
+            prep = _prep(head)
+            if prep is None:
+                return head              # competitor admitted our batch
+            m, srcs, part_cols, merged_schema, eff_stats = prep
+    raise AssertionError("unreachable")
 
 
 def _affected_dirs(updates_vals: list[tuple],

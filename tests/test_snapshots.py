@@ -1359,3 +1359,98 @@ def test_read_snapshot_where_auto_routes_through_zone_maps(spark,
     fuzzy = read_snapshot(spark, path, where="id % 7 = 0")
     assert len(fuzzy.inputFiles()) == total
     assert _rows(fuzzy) == _rows(plain.where("id % 7 = 0"))
+
+
+def test_snapshot_append_retry_rebases_on_concurrent_commit(
+        spark, tmp_path, monkeypatch):
+    """Two concurrent appenders both land (r8): the loser's
+    already-written files restack on the winner's head — no data
+    rewrite, linear history, winner's files carried by reference in
+    the rebased manifest. With retries=0 the same race surfaces
+    ConcurrentCommit (the pre-r8 contract)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_append
+    schema = "id long, day string, v double"
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(0, "d0", 0.0)], schema), partition_cols=["day"])
+
+    real = snapmod._commit_manifest
+    state = {"raced": False}
+
+    def racing(spark_, p, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(snapmod, "_commit_manifest", real)
+            try:
+                # competitor appends and wins this version
+                snapshot_append(spark_, path, spark_.createDataFrame(
+                    [(100, "d1", 1.0)], schema))
+            finally:
+                monkeypatch.setattr(snapmod, "_commit_manifest", racing)
+        return real(spark_, p, version, manifest)
+
+    monkeypatch.setattr(snapmod, "_commit_manifest", racing)
+    v = snapshot_append(spark, path, spark.createDataFrame(
+        [(200, "d2", 2.0)], schema))
+    monkeypatch.setattr(snapmod, "_commit_manifest", real)
+    assert v == 2, "rebased onto the competitor's head"
+    assert _rows(read_snapshot(spark, path).select("id")) == {
+        (0,), (100,), (200,)}
+    # linear history: every version readable, each a superset
+    assert _rows(read_snapshot(spark, path, 1).select("id")) == {
+        (0,), (100,)}
+    # the competitor's data files are carried BY REFERENCE (identical
+    # entry paths), not rewritten
+    m1 = snapmod._load_manifest(spark, path, 1)
+    m2 = snapmod._load_manifest(spark, path, 2)
+    p1 = {e["path"] for e in m1["files"]}
+    p2 = {e["path"] for e in m2["files"]}
+    assert p1 < p2
+
+    # retries=0 keeps the old raise-only contract
+    state["raced"] = False
+    monkeypatch.setattr(snapmod, "_commit_manifest", racing)
+    with pytest.raises(ConcurrentCommit):
+        snapshot_append(spark, path, spark.createDataFrame(
+            [(300, "d3", 3.0)], schema), retries=0)
+    monkeypatch.setattr(snapmod, "_commit_manifest", real)
+    # the competitor's concurrent append from the failed race landed
+    assert (400 not in
+            {r[0] for r in read_snapshot(spark, path)
+             .select("id").collect()})
+
+
+def test_snapshot_append_retry_replay_admitted_by_competitor(
+        spark, tmp_path, monkeypatch):
+    """If the competitor that won the race already admitted OUR
+    source_batch (same source, replayed), the rebase detects it on
+    the reloaded head and returns as a no-op instead of
+    double-appending."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_append
+    schema = "id long, day string, v double"
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(0, "d0", 0.0)], schema), partition_cols=["day"])
+
+    real = snapmod._commit_manifest
+    state = {"raced": False}
+
+    def racing(spark_, p, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(snapmod, "_commit_manifest", real)
+            try:
+                snapshot_append(spark_, path, spark_.createDataFrame(
+                    [(100, "d1", 1.0)], schema),
+                    source_batch=("s1", 7))
+            finally:
+                monkeypatch.setattr(snapmod, "_commit_manifest", racing)
+        return real(spark_, p, version, manifest)
+
+    monkeypatch.setattr(snapmod, "_commit_manifest", racing)
+    v = snapshot_append(spark, path, spark.createDataFrame(
+        [(999, "d9", 9.0)], schema), source_batch=("s1", 7))
+    monkeypatch.setattr(snapmod, "_commit_manifest", real)
+    assert v == 1, "no-op: competitor already admitted batch (s1, 7)"
+    assert _rows(read_snapshot(spark, path).select("id")) == {
+        (0,), (100,)}
