@@ -5,7 +5,8 @@ from .bpe import (
 from .hashing import hash64, hash64_seeded, hash64_seeded_sql, hash64_sql
 from .text import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
-    fingerprint, gopher_keep, gopher_rules, lang_id, normalize_text,
+    fingerprint, gopher_keep, gopher_rules, html_to_text, lang_id,
+    normalize_text,
     pii_count, pii_redact, punct_ratio,
     quality_score, shingles, stopword_ratio, strip_boilerplate_lines,
     subword_count, text_feature_vector, token_count, tokens,
@@ -18,7 +19,7 @@ __all__ = [
     "ENGLISH_STOPWORDS", "LANG_STOPWORDS", "PII_PATTERNS",
     "PII_REDACTION_ORDER", "cosine", "dot", "fingerprint",
     "hash64", "hash64_seeded", "hash64_seeded_sql", "hash64_sql", "l2_distance",
-    "gopher_keep", "gopher_rules",
+    "gopher_keep", "gopher_rules", "html_to_text",
     "lang_id", "norm", "normalize_text", "pii_count", "pii_redact", "punct_ratio",
     "quality_score", "shingles",
     "stopword_ratio", "strip_boilerplate_lines", "subword_count",

@@ -9,6 +9,9 @@ from .snapshots import (
 from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
 )
+from .warc import (  # noqa: F401
+    parse_warc_bytes, read_warc, split_http_response,
+)
 from .tables import (
     TPCH_TABLES, InPlaceMaintenanceWarning, compact_files,
     dataset_bytes, dataset_has_data,
@@ -18,6 +21,7 @@ from .tables import (
 )
 
 __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
+           "parse_warc_bytes", "read_warc", "split_http_response",
            "TPCH_TABLES", "CommitStrategy", "ConcurrentCommit",
            "ConditionalPutCommit",
            "InPlaceMaintenanceWarning",
