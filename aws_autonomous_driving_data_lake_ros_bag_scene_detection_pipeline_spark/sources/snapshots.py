@@ -471,6 +471,14 @@ def set_commit_strategy(strategy: CommitStrategy) -> CommitStrategy:
 
 def _commit_manifest(spark: SparkSession, path: str, version: int,
                      manifest: dict) -> None:
+    import time
+
+    # commit wall-clock (r8) powers AS-OF time travel. Writer-clock
+    # caveat: with multiple writers the timestamps are only as ordered
+    # as their clocks; the VERSION remains the authority on history
+    # order, and as-of resolution scans by version picking the last
+    # one at-or-before the cutoff.
+    manifest.setdefault("committed_at", time.time())
     _COMMIT_STRATEGY.publish(spark, path, version, manifest)
     _write_hint(spark, path, version)
 
@@ -495,7 +503,7 @@ def _write_segment(spark: SparkSession, path: str,
     name = f"seg-{uuid.uuid4().hex}.segment"
     _write_text(spark, f"{path}/{_MANIFEST_DIR}/{name}",
                 json.dumps({"files": entries}, sort_keys=True))
-    return {"path": name,
+    return {"path": name, "n_entries": len(entries),
             "partitions": sorted({e["partition"] for e in entries})}
 
 
@@ -701,8 +709,60 @@ def _read_files(spark: SparkSession, path: str, entries: list[dict],
     return reader.parquet(*files)
 
 
+def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
+    """The table's commit log, oldest first: ``{"version",
+    "committed_at", "n_files", "operation_schema"}`` per published
+    snapshot — the audit surface time travel resolves against. Cost is
+    one manifest read per version (metadata, not data); pruned
+    versions are simply absent."""
+    head = latest_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no published snapshot under {path}")
+    jvm, fs, _ = _fs(spark, path)
+    out = []
+    for v in range(head + 1):
+        jp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_MANIFEST_DIR}/{v}.json")
+        if not fs.exists(jp):
+            continue                   # pruned past retention
+        m = _load_manifest(spark, path, v)
+        out.append({
+            "version": v,
+            "committed_at": m.get("committed_at"),
+            "n_files": len(m.get("files") or [])
+            + sum(s.get("n_entries", 0)
+                  for s in (m.get("segments") or [])),
+            "partition_cols": m.get("partition_cols"),
+        })
+    return out
+
+
+def _resolve_as_of(spark: SparkSession, path: str, as_of) -> int:
+    """Latest version whose ``committed_at`` is <= the cutoff
+    (ISO-8601 string or epoch seconds). Versions without a recorded
+    timestamp (pre-r8 tables) are treated as before any cutoff."""
+    import datetime
+
+    if isinstance(as_of, str):
+        cutoff = datetime.datetime.fromisoformat(as_of) \
+            .replace(tzinfo=datetime.timezone.utc).timestamp() \
+            if "T" in as_of or "-" in as_of else float(as_of)
+    else:
+        cutoff = float(as_of)
+    best = None
+    for h in snapshot_history(spark, path):
+        ts = h["committed_at"]
+        if ts is None or ts <= cutoff:
+            best = h["version"]
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot of {path} existed at or before {as_of}")
+    return best
+
+
 def read_snapshot(spark: SparkSession, path: str,
                   version: int | None = None, *,
+                  as_of=None,
                   where: str | None = None) -> DataFrame:
     """The table at ``version`` (default: latest published). The file
     list is pinned at resolve time — concurrent commits cannot change
@@ -717,7 +777,18 @@ def read_snapshot(spark: SparkSession, path: str,
     ``read_snapshot(...).where(where)``, bytes read proportional to
     matching files on a sorted layout. Unparseable/unprunable
     expressions degrade to the plain filtered read (sound
-    weakening)."""
+    weakening).
+
+    ``as_of`` (r8) time-travels: resolve the latest version committed
+    at or before the cutoff (ISO-8601 string or epoch seconds) —
+    "what did the table look like before yesterday's load" without
+    knowing version numbers. Mutually exclusive with ``version``;
+    see :func:`snapshot_history` for the audit log, and the
+    writer-clock caveat in ``_commit_manifest``."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = _resolve_as_of(spark, path, as_of)
     if version is None:
         version = latest_version(spark, path)
         if version is None:

@@ -1454,3 +1454,49 @@ def test_snapshot_append_retry_replay_admitted_by_competitor(
     assert v == 1, "no-op: competitor already admitted batch (s1, 7)"
     assert _rows(read_snapshot(spark, path).select("id")) == {
         (0,), (100,)}
+
+
+def test_snapshot_history_and_as_of_time_travel(spark, tmp_path,
+                                                monkeypatch):
+    """Commit timestamps power AS-OF reads: each version records its
+    wall clock, snapshot_history lists the audit log, and
+    read_snapshot(as_of=) resolves the latest version at or before
+    the cutoff (epoch or ISO-8601). Clock pinned via monkeypatch so
+    the resolution boundaries are exact."""
+    import time as _time
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_append, snapshot_history,
+    )
+    schema = "id long, day string"
+    path = str(tmp_path / "tbl")
+    clock = {"t": 1000.0}
+    monkeypatch.setattr(_time, "time", lambda: clock["t"])
+
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(0, "d0")], schema), partition_cols=["day"])     # t=1000
+    clock["t"] = 2000.0
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(1, "d0")], schema))                             # t=2000
+    clock["t"] = 3000.0
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(2, "d0")], schema))                             # t=3000
+
+    hist = snapshot_history(spark, path)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["committed_at"] for h in hist] == [1000.0, 2000.0,
+                                                 3000.0]
+
+    ids = lambda df: {r[0] for r in df.select("id").collect()}  # noqa: E731
+    assert ids(read_snapshot(spark, path, as_of=2500)) == {0, 1}
+    assert ids(read_snapshot(spark, path, as_of=2000)) == {0, 1}
+    assert ids(read_snapshot(spark, path, as_of=1999.9)) == {0}
+    assert ids(read_snapshot(spark, path, as_of=9999)) == {0, 1, 2}
+    iso = "1970-01-01T00:41:40+00:00"                     # 2500 s
+    assert ids(read_snapshot(spark, path, as_of=iso)) == {0, 1}
+    with pytest.raises(FileNotFoundError, match="existed at or"):
+        read_snapshot(spark, path, as_of=10)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, path, 1, as_of=2500)
+    # as_of composes with zone-map routing
+    got = read_snapshot(spark, path, as_of=2500, where="id >= 1")
+    assert ids(got) == {1}
