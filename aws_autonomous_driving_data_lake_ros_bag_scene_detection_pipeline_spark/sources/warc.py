@@ -121,24 +121,13 @@ def split_http_response(payload: bytes):
     return status, payload[sep + 4:]
 
 
-def read_warc(spark: SparkSession, path: str, *,
-              types: tuple[str, ...] = ("response",),
-              strip_http_headers: bool = True) -> QuarantinedRead:
-    """Read WARC archives into one row per record of the requested
-    ``types`` (default: ``response`` — the fetched pages).
-
-    ``good`` columns: ``record_id, warc_type, target_uri, warc_date,
-    content_type, http_status, payload, src_file, rec_offset`` —
-    ``payload`` is the HTTP BODY bytes when ``strip_http_headers``
-    (status parsed into ``http_status``), decode downstream with
-    ``decode(payload, 'utf-8')`` + :func:`~..functions.text.
-    html_to_text`. ``bad`` columns: ``src_file, rec_offset, reason,
-    snippet`` — every malformed region, verbatim context preserved.
-    Same caller-owned persist contract as :func:`~.textual.
-    read_jsonl` (call ``.unpersist()`` when both frames are
-    consumed)."""
-    from pyspark.sql import functions as F
-
+def warc_records_frame(binary_df: DataFrame, *,
+                       types: tuple[str, ...] = ("response",),
+                       strip_http_headers: bool = True) -> DataFrame:
+    """The parse stage alone: a ``(path, content)`` frame (batch OR
+    streaming ``binaryFile`` source) → one row per record with
+    ``_err``/``_snippet`` still attached — the raw relation both
+    :func:`read_warc` and the streaming ingest loop split."""
     want = tuple(t.lower() for t in types)
 
     def parse(it):
@@ -179,10 +168,31 @@ def read_warc(spark: SparkSession, path: str, *,
                 "content_type", "http_status", "payload", "src_file",
                 "rec_offset", "_err", "_snippet"])
 
-    raw = (spark.read.format("binaryFile")
-           .load(path)
-           .select("path", "content")
-           .mapInPandas(parse, _RECORDS_SCHEMA))
+    return (binary_df.select("path", "content")
+            .mapInPandas(parse, _RECORDS_SCHEMA))
+
+
+def read_warc(spark: SparkSession, path: str, *,
+              types: tuple[str, ...] = ("response",),
+              strip_http_headers: bool = True) -> QuarantinedRead:
+    """Read WARC archives into one row per record of the requested
+    ``types`` (default: ``response`` — the fetched pages).
+
+    ``good`` columns: ``record_id, warc_type, target_uri, warc_date,
+    content_type, http_status, payload, src_file, rec_offset`` —
+    ``payload`` is the HTTP BODY bytes when ``strip_http_headers``
+    (status parsed into ``http_status``), decode downstream with
+    ``decode(payload, 'utf-8')`` + :func:`~..functions.text.
+    html_to_text`. ``bad`` columns: ``src_file, rec_offset, reason,
+    snippet`` — every malformed region, verbatim context preserved.
+    Same caller-owned persist contract as :func:`~.textual.
+    read_jsonl` (call ``.unpersist()`` when both frames are
+    consumed)."""
+    from pyspark.sql import functions as F
+
+    raw = warc_records_frame(
+        spark.read.format("binaryFile").load(path),
+        types=types, strip_http_headers=strip_http_headers)
     cached = raw.persist()
     good = (cached.where(F.col("_err").isNull())
             .drop("_err", "_snippet"))

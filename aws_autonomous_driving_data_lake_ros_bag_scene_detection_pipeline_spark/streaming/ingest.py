@@ -1136,3 +1136,81 @@ def index_compact_deletes(spark, index_path: str, id_col: str, *,
                 delete_keys(spark, path, tombs, [id_col],
                             partition_cols=["_batch_id"])
     _clear_dir(spark, f"{index_path}/_tombstones")
+
+
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def warc_ingest_batch(batch_df: DataFrame, batch_id: int, *,
+                      table_path: str, quarantine_path: str,
+                      types: tuple[str, ...] = ("response",),
+                      transform=None, source: str = "warc") -> int:
+    """Apply ONE micro-batch of WARC archive files: parse
+    (:func:`~..sources.warc.warc_records_frame`), route malformed
+    regions to the quarantine sink (``_batch_id``-partitioned dynamic
+    overwrite — the module's replay recipe), optionally ``transform``
+    the clean records (e.g. decode + ``html_to_text``), and land them
+    as ONE exactly-once snapshot commit
+    (:func:`~..sources.snapshots.snapshot_append` with the
+    ``source_batch`` marker riding the commit — a replayed batch is a
+    version-preserving no-op). Returns the committed (or preserved)
+    version."""
+    from ..sources.snapshots import snapshot_append
+    from ..sources.warc import warc_records_frame
+
+    spark = batch_df.sparkSession
+    raw = warc_records_frame(batch_df, types=types).persist()
+    try:
+        bad = (raw.where(F.col("_err").isNotNull())
+               .select("src_file", "rec_offset",
+                       F.col("_err").alias("reason"),
+                       F.col("_snippet").alias("snippet")))
+        with _dynamic_overwrite(spark):
+            (bad.withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(quarantine_path))
+        good = raw.where(F.col("_err").isNull()).drop("_err",
+                                                      "_snippet")
+        if transform is not None:
+            good = transform(good)
+        return snapshot_append(spark, table_path, good,
+                               partition_cols=[],
+                               source_batch=(source, batch_id))
+    finally:
+        raw.unpersist()
+
+
+def warc_ingest_stream(spark, src_path: str, *, table_path: str,
+                       quarantine_path: str, checkpoint_dir: str,
+                       types: tuple[str, ...] = ("response",),
+                       transform=None, source: str = "warc",
+                       max_files_per_trigger: int | None = None,
+                       available_now: bool = True) -> StreamingQuery:
+    """Continuous WARC ingestion: watch ``src_path`` for new archive
+    files (streaming ``binaryFile`` source — schema declared, never
+    inferred) and run :func:`warc_ingest_batch` per micro-batch. The
+    landing table is a snapshot table, so downstream consumers get
+    whole-batch atomicity, zone maps (enable via a first
+    ``snapshot_append(stats_cols=...)`` commit), AS-OF reads, and the
+    append retry-with-rebase when other writers share the table —
+    the extract half of extract→clean→dedup running as a loop."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.load(src_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        warc_ingest_batch(batch_df, batch_id, table_path=table_path,
+                          quarantine_path=quarantine_path,
+                          types=types, transform=transform,
+                          source=source)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

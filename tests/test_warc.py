@@ -148,3 +148,58 @@ def test_html_to_text_boilerplate_composition(spark):
         html_to_text(F.col("html"))).alias("t")).collect()[0]["t"]
     assert out == ("This sentence has enough words to survive the "
                    "filter.")
+
+
+def test_warc_ingest_stream_end_to_end(spark, tmp_path):
+    """The extract loop (r8): WARC archives land in a watched dir, the
+    stream parses each micro-batch, quarantines malformed regions,
+    applies the decode+html_to_text transform, and commits clean
+    records to a snapshot table exactly-once — a second run with the
+    same checkpoint and no new files publishes nothing."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import html_to_text
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        latest_version, read_snapshot,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import warc_ingest_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    blob1 = _record("response", "http://a.example/", _http(HTML))
+    corrupt = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: NaN\r\n\r\nzz")
+    (src / "a.warc").write_bytes(blob1 + corrupt)
+    (src / "b.warc.gz").write_bytes(gzip.compress(
+        _record("response", "http://b.example/", _http(b"<p>two</p>"))))
+
+    table = str(tmp_path / "tbl")
+    quarantine = str(tmp_path / "bad")
+    ckpt = str(tmp_path / "ckpt")
+
+    def extract(df):
+        return df.select(
+            "target_uri", "http_status",
+            html_to_text(F.decode(F.col("payload"), "utf-8"))
+            .alias("text"))
+
+    q = warc_ingest_stream(spark, str(src), table_path=table,
+                           quarantine_path=quarantine,
+                           checkpoint_dir=ckpt, transform=extract,
+                           max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {r["target_uri"]: r["text"]
+           for r in read_snapshot(spark, table).collect()}
+    assert got == {"http://a.example/": GOLDEN_TEXT,
+                   "http://b.example/": "two"}
+    bad = spark.read.parquet(quarantine)
+    assert bad.count() == 1
+    assert "Content-Length" in bad.collect()[0]["reason"]
+    v = latest_version(spark, table)
+
+    # restart, no new files: exactly-once (no empty commits)
+    q2 = warc_ingest_stream(spark, str(src), table_path=table,
+                            quarantine_path=quarantine,
+                            checkpoint_dir=ckpt, transform=extract,
+                            max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    assert latest_version(spark, table) == v
