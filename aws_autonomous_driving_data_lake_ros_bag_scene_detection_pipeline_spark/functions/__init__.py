@@ -5,6 +5,7 @@ from .bpe import (
 from .hashing import hash64, hash64_seeded, hash64_seeded_sql, hash64_sql
 from .text import (
     ENGLISH_STOPWORDS, LANG_STOPWORDS, PII_PATTERNS, PII_REDACTION_ORDER,
+    canonical_url, url_host,
     fingerprint, gopher_keep, gopher_rules, html_to_text, lang_id,
     normalize_text,
     pii_count, pii_redact, punct_ratio,
@@ -19,6 +20,7 @@ __all__ = [
     "ENGLISH_STOPWORDS", "LANG_STOPWORDS", "PII_PATTERNS",
     "PII_REDACTION_ORDER", "cosine", "dot", "fingerprint",
     "hash64", "hash64_seeded", "hash64_seeded_sql", "hash64_sql", "l2_distance",
+    "canonical_url", "url_host",
     "gopher_keep", "gopher_rules", "html_to_text",
     "lang_id", "norm", "normalize_text", "pii_count", "pii_redact", "punct_ratio",
     "quality_score", "shingles",

@@ -207,6 +207,63 @@ def normalize_text(col: Column | str, *, lower: bool = False) -> Column:
     return F.lower(c) if lower else c
 
 
+#: query parameters that identify a CLICK, not a page — the standard
+#: tracking families stripped by canonical_url
+_TRACKING_PARAM_RE = ("(utm_[a-z]+|fbclid|gclid|gclsrc|dclid|msclkid|"
+                      "mc_cid|mc_eid|igshid|ref_src|ref_url|_ga|yclid)")
+
+
+def canonical_url(col: Column | str, *,
+                  strip_tracking_params: bool = True) -> Column:
+    """Canonical URL form for URL-keyed dedup/grouping (r8): the same
+    page fetched via ``HTTP://Example.COM:80/a/?utm_source=x#frag``
+    and ``http://example.com/a`` must key identically or URL-level
+    dedup silently splits. Pure Catalyst regexp chain (codegen — runs
+    at scan speed over crawl manifests):
+
+    - scheme + host lowercased (path/query case PRESERVED — it is
+      significant on most servers);
+    - default ports dropped (``:80`` http, ``:443`` https);
+    - fragment dropped (client-side only);
+    - tracking params stripped (``utm_*``, ``fbclid``, ``gclid``, …;
+      disable via ``strip_tracking_params=False``), ``?``/``&`` runs
+      re-normalized, empty query dropped;
+    - trailing slash dropped from non-root paths.
+
+    Deliberately NOT done (correctness over aggression): no
+    percent-decoding (decoding can change meaning), no param
+    re-sorting (order occasionally matters), no www-stripping (a
+    different host). Deterministic, so two crawls of the same page
+    agree."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.trim(c)
+    # lowercase scheme://host[:port] only
+    c = F.concat(F.lower(F.regexp_extract(c, "^([^/?#]*://[^/?#]*)", 1)),
+                 F.regexp_replace(c, "^[^/?#]*://[^/?#]*", ""))
+    c = F.regexp_replace(c, "^(https?://[^/?#:]+):(80|443)(?=[/?#]|$)",
+                         "$1")
+    c = F.regexp_replace(c, "#.*$", "")
+    if strip_tracking_params:
+        c = F.regexp_replace(c, "([?&])" + _TRACKING_PARAM_RE
+                             + "=[^&#]*", "$1")
+        c = F.regexp_replace(c, "&{2,}", "&")      # ...&&... runs
+        c = F.regexp_replace(c, "\\?&+", "?")      # ?&x -> ?x
+        c = F.regexp_replace(c, "[?&]+$", "")      # dangling ?/&
+    # trailing slash only off a real path segment — the root slash
+    # ("https://example.com/") is left alone (the [^/] guard keeps the
+    # "//" of the authority from reading as a segment boundary)
+    c = F.regexp_replace(c, "([^/])(/[^/?#]+)/+$", "$1$2")
+    return c
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased registrable-host column (``parse_url`` JVM builtin)
+    — the groupBy key for per-domain corpus stats and crawl-politeness
+    accounting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.parse_url(c, F.lit("HOST")))
+
+
 def strip_boilerplate_lines(col: Column | str,
                             min_words: int = 4,
                             max_link_ratio: float = 0.5) -> Column:

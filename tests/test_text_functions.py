@@ -382,3 +382,43 @@ def test_corpus_report_single_aggregate_plan(spark, duck):
         "select count(*), sum(length(text)) from documents").fetchone()
     assert got["n_docs"] == float(want_docs)
     assert got["total_chars"] == float(want_chars)
+
+
+def test_canonical_url_normalization(spark):
+    """URL-keyed dedup's canonical form: case/port/fragment/tracking
+    variants of one page collapse to one key; genuinely different
+    pages stay distinct; path case, param order, and www are
+    deliberately preserved."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import canonical_url, url_host
+
+    cases = [
+        ("HTTP://Example.COM:80/a/?utm_source=x#frag",
+         "http://example.com/a"),
+        ("http://example.com/a", "http://example.com/a"),
+        ("https://Example.com:443/b?id=1&utm_medium=m&x=2",
+         "https://example.com/b?id=1&x=2"),
+        ("https://example.com/b?utm_source=a&utm_medium=b",
+         "https://example.com/b"),
+        ("https://example.com/?fbclid=abc", "https://example.com/"),
+        ("https://example.com:8080/c", "https://example.com:8080/c"),
+        ("https://example.com/Path/Case", "https://example.com/Path/Case"),
+        ("https://www.example.com/a", "https://www.example.com/a"),
+        ("https://example.com/a?b=1&a=2", "https://example.com/a?b=1&a=2"),
+        ("https://example.com/x/#sec", "https://example.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+    hosts = df.select(url_host("url").alias("h")).distinct().collect()
+    assert {r["h"] for r in hosts} == {"example.com",
+                                       "www.example.com"}
+
+    # tracking stripping is opt-out
+    keep = spark.createDataFrame(
+        [("https://e.com/a?utm_source=x",)], "url string") \
+        .select(canonical_url(
+            "url", strip_tracking_params=False).alias("c")) \
+        .collect()[0]["c"]
+    assert keep == "https://e.com/a?utm_source=x"
