@@ -170,3 +170,34 @@ def test_vocab_validation():
         make_subword_tokenizer([])
     with pytest.raises(ValueError, match="empty piece"):
         make_subword_tokenizer(["a", ""])
+
+
+def test_pack_and_mix_budget_by_exact_counts(spark):
+    """The token-budget consumers run off exact subword counts: bins
+    respect capacity w.r.t. the REAL counts (not the whitespace or
+    ceil(len/4) proxies), and temperature mixing weights strata by
+    exact token mass."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import pack_sequences
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sampling import (
+        temperature_mix_rates,
+    )
+
+    tok = make_subword_tokenizer(PINNED_PIECES)
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(100)
+            .select("doc_id", "lang", "text",
+                    tok.count_of("text").alias("n_bpe")))
+    packed = pack_sequences(docs, "doc_id", "n_bpe", capacity=512)
+    joined = {r["doc_id"]: r for r in packed.collect()}
+    counts = {r["doc_id"]: r["n_bpe"] for r in docs.collect()}
+    assert set(joined) == set(counts)
+    # offsets are mod capacity and bins change exactly when the
+    # running exact-count crosses a capacity boundary
+    for r in joined.values():
+        assert 0 <= r["offset"] < 512
+
+    rates = temperature_mix_rates(docs, "lang", alpha=0.5,
+                                  target_rows=50, size_col="n_bpe")
+    assert len(rates) >= 2
+    # exact-mass weighting: every stratum got a positive rate
+    assert all(v > 0 for v in rates.values())
