@@ -196,3 +196,36 @@ def test_ivf_append_batch_with_pq_codebooks(spark, emb, tmp_path):
         (r["vec_id"], r["cell"], tuple(r["codes"]),
          round(r["_cnorm"], 9)) for r in df.collect())
     assert key(acc) == key(full)
+
+
+def test_pq_index_delete_propagation(spark, emb, tmp_path):
+    """The delete loop composes with the PQ layout unchanged: id+cell
+    tombstones (cells re-derived with the same frozen pivots) hide
+    deleted vectors from the accumulated PQ index, and an
+    ivf_pq_probe over the surviving index never returns them."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        ivf_pq_probe, kmeans_pivots, pq_codebooks,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming.ingest import (
+        ivf_append_batch, ivf_delete_batch, read_ivf_index,
+    )
+
+    piv = kmeans_pivots(emb, "vec_id", "embedding", nlist=8, iters=2)
+    cb = pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=16,
+                      iters=2)
+    path = str(tmp_path / "pq_idx")
+    ivf_append_batch(emb, 0, "vec_id", "embedding", pivots=piv,
+                     index_path=path, codebooks=cb)
+    dropped = emb.where("vec_id < 50")
+    ivf_delete_batch(dropped, 1, "vec_id", "embedding", pivots=piv,
+                     index_path=path)
+
+    live = read_ivf_index(spark, path)
+    ids = {r["vec_id"] for r in live.select("vec_id").collect()}
+    assert ids == {r["vec_id"] for r in
+                   emb.where("vec_id >= 50").collect()}
+
+    got = ivf_pq_probe(live, emb, emb.where("vec_id >= 450"),
+                       "vec_id", "embedding", piv, cb, k=5, nprobe=4)
+    assert got.count() > 0
+    assert all(r["neighbor_id"] >= 50 for r in got.collect())
