@@ -744,9 +744,15 @@ def _resolve_as_of(spark: SparkSession, path: str, as_of) -> int:
     import datetime
 
     if isinstance(as_of, str):
-        cutoff = datetime.datetime.fromisoformat(as_of) \
-            .replace(tzinfo=datetime.timezone.utc).timestamp() \
-            if "T" in as_of or "-" in as_of else float(as_of)
+        try:
+            cutoff = float(as_of)          # "2500" / "2500.5" = epoch
+        except ValueError:
+            dt = datetime.datetime.fromisoformat(as_of)
+            if dt.tzinfo is None:
+                # naive strings read as UTC (the engine-wide
+                # convention); an explicit offset is RESPECTED
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            cutoff = dt.timestamp()
     else:
         cutoff = float(as_of)
     best = None
@@ -854,43 +860,53 @@ def _conj_may_match(entry: dict, predicates: list[tuple]) -> bool:
     column are always kept (new columns, tables that enabled stats
     mid-life); an all-null file (min is None) is pruned for any
     comparison/IN (no non-null value exists) and for ``is_not_null``;
-    ``is_null`` prunes files whose recorded null count is zero."""
+    ``is_null`` prunes files whose recorded null count is zero.
+
+    Type guard: a predicate whose value doesn't compare with the
+    file's stat type (e.g. an auto-routed numeric literal against a
+    string column) KEEPS the file — pruning may only ever remove
+    files it can PROVE irrelevant, and a TypeError proves nothing."""
     st = entry.get("stats") or {}
-    for col, (lo, lo_i, hi, hi_i) in _query_intervals(predicates).items():
-        if lo is not None and hi is not None and (
-                lo > hi or (lo == hi and not (lo_i and hi_i))):
-            return False               # self-contradictory conjunction
-        s = st.get(col)
-        if s is None:
-            continue
-        mn, mx = s["min"], s["max"]
-        if mn is None:
-            return False
-        if lo is not None and (mx < lo or (mx == lo and not lo_i)):
-            return False
-        if hi is not None and (mn > hi or (mn == hi and not hi_i)):
-            return False
-    for col, op, val in predicates:
-        s = st.get(col)
-        if s is None:
-            continue
-        if op == "in":
-            if not val:
-                return False           # x IN () is vacuously false
+    try:
+        for col, (lo, lo_i, hi, hi_i) in \
+                _query_intervals(predicates).items():
+            if lo is not None and hi is not None and (
+                    lo > hi or (lo == hi and not (lo_i and hi_i))):
+                return False           # self-contradictory conjunction
+            s = st.get(col)
+            if s is None:
+                continue
             mn, mx = s["min"], s["max"]
             if mn is None:
                 return False
-            if not any(mn <= v <= mx for v in val):
+            if lo is not None and (mx < lo or (mx == lo and not lo_i)):
                 return False
-        elif op == "is_null":
-            if s.get("nulls") == 0:
+            if hi is not None and (mn > hi or (mn == hi and not hi_i)):
                 return False
-        elif op == "is_not_null":
-            if s["min"] is None and s.get("rows", 0) > 0:
-                return False
-            nulls, rows = s.get("nulls"), s.get("rows")
-            if nulls is not None and rows is not None and nulls == rows:
-                return False
+        for col, op, val in predicates:
+            s = st.get(col)
+            if s is None:
+                continue
+            if op == "in":
+                if not val:
+                    return False       # x IN () is vacuously false
+                mn, mx = s["min"], s["max"]
+                if mn is None:
+                    return False
+                if not any(mn <= v <= mx for v in val):
+                    return False
+            elif op == "is_null":
+                if s.get("nulls") == 0:
+                    return False
+            elif op == "is_not_null":
+                if s["min"] is None and s.get("rows", 0) > 0:
+                    return False
+                nulls, rows = s.get("nulls"), s.get("rows")
+                if nulls is not None and rows is not None \
+                        and nulls == rows:
+                    return False
+    except TypeError:
+        return True
     return True
 
 
@@ -1300,8 +1316,16 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
             if attempt >= retries:
                 raise
             new_head = latest_version(spark, path)
-            if new_head is None or new_head <= head:
-                raise                    # not a version race: give up
+            if new_head is None:
+                raise
+            if new_head <= head:
+                # transient contention (e.g. LockFileCommit's lock
+                # held by a writer that hasn't published yet): same
+                # commit retries after a short backoff — no rebase
+                # needed until a version actually lands
+                import time
+                time.sleep(min(0.2 * (attempt + 1), 2.0))
+                continue
             head = new_head
             prep = _prep(head)
             if prep is None:

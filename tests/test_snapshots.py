@@ -1500,3 +1500,66 @@ def test_snapshot_history_and_as_of_time_travel(spark, tmp_path,
     # as_of composes with zone-map routing
     got = read_snapshot(spark, path, as_of=2500, where="id >= 1")
     assert ids(got) == {1}
+
+
+def test_pruning_type_mismatch_keeps_file():
+    """A predicate value that doesn't compare with the stat's type
+    (auto-routed SQL can produce these) must KEEP the file — pruning
+    may only remove what it can prove irrelevant."""
+    e = {"path": "f", "partition": "",
+         "stats": {"s": {"min": "aa", "max": "zz", "nulls": 0,
+                         "rows": 5}}}
+    assert snapmod._conj_may_match(e, [("s", ">=", 10)])
+    assert snapmod._conj_may_match(e, [("s", "in", [1, 2])])
+    # well-typed predicates on the same entry still prune
+    assert not snapmod._conj_may_match(e, [("s", ">", "zz")])
+
+
+def test_as_of_respects_explicit_timezone_offset(spark, tmp_path,
+                                                 monkeypatch):
+    """An ISO cutoff with an explicit offset is interpreted AT that
+    offset (not clobbered to UTC): 03:00+02:00 == 01:00Z."""
+    import time as _time
+    schema = "id long, day string"
+    path = str(tmp_path / "tbl")
+    clock = {"t": 3600.0}                      # 01:00:00Z epoch
+    monkeypatch.setattr(_time, "time", lambda: clock["t"])
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(0, "d0")], schema), partition_cols=["day"])
+    # 03:00 at +02:00 == exactly the commit instant
+    assert read_snapshot(
+        spark, path, as_of="1970-01-01T03:00:00+02:00").count() == 1
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, as_of="1970-01-01T02:59:59+02:00")
+    # naive string reads as UTC
+    assert read_snapshot(
+        spark, path, as_of="1970-01-01T01:00:00").count() == 1
+    # numeric-string epoch
+    assert read_snapshot(spark, path, as_of="3600").count() == 1
+
+
+def test_append_retry_survives_transient_lock_contention(
+        spark, tmp_path, monkeypatch):
+    """ConcurrentCommit WITHOUT a version advance (a lock briefly held
+    by a writer that hasn't published) retries the same commit after a
+    backoff instead of giving up — the ingest-loop shape."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_append
+    schema = "id long, day string"
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(0, "d0")], schema), partition_cols=["day"])
+    real = snapmod._commit_manifest
+    state = {"fails": 2}
+
+    def flaky(spark_, p, version, manifest):
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise ConcurrentCommit("commit lock held; retry")
+        return real(spark_, p, version, manifest)
+
+    monkeypatch.setattr(snapmod, "_commit_manifest", flaky)
+    v = snapshot_append(spark, path, spark.createDataFrame(
+        [(1, "d0")], schema))
+    assert v == 1 and state["fails"] == 0
+    assert _rows(read_snapshot(spark, path).select("id")) == {(0,),
+                                                              (1,)}
