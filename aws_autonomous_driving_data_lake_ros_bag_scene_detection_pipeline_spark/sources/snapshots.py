@@ -1058,6 +1058,29 @@ def sql_predicates(spark: SparkSession, where: str):
         """DNF as list of conjunctions; None = unprunable subtree."""
         kind = n.getClass().getSimpleName()
         ch = n.children()
+        if kind == "UnresolvedFunction":
+            # BETWEEN parses as 'between(attr, lo, hi) in Spark 4 —
+            # expand to the two range triples; any other function is
+            # unprunable
+            try:
+                np = n.nameParts()
+                fname = str(np.apply(np.size() - 1)).lower()
+            except Exception:  # noqa: BLE001 — unexpected node shape
+                return None
+            if fname == "between" and ch.size() == 3:
+                kids = [ch.apply(i) for i in range(3)]
+                names = [k.getClass().getSimpleName() for k in kids]
+                if names == ["UnresolvedAttribute", "Literal",
+                             "Literal"]:
+                    try:
+                        lo, hi = lit_value(kids[1]), lit_value(kids[2])
+                    except ValueError:
+                        return None
+                    if lo is None or hi is None:
+                        return None
+                    col = attr_name(kids[0])
+                    return [[(col, ">=", lo), (col, "<=", hi)]]
+            return None
         if kind == "And":
             a, b = dnf(ch.apply(0)), dnf(ch.apply(1))
             if a is None:

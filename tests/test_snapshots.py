@@ -1563,3 +1563,13 @@ def test_append_retry_survives_transient_lock_contention(
     assert v == 1 and state["fails"] == 0
     assert _rows(read_snapshot(spark, path).select("id")) == {(0,),
                                                               (1,)}
+
+
+def test_sql_predicates_between_and_not_in(spark):
+    """BETWEEN distributes into the two range triples via Spark's own
+    parse; NOT IN is not interval-expressible and widens soundly."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import sql_predicates as P
+    assert P(spark, "v between 2 and 9") == \
+        [[("v", ">=", 2), ("v", "<=", 9)]]
+    assert P(spark, "v not in (1, 2)") is None
+    assert P(spark, "v not in (1, 2) and v > 5") == [[("v", ">", 5)]]
