@@ -371,3 +371,63 @@ def test_index_build_cost_linearish_at_10x(spark):
             f"{op} build not linear-ish at 10x: {walls}")
     assert walls[f"inv_50000"] < 120 and walls[f"kmeans_50000"] < 180, (
         f"10x build absolute budget blown: {walls}")
+
+
+@pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+                    reason="slow scale test disabled")
+def test_r8_ops_build_cost_linearish_at_10x(spark):
+    """10x build smoke for the r8 surface: BPE count_of (Arrow UDF,
+    memoized) and pq_encode over 5k vs 50k inputs grow ~linearly
+    (bounded at 30x / absolute budget), and the PQ index's byte
+    driver is structural: codes rows == corpus rows (counted), m
+    smallints per row regardless of dim — the evidence the 10^9-row
+    encode extrapolation rests on."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import pq_codebooks, pq_encode
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import make_subword_tokenizer
+
+    words = ["spark", "window", "merge", "table", "scan", "query",
+             "batch", "row", "agg", "join", "filter", "sort"]
+
+    def docs(n):
+        body = F.concat_ws(" ", *[
+            F.element_at(F.array(*[F.lit(w) for w in words]),
+                         (F.pmod(F.col("id") * (j + 3) + j, F.lit(12))
+                          + 1).cast("int"))
+            for j in range(30)])
+        return spark.range(n).select(F.col("id").alias("doc_id"),
+                                     body.alias("text"))
+
+    def vecs(n, dim=32):
+        v = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (F.pmod(F.col("id") * j * 2654435761
+                              + j * 40503, F.lit(104729))
+                       / 104729.0 - 0.5))
+        return spark.range(n).select(F.col("id").alias("vec_id"),
+                                     v.alias("embedding"))
+
+    import string as _string
+    tok = make_subword_tokenizer(sorted(set(
+        list(_string.ascii_lowercase) + ["th", "er", "in", "ta",
+                                         "spark", "window"])))
+    cb = pq_codebooks(vecs(5_000), "vec_id", "embedding", m=8,
+                      ksub=16, iters=2)
+
+    walls, rows = {}, {}
+    for n in (5_000, 50_000):
+        t0 = time.monotonic()
+        s = docs(n).select(tok.count_of("text").alias("n")) \
+            .agg(F.sum("n")).collect()[0][0]
+        assert s > 0
+        walls[f"bpe_{n}"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        rows[n] = pq_encode(vecs(n), "vec_id", "embedding", cb).count()
+        walls[f"pq_{n}"] = time.monotonic() - t0
+
+    assert rows[5_000] == 5_000 and rows[50_000] == 50_000
+    for op in ("bpe", "pq"):
+        small, big = walls[f"{op}_5000"], walls[f"{op}_50000"]
+        assert big <= max(small * 30, small + 30), (
+            f"{op} not linear-ish at 10x: {walls}")
+    assert walls["bpe_50000"] < 120 and walls["pq_50000"] < 120, (
+        f"10x budget blown: {walls}")
