@@ -621,3 +621,93 @@ def test_estimate_lag_recovers_any_planted_skew(spark, lag, seed):
     df = spark.createDataFrame(rows, "k string, t double, a double, b double")
     got = estimate_lag(df, ["k"], "t", "a", "b", max_lag=4).collect()
     assert len(got) == 1 and got[0].best_lag == lag, (lag, got)
+
+
+# -- r8: zone-map auto-routing soundness --------------------------------
+
+
+@pytest.fixture(scope="module")
+def _pruning_table(spark, tmp_path_factory):
+    """A range-sorted stats table with nulls, shared across the
+    pruning property's examples (one write, many reads)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_write
+    path = str(tmp_path_factory.mktemp("prop") / "tbl")
+    df = (spark.range(0, 400)
+          .selectExpr("id",
+                      "case when id % 7 = 0 then null "
+                      "else cast(id as double) end as score",
+                      "concat('g', cast(id % 5 as string)) as grp"))
+    snapshot_write(spark, path, df.repartitionByRange(8, "id"),
+                   partition_cols=[],
+                   stats_cols=["id", "score", "grp"])
+    return path
+
+
+_pred_atom = st.sampled_from([
+    "id < {i}", "id >= {i}", "id = {i}", "id between {i} and {j}",
+    "id in ({i}, {j})", "score is null", "score is not null",
+    "score > {i}.5", "grp = 'g{g}'", "grp in ('g{g}', 'g0')",
+    "id % 3 = {g}",                       # unprunable — must degrade
+])
+
+
+@st.composite
+def _pred_exprs(draw):
+    def atom():
+        t = draw(_pred_atom)
+        return t.format(i=draw(st.integers(0, 400)),
+                        j=draw(st.integers(0, 400)),
+                        g=draw(st.integers(0, 5)))
+    n = draw(st.integers(1, 4))
+    parts = [atom() for _ in range(n)]
+    ops = [draw(st.sampled_from([" and ", " or "]))
+           for _ in range(n - 1)]
+    expr = parts[0]
+    for op, p in zip(ops, parts[1:]):
+        expr = f"({expr}){op}({p})"
+    return expr
+
+
+@SETTINGS
+@given(expr=_pred_exprs())
+def test_where_routing_soundness_property(spark, _pruning_table,
+                                         expr):
+    """For ANY predicate the grammar can build — prunable, partially
+    prunable, or not at all — the auto-routed read returns EXACTLY
+    the rows of the plain filtered read: pruning may skip files, never
+    rows."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import read_snapshot
+    plain = read_snapshot(spark, _pruning_table)
+    exp = sorted(tuple(r) for r in plain.where(expr).collect())
+    got = sorted(tuple(r) for r in
+                 read_snapshot(spark, _pruning_table,
+                               where=expr).collect())
+    assert got == exp, expr
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(blob=st.binary(max_size=400),
+       seed=st.binary(max_size=40))
+def test_warc_parser_total_on_hostile_bytes(blob, seed):
+    """parse_warc_bytes is TOTAL on arbitrary bytes: never raises,
+    always terminates, every emitted error carries a valid offset,
+    and clean records reconstruct exactly from their reported
+    offsets."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import parse_warc_bytes
+    # half the examples get a valid record embedded in the noise
+    payload = b"HTTP/1.1 200 OK\r\n\r\n" + seed
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           + b"Content-Length: " + str(len(payload)).encode()
+           + b"\r\n\r\n" + payload + b"\r\n\r\n")
+    data = blob + rec
+    out = parse_warc_bytes(data)
+    assert isinstance(out, list)
+    for off, headers, pl, err in out:
+        assert 0 <= off <= len(data)
+        if err is None:
+            assert headers.get("warc-type") == "response"
+            assert data[off:off + 5] == b"WARC/"
+    # the embedded clean record is always recovered
+    assert any(err is None and pl == payload
+               for _, _, pl, err in out)
