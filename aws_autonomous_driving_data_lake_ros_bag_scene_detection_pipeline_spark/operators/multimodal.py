@@ -8,16 +8,18 @@ never per row — unlike the reference's ``df.rdd.map`` pattern,
 detect_scenes.py:115-117).
 
 Decoders: :func:`decode_image` is REAL for PPM (P6), 24-bit
-uncompressed BMP, and — via stdlib ``zlib`` inflate plus per-row
+uncompressed BMP, — via stdlib ``zlib`` inflate plus per-row
 Sub/Up/Average/Paeth unfiltering — 8-bit non-interlaced PNG
-(gray / gray+alpha / RGB / RGBA / palette), with no external library.
-Pillow handles anything else when present. Payloads none of those
-paths can decode RAISE by default; callers may opt into the
-clearly-marked **deterministic fake decoder** (pixels derived from a
-rolling hash of the payload) with ``allow_fake=True``, and every output
-row carries a ``codec`` provenance column ("ppm" / "bmp" / "png" /
-"pillow" / "fake") so fake pixels can never silently masquerade as
-real ones. :func:`decode_audio` likewise decodes RIFF/WAVE PCM for
+(gray / gray+alpha / RGB / RGBA / palette), and — r8, via the numpy
+baseline codec in :mod:`.jpeg` — baseline sequential JPEG (4:4:4 /
+4:2:2 / 4:2:0, grayscale, restart markers), all with no external
+library. Pillow handles anything else when present (progressive JPEG
+included). Payloads none of those paths can decode RAISE by default;
+callers may opt into the clearly-marked **deterministic fake
+decoder** (pixels derived from a rolling hash of the payload) with
+``allow_fake=True``, and every output row carries a ``codec``
+provenance column ("ppm" / "bmp" / "png" / "jpeg" / "pillow" /
+"fake") so fake pixels can never silently masquerade as real ones. :func:`decode_audio` likewise decodes RIFF/WAVE PCM for
 real with a builtin parser; only compressed audio (mp3/flac/ogg)
 raises.
 
@@ -308,6 +310,15 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
         return _decode_bmp(payload), "bmp"
     if payload.startswith(_PNG_SIG):
         return _decode_png(payload), "png"
+    if payload.startswith(b"\xFF\xD8\xFF"):
+        from .jpeg import decode_jpeg
+        try:
+            return decode_jpeg(payload), "jpeg"
+        except NotImplementedError:
+            # progressive/arithmetic variants: Pillow handles them
+            # when present, else the honest guard propagates
+            if not _HAS_PIL:
+                raise
     if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
         import io
 

@@ -1,0 +1,131 @@
+"""Builtin baseline JPEG codec (r8): DCT math, encode→decode round
+trips for every supported shape (4:4:4 / 4:2:0 / grayscale / restart
+markers), honest guards for unsupported variants, hostile-bytes
+totality, and the decode_image integration with codec provenance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import (
+    _T, decode_jpeg, encode_jpeg,
+)
+
+
+def _smooth(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([np.clip(yy * 3, 0, 255),
+                     np.clip(xx * 2, 0, 255),
+                     np.clip(120 + yy - xx, 0, 255)],
+                    -1).astype(np.uint8)
+
+
+def test_dct_basis_orthonormal():
+    assert np.allclose(_T @ _T.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(1)
+    b = rng.uniform(-128, 128, (8, 8))
+    assert np.allclose(_T.T @ (_T @ b @ _T.T) @ _T, b, atol=1e-9)
+
+
+def test_roundtrip_444_high_quality():
+    img = _smooth()
+    data = encode_jpeg(img, quality=95)
+    assert data[:3] == b"\xFF\xD8\xFF" and data[-2:] == b"\xFF\xD9"
+    out = decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(float) - img.astype(float))
+    assert err.mean() < 3 and err.max() < 30
+
+
+def test_roundtrip_420_subsampled():
+    img = _smooth(48, 48)
+    data420 = encode_jpeg(img, quality=95, subsampling="4:2:0")
+    data444 = encode_jpeg(img, quality=95)
+    assert len(data420) < len(data444)       # subsampling shrinks
+    out = decode_jpeg(data420)
+    err = np.abs(out.astype(float) - img.astype(float))
+    assert err.mean() < 4 and err.max() < 40
+
+
+def test_roundtrip_grayscale_and_odd_dims():
+    rng = np.random.default_rng(3)
+    img = np.clip(rng.normal(128, 20, (37, 29)), 0,
+                  255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=97))
+    assert out.shape == (37, 29, 1)
+    err = np.abs(out[..., 0].astype(float) - img.astype(float))
+    assert err.mean() < 6
+
+
+def test_restart_markers_change_framing_not_pixels():
+    img = _smooth(40, 40)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    rst = decode_jpeg(encode_jpeg(img, quality=90,
+                                  restart_interval=2))
+    assert np.array_equal(plain, rst), \
+        "restart markers reframe the stream; coefficients (and so " \
+        "pixels) must be identical"
+
+
+def test_unsupported_variants_raise_honestly():
+    img = _smooth(16, 16)
+    data = bytearray(encode_jpeg(img, quality=90))
+    i = bytes(data).find(b"\xFF\xC0")
+    data[i + 1] = 0xC2                       # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"notajpeg")
+    with pytest.raises(ValueError, match="missing SOF"):
+        decode_jpeg(b"\xFF\xD8\xFF\xD9")
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(blob=st.binary(max_size=300))
+def test_decoder_total_on_hostile_bytes(blob):
+    """Arbitrary bytes after a JPEG SOI either decode or raise a
+    clean ValueError/NotImplementedError — never hang, never crash
+    the interpreter."""
+    try:
+        decode_jpeg(b"\xFF\xD8\xFF\xE0" + blob)
+    except (ValueError, NotImplementedError, IndexError):
+        pass
+
+
+def test_decode_image_dispatch_and_provenance(spark):
+    """The Spark plumbing: a JPEG payload through decode_image decodes
+    for REAL (no Pillow in this container), carries codec='jpeg', and
+    matches the direct decoder exactly."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import decode_image, pack_media
+
+    img = _smooth(24, 32)
+    payload = encode_jpeg(img, quality=92)
+    direct = decode_jpeg(payload)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "media_id long, payload binary")
+    packed = pack_media(df, "payload", "jpeg", width=32, height=24,
+                        channels=3)
+    out = decode_image(packed, "payload").collect()[0]
+    assert out["codec"] == "jpeg"
+    got = np.array(out["pixels"], dtype=np.int64).reshape(24, 32, 3)
+    assert np.array_equal(got, direct.astype(np.int64))
+    # lossy but faithful: PSNR vs the source image is high
+    mse = float(((got - img.astype(np.int64)) ** 2).mean())
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 30, psnr
+
+
+@pytest.mark.skipif(not pytest.importorskip("importlib").util
+                    .find_spec("PIL"),
+                    reason="Pillow not installed")
+def test_pillow_cross_decodes_our_output():  # pragma: no cover
+    from PIL import Image
+    import io
+    img = _smooth(32, 32)
+    out = np.asarray(Image.open(io.BytesIO(
+        encode_jpeg(img, quality=95))).convert("RGB"))
+    assert np.abs(out.astype(float) - img.astype(float)).mean() < 4
