@@ -1,5 +1,6 @@
 from .bpe import (
-    SubwordTokenizer, encode_word, make_subword_tokenizer,
+    SubwordTokenizer, encode_word, encode_word_merges,
+    make_subword_tokenizer,
     subword_vocab_sql, train_subword_vocab,
 )
 from .hashing import hash64, hash64_seeded, hash64_seeded_sql, hash64_sql
@@ -15,7 +16,8 @@ from .text import (
 from .vectors import cosine, dot, l2_distance, norm
 
 __all__ = [
-    "SubwordTokenizer", "encode_word", "make_subword_tokenizer",
+    "SubwordTokenizer", "encode_word", "encode_word_merges",
+    "make_subword_tokenizer",
     "subword_vocab_sql", "train_subword_vocab",
     "ENGLISH_STOPWORDS", "LANG_STOPWORDS", "PII_PATTERNS",
     "PII_REDACTION_ORDER", "cosine", "dot", "fingerprint",

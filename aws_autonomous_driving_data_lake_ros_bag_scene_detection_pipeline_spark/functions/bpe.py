@@ -71,6 +71,7 @@ __all__ = [
     "train_subword_vocab",
     "make_subword_tokenizer",
     "encode_word",
+    "encode_word_merges",
 ]
 
 _WORD_RE = re.compile(TOKEN_SPLIT_RE)
@@ -83,6 +84,30 @@ def _words(text: str) -> list[str]:
     if not text:
         return []
     return [w for w in _WORD_RE.split(text.lower()) if w]
+
+
+def encode_word_merges(word: str,
+                       merge_ranks: dict[tuple[str, str], int]
+                       ) -> list[str]:
+    """TRUE BPE inference: start from characters and repeatedly apply
+    the LOWEST-RANK adjacent merge (ties to the leftmost) until no
+    learned merge applies — the GPT-2-style rule, byte-for-byte what
+    a ``merges.txt`` imported from a real tokenizer means. Use
+    ``mode="merges"`` when the artifact's merge ORDER is the
+    contract; greedy longest-match (:func:`encode_word`) can segment
+    differently on such vocabs (tested), though both are lossless."""
+    pieces = list(word)
+    while len(pieces) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(pieces) - 1):
+            r = merge_ranks.get((pieces[i], pieces[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        pieces[best_i:best_i + 2] = [pieces[best_i]
+                                     + pieces[best_i + 1]]
+    return pieces
 
 
 def encode_word(word: str, vocab: frozenset[str] | set[str],
@@ -121,17 +146,51 @@ class SubwordTokenizer:
     """Applier bound to one vocab artifact. ``pieces_of``/``count_of``
     are Column factories usable anywhere a Catalyst expression is
     (select lists, ``chunk_documents(token_fn=)``); both are ONE
-    Arrow-batched pandas UDF with per-batch word memoization."""
+    Arrow-batched pandas UDF with per-batch word memoization.
 
-    def __init__(self, vocab):
-        self.vocab = _vocab_set(vocab)
+    ``mode="longest_match"`` (default) segments by greedy longest
+    vocab prefix — deterministic and SQL-mirrorable (the gate-verified
+    mode). ``mode="merges"`` applies the artifact's learned merges in
+    RANK order (:func:`encode_word_merges`) — the faithful inference
+    rule for merge lists imported from real BPE tokenizers; requires
+    a ``{"merges": [...]}`` artifact (or an explicit pair list)."""
+
+    def __init__(self, vocab, *, mode: str = "longest_match"):
+        if mode not in ("longest_match", "merges"):
+            raise ValueError("mode must be 'longest_match' or "
+                             "'merges'")
+        self.mode = mode
+        if mode == "merges":
+            merges = vocab.get("merges") if isinstance(vocab, dict) \
+                else list(vocab)
+            if not merges or not all(
+                    isinstance(m, (tuple, list)) and len(m) == 2
+                    and all(isinstance(s, str) and s for s in m)
+                    for m in merges):
+                raise ValueError("mode='merges' needs a vocab artifact "
+                                 "with a non-empty 'merges' list of "
+                                 "(left, right) string pairs")
+            self.merge_ranks = {(a, b): i
+                                for i, (a, b) in enumerate(merges)}
+            # pieces set still exposed (chars + merged symbols)
+            pieces = {a + b for a, b in merges} \
+                | {s for pair in merges for s in pair}
+            self.vocab = frozenset(pieces)
+        else:
+            self.vocab = _vocab_set(vocab)
+            self.merge_ranks = None
         self.max_piece_len = max(len(p) for p in self.vocab)
+
+    def _encode_word(self, w: str) -> list[str]:
+        if self.mode == "merges":
+            return encode_word_merges(w, self.merge_ranks)
+        return encode_word(w, self.vocab, self.max_piece_len)
 
     # -- pure-Python (driver/tests) surface -----------------------------
     def encode(self, text: str) -> list[str]:
         out = []
         for w in _words(text):
-            out.extend(encode_word(w, self.vocab, self.max_piece_len))
+            out.extend(self._encode_word(w))
         return out
 
     def count(self, text: str) -> int:
@@ -140,7 +199,7 @@ class SubwordTokenizer:
     # -- Spark surface --------------------------------------------------
     def pieces_of(self, col: Column | str) -> Column:
         """array<string> of subword pieces for a full text column."""
-        vocab, max_len = self.vocab, self.max_piece_len
+        enc = self._encode_word
 
         @F.pandas_udf("array<string>")
         def _enc(texts: pd.Series) -> pd.Series:
@@ -154,7 +213,7 @@ class SubwordTokenizer:
                 for w in _words(t):
                     got = memo.get(w)
                     if got is None:
-                        got = encode_word(w, vocab, max_len)
+                        got = enc(w)
                         memo[w] = got
                     row.extend(got)
                 out.append(row)
@@ -165,7 +224,7 @@ class SubwordTokenizer:
     def count_of(self, col: Column | str) -> Column:
         """bigint exact token count — the drop-in replacement for
         ``subword_count``'s proxy wherever the vocab exists."""
-        vocab, max_len = self.vocab, self.max_piece_len
+        enc = self._encode_word
 
         @F.pandas_udf("long")
         def _cnt(texts: pd.Series) -> pd.Series:
@@ -179,7 +238,7 @@ class SubwordTokenizer:
                 for w in _words(t):
                     got = memo.get(w)
                     if got is None:
-                        got = len(encode_word(w, vocab, max_len))
+                        got = len(enc(w))
                         memo[w] = got
                     n += got
                 out.append(n)
@@ -188,10 +247,13 @@ class SubwordTokenizer:
         return _cnt(F.col(col) if isinstance(col, str) else col)
 
 
-def make_subword_tokenizer(vocab) -> SubwordTokenizer:
+def make_subword_tokenizer(vocab, *,
+                           mode: str = "longest_match"
+                           ) -> SubwordTokenizer:
     """Bind a vocab artifact (a list of pieces, or
-    :func:`train_subword_vocab`'s dict) to an applier."""
-    return SubwordTokenizer(vocab)
+    :func:`train_subword_vocab`'s dict) to an applier; see
+    :class:`SubwordTokenizer` for the two inference modes."""
+    return SubwordTokenizer(vocab, mode=mode)
 
 
 def train_subword_vocab(df: DataFrame, text_col: str, *,

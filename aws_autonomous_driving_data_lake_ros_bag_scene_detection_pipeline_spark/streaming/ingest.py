@@ -574,6 +574,7 @@ def ivf_append_stream(stream: DataFrame, id_col: str, vec_col: str, *,
                       checkpoint_dir: str,
                       rebalance_threshold: float = 4.0,
                       on_advisory=None,
+                      codebooks: DataFrame | None = None,
                       available_now: bool = True) -> StreamingQuery:
     """Streaming IVF index maintenance: every micro-batch of vectors
     appends to the cell-partitioned index via
@@ -583,7 +584,8 @@ def ivf_append_stream(stream: DataFrame, id_col: str, vec_col: str, *,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         stats = ivf_append_batch(batch_df, batch_id, id_col, vec_col,
                                  pivots=pivots, index_path=index_path,
-                                 rebalance_threshold=rebalance_threshold)
+                                 rebalance_threshold=rebalance_threshold,
+                                 codebooks=codebooks)
         if on_advisory is not None:
             on_advisory(batch_id, stats)
 

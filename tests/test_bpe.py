@@ -201,3 +201,53 @@ def test_pack_and_mix_budget_by_exact_counts(spark):
     assert len(rates) >= 2
     # exact-mass weighting: every stratum got a positive rate
     assert all(v > 0 for v in rates.values())
+
+
+def test_merge_rank_mode_matches_classic_bpe_reference(spark):
+    """mode='merges' applies the artifact's merges in RANK order —
+    equal to an independent classic-BPE reference loop on the trained
+    artifact, and demonstrably DIFFERENT from longest-match on a
+    vocab whose merge order matters (the imported-merges.txt case)."""
+    rows = [(i, "the cat and the hat and the bat") for i in range(10)]
+    art = train_subword_vocab(
+        spark.createDataFrame(rows, "id long, text string"),
+        "text", num_merges=10)
+    tok = make_subword_tokenizer(art, mode="merges")
+
+    def ref(word):
+        pieces = list(word)
+        ranks = {tuple(p): i for i, p in enumerate(art["merges"])}
+        while True:
+            cands = [(ranks[(a, b)], i) for i, (a, b)
+                     in enumerate(zip(pieces, pieces[1:]))
+                     if (a, b) in ranks]
+            if not cands:
+                return pieces
+            _, i = min(cands)
+            pieces[i:i + 2] = [pieces[i] + pieces[i + 1]]
+
+    for w in ("the", "cat", "hat", "thecat", "batbat", "xyz", "a"):
+        got = tok._encode_word(w)
+        assert got == ref(w), w
+        assert "".join(got) == w
+
+    # order-sensitivity: merges=[(b,c),(a,b)] -> 'abc' = [a, bc];
+    # greedy longest-match over the same piece set takes 'ab' first
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions import (
+        encode_word, encode_word_merges,
+    )
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert encode_word_merges("abc", ranks) == ["a", "bc"]
+    pieces = frozenset({"a", "b", "c", "ab", "bc"})
+    assert encode_word("abc", pieces, 2) == ["ab", "c"]
+
+    # the Spark applier runs the same rule (UDF == python, both modes)
+    df = spark.createDataFrame(rows[:3], "id long, text string")
+    got_rows = df.select(tok.pieces_of("text").alias("p"),
+                         tok.count_of("text").alias("n")).collect()
+    exp = tok.encode(rows[0][1])
+    for r in got_rows:
+        assert r["p"] == exp and r["n"] == len(exp)
+
+    with pytest.raises(ValueError, match="merges"):
+        make_subword_tokenizer(["a", "b"], mode="merges")
