@@ -420,22 +420,97 @@ def resize_pixels(df: DataFrame, pixels_col: str, meta_col: str,
     return df.mapInPandas(resize, out_schema)
 
 
+def _wrap_dib_as_bmp(frame: bytes, w: int, h: int,
+                     bpp: int = 24) -> bytes:
+    """Prefix a raw AVI DIB frame (bottom-up padded BGR rows — the
+    same pixel layout BMP uses) with BITMAPFILEHEADER +
+    BITMAPINFOHEADER so the existing builtin BMP decoder reads it."""
+    import struct
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(frame),
+                     0, 0, 0, 0)
+    fh = b"BM" + struct.pack("<IHHI", 14 + 40 + len(frame), 0, 0, 54)
+    return fh + ih + frame
+
+
+def parse_avi(payload: bytes) -> dict:
+    """REAL RIFF/AVI demux (r8) — the video-container twin of the
+    builtin WAVE parser: walks the chunk tree (hdrl → avih/strh/strf,
+    movi → per-frame chunks) and returns ``{"width", "height",
+    "us_per_frame", "codec", "frames"}`` where every frame is ALREADY
+    a decodable image payload: MJPG frames are JPEGs as stored
+    (→ the builtin JPEG decoder), raw-DIB frames are wrapped into BMPs
+    (→ the builtin BMP decoder). Codecs beyond MJPG/raw raise the
+    honest ``NotImplementedError`` naming the fourcc."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    info = {"width": None, "height": None, "us_per_frame": None,
+            "codec": None}
+    frames: list[bytes] = []
+    state = {"in_vids": False, "compression": None}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            dpos = pos + 8
+            if cid == b"LIST":
+                walk(dpos + 4, dpos + sz)
+            elif cid == b"avih":
+                info["us_per_frame"] = int.from_bytes(
+                    payload[dpos:dpos + 4], "little")
+                info["width"] = int.from_bytes(
+                    payload[dpos + 32:dpos + 36], "little")
+                info["height"] = int.from_bytes(
+                    payload[dpos + 36:dpos + 40], "little")
+            elif cid == b"strh":
+                state["in_vids"] = payload[dpos:dpos + 4] == b"vids"
+            elif cid == b"strf" and state["in_vids"]:
+                state["compression"] = payload[dpos + 16:dpos + 20]
+            elif len(cid) == 4 and cid[2:4] in (b"db", b"dc") \
+                    and cid[:2].isdigit():
+                frames.append(payload[dpos:dpos + sz])
+            pos = dpos + sz + (sz & 1)
+
+    walk(12, len(payload))
+    comp = state["compression"] or b"\x00\x00\x00\x00"
+    if comp == b"\x00\x00\x00\x00":
+        info["codec"] = "rawdib"
+        frames = [_wrap_dib_as_bmp(f, info["width"], info["height"])
+                  for f in frames]
+    elif comp in (b"MJPG", b"mjpg"):
+        info["codec"] = "mjpeg"
+    else:
+        raise NotImplementedError(
+            f"AVI codec {comp!r} is not supported by the builtin "
+            f"demux (MJPG and uncompressed DIB are); install a real "
+            f"media stack for other codecs")
+    info["frames"] = frames
+    return info
+
+
 def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                   every_n: int = 10, frame_col: str = "frame",
-                  index_col: str = "frame_index") -> DataFrame:
+                  index_col: str = "frame_index",
+                  demux_col: str = "demux") -> DataFrame:
     """Explode a video payload into every ``every_n``-th frame row.
 
-    Framing: with no container parser available, frames are fixed-size
-    byte slices of ``len(payload) / n_frames`` (a DETERMINISTIC FAKE of
-    the demux step — a real build swaps in PyAV). The explode itself —
-    one output row per sampled frame, metadata preserved, frame index
-    attached — is the real, scale-relevant plumbing: fan-out happens
-    executor-side, so a 1-hour video never materializes on the driver.
+    Framing: RIFF/AVI payloads demux for REAL (:func:`parse_avi` —
+    MJPG frames come out as JPEG payloads, raw DIB frames as BMPs, so
+    the exploded ``frame`` column feeds :func:`decode_image` directly;
+    rows carry ``demux="avi"``). Anything else falls back to
+    fixed-size byte slices of ``len(payload) / n_frames`` (the
+    documented DETERMINISTIC FAKE of the demux step, ``demux="slice"``
+    — a real build swaps in PyAV for other containers). The explode
+    itself — one output row per sampled frame, metadata preserved,
+    frame index attached — is the scale-relevant plumbing: fan-out
+    happens executor-side, so a 1-hour video never materializes on
+    the driver.
     """
     keep = [f for f in df.schema.fields if f.name != binary_col]
     out_schema = T.StructType(keep + [
         T.StructField(index_col, T.IntegerType()),
         T.StructField(frame_col, T.BinaryType()),
+        T.StructField(demux_col, T.StringType()),
     ])
     keep_names = [f.name for f in keep]
 
@@ -446,12 +521,21 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                 payload, meta = row[binary_col], row[meta_col]
                 if payload is None or meta is None:
                     continue
+                pb = bytes(payload)
+                if pb[:4] == b"RIFF" and pb[8:12] == b"AVI ":
+                    fr = parse_avi(pb)["frames"]
+                    for i in range(0, len(fr), every_n):
+                        rows.append(tuple(row[k] for k in keep_names)
+                                    + (i, fr[i], "avi"))
+                    continue
                 n_frames = max(1, int(meta["n_frames"]))
-                size = max(1, len(payload) // n_frames)
+                size = max(1, len(pb) // n_frames)
                 for i in range(0, n_frames, every_n):
-                    frame = bytes(payload[i * size:(i + 1) * size])
-                    rows.append(tuple(row[k] for k in keep_names) + (i, frame))
-            yield pd.DataFrame(rows, columns=keep_names + [index_col, frame_col])
+                    frame = pb[i * size:(i + 1) * size]
+                    rows.append(tuple(row[k] for k in keep_names)
+                                + (i, frame, "slice"))
+            yield pd.DataFrame(rows, columns=keep_names
+                               + [index_col, frame_col, demux_col])
 
     return df.mapInPandas(sample, out_schema)
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
     byte_histogram_features, decode_audio, decode_image, pack_media,
+    parse_avi,
     repartition_for_media, resize_pixels, sample_frames,
 )
 
@@ -349,3 +350,106 @@ def test_decode_image_pillow_roundtrip(spark, rgb_img):
     r = decode_image(df, "payload").first()
     got = np.asarray(r.pixels, dtype=np.int32).reshape(5, 7, 3)
     assert (got == rgb_img).all()
+
+
+def _avi_chunk(cid: bytes, data: bytes) -> bytes:
+    return cid + len(data).to_bytes(4, "little") + data \
+        + (b"\x00" if len(data) & 1 else b"")
+
+
+def _avi_list(ltype: bytes, *subs: bytes) -> bytes:
+    return _avi_chunk(b"LIST", ltype + b"".join(subs))
+
+
+def _build_avi(frames: list[bytes], w: int, h: int,
+               compression: bytes) -> bytes:
+    import struct
+    avih = struct.pack("<14I", 40_000, 0, 0, 0, len(frames), 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = b"vids" + compression.ljust(4, b"\x00") + b"\x00" * 48
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                       int.from_bytes(compression.ljust(4, b"\x00"),
+                                      "little"),
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _avi_list(b"hdrl", _avi_chunk(b"avih", avih),
+                     _avi_list(b"strl", _avi_chunk(b"strh", strh),
+                               _avi_chunk(b"strf", strf)))
+    fid = b"00dc" if compression != b"\x00\x00\x00\x00" else b"00db"
+    movi = _avi_list(b"movi", *[_avi_chunk(fid, f) for f in frames])
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_sample_frames_real_avi_mjpeg_demux(spark):
+    """A real MJPEG AVI demuxes to its JPEG frames (every_n honored,
+    demux='avi'), and the exploded frames decode through decode_image
+    with codec='jpeg' to the builtin JPEG decoder's exact pixels —
+    container parse + codec composing end to end with no external
+    library."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+    h, w = 16, 24
+    imgs = [np.full((h, w, 3), 40 * (i + 1), dtype=np.uint8)
+            for i in range(5)]
+    jpegs = [encode_jpeg(im, quality=95) for im in imgs]
+    avi = _build_avi(jpegs, w, h, b"MJPG")
+    parsed = parse_avi(avi)
+    assert parsed["codec"] == "mjpeg" and len(parsed["frames"]) == 5
+    assert parsed["frames"][0] == jpegs[0]
+
+    df = spark.createDataFrame([(1, bytearray(avi))],
+                               "vid long, payload binary")
+    packed = pack_media(df, "payload", "avi", width=w, height=h,
+                        channels=3, n_frames=5)
+    sampled = sample_frames(packed, "payload", every_n=2)
+    rows = sampled.collect()
+    assert sorted(r["frame_index"] for r in rows) == [0, 2, 4]
+    assert all(r["demux"] == "avi" for r in rows)
+    dec = decode_image(sampled, "frame").collect()
+    for r in dec:
+        assert r["codec"] == "jpeg"
+        exp = decode_jpeg(jpegs[r["frame_index"]])
+        got = np.array(r["pixels"]).reshape(h, w, 3)
+        assert np.array_equal(got, exp.astype(np.int64))
+
+
+def test_sample_frames_raw_dib_avi_wraps_to_bmp(spark):
+    """Uncompressed-DIB AVI frames wrap into BMPs the builtin BMP
+    decoder reads back to the EXACT source pixels (raw path is
+    lossless)."""
+    h, w = 8, 12
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(3)]
+
+    def dib(img):
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    avi = _build_avi([dib(i) for i in imgs], w, h,
+                     b"\x00\x00\x00\x00")
+    parsed = parse_avi(avi)
+    assert parsed["codec"] == "rawdib"
+    df = spark.createDataFrame([(1, bytearray(avi))],
+                               "vid long, payload binary")
+    packed = pack_media(df, "payload", "avi", width=w, height=h,
+                        channels=3, n_frames=3)
+    dec = decode_image(sample_frames(packed, "payload", every_n=1),
+                       "frame").collect()
+    assert len(dec) == 3
+    for r in dec:
+        assert r["codec"] == "bmp"
+        got = np.array(r["pixels"]).reshape(h, w, 3)
+        assert np.array_equal(got, imgs[r["frame_index"]]
+                              .astype(np.int64))
+
+
+def test_parse_avi_guards(spark):
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"nope")
+    avi = _build_avi([b"xx"], 4, 4, b"H264")
+    with pytest.raises(NotImplementedError, match="H264"):
+        parse_avi(avi)
