@@ -16,16 +16,20 @@ This module implements that core as
 1. a **trainer** (:func:`train_subword_vocab`) — classic BPE merge
    learning over a word-frequency table, the frequency aggregation
    distributed and the merge loop driver-side (see Scale below);
-2. an **applier** (:func:`make_subword_tokenizer`) — greedy
-   LONGEST-PREFIX-MATCH segmentation (WordPiece-inference style,
-   without the ``##`` continuation alphabet): at each step consume the
-   longest vocab piece that prefixes the remainder; an unmatched
-   leading character is emitted as its own single-char piece (byte
-   fallback), so segmentation always terminates with
-   ``concat(pieces) == word``. Deterministic, hence SQL-mirrorable —
-   the DuckDB oracle recomputes the exact counts with a recursive CTE
-   over the same vocab (see tests/test_bpe.py and the
-   q_chunk_documents gate fold).
+2. an **applier** (:func:`make_subword_tokenizer`) with two inference
+   modes: the default greedy LONGEST-PREFIX-MATCH segmentation
+   (WordPiece-inference style, without the ``##`` continuation
+   alphabet): at each step consume the longest vocab piece that
+   prefixes the remainder; an unmatched leading character is emitted
+   as its own single-char piece (byte fallback), so segmentation
+   always terminates with ``concat(pieces) == word`` — deterministic,
+   hence SQL-mirrorable (the DuckDB oracle recomputes the exact
+   counts with a recursive CTE over the same vocab; see
+   tests/test_bpe.py and the q_chunk_documents gate fold). And
+   ``mode="merges"`` (:func:`encode_word_merges`): apply the learned
+   merges in RANK order — the GPT-2-style rule, byte-faithful to
+   ``merges.txt`` artifacts imported from real tokenizers, whose
+   merge ORDER longest-match does not always reproduce (tested).
 
 Word pre-tokenization reuses the engine-wide convention
 (``text.tokens``: lowercase, split on ``[^a-z0-9]+``) so subword
