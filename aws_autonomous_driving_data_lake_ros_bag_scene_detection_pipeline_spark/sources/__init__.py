@@ -2,7 +2,7 @@ from .snapshots import (
     CommitStrategy, ConcurrentCommit, ConditionalPutCommit,
     LockFileCommit, RenameCommit,
     latest_version, read_snapshot, scan_pruning_stats,
-    snapshot_history,
+    snapshot_changes, snapshot_changes_log, snapshot_history,
     set_commit_strategy, snapshot_append, sql_predicates,
     snapshot_compact, snapshot_delete, snapshot_prune, snapshot_rollback,
     snapshot_scan, snapshot_upsert, snapshot_write,
@@ -32,7 +32,8 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "delete_keys", "latest_version", "load_table", "load_tables",
            "merge_upsert", "path_exists",
            "prune_versions", "read_snapshot", "read_topics",
-           "scan_pruning_stats", "snapshot_history", "sql_predicates",
+           "scan_pruning_stats", "snapshot_changes",
+           "snapshot_changes_log", "snapshot_history", "sql_predicates",
            "snapshot_append", "snapshot_compact", "snapshot_delete",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
            "snapshot_upsert", "snapshot_write",

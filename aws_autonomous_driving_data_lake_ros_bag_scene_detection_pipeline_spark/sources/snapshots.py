@@ -729,6 +729,7 @@ def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
         out.append({
             "version": v,
             "committed_at": m.get("committed_at"),
+            "operation": m.get("operation"),
             "n_files": len(m.get("files") or [])
             + sum(s.get("n_entries", 0)
                   for s in (m.get("segments") or [])),
@@ -1195,7 +1196,7 @@ def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
     _commit_manifest(spark, path, version, {
         "version": version, "partition_cols": partition_cols,
         "schema": df.schema.json(), "stats_cols": stats_cols,
-        "append_sources": srcs or None,
+        "append_sources": srcs or None, "operation": "write",
         **_build_file_refs(spark, path, {}, set(), entries)})
     return version
 
@@ -1332,7 +1333,7 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
                 "version": head + 1, "partition_cols": part_cols,
                 "schema": merged_schema.json(),
                 "stats_cols": eff_stats or None,
-                "append_sources": srcs or None,
+                "append_sources": srcs or None, "operation": "append",
                 **_build_file_refs(spark, path, m, set(), new_entries)})
             return head + 1
         except ConcurrentCommit:
@@ -1448,6 +1449,7 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
         "schema": merged.schema.json(),
         "stats_cols": m.get("stats_cols"),
         "append_sources": m.get("append_sources"),
+        "operation": "upsert",
         **_build_file_refs(spark, path, m, aff, new_entries)})
     return prev + 1
 
@@ -1495,6 +1497,7 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
         "version": prev + 1, "partition_cols": partition_cols,
         "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
         "append_sources": m.get("append_sources"),
+        "operation": "delete",
         **_build_file_refs(spark, path, m, aff, new_entries)})
     return prev + 1
 
@@ -1519,6 +1522,7 @@ def snapshot_rollback(spark: SparkSession, path: str,
         "append_sources": m.get("append_sources"),
         "files": m.get("files") or [],
         "segments": m.get("segments") or [],
+        "operation": "rollback",
         "rolled_back_from": to_version})
     return prev + 1
 
@@ -1578,6 +1582,7 @@ def snapshot_compact(spark: SparkSession, path: str, *,
         "version": prev + 1, "partition_cols": part_cols,
         "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
         "append_sources": m.get("append_sources"),
+        "operation": "compact",
         **_build_file_refs(spark, path, m, target_dirs, new_entries)})
     return prev + 1
 
@@ -1660,3 +1665,173 @@ def snapshot_prune(spark: SparkSession, path: str, *,
             if st.getModificationTime() < cutoff_ms:
                 fs.delete(st.getPath(), True)
     return {"manifests_dropped": len(drop), "files_deleted": deleted}
+
+
+# -- change data feed (r8) --------------------------------------------------
+
+#: the change-feed metadata columns; reserved in change output
+_CHANGE_TYPE = "_change_type"
+_COMMIT_VERSION = "_commit_version"
+
+
+def snapshot_changes(spark: SparkSession, path: str,
+                     from_version: int, to_version: int | None = None,
+                     *, key_cols: list[str] | None = None) -> DataFrame:
+    """Row-level change feed between two snapshots — what a consumer
+    must apply to the ``from_version`` table to obtain ``to_version``
+    (Delta CDF / Iceberg changelog-scan semantics, reconstructed from
+    the manifests alone, no extra write-side bookkeeping).
+
+    Returns the data columns (in ``to_version``'s schema) plus
+    ``_change_type``:
+
+    - without ``key_cols``: ``insert`` / ``delete`` — the exact
+      multiset difference. A row whose multiplicity rose by n appears
+      n times as ``insert``; fell by n, n times as ``delete``.
+    - with ``key_cols``: a key present on both sides is paired as
+      ``update_pre`` (the outgoing rows) / ``update_post`` (the
+      incoming rows) instead, matching the upsert that produced it;
+      keys only inserted or only deleted keep their labels.
+
+    **Cost is proportional to the CHANGE, not the table**: only files
+    that differ between the two manifests are read (immutable data
+    files + carry-by-reference manifests make the file diff exact),
+    and the multiset diff shuffles only those files' rows. A
+    partition-granular upsert that rewrote 1 of 10⁴ partitions reads
+    2 partitions' worth of bytes however large the table is. Rows an
+    upsert rewrote UNCHANGED cancel in the diff and are (correctly)
+    absent from the feed — so a compaction, which rewrites files but
+    no rows, yields an EMPTY feed (at the cost of reading the
+    compacted partitions; :func:`snapshot_changes_log` skips
+    ``compact`` commits outright via the manifest's ``operation``
+    field instead of reading them).
+
+    Changes are expressed in the TARGET version's schema (the
+    manifest schema authority): after an evolution, outgoing rows
+    read NULL for columns that didn't exist yet, and columns dropped
+    from the target schema are absent from the feed. Columns must be
+    groupable (no map type — same restriction Spark's own
+    ``except_all`` carries).
+
+    The feed is the bridge from the table format to the engine's
+    index-maintenance loops: feed ``insert``/``update_post`` rows to
+    ``bm25_index_batch``/``ivf_append_batch`` and
+    ``delete``/``update_pre`` rows to the matching delete loop and a
+    derived index follows the table exactly-once (see
+    :func:`~..streaming.ingest.bm25_sync_snapshot`)."""
+    if to_version is None:
+        to_version = latest_version(spark, path)
+        if to_version is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {path}")
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} is newer than to_version "
+            f"{to_version}; swap them (the feed is forward-only)")
+    m_to = _load_manifest(spark, path, to_version)
+    schema_json = m_to.get("schema")
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(json.loads(schema_json)) \
+        if schema_json else None
+    if from_version == to_version:
+        if schema is None:
+            raise ValueError(
+                f"snapshot {to_version} of {path} carries no schema")
+        return (spark.createDataFrame([], schema)
+                .withColumn(_CHANGE_TYPE, F.lit("insert")))
+    m_from = _load_manifest(spark, path, from_version)
+    e_from = {e["path"]: e for e in
+              _manifest_entries(spark, path, m_from)}
+    e_to = {e["path"]: e for e in _manifest_entries(spark, path, m_to)}
+    added = [e for p, e in e_to.items() if p not in e_from]
+    removed = [e for p, e in e_from.items() if p not in e_to]
+
+    def _side(entries: list[dict]) -> DataFrame:
+        if not entries:
+            if schema is None:
+                raise ValueError(
+                    f"snapshot {to_version} of {path} carries no schema")
+            return spark.createDataFrame([], schema)
+        df = _read_files(spark, path, entries, schema_json)
+        if schema is not None:
+            # partition-discovery appends hive columns last; restore
+            # the manifest schema's declared order
+            df = df.select(*[f.name for f in schema.fields])
+        return df
+
+    df_add, df_rem = _side(added), _side(removed)
+    cols = df_add.columns
+    reserved = {_CHANGE_TYPE, _COMMIT_VERSION} & set(cols)
+    if reserved:
+        raise ValueError(
+            f"table columns collide with change-feed metadata "
+            f"columns: {sorted(reserved)}")
+    net = (df_add.groupBy(*cols)
+           .agg(F.count(F.lit(1)).alias("_n_add"))
+           .join(df_rem.groupBy(*cols)
+                 .agg(F.count(F.lit(1)).alias("_n_rem")),
+                 cols, "full_outer")
+           .withColumn("_net", F.coalesce("_n_add", F.lit(0))
+                       - F.coalesce("_n_rem", F.lit(0)))
+           .where(F.col("_net") != 0))
+    out = (net.select(
+        *cols,
+        F.when(F.col("_net") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete")).alias(_CHANGE_TYPE),
+        F.abs("_net").alias("_n"))
+        .withColumn("_i", F.explode(F.expr("sequence(1, _n)")))
+        .drop("_i", "_n"))
+    if key_cols:
+        missing = [k for k in key_cols if k not in cols]
+        if missing:
+            raise ValueError(f"key_cols {missing} not in the "
+                             f"snapshot's columns {cols}")
+        w = Window.partitionBy(*key_cols)
+        both = (F.max(F.when(F.col(_CHANGE_TYPE) == "insert", 1)
+                      .otherwise(0)).over(w)
+                + F.max(F.when(F.col(_CHANGE_TYPE) == "delete", 1)
+                        .otherwise(0)).over(w)) == 2
+        out = out.withColumn(
+            _CHANGE_TYPE,
+            F.when(both & (F.col(_CHANGE_TYPE) == "insert"),
+                   F.lit("update_post"))
+            .when(both & (F.col(_CHANGE_TYPE) == "delete"),
+                  F.lit("update_pre"))
+            .otherwise(F.col(_CHANGE_TYPE)))
+    return out
+
+
+def snapshot_changes_log(spark: SparkSession, path: str,
+                         from_version: int,
+                         to_version: int | None = None,
+                         *, key_cols: list[str] | None = None
+                         ) -> DataFrame:
+    """Per-commit change feed: :func:`snapshot_changes` applied to
+    each consecutive version step in ``(from_version, to_version]``,
+    unioned with a ``_commit_version`` column attributing every
+    change row to the commit that made it — the audit form (the
+    endpoint form nets out intermediate churn; this one shows it).
+
+    Commits whose manifest records ``operation: "compact"`` or a
+    replayed-batch no-op are row-neutral BY CONSTRUCTION and are
+    skipped without reading their files. Every intermediate manifest
+    must still exist — run within the :func:`snapshot_prune`
+    retention window or from a version it retained."""
+    if to_version is None:
+        to_version = latest_version(spark, path)
+        if to_version is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {path}")
+    out = None
+    for v in range(from_version + 1, to_version + 1):
+        if _load_manifest(spark, path, v).get("operation") == "compact":
+            continue
+        step = (snapshot_changes(spark, path, v - 1, v,
+                                 key_cols=key_cols)
+                .withColumn(_COMMIT_VERSION, F.lit(v)))
+        out = step if out is None else out.unionByName(step)
+    if out is None:
+        return (snapshot_changes(spark, path, to_version, to_version,
+                                 key_cols=key_cols)
+                .withColumn(_COMMIT_VERSION, F.lit(to_version)))
+    return out

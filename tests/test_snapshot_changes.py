@@ -1,0 +1,182 @@
+"""Change data feed over snapshot tables: multiset-exact
+insert/delete reconstruction, key-paired updates, compaction
+neutrality, per-commit attribution, operation audit."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+    snapshot_append, snapshot_changes, snapshot_changes_log,
+    snapshot_compact, snapshot_delete, snapshot_history,
+    snapshot_rollback, snapshot_upsert, snapshot_write,
+)
+
+SCHEMA = "id long, day string, val string, ver int"
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _base(spark, path):
+    """v0: three rows over two partitions."""
+    return snapshot_write(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "d1", "a", 1), (2, "d1", "b", 1), (3, "d2", "c", 1)],
+            SCHEMA),
+        partition_cols=["day"])
+
+
+def test_append_changes_are_inserts(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    v1 = snapshot_append(
+        spark, path,
+        spark.createDataFrame([(4, "d2", "d", 1), (5, "d3", "e", 1)],
+                              SCHEMA))
+    got = _rows(snapshot_changes(spark, path, v0, v1))
+    assert got == {(4, "d2", "d", 1, "insert"),
+                   (5, "d3", "e", 1, "insert")}
+
+
+def test_delete_changes_are_deletes(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    v1 = snapshot_delete(spark, path,
+                         spark.createDataFrame([(1,), (3,)], "id long"),
+                         ["id"], partition_cols=["day"])
+    got = _rows(snapshot_changes(spark, path, v0, v1))
+    assert got == {(1, "d1", "a", 1, "delete"),
+                   (3, "d2", "c", 1, "delete")}
+
+
+def test_upsert_unchanged_rewritten_rows_cancel(spark, tmp_path):
+    """The upsert rewrites all of d1, but row 2 is carried unchanged —
+    the feed must NOT report it."""
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    ups = spark.createDataFrame([(1, "d1", "a2", 2), (6, "d1", "f", 2)],
+                                SCHEMA)
+    v1 = snapshot_upsert(spark, path, ups, ["id"],
+                         partition_cols=["day"], order_col="ver")
+    got = _rows(snapshot_changes(spark, path, v0, v1)
+                .select("id", "day", "val", "ver", "_change_type"))
+    assert got == {(1, "d1", "a", 1, "delete"),
+                   (1, "d1", "a2", 2, "insert"),
+                   (6, "d1", "f", 2, "insert")}
+
+
+def test_key_cols_pair_updates(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    ups = spark.createDataFrame([(1, "d1", "a2", 2), (6, "d1", "f", 2)],
+                                SCHEMA)
+    v1 = snapshot_upsert(spark, path, ups, ["id"],
+                         partition_cols=["day"], order_col="ver")
+    got = _rows(snapshot_changes(spark, path, v0, v1, key_cols=["id"])
+                .select("id", "day", "val", "ver", "_change_type"))
+    assert got == {(1, "d1", "a", 1, "update_pre"),
+                   (1, "d1", "a2", 2, "update_post"),
+                   (6, "d1", "f", 2, "insert")}
+
+
+def test_compaction_yields_empty_feed(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    v1 = snapshot_append(
+        spark, path,
+        spark.createDataFrame([(4, "d1", "d", 1)], SCHEMA))
+    v2 = snapshot_compact(spark, path, target_file_bytes=1 << 30)
+    assert snapshot_changes(spark, path, v1, v2).count() == 0
+    # across the compaction: only the append's row
+    got = _rows(snapshot_changes(spark, path, v0, v2))
+    assert got == {(4, "d1", "d", 1, "insert")}
+
+
+def test_duplicate_rows_diff_as_multiset(spark, tmp_path):
+    """Two identical appended rows produce TWO insert rows — the feed
+    is a multiset diff, not a set diff."""
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    v1 = snapshot_append(
+        spark, path,
+        spark.createDataFrame([(9, "d1", "x", 1), (9, "d1", "x", 1)],
+                              SCHEMA))
+    rows = snapshot_changes(spark, path, v0, v1).collect()
+    assert len(rows) == 2
+    assert {tuple(r) for r in rows} == {(9, "d1", "x", 1, "insert")}
+
+
+def test_changes_log_attributes_commits_and_skips_compact(spark,
+                                                          tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    v1 = snapshot_append(
+        spark, path,
+        spark.createDataFrame([(4, "d2", "d", 1)], SCHEMA))
+    v2 = snapshot_compact(spark, path, target_file_bytes=1 << 30)
+    v3 = snapshot_delete(spark, path,
+                         spark.createDataFrame([(2,)], "id long"),
+                         ["id"], partition_cols=["day"])
+    log = snapshot_changes_log(spark, path, v0, v3)
+    got = _rows(log)
+    assert got == {(4, "d2", "d", 1, "insert", v1),
+                   (2, "d1", "b", 1, "delete", v3)}
+    assert v2 not in {r["_commit_version"] for r in log.collect()}
+
+
+def test_rollback_feed_inverts_the_bad_commit(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    v1 = snapshot_append(
+        spark, path,
+        spark.createDataFrame([(4, "d2", "bad", 1)], SCHEMA))
+    v2 = snapshot_rollback(spark, path, v0)
+    got = _rows(snapshot_changes(spark, path, v1, v2))
+    assert got == {(4, "d2", "bad", 1, "delete")}
+    # endpoint across the mistake and its undo: no net change
+    assert snapshot_changes(spark, path, v0, v2).count() == 0
+
+
+def test_schema_evolution_changes_in_target_schema(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    evolved = spark.createDataFrame([(7, "d1", "g", 1, 0.5)],
+                                    SCHEMA + ", score double")
+    v1 = snapshot_append(spark, path, evolved, schema_evolution=True)
+    df = snapshot_changes(spark, path, v0, v1)
+    assert "score" in df.columns
+    assert _rows(df) == {(7, "d1", "g", 1, 0.5, "insert")}
+
+
+def test_same_version_feed_is_empty_with_schema(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    df = snapshot_changes(spark, path, v0, v0)
+    assert df.count() == 0
+    assert "_change_type" in df.columns and "id" in df.columns
+
+
+def test_backward_span_raises(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    v1 = snapshot_append(
+        spark, path,
+        spark.createDataFrame([(4, "d2", "d", 1)], SCHEMA))
+    with pytest.raises(ValueError, match="forward-only"):
+        snapshot_changes(spark, path, v1, v0)
+
+
+def test_history_records_operations(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _base(spark, path)
+    snapshot_append(spark, path,
+                    spark.createDataFrame([(4, "d2", "d", 1)], SCHEMA))
+    snapshot_compact(spark, path, target_file_bytes=1 << 30)
+    snapshot_delete(spark, path,
+                    spark.createDataFrame([(2,)], "id long"),
+                    ["id"], partition_cols=["day"])
+    ops = [h["operation"] for h in snapshot_history(spark, path)]
+    assert ops == ["write", "append", "compact", "delete"]
