@@ -1676,7 +1676,8 @@ _COMMIT_VERSION = "_commit_version"
 
 def snapshot_changes(spark: SparkSession, path: str,
                      from_version: int, to_version: int | None = None,
-                     *, key_cols: list[str] | None = None) -> DataFrame:
+                     *, key_cols: list[str] | None = None,
+                     columns: list[str] | None = None) -> DataFrame:
     """Row-level change feed between two snapshots — what a consumer
     must apply to the ``from_version`` table to obtain ``to_version``
     (Delta CDF / Iceberg changelog-scan semantics, reconstructed from
@@ -1713,6 +1714,13 @@ def snapshot_changes(spark: SparkSession, path: str,
     groupable (no map type — same restriction Spark's own
     ``except_all`` carries).
 
+    ``columns`` restricts the feed to a projection BEFORE diffing:
+    the parquet scans read only those columns (column pruning at the
+    change-feed level — diffing a 2-column index feed over a
+    100-column table reads 2 columns' bytes), and commits that only
+    touched OTHER columns correctly net to an empty feed. The
+    projection must include ``key_cols``.
+
     The feed is the bridge from the table format to the engine's
     index-maintenance loops: feed ``insert``/``update_post`` rows to
     ``bm25_index_batch``/``ivf_append_batch`` and
@@ -1733,12 +1741,26 @@ def snapshot_changes(spark: SparkSession, path: str,
     from pyspark.sql.types import StructType
     schema = StructType.fromJson(json.loads(schema_json)) \
         if schema_json else None
+    if columns is not None:
+        if schema is not None:
+            unknown = [c for c in columns
+                       if c not in {f.name for f in schema.fields}]
+            if unknown:
+                raise ValueError(
+                    f"columns {unknown} not in the snapshot's schema")
+        if key_cols:
+            outside = [k for k in key_cols if k not in columns]
+            if outside:
+                raise ValueError(
+                    f"key_cols {outside} must be included in columns")
     if from_version == to_version:
         if schema is None:
             raise ValueError(
                 f"snapshot {to_version} of {path} carries no schema")
-        return (spark.createDataFrame([], schema)
-                .withColumn(_CHANGE_TYPE, F.lit("insert")))
+        empty = spark.createDataFrame([], schema)
+        if columns is not None:
+            empty = empty.select(*columns)
+        return empty.withColumn(_CHANGE_TYPE, F.lit("insert"))
     m_from = _load_manifest(spark, path, from_version)
     e_from = {e["path"]: e for e in
               _manifest_entries(spark, path, m_from)}
@@ -1751,8 +1773,12 @@ def snapshot_changes(spark: SparkSession, path: str,
             if schema is None:
                 raise ValueError(
                     f"snapshot {to_version} of {path} carries no schema")
-            return spark.createDataFrame([], schema)
+            empty = spark.createDataFrame([], schema)
+            return empty.select(*columns) if columns is not None \
+                else empty
         df = _read_files(spark, path, entries, schema_json)
+        if columns is not None:
+            return df.select(*columns)
         if schema is not None:
             # partition-discovery appends hive columns last; restore
             # the manifest schema's declared order
@@ -1804,7 +1830,8 @@ def snapshot_changes(spark: SparkSession, path: str,
 def snapshot_changes_log(spark: SparkSession, path: str,
                          from_version: int,
                          to_version: int | None = None,
-                         *, key_cols: list[str] | None = None
+                         *, key_cols: list[str] | None = None,
+                         columns: list[str] | None = None
                          ) -> DataFrame:
     """Per-commit change feed: :func:`snapshot_changes` applied to
     each consecutive version step in ``(from_version, to_version]``,
@@ -1827,11 +1854,11 @@ def snapshot_changes_log(spark: SparkSession, path: str,
         if _load_manifest(spark, path, v).get("operation") == "compact":
             continue
         step = (snapshot_changes(spark, path, v - 1, v,
-                                 key_cols=key_cols)
+                                 key_cols=key_cols, columns=columns)
                 .withColumn(_COMMIT_VERSION, F.lit(v)))
         out = step if out is None else out.unionByName(step)
     if out is None:
         return (snapshot_changes(spark, path, to_version, to_version,
-                                 key_cols=key_cols)
+                                 key_cols=key_cols, columns=columns)
                 .withColumn(_COMMIT_VERSION, F.lit(to_version)))
     return out

@@ -1216,3 +1216,187 @@ def warc_ingest_stream(spark, src_path: str, *, table_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- snapshot -> index synchronization (r8) ---------------------------------
+# The change data feed (sources.snapshots.snapshot_changes) closes the
+# loop between the table format and the index-maintenance families:
+# instead of feeding an index from a SEPARATE stream that must be kept
+# honest with the table, the index follows the TABLE ITSELF —
+# per-commit change feeds drive the same append/delete batch writers
+# the streams use, with the snapshot VERSION as the replay-idempotent
+# batch id. Exactly-once falls out of the two layers' existing
+# contracts: each version's writes land under _batch_id=<version>
+# subpartitions (dynamic overwrite — a replayed step rewrites exactly
+# itself), and a version marker is recorded only after its writes, so
+# a crash anywhere re-runs one idempotent step. Compact commits are
+# skipped without reading them (manifest `operation` field).
+
+_SYNC_DIR = "_snapshot_sync"
+
+
+def _synced_version(spark, index_path: str) -> int | None:
+    """Highest table version this index has applied, from the marker
+    files under ``index_path/_snapshot_sync/`` — resolved like
+    manifest versions (max over names), so a torn marker write (the
+    name carries the version; content is empty) cannot corrupt it."""
+    from ..sources.snapshots import _fs
+
+    jvm, fs, _ = _fs(spark, index_path)
+    d = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{_SYNC_DIR}")
+    if not fs.exists(d):
+        return None
+    best = None
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.endswith(".synced"):
+            try:
+                v = int(name[:-len(".synced")])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+    return best
+
+
+def _mark_synced(spark, index_path: str, version: int) -> None:
+    from ..sources.snapshots import _is_exists_error, _write_text
+
+    try:
+        _write_text(spark,
+                    f"{index_path}/{_SYNC_DIR}/{version}.synced", "")
+    except Exception as e:           # replayed step: marker exists
+        if not _is_exists_error(e):
+            raise
+
+
+def _sync_snapshot_index(spark, table_path: str, index_path: str, *,
+                         key_cols: list[str], columns: list[str],
+                         full_load, apply_delete, apply_insert) -> dict:
+    """Shared per-version sync driver: initial full load at the
+    current head, then one idempotent step per subsequent commit.
+    ``apply_delete(df, version)`` runs BEFORE ``apply_insert(df,
+    version)`` within a step so an update (delete+reinsert of a key)
+    lands in order."""
+    from ..sources.snapshots import (
+        _load_manifest, latest_version, read_snapshot, snapshot_changes,
+    )
+
+    head = latest_version(spark, table_path)
+    if head is None:
+        raise FileNotFoundError(
+            f"no published snapshot under {table_path}")
+    synced = _synced_version(spark, index_path)
+    out = {"from_version": synced, "to_version": head,
+           "steps": 0, "inserted": 0, "deleted": 0}
+    if synced is None:
+        df = read_snapshot(spark, table_path).select(*columns)
+        n = df.count()
+        if n:
+            full_load(df, head)
+        _mark_synced(spark, index_path, head)
+        out.update(steps=1, inserted=n)
+        return out
+    if synced > head:
+        raise ValueError(
+            f"index at {index_path} is synced to version {synced} but "
+            f"{table_path} is at {head} — was the table rebuilt? "
+            f"rebuild the index (or clear {_SYNC_DIR}) to resync")
+    for v in range(synced + 1, head + 1):
+        if _load_manifest(spark, table_path, v).get("operation") \
+                == "compact":
+            _mark_synced(spark, index_path, v)
+            continue
+        ch = snapshot_changes(spark, table_path, v - 1, v,
+                              key_cols=key_cols,
+                              columns=columns).persist()
+        try:
+            dels = (ch.where(F.col("_change_type")
+                             .isin("delete", "update_pre"))
+                    .drop("_change_type"))
+            ins = (ch.where(F.col("_change_type")
+                            .isin("insert", "update_post"))
+                   .drop("_change_type"))
+            nd, ni = dels.count(), ins.count()
+            if nd:
+                apply_delete(dels, v)
+            if ni:
+                apply_insert(ins, v)
+        finally:
+            ch.unpersist()
+        _mark_synced(spark, index_path, v)
+        out["steps"] += 1
+        out["inserted"] += ni
+        out["deleted"] += nd
+    return out
+
+
+def bm25_sync_snapshot(spark, table_path: str, *, index_path: str,
+                       id_col: str, text_col: str,
+                       buckets: int = 256) -> dict:
+    """Catch a persisted BM25 index up with a snapshot table — call
+    after any table commit (or on a schedule) and the index follows
+    the table exactly-once: inserts/updated texts are (re)indexed,
+    deletions propagate as tombstones + negative statistics deltas,
+    commits that didn't touch ``(id, text)`` cost nothing beyond the
+    column-pruned change diff, and compact commits are skipped
+    unread. First call on an unsynced index loads the full current
+    snapshot.
+
+    Before applying a step that re-inserts documents, accumulated
+    tombstones are folded in physically (:func:`bm25_compact_deletes`)
+    — a tombstone is ``(id, term_bucket)``, so a surviving tombstone
+    from the delete half of an update would otherwise shadow the
+    reinserted document's new postings.
+
+    Returns ``{from_version, to_version, steps, inserted, deleted}``.
+    Single-writer per index, like all in-place index maintenance."""
+    def _delete(df: DataFrame, v: int) -> None:
+        bm25_delete_batch(df, v, id_col, text_col,
+                          index_path=index_path, buckets=buckets)
+
+    def _insert(df: DataFrame, v: int) -> None:
+        if dataset_has_data(spark, f"{index_path}/tombstones"):
+            bm25_compact_deletes(spark, index_path, id_col=id_col)
+        bm25_index_batch(df, v, id_col, text_col,
+                         index_path=index_path, buckets=buckets)
+
+    return _sync_snapshot_index(
+        spark, table_path, index_path,
+        key_cols=[id_col], columns=[id_col, text_col],
+        full_load=lambda df, v: bm25_index_batch(
+            df, v, id_col, text_col, index_path=index_path,
+            buckets=buckets),
+        apply_delete=_delete, apply_insert=_insert)
+
+
+def ivf_sync_snapshot(spark, table_path: str, *, index_path: str,
+                      id_col: str, vec_col: str, pivots: DataFrame,
+                      codebooks: DataFrame | None = None) -> dict:
+    """Catch a persisted IVF (or IVF-PQ, with ``codebooks``) index up
+    with a snapshot table — the vector twin of
+    :func:`bm25_sync_snapshot`, same per-version exactly-once
+    discipline, same column-pruned diff (only ``(id, vec)`` bytes are
+    read from changed files). Pivots (and codebooks) stay frozen, as
+    in :func:`ivf_append_batch`; re-pivoting remains explicit
+    maintenance. Tombstones are folded in physically
+    (:func:`ivf_compact_deletes`) before any step that re-inserts
+    vectors, because an ``(id, cell)`` tombstone from an update's
+    delete half would shadow a reinserted vector landing in the same
+    cell."""
+    def _delete(df: DataFrame, v: int) -> None:
+        ivf_delete_batch(df, v, id_col, vec_col, pivots=pivots,
+                         index_path=index_path)
+
+    def _insert(df: DataFrame, v: int) -> None:
+        if dataset_has_data(spark, f"{index_path}/_tombstones"):
+            ivf_compact_deletes(spark, index_path)
+        ivf_append_batch(df, v, id_col, vec_col, pivots=pivots,
+                         index_path=index_path, codebooks=codebooks)
+
+    return _sync_snapshot_index(
+        spark, table_path, index_path,
+        key_cols=[id_col], columns=[id_col, vec_col],
+        full_load=lambda df, v: ivf_append_batch(
+            df, v, id_col, vec_col, pivots=pivots,
+            index_path=index_path, codebooks=codebooks),
+        apply_delete=_delete, apply_insert=_insert)

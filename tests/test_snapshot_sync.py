@@ -1,0 +1,211 @@
+"""Snapshot -> index synchronization: a BM25 / IVF index driven by a
+snapshot table's change feed equals a one-shot build over the table's
+current content — through appends, deletes, text-updating upserts,
+commits that don't touch the indexed columns, and replayed syncs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import bm25_probe, bm25_topk
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+    read_snapshot, snapshot_append, snapshot_compact, snapshot_delete,
+    snapshot_upsert, snapshot_write,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+    bm25_sync_snapshot, ivf_sync_snapshot, read_bm25_index,
+    read_bm25_tombstones, read_ivf_index,
+)
+from tests.conftest import SF_DIR
+
+QUERY = ["spark", "window", "merge"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _docs_table(spark, path, n=200):
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text", "lang").limit(n)
+            .withColumn("bucket",
+                        (F.col("doc_id") % 4).cast("string")))
+    v0 = snapshot_write(spark, path, docs, partition_cols=["bucket"])
+    return docs, v0
+
+
+def _probe_equals_rebuild(spark, table_path, idx, k=10):
+    p, t, s = read_bm25_index(spark, idx)
+    tombs = read_bm25_tombstones(spark, idx)
+    got = bm25_probe(p, t, s, QUERY, k=k, buckets=16,
+                     tombstones=tombs)
+    want = bm25_topk(read_snapshot(spark, table_path)
+                     .select("doc_id", "text"),
+                     "doc_id", "text", QUERY, k=k)
+    assert _rows(got) == _rows(want)
+
+
+def test_bm25_sync_follows_table_commits(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "bm25")
+    docs, _ = _docs_table(spark, tbl)
+
+    # initial sync = full load of the current snapshot
+    out = bm25_sync_snapshot(spark, tbl, index_path=idx,
+                             id_col="doc_id", text_col="text",
+                             buckets=16)
+    assert out["steps"] == 1 and out["inserted"] == 200
+    _probe_equals_rebuild(spark, tbl, idx)
+
+    # append more docs -> incremental step indexes exactly them
+    more = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text", "lang")
+            .where("doc_id >= 200").limit(50)
+            .withColumn("bucket", (F.col("doc_id") % 4).cast("string")))
+    snapshot_append(spark, tbl, more)
+    out = bm25_sync_snapshot(spark, tbl, index_path=idx,
+                             id_col="doc_id", text_col="text",
+                             buckets=16)
+    assert out["inserted"] == 50 and out["deleted"] == 0
+    _probe_equals_rebuild(spark, tbl, idx)
+
+    # delete a slice -> tombstones + negative deltas propagate
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame(
+                        [(i,) for i in range(0, 200, 3)], "doc_id long"),
+                    ["doc_id"], partition_cols=["bucket"])
+    out = bm25_sync_snapshot(spark, tbl, index_path=idx,
+                             id_col="doc_id", text_col="text",
+                             buckets=16)
+    assert out["deleted"] > 0 and out["inserted"] == 0
+    _probe_equals_rebuild(spark, tbl, idx)
+
+    # upsert rewrites one doc's text -> delete+reinsert, tombstone
+    # folded so the NEW text is probeable
+    up = (read_snapshot(spark, tbl).where("doc_id = 1")
+          .withColumn("text", F.lit("spark spark spark window")))
+    snapshot_upsert(spark, tbl, up.select("doc_id", "text", "lang",
+                                          "bucket"),
+                    ["doc_id"], partition_cols=["bucket"])
+    out = bm25_sync_snapshot(spark, tbl, index_path=idx,
+                             id_col="doc_id", text_col="text",
+                             buckets=16)
+    assert out["inserted"] == 1 and out["deleted"] == 1
+    _probe_equals_rebuild(spark, tbl, idx)
+    p, t, s = read_bm25_index(spark, idx)
+    full = bm25_probe(p, t, s, QUERY, k=10_000, buckets=16,
+                      tombstones=read_bm25_tombstones(spark, idx))
+    assert 1 in {r.doc_id for r in full.collect()}
+
+
+def test_sync_is_idempotent_and_skips_untouched_columns(spark,
+                                                        tmp_path):
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "bm25")
+    _docs_table(spark, tbl, n=60)
+    bm25_sync_snapshot(spark, tbl, index_path=idx,
+                       id_col="doc_id", text_col="text", buckets=16)
+
+    # re-sync with no new commits: no steps, no writes
+    out = bm25_sync_snapshot(spark, tbl, index_path=idx,
+                             id_col="doc_id", text_col="text",
+                             buckets=16)
+    assert out == {"from_version": 0, "to_version": 0, "steps": 0,
+                   "inserted": 0, "deleted": 0}
+
+    # an upsert that only changes a NON-indexed column nets an empty
+    # column-pruned feed: the step runs but writes nothing
+    up = (read_snapshot(spark, tbl).where("doc_id = 2")
+          .withColumn("lang", F.lit("xx")))
+    snapshot_upsert(spark, tbl,
+                    up.select("doc_id", "text", "lang", "bucket"),
+                    ["doc_id"], partition_cols=["bucket"])
+    out = bm25_sync_snapshot(spark, tbl, index_path=idx,
+                             id_col="doc_id", text_col="text",
+                             buckets=16)
+    assert out["steps"] == 1
+    assert out["inserted"] == 0 and out["deleted"] == 0
+    _probe_equals_rebuild(spark, tbl, idx)
+
+    # a compact commit is skipped without reading it
+    snapshot_compact(spark, tbl, target_file_bytes=1 << 30)
+    out = bm25_sync_snapshot(spark, tbl, index_path=idx,
+                             id_col="doc_id", text_col="text",
+                             buckets=16)
+    assert out["steps"] == 0 and out["to_version"] == 2
+    _probe_equals_rebuild(spark, tbl, idx)
+
+
+def test_ivf_sync_follows_table_commits(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.similarity import (
+        ivf_index, kmeans_pivots,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "ivf")
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .selectExpr("vec_id as id", "embedding as vec").limit(300)
+           .withColumn("part", (F.col("id") % 3).cast("string")))
+    pivots = kmeans_pivots(emb, "id", "vec", nlist=8, iters=3)
+    v0 = snapshot_write(spark, tbl, emb, partition_cols=["part"])
+
+    def _index_equals_rebuild():
+        live = (read_snapshot(spark, tbl)
+                .selectExpr("id", "vec"))
+        want = _rows(ivf_index(live, "id", "vec", pivots)
+                     .select("id", "cell"))
+        got = _rows(read_ivf_index(spark, idx).select("id", "cell"))
+        assert got == want
+
+    out = ivf_sync_snapshot(spark, tbl, index_path=idx, id_col="id",
+                            vec_col="vec", pivots=pivots)
+    assert out["steps"] == 1 and out["inserted"] == 300
+    _index_equals_rebuild()
+
+    # delete a slice
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame([(i,) for i in range(0, 300, 5)],
+                                          "id long"),
+                    ["id"], partition_cols=["part"])
+    out = ivf_sync_snapshot(spark, tbl, index_path=idx, id_col="id",
+                            vec_col="vec", pivots=pivots)
+    assert out["deleted"] == 60 and out["inserted"] == 0
+    _index_equals_rebuild()
+
+    # update one id's vector: delete half tombstones, compaction folds
+    # it, reinserted vector must survive even in the SAME cell
+    one = read_snapshot(spark, tbl).where("id = 1")
+    up = one.withColumn(
+        "vec", F.transform("vec", lambda x: x * F.lit(1.0)))
+    snapshot_upsert(spark, tbl, up, ["id"], partition_cols=["part"])
+    # the vector is bit-identical -> column-pruned feed nets empty
+    out = ivf_sync_snapshot(spark, tbl, index_path=idx, id_col="id",
+                            vec_col="vec", pivots=pivots)
+    assert out["inserted"] == 0 and out["deleted"] == 0
+    _index_equals_rebuild()
+
+    up2 = one.withColumn(
+        "vec", F.transform("vec", lambda x: x * F.lit(1.5)))
+    snapshot_upsert(spark, tbl, up2, ["id"], partition_cols=["part"])
+    out = ivf_sync_snapshot(spark, tbl, index_path=idx, id_col="id",
+                            vec_col="vec", pivots=pivots)
+    assert out["inserted"] == 1 and out["deleted"] == 1
+    _index_equals_rebuild()
+    assert 1 in {r.id for r in read_ivf_index(spark, idx)
+                 .select("id").collect()}
+
+
+def test_sync_refuses_rebuilt_table(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "bm25")
+    _docs_table(spark, tbl, n=30)
+    bm25_sync_snapshot(spark, tbl, index_path=idx,
+                       id_col="doc_id", text_col="text", buckets=16)
+    # simulate an index synced AHEAD of the table (table recreated)
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming.ingest import _mark_synced
+    _mark_synced(spark, idx, 99)
+    with pytest.raises(ValueError, match="resync"):
+        bm25_sync_snapshot(spark, tbl, index_path=idx,
+                           id_col="doc_id", text_col="text",
+                           buckets=16)
