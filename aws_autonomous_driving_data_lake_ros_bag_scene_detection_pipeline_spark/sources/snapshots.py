@@ -586,6 +586,115 @@ def _validate_stats_cols(df: DataFrame, stats_cols: list[str],
                 f"(cast timestamps to epoch numbers upstream)")
 
 
+# -- bloom-filter zone maps (r8) --------------------------------------------
+# Min/max stats prune RANGE predicates but are useless for point
+# lookups on high-cardinality unsorted columns (every file's [min,max]
+# spans the key space). A tiny per-file Bloom filter answers
+# "could value v be in this file?" for = / IN — the standard companion
+# every table format records next to min/max. The default 4096 bits x
+# 7 hashes holds ~400 distinct values per file at <1% false-positive
+# rate; size ``bloom_bits`` to the table's rows-per-file (~10 bits
+# per distinct value keeps FP ~1%). File-skipping FPs only cost
+# reading a file that was going to be read without blooms anyway;
+# correctness never depends on the rate.
+#
+# The hash must be computable IDENTICALLY on executors at write time
+# (over every row) and on the driver at prune time (over one literal):
+# double-hashed CRC-32 over the value's canonical decimal/UTF-8 string
+# — crc32 has a public fixed spec with bit-identical implementations
+# in Spark (`F.crc32`) and Python (`zlib.crc32`), unlike Spark's
+# internal xxhash64 seeding. Restricted to string and integral
+# columns, whose canonical string form is unambiguous on both sides
+# (floats' decimal rendering is not).
+
+_BLOOM_BITS = 4096                   # default mask width (512 B hex)
+_BLOOM_K = 7
+_BLOOM_SALT = "#g"
+
+
+def _bloom_positions(value, m_bits: int) -> list[int]:
+    """Driver-side bit positions for a literal — mirrors
+    :func:`_file_blooms`' executor-side expression exactly."""
+    import zlib
+    s = str(value)
+    h1 = zlib.crc32(s.encode("utf-8"))
+    h2 = zlib.crc32((s + _BLOOM_SALT).encode("utf-8"))
+    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_K)]
+
+
+def _bloom_hex(positions, m_bits: int) -> str:
+    mask = 0
+    for p in positions:
+        mask |= 1 << p
+    return format(mask, f"0{m_bits // 4}x")
+
+
+def _bloom_contains(hex_mask: str, value) -> bool:
+    # the mask width rides in the hex length — a prune check needs no
+    # side metadata, and tables re-sized mid-life stay self-describing
+    # file by file
+    mask = int(hex_mask, 16)
+    m_bits = len(hex_mask) * 4
+    return all(mask >> p & 1
+               for p in _bloom_positions(value, m_bits))
+
+
+def _validate_bloom_cols(df: DataFrame, bloom_cols: list[str],
+                         partition_cols: list[str]) -> None:
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType, StringType,
+    )
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in bloom_cols:
+        if c in partition_cols:
+            raise ValueError(
+                f"bloom column {c!r} is a partition column — partition "
+                f"pruning already covers it; list data columns only")
+        if c not in by_name:
+            raise ValueError(f"bloom column {c!r} not in the frame's "
+                             f"columns {sorted(by_name)}")
+        t = by_name[c]
+        if not isinstance(t, (StringType, ByteType, ShortType,
+                              IntegerType, LongType)):
+            raise ValueError(
+                f"bloom column {c!r} has type {t.simpleString()}; "
+                f"bloom zone maps support string and integral columns "
+                f"(their canonical string form is identical on "
+                f"executors and the driver — floats' is not)")
+
+
+def _file_blooms(spark: SparkSession, scratch: str,
+                 bloom_cols: list[str],
+                 m_bits: int) -> dict[str, dict[str, str]]:
+    """Per-data-file bloom masks for ``bloom_cols``, keyed like
+    :func:`_file_stats` by scratch-relative path. One column-pruned
+    pass per bloom column: positions are exploded and
+    ``collect_set``-aggregated per file (map-side partial dedup keeps
+    the shuffle at <= _BLOOM_BITS ints per file per partition); the
+    driver packs the set into the hex mask — the same
+    metadata-bounded collect as the min/max stats."""
+    from urllib.parse import unquote
+
+    marker = "/" + scratch.rstrip("/").rsplit("/", 1)[1] + "/"
+    out: dict[str, dict[str, str]] = {}
+    for c in bloom_cols:
+        sdf = (spark.read.option("basePath", scratch).parquet(scratch)
+               .select(F.col(c), F.input_file_name().alias("_f")))
+        s = F.col(c).cast("string")
+        h1 = F.crc32(F.encode(s, "UTF-8"))
+        h2 = F.crc32(F.encode(F.concat(s, F.lit(_BLOOM_SALT)),
+                              "UTF-8"))
+        arr = F.array(*[((h1 + F.lit(i) * h2) % F.lit(m_bits))
+                        .cast("int") for i in range(_BLOOM_K)])
+        pos = (sdf.where(F.col(c).isNotNull())
+               .select("_f", F.explode(arr).alias("_p")))
+        for r in pos.groupBy("_f").agg(
+                F.collect_set("_p").alias("_ps")).collect():
+            rel = unquote(r["_f"].split(marker, 1)[1])
+            out.setdefault(rel, {})[c] = _bloom_hex(r["_ps"], m_bits)
+    return out
+
+
 def _file_stats(spark: SparkSession, scratch: str,
                 stats_cols: list[str]) -> dict[str, dict]:
     """Per-data-file min/max for ``stats_cols``, keyed by the file's
@@ -621,7 +730,9 @@ def _file_stats(spark: SparkSession, scratch: str,
 
 def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
                       partition_cols: list[str],
-                      stats_cols: list[str] | None = None) -> list[dict]:
+                      stats_cols: list[str] | None = None,
+                      bloom_cols: list[str] | None = None,
+                      bloom_bits: int | None = None) -> list[dict]:
     """Materialize ``df`` as immutable commit-scoped data files and
     return their manifest entries.
 
@@ -650,6 +761,23 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
     if stats_cols:
         _validate_stats_cols(df, stats_cols, partition_cols)
         stats_by_rel = _file_stats(spark, scratch, stats_cols)
+    blooms_by_rel: dict[str, dict] = {}
+    bloom_tags: dict[str, str] = {}
+    if bloom_cols:
+        from pyspark.sql.types import StringType
+        _validate_bloom_cols(df, bloom_cols, partition_cols)
+        m_bits = bloom_bits or _BLOOM_BITS
+        if m_bits % 4 or m_bits < 64:
+            raise ValueError(
+                f"bloom_bits must be a multiple of 4 >= 64, "
+                f"got {m_bits}")
+        blooms_by_rel = _file_blooms(spark, scratch, bloom_cols, m_bits)
+        # type tag guards prune-time coercion: an int literal against
+        # a string column ('05' = 5 is true under Spark coercion but
+        # str(5) hashes differently) must KEEP the file, not prune it
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        bloom_tags = {c: ("s" if isinstance(by_name[c], StringType)
+                          else "i") for c in bloom_cols}
 
     scratch_path = jvm.org.apache.hadoop.fs.Path(scratch)
     moves = []                               # (src Path, dst_rel, part)
@@ -679,9 +807,17 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
         if not fs.rename(src, dst):
             raise RuntimeError(f"failed to place data file {dst_rel}")
         entry = {"path": dst_rel, "partition": part}
-        st = stats_by_rel.get(orig_rel)
-        if st is not None:
-            entry["stats"] = st
+        st, bl = stats_by_rel.get(orig_rel), blooms_by_rel.get(orig_rel)
+        if st is not None or bloom_cols:
+            merged = {c: dict(d) for c, d in (st or {}).items()}
+            for c in (bloom_cols or []):
+                # absent from the aggregation = every row null for c:
+                # the all-zero mask proves no point lookup can match
+                d = merged.setdefault(c, {})
+                d["bloom"] = (bl or {}).get(
+                    c, _bloom_hex((), bloom_bits or _BLOOM_BITS))
+                d["bloom_t"] = bloom_tags[c]
+            entry["stats"] = merged
         return entry
 
     if len(moves) > 1:
@@ -875,8 +1011,8 @@ def _conj_may_match(entry: dict, predicates: list[tuple]) -> bool:
                     lo > hi or (lo == hi and not (lo_i and hi_i))):
                 return False           # self-contradictory conjunction
             s = st.get(col)
-            if s is None:
-                continue
+            if s is None or "min" not in s:
+                continue               # no stats / bloom-only entry
             mn, mx = s["min"], s["max"]
             if mn is None:
                 return False
@@ -884,23 +1020,46 @@ def _conj_may_match(entry: dict, predicates: list[tuple]) -> bool:
                 return False
             if hi is not None and (mn > hi or (mn == hi and not hi_i)):
                 return False
+        def _bloom_rejects(s: dict, v) -> bool:
+            """True only when the file's bloom mask PROVES v absent:
+            mask recorded, literal's type matches the column's
+            recorded tag (prevents coercion mispruning), no bit
+            missing."""
+            hx, tag = s.get("bloom"), s.get("bloom_t")
+            if hx is None:
+                return False
+            if isinstance(v, str):
+                ok = tag == "s"
+            elif isinstance(v, int) and not isinstance(v, bool):
+                ok = tag == "i"
+            else:
+                ok = False
+            return ok and not _bloom_contains(hx, v)
+
         for col, op, val in predicates:
             s = st.get(col)
             if s is None:
                 continue
-            if op == "in":
+            if op == "=":
+                if _bloom_rejects(s, val):
+                    return False
+            elif op == "in":
                 if not val:
                     return False       # x IN () is vacuously false
-                mn, mx = s["min"], s["max"]
-                if mn is None:
-                    return False
-                if not any(mn <= v <= mx for v in val):
+                if "min" in s:
+                    mn, mx = s["min"], s["max"]
+                    if mn is None:
+                        return False   # all-null file
+                    if not any(mn <= v <= mx for v in val):
+                        return False
+                if all(_bloom_rejects(s, v) for v in val):
                     return False
             elif op == "is_null":
                 if s.get("nulls") == 0:
                     return False
             elif op == "is_not_null":
-                if s["min"] is None and s.get("rows", 0) > 0:
+                if "min" in s and s["min"] is None \
+                        and s.get("rows", 0) > 0:
                     return False
                 nulls, rows = s.get("nulls"), s.get("rows")
                 if nulls is not None and rows is not None \
@@ -1173,29 +1332,39 @@ def snapshot_scan(spark: SparkSession, path: str,
 def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,
                    partition_cols: list[str],
                    stats_cols: list[str] | None = None,
+                   bloom_cols: list[str] | None = None,
+                   bloom_bits: int | None = None,
                    _append_sources: dict | None = None) -> int:
     """Publish ``df`` as the table's next full snapshot (initial load
     or wholesale replace). ``stats_cols`` opts the table into per-file
-    min/max zone maps (see :func:`snapshot_scan`); once set it is
-    carried by every later commit, so the whole file list stays
-    prunable. ``_append_sources`` is :func:`snapshot_append`'s
-    replay-marker pass-through for the new-table case. Returns the
-    committed version."""
+    min/max zone maps (see :func:`snapshot_scan`); ``bloom_cols``
+    (r8) into per-file bloom masks that prune ``=`` / ``IN`` point
+    lookups on high-cardinality unsorted columns where min/max can't
+    (string/integral columns only). Once set, either is carried by
+    every later commit, so the whole file list stays prunable.
+    ``_append_sources`` is :func:`snapshot_append`'s replay-marker
+    pass-through for the new-table case. Returns the committed
+    version."""
     prev = latest_version(spark, path)
     srcs = dict(_append_sources or {})
     if prev is not None:
         m_prev = _load_manifest(spark, path, prev)
         if stats_cols is None:
             stats_cols = m_prev.get("stats_cols")
+        if bloom_cols is None:
+            bloom_cols = m_prev.get("bloom_cols")
+        if bloom_bits is None:
+            bloom_bits = m_prev.get("bloom_bits")
         # replay markers survive a wholesale replace: a replayed old
         # stream batch must stay a no-op afterward too
         srcs = {**(m_prev.get("append_sources") or {}), **srcs}
     entries = _write_data_files(spark, path, df, partition_cols,
-                                stats_cols)
+                                stats_cols, bloom_cols, bloom_bits)
     version = 0 if prev is None else prev + 1
     _commit_manifest(spark, path, version, {
         "version": version, "partition_cols": partition_cols,
         "schema": df.schema.json(), "stats_cols": stats_cols,
+        "bloom_cols": bloom_cols, "bloom_bits": bloom_bits,
         "append_sources": srcs or None, "operation": "write",
         **_build_file_refs(spark, path, {}, set(), entries)})
     return version
@@ -1205,6 +1374,8 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
                     partition_cols: list[str] | None = None,
                     schema_evolution: bool = False,
                     stats_cols: list[str] | None = None,
+                    bloom_cols: list[str] | None = None,
+                    bloom_bits: int | None = None,
                     source_batch: tuple[str, int] | None = None,
                     retries: int = 5) -> int:
     """Append ``df``'s rows as the table's next snapshot — the
@@ -1262,6 +1433,8 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
         return snapshot_write(spark, path, df,
                               partition_cols=partition_cols,
                               stats_cols=stats_cols,
+                              bloom_cols=bloom_cols,
+                              bloom_bits=bloom_bits,
                               _append_sources=srcs0)
     from pyspark.sql.types import StructType
 
@@ -1304,21 +1477,28 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
         # impossible to turn off once enabled)
         eff_stats = stats_cols if stats_cols is not None \
             else (m.get("stats_cols") or [])
-        return m, srcs, part_cols, merged_schema, eff_stats
+        eff_bloom = bloom_cols if bloom_cols is not None \
+            else (m.get("bloom_cols") or [])
+        eff_bits = bloom_bits if bloom_bits is not None \
+            else m.get("bloom_bits")
+        return (m, srcs, part_cols, merged_schema, eff_stats,
+                eff_bloom, eff_bits)
 
     prep = _prep(prev)
     if prep is None:
         return prev
-    m, srcs, part_cols, merged_schema, eff_stats = prep
+    m, srcs, part_cols, merged_schema, eff_stats, eff_bloom, \
+        eff_bits = prep
     if schema_evolution:
         # a recorded stats column absent from this batch is a legal
         # schema-evolution drop: record no stats for it rather than
         # failing the append (entries without stats are never pruned)
         write_stats = [c for c in eff_stats if c in df.columns]
+        write_bloom = [c for c in eff_bloom if c in df.columns]
     else:
-        write_stats = eff_stats
+        write_stats, write_bloom = eff_stats, eff_bloom
     new_entries = _write_data_files(spark, path, df, part_cols,
-                                    write_stats)
+                                    write_stats, write_bloom, eff_bits)
     # Bounded retry-with-REBASE (r8): an append touches no existing
     # data, so losing the version race never invalidates the work —
     # the already-written files restack on the new head (fresh
@@ -1333,6 +1513,8 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
                 "version": head + 1, "partition_cols": part_cols,
                 "schema": merged_schema.json(),
                 "stats_cols": eff_stats or None,
+                "bloom_cols": eff_bloom or None,
+                "bloom_bits": eff_bits,
                 "append_sources": srcs or None, "operation": "append",
                 **_build_file_refs(spark, path, m, set(), new_entries)})
             return head + 1
@@ -1354,7 +1536,8 @@ def snapshot_append(spark: SparkSession, path: str, df: DataFrame, *,
             prep = _prep(head)
             if prep is None:
                 return head              # competitor admitted our batch
-            m, srcs, part_cols, merged_schema, eff_stats = prep
+            (m, srcs, part_cols, merged_schema, eff_stats,
+             eff_bloom, eff_bits) = prep
     raise AssertionError("unreachable")
 
 
@@ -1443,11 +1626,15 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
               .where(F.col("_rn") == 1).drop("_rn", "_src"))
 
     new_entries = _write_data_files(spark, path, merged, partition_cols,
-                                    m.get("stats_cols"))
+                                    m.get("stats_cols"),
+                                    m.get("bloom_cols"),
+                                    m.get("bloom_bits"))
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": partition_cols,
         "schema": merged.schema.json(),
         "stats_cols": m.get("stats_cols"),
+        "bloom_cols": m.get("bloom_cols"),
+        "bloom_bits": m.get("bloom_bits"),
         "append_sources": m.get("append_sources"),
         "operation": "upsert",
         **_build_file_refs(spark, path, m, aff, new_entries)})
@@ -1492,10 +1679,14 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
     remaining = (_read_files(spark, path, hit, m.get("schema"))
                  .join(kd, keys, "left_anti"))
     new_entries = _write_data_files(spark, path, remaining,
-                                    partition_cols, m.get("stats_cols"))
+                                    partition_cols, m.get("stats_cols"),
+                                    m.get("bloom_cols"),
+                                    m.get("bloom_bits"))
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": partition_cols,
         "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+        "bloom_cols": m.get("bloom_cols"),
+        "bloom_bits": m.get("bloom_bits"),
         "append_sources": m.get("append_sources"),
         "operation": "delete",
         **_build_file_refs(spark, path, m, aff, new_entries)})
@@ -1519,6 +1710,8 @@ def snapshot_rollback(spark: SparkSession, path: str,
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": m["partition_cols"],
         "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+        "bloom_cols": m.get("bloom_cols"),
+        "bloom_bits": m.get("bloom_bits"),
         "append_sources": m.get("append_sources"),
         "files": m.get("files") or [],
         "segments": m.get("segments") or [],
@@ -1577,10 +1770,14 @@ def snapshot_compact(spark: SparkSession, path: str, *,
     else:
         compacted = rows.repartition(n)
     new_entries = _write_data_files(spark, path, compacted, part_cols,
-                                    m.get("stats_cols"))
+                                    m.get("stats_cols"),
+                                    m.get("bloom_cols"),
+                                    m.get("bloom_bits"))
     _commit_manifest(spark, path, prev + 1, {
         "version": prev + 1, "partition_cols": part_cols,
         "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+        "bloom_cols": m.get("bloom_cols"),
+        "bloom_bits": m.get("bloom_bits"),
         "append_sources": m.get("append_sources"),
         "operation": "compact",
         **_build_file_refs(spark, path, m, target_dirs, new_entries)})
