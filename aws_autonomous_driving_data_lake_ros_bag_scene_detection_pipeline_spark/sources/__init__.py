@@ -5,7 +5,8 @@ from .snapshots import (
     snapshot_changes, snapshot_changes_log, snapshot_history,
     set_commit_strategy, snapshot_append, sql_predicates,
     snapshot_compact, snapshot_delete, snapshot_prune, snapshot_rollback,
-    snapshot_scan, snapshot_upsert, snapshot_write,
+    snapshot_scan, snapshot_tag, snapshot_tags, snapshot_untag,
+    snapshot_upsert, snapshot_write,
 )
 from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
@@ -36,6 +37,7 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "snapshot_changes_log", "snapshot_history", "sql_predicates",
            "snapshot_append", "snapshot_compact", "snapshot_delete",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
+           "snapshot_tag", "snapshot_tags", "snapshot_untag",
            "snapshot_upsert", "snapshot_write",
            "write_bucketed", "write_partitioned", "write_time_sorted",
            "write_zordered", "zorder_key"]

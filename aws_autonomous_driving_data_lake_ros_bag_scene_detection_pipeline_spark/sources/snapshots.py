@@ -906,6 +906,7 @@ def _resolve_as_of(spark: SparkSession, path: str, as_of) -> int:
 def read_snapshot(spark: SparkSession, path: str,
                   version: int | None = None, *,
                   as_of=None,
+                  tag: str | None = None,
                   where: str | None = None) -> DataFrame:
     """The table at ``version`` (default: latest published). The file
     list is pinned at resolve time — concurrent commits cannot change
@@ -928,9 +929,17 @@ def read_snapshot(spark: SparkSession, path: str,
     knowing version numbers. Mutually exclusive with ``version``;
     see :func:`snapshot_history` for the audit log, and the
     writer-clock caveat in ``_commit_manifest``."""
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("pass at most one of version, as_of, tag")
+    if tag is not None:
+        _validate_ref_name(tag)
+        try:
+            version = json.loads(_read_text(
+                spark, f"{path}/{_REFS_DIR}/{tag}.json"))["version"]
+        except Exception as e:
+            raise FileNotFoundError(
+                f"no tag {tag!r} on {path}") from e
     if as_of is not None:
-        if version is not None:
-            raise ValueError("pass either version or as_of, not both")
         version = _resolve_as_of(spark, path, as_of)
     if version is None:
         version = latest_version(spark, path)
@@ -1819,7 +1828,11 @@ def snapshot_prune(spark: SparkSession, path: str, *,
                 versions.append(int(name[:-len(".json")]))
             except ValueError:
                 continue
-    keep = sorted(versions)[-keep_latest:]
+    # tagged versions are pinned: their manifests (and, through the
+    # referenced set below, their data files) survive retention for
+    # as long as the tag exists (r8)
+    tagged = set(snapshot_tags(spark, path).values()) & set(versions)
+    keep = sorted(set(sorted(versions)[-keep_latest:]) | tagged)
     drop = [v for v in versions if v not in keep]
 
     referenced, live_segments = set(), set()
@@ -2059,3 +2072,86 @@ def snapshot_changes_log(spark: SparkSession, path: str,
                                  key_cols=key_cols, columns=columns)
                 .withColumn(_COMMIT_VERSION, F.lit(to_version)))
     return out
+
+
+# -- named refs: tags (r8) --------------------------------------------------
+
+_REFS_DIR = "_refs"
+
+
+def _validate_ref_name(name: str) -> None:
+    import re
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+        raise ValueError(
+            f"invalid tag name {name!r}: letters/digits/._- only, "
+            f"must start alphanumeric")
+
+
+def snapshot_tag(spark: SparkSession, path: str, name: str,
+                 version: int | None = None, *,
+                 overwrite: bool = False) -> int:
+    """Pin a snapshot version under a NAME — ``v2-train-release``
+    instead of "version 417" in every downstream config. Tags are
+    refs the way table formats mean them: a tagged version's manifest
+    AND data files survive :func:`snapshot_prune`'s retention window
+    until the tag is deleted, so a pinned training-data release stays
+    readable for exactly as long as something names it. Creation is
+    atomic (exclusive create of ``_refs/<name>.json``); re-pointing an
+    existing tag requires ``overwrite=True`` and is delete+create
+    (a concurrent reader between the two sees "no such tag", never a
+    torn ref). Returns the pinned version."""
+    import time
+
+    _validate_ref_name(name)
+    if version is None:
+        version = latest_version(spark, path)
+        if version is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {path}")
+    jvm, fs, _ = _fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_MANIFEST_DIR}/{version}.json")):
+        raise FileNotFoundError(
+            f"version {version} of {path} does not exist (pruned?)")
+    ref = f"{path}/{_REFS_DIR}/{name}.json"
+    body = json.dumps({"version": version, "created_at": time.time()},
+                      sort_keys=True)
+    if overwrite:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(ref), False)
+    try:
+        _write_text(spark, ref, body)
+    except Exception as e:
+        if _is_exists_error(e):
+            raise ValueError(
+                f"tag {name!r} already exists on {path}; pass "
+                f"overwrite=True to re-point it") from e
+        raise
+    return version
+
+
+def snapshot_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    """All tags on the table: ``{name: version}``."""
+    jvm, fs, _ = _fs(spark, path)
+    d = jvm.org.apache.hadoop.fs.Path(f"{path}/{_REFS_DIR}")
+    if not fs.exists(d):
+        return {}
+    out = {}
+    for st in fs.listStatus(d):
+        n = st.getPath().getName()
+        if n.endswith(".json") and not n.startswith("."):
+            try:
+                out[n[:-len(".json")]] = json.loads(_read_text(
+                    spark, f"{path}/{_REFS_DIR}/{n}"))["version"]
+            except Exception:
+                continue               # torn concurrent re-point
+    return out
+
+
+def snapshot_untag(spark: SparkSession, path: str, name: str) -> None:
+    """Delete a tag. The version it pinned becomes subject to normal
+    :func:`snapshot_prune` retention again."""
+    _validate_ref_name(name)
+    jvm, fs, _ = _fs(spark, path)
+    if not fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_REFS_DIR}/{name}.json"), False):
+        raise FileNotFoundError(f"no tag {name!r} on {path}")

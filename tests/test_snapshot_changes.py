@@ -180,3 +180,65 @@ def test_history_records_operations(spark, tmp_path):
                     ["id"], partition_cols=["day"])
     ops = [h["operation"] for h in snapshot_history(spark, path)]
     assert ops == ["write", "append", "compact", "delete"]
+
+
+# -- named refs: tags (r8) --------------------------------------------------
+
+def test_tags_pin_read_and_survive_prune(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot, snapshot_prune, snapshot_tag, snapshot_tags,
+        snapshot_untag,
+    )
+
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    snapshot_tag(spark, path, "release-1")          # pins head = v0
+    for i in range(4):
+        snapshot_append(
+            spark, path,
+            spark.createDataFrame([(100 + i, "d1", "x", 1)], SCHEMA))
+    assert snapshot_tags(spark, path) == {"release-1": v0}
+
+    # read by name = the pinned version's exact content
+    got = _rows(read_snapshot(spark, path, tag="release-1")
+                .select("id", "val"))
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    # retention would drop v0 (keep_latest=2 of 5 versions) — the tag
+    # keeps its manifest AND files alive
+    snapshot_prune(spark, path, keep_latest=2, orphan_grace_seconds=0)
+    assert _rows(read_snapshot(spark, path, tag="release-1")
+                 .select("id", "val")) == got
+    # an untagged mid-history version IS gone
+    with pytest.raises(Exception):
+        read_snapshot(spark, path, version=1).collect()
+
+    # re-point requires overwrite; untag re-exposes to retention
+    with pytest.raises(ValueError, match="overwrite"):
+        snapshot_tag(spark, path, "release-1")
+    snapshot_tag(spark, path, "release-1", overwrite=True)
+    assert snapshot_tags(spark, path)["release-1"] == 4
+    snapshot_untag(spark, path, "release-1")
+    assert snapshot_tags(spark, path) == {}
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, tag="release-1")
+
+    # with the tag gone, retention reclaims v0 — and tagging a pruned
+    # version refuses
+    snapshot_prune(spark, path, keep_latest=2, orphan_grace_seconds=0)
+    with pytest.raises(FileNotFoundError, match="pruned"):
+        snapshot_tag(spark, path, "old", version=0)
+
+
+def test_tag_name_validation_and_exclusivity(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot, snapshot_tag,
+    )
+
+    path = str(tmp_path / "tbl")
+    _base(spark, path)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        snapshot_tag(spark, path, "../escape")
+    snapshot_tag(spark, path, "ok-1")
+    with pytest.raises(ValueError, match="at most one"):
+        read_snapshot(spark, path, version=0, tag="ok-1")
