@@ -40,7 +40,8 @@ from .similarity import (
     embedding_near_dedup,
     cell_balance, embedding_match_pairs, ivf_index, ivf_pivots,
     ivf_pq_index, ivf_pq_probe, ivf_probe, ivf_repivot, ivf_topk,
-    kmeans_pivots, lsh_topk, pq_codebooks, pq_encode,
+    kmeans_pivots, lsh_topk, opq_rotation, pq_codebooks, pq_encode,
+    rotate_vectors, rotation_model,
     semantic_cell_drops, semantic_cells, semantic_dedup,
     semantic_dup_pairs,
 )
@@ -85,7 +86,8 @@ __all__ = [
     "bm25_probe", "bm25_topk", "corpus_stats", "deterministic_shuffle",
     "hash_sample", "hash_sample_sql", "hash_split", "ivf_index", "ivf_pivots",
     "cell_balance", "ivf_repivot", "kmeans_pivots",
-    "ivf_pq_index", "ivf_pq_probe", "pq_codebooks", "pq_encode",
+    "ivf_pq_index", "ivf_pq_probe", "opq_rotation", "pq_codebooks",
+    "pq_encode", "rotate_vectors", "rotation_model",
     "ivf_probe", "ivf_topk", "jaccard", "lag_lead",
     "banding_for_recall", "cache_scope", "lm_bigram_score", "register_persist", "lsh_topk", "minhash_lsh_pairs",
     "merge_intervals", "minhash_index", "minhash_match_pairs",

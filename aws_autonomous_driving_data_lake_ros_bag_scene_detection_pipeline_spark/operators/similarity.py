@@ -1149,3 +1149,147 @@ def ivf_pq_probe(pq_index: DataFrame, full_vectors: DataFrame,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine",
                     F.col("rank").cast("bigint").alias("rank")))
+
+
+# -- OPQ: learned rotation for product quantization (r8) --------------------
+# PQ quantizes each dim/m-wide subspace independently, so its error is
+# worst when variance/correlation is spread unevenly across the
+# subspace boundaries (the common case for learned embeddings). OPQ
+# (Ge et al., CVPR 2013) fixes the GEOMETRY instead of the codebooks:
+# learn one orthogonal rotation R that redistributes variance so the
+# subspaces are as independent as possible, then run ordinary PQ in
+# the rotated space. Because R preserves norms and inner products,
+# the whole existing stack composes unchanged downstream of
+# :func:`rotate_vectors`: rotated pivots give IDENTICAL cell
+# assignments, ADC cosines in rotated space equal cosines in the
+# original space, and the exact re-rank tail needs no inverse
+# rotation. Training is the classic alternation — encode under
+# current R, then solve the orthogonal Procrustes problem
+# R = argmin ||XR - X̂||_F via SVD of X^T X̂ — on a DETERMINISTIC
+# hash-ordered sample on the driver (same bounded-sample discipline
+# as pq_codebooks' seeding; the model is d x d doubles).
+
+
+def opq_rotation(corpus: DataFrame, id_col: str, vec_col: str, *,
+                 m: int, ksub: int = 256, iters: int = 8,
+                 sample: int = 4096, sub_iters: int = 4) -> DataFrame:
+    """Train the OPQ rotation: returns ``(i, row)`` — row ``i`` of the
+    orthogonal d x d matrix R — plus training diagnostics in the
+    frame's metadata-free contract (orthogonality and error descent
+    are test-pinned instead). Train codebooks AFTER rotating
+    (:func:`rotate_vectors` then :func:`pq_codebooks`); queries and
+    appended vectors must pass through the same rotation.
+
+    Deterministic: hash-ordered sample, farthest-point init per
+    subspace, numpy SVD — two runs yield the same R bit-for-bit."""
+    if m < 1 or ksub < 1:
+        raise ValueError(f"need m >= 1 and ksub >= 1, got {m}, {ksub}")
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = (corpus
+            .select(F.col(vec_col).cast("array<double>").alias("x"),
+                    F.xxhash64(F.col(id_col).cast("string"))
+                    .alias("_h"))
+            .where(F.col(vec_col).isNotNull())
+            .orderBy(F.asc("_h")).limit(sample).collect())
+    if not rows:
+        raise ValueError("no rows with non-null vectors")
+    X = np.asarray([r["x"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(ksub, n)
+
+    def _farthest(cand: np.ndarray, kk: int) -> np.ndarray:
+        chosen = [0]
+        d_min = ((cand - cand[0]) ** 2).sum(axis=1)
+        while len(chosen) < min(kk, len(cand)):
+            nxt = int(d_min.argmax())
+            chosen.append(nxt)
+            d_min = np.minimum(
+                d_min, ((cand - cand[nxt]) ** 2).sum(axis=1))
+        return cand[chosen].copy()
+
+    def _train_encode(Xr: np.ndarray):
+        """Per-subspace Lloyd on the rotated sample, then the
+        reconstruction X̂ — the inner PQ step of the alternation."""
+        recon = np.empty_like(Xr)
+        for s in range(m):
+            xs = Xr[:, s * dsub:(s + 1) * dsub]
+            cs = _farthest(xs, k)
+            for _ in range(sub_iters):
+                d2 = ((xs * xs).sum(axis=1)[:, None]
+                      - 2.0 * (xs @ cs.T)
+                      + (cs * cs).sum(axis=1)[None, :])
+                a = d2.argmin(axis=1)
+                for c in range(len(cs)):
+                    sel = xs[a == c]
+                    if len(sel):
+                        cs[c] = sel.mean(axis=0)
+            d2 = ((xs * xs).sum(axis=1)[:, None] - 2.0 * (xs @ cs.T)
+                  + (cs * cs).sum(axis=1)[None, :])
+            recon[:, s * dsub:(s + 1) * dsub] = cs[d2.argmin(axis=1)]
+        return recon
+
+    R = np.eye(dim)
+    for _ in range(iters):
+        recon = _train_encode(X @ R)
+        # orthogonal Procrustes: rotate X onto its own reconstruction
+        U, _, Vt = np.linalg.svd(X.T @ recon)
+        R_new = U @ Vt
+        if np.abs(R_new - R).max() < 1e-9:
+            R = R_new
+            break
+        R = R_new
+    return spark.createDataFrame(
+        [(i, R[i].tolist()) for i in range(dim)],
+        "i int, row array<double>")
+
+
+def rotation_model(rotation: DataFrame):
+    """Collect the (d x d — driver-bounded) rotation frame into the
+    numpy matrix the Arrow appliers close over."""
+    import numpy as np
+
+    rows = rotation.collect()
+    dim = len(rows)
+    R = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        R[r["i"]] = r["row"]
+    return R
+
+
+def rotate_vectors(df: DataFrame, vec_col: str,
+                   rotation: DataFrame) -> DataFrame:
+    """Replace ``vec_col`` with its rotated form (one Arrow pass, one
+    matmul per batch; all other columns carried through). Feed the
+    corpus AND every query/append through the same rotation — rotated
+    and unrotated vectors must never mix in one index."""
+    import numpy as np
+
+    R = rotation_model(rotation)
+    cols = df.columns
+
+    def apply(it):
+        import pandas as pd
+        for pdf in it:
+            vals = pdf[vec_col]
+            ok = vals.notna()
+            if ok.any():
+                x = np.asarray([np.asarray(v, dtype=np.float64)
+                                for v in vals[ok]])
+                rot = x @ R
+                out = pd.Series([None] * len(pdf), dtype=object)
+                out[np.flatnonzero(ok.to_numpy())] = list(rot.tolist())
+            else:
+                out = pd.Series([None] * len(pdf), dtype=object)
+            pdf = pdf.copy()
+            pdf[vec_col] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"{c} {t}" if c != vec_col else f"{c} array<double>"
+        for c, t in df.dtypes)
+    return df.mapInPandas(apply, schema)

@@ -229,3 +229,107 @@ def test_pq_index_delete_propagation(spark, emb, tmp_path):
                        "vec_id", "embedding", piv, cb, k=5, nprobe=4)
     assert got.count() > 0
     assert all(r["neighbor_id"] >= 50 for r in got.collect())
+
+
+# -- OPQ: learned rotation (r8) ---------------------------------------------
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark, emb):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import opq_rotation, rotation_model
+
+    rot = opq_rotation(emb, "vec_id", "embedding", m=8, ksub=16,
+                       iters=3, sample=256)
+    R = rotation_model(rot)
+    assert np.allclose(R @ R.T, np.eye(len(R)), atol=1e-9)
+    R2 = rotation_model(opq_rotation(emb, "vec_id", "embedding", m=8,
+                                     ksub=16, iters=3, sample=256))
+    assert np.array_equal(R, R2)
+
+
+def test_rotate_vectors_preserves_geometry(spark, emb):
+    """Rotation must preserve norms and pairwise inner products —
+    that's the invariant letting cells/ADC/re-rank compose unchanged."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import opq_rotation, rotate_vectors
+
+    rot = opq_rotation(emb, "vec_id", "embedding", m=8, ksub=16,
+                       iters=2, sample=128)
+    src = emb.limit(50)
+    x = {r["vec_id"]: np.asarray(r["embedding"]) for r in src.collect()}
+    y = {r["vec_id"]: np.asarray(r["embedding"]) for r in
+         rotate_vectors(src, "embedding", rot).collect()}
+    ids = sorted(x)
+    for a in ids[:10]:
+        assert np.isclose(np.linalg.norm(x[a]), np.linalg.norm(y[a]))
+        for b in ids[10:20]:
+            assert np.isclose(x[a] @ x[b], y[a] @ y[b], atol=1e-8)
+
+
+def test_opq_reduces_reconstruction_error_on_correlated_data(spark):
+    """On data whose variance straddles the subspace boundaries
+    (pairwise-correlated dims via a fixed mixing matrix), rotated PQ
+    must reconstruct strictly better than axis-aligned PQ — OPQ's
+    entire reason to exist. Deterministic: fixed mixing, fixed
+    hash-ordered sampling inside the trainers."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        opq_rotation, pq_codebooks, pq_encode, rotate_vectors,
+        rotation_model,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.similarity import _codebook_model
+
+    dim, n, m = 16, 400, 8
+    # deterministic rank-2 cloud along DENSE directions: every
+    # axis-aligned subspace sees variance it must spend codes on,
+    # while a rotation can concentrate the plane into one subspace
+    u1 = np.array([(j * 13 % 7 + 1) for j in range(dim)], float)
+    u1 /= np.linalg.norm(u1)
+    u2 = np.array([((j * 29 + 3) % 11 - 5) for j in range(dim)], float)
+    u2 -= (u2 @ u1) * u1
+    u2 /= np.linalg.norm(u2)
+    rows = []
+    for i in range(n):
+        t1 = ((i * 2654435761) % 1000) / 500.0 - 1.0
+        t2 = ((i * 40503 + 7) % 1000) / 500.0 - 1.0
+        rows.append((i, (t1 * u1 + t2 * u2).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def recon_err(data_df, cb):
+        cents = _codebook_model(cb)
+        mm, _, dsub = cents.shape
+        err = 0.0
+        enc = {r["vec_id"]: r["codes"] for r in
+               pq_encode(data_df, "vec_id", "embedding", cb).collect()}
+        for r in data_df.collect():
+            x = np.asarray(r["embedding"])
+            rec = np.concatenate([cents[s, enc[r["vec_id"]][s]]
+                                  for s in range(mm)])
+            err += float(((x - rec) ** 2).sum())
+        return err / len(enc)
+
+    cb_plain = pq_codebooks(df, "vec_id", "embedding", m=m, ksub=16,
+                            iters=6)
+    e_plain = recon_err(df, cb_plain)
+
+    rot = opq_rotation(df, "vec_id", "embedding", m=m, ksub=16,
+                       iters=6, sample=400)
+    dfr = rotate_vectors(df, "embedding", rot)
+    cb_rot = pq_codebooks(dfr, "vec_id", "embedding", m=m, ksub=16,
+                          iters=6)
+    e_rot = recon_err(dfr, cb_rot)
+    # measured ~3x on this construction; 0.6 leaves margin without
+    # weakening the claim that the rotation, not noise, won
+    assert e_rot < e_plain * 0.6, (e_rot, e_plain)
+
+
+def test_identity_rotation_is_exact_passthrough(spark, emb):
+    """R = I must leave the full IVF-PQ pipeline bit-identical —
+    pins that rotate_vectors itself adds no numerical noise."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import rotate_vectors
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    ident = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(dim)])
+         for i in range(dim)], "i int, row array<double>")
+    src = emb.limit(40)
+    before = {r["vec_id"]: r["embedding"] for r in src.collect()}
+    after = {r["vec_id"]: r["embedding"] for r in
+             rotate_vectors(src, "embedding", ident).collect()}
+    assert before == after
