@@ -242,3 +242,23 @@ def test_tag_name_validation_and_exclusivity(spark, tmp_path):
     snapshot_tag(spark, path, "ok-1")
     with pytest.raises(ValueError, match="at most one"):
         read_snapshot(spark, path, version=0, tag="ok-1")
+
+
+def test_changes_read_only_changed_files(spark, tmp_path):
+    """The 100 TB contract: the feed's scans touch ONLY files that
+    differ between the two manifests. A one-partition upsert against a
+    ten-partition table must read that partition's old + new files and
+    nothing else, however large the rest of the table is."""
+    path = str(tmp_path / "tbl")
+    rows = [(i, f"d{i % 10}", f"v{i}", 1) for i in range(200)]
+    snapshot_write(spark, path, spark.createDataFrame(rows, SCHEMA),
+                   partition_cols=["day"])
+    up = spark.createDataFrame([(0, "d0", "CHANGED", 2)], SCHEMA)
+    v1 = snapshot_upsert(spark, path, up, ["id"],
+                         partition_cols=["day"], order_col="ver")
+    feed = snapshot_changes(spark, path, 0, v1, key_cols=["id"])
+    files = feed.inputFiles()
+    assert files, "expected real file scans under the feed"
+    assert all("day=d0" in f for f in files), files
+    got = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(0, "update_pre"), (0, "update_post")}
