@@ -1269,14 +1269,22 @@ def _mark_synced(spark, index_path: str, version: int) -> None:
             raise
 
 
-def _sync_snapshot_index(spark, table_path: str, index_path: str, *,
-                         key_cols: list[str], columns: list[str],
-                         full_load, apply_delete, apply_insert) -> dict:
-    """Shared per-version sync driver: initial full load at the
-    current head, then one idempotent step per subsequent commit.
-    ``apply_delete(df, version)`` runs BEFORE ``apply_insert(df,
-    version)`` within a step so an update (delete+reinsert of a key)
-    lands in order."""
+def snapshot_follow(spark, table_path: str, *, state_path: str,
+                    apply, key_cols: list[str] | None = None,
+                    columns: list[str] | None = None) -> dict:
+    """Generic exactly-once table follower — the public form of the
+    index syncs' driver, for ANY consumer that must apply a snapshot
+    table's changes once each (exports, caches, downstream systems):
+    ``apply(changes_df, version)`` is invoked per commit with that
+    commit's change feed (``_change_type`` column included; the
+    initial call delivers the whole current snapshot labeled
+    ``insert``), and the follower records a version marker under
+    ``state_path/_snapshot_sync/`` AFTER apply returns — a crash
+    re-runs exactly one step, so ``apply`` must be idempotent per
+    (version, content), which every ``_batch_id=<version>``
+    dynamic-overwrite writer already is. Compact commits are skipped
+    without reading them. Returns ``{from_version, to_version,
+    steps}``."""
     from ..sources.snapshots import (
         _load_manifest, latest_version, read_snapshot, snapshot_changes,
     )
@@ -1285,30 +1293,45 @@ def _sync_snapshot_index(spark, table_path: str, index_path: str, *,
     if head is None:
         raise FileNotFoundError(
             f"no published snapshot under {table_path}")
-    synced = _synced_version(spark, index_path)
-    out = {"from_version": synced, "to_version": head,
-           "steps": 0, "inserted": 0, "deleted": 0}
+    synced = _synced_version(spark, state_path)
+    out = {"from_version": synced, "to_version": head, "steps": 0}
     if synced is None:
-        df = read_snapshot(spark, table_path).select(*columns)
-        n = df.count()
-        if n:
-            full_load(df, head)
-        _mark_synced(spark, index_path, head)
-        out.update(steps=1, inserted=n)
+        df = read_snapshot(spark, table_path)
+        if columns is not None:
+            df = df.select(*columns)
+        apply(df.withColumn("_change_type", F.lit("insert")), head)
+        _mark_synced(spark, state_path, head)
+        out["steps"] = 1
         return out
     if synced > head:
         raise ValueError(
-            f"index at {index_path} is synced to version {synced} but "
-            f"{table_path} is at {head} — was the table rebuilt? "
-            f"rebuild the index (or clear {_SYNC_DIR}) to resync")
+            f"follower state at {state_path} is synced to version "
+            f"{synced} but {table_path} is at {head} — was the table "
+            f"rebuilt? rebuild the consumer (or clear {_SYNC_DIR}) "
+            f"to resync")
     for v in range(synced + 1, head + 1):
         if _load_manifest(spark, table_path, v).get("operation") \
                 == "compact":
-            _mark_synced(spark, index_path, v)
+            _mark_synced(spark, state_path, v)
             continue
-        ch = snapshot_changes(spark, table_path, v - 1, v,
-                              key_cols=key_cols,
-                              columns=columns).persist()
+        apply(snapshot_changes(spark, table_path, v - 1, v,
+                               key_cols=key_cols, columns=columns), v)
+        _mark_synced(spark, state_path, v)
+        out["steps"] += 1
+    return out
+
+
+def _sync_snapshot_index(spark, table_path: str, index_path: str, *,
+                         key_cols: list[str], columns: list[str],
+                         apply_delete, apply_insert) -> dict:
+    """Index-shaped :func:`snapshot_follow` consumer: split each
+    step's feed into deletes (``delete``/``update_pre``) applied
+    BEFORE inserts (``insert``/``update_post``) so an update
+    (delete+reinsert of a key) lands in order, and count both."""
+    totals = {"inserted": 0, "deleted": 0}
+
+    def _apply(ch: DataFrame, v: int) -> None:
+        ch = ch.persist()
         try:
             dels = (ch.where(F.col("_change_type")
                              .isin("delete", "update_pre"))
@@ -1323,10 +1346,13 @@ def _sync_snapshot_index(spark, table_path: str, index_path: str, *,
                 apply_insert(ins, v)
         finally:
             ch.unpersist()
-        _mark_synced(spark, index_path, v)
-        out["steps"] += 1
-        out["inserted"] += ni
-        out["deleted"] += nd
+        totals["inserted"] += ni
+        totals["deleted"] += nd
+
+    out = snapshot_follow(spark, table_path, state_path=index_path,
+                          apply=_apply, key_cols=key_cols,
+                          columns=columns)
+    out.update(totals)
     return out
 
 
@@ -1363,9 +1389,6 @@ def bm25_sync_snapshot(spark, table_path: str, *, index_path: str,
     return _sync_snapshot_index(
         spark, table_path, index_path,
         key_cols=[id_col], columns=[id_col, text_col],
-        full_load=lambda df, v: bm25_index_batch(
-            df, v, id_col, text_col, index_path=index_path,
-            buckets=buckets),
         apply_delete=_delete, apply_insert=_insert)
 
 
@@ -1396,7 +1419,42 @@ def ivf_sync_snapshot(spark, table_path: str, *, index_path: str,
     return _sync_snapshot_index(
         spark, table_path, index_path,
         key_cols=[id_col], columns=[id_col, vec_col],
-        full_load=lambda df, v: ivf_append_batch(
-            df, v, id_col, vec_col, pivots=pivots,
-            index_path=index_path, codebooks=codebooks),
+        apply_delete=_delete, apply_insert=_insert)
+
+
+def minhash_sync_snapshot(spark, table_path: str, *, index_path: str,
+                          pairs_path: str, id_col: str, text_col: str,
+                          threshold: float = 0.8, num_perm: int = 32,
+                          bands: int | None = None,
+                          rows_per_band: int = 2, shingle_n: int = 3,
+                          max_bucket: int = 1000) -> dict:
+    """Catch the incremental MinHash-LSH dedup index up with a
+    snapshot table — the third member of the sync family
+    (:func:`bm25_sync_snapshot`, :func:`ivf_sync_snapshot`): each
+    table commit's inserted/updated docs are mined for near-dup pairs
+    (intra-batch + against the accumulated index) and appended to the
+    index via :func:`incremental_dedup_batch`; deleted docs tombstone
+    by id (:func:`index_delete_batch`), so they stop matching future
+    probes immediately. The minhash tombstone is ID-ONLY, so before a
+    step that re-inserts (an update), tombstones are folded in
+    physically (:func:`index_compact_deletes`) — otherwise the
+    reinserted id's own index rows would be anti-joined away."""
+    params = dict(threshold=threshold, num_perm=num_perm, bands=bands,
+                  rows_per_band=rows_per_band, shingle_n=shingle_n,
+                  max_bucket=max_bucket)
+
+    def _delete(df: DataFrame, v: int) -> None:
+        index_delete_batch(df.select(id_col), v, id_col,
+                           index_path=index_path)
+
+    def _insert(df: DataFrame, v: int) -> None:
+        if read_index_tombstones(spark, index_path) is not None:
+            index_compact_deletes(spark, index_path, id_col)
+        incremental_dedup_batch(df, v, text_col, id_col,
+                                index_path=index_path,
+                                pairs_path=pairs_path, **params)
+
+    return _sync_snapshot_index(
+        spark, table_path, index_path,
+        key_cols=[id_col], columns=[id_col, text_col],
         apply_delete=_delete, apply_insert=_insert)

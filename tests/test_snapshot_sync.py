@@ -209,3 +209,110 @@ def test_sync_refuses_rebuilt_table(spark, tmp_path):
         bm25_sync_snapshot(spark, tbl, index_path=idx,
                            id_col="doc_id", text_col="text",
                            buckets=16)
+
+
+def test_minhash_sync_mines_pairs_across_commits(spark, tmp_path):
+    """The minhash member of the sync family: pairs mined across
+    commits equal a one-shot mine over the live corpus, deletes stop
+    matching immediately, and an updated doc's reinserted rows survive
+    tombstone compaction."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import minhash_sync_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "mh")
+    pairs = str(tmp_path / "pairs")
+    base = "the quick brown fox jumps over the lazy dog in the field"
+    docs = [(0, base, "d0"), (1, base + " x", "d1"),
+            (2, "completely different text about spark execution", "d0"),
+            (3, "another unrelated document on window functions", "d1")]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(docs,
+                                         "doc_id long, text string, "
+                                         "bucket string"),
+                   partition_cols=["bucket"])
+    params = dict(threshold=0.5, num_perm=16, shingle_n=3)
+    out = minhash_sync_snapshot(spark, tbl, index_path=idx,
+                                pairs_path=pairs, id_col="doc_id",
+                                text_col="text", **params)
+    assert out["inserted"] == 4
+
+    def _mined():
+        return {(r["corpus_id"], r["new_id"]) if r["corpus_id"]
+                < r["new_id"] else (r["new_id"], r["corpus_id"])
+                for r in spark.read.parquet(pairs).collect()}
+
+    want = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in minhash_lsh_pairs(
+                read_snapshot(spark, tbl), "text", "doc_id",
+                **params).collect()}
+    assert _mined() == want and (0, 1) in want
+
+    # append a near-dup of doc 2 -> cross-batch pair appears
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(4, "completely different text about spark execution!",
+          "d0")], "doc_id long, text string, bucket string"))
+    minhash_sync_snapshot(spark, tbl, index_path=idx,
+                          pairs_path=pairs, id_col="doc_id",
+                          text_col="text", **params)
+    assert (2, 4) in _mined()
+
+    # delete doc 0, then append ANOTHER near-dup of the base text:
+    # it must pair with surviving doc 1, not deleted doc 0
+    snapshot_delete(spark, tbl, spark.createDataFrame([(0,)],
+                                                      "doc_id long"),
+                    ["doc_id"], partition_cols=["bucket"])
+    minhash_sync_snapshot(spark, tbl, index_path=idx,
+                          pairs_path=pairs, id_col="doc_id",
+                          text_col="text", **params)
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(5, base + " y", "d1")],
+        "doc_id long, text string, bucket string"))
+    minhash_sync_snapshot(spark, tbl, index_path=idx,
+                          pairs_path=pairs, id_col="doc_id",
+                          text_col="text", **params)
+    mined = _mined()
+    assert (1, 5) in mined and (0, 5) not in mined
+
+
+def test_snapshot_follow_generic_consumer_exactly_once(spark,
+                                                       tmp_path):
+    """The public follower drives an arbitrary consumer once per
+    commit: replays are no-ops, compact commits are skipped, and the
+    initial call delivers the whole snapshot as inserts."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import snapshot_follow
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "consumer")
+    seen: list[tuple] = []
+
+    def consume(ch, v):
+        seen.extend((v, r["doc_id"], r["_change_type"])
+                    for r in ch.collect())
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").limit(5)
+            .withColumn("b", (F.col("doc_id") % 2).cast("string")))
+    snapshot_write(spark, tbl, docs, partition_cols=["b"])
+    out = snapshot_follow(spark, tbl, state_path=state, apply=consume,
+                          key_cols=["doc_id"],
+                          columns=["doc_id", "text"])
+    assert out["steps"] == 1 and len(seen) == 5
+    assert all(t == "insert" for _, _, t in seen)
+
+    # replay: nothing re-delivered
+    snapshot_follow(spark, tbl, state_path=state, apply=consume,
+                    key_cols=["doc_id"], columns=["doc_id", "text"])
+    assert len(seen) == 5
+
+    snapshot_compact(spark, tbl, target_file_bytes=1 << 30)
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame([(seen[0][1],)],
+                                          "doc_id long"),
+                    ["doc_id"], partition_cols=["b"])
+    out = snapshot_follow(spark, tbl, state_path=state, apply=consume,
+                          key_cols=["doc_id"],
+                          columns=["doc_id", "text"])
+    # compact skipped (1 step, the delete), one delete row delivered
+    assert out["steps"] == 1
+    assert seen[-1][2] == "delete" and len(seen) == 6
