@@ -3,7 +3,8 @@ from .snapshots import (
     LockFileCommit, RenameCommit,
     latest_version, read_snapshot, scan_pruning_stats,
     snapshot_changes, snapshot_changes_log, snapshot_history,
-    set_commit_strategy, snapshot_append, sql_predicates,
+    set_commit_strategy, snapshot_append, snapshot_apply_changes,
+    sql_predicates,
     snapshot_compact, snapshot_delete, snapshot_prune, snapshot_rollback,
     snapshot_scan, snapshot_tag, snapshot_tags, snapshot_untag,
     snapshot_upsert, snapshot_write,
@@ -35,7 +36,8 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "prune_versions", "read_snapshot", "read_topics",
            "scan_pruning_stats", "snapshot_changes",
            "snapshot_changes_log", "snapshot_history", "sql_predicates",
-           "snapshot_append", "snapshot_compact", "snapshot_delete",
+           "snapshot_append", "snapshot_apply_changes",
+           "snapshot_compact", "snapshot_delete",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
            "snapshot_tag", "snapshot_tags", "snapshot_untag",
            "snapshot_upsert", "snapshot_write",

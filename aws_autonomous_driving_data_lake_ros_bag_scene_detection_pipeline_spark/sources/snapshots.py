@@ -1702,6 +1702,123 @@ def snapshot_delete(spark: SparkSession, path: str, keys_df: DataFrame,
     return prev + 1
 
 
+def snapshot_apply_changes(spark: SparkSession, path: str,
+                           changes: DataFrame, keys: list[str], *,
+                           partition_cols: list[str],
+                           change_col: str = "_op",
+                           source_batch: tuple[str, int] | None = None
+                           ) -> int:
+    """Apply a keyed CDC changeset — upserts AND deletes — as ONE
+    copy-on-write commit (MERGE-INTO semantics, the atomic sink for
+    a :func:`snapshot_changes` feed or any per-key delta).
+    ``changes`` carries the table's data columns plus ``change_col``
+    ∈ {``upsert``, ``delete``}; delete rows need their key AND
+    partition columns populated (the immutable-partitions contract:
+    a key lives where its partition values say — the same assumption
+    :func:`snapshot_upsert`'s default makes), other columns are
+    ignored. A key listed as both loses its old row once and keeps
+    the upsert row. Changesets should be keyed (one row per key per
+    op); duplicate upsert keys land as duplicate rows.
+
+    Why one commit instead of ``snapshot_upsert`` + ``snapshot_delete``:
+    readers never observe the half-applied state, the affected
+    partitions are read and rewritten ONCE instead of twice, and —
+    decisive for exactly-once maintenance loops — the
+    ``source_batch=(source, batch_id)`` replay marker covers the
+    WHOLE changeset atomically (same contract as
+    :func:`snapshot_append`: a replayed batch is a version-preserving
+    no-op), so a crash-and-retry consumer like
+    :func:`~..streaming.ingest.aggregate_sync_snapshot` can never
+    double-apply a delta. An EMPTY changeset returns the current
+    version without committing (and without recording the marker —
+    replaying an empty batch is naturally a no-op).
+
+    Commit shape matches the upsert family: only partitions named by
+    the changeset's partition values are read/rewritten; everything
+    else carries by reference. Schema drift raises (evolve the table
+    with :func:`snapshot_upsert(schema_evolution=True)` first).
+    Concurrency is raise-only (``ConcurrentCommit``) like
+    upsert/delete — the merge read is stale after a lost race.
+    Returns the committed version."""
+    from pyspark.sql.types import StructType
+
+    from .tables import _check_schema_drift
+    if change_col not in changes.columns:
+        raise ValueError(f"changes is missing the change column "
+                         f"{change_col!r}")
+    data_cols = [c for c in changes.columns if c != change_col]
+    changes = changes.persist()
+    try:
+        ops = {r[0]: r[1] for r in
+               changes.groupBy(change_col).count().collect()}
+        bad = set(ops) - {"upsert", "delete"}
+        if bad:
+            raise ValueError(
+                f"unknown {change_col!r} values {sorted(bad)}; "
+                f"expected 'upsert' or 'delete'")
+        upserts = (changes.where(F.col(change_col) == "upsert")
+                   .drop(change_col))
+        prev = latest_version(spark, path)
+        if prev is None:
+            if not ops.get("upsert"):
+                raise FileNotFoundError(
+                    f"no published snapshot under {path} and the "
+                    f"changeset has no upsert rows to create it from")
+            srcs0 = {source_batch[0]: source_batch[1]} \
+                if source_batch else None
+            return snapshot_write(spark, path, upserts,
+                                  partition_cols=partition_cols,
+                                  _append_sources=srcs0)
+        if not ops:
+            return prev                  # empty changeset: no-op
+        m = _load_manifest(spark, path, prev)
+        srcs = dict(m.get("append_sources") or {})
+        if source_batch is not None:
+            src, bid = source_batch
+            if bid <= srcs.get(src, -1):
+                return prev              # replayed batch: no-op
+            srcs[src] = bid
+        if m["partition_cols"] != partition_cols:
+            raise ValueError(
+                f"partition_cols {partition_cols} do not match the "
+                f"table's {m['partition_cols']}")
+        table_cols = ([f.name for f in StructType.fromJson(
+            json.loads(m["schema"])).fields] if m.get("schema") else [])
+        if table_cols:
+            _check_schema_drift(table_cols, data_cols, keys,
+                                partition_cols, False)
+
+        entries = _manifest_entries(spark, path, m)
+        aff_vals = [tuple(r) for r in
+                    changes.select(*partition_cols).distinct().collect()]
+        aff = _affected_dirs(aff_vals, partition_cols)
+        hit = [e for e in entries if e["partition"] in aff]
+        changed_keys = changes.select(*keys).distinct()
+        if hit:
+            existing = _read_files(spark, path, hit, m.get("schema"))
+            merged = (existing.join(changed_keys, keys, "left_anti")
+                      .unionByName(upserts.select(*existing.columns)))
+        else:
+            merged = upserts.select(*table_cols) if table_cols \
+                else upserts
+        new_entries = _write_data_files(spark, path, merged,
+                                        partition_cols,
+                                        m.get("stats_cols"),
+                                        m.get("bloom_cols"),
+                                        m.get("bloom_bits"))
+        _commit_manifest(spark, path, prev + 1, {
+            "version": prev + 1, "partition_cols": partition_cols,
+            "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+            "bloom_cols": m.get("bloom_cols"),
+            "bloom_bits": m.get("bloom_bits"),
+            "append_sources": srcs or None,
+            "operation": "apply_changes",
+            **_build_file_refs(spark, path, m, aff, new_entries)})
+        return prev + 1
+    finally:
+        changes.unpersist()
+
+
 def snapshot_rollback(spark: SparkSession, path: str,
                       to_version: int) -> int:
     """Publish a NEW version whose content is an old version's file

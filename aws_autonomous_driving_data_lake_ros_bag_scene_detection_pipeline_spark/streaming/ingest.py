@@ -1458,3 +1458,192 @@ def minhash_sync_snapshot(spark, table_path: str, *, index_path: str,
         spark, table_path, index_path,
         key_cols=[id_col], columns=[id_col, text_col],
         apply_delete=_delete, apply_insert=_insert)
+
+
+#: measure ops whose deltas ADD — a feed step merges into the view
+#: arithmetically, never re-reading the base table
+_ADDITIVE_OPS = {"count", "sum"}
+#: ops that force the affected-group recompute path
+_RECOMPUTE_OPS = {"min", "max", "avg", "count_distinct"}
+
+
+def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
+                            group_by: list[str],
+                            measures: dict[str, tuple[str, str | None]],
+                            view_partition_cols: list[str] | None
+                            = None) -> dict:
+    """Incrementally-maintained materialized aggregate: keep a
+    groupBy view of a snapshot table up to date from its CHANGE FEED
+    instead of re-aggregating the table — the fourth member of the
+    sync family, and the one that turns ``snapshot_follow`` +
+    ``snapshot_apply_changes`` into incremental view maintenance.
+    After a sync, ``read_snapshot(view_path)`` equals
+    ``read_snapshot(table_path).groupBy(*group_by).agg(...)``
+    recomputed from scratch (float sums within reassociation ULPs).
+
+    ``measures`` maps output column → ``(op, source_col)``; ops:
+    ``count`` (source ``None`` = rows per group, else non-null
+    count), ``sum``, ``min``, ``max``, ``avg``, ``count_distinct``.
+    The view is itself a snapshot table (atomic commits, time
+    travel, zone maps), keyed by ``group_by`` and partitioned by
+    ``view_partition_cols`` (must be a subset of ``group_by``;
+    default unpartitioned — aggregate views are usually small).
+
+    Two maintenance disciplines, chosen per call from the ops:
+
+    - **additive** (all ops in ``count``/``sum``): each commit's feed
+      collapses to one signed delta per touched group (inserts +1,
+      deletes −1 — ``update_pre``/``update_post`` pairs are just
+      both sides), which merges into the stored row arithmetically.
+      The BASE TABLE IS NEVER RE-READ — per-step cost is the feed
+      (proportional to the commit, not the table) plus the view's
+      affected partitions. This is the 100 TB path: a commit that
+      touched 10⁴ of 10¹⁰ rows costs 10⁴ however large the corpus.
+      The view carries internal columns — ``__rows`` (live row count,
+      the group-liveness authority: a group whose count reaches zero
+      is DELETED from the view) and ``__nn_<out>`` per sum (non-null
+      contributor count, so a sum correctly reverts to SQL NULL when
+      its last non-null row is deleted). Project them away on read.
+    - **recompute** (any ``min``/``max``/``avg``/``count_distinct``):
+      deltas can't unwind these, so each step re-aggregates ONLY the
+      groups the feed touched, reading the base table pinned at that
+      step's version filtered to those keys (semi join — partition /
+      zone-map prunable when ``group_by`` leads the table's layout);
+      groups with no surviving rows are deleted from the view.
+      Cost per step is the touched groups' rows, not the table.
+
+    Either way the step lands as ONE :func:`snapshot_apply_changes`
+    commit carrying a ``source_batch`` replay marker, so a crash
+    between the view commit and the sync marker re-runs the step as
+    a no-op — exactly-once without coordination. Compact commits on
+    the base table are skipped without being read. Returns
+    ``{from_version, to_version, steps}``."""
+    from ..sources.snapshots import (
+        latest_version, read_snapshot, snapshot_apply_changes,
+    )
+    if not group_by:
+        raise ValueError("group_by must name at least one column")
+    if not measures:
+        raise ValueError("measures must define at least one output")
+    for out, (op, col) in measures.items():
+        if op not in _ADDITIVE_OPS | _RECOMPUTE_OPS:
+            raise ValueError(
+                f"measure {out!r}: unknown op {op!r}; expected one "
+                f"of {sorted(_ADDITIVE_OPS | _RECOMPUTE_OPS)}")
+        if col is None and op != "count":
+            raise ValueError(
+                f"measure {out!r}: op {op!r} needs a source column")
+        if out in group_by or out.startswith("__"):
+            raise ValueError(
+                f"measure {out!r}: output must not collide with "
+                f"group_by or the internal __ prefix")
+    view_parts = list(view_partition_cols or [])
+    if not set(view_parts) <= set(group_by):
+        raise ValueError(
+            f"view_partition_cols {view_parts} must be a subset of "
+            f"group_by {group_by}")
+    additive = all(op in _ADDITIVE_OPS for op, _ in measures.values())
+    need = list(dict.fromkeys(
+        group_by + [c for _, c in measures.values() if c is not None]))
+    marker = f"aggregate_sync:{table_path}"
+
+    def _apply_additive(ch: DataFrame, v: int) -> None:
+        w = (F.when(F.col("_change_type").isin("insert", "update_post"),
+                    F.lit(1)).otherwise(F.lit(-1)))
+        aggs = [F.sum(w).alias("__rows")]
+        for out, (op, col) in measures.items():
+            if op == "count":
+                aggs.append(F.sum(
+                    w if col is None else
+                    F.when(F.col(col).isNotNull(), w).otherwise(0)
+                ).alias(out))
+            else:                                  # sum
+                aggs.append(F.sum(F.col(col) * w).alias(out))
+                aggs.append(F.sum(
+                    F.when(F.col(col).isNotNull(), w).otherwise(0)
+                ).alias(f"__nn_{out}"))
+        delta = ch.groupBy(*group_by).agg(*aggs).persist()
+        # the delta's schema IS the view's stored schema (same names,
+        # same aggregate types), so a missing view is just an empty
+        # old side — one join path covers first step and steady state
+        if latest_version(spark, view_path) is not None:
+            old = read_snapshot(spark, view_path)
+            if view_parts:
+                # confine the merge read to the partitions this step
+                # touches: the partition values come out of the delta
+                # (bounded by touched groups) and Catalyst prunes the
+                # hive directories, so the old side reads O(affected
+                # partitions) however wide the view has grown
+                touched = delta.select(*view_parts).distinct().collect()
+                for c in view_parts:
+                    old = old.where(
+                        F.col(c).isin([r[c] for r in touched]))
+        else:
+            old = spark.createDataFrame([], delta.schema)
+        j = delta.alias("d").join(old.alias("o"), group_by, "left")
+
+        def d(c):  # delta side
+            return F.col(f"d.{c}")
+
+        def o(c):  # old (stored) side
+            return F.col(f"o.{c}")
+        rows_new = F.coalesce(o("__rows"), F.lit(0)) + d("__rows")
+        sel = [F.col(c) for c in group_by]
+        for out, (op, col) in measures.items():
+            if op == "count":
+                sel.append((F.coalesce(o(out), F.lit(0))
+                            + d(out)).alias(out))
+            else:
+                nn_new = (F.coalesce(o(f"__nn_{out}"), F.lit(0))
+                          + d(f"__nn_{out}"))
+                raw = (F.coalesce(o(out), F.lit(0))
+                       + F.coalesce(d(out), F.lit(0)))
+                sel.append(F.when(nn_new > 0, raw).alias(out))
+                sel.append(nn_new.alias(f"__nn_{out}"))
+        sel.append(rows_new.alias("__rows"))
+        sel.append(F.when(rows_new <= 0, F.lit("delete"))
+                   .otherwise(F.lit("upsert")).alias("_op"))
+        try:
+            snapshot_apply_changes(
+                spark, view_path, j.select(*sel), group_by,
+                partition_cols=view_parts,
+                source_batch=(marker, v))
+        finally:
+            delta.unpersist()
+
+    def _apply_recompute(ch: DataFrame, v: int) -> None:
+        aff = ch.select(*group_by).distinct()
+        base = (read_snapshot(spark, table_path, v)
+                .select(*need)
+                .join(aff, group_by, "left_semi"))
+        aggs = []
+        for out, (op, col) in measures.items():
+            fn = {"count": (lambda c: F.count("*") if c is None
+                            else F.count(F.col(c))),
+                  "sum": lambda c: F.sum(c),
+                  "min": lambda c: F.min(c),
+                  "max": lambda c: F.max(c),
+                  "avg": lambda c: F.avg(c),
+                  "count_distinct": lambda c: F.count_distinct(
+                      F.col(c))}[op]
+            aggs.append(fn(col).alias(out))
+        rec = base.groupBy(*group_by).agg(*aggs)
+        ups = rec.withColumn("_op", F.lit("upsert"))
+        gone = aff.join(rec, group_by, "left_anti")
+        for out in measures:
+            gone = gone.withColumn(
+                out, F.lit(None).cast(rec.schema[out].dataType))
+        snapshot_apply_changes(
+            spark, view_path,
+            ups.unionByName(gone.withColumn("_op", F.lit("delete"))),
+            group_by, partition_cols=view_parts,
+            source_batch=(marker, v))
+
+    # key_cols=None: the pure insert/delete multiset diff is exactly
+    # the additive ±1 weighting (update pairing would only relabel
+    # rows at the cost of an extra join), and the recompute path only
+    # needs the touched key set
+    return snapshot_follow(
+        spark, table_path, state_path=view_path,
+        apply=_apply_additive if additive else _apply_recompute,
+        columns=need)

@@ -1,0 +1,329 @@
+"""Atomic CDC changeset apply + incrementally-maintained aggregate
+views: one-commit MERGE semantics, replay-marker exactly-once, and
+the IVM contract — after a sync the view equals a from-scratch
+groupBy, while the additive path provably never re-reads the base
+table."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+    latest_version, read_snapshot, snapshot_append,
+    snapshot_apply_changes, snapshot_compact, snapshot_delete,
+    snapshot_history, snapshot_upsert, snapshot_write,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+    aggregate_sync_snapshot,
+)
+
+SCHEMA = "id long, day string, val string"
+CH_SCHEMA = SCHEMA + ", _op string"
+
+
+def _rows(spark, path):
+    return {(r["id"], r["day"], r["val"]) for r in
+            read_snapshot(spark, path).collect()}
+
+
+def _base(spark, path):
+    return snapshot_write(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")], SCHEMA),
+        partition_cols=["day"])
+
+
+# ---------------------------------------------------------------- #
+# snapshot_apply_changes                                            #
+# ---------------------------------------------------------------- #
+
+def test_apply_changes_mixed_changeset_is_one_commit(spark, tmp_path):
+    """Upserts and deletes land together in ONE version, and the
+    result equals the sequential upsert-then-delete composition."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _base(spark, a)
+    _base(spark, b)
+    ch = spark.createDataFrame(
+        [(2, "d1", "B", "upsert"), (4, "d2", "d", "upsert"),
+         (3, "d2", None, "delete")], CH_SCHEMA)
+    v = snapshot_apply_changes(spark, a, ch, ["id"],
+                               partition_cols=["day"])
+    assert v == 1 and latest_version(spark, a) == 1
+    assert snapshot_history(spark, a)[-1]["operation"] \
+        == "apply_changes"
+    snapshot_upsert(spark, b, spark.createDataFrame(
+        [(2, "d1", "B"), (4, "d2", "d")], SCHEMA), ["id"],
+        partition_cols=["day"])
+    snapshot_delete(spark, b, spark.createDataFrame([(3,)], "id long"),
+                    ["id"], partition_cols=["day"])
+    assert _rows(spark, a) == _rows(spark, b) \
+        == {(1, "d1", "a"), (2, "d1", "B"), (4, "d2", "d")}
+
+
+def test_apply_changes_replay_marker_is_exactly_once(spark, tmp_path):
+    """A replayed source_batch is a version-preserving no-op — the
+    whole changeset is covered by one marker riding the commit."""
+    path = str(tmp_path / "tbl")
+    # create-from-changeset records the marker too
+    ch0 = spark.createDataFrame([(1, "d1", "a", "upsert")], CH_SCHEMA)
+    assert snapshot_apply_changes(
+        spark, path, ch0, ["id"], partition_cols=["day"],
+        source_batch=("cdc", 0)) == 0
+    ch1 = spark.createDataFrame(
+        [(1, "d1", None, "delete"), (2, "d1", "b", "upsert")],
+        CH_SCHEMA)
+    v = snapshot_apply_changes(spark, path, ch1, ["id"],
+                               partition_cols=["day"],
+                               source_batch=("cdc", 1))
+    before = _rows(spark, path)
+    for replayed in (0, 1):
+        assert snapshot_apply_changes(
+            spark, path, ch1, ["id"], partition_cols=["day"],
+            source_batch=("cdc", replayed)) == v
+    assert latest_version(spark, path) == v
+    assert _rows(spark, path) == before == {(2, "d1", "b")}
+
+
+def test_apply_changes_untouched_partitions_carry_by_reference(
+        spark, tmp_path):
+    """A changeset confined to one partition leaves the other
+    partitions' data FILES untouched (same physical paths), so the
+    commit cost is O(affected partitions)."""
+    path = str(tmp_path / "tbl")
+    rows = [(i, f"d{i % 8}", f"v{i}") for i in range(80)]
+    snapshot_write(spark, path, spark.createDataFrame(rows, SCHEMA),
+                   partition_cols=["day"])
+    before = {f for f in read_snapshot(spark, path).inputFiles()
+              if "day=d0" not in f}
+    snapshot_apply_changes(
+        spark, path,
+        spark.createDataFrame([(0, "d0", "NEW", "upsert"),
+                               (8, "d0", None, "delete")], CH_SCHEMA),
+        ["id"], partition_cols=["day"])
+    after = {f for f in read_snapshot(spark, path).inputFiles()
+             if "day=d0" not in f}
+    assert before == after
+    got = {r["id"]: r["val"] for r in
+           read_snapshot(spark, path).where("day = 'd0'").collect()}
+    assert got[0] == "NEW" and 8 not in got
+
+
+def test_apply_changes_contracts(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _base(spark, path)
+    with pytest.raises(ValueError, match="unknown '_op'"):
+        snapshot_apply_changes(
+            spark, path,
+            spark.createDataFrame([(9, "d1", "x", "del")], CH_SCHEMA),
+            ["id"], partition_cols=["day"])
+    with pytest.raises(ValueError, match="partition_cols"):
+        snapshot_apply_changes(
+            spark, path,
+            spark.createDataFrame([(9, "d1", "x", "upsert")],
+                                  CH_SCHEMA),
+            ["id"], partition_cols=["val"])
+    # empty changeset: current version, no commit
+    empty = spark.createDataFrame([], CH_SCHEMA)
+    assert snapshot_apply_changes(
+        spark, path, empty, ["id"], partition_cols=["day"]) \
+        == latest_version(spark, path) == 0
+    # deletes can't create a table
+    with pytest.raises(FileNotFoundError, match="no upsert rows"):
+        snapshot_apply_changes(
+            spark, str(tmp_path / "nope"),
+            spark.createDataFrame([(1, "d1", None, "delete")],
+                                  CH_SCHEMA),
+            ["id"], partition_cols=["day"])
+
+
+# ---------------------------------------------------------------- #
+# aggregate_sync_snapshot                                           #
+# ---------------------------------------------------------------- #
+
+MEAS = {"n": ("count", None), "nn": ("count", "val"),
+        "s": ("sum", "val")}
+AGG_SCHEMA = "id long, g string, p string, val double"
+
+
+def _full(df):
+    return {(r["g"], r["p"]): (r["n"], r["nn"], r["s"]) for r in
+            df.groupBy("g", "p").agg(
+                F.count("*").alias("n"), F.count("val").alias("nn"),
+                F.sum("val").alias("s")).collect()}
+
+
+def _view(spark, vp):
+    return {(r["g"], r["p"]): (r["n"], r["nn"], r["s"]) for r in
+            read_snapshot(spark, vp).collect()}
+
+
+def _assert_match(got, want):
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert (a is None) == (b is None), (k, got[k], want[k])
+            if a is not None:
+                assert math.isclose(a, b, rel_tol=1e-12), \
+                    (k, got[k], want[k])
+
+
+def test_additive_view_tracks_every_commit_kind(spark, tmp_path):
+    """After each sync the view equals a from-scratch groupBy:
+    through append, upsert, delete (groups vanishing when their last
+    row goes), a sum reverting to NULL when its last non-null
+    contributor is deleted, and a compact commit (skipped unread)."""
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    rows = [(i, f"g{i % 3}", f"p{i % 2}",
+             float(i) if i % 5 else None) for i in range(40)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    out = aggregate_sync_snapshot(spark, tbl, vw,
+                                  group_by=["g", "p"], measures=MEAS,
+                                  view_partition_cols=["p"])
+    assert out["steps"] == 1
+    _assert_match(_view(spark, vw), _full(read_snapshot(spark, tbl)))
+
+    # multi-commit catch-up in one call
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(100, "g0", "p0", 7.0), (101, "g9", "p1", None)],
+        AGG_SCHEMA))
+    snapshot_upsert(spark, tbl, spark.createDataFrame(
+        [(0, "g0", "p0", 55.0)], AGG_SCHEMA), ["id"],
+        partition_cols=["p"])
+    # deleting ids 1..39 wipes most groups entirely and leaves g9/p1
+    # with a single NULL contributor (its sum must read NULL)
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame([(i,) for i in range(1, 40)],
+                                          "id long"),
+                    ["id"], partition_cols=["p"])
+    snapshot_compact(spark, tbl, target_file_bytes=1 << 30)
+    out = aggregate_sync_snapshot(spark, tbl, vw,
+                                  group_by=["g", "p"], measures=MEAS,
+                                  view_partition_cols=["p"])
+    assert out["steps"] == 3          # compact skipped, not a step
+    want = _full(read_snapshot(spark, tbl))
+    _assert_match(_view(spark, vw), want)
+    assert want[("g9", "p1")] == (1, 0, None)   # NULL-sum group
+    assert ("g1", "p0") not in want             # vanished group
+
+
+def test_additive_sync_never_rereads_the_base_table(spark, tmp_path):
+    """The 100 TB contract, proven destructively: after the initial
+    load, the base table's OLD data files are physically deleted —
+    and the sync still applies the next commit, because the additive
+    path reads only the change feed (the commit's own files) and the
+    view."""
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    rows = [(i, f"g{i % 3}", "p0", float(i)) for i in range(30)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=MEAS)
+    want = _full(read_snapshot(spark, tbl)
+                 .unionByName(spark.createDataFrame(
+                     [(200, "g0", "p0", 9.0)], AGG_SCHEMA)))
+    old_files = set(read_snapshot(spark, tbl).inputFiles())
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(200, "g0", "p0", 9.0)], AGG_SCHEMA))
+    for f in old_files:
+        os.remove(f.removeprefix("file:"))
+    out = aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                                  measures=MEAS)
+    assert out["steps"] == 1
+    got = {r["g"]: (r["n"], r["nn"], r["s"]) for r in
+           read_snapshot(spark, vw).collect()}
+    assert got == {g: v for (g, _), v in want.items()}
+
+
+def test_additive_crash_replay_is_version_preserving(spark, tmp_path):
+    """Crash between the view commit and the sync marker: the re-run
+    step no-ops on the replay marker — same view version, same
+    values, no double-applied delta."""
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    rows = [(i, f"g{i % 3}", f"p{i % 2}", float(i)) for i in range(30)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g", "p"],
+                            measures=MEAS, view_partition_cols=["p"])
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame([(i,) for i in range(5)],
+                                          "id long"),
+                    ["id"], partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g", "p"],
+                            measures=MEAS, view_partition_cols=["p"])
+    state, head = _view(spark, vw), latest_version(spark, vw)
+    # simulate the crash: the delete step's marker never landed
+    os.remove(sorted(glob.glob(f"{vw}/_snapshot_sync/*"))[-1])
+    out = aggregate_sync_snapshot(spark, tbl, vw,
+                                  group_by=["g", "p"], measures=MEAS,
+                                  view_partition_cols=["p"])
+    assert out["steps"] == 1          # the step re-ran...
+    assert latest_version(spark, vw) == head    # ...as a no-op
+    _assert_match(_view(spark, vw), state)
+
+
+def test_recompute_path_handles_nonadditive_measures(spark, tmp_path):
+    """min/max/avg/count_distinct can't unwind deletes — the sync
+    re-aggregates only the touched groups and still matches a full
+    recompute, including a group vanishing."""
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    meas = {"mn": ("min", "val"), "mx": ("max", "val"),
+            "av": ("avg", "val"), "cd": ("count_distinct", "g")}
+    rows = [(i, f"g{i % 4}", f"p{i % 2}", float(i % 7)) for i in
+            range(40)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["p"],
+                            measures=meas)
+
+    def check():
+        want = {r["p"]: (r["mn"], r["mx"], r["av"], r["cd"]) for r in
+                read_snapshot(spark, tbl).groupBy("p").agg(
+                    F.min("val").alias("mn"), F.max("val").alias("mx"),
+                    F.avg("val").alias("av"),
+                    F.count_distinct("g").alias("cd")).collect()}
+        got = {r["p"]: (r["mn"], r["mx"], r["av"], r["cd"]) for r in
+               read_snapshot(spark, vw).collect()}
+        assert got == want, (got, want)
+        return want
+
+    check()
+    # delete the current max contributors + every p1 row
+    doomed = [(i,) for i in range(40) if i % 7 == 6 or i % 2 == 1]
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame(doomed, "id long"),
+                    ["id"], partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["p"],
+                            measures=meas)
+    want = check()
+    assert "p1" not in want           # group vanished from the view
+
+
+def test_measure_spec_validation(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    snapshot_write(spark, tbl, spark.createDataFrame(
+        [(1, "g", "p", 1.0)], AGG_SCHEMA), partition_cols=["p"])
+    bad = [({"x": ("median", "val")}, "unknown op"),
+           ({"x": ("sum", None)}, "needs a source column"),
+           ({"g": ("count", None)}, "collide"),
+           ({"__x": ("count", None)}, "collide"),
+           ({}, "at least one")]
+    for meas, msg in bad:
+        with pytest.raises(ValueError, match=msg):
+            aggregate_sync_snapshot(spark, tbl, str(tmp_path / "v"),
+                                    group_by=["g"], measures=meas)
+    with pytest.raises(ValueError, match="subset"):
+        aggregate_sync_snapshot(spark, tbl, str(tmp_path / "v"),
+                                group_by=["g"],
+                                measures={"n": ("count", None)},
+                                view_partition_cols=["p"])
