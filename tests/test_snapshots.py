@@ -1495,7 +1495,7 @@ def test_snapshot_history_and_as_of_time_travel(spark, tmp_path,
     assert ids(read_snapshot(spark, path, as_of=iso)) == {0, 1}
     with pytest.raises(FileNotFoundError, match="existed at or"):
         read_snapshot(spark, path, as_of=10)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         read_snapshot(spark, path, 1, as_of=2500)
     # as_of composes with zone-map routing
     got = read_snapshot(spark, path, as_of=2500, where="id >= 1")
