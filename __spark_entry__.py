@@ -930,7 +930,19 @@ def q_distinct_agg(spark, sf_dir):
     documented 3σ envelope (lg_k=14 → RSE 0.8%, bound 2.5%) of the
     exact count, asserted as a literal-true boolean the oracle
     reproduces — the same sketch-gating shape as q_percentiles'
-    percentile_approx envelope."""
+    percentile_approx envelope.
+
+    r8 fold: an ``ivm`` branch runs the incrementally-maintained
+    aggregate view end to end (streaming/ingest.py
+    aggregate_sync_snapshot over sources/snapshots.py
+    snapshot_apply_changes): a deterministic orders subset becomes a
+    snapshot table, the view syncs from its change feed, a keyed
+    DELETE commit lands, and the view syncs AGAIN — so the oracle
+    checks the INCREMENTAL delta math (count down, sum down, base
+    table never re-read), not just a one-shot groupBy. The final
+    view must equal the plain SQL aggregate with the delete folded
+    into the WHERE. Measures are integer-exact (count + sum of
+    o_custkey), so the hash match is bit-for-bit."""
     orders = _t("orders")(spark, sf_dir)
     exact = (orders.groupBy("o_orderstatus")
              .agg(F.countDistinct("o_custkey").alias("n_custs"),
@@ -938,16 +950,75 @@ def q_distinct_agg(spark, sf_dir):
     fine = distinct_sketch(orders, ["o_orderstatus", "o_orderpriority"],
                            "o_custkey")
     est = rollup_distinct(fine, ["o_orderstatus"])
-    return (exact.join(est, "o_orderstatus")
-            .select("o_orderstatus", "n_custs", "n_orders",
-                    (F.abs(F.col("approx_distinct") - F.col("n_custs"))
-                     <= 0.025 * F.col("n_custs")).alias("sketch_ok")))
+    hll = (exact.join(est, "o_orderstatus")
+           .select(F.lit("hll").alias("kind"), "o_orderstatus",
+                   "n_custs", "n_orders",
+                   (F.abs(F.col("approx_distinct") - F.col("n_custs"))
+                    <= 0.025 * F.col("n_custs")).alias("sketch_ok"),
+                   F.lit(None).cast("bigint").alias("n_live"),
+                   F.lit(None).cast("bigint").alias("cust_sum")))
+
+    import shutil
+    import tempfile
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot, snapshot_delete, snapshot_write,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    scratch = tempfile.mkdtemp(prefix="q_ivm_")
+    tbl, vw = f"{scratch}/t", f"{scratch}/v"
+    try:
+        sub = (orders.where(F.col("o_custkey") % 20 == 7)
+               .select("o_orderkey", "o_orderstatus", "o_custkey"))
+        snapshot_write(spark, tbl, sub,
+                       partition_cols=["o_orderstatus"])
+        meas = {"n_live": ("count", None),
+                "cust_sum": ("sum", "o_custkey")}
+        aggregate_sync_snapshot(spark, tbl, vw,
+                                group_by=["o_orderstatus"],
+                                measures=meas)
+        snapshot_delete(
+            spark, tbl,
+            sub.where(F.col("o_orderkey") % 10 == 3)
+               .select("o_orderkey"),
+            ["o_orderkey"], partition_cols=["o_orderstatus"])
+        aggregate_sync_snapshot(spark, tbl, vw,
+                                group_by=["o_orderstatus"],
+                                measures=meas)
+        # bounded collect (one row per order status) so the scratch
+        # table can be removed before the driver collects the union
+        rows = [(r["o_orderstatus"], r["n_live"], r["cust_sum"])
+                for r in read_snapshot(spark, vw)
+                .select("o_orderstatus", "n_live", "cust_sum")
+                .collect()]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    ivm = (spark.createDataFrame(
+        rows, "o_orderstatus string, n_live bigint, cust_sum bigint")
+        .select(F.lit("ivm").alias("kind"), "o_orderstatus",
+                F.lit(None).cast("bigint").alias("n_custs"),
+                F.lit(None).cast("bigint").alias("n_orders"),
+                F.lit(None).cast("boolean").alias("sketch_ok"),
+                "n_live", "cust_sum"))
+    return hll.unionByName(ivm)
 
 
 Q_DISTINCT_SQL = """
-select o_orderstatus, count(distinct o_custkey) as n_custs,
-  count(*) as n_orders, true as sketch_ok
+select 'hll' as kind, o_orderstatus,
+  count(distinct o_custkey) as n_custs,
+  count(*) as n_orders, true as sketch_ok,
+  cast(null as bigint) as n_live, cast(null as bigint) as cust_sum
 from orders group by o_orderstatus
+union all
+select 'ivm' as kind, o_orderstatus,
+  cast(null as bigint) as n_custs, cast(null as bigint) as n_orders,
+  cast(null as boolean) as sketch_ok,
+  count(*) as n_live, cast(sum(o_custkey) as bigint) as cust_sum
+from orders
+where o_custkey % 20 = 7 and not (o_orderkey % 10 = 3)
+group by o_orderstatus
 """
 
 
