@@ -45,7 +45,7 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      bm25_compact_deletes, read_bm25_tombstones,
                      bm25_sync_snapshot, ivf_sync_snapshot,
                      minhash_sync_snapshot, snapshot_follow,
-                     aggregate_sync_snapshot,
+                     aggregate_sync_snapshot, snapshot_replicate,
                      ivf_append_batch, ivf_append_stream,
                      ivf_delete_batch, ivf_delete_stream,
                      ivf_compact_deletes,

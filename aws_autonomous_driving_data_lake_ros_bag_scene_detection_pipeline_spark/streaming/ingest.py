@@ -1647,3 +1647,56 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
         spark, table_path, state_path=view_path,
         apply=_apply_additive if additive else _apply_recompute,
         columns=need)
+
+
+def snapshot_replicate(spark, src_path: str, dst_path: str, *,
+                       keys: list[str],
+                       partition_cols: list[str] | None = None,
+                       columns: list[str] | None = None) -> dict:
+    """Exactly-once incremental table mirroring: catch ``dst_path``
+    up with ``src_path`` by replaying the source's CHANGE FEED, one
+    destination commit per source commit — cost proportional to the
+    churn, never a full copy after the initial load. Because the
+    replica is rebuilt from row-level changes (not file copies), the
+    destination chooses its OWN layout: ``partition_cols`` may
+    differ from the source's (repartition-on-replicate), and
+    ``columns`` mirrors a projection (the feed scans only those
+    columns' bytes). ``keys`` identify rows across commits — the
+    source must be key-unique, which every upsert/delete-maintained
+    table is.
+
+    Each step lands as ONE :func:`~..sources.snapshots.
+    snapshot_apply_changes` commit carrying the source version as a
+    replay marker, so crash-and-rerun never double-applies, and the
+    replica's own history stays linear and auditable (one commit per
+    source commit, skipping compactions). Returns
+    ``{from_version, to_version, steps}``."""
+    from ..sources.snapshots import (
+        _load_manifest, latest_version, snapshot_apply_changes,
+    )
+    if partition_cols is None:
+        head = latest_version(spark, src_path)
+        if head is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {src_path}")
+        partition_cols = _load_manifest(spark, src_path,
+                                        head)["partition_cols"]
+        if columns is not None:
+            partition_cols = [c for c in partition_cols
+                              if c in columns]
+
+    def _apply(ch: DataFrame, v: int) -> None:
+        snapshot_apply_changes(
+            spark, dst_path,
+            ch.withColumn(
+                "_op",
+                F.when(F.col("_change_type")
+                       .isin("insert", "update_post"),
+                       F.lit("upsert")).otherwise(F.lit("delete")))
+            .drop("_change_type"),
+            keys, partition_cols=partition_cols,
+            source_batch=(f"replicate:{src_path}", v))
+
+    return snapshot_follow(spark, src_path, state_path=dst_path,
+                           apply=_apply, key_cols=keys,
+                           columns=columns)
