@@ -969,11 +969,20 @@ def q_distinct_agg(spark, sf_dir):
     )
     scratch = tempfile.mkdtemp(prefix="q_ivm_")
     tbl, vw = f"{scratch}/t", f"{scratch}/v"
+    # the branch's frames are the ~5% orders subset and a 3-row view:
+    # at 32 shuffle partitions every sync stage is pure task-launch
+    # overhead, so scope the setting down like q_stream_dedup does
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        # unpartitioned scratch table: the branch's cost is commit
+        # PROTOCOL overhead (write/rename/manifest jobs), flat across
+        # SF — one directory keeps the job count minimal while the
+        # delta math still runs over the sf-scaled subset
         sub = (orders.where(F.col("o_custkey") % 20 == 7)
-               .select("o_orderkey", "o_orderstatus", "o_custkey"))
-        snapshot_write(spark, tbl, sub,
-                       partition_cols=["o_orderstatus"])
+               .select("o_orderkey", "o_orderstatus", "o_custkey")
+               .coalesce(1))
+        snapshot_write(spark, tbl, sub, partition_cols=[])
         meas = {"n_live": ("count", None),
                 "cust_sum": ("sum", "o_custkey")}
         aggregate_sync_snapshot(spark, tbl, vw,
@@ -983,7 +992,7 @@ def q_distinct_agg(spark, sf_dir):
             spark, tbl,
             sub.where(F.col("o_orderkey") % 10 == 3)
                .select("o_orderkey"),
-            ["o_orderkey"], partition_cols=["o_orderstatus"])
+            ["o_orderkey"], partition_cols=[])
         aggregate_sync_snapshot(spark, tbl, vw,
                                 group_by=["o_orderstatus"],
                                 measures=meas)
@@ -994,6 +1003,7 @@ def q_distinct_agg(spark, sf_dir):
                 .select("o_orderstatus", "n_live", "cust_sum")
                 .collect()]
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         shutil.rmtree(scratch, ignore_errors=True)
     ivm = (spark.createDataFrame(
         rows, "o_orderstatus string, n_live bigint, cust_sum bigint")
