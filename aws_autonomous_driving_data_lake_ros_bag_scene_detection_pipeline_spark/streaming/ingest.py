@@ -1700,3 +1700,126 @@ def snapshot_replicate(spark, src_path: str, dst_path: str, *,
     return snapshot_follow(spark, src_path, state_path=dst_path,
                            apply=_apply, key_cols=keys,
                            columns=columns)
+
+
+def join_sync_snapshot(spark, left_path: str, right_path: str,
+                       view_path: str, *, on: list[str],
+                       left_keys: list[str], right_keys: list[str],
+                       view_partition_cols: list[str] | None
+                       = None) -> dict:
+    """Incrementally-maintained JOIN view: keep ``view_path`` equal
+    to the inner equi-join of two snapshot tables without re-joining
+    them — the join member of the IVM family
+    (:func:`aggregate_sync_snapshot` is the aggregate member). After
+    a sync, ``read_snapshot(view_path)`` equals
+    ``left.join(right, on)`` recomputed from scratch.
+
+    Maintenance is the classic sequential delta bracket::
+
+        J(L₁,R₁) = J(L₀,R₀)  +  ΔL ⋈ R@R₀  +  L@L₁ ⋈ ΔR
+
+    the LEFT table's commits are applied first, each delta joined
+    against the right table PINNED at its last-synced version; then
+    the right table's commits, joined against the left table pinned
+    at its NEW head — so the ΔL⋈ΔR cross-term lands exactly once.
+    Per-step cost is the commit's change feed joined against the
+    other table (broadcastable when the delta is small; keep the
+    other table zone-mapped/partitioned on the join columns so the
+    scan prunes) plus the view's affected partitions — never
+    |L|×|R|.
+
+    Both tables must be key-unique (``left_keys`` / ``right_keys``
+    — what their own upsert/delete maintenance already enforces);
+    the view is keyed by their union, so a row's matches revise
+    correctly when an update changes its join values (the update's
+    delete half removes every old pairing via the view itself, the
+    insert half re-joins). Non-key column names must not collide
+    across the tables except the ``on`` columns themselves.
+
+    Each side's step lands as ONE
+    :func:`~..sources.snapshots.snapshot_apply_changes` commit with
+    a per-side replay marker, and each side records follower state
+    under its own directory (``_sync_left`` / ``_sync_right``), so
+    a crash anywhere re-runs exactly one idempotent step. The view
+    is created EMPTY up front (schema pinned), so a join that starts
+    with zero matches is still a readable table. Version pins mean
+    the tables' :func:`snapshot_prune` retention must cover the sync
+    lag. Returns ``{left: {...}, right: {...}}`` with each side's
+    ``from_version/to_version/steps``."""
+    from ..sources.snapshots import (
+        latest_version, read_snapshot, snapshot_apply_changes,
+        snapshot_write,
+    )
+    lcols = read_snapshot(spark, left_path).columns
+    rcols = read_snapshot(spark, right_path).columns
+    for name, need, have in (("on", on, lcols), ("on", on, rcols),
+                             ("left_keys", left_keys, lcols),
+                             ("right_keys", right_keys, rcols)):
+        missing = [c for c in need if c not in have]
+        if missing:
+            raise ValueError(f"{name} columns {missing} not present "
+                             f"in the table")
+    clash = (set(lcols) - set(on)) & (set(rcols) - set(on))
+    if clash:
+        raise ValueError(
+            f"non-join columns {sorted(clash)} exist on both sides; "
+            f"rename one side before maintaining a joined view")
+    keys = list(dict.fromkeys(left_keys + right_keys))
+    view_parts = list(view_partition_cols or [])
+    sl, sr = f"{view_path}/_sync_left", f"{view_path}/_sync_right"
+
+    r_synced = _synced_version(spark, sr)
+    l_synced = _synced_version(spark, sl)
+    if r_synced is None:
+        if l_synced is not None:
+            raise ValueError(
+                f"join view at {view_path} has left follower state "
+                f"but no right pin — state was partially removed; "
+                f"rebuild the view")
+        r_head = latest_version(spark, right_path)
+        if r_head is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {right_path}")
+        _mark_synced(spark, sr, r_head)
+        r_synced = r_head
+    if latest_version(spark, view_path) is None:
+        empty = (read_snapshot(spark, left_path).limit(0)
+                 .join(read_snapshot(spark, right_path).limit(0), on))
+        snapshot_write(spark, view_path, empty,
+                       partition_cols=view_parts)
+
+    def _apply_side(side: str, table_path: str, other_path: str,
+                    side_keys: list[str], other_state: str):
+        def _apply(ch: DataFrame, v: int) -> None:
+            pin = _synced_version(spark, other_state)
+            other = read_snapshot(spark, other_path, pin)
+            ins = (ch.where(F.col("_change_type")
+                            .isin("insert", "update_post"))
+                   .drop("_change_type"))
+            ups = (ins.join(other, on).withColumn("_op",
+                                                  F.lit("upsert")))
+            view = read_snapshot(spark, view_path)
+            del_keys = (ch.where(F.col("_change_type")
+                                 .isin("delete", "update_pre"))
+                        .select(*side_keys).distinct())
+            dels = (view.join(del_keys, side_keys, "left_semi")
+                    .withColumn("_op", F.lit("delete")))
+            snapshot_apply_changes(
+                spark, view_path,
+                ups.select(*view.columns, "_op")
+                   .unionByName(dels.select(*view.columns, "_op")),
+                keys, partition_cols=view_parts,
+                source_batch=(f"join_sync:{side}:{table_path}", v))
+        return _apply
+
+    out_l = snapshot_follow(
+        spark, left_path, state_path=sl,
+        apply=_apply_side("left", left_path, right_path, left_keys,
+                          sr),
+        key_cols=left_keys)
+    out_r = snapshot_follow(
+        spark, right_path, state_path=sr,
+        apply=_apply_side("right", right_path, left_path, right_keys,
+                          sl),
+        key_cols=right_keys)
+    return {"left": out_l, "right": out_r}

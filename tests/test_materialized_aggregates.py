@@ -408,3 +408,119 @@ def test_replicate_projected_columns(spark, tmp_path):
     assert latest_version(spark, dst) == head
     assert _content(spark, dst, ("id", "day")) == {(1, "d1"),
                                                    (2, "d2")}
+
+
+# ---------------------------------------------------------------- #
+# join_sync_snapshot                                                #
+# ---------------------------------------------------------------- #
+
+L_SCHEMA = "ck long, seg string, lp string"          # dim side
+R_SCHEMA = "ok long, ck long, amt long, rp string"   # fact side
+
+
+def _join_view(spark, vw):
+    return {(r["ck"], r["ok"]): (r["seg"], r["amt"]) for r in
+            read_snapshot(spark, vw).collect()}
+
+
+def _join_full(spark, lt, rt):
+    return {(r["ck"], r["ok"]): (r["seg"], r["amt"]) for r in
+            read_snapshot(spark, lt)
+            .join(read_snapshot(spark, rt), "ck").collect()}
+
+
+def test_join_view_tracks_both_sides(spark, tmp_path):
+    """The view equals a from-scratch inner join through commits on
+    EITHER side: right appends (matched and dangling), a left
+    attribute update fanning out to every pairing, a right row
+    re-keyed to another left key, and a left delete erasing its
+    pairings."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a"), (2, "base", "a"), (3, "gold", "b")],
+        L_SCHEMA), partition_cols=["lp"])
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, 100, "x"), (11, 1, 110, "x"), (12, 2, 120, "y"),
+         (13, 9, 999, "y")],                     # 13 dangles (ck=9)
+        R_SCHEMA), partition_cols=["rp"])
+    kw = dict(on=["ck"], left_keys=["ck"], right_keys=["ok"])
+    out = join_sync_snapshot(spark, lt, rt, vw, **kw)
+    assert out["left"]["steps"] == 1 and out["right"]["steps"] == 0
+    assert _join_view(spark, vw) == _join_full(spark, lt, rt) == {
+        (1, 10): ("gold", 100), (1, 11): ("gold", 110),
+        (2, 12): ("base", 120)}
+
+    # right append: one matching, one dangling
+    snapshot_append(spark, rt, spark.createDataFrame(
+        [(14, 3, 140, "x"), (15, 8, 150, "y")], R_SCHEMA))
+    # left attribute update fans out to ck=1's two pairings
+    snapshot_upsert(spark, lt, spark.createDataFrame(
+        [(1, "plat", "a")], L_SCHEMA), ["ck"], partition_cols=["lp"])
+    # right re-key: order 12 moves from ck=2 to ck=3
+    snapshot_upsert(spark, rt, spark.createDataFrame(
+        [(12, 3, 120, "y")], R_SCHEMA), ["ok"], partition_cols=["rp"])
+    # left delete: ck=3 and both its pairings must go
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    assert _join_view(spark, vw) == _join_full(spark, lt, rt)
+    snapshot_delete(spark, lt, spark.createDataFrame([(3,)],
+                                                     "ck long"),
+                    ["ck"], partition_cols=["lp"])
+    out = join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = _join_view(spark, vw)
+    assert got == _join_full(spark, lt, rt)
+    assert (1, 10) in got and got[(1, 10)] == ("plat", 100)
+    assert all(ck != 3 for ck, _ in got)
+
+
+def test_join_view_zero_match_start_and_replay(spark, tmp_path):
+    """A join that starts with zero matches still creates a readable
+    (empty) view; matches appear when either side catches up; a
+    crash-lost follower marker replays as a version-preserving
+    no-op."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a")], L_SCHEMA), partition_cols=["lp"])
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 99, 100, "x")], R_SCHEMA), partition_cols=["rp"])
+    kw = dict(on=["ck"], left_keys=["ck"], right_keys=["ok"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    assert read_snapshot(spark, vw).count() == 0
+
+    snapshot_append(spark, rt, spark.createDataFrame(
+        [(11, 1, 111, "x")], R_SCHEMA))
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    assert _join_view(spark, vw) == {(1, 11): ("gold", 111)}
+
+    head = latest_version(spark, vw)
+    os.remove(sorted(glob.glob(f"{vw}/_sync_right/_snapshot_sync/*"))
+              [-1])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    assert latest_version(spark, vw) == head
+    assert _join_view(spark, vw) == {(1, 11): ("gold", 111)}
+
+
+def test_join_view_contracts(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt = str(tmp_path / "l"), str(tmp_path / "r")
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a")], L_SCHEMA), partition_cols=["lp"])
+    # colliding non-join column name on both sides
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, "gold")], "ok long, ck long, seg string"),
+        partition_cols=[])
+    with pytest.raises(ValueError, match="both sides"):
+        join_sync_snapshot(spark, lt, rt, str(tmp_path / "v"),
+                           on=["ck"], left_keys=["ck"],
+                           right_keys=["ok"])
+    with pytest.raises(ValueError, match="not present"):
+        join_sync_snapshot(spark, lt, rt, str(tmp_path / "v"),
+                           on=["nope"], left_keys=["ck"],
+                           right_keys=["ok"])
