@@ -524,3 +524,57 @@ def test_join_view_contracts(spark, tmp_path):
         join_sync_snapshot(spark, lt, rt, str(tmp_path / "v"),
                            on=["nope"], left_keys=["ck"],
                            right_keys=["ok"])
+
+
+def test_ivm_dataflow_composes_join_then_aggregate(spark, tmp_path):
+    """The IVM stages CHAIN: a join view is itself a snapshot table,
+    so its own change feed drives an aggregate view — base commits
+    ripple through two incremental stages (never a recompute of
+    either view) and the final rollup equals the from-scratch
+    join+groupBy."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot, join_sync_snapshot,
+    )
+    lt, rt, jv, av = (str(tmp_path / n) for n in ("l", "r", "jv",
+                                                  "av"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a"), (2, "base", "a")], L_SCHEMA),
+        partition_cols=["lp"])
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, 100, "x"), (11, 1, 110, "x"), (12, 2, 120, "y")],
+        R_SCHEMA), partition_cols=["rp"])
+    jkw = dict(on=["ck"], left_keys=["ck"], right_keys=["ok"])
+    meas = {"n_orders": ("count", None), "rev": ("sum", "amt")}
+
+    def pump():
+        join_sync_snapshot(spark, lt, rt, jv, **jkw)
+        aggregate_sync_snapshot(spark, jv, av, group_by=["seg"],
+                                measures=meas)
+
+    def check():
+        want = {r["seg"]: (r["n_orders"], r["rev"]) for r in
+                read_snapshot(spark, lt)
+                .join(read_snapshot(spark, rt), "ck")
+                .groupBy("seg")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum("amt").alias("rev")).collect()}
+        got = {r["seg"]: (r["n_orders"], r["rev"]) for r in
+               read_snapshot(spark, av).collect()}
+        assert got == want, (got, want)
+        return got
+
+    pump()
+    assert check() == {"gold": (2, 210), "base": (1, 120)}
+    # fact append + dim segment move + fact delete, one pump each
+    snapshot_append(spark, rt, spark.createDataFrame(
+        [(13, 2, 130, "x")], R_SCHEMA))
+    pump()
+    check()
+    snapshot_upsert(spark, lt, spark.createDataFrame(
+        [(1, "base", "a")], L_SCHEMA), ["ck"], partition_cols=["lp"])
+    pump()
+    assert check() == {"base": (4, 460)}     # gold group vanished
+    snapshot_delete(spark, rt, spark.createDataFrame(
+        [(10,), (11,)], "ok long"), ["ok"], partition_cols=["rp"])
+    pump()
+    assert check() == {"base": (2, 250)}
