@@ -1460,11 +1460,12 @@ def minhash_sync_snapshot(spark, table_path: str, *, index_path: str,
         apply_delete=_delete, apply_insert=_insert)
 
 
-#: measure ops whose deltas ADD — a feed step merges into the view
-#: arithmetically, never re-reading the base table
-_ADDITIVE_OPS = {"count", "sum"}
-#: ops that force the affected-group recompute path
-_RECOMPUTE_OPS = {"min", "max", "avg", "count_distinct"}
+#: measure ops a delta step can MERGE arithmetically (min/max only
+#: while no delete has to be unwound — see the per-step rule below)
+_MERGEABLE_OPS = {"count", "sum", "avg", "min", "max"}
+#: ops that force the affected-group recompute path on every step
+_RECOMPUTE_ONLY_OPS = {"count_distinct"}
+_ALL_AGG_OPS = _MERGEABLE_OPS | _RECOMPUTE_ONLY_OPS
 
 
 def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
@@ -1474,43 +1475,50 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                             = None) -> dict:
     """Incrementally-maintained materialized aggregate: keep a
     groupBy view of a snapshot table up to date from its CHANGE FEED
-    instead of re-aggregating the table — the fourth member of the
-    sync family, and the one that turns ``snapshot_follow`` +
-    ``snapshot_apply_changes`` into incremental view maintenance.
-    After a sync, ``read_snapshot(view_path)`` equals
+    instead of re-aggregating the table — the aggregate member of
+    the IVM family built on ``snapshot_follow`` +
+    ``snapshot_apply_changes``. After a sync,
+    ``read_snapshot(view_path)`` equals
     ``read_snapshot(table_path).groupBy(*group_by).agg(...)``
-    recomputed from scratch (float sums within reassociation ULPs).
+    recomputed from scratch (float sums/avgs within reassociation
+    ULPs).
 
     ``measures`` maps output column → ``(op, source_col)``; ops:
     ``count`` (source ``None`` = rows per group, else non-null
-    count), ``sum``, ``min``, ``max``, ``avg``, ``count_distinct``.
+    count), ``sum``, ``avg``, ``min``, ``max``, ``count_distinct``.
     The view is itself a snapshot table (atomic commits, time
     travel, zone maps), keyed by ``group_by`` and partitioned by
     ``view_partition_cols`` (must be a subset of ``group_by``;
     default unpartitioned — aggregate views are usually small).
 
-    Two maintenance disciplines, chosen per call from the ops:
+    The maintenance discipline is chosen PER STEP:
 
-    - **additive** (all ops in ``count``/``sum``): each commit's feed
-      collapses to one signed delta per touched group (inserts +1,
-      deletes −1 — ``update_pre``/``update_post`` pairs are just
-      both sides), which merges into the stored row arithmetically.
-      The BASE TABLE IS NEVER RE-READ — per-step cost is the feed
-      (proportional to the commit, not the table) plus the view's
-      affected partitions. This is the 100 TB path: a commit that
-      touched 10⁴ of 10¹⁰ rows costs 10⁴ however large the corpus.
-      The view carries internal columns — ``__rows`` (live row count,
-      the group-liveness authority: a group whose count reaches zero
-      is DELETED from the view) and ``__nn_<out>`` per sum (non-null
-      contributor count, so a sum correctly reverts to SQL NULL when
-      its last non-null row is deleted). Project them away on read.
-    - **recompute** (any ``min``/``max``/``avg``/``count_distinct``):
-      deltas can't unwind these, so each step re-aggregates ONLY the
-      groups the feed touched, reading the base table pinned at that
-      step's version filtered to those keys (semi join — partition /
-      zone-map prunable when ``group_by`` leads the table's layout);
-      groups with no surviving rows are deleted from the view.
-      Cost per step is the touched groups' rows, not the table.
+    - **merge** — the commit's feed collapses to one signed delta
+      per touched group (inserts +1, deletes −1) merged into the
+      stored row arithmetically; the BASE TABLE IS NEVER RE-READ,
+      so per-step cost is the feed (proportional to the commit, not
+      the table) plus the view's affected partitions. ``count`` and
+      ``sum`` always merge; ``avg`` merges because it is STORED as
+      internal sum + non-null count (fully additive — the classic
+      decomposition); ``min``/``max`` are SEMI-additive and merge
+      via ``least``/``greatest`` whenever the step contains no
+      deletes — the append-mostly fast path.
+    - **recompute** — a delete can't be unwound from a min/max, and
+      ``count_distinct`` can't merge at all, so those steps
+      re-aggregate ONLY the groups the feed touched, reading the
+      base table pinned at the step's version filtered to those
+      keys (semi join — partition/zone-map prunable when
+      ``group_by`` leads the table's layout). Cost is the touched
+      groups' rows, not the table.
+
+    Internal columns ride in the stored view and should be
+    projected away on read: ``__rows`` (live row count — the
+    group-liveness authority: a group whose count reaches zero is
+    DELETED from the view), ``__nn_<out>`` per sum/avg (non-null
+    contributor count, so the measure correctly reverts to SQL NULL
+    when its last non-null row is deleted) and ``__sum_<out>`` per
+    avg. Both disciplines maintain the same stored schema, so steps
+    may alternate freely.
 
     Either way the step lands as ONE :func:`snapshot_apply_changes`
     commit carrying a ``source_batch`` replay marker, so a crash
@@ -1526,10 +1534,10 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
     if not measures:
         raise ValueError("measures must define at least one output")
     for out, (op, col) in measures.items():
-        if op not in _ADDITIVE_OPS | _RECOMPUTE_OPS:
+        if op not in _ALL_AGG_OPS:
             raise ValueError(
                 f"measure {out!r}: unknown op {op!r}; expected one "
-                f"of {sorted(_ADDITIVE_OPS | _RECOMPUTE_OPS)}")
+                f"of {sorted(_ALL_AGG_OPS)}")
         if col is None and op != "count":
             raise ValueError(
                 f"measure {out!r}: op {op!r} needs a source column")
@@ -1542,12 +1550,15 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
         raise ValueError(
             f"view_partition_cols {view_parts} must be a subset of "
             f"group_by {group_by}")
-    additive = all(op in _ADDITIVE_OPS for op, _ in measures.values())
+    has_cd = any(op == "count_distinct"
+                 for op, _ in measures.values())
+    has_minmax = any(op in ("min", "max")
+                     for op, _ in measures.values())
     need = list(dict.fromkeys(
         group_by + [c for _, c in measures.values() if c is not None]))
     marker = f"aggregate_sync:{table_path}"
 
-    def _apply_additive(ch: DataFrame, v: int) -> None:
+    def _step_merge(ch: DataFrame, v: int) -> None:
         w = (F.when(F.col("_change_type").isin("insert", "update_post"),
                     F.lit(1)).otherwise(F.lit(-1)))
         aggs = [F.sum(w).alias("__rows")]
@@ -1557,15 +1568,21 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                     w if col is None else
                     F.when(F.col(col).isNotNull(), w).otherwise(0)
                 ).alias(out))
-            else:                                  # sum
+            elif op == "sum":
                 aggs.append(F.sum(F.col(col) * w).alias(out))
                 aggs.append(F.sum(
                     F.when(F.col(col).isNotNull(), w).otherwise(0)
                 ).alias(f"__nn_{out}"))
+            elif op == "avg":
+                aggs.append(F.sum(F.col(col) * w)
+                            .alias(f"__sum_{out}"))
+                aggs.append(F.sum(
+                    F.when(F.col(col).isNotNull(), w).otherwise(0)
+                ).alias(f"__nn_{out}"))
+            else:                         # min/max: delete-free step
+                fn = F.min if op == "min" else F.max
+                aggs.append(fn(F.col(col)).alias(out))
         delta = ch.groupBy(*group_by).agg(*aggs).persist()
-        # the delta's schema IS the view's stored schema (same names,
-        # same aggregate types), so a missing view is just an empty
-        # old side — one join path covers first step and steady state
         if latest_version(spark, view_path) is not None:
             old = read_snapshot(spark, view_path)
             if view_parts:
@@ -1579,6 +1596,10 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                     old = old.where(
                         F.col(c).isin([r[c] for r in touched]))
         else:
+            # first step: the merge expressions only ever read the
+            # DELTA's columns from the old side (avg's stored value
+            # column is derived, never merged from), so an empty
+            # frame with the delta's schema is a sufficient old side
             old = spark.createDataFrame([], delta.schema)
         j = delta.alias("d").join(old.alias("o"), group_by, "left")
 
@@ -1593,13 +1614,26 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
             if op == "count":
                 sel.append((F.coalesce(o(out), F.lit(0))
                             + d(out)).alias(out))
-            else:
+            elif op == "sum":
                 nn_new = (F.coalesce(o(f"__nn_{out}"), F.lit(0))
                           + d(f"__nn_{out}"))
                 raw = (F.coalesce(o(out), F.lit(0))
                        + F.coalesce(d(out), F.lit(0)))
                 sel.append(F.when(nn_new > 0, raw).alias(out))
                 sel.append(nn_new.alias(f"__nn_{out}"))
+            elif op == "avg":
+                nn_new = (F.coalesce(o(f"__nn_{out}"), F.lit(0))
+                          + d(f"__nn_{out}"))
+                raw = (F.coalesce(o(f"__sum_{out}"), F.lit(0))
+                       + F.coalesce(d(f"__sum_{out}"), F.lit(0)))
+                sel.append(F.when(nn_new > 0, raw / nn_new)
+                           .alias(out))
+                sel.append(F.when(nn_new > 0, raw)
+                           .alias(f"__sum_{out}"))
+                sel.append(nn_new.alias(f"__nn_{out}"))
+            else:                         # min/max: null-skipping
+                fn = F.least if op == "min" else F.greatest
+                sel.append(fn(o(out), d(out)).alias(out))
         sel.append(rows_new.alias("__rows"))
         sel.append(F.when(rows_new <= 0, F.lit("delete"))
                    .otherwise(F.lit("upsert")).alias("_op"))
@@ -1611,42 +1645,71 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
         finally:
             delta.unpersist()
 
-    def _apply_recompute(ch: DataFrame, v: int) -> None:
+    def _step_recompute(ch: DataFrame, v: int) -> None:
         aff = ch.select(*group_by).distinct()
         base = (read_snapshot(spark, table_path, v)
                 .select(*need)
                 .join(aff, group_by, "left_semi"))
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for out, (op, col) in measures.items():
-            fn = {"count": (lambda c: F.count("*") if c is None
-                            else F.count(F.col(c))),
-                  "sum": lambda c: F.sum(c),
-                  "min": lambda c: F.min(c),
-                  "max": lambda c: F.max(c),
-                  "avg": lambda c: F.avg(c),
-                  "count_distinct": lambda c: F.count_distinct(
-                      F.col(c))}[op]
-            aggs.append(fn(col).alias(out))
+            if op == "count":
+                aggs.append((F.count(F.lit(1)) if col is None
+                             else F.count(F.col(col))).alias(out))
+            elif op == "sum":
+                aggs.append(F.sum(col).alias(out))
+                aggs.append(F.count(F.col(col))
+                            .alias(f"__nn_{out}"))
+            elif op == "avg":
+                aggs.append(F.avg(col).alias(out))
+                aggs.append(F.sum(col).alias(f"__sum_{out}"))
+                aggs.append(F.count(F.col(col))
+                            .alias(f"__nn_{out}"))
+            elif op == "min":
+                aggs.append(F.min(col).alias(out))
+            elif op == "max":
+                aggs.append(F.max(col).alias(out))
+            else:
+                aggs.append(F.count_distinct(F.col(col)).alias(out))
         rec = base.groupBy(*group_by).agg(*aggs)
         ups = rec.withColumn("_op", F.lit("upsert"))
         gone = aff.join(rec, group_by, "left_anti")
-        for out in measures:
-            gone = gone.withColumn(
-                out, F.lit(None).cast(rec.schema[out].dataType))
+        for c in rec.columns:
+            if c not in group_by:
+                gone = gone.withColumn(
+                    c, F.lit(None).cast(rec.schema[c].dataType))
         snapshot_apply_changes(
             spark, view_path,
             ups.unionByName(gone.withColumn("_op", F.lit("delete"))),
             group_by, partition_cols=view_parts,
             source_batch=(marker, v))
 
+    def _apply(ch: DataFrame, v: int) -> None:
+        if has_cd:
+            _step_recompute(ch, v)
+            return
+        if not has_minmax:
+            _step_merge(ch, v)
+            return
+        # semi-additive: min/max merge unless this step deletes
+        ch = ch.persist()
+        try:
+            deletes = (ch.where(F.col("_change_type")
+                                .isin("delete", "update_pre"))
+                       .limit(1).count())
+            if deletes:
+                _step_recompute(ch, v)
+            else:
+                _step_merge(ch, v)
+        finally:
+            ch.unpersist()
+
     # key_cols=None: the pure insert/delete multiset diff is exactly
-    # the additive ±1 weighting (update pairing would only relabel
-    # rows at the cost of an extra join), and the recompute path only
-    # needs the touched key set
+    # the ±1 weighting a merge step wants (update pairing would only
+    # relabel rows at the cost of an extra join), and the recompute
+    # path only needs the touched key set
     return snapshot_follow(
         spark, table_path, state_path=view_path,
-        apply=_apply_additive if additive else _apply_recompute,
-        columns=need)
+        apply=_apply, columns=need)
 
 
 def snapshot_replicate(spark, src_path: str, dst_path: str, *,

@@ -578,3 +578,95 @@ def test_ivm_dataflow_composes_join_then_aggregate(spark, tmp_path):
         [(10,), (11,)], "ok long"), ["ok"], partition_cols=["rp"])
     pump()
     assert check() == {"base": (2, 250)}
+
+
+def test_avg_is_additive_and_minmax_merges_on_append_steps(
+        spark, tmp_path):
+    """avg is maintained as internal sum+count (fully additive) and
+    min/max merge via least/greatest on delete-free steps — proven
+    destructively: after the initial load the base table's old data
+    files are DELETED, and an append commit still syncs all three
+    measure kinds without touching the base."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    meas = {"av": ("avg", "val"), "mx": ("max", "val"),
+            "s": ("sum", "val")}
+    rows = [(i, f"g{i % 2}", "p0", float(i)) for i in range(20)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    old_files = set(read_snapshot(spark, tbl).inputFiles())
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(100, "g0", "p0", 99.0), (101, "g1", "p0", None)],
+        AGG_SCHEMA))
+    for f in old_files:
+        os.remove(f.removeprefix("file:"))
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    got = {r["g"]: (r["av"], r["mx"], r["s"]) for r in
+           read_snapshot(spark, vw).collect()}
+    g0 = [float(i) for i in range(20) if i % 2 == 0] + [99.0]
+    g1 = [float(i) for i in range(20) if i % 2 == 1]  # None skipped
+    assert got["g0"][1] == 99.0 and got["g1"][1] == 19.0
+    assert math.isclose(got["g0"][0], sum(g0) / len(g0))
+    assert math.isclose(got["g1"][0], sum(g1) / len(g1))
+    assert math.isclose(got["g0"][2], sum(g0))
+
+
+def test_minmax_delete_step_recomputes_then_merges_again(
+        spark, tmp_path):
+    """Semi-additive alternation: append steps merge, a delete of
+    the current max recomputes only the touched groups, and the
+    NEXT append merges again on the recomputed state — the stored
+    schema is identical under both disciplines."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    meas = {"mx": ("max", "val"), "s": ("sum", "val"),
+            "av": ("avg", "val")}
+
+    def check():
+        want = {r["g"]: (r["mx"], r["s"], r["av"]) for r in
+                read_snapshot(spark, tbl).groupBy("g").agg(
+                    F.max("val").alias("mx"), F.sum("val").alias("s"),
+                    F.avg("val").alias("av")).collect()}
+        got = {r["g"]: (r["mx"], r["s"], r["av"]) for r in
+               read_snapshot(spark, vw).collect()}
+        assert set(got) == set(want)
+        for k in want:
+            for a, b in zip(got[k], want[k]):
+                assert (a is None) == (b is None)
+                assert a is None or math.isclose(a, b, rel_tol=1e-12)
+
+    rows = [(i, f"g{i % 2}", "p0", float(i % 11)) for i in range(30)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    check()
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(100, "g0", "p0", 50.0)], AGG_SCHEMA))
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    check()
+    # delete the max contributor -> recompute step must LOWER mx
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame([(100,)], "id long"),
+                    ["id"], partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    check()
+    assert {r["g"]: r["mx"] for r in
+            read_snapshot(spark, vw).collect()}["g0"] == 10.0
+    # and a further append merges on the recomputed state
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(101, "g1", "p0", 77.0)], AGG_SCHEMA))
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    check()
