@@ -1706,8 +1706,8 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
                            changes: DataFrame, keys: list[str], *,
                            partition_cols: list[str],
                            change_col: str = "_op",
-                           source_batch: tuple[str, int] | None = None
-                           ) -> int:
+                           source_batch: tuple[str, int] | None = None,
+                           schema_evolution: bool = False) -> int:
     """Apply a keyed CDC changeset — upserts AND deletes — as ONE
     copy-on-write commit (MERGE-INTO semantics, the atomic sink for
     a :func:`snapshot_changes` feed or any per-key delta).
@@ -1735,8 +1735,12 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
 
     Commit shape matches the upsert family: only partitions named by
     the changeset's partition values are read/rewritten; everything
-    else carries by reference. Schema drift raises (evolve the table
-    with :func:`snapshot_upsert(schema_evolution=True)` first).
+    else carries by reference. Schema drift raises unless
+    ``schema_evolution=True``, which follows the upsert contract —
+    the manifest schema becomes the union, carried partitions read
+    the new column as NULL with no mergeSchema sweep (the CDC
+    consumers pass this through so a source evolution flows into
+    replicas instead of stalling them).
     Concurrency is raise-only (``ConcurrentCommit``) like
     upsert/delete — the merge read is stale after a lost race.
     Returns the committed version."""
@@ -1786,7 +1790,7 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
             json.loads(m["schema"])).fields] if m.get("schema") else [])
         if table_cols:
             _check_schema_drift(table_cols, data_cols, keys,
-                                partition_cols, False)
+                                partition_cols, schema_evolution)
 
         entries = _manifest_entries(spark, path, m)
         aff_vals = [tuple(r) for r in
@@ -1797,10 +1801,18 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
         if hit:
             existing = _read_files(spark, path, hit, m.get("schema"))
             merged = (existing.join(changed_keys, keys, "left_anti")
-                      .unionByName(upserts.select(*existing.columns)))
+                      .unionByName(upserts,
+                                   allowMissingColumns=schema_evolution))
+        elif table_cols:
+            # no affected files, but carried partitions must keep
+            # their columns: union with the table schema's empty
+            # frame (also pins column order without evolution)
+            empty = spark.createDataFrame([], StructType.fromJson(
+                json.loads(m["schema"])))
+            merged = empty.unionByName(
+                upserts, allowMissingColumns=schema_evolution)
         else:
-            merged = upserts.select(*table_cols) if table_cols \
-                else upserts
+            merged = upserts
         new_entries = _write_data_files(spark, path, merged,
                                         partition_cols,
                                         m.get("stats_cols"),
@@ -1808,7 +1820,9 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
                                         m.get("bloom_bits"))
         _commit_manifest(spark, path, prev + 1, {
             "version": prev + 1, "partition_cols": partition_cols,
-            "schema": m.get("schema"), "stats_cols": m.get("stats_cols"),
+            "schema": (merged.schema.json() if m.get("schema")
+                       or schema_evolution else None),
+            "stats_cols": m.get("stats_cols"),
             "bloom_cols": m.get("bloom_cols"),
             "bloom_bits": m.get("bloom_bits"),
             "append_sources": srcs or None,

@@ -1732,7 +1732,11 @@ def snapshot_replicate(spark, src_path: str, dst_path: str, *,
     snapshot_apply_changes` commit carrying the source version as a
     replay marker, so crash-and-rerun never double-applies, and the
     replica's own history stays linear and auditable (one commit per
-    source commit, skipping compactions). Returns
+    source commit, skipping compactions). A source SCHEMA EVOLUTION
+    flows through (the feed arrives in the target version's schema
+    and the replica evolves with it; columns dropped from the source
+    schema linger as NULL on rows the feed later rewrites — mirror
+    the drop explicitly if it matters). Returns
     ``{from_version, to_version, steps}``."""
     from ..sources.snapshots import (
         _load_manifest, latest_version, snapshot_apply_changes,
@@ -1758,7 +1762,8 @@ def snapshot_replicate(spark, src_path: str, dst_path: str, *,
                        F.lit("upsert")).otherwise(F.lit("delete")))
             .drop("_change_type"),
             keys, partition_cols=partition_cols,
-            source_batch=(f"replicate:{src_path}", v))
+            source_batch=(f"replicate:{src_path}", v),
+            schema_evolution=True)
 
     return snapshot_follow(spark, src_path, state_path=dst_path,
                            apply=_apply, key_cols=keys,

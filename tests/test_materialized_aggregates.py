@@ -670,3 +670,49 @@ def test_minmax_delete_step_recomputes_then_merges_again(
     aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
                             measures=meas)
     check()
+
+
+def test_apply_changes_schema_evolution(spark, tmp_path):
+    """With schema_evolution=True an evolved changeset upgrades the
+    manifest schema (carried partitions read the new column as
+    NULL); without it, drift raises — the upsert contract."""
+    path = str(tmp_path / "tbl")
+    rows = [(i, f"d{i % 3}", f"v{i}") for i in range(9)]
+    snapshot_write(spark, path, spark.createDataFrame(rows, SCHEMA),
+                   partition_cols=["day"])
+    ch = spark.createDataFrame(
+        [(0, "d0", "NEW", 7, "upsert"), (3, "d0", None, None,
+                                         "delete")],
+        SCHEMA + ", extra int, _op string")
+    with pytest.raises(ValueError):
+        snapshot_apply_changes(spark, path, ch, ["id"],
+                               partition_cols=["day"])
+    snapshot_apply_changes(spark, path, ch, ["id"],
+                           partition_cols=["day"],
+                           schema_evolution=True)
+    got = {r["id"]: r["extra"] for r in
+           read_snapshot(spark, path).collect()}
+    assert got[0] == 7 and 3 not in got
+    # carried partitions (d1/d2) read NULL for the evolved column
+    assert all(got[i] is None for i in got if i != 0)
+
+
+def test_replicate_follows_source_schema_evolution(spark, tmp_path):
+    """A source schema evolution flows through replication instead
+    of stalling it: the replica evolves on the step that carries the
+    new column, and untouched replica rows read NULL for it."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        snapshot_replicate,
+    )
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(spark, src, spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")], SCHEMA),
+        partition_cols=["day"])
+    snapshot_replicate(spark, src, dst, keys=["id"])
+    snapshot_upsert(spark, src, spark.createDataFrame(
+        [(1, "d1", "a2", 42)], SCHEMA + ", extra int"), ["id"],
+        partition_cols=["day"], schema_evolution=True)
+    snapshot_replicate(spark, src, dst, keys=["id"])
+    got = {r["id"]: (r["val"], r["extra"]) for r in
+           read_snapshot(spark, dst).collect()}
+    assert got == {1: ("a2", 42), 2: ("b", None)}
