@@ -5,7 +5,8 @@ from .snapshots import (
     snapshot_changes, snapshot_changes_log, snapshot_history,
     set_commit_strategy, snapshot_append, snapshot_apply_changes,
     sql_predicates,
-    snapshot_compact, snapshot_delete, snapshot_prune, snapshot_rollback,
+    snapshot_compact, snapshot_delete, snapshot_maintain,
+    snapshot_prune, snapshot_rollback,
     snapshot_scan, snapshot_tag, snapshot_tags, snapshot_untag,
     snapshot_upsert, snapshot_write,
 )
@@ -37,7 +38,7 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "scan_pruning_stats", "snapshot_changes",
            "snapshot_changes_log", "snapshot_history", "sql_predicates",
            "snapshot_append", "snapshot_apply_changes",
-           "snapshot_compact", "snapshot_delete",
+           "snapshot_compact", "snapshot_delete", "snapshot_maintain",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
            "snapshot_tag", "snapshot_tags", "snapshot_untag",
            "snapshot_upsert", "snapshot_write",

@@ -2015,6 +2015,56 @@ _CHANGE_TYPE = "_change_type"
 _COMMIT_VERSION = "_commit_version"
 
 
+def snapshot_maintain(spark: SparkSession, path: str, *,
+                      max_files_per_partition: int = 8,
+                      target_file_bytes: int = 128 << 20,
+                      sort_cols: list[str] | None = None,
+                      keep_latest: int | None = None,
+                      orphan_grace_seconds: float = 3600.0) -> dict:
+    """Policy-driven table maintenance in one call — what an ingest
+    loop schedules after its commits instead of hand-rolling
+    compact/prune decisions. Reads the HEAD MANIFEST ONLY (no data
+    scan): partitions whose file count exceeds
+    ``max_files_per_partition`` (append/upsert fragments piling up)
+    are compacted in one :func:`snapshot_compact` commit — scoped to
+    exactly those partitions, optionally re-sorted via ``sort_cols``
+    to restore zone-map clustering; then, if ``keep_latest`` is set,
+    :func:`snapshot_prune` applies retention (tagged versions stay
+    protected, orphan grace as documented there). A table already
+    within policy publishes NOTHING (no empty compact commit).
+    Returns ``{"compacted_partitions": [...], "compact_version":
+    int|None, "files_before": n, "files_after": n, "pruned":
+    {...}|None}``."""
+    if max_files_per_partition < 1:
+        raise ValueError("max_files_per_partition must be >= 1, got "
+                         f"{max_files_per_partition}")
+    head = latest_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no published snapshot under {path}")
+    entries = _manifest_entries(spark, path,
+                                _load_manifest(spark, path, head))
+    counts: dict[str, int] = {}
+    for e in entries:
+        counts[e["partition"]] = counts.get(e["partition"], 0) + 1
+    fat = sorted(p for p, n in counts.items()
+                 if n > max_files_per_partition)
+    out = {"compacted_partitions": fat, "compact_version": None,
+           "files_before": len(entries), "files_after": len(entries),
+           "pruned": None}
+    if fat:
+        out["compact_version"] = snapshot_compact(
+            spark, path, target_file_bytes=target_file_bytes,
+            partitions=fat, sort_cols=sort_cols)
+        out["files_after"] = len(_manifest_entries(
+            spark, path,
+            _load_manifest(spark, path, out["compact_version"])))
+    if keep_latest is not None:
+        out["pruned"] = snapshot_prune(
+            spark, path, keep_latest=keep_latest,
+            orphan_grace_seconds=orphan_grace_seconds)
+    return out
+
+
 def snapshot_changes(spark: SparkSession, path: str,
                      from_version: int, to_version: int | None = None,
                      *, key_cols: list[str] | None = None,

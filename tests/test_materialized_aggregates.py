@@ -716,3 +716,34 @@ def test_replicate_follows_source_schema_evolution(spark, tmp_path):
     got = {r["id"]: (r["val"], r["extra"]) for r in
            read_snapshot(spark, dst).collect()}
     assert got == {1: ("a2", 42), 2: ("b", None)}
+
+
+def test_snapshot_maintain_policy(spark, tmp_path):
+    """Manifest-only policy maintenance: fragmented partitions are
+    compacted (only those), a within-policy table publishes nothing,
+    and retention applies when asked."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_maintain,
+    )
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(0, "d0", "v0"), (1, "d1", "v1")], SCHEMA),
+        partition_cols=["day"])
+    # fragment d0 with several single-row appends
+    for i in range(2, 7):
+        snapshot_append(spark, path, spark.createDataFrame(
+            [(i, "d0", f"v{i}")], SCHEMA))
+    before = _rows(spark, path)
+    out = snapshot_maintain(spark, path, max_files_per_partition=3,
+                            keep_latest=2,
+                            orphan_grace_seconds=0.0)
+    assert out["compacted_partitions"] == ["day=d0"]
+    assert out["files_after"] < out["files_before"]
+    assert out["pruned"]["manifests_dropped"] > 0
+    assert _rows(spark, path) == before
+    head = latest_version(spark, path)
+    # within policy now: nothing published
+    out = snapshot_maintain(spark, path, max_files_per_partition=3)
+    assert out["compacted_partitions"] == [] \
+        and out["compact_version"] is None
+    assert latest_version(spark, path) == head
