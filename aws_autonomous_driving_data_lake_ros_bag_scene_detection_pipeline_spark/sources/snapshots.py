@@ -951,7 +951,7 @@ def read_snapshot(spark: SparkSession, path: str,
     if where is not None:
         dnf = sql_predicates(spark, where)
         if dnf is not None:
-            entries = _prune_entries(entries, dnf)
+            entries = _prune_entries(entries, dnf, m.get("schema"))
     if not entries:
         schema = m.get("schema")
         if not schema:
@@ -999,7 +999,87 @@ def _query_intervals(predicates: list[tuple]) -> dict[str, tuple]:
     return out
 
 
-def _conj_may_match(entry: dict, predicates: list[tuple]) -> bool:
+def _partition_values(entry: dict) -> dict:
+    """The entry's hive partition values as ``{col: raw_string|None}``
+    (percent-escapes undone, the NULL sentinel mapped to None) — what
+    manifest-level partition pruning evaluates predicates against."""
+    import re as _re
+    out: dict = {}
+    part = entry.get("partition") or ""
+    if not part:
+        return out
+    for seg in part.split("/"):
+        c, eq, v = seg.partition("=")
+        if not eq:
+            continue
+        out[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else \
+            _re.sub("%([0-9A-Fa-f]{2})",
+                    lambda m: chr(int(m.group(1), 16)), v)
+    return out
+
+
+#: both spellings appear in the wild: StructType JSON uses
+#: byte/short/integer/long, SQL simpleString uses
+#: tinyint/smallint/int/bigint
+_NUM_TYPES = {"byte", "short", "integer", "long",
+              "tinyint", "smallint", "int", "bigint",
+              "float", "double"}
+
+
+def _partition_rejects(pvals: dict, col: str, op: str, val,
+                       col_type: str | None) -> bool:
+    """True only when the entry's PARTITION VALUE proves the
+    predicate can't match. Comparison is TYPE-DIRECTED by the
+    manifest schema — partition values are directory strings, and
+    comparing them in the wrong domain is unsound in both directions
+    (lexicographic "9" > "10" vs numeric, "01" = 1 vs string), so:
+    numeric columns compare after numeric coercion of BOTH sides,
+    string columns compare as strings against string literals (UTF-8
+    byte order equals code-point order, so lexicographic range ops
+    are sound), and every other combination — unknown column type,
+    cross-domain literal, date/decimal columns, coercion failure —
+    KEEPS the file. ``is_[not_]null`` needs no type (the NULL
+    sentinel is type-free)."""
+    if col not in pvals:
+        return False
+    pv = pvals[col]
+    if op == "is_null":
+        return pv is not None
+    if op == "is_not_null":
+        return pv is None
+    if pv is None:
+        return True                    # null partition: no comparison
+    numeric = col_type in _NUM_TYPES
+    string = col_type == "string"
+    if not numeric and not string:
+        return False
+
+    def coerce(v):
+        if isinstance(v, bool):
+            raise TypeError("boolean partition coercion is ambiguous")
+        if numeric and isinstance(v, (int, float)):
+            return float(pv), float(v)
+        if string and isinstance(v, str):
+            return pv, v
+        raise TypeError("cross-domain comparison proves nothing")
+    try:
+        if op == "in":
+            if not val:
+                return True
+            def neq(v):
+                a, b = coerce(v)
+                return a != b
+            return all(neq(v) for v in val)
+        a, b = coerce(val)
+        return {"=": a != b, "<": not a < b,
+                "<=": not a <= b, ">": not a > b,
+                ">=": not a >= b}[op]
+    except (TypeError, ValueError):
+        return False
+
+
+def _conj_may_match(entry: dict, predicates: list[tuple],
+                    col_types: dict | None = None) -> bool:
     """File-granular zone-map check for ONE conjunction: False only
     when the entry's stats (or the conjunction's own emptiness) PROVE
     no row can satisfy it. Entries without stats for a predicate's
@@ -1011,9 +1091,22 @@ def _conj_may_match(entry: dict, predicates: list[tuple]) -> bool:
     Type guard: a predicate whose value doesn't compare with the
     file's stat type (e.g. an auto-routed numeric literal against a
     string column) KEEPS the file — pruning may only ever remove
-    files it can PROVE irrelevant, and a TypeError proves nothing."""
+    files it can PROVE irrelevant, and a TypeError proves nothing.
+
+    Partition pruning (r8c): predicates on HIVE PARTITION columns are
+    evaluated against the entry's directory values at the MANIFEST
+    level — no stats needed, and the pruned file is never listed or
+    existence-checked at all (Catalyst's own partition pruning can
+    only help after the reader has resolved the explicit file list,
+    which at 10⁶ files is itself the cost)."""
     st = entry.get("stats") or {}
+    pvals = _partition_values(entry)
     try:
+        if pvals and col_types:
+            for col, op, val in predicates:
+                if _partition_rejects(pvals, col, op, val,
+                                      col_types.get(col)):
+                    return False
         for col, (lo, lo_i, hi, hi_i) in \
                 _query_intervals(predicates).items():
             if lo is not None and hi is not None and (
@@ -1079,9 +1172,11 @@ def _conj_may_match(entry: dict, predicates: list[tuple]) -> bool:
     return True
 
 
-def _entry_may_match(entry: dict, dnf: list[list[tuple]]) -> bool:
+def _entry_may_match(entry: dict, dnf: list[list[tuple]],
+                     col_types: dict | None = None) -> bool:
     """Keep an entry iff ANY disjunct's conjunction may match."""
-    return any(_conj_may_match(entry, conj) for conj in dnf)
+    return any(_conj_may_match(entry, conj, col_types)
+               for conj in dnf)
 
 
 def _as_dnf(predicates) -> list[list[tuple]]:
@@ -1104,9 +1199,25 @@ def _as_dnf(predicates) -> list[list[tuple]]:
     return dnf
 
 
-def _prune_entries(entries: list[dict], predicates) -> list[dict]:
+def _schema_col_types(schema_json: str | None) -> dict:
+    """``{column: simple type string}`` from a manifest schema — what
+    partition-value pruning needs to pick a sound comparison
+    domain."""
+    if not schema_json:
+        return {}
+    try:
+        return {f["name"]: (f["type"] if isinstance(f["type"], str)
+                            else None)
+                for f in json.loads(schema_json)["fields"]}
+    except Exception:
+        return {}
+
+
+def _prune_entries(entries: list[dict], predicates,
+                   schema_json: str | None = None) -> list[dict]:
     dnf = _as_dnf(predicates)
-    return [e for e in entries if _entry_may_match(e, dnf)]
+    types = _schema_col_types(schema_json)
+    return [e for e in entries if _entry_may_match(e, dnf, types)]
 
 
 def _predicates_condition(predicates) -> F.Column:
@@ -1285,7 +1396,7 @@ def scan_pruning_stats(spark: SparkSession, path: str, predicates, *,
             raise FileNotFoundError(f"no published snapshot under {path}")
     m = _load_manifest(spark, path, version)
     entries = _manifest_entries(spark, path, m)
-    kept = _prune_entries(entries, predicates)
+    kept = _prune_entries(entries, predicates, m.get("schema"))
     return {"files_total": len(entries), "files_read": len(kept),
             "files_pruned": len(entries) - len(kept)}
 
@@ -1303,8 +1414,12 @@ def snapshot_scan(spark: SparkSession, path: str,
     a time- or key-sorted layout (:func:`snapshot_compact` with
     ``sort_cols``, `tables.write_time_sorted`) a selective scan reads
     O(matching files), not O(table), BEFORE any executor spins up.
-    Hive-partition predicates don't need this (Catalyst prunes them
-    from the directory layout); zone maps cover the DATA columns
+    Hive-partition predicates prune at the MANIFEST level too (r8c):
+    the entry's directory values are evaluated type-directed against
+    the manifest schema, so skipped partitions' files are never even
+    LISTED — Catalyst's own partition pruning only helps after the
+    reader has resolved the explicit file list, which at 10\u2076 files
+    is itself the cost. Zone maps cover the DATA columns
     partitioning can't. SQL-string predicates route automatically:
     ``read_snapshot(spark, path, where="...")`` parses the expression
     with Spark's own parser (:func:`sql_predicates`) and prunes with
@@ -1324,7 +1439,7 @@ def snapshot_scan(spark: SparkSession, path: str,
             raise FileNotFoundError(f"no published snapshot under {path}")
     m = _load_manifest(spark, path, version)
     entries = _prune_entries(_manifest_entries(spark, path, m),
-                             predicates)
+                             predicates, m.get("schema"))
     cond = _predicates_condition(predicates)
     if not entries:
         schema = m.get("schema")

@@ -1815,11 +1815,25 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
     lag. Returns ``{left: {...}, right: {...}}`` with each side's
     ``from_version/to_version/steps``."""
     from ..sources.snapshots import (
-        latest_version, read_snapshot, snapshot_apply_changes,
-        snapshot_write,
+        _load_manifest, latest_version, read_snapshot,
+        snapshot_apply_changes, snapshot_write,
     )
-    lcols = read_snapshot(spark, left_path).columns
-    rcols = read_snapshot(spark, right_path).columns
+    def _table_cols(path: str) -> list[str]:
+        # manifest-only: constructing a reader would resolve (and
+        # existence-check) the whole file list just to learn names
+        import json as _json
+        head = latest_version(spark, path)
+        if head is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {path}")
+        sch = _load_manifest(spark, path, head).get("schema")
+        if sch:
+            return [f["name"]
+                    for f in _json.loads(sch)["fields"]]
+        return read_snapshot(spark, path).columns
+
+    lcols = _table_cols(left_path)
+    rcols = _table_cols(right_path)
     for name, need, have in (("on", on, lcols), ("on", on, rcols),
                              ("left_keys", left_keys, lcols),
                              ("right_keys", right_keys, rcols)):
@@ -1856,14 +1870,39 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
         snapshot_write(spark, view_path, empty,
                        partition_cols=view_parts)
 
+    # when the other table is hive-partitioned on (a prefix of) the
+    # join columns, the pinned other-side read prunes to the join
+    # values this step actually touches — a bounded collect (capped;
+    # past the cap the full pinned read is used, which is sound)
+    _PRUNE_CAP = 1000
+
     def _apply_side(side: str, table_path: str, other_path: str,
                     side_keys: list[str], other_state: str):
         def _apply(ch: DataFrame, v: int) -> None:
             pin = _synced_version(spark, other_state)
-            other = read_snapshot(spark, other_path, pin)
             ins = (ch.where(F.col("_change_type")
                             .isin("insert", "update_post"))
-                   .drop("_change_type"))
+                   .drop("_change_type")
+                   .persist())
+            # build the pruned read FIRST: even constructing the full
+            # reader resolves (and existence-checks) every file
+            other = None
+            other_parts = [c for c in
+                           _load_manifest(spark, other_path,
+                                          pin)["partition_cols"]
+                           if c in on]
+            if other_parts:
+                touched = (ins.select(*other_parts).distinct()
+                           .limit(_PRUNE_CAP + 1).collect())
+                if len(touched) <= _PRUNE_CAP:
+                    from ..sources.snapshots import snapshot_scan
+                    other = snapshot_scan(
+                        spark, other_path,
+                        [(c, "in", [r[c] for r in touched])
+                         for c in other_parts],
+                        version=pin)
+            if other is None:
+                other = read_snapshot(spark, other_path, pin)
             ups = (ins.join(other, on).withColumn("_op",
                                                   F.lit("upsert")))
             view = read_snapshot(spark, view_path)
@@ -1872,12 +1911,17 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
                         .select(*side_keys).distinct())
             dels = (view.join(del_keys, side_keys, "left_semi")
                     .withColumn("_op", F.lit("delete")))
-            snapshot_apply_changes(
-                spark, view_path,
-                ups.select(*view.columns, "_op")
-                   .unionByName(dels.select(*view.columns, "_op")),
-                keys, partition_cols=view_parts,
-                source_batch=(f"join_sync:{side}:{table_path}", v))
+            try:
+                snapshot_apply_changes(
+                    spark, view_path,
+                    ups.select(*view.columns, "_op")
+                       .unionByName(dels.select(*view.columns,
+                                                "_op")),
+                    keys, partition_cols=view_parts,
+                    source_batch=(f"join_sync:{side}:{table_path}",
+                                  v))
+            finally:
+                ins.unpersist()
         return _apply
 
     out_l = snapshot_follow(

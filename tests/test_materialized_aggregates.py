@@ -747,3 +747,39 @@ def test_snapshot_maintain_policy(spark, tmp_path):
     assert out["compacted_partitions"] == [] \
         and out["compact_version"] is None
     assert latest_version(spark, path) == head
+
+
+def test_join_view_prunes_other_side_to_touched_join_values(
+        spark, tmp_path):
+    """When the other table is partitioned on the join column, a
+    step's pinned read prunes to the join values the delta touches —
+    proven destructively: every OTHER partition's data files are
+    deleted and the step still lands."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(k, f"s{k}", "a") for k in range(6)], L_SCHEMA),
+        partition_cols=["lp"])
+    # right table partitioned ON the join column ck
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10 * k + j, k, 100 + k, "x") for k in range(6)
+         for j in range(2)],
+        "ok long, ck long, amt long, rp string").drop("rp"),
+        partition_cols=["ck"])
+    kw = dict(on=["ck"], left_keys=["ck"], right_keys=["ok"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+
+    # a left step touching ONLY ck=2: destroy every other ck's files
+    doomed = [f for f in read_snapshot(spark, rt).inputFiles()
+              if "ck=2" not in f]
+    for f in doomed:
+        os.remove(f.removeprefix("file:"))
+    snapshot_upsert(spark, lt, spark.createDataFrame(
+        [(2, "SEG", "a")], L_SCHEMA), ["ck"], partition_cols=["lp"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = {(r["ck"], r["ok"]): r["seg"] for r in
+           read_snapshot(spark, vw).collect()}
+    assert got[(2, 20)] == "SEG" and got[(2, 21)] == "SEG"
+    assert got[(3, 30)] == "s3"          # untouched pairing intact

@@ -1573,3 +1573,46 @@ def test_sql_predicates_between_and_not_in(spark):
         [[("v", ">=", 2), ("v", "<=", 9)]]
     assert P(spark, "v not in (1, 2)") is None
     assert P(spark, "v not in (1, 2) and v > 5") == [[("v", ">", 5)]]
+
+
+def test_manifest_level_partition_pruning(spark, tmp_path):
+    """Predicates on hive partition columns prune at the MANIFEST
+    level — the skipped files are never listed or existence-checked
+    (proven by deleting them), coercion failures keep files (sound),
+    and the pruned result equals the unpruned filtered read."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot, scan_pruning_stats, snapshot_scan,
+        snapshot_write,
+    )
+    path = str(tmp_path / "tbl")
+    rows = [(i, i % 5, f"v{i}") for i in range(50)]
+    snapshot_write(spark, path,
+                   spark.createDataFrame(rows,
+                                         "id long, b long, val string"),
+                   partition_cols=["b"])
+    full = {(r["id"], r["val"]) for r in
+            read_snapshot(spark, path).where("b in (1, 3)").collect()}
+
+    st = scan_pruning_stats(spark, path, [("b", "in", [1, 3])])
+    assert st["files_read"] < st["files_total"]
+    st_eq = scan_pruning_stats(spark, path, [("b", "=", 2)])
+    assert st_eq["files_read"] < st["files_total"]
+    # range ops prune on partition values too
+    st_rng = scan_pruning_stats(spark, path, [("b", ">=", 4)])
+    assert st_rng["files_read"] < st_rng["files_total"]
+    # a string literal against the numeric partition column cannot
+    # prove anything -> keeps every file
+    st_bad = scan_pruning_stats(spark, path, [("b", "=", "x")])
+    assert st_bad["files_read"] == st_bad["files_total"]
+
+    # destroy every file outside b=1/b=3: the pruned scan still runs
+    for f in read_snapshot(spark, path).inputFiles():
+        if "b=1" not in f and "b=3" not in f:
+            os.remove(f.removeprefix("file:"))
+    got = {(r["id"], r["val"]) for r in
+           snapshot_scan(spark, path, [("b", "in", [1, 3])]).collect()}
+    assert got == full
+    # and the SQL route prunes the same way
+    got2 = {(r["id"], r["val"]) for r in
+            read_snapshot(spark, path, where="b in (1, 3)").collect()}
+    assert got2 == full
