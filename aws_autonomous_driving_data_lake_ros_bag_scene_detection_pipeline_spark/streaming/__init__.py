@@ -46,7 +46,7 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      bm25_sync_snapshot, ivf_sync_snapshot,
                      minhash_sync_snapshot, snapshot_follow,
                      aggregate_sync_snapshot, snapshot_replicate,
-                     join_sync_snapshot,
+                     join_sync_snapshot, sync_status,
                      ivf_append_batch, ivf_append_stream,
                      ivf_delete_batch, ivf_delete_stream,
                      ivf_compact_deletes,

@@ -1935,3 +1935,29 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
                           sl),
         key_cols=right_keys)
     return {"left": out_l, "right": out_r}
+
+
+def sync_status(spark, table_path: str, state_path: str) -> dict:
+    """Follower-lag observability for any sync-family consumer
+    (index syncs, aggregate/join views, replicas, generic
+    :func:`snapshot_follow` state): how far behind the table the
+    consumer is, from manifests alone — no data read. Returns
+    ``{"table_head", "synced_version", "lag_commits",
+    "pending_operations"}`` where ``pending_operations`` lists the
+    unapplied commits' manifest ``operation`` fields in order
+    (capped at 50 — a consumer that far behind should just be
+    synced), so an operator can see at a glance whether the lag is
+    real work (appends/upserts) or skippable compactions."""
+    from ..sources.snapshots import _load_manifest, latest_version
+    head = latest_version(spark, table_path)
+    if head is None:
+        raise FileNotFoundError(
+            f"no published snapshot under {table_path}")
+    synced = _synced_version(spark, state_path)
+    lag = head - synced if synced is not None else head + 1
+    lo = synced + 1 if synced is not None else 0
+    pending = [
+        _load_manifest(spark, table_path, v).get("operation")
+        for v in range(lo, min(head, lo + 49) + 1)]
+    return {"table_head": head, "synced_version": synced,
+            "lag_commits": lag, "pending_operations": pending}

@@ -316,3 +316,32 @@ def test_snapshot_follow_generic_consumer_exactly_once(spark,
     # compact skipped (1 step, the delete), one delete row delivered
     assert out["steps"] == 1
     assert seen[-1][2] == "delete" and len(seen) == 6
+
+
+def test_sync_status_reports_lag_from_manifests(spark, tmp_path):
+    """Lag observability without reading data: head/synced/lag plus
+    the pending commits' operations in order, for fresh, caught-up
+    and lagging consumers alike."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        snapshot_follow, sync_status,
+    )
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").limit(6)
+            .withColumn("b", (F.col("doc_id") % 2).cast("string")))
+    snapshot_write(spark, tbl, docs, partition_cols=["b"])
+    st = sync_status(spark, tbl, state)
+    assert st == {"table_head": 0, "synced_version": None,
+                  "lag_commits": 1, "pending_operations": ["write"]}
+    snapshot_follow(spark, tbl, state_path=state,
+                    apply=lambda ch, v: ch.count(),
+                    columns=["doc_id", "text"])
+    st = sync_status(spark, tbl, state)
+    assert st["lag_commits"] == 0 and st["pending_operations"] == []
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(999, "late doc", "1")], "doc_id long, text string, b string"))
+    snapshot_compact(spark, tbl, target_file_bytes=1 << 30)
+    st = sync_status(spark, tbl, state)
+    assert st["lag_commits"] == 2
+    assert st["pending_operations"] == ["append", "compact"]
