@@ -629,7 +629,10 @@ def test_estimate_lag_recovers_any_planted_skew(spark, lag, seed):
 @pytest.fixture(scope="module")
 def _pruning_table(spark, tmp_path_factory):
     """A range-sorted stats table with nulls, shared across the
-    pruning property's examples (one write, many reads)."""
+    pruning property's examples (one write, many reads) — HIVE
+    PARTITIONED by grp, so every grammar example also exercises
+    manifest-level partition pruning (r8c) alongside the zone
+    maps."""
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_write
     path = str(tmp_path_factory.mktemp("prop") / "tbl")
     df = (spark.range(0, 400)
@@ -638,8 +641,8 @@ def _pruning_table(spark, tmp_path_factory):
                       "else cast(id as double) end as score",
                       "concat('g', cast(id % 5 as string)) as grp"))
     snapshot_write(spark, path, df.repartitionByRange(8, "id"),
-                   partition_cols=[],
-                   stats_cols=["id", "score", "grp"])
+                   partition_cols=["grp"],
+                   stats_cols=["id", "score"])
     return path
 
 
