@@ -8,7 +8,7 @@ from .snapshots import (
     snapshot_compact, snapshot_delete, snapshot_maintain,
     snapshot_prune, snapshot_rollback,
     snapshot_scan, snapshot_tag, snapshot_tags, snapshot_untag,
-    snapshot_upsert, snapshot_write,
+    snapshot_upsert, snapshot_version_for_source, snapshot_write,
 )
 from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
@@ -41,6 +41,7 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "snapshot_compact", "snapshot_delete", "snapshot_maintain",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
            "snapshot_tag", "snapshot_tags", "snapshot_untag",
-           "snapshot_upsert", "snapshot_write",
+           "snapshot_upsert", "snapshot_version_for_source",
+           "snapshot_write",
            "write_bucketed", "write_partitioned", "write_time_sorted",
            "write_zordered", "zorder_key"]

@@ -874,6 +874,41 @@ def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+def snapshot_version_for_source(spark: SparkSession, path: str,
+                                source: str, batch_id: int) -> int:
+    """The earliest version of this table whose recorded
+    ``source_batch`` marker for ``source`` covers ``batch_id`` —
+    "which version of the replica/view incorporates base commit N".
+    Every exactly-once writer (``snapshot_append(source_batch=)``,
+    ``snapshot_apply_changes``, and therefore the whole sync family:
+    aggregate/join views use ``aggregate_sync:<table>`` /
+    ``join_sync:<side>:<table>``, replicas ``replicate:<table>``)
+    records the applied batch id atomically with the commit, so the
+    answer comes from the manifests alone. Combine with
+    ``read_snapshot(path, version=...)`` for CONSISTENT cross-view
+    reads: pin several derived views to the same base version and
+    query them together. Raises ``LookupError`` when no retained
+    version covers the batch (consumer hasn't caught up, or the
+    covering versions were pruned — retention must cover the lag)."""
+    head = latest_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no published snapshot under {path}")
+    jvm, fs, _ = _fs(spark, path)
+    for v in range(head + 1):
+        jp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_MANIFEST_DIR}/{v}.json")
+        if not fs.exists(jp):
+            continue                   # pruned past retention
+        srcs = _load_manifest(spark, path, v).get(
+            "append_sources") or {}
+        if srcs.get(source, -1) >= batch_id:
+            return v
+    raise LookupError(
+        f"no retained version of {path} covers {source!r} batch "
+        f"{batch_id} (head={head}) — the consumer hasn't applied it "
+        f"yet, or retention pruned the covering versions")
+
+
 def _resolve_as_of(spark: SparkSession, path: str, as_of) -> int:
     """Latest version whose ``committed_at`` is <= the cutoff
     (ISO-8601 string or epoch seconds). Versions without a recorded

@@ -783,3 +783,41 @@ def test_join_view_prunes_other_side_to_touched_join_values(
            read_snapshot(spark, vw).collect()}
     assert got[(2, 20)] == "SEG" and got[(2, 21)] == "SEG"
     assert got[(3, 30)] == "s3"          # untouched pairing intact
+
+
+def test_version_for_source_pins_consistent_view_reads(spark,
+                                                       tmp_path):
+    """Map a base-table commit to the view version that incorporates
+    it — pinned reads reproduce the view exactly as of that base
+    version, across several base commits; uncovered batches raise."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_version_for_source,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    meas = {"n": ("count", None)}
+    snapshot_write(spark, tbl, spark.createDataFrame(
+        [(i, f"g{i % 2}", "p0", 1.0) for i in range(10)], AGG_SCHEMA),
+        partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(10, "g0", "p0", 1.0)], AGG_SCHEMA))
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame([(i,) for i in range(5)],
+                                          "id long"),
+                    ["id"], partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    src = f"aggregate_sync:{tbl}"
+    expect = {0: {"g0": 5, "g1": 5}, 1: {"g0": 6, "g1": 5},
+              2: {"g0": 3, "g1": 3}}
+    for base_v, want in expect.items():
+        vv = snapshot_version_for_source(spark, vw, src, base_v)
+        got = {r["g"]: r["n"] for r in
+               read_snapshot(spark, vw, vv).collect()}
+        assert got == want, (base_v, vv, got)
+    with pytest.raises(LookupError, match="hasn't applied"):
+        snapshot_version_for_source(spark, vw, src, 99)
