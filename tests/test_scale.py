@@ -431,3 +431,42 @@ def test_r8_ops_build_cost_linearish_at_10x(spark):
             f"{op} not linear-ish at 10x: {walls}")
     assert walls["bpe_50000"] < 120 and walls["pq_50000"] < 120, (
         f"10x budget blown: {walls}")
+
+
+def test_aggregate_sync_per_step_cost_stays_flat(spark, tmp_path):
+    """IVM at scale: syncing the aggregate view after the 9th append
+    costs about what the 2nd cost, although the base table is ~9x
+    larger — a re-aggregating implementation would grow ~linearly.
+    (The absolute proof that the base is never re-read is the
+    destructive test in test_materialized_aggregates; this pins the
+    end-to-end step cost.)"""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_append, snapshot_write,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    meas = {"n": ("count", None), "s": ("sum", "v"),
+            "a": ("avg", "v")}
+
+    def batch(k):
+        return spark.range(k * 5000, (k + 1) * 5000).selectExpr(
+            "id", "cast(id % 97 as string) as g",
+            "cast(id % 13 as double) as v")
+
+    snapshot_write(spark, tbl, batch(0), partition_cols=[])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    times = []
+    for k in range(1, 10):
+        snapshot_append(spark, tbl, batch(k))
+        t0 = time.monotonic()
+        aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                                measures=meas)
+        times.append(time.monotonic() - t0)
+    early = statistics.median(times[1:4])
+    late = statistics.median(times[-3:])
+    assert late <= early * 3, (
+        f"per-step sync cost grew with table size: early={early:.2f}s "
+        f"late={late:.2f}s times={['%.2f' % t for t in times]}")
