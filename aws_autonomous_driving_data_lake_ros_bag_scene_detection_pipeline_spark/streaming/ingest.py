@@ -1472,7 +1472,9 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                             group_by: list[str],
                             measures: dict[str, tuple[str, str | None]],
                             view_partition_cols: list[str] | None
-                            = None) -> dict:
+                            = None,
+                            derive: dict[str, str] | None = None,
+                            columns: list[str] | None = None) -> dict:
     """Incrementally-maintained materialized aggregate: keep a
     groupBy view of a snapshot table up to date from its CHANGE FEED
     instead of re-aggregating the table — the aggregate member of
@@ -1524,7 +1526,15 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
     commit carrying a ``source_batch`` replay marker, so a crash
     between the view commit and the sync marker re-runs the step as
     a no-op — exactly-once without coordination. Compact commits on
-    the base table are skipped without being read. Returns
+    the base table are skipped without being read.
+
+    ``derive`` maps extra column names to SQL expressions computed
+    over each feed (and over the base read in recompute steps)
+    BEFORE grouping — time-bucketed continuous rollups in one line:
+    ``derive={"day": "floor(t / 86400)"}, group_by=["day"]``. With
+    ``derive`` the feed reads ALL columns unless ``columns`` names
+    the needed subset explicitly (the expressions' inputs aren't
+    parsed out of the SQL). Returns
     ``{from_version, to_version, steps}``."""
     from ..sources.snapshots import (
         latest_version, read_snapshot, snapshot_apply_changes,
@@ -1554,8 +1564,25 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                  for op, _ in measures.values())
     has_minmax = any(op in ("min", "max")
                      for op, _ in measures.values())
-    need = list(dict.fromkeys(
-        group_by + [c for _, c in measures.values() if c is not None]))
+    derive = dict(derive or {})
+    for name in derive:
+        if name in (columns or []) or name.startswith("__"):
+            raise ValueError(
+                f"derived column {name!r} collides with a feed "
+                f"column or the internal __ prefix")
+    if columns is not None:
+        need = list(columns)
+    elif derive:
+        need = None                   # expression inputs unknown
+    else:
+        need = list(dict.fromkeys(
+            group_by + [c for _, c in measures.values()
+                        if c is not None]))
+
+    def _derived(df: DataFrame) -> DataFrame:
+        for name, expr in derive.items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
     marker = f"aggregate_sync:{table_path}"
 
     def _step_merge(ch: DataFrame, v: int) -> None:
@@ -1582,7 +1609,7 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
             else:                         # min/max: delete-free step
                 fn = F.min if op == "min" else F.max
                 aggs.append(fn(F.col(col)).alias(out))
-        delta = ch.groupBy(*group_by).agg(*aggs).persist()
+        delta = _derived(ch).groupBy(*group_by).agg(*aggs).persist()
         if latest_version(spark, view_path) is not None:
             old = read_snapshot(spark, view_path)
             if view_parts:
@@ -1646,10 +1673,11 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
             delta.unpersist()
 
     def _step_recompute(ch: DataFrame, v: int) -> None:
-        aff = ch.select(*group_by).distinct()
-        base = (read_snapshot(spark, table_path, v)
-                .select(*need)
-                .join(aff, group_by, "left_semi"))
+        aff = _derived(ch).select(*group_by).distinct()
+        base = read_snapshot(spark, table_path, v)
+        if need is not None:
+            base = base.select(*need)
+        base = _derived(base).join(aff, group_by, "left_semi")
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for out, (op, col) in measures.items():
             if op == "count":

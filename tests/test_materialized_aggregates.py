@@ -821,3 +821,47 @@ def test_version_for_source_pins_consistent_view_reads(spark,
         assert got == want, (base_v, vv, got)
     with pytest.raises(LookupError, match="hasn't applied"):
         snapshot_version_for_source(spark, vw, src, 99)
+
+
+def test_derived_group_columns_time_bucket_rollup(spark, tmp_path):
+    """Continuous time-bucketed rollups on the IVM engine: a derived
+    day bucket groups the view, stays correct through appends and
+    deletes, and an explicit feed projection keeps the column
+    pruning."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    rows = [(i, "p0", 1000.0 * i) for i in range(200)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows,
+                                         "id long, p string, t double"),
+                   partition_cols=["p"])
+    kw = dict(group_by=["day"],
+              measures={"n": ("count", None), "last_t": ("max", "t")},
+              derive={"day": "floor(t / 86400)"},
+              columns=["id", "t"])
+
+    def check():
+        want = {r["day"]: (r["n"], r["last_t"]) for r in
+                read_snapshot(spark, tbl)
+                .selectExpr("floor(t / 86400) as day", "t")
+                .groupBy("day")
+                .agg(F.count("*").alias("n"),
+                     F.max("t").alias("last_t")).collect()}
+        got = {r["day"]: (r["n"], r["last_t"]) for r in
+               read_snapshot(spark, vw).collect()}
+        assert got == want, (got, want)
+
+    aggregate_sync_snapshot(spark, tbl, vw, **kw)
+    check()
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(500, "p0", 999999.0)], "id long, p string, t double"))
+    aggregate_sync_snapshot(spark, tbl, vw, **kw)
+    check()
+    snapshot_delete(spark, tbl,
+                    spark.createDataFrame([(i,) for i in range(100)],
+                                          "id long"),
+                    ["id"], partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, **kw)
+    check()
