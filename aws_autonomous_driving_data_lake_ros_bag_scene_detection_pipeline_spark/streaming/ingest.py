@@ -549,17 +549,28 @@ def snapshot_append_stream(stream: DataFrame, *, path: str,
                            schema_evolution: bool = False,
                            stats_cols: list[str] | None = None,
                            source: str = "stream",
-                           available_now: bool = True) -> StreamingQuery:
+                           available_now: bool = True,
+                           post_batch=None) -> StreamingQuery:
     """Exactly-once streaming ingest into a snapshot table — every
     micro-batch becomes one :func:`snapshot_append_batch` commit
     (readers see whole batches or nothing; replays skip). Give each
     stream feeding the same table its own ``source`` name: batch ids
-    are only monotone per checkpoint."""
+    are only monotone per checkpoint.
+
+    ``post_batch(batch_id)`` (optional) runs AFTER each batch's
+    append commit — the hook that chains derived maintenance into
+    the same micro-batch: call :func:`aggregate_sync_snapshot` /
+    :func:`join_sync_snapshot` / an index sync there and the whole
+    stream→table→view dataflow advances together. It runs on replays
+    too (the append itself no-ops), so it must be idempotent — every
+    sync-family member already is (replay markers)."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         snapshot_append_batch(batch_df, batch_id, path=path,
                               partition_cols=partition_cols,
                               schema_evolution=schema_evolution,
                               stats_cols=stats_cols, source=source)
+        if post_batch is not None:
+            post_batch(batch_id)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir)

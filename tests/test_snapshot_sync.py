@@ -345,3 +345,64 @@ def test_sync_status_reports_lag_from_manifests(spark, tmp_path):
     st = sync_status(spark, tbl, state)
     assert st["lag_commits"] == 2
     assert st["pending_operations"] == ["append", "compact"]
+
+
+def test_stream_to_table_to_view_dataflow_exactly_once(spark,
+                                                       tmp_path):
+    """The full streaming dataflow in one foreachBatch: file stream →
+    exactly-once snapshot append → aggregate view sync via
+    post_batch. The view tracks across new arrivals, and a restart
+    with no new files advances nothing."""
+    from pyspark.sql import types as T
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        latest_version, read_snapshot as read_snap,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot, file_stream, snapshot_append_stream,
+    )
+    src = str(tmp_path / "in")
+    tbl, vw, ckpt = (str(tmp_path / n) for n in ("tbl", "vw", "ck"))
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.DoubleType())])
+    meas = {"n": ("count", None), "s": ("sum", "v")}
+
+    def pump():
+        q = snapshot_append_stream(
+            file_stream(spark, src, schema),
+            path=tbl, partition_cols=[], checkpoint_dir=ckpt,
+            post_batch=lambda bid: aggregate_sync_snapshot(
+                spark, tbl, vw, group_by=["g"], measures=meas))
+        q.awaitTermination()
+
+    def check():
+        want = {r["g"]: (r["n"], r["s"]) for r in
+                read_snap(spark, tbl).groupBy("g").agg(
+                    F.count("*").alias("n"),
+                    F.sum("v").alias("s")).collect()}
+        got = {r["g"]: (r["n"], r["s"]) for r in
+               read_snap(spark, vw).collect()}
+        assert got == want, (got, want)
+
+    (spark.createDataFrame([(i, f"g{i % 3}", float(i))
+                            for i in range(30)], schema)
+     .coalesce(1).write.mode("append").parquet(src))
+    pump()
+    check()
+    tbl_head, vw_head = latest_version(spark, tbl), \
+        latest_version(spark, vw)
+    # new arrivals advance both table and view
+    (spark.createDataFrame([(100 + i, "g0", 7.0) for i in range(5)],
+                           schema)
+     .coalesce(1).write.mode("append").parquet(src))
+    pump()
+    check()
+    assert latest_version(spark, tbl) == tbl_head + 1
+    assert latest_version(spark, vw) == vw_head + 1
+    # restart with nothing new: no table commit, no view commit
+    pump()
+    assert latest_version(spark, tbl) == tbl_head + 1
+    assert latest_version(spark, vw) == vw_head + 1
+    check()
