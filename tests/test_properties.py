@@ -714,3 +714,118 @@ def test_warc_parser_total_on_hostile_bytes(blob, seed):
     # the embedded clean record is always recovered
     assert any(err is None and pl == payload
                for _, _, pl, err in out)
+
+
+# -- r8c: IVM aggregate views vs recompute, model-based ------------------
+
+_ivm_cmds = st.lists(
+    st.tuples(st.sampled_from(["append", "upsert", "delete",
+                               "compact"]),
+              st.integers(0, 10 ** 6)),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(cmds=_ivm_cmds, minmax=st.booleans(),
+       sync_each=st.booleans(), data=st.data())
+def test_aggregate_view_matches_recompute_property(spark, cmds,
+                                                   minmax,
+                                                   sync_each, data):
+    """Model-based IVM: ANY sequence of append/upsert/delete/compact
+    commits, synced per-commit or in one catch-up, leaves the view
+    equal to a from-scratch groupBy — across both maintenance
+    disciplines (pure-additive count/sum/avg, and the semi-additive
+    min branch whose delete steps recompute)."""
+    import math
+    import shutil
+    import tempfile
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot, snapshot_append, snapshot_compact,
+        snapshot_delete, snapshot_upsert, snapshot_write,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    schema = "id long, g string, p string, val double"
+    meas = {"n": ("count", None), "s": ("sum", "val"),
+            "a": ("avg", "val")}
+    if minmax:
+        meas["mx"] = ("max", "val")
+
+    def rows(seed, n, lo):
+        return [(lo + i, f"g{(seed + i) % 3}", f"p{i % 2}",
+                 None if (seed + i) % 5 == 0 else
+                 float((seed * 7 + i) % 23)) for i in range(n)]
+
+    d = tempfile.mkdtemp(prefix="ivm_prop_")
+    tbl, vw = f"{d}/t", f"{d}/v"
+    try:
+        snapshot_write(spark, tbl,
+                       spark.createDataFrame(rows(1, 12, 0), schema),
+                       partition_cols=["p"])
+        next_id = 12
+
+        def sync():
+            aggregate_sync_snapshot(spark, tbl, vw,
+                                    group_by=["g", "p"],
+                                    measures=meas,
+                                    view_partition_cols=["p"])
+
+        def check():
+            aggs = [F.count("*").alias("n"),
+                    F.sum("val").alias("s"),
+                    F.avg("val").alias("a")]
+            if minmax:
+                aggs.append(F.max("val").alias("mx"))
+            cols = ["n", "s", "a"] + (["mx"] if minmax else [])
+            want = {(r["g"], r["p"]): tuple(r[c] for c in cols)
+                    for r in read_snapshot(spark, tbl)
+                    .groupBy("g", "p").agg(*aggs).collect()}
+            got = {(r["g"], r["p"]): tuple(r[c] for c in cols)
+                   for r in read_snapshot(spark, vw).collect()}
+            assert set(got) == set(want), (sorted(got), sorted(want))
+            for k in want:
+                for x, y in zip(got[k], want[k]):
+                    assert (x is None) == (y is None), (k, got, want)
+                    assert x is None or math.isclose(
+                        x, y, rel_tol=1e-9), (k, got[k], want[k])
+
+        sync()
+        check()
+        existing_ids = set(range(12))
+        for op, seed in cmds:
+            if op == "append":
+                n = 1 + seed % 6
+                snapshot_append(spark, tbl, spark.createDataFrame(
+                    rows(seed, n, next_id), schema))
+                existing_ids |= set(range(next_id, next_id + n))
+                next_id += n
+            elif op == "upsert":
+                ids = data.draw(st.lists(
+                    st.sampled_from(sorted(existing_ids)),
+                    min_size=1, max_size=4, unique=True))
+                snapshot_upsert(spark, tbl, spark.createDataFrame(
+                    [(i, f"g{(i + seed) % 3}", f"p{i % 2}",
+                      float(seed % 31)) for i in ids], schema),
+                    ["id"], partition_cols=["p"])
+            elif op == "delete" and existing_ids:
+                ids = data.draw(st.lists(
+                    st.sampled_from(sorted(existing_ids)),
+                    min_size=1, max_size=6, unique=True))
+                snapshot_delete(spark, tbl,
+                                spark.createDataFrame(
+                                    [(i,) for i in ids], "id long"),
+                                ["id"], partition_cols=["p"])
+                existing_ids -= set(ids)
+            else:
+                snapshot_compact(spark, tbl,
+                                 target_file_bytes=1 << 30)
+            if sync_each:
+                sync()
+                check()
+        sync()
+        check()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
