@@ -1809,17 +1809,23 @@ def snapshot_replicate(spark, src_path: str, dst_path: str, *,
                            columns=columns)
 
 
+#: __rk sentinel for a LEFT-join view's null-extended rows — they
+#: need a non-null key component so keyed apply can revise them
+_UNMATCHED = "__unmatched__"
+
+
 def join_sync_snapshot(spark, left_path: str, right_path: str,
                        view_path: str, *, on: list[str],
                        left_keys: list[str], right_keys: list[str],
-                       view_partition_cols: list[str] | None
-                       = None) -> dict:
+                       view_partition_cols: list[str] | None = None,
+                       how: str = "inner") -> dict:
     """Incrementally-maintained JOIN view: keep ``view_path`` equal
-    to the inner equi-join of two snapshot tables without re-joining
+    to the equi-join of two snapshot tables without re-joining
     them — the join member of the IVM family
     (:func:`aggregate_sync_snapshot` is the aggregate member). After
     a sync, ``read_snapshot(view_path)`` equals
-    ``left.join(right, on)`` recomputed from scratch.
+    ``left.join(right, on, how)`` recomputed from scratch
+    (``how``: ``inner`` or ``left``).
 
     Maintenance is the classic sequential delta bracket::
 
@@ -1851,7 +1857,18 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
     is created EMPTY up front (schema pinned), so a join that starts
     with zero matches is still a readable table. Version pins mean
     the tables' :func:`snapshot_prune` retention must cover the sync
-    lag. Returns ``{left: {...}, right: {...}}`` with each side's
+    lag.
+
+    ``how="left"`` keeps LEFT-OUTER semantics incremental too — the
+    hard part of join IVM: a left row with no match is stored
+    NULL-extended under an internal ``__rk`` key sentinel (project
+    it away on read), and right-side steps flip those rows entirely
+    from the view itself — a right insert that gives a left row its
+    FIRST match deletes the null-extended row in the same commit;
+    a right delete that removes a left row's LAST match re-adds it
+    (the left column values come from the doomed matched rows, no
+    extra left-table read). Right keys must be non-null.
+    Returns ``{left: {...}, right: {...}}`` with each side's
     ``from_version/to_version/steps``."""
     from ..sources.snapshots import (
         _load_manifest, latest_version, read_snapshot,
@@ -1885,7 +1902,25 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
         raise ValueError(
             f"non-join columns {sorted(clash)} exist on both sides; "
             f"rename one side before maintaining a joined view")
-    keys = list(dict.fromkeys(left_keys + right_keys))
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left_outer = how == "left"
+    if left_outer and "__rk" in set(lcols) | set(rcols):
+        raise ValueError("a '__rk' column collides with the left "
+                         "view's internal key; rename it")
+    keys = (list(dict.fromkeys(left_keys)) + ["__rk"] if left_outer
+            else list(dict.fromkeys(left_keys + right_keys)))
+
+    def _rk_col():
+        """Non-null key for the right half of a view row: the right
+        keys packed into one string, or the sentinel when the row is
+        null-extended (detected on the first right key — right keys
+        are non-null by the key-unique contract)."""
+        return (F.when(F.col(right_keys[0]).isNull(),
+                       F.lit(_UNMATCHED))
+                .otherwise(F.concat_ws(
+                    "\x1f", *[F.col(k).cast("string")
+                              for k in right_keys])).alias("__rk"))
     view_parts = list(view_partition_cols or [])
     sl, sr = f"{view_path}/_sync_left", f"{view_path}/_sync_right"
 
@@ -1905,7 +1940,10 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
         r_synced = r_head
     if latest_version(spark, view_path) is None:
         empty = (read_snapshot(spark, left_path).limit(0)
-                 .join(read_snapshot(spark, right_path).limit(0), on))
+                 .join(read_snapshot(spark, right_path).limit(0), on,
+                       how))
+        if left_outer:
+            empty = empty.select("*", _rk_col())
         snapshot_write(spark, view_path, empty,
                        partition_cols=view_parts)
 
@@ -1942,20 +1980,75 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
                         version=pin)
             if other is None:
                 other = read_snapshot(spark, other_path, pin)
-            ups = (ins.join(other, on).withColumn("_op",
-                                                  F.lit("upsert")))
             view = read_snapshot(spark, view_path)
             del_keys = (ch.where(F.col("_change_type")
                                  .isin("delete", "update_pre"))
                         .select(*side_keys).distinct())
-            dels = (view.join(del_keys, side_keys, "left_semi")
-                    .withColumn("_op", F.lit("delete")))
+            if not left_outer:
+                ups = (ins.join(other, on)
+                       .withColumn("_op", F.lit("upsert")))
+                dels = (view.join(del_keys, side_keys, "left_semi")
+                        .withColumn("_op", F.lit("delete")))
+                parts = [ups, dels]
+            elif side == "left":
+                # ΔL ⟕ R: matched rows and null-extended rows come
+                # out of the same outer join; deleting by left key
+                # sweeps a row's matched AND null-extended forms
+                ups = (ins.join(other, on, "left")
+                       .select("*", _rk_col())
+                       .withColumn("_op", F.lit("upsert")))
+                dels = (view.join(del_keys, side_keys, "left_semi")
+                        .withColumn("_op", F.lit("delete")))
+                parts = [ups, dels]
+            else:
+                # right side under LEFT-OUTER: every flip is decided
+                # from the view itself.
+                lks = list(dict.fromkeys(left_keys))
+                matched = (ins.join(other, on)
+                           .select("*", _rk_col())
+                           .withColumn("_op", F.lit("upsert")))
+                matched_lks = matched.select(*lks).distinct()
+                vm = view.where(F.col("__rk") != _UNMATCHED)
+                del_rks = (ch.where(F.col("_change_type")
+                                    .isin("delete", "update_pre"))
+                           .select(_rk_col()).distinct())
+                doomed = vm.join(del_rks, "__rk", "left_semi")
+                remaining_lks = (vm.join(del_rks, "__rk",
+                                         "left_anti")
+                                 .select(*lks).distinct())
+                # left rows losing their LAST match — unless this
+                # same step re-matches them — revert to
+                # null-extended; their left column values ride on
+                # the doomed rows (left-key-unique, so exact)
+                null_ext = (doomed.dropDuplicates(lks)
+                            .join(remaining_lks, lks, "left_anti")
+                            .join(matched_lks, lks, "left_anti"))
+                for c in view.columns:
+                    if c in rcols and c not in on:
+                        null_ext = null_ext.withColumn(
+                            c, F.lit(None).cast(
+                                dict(zip(view.columns,
+                                         [f.dataType for f in
+                                          view.schema.fields]))[c]))
+                null_ext = (null_ext
+                            .withColumn("__rk", F.lit(_UNMATCHED))
+                            .withColumn("_op", F.lit("upsert")))
+                # left rows gaining their FIRST match shed the
+                # null-extended form (a no-op when none exists)
+                null_ext_dels = (view.where(F.col("__rk")
+                                            == _UNMATCHED)
+                                 .join(matched_lks, lks, "left_semi")
+                                 .withColumn("_op", F.lit("delete")))
+                parts = [matched,
+                         doomed.withColumn("_op", F.lit("delete")),
+                         null_ext, null_ext_dels]
+            changes = parts[0].select(*view.columns, "_op")
+            for p in parts[1:]:
+                changes = changes.unionByName(
+                    p.select(*view.columns, "_op"))
             try:
                 snapshot_apply_changes(
-                    spark, view_path,
-                    ups.select(*view.columns, "_op")
-                       .unionByName(dels.select(*view.columns,
-                                                "_op")),
+                    spark, view_path, changes,
                     keys, partition_cols=view_parts,
                     source_batch=(f"join_sync:{side}:{table_path}",
                                   v))

@@ -865,3 +865,87 @@ def test_derived_group_columns_time_bucket_rollup(spark, tmp_path):
                     ["id"], partition_cols=["p"])
     aggregate_sync_snapshot(spark, tbl, vw, **kw)
     check()
+
+
+def _left_join_state(spark, vw):
+    return {(r["ck"], r["ok"]): (r["seg"], r["amt"]) for r in
+            read_snapshot(spark, vw).collect()}
+
+
+def _left_join_want(spark, lt, rt):
+    return {(r["ck"], r["ok"]): (r["seg"], r["amt"]) for r in
+            read_snapshot(spark, lt)
+            .join(read_snapshot(spark, rt), "ck", "left").collect()}
+
+
+def test_left_outer_join_view_flips_null_extension(spark, tmp_path):
+    """how='left': unmatched left rows live null-extended; a right
+    insert granting a FIRST match sheds the null-extended form, a
+    right delete removing the LAST match restores it, a right
+    re-key flips both sides at once, and left deletes sweep matched
+    and unmatched forms — each state equal to a from-scratch left
+    join."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a"), (2, "base", "a"), (3, "gold", "b")],
+        L_SCHEMA), partition_cols=["lp"])
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, 100, "x")], R_SCHEMA), partition_cols=["rp"])
+    kw = dict(on=["ck"], left_keys=["ck"], right_keys=["ok"],
+              how="left")
+
+    def check():
+        got, want = _left_join_state(spark, vw), \
+            _left_join_want(spark, lt, rt)
+        assert got == want, (got, want)
+        return got
+
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(2, None)] == ("base", None)       # null-extended
+    assert got[(1, 10)] == ("gold", 100)
+
+    # first match for ck=2 -> null-extension shed
+    snapshot_append(spark, rt, spark.createDataFrame(
+        [(11, 2, 110, "x"), (12, 1, 120, "y")], R_SCHEMA))
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert (2, None) not in got and got[(2, 11)] == ("base", 110)
+
+    # delete ck=1's matches one at a time: last removal restores
+    # the null-extended row
+    snapshot_delete(spark, rt, spark.createDataFrame([(10,)],
+                                                     "ok long"),
+                    ["ok"], partition_cols=["rp"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert (1, None) not in got and (1, 12) in got
+    snapshot_delete(spark, rt, spark.createDataFrame([(12,)],
+                                                     "ok long"),
+                    ["ok"], partition_cols=["rp"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(1, None)] == ("gold", None)
+
+    # right re-key: order 11 moves ck2 -> ck3 in ONE commit; ck=2
+    # reverts to null-extended, ck=3 sheds it
+    snapshot_upsert(spark, rt, spark.createDataFrame(
+        [(11, 3, 110, "x")], R_SCHEMA), ["ok"], partition_cols=["rp"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(2, None)] == ("base", None)
+    assert got[(3, 11)] == ("gold", 110) and (3, None) not in got
+
+    # left delete sweeps both forms; left attr update fans out
+    snapshot_delete(spark, lt, spark.createDataFrame([(2,)],
+                                                     "ck long"),
+                    ["ck"], partition_cols=["lp"])
+    snapshot_upsert(spark, lt, spark.createDataFrame(
+        [(1, "plat", "a")], L_SCHEMA), ["ck"], partition_cols=["lp"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(1, None)] == ("plat", None)
+    assert all(ck != 2 for ck, _ in got)

@@ -829,3 +829,117 @@ def test_aggregate_view_matches_recompute_property(spark, cmds,
         check()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_join_cmds = st.lists(
+    st.tuples(st.sampled_from(["l", "r"]),
+              st.sampled_from(["append", "upsert", "delete"]),
+              st.integers(0, 10 ** 6)),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(cmds=_join_cmds, how=st.sampled_from(["inner", "left"]),
+       sync_each=st.booleans(), data=st.data())
+def test_join_view_matches_recompute_property(spark, cmds, how,
+                                              sync_each, data):
+    """Model-based join IVM: ANY sequence of commits on EITHER
+    table, inner or left-outer, synced per-commit or in one
+    catch-up, leaves the view equal to a from-scratch join —
+    including join-value re-keys and the left-outer null-extension
+    flips."""
+    import shutil
+    import tempfile
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot, snapshot_append, snapshot_delete,
+        snapshot_upsert, snapshot_write,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    d = tempfile.mkdtemp(prefix="jv_prop_")
+    lt, rt, vw = f"{d}/l", f"{d}/r", f"{d}/v"
+    L = "lk long, attr string, lp string"
+    R = "rk long, lk long, amt long, rp string"
+    try:
+        snapshot_write(spark, lt, spark.createDataFrame(
+            [(k, f"a{k}", f"p{k % 2}") for k in range(4)], L),
+            partition_cols=["lp"])
+        snapshot_write(spark, rt, spark.createDataFrame(
+            [(100 + j, j % 5, 10 * j, f"q{j % 2}")
+             for j in range(6)], R),      # lk=4 unmatched, rk->lk 0..4
+            partition_cols=["rp"])
+        l_ids, r_ids = set(range(4)), set(range(100, 106))
+        next_l, next_r = 4, 106
+        kw = dict(on=["lk"], left_keys=["lk"], right_keys=["rk"],
+                  how=how)
+
+        def sync():
+            join_sync_snapshot(spark, lt, rt, vw, **kw)
+
+        def check():
+            want = {(r["lk"], r["rk"]): (r["attr"], r["amt"])
+                    for r in read_snapshot(spark, lt)
+                    .join(read_snapshot(spark, rt), "lk", how)
+                    .collect()}
+            got = {(r["lk"], r["rk"]): (r["attr"], r["amt"])
+                   for r in read_snapshot(spark, vw)
+                   .select("lk", "rk", "attr", "amt").collect()}
+            assert got == want, (sorted(got.items()),
+                                 sorted(want.items()))
+
+        sync()
+        check()
+        for side, op, seed in cmds:
+            if side == "l":
+                if op == "append":
+                    snapshot_append(spark, lt, spark.createDataFrame(
+                        [(next_l, f"a{seed % 9}",
+                          f"p{next_l % 2}")], L))
+                    l_ids.add(next_l)
+                    next_l += 1
+                elif op == "upsert":
+                    k = data.draw(st.sampled_from(sorted(l_ids)))
+                    snapshot_upsert(spark, lt,
+                                    spark.createDataFrame(
+                                        [(k, f"u{seed % 9}",
+                                          f"p{k % 2}")], L),
+                                    ["lk"], partition_cols=["lp"])
+                elif l_ids:
+                    k = data.draw(st.sampled_from(sorted(l_ids)))
+                    snapshot_delete(spark, lt,
+                                    spark.createDataFrame(
+                                        [(k,)], "lk long"),
+                                    ["lk"], partition_cols=["lp"])
+                    l_ids.discard(k)
+            else:
+                if op == "append":
+                    snapshot_append(spark, rt, spark.createDataFrame(
+                        [(next_r, seed % 6, seed % 50,
+                          f"q{next_r % 2}")], R))
+                    r_ids.add(next_r)
+                    next_r += 1
+                elif op == "upsert":
+                    j = data.draw(st.sampled_from(sorted(r_ids)))
+                    # re-key half the time: the hard flip
+                    snapshot_upsert(spark, rt,
+                                    spark.createDataFrame(
+                                        [(j, seed % 6, seed % 50,
+                                          f"q{j % 2}")], R),
+                                    ["rk"], partition_cols=["rp"])
+                elif r_ids:
+                    j = data.draw(st.sampled_from(sorted(r_ids)))
+                    snapshot_delete(spark, rt,
+                                    spark.createDataFrame(
+                                        [(j,)], "rk long"),
+                                    ["rk"], partition_cols=["rp"])
+                    r_ids.discard(j)
+            if sync_each:
+                sync()
+                check()
+        sync()
+        check()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
