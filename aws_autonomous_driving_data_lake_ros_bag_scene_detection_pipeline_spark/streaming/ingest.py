@@ -1825,7 +1825,10 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
     (:func:`aggregate_sync_snapshot` is the aggregate member). After
     a sync, ``read_snapshot(view_path)`` equals
     ``left.join(right, on, how)`` recomputed from scratch
-    (``how``: ``inner`` or ``left``).
+    (``how``: ``inner``, ``left`` or ``right`` — a right join runs
+    as the mirrored left join; full-outer is deliberately not
+    maintained: the symmetric double-sided null-extension doubles
+    the bookkeeping for a shape left+right already cover).
 
     Maintenance is the classic sequential delta bracket::
 
@@ -1902,8 +1905,17 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
         raise ValueError(
             f"non-join columns {sorted(clash)} exist on both sides; "
             f"rename one side before maintaining a joined view")
+    if how == "right":
+        # a right join IS the mirrored left join (the view's column
+        # set is identical; only the follower roles swap)
+        out = join_sync_snapshot(
+            spark, right_path, left_path, view_path, on=on,
+            left_keys=right_keys, right_keys=left_keys,
+            view_partition_cols=view_partition_cols, how="left")
+        return {"left": out["right"], "right": out["left"]}
     if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'right', got {how!r}")
     left_outer = how == "left"
     if left_outer and "__rk" in set(lcols) | set(rcols):
         raise ValueError("a '__rk' column collides with the left "

@@ -949,3 +949,40 @@ def test_left_outer_join_view_flips_null_extension(spark, tmp_path):
     got = check()
     assert got[(1, None)] == ("plat", None)
     assert all(ck != 2 for ck, _ in got)
+
+
+def test_right_join_view_is_the_mirrored_left(spark, tmp_path):
+    """how='right' runs as the mirrored left join: dangling right
+    rows live null-extended and flip when the dim side catches up."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a")], L_SCHEMA), partition_cols=["lp"])
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, 100, "x"), (11, 9, 110, "x")], R_SCHEMA),
+        partition_cols=["rp"])
+    kw = dict(on=["ck"], left_keys=["ck"], right_keys=["ok"],
+              how="right")
+
+    def check():
+        want = {(r["ok"], r["ck"]): (r["seg"], r["amt"]) for r in
+                read_snapshot(spark, lt)
+                .join(read_snapshot(spark, rt), "ck", "right")
+                .collect()}
+        got = {(r["ok"], r["ck"]): (r["seg"], r["amt"]) for r in
+               read_snapshot(spark, vw)
+               .select("ok", "ck", "seg", "amt").collect()}
+        assert got == want, (got, want)
+        return got
+
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(11, 9)] == (None, 110)        # dangling fact kept
+    # the missing dim arrives: the null-extended row flips
+    snapshot_append(spark, lt, spark.createDataFrame(
+        [(9, "late", "b")], L_SCHEMA))
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(11, 9)] == ("late", 110)
