@@ -840,7 +840,7 @@ _join_cmds = st.lists(
 
 @settings(max_examples=8, deadline=None,
           suppress_health_check=list(HealthCheck))
-@given(cmds=_join_cmds, how=st.sampled_from(["inner", "left"]),
+@given(cmds=_join_cmds, how=st.sampled_from(["inner", "left", "right"]),
        sync_each=st.booleans(), data=st.data())
 def test_join_view_matches_recompute_property(spark, cmds, how,
                                               sync_each, data):
