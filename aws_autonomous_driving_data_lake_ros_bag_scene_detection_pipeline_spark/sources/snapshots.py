@@ -894,19 +894,35 @@ def snapshot_version_for_source(spark: SparkSession, path: str,
     if head is None:
         raise FileNotFoundError(f"no published snapshot under {path}")
     jvm, fs, _ = _fs(spark, path)
-    for v in range(head + 1):
-        jp = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/{_MANIFEST_DIR}/{v}.json")
-        if not fs.exists(jp):
-            continue                   # pruned past retention
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST_DIR}")
+    vs = sorted(int(n[:-5]) for n in
+                (st.getPath().getName()
+                 for st in fs.listStatus(mdir))
+                if n.endswith(".json") and n[:-5].isdigit())
+
+    def covered(v: int) -> bool:
         srcs = _load_manifest(spark, path, v).get(
             "append_sources") or {}
-        if srcs.get(source, -1) >= batch_id:
-            return v
-    raise LookupError(
-        f"no retained version of {path} covers {source!r} batch "
-        f"{batch_id} (head={head}) — the consumer hasn't applied it "
-        f"yet, or retention pruned the covering versions")
+        return srcs.get(source, -1) >= batch_id
+
+    # one directory listing + O(log n) manifest reads: the recorded
+    # marker is monotone in version (rollback is the one commit that
+    # can dip it — after one, the boundary found here may be a LATER
+    # covering version than the earliest, which still satisfies the
+    # contract "a version that incorporates the batch")
+    if not vs or not covered(vs[-1]):
+        raise LookupError(
+            f"no retained version of {path} covers {source!r} batch "
+            f"{batch_id} (head={head}) — the consumer hasn't applied "
+            f"it yet, or retention pruned the covering versions")
+    lo, hi = 0, len(vs) - 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if covered(vs[mid]):
+            hi = mid
+        else:
+            lo = mid + 1
+    return vs[lo]
 
 
 def _resolve_as_of(spark: SparkSession, path: str, as_of) -> int:
@@ -1034,11 +1050,17 @@ def _query_intervals(predicates: list[tuple]) -> dict[str, tuple]:
     return out
 
 
+_PCT_ESC = None
+
+
 def _partition_values(entry: dict) -> dict:
     """The entry's hive partition values as ``{col: raw_string|None}``
     (percent-escapes undone, the NULL sentinel mapped to None) — what
     manifest-level partition pruning evaluates predicates against."""
-    import re as _re
+    global _PCT_ESC
+    if _PCT_ESC is None:
+        import re as _re
+        _PCT_ESC = _re.compile("%([0-9A-Fa-f]{2})")
     out: dict = {}
     part = entry.get("partition") or ""
     if not part:
@@ -1048,17 +1070,17 @@ def _partition_values(entry: dict) -> dict:
         if not eq:
             continue
         out[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else \
-            _re.sub("%([0-9A-Fa-f]{2})",
-                    lambda m: chr(int(m.group(1), 16)), v)
+            _PCT_ESC.sub(lambda m: chr(int(m.group(1), 16)), v)
     return out
 
 
 #: both spellings appear in the wild: StructType JSON uses
 #: byte/short/integer/long, SQL simpleString uses
 #: tinyint/smallint/int/bigint
-_NUM_TYPES = {"byte", "short", "integer", "long",
-              "tinyint", "smallint", "int", "bigint",
-              "float", "double"}
+_INT_TYPES = {"byte", "short", "integer", "long",
+              "tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+_NUM_TYPES = _INT_TYPES | _FLOAT_TYPES
 
 
 def _partition_rejects(pvals: dict, col: str, op: str, val,
@@ -1093,7 +1115,12 @@ def _partition_rejects(pvals: dict, col: str, op: str, val,
         if isinstance(v, bool):
             raise TypeError("boolean partition coercion is ambiguous")
         if numeric and isinstance(v, (int, float)):
-            return float(pv), float(v)
+            # parse by the COLUMN's type: int() keeps bigint
+            # comparisons exact past 2^53 (Python int/float
+            # comparisons are exact, so a float literal against an
+            # integral column needs no rounding either)
+            return (int(pv) if col_type in _INT_TYPES
+                    else float(pv)), v
         if string and isinstance(v, str):
             return pv, v
         raise TypeError("cross-domain comparison proves nothing")
@@ -1114,7 +1141,8 @@ def _partition_rejects(pvals: dict, col: str, op: str, val,
 
 
 def _conj_may_match(entry: dict, predicates: list[tuple],
-                    col_types: dict | None = None) -> bool:
+                    col_types: dict | None = None,
+                    pvals: dict | None = None) -> bool:
     """File-granular zone-map check for ONE conjunction: False only
     when the entry's stats (or the conjunction's own emptiness) PROVE
     no row can satisfy it. Entries without stats for a predicate's
@@ -1135,7 +1163,8 @@ def _conj_may_match(entry: dict, predicates: list[tuple],
     only help after the reader has resolved the explicit file list,
     which at 10⁶ files is itself the cost)."""
     st = entry.get("stats") or {}
-    pvals = _partition_values(entry)
+    if pvals is None:
+        pvals = _partition_values(entry) if col_types else {}
     try:
         if pvals and col_types:
             for col, op, val in predicates:
@@ -1209,8 +1238,12 @@ def _conj_may_match(entry: dict, predicates: list[tuple],
 
 def _entry_may_match(entry: dict, dnf: list[list[tuple]],
                      col_types: dict | None = None) -> bool:
-    """Keep an entry iff ANY disjunct's conjunction may match."""
-    return any(_conj_may_match(entry, conj, col_types)
+    """Keep an entry iff ANY disjunct's conjunction may match.
+    Partition values are parsed ONCE per entry here (not per
+    conjunction) — at 10\u2076 files the dir parse is the pruning
+    hot path."""
+    pvals = _partition_values(entry) if col_types else {}
+    return any(_conj_may_match(entry, conj, col_types, pvals)
                for conj in dnf)
 
 
@@ -1914,10 +1947,10 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
                    .drop(change_col))
         prev = latest_version(spark, path)
         if prev is None:
-            if not ops.get("upsert"):
-                raise FileNotFoundError(
-                    f"no published snapshot under {path} and the "
-                    f"changeset has no upsert rows to create it from")
+            # empty or delete-only changesets still CREATE the table
+            # (schema from the changeset, zero rows) — an initial
+            # sync from an empty source must produce an empty
+            # replica/view, not an error
             srcs0 = {source_batch[0]: source_batch[1]} \
                 if source_batch else None
             return snapshot_write(spark, path, upserts,
@@ -1950,7 +1983,15 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
         changed_keys = changes.select(*keys).distinct()
         if hit:
             existing = _read_files(spark, path, hit, m.get("schema"))
-            merged = (existing.join(changed_keys, keys, "left_anti")
+            # NULL-SAFE key match: a stored row whose key contains
+            # NULL (an aggregate view's null group, say) must still
+            # be replaced/deleted by its changeset row — a plain
+            # equi-anti-join would never match it
+            cond = None
+            for k in keys:
+                e = existing[k].eqNullSafe(changed_keys[k])
+                cond = e if cond is None else cond & e
+            merged = (existing.join(changed_keys, cond, "left_anti")
                       .unionByName(upserts,
                                    allowMissingColumns=schema_evolution))
         elif table_cols:

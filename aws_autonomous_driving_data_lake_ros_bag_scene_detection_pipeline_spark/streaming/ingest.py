@@ -1471,6 +1471,19 @@ def minhash_sync_snapshot(spark, table_path: str, *, index_path: str,
         apply_delete=_delete, apply_insert=_insert)
 
 
+def _nullsafe_on(left_alias: str, right_alias: str,
+                 cols: list[str]):
+    """Join condition matching NULLs as equal on every column — a
+    null group-by key is a real group and must merge/replace like
+    any other."""
+    cond = None
+    for c in cols:
+        e = F.col(f"{left_alias}.{c}").eqNullSafe(
+            F.col(f"{right_alias}.{c}"))
+        cond = e if cond is None else cond & e
+    return cond
+
+
 #: measure ops a delta step can MERGE arithmetically (min/max only
 #: while no delete has to be unwound — see the per-step rule below)
 _MERGEABLE_OPS = {"count", "sum", "avg", "min", "max"}
@@ -1576,11 +1589,20 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
     has_minmax = any(op in ("min", "max")
                      for op, _ in measures.values())
     derive = dict(derive or {})
-    for name in derive:
-        if name in (columns or []) or name.startswith("__"):
-            raise ValueError(
-                f"derived column {name!r} collides with a feed "
-                f"column or the internal __ prefix")
+    if derive:
+        import json as _json
+        from ..sources.snapshots import _load_manifest
+        head = latest_version(spark, table_path)
+        sch = (_load_manifest(spark, table_path, head).get("schema")
+               if head is not None else None)
+        table_cols = ([f["name"] for f in
+                       _json.loads(sch)["fields"]] if sch else [])
+        for name in derive:
+            if name in table_cols or name in (columns or []) \
+                    or name.startswith("__"):
+                raise ValueError(
+                    f"derived column {name!r} collides with a table/"
+                    f"feed column or the internal __ prefix")
     if columns is not None:
         need = list(columns)
     elif derive:
@@ -1631,15 +1653,23 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                 # partitions) however wide the view has grown
                 touched = delta.select(*view_parts).distinct().collect()
                 for c in view_parts:
-                    old = old.where(
-                        F.col(c).isin([r[c] for r in touched]))
+                    vals = [r[c] for r in touched]
+                    nn = [v for v in vals if v is not None]
+                    cond = (F.col(c).isin(nn) if nn
+                            else F.lit(False))
+                    if len(nn) < len(vals):      # null group touched
+                        cond = cond | F.col(c).isNull()
+                    old = old.where(cond)
         else:
             # first step: the merge expressions only ever read the
             # DELTA's columns from the old side (avg's stored value
             # column is derived, never merged from), so an empty
             # frame with the delta's schema is a sufficient old side
             old = spark.createDataFrame([], delta.schema)
-        j = delta.alias("d").join(old.alias("o"), group_by, "left")
+        # null-safe group match: the null group is a real group
+        j = delta.alias("d").join(
+            old.alias("o"),
+            _nullsafe_on("d", "o", group_by), "left")
 
         def d(c):  # delta side
             return F.col(f"d.{c}")
@@ -1647,7 +1677,7 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
         def o(c):  # old (stored) side
             return F.col(f"o.{c}")
         rows_new = F.coalesce(o("__rows"), F.lit(0)) + d("__rows")
-        sel = [F.col(c) for c in group_by]
+        sel = [d(c).alias(c) for c in group_by]
         for out, (op, col) in measures.items():
             if op == "count":
                 sel.append((F.coalesce(o(out), F.lit(0))
@@ -1688,7 +1718,9 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
         base = read_snapshot(spark, table_path, v)
         if need is not None:
             base = base.select(*need)
-        base = _derived(base).join(aff, group_by, "left_semi")
+        base = (_derived(base).alias("b")
+                .join(aff.alias("a"),
+                      _nullsafe_on("b", "a", group_by), "left_semi"))
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for out, (op, col) in measures.items():
             if op == "count":
@@ -1711,7 +1743,9 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                 aggs.append(F.count_distinct(F.col(col)).alias(out))
         rec = base.groupBy(*group_by).agg(*aggs)
         ups = rec.withColumn("_op", F.lit("upsert"))
-        gone = aff.join(rec, group_by, "left_anti")
+        gone = (aff.alias("a")
+                .join(rec.alias("r"),
+                      _nullsafe_on("a", "r", group_by), "left_anti"))
         for c in rec.columns:
             if c not in group_by:
                 gone = gone.withColumn(
@@ -2093,15 +2127,28 @@ def sync_status(spark, table_path: str, state_path: str) -> dict:
     synced), so an operator can see at a glance whether the lag is
     real work (appends/upserts) or skippable compactions."""
     from ..sources.snapshots import _load_manifest, latest_version
+    from ..sources.snapshots import _fs, _MANIFEST_DIR
     head = latest_version(spark, table_path)
     if head is None:
         raise FileNotFoundError(
             f"no published snapshot under {table_path}")
     synced = _synced_version(spark, state_path)
+    if synced is not None and synced > head:
+        raise ValueError(
+            f"follower state at {state_path} is synced to version "
+            f"{synced} but {table_path} is at {head} — was the "
+            f"table rebuilt?")
     lag = head - synced if synced is not None else head + 1
     lo = synced + 1 if synced is not None else 0
-    pending = [
-        _load_manifest(spark, table_path, v).get("operation")
-        for v in range(lo, min(head, lo + 49) + 1)]
+    jvm, fs, _ = _fs(spark, table_path)
+    pending = []
+    for v in range(lo, min(head, lo + 49) + 1):
+        jp = jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/{_MANIFEST_DIR}/{v}.json")
+        if not fs.exists(jp):
+            pending.append("(pruned)")   # lagged past retention
+            continue
+        pending.append(
+            _load_manifest(spark, table_path, v).get("operation"))
     return {"table_head": head, "synced_version": synced,
             "lag_commits": lag, "pending_operations": pending}

@@ -133,13 +133,15 @@ def test_apply_changes_contracts(spark, tmp_path):
     assert snapshot_apply_changes(
         spark, path, empty, ["id"], partition_cols=["day"]) \
         == latest_version(spark, path) == 0
-    # deletes can't create a table
-    with pytest.raises(FileNotFoundError, match="no upsert rows"):
-        snapshot_apply_changes(
-            spark, str(tmp_path / "nope"),
-            spark.createDataFrame([(1, "d1", None, "delete")],
-                                  CH_SCHEMA),
-            ["id"], partition_cols=["day"])
+    # a delete-only changeset against no table CREATES it empty
+    # (schema from the changeset) — an initial sync from an empty
+    # source must yield an empty replica, not an error
+    nope = str(tmp_path / "nope")
+    assert snapshot_apply_changes(
+        spark, nope,
+        spark.createDataFrame([(1, "d1", None, "delete")], CH_SCHEMA),
+        ["id"], partition_cols=["day"]) == 0
+    assert read_snapshot(spark, nope).count() == 0
 
 
 # ---------------------------------------------------------------- #
@@ -986,3 +988,101 @@ def test_right_join_view_is_the_mirrored_left(spark, tmp_path):
     join_sync_snapshot(spark, lt, rt, vw, **kw)
     got = check()
     assert got[(11, 9)] == ("late", 110)
+
+
+def test_null_group_keys_are_real_groups(spark, tmp_path):
+    """A NULL group-by value is a legitimate group: it merges on the
+    additive path, recomputes on the semi-additive path, and never
+    duplicates or lingers — the null-safe key plumbing down through
+    snapshot_apply_changes."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    for suffix, meas in (("add", {"n": ("count", None),
+                                  "s": ("sum", "val")}),
+                         ("mm", {"n": ("count", None),
+                                 "mx": ("max", "val")})):
+        tbl = str(tmp_path / f"t_{suffix}")
+        vw = str(tmp_path / f"v_{suffix}")
+        rows = [(i, None if i % 3 == 0 else f"g{i % 2}", "p0",
+                 float(i)) for i in range(20)]
+        snapshot_write(spark, tbl,
+                       spark.createDataFrame(rows, AGG_SCHEMA),
+                       partition_cols=["p"])
+        aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                                measures=meas)
+
+        def check():
+            want = {r["g"]: r["n"] for r in
+                    read_snapshot(spark, tbl).groupBy("g")
+                    .agg(F.count("*").alias("n")).collect()}
+            got_rows = read_snapshot(spark, vw).collect()
+            got = {r["g"]: r["n"] for r in got_rows}
+            assert len(got_rows) == len(got), \
+                "duplicate group rows in the view"
+            assert got == want, (got, want)
+
+        check()
+        # touch the null group from both directions
+        snapshot_append(spark, tbl, spark.createDataFrame(
+            [(100, None, "p0", 50.0)], AGG_SCHEMA))
+        aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                                measures=meas)
+        check()
+        doomed = [(i,) for i in range(20) if i % 3 == 0]
+        snapshot_delete(spark, tbl,
+                        spark.createDataFrame(doomed, "id long"),
+                        ["id"], partition_cols=["p"])
+        aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                                measures=meas)
+        check()
+        # drain the null group entirely: its row must vanish
+        snapshot_delete(spark, tbl,
+                        spark.createDataFrame([(100,)], "id long"),
+                        ["id"], partition_cols=["p"])
+        aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                                measures=meas)
+        check()
+        assert None not in {r["g"] for r in
+                            read_snapshot(spark, vw).collect()}
+
+
+def test_empty_source_initial_sync_creates_empty_consumers(
+        spark, tmp_path):
+    """Replication and aggregate views of an EMPTY source table come
+    up as empty, readable consumers — and fill in on later syncs."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot, snapshot_replicate,
+    )
+    tbl = str(tmp_path / "t")
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame([], AGG_SCHEMA),
+                   partition_cols=["p"])
+    dst, vw = str(tmp_path / "d"), str(tmp_path / "v")
+    snapshot_replicate(spark, tbl, dst, keys=["id"])
+    assert read_snapshot(spark, dst).count() == 0
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures={"n": ("count", None)})
+    assert read_snapshot(spark, vw).count() == 0
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(1, "g0", "p0", 1.0)], AGG_SCHEMA))
+    snapshot_replicate(spark, tbl, dst, keys=["id"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures={"n": ("count", None)})
+    assert read_snapshot(spark, dst).count() == 1
+    assert {r["g"]: r["n"] for r in
+            read_snapshot(spark, vw).collect()} == {"g0": 1}
+
+
+def test_derive_collision_with_table_column_raises(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot,
+    )
+    tbl = str(tmp_path / "t")
+    snapshot_write(spark, tbl, spark.createDataFrame(
+        [(1, "g", "p", 1.0)], AGG_SCHEMA), partition_cols=["p"])
+    with pytest.raises(ValueError, match="collides with a table"):
+        aggregate_sync_snapshot(
+            spark, tbl, str(tmp_path / "v"), group_by=["g"],
+            measures={"n": ("count", None)},
+            derive={"val": "val * 2"})

@@ -755,7 +755,10 @@ def test_aggregate_view_matches_recompute_property(spark, cmds,
         meas["mx"] = ("max", "val")
 
     def rows(seed, n, lo):
-        return [(lo + i, f"g{(seed + i) % 3}", f"p{i % 2}",
+        # the NULL group is a real group — generate it too
+        return [(lo + i,
+                 None if (seed + i) % 4 == 0 else
+                 f"g{(seed + i) % 3}", f"p{i % 2}",
                  None if (seed + i) % 5 == 0 else
                  float((seed * 7 + i) % 23)) for i in range(n)]
 
@@ -807,7 +810,9 @@ def test_aggregate_view_matches_recompute_property(spark, cmds,
                     st.sampled_from(sorted(existing_ids)),
                     min_size=1, max_size=4, unique=True))
                 snapshot_upsert(spark, tbl, spark.createDataFrame(
-                    [(i, f"g{(i + seed) % 3}", f"p{i % 2}",
+                    [(i,
+                      None if (i + seed) % 4 == 0 else
+                      f"g{(i + seed) % 3}", f"p{i % 2}",
                       float(seed % 31)) for i in ids], schema),
                     ["id"], partition_cols=["p"])
             elif op == "delete" and existing_ids:

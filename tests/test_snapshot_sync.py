@@ -406,3 +406,36 @@ def test_stream_to_table_to_view_dataflow_exactly_once(spark,
     assert latest_version(spark, tbl) == tbl_head + 1
     assert latest_version(spark, vw) == vw_head + 1
     check()
+
+
+def test_sync_status_survives_pruned_history_and_rebuilds(spark,
+                                                          tmp_path):
+    """Observability must not crash where it matters most: a
+    consumer lagging past retention sees '(pruned)' placeholders,
+    and a rebuilt table raises the follower's own error."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_prune,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        sync_status,
+    )
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, "a", "x")],
+                               "doc_id long, text string, b string")
+    snapshot_write(spark, tbl, df, partition_cols=["b"])
+    for k in range(3):
+        snapshot_append(spark, tbl, df)
+    snapshot_prune(spark, tbl, keep_latest=2,
+                   orphan_grace_seconds=0.0)
+    st = sync_status(spark, tbl, state)      # fresh consumer, lo=0
+    assert st["lag_commits"] == 4
+    assert st["pending_operations"][:2] == ["(pruned)", "(pruned)"]
+    assert st["pending_operations"][-1] == "append"
+    # rebuilt table: synced marker ahead of head
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming.ingest import (
+        _mark_synced,
+    )
+    _mark_synced(spark, state, 99)
+    with pytest.raises(ValueError, match="rebuilt"):
+        sync_status(spark, tbl, state)

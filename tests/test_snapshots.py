@@ -1616,3 +1616,21 @@ def test_manifest_level_partition_pruning(spark, tmp_path):
     got2 = {(r["id"], r["val"]) for r in
             read_snapshot(spark, path, where="b in (1, 3)").collect()}
     assert got2 == full
+
+
+def test_partition_prune_integral_exact_past_2_53():
+    """Integral partition values compare as Python ints — a bigint
+    boundary one past 2^53 must NOT be pruned by float rounding."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.snapshots import (
+        _partition_rejects,
+    )
+    big = (1 << 53) + 1
+    pv = {"b": str(big)}
+    # true integer compare: big > 2^53 keeps the file
+    assert not _partition_rejects(pv, "b", ">", 1 << 53, "long")
+    assert _partition_rejects(pv, "b", "<=", 1 << 53, "long")
+    assert not _partition_rejects(pv, "b", "=", big, "long")
+    assert _partition_rejects(pv, "b", "=", big - 1, "long")
+    # float literal against an integral column stays exact too
+    assert not _partition_rejects(pv, "b", ">", float(1 << 53),
+                                  "long")
