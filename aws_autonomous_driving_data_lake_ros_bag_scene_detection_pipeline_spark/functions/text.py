@@ -240,8 +240,10 @@ def canonical_url(col: Column | str, *,
     # lowercase scheme://host[:port] only
     c = F.concat(F.lower(F.regexp_extract(c, "^([^/?#]*://[^/?#]*)", 1)),
                  F.regexp_replace(c, "^[^/?#]*://[^/?#]*", ""))
-    c = F.regexp_replace(c, "^(https?://[^/?#:]+):(80|443)(?=[/?#]|$)",
-                         "$1")
+    # capture-and-restore instead of lookahead (RE2-mirrorable, like
+    # the PII patterns): group 3 is the boundary char or empty at $
+    c = F.regexp_replace(c, "^(https?://[^/?#:]+):(80|443)([/?#]|$)",
+                         "$1$3")
     c = F.regexp_replace(c, "#.*$", "")
     if strip_tracking_params:
         c = F.regexp_replace(c, "([?&])" + _TRACKING_PARAM_RE
@@ -309,11 +311,18 @@ def html_to_text(col: Column | str) -> Column:
     stand-in for trafilatura-class extraction — the Spark-side shape
     (pure Catalyst, composes with the quality/dedup operators) is the
     100 TB point; numeric character references are left as-is
-    (documented limitation)."""
+    (documented limitation).
+
+    Patterns are pinned to the Java-regex ∩ RE2 subset (no
+    backreferences, no lookaround) — same discipline as the PII
+    patterns — so the DuckDB oracle replays the chain verbatim
+    (driver gate: q_text_stats ``web_fp``)."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(
-        c, r"(?is)<(script|style|noscript|template|head)\b.*?</\1\s*>",
-        " ")
+    # one pass per non-content element instead of a backreferenced
+    # alternation (`</\1>` is Java-only; RE2 has no backreferences)
+    for tag in ("script", "style", "noscript", "template", "head"):
+        c = F.regexp_replace(
+            c, rf"(?is)<{tag}\b.*?</{tag}[ \t\n\r\f]*>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(
         c, r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/section"

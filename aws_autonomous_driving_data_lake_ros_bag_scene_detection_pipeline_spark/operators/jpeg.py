@@ -339,6 +339,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while i < len(raw) - 1:
         if raw[i] == 0xFF and raw[i + 1] != 0x00:
             m = raw[i + 1]
+            if m == 0xFF:
+                # T.81 B.1.1.2 permits runs of 0xFF fill bytes before
+                # a marker; they are padding, not a marker and not
+                # entropy data the reader will consume — skip forward
+                # (the run's final 0xFF + marker byte terminate below)
+                i += 1
+                continue
             if 0xD0 <= m <= 0xD7:
                 segments.append(raw[start:i])
                 i += 2

@@ -855,8 +855,13 @@ def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str, *,
     Initialization is the same deterministic hash-ordered oversample +
     greedy farthest-point, per subspace. ``dim`` must be divisible by
     ``m``."""
-    if m < 1 or ksub < 1 or ksub > 65536:
-        raise ValueError(f"need m >= 1 and 1 <= ksub <= 65536, "
+    # 32768, not 65536: pq_encode persists codes as array<smallint>
+    # (the whole point is small codes) and a cid >= 2^15 would
+    # overflow at the Arrow conversion — the ceiling must match the
+    # storage type, not the abstract codebook math
+    if m < 1 or ksub < 1 or ksub > 32768:
+        raise ValueError(f"need m >= 1 and 1 <= ksub <= 32768 "
+                         f"(codes persist as smallint), "
                          f"got m={m} ksub={ksub}")
     import numpy as np
 

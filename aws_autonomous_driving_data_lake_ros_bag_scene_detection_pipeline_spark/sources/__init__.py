@@ -10,6 +10,10 @@ from .snapshots import (
     snapshot_scan, snapshot_tag, snapshot_tags, snapshot_untag,
     snapshot_upsert, snapshot_version_for_source, snapshot_write,
 )
+from .mcap import (  # noqa: F401
+    decode_cdr_messages, extract_mcap_topics, mcap_topic_metadata,
+    parse_mcap_bytes, read_mcap_messages,
+)
 from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
 )

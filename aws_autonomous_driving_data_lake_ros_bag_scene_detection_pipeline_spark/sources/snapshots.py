@@ -1936,8 +1936,21 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
     data_cols = [c for c in changes.columns if c != change_col]
     changes = changes.persist()
     try:
-        ops = {r[0]: r[1] for r in
-               changes.groupBy(change_col).count().collect()}
+        # ONE driver action for op validation AND affected-partition
+        # discovery: the changeset plan behind an IVM step can be a
+        # whole change-feed diff + merge join — materializing it once
+        # (into the persist) and answering both questions from the
+        # same bounded summary halves the fixed per-job overhead that
+        # dominates small maintenance commits
+        summary = (changes.groupBy(change_col, *partition_cols)
+                   .count().collect())
+        ops: dict[str, int] = {}
+        for r in summary:
+            ops[r[0]] = ops.get(r[0], 0) + r[-1]
+        # set, not sorted: partition values may include None, which
+        # does not compare with strings
+        aff_vals = list({tuple(r[1:1 + len(partition_cols)])
+                         for r in summary})
         bad = set(ops) - {"upsert", "delete"}
         if bad:
             raise ValueError(
@@ -1976,8 +1989,6 @@ def snapshot_apply_changes(spark: SparkSession, path: str,
                                 partition_cols, schema_evolution)
 
         entries = _manifest_entries(spark, path, m)
-        aff_vals = [tuple(r) for r in
-                    changes.select(*partition_cols).distinct().collect()]
         aff = _affected_dirs(aff_vals, partition_cols)
         hit = [e for e in entries if e["partition"] in aff]
         changed_keys = changes.select(*keys).distinct()
@@ -2374,11 +2385,25 @@ def snapshot_changes(spark: SparkSession, path: str,
         raise ValueError(
             f"table columns collide with change-feed metadata "
             f"columns: {sorted(reserved)}")
-    net = (df_add.groupBy(*cols)
-           .agg(F.count(F.lit(1)).alias("_n_add"))
-           .join(df_rem.groupBy(*cols)
-                 .agg(F.count(F.lit(1)).alias("_n_rem")),
-                 cols, "full_outer")
+    # the multiset diff must treat NULL column values as equal on both
+    # sides: a USING-column full_outer join is null-UNSAFE, so an
+    # unchanged row carrying a NULL in any projected column inside a
+    # rewritten file would never cancel and surface as a phantom
+    # insert+delete pair (breaking the "rows an upsert rewrote
+    # unchanged cancel in the diff" contract) — join with eqNullSafe
+    # per column and coalesce the values from whichever side has them
+    add_g = df_add.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("_n_add")).alias("_a")
+    rem_g = df_rem.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("_n_rem")).alias("_r")
+    on = None
+    for c in cols:
+        e = F.col(f"_a.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        on = e if on is None else on & e
+    net = (add_g.join(rem_g, on, "full_outer")
+           .select(*[F.coalesce(F.col(f"_a.{c}"), F.col(f"_r.{c}"))
+                     .alias(c) for c in cols],
+                   "_n_add", "_n_rem")
            .withColumn("_net", F.coalesce("_n_add", F.lit(0))
                        - F.coalesce("_n_rem", F.lit(0)))
            .where(F.col("_net") != 0))

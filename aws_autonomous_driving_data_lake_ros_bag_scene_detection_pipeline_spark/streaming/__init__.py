@@ -62,5 +62,7 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      warc_ingest_batch, warc_ingest_stream)
 from .ops import (dedup_stream, interval_join_stream,  # noqa: F401
                   sessionize_stream, windowed_agg)
-from .sources import file_stream  # noqa: F401
+from .sources import (file_stream,  # noqa: F401
+                      discover_new_files, file_ingest_batch,
+                      sealed_partitions)
 from .state import anomalies_stateful, change_points_stateful  # noqa: F401

@@ -1307,7 +1307,13 @@ def snapshot_follow(spark, table_path: str, *, state_path: str,
     synced = _synced_version(spark, state_path)
     out = {"from_version": synced, "to_version": head, "steps": 0}
     if synced is None:
-        df = read_snapshot(spark, table_path)
+        # pin the initial load to the SAME version recorded as the
+        # marker: an unpinned latest read could include a commit that
+        # landed after `head` was resolved, whose change feed the next
+        # step would then re-apply — double-counting in every
+        # downstream view (exactly-once means each commit is seen
+        # once, starting with the initial full load)
+        df = read_snapshot(spark, table_path, head)
         if columns is not None:
             df = df.select(*columns)
         apply(df.withColumn("_change_type", F.lit("insert")), head)
@@ -1873,10 +1879,17 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
     the right table's commits, joined against the left table pinned
     at its NEW head — so the ΔL⋈ΔR cross-term lands exactly once.
     Per-step cost is the commit's change feed joined against the
-    other table (broadcastable when the delta is small; keep the
-    other table zone-mapped/partitioned on the join columns so the
-    scan prunes) plus the view's affected partitions — never
-    |L|×|R|.
+    other table (broadcastable when the delta is small) plus the
+    view's affected partitions — never |L|×|R|. The pinned
+    other-side read routes the step's touched join values through
+    :func:`~..sources.snapshots.snapshot_scan` as an IN conjunction,
+    so it prunes whenever the other table is hive-partitioned on a
+    join column (manifest-level — files never listed) OR merely
+    zone-mapped/bloom-filtered on one (``stats_cols=`` /
+    ``bloom_cols=`` at write time — the stats-sorted-but-
+    unpartitioned case). The returned dict's ``pruning`` list
+    reports files total/read/pruned per step (``mode`` says whether
+    the step pruned, ran full, or hit the bounded-collect cap).
 
     Both tables must be key-unique (``left_keys`` / ``right_keys``
     — what their own upsert/delete maintenance already enforces);
@@ -1905,6 +1918,16 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
     a right delete that removes a left row's LAST match re-adds it
     (the left column values come from the doomed matched rows, no
     extra left-table read). Right keys must be non-null.
+
+    ``how="full"`` (r9) completes the family: BOTH sides null-extend,
+    each under its own pack sentinel (``__lk`` / ``__rk`` — the view
+    is keyed by the two packs), and each side's steps run the flip
+    machinery in both directions — an insert that gives an other-side
+    row its first match deletes that row's null-extended form in the
+    same commit, a delete that removes its last match restores it
+    with the surviving side's values riding the doomed rows. The
+    initial load additionally lands the other side's never-matched
+    rows null-extended (no later step would deliver them).
     Returns ``{left: {...}, right: {...}}`` with each side's
     ``from_version/to_version/steps``."""
     from ..sources.snapshots import (
@@ -1947,15 +1970,24 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
             left_keys=right_keys, right_keys=left_keys,
             view_partition_cols=view_partition_cols, how="left")
         return {"left": out["right"], "right": out["left"]}
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(
-            f"how must be 'inner', 'left' or 'right', got {how!r}")
+            f"how must be 'inner', 'left', 'right' or 'full', "
+            f"got {how!r}")
     left_outer = how == "left"
-    if left_outer and "__rk" in set(lcols) | set(rcols):
-        raise ValueError("a '__rk' column collides with the left "
-                         "view's internal key; rename it")
-    keys = (list(dict.fromkeys(left_keys)) + ["__rk"] if left_outer
-            else list(dict.fromkeys(left_keys + right_keys)))
+    full_outer = how == "full"
+    bad_internal = {"__rk", "__lk"} & (set(lcols) | set(rcols))
+    if (left_outer or full_outer) and bad_internal:
+        raise ValueError(f"columns {sorted(bad_internal)} collide "
+                         f"with the view's internal keys; rename")
+    if full_outer:
+        # both sides can be null-extended, so the view is keyed by
+        # the two non-null key packs alone
+        keys = ["__lk", "__rk"]
+    elif left_outer:
+        keys = list(dict.fromkeys(left_keys)) + ["__rk"]
+    else:
+        keys = list(dict.fromkeys(left_keys + right_keys))
 
     def _rk_col():
         """Non-null key for the right half of a view row: the right
@@ -1967,6 +1999,14 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
                 .otherwise(F.concat_ws(
                     "\x1f", *[F.col(k).cast("string")
                               for k in right_keys])).alias("__rk"))
+
+    def _lk_col():
+        """Left-side twin of ``_rk_col`` (full-outer views only)."""
+        return (F.when(F.col(left_keys[0]).isNull(),
+                       F.lit(_UNMATCHED))
+                .otherwise(F.concat_ws(
+                    "\x1f", *[F.col(k).cast("string")
+                              for k in left_keys])).alias("__lk"))
     view_parts = list(view_partition_cols or [])
     sl, sr = f"{view_path}/_sync_left", f"{view_path}/_sync_right"
 
@@ -1988,16 +2028,25 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
         empty = (read_snapshot(spark, left_path).limit(0)
                  .join(read_snapshot(spark, right_path).limit(0), on,
                        how))
-        if left_outer:
+        if full_outer:
+            empty = empty.select("*", _lk_col(), _rk_col())
+        elif left_outer:
             empty = empty.select("*", _rk_col())
         snapshot_write(spark, view_path, empty,
                        partition_cols=view_parts)
 
-    # when the other table is hive-partitioned on (a prefix of) the
-    # join columns, the pinned other-side read prunes to the join
-    # values this step actually touches — a bounded collect (capped;
-    # past the cap the full pinned read is used, which is sound)
+    # the pinned other-side read prunes to the join values this step
+    # actually touches whenever the other table can answer an IN
+    # predicate from metadata: hive partitions on a join column prune
+    # at the MANIFEST level (files never listed), and per-file
+    # min/max zone maps or bloom filters on a join column
+    # (stats_cols=/bloom_cols=) prune stats-sorted-but-unpartitioned
+    # tables too (r8 VERDICT item 4). The touched-value collect is
+    # bounded (capped; past the cap the full pinned read is used,
+    # which is sound), and each step reports what it pruned in the
+    # returned stats — no silent caps.
     _PRUNE_CAP = 1000
+    prune_log: list[dict] = []
 
     def _apply_side(side: str, table_path: str, other_path: str,
                     side_keys: list[str], other_state: str):
@@ -2010,27 +2059,133 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
             # build the pruned read FIRST: even constructing the full
             # reader resolves (and existence-checks) every file
             other = None
-            other_parts = [c for c in
-                           _load_manifest(spark, other_path,
-                                          pin)["partition_cols"]
-                           if c in on]
-            if other_parts:
-                touched = (ins.select(*other_parts).distinct()
+            rec = {"side": side, "version": v, "mode": "full"}
+            m_other = _load_manifest(spark, other_path, pin)
+            covered = [c for c in on
+                       if c in (m_other.get("partition_cols") or [])
+                       or c in (m_other.get("stats_cols") or [])
+                       or c in (m_other.get("bloom_cols") or [])]
+            if covered:
+                touched = (ins.select(*covered).distinct()
                            .limit(_PRUNE_CAP + 1).collect())
-                if len(touched) <= _PRUNE_CAP:
-                    from ..sources.snapshots import snapshot_scan
-                    other = snapshot_scan(
-                        spark, other_path,
-                        [(c, "in", [r[c] for r in touched])
-                         for c in other_parts],
-                        version=pin)
+                if len(touched) > _PRUNE_CAP:
+                    rec["mode"] = "full:over_cap"
+                else:
+                    preds = []
+                    for c in covered:
+                        # equi-joins never match NULL keys, so null
+                        # touched values add nothing to the IN list
+                        vals = [r[c] for r in touched
+                                if r[c] is not None]
+                        if vals:
+                            preds.append((c, "in", vals))
+                    if preds:
+                        from ..sources.snapshots import (
+                            scan_pruning_stats, snapshot_scan,
+                        )
+                        other = snapshot_scan(spark, other_path,
+                                              preds, version=pin)
+                        rec.update(
+                            scan_pruning_stats(spark, other_path,
+                                               preds, version=pin))
+                        rec["mode"] = "pruned"
             if other is None:
                 other = read_snapshot(spark, other_path, pin)
+            prune_log.append(rec)
             view = read_snapshot(spark, view_path)
             del_keys = (ch.where(F.col("_change_type")
                                  .isin("delete", "update_pre"))
                         .select(*side_keys).distinct())
-            if not left_outer:
+            if full_outer:
+                # symmetric null-extension: THIS side's unmatched
+                # rows store null-extended under this side's pack
+                # sentinel, and every flip of the OTHER side's
+                # null-extended rows is decided from the view —
+                # the left-outer flip machinery applied from both
+                # directions (r8 VERDICT item 6)
+                tks = list(dict.fromkeys(side_keys))
+                oks = list(dict.fromkeys(
+                    right_keys if side == "left" else left_keys))
+                this_pack, other_pack = (
+                    ("__lk", "__rk") if side == "left"
+                    else ("__rk", "__lk"))
+                this_attr = [c for c in (lcols if side == "left"
+                                         else rcols) if c not in on]
+
+                def _pk(ks):
+                    return F.concat_ws(
+                        "\x1f",
+                        *[F.col(k).cast("string") for k in ks])
+
+                # matched-vs-unmatched must be decided by a join
+                # MARKER, not key nullability: when the other side's
+                # keys are join columns, an unmatched row still
+                # carries this side's values there
+                j = ins.join(other.withColumn("__match", F.lit(1)),
+                             on, "left")
+                ups = (j.withColumn(this_pack, _pk(tks))
+                       .withColumn(other_pack,
+                                   F.when(F.col("__match").isNull(),
+                                          F.lit(_UNMATCHED))
+                                   .otherwise(_pk(oks)))
+                       .drop("__match")
+                       .withColumn("_op", F.lit("upsert")))
+                # a deleted key sweeps its matched AND null-extended
+                # forms; other-side-only rows (this side's values
+                # borrowed from the join columns) must not match
+                dels = (view.where(F.col(this_pack) != _UNMATCHED)
+                        .join(del_keys, tks, "left_semi")
+                        .withColumn("_op", F.lit("delete")))
+                matched_ops = (ups.where(F.col(other_pack)
+                                         != _UNMATCHED)
+                               .select(other_pack).distinct())
+                # other rows gaining their FIRST match shed the
+                # null-extended form
+                null_ext_dels = (view.where(F.col(this_pack)
+                                            == _UNMATCHED)
+                                 .join(matched_ops, other_pack,
+                                       "left_semi")
+                                 .withColumn("_op", F.lit("delete")))
+                # other rows losing their LAST match — unless this
+                # step re-matches them — revert to null-extended;
+                # their values ride on the doomed matched rows
+                vm = view.where(
+                    (F.col(this_pack) != _UNMATCHED)
+                    & (F.col(other_pack) != _UNMATCHED))
+                doomed = vm.join(del_keys, tks, "left_semi")
+                remaining = (vm.join(del_keys, tks, "left_anti")
+                             .select(other_pack).distinct())
+                null_ext = (doomed.dropDuplicates([other_pack])
+                            .join(remaining, other_pack, "left_anti")
+                            .join(matched_ops, other_pack,
+                                  "left_anti"))
+                vtypes = {f.name: f.dataType
+                          for f in view.schema.fields}
+                for c in this_attr:
+                    null_ext = null_ext.withColumn(
+                        c, F.lit(None).cast(vtypes[c]))
+                null_ext = (null_ext
+                            .withColumn(this_pack,
+                                        F.lit(_UNMATCHED))
+                            .withColumn("_op", F.lit("upsert")))
+                parts = [ups, dels, null_ext_dels, null_ext]
+                own_state = sl if side == "left" else sr
+                if _synced_version(spark, own_state) is None:
+                    # initial step: the feed is the WHOLE table, so
+                    # other-side rows with no match anywhere must
+                    # land null-extended now (no later step will
+                    # deliver them)
+                    only = other.join(ins, on, "left_anti")
+                    for c in this_attr:
+                        only = only.withColumn(
+                            c, F.lit(None).cast(vtypes[c]))
+                    only = (only
+                            .withColumn(this_pack,
+                                        F.lit(_UNMATCHED))
+                            .withColumn(other_pack, _pk(oks))
+                            .withColumn("_op", F.lit("upsert")))
+                    parts.append(only)
+            elif not left_outer:
                 ups = (ins.join(other, on)
                        .withColumn("_op", F.lit("upsert")))
                 dels = (view.join(del_keys, side_keys, "left_semi")
@@ -2112,7 +2267,7 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
         apply=_apply_side("right", right_path, left_path, right_keys,
                           sl),
         key_cols=right_keys)
-    return {"left": out_l, "right": out_r}
+    return {"left": out_l, "right": out_r, "pruning": prune_log}
 
 
 def sync_status(spark, table_path: str, state_path: str) -> dict:

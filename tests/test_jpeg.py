@@ -129,3 +129,25 @@ def test_pillow_cross_decodes_our_output():  # pragma: no cover
     out = np.asarray(Image.open(io.BytesIO(
         encode_jpeg(img, quality=95))).convert("RGB"))
     assert np.abs(out.astype(float) - img.astype(float)).mean() < 4
+
+
+def test_ff_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;
+    the entropy-segment splitter must skip them instead of truncating
+    the scan (r8 advisor finding). Inject fill before EOI and before
+    a restart marker; pixels must match the unpadded stream."""
+    img = _smooth(40, 40)
+    data = encode_jpeg(img, quality=90, restart_interval=2)
+    base = decode_jpeg(data)
+    # fill before EOI
+    assert data[-2:] == b"\xff\xd9"
+    padded = data[:-2] + b"\xff\xff\xff" + data[-2:]
+    assert np.array_equal(decode_jpeg(padded), base)
+    # fill before the first restart marker
+    for m in range(0xD0, 0xD8):
+        idx = data.find(bytes([0xFF, m]))
+        if idx != -1:
+            break
+    assert idx != -1, "restart_interval=2 must emit RST markers"
+    padded2 = data[:idx] + b"\xff" + data[idx:]
+    assert np.array_equal(decode_jpeg(padded2), base)

@@ -1086,3 +1086,157 @@ def test_derive_collision_with_table_column_raises(spark, tmp_path):
             spark, tbl, str(tmp_path / "v"), group_by=["g"],
             measures={"n": ("count", None)},
             derive={"val": "val * 2"})
+
+
+def test_join_view_prunes_unpartitioned_zone_mapped_other_side(
+        spark, tmp_path):
+    """r9 (VERDICT item 4): the other-side pruning also routes through
+    the zone-map predicate language, so a stats-sorted but
+    UNPARTITIONED other table prunes too — proven destructively
+    (every file whose ck range excludes the touched value is deleted,
+    the step still lands) and observably (the returned ``pruning``
+    stats report the skipped files; no silent caps)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(k, f"s{k}", "a") for k in range(6)], L_SCHEMA),
+        partition_cols=["lp"])
+    # right table UNPARTITIONED, range-sorted on the join column ck
+    # with per-file min/max zone maps — one file per ck value
+    rdf = (spark.createDataFrame(
+        [(10 * k + j, k, 100 + k) for k in range(6) for j in range(2)],
+        "ok long, ck long, amt long")
+        .repartitionByRange(6, "ck").sortWithinPartitions("ck"))
+    snapshot_write(spark, rt, rdf, partition_cols=[],
+                   stats_cols=["ck"])
+    assert len(read_snapshot(spark, rt).inputFiles()) == 6
+    kw = dict(on=["ck"], left_keys=["ck"], right_keys=["ok"])
+    out0 = join_sync_snapshot(spark, lt, rt, vw, **kw)
+
+    # a left step touching ONLY ck=2: destroy every file whose range
+    # can't contain it
+    import duckdb as _d
+    keep = set()
+    for f in read_snapshot(spark, rt).inputFiles():
+        p = f.removeprefix("file:")
+        lo, hi = _d.sql(
+            f"select min(ck), max(ck) from '{p}'").fetchone()
+        if lo <= 2 <= hi:
+            keep.add(f)
+    doomed = [f for f in read_snapshot(spark, rt).inputFiles()
+              if f not in keep]
+    assert doomed, "need >0 prunable files for a destructive proof"
+    for f in doomed:
+        os.remove(f.removeprefix("file:"))
+    snapshot_upsert(spark, lt, spark.createDataFrame(
+        [(2, "SEG", "a")], L_SCHEMA), ["ck"], partition_cols=["lp"])
+    out = join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = {(r["ck"], r["ok"]): r["seg"] for r in
+           read_snapshot(spark, vw).collect()}
+    assert got[(2, 20)] == "SEG" and got[(2, 21)] == "SEG"
+    assert got[(3, 30)] == "s3"          # untouched pairing intact
+    # stats report: the left step pruned the other side's files
+    steps = [p for p in out["pruning"] if p["side"] == "left"]
+    assert steps and steps[-1]["mode"] == "pruned"
+    assert steps[-1]["files_pruned"] == len(doomed)
+    assert steps[-1]["files_read"] == 6 - len(doomed)
+
+
+def _full_join_want(spark, lt, rt):
+    return {(r["ck"], r["ok"]): (r["seg"], r["amt"]) for r in
+            read_snapshot(spark, lt)
+            .join(read_snapshot(spark, rt), "ck", "full").collect()}
+
+
+def _full_join_state(spark, vw):
+    return {(r["ck"], r["ok"]): (r["seg"], r["amt"]) for r in
+            read_snapshot(spark, vw)
+            .select("ck", "ok", "seg", "amt").collect()}
+
+
+def test_full_outer_join_view_flips_both_directions(spark, tmp_path):
+    """how='full' (r9): BOTH sides live null-extended when unmatched.
+    The flip matrix in both directions — first match sheds either
+    side's null-extended form, last-match removal restores it, a
+    re-key flips two rows at once, and a side's delete sweeps its
+    matched and null-extended forms — each state equal to a
+    from-scratch full join."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a"), (2, "base", "a")], L_SCHEMA),
+        partition_cols=["lp"])
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, 100, "x"), (11, 9, 110, "x")], R_SCHEMA),
+        partition_cols=["rp"])
+    kw = dict(on=["ck"], left_keys=["ck"], right_keys=["ok"],
+              how="full")
+
+    def check():
+        got, want = _full_join_state(spark, vw), \
+            _full_join_want(spark, lt, rt)
+        assert got == want, (got, want)
+        return got
+
+    # initial: matched (1,10), left-only (2,None), right-only (9,11)
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(1, 10)] == ("gold", 100)
+    assert got[(2, None)] == ("base", None)
+    assert got[(9, 11)] == (None, 110)
+
+    # right-only row gains its dim: left append flips (9,11)
+    snapshot_append(spark, lt, spark.createDataFrame(
+        [(9, "late", "b")], L_SCHEMA))
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(9, 11)] == ("late", 110) and (9, None) not in got
+
+    # left-only row gains a fact: right append flips (2,None)
+    snapshot_append(spark, rt, spark.createDataFrame(
+        [(12, 2, 120, "y")], R_SCHEMA))
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(2, 12)] == ("base", 120) and (2, None) not in got
+
+    # right delete removes ck=2's last match: left row reverts;
+    # a NEW dangling right row lands null-extended in the same round
+    snapshot_delete(spark, rt, spark.createDataFrame([(12,)],
+                                                     "ok long"),
+                    ["ok"], partition_cols=["rp"])
+    snapshot_append(spark, rt, spark.createDataFrame(
+        [(13, 77, 130, "y")], R_SCHEMA))
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(2, None)] == ("base", None)
+    assert got[(77, 13)] == (None, 130)
+
+    # left delete removes ok=10's dim: right row reverts to dangling
+    snapshot_delete(spark, lt, spark.createDataFrame([(1,)],
+                                                     "ck long"),
+                    ["ck"], partition_cols=["lp"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(1, 10)] == (None, 100) and all(
+        seg is None for (ck, ok), (seg, _) in got.items() if ck == 1)
+
+    # right re-key: order 13 moves ck77 -> ck2 in one commit; ck=2's
+    # left row sheds null-extension, ck=77 vanishes entirely (it was
+    # only ever a borrowed join value)
+    snapshot_upsert(spark, rt, spark.createDataFrame(
+        [(13, 2, 130, "y")], R_SCHEMA), ["ok"], partition_cols=["rp"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(2, 13)] == ("base", 130)
+    assert all(ck != 77 for ck, _ in got)
+
+    # left attr update fans out to matched rows only
+    snapshot_upsert(spark, lt, spark.createDataFrame(
+        [(2, "plat", "a")], L_SCHEMA), ["ck"], partition_cols=["lp"])
+    join_sync_snapshot(spark, lt, rt, vw, **kw)
+    got = check()
+    assert got[(2, 13)] == ("plat", 130)

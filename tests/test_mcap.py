@@ -1,0 +1,278 @@
+"""ROS2/MCAP source (r9): golden-file extraction, chunked (none +
+lz4) equality with the plain file, CDR decode against hand-encoded
+payloads (alignment, strings, arrays, nested types incl. time),
+topic-metadata parity with the ROS1 reader's shape, corrupt-file
+salvage, and the honest zstd guard. The MCAP byte images are built
+here from the public spec (https://mcap.dev/spec) — the same
+synthetic-golden-file discipline as tests/test_rosbag.py."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+    decode_cdr_messages, mcap_topic_metadata, parse_mcap_bytes,
+    read_mcap_messages,
+)
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.mcap import MCAP_MAGIC
+
+# ------------------------------------------------------------ file builders
+
+
+def _s(v: str) -> bytes:
+    b = v.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def _rec(op: int, content: bytes) -> bytes:
+    return bytes([op]) + struct.pack("<Q", len(content)) + content
+
+
+def _schema(sid: int, name: str, defn: str) -> bytes:
+    d = defn.encode()
+    return _rec(0x03, struct.pack("<H", sid) + _s(name)
+                + _s("ros2msg") + struct.pack("<I", len(d)) + d)
+
+
+def _channel(cid: int, sid: int, topic: str) -> bytes:
+    return _rec(0x04, struct.pack("<HH", cid, sid) + _s(topic)
+                + _s("cdr") + struct.pack("<I", 0))
+
+
+def _message(cid: int, seq: int, log_t: int, pub_t: int,
+             data: bytes) -> bytes:
+    return _rec(0x05, struct.pack("<HIQQ", cid, seq, log_t, pub_t)
+                + data)
+
+
+def _chunk(records: bytes, compression: str,
+           payload: bytes | None = None) -> bytes:
+    body = payload if payload is not None else records
+    return _rec(0x06, struct.pack("<QQQ", 0, 0, len(records))
+                + struct.pack("<I", 0) + _s(compression)
+                + struct.pack("<Q", len(body)) + body)
+
+
+def _lz4_stored_frame(data: bytes) -> bytes:
+    """A valid LZ4 frame whose single block is STORED (high bit set):
+    exercises the shared frame walker without needing a compressor."""
+    return (struct.pack("<I", 0x184D2204) + bytes([0x40, 0x40, 0x00])
+            + struct.pack("<I", 0x80000000 | len(data)) + data
+            + struct.pack("<I", 0))
+
+
+def _footer() -> bytes:
+    return _rec(0x02, struct.pack("<QQI", 0, 0, 0))
+
+
+def _file(*records: bytes) -> bytes:
+    header = _rec(0x01, _s("ros2") + _s("testwriter"))
+    data_end = _rec(0x0F, struct.pack("<I", 0))
+    return (MCAP_MAGIC + header + b"".join(records) + data_end
+            + _footer() + MCAP_MAGIC)
+
+
+# ------------------------------------------------------------- CDR encoders
+
+
+class _CdrW:
+    def __init__(self):
+        self.buf = bytearray(b"\x00\x01\x00\x00")  # XCDR1 LE
+
+    def _align(self, n: int) -> None:
+        body = len(self.buf) - 4
+        self.buf += b"\x00" * ((-body) % n)
+
+    def prim(self, fmt: str, n: int, v) -> "_CdrW":
+        self._align(n)
+        self.buf += struct.pack("<" + fmt, v)
+        return self
+
+    def string(self, v: str) -> "_CdrW":
+        b = v.encode() + b"\x00"
+        self.prim("I", 4, len(b))
+        self.buf += b
+        return self
+
+    def raw(self, b: bytes) -> "_CdrW":
+        self.buf += b
+        return self
+
+    def bytes_(self) -> bytes:
+        return bytes(self.buf)
+
+
+DEFN = """int32 a
+float64 x
+string name
+bool flag
+int16[2] pair
+float32[] seq
+uint8[] blob
+geometry_msgs/Point p
+================================================================================
+MSG: geometry_msgs/Point
+float64 px
+int32 py
+"""
+
+
+def _payload(a, x, name, flag, pair, seq, blob, px, py) -> bytes:
+    w = _CdrW()
+    w.prim("i", 4, a).prim("d", 8, x).string(name)
+    w.prim("?", 1, flag)
+    for v in pair:
+        w.prim("h", 2, v)
+    w.prim("I", 4, len(seq))
+    for v in seq:
+        w.prim("f", 4, v)
+    w.prim("I", 4, len(blob)).raw(blob)
+    w.prim("d", 8, px).prim("i", 4, py)
+    return w.bytes_()
+
+
+def _simple_file(compression: str | None = None) -> bytes:
+    recs = (_schema(1, "demo/Mixed", DEFN) + _channel(7, 1, "/demo")
+            + _message(7, 0, 1_000, 999,
+                       _payload(5, 2.5, "hi", True, [3, 4],
+                                [1.0, 2.0], b"\xab\xcd", 9.5, -2))
+            + _message(7, 1, 2_000, 1_999,
+                       _payload(-6, 0.25, "worldly", False, [1, 2],
+                                [], b"", -1.5, 7)))
+    if compression is None:
+        return _file(recs)
+    if compression == "lz4":
+        return _file(_chunk(recs, "lz4", _lz4_stored_frame(recs)))
+    return _file(_chunk(recs, compression))
+
+
+def _write(tmp_path, name: str, blob: bytes) -> str:
+    d = str(tmp_path / "mcaps")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "wb") as f:
+        f.write(blob)
+    return d
+
+
+# -------------------------------------------------------------------- tests
+
+
+def test_golden_extraction_plain(spark, tmp_path):
+    d = _write(tmp_path, "a.mcap", _simple_file())
+    df = read_mcap_messages(spark, d)
+    rows = sorted(df.collect(), key=lambda r: r["sequence"])
+    assert len(rows) == 2
+    r = rows[0]
+    assert (r["mcap_file"], r["topic"], r["schema_name"]) == \
+        ("a.mcap", "/demo", "demo/Mixed")
+    assert (r["message_encoding"], r["schema_encoding"]) == \
+        ("cdr", "ros2msg")
+    assert (r["log_time_ns"], r["publish_time_ns"]) == (1_000, 999)
+    assert r["message_definition"] == DEFN
+
+
+@pytest.mark.parametrize("compression", ["", "lz4"])
+def test_chunked_equals_plain(spark, tmp_path, compression):
+    d1 = _write(tmp_path / "p", "a.mcap", _simple_file())
+    d2 = _write(tmp_path / "c", "a.mcap", _simple_file(compression))
+    plain = {tuple(r) for r in read_mcap_messages(spark, d1).collect()}
+    chunked = {tuple(r) for r in
+               read_mcap_messages(spark, d2).collect()}
+    assert plain == chunked
+
+
+def test_cdr_decode_typed_columns(spark, tmp_path):
+    d = _write(tmp_path, "a.mcap", _simple_file())
+    msgs = read_mcap_messages(spark, d)
+    dec = decode_cdr_messages(msgs, DEFN)
+    rows = sorted(dec.collect(), key=lambda r: r["sequence"])
+    r0, r1 = rows
+    assert r0["a"] == 5 and r0["x"] == 2.5 and r0["name"] == "hi"
+    assert r0["flag"] is True and r0["pair"] == [3, 4]
+    assert r0["seq"] == [1.0, 2.0]
+    assert bytes(r0["blob"]) == b"\xab\xcd"
+    assert r0["p"]["px"] == 9.5 and r0["p"]["py"] == -2
+    assert r1["a"] == -6 and r1["name"] == "worldly"
+    assert r1["flag"] is False and r1["seq"] == [] \
+        and bytes(r1["blob"]) == b""
+    assert r1["p"]["px"] == -1.5 and r1["p"]["py"] == 7
+
+
+def test_cdr_big_endian_payload():
+    defn = "int32 a\nfloat64 x\n"
+    body = struct.pack(">i", 42) + b"\x00" * 4 + struct.pack(">d", 1.5)
+    payload = b"\x00\x00\x00\x00" + body  # representation id 0x0000
+    recs = list(parse_mcap_bytes(
+        "b.mcap",
+        _file(_schema(1, "t/BE", defn) + _channel(1, 1, "/be")
+              + _message(1, 0, 1, 1, payload))))
+    assert len(recs) == 1
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.mcap import (
+        _Cdr, _decode_cdr_value,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.rosbag import (
+        parse_definition_sections,
+    )
+    r = _Cdr(recs[0][-1])
+    secs = parse_definition_sections(defn)
+    assert _decode_cdr_value(r, "int32", secs) == 42
+    assert _decode_cdr_value(r, "float64", secs) == 1.5
+
+
+def test_time_builtin_without_section(spark, tmp_path):
+    defn = ("builtin_interfaces/Time stamp\nstring frame_id\n")
+    w = _CdrW()
+    w.prim("i", 4, 100).prim("I", 4, 500).string("base")
+    recs = (_schema(1, "std_msgs/Header", defn)
+            + _channel(1, 1, "/hdr")
+            + _message(1, 0, 1, 1, w.bytes_()))
+    d = _write(tmp_path, "h.mcap", _file(recs))
+    dec = decode_cdr_messages(read_mcap_messages(spark, d), defn)
+    r = dec.collect()[0]
+    assert r["stamp"]["sec"] == 100 and r["stamp"]["nanosec"] == 500
+    assert r["frame_id"] == "base"
+
+
+def test_topic_metadata_parity(spark, tmp_path):
+    d = _write(tmp_path, "a.mcap", _simple_file())
+    meta = mcap_topic_metadata(read_mcap_messages(spark, d)).collect()
+    assert len(meta) == 1
+    m = meta[0]
+    assert (m["mcap_file"], m["topic"], m["msg_type"]) == \
+        ("a.mcap", "/demo", "demo/Mixed")
+    assert m["message_count"] == 2
+    assert m["t_min"] == 1_000 / 1e9 and m["t_max"] == 2_000 / 1e9
+    # (count-1)/span, same formula as rosbag.topic_metadata
+    assert abs(m["frequency_hz"] - 1 / (1_000 / 1e9)) < 1e-6
+
+
+def test_corrupt_file_salvage_and_fail(spark, tmp_path):
+    good = _simple_file()
+    # cut inside the second message record's body: prefix survives
+    cut = good.find(b"worldly") - 10
+    assert cut > 0
+    bad = good[:cut]
+    d = _write(tmp_path, "bad.mcap", bad)
+    with pytest.raises(Exception):
+        read_mcap_messages(spark, d).collect()
+    df = read_mcap_messages(spark, d, on_error="skip")
+    rows = df.collect()
+    msgs = [r for r in rows if r["error"] is None]
+    marks = [r for r in rows if r["error"] is not None]
+    assert len(msgs) == 1 and msgs[0]["sequence"] == 0
+    assert len(marks) == 1 and marks[0]["mcap_file"] == "bad.mcap"
+    assert "truncated" in marks[0]["error"]
+
+
+def test_zstd_chunk_guard(tmp_path):
+    blob = _file(_chunk(b"x" * 4, "zstd", b"\x28\xb5\x2f\xfd"))
+    with pytest.raises(NotImplementedError, match="zstd"):
+        list(parse_mcap_bytes("z.mcap", blob))
+
+
+def test_not_mcap_raises():
+    with pytest.raises(ValueError, match="not an MCAP file"):
+        list(parse_mcap_bytes("x.mcap", b"#ROSBAG V2.0\n..."))

@@ -333,3 +333,12 @@ def test_identity_rotation_is_exact_passthrough(spark, emb):
     after = {r["vec_id"]: r["embedding"] for r in
              rotate_vectors(src, "embedding", ident).collect()}
     assert before == after
+
+
+def test_pq_ksub_capped_to_smallint_code_range(spark, emb):
+    """pq_encode persists codes as array<smallint>; pq_codebooks must
+    refuse ksub > 32768 so a centroid id can never overflow the code
+    element type at the Arrow conversion (r8 advisor finding)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import pq_codebooks
+    with pytest.raises(ValueError, match="smallint"):
+        pq_codebooks(emb, "vec_id", "embedding", m=2, ksub=32769)

@@ -845,15 +845,16 @@ _join_cmds = st.lists(
 
 @settings(max_examples=8, deadline=None,
           suppress_health_check=list(HealthCheck))
-@given(cmds=_join_cmds, how=st.sampled_from(["inner", "left", "right"]),
+@given(cmds=_join_cmds,
+       how=st.sampled_from(["inner", "left", "right", "full"]),
        sync_each=st.booleans(), data=st.data())
 def test_join_view_matches_recompute_property(spark, cmds, how,
                                               sync_each, data):
     """Model-based join IVM: ANY sequence of commits on EITHER
-    table, inner or left-outer, synced per-commit or in one
-    catch-up, leaves the view equal to a from-scratch join —
-    including join-value re-keys and the left-outer null-extension
-    flips."""
+    table, inner/left/right/full (full r9), synced per-commit or in
+    one catch-up, leaves the view equal to a from-scratch join —
+    including join-value re-keys and the null-extension flips in
+    both directions."""
     import shutil
     import tempfile
 

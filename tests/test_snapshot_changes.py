@@ -262,3 +262,28 @@ def test_changes_read_only_changed_files(spark, tmp_path):
     assert all("day=d0" in f for f in files), files
     got = {(r["id"], r["_change_type"]) for r in feed.collect()}
     assert got == {(0, "update_pre"), (0, "update_post")}
+
+
+def test_unchanged_null_valued_rows_cancel(spark, tmp_path):
+    """A rewritten-but-unchanged row carrying NULL in a data column
+    must cancel in the multiset diff: the full_outer cancellation
+    join is built with eqNullSafe per column — a null-unsafe
+    USING-column join would surface the row as a phantom
+    insert+delete pair (r8 advisor finding)."""
+    path = str(tmp_path / "tbl")
+    v0 = snapshot_write(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "d1", None, 1), (2, "d1", "b", 1)], SCHEMA),
+        partition_cols=["day"])
+    # rewrite all of d1: row 2 updated, row 1 (NULL val) carried
+    # through the rewrite unchanged
+    ups = spark.createDataFrame([(2, "d1", "b2", 2)], SCHEMA)
+    v1 = snapshot_upsert(spark, path, ups, ["id"],
+                         partition_cols=["day"], order_col="ver")
+    got = _rows(snapshot_changes(spark, path, v0, v1,
+                                 key_cols=["id"])
+                .select("id", "day", "val", "ver", "_change_type"))
+    assert got == {(2, "d1", "b", 1, "update_pre"),
+                   (2, "d1", "b2", 2, "update_post")}, \
+        "the NULL-valued unchanged row must not appear in the feed"

@@ -439,3 +439,49 @@ def test_sync_status_survives_pruned_history_and_rebuilds(spark,
     _mark_synced(spark, state, 99)
     with pytest.raises(ValueError, match="rebuilt"):
         sync_status(spark, tbl, state)
+
+
+def test_snapshot_follow_initial_load_pinned_to_marker(spark,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """The initial full load must read the SAME version recorded as
+    the synced marker (r8 advisor finding): a commit landing between
+    the follower's head resolution and an UNPINNED latest read would
+    be delivered in the initial load and then re-applied by the next
+    step's change feed — double-counting. Simulate the race by
+    pinning latest_version to the older head while a newer commit is
+    already published."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import snapshot_follow
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import ingest as _ingest
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshots as _snaps
+
+    tbl = str(tmp_path / "tbl")
+    state = str(tmp_path / "consumer")
+    v0 = snapshot_write(
+        spark, tbl,
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "doc_id long, text string"),
+        partition_cols=[])
+    v1 = snapshot_append(
+        spark, tbl,
+        spark.createDataFrame([(3, "c")], "doc_id long, text string"))
+    assert v1 == v0 + 1
+
+    seen: list[tuple] = []
+
+    def consume(ch, v):
+        seen.extend((v, r["doc_id"]) for r in ch.collect())
+
+    # the follower resolved head=v0 just before v1 landed
+    real = _snaps.latest_version
+    monkeypatch.setattr(_snaps, "latest_version",
+                        lambda sp, p: v0)
+    out = snapshot_follow(spark, tbl, state_path=state, apply=consume)
+    assert out["to_version"] == v0 and out["steps"] == 1
+    assert sorted(d for _, d in seen) == [1, 2], \
+        "initial load must be pinned to the recorded marker version"
+    monkeypatch.setattr(_snaps, "latest_version", real)
+
+    # the next step delivers v1's rows exactly once
+    snapshot_follow(spark, tbl, state_path=state, apply=consume)
+    assert sorted(d for _, d in seen) == [1, 2, 3]
