@@ -7,6 +7,7 @@ from .snapshots import (
     sql_predicates,
     snapshot_compact, snapshot_delete, snapshot_maintain,
     snapshot_prune, snapshot_rollback,
+    snapshot_read_session,
     snapshot_scan, snapshot_tag, snapshot_tags, snapshot_untag,
     snapshot_upsert, snapshot_version_for_source, snapshot_write,
 )
@@ -42,6 +43,7 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "scan_pruning_stats", "snapshot_changes",
            "snapshot_changes_log", "snapshot_history", "sql_predicates",
            "snapshot_append", "snapshot_apply_changes",
+           "snapshot_read_session",
            "snapshot_compact", "snapshot_delete", "snapshot_maintain",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
            "snapshot_tag", "snapshot_tags", "snapshot_untag",

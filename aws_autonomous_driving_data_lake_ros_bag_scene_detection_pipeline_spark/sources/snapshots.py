@@ -925,6 +925,112 @@ def snapshot_version_for_source(spark: SparkSession, path: str,
     return vs[lo]
 
 
+def _latest_version_with_marker_at_most(spark: SparkSession,
+                                        path: str, source: str,
+                                        batch_id: int,
+                                        base_path: str) -> int:
+    """Largest retained version whose ``source`` marker is <=
+    ``batch_id`` — the newest state of a consumer that incorporates
+    NOTHING beyond base commit ``batch_id``. Markers are carried
+    forward by every commit, so they're monotone in version (the
+    rollback caveat of :func:`snapshot_version_for_source` applies
+    here too).
+
+    When even the consumer's EARLIEST version sits past ``batch_id``
+    (its first sync happened later), it is still content-consistent
+    iff every base commit in ``(batch_id, first_marker]`` was
+    row-neutral (``compact``) — verified from the base manifests;
+    anything else raises."""
+    jvm, fs, _ = _fs(spark, path)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST_DIR}")
+    vs = sorted(int(n[:-5]) for n in
+                (st.getPath().getName()
+                 for st in fs.listStatus(mdir))
+                if n.endswith(".json") and n[:-5].isdigit())
+
+    def marker(v: int) -> int:
+        srcs = _load_manifest(spark, path, v).get(
+            "append_sources") or {}
+        return srcs.get(source, -1)
+
+    if not vs:
+        raise LookupError(f"no retained versions under {path}")
+    m0 = marker(vs[0])
+    if m0 > batch_id:
+        gap_ops = []
+        for b in range(batch_id + 1, m0 + 1):
+            try:
+                gap_ops.append(_load_manifest(spark, base_path, b)
+                               .get("operation"))
+            except Exception:
+                gap_ops.append(None)       # pruned: can't verify
+        if all(op == "compact" for op in gap_ops):
+            return vs[0]                   # row-neutral gap
+        raise LookupError(
+            f"every retained version of {path} already incorporates "
+            f"base commits beyond {source!r} batch {batch_id}, and "
+            f"the gap is not compaction-only — no consistent state "
+            f"exists (first marker {m0})")
+    lo, hi = 0, len(vs) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if marker(vs[mid]) <= batch_id:
+            lo = mid
+        else:
+            hi = mid - 1
+    return vs[lo]
+
+
+def snapshot_read_session(spark: SparkSession, base_path: str,
+                          consumers: dict) -> dict:
+    """Multi-table CONSISTENT reads (r9): pin a base table and N of
+    its derived consumers (aggregate/join views, replicas, any
+    ``source_batch`` writer) to one mutually consistent state — the
+    **max common synced base**. ``consumers`` maps a name to
+    ``(consumer_path, source_key)`` where ``source_key`` is the
+    consumer's marker key (``aggregate_sync:<table>``,
+    ``replicate:<table>``, ``join_sync:left:<table>``, …).
+
+    The session resolves B = min over consumers of their latest
+    applied base version, pins the base at version B, and pins each
+    consumer at its newest version whose marker is <= B. A consumer
+    version can sit below B only by skipping ROW-NEUTRAL base
+    commits (compactions — the sync family skips them unread), so
+    every returned frame equals a from-scratch derivation of the
+    base at B. All file lists resolve NOW (``read_snapshot`` pins at
+    creation), so commits landing or syncs running DURING the
+    session never change what it reads; only ``snapshot_prune``
+    retention can invalidate it (keep retention over the session
+    length). Returns ``{"base_version", "base", "versions",
+    "frames"}`` with one DataFrame per consumer."""
+    if not consumers:
+        raise ValueError("consumers must name at least one consumer")
+    marks: dict[str, int] = {}
+    for name, (cpath, src) in consumers.items():
+        head = latest_version(spark, cpath)
+        if head is None:
+            raise FileNotFoundError(
+                f"no published snapshot under {cpath}")
+        srcs = _load_manifest(spark, cpath, head).get(
+            "append_sources") or {}
+        if src not in srcs:
+            raise LookupError(
+                f"consumer {name!r} at {cpath} records no marker for "
+                f"source {src!r} — has it ever synced?")
+        marks[name] = srcs[src]
+    base_v = min(marks.values())
+    versions: dict[str, int] = {}
+    frames: dict[str, DataFrame] = {}
+    for name, (cpath, src) in consumers.items():
+        v = _latest_version_with_marker_at_most(spark, cpath, src,
+                                                base_v, base_path)
+        versions[name] = v
+        frames[name] = read_snapshot(spark, cpath, v)
+    return {"base_version": base_v,
+            "base": read_snapshot(spark, base_path, base_v),
+            "versions": versions, "frames": frames}
+
+
 def _resolve_as_of(spark: SparkSession, path: str, as_of) -> int:
     """Latest version whose ``committed_at`` is <= the cutoff
     (ISO-8601 string or epoch seconds). Versions without a recorded

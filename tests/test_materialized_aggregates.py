@@ -1240,3 +1240,136 @@ def test_full_outer_join_view_flips_both_directions(spark, tmp_path):
     join_sync_snapshot(spark, lt, rt, vw, **kw)
     got = check()
     assert got[(2, 13)] == ("plat", 130)
+
+
+def test_read_session_pins_mutually_consistent_state(spark,
+                                                     tmp_path):
+    """r9 (VERDICT item 8): snapshot_read_session pins a base table
+    and N derived consumers to the max common synced base. A lagging
+    consumer drags the session back to the version it has applied;
+    commits landing and syncs running DURING the session never
+    change what the session reads; and the session's frames are
+    mutually consistent (the view equals a from-scratch aggregate of
+    the session's own base frame)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_read_session,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot, snapshot_replicate,
+    )
+    tbl, vw, rep = (str(tmp_path / n) for n in ("t", "v", "r"))
+    meas = {"n": ("count", None)}
+    snapshot_write(spark, tbl, spark.createDataFrame(
+        [(i, f"g{i % 2}", "p0", 1.0) for i in range(10)], AGG_SCHEMA),
+        partition_cols=["p"])                                   # v0
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    snapshot_replicate(spark, tbl, rep, keys=["id"])
+    # base advances; ONLY the replica catches up — the view lags at 0
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(10, "g0", "p0", 1.0)], AGG_SCHEMA))                   # v1
+    snapshot_replicate(spark, tbl, rep, keys=["id"])
+
+    sess = snapshot_read_session(spark, tbl, {
+        "view": (vw, f"aggregate_sync:{tbl}"),
+        "replica": (rep, f"replicate:{tbl}"),
+    })
+    assert sess["base_version"] == 0      # view is the laggard
+    base_rows = sess["base"].count()
+    view_got = {r["g"]: r["n"] for r in
+                sess["frames"]["view"].select("g", "n").collect()}
+    rep_rows = sess["frames"]["replica"].count()
+
+    # concurrent activity DURING the session: base commits land,
+    # both consumers sync past the pinned state
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(11, "g1", "p0", 1.0), (12, "g1", "p0", 1.0)], AGG_SCHEMA))
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)
+    snapshot_replicate(spark, tbl, rep, keys=["id"])
+
+    # the session still reads exactly the pinned state
+    assert sess["base"].count() == base_rows == 10
+    assert {r["g"]: r["n"] for r in
+            sess["frames"]["view"].select("g", "n").collect()} \
+        == view_got
+    assert sess["frames"]["replica"].count() == rep_rows == 10
+
+    # mutual consistency: the pinned view == from-scratch aggregate
+    # of the pinned base; the pinned replica == the pinned base
+    want = {r["g"]: r["cnt"] for r in
+            sess["base"].groupBy("g").agg(
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    assert view_got == want
+    assert {r["id"] for r in sess["frames"]["replica"]
+            .select("id").collect()} \
+        == {r["id"] for r in sess["base"].select("id").collect()}
+
+    # a fresh session after the syncs sees the new common base (2)
+    sess2 = snapshot_read_session(spark, tbl, {
+        "view": (vw, f"aggregate_sync:{tbl}"),
+        "replica": (rep, f"replicate:{tbl}"),
+    })
+    assert sess2["base_version"] == 2
+    assert sess2["frames"]["replica"].count() == 13
+
+
+def test_read_session_skips_compact_only_gap(spark, tmp_path):
+    """A consumer whose marker sits below B only because it skipped a
+    row-neutral compact commit is still consistent — the session
+    accepts its newest marker-<=B version."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_read_session,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot, snapshot_replicate,
+    )
+    tbl, vw, rep = (str(tmp_path / n) for n in ("t", "v", "r"))
+    meas = {"n": ("count", None)}
+    snapshot_write(spark, tbl, spark.createDataFrame(
+        [(i, f"g{i % 2}", "p0", 1.0) for i in range(6)], AGG_SCHEMA),
+        partition_cols=["p"])                                   # v0
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)          # view marker: 0
+    snapshot_compact(spark, tbl, target_file_bytes=1 << 30)     # v1
+    snapshot_replicate(spark, tbl, rep, keys=["id"])
+    # the replica's FIRST version carries marker 1 — past the view's
+    # 0, but the (0, 1] gap is one compaction: content-consistent
+    sess = snapshot_read_session(spark, tbl, {
+        "view": (vw, f"aggregate_sync:{tbl}"),
+        "replica": (rep, f"replicate:{tbl}"),
+    })
+    assert sess["base_version"] == 0
+    want = {r["g"]: r["cnt"] for r in
+            sess["base"].groupBy("g").agg(
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    got = {r["g"]: r["n"] for r in
+           sess["frames"]["view"].select("g", "n").collect()}
+    assert got == want
+    assert sess["frames"]["replica"].count() == 6
+
+    # a NON-neutral gap refuses: fresh replica first-syncs only
+    # after a real append beyond the view's marker
+    rep2 = str(tmp_path / "r2")
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(6, "g0", "p0", 1.0)], AGG_SCHEMA))                    # v2
+    snapshot_replicate(spark, tbl, rep2, keys=["id"])  # marker 2
+    with pytest.raises(LookupError, match="not compaction-only"):
+        snapshot_read_session(spark, tbl, {
+            "view": (vw, f"aggregate_sync:{tbl}"),
+            "replica": (rep2, f"replicate:{tbl}"),
+        })
+
+
+def test_read_session_contracts(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_read_session,
+    )
+    tbl = str(tmp_path / "t")
+    snapshot_write(spark, tbl, spark.createDataFrame(
+        [(1, "g0", "p0", 1.0)], AGG_SCHEMA), partition_cols=["p"])
+    with pytest.raises(ValueError, match="at least one"):
+        snapshot_read_session(spark, tbl, {})
+    with pytest.raises(LookupError, match="no marker"):
+        snapshot_read_session(
+            spark, tbl, {"self": (tbl, "aggregate_sync:nope")})

@@ -453,3 +453,130 @@ def test_parse_avi_guards(spark):
     avi = _build_avi([b"xx"], 4, 4, b"H264")
     with pytest.raises(NotImplementedError, match="H264"):
         parse_avi(avi)
+
+
+# --------------------------------------------------------- MP4 (r9)
+
+def _mbox(btype: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def _mp4_video_entry(fourcc: bytes, w: int, h: int) -> bytes:
+    body = (b"\x00" * 6 + (1).to_bytes(2, "big")   # reserved + dri
+            + b"\x00" * 16                          # pre_defined
+            + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+            + b"\x00" * 50)                         # res/compressor/…
+    return _mbox(fourcc, body)
+
+
+def _build_mp4(frames: list[bytes], w: int, h: int,
+               fourcc: bytes = b"jpeg", co64: bool = False,
+               with_audio_track: bool = True) -> bytes:
+    import struct
+    ftyp = _mbox(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    mdat = _mbox(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8                 # mdat body file offset
+    # chunk layout: first chunk 2 samples, then 1 per chunk — makes
+    # the stsc run table non-trivial
+    sizes = [len(f) for f in frames]
+    chunks, i = [], 0
+    while i < len(frames):
+        n = 2 if i == 0 else 1
+        chunks.append((base + sum(sizes[:i]), min(n, len(frames) - i)))
+        i += n
+    stsd = _mbox(b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big")
+                 + _mp4_video_entry(fourcc, w, h))
+    stts = _mbox(b"stts", b"\x00" * 4 + (1).to_bytes(4, "big")
+                 + struct.pack(">II", len(frames), 1))
+    stsc_entries = [(1, 2, 1)] + ([(2, 1, 1)] if len(frames) > 2
+                                  else [])
+    stsc = _mbox(b"stsc", b"\x00" * 4
+                 + len(stsc_entries).to_bytes(4, "big")
+                 + b"".join(struct.pack(">III", *t)
+                            for t in stsc_entries))
+    stsz = _mbox(b"stsz", b"\x00" * 4 + (0).to_bytes(4, "big")
+                 + len(frames).to_bytes(4, "big")
+                 + b"".join(s.to_bytes(4, "big") for s in sizes))
+    if co64:
+        stco = _mbox(b"co64", b"\x00" * 4
+                     + len(chunks).to_bytes(4, "big")
+                     + b"".join(o.to_bytes(8, "big")
+                                for o, _ in chunks))
+    else:
+        stco = _mbox(b"stco", b"\x00" * 4
+                     + len(chunks).to_bytes(4, "big")
+                     + b"".join(o.to_bytes(4, "big")
+                                for o, _ in chunks))
+    stbl = _mbox(b"stbl", stsd + stts + stsc + stsz + stco)
+    mdhd = _mbox(b"mdhd", b"\x00" * 4 + b"\x00" * 8
+                 + (30).to_bytes(4, "big") + b"\x00" * 8)
+    hdlr_v = _mbox(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    minf = _mbox(b"minf", stbl)
+    mdia_v = _mbox(b"mdia", mdhd + hdlr_v + minf)
+    traks = b""
+    if with_audio_track:
+        hdlr_a = _mbox(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+        traks += _mbox(b"trak", _mbox(b"mdia", hdlr_a))
+    traks += _mbox(b"trak", mdia_v)
+    moov = _mbox(b"moov", traks)
+    return ftyp + mdat + moov
+
+
+def test_parse_mp4_golden_and_track_selection(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import encode_jpeg
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import parse_mp4
+    h, w = 16, 24
+    jpegs = [encode_jpeg(np.full((h, w, 3), 40 * (i + 1),
+                                 dtype=np.uint8), quality=95)
+             for i in range(5)]
+    for co64 in (False, True):
+        mp4 = _build_mp4(jpegs, w, h, co64=co64)
+        parsed = parse_mp4(mp4)
+        assert parsed["codec"] == "mjpeg"
+        assert parsed["width"] == w and parsed["height"] == h
+        assert parsed["us_per_frame"] == 33333
+        assert parsed["frames"] == jpegs   # byte-exact, chunk walk OK
+
+
+def test_sample_frames_real_mp4_mjpeg_demux(spark):
+    """An MJPEG MP4 demuxes to its JPEG frames (every_n honored,
+    demux='mp4') and the frames decode through decode_image to the
+    builtin JPEG decoder's exact pixels — ISO-BMFF container parse +
+    codec composing end to end with no external library."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+    h, w = 16, 24
+    imgs = [np.full((h, w, 3), 40 * (i + 1), dtype=np.uint8)
+            for i in range(5)]
+    jpegs = [encode_jpeg(im, quality=95) for im in imgs]
+    mp4 = _build_mp4(jpegs, w, h)
+    df = spark.createDataFrame([(1, bytearray(mp4))],
+                               "vid long, payload binary")
+    packed = pack_media(df, "payload", "mp4", width=w, height=h,
+                        channels=3, n_frames=5)
+    sampled = sample_frames(packed, "payload", every_n=2)
+    rows = sampled.collect()
+    assert sorted(r["frame_index"] for r in rows) == [0, 2, 4]
+    assert all(r["demux"] == "mp4" for r in rows)
+    dec = decode_image(sampled, "frame").collect()
+    for r in dec:
+        assert r["codec"] == "jpeg"
+        exp = decode_jpeg(jpegs[r["frame_index"]])
+        got = np.array(r["pixels"]).reshape(h, w, 3)
+        assert np.array_equal(got, exp.astype(np.int64))
+
+
+def test_parse_mp4_guards(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import parse_mp4
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        parse_mp4(b"RIFF....AVI ....")
+    mp4 = _build_mp4([b"x" * 10], 4, 4, fourcc=b"avc1")
+    with pytest.raises(NotImplementedError, match="avc1"):
+        parse_mp4(mp4)
+    # no-video case: an mp4 whose moov holds only an audio trak
+    ftyp = _mbox(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    hdlr_a = _mbox(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    moov = _mbox(b"moov", _mbox(b"trak", _mbox(b"mdia", hdlr_a)))
+    with pytest.raises(ValueError, match="no video track"):
+        parse_mp4(ftyp + moov)
