@@ -100,11 +100,15 @@ def _decompress_chunk(content: bytes) -> bytes:
     elif compression == "lz4":
         out = _lz4_frame_decompress(records)
     elif compression == "zstd":
-        raise NotImplementedError(
-            "MCAP chunk compression 'zstd' is not supported by the "
-            "builtin reader (stdlib has no zstd); re-encode with lz4 "
-            "or none, or extend _decompress_chunk with the zstandard "
-            "package")
+        try:
+            import zstandard  # optional seam, like Pillow for JPEG
+        except ImportError:
+            raise NotImplementedError(
+                "MCAP chunk compression 'zstd' needs the zstandard "
+                "package (stdlib has no zstd); install it or "
+                "re-encode with lz4 or none") from None
+        out = zstandard.ZstdDecompressor().decompress(
+            records, max_output_size=unc_size or 1 << 31)
     else:
         raise ValueError(
             f"unknown MCAP chunk compression {compression!r}")

@@ -1942,11 +1942,25 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
         if head is None:
             raise FileNotFoundError(
                 f"no published snapshot under {path}")
-        sch = _load_manifest(spark, path, head).get("schema")
+        m = _load_manifest(spark, path, head)
+        sch = m.get("schema")
         if sch:
             return [f["name"]
                     for f in _json.loads(sch)["fields"]]
-        return read_snapshot(spark, path).columns
+        # legacy pre-schema manifest: ONE file's footer names the
+        # columns (schema evolution postdates manifest schemas, so
+        # every file agrees) — constructing the full reader would
+        # build and existence-check the whole file list just for
+        # names (r8 advisory)
+        from ..sources.snapshots import _DATA_DIR, _manifest_entries
+        entries = _manifest_entries(spark, path, m)
+        if not entries:
+            return read_snapshot(spark, path, head).columns
+        one = spark.read.parquet(
+            f"{path}/{_DATA_DIR}/{entries[0]['path']}")
+        return ([c for c in one.columns]
+                + [c for c in (m.get("partition_cols") or [])
+                   if c not in one.columns])
 
     lcols = _table_cols(left_path)
     rcols = _table_cols(right_path)
