@@ -12,7 +12,8 @@ from .snapshots import (
     snapshot_upsert, snapshot_version_for_source, snapshot_write,
 )
 from .mcap import (  # noqa: F401
-    decode_cdr_messages, extract_mcap_topics, mcap_topic_metadata,
+    decode_cdr_messages, extract_mcap_topics, mcap_messages_frame,
+    mcap_topic_metadata,
     parse_mcap_bytes, read_mcap_messages,
 )
 from .textual import (  # noqa: F401

@@ -178,12 +178,22 @@ def read_mcap_messages(spark: SparkSession, path: str,
     pre-corruption prefix of a bad file, drops the rest of that file
     only, and emits one ``error``-marked row; decoder BUGS still
     propagate)."""
-    if on_error not in ("fail", "skip"):
-        raise ValueError(
-            f"on_error must be 'fail' or 'skip', got {on_error!r}")
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", glob).load(path)
              .select("path", "content"))
+    return mcap_messages_frame(files, on_error=on_error)
+
+
+def mcap_messages_frame(files: DataFrame,
+                        on_error: str = "fail") -> DataFrame:
+    """The extraction transform behind :func:`read_mcap_messages`,
+    usable over ANY ``(path, content)`` frame — in particular a
+    streaming ``binaryFile`` micro-batch
+    (:func:`~..streaming.ingest.mcap_ingest_batch`)."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(
+            f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    files = files.select("path", "content")
     out_schema = MCAP_MESSAGE_SCHEMA
     if on_error == "skip":
         out_schema = T.StructType(
@@ -294,7 +304,8 @@ class _Cdr:
 def _ros2_ftype(ftype: str) -> tuple[str, bool, int | None]:
     """(base, is_array, fixed_len). ROS2 grammar adds bounded strings
     ``string<=N`` (wire-identical to string) and bounded sequences
-    ``T[<=N]`` (wire-identical to unbounded)."""
+    ``T[<=N]`` (wire-identical to unbounded). ``wstring`` (UTF-16)
+    raises an honest guard at decode time."""
     base, arr, fixed = ftype, False, None
     if "[" in ftype:
         base, rest = ftype.split("[", 1)
@@ -335,8 +346,13 @@ def _decode_cdr_value(r: _Cdr, ftype: str, sections: dict):
     if base in _CDR_FMT:
         v = r.prim(base)
         return bool(v) if base == "bool" else v
-    if base in ("string", "wstring"):
+    if base == "string":
         return r.string()
+    if base == "wstring":
+        raise NotImplementedError(
+            "CDR wstring is UTF-16 on the wire and is not supported "
+            "by the builtin decoder (decoding it as bytes would be "
+            "silently wrong); re-declare the field as string")
     key = _nested_key(base, sections)
     if key is None:                       # time builtin, no section
         return {"sec": r.prim("int32"), "nanosec": r.prim("uint32")}
@@ -358,8 +374,12 @@ def _ros2_spark_type(ftype: str, sections: dict) -> T.DataType:
             elem = T.LongType()
         else:
             elem = T.IntegerType()
-    elif base in ("string", "wstring"):
+    elif base == "string":
         elem = T.StringType()
+    elif base == "wstring":
+        raise NotImplementedError(
+            "CDR wstring is UTF-16 on the wire and is not supported "
+            "by the builtin decoder; re-declare the field as string")
     else:
         key = _nested_key(base, sections)
         if key is None:                   # time builtin, no section

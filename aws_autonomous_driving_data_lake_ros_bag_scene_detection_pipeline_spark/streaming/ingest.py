@@ -1229,6 +1229,74 @@ def warc_ingest_stream(spark, src_path: str, *, table_path: str,
     return writer.start()
 
 
+def mcap_ingest_batch(batch_df: DataFrame, batch_id: int, *,
+                      table_path: str, quarantine_path: str,
+                      transform=None, source: str = "mcap") -> int:
+    """Apply ONE micro-batch of MCAP files — the AV-domain twin of
+    :func:`warc_ingest_batch`, replacing the reference's per-bag
+    Fargate container loop (ecs_stack.py:293-318, main.py:77-127)
+    with the same exactly-once discipline: extract
+    (:func:`~..sources.mcap.mcap_messages_frame` with prefix
+    salvage), route corrupt files' markers to the quarantine sink
+    (``_batch_id`` dynamic overwrite), optionally ``transform`` the
+    clean messages (e.g. topic filter + CDR decode), and land them
+    as ONE :func:`~..sources.snapshots.snapshot_append` commit with
+    the ``source_batch`` replay marker. Returns the committed (or
+    preserved) version."""
+    from ..sources.mcap import mcap_messages_frame
+    from ..sources.snapshots import snapshot_append
+
+    spark = batch_df.sparkSession
+    raw = mcap_messages_frame(batch_df, on_error="skip").persist()
+    try:
+        bad = (raw.where(F.col("error").isNotNull())
+               .select("mcap_file", F.col("error").alias("reason")))
+        with _dynamic_overwrite(spark):
+            (bad.withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(quarantine_path))
+        good = raw.where(F.col("error").isNull()).drop("error")
+        if transform is not None:
+            good = transform(good)
+        return snapshot_append(spark, table_path, good,
+                               partition_cols=[],
+                               source_batch=(source, batch_id))
+    finally:
+        raw.unpersist()
+
+
+def mcap_ingest_stream(spark, src_path: str, *, table_path: str,
+                       quarantine_path: str, checkpoint_dir: str,
+                       transform=None, source: str = "mcap",
+                       glob: str = "*.mcap",
+                       max_files_per_trigger: int | None = None,
+                       available_now: bool = True) -> StreamingQuery:
+    """Continuous MCAP ingestion: watch ``src_path`` for new log
+    files and run :func:`mcap_ingest_batch` per micro-batch — the
+    reference's S3-event → container pipeline as ONE Spark streaming
+    query whose landing table is a snapshot table (whole-batch
+    atomicity, change feed for downstream IVM/index followers)."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA)
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.load(src_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        mcap_ingest_batch(batch_df, batch_id, table_path=table_path,
+                          quarantine_path=quarantine_path,
+                          transform=transform, source=source)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # -- snapshot -> index synchronization (r8) ---------------------------------
 # The change data feed (sources.snapshots.snapshot_changes) closes the
 # loop between the table format and the index-maintenance families:
@@ -2188,8 +2256,14 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
                     # initial step: the feed is the WHOLE table, so
                     # other-side rows with no match anywhere must
                     # land null-extended now (no later step will
-                    # deliver them)
-                    only = other.join(ins, on, "left_anti")
+                    # deliver them). The anti side must be the FULL
+                    # pinned read — the pruned read keeps only rows
+                    # MATCHING the delta's join values, which is
+                    # exactly the complement of what the anti-join
+                    # needs (pruning would silently drop every
+                    # never-matched row)
+                    only = (read_snapshot(spark, other_path, pin)
+                            .join(ins, on, "left_anti"))
                     for c in this_attr:
                         only = only.withColumn(
                             c, F.lit(None).cast(vtypes[c]))

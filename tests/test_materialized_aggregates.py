@@ -1373,3 +1373,32 @@ def test_read_session_contracts(spark, tmp_path):
     with pytest.raises(LookupError, match="no marker"):
         snapshot_read_session(
             spark, tbl, {"self": (tbl, "aggregate_sync:nope")})
+
+
+def test_full_outer_initial_sync_with_prunable_other_side(
+        spark, tmp_path):
+    """Regression (r9): the initial full-outer step's other-anti rows
+    must come from the FULL pinned read — the pruned read keeps only
+    rows matching the delta's join values, the exact complement of
+    what the anti-join needs. With the other table partitioned ON the
+    join column (pruning engaged), never-matched right rows must
+    still land null-extended."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a")], L_SCHEMA), partition_cols=["lp"])
+    # right table partitioned on the join column ck: ck=9 never
+    # matches any left row
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, 100), (11, 9, 110)], "ok long, ck long, amt long"),
+        partition_cols=["ck"])
+    out = join_sync_snapshot(spark, lt, rt, vw, on=["ck"],
+                             left_keys=["ck"], right_keys=["ok"],
+                             how="full")
+    got = _full_join_state(spark, vw)
+    want = _full_join_want(spark, lt, rt)
+    assert got == want, (got, want)
+    assert got[(9, 11)] == (None, 110), \
+        "never-matched right row must survive the pruned initial sync"

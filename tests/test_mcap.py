@@ -370,3 +370,65 @@ def test_mcap_to_scene_detection_end_to_end(spark, tmp_path):
     t3 = 200 * 10**9 + 300_000_000
     assert iv.start_time == t1 and iv.end_time == t3
     assert iv.num_people_in_scene_start == 1
+
+
+def test_wstring_guard():
+    """CDR wstring is UTF-16 on the wire; the builtin decoder refuses
+    honestly instead of mis-decoding it as bytes."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.mcap import _ros2_spark_type
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.rosbag import (
+        parse_definition_sections,
+    )
+    secs = parse_definition_sections("wstring w\n")
+    with pytest.raises(NotImplementedError, match="wstring"):
+        _ros2_spark_type("wstring", secs)
+
+
+def test_mcap_ingest_stream_end_to_end(spark, tmp_path):
+    """The AV extract loop (r9): streaming binaryFile source → MCAP
+    extract → quarantine for corrupt files → ONE exactly-once
+    snapshot_append per micro-batch. Good messages land in the
+    snapshot table, a corrupt file quarantines with its reason, and
+    a restart with no new files publishes nothing (replay marker)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        latest_version, read_snapshot,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        mcap_ingest_stream,
+    )
+    src = str(tmp_path / "landing")
+    tbl = str(tmp_path / "tbl")
+    quar = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    good = _simple_file()
+    with open(os.path.join(src, "good.mcap"), "wb") as f:
+        f.write(good)
+    with open(os.path.join(src, "bad.mcap"), "wb") as f:
+        f.write(good[:good.find(b"worldly") - 10])
+
+    q = mcap_ingest_stream(
+        spark, src, table_path=tbl, quarantine_path=quar,
+        checkpoint_dir=ckpt,
+        transform=lambda df: df.select("mcap_file", "topic",
+                                       "log_time_ns", "data"))
+    q.awaitTermination(120)
+    rows = read_snapshot(spark, tbl).collect()
+    # good file's 2 messages + bad file's salvaged prefix (1 message)
+    assert sorted((r["mcap_file"], r["log_time_ns"]) for r in rows) \
+        == [("bad.mcap", 1000), ("good.mcap", 1000),
+            ("good.mcap", 2000)]
+    quar_rows = spark.read.parquet(quar).collect()
+    assert len(quar_rows) == 1
+    assert quar_rows[0]["mcap_file"] == "bad.mcap"
+    assert "truncated" in quar_rows[0]["reason"]
+    v = latest_version(spark, tbl)
+
+    # restart with nothing new: no version published
+    q2 = mcap_ingest_stream(
+        spark, src, table_path=tbl, quarantine_path=quar,
+        checkpoint_dir=ckpt,
+        transform=lambda df: df.select("mcap_file", "topic",
+                                       "log_time_ns", "data"))
+    q2.awaitTermination(120)
+    assert latest_version(spark, tbl) == v
