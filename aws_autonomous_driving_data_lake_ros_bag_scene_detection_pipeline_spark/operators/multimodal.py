@@ -553,7 +553,9 @@ def parse_mp4(payload: bytes) -> dict:
                 payload[b + (20 if ver == 1 else 12):
                         b + (24 if ver == 1 else 16)], "big")
         stbl = next(_mp4_find(payload, trak_b, trak_e, b"mdia",
-                              b"minf", b"stbl"))
+                              b"minf", b"stbl"), None)
+        if stbl is None:
+            raise ValueError("MP4 video track missing stbl box")
         boxes = {t: (b, e) for t, b, e in _mp4_boxes(payload, *stbl)}
         for need in (b"stsd", b"stsz", b"stsc"):
             if need not in boxes:

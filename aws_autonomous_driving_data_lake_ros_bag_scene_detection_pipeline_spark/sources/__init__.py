@@ -31,6 +31,9 @@ from .tables import (
 )
 
 __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
+           "decode_cdr_messages", "extract_mcap_topics",
+           "mcap_messages_frame", "mcap_topic_metadata",
+           "parse_mcap_bytes", "read_mcap_messages",
            "parse_warc_bytes", "read_warc", "split_http_response",
            "TPCH_TABLES", "CommitStrategy", "ConcurrentCommit",
            "ConditionalPutCommit",

@@ -345,7 +345,15 @@ def _decode_cdr_value(r: _Cdr, ftype: str, sections: dict):
                 for _ in range(n)]
     if base in _CDR_FMT:
         v = r.prim(base)
-        return bool(v) if base == "bool" else v
+        if base == "bool":
+            return bool(v)
+        if base == "uint64" and v >= 1 << 63:
+            # Spark has no unsigned 64-bit: reinterpret two's-
+            # complement into LongType (bijective — recover with
+            # `v & 0xFFFF...` downstream) instead of crashing the
+            # Arrow conversion on spec-valid hash-style ids
+            return v - (1 << 64)
+        return v
     if base == "string":
         return r.string()
     if base == "wstring":

@@ -953,9 +953,16 @@ def _latest_version_with_marker_at_most(spark: SparkSession,
             "append_sources") or {}
         return srcs.get(source, -1)
 
-    if not vs:
-        raise LookupError(f"no retained versions under {path}")
-    m0 = marker(vs[0])
+    # UNMARKED versions are ineligible: a version predating the
+    # consumer's first sync (e.g. a join view's empty bootstrap) is
+    # NOT "consistent with base@B" — it's consistent with nothing.
+    # Only versions that recorded a marker participate.
+    marked = [(v, m) for v in vs if (m := marker(v)) >= 0]
+    if not marked:
+        raise LookupError(
+            f"no retained version of {path} records a marker for "
+            f"{source!r}")
+    m0v, m0 = marked[0]
     if m0 > batch_id:
         gap_ops = []
         for b in range(batch_id + 1, m0 + 1):
@@ -965,20 +972,20 @@ def _latest_version_with_marker_at_most(spark: SparkSession,
             except Exception:
                 gap_ops.append(None)       # pruned: can't verify
         if all(op == "compact" for op in gap_ops):
-            return vs[0]                   # row-neutral gap
+            return m0v                     # row-neutral gap
         raise LookupError(
             f"every retained version of {path} already incorporates "
             f"base commits beyond {source!r} batch {batch_id}, and "
             f"the gap is not compaction-only — no consistent state "
             f"exists (first marker {m0})")
-    lo, hi = 0, len(vs) - 1
+    lo, hi = 0, len(marked) - 1
     while lo < hi:
         mid = (lo + hi + 1) // 2
-        if marker(vs[mid]) <= batch_id:
+        if marked[mid][1] <= batch_id:
             lo = mid
         else:
             hi = mid - 1
-    return vs[lo]
+    return marked[lo][0]
 
 
 def snapshot_read_session(spark: SparkSession, base_path: str,
@@ -1607,13 +1614,27 @@ def snapshot_scan(spark: SparkSession, path: str,
     skipping is an optimization, never a semantics change.
     :func:`scan_pruning_stats` reports files read/pruned for the same
     predicates without reading data."""
+    return _scan_with_stats(spark, path, predicates,
+                            version=version)[0]
+
+
+def _scan_with_stats(spark: SparkSession, path: str, predicates, *,
+                     version: int | None = None
+                     ) -> tuple[DataFrame, dict]:
+    """:func:`snapshot_scan` plus its pruning stats from ONE manifest
+    walk — maintenance loops that both read and report (e.g. the join
+    view's other-side pruning) should not pay the metadata pass
+    twice."""
     if version is None:
         version = latest_version(spark, path)
         if version is None:
             raise FileNotFoundError(f"no published snapshot under {path}")
     m = _load_manifest(spark, path, version)
-    entries = _prune_entries(_manifest_entries(spark, path, m),
-                             predicates, m.get("schema"))
+    all_entries = _manifest_entries(spark, path, m)
+    entries = _prune_entries(all_entries, predicates, m.get("schema"))
+    stats = {"files_total": len(all_entries),
+             "files_read": len(entries),
+             "files_pruned": len(all_entries) - len(entries)}
     cond = _predicates_condition(predicates)
     if not entries:
         schema = m.get("schema")
@@ -1623,8 +1644,10 @@ def snapshot_scan(spark: SparkSession, path: str,
                 f"no schema")
         from pyspark.sql.types import StructType
         return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(schema))).where(cond)
-    return _read_files(spark, path, entries, m.get("schema")).where(cond)
+            [], StructType.fromJson(json.loads(schema))).where(cond), \
+            stats
+    return (_read_files(spark, path, entries, m.get("schema"))
+            .where(cond), stats)
 
 
 def snapshot_write(spark: SparkSession, path: str, df: DataFrame, *,

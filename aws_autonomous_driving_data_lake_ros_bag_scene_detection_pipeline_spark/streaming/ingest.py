@@ -2051,7 +2051,11 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
             spark, right_path, left_path, view_path, on=on,
             left_keys=right_keys, right_keys=left_keys,
             view_partition_cols=view_partition_cols, how="left")
-        return {"left": out["right"], "right": out["left"]}
+        # swap the side labels in the pruning log too
+        flip = {"left": "right", "right": "left"}
+        return {"left": out["right"], "right": out["left"],
+                "pruning": [{**p, "side": flip[p["side"]]}
+                            for p in out["pruning"]]}
     if how not in ("inner", "left", "full"):
         raise ValueError(
             f"how must be 'inner', 'left', 'right' or 'full', "
@@ -2163,13 +2167,11 @@ def join_sync_snapshot(spark, left_path: str, right_path: str,
                             preds.append((c, "in", vals))
                     if preds:
                         from ..sources.snapshots import (
-                            scan_pruning_stats, snapshot_scan,
+                            _scan_with_stats,
                         )
-                        other = snapshot_scan(spark, other_path,
-                                              preds, version=pin)
-                        rec.update(
-                            scan_pruning_stats(spark, other_path,
-                                               preds, version=pin))
+                        other, sstats = _scan_with_stats(
+                            spark, other_path, preds, version=pin)
+                        rec.update(sstats)
                         rec["mode"] = "pruned"
             if other is None:
                 other = read_snapshot(spark, other_path, pin)

@@ -142,16 +142,18 @@ def discover_new_files(spark: SparkSession, landing_path: str,
         return {"files": [], "stats": stats}
     seen: set = set()
     if latest_version(spark, ledger_path) is not None:
-        led = read_snapshot(spark, ledger_path)
         if partition_col:
-            # prune the ledger read to the unsealed partitions under
-            # inspection — manifest-level partition pruning keeps this
-            # read O(open partitions) as the ledger grows
+            # build ONLY the pruned reader: even constructing the
+            # full reader resolves (and existence-checks) the whole
+            # ledger file list — manifest-level partition pruning
+            # keeps this read O(open partitions) as the ledger grows
             parts = sorted({c[3] for c in cands})
             inlist = ", ".join("'%s'" % p.replace("'", "''")
                                for p in parts)
             led = read_snapshot(spark, ledger_path,
                                 where=f"part in ({inlist})")
+        else:
+            led = read_snapshot(spark, ledger_path)
         # bounded collect: rows are limited to the unsealed
         # partitions' ledger entries, the working set a step owns
         seen = {r["path"] for r in led.select("path").collect()}
@@ -220,12 +222,17 @@ def file_ingest_batch(spark: SparkSession, landing_path: str,
     else:
         out["ledger_version"] = led_v
     if seal_below is not None:
+        from urllib.parse import unquote
+
         already = sealed_partitions(spark, ledger_path)
         # every unsealed partition below the mark is fully ingested
         # as of this step (discovery listed it and the ledger now
-        # holds everything it found)
+        # holds everything it found). Values are hive-DECODED, like
+        # discovery's skip check — a raw 'a%20b' dir seals as 'a b'
+        # so the two always agree; seal_below compares against the
+        # decoded form.
         prefix = partition_col + "="
-        vals = {st.getPath().getName()[len(prefix):]
+        vals = {unquote(st.getPath().getName()[len(prefix):])
                 for st in _list_dir(spark, landing_path)
                 if st.isDirectory()
                 and st.getPath().getName().startswith(prefix)}
@@ -235,10 +242,15 @@ def file_ingest_batch(spark: SparkSession, landing_path: str,
             sp = _seals_path(ledger_path)
             seals_df = spark.createDataFrame([(p,) for p in to_seal],
                                              "part string")
+            # NO replay marker: the ledger-derived batch id does not
+            # advance on no-new-file steps, so a marker would
+            # silently no-op a later seal. Sealing is idempotent by
+            # content (only not-yet-sealed values are appended, and
+            # duplicate rows from a crash-rerun are harmless — the
+            # sealed set is a set)
             if latest_version(spark, sp) is None:
                 snapshot_write(spark, sp, seals_df, partition_cols=[])
             else:
-                snapshot_append(spark, sp, seals_df,
-                                source_batch=(source, batch_id))
+                snapshot_append(spark, sp, seals_df)
             out["sealed_now"] = to_seal
     return out

@@ -227,3 +227,52 @@ def test_seal_below_requires_partition_col(spark, tmp_path):
                           str(tmp_path / "g"),
                           process=lambda d, b: None,
                           seal_below="x")
+
+
+def test_sealing_works_on_idle_ledger_steps(spark, tmp_path):
+    """r9 review finding: the ledger-derived batch id does not
+    advance on no-new-file steps, so a replay marker on the seals
+    append silently no-opped every seal after the first. Two
+    consecutive idle steps that each seal a new partition must BOTH
+    land."""
+    land = str(tmp_path / "land")
+    led = str(tmp_path / "ledger")
+
+    def process(files_df, batch_id):
+        files_df.count()
+
+    _drop(f"{land}/d=a", "f.jsonl", "x")
+    _drop(f"{land}/d=b", "f.jsonl", "x")
+    file_ingest_batch(spark, land, led, process=process,
+                      partition_col="d")          # ingest, no seal
+    out1 = file_ingest_batch(spark, land, led, process=process,
+                             partition_col="d", seal_below="b")
+    assert out1["files_new"] == 0 and out1["sealed_now"] == ["a"]
+    # second IDLE step with a higher mark: must seal 'b' too
+    out2 = file_ingest_batch(spark, land, led, process=process,
+                             partition_col="d", seal_below="c")
+    assert out2["files_new"] == 0 and out2["sealed_now"] == ["b"]
+    assert sealed_partitions(spark, led) == {"a", "b"}
+
+
+def test_sealing_matches_hive_encoded_partition_names(spark,
+                                                      tmp_path):
+    """r9 review finding: sealing recorded RAW directory names while
+    discovery compared DECODED values, so a percent-encoded partition
+    was re-listed forever. Both sides now use the decoded form."""
+    land = str(tmp_path / "land")
+    led = str(tmp_path / "ledger")
+
+    def process(files_df, batch_id):
+        files_df.count()
+
+    _drop(f"{land}/d=a%20b", "f.jsonl", "x")    # hive-encoded 'a b'
+    out = file_ingest_batch(spark, land, led, process=process,
+                            partition_col="d", seal_below="zzz")
+    assert out["files_new"] == 1
+    assert out["sealed_now"] == ["a b"]          # decoded form
+    out2 = file_ingest_batch(spark, land, led, process=process,
+                             partition_col="d", seal_below="zzz")
+    assert out2["partitions_listed"] == 0, \
+        "the sealed encoded partition must never be listed again"
+    assert out2["partitions_sealed"] == 1

@@ -1402,3 +1402,75 @@ def test_full_outer_initial_sync_with_prunable_other_side(
     assert got == want, (got, want)
     assert got[(9, 11)] == (None, 110), \
         "never-matched right row must survive the pruned initial sync"
+
+
+def test_read_session_never_returns_unmarked_bootstrap(spark,
+                                                       tmp_path):
+    """r9 review finding: a version predating the consumer's first
+    sync (a join view's empty bootstrap) is NOT consistent with any
+    base version — the session must run the compaction-gap check
+    against the first MARKED version and raise on a real-data gap,
+    never hand back the bootstrap as 'consistent'."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_read_session,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot, join_sync_snapshot,
+    )
+    lt, rt, vw, agg = (str(tmp_path / n) for n in ("l", "r", "v",
+                                                   "a"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a")], L_SCHEMA), partition_cols=["lp"])   # v0
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, 100, "x")], R_SCHEMA), partition_cols=["rp"])
+    aggregate_sync_snapshot(spark, lt, agg, group_by=["seg"],
+                            measures={"n": ("count", None)})
+    # real data lands on lt BEFORE the join view first syncs
+    snapshot_append(spark, lt, spark.createDataFrame(
+        [(2, "base", "a")], L_SCHEMA))                          # v1
+    join_sync_snapshot(spark, lt, rt, vw, on=["ck"],
+                       left_keys=["ck"], right_keys=["ok"])
+    # B = min(agg marker 0, join marker 1) = 0; the join view's only
+    # marker-<=0 candidate is its UNMARKED bootstrap — refuse
+    with pytest.raises(LookupError, match="not compaction-only"):
+        snapshot_read_session(spark, lt, {
+            "agg": (agg, f"aggregate_sync:{lt}"),
+            "join": (vw, f"join_sync:left:{lt}"),
+        })
+
+    # compaction-only gap: accepted via the first MARKED version,
+    # which must NOT be the empty bootstrap
+    lt2, vw2, agg2 = (str(tmp_path / n) for n in ("l2", "v2", "a2"))
+    snapshot_write(spark, lt2, spark.createDataFrame(
+        [(1, "gold", "a")], L_SCHEMA), partition_cols=["lp"])   # v0
+    aggregate_sync_snapshot(spark, lt2, agg2, group_by=["seg"],
+                            measures={"n": ("count", None)})
+    snapshot_compact(spark, lt2, target_file_bytes=1 << 30)     # v1
+    join_sync_snapshot(spark, lt2, rt, vw2, on=["ck"],
+                       left_keys=["ck"], right_keys=["ok"])
+    sess = snapshot_read_session(spark, lt2, {
+        "agg": (agg2, f"aggregate_sync:{lt2}"),
+        "join": (vw2, f"join_sync:left:{lt2}"),
+    })
+    assert sess["base_version"] == 0
+    assert sess["frames"]["join"].count() == 1, \
+        "must pin the first SYNCED join-view version, not the " \
+        "empty bootstrap"
+
+
+def test_right_join_mirror_returns_pruning_stats(spark, tmp_path):
+    """r9 review finding: the how='right' mirror must return the
+    documented 'pruning' key with the side labels swapped back."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        join_sync_snapshot,
+    )
+    lt, rt, vw = (str(tmp_path / n) for n in ("l", "r", "v"))
+    snapshot_write(spark, lt, spark.createDataFrame(
+        [(1, "gold", "a")], L_SCHEMA), partition_cols=["lp"])
+    snapshot_write(spark, rt, spark.createDataFrame(
+        [(10, 1, 100, "x")], R_SCHEMA), partition_cols=["rp"])
+    out = join_sync_snapshot(spark, lt, rt, vw, on=["ck"],
+                             left_keys=["ck"], right_keys=["ok"],
+                             how="right")
+    assert "pruning" in out
+    assert {p["side"] for p in out["pruning"]} <= {"left", "right"}

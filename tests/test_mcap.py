@@ -432,3 +432,21 @@ def test_mcap_ingest_stream_end_to_end(spark, tmp_path):
                                        "log_time_ns", "data"))
     q2.awaitTermination(120)
     assert latest_version(spark, tbl) == v
+
+
+def test_uint64_two_complement_reinterpretation():
+    """uint64 values >= 2^63 (hash-style ids) reinterpret two's-
+    complement into LongType instead of crashing the Arrow
+    conversion; the mapping is bijective (mask to recover)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.mcap import (
+        _Cdr, _decode_cdr_value,
+    )
+    big = 0x9000_0000_0000_0001
+    payload = b"\x00\x01\x00\x00" + struct.pack("<Q", big)
+    v = _decode_cdr_value(_Cdr(payload), "uint64", {"": []})
+    assert v == big - (1 << 64) and v < 0
+    assert v & 0xFFFF_FFFF_FFFF_FFFF == big
+    small = _decode_cdr_value(
+        _Cdr(b"\x00\x01\x00\x00" + struct.pack("<Q", 7)),
+        "uint64", {"": []})
+    assert small == 7
