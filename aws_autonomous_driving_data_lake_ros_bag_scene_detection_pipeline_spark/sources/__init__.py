@@ -16,6 +16,9 @@ from .mcap import (  # noqa: F401
     mcap_topic_metadata,
     parse_mcap_bytes, read_mcap_messages,
 )
+from .spark_source import (  # noqa: F401
+    SnapshotDataSource, register_snapshot_source,
+)
 from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
 )
@@ -48,6 +51,7 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "snapshot_changes_log", "snapshot_history", "sql_predicates",
            "snapshot_append", "snapshot_apply_changes",
            "snapshot_read_session",
+           "SnapshotDataSource", "register_snapshot_source",
            "snapshot_compact", "snapshot_delete", "snapshot_maintain",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
            "snapshot_tag", "snapshot_tags", "snapshot_untag",

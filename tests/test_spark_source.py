@@ -1,0 +1,187 @@
+"""Snapshot tables as a native Spark data source (r9):
+spark.read.format('snapshot') with version/tag time travel,
+manifest-level + zone-map file skipping through Spark's own filter
+pushdown, schema-evolution alignment, hive partition-value injection,
+and the append-feed streaming source with version offsets."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+    read_snapshot, register_snapshot_source, snapshot_append,
+    snapshot_delete, snapshot_tag, snapshot_upsert, snapshot_write,
+)
+
+SCHEMA = "id long, day string, val string"
+
+
+@pytest.fixture()
+def registered(spark):
+    register_snapshot_source(spark)
+    return spark
+
+
+def _base(spark, path):
+    return snapshot_write(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")], SCHEMA),
+        partition_cols=["day"])
+
+
+def test_batch_read_latest_and_time_travel(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    v0 = _base(spark, path)
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(4, "d2", "d")], SCHEMA))
+    snapshot_tag(spark, path, "first", version=v0)
+
+    latest = spark.read.format("snapshot").load(path)
+    # the source declares the MANIFEST order (partition discovery
+    # appends hive columns last on the library read — same fields)
+    assert sorted((f.name, f.dataType) for f in latest.schema) == \
+        sorted((f.name, f.dataType)
+               for f in read_snapshot(spark, path).schema)
+    assert {(r["id"], r["day"], r["val"]) for r in latest.collect()} \
+        == {(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"),
+            (4, "d2", "d")}
+    pinned = (spark.read.format("snapshot")
+              .option("version", v0).load(path))
+    assert pinned.count() == 3
+    tagged = (spark.read.format("snapshot")
+              .option("tag", "first").load(path))
+    assert tagged.count() == 3
+
+
+def test_filter_pushdown_prunes_partitions_and_zone_maps(
+        registered, tmp_path):
+    """Destructive proof through SPARK'S OWN pushdown: delete the
+    files a predicate excludes; the filtered read still answers."""
+    spark = registered
+    # hive partition pruning
+    p1 = str(tmp_path / "hive")
+    _base(spark, p1)
+    doomed = [f for f in read_snapshot(spark, p1).inputFiles()
+              if "day=d2" not in f]
+    for f in doomed:
+        os.remove(f.removeprefix("file:"))
+    got = (spark.read.format("snapshot").load(p1)
+           .where(F.col("day") == "d2").collect())
+    assert {tuple(r) for r in got} == {(3, "d2", "c")}
+
+    # zone-map pruning on an unpartitioned range-sorted table
+    p2 = str(tmp_path / "zoned")
+    df = (spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    snapshot_write(spark, p2, df, partition_cols=[],
+                   stats_cols=["id"])
+    files = read_snapshot(spark, p2).inputFiles()
+    assert len(files) == 4
+    import duckdb as _d
+    for f in files:
+        lo, hi = _d.sql("select min(id), max(id) from '%s'"
+                        % f.removeprefix("file:")).fetchone()
+        if not (lo <= 5 <= hi):
+            os.remove(f.removeprefix("file:"))
+    got = (spark.read.format("snapshot").load(p2)
+           .where(F.col("id") == 5).collect())
+    assert [tuple(r) for r in got] == [(5, 10)]
+
+
+def test_schema_evolution_and_null_partition_alignment(
+        registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(1, "d1", "a"), (2, None, "b")], SCHEMA),
+        partition_cols=["day"])
+    snapshot_upsert(spark, path, spark.createDataFrame(
+        [(3, "d3", "c", 9.5)], SCHEMA + ", extra double"),
+        ["id"], partition_cols=["day"], schema_evolution=True)
+    got = {r["id"]: (r["day"], r["val"], r["extra"]) for r in
+           spark.read.format("snapshot").load(path).collect()}
+    assert got[1] == ("d1", "a", None)     # pre-evolution file: NULL
+    assert got[2] == (None, "b", None)     # NULL partition value
+    assert got[3] == ("d3", "c", 9.5)
+    # equality with the library read
+    lib = {r["id"]: (r["day"], r["val"], r["extra"]) for r in
+           read_snapshot(spark, path).collect()}
+    assert got == lib
+
+
+def test_numeric_partition_values_typed(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id long, bucket int, v string"),
+        partition_cols=["bucket"])
+    df = spark.read.format("snapshot").load(path)
+    assert dict(df.dtypes)["bucket"] == "int"
+    assert {(r["id"], r["bucket"]) for r in df.collect()} == \
+        {(1, 10), (2, 20)}
+
+
+def test_streaming_append_feed(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _base(spark, path)   # before the stream starts: not delivered
+
+    def run():
+        q = (spark.readStream.format("snapshot").load(path)
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    assert not os.path.exists(sink) or \
+        spark.read.parquet(sink).count() == 0
+
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(4, "d2", "d"), (5, "d1", "e")], SCHEMA))
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(6, "d3", "f")], SCHEMA))
+    run()
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert got == {(4, "d2", "d"), (5, "d1", "e"), (6, "d3", "f")}
+
+    # restart with nothing new: no duplicates
+    run()
+    assert spark.read.parquet(sink).count() == 3
+
+
+def test_streaming_refuses_rewrites_by_default(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _base(spark, path)
+    snapshot_delete(spark, path,
+                    spark.createDataFrame([(1,)], "id long"),
+                    ["id"], partition_cols=["day"])
+
+    q = (spark.readStream.format("snapshot")
+         .option("startVersion", 0).load(path)
+         .writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="not an append"):
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "no error")
+
+
+def test_local_path_contract(registered, tmp_path):
+    spark = registered
+    with pytest.raises(Exception, match="local/NFS"):
+        (spark.read.format("snapshot")
+         .load("s3a://bucket/tbl").collect())
