@@ -340,6 +340,12 @@ class SnapshotDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return SnapshotAppendsStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        return SnapshotBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return SnapshotStreamWriter(self.options, schema, overwrite)
+
 
 def register_snapshot_source(spark) -> None:
     """Register the ``snapshot`` format on this session (and enable
@@ -347,3 +353,319 @@ def register_snapshot_source(spark) -> None:
     file-skipping rides)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotDataSource)
+
+
+# ------------------------------------------------------------- write support
+# df.write.format("snapshot") and df.writeStream.format("snapshot"):
+# tasks write immutable parquet files straight into the table's data/
+# dir (invisible until the manifest commit) and return their manifest
+# entries as commit messages; the DRIVER commit assembles the next
+# manifest — append mode carries every previous file/segment BY
+# REFERENCE like snapshot_append, overwrite mode replaces like
+# snapshot_write — and publishes it with an exclusive-create CAS
+# (os.link refuses an existing destination), so exactly one writer
+# wins a version and a crashed job leaves only invisible orphans for
+# snapshot_prune. The STREAMING sink records the micro-batch id as a
+# source_batch replay marker, so a replayed batch is a
+# version-preserving no-op — the exactly-once contract of
+# snapshot_append_stream through Spark's own sink API.
+
+import uuid as _uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter, DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+class ConcurrentSnapshotWrite(RuntimeError):
+    """Another writer committed the version this job raced for."""
+
+
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    entries: list = field(default_factory=list)
+
+
+def _hive_dir(cols: list[str], vals: tuple) -> str:
+    from .tables import _hive_partition_dir
+    return _hive_partition_dir(cols, vals)
+
+
+def _task_write(iterator, root: str, partition_cols: list[str],
+                stats_cols: list[str]) -> "_WriteResult":
+    """Executor side: one parquet file per hive partition value seen
+    by this task, written under data/ with a fresh uuid name;
+    per-file min/max/null/row stats computed in-memory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables: dict[tuple, list] = {}
+    for batch in iterator:
+        t = pa.Table.from_batches([batch])
+        if not partition_cols:
+            tables.setdefault((), []).append(t)
+            continue
+        keys = t.select(partition_cols).to_pylist()
+        uniq = sorted({tuple(d[c] for c in partition_cols)
+                       for d in keys},
+                      key=lambda v: tuple(str(x) for x in v))
+        if len(uniq) == 1:
+            tables.setdefault(uniq[0], []).append(
+                t.drop_columns(partition_cols))
+            continue
+        import pyarrow.compute as pc
+        for vals in uniq:
+            mask = None
+            for c, v in zip(partition_cols, vals):
+                e = (pc.is_null(t[c]) if v is None
+                     else pc.equal(t[c], v))
+                mask = e if mask is None else pc.and_(mask, e)
+            sub = t.filter(mask).drop_columns(partition_cols)
+            tables.setdefault(vals, []).append(sub)
+    entries = []
+    for vals, parts in tables.items():
+        t = pa.concat_tables(parts)
+        if t.num_rows == 0:
+            continue
+        part_dir = _hive_dir(partition_cols, vals) \
+            if partition_cols else ""
+        name = f"{_uuid.uuid4().hex}.parquet"
+        rel = f"{part_dir}/{name}" if part_dir else name
+        dirp = os.path.join(root, _DATA_DIR, part_dir) \
+            if part_dir else os.path.join(root, _DATA_DIR)
+        os.makedirs(dirp, exist_ok=True)
+        pq.write_table(t, os.path.join(dirp, name))
+        entry = {"path": rel, "partition": part_dir}
+        if stats_cols:
+            import pyarrow.compute as pc
+            st = {}
+            for c in stats_cols:
+                col = t[c]
+                mm = pc.min_max(col)
+                st[c] = {"min": mm["min"].as_py(),
+                         "max": mm["max"].as_py(),
+                         "nulls": col.null_count,
+                         "rows": t.num_rows}
+            entry["stats"] = st
+        entries.append(entry)
+    return _WriteResult(entries)
+
+
+def _cas_publish(root: str, version: int, manifest: dict) -> None:
+    """Exclusive-create manifest publish for local stores: write a
+    hidden temp, os.link to the final name (EEXIST = lost race),
+    then best-effort hint update."""
+    import time
+
+    manifest.setdefault("committed_at", time.time())
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".w-{_uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, os.path.join(mdir, f"{version}.json"))
+    except FileExistsError:
+        raise ConcurrentSnapshotWrite(
+            f"version {version} of {root} was committed by another "
+            f"writer") from None
+    finally:
+        os.unlink(tmp)
+    try:                                     # advisory, stale-safe
+        htmp = os.path.join(mdir, f".hint-{_uuid.uuid4().hex}")
+        with open(htmp, "w") as f:
+            f.write(str(version))
+        os.replace(htmp, os.path.join(mdir, "_latest_hint"))
+    except OSError:
+        pass
+
+
+_SEGMENT_ROLL = 512
+
+
+def _roll(root: str, inline: list[dict]) -> tuple[list[dict],
+                                                  list[dict]]:
+    """Pure-python twin of the library's partition-grouped segment
+    roll (same shape, same threshold)."""
+    by_part: dict[str, list[dict]] = {}
+    for e in inline:
+        by_part.setdefault(e["partition"], []).append(e)
+    segments, group = [], []
+    for part in sorted(by_part):
+        group += by_part[part]
+        if len(group) >= _SEGMENT_ROLL:
+            name = f"seg-{_uuid.uuid4().hex}.json"
+            with open(os.path.join(root, _MANIFEST_DIR, name), "w",
+                      encoding="utf-8") as f:
+                json.dump({"files": group}, f)
+            segments.append(
+                {"path": name, "n_entries": len(group),
+                 "partitions": sorted({e["partition"]
+                                       for e in group})})
+            group = []
+    return segments, group
+
+
+def _publish_commit(root: str, schema_json: str,
+                    partition_cols: list[str],
+                    stats_cols: list[str], entries: list[dict],
+                    overwrite: bool,
+                    source_batch: tuple[str, int] | None = None,
+                    retries: int = 5) -> int | None:
+    """Driver side: build + CAS-publish the next manifest. Append
+    mode carries the previous manifest's files/segments by reference
+    and retries a lost race by restacking the SAME entries on the new
+    head (appends read nothing — rebase-safe, like
+    snapshot_append(retries=)). Returns the committed version, or
+    None for a replayed streaming batch."""
+    for _ in range(retries + 1):
+        prev = _latest_version(root)
+        if prev is None or overwrite:
+            version = 0 if prev is None else prev + 1
+            srcs = ({source_batch[0]: source_batch[1]}
+                    if source_batch else None)
+            m = {"version": version,
+                 "partition_cols": partition_cols,
+                 "schema": schema_json,
+                 "stats_cols": stats_cols or None,
+                 "bloom_cols": None, "bloom_bits": None,
+                 "append_sources": srcs,
+                 "operation": "write",
+                 "files": entries, "segments": []}
+        else:
+            pm = _manifest(root, prev)
+            if pm.get("partition_cols") != partition_cols:
+                raise ValueError(
+                    f"partition_cols {partition_cols} do not match "
+                    f"the table's {pm.get('partition_cols')}")
+            prev_cols = [f["name"] for f in json.loads(
+                pm["schema"])["fields"]] if pm.get("schema") else []
+            new_cols = [f["name"]
+                        for f in json.loads(schema_json)["fields"]]
+            if prev_cols and set(prev_cols) != set(new_cols):
+                raise ValueError(
+                    f"schema drift: table has {prev_cols}, batch has "
+                    f"{new_cols} — evolve via snapshot_append("
+                    f"schema_evolution=True)")
+            srcs = dict(pm.get("append_sources") or {})
+            if source_batch is not None:
+                src, bid = source_batch
+                if bid <= srcs.get(src, -1):
+                    return None          # replayed batch: no-op
+                srcs[src] = bid
+            inline = list(pm.get("files") or []) + entries
+            carried = list(pm.get("segments") or [])
+            if len(inline) > _SEGMENT_ROLL:
+                rolled, inline = _roll(root, inline)
+                carried += rolled
+            m = {"version": prev + 1,
+                 "partition_cols": partition_cols,
+                 "schema": pm.get("schema") or schema_json,
+                 "stats_cols": pm.get("stats_cols"),
+                 "bloom_cols": pm.get("bloom_cols"),
+                 "bloom_bits": pm.get("bloom_bits"),
+                 "append_sources": srcs or None,
+                 "operation": "append",
+                 "files": inline, "segments": carried}
+            version = prev + 1
+        try:
+            _cas_publish(root, version, m)
+            return version
+        except ConcurrentSnapshotWrite:
+            if overwrite or prev is None:
+                raise                     # replace races are real
+            continue                      # append: restack and retry
+    raise ConcurrentSnapshotWrite(
+        f"lost {retries + 1} append races on {root}")
+
+
+def _writer_options(options, schema) -> tuple[str, list[str],
+                                              list[str], str]:
+    root = _local(options["path"])
+    pc = (options.get("partitioncols")
+          or options.get("partition_cols") or "")
+    partition_cols = [c for c in pc.split(",") if c]
+    sc = options.get("statscols") or options.get("stats_cols") or ""
+    stats_cols = [c for c in sc.split(",") if c]
+    names = [f.name for f in schema.fields]
+    for c in partition_cols + stats_cols:
+        if c not in names:
+            raise ValueError(f"column {c!r} not in the frame "
+                             f"({names})")
+    for c in stats_cols:
+        if c in partition_cols:
+            raise ValueError(f"stats column {c!r} is a partition "
+                             f"column (already pruned by directory)")
+    return root, partition_cols, stats_cols, schema.json()
+
+
+class SnapshotBatchWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        (self.root, self.partition_cols, self.stats_cols,
+         self.schema_json) = _writer_options(options, schema)
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        return _task_write(iterator, self.root, self.partition_cols,
+                           self.stats_cols)
+
+    def commit(self, messages):
+        entries = [e for msg in messages if msg
+                   for e in msg.entries]
+        _publish_commit(self.root, self.schema_json,
+                        self.partition_cols, self.stats_cols,
+                        entries, self.overwrite)
+
+    def abort(self, messages):
+        for msg in messages or []:
+            if not msg:
+                continue
+            for e in msg.entries:
+                try:
+                    os.unlink(os.path.join(self.root, _DATA_DIR,
+                                           e["path"]))
+                except OSError:
+                    pass
+
+
+class SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming sink: each micro-batch lands as ONE
+    append commit carrying the batch id as its replay marker."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        (self.root, self.partition_cols, self.stats_cols,
+         self.schema_json) = _writer_options(options, schema)
+        if overwrite:
+            raise ValueError(
+                "the snapshot streaming sink is append-only "
+                "(outputMode('append')); complete-mode rewrites "
+                "belong to batch overwrite or snapshot_write")
+        self.source = options.get("source") or "spark_stream_sink"
+
+    def write(self, iterator):
+        return _task_write(iterator, self.root, self.partition_cols,
+                           self.stats_cols)
+
+    def commit(self, messages, batchId):
+        entries = [e for msg in messages if msg
+                   for e in msg.entries]
+        v = _publish_commit(self.root, self.schema_json,
+                            self.partition_cols, self.stats_cols,
+                            entries, overwrite=False,
+                            source_batch=(self.source, batchId))
+        if v is None:
+            # replayed batch: its files are orphans, drop them
+            self.abort(messages, batchId)
+
+    def abort(self, messages, batchId):
+        for msg in messages or []:
+            if not msg:
+                continue
+            for e in msg.entries:
+                try:
+                    os.unlink(os.path.join(self.root, _DATA_DIR,
+                                           e["path"]))
+                except OSError:
+                    pass

@@ -185,3 +185,113 @@ def test_local_path_contract(registered, tmp_path):
     with pytest.raises(Exception, match="local/NFS"):
         (spark.read.format("snapshot")
          .load("s3a://bucket/tbl").collect())
+
+
+def test_batch_write_append_and_overwrite(registered, tmp_path):
+    """df.write.format('snapshot'): overwrite replaces like
+    snapshot_write, append carries the previous files BY REFERENCE
+    like snapshot_append; the result reads back identically through
+    the library AND the data source, with stats recorded for
+    zone-map pruning."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.snapshots import (
+        _load_manifest, latest_version,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b"), (3, None, "c")], SCHEMA)
+    (df1.write.format("snapshot")
+     .option("partitionCols", "day")
+     .option("statsCols", "id")
+     .mode("overwrite").save(path))
+    assert latest_version(spark, path) == 0
+    lib = read_snapshot(spark, path)
+    assert {(r["id"], r["day"], r["val"]) for r in lib.collect()} == \
+        {(1, "d1", "a"), (2, "d2", "b"), (3, None, "c")}
+
+    m0 = _load_manifest(spark, path, 0)
+    files_v0 = {e["path"] for e in m0["files"]}
+    assert all("stats" in e and "id" in e["stats"]
+               for e in m0["files"])
+
+    df2 = spark.createDataFrame([(4, "d1", "d")], SCHEMA)
+    (df2.write.format("snapshot")
+     .option("partitionCols", "day")
+     .option("statsCols", "id")
+     .mode("append").save(path))
+    assert latest_version(spark, path) == 1
+    m1 = _load_manifest(spark, path, 1)
+    assert files_v0 <= {e["path"] for e in m1["files"]}, \
+        "append must carry the previous files by reference"
+    assert read_snapshot(spark, path).count() == 4
+    # the append commit participates in the change feed as an append
+    assert m1["operation"] == "append"
+
+    # zone maps recorded by the sink prune the library scan
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import scan_pruning_stats
+    st = scan_pruning_stats(spark, path, [("id", "=", 4)])
+    assert st["files_pruned"] >= 1
+
+
+def test_batch_write_schema_drift_refused(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "d1", "a")], SCHEMA) \
+        .write.format("snapshot").option("partitionCols", "day") \
+        .mode("overwrite").save(path)
+    with pytest.raises(Exception, match="do not match"):
+        (spark.createDataFrame([(2, "x")], "id long, other string")
+         .write.format("snapshot").mode("append").save(path))
+    with pytest.raises(Exception, match="schema drift"):
+        (spark.createDataFrame([(2, "d2", "x")],
+                               "id long, day string, other string")
+         .write.format("snapshot").option("partitionCols", "day")
+         .mode("append").save(path))
+
+
+def test_streaming_sink_exactly_once(registered, tmp_path):
+    """writeStream.format('snapshot'): each micro-batch is ONE append
+    commit with the batch id as replay marker — a restart with no new
+    input publishes nothing, and the landing table serves the change
+    feed / IVM family directly."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.snapshots import latest_version
+    spark = registered
+    src = str(tmp_path / "in")
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")], SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (spark.readStream.schema(SCHEMA).parquet(src)
+             .writeStream.format("snapshot")
+             .option("partitionCols", "day")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start(path))
+        q.awaitTermination(120)
+
+    run()
+    assert {(r["id"], r["day"]) for r in
+            read_snapshot(spark, path).select("id", "day").collect()} \
+        == {(1, "d1"), (2, "d2")}
+    v = latest_version(spark, path)
+    run()                                     # nothing new
+    assert latest_version(spark, path) == v
+    spark.createDataFrame([(3, "d1", "c")], SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert read_snapshot(spark, path).count() == 3
+
+
+def test_roundtrip_source_to_sink(registered, tmp_path):
+    """spark.read.format('snapshot') -> transform ->
+    write.format('snapshot'): the full native loop."""
+    spark = registered
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _base(spark, a)
+    (spark.read.format("snapshot").load(a)
+     .where(F.col("day") == "d1")
+     .write.format("snapshot").mode("overwrite").save(b))
+    assert {r["id"] for r in read_snapshot(spark, b).collect()} == \
+        {1, 2}
