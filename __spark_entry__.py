@@ -978,9 +978,16 @@ def _ivm_branch_rows(spark, sf_dir, orders):
                                 group_by=["o_orderstatus"],
                                 measures=meas)
         # bounded collect (one row per order status) so the scratch
-        # table can be removed before the driver collects the union
+        # table can be removed before the driver collects the union.
+        # The view reads back through the NATIVE Spark data source
+        # (sources/spark_source.py, r9) — the format("snapshot") read
+        # path is thereby oracle-verified too, at zero extra cost
+        from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+            register_snapshot_source,
+        )
+        register_snapshot_source(spark)
         rows = [(r["o_orderstatus"], r["n_live"], r["cust_sum"])
-                for r in read_snapshot(spark, vw)
+                for r in spark.read.format("snapshot").load(vw)
                 .select("o_orderstatus", "n_live", "cust_sum")
                 .collect()]
     finally:
