@@ -2194,7 +2194,8 @@ def snapshot_rollback(spark: SparkSession, path: str,
 def snapshot_compact(spark: SparkSession, path: str, *,
                      target_file_bytes: int = 128 << 20,
                      partitions: list[str] | None = None,
-                     sort_cols: list[str] | None = None) -> int:
+                     sort_cols: list[str] | None = None,
+                     zorder_cols: list[str] | None = None) -> int:
     """Compact a snapshot table's small files in place of the NEXT
     version — the snapshot-layer twin of
     :func:`~.tables.compact_files`, minus its swap-directories step
@@ -2208,8 +2209,18 @@ def snapshot_compact(spark: SparkSession, path: str, *,
     a sorted layout in the same pass (range-partition + sort-within,
     exactly :func:`~.tables.compact_files`'s recipe — compaction is
     the natural moment to restore the zone-map clustering that
-    upserts have degraded). Readers of prior versions are untouched
-    (old files live until pruned). Returns the new version."""
+    upserts have degraded). ``zorder_cols`` (r9) clusters on the
+    MORTON interleave of several columns instead
+    (:func:`~.tables.zorder_key` — quantization ranges computed from
+    the rows being compacted in one bounded agg), so the rewritten
+    files' min/max stats are narrow on EVERY listed axis at once —
+    multi-dimensional data skipping for ``snapshot_scan`` the way
+    ``write_zordered`` gives it to plain directories. Mutually
+    exclusive with ``sort_cols``. Readers of prior versions are
+    untouched (old files live until pruned). Returns the new
+    version."""
+    if sort_cols and zorder_cols:
+        raise ValueError("pass sort_cols or zorder_cols, not both")
     prev = latest_version(spark, path)
     if prev is None:
         raise FileNotFoundError(f"no published snapshot under {path}")
@@ -2230,7 +2241,32 @@ def snapshot_compact(spark: SparkSession, path: str, *,
         f"{path}/{_DATA_DIR}/{e['path']}")).getLen() for e in hit)
     n = max(1, -(-total // target_file_bytes))
     rows = _read_files(spark, path, hit, m.get("schema"))
-    if sort_cols:
+    if zorder_cols:
+        from .tables import zorder_key
+        missing = [c for c in zorder_cols if c not in rows.columns]
+        if missing:
+            raise ValueError(f"zorder_cols {missing} not in the "
+                             f"table's columns")
+        # quantization bounds from the rows under compaction — one
+        # bounded agg (2 scalars per column)
+        aggs = []
+        for c in zorder_cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+        b = rows.agg(*aggs).collect()[0]
+        ranges = {}
+        for c in zorder_cols:
+            lo, hi = b[f"_mn_{c}"], b[f"_mx_{c}"]
+            if lo is None or hi is None:       # all-null column
+                lo, hi = 0.0, 1.0
+            elif not hi > lo:                  # constant column
+                hi = lo + 1.0
+            ranges[c] = (lo, hi)
+        zk = zorder_key(zorder_cols, ranges=ranges)
+        keys = [*part_cols, zk]
+        compacted = (rows.repartitionByRange(n, *keys)
+                     .sortWithinPartitions(*keys))
+    elif sort_cols:
         # partition cols lead the range key so each task writes whole
         # hive partitions (see tables.write_zordered)
         keys = [*part_cols, *sort_cols]
@@ -2350,6 +2386,7 @@ def snapshot_maintain(spark: SparkSession, path: str, *,
                       max_files_per_partition: int = 8,
                       target_file_bytes: int = 128 << 20,
                       sort_cols: list[str] | None = None,
+                      zorder_cols: list[str] | None = None,
                       keep_latest: int | None = None,
                       orphan_grace_seconds: float = 3600.0) -> dict:
     """Policy-driven table maintenance in one call — what an ingest
@@ -2358,8 +2395,9 @@ def snapshot_maintain(spark: SparkSession, path: str, *,
     scan): partitions whose file count exceeds
     ``max_files_per_partition`` (append/upsert fragments piling up)
     are compacted in one :func:`snapshot_compact` commit — scoped to
-    exactly those partitions, optionally re-sorted via ``sort_cols``
-    to restore zone-map clustering; then, if ``keep_latest`` is set,
+    exactly those partitions, optionally re-clustered via
+    ``sort_cols`` (range sort) or ``zorder_cols`` (Morton interleave,
+    r9) to restore zone-map pruning; then, if ``keep_latest`` is set,
     :func:`snapshot_prune` applies retention (tagged versions stay
     protected, orphan grace as documented there). A table already
     within policy publishes NOTHING (no empty compact commit).
@@ -2385,7 +2423,8 @@ def snapshot_maintain(spark: SparkSession, path: str, *,
     if fat:
         out["compact_version"] = snapshot_compact(
             spark, path, target_file_bytes=target_file_bytes,
-            partitions=fat, sort_cols=sort_cols)
+            partitions=fat, sort_cols=sort_cols,
+            zorder_cols=zorder_cols)
         out["files_after"] = len(_manifest_entries(
             spark, path,
             _load_manifest(spark, path, out["compact_version"])))

@@ -1634,3 +1634,51 @@ def test_partition_prune_integral_exact_past_2_53():
     # float literal against an integral column stays exact too
     assert not _partition_rejects(pv, "b", ">", float(1 << 53),
                                   "long")
+
+
+def test_snapshot_compact_zorder_clusters_both_axes(spark, tmp_path):
+    """r9: snapshot_compact(zorder_cols=) re-clusters on the Morton
+    interleave, so zone-map pruning engages on EVERY listed axis —
+    a user slice AND a time slice both skip files after ONE rewrite
+    (single-axis sorting can only serve one of them)."""
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        scan_pruning_stats, snapshot_compact, snapshot_scan,
+        snapshot_write,
+    )
+    path = str(tmp_path / "tbl")
+    # 4k rows over a 64x64 (u, t) grid, written SHUFFLED so the
+    # initial files' stats are wide on both axes
+    df = (spark.range(4096)
+          .select((F.col("id") % 64).alias("u"),
+                  (F.floor(F.col("id") / 64)).alias("t"),
+                  (F.col("id") * 1.5).alias("v"))
+          .repartition(8))
+    snapshot_write(spark, path, df, partition_cols=[],
+                   stats_cols=["u", "t"])
+    wide_u = scan_pruning_stats(spark, path,
+                                [("u", "<=", 3)])["files_read"]
+    wide_t = scan_pruning_stats(spark, path,
+                                [("t", "<=", 3)])["files_read"]
+    assert wide_u == 8 and wide_t == 8, "shuffled layout: no skipping"
+
+    v1 = snapshot_compact(spark, path, target_file_bytes=8 << 10,
+                          zorder_cols=["u", "t"])
+    n_files = scan_pruning_stats(spark, path, [])["files_total"]
+    assert n_files >= 4
+    st_u = scan_pruning_stats(spark, path, [("u", "<=", 3)])
+    st_t = scan_pruning_stats(spark, path, [("t", "<=", 3)])
+    assert st_u["files_read"] < n_files, "u-slice must skip files"
+    assert st_t["files_read"] < n_files, "t-slice must skip files"
+    # correctness: the pruned scans equal the full filtered read
+    got_u = {tuple(r) for r in
+             snapshot_scan(spark, path, [("u", "<=", 3)],
+                           version=v1).collect()}
+    want_u = {tuple(r) for r in
+              read_snapshot(spark, path).where("u <= 3").collect()}
+    assert got_u == want_u
+
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_compact(spark, path, sort_cols=["u"],
+                         zorder_cols=["t"])
