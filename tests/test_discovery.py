@@ -276,3 +276,58 @@ def test_sealing_matches_hive_encoded_partition_names(spark,
     assert out2["partitions_listed"] == 0, \
         "the sealed encoded partition must never be listed again"
     assert out2["partitions_sealed"] == 1
+
+
+def test_discovery_feeds_mcap_extraction_to_snapshot_table(
+        spark, tmp_path):
+    """Composition: the landing-zone ledger discovers new MCAP files,
+    the process hook extracts them (binaryFile read of EXACTLY the
+    discovered paths) and lands messages in a snapshot table with the
+    step's batch id as replay marker — the reference's whole
+    event-driven ingest (S3 event -> container -> parquet) as two r9
+    pieces snapped together."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    import test_mcap as tm
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        mcap_messages_frame, read_snapshot as rs, snapshot_append,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.snapshots import (
+        latest_version, snapshot_write,
+    )
+    land = str(tmp_path / "land")
+    led = str(tmp_path / "ledger")
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(f"{land}/d=1", exist_ok=True)
+    with open(f"{land}/d=1/a.mcap", "wb") as f:
+        f.write(tm._simple_file())
+
+    def process(files_df, batch_id):
+        paths = [r["path"] for r in files_df.collect()]
+        raw = (spark.read.format("binaryFile").load(paths)
+               .select("path", "content"))
+        msgs = (mcap_messages_frame(raw, on_error="skip")
+                .where(F.col("error").isNull())
+                .select("mcap_file", "topic", "log_time_ns"))
+        if latest_version(spark, tbl) is None:
+            snapshot_write(spark, tbl, msgs, partition_cols=[],
+                           _append_sources={"mcap": batch_id})
+        else:
+            snapshot_append(spark, tbl, msgs,
+                            source_batch=("mcap", batch_id))
+
+    out = file_ingest_batch(spark, land, led, process=process,
+                            partition_col="d", glob="*.mcap")
+    assert out["files_new"] == 1
+    assert rs(spark, tbl).count() == 2
+
+    # second file lands; only IT is processed
+    with open(f"{land}/d=1/b.mcap", "wb") as f:
+        f.write(tm._simple_file())
+    out2 = file_ingest_batch(spark, land, led, process=process,
+                             partition_col="d", glob="*.mcap")
+    assert out2["files_new"] == 1
+    assert rs(spark, tbl).count() == 4
+    assert {r["mcap_file"] for r in rs(spark, tbl).collect()} == \
+        {"a.mcap", "b.mcap"}

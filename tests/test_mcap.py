@@ -450,3 +450,25 @@ def test_uint64_two_complement_reinterpretation():
         _Cdr(b"\x00\x01\x00\x00" + struct.pack("<Q", 7)),
         "uint64", {"": []})
     assert small == 7
+
+
+def test_extract_mcap_topics_per_topic_typed_frames(spark, tmp_path):
+    """extract_mcap_topics: one typed DataFrame per topic, decoded
+    from each topic's own embedded definition, column names
+    sanitized — the MCAP face of the reference's bag -> per-topic
+    tables hop (main.py:77-127)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import extract_mcap_topics
+    recs = (_schema(1, "demo/Mixed", DEFN) + _channel(7, 1, "/demo")
+            + _message(7, 0, 1_000, 999,
+                       _payload(5, 2.5, "hi", True, [3, 4],
+                                [1.0], b"\xab", 9.5, -2))
+            + _schema(2, "t/Small", "int32 a\n")
+            + _channel(8, 2, "/small"))
+    w = _CdrW(); w.prim("i", 4, 42)
+    recs += _message(8, 0, 2_000, 2_000, w.bytes_())
+    d = _write(tmp_path, "m.mcap", _file(recs))
+    out = extract_mcap_topics(read_mcap_messages(spark, d))
+    assert set(out) == {"/demo", "/small"}
+    r = out["/demo"].first()
+    assert r["a"] == 5 and r["p"]["px"] == 9.5
+    assert out["/small"].first()["a"] == 42
