@@ -13,6 +13,12 @@ library call::
     spark.read.format("snapshot").option("tag", "v1-release").load(p)
     spark.readStream.format("snapshot").load(p)                     # appends
 
+    # SQL front door: a temp view over the loaded frame (catalog
+    # tables via CREATE TABLE ... USING don't forward options to
+    # Python data-source scans in this Spark version)
+    spark.read.format("snapshot").load(p).createOrReplaceTempView("docs")
+    spark.sql("SELECT lang, count(*) FROM docs GROUP BY lang")
+
 The batch reader resolves the pinned version's manifest ONCE on the
 driver (plain JSON — no file listing), hands Spark one input partition
 per data file, and translates pushed-down filters
@@ -63,6 +69,23 @@ _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
 # ------------------------------------------------------ spark-less manifests
+
+def _path_opt(options) -> str:
+    """The table path: ``load(path)`` passes ``path``; SQL DDL tables
+    (``CREATE TABLE ... USING snapshot OPTIONS (path ...)`` /
+    ``LOCATION ...``) surface it as ``location`` at scan time."""
+    for k in ("path", "location"):
+        try:
+            return options[k]
+        except KeyError:
+            continue
+    raise ValueError(
+        "no table path: pass .load(<path>). (Catalog tables created "
+        "via SQL DDL don't forward their options to Python "
+        "data-source scans in this Spark version — for a SQL front "
+        "door, register a temp view: spark.read.format('snapshot')"
+        ".load(p).createOrReplaceTempView('t').)")
+
 
 def _local(path: str) -> str:
     if path.startswith("file:"):
@@ -217,7 +240,7 @@ def _aligned_batches(file_path: str, schema_json: str,
 
 class SnapshotReader(DataSourceReader):
     def __init__(self, options):
-        self.root = _local(options["path"])
+        self.root = _local(_path_opt(options))
         self.version, self.m = _resolve(self.root, options)
         self.schema_json = self.m.get("schema")
         if not self.schema_json:
@@ -254,7 +277,7 @@ class SnapshotAppendsStreamReader(SimpleDataSourceStreamReader):
     append commits in ``(start, end]``."""
 
     def __init__(self, options):
-        self.root = _local(options["path"])
+        self.root = _local(_path_opt(options))
         self.on_nonappend = (options.get("onnonappend")
                              or options.get("onNonAppend")
                              or "fail").lower()
@@ -325,7 +348,7 @@ class SnapshotDataSource(DataSource):
         return "snapshot"
 
     def schema(self):
-        root = _local(self.options["path"])
+        root = _local(_path_opt(self.options))
         _, m = _resolve(root, self.options)
         sch = m.get("schema")
         if not sch:
@@ -583,7 +606,7 @@ def _publish_commit(root: str, schema_json: str,
 
 def _writer_options(options, schema) -> tuple[str, list[str],
                                               list[str], str]:
-    root = _local(options["path"])
+    root = _local(_path_opt(options))
     pc = (options.get("partitioncols")
           or options.get("partition_cols") or "")
     partition_cols = [c for c in pc.split(",") if c]

@@ -295,3 +295,22 @@ def test_roundtrip_source_to_sink(registered, tmp_path):
      .write.format("snapshot").mode("overwrite").save(b))
     assert {r["id"] for r in read_snapshot(spark, b).collect()} == \
         {1, 2}
+
+
+def test_sql_front_door_via_temp_view(registered, tmp_path):
+    """SQL over snapshot tables: a temp view on the loaded frame
+    (catalog DDL tables don't forward options to Python data-source
+    scans in this Spark version — documented)."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)
+    spark.read.format("snapshot").load(path) \
+        .createOrReplaceTempView("snap_docs")
+    try:
+        got = spark.sql(
+            "SELECT day, count(*) AS n FROM snap_docs "
+            "GROUP BY day ORDER BY day").collect()
+        assert [(r["day"], r["n"]) for r in got] == \
+            [("d1", 2), ("d2", 1)]
+    finally:
+        spark.catalog.dropTempView("snap_docs")
