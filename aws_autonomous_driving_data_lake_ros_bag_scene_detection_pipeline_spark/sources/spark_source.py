@@ -230,7 +230,8 @@ def _aligned_batches(file_path: str, schema_json: str,
                     v = float(v)
                 elif v is not None and pa.types.is_boolean(
                         field.type):
-                    v = v == "true"
+                    # Spark writes 'true'; Python str(True) is 'True'
+                    v = v.lower() == "true"
                 col = pa.array([v] * n).cast(field.type)
             else:                         # pre-evolution file
                 col = pa.nulls(n, field.type)
@@ -239,9 +240,10 @@ def _aligned_batches(file_path: str, schema_json: str,
 
 
 class SnapshotReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, pinned=None):
         self.root = _local(_path_opt(options))
-        self.version, self.m = _resolve(self.root, options)
+        self.version, self.m = (pinned if pinned is not None
+                                else _resolve(self.root, options))
         self.schema_json = self.m.get("schema")
         if not self.schema_json:
             raise ValueError(
@@ -266,6 +268,11 @@ class SnapshotReader(DataSourceReader):
             e["partition"]) for e in entries]
 
     def read(self, partition):
+        if partition is None or not getattr(partition, "file_path",
+                                            None):
+            # every file pruned (or an empty table): Spark planners
+            # substitute a placeholder partition for an empty list
+            return
         m = self.m
         yield from _aligned_batches(
             partition.file_path, self.schema_json,
@@ -295,7 +302,14 @@ class SnapshotAppendsStreamReader(SimpleDataSourceStreamReader):
 
     def _rows_between(self, lo: int, hi: int):
         for v in range(lo + 1, hi + 1):
-            m = _manifest(self.root, v)
+            try:
+                m = _manifest(self.root, v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot version {v} of {self.root} is gone — "
+                    f"retention (snapshot_prune) outran this stream's "
+                    f"offset; the checkpoint cannot be satisfied, "
+                    f"rebuild the consumer") from None
             op = m.get("operation")
             if op not in ("append", None):
                 if op == "compact":
@@ -313,6 +327,11 @@ class SnapshotAppendsStreamReader(SimpleDataSourceStreamReader):
             new = [e for e in _entries(self.root, m)
                    if e["path"] not in prev_paths]
             schema_json = m.get("schema")
+            if not schema_json:
+                raise ValueError(
+                    f"snapshot version {v} of {self.root} carries no "
+                    f"schema (pre-schema manifest) — the streaming "
+                    f"source needs manifest schemas")
             pcols = m.get("partition_cols") or []
             for e in new:
                 for batch in _aligned_batches(
@@ -349,8 +368,12 @@ class SnapshotDataSource(DataSource):
 
     def schema(self):
         root = _local(_path_opt(self.options))
-        _, m = _resolve(root, self.options)
-        sch = m.get("schema")
+        # resolve ONCE and pin: the reader reuses this (it may run in
+        # another process — the pin rides the pickled instance), so a
+        # commit landing between load() and an action can never make
+        # the scan read a different version than the schema came from
+        self._pinned = _resolve(root, self.options)
+        sch = self._pinned[1].get("schema")
         if not sch:
             raise ValueError(
                 f"snapshot under {root} carries no schema "
@@ -358,7 +381,8 @@ class SnapshotDataSource(DataSource):
         return StructType.fromJson(json.loads(sch))
 
     def reader(self, schema):
-        return SnapshotReader(self.options)
+        return SnapshotReader(self.options,
+                              pinned=getattr(self, "_pinned", None))
 
     def simpleStreamReader(self, schema):
         return SnapshotAppendsStreamReader(self.options)
@@ -417,10 +441,15 @@ def _hive_dir(cols: list[str], vals: tuple) -> str:
 
 
 def _task_write(iterator, root: str, partition_cols: list[str],
-                stats_cols: list[str]) -> "_WriteResult":
+                stats_cols: list[str],
+                bloom_cols: list[str] | None = None,
+                bloom_bits: int = 4096,
+                bloom_tags: dict | None = None) -> "_WriteResult":
     """Executor side: one parquet file per hive partition value seen
     by this task, written under data/ with a fresh uuid name;
-    per-file min/max/null/row stats computed in-memory."""
+    per-file min/max/null/row stats AND bloom masks computed
+    in-memory (the pure-python bloom mirrors the library's CRC-32
+    double hash exactly — parity is test-pinned)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -452,7 +481,12 @@ def _task_write(iterator, root: str, partition_cols: list[str],
         t = pa.concat_tables(parts)
         if t.num_rows == 0:
             continue
-        part_dir = _hive_dir(partition_cols, vals) \
+        # Spark's hive layout writes booleans lowercase; Python
+        # str(True) is 'True' — normalize so both writers produce
+        # the same directory for the same value
+        nvals = tuple("true" if v is True else
+                      "false" if v is False else v for v in vals)
+        part_dir = _hive_dir(partition_cols, nvals) \
             if partition_cols else ""
         name = f"{_uuid.uuid4().hex}.parquet"
         rel = f"{part_dir}/{name}" if part_dir else name
@@ -461,16 +495,24 @@ def _task_write(iterator, root: str, partition_cols: list[str],
         os.makedirs(dirp, exist_ok=True)
         pq.write_table(t, os.path.join(dirp, name))
         entry = {"path": rel, "partition": part_dir}
-        if stats_cols:
+        if stats_cols or bloom_cols:
             import pyarrow.compute as pc
             st = {}
-            for c in stats_cols:
+            for c in (stats_cols or []):
                 col = t[c]
                 mm = pc.min_max(col)
                 st[c] = {"min": mm["min"].as_py(),
                          "max": mm["max"].as_py(),
                          "nulls": col.null_count,
                          "rows": t.num_rows}
+            for c in (bloom_cols or []):
+                from .snapshots import _bloom_hex, _bloom_positions
+                pos: list[int] = []
+                for v in set(t[c].drop_null().to_pylist()):
+                    pos.extend(_bloom_positions(v, bloom_bits))
+                d = st.setdefault(c, {})
+                d["bloom"] = _bloom_hex(pos, bloom_bits)
+                d["bloom_t"] = (bloom_tags or {}).get(c, "i")
             entry["stats"] = st
         entries.append(entry)
     return _WriteResult(entries)
@@ -519,7 +561,7 @@ def _roll(root: str, inline: list[dict]) -> tuple[list[dict],
     for part in sorted(by_part):
         group += by_part[part]
         if len(group) >= _SEGMENT_ROLL:
-            name = f"seg-{_uuid.uuid4().hex}.json"
+            name = f"seg-{_uuid.uuid4().hex}.segment"
             with open(os.path.join(root, _MANIFEST_DIR, name), "w",
                       encoding="utf-8") as f:
                 json.dump({"files": group}, f)
@@ -536,6 +578,8 @@ def _publish_commit(root: str, schema_json: str,
                     stats_cols: list[str], entries: list[dict],
                     overwrite: bool,
                     source_batch: tuple[str, int] | None = None,
+                    bloom_cols: list[str] | None = None,
+                    bloom_bits: int = 4096,
                     retries: int = 5) -> int | None:
     """Driver side: build + CAS-publish the next manifest. Append
     mode carries the previous manifest's files/segments by reference
@@ -547,14 +591,23 @@ def _publish_commit(root: str, schema_json: str,
         prev = _latest_version(root)
         if prev is None or overwrite:
             version = 0 if prev is None else prev + 1
-            srcs = ({source_batch[0]: source_batch[1]}
-                    if source_batch else None)
+            # markers survive a wholesale replace (library parity):
+            # a replayed old stream batch must stay a no-op after an
+            # overwrite too
+            srcs = dict((_manifest(root, prev).get("append_sources")
+                         or {})) if prev is not None else {}
+            if source_batch is not None:
+                src, bid = source_batch
+                if bid <= srcs.get(src, -1):
+                    return None
+                srcs[src] = bid
             m = {"version": version,
                  "partition_cols": partition_cols,
                  "schema": schema_json,
                  "stats_cols": stats_cols or None,
-                 "bloom_cols": None, "bloom_bits": None,
-                 "append_sources": srcs,
+                 "bloom_cols": bloom_cols or None,
+                 "bloom_bits": (bloom_bits if bloom_cols else None),
+                 "append_sources": srcs or None,
                  "operation": "write",
                  "files": entries, "segments": []}
         else:
@@ -604,42 +657,106 @@ def _publish_commit(root: str, schema_json: str,
         f"lost {retries + 1} append races on {root}")
 
 
-def _writer_options(options, schema) -> tuple[str, list[str],
-                                              list[str], str]:
+def _writer_options(options, schema, overwrite: bool) -> dict:
+    """Effective writer config. On APPEND to an existing table the
+    table's recorded stats/bloom configuration is the authority (the
+    'carried by every later commit' contract — a sink writing
+    stats-less files silently kills pruning); options may restate it
+    but not change it. On overwrite/new tables the options define the
+    config. Stats columns must be numeric or string, bloom columns
+    int-family or string (library parity: _validate_stats_cols /
+    _validate_bloom_cols) — validated UPFRONT, not at commit time
+    after the data files are already written."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, NumericType, ShortType,
+        StringType,
+    )
     root = _local(_path_opt(options))
-    pc = (options.get("partitioncols")
-          or options.get("partition_cols") or "")
-    partition_cols = [c for c in pc.split(",") if c]
-    sc = options.get("statscols") or options.get("stats_cols") or ""
-    stats_cols = [c for c in sc.split(",") if c]
-    names = [f.name for f in schema.fields]
-    for c in partition_cols + stats_cols:
+
+    def _cols(*keys):
+        for k in keys:
+            v = options.get(k)
+            if v:
+                return [c for c in v.split(",") if c]
+        return []
+
+    partition_cols = _cols("partitioncols", "partition_cols")
+    stats_cols = _cols("statscols", "stats_cols")
+    bloom_cols = _cols("bloomcols", "bloom_cols")
+    bloom_bits = int(options.get("bloombits")
+                     or options.get("bloom_bits") or 4096)
+    prev = None if overwrite else _latest_version(root)
+    if prev is not None:
+        pm = _manifest(root, prev)
+        t_stats = pm.get("stats_cols") or []
+        t_bloom = pm.get("bloom_cols") or []
+        t_bits = pm.get("bloom_bits") or 4096
+        for name, given, table in (("statsCols", stats_cols, t_stats),
+                                   ("bloomCols", bloom_cols,
+                                    t_bloom)):
+            if given and sorted(given) != sorted(table):
+                raise ValueError(
+                    f"{name} {given} conflict with the table's "
+                    f"recorded {table}; append inherits the table's "
+                    f"config")
+        stats_cols, bloom_cols, bloom_bits = t_stats, t_bloom, t_bits
+    names = {f.name: f.dataType for f in schema.fields}
+    for c in partition_cols + stats_cols + bloom_cols:
         if c not in names:
             raise ValueError(f"column {c!r} not in the frame "
-                             f"({names})")
+                             f"({sorted(names)})")
+    bloom_tags = {}
     for c in stats_cols:
         if c in partition_cols:
             raise ValueError(f"stats column {c!r} is a partition "
                              f"column (already pruned by directory)")
-    return root, partition_cols, stats_cols, schema.json()
+        if not isinstance(names[c], (NumericType, StringType)):
+            raise ValueError(
+                f"stats column {c!r} has type {names[c]} — zone maps "
+                f"cover numeric/string columns (cast timestamps to "
+                f"epoch numbers upstream)")
+    for c in bloom_cols:
+        if c in partition_cols:
+            raise ValueError(f"bloom column {c!r} is a partition "
+                             f"column")
+        if not isinstance(names[c], (ByteType, ShortType,
+                                     IntegerType, LongType,
+                                     StringType)):
+            raise ValueError(
+                f"bloom column {c!r} has type {names[c]} — blooms "
+                f"cover int-family/string columns")
+        bloom_tags[c] = ("s" if isinstance(names[c], StringType)
+                         else "i")
+    if bloom_bits % 4 or bloom_bits < 64:
+        raise ValueError(f"bloomBits must be a multiple of 4 >= 64, "
+                         f"got {bloom_bits}")
+    return {"root": root, "partition_cols": partition_cols,
+            "stats_cols": stats_cols, "bloom_cols": bloom_cols,
+            "bloom_bits": bloom_bits, "bloom_tags": bloom_tags,
+            "schema_json": schema.json()}
 
 
 class SnapshotBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
-        (self.root, self.partition_cols, self.stats_cols,
-         self.schema_json) = _writer_options(options, schema)
+        self.cfg = _writer_options(options, schema, overwrite)
+        self.root = self.cfg["root"]
         self.overwrite = overwrite
 
     def write(self, iterator):
-        return _task_write(iterator, self.root, self.partition_cols,
-                           self.stats_cols)
+        c = self.cfg
+        return _task_write(iterator, c["root"], c["partition_cols"],
+                           c["stats_cols"], c["bloom_cols"],
+                           c["bloom_bits"], c["bloom_tags"])
 
     def commit(self, messages):
         entries = [e for msg in messages if msg
                    for e in msg.entries]
-        _publish_commit(self.root, self.schema_json,
-                        self.partition_cols, self.stats_cols,
-                        entries, self.overwrite)
+        c = self.cfg
+        _publish_commit(c["root"], c["schema_json"],
+                        c["partition_cols"], c["stats_cols"],
+                        entries, self.overwrite,
+                        bloom_cols=c["bloom_cols"],
+                        bloom_bits=c["bloom_bits"])
 
     def abort(self, messages):
         for msg in messages or []:
@@ -658,26 +775,31 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
     append commit carrying the batch id as its replay marker."""
 
     def __init__(self, options, schema, overwrite: bool):
-        (self.root, self.partition_cols, self.stats_cols,
-         self.schema_json) = _writer_options(options, schema)
         if overwrite:
             raise ValueError(
                 "the snapshot streaming sink is append-only "
                 "(outputMode('append')); complete-mode rewrites "
                 "belong to batch overwrite or snapshot_write")
+        self.cfg = _writer_options(options, schema, overwrite=False)
+        self.root = self.cfg["root"]
         self.source = options.get("source") or "spark_stream_sink"
 
     def write(self, iterator):
-        return _task_write(iterator, self.root, self.partition_cols,
-                           self.stats_cols)
+        c = self.cfg
+        return _task_write(iterator, c["root"], c["partition_cols"],
+                           c["stats_cols"], c["bloom_cols"],
+                           c["bloom_bits"], c["bloom_tags"])
 
     def commit(self, messages, batchId):
         entries = [e for msg in messages if msg
                    for e in msg.entries]
-        v = _publish_commit(self.root, self.schema_json,
-                            self.partition_cols, self.stats_cols,
+        c = self.cfg
+        v = _publish_commit(c["root"], c["schema_json"],
+                            c["partition_cols"], c["stats_cols"],
                             entries, overwrite=False,
-                            source_batch=(self.source, batchId))
+                            source_batch=(self.source, batchId),
+                            bloom_cols=c["bloom_cols"],
+                            bloom_bits=c["bloom_bits"])
         if v is None:
             # replayed batch: its files are orphans, drop them
             self.abort(messages, batchId)

@@ -314,3 +314,148 @@ def test_sql_front_door_via_temp_view(registered, tmp_path):
             [("d1", 2), ("d2", 1)]
     finally:
         spark.catalog.dropTempView("snap_docs")
+
+
+# ------------------------------------------------- r9 review regressions
+
+def test_fully_pruned_read_returns_empty(registered, tmp_path):
+    """A filter that prunes EVERY file must return zero rows, not
+    crash on the planner's placeholder partition."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)
+    got = (spark.read.format("snapshot").load(path)
+           .where(F.col("day") == "no-such-day").collect())
+    assert got == []
+
+
+def test_boolean_partition_roundtrip(registered, tmp_path):
+    """Writer normalizes boolean partition dirs to Spark's lowercase
+    form; reader parses case-insensitively — True stays True."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    (spark.createDataFrame([(1, True), (2, False)],
+                           "id long, flag boolean")
+     .write.format("snapshot").option("partitionCols", "flag")
+     .mode("overwrite").save(path))
+    got = {r["id"]: r["flag"] for r in
+           spark.read.format("snapshot").load(path).collect()}
+    assert got == {1: True, 2: False}
+    lib = {r["id"]: r["flag"] for r in
+           read_snapshot(spark, path).collect()}
+    assert lib == got
+
+
+def test_overwrite_preserves_replay_markers(registered, tmp_path):
+    """mode('overwrite') carries append_sources forward (library
+    parity): a replayed old stream batch stays a no-op after the
+    replace."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.snapshots import (
+        _load_manifest, latest_version,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path,
+                   spark.createDataFrame([(1, "a")],
+                                         "id long, v string"),
+                   partition_cols=[],
+                   _append_sources={"sinkx": 7})
+    (spark.createDataFrame([(2, "b")], "id long, v string")
+     .write.format("snapshot").mode("overwrite").save(path))
+    m = _load_manifest(spark, path, latest_version(spark, path))
+    assert (m.get("append_sources") or {}).get("sinkx") == 7
+
+
+def test_stats_col_type_validated_upfront(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "id long") \
+        .select("id", F.current_timestamp().alias("ts"))
+    with pytest.raises(Exception, match="epoch numbers"):
+        (df.write.format("snapshot").option("statsCols", "ts")
+         .mode("overwrite").save(path))
+
+
+def test_unpinned_load_reads_one_version(registered, tmp_path):
+    """schema() pins the version; a commit landing between load and
+    an action never changes what the frame reads."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)
+    df = spark.read.format("snapshot").load(path)
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(9, "d9", "z")], SCHEMA))
+    assert df.count() == 3, "the load-time version is pinned"
+    assert spark.read.format("snapshot").load(path).count() == 4
+
+
+def test_writer_segment_naming_matches_library_gc():
+    """Data-source-rolled segments use the library's .segment suffix
+    so snapshot_prune's GC recognizes them."""
+    import tempfile
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import _roll
+    root = tempfile.mkdtemp()
+    os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+    entries = [{"path": f"f{i}.parquet", "partition": ""}
+               for i in range(600)]
+    segments, inline = _roll(root, entries)
+    assert segments and all(
+        s["path"].startswith("seg-") and s["path"].endswith(".segment")
+        for s in segments)
+    assert len(inline) + sum(s["n_entries"] for s in segments) == 600
+
+
+def test_sink_inherits_table_stats_and_bloom_config(registered,
+                                                    tmp_path):
+    """Appending through the write faces keeps the table's recorded
+    zone-map AND bloom contract: sink-written files carry stats +
+    masks (pure-python CRC parity), so point-lookup pruning keeps
+    skipping them; conflicting options refuse."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import scan_pruning_stats
+    spark = registered
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path,
+                   spark.createDataFrame(
+                       [(i, f"k{i}") for i in range(50)],
+                       "id long, key string"),
+                   partition_cols=[], stats_cols=["id"],
+                   bloom_cols=["key"])
+    # sink append with NO options: inherits id-stats + key-blooms
+    (spark.createDataFrame([(100 + i, f"x{i}") for i in range(50)],
+                           "id long, key string")
+     .coalesce(1)
+     .write.format("snapshot").mode("append").save(path))
+    st = scan_pruning_stats(spark, path, [("key", "=", "k3")])
+    assert st["files_pruned"] >= 1, \
+        "the sink-written file's bloom must prune a miss lookup"
+    st2 = scan_pruning_stats(spark, path, [("id", ">=", 100)])
+    assert st2["files_read"] < st2["files_total"], \
+        "the sink-written file's zone map must serve range pruning"
+    # pruned read equals the plain filtered read (bloom correctness)
+    got = {tuple(r) for r in
+           read_snapshot(spark, path, where="key = 'x3'").collect()}
+    assert got == {(103, "x3")}
+    with pytest.raises(Exception, match="conflict"):
+        (spark.createDataFrame([(999, "y")], "id long, key string")
+         .write.format("snapshot").option("statsCols", "key")
+         .mode("append").save(path))
+
+
+def test_streaming_source_retention_error(registered, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_prune
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotAppendsStreamReader,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)
+    for i in range(4):
+        snapshot_append(spark, path, spark.createDataFrame(
+            [(10 + i, "d1", "x")], SCHEMA))
+    snapshot_prune(spark, path, keep_latest=2,
+                   orphan_grace_seconds=0)
+    rdr = SnapshotAppendsStreamReader({"path": path,
+                                       "startversion": "0"})
+    with pytest.raises(ValueError, match="retention"):
+        list(rdr._rows_between(0, 4))
