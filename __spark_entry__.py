@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
     asof_join, binned_interval_join, brute_force_topk,
     byte_histogram_features,
-    change_point_intervals, chunk_documents, contamination,
+    change_point_intervals, chunk_documents,
+    chunk_documents_sentences, contamination,
     check_expectations, distinct_sketch, dup_clusters,
     duplicate_ids, duplicate_passages, edit_distance_pairs,
     freq_estimate, freq_sketch,
@@ -1604,7 +1605,15 @@ def q_chunk_documents(spark, sf_dir):
     (functions/bpe.make_subword_tokenizer — greedy longest-prefix
     match, Arrow UDF): the 'bpe' branch's counts must hash-match an
     independent DuckDB recursive-CTE segmentation over the same
-    vocab, proving the applier exact, not proxy."""
+    vocab, proving the applier exact, not proxy.
+
+    r9 fold: a ``sent`` branch runs SENTENCE-BOUNDARY chunking
+    (operators/sampling.chunk_documents_sentences, boundary='bin' —
+    the pure-Catalyst discipline: sentence s belongs to chunk
+    floor(tokens_before/budget), so chunks never cut mid-sentence).
+    The oracle rebuilds the whole thing — the Java∩RE2 sentence
+    split, per-sentence token counts, the window cumsum bin, and the
+    order-restored chunk text fingerprint — in SQL."""
     docs = _spread(_t("documents")(spark, sf_dir))
     ch = (chunk_documents(docs, "doc_id", "text",
                           chunk_tokens=128, overlap=32)
@@ -1617,7 +1626,13 @@ def q_chunk_documents(spark, sf_dir):
                       F.lit(-1).cast("long").alias("chunk_idx"),
                       tok.count_of("text").alias("n_tokens"),
                       F.lit(None).cast("bigint").alias("chunk_fp"))
-    return ch.unionByName(bpe)
+    sent = (chunk_documents_sentences(docs, "doc_id", "text",
+                                      chunk_tokens=64,
+                                      boundary="bin")
+            .select(F.lit("sent").alias("kind"),
+                    "doc_id", "chunk_idx", "n_tokens",
+                    hash64(F.col("chunk_text")).alias("chunk_fp")))
+    return ch.unionByName(bpe).unionByName(sent)
 
 
 _BPE_V = subword_vocab_sql(BPE_PINNED_PIECES)
@@ -1662,6 +1677,30 @@ from documents d
 left join (select tok.doc_id, sum(wc.np)::BIGINT as n
            from tok join wc using (w) group by tok.doc_id) cnt
   using (doc_id)
+union all
+select 'sent' as kind, doc_id, chunk_idx,
+  sum(ntok)::BIGINT as n_tokens,
+  {HASH64_SQL.format(x="string_agg(sent, ' ' order by sidx)")}
+    as chunk_fp
+from (
+  select doc_id, sidx, sent, ntok,
+    ((sum(ntok) over (partition by doc_id order by sidx
+                      rows unbounded preceding)
+      - ntok)::BIGINT // 64) as chunk_idx
+  from (
+    select doc_id, i - 1 as sidx, sents[i] as sent,
+      len(list_filter(string_split_regex(lower(sents[i]),
+          '[^a-z0-9]+'), t -> t <> ''))::BIGINT as ntok
+    from (select doc_id,
+            list_filter(string_split(regexp_replace(text,
+                '([.!?]+["'')\\]]*)[ \\t\\r\\n]+',
+                '\\1' || chr(30), 'g'), chr(30)),
+                s -> trim(s) <> '') as sents
+          from documents) sr,
+         unnest(range(1, len(sents) + 1)) as r(i)
+  ) st
+) sc
+group by doc_id, chunk_idx
 """
 
 

@@ -26,7 +26,8 @@ __version__ = "0.1.0"
 
 from .operators import (  # noqa: E402,F401
     asof_join, binned_interval_join, brute_force_topk, byte_histogram_features,
-    cascade_update, change_point_intervals, chunk_documents, contamination, decode_audio,
+    cascade_update, change_point_intervals, chunk_documents,
+    chunk_documents_sentences, contamination, decode_audio,
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     check_expectations, violation_samples,
     distinct_rollup_check, distinct_sketch, duplicate_passages,

@@ -42,6 +42,32 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+def split_sentences(col: Column | str) -> Column:
+    """``array<string>`` of sentences: a separator is inserted after
+    every sentence-ender run (``.!?`` plus trailing quotes/brackets)
+    followed by whitespace, then the text splits on it — capture +
+    re-insert instead of lookbehind, so the pattern stays in the
+    Java-regex ∩ RE2 subset and the DuckDB oracle replays it verbatim
+    (driver gate: q_chunk_documents ``sent`` branch). A cheap
+    heuristic by design (abbreviations like "e.g." split — the
+    chunking consumers only need CONSISTENT boundaries, not
+    linguistic truth); empty fragments drop. The separator is the
+    ASCII record separator (0x1e), which ``normalize_text`` strips
+    from real corpora upstream.
+
+    DuckDB mirror::
+
+        list_filter(string_split(regexp_replace(x,
+            '([.!?]+["'')\\]]*)[ \\t\\r\\n]+', '\\1' || chr(30), 'g'),
+            chr(30)), s -> trim(s) <> '')
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(
+        c, "([.!?]+[\"')\\]]*)[ \\t\\r\\n]+", "$1\x1e")
+    return F.filter(F.split(marked, "\x1e"),
+                    lambda s: F.trim(s) != "")
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 

@@ -30,7 +30,7 @@ from .quality import (  # noqa: F401
     corpus_report, lm_bigram_score, tfidf_top_terms, token_repetition,
 )
 from .sampling import (
-    chunk_documents, deterministic_shuffle, hash_sample,
+    chunk_documents, chunk_documents_sentences, deterministic_shuffle, hash_sample,
     hash_sample_sql, hash_split,
     pack_sequences, reservoir_sample, reservoir_sample_sql,
     stratified_hash_sample, temperature_mix_rates, weighted_sample,
@@ -76,6 +76,7 @@ __all__ = [
     "asof_join", "binned_interval_join", "brute_force_topk",
     "byte_histogram_features",
     "cascade_update", "change_point_intervals", "chunk_documents",
+    "chunk_documents_sentences",
     "contamination", "decontaminate",
     "decode_audio", "decode_image", "downsample_cascade",
     "dup_clusters",

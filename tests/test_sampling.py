@@ -390,3 +390,73 @@ def test_deterministic_shuffle_order_matches_duckdb_and_is_stable(spark, duck):
               deterministic_shuffle(docs, "doc_id", salt="epoch2")
               .select("doc_id").toLocalIterator()]
     assert seq_e2 != seq and sorted(seq_e2) == sorted(seq)
+
+
+def test_split_sentences_heuristic(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions.text import split_sentences
+    df = spark.createDataFrame(
+        [(1, 'One two. Three four! "Five?" Six seven.'),
+         (2, "no enders at all"),
+         (3, "")],
+        "id long, text string")
+    got = {r["id"]: r["s"] for r in
+           df.select("id", split_sentences("text").alias("s"))
+           .collect()}
+    assert got[1] == ["One two.", "Three four!", '"Five?"',
+                      "Six seven."]
+    assert got[2] == ["no enders at all"]
+    assert got[3] == []
+
+
+def test_chunk_sentences_bin_and_greedy(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sampling import (
+        chunk_documents_sentences,
+    )
+    # sentences of 2 tokens each; budget 5
+    text = "a b. c d. e f. g h. i j."
+    df = spark.createDataFrame([(1, text)], "doc long, text string")
+    for mode in ("bin", "greedy"):
+        rows = sorted(
+            chunk_documents_sentences(df, "doc", "text",
+                                      chunk_tokens=5,
+                                      boundary=mode).collect(),
+            key=lambda r: r["chunk_idx"])
+        # both modes: sentences never split; all 5 sentences covered
+        assert sum(r["n_sentences"] for r in rows) == 5
+        joined = " ".join(r["chunk_text"] for r in rows)
+        assert joined == text
+        if mode == "greedy":
+            # exact greedy: 2+2=4 <= 5, +2 would overflow -> chunks
+            # of 2,2,1 sentences; no chunk exceeds the budget
+            assert [r["n_sentences"] for r in rows] == [2, 2, 1]
+            assert all(r["n_tokens"] <= 5 for r in rows)
+        else:
+            # bin: boundaries at cumulative 5-token marks snapped to
+            # sentence starts: before-counts 0,2,4,6,8 -> bins 0,0,0,1,1
+            assert [r["n_sentences"] for r in rows] == [3, 2]
+            assert [r["n_tokens"] for r in rows] == [6, 4]
+
+
+def test_chunk_sentences_oversized_sentence(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sampling import (
+        chunk_documents_sentences,
+    )
+    text = "a b c d e f g h. x y."
+    df = spark.createDataFrame([(1, text)], "doc long, text string")
+    rows = sorted(
+        chunk_documents_sentences(df, "doc", "text", chunk_tokens=4,
+                                  boundary="greedy").collect(),
+        key=lambda r: r["chunk_idx"])
+    # the 8-token sentence stands alone (never split), then "x y."
+    assert [r["n_tokens"] for r in rows] == [8, 2]
+    assert rows[0]["chunk_text"] == "a b c d e f g h."
+
+
+def test_chunk_sentences_boundary_validation(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sampling import (
+        chunk_documents_sentences,
+    )
+    df = spark.createDataFrame([(1, "x.")], "doc long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="boundary"):
+        chunk_documents_sentences(df, "doc", "text", boundary="x")
