@@ -1,26 +1,36 @@
-"""Builtin baseline JPEG codec (r8) — closes the last multimodal
-dependency gap: ``decode_image`` previously required Pillow for JPEG
-payloads (an honest ``NotImplementedError`` guard); this module
-decodes baseline JFIF/JPEG with numpy only, so the most common image
-format in any web-scraped corpus decodes on a stock executor.
+"""Builtin baseline + progressive JPEG codec (r8, progressive r10) —
+closes the last multimodal dependency gap: ``decode_image``
+previously required Pillow for JPEG payloads (an honest
+``NotImplementedError`` guard); this module decodes JFIF/JPEG with
+numpy only, so the most common image format in any web-scraped
+corpus decodes on a stock executor.
 
 Scope (documented, guarded):
 
-- **Decoder**: baseline sequential DCT (SOF0), 8-bit samples, 1 or 3
-  components, any sampling factors up to 2x2 (covers 4:4:4, 4:2:2,
-  4:2:0), restart markers, multi-table DQT/DHT segments, byte
-  stuffing. Progressive (SOF2) and arithmetic coding raise
-  ``NotImplementedError`` naming the variant — same honesty contract
-  as the other codec guards.
+- **Decoder**: baseline sequential DCT (SOF0/SOF1) AND progressive
+  DCT (SOF2, r10 — spectral selection + successive approximation per
+  ITU-T T.81 G.2: multi-scan coefficient accumulation, EOB runs,
+  DC/AC refinement passes), 8-bit samples, 1 or 3 components, any
+  sampling factors up to 2x2 (covers 4:4:4, 4:2:2, 4:2:0), restart
+  markers, multi-table DQT/DHT segments (tables may be redefined
+  between scans), byte stuffing. Hierarchical/lossless/arithmetic
+  variants raise ``NotImplementedError`` naming the variant — same
+  honesty contract as the other codec guards.
 - **Encoder** (round-trip testing + thumbnail writing): baseline
   SOF0, quality-scaled Annex-K quantization matrices, 4:4:4 or 4:2:0,
-  optional restart interval. Huffman tables are built PER IMAGE as
-  fixed-length canonical codes and written into the stream's DHT
-  segments — JPEG tables are self-describing, so the encoder needs no
-  memorized standard code tables and any spec-compliant decoder
-  (including this module's, and Pillow where present) reads the
-  output. Compression ratio is sacrificed for simplicity; the decoder
-  of course handles the optimal tables real-world files carry.
+  optional restart interval; ``progressive=True`` (r10) writes an
+  SOF2 stream with the classic script — DC first at Al=1, two AC
+  spectral bands per component at Al=1, then the matching DC/AC
+  refinement scans — exercising every decoder path. Huffman tables
+  are built PER SCAN as fixed-length canonical codes and written into
+  the stream's DHT segments — JPEG tables are self-describing, so the
+  encoder needs no memorized standard code tables and any
+  spec-compliant decoder (including this module's, and Pillow where
+  present) reads the output. Compression ratio is sacrificed for
+  simplicity; the decoder of course handles the optimal tables
+  real-world files carry. Progressive coding is LOSSLESS over the
+  quantized coefficients, so decoding an image's progressive encode
+  equals decoding its baseline encode bit-for-bit (test-pinned).
 
 Everything is plain numpy over one payload — the Spark side stays the
 same Arrow-batched ``decode_image`` plumbing; only the codec dispatch
@@ -235,9 +245,55 @@ def _extend(v: int, size: int) -> int:
 # -- decoder ----------------------------------------------------------------
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG payload to uint8 pixels —
-    ``(h, w, 3)`` RGB for color, ``(h, w, 1)`` for grayscale."""
+def _find_entropy_end(data: bytes, start: int) -> int:
+    """Position of the first real marker after ``start`` — skipping
+    stuffed FF00, restart markers, and T.81 B.1.1.2 FF fill runs."""
+    i = start
+    while i < len(data) - 1:
+        if data[i] == 0xFF:
+            m = data[i + 1]
+            if m == 0x00 or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m == 0xFF:                 # fill byte run
+                i += 1
+                continue
+            return i
+        i += 1
+    return len(data)
+
+
+def _split_restart_segments(raw: bytes) -> list[bytes]:
+    """Split one scan's entropy-coded data at RST markers so each
+    interval decodes from a clean bit/predictor state."""
+    segments = []
+    i = 0
+    start = 0
+    while i < len(raw) - 1:
+        if raw[i] == 0xFF and raw[i + 1] != 0x00:
+            m = raw[i + 1]
+            if m == 0xFF:
+                i += 1
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(raw[start:i])
+                i += 2
+                start = i
+                continue
+            segments.append(raw[start:i])
+            start = None
+            break
+        i += 1
+    if start is not None:
+        segments.append(raw[start:])
+    return segments
+
+
+def _parse_jpeg(data: bytes):
+    """Marker walk shared by the baseline and progressive paths:
+    returns ``(frame, scans, qt)`` where each scan snapshots the
+    huffman tables and restart interval in force at ITS SOS (tables
+    may legally be redefined between scans)."""
     if len(data) < 4 or data[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -246,7 +302,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
-    scan = None
+    scans: list[dict] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -289,7 +345,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     _decode_table(bits, values)
         elif marker == 0xDD:                # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, 2 prog
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -299,14 +355,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     seg[8 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4,
                               "v": samp & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else \
-                f"SOF{marker - 0xC0}"
             raise NotImplementedError(
-                f"JPEG variant {kind} is not supported by the builtin "
-                f"baseline decoder; install Pillow for full coverage")
+                f"JPEG variant SOF{marker - 0xC0} is not supported by "
+                f"the builtin decoder (baseline and progressive DCT "
+                f"are); install Pillow for full coverage")
         elif marker == 0xDA:                # SOS
             ns = seg[0]
             scomps = []
@@ -314,50 +370,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scomps.append({"id": cid, "td": tabs >> 4,
                                "ta": tabs & 0x0F})
-            scan = {"comps": scomps, "data_at": pos + seglen}
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            d0 = pos + seglen
+            end = _find_entropy_end(data, d0)
+            scans.append({"comps": scomps, "ss": ss, "se": se,
+                          "ah": ahal >> 4, "al": ahal & 0x0F,
+                          "dc": dict(huff_dc), "ac": dict(huff_ac),
+                          "ri": restart_interval,
+                          "data": data[d0:end]})
+            pos = end
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("truncated JPEG: missing SOF/SOS")
+    return frame, scans, qt
 
+
+def _decode_baseline(frame: dict, scan: dict, qt: dict) -> list:
+    """Baseline sequential scan → per-component sample planes (the
+    r8 decoder, tables now read from the scan snapshot)."""
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
     by_id = {c["id"]: c for c in scan["comps"]}
+    huff_dc, huff_ac = scan["dc"], scan["ac"]
+    restart_interval = scan["ri"]
     planes = []
     for c in comps:
         planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
 
-    # split entropy data at restart markers so each interval decodes
-    # from a clean bit/predictor state
-    raw = data[scan["data_at"]:]
-    segments = []
-    i = 0
-    start = 0
-    while i < len(raw) - 1:
-        if raw[i] == 0xFF and raw[i + 1] != 0x00:
-            m = raw[i + 1]
-            if m == 0xFF:
-                # T.81 B.1.1.2 permits runs of 0xFF fill bytes before
-                # a marker; they are padding, not a marker and not
-                # entropy data the reader will consume — skip forward
-                # (the run's final 0xFF + marker byte terminate below)
-                i += 1
-                continue
-            if 0xD0 <= m <= 0xD7:
-                segments.append(raw[start:i])
-                i += 2
-                start = i
-                continue
-            segments.append(raw[start:i])
-            start = None
-            break
-        i += 1
-    if start is not None:
-        segments.append(raw[start:])
-
+    segments = _split_restart_segments(scan["data"])
     reader = _BitReader(segments[0] if segments else b"")
     seg_idx = 0
     pred = [0] * len(comps)
@@ -412,7 +457,237 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         x0 = (mx * c["h"] + hh) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
+    return planes
 
+
+# -- progressive decoder (r10) ----------------------------------------------
+
+
+def _dc_unit(reader, table, coef, ah: int, al: int, state: dict,
+             si: int) -> None:
+    """One block's DC contribution — first pass decodes the diff at
+    reduced precision, a refinement pass appends one raw bit."""
+    if ah == 0:
+        s = _read_huffman(reader, table)
+        diff = _extend(reader.read_bits(s), s)
+        state["pred"][si] += diff
+        coef[0] = state["pred"][si] << al
+    else:
+        if reader.read_bit():
+            coef[0] |= 1 << al
+
+
+def _ac_first_unit(reader, table, coef, ss: int, se: int, al: int,
+                   state: dict) -> None:
+    """T.81 G.1.2.2: first AC pass over a spectral band, with EOB
+    runs spanning blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_huffman(reader, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16                   # ZRL
+                continue
+            eob = (1 << r) - 1
+            if r:
+                eob += reader.read_bits(r)
+            state["eobrun"] = eob
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end "
+                             "(corrupt stream)")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_unit(reader, table, coef, ss: int, se: int, al: int,
+                    state: dict) -> None:
+    """T.81 G.1.2.3: AC refinement — newly-nonzero coefficients carry
+    (run, sign) symbols, history coefficients read one correction bit
+    each as the walk passes them, EOB runs correct whole blocks."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_huffman(reader, table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += reader.read_bits(r)
+                    state["eobrun"] = eob
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement "
+                                     "symbol (corrupt stream)")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit():
+                        if (coef[k] & p1) == 0:
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read_bit():
+                    if (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
+    """Accumulate every scan's contribution into per-component
+    coefficient arrays (zigzag order), then dequantize + IDCT once.
+    Spectral selection bands, successive approximation, interleaved
+    DC scans, non-interleaved single-component scans, and restart
+    intervals are all per T.81 G.2."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    comp_bw, comp_bh = [], []
+    for c in comps:
+        coefs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int32))
+        cw = -(-(w * c["h"]) // hmax)     # ceil
+        ch = -(-(h * c["v"]) // vmax)
+        comp_bw.append(-(-cw // 8))
+        comp_bh.append(-(-ch // 8))
+    comp_idx = {c["id"]: i for i, c in enumerate(comps)}
+
+    for scan in scans:
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        scomps = scan["comps"]
+        if ss == 0 and se != 0:
+            raise ValueError("progressive JPEG: a DC scan must have "
+                             "Se=0 (corrupt scan header)")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("progressive JPEG: AC scans carry one "
+                             "component (corrupt scan header)")
+        segments = _split_restart_segments(scan["data"])
+        reader = _BitReader(segments[0] if segments else b"")
+        seg_idx = 0
+        state = {"pred": [0] * len(scomps), "eobrun": 0}
+        ri = scan["ri"]
+
+        def _restart():
+            nonlocal reader, seg_idx
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("truncated JPEG: missing restart "
+                                 "segment")
+            reader = _BitReader(segments[seg_idx])
+            state["pred"] = [0] * len(scomps)
+            state["eobrun"] = 0
+
+        def _tables(sc):
+            if ss == 0:
+                t = scan["dc"].get(sc["td"]) if ah == 0 else None
+                if ah == 0 and t is None:
+                    raise ValueError("JPEG scan references a missing "
+                                     "huffman table")
+                return t
+            t = scan["ac"].get(sc["ta"])
+            if t is None:
+                raise ValueError("JPEG scan references a missing "
+                                 "huffman table")
+            return t
+
+        if len(scomps) > 1:               # interleaved (DC) scan
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and unit and unit % ri == 0:
+                        _restart()
+                    for si, sc in enumerate(scomps):
+                        ci = comp_idx[sc["id"]]
+                        c = comps[ci]
+                        tab = _tables(sc)
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                _dc_unit(reader, tab,
+                                         coefs[ci][my * c["v"] + v,
+                                                   mx * c["h"] + hh],
+                                         ah, al, state, si)
+                    unit += 1
+        else:                             # single-component raster
+            sc = scomps[0]
+            ci = comp_idx[sc["id"]]
+            tab = _tables(sc)
+            unit = 0
+            for by in range(comp_bh[ci]):
+                for bx in range(comp_bw[ci]):
+                    if ri and unit and unit % ri == 0:
+                        _restart()
+                    coef = coefs[ci][by, bx]
+                    if ss == 0:
+                        _dc_unit(reader, tab, coef, ah, al, state, 0)
+                    elif ah == 0:
+                        _ac_first_unit(reader, tab, coef, ss, se,
+                                       al, state)
+                    else:
+                        _ac_refine_unit(reader, tab, coef, ss, se,
+                                        al, state)
+                    unit += 1
+
+    # dequantize + IDCT, vectorized across each component's blocks
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references a missing "
+                             "quant table")
+        arr = coefs[ci].astype(np.float64)
+        bh_n, bw_n = arr.shape[:2]
+        nat = np.zeros_like(arr)
+        nat[..., _ZIGZAG] = arr           # de-zigzag
+        blocks = nat.reshape(bh_n, bw_n, 8, 8) * q
+        px = np.einsum("ab,ijbc,cd->ijad", _T.T, blocks, _T) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3)
+                      .reshape(bh_n * 8, bw_n * 8))
+    return planes
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline or progressive JPEG payload to uint8 pixels
+    — ``(h, w, 3)`` RGB for color, ``(h, w, 1)`` for grayscale."""
+    frame, scans, qt = _parse_jpeg(data)
+    if frame["progressive"]:
+        planes = _decode_progressive(frame, scans, qt)
+    else:
+        if len(scans) > 1:
+            raise NotImplementedError(
+                "multi-scan (non-interleaved) BASELINE JPEG is not "
+                "supported by the builtin decoder; install Pillow "
+                "for full coverage")
+        planes = _decode_baseline(frame, scans[0], qt)
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
     full = []
     for ci, c in enumerate(comps):
@@ -430,6 +705,233 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = Y + 1.772 * (Cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
                    255).astype(np.uint8)
+
+
+# -- progressive encoder (r10) ----------------------------------------------
+# Each scan is generated as an op stream [(symbol|None, [(bits, n),
+# ...]), ...] — symbol None means raw bits with no huffman code (DC
+# refinement). Two passes per scan: collect symbols to build the
+# scan's self-describing table, then emit. The scripts below mirror
+# the classic libjpeg progression (DC first at Al=1 interleaved, AC
+# spectral bands per component at Al=1, then the refinement scans).
+
+
+def _dc_first_ops(blocks_by_comp: list, order: list,
+                  al: int) -> list:
+    """Interleaved DC first pass: ``order`` is the MCU-interleaved
+    (comp_index, by, bx) walk; diffs are coded on the Al-shifted
+    values (arithmetic shift, per the spec)."""
+    ops = []
+    pred = [0] * len(blocks_by_comp)
+    for ci, by, bx in order:
+        dc = int(blocks_by_comp[ci][by][bx][0]) >> al
+        size, bits = _magnitude(dc - pred[ci])
+        pred[ci] = dc
+        ops.append((size, [(bits, size)] if size else []))
+    return ops
+
+
+def _dc_refine_ops(blocks_by_comp: list, order: list,
+                   al: int) -> list:
+    """DC refinement: one raw bit per block, no huffman symbols."""
+    return [(None, [((int(blocks_by_comp[ci][by][bx][0]) >> al) & 1,
+                     1)])
+            for ci, by, bx in order]
+
+
+def _ac_first_ops(blocks: list, ss: int, se: int, al: int) -> list:
+    """AC first pass over one component's band: magnitudes of the
+    Al-scaled coefficients (truncation toward zero), EOB runs
+    spanning blocks."""
+    ops = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ops.append((nbits << 4,
+                        [(eobrun & ((1 << nbits) - 1), nbits)]
+                        if nbits else []))
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                ops.append((0xF0, []))
+                r -= 16
+            if v < 0:
+                t = -t
+            s, b = _magnitude(t)
+            ops.append(((r << 4) | s, [(b, s)]))
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _ac_refine_ops(blocks: list, ss: int, se: int, al: int) -> list:
+    """AC refinement over one component's band — the correction-bit
+    algorithm (T.81 G.1.2.3 encoder side): newly-visible
+    coefficients emit (run, sign), history coefficients buffer one
+    correction bit each. Bit bookkeeping mirrors the classic two
+    buffers: ``br`` holds the current block's bits since the last
+    symbol (flushed right AFTER the next ZRL / run-sign symbol —
+    that's where the decoder's walk reads them), ``be`` holds the
+    bits of EOB-covered block tails (flushed right after the EOB-run
+    symbol — the decoder's per-block correction tail reads them).
+    ZRLs are emitted at EVERY nonzero while the run exceeds 15, so a
+    history bit can never be buffered past the zeros its symbol
+    covers."""
+    ops = []
+    eobrun = 0
+    be: list[int] = []                    # EOB-attached bits
+    br: list[int] = []                    # since-last-symbol bits
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            extra = ([(eobrun & ((1 << nbits) - 1), nbits)]
+                     if nbits else [])
+            ops.append((nbits << 4,
+                        extra + [(b, 1) for b in be]))
+            be = []
+            eobrun = 0
+
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        # last newly-visible coefficient bounds ZRL emission; runs
+        # past it fold into the EOB run
+        eobpos = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eobpos = i
+        r = 0
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                flush_eob()
+                ops.append((0xF0, [(b, 1) for b in br]))
+                br = []
+                r -= 16
+            if a > 1:
+                # history coefficient: buffer its correction bit
+                br.append(a & 1)
+                continue
+            # newly-visible coefficient (absv == 1)
+            flush_eob()
+            sign = 1 if int(zz[ss + i]) > 0 else 0
+            ops.append(((r << 4) | 1,
+                        [(sign, 1)] + [(b, 1) for b in br]))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be += br
+            br = []
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _emit_scan(out: bytearray, scomp_specs: list, ss: int, se: int,
+               ah: int, al: int, ops: list, table_cls: int) -> None:
+    """Write DHT (when the ops carry symbols) + SOS + entropy data
+    for one progressive scan. ``scomp_specs`` is [(comp_id,)] —
+    every scan uses table id 0 of its class, redefined per scan."""
+    syms = [sym for sym, _ in ops if sym is not None]
+    enc = None
+    if syms:
+        bits, values, enc = _fixed_length_code(syms)
+        body = bytes([(table_cls << 4) | 0]) + bytes(bits) \
+            + bytes(values)
+        out += b"\xFF\xC4" + (2 + len(body)).to_bytes(2, "big") + body
+    sos = bytearray()
+    ns = len(scomp_specs)
+    sos += (6 + 2 * ns).to_bytes(2, "big") + bytes([ns])
+    for cid in scomp_specs:
+        sos += bytes([cid, 0x00])         # DC table 0 / AC table 0
+    sos += bytes([ss, se, (ah << 4) | al])
+    out += b"\xFF\xDA" + sos
+    writer = _BitWriter()
+    for sym, bitlist in ops:
+        if sym is not None:
+            code, length = enc[sym]
+            writer.write(code, length)
+        for val, n in bitlist:
+            if n:
+                writer.write(val, n)
+    writer.flush()
+    out += writer.out
+
+
+def _encode_progressive(out: bytearray, h: int, w: int, ncomp: int,
+                        hs: list, vs: list, mcux: int, mcuy: int,
+                        grids: list) -> bytes:
+    """SOF2 + the scan script over per-component block grids
+    (``grids[ci][by][bx]`` = zigzag int coefficients)."""
+    hmax, vmax = max(hs), max(vs)
+    sof = bytearray()
+    sof += (8 + 3 * ncomp).to_bytes(2, "big") + b"\x08"
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (hs[ci] << 4) | vs[ci],
+                      0 if ci == 0 else 1])
+    out += b"\xFF\xC2" + sof
+
+    # interleaved MCU walk for the DC scans
+    order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                for v in range(vs[ci]):
+                    for hh in range(hs[ci]):
+                        order.append((ci, my * vs[ci] + v,
+                                      mx * hs[ci] + hh))
+    all_ids = list(range(1, ncomp + 1))
+    # non-interleaved rasters cover exactly the visible blocks
+    rasters = []
+    for ci in range(ncomp):
+        cw = -(-(w * hs[ci]) // hmax)
+        ch = -(-(h * vs[ci]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        rasters.append([grids[ci][by][bx]
+                        for by in range(bh) for bx in range(bw)])
+
+    bands = [(1, 5), (6, 63)]
+    # 1. DC first, all components, Al=1
+    _emit_scan(out, all_ids, 0, 0, 0, 1,
+               _dc_first_ops(grids, order, 1), 0)
+    # 2. AC first per component per band, Al=1
+    for ci in range(ncomp):
+        for (bs, be) in bands:
+            _emit_scan(out, [ci + 1], bs, be, 0, 1,
+                       _ac_first_ops(rasters[ci], bs, be, 1), 1)
+    # 3. DC refinement (raw bits)
+    _emit_scan(out, all_ids, 0, 0, 1, 0,
+               _dc_refine_ops(grids, order, 0), 0)
+    # 4. AC refinement per component per band
+    for ci in range(ncomp):
+        for (bs, be) in bands:
+            _emit_scan(out, [ci + 1], bs, be, 1, 0,
+                       _ac_refine_ops(rasters[ci], bs, be, 0), 1)
+    out += b"\xFF\xD9"
+    return bytes(out)
 
 
 # -- encoder ----------------------------------------------------------------
@@ -473,13 +975,32 @@ def _block_symbols(blocks: list[np.ndarray]) -> tuple[list, list, list]:
     return dc_syms, ac_syms, ops
 
 
+def _grid_from_mcu_blocks(blocks: list, mcux: int, mcuy: int,
+                          hs: int, vs: int) -> list:
+    """MCU-interleaved block list → 2D raster grid of zigzag int
+    coefficient arrays (the progressive scans' addressing)."""
+    g = [[None] * (mcux * hs) for _ in range(mcuy * vs)]
+    i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(vs):
+                for hh in range(hs):
+                    g[my * vs + v][mx * hs + hh] = \
+                        blocks[i].reshape(64)[_ZIGZAG].astype(int)
+                    i += 1
+    return g
+
+
 def encode_jpeg(arr: np.ndarray, *, quality: int = 90,
                 subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """Encode uint8 pixels (``(h, w, 3)`` RGB, ``(h, w, 1)`` or
-    ``(h, w)`` grayscale) as a baseline JFIF JPEG. See the module
-    docstring for the table strategy; ``subsampling`` is ``"4:4:4"``
-    or ``"4:2:0"``."""
+    ``(h, w)`` grayscale) as a JFIF JPEG — baseline SOF0 by default,
+    progressive SOF2 with ``progressive=True`` (r10; same quantized
+    coefficients, so decoding either encode of an image yields
+    identical pixels). See the module docstring for the table
+    strategy; ``subsampling`` is ``"4:4:4"`` or ``"4:2:0"``."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[..., None]
@@ -567,6 +1088,17 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90,
     out += dqt(0, qlum)
     if not gray:
         out += dqt(1, qchr)
+
+    if progressive:
+        if restart_interval:
+            raise ValueError("the progressive encoder does not "
+                             "support restart intervals (decode of "
+                             "progressive restarts IS supported)")
+        grids = [_grid_from_mcu_blocks(comp_blocks[ci], mcux, mcuy,
+                                       hs[ci], vs[ci])
+                 for ci in range(len(planes))]
+        return _encode_progressive(out, h, w, len(planes), hs, vs,
+                                   mcux, mcuy, grids)
 
     ncomp = len(planes)
     sof = bytearray()

@@ -10,11 +10,13 @@ detect_scenes.py:115-117).
 Decoders: :func:`decode_image` is REAL for PPM (P6), 24-bit
 uncompressed BMP, — via stdlib ``zlib`` inflate plus per-row
 Sub/Up/Average/Paeth unfiltering — 8-bit non-interlaced PNG
-(gray / gray+alpha / RGB / RGBA / palette), and — r8, via the numpy
-baseline codec in :mod:`.jpeg` — baseline sequential JPEG (4:4:4 /
-4:2:2 / 4:2:0, grayscale, restart markers), all with no external
-library. Pillow handles anything else when present (progressive JPEG
-included). Payloads none of those paths can decode RAISE by default;
+(gray / gray+alpha / RGB / RGBA / palette), and — r8/r10, via the
+numpy codec in :mod:`.jpeg` — baseline sequential AND progressive
+JPEG (4:4:4 / 4:2:2 / 4:2:0, grayscale, restart markers, spectral
+selection + successive approximation), all with no external
+library. Pillow handles anything else when present; PyAV decodes
+real video codecs (H.264/HEVC) when present (r10). Payloads no
+available path can decode RAISE by default;
 callers may opt into the clearly-marked **deterministic fake
 decoder** (pixels derived from a rolling hash of the payload) with
 ``allow_fake=True``, and every output row carries a ``codec``
@@ -46,6 +48,14 @@ try:  # real decoder if the environment has it
     _HAS_PIL = True
 except Exception:  # pragma: no cover - container has no Pillow
     _HAS_PIL = False
+
+try:  # real-codec video seam (H.264/HEVC/...) if the environment
+    # has it — same optional-import discipline as Pillow above and
+    # zstandard in sources/mcap.py
+    import av as _av  # noqa: F401
+    _HAS_PYAV = True
+except Exception:  # pragma: no cover - container has no PyAV
+    _HAS_PYAV = False
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("format", T.StringType()),
@@ -315,8 +325,9 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
         try:
             return decode_jpeg(payload), "jpeg"
         except NotImplementedError:
-            # progressive/arithmetic variants: Pillow handles them
-            # when present, else the honest guard propagates
+            # arithmetic/hierarchical variants (baseline AND
+            # progressive decode natively as of r10): Pillow handles
+            # them when present, else the honest guard propagates
             if not _HAS_PIL:
                 raise
     if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
@@ -479,13 +490,57 @@ def parse_avi(payload: bytes) -> dict:
                   for f in frames]
     elif comp in (b"MJPG", b"mjpg"):
         info["codec"] = "mjpeg"
+    elif _HAS_PYAV:  # pragma: no cover - container has no PyAV
+        return _pyav_demux(payload)
     else:
         raise NotImplementedError(
             f"AVI codec {comp!r} is not supported by the builtin "
-            f"demux (MJPG and uncompressed DIB are); install a real "
-            f"media stack for other codecs")
+            f"demux (MJPG and uncompressed DIB are); install PyAV "
+            f"for other codecs (the optional seam decodes them when "
+            f"present)")
     info["frames"] = frames
     return info
+
+
+def _rgb_to_ppm(arr: np.ndarray) -> bytes:
+    """Wrap an (h, w, 3) uint8 RGB array as a binary PPM (P6) payload
+    — the builtin :func:`_decode_ppm` reads it back losslessly, so
+    PyAV-decoded video frames flow through the SAME downstream
+    contract (``frames`` are decodable image payloads) as the builtin
+    MJPEG/raw-DIB demux paths."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8).tobytes()
+
+
+def _pyav_demux(payload: bytes) -> dict:
+    """Real-codec demux+decode through the optional PyAV seam (r10,
+    r9 VERDICT item 1): any container/codec ffmpeg knows (H.264,
+    HEVC, VP9, ...) comes back in the :func:`parse_avi`/
+    :func:`parse_mp4` contract — ``{"width", "height",
+    "us_per_frame", "codec", "frames"}`` with every frame a
+    PPM-wrapped RGB payload ready for :func:`decode_image`. The
+    ``codec`` key carries the SOURCE codec name (``h264``/``hevc``)
+    as provenance. Only called when ``_HAS_PYAV``."""
+    import io
+
+    with _av.open(io.BytesIO(payload)) as container:
+        stream = next((s for s in container.streams
+                       if s.type == "video"), None)
+        if stream is None:
+            raise ValueError("container has no video track")
+        codec = stream.codec_context.name
+        frames: list[bytes] = []
+        w = h = None
+        for frame in container.decode(stream):
+            arr = frame.to_ndarray(format="rgb24")
+            h, w = arr.shape[:2]
+            frames.append(_rgb_to_ppm(arr))
+        rate = stream.average_rate
+        us = (int(1_000_000 / float(rate))
+              if rate else None)
+        return {"width": w, "height": h, "us_per_frame": us,
+                "codec": codec, "frames": frames}
 
 
 def _mp4_boxes(payload: bytes, pos: int, end: int):
@@ -532,8 +587,11 @@ def parse_mp4(payload: bytes) -> dict:
     ``frames`` are the stored sample payloads sliced straight out of
     ``mdat``. MJPEG-family sample entries (``jpeg``/``mjpa``/
     ``MJPG``) are ALREADY decodable JPEGs (→ the builtin decoder);
-    every other codec raises the honest ``NotImplementedError``
-    naming the fourcc (H.264/HEVC need a real media stack). Returns
+    every other codec routes through the optional **PyAV seam**
+    (r10: H.264/HEVC camera exports decode to PPM-wrapped RGB frames
+    when the ``av`` package is present — reference README.md:83-113,
+    compressed camera topics) and raises the honest
+    ``NotImplementedError`` naming the fourcc otherwise. Returns
     ``{"width", "height", "us_per_frame", "codec", "frames"}`` —
     the same contract as :func:`parse_avi`."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
@@ -568,10 +626,13 @@ def parse_mp4(payload: bytes) -> dict:
         width = int.from_bytes(payload[entry + 32:entry + 34], "big")
         height = int.from_bytes(payload[entry + 34:entry + 36], "big")
         if fourcc not in (b"jpeg", b"mjpa", b"MJPG", b"mjpg"):
+            if _HAS_PYAV:  # pragma: no cover - container has no PyAV
+                return _pyav_demux(payload)
             raise NotImplementedError(
                 f"MP4 video codec {fourcc!r} is not supported by the "
-                f"builtin demux (MJPEG-family is); install a real "
-                f"media stack for H.264/HEVC")
+                f"builtin demux (MJPEG-family is); install PyAV for "
+                f"H.264/HEVC (the optional seam decodes them when "
+                f"present)")
         # stsz: per-sample sizes
         b, e = boxes[b"stsz"]
         fixed = int.from_bytes(payload[b + 4:b + 8], "big")
@@ -682,6 +743,15 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                     for i in range(0, len(fr), every_n):
                         rows.append(tuple(row[k] for k in keep_names)
                                     + (i, fr[i], "mp4"))
+                    continue
+                if pb[:4] == b"\x1a\x45\xdf\xa3" and _HAS_PYAV:
+                    # Matroska/WebM: only the PyAV seam reads it;
+                    # without the package this falls through to the
+                    # documented slice fake  # pragma: no cover
+                    fr = _pyav_demux(pb)["frames"]
+                    for i in range(0, len(fr), every_n):
+                        rows.append(tuple(row[k] for k in keep_names)
+                                    + (i, fr[i], "pyav"))
                     continue
                 n_frames = max(1, int(meta["n_frames"]))
                 size = max(1, len(pb) // n_frames)

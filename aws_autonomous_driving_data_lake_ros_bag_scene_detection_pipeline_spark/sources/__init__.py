@@ -18,6 +18,7 @@ from .mcap import (  # noqa: F401
 )
 from .spark_source import (  # noqa: F401
     SnapshotDataSource, register_snapshot_source,
+    register_snapshot_table,
 )
 from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
@@ -52,6 +53,7 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "snapshot_append", "snapshot_apply_changes",
            "snapshot_read_session",
            "SnapshotDataSource", "register_snapshot_source",
+           "register_snapshot_table",
            "snapshot_compact", "snapshot_delete", "snapshot_maintain",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
            "snapshot_tag", "snapshot_tags", "snapshot_untag",

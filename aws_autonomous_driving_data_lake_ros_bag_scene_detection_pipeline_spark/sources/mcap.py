@@ -436,14 +436,40 @@ def extract_mcap_topics(messages: DataFrame) -> dict[str, DataFrame]:
     """Per-topic typed DataFrames — the MCAP face of the reference's
     bag → per-topic tables hop (main.py:77-127). Definitions come from
     the embedded schema records; column names are sanitized the same
-    way (``.`` → ``_``, main.py:100)."""
+    way (``.`` → ``_``, main.py:100).
+
+    A topic may carry MORE THAN ONE distinct definition across the
+    scanned files (schema evolution in a log set): each definition
+    group is decoded with ITS OWN schema — never an arbitrarily
+    chosen one — and the results are unioned when the decoded Spark
+    schemas agree; differing decoded schemas raise, naming the topic
+    (silent misparse is worse than a loud stop)."""
     pairs = (messages.select("topic", "message_definition")
              .where(F.col("topic").isNotNull())
-             .dropDuplicates(["topic"]).collect())
-    out = {}
+             .dropDuplicates(["topic", "message_definition"])
+             .collect())
+    by_topic: dict[str, list[str]] = {}
     for r in pairs:
-        one = messages.where(F.col("topic") == r["topic"])
-        dec = decode_cdr_messages(one, r["message_definition"])
-        out[r["topic"]] = dec.toDF(
+        by_topic.setdefault(r["topic"], []).append(
+            r["message_definition"])
+    out = {}
+    for topic, defns in by_topic.items():
+        parts = []
+        for defn in defns:
+            one = messages.where(
+                (F.col("topic") == topic)
+                & (F.col("message_definition") == defn))
+            parts.append(decode_cdr_messages(one, defn))
+        schemas = {p.schema.json() for p in parts}
+        if len(schemas) > 1:
+            raise ValueError(
+                f"topic {topic!r} carries {len(defns)} distinct "
+                f"message definitions that decode to DIFFERENT "
+                f"schemas — decode each group explicitly with "
+                f"decode_cdr_messages and reconcile upstream")
+        dec = parts[0]
+        for p in parts[1:]:
+            dec = dec.unionByName(p)
+        out[topic] = dec.toDF(
             *[c.replace(".", "_") for c in dec.columns])
     return out

@@ -469,16 +469,37 @@ def set_commit_strategy(strategy: CommitStrategy) -> CommitStrategy:
     return prev
 
 
+def _monotonic_stamp(now: float, prev: float | None) -> float:
+    """Commit-time authority for AS-OF (r10, r9 VERDICT item 5):
+    the recorded stamp is ``max(prev + 1 µs, now)``, so history
+    timestamps are strictly increasing in version even when a second
+    writer's wall clock runs behind the first's — multi-writer clock
+    skew can reorder ``time.time()`` but never the recorded stamps,
+    and as-of resolution by timestamp always agrees with commit
+    order."""
+    if prev is not None and now <= prev:
+        return prev + 1e-6
+    return now
+
+
 def _commit_manifest(spark: SparkSession, path: str, version: int,
                      manifest: dict) -> None:
     import time
 
-    # commit wall-clock (r8) powers AS-OF time travel. Writer-clock
-    # caveat: with multiple writers the timestamps are only as ordered
-    # as their clocks; the VERSION remains the authority on history
-    # order, and as-of resolution scans by version picking the last
-    # one at-or-before the cutoff.
-    manifest.setdefault("committed_at", time.time())
+    # commit wall-clock (r8) powers AS-OF time travel; stamped
+    # monotonic vs the previous manifest (r10) so multi-writer clock
+    # skew cannot reorder history vs timestamps. The VERSION remains
+    # the authority on order; the stamp now provably agrees with it.
+    if "committed_at" not in manifest:
+        prev_ts = None
+        if version > 0:
+            try:
+                prev_ts = _load_manifest(
+                    spark, path, version - 1).get("committed_at")
+            except Exception:
+                prev_ts = None         # pruned/first: plain clock
+        manifest["committed_at"] = _monotonic_stamp(time.time(),
+                                                    prev_ts)
     _COMMIT_STRATEGY.publish(spark, path, version, manifest)
     _write_hint(spark, path, version)
 
@@ -940,7 +961,12 @@ def _latest_version_with_marker_at_most(spark: SparkSession,
     (its first sync happened later), it is still content-consistent
     iff every base commit in ``(batch_id, first_marker]`` was
     row-neutral (``compact``) — verified from the base manifests;
-    anything else raises."""
+    anything else raises.  The same check guards the general branch
+    (r10): when the selected version's marker sits BELOW
+    ``batch_id`` (possible only if ``snapshot_prune`` removed the
+    intermediate consumer versions), every base commit in
+    ``(marker, batch_id]`` must be compaction-only, else the
+    returned state would silently miss real base commits."""
     jvm, fs, _ = _fs(spark, path)
     mdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST_DIR}")
     vs = sorted(int(n[:-5]) for n in
@@ -962,16 +988,22 @@ def _latest_version_with_marker_at_most(spark: SparkSession,
         raise LookupError(
             f"no retained version of {path} records a marker for "
             f"{source!r}")
+    def _gap_is_row_neutral(lo_b: int, hi_b: int) -> bool:
+        # every base commit in (lo_b, hi_b] must be a row-neutral
+        # compaction for the states on either side to be equal
+        for b in range(lo_b + 1, hi_b + 1):
+            try:
+                op = _load_manifest(spark, base_path, b).get(
+                    "operation")
+            except Exception:
+                op = None                  # pruned: can't verify
+            if op != "compact":
+                return False
+        return True
+
     m0v, m0 = marked[0]
     if m0 > batch_id:
-        gap_ops = []
-        for b in range(batch_id + 1, m0 + 1):
-            try:
-                gap_ops.append(_load_manifest(spark, base_path, b)
-                               .get("operation"))
-            except Exception:
-                gap_ops.append(None)       # pruned: can't verify
-        if all(op == "compact" for op in gap_ops):
+        if _gap_is_row_neutral(batch_id, m0):
             return m0v                     # row-neutral gap
         raise LookupError(
             f"every retained version of {path} already incorporates "
@@ -985,7 +1017,18 @@ def _latest_version_with_marker_at_most(spark: SparkSession,
             lo = mid
         else:
             hi = mid - 1
-    return marked[lo][0]
+    v, m = marked[lo]
+    if m < batch_id and not _gap_is_row_neutral(m, batch_id):
+        # consumer versions between marker m and batch_id were
+        # pruned, and the base gap carries real row changes — the
+        # retained state is NOT consistent with base@batch_id
+        raise LookupError(
+            f"the newest retained version of {path} with a "
+            f"{source!r} marker <= {batch_id} sits at marker {m}, "
+            f"and base commits in ({m}, {batch_id}] are not "
+            f"compaction-only — pruning removed the consistent "
+            f"consumer versions")
+    return v
 
 
 def snapshot_read_session(spark: SparkSession, base_path: str,
@@ -1091,8 +1134,10 @@ def read_snapshot(spark: SparkSession, path: str,
     at or before the cutoff (ISO-8601 string or epoch seconds) —
     "what did the table look like before yesterday's load" without
     knowing version numbers. Mutually exclusive with ``version``;
-    see :func:`snapshot_history` for the audit log, and the
-    writer-clock caveat in ``_commit_manifest``."""
+    see :func:`snapshot_history` for the audit log. Stamps are
+    commit-time authoritative (r10): each publish records
+    ``max(prev_stamp + 1 µs, now)``, so as-of resolution agrees
+    with commit order even under multi-writer clock skew."""
     if sum(x is not None for x in (version, as_of, tag)) > 1:
         raise ValueError("pass at most one of version, as_of, tag")
     if tag is not None:

@@ -1563,7 +1563,12 @@ def _nullsafe_on(left_alias: str, right_alias: str,
 _MERGEABLE_OPS = {"count", "sum", "avg", "min", "max"}
 #: ops that force the affected-group recompute path on every step
 _RECOMPUTE_ONLY_OPS = {"count_distinct"}
-_ALL_AGG_OPS = _MERGEABLE_OPS | _RECOMPUTE_ONLY_OPS
+#: sketch-backed ops (r10): additive on insert-only steps via a
+#: stored HLL binary, min/max-style recompute on delete steps
+_SKETCH_OPS = {"approx_count_distinct"}
+_ALL_AGG_OPS = _MERGEABLE_OPS | _RECOMPUTE_ONLY_OPS | _SKETCH_OPS
+#: HLL precision for approx_count_distinct (RSE ≈ 1.04/√2^14 ≈ 0.8%)
+_HLL_LG_K = 14
 
 
 def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
@@ -1585,7 +1590,8 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
 
     ``measures`` maps output column → ``(op, source_col)``; ops:
     ``count`` (source ``None`` = rows per group, else non-null
-    count), ``sum``, ``avg``, ``min``, ``max``, ``count_distinct``.
+    count), ``sum``, ``avg``, ``min``, ``max``, ``count_distinct``,
+    ``approx_count_distinct``.
     The view is itself a snapshot table (atomic commits, time
     travel, zone maps), keyed by ``group_by`` and partitioned by
     ``view_partition_cols`` (must be a subset of ``group_by``;
@@ -1610,6 +1616,21 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
       keys (semi join — partition/zone-map prunable when
       ``group_by`` leads the table's layout). Cost is the touched
       groups' rows, not the table.
+
+    ``approx_count_distinct`` (r10, r9 VERDICT item 3) restores the
+    additive fast path that exact ``count_distinct`` forfeits: the
+    view stores a per-group **HLL sketch binary** (internal column
+    ``__hll_<out>``, DataSketches via the ``hll_sketch_agg`` /
+    ``hll_union`` built-ins, lg_k=14), so INSERT-ONLY steps merge
+    the commit's sketch into the stored one — the base table is
+    never re-read, the min/max semi-additive discipline. A step
+    with deletes recomputes the touched groups (a sketch can't
+    unmerge). Error contract: the estimate carries the documented
+    HLL envelope — RSE ≈ 1.04/√2^14 ≈ 0.8%, a ±2.5% 3σ band vs
+    the exact count at ~99.7% confidence (the same contract as
+    :mod:`~..operators.sketches`); values are sketched through
+    their canonical string form, so any column type works and both
+    disciplines produce compatible sketches.
 
     Internal columns ride in the stored view and should be
     projected away on read: ``__rows`` (live row count — the
@@ -1662,6 +1683,8 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                  for op, _ in measures.values())
     has_minmax = any(op in ("min", "max")
                      for op, _ in measures.values())
+    has_acd = any(op == "approx_count_distinct"
+                  for op, _ in measures.values())
     derive = dict(derive or {})
     if derive:
         import json as _json
@@ -1713,6 +1736,12 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                 aggs.append(F.sum(
                     F.when(F.col(col).isNotNull(), w).otherwise(0)
                 ).alias(f"__nn_{out}"))
+            elif op == "approx_count_distinct":
+                # delete-free step: the commit's own sketch, merged
+                # into the stored one below — the base is never read
+                aggs.append(F.hll_sketch_agg(
+                    F.col(col).cast("string"), _HLL_LG_K)
+                    .alias(f"__hll_{out}"))
             else:                         # min/max: delete-free step
                 fn = F.min if op == "min" else F.max
                 aggs.append(fn(F.col(col)).alias(out))
@@ -1773,6 +1802,15 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                 sel.append(F.when(nn_new > 0, raw)
                            .alias(f"__sum_{out}"))
                 sel.append(nn_new.alias(f"__nn_{out}"))
+            elif op == "approx_count_distinct":
+                ho, hd = o(f"__hll_{out}"), d(f"__hll_{out}")
+                merged = (F.when(ho.isNull(), hd)
+                          .when(hd.isNull(), ho)
+                          .otherwise(F.hll_union(ho, hd)))
+                sel.append(F.coalesce(
+                    F.hll_sketch_estimate(merged), F.lit(0))
+                    .alias(out))
+                sel.append(merged.alias(f"__hll_{out}"))
             else:                         # min/max: null-skipping
                 fn = F.least if op == "min" else F.greatest
                 sel.append(fn(o(out), d(out)).alias(out))
@@ -1813,9 +1851,18 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
                 aggs.append(F.min(col).alias(out))
             elif op == "max":
                 aggs.append(F.max(col).alias(out))
+            elif op == "approx_count_distinct":
+                aggs.append(F.hll_sketch_agg(
+                    F.col(col).cast("string"), _HLL_LG_K)
+                    .alias(f"__hll_{out}"))
             else:
                 aggs.append(F.count_distinct(F.col(col)).alias(out))
         rec = base.groupBy(*group_by).agg(*aggs)
+        for out, (op, _col) in measures.items():
+            if op == "approx_count_distinct":
+                rec = rec.withColumn(out, F.coalesce(
+                    F.hll_sketch_estimate(F.col(f"__hll_{out}")),
+                    F.lit(0)))
         ups = rec.withColumn("_op", F.lit("upsert"))
         gone = (aff.alias("a")
                 .join(rec.alias("r"),
@@ -1834,10 +1881,11 @@ def aggregate_sync_snapshot(spark, table_path: str, view_path: str, *,
         if has_cd:
             _step_recompute(ch, v)
             return
-        if not has_minmax:
+        if not (has_minmax or has_acd):
             _step_merge(ch, v)
             return
-        # semi-additive: min/max merge unless this step deletes
+        # semi-additive: min/max and HLL sketches merge unless this
+        # step deletes (a delete can't be unwound from either)
         ch = ch.persist()
         try:
             deletes = (ch.where(F.col("_change_type")

@@ -99,7 +99,8 @@ def sealed_partitions(spark: SparkSession, ledger_path: str) -> set:
 
 def discover_new_files(spark: SparkSession, landing_path: str,
                        ledger_path: str, *, glob: str | None = None,
-                       partition_col: str | None = None) -> dict:
+                       partition_col: str | None = None,
+                       anti_join_threshold: int = 100_000) -> dict:
     """One incremental discovery pass: list the landing zone with
     sealed partitions SKIPPED (their files are never listed, let alone
     read), then anti-join the ledger so already-ingested files drop
@@ -112,7 +113,18 @@ def discover_new_files(spark: SparkSession, landing_path: str,
     (``part=<value>/...``) and per-step cost is O(unsealed partitions
     + their files); without it the whole tree is listed every step
     (documented O(total files) — fine for small zones, wrong at 10^7
-    files: partition your landing zone)."""
+    files: partition your landing zone).
+
+    Ledger dedup runs in one of two modes, reported as
+    ``stats["dedup_mode"]`` (r10, r9 VERDICT item 4): up to
+    ``anti_join_threshold`` candidates the pruned ledger read's
+    ``path`` set collects to the driver (``"collect"`` — cheapest for
+    the steady state); past it, the candidate list becomes a
+    DataFrame and a DISTRIBUTED left-anti join against the pruned
+    ledger keeps the already-ingested set out of driver memory
+    entirely (``"anti_join"`` — one hot unsealed partition with 10^7
+    files no longer collects 10^7 ledger strings; the driver holds
+    only the listing and the genuinely-new files)."""
     from urllib.parse import unquote
 
     from ..sources.snapshots import latest_version, read_snapshot
@@ -139,8 +151,9 @@ def discover_new_files(spark: SparkSession, landing_path: str,
                  _list_files_recursive(spark, landing_path, glob)]
     stats["files_listed"] = len(cands)
     if not cands:
+        stats["dedup_mode"] = "none"
         return {"files": [], "stats": stats}
-    seen: set = set()
+    led = None
     if latest_version(spark, ledger_path) is not None:
         if partition_col:
             # build ONLY the pruned reader: even constructing the
@@ -154,10 +167,25 @@ def discover_new_files(spark: SparkSession, landing_path: str,
                                 where=f"part in ({inlist})")
         else:
             led = read_snapshot(spark, ledger_path)
+    if led is None:
+        new = cands
+        stats["dedup_mode"] = "none"
+    elif len(cands) <= anti_join_threshold:
         # bounded collect: rows are limited to the unsealed
         # partitions' ledger entries, the working set a step owns
         seen = {r["path"] for r in led.select("path").collect()}
-    new = [c for c in cands if c[0] not in seen]
+        new = [c for c in cands if c[0] not in seen]
+        stats["dedup_mode"] = "collect"
+    else:
+        # distributed anti-join: the already-ingested path set stays
+        # executor-side; only the NEW files come back to the driver
+        cdf = spark.createDataFrame(
+            cands, "path string, size long, mtime long, part string")
+        new = [(r["path"], r["size"], r["mtime"], r["part"])
+               for r in cdf.join(led.select("path"), "path",
+                                 "left_anti")
+               .select("path", "size", "mtime", "part").collect()]
+        stats["dedup_mode"] = "anti_join"
     stats["files_new"] = len(new)
     stats["files_already_ingested"] = len(cands) - len(new)
     return {"files": new, "stats": stats}
@@ -168,7 +196,8 @@ def file_ingest_batch(spark: SparkSession, landing_path: str,
                       glob: str | None = None,
                       partition_col: str | None = None,
                       seal_below: str | None = None,
-                      source: str = "file_ingest") -> dict:
+                      source: str = "file_ingest",
+                      anti_join_threshold: int = 100_000) -> dict:
     """One exactly-once ingest step over the landing zone: discover
     new files (:func:`discover_new_files`), hand them to ``process``,
     record them in the ledger, optionally seal finished partitions.
@@ -208,7 +237,8 @@ def file_ingest_batch(spark: SparkSession, landing_path: str,
             partition_cols=["part"] if partition_col else [])
     batch_id = led_v + 1
     disc = discover_new_files(spark, landing_path, ledger_path,
-                              glob=glob, partition_col=partition_col)
+                              glob=glob, partition_col=partition_col,
+                              anti_join_threshold=anti_join_threshold)
     out = {"batch_id": batch_id, **disc["stats"], "sealed_now": []}
     if disc["files"]:
         files_df = spark.createDataFrame(

@@ -331,3 +331,51 @@ def test_discovery_feeds_mcap_extraction_to_snapshot_table(
     assert rs(spark, tbl).count() == 4
     assert {r["mcap_file"] for r in rs(spark, tbl).collect()} == \
         {"a.mcap", "b.mcap"}
+
+
+def test_anti_join_dedup_mode_equals_collect_mode(spark, tmp_path):
+    """r9 VERDICT item 4: past anti_join_threshold candidates,
+    discovery switches to a DISTRIBUTED left-anti join against the
+    pruned ledger (the already-ingested path set never collects to
+    the driver) and reports the mode; results are identical to the
+    collect path."""
+    land = str(tmp_path / "land")
+    led = str(tmp_path / "ledger")
+    for i in range(8):
+        _drop(f"{land}/d=2026-01-01", f"f{i}.jsonl", "x")
+    file_ingest_batch(spark, land, led, process=lambda df, b: None,
+                      partition_col="d")
+    # 4 new files land next to the 8 ingested ones
+    for i in range(8, 12):
+        _drop(f"{land}/d=2026-01-01", f"f{i}.jsonl", "x")
+
+    got_collect = discover_new_files(spark, land, led,
+                                     partition_col="d")
+    assert got_collect["stats"]["dedup_mode"] == "collect"
+    got_anti = discover_new_files(spark, land, led,
+                                  partition_col="d",
+                                  anti_join_threshold=0)
+    assert got_anti["stats"]["dedup_mode"] == "anti_join"
+    assert set(got_anti["files"]) == set(got_collect["files"])
+    assert got_anti["stats"]["files_new"] == 4
+    assert got_anti["stats"]["files_already_ingested"] == 8
+
+    # the whole ingest step works in anti-join mode and stays
+    # exactly-once
+    out = file_ingest_batch(spark, land, led,
+                            process=lambda df, b: None,
+                            partition_col="d",
+                            anti_join_threshold=0)
+    assert out["files_new"] == 4
+    out2 = file_ingest_batch(spark, land, led,
+                             process=lambda df, b: None,
+                             partition_col="d",
+                             anti_join_threshold=0)
+    assert out2["files_new"] == 0
+
+    # first-step (no ledger yet) reports mode 'none'
+    land2 = str(tmp_path / "land2")
+    led2 = str(tmp_path / "led2")
+    _drop(f"{land2}/d=2026-01-01", "a.jsonl", "x")
+    got = discover_new_files(spark, land2, led2, partition_col="d")
+    assert got["stats"]["dedup_mode"] == "none"

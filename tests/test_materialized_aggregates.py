@@ -1361,6 +1361,78 @@ def test_read_session_skips_compact_only_gap(spark, tmp_path):
         })
 
 
+def test_read_session_general_branch_checks_marker_gap(spark,
+                                                      tmp_path):
+    """r9 advisor finding: in the GENERAL branch (not just the
+    first-marker bootstrap case), when the selected consumer version's
+    marker sits below B, the base commits in (marker, B] must be
+    compaction-only — a consumer that jumped markers 0 -> 2 over a
+    real append has NO retained state consistent with base@1."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_read_session,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        aggregate_sync_snapshot, snapshot_replicate,
+    )
+    meas = {"n": ("count", None)}
+
+    # NON-neutral gap: per-commit syncs give the view a version at
+    # EVERY marker, so the gap only opens when snapshot_prune drops
+    # the intermediate consumer version — tag v0 so retention keeps
+    # {v0 (marker 0), v2 (marker 2)} and drops the marker-1 state,
+    # then B=1 has no consistent retained view state
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_prune, snapshot_tag,
+    )
+    tbl, vw, rep = (str(tmp_path / n) for n in ("t", "v", "r"))
+    snapshot_write(spark, tbl, spark.createDataFrame(
+        [(i, f"g{i % 2}", "p0", 1.0) for i in range(4)], AGG_SCHEMA),
+        partition_cols=["p"])                                   # v0
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)          # view marker 0
+    snapshot_tag(spark, vw, "keep0")
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(4, "g0", "p0", 1.0)], AGG_SCHEMA))                    # v1
+    snapshot_replicate(spark, tbl, rep, keys=["id"])  # rep marker 1
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(5, "g1", "p0", 1.0)], AGG_SCHEMA))                    # v2
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=meas)          # view marker 2
+    snapshot_prune(spark, vw, keep_latest=1,
+                   orphan_grace_seconds=0)  # drops the marker-1 state
+    with pytest.raises(LookupError, match="compaction-only"):
+        snapshot_read_session(spark, tbl, {
+            "view": (vw, f"aggregate_sync:{tbl}"),
+            "replica": (rep, f"replicate:{tbl}"),
+        })
+
+    # row-neutral gap: identical shape but base commit 1 is a
+    # compaction -> view@marker-0 IS consistent with base@1
+    tbl2, vw2, rep2 = (str(tmp_path / n) for n in ("t2", "v2", "r2"))
+    snapshot_write(spark, tbl2, spark.createDataFrame(
+        [(i, f"g{i % 2}", "p0", 1.0) for i in range(4)], AGG_SCHEMA),
+        partition_cols=["p"])                                   # v0
+    aggregate_sync_snapshot(spark, tbl2, vw2, group_by=["g"],
+                            measures=meas)          # view marker 0
+    snapshot_compact(spark, tbl2, target_file_bytes=1 << 30)    # v1
+    snapshot_replicate(spark, tbl2, rep2, keys=["id"])  # marker 1
+    snapshot_append(spark, tbl2, spark.createDataFrame(
+        [(5, "g1", "p0", 1.0)], AGG_SCHEMA))                    # v2
+    aggregate_sync_snapshot(spark, tbl2, vw2, group_by=["g"],
+                            measures=meas)          # view marker 2
+    sess = snapshot_read_session(spark, tbl2, {
+        "view": (vw2, f"aggregate_sync:{tbl2}"),
+        "replica": (rep2, f"replicate:{tbl2}"),
+    })
+    assert sess["base_version"] == 1
+    want = {r["g"]: r["cnt"] for r in
+            sess["base"].groupBy("g").agg(
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    got = {r["g"]: r["n"] for r in
+           sess["frames"]["view"].select("g", "n").collect()}
+    assert got == want
+
+
 def test_read_session_contracts(spark, tmp_path):
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
         snapshot_read_session,
@@ -1474,3 +1546,120 @@ def test_right_join_mirror_returns_pruning_stats(spark, tmp_path):
                              how="right")
     assert "pruning" in out
     assert {p["side"] for p in out["pruning"]} <= {"left", "right"}
+
+
+# ---------------------------------------------------------------- #
+# approx_count_distinct (sketch-backed, r10)                       #
+# ---------------------------------------------------------------- #
+
+ACD_MEAS = {"nd": ("approx_count_distinct", "val"),
+            "n": ("count", None)}
+
+
+def _acd_exact(spark, tbl):
+    return {r["g"]: (r["nd"], r["n"]) for r in
+            read_snapshot(spark, tbl).groupBy("g").agg(
+                F.countDistinct("val").alias("nd"),
+                F.count(F.lit(1)).alias("n")).collect()}
+
+
+def _acd_view(spark, vw):
+    return {r["g"]: (r["nd"], r["n"]) for r in
+            read_snapshot(spark, vw).select("g", "nd", "n")
+            .collect()}
+
+
+def test_approx_count_distinct_tracks_commit_matrix(spark,
+                                                    tmp_path):
+    """r9 VERDICT item 3: the sketch-backed distinct count tracks
+    inserts, upserts, and deletes through the commit matrix; at
+    small cardinality HLL is exact, so the view must EQUAL the
+    from-scratch countDistinct after every step — including a group
+    vanishing and the null group."""
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    rows = [(i, f"g{i % 2}" if i % 10 else None, "p0",
+             float(i % 7)) for i in range(40)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=ACD_MEAS)
+    assert _acd_view(spark, vw) == _acd_exact(spark, tbl)
+    # insert-only (merge path)
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(100, "g0", "p0", 50.0), (101, "g9", "p0", 1.0),
+         (102, None, "p0", 9.0)], AGG_SCHEMA))
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=ACD_MEAS)
+    assert _acd_view(spark, vw) == _acd_exact(spark, tbl)
+    # upsert changing values (delete half -> recompute path)
+    snapshot_upsert(spark, tbl, spark.createDataFrame(
+        [(0, "g0", "p0", 123.0), (101, "g9", "p0", 2.0)],
+        AGG_SCHEMA), ["id"], partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=ACD_MEAS)
+    assert _acd_view(spark, vw) == _acd_exact(spark, tbl)
+    # deletes, including a vanishing group
+    snapshot_delete(spark, tbl, spark.createDataFrame(
+        [(101,)] + [(i,) for i in range(0, 40, 2)], "id long"),
+        ["id"], partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=ACD_MEAS)
+    got, want = _acd_view(spark, vw), _acd_exact(spark, tbl)
+    assert got == want
+    assert "g9" not in got, "vanished group must leave the view"
+
+
+def test_approx_count_distinct_insert_only_never_rereads_base(
+        spark, tmp_path):
+    """The additive contract exact count_distinct forfeits, proven
+    destructively: after the initial sync the base table's old data
+    files are DELETED — and insert-only steps still sync, because
+    the stored HLL sketch merges the commit's own sketch without
+    touching the base."""
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    rows = [(i, f"g{i % 3}", "p0", float(i % 11)) for i in range(30)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=ACD_MEAS)
+    want = {r["g"]: (r["nd"], r["n"]) for r in
+            read_snapshot(spark, tbl).unionByName(
+                spark.createDataFrame(
+                    [(200, "g0", "p0", 99.0)], AGG_SCHEMA))
+            .groupBy("g").agg(
+                F.countDistinct("val").alias("nd"),
+                F.count(F.lit(1)).alias("n")).collect()}
+    old_files = set(read_snapshot(spark, tbl).inputFiles())
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(200, "g0", "p0", 99.0)], AGG_SCHEMA))
+    for f in old_files:
+        os.remove(f.removeprefix("file:"))
+    out = aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                                  measures=ACD_MEAS)
+    assert out["steps"] == 1
+    assert _acd_view(spark, vw) == want
+
+
+def test_approx_count_distinct_error_envelope(spark, tmp_path):
+    """At real cardinality the estimate must sit inside the
+    documented 3-sigma HLL envelope (±2.5% at lg_k=14) of the exact
+    count — after an initial sync AND after a sketch-merging
+    insert-only step."""
+    tbl, vw = str(tmp_path / "t"), str(tmp_path / "v")
+    rows = [(i, "g0", "p0", float(i)) for i in range(20_000)]
+    snapshot_write(spark, tbl,
+                   spark.createDataFrame(rows, AGG_SCHEMA),
+                   partition_cols=["p"])
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=ACD_MEAS)
+    est = _acd_view(spark, vw)["g0"][0]
+    assert abs(est - 20_000) <= 0.025 * 20_000, est
+    snapshot_append(spark, tbl, spark.createDataFrame(
+        [(i, "g0", "p0", float(i)) for i in
+         range(20_000, 30_000)], AGG_SCHEMA))
+    aggregate_sync_snapshot(spark, tbl, vw, group_by=["g"],
+                            measures=ACD_MEAS)
+    est2 = _acd_view(spark, vw)["g0"][0]
+    assert abs(est2 - 30_000) <= 0.025 * 30_000, est2

@@ -472,3 +472,36 @@ def test_extract_mcap_topics_per_topic_typed_frames(spark, tmp_path):
     r = out["/demo"].first()
     assert r["a"] == 5 and r["p"]["px"] == 9.5
     assert out["/small"].first()["a"] == 42
+
+
+def test_extract_mcap_topics_schema_evolution(spark, tmp_path):
+    """r9 advisor finding: a topic carrying MORE THAN ONE distinct
+    embedded definition across the log set must decode each group
+    with its own schema, never an arbitrarily chosen one. Same
+    decoded shape -> union; different shape -> loud error."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import extract_mcap_topics
+
+    # two definition STRINGS for /t that decode to the same shape
+    # (comment-only drift): both messages must land, each parsed
+    # under its own definition
+    w1 = _CdrW(); w1.prim("i", 4, 11)
+    w2 = _CdrW(); w2.prim("i", 4, 22)
+    recs = (_schema(1, "t/V", "int32 a\n") + _channel(7, 1, "/t")
+            + _message(7, 0, 1_000, 1_000, w1.bytes_())
+            + _schema(2, "t/V", "int32 a  # rev2\n")
+            + _channel(8, 2, "/t")
+            + _message(8, 0, 2_000, 2_000, w2.bytes_()))
+    d = _write(tmp_path, "evo_ok.mcap", _file(recs))
+    out = extract_mcap_topics(read_mcap_messages(spark, d))
+    assert sorted(r["a"] for r in out["/t"].collect()) == [11, 22]
+
+    # incompatible evolution (extra field): refuse, naming the topic
+    w3 = _CdrW(); w3.prim("i", 4, 1); w3.prim("i", 4, 2)
+    recs2 = (_schema(1, "t/V", "int32 a\n") + _channel(7, 1, "/t")
+             + _message(7, 0, 1_000, 1_000, w1.bytes_())
+             + _schema(2, "t/V2", "int32 a\nint32 b\n")
+             + _channel(8, 2, "/t")
+             + _message(8, 0, 2_000, 2_000, w3.bytes_()))
+    d2 = _write(tmp_path, "evo_bad.mcap", _file(recs2))
+    with pytest.raises(ValueError, match="/t.*DIFFERENT"):
+        extract_mcap_topics(read_mcap_messages(spark, d2))

@@ -448,11 +448,13 @@ def test_sample_frames_raw_dib_avi_wraps_to_bmp(spark):
 
 
 def test_parse_avi_guards(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import _HAS_PYAV
     with pytest.raises(ValueError, match="RIFF/AVI"):
         parse_avi(b"nope")
-    avi = _build_avi([b"xx"], 4, 4, b"H264")
-    with pytest.raises(NotImplementedError, match="H264"):
-        parse_avi(avi)
+    if not _HAS_PYAV:
+        avi = _build_avi([b"xx"], 4, 4, b"H264")
+        with pytest.raises(NotImplementedError, match="H264"):
+            parse_avi(avi)
 
 
 # --------------------------------------------------------- MP4 (r9)
@@ -568,15 +570,74 @@ def test_sample_frames_real_mp4_mjpeg_demux(spark):
 
 
 def test_parse_mp4_guards(spark):
-    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import parse_mp4
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        _HAS_PYAV, parse_mp4,
+    )
     with pytest.raises(ValueError, match="not an ISO-BMFF"):
         parse_mp4(b"RIFF....AVI ....")
-    mp4 = _build_mp4([b"x" * 10], 4, 4, fourcc=b"avc1")
-    with pytest.raises(NotImplementedError, match="avc1"):
-        parse_mp4(mp4)
+    if not _HAS_PYAV:
+        # honest guard names the fourcc AND the seam package
+        mp4 = _build_mp4([b"x" * 10], 4, 4, fourcc=b"avc1")
+        with pytest.raises(NotImplementedError,
+                           match="avc1.*PyAV"):
+            parse_mp4(mp4)
     # no-video case: an mp4 whose moov holds only an audio trak
     ftyp = _mbox(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
     hdlr_a = _mbox(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
     moov = _mbox(b"moov", _mbox(b"trak", _mbox(b"mdia", hdlr_a)))
     with pytest.raises(ValueError, match="no video track"):
         parse_mp4(ftyp + moov)
+
+
+def test_rgb_to_ppm_roundtrips_through_builtin_decoder():
+    """The PyAV seam's frame wrapper: PPM-wrapped RGB must read back
+    byte-exact through the builtin PPM decoder, so seam-decoded
+    frames satisfy the demux contract (frames feed decode_image)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        _decode_ppm, _rgb_to_ppm,
+    )
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(_decode_ppm(_rgb_to_ppm(img)), img)
+
+
+def test_pyav_seam_decodes_h264_when_present(spark):
+    """r9 VERDICT item 1 done-criterion: a golden H.264 MP4 decodes
+    to pixel-checked frames when the `av` package exists (encoded
+    here with the same package); every_n honored on REAL sample
+    indexes; codec provenance names the source codec."""
+    av = pytest.importorskip("av")
+    import io
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import parse_mp4
+    h, w, n = 48, 64, 6
+    # solid-color frames, distinct luma per frame
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        vs = out.add_stream("h264", rate=30)
+        vs.width, vs.height, vs.pix_fmt = w, h, "yuv420p"
+        for i in range(n):
+            img = np.full((h, w, 3), 30 * (i + 1), dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for pkt in vs.encode(frame):
+                out.mux(pkt)
+        for pkt in vs.encode():
+            out.mux(pkt)
+    payload = buf.getvalue()
+    parsed = parse_mp4(payload)
+    assert parsed["codec"] == "h264"
+    assert parsed["width"] == w and parsed["height"] == h
+    assert len(parsed["frames"]) == n
+    # pixel check: each decoded PPM frame is near its solid color
+    # (lossy codec -> tolerance)
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import _decode_ppm
+    for i, fr in enumerate(parsed["frames"]):
+        img = _decode_ppm(fr).astype(np.int32)
+        assert img.shape == (h, w, 3)
+        assert abs(img.mean() - 30 * (i + 1)) < 8, i
+    # every_n over REAL sample indexes through sample_frames
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "vid long, payload binary")
+    packed = pack_media(df, "payload", "mp4", width=w, height=h,
+                        channels=3, n_frames=n)
+    rows = sample_frames(packed, "payload", every_n=3).collect()
+    assert sorted(r["frame_index"] for r in rows) == [0, 3]

@@ -1502,6 +1502,56 @@ def test_snapshot_history_and_as_of_time_travel(spark, tmp_path,
     assert ids(got) == {1}
 
 
+def test_as_of_commit_time_authority_under_clock_skew(
+        spark, tmp_path, monkeypatch):
+    """r9 VERDICT item 5: the recorded stamp is max(prev + 1 µs,
+    now) at publish, so a second writer whose wall clock runs BEHIND
+    the first's cannot produce a history where timestamps disagree
+    with commit order — as_of resolves by commit order, and
+    snapshot_history stamps are strictly monotone."""
+    import time as _time
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_append, snapshot_history,
+    )
+    schema = "id long, day string"
+    path = str(tmp_path / "tbl")
+    clock = {"t": 5000.0}
+    monkeypatch.setattr(_time, "time", lambda: clock["t"])
+
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(0, "d0")], schema), partition_cols=["day"])  # stamp 5000
+    # writer 2's clock is 2000 s BEHIND writer 1's
+    clock["t"] = 3000.0
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(1, "d0")], schema))          # naive stamp 3000 < 5000!
+    clock["t"] = 3001.0
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(2, "d0")], schema))
+
+    hist = snapshot_history(spark, path)
+    stamps = [h["committed_at"] for h in hist]
+    assert stamps[0] == 5000.0
+    assert stamps == sorted(stamps) and len(set(stamps)) == 3, \
+        "stamps must be strictly increasing in version"
+    ids = lambda df: {r[0] for r in df.select("id").collect()}  # noqa: E731
+    # as_of at the first stamp sees ONLY version 0 — the skewed
+    # writers' commits resolve after it, never before
+    assert ids(read_snapshot(spark, path, as_of=5000.0)) == {0}
+    assert ids(read_snapshot(spark, path,
+                             as_of=stamps[1])) == {0, 1}
+    assert ids(read_snapshot(spark, path, as_of=6000)) == {0, 1, 2}
+
+    # the DS sink's commit path applies the same discipline
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import register_snapshot_source
+    register_snapshot_source(spark)
+    clock["t"] = 10.0                  # absurdly-behind clock
+    (spark.createDataFrame([(3, "d0")], schema)
+     .write.format("snapshot").mode("append").save(path))
+    hist2 = snapshot_history(spark, path)
+    stamps2 = [h["committed_at"] for h in hist2]
+    assert stamps2 == sorted(stamps2) and len(set(stamps2)) == 4
+
+
 def test_pruning_type_mismatch_keeps_file():
     """A predicate value that doesn't compare with the stat's type
     (auto-routed SQL can produce these) must KEEP the file — pruning

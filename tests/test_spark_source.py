@@ -239,7 +239,9 @@ def test_batch_write_schema_drift_refused(registered, tmp_path):
     spark.createDataFrame([(1, "d1", "a")], SCHEMA) \
         .write.format("snapshot").option("partitionCols", "day") \
         .mode("overwrite").save(path)
-    with pytest.raises(Exception, match="do not match"):
+    # r10: the append inherits the table's partition layout upfront,
+    # so the missing partition column fails at planning time
+    with pytest.raises(Exception, match="not in the frame"):
         (spark.createDataFrame([(2, "x")], "id long, other string")
          .write.format("snapshot").mode("append").save(path))
     with pytest.raises(Exception, match="schema drift"):
@@ -247,6 +249,34 @@ def test_batch_write_schema_drift_refused(registered, tmp_path):
                                "id long, day string, other string")
          .write.format("snapshot").option("partitionCols", "day")
          .mode("append").save(path))
+
+
+def test_batch_append_partition_layout_validated_upfront(
+        registered, tmp_path):
+    """r9 advisor finding: a mismatched partitionCols append must
+    fail BEFORE any task writes data files (the same upfront
+    discipline as stats/bloom cols), and an option-less append
+    inherits the table's layout instead of failing at commit."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "d1", "a")], SCHEMA) \
+        .write.format("snapshot").option("partitionCols", "day") \
+        .mode("overwrite").save(path)
+    with pytest.raises(Exception, match="inherits the table's"):
+        (spark.createDataFrame([(2, "d2", "b")], SCHEMA)
+         .write.format("snapshot").option("partitionCols", "val")
+         .mode("append").save(path))
+    # no stray task files from the refused append
+    import pathlib
+    stray = [p for p in pathlib.Path(path).rglob("*.parquet")
+             if "day=d2" in str(p)]
+    assert not stray, stray
+    # option-less append inherits day-partitioning
+    (spark.createDataFrame([(2, "d2", "b")], SCHEMA)
+     .write.format("snapshot").mode("append").save(path))
+    got = spark.read.format("snapshot").load(path)
+    assert got.where("day = 'd2'").count() == 1
+    assert (pathlib.Path(path) / "data" / "day=d2").exists()
 
 
 def test_streaming_sink_exactly_once(registered, tmp_path):
@@ -459,3 +489,222 @@ def test_streaming_source_retention_error(registered, tmp_path):
                                        "startversion": "0"})
     with pytest.raises(ValueError, match="retention"):
         list(rdr._rows_between(0, 4))
+
+
+# ------------------------------------------------ catalog registration (r10)
+
+def test_register_snapshot_table_catalog_persisted(
+        registered, tmp_path):
+    """r9 VERDICT item 2: register_snapshot_table creates a REAL
+    catalog table (not a temp view) over the pinned version's exact
+    file list — resolvable from a different session sharing the
+    catalog, partition-pruned, and immune to later commits until
+    re-registration."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        register_snapshot_table,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    info = register_snapshot_table(spark, "cat_tbl", path)
+    assert info["version"] == 0 and info["files"] >= 2
+    got = spark.sql(
+        "SELECT id, day, val FROM cat_tbl ORDER BY id").collect()
+    assert [tuple(r) for r in got] == [
+        (1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")]
+    # a DIFFERENT session (fresh temp-view namespace, shared
+    # catalog) resolves it — proving it's not a temp view
+    other = spark.newSession()
+    assert other.sql("SELECT count(*) AS n FROM cat_tbl"
+                     ).first()["n"] == 3
+    # the registration is PINNED: later commits don't leak in
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(9, "d9", "z")], SCHEMA))                              # v1
+    assert spark.sql("SELECT count(*) AS n FROM cat_tbl"
+                     ).first()["n"] == 3
+    # refresh re-points name -> newest and removes the old export
+    import os
+    old_loc = info["location"]
+    info2 = register_snapshot_table(spark, "cat_tbl", path)
+    assert info2["version"] == 1
+    assert spark.sql("SELECT count(*) AS n FROM cat_tbl"
+                     ).first()["n"] == 4
+    assert not os.path.isdir(old_loc)
+    # partition pruning through the catalog table: the scan of one
+    # day must read fewer files than the whole table carries
+    plan = spark.sql(
+        "SELECT * FROM cat_tbl WHERE day = 'd1'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_register_snapshot_table_time_travel_and_protect(
+        registered, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        register_snapshot_table, snapshot_prune, snapshot_tag,
+        snapshot_tags,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    snapshot_tag(spark, path, "rel")
+    for i in range(3):
+        snapshot_append(spark, path, spark.createDataFrame(
+            [(10 + i, "d1", "x")], SCHEMA))                  # v1-v3
+    register_snapshot_table(spark, "cat_v0", path, version=0,
+                            protect=True)
+    register_snapshot_table(spark, "cat_rel", path, tag="rel")
+    assert spark.sql("SELECT count(*) AS n FROM cat_v0"
+                     ).first()["n"] == 3
+    assert spark.sql("SELECT count(*) AS n FROM cat_rel"
+                     ).first()["n"] == 3
+    assert snapshot_tags(spark, path)["registered-cat_v0"] == 0
+    # protect=True means retention can't break the registration:
+    # prune keeps the tagged version's manifest and files
+    snapshot_prune(spark, path, keep_latest=1,
+                   orphan_grace_seconds=0)
+    assert spark.sql(
+        "SELECT sum(id) AS s FROM cat_v0").first()["s"] == 6
+
+
+def test_register_snapshot_table_evolved_schema_and_null_parts(
+        registered, tmp_path):
+    """Pre-evolution files read their missing column as NULL through
+    the declared catalog schema; null partition values round-trip via
+    the hive default-partition dir name."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        register_snapshot_table, snapshot_upsert,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    snapshot_write(spark, path, spark.createDataFrame(
+        [(1, "d1", "a"), (2, None, "b")], SCHEMA),
+        partition_cols=["day"])                                 # v0
+    snapshot_upsert(spark, path, spark.createDataFrame(
+        [(3, "d1", "c", 7.5)],
+        "id long, day string, val string, score double"),
+        ["id"], partition_cols=["day"], schema_evolution=True)  # v1
+    register_snapshot_table(spark, "cat_evo", path)
+    rows = {r["id"]: (r["day"], r["score"]) for r in
+            spark.sql("SELECT id, day, score FROM cat_evo"
+                      ).collect()}
+    assert rows[1] == ("d1", None)      # pre-evolution file -> NULL
+    assert rows[2] == (None, None)      # null partition round-trips
+    assert rows[3] == ("d1", 7.5)
+    assert spark.sql(
+        "SELECT count(*) AS n FROM cat_evo WHERE day IS NULL"
+    ).first()["n"] == 1
+
+
+# ------------------------------------- partitioned stream reader (r10)
+
+def test_partitioned_stream_reader_is_default_and_plans_per_file(
+        registered, tmp_path):
+    """r9 VERDICT item 6: the default streaming face is the
+    partition-parallel DataSourceStreamReader — offsets stay
+    snapshot versions, each batch plans ONE input partition per
+    appended data file (executor-side pyarrow reads), and the
+    simpleReader option falls back to the driver-side face through
+    Spark's documented NOT_IMPLEMENTED protocol."""
+    from pyspark.errors import PySparkNotImplementedError
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotDataSource, SnapshotPartitionedStreamReader,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(4, "d2", "d"), (5, "d9", "e")], SCHEMA))              # v1
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(6, "d3", "f")], SCHEMA))                              # v2
+
+    ds = SnapshotDataSource({"path": path})
+    rdr = ds.streamReader(None)
+    assert isinstance(rdr, SnapshotPartitionedStreamReader)
+    assert rdr.latestOffset() == {"version": 2}
+    # v1 wrote two partitions (d2, d9) -> 2 files; v2 one file
+    parts = rdr.partitions({"version": 0}, {"version": 2})
+    assert len(parts) == 3
+    assert all(p.file_path.endswith(".parquet") for p in parts)
+    # empty range plans nothing
+    assert rdr.partitions({"version": 2}, {"version": 2}) == []
+    # executor-side read: one file's rows come back aligned
+    import pyarrow as pa
+    rows = []
+    for p in parts:
+        for batch in rdr.read(p):
+            assert isinstance(batch, pa.RecordBatch)
+            rows += batch.to_pylist()
+    assert {(r["id"], r["day"], r["val"]) for r in rows} == \
+        {(4, "d2", "d"), (5, "d9", "e"), (6, "d3", "f")}
+    # simpleReader=true falls back via the documented protocol
+    with pytest.raises(PySparkNotImplementedError):
+        SnapshotDataSource({"path": path,
+                            "simplereader": "true"}).streamReader(
+            None)
+
+
+def test_partitioned_stream_reader_end_to_end_and_simple_parity(
+        registered, tmp_path):
+    """The same append feed lands identically through the default
+    partitioned reader and the simpleReader fallback — the existing
+    matrix's exactly-once/no-duplicates contract holds on both."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)
+
+    def run(tag, extra_opts):
+        sink = str(tmp_path / f"sink_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        # exclusive-start offsets; v0 is an initial WRITE (not an
+        # append), so the feed starts after it
+        rs = (spark.readStream.format("snapshot")
+              .option("startVersion", 0))
+        for k, v in extra_opts.items():
+            rs = rs.option(k, v)
+        q = (rs.load(path)
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(4, "d2", "d"), (5, "d1", "e")], SCHEMA))
+    want = {(4, "d2", "d"), (5, "d1", "e")}
+    assert run("part", {}) == want
+    assert run("simple", {"simpleReader": "true"}) == want
+
+
+def test_partitioned_stream_reader_nonappend_and_retention(
+        registered, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_prune
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotPartitionedStreamReader,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    snapshot_delete(spark, path,
+                    spark.createDataFrame([(1,)], "id long"),
+                    ["id"], partition_cols=["day"])             # v1
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(7, "d7", "g")], SCHEMA))                              # v2
+    rdr = SnapshotPartitionedStreamReader({"path": path,
+                                           "startversion": "0"})
+    with pytest.raises(ValueError, match="not an append"):
+        rdr.partitions({"version": 0}, {"version": 2})
+    rdr2 = SnapshotPartitionedStreamReader(
+        {"path": path, "startversion": "0",
+         "onnonappend": "skip"})
+    parts = rdr2.partitions({"version": 0}, {"version": 2})
+    assert len(parts) == 1              # the delete is skipped
+    # retention outrunning the offset is a loud error
+    for i in range(3):
+        snapshot_append(spark, path, spark.createDataFrame(
+            [(10 + i, "d1", "x")], SCHEMA))
+    snapshot_prune(spark, path, keep_latest=2,
+                   orphan_grace_seconds=0)
+    with pytest.raises(ValueError, match="retention"):
+        rdr2.partitions({"version": 0}, {"version": 5})
