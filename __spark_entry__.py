@@ -959,11 +959,19 @@ def _ivm_branch_rows(spark, sf_dir, orders):
         # SF — one directory keeps the job count minimal while the
         # delta math still runs over the sf-scaled subset
         sub = (orders.where(F.col("o_custkey") % 20 == 7)
-               .select("o_orderkey", "o_orderstatus", "o_custkey")
+               .select("o_orderkey", "o_orderstatus", "o_custkey",
+                       "o_orderpriority")
                .coalesce(1))
         snapshot_write(spark, tbl, sub, partition_cols=[])
+        # prio_nd: the r10 sketch-backed incremental distinct count
+        # (stored HLL binary, merged on insert-only steps, recomputed
+        # on deletes). o_orderpriority has 5 distinct values, where
+        # the DataSketches HLL estimate is EXACT — so DuckDB's exact
+        # count(distinct) is a valid hash oracle at every SF
         meas = {"n_live": ("count", None),
-                "cust_sum": ("sum", "o_custkey")}
+                "cust_sum": ("sum", "o_custkey"),
+                "prio_nd": ("approx_count_distinct",
+                            "o_orderpriority")}
         aggregate_sync_snapshot(spark, tbl, vw,
                                 group_by=["o_orderstatus"],
                                 measures=meas)
@@ -987,9 +995,11 @@ def _ivm_branch_rows(spark, sf_dir, orders):
             register_snapshot_source, register_snapshot_table,
         )
         register_snapshot_source(spark)
-        rows = [(r["o_orderstatus"], r["n_live"], r["cust_sum"])
+        rows = [(r["o_orderstatus"], r["n_live"], r["cust_sum"],
+                 r["prio_nd"])
                 for r in spark.read.format("snapshot").load(vw)
-                .select("o_orderstatus", "n_live", "cust_sum")
+                .select("o_orderstatus", "n_live", "cust_sum",
+                        "prio_nd")
                 .collect()]
         # r10 fold (r9 VERDICT item 2): the same view through the
         # PERSISTENT SQL CATALOG route — register_snapshot_table pins
@@ -997,10 +1007,11 @@ def _ivm_branch_rows(spark, sf_dir, orders):
         # spark.sql must see the identical 3 rows, so the Glue-crawler
         # analogue is oracle-verified too
         register_snapshot_table(spark, "q_ivm_catalog", vw)
-        sql_rows = [(r["o_orderstatus"], r["n_live"], r["cust_sum"])
+        sql_rows = [(r["o_orderstatus"], r["n_live"], r["cust_sum"],
+                     r["prio_nd"])
                     for r in spark.sql(
-                        "SELECT o_orderstatus, n_live, cust_sum "
-                        "FROM q_ivm_catalog").collect()]
+                        "SELECT o_orderstatus, n_live, cust_sum, "
+                        "prio_nd FROM q_ivm_catalog").collect()]
         if sorted(sql_rows) != sorted(rows):
             raise AssertionError(
                 f"catalog route diverged from the data-source read: "
@@ -1041,11 +1052,17 @@ def q_distinct_agg(spark, sf_dir):
     ONCE per (session, sf_dir) — see ``_ivm_branch_rows`` — so the
     correctness gate exercises it on every fresh session while
     repeat bench runs measure the aggregate, not fixed commit
-    overhead (r8 VERDICT item 1). r10 fold: the synced view is also
-    read through register_snapshot_table's persistent SQL catalog
-    route (sources/spark_source.py — the Glue-crawler analogue,
-    ecs_stack.py:387-401) and must match the data-source read
-    exactly, so BOTH front doors are oracle-verified."""
+    overhead (r8 VERDICT item 1). r10 folds: (a) the synced view is
+    also read through register_snapshot_table's persistent SQL
+    catalog route (sources/spark_source.py — the Glue-crawler
+    analogue, ecs_stack.py:387-401) and must match the data-source
+    read exactly, so BOTH front doors are oracle-verified; (b) the
+    view carries a ``prio_nd`` approx_count_distinct measure — the
+    sketch-backed incremental distinct count (stored HLL binary,
+    merged on the insert-only initial sync, recomputed for touched
+    groups on the delete step) over o_orderpriority, whose 5-value
+    cardinality makes the HLL estimate EXACT, so DuckDB's exact
+    count(distinct) hash-checks the sketch path at every SF."""
     orders = _t("orders")(spark, sf_dir)
     exact = (orders.groupBy("o_orderstatus")
              .agg(F.countDistinct("o_custkey").alias("n_custs"),
@@ -1059,16 +1076,18 @@ def q_distinct_agg(spark, sf_dir):
                    (F.abs(F.col("approx_distinct") - F.col("n_custs"))
                     <= 0.025 * F.col("n_custs")).alias("sketch_ok"),
                    F.lit(None).cast("bigint").alias("n_live"),
-                   F.lit(None).cast("bigint").alias("cust_sum")))
+                   F.lit(None).cast("bigint").alias("cust_sum"),
+                   F.lit(None).cast("bigint").alias("prio_nd")))
 
     rows = _ivm_branch_rows(spark, sf_dir, orders)
     ivm = (spark.createDataFrame(
-        rows, "o_orderstatus string, n_live bigint, cust_sum bigint")
+        rows, "o_orderstatus string, n_live bigint, cust_sum bigint, "
+              "prio_nd bigint")
         .select(F.lit("ivm").alias("kind"), "o_orderstatus",
                 F.lit(None).cast("bigint").alias("n_custs"),
                 F.lit(None).cast("bigint").alias("n_orders"),
                 F.lit(None).cast("boolean").alias("sketch_ok"),
-                "n_live", "cust_sum"))
+                "n_live", "cust_sum", "prio_nd"))
     return hll.unionByName(ivm)
 
 
@@ -1076,13 +1095,15 @@ Q_DISTINCT_SQL = """
 select 'hll' as kind, o_orderstatus,
   count(distinct o_custkey) as n_custs,
   count(*) as n_orders, true as sketch_ok,
-  cast(null as bigint) as n_live, cast(null as bigint) as cust_sum
+  cast(null as bigint) as n_live, cast(null as bigint) as cust_sum,
+  cast(null as bigint) as prio_nd
 from orders group by o_orderstatus
 union all
 select 'ivm' as kind, o_orderstatus,
   cast(null as bigint) as n_custs, cast(null as bigint) as n_orders,
   cast(null as boolean) as sketch_ok,
-  count(*) as n_live, cast(sum(o_custkey) as bigint) as cust_sum
+  count(*) as n_live, cast(sum(o_custkey) as bigint) as cust_sum,
+  count(distinct o_orderpriority) as prio_nd
 from orders
 where o_custkey % 20 = 7 and not (o_orderkey % 10 = 3)
 group by o_orderstatus

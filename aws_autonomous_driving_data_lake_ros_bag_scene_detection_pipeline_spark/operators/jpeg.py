@@ -289,6 +289,34 @@ def _split_restart_segments(raw: bytes) -> list[bytes]:
     return segments
 
 
+def is_progressive_jpeg(data: bytes) -> bool:
+    """Light marker walk (no table parsing, stops at the frame
+    header): True iff the payload's SOF marker is SOF2. Lets
+    dispatchers route progressive payloads to a faster native
+    decoder (Pillow) when one is installed — the pure-Python
+    multi-scan path is correct but orders of magnitude slower on
+    large images."""
+    if len(data) < 4 or data[0:2] != b"\xFF\xD8":
+        return False
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            return False                  # hit SOS/EOI with no SOF
+        if marker == 0xC2:
+            return True
+        if 0xC0 <= marker <= 0xCF and marker != 0xC4:
+            return False                  # some other SOF
+        pos += int.from_bytes(data[pos:pos + 2], "big")
+    return False
+
+
 def _parse_jpeg(data: bytes):
     """Marker walk shared by the baseline and progressive paths:
     returns ``(frame, scans, qt)`` where each scan snapshots the

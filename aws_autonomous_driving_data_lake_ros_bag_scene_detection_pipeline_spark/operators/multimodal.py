@@ -321,15 +321,20 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
     if payload.startswith(_PNG_SIG):
         return _decode_png(payload), "png"
     if payload.startswith(b"\xFF\xD8\xFF"):
-        from .jpeg import decode_jpeg
-        try:
-            return decode_jpeg(payload), "jpeg"
-        except NotImplementedError:
-            # arithmetic/hierarchical variants (baseline AND
-            # progressive decode natively as of r10): Pillow handles
-            # them when present, else the honest guard propagates
-            if not _HAS_PIL:
-                raise
+        from .jpeg import decode_jpeg, is_progressive_jpeg
+        # progressive decodes natively (r10), but the pure-Python
+        # multi-scan path is orders of magnitude slower than a C
+        # decoder on big images — when Pillow is present, route
+        # progressive payloads to it and keep the native path as
+        # the no-dependency fallback
+        if not (_HAS_PIL and is_progressive_jpeg(payload)):
+            try:
+                return decode_jpeg(payload), "jpeg"
+            except NotImplementedError:
+                # arithmetic/hierarchical variants: Pillow handles
+                # them when present, else the honest guard propagates
+                if not _HAS_PIL:
+                    raise
     if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
         import io
 
@@ -443,7 +448,8 @@ def _wrap_dib_as_bmp(frame: bytes, w: int, h: int,
     return fh + ih + frame
 
 
-def parse_avi(payload: bytes) -> dict:
+def parse_avi(payload: bytes, *,
+              _sample_every: int = 1) -> dict:
     """REAL RIFF/AVI demux (r8) — the video-container twin of the
     builtin WAVE parser: walks the chunk tree (hdrl → avih/strh/strf,
     movi → per-frame chunks) and returns ``{"width", "height",
@@ -491,7 +497,7 @@ def parse_avi(payload: bytes) -> dict:
     elif comp in (b"MJPG", b"mjpg"):
         info["codec"] = "mjpeg"
     elif _HAS_PYAV:  # pragma: no cover - container has no PyAV
-        return _pyav_demux(payload)
+        return _pyav_demux(payload, _sample_every)
     else:
         raise NotImplementedError(
             f"AVI codec {comp!r} is not supported by the builtin "
@@ -513,7 +519,7 @@ def _rgb_to_ppm(arr: np.ndarray) -> bytes:
         arr, dtype=np.uint8).tobytes()
 
 
-def _pyav_demux(payload: bytes) -> dict:
+def _pyav_demux(payload: bytes, every_n: int = 1) -> dict:
     """Real-codec demux+decode through the optional PyAV seam (r10,
     r9 VERDICT item 1): any container/codec ffmpeg knows (H.264,
     HEVC, VP9, ...) comes back in the :func:`parse_avi`/
@@ -521,7 +527,16 @@ def _pyav_demux(payload: bytes) -> dict:
     "us_per_frame", "codec", "frames"}`` with every frame a
     PPM-wrapped RGB payload ready for :func:`decode_image`. The
     ``codec`` key carries the SOURCE codec name (``h264``/``hevc``)
-    as provenance. Only called when ``_HAS_PYAV``."""
+    as provenance. Only called when ``_HAS_PYAV``.
+
+    ``every_n`` keeps only every n-th decoded frame (inter-frame
+    codecs must still DECODE sequentially, but only the sampled
+    frames materialize as raw RGB — a 1080p hour of video held fully
+    decoded would be ~100s of GB). When ``every_n > 1`` the result
+    carries ``"sampled_every"`` so callers can map list positions
+    back to real frame indexes. A stream yielding ZERO decodable
+    frames raises (the builtin parsers' loud-at-parse-time
+    contract), never returns None dimensions."""
     import io
 
     with _av.open(io.BytesIO(payload)) as container:
@@ -532,15 +547,24 @@ def _pyav_demux(payload: bytes) -> dict:
         codec = stream.codec_context.name
         frames: list[bytes] = []
         w = h = None
-        for frame in container.decode(stream):
+        for i, frame in enumerate(container.decode(stream)):
+            if i % every_n:
+                continue                  # decoded, not materialized
             arr = frame.to_ndarray(format="rgb24")
             h, w = arr.shape[:2]
             frames.append(_rgb_to_ppm(arr))
+        if w is None:
+            raise ValueError(
+                f"video stream ({codec}) yielded no decodable "
+                f"frames — corrupt or unsupported packets")
         rate = stream.average_rate
         us = (int(1_000_000 / float(rate))
               if rate else None)
-        return {"width": w, "height": h, "us_per_frame": us,
-                "codec": codec, "frames": frames}
+        out = {"width": w, "height": h, "us_per_frame": us,
+               "codec": codec, "frames": frames}
+        if every_n > 1:
+            out["sampled_every"] = every_n
+        return out
 
 
 def _mp4_boxes(payload: bytes, pos: int, end: int):
@@ -577,7 +601,8 @@ def _mp4_find(payload: bytes, pos: int, end: int, *path: bytes):
             yield from _mp4_find(payload, b, e, *rest)
 
 
-def parse_mp4(payload: bytes) -> dict:
+def parse_mp4(payload: bytes, *,
+              _sample_every: int = 1) -> dict:
     """REAL ISO-BMFF/MP4 demux (r9) — the camera-export shape the
     reference's AV domain overwhelmingly ships (parse_avi:435 is the
     RIFF twin; r8 VERDICT item 7). Walks moov → trak → mdia → minf →
@@ -627,7 +652,7 @@ def parse_mp4(payload: bytes) -> dict:
         height = int.from_bytes(payload[entry + 34:entry + 36], "big")
         if fourcc not in (b"jpeg", b"mjpa", b"MJPG", b"mjpg"):
             if _HAS_PYAV:  # pragma: no cover - container has no PyAV
-                return _pyav_demux(payload)
+                return _pyav_demux(payload, _sample_every)
             raise NotImplementedError(
                 f"MP4 video codec {fourcc!r} is not supported by the "
                 f"builtin demux (MJPEG-family is); install PyAV for "
@@ -724,6 +749,21 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
     ])
     keep_names = [f.name for f in keep]
 
+    def emit(rows, row, info, tag):
+        fr = info["frames"]
+        step = info.get("sampled_every")
+        if step:
+            # the PyAV seam already kept only every_n-th frame
+            # (decode stayed sequential, memory didn't): positions
+            # map back to REAL frame indexes via the step
+            for j, f in enumerate(fr):
+                rows.append(tuple(row[k] for k in keep_names)
+                            + (j * step, f, tag))
+        else:
+            for i in range(0, len(fr), every_n):
+                rows.append(tuple(row[k] for k in keep_names)
+                            + (i, fr[i], tag))
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -733,25 +773,18 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                     continue
                 pb = bytes(payload)
                 if pb[:4] == b"RIFF" and pb[8:12] == b"AVI ":
-                    fr = parse_avi(pb)["frames"]
-                    for i in range(0, len(fr), every_n):
-                        rows.append(tuple(row[k] for k in keep_names)
-                                    + (i, fr[i], "avi"))
+                    emit(rows, row,
+                         parse_avi(pb, _sample_every=every_n), "avi")
                     continue
                 if len(pb) >= 12 and pb[4:8] == b"ftyp":
-                    fr = parse_mp4(pb)["frames"]
-                    for i in range(0, len(fr), every_n):
-                        rows.append(tuple(row[k] for k in keep_names)
-                                    + (i, fr[i], "mp4"))
+                    emit(rows, row,
+                         parse_mp4(pb, _sample_every=every_n), "mp4")
                     continue
                 if pb[:4] == b"\x1a\x45\xdf\xa3" and _HAS_PYAV:
                     # Matroska/WebM: only the PyAV seam reads it;
                     # without the package this falls through to the
                     # documented slice fake  # pragma: no cover
-                    fr = _pyav_demux(pb)["frames"]
-                    for i in range(0, len(fr), every_n):
-                        rows.append(tuple(row[k] for k in keep_names)
-                                    + (i, fr[i], "pyav"))
+                    emit(rows, row, _pyav_demux(pb, every_n), "pyav")
                     continue
                 n_frames = max(1, int(meta["n_frames"]))
                 size = max(1, len(pb) // n_frames)

@@ -963,8 +963,10 @@ def _latest_version_with_marker_at_most(spark: SparkSession,
     row-neutral (``compact``) — verified from the base manifests;
     anything else raises.  The same check guards the general branch
     (r10): when the selected version's marker sits BELOW
-    ``batch_id`` (possible only if ``snapshot_prune`` removed the
-    intermediate consumer versions), every base commit in
+    ``batch_id`` — because ``snapshot_prune`` removed the
+    intermediate consumer versions, or because the consumer's
+    markers simply jumped over ``batch_id`` (it synced at base 4
+    then 7 while the session needs 5) — every base commit in
     ``(marker, batch_id]`` must be compaction-only, else the
     returned state would silently miss real base commits."""
     jvm, fs, _ = _fs(spark, path)
@@ -1019,15 +1021,17 @@ def _latest_version_with_marker_at_most(spark: SparkSession,
             hi = mid - 1
     v, m = marked[lo]
     if m < batch_id and not _gap_is_row_neutral(m, batch_id):
-        # consumer versions between marker m and batch_id were
-        # pruned, and the base gap carries real row changes — the
-        # retained state is NOT consistent with base@batch_id
+        # no retained consumer version is consistent with
+        # base@batch_id: either the consumer's markers jumped over
+        # batch_id (it never synced at exactly that base version),
+        # or snapshot_prune removed the version that did
         raise LookupError(
             f"the newest retained version of {path} with a "
             f"{source!r} marker <= {batch_id} sits at marker {m}, "
             f"and base commits in ({m}, {batch_id}] are not "
-            f"compaction-only — pruning removed the consistent "
-            f"consumer versions")
+            f"compaction-only — the consumer either never synced at "
+            f"base {batch_id} (markers jumped over it) or pruning "
+            f"removed that version; no consistent state exists")
     return v
 
 
@@ -1043,9 +1047,12 @@ def snapshot_read_session(spark: SparkSession, base_path: str,
 
     The session resolves B = min over consumers of their latest
     applied base version, pins the base at version B, and pins each
-    consumer at its newest version whose marker is <= B. A consumer
-    version can sit below B only by skipping ROW-NEUTRAL base
-    commits (compactions — the sync family skips them unread), so
+    consumer at its newest version whose marker is <= B. A pinned
+    consumer version whose marker sits BELOW B is accepted only
+    after verifying (from the base manifests, r10) that every base
+    commit it skipped was ROW-NEUTRAL (a compaction — which the
+    sync family skips unread); a gap carrying real row changes
+    (marker jumps, pruned consumer versions) refuses loudly. So
     every returned frame equals a from-scratch derivation of the
     base at B. All file lists resolve NOW (``read_snapshot`` pins at
     creation), so commits landing or syncs running DURING the

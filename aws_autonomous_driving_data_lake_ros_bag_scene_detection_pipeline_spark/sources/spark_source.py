@@ -548,6 +548,17 @@ def register_snapshot_table(spark, name: str, path: str, *,
         opts["version"] = version
     if tag is not None:
         opts["tag"] = tag
+    # catalog-name validation UPFRONT (before any filesystem work):
+    # Spark's catalogs accept word characters only per name part —
+    # failing later at DDL time would leave an orphan link tree
+    parts = name.split(".")
+    if not parts or not all(
+            p and all(c.isalnum() or c == "_" for c in p)
+            for p in parts):
+        raise ValueError(
+            f"invalid catalog table name {name!r}: each "
+            f"dot-separated part must be alphanumeric/_ (the "
+            f"catalog's own rule, enforced before any files move)")
     v, m = _resolve(root, opts)
     schema_json = m.get("schema")
     if not schema_json:
@@ -562,9 +573,14 @@ def register_snapshot_table(spark, name: str, path: str, *,
     pcols = m.get("partition_cols") or []
     entries = _entries(root, m)
 
-    # ---- export the pinned file list as a hive-layout link tree
-    safe = "".join(c if c.isalnum() or c in "._-" else "_"
-                   for c in name)
+    # ---- export the pinned file list as a hive-layout link tree.
+    # Distinct names must NEVER share an export dir (the refresh
+    # cleanup below deletes superseded trees — a collision like
+    # 'a.b' vs 'a_b' would delete the other registration's backing
+    # files), so the dir carries a name-hash suffix unconditionally
+    import hashlib
+    safe = (name.replace(".", "_") + "-"
+            + hashlib.md5(name.encode()).hexdigest()[:8])
     reg_base = os.path.join(root, _REG_DIR, safe)
     export = os.path.join(reg_base, f"v{v}")
     if os.path.isdir(export):

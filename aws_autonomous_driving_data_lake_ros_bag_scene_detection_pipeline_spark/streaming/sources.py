@@ -170,9 +170,14 @@ def discover_new_files(spark: SparkSession, landing_path: str,
     if led is None:
         new = cands
         stats["dedup_mode"] = "none"
-    elif len(cands) <= anti_join_threshold:
-        # bounded collect: rows are limited to the unsealed
-        # partitions' ledger entries, the working set a step owns
+    elif len(cands) <= anti_join_threshold and \
+            led.count() <= anti_join_threshold:
+        # bounded collect — but only when the PRUNED LEDGER side is
+        # bounded too: a small listing over a huge ingested history
+        # (archived/deleted landing files, narrow glob) must not
+        # collect 10^7 ledger strings on the driver. The count() is
+        # parquet-metadata cheap and only runs in the candidate-small
+        # case
         seen = {r["path"] for r in led.select("path").collect()}
         new = [c for c in cands if c[0] not in seen]
         stats["dedup_mode"] = "collect"

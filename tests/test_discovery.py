@@ -379,3 +379,27 @@ def test_anti_join_dedup_mode_equals_collect_mode(spark, tmp_path):
     _drop(f"{land2}/d=2026-01-01", "a.jsonl", "x")
     got = discover_new_files(spark, land2, led2, partition_col="d")
     assert got["stats"]["dedup_mode"] == "none"
+
+
+def test_dedup_mode_guards_against_large_ledger_small_listing(
+        spark, tmp_path):
+    """Review fix (r10): the collect mode must also be gated on the
+    PRUNED LEDGER's size — a small landing listing over a huge
+    ingested history (files archived after ingest) must not collect
+    the whole ledger driver-side."""
+    land = str(tmp_path / "land")
+    led = str(tmp_path / "ledger")
+    for i in range(8):
+        _drop(f"{land}/d=2026-01-01", f"f{i}.jsonl", "x")
+    file_ingest_batch(spark, land, led, process=lambda df, b: None,
+                      partition_col="d")
+    # archive 6 ingested files out of the landing zone; 1 new lands
+    for i in range(6):
+        os.remove(f"{land}/d=2026-01-01/f{i}.jsonl")
+    _drop(f"{land}/d=2026-01-01", "f9.jsonl", "x")
+    got = discover_new_files(spark, land, led, partition_col="d",
+                             anti_join_threshold=5)
+    # 3 candidates (<= 5) but 8 ledger rows (> 5): anti-join mode
+    assert got["stats"]["dedup_mode"] == "anti_join"
+    assert got["stats"]["files_new"] == 1
+    assert got["files"][0][0].endswith("f9.jsonl")

@@ -253,3 +253,12 @@ def test_pillow_cross_decodes_progressive():  # pragma: no cover
     theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     ours = decode_jpeg(data)
     assert np.array_equal(ours, theirs)
+
+
+def test_is_progressive_jpeg_detector():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import is_progressive_jpeg
+    img = _smooth(16, 16)
+    assert not is_progressive_jpeg(encode_jpeg(img))
+    assert is_progressive_jpeg(encode_jpeg(img, progressive=True))
+    assert not is_progressive_jpeg(b"notajpeg")
+    assert not is_progressive_jpeg(b"\xFF\xD8\xFF\xD9")

@@ -708,3 +708,34 @@ def test_partitioned_stream_reader_nonappend_and_retention(
                    orphan_grace_seconds=0)
     with pytest.raises(ValueError, match="retention"):
         rdr2.partitions({"version": 0}, {"version": 5})
+
+
+def test_register_snapshot_table_names_validated_and_isolated(
+        registered, tmp_path):
+    """Review fix (r10): invalid catalog names fail UPFRONT (no
+    orphan link tree left behind); distinct names never share an
+    export dir (the hash suffix), so refreshing one registration
+    cannot delete another's backing files."""
+    import pathlib
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        register_snapshot_table,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    for bad in ("weird name", "weird|name", "", "a..b"):
+        with pytest.raises(ValueError, match="invalid catalog"):
+            register_snapshot_table(spark, bad, path)
+    assert not (pathlib.Path(path) / "_registrations").exists(), \
+        "a refused name must not leave an orphan link tree"
+    i1 = register_snapshot_table(spark, "tbl_a", path, version=0)
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(9, "d9", "z")], SCHEMA))                              # v1
+    i2 = register_snapshot_table(spark, "tbl_b", path)
+    assert i1["location"] != i2["location"]
+    # refreshing one registration leaves the other serving
+    register_snapshot_table(spark, "tbl_b", path)
+    assert spark.sql("SELECT count(*) AS n FROM tbl_a"
+                     ).first()["n"] == 3
+    assert spark.sql("SELECT count(*) AS n FROM tbl_b"
+                     ).first()["n"] == 4
