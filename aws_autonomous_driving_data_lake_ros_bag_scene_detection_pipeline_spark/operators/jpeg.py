@@ -18,10 +18,11 @@ Scope (documented, guarded):
   honesty contract as the other codec guards.
 - **Encoder** (round-trip testing + thumbnail writing): baseline
   SOF0, quality-scaled Annex-K quantization matrices, 4:4:4 or 4:2:0,
-  optional restart interval; ``progressive=True`` (r10) writes an
-  SOF2 stream with the classic script — DC first at Al=1, two AC
-  spectral bands per component at Al=1, then the matching DC/AC
-  refinement scans — exercising every decoder path. Huffman tables
+  optional restart interval (baseline AND progressive);
+  ``progressive=True`` (r10) writes an SOF2 stream with the classic
+  script — DC first at Al=1, two AC spectral bands per component at
+  Al=1, then the matching DC/AC refinement scans — exercising every
+  decoder path, including per-scan restart segments. Huffman tables
   are built PER SCAN as fixed-length canonical codes and written into
   the stream's DHT segments — JPEG tables are self-describing, so the
   encoder needs no memorized standard code tables and any
@@ -582,12 +583,45 @@ def _ac_refine_unit(reader, table, coef, ss: int, se: int, al: int,
         state["eobrun"] -= 1
 
 
+def _baseline_unit(reader, dct_tab, act_tab, coef, state: dict,
+                   si: int) -> None:
+    """One block of a (possibly multi-scan) BASELINE stream decoded
+    into the coefficient accumulator: DC diff + AC runs, zigzag
+    order — the per-block core of :func:`_decode_baseline`, reused
+    by the multi-scan walk."""
+    s = _read_huffman(reader, dct_tab)
+    state["pred"][si] += _extend(reader.read_bits(s), s)
+    coef[0] = state["pred"][si]
+    k = 1
+    while k < 64:
+        rs = _read_huffman(reader, act_tab)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:
+                k += 16                   # ZRL
+                continue
+            break                         # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end "
+                             "(corrupt stream)")
+        coef[k] = _extend(reader.read_bits(size), size)
+        k += 1
+
+
 def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
     """Accumulate every scan's contribution into per-component
     coefficient arrays (zigzag order), then dequantize + IDCT once.
     Spectral selection bands, successive approximation, interleaved
     DC scans, non-interleaved single-component scans, and restart
-    intervals are all per T.81 G.2."""
+    intervals are all per T.81 G.2.
+
+    The same walk decodes MULTI-SCAN BASELINE streams (r10:
+    ``frame["progressive"]`` False — sequential files whose
+    components arrive in separate scans): each scan's blocks decode
+    full-band via :func:`_baseline_unit` instead of the
+    spectral-band units, sharing the interleave/raster/restart
+    machinery and the final vectorized IDCT."""
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -605,16 +639,19 @@ def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
         comp_bh.append(-(-ch // 8))
     comp_idx = {c["id"]: i for i, c in enumerate(comps)}
 
+    baseline = not frame.get("progressive")
     for scan in scans:
         ss, se = scan["ss"], scan["se"]
         ah, al = scan["ah"], scan["al"]
         scomps = scan["comps"]
-        if ss == 0 and se != 0:
-            raise ValueError("progressive JPEG: a DC scan must have "
-                             "Se=0 (corrupt scan header)")
-        if ss > 0 and len(scomps) != 1:
-            raise ValueError("progressive JPEG: AC scans carry one "
-                             "component (corrupt scan header)")
+        if not baseline:
+            if ss == 0 and se != 0:
+                raise ValueError("progressive JPEG: a DC scan must "
+                                 "have Se=0 (corrupt scan header)")
+            if ss > 0 and len(scomps) != 1:
+                raise ValueError("progressive JPEG: AC scans carry "
+                                 "one component (corrupt scan "
+                                 "header)")
         segments = _split_restart_segments(scan["data"])
         reader = _BitReader(segments[0] if segments else b"")
         seg_idx = 0
@@ -644,7 +681,15 @@ def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
                                  "huffman table")
             return t
 
-        if len(scomps) > 1:               # interleaved (DC) scan
+        def _btabs(sc):
+            dct = scan["dc"].get(sc["td"])
+            act = scan["ac"].get(sc["ta"])
+            if dct is None or act is None:
+                raise ValueError("JPEG scan references a missing "
+                                 "huffman table")
+            return dct, act
+
+        if len(scomps) > 1:               # interleaved scan
             unit = 0
             for my in range(mcuy):
                 for mx in range(mcux):
@@ -653,32 +698,40 @@ def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
                     for si, sc in enumerate(scomps):
                         ci = comp_idx[sc["id"]]
                         c = comps[ci]
-                        tab = _tables(sc)
                         for v in range(c["v"]):
                             for hh in range(c["h"]):
-                                _dc_unit(reader, tab,
-                                         coefs[ci][my * c["v"] + v,
-                                                   mx * c["h"] + hh],
-                                         ah, al, state, si)
+                                coef = coefs[ci][my * c["v"] + v,
+                                                 mx * c["h"] + hh]
+                                if baseline:
+                                    dct, act = _btabs(sc)
+                                    _baseline_unit(reader, dct, act,
+                                                   coef, state, si)
+                                else:
+                                    _dc_unit(reader, _tables(sc),
+                                             coef, ah, al, state, si)
                     unit += 1
         else:                             # single-component raster
             sc = scomps[0]
             ci = comp_idx[sc["id"]]
-            tab = _tables(sc)
             unit = 0
             for by in range(comp_bh[ci]):
                 for bx in range(comp_bw[ci]):
                     if ri and unit and unit % ri == 0:
                         _restart()
                     coef = coefs[ci][by, bx]
-                    if ss == 0:
-                        _dc_unit(reader, tab, coef, ah, al, state, 0)
+                    if baseline:
+                        dct, act = _btabs(sc)
+                        _baseline_unit(reader, dct, act, coef,
+                                       state, 0)
+                    elif ss == 0:
+                        _dc_unit(reader, _tables(sc), coef, ah, al,
+                                 state, 0)
                     elif ah == 0:
-                        _ac_first_unit(reader, tab, coef, ss, se,
-                                       al, state)
+                        _ac_first_unit(reader, _tables(sc), coef,
+                                       ss, se, al, state)
                     else:
-                        _ac_refine_unit(reader, tab, coef, ss, se,
-                                        al, state)
+                        _ac_refine_unit(reader, _tables(sc), coef,
+                                        ss, se, al, state)
                     unit += 1
 
     # dequantize + IDCT, vectorized across each component's blocks
@@ -703,14 +756,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline or progressive JPEG payload to uint8 pixels
     — ``(h, w, 3)`` RGB for color, ``(h, w, 1)`` for grayscale."""
     frame, scans, qt = _parse_jpeg(data)
-    if frame["progressive"]:
+    if frame["progressive"] or len(scans) > 1:
+        # multi-scan BASELINE (non-interleaved sequential) rides the
+        # same coefficient-accumulating walk as progressive (r10)
         planes = _decode_progressive(frame, scans, qt)
     else:
-        if len(scans) > 1:
-            raise NotImplementedError(
-                "multi-scan (non-interleaved) BASELINE JPEG is not "
-                "supported by the builtin decoder; install Pillow "
-                "for full coverage")
         planes = _decode_baseline(frame, scans[0], qt)
 
     comps = frame["comps"]
@@ -879,9 +929,11 @@ def _ac_refine_ops(blocks: list, ss: int, se: int, al: int) -> list:
 def _emit_scan(out: bytearray, scomp_specs: list, ss: int, se: int,
                ah: int, al: int, ops: list, table_cls: int) -> None:
     """Write DHT (when the ops carry symbols) + SOS + entropy data
-    for one progressive scan. ``scomp_specs`` is [(comp_id,)] —
-    every scan uses table id 0 of its class, redefined per scan."""
-    syms = [sym for sym, _ in ops if sym is not None]
+    for one progressive scan. ``ops`` is a list of restart SEGMENTS
+    (each an op list; one segment when no restart interval) — RST
+    markers separate them. ``scomp_specs`` is [(comp_id,)] — every
+    scan uses table id 0 of its class, redefined per scan."""
+    syms = [sym for seg in ops for sym, _ in seg if sym is not None]
     enc = None
     if syms:
         bits, values, enc = _fixed_length_code(syms)
@@ -895,23 +947,38 @@ def _emit_scan(out: bytearray, scomp_specs: list, ss: int, se: int,
         sos += bytes([cid, 0x00])         # DC table 0 / AC table 0
     sos += bytes([ss, se, (ah << 4) | al])
     out += b"\xFF\xDA" + sos
-    writer = _BitWriter()
-    for sym, bitlist in ops:
-        if sym is not None:
-            code, length = enc[sym]
-            writer.write(code, length)
-        for val, n in bitlist:
-            if n:
-                writer.write(val, n)
-    writer.flush()
-    out += writer.out
+    for i, seg in enumerate(ops):
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) & 7)])
+        writer = _BitWriter()
+        for sym, bitlist in seg:
+            if sym is not None:
+                code, length = enc[sym]
+                writer.write(code, length)
+            for val, n in bitlist:
+                if n:
+                    writer.write(val, n)
+        writer.flush()
+        out += writer.out
+
+
+def _chunks(lst: list, n: int) -> list:
+    """Restart-interval chunking; ``n == 0`` means one segment."""
+    if not n:
+        return [lst]
+    return [lst[i:i + n] for i in range(0, len(lst), n)]
 
 
 def _encode_progressive(out: bytearray, h: int, w: int, ncomp: int,
                         hs: list, vs: list, mcux: int, mcuy: int,
-                        grids: list) -> bytes:
+                        grids: list, ri: int = 0) -> bytes:
     """SOF2 + the scan script over per-component block grids
-    (``grids[ci][by][bx]`` = zigzag int coefficients)."""
+    (``grids[ci][by][bx]`` = zigzag int coefficients). ``ri`` emits
+    restart markers every ``ri`` MCUs (interleaved DC scans) /
+    blocks (non-interleaved AC scans — an MCU is one data unit
+    there), with predictor and EOB-run state reset per segment —
+    the generators produce each segment with fresh state, so the
+    reset falls out of the call structure."""
     hmax, vmax = max(hs), max(vs)
     sof = bytearray()
     sof += (8 + 3 * ncomp).to_bytes(2, "big") + b"\x08"
@@ -922,15 +989,17 @@ def _encode_progressive(out: bytearray, h: int, w: int, ncomp: int,
                       0 if ci == 0 else 1])
     out += b"\xFF\xC2" + sof
 
-    # interleaved MCU walk for the DC scans
-    order = []
+    # interleaved walk, grouped by MCU (the restart unit)
+    mcus = []
     for my in range(mcuy):
         for mx in range(mcux):
+            one = []
             for ci in range(ncomp):
                 for v in range(vs[ci]):
                     for hh in range(hs[ci]):
-                        order.append((ci, my * vs[ci] + v,
-                                      mx * hs[ci] + hh))
+                        one.append((ci, my * vs[ci] + v,
+                                    mx * hs[ci] + hh))
+            mcus.append(one)
     all_ids = list(range(1, ncomp + 1))
     # non-interleaved rasters cover exactly the visible blocks
     rasters = []
@@ -941,23 +1010,29 @@ def _encode_progressive(out: bytearray, h: int, w: int, ncomp: int,
         rasters.append([grids[ci][by][bx]
                         for by in range(bh) for bx in range(bw)])
 
+    def dc_segments(fn, al):
+        return [fn(grids, [u for m in grp for u in m], al)
+                for grp in _chunks(mcus, ri)]
+
     bands = [(1, 5), (6, 63)]
     # 1. DC first, all components, Al=1
     _emit_scan(out, all_ids, 0, 0, 0, 1,
-               _dc_first_ops(grids, order, 1), 0)
+               dc_segments(_dc_first_ops, 1), 0)
     # 2. AC first per component per band, Al=1
     for ci in range(ncomp):
         for (bs, be) in bands:
             _emit_scan(out, [ci + 1], bs, be, 0, 1,
-                       _ac_first_ops(rasters[ci], bs, be, 1), 1)
+                       [_ac_first_ops(grp, bs, be, 1)
+                        for grp in _chunks(rasters[ci], ri)], 1)
     # 3. DC refinement (raw bits)
     _emit_scan(out, all_ids, 0, 0, 1, 0,
-               _dc_refine_ops(grids, order, 0), 0)
+               dc_segments(_dc_refine_ops, 0), 0)
     # 4. AC refinement per component per band
     for ci in range(ncomp):
         for (bs, be) in bands:
             _emit_scan(out, [ci + 1], bs, be, 1, 0,
-                       _ac_refine_ops(rasters[ci], bs, be, 0), 1)
+                       [_ac_refine_ops(grp, bs, be, 0)
+                        for grp in _chunks(rasters[ci], ri)], 1)
     out += b"\xFF\xD9"
     return bytes(out)
 
@@ -1119,14 +1194,14 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90,
 
     if progressive:
         if restart_interval:
-            raise ValueError("the progressive encoder does not "
-                             "support restart intervals (decode of "
-                             "progressive restarts IS supported)")
+            out += b"\xFF\xDD" + (4).to_bytes(2, "big") \
+                + int(restart_interval).to_bytes(2, "big")
         grids = [_grid_from_mcu_blocks(comp_blocks[ci], mcux, mcuy,
                                        hs[ci], vs[ci])
                  for ci in range(len(planes))]
         return _encode_progressive(out, h, w, len(planes), hs, vs,
-                                   mcux, mcuy, grids)
+                                   mcux, mcuy, grids,
+                                   ri=int(restart_interval))
 
     ncomp = len(planes)
     sof = bytearray()

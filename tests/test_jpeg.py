@@ -232,11 +232,30 @@ def test_progressive_through_decode_image_plumbing(spark):
 
 def test_progressive_encoder_contracts():
     img = _smooth(16, 16)
-    with pytest.raises(ValueError, match="restart"):
-        encode_jpeg(img, progressive=True, restart_interval=2)
     # SOF2 marker actually present
     data = encode_jpeg(img, progressive=True)
     assert b"\xFF\xC2" in data and b"\xFF\xC0" not in data
+
+
+def test_progressive_restart_intervals_roundtrip():
+    """Restart markers in PROGRESSIVE scans (r10): predictor and
+    EOB-run state reset per segment in every scan type (interleaved
+    DC, per-component AC first/refine) — pixels must equal the
+    unrestarted baseline decode exactly, pinning the decoder's
+    per-scan restart machinery that the restart-less script never
+    exercises."""
+    rng = np.random.default_rng(5)
+    for shape, sub, ri in [((40, 40, 3), "4:4:4", 2),
+                           ((33, 31, 3), "4:2:0", 3),
+                           ((24, 24, 1), "4:4:4", 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = decode_jpeg(encode_jpeg(img, quality=80,
+                                    subsampling=sub))
+        data = encode_jpeg(img, quality=80, subsampling=sub,
+                           progressive=True, restart_interval=ri)
+        assert any(bytes([0xFF, m]) in data
+                   for m in range(0xD0, 0xD8)), "RSTs must be real"
+        assert np.array_equal(b, decode_jpeg(data)), (shape, sub, ri)
 
 
 @pytest.mark.skipif(not pytest.importorskip("importlib").util
@@ -262,3 +281,78 @@ def test_is_progressive_jpeg_detector():
     assert is_progressive_jpeg(encode_jpeg(img, progressive=True))
     assert not is_progressive_jpeg(b"notajpeg")
     assert not is_progressive_jpeg(b"\xFF\xD8\xFF\xD9")
+
+
+def test_multi_scan_baseline_decodes():
+    """r10: multi-scan (non-interleaved sequential) BASELINE files —
+    one scan per component, each with its own DHT — decode through
+    the coefficient-accumulating walk. The file is hand-muxed from
+    the codec's own primitives over the SAME DCT/quant pipeline as
+    the single-scan encoder, so pixels must match the interleaved
+    4:4:4 encode exactly."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import (
+        _ZIGZAG, _BitWriter, _block_symbols, _fixed_length_code,
+        _quality_tables,
+    )
+    rng = np.random.default_rng(9)
+    h, w, q = 24, 16, 85
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    qlum, qchr = _quality_tables(q)
+
+    rgb = img.astype(np.float64)
+    R, G, B = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [0.299 * R + 0.587 * G + 0.114 * B,
+              128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B,
+              128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B]
+    comp_blocks = []
+    for ci, p in enumerate(planes):
+        qt = (qlum if ci == 0 else qchr).reshape(8, 8)
+        blocks = []
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                blocks.append(np.round((_T @ blk @ _T.T) / qt))
+        comp_blocks.append(blocks)
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + (16).to_bytes(2, "big") \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, tab in ((0, qlum), (1, qchr)):
+        z = tab.reshape(64)[_ZIGZAG].astype(int)
+        out += b"\xFF\xDB" + (67).to_bytes(2, "big") \
+            + bytes([tid]) + bytes(int(x) for x in z)
+    sof = bytearray()
+    sof += (8 + 9).to_bytes(2, "big") + b"\x08"
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xFF\xC0" + sof
+    # one NON-INTERLEAVED scan per component, tables redefined each
+    for ci in range(3):
+        dc_syms, ac_syms, ops = _block_symbols(comp_blocks[ci])
+        dcb, dcv, dce = _fixed_length_code(dc_syms)
+        acb, acv, ace = _fixed_length_code(ac_syms + [0x00, 0xF0])
+        for cls, (bits, vals) in ((0, (dcb, dcv)), (1, (acb, acv))):
+            body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+            out += b"\xFF\xC4" + (2 + len(body)).to_bytes(2, "big") \
+                + body
+        out += b"\xFF\xDA" + (8).to_bytes(2, "big") + b"\x01" \
+            + bytes([ci + 1, 0x00]) + b"\x00\x3F\x00"
+        wtr = _BitWriter()
+        for size, bits_v, ac_ops in ops:
+            code, length = dce[size]
+            wtr.write(code, length)
+            if size:
+                wtr.write(bits_v, size)
+            for sym, s, b in ac_ops:
+                code, length = ace[sym]
+                wtr.write(code, length)
+                if s:
+                    wtr.write(b, s)
+        wtr.flush()
+        out += wtr.out
+    out += b"\xFF\xD9"
+
+    got = decode_jpeg(bytes(out))
+    want = decode_jpeg(encode_jpeg(img, quality=q))
+    assert np.array_equal(got, want)
