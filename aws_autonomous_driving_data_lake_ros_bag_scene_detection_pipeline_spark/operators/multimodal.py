@@ -837,15 +837,43 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+def _pyav_decode_audio(payload: bytes) -> np.ndarray:
+    """Compressed-audio decode through the optional PyAV seam (r10):
+    any codec ffmpeg knows (mp3/flac/ogg/aac) comes back as float32
+    samples in [-1, 1], channel-interleaved — the same contract as
+    the builtin WAV path. Only called when ``_HAS_PYAV``."""
+    import io
+
+    with _av.open(io.BytesIO(payload)) as container:
+        stream = next((s for s in container.streams
+                       if s.type == "audio"), None)
+        if stream is None:
+            raise ValueError("container has no audio track")
+        chunks = []
+        for frame in container.decode(stream):
+            arr = frame.to_ndarray()      # (channels, n) or packed
+            if arr.ndim == 2:
+                arr = arr.T.reshape(-1)   # interleave channels
+            if arr.dtype.kind == "i":
+                arr = arr.astype(np.float32) / float(
+                    np.iinfo(arr.dtype).max + 1)
+            chunks.append(arr.astype(np.float32))
+        if not chunks:
+            raise ValueError("audio stream yielded no decodable "
+                             "frames — corrupt or unsupported")
+        return np.concatenate(chunks)
+
+
 def decode_audio(df: DataFrame, binary_col: str,
                  meta_col: str = "media_meta",
                  out_col: str = "samples") -> DataFrame:
     """Decode audio bytes to ``array<float>`` PCM samples in [-1, 1].
 
     RIFF/WAVE PCM decodes for REAL via the builtin :func:`_decode_wav`
-    (no dependency); other containers (mp3/flac/ogg) would need a codec
-    library not present here, so non-WAV payloads raise a clear
-    ``NotImplementedError`` from inside the executor batch — the
+    (no dependency); compressed containers (mp3/flac/ogg/aac) route
+    through the optional **PyAV seam** when the ``av`` package is
+    present (r10 — the audio face of the video seam) and raise a
+    clear ``NotImplementedError`` naming the seam otherwise — the
     Arrow plumbing (schema, batching) is identical either way. Use
     :func:`byte_histogram_features` for codec-free fingerprinting of
     compressed audio."""
@@ -861,11 +889,16 @@ def decode_audio(df: DataFrame, binary_col: str,
                     out.append(None)
                     continue
                 payload = bytes(payload)
-                if not payload.startswith(b"RIFF"):
+                if payload.startswith(b"RIFF"):
+                    samples, _ = _decode_wav(payload)
+                elif _HAS_PYAV:  # pragma: no cover - no PyAV here
+                    samples = _pyav_decode_audio(payload)
+                else:
                     raise NotImplementedError(
-                        "decode_audio: only RIFF/WAVE PCM decodes without "
-                        "a codec library (none in this environment)")
-                samples, _ = _decode_wav(payload)
+                        "decode_audio: only RIFF/WAVE PCM decodes "
+                        "without a codec library; install PyAV for "
+                        "mp3/flac/ogg/aac (the optional seam decodes "
+                        "them when present)")
                 out.append(samples)
             pdf = pdf.copy()
             pdf[out_col] = out

@@ -641,3 +641,37 @@ def test_pyav_seam_decodes_h264_when_present(spark):
                         channels=3, n_frames=n)
     rows = sample_frames(packed, "payload", every_n=3).collect()
     assert sorted(r["frame_index"] for r in rows) == [0, 3]
+
+
+def test_pyav_audio_seam_decodes_when_present(spark):
+    """r10 audio face of the PyAV seam: a compressed payload
+    (encoded with the package itself) decodes through decode_audio
+    to samples matching the source signal."""
+    av = pytest.importorskip("av")
+    import io
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import _pyav_decode_audio
+    sr, n = 8000, 8000
+    t = np.arange(n) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="flac") as out:
+        st = out.add_stream("flac", rate=sr)
+        st.layout = "mono"
+        frame = av.AudioFrame.from_ndarray(
+            (sig * 32767).astype(np.int16)[None, :],
+            format="s16", layout="mono")
+        frame.sample_rate = sr
+        for pkt in st.encode(frame):
+            out.mux(pkt)
+        for pkt in st.encode():
+            out.mux(pkt)
+    payload = buf.getvalue()
+    got = _pyav_decode_audio(payload)
+    assert abs(len(got) - n) < sr // 10
+    m = min(len(got), n)
+    assert np.abs(got[:m] - sig[:m]).mean() < 0.01
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "id long, payload binary")
+    packed = pack_media(df, "payload", "flac", sample_rate=sr)
+    r = decode_audio(packed, "payload").first()
+    assert r["samples"] is not None and len(r["samples"]) > 0
