@@ -7,10 +7,11 @@ Arrow-batched ``mapInPandas`` (one Python round-trip per ~10k-row batch,
 never per row — unlike the reference's ``df.rdd.map`` pattern,
 detect_scenes.py:115-117).
 
-Decoders: :func:`decode_image` is REAL for PPM (P6), 24-bit
-uncompressed BMP, — via stdlib ``zlib`` inflate plus per-row
-Sub/Up/Average/Paeth unfiltering — 8-bit non-interlaced PNG
-(gray / gray+alpha / RGB / RGBA / palette), and — r8/r10, via the
+Decoders: :func:`decode_image` is REAL for PPM (P6) / PGM (P5),
+24-bit uncompressed BMP, — via stdlib ``zlib`` inflate plus per-row
+Sub/Up/Average/Paeth unfiltering — 8-bit AND 16-bit non-interlaced
+PNG (gray / gray+alpha / RGB / RGBA / 8-bit palette; 16-bit gray is
+the AV depth-map format), and — r8/r10, via the
 numpy codec in :mod:`.jpeg` — baseline sequential AND progressive
 JPEG (4:4:4 / 4:2:2 / 4:2:0, grayscale, restart markers, spectral
 selection + successive approximation), all with no external
@@ -21,9 +22,10 @@ callers may opt into the clearly-marked **deterministic fake
 decoder** (pixels derived from a rolling hash of the payload) with
 ``allow_fake=True``, and every output row carries a ``codec``
 provenance column ("ppm" / "bmp" / "png" / "jpeg" / "pillow" /
-"fake") so fake pixels can never silently masquerade as real ones. :func:`decode_audio` likewise decodes RIFF/WAVE PCM for
-real with a builtin parser; only compressed audio (mp3/flac/ogg)
-raises.
+"fake") so fake pixels can never silently masquerade as real ones.
+:func:`decode_audio` likewise decodes RIFF/WAVE PCM for real with a
+builtin parser; compressed audio (mp3/flac/ogg/aac) rides the PyAV
+seam when present and raises otherwise.
 
 Scale notes: media rows are wide (MBs); ``repartition_for_media`` sizes
 partitions by *bytes*, not rows, so a 100 TB corpus doesn't produce
@@ -141,13 +143,18 @@ def byte_histogram_features(df: DataFrame, binary_col: str,
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
-    """Pure-Python decoder for binary PPM (P6, maxval ≤ 255) — a REAL
-    image decode path that needs no external library. Returns
-    (height, width, 3) uint8, RGB."""
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a P6 PPM payload")
-    # header = "P6" <ws> width <ws> height <ws> maxval <single ws> data;
-    # '#' comments may appear between tokens
+    """Pure-Python decoder for binary netpbm rasters — PPM (P6, RGB)
+    and PGM (P5, grayscale), maxval ≤ 255 — a REAL image decode path
+    that needs no external library. Returns (height, width, 3)
+    uint8 RGB for P6, (height, width, 1) uint8 for P5."""
+    if payload.startswith(b"P6"):
+        channels = 3
+    elif payload.startswith(b"P5"):
+        channels = 1
+    else:
+        raise ValueError("not a P5/P6 netpbm payload")
+    # header = magic <ws> width <ws> height <ws> maxval <single ws>
+    # data; '#' comments may appear between tokens
     pos, tokens = 2, []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos:pos + 1].isspace():
@@ -163,10 +170,11 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = tokens
     if maxval > 255:
-        raise ValueError("16-bit PPM not supported by the builtin decoder")
-    n = w * h * 3
+        raise ValueError("16-bit netpbm not supported by the builtin "
+                         "decoder")
+    n = w * h * channels
     data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
-    return data.reshape(h, w, 3)
+    return data.reshape(h, w, channels)
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
@@ -239,10 +247,14 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 def _decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decoder — ``zlib`` inflate of the IDAT stream plus
-    per-row unfiltering; no external library. Handles 8-bit
-    non-interlaced gray (1ch), gray+alpha (2ch), RGB (3ch), RGBA (4ch),
-    and paletted images; 16-bit and Adam7-interlaced PNGs raise.
-    Returns (height, width, channels) uint8."""
+    per-row unfiltering; no external library. Handles 8-bit AND
+    16-bit (r10 — the depth-map format AV pipelines store lidar/
+    stereo ranges in) non-interlaced gray (1ch), gray+alpha (2ch),
+    RGB (3ch), RGBA (4ch), plus 8-bit paletted images;
+    Adam7-interlaced PNGs raise. PNG filtering is byte-wise whatever
+    the depth, so the same unfilter pass serves both — 16-bit rows
+    just view as big-endian uint16 afterwards. Returns
+    (height, width, channels), uint8 for 8-bit, uint16 for 16-bit."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
     pos, ihdr, plte, idat = 8, None, None, []
@@ -264,20 +276,30 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth != 8 or interlace != 0:
+    if bit_depth not in (8, 16) or interlace != 0:
         raise ValueError(
-            f"builtin PNG decoder handles 8-bit non-interlaced only "
-            f"(got bit_depth={bit_depth}, interlace={interlace})")
+            f"builtin PNG decoder handles 8/16-bit non-interlaced "
+            f"only (got bit_depth={bit_depth}, "
+            f"interlace={interlace})")
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("PNG: 16-bit palette is not a legal "
+                         "combination")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"PNG: invalid color type {color_type}")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    bytes_per = bit_depth // 8
+    stride = w * channels * bytes_per
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"PNG: scanline stream is {len(raw)} bytes, "
             f"expected {h * (stride + 1)}")
-    img = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    rows = _png_unfilter(raw, h, stride, channels * bytes_per)
+    if bit_depth == 16:
+        img = (rows.reshape(h, w, channels, 2).astype(np.uint16))
+        img = ((img[..., 0] << 8) | img[..., 1])     # big-endian
+    else:
+        img = rows.reshape(h, w, channels)
     if color_type == 3:  # palette indices -> RGB
         if plte is None:
             raise ValueError("paletted PNG missing PLTE chunk")
@@ -314,7 +336,7 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
     (real decodes, no dependency), Pillow for other formats when
     present. Returns ``(pixels, codec)``; ``(None, None)`` when no real
     decoder applies (caller decides whether to fake or raise)."""
-    if payload.startswith(b"P6"):
+    if payload.startswith((b"P6", b"P5")):
         return _decode_ppm(payload), "ppm"
     if payload.startswith(b"BM"):
         return _decode_bmp(payload), "bmp"

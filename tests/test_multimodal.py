@@ -675,3 +675,73 @@ def test_pyav_audio_seam_decodes_when_present(spark):
     packed = pack_media(df, "payload", "flac", sample_rate=sr)
     r = decode_audio(packed, "payload").first()
     assert r["samples"] is not None and len(r["samples"]) > 0
+
+
+def test_decode_image_real_pgm_p5(spark):
+    """P5 (grayscale netpbm) decodes through the same builtin parser
+    as P6 — the README's PGM claim, now real (r10)."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(6, 9, 1), dtype=np.uint8)
+    payload = (b"P5\n# c\n9 6\n255\n" + img.tobytes())
+    r = _decode_one(spark, payload, 9, 6, 1)
+    assert r["codec"] == "ppm"
+    assert np.array_equal(
+        np.asarray(r["pixels"], dtype=np.uint8).reshape(6, 9, 1), img)
+
+
+def test_decode_image_real_png_16bit_depth_map(spark):
+    """16-bit PNG (r10) — the depth-map format: filtering is
+    byte-wise, samples big-endian; all filter types unfilter back to
+    the exact 16-bit values (filters computed on the BYTE stream, as
+    the spec requires)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import _decode_png
+    import zlib as _z
+    rng = np.random.default_rng(17)
+    h, w = 7, 5
+    depth = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    # byte stream per row: big-endian u16 -> bytes, then per-row
+    # filters over BYTES with bpp = 2
+    rows16 = depth[:, :, None].astype(">u2")
+    raw = bytearray()
+    prev = np.zeros(w * 2, dtype=np.int64)
+    for y in range(h):
+        row = np.frombuffer(rows16[y].tobytes(),
+                            dtype=np.uint8).astype(np.int64)
+        ft = (0, 1, 2, 3, 4)[y % 5]
+        bpp = 2
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                               row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                 prev[:-bpp]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = (row - left) % 256
+        elif ft == 2:
+            enc = (row - prev) % 256
+        elif ft == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (row - pred) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([16, 0, 0, 0, 0]))          # 16-bit gray
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    got = _decode_png(payload)
+    assert got.dtype == np.uint16 and got.shape == (h, w, 1)
+    assert np.array_equal(got[:, :, 0], depth)
+    # through the Spark plumbing: pixels carry full 16-bit values
+    r = _decode_one(spark, payload, w, h, 1)
+    assert r["codec"] == "png"
+    assert np.array_equal(
+        np.asarray(r["pixels"], dtype=np.uint16).reshape(h, w),
+        depth)
