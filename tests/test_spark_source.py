@@ -558,7 +558,11 @@ def test_register_snapshot_table_time_travel_and_protect(
                      ).first()["n"] == 3
     assert spark.sql("SELECT count(*) AS n FROM cat_rel"
                      ).first()["n"] == 3
-    assert snapshot_tags(spark, path)["registered-cat_v0"] == 0
+    # the protect tag carries the collision-proof hash-suffixed dir
+    # name (r10 review fix)
+    tags = snapshot_tags(spark, path)
+    assert any(t.startswith("registered-cat_v0") and v == 0
+               for t, v in tags.items()), tags
     # protect=True means retention can't break the registration:
     # prune keeps the tagged version's manifest and files
     snapshot_prune(spark, path, keep_latest=1,
