@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "is_progressive_jpeg"]
 
 _ZIGZAG = np.array([
     0,  1,  8, 16,  9,  2,  3, 10,
@@ -304,6 +304,9 @@ def is_progressive_jpeg(data: bytes) -> bool:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        if data[pos + 1] == 0xFF:         # T.81 B.1.1.2 fill byte
+            pos += 1
+            continue
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -314,7 +317,12 @@ def is_progressive_jpeg(data: bytes) -> bool:
             return True
         if 0xC0 <= marker <= 0xCF and marker != 0xC4:
             return False                  # some other SOF
-        pos += int.from_bytes(data[pos:pos + 2], "big")
+        # skip the whole segment (never resync inside APPn/EXIF
+        # binary bodies — a stray FF C2 there must not misroute)
+        seglen = int.from_bytes(data[pos:pos + 2], "big")
+        if seglen < 2:
+            return False                  # corrupt length: bail
+        pos += seglen
     return False
 
 
@@ -335,6 +343,9 @@ def _parse_jpeg(data: bytes):
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
+            continue
+        if pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1                        # T.81 B.1.1.2 fill byte
             continue
         marker = data[pos + 1]
         pos += 2
@@ -640,6 +651,7 @@ def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
     comp_idx = {c["id"]: i for i, c in enumerate(comps)}
 
     baseline = not frame.get("progressive")
+    covered: set = set()
     for scan in scans:
         ss, se = scan["ss"], scan["se"]
         ah, al = scan["ah"], scan["al"]
@@ -689,7 +701,12 @@ def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
                                  "huffman table")
             return dct, act
 
+        covered.update(sc["id"] for sc in scomps)
         if len(scomps) > 1:               # interleaved scan
+            # table resolution hoisted out of the per-block hot loop
+            # (review fix: the pure-Python walk is slow enough)
+            stabs = ([_btabs(sc) for sc in scomps] if baseline
+                     else [_tables(sc) for sc in scomps])
             unit = 0
             for my in range(mcuy):
                 for mx in range(mcux):
@@ -703,16 +720,18 @@ def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
                                 coef = coefs[ci][my * c["v"] + v,
                                                  mx * c["h"] + hh]
                                 if baseline:
-                                    dct, act = _btabs(sc)
+                                    dct, act = stabs[si]
                                     _baseline_unit(reader, dct, act,
                                                    coef, state, si)
                                 else:
-                                    _dc_unit(reader, _tables(sc),
+                                    _dc_unit(reader, stabs[si],
                                              coef, ah, al, state, si)
                     unit += 1
         else:                             # single-component raster
             sc = scomps[0]
             ci = comp_idx[sc["id"]]
+            btab = _btabs(sc) if baseline else None
+            tab = None if baseline else _tables(sc)
             unit = 0
             for by in range(comp_bh[ci]):
                 for bx in range(comp_bw[ci]):
@@ -720,19 +739,29 @@ def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
                         _restart()
                     coef = coefs[ci][by, bx]
                     if baseline:
-                        dct, act = _btabs(sc)
-                        _baseline_unit(reader, dct, act, coef,
-                                       state, 0)
+                        _baseline_unit(reader, btab[0], btab[1],
+                                       coef, state, 0)
                     elif ss == 0:
-                        _dc_unit(reader, _tables(sc), coef, ah, al,
+                        _dc_unit(reader, tab, coef, ah, al,
                                  state, 0)
                     elif ah == 0:
-                        _ac_first_unit(reader, _tables(sc), coef,
+                        _ac_first_unit(reader, tab, coef,
                                        ss, se, al, state)
                     else:
-                        _ac_refine_unit(reader, _tables(sc), coef,
+                        _ac_refine_unit(reader, tab, coef,
                                         ss, se, al, state)
                     unit += 1
+
+    if baseline:
+        # sequential files must cover every component (unlike
+        # progressive, where later scans legitimately refine a
+        # subset): a truncated multi-scan file would otherwise decode
+        # its missing components as silently-flat zeros (review fix)
+        missing = [c["id"] for c in comps if c["id"] not in covered]
+        if missing:
+            raise ValueError(
+                f"multi-scan baseline JPEG is missing scans for "
+                f"component ids {missing} (truncated file)")
 
     # dequantize + IDCT, vectorized across each component's blocks
     planes = []

@@ -361,7 +361,13 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
         import io
 
         from PIL import Image as _I
-        return np.asarray(_I.open(io.BytesIO(payload)).convert("RGB")), "pillow"
+        im = _I.open(io.BytesIO(payload))
+        if im.mode == "L":
+            # preserve single-channel payloads (grayscale progressive
+            # JPEG, gray TIFF): a blind convert("RGB") would break the
+            # media_meta channels==1 dims check (review fix)
+            return np.asarray(im)[..., None], "pillow"
+        return np.asarray(im.convert("RGB")), "pillow"
     return None, None
 
 
@@ -370,9 +376,14 @@ def decode_image(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                  allow_fake: bool = False) -> DataFrame:
     """Decode image bytes to a flat ``array<int>`` pixel buffer
     (row-major, ``height × width × channels``) plus a ``codec``
-    provenance column. PPM (P6), 24-bit BMP, and 8-bit non-interlaced
-    PNG decode for REAL with the builtin parsers (PNG via stdlib zlib);
-    other formats use Pillow when present.
+    provenance column. PPM (P6) / PGM (P5), 24-bit BMP, 8-bit AND
+    16-bit non-interlaced PNG (16-bit gray = the depth-map format;
+    the pixel ints carry the full 16-bit values), and JPEG —
+    baseline sequential, multi-scan sequential, and progressive —
+    decode for REAL with the builtin parsers (PNG via stdlib zlib,
+    JPEG via the numpy codec in :mod:`.jpeg`); other formats use
+    Pillow when present, which also serves as the fast C path for
+    large progressive JPEGs.
 
     A payload no real path can decode **raises** unless
     ``allow_fake=True``, in which case the deterministic fake decoder
@@ -879,6 +890,11 @@ def _pyav_decode_audio(payload: bytes) -> np.ndarray:
             if arr.dtype.kind == "i":
                 arr = arr.astype(np.float32) / float(
                     np.iinfo(arr.dtype).max + 1)
+            elif arr.dtype.kind == "u":
+                # unsigned PCM (pcm_u8): midpoint offset, then scale
+                # — the WAV path's convention (review fix)
+                half = float(np.iinfo(arr.dtype).max + 1) / 2.0
+                arr = (arr.astype(np.float32) - half) / half
             chunks.append(arr.astype(np.float32))
         if not chunks:
             raise ValueError("audio stream yielded no decodable "

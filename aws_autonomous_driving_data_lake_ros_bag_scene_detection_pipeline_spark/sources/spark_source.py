@@ -532,11 +532,15 @@ def register_snapshot_table(spark, name: str, path: str, *,
     (``version=`` / ``tag=`` / latest) — exactly what a crawler run
     publishes. Later commits do NOT appear until re-registration;
     calling this again refreshes name -> newest (old export dirs for
-    the name are removed). ``protect=True`` tags the pinned version
-    ``registered-<name>`` (re-pointed on refresh) so
-    :func:`~.snapshots.snapshot_prune` retention cannot delete the
-    files the catalog table references; without it, keep retention
-    ≥ the registration's lifetime.
+    the name are removed; names are casefolded like the catalog
+    resolves them, so ``Tbl`` and ``tbl`` are ONE registration).
+    ``protect=True`` tags the pinned version
+    ``registered-<casefolded-name>-<hash>`` (the returned
+    ``location``'s dir name) so :func:`~.snapshots.snapshot_prune`
+    retention cannot delete the files the catalog table references;
+    the tag follows the registration — a refresh re-points it, and
+    a refresh WITHOUT ``protect`` removes it. Without protection,
+    keep retention ≥ the registration's lifetime.
 
     Returns ``{"name", "version", "location", "files", "link_mode"}``.
     """
@@ -550,14 +554,18 @@ def register_snapshot_table(spark, name: str, path: str, *,
         opts["tag"] = tag
     # catalog-name validation UPFRONT (before any filesystem work):
     # Spark's catalogs accept word characters only per name part —
-    # failing later at DDL time would leave an orphan link tree
+    # failing later at DDL time would leave an orphan link tree.
+    # ASCII-only (Unicode isalnum admits names a Hive metastore then
+    # rejects), and the registration state below is CASEFOLDED
+    # because the catalog resolves names case-insensitively
     parts = name.split(".")
     if not parts or not all(
-            p and all(c.isalnum() or c == "_" for c in p)
+            p and all((c.isascii() and c.isalnum()) or c == "_"
+                      for c in p)
             for p in parts):
         raise ValueError(
             f"invalid catalog table name {name!r}: each "
-            f"dot-separated part must be alphanumeric/_ (the "
+            f"dot-separated part must be ASCII alphanumeric/_ (the "
             f"catalog's own rule, enforced before any files move)")
     v, m = _resolve(root, opts)
     schema_json = m.get("schema")
@@ -577,10 +585,14 @@ def register_snapshot_table(spark, name: str, path: str, *,
     # Distinct names must NEVER share an export dir (the refresh
     # cleanup below deletes superseded trees — a collision like
     # 'a.b' vs 'a_b' would delete the other registration's backing
-    # files), so the dir carries a name-hash suffix unconditionally
+    # files), so the dir carries a name-hash suffix unconditionally;
+    # computed over the CASEFOLDED name because the catalog resolves
+    # 'Tbl' and 'tbl' to the same table — they must be the same
+    # registration, not two trees where a refresh orphans one
     import hashlib
-    safe = (name.replace(".", "_") + "-"
-            + hashlib.md5(name.encode()).hexdigest()[:8])
+    key = name.lower()
+    safe = (key.replace(".", "_") + "-"
+            + hashlib.md5(key.encode()).hexdigest()[:8])
     reg_base = os.path.join(root, _REG_DIR, safe)
     export = os.path.join(reg_base, f"v{v}")
     if os.path.isdir(export):
@@ -628,10 +640,22 @@ def register_snapshot_table(spark, name: str, path: str, *,
               f"{part_ddl} LOCATION '{loc}'")
     if pcols:
         spark.sql(f"ALTER TABLE {qname} RECOVER PARTITIONS")
+    # protect-tag lifecycle follows the REGISTRATION, not its
+    # history (review fix): protect=True re-points the tag to the
+    # newly pinned version; a refresh WITHOUT protect removes the
+    # registration's own tag — otherwise the stale tag would keep
+    # pinning the superseded version while retention deletes the
+    # files the live catalog table actually links
+    reg_tag = f"registered-{safe}"
     if protect:
         from .snapshots import snapshot_tag
-        snapshot_tag(spark, path, f"registered-{safe}", v,
-                     overwrite=True)
+        snapshot_tag(spark, path, reg_tag, v, overwrite=True)
+    else:
+        from .snapshots import snapshot_untag
+        try:
+            snapshot_untag(spark, path, reg_tag)
+        except Exception:
+            pass                          # no prior protect tag
 
     # refresh discipline: drop superseded exports for this name so
     # retention + re-registration don't accumulate link trees

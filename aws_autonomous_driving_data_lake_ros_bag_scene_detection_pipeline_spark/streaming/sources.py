@@ -167,18 +167,22 @@ def discover_new_files(spark: SparkSession, landing_path: str,
                                 where=f"part in ({inlist})")
         else:
             led = read_snapshot(spark, ledger_path)
+    led_rows = None
+    if led is not None and len(cands) <= anti_join_threshold:
+        # ONE bounded job answers both "is the ledger side small?"
+        # and "what are its paths": limit(threshold+1) caps driver
+        # memory, and an over-limit result falls through to the
+        # distributed anti-join (a small listing over a huge
+        # archived-after-ingest history must not collect the ledger)
+        led_rows = (led.select("path")
+                    .limit(anti_join_threshold + 1).collect())
+        if len(led_rows) > anti_join_threshold:
+            led_rows = None               # too big: anti-join below
     if led is None:
         new = cands
         stats["dedup_mode"] = "none"
-    elif len(cands) <= anti_join_threshold and \
-            led.count() <= anti_join_threshold:
-        # bounded collect — but only when the PRUNED LEDGER side is
-        # bounded too: a small listing over a huge ingested history
-        # (archived/deleted landing files, narrow glob) must not
-        # collect 10^7 ledger strings on the driver. The count() is
-        # parquet-metadata cheap and only runs in the candidate-small
-        # case
-        seen = {r["path"] for r in led.select("path").collect()}
+    elif led_rows is not None:
+        seen = {r["path"] for r in led_rows}
         new = [c for c in cands if c[0] not in seen]
         stats["dedup_mode"] = "collect"
     else:

@@ -356,3 +356,80 @@ def test_multi_scan_baseline_decodes():
     got = decode_jpeg(bytes(out))
     want = decode_jpeg(encode_jpeg(img, quality=q))
     assert np.array_equal(got, want)
+
+
+def test_multi_scan_baseline_missing_component_raises():
+    """Review fix (r10): a truncated multi-scan baseline file (EOI
+    present but a component's scan missing) must raise, not decode
+    the missing component as silently-flat zeros."""
+    img = _smooth(16, 16)
+    data = encode_jpeg(img, quality=90)
+    # split the single interleaved scan off and re-mux only a fake
+    # second SOS-less stream? Simpler: graft a second tiny scan so
+    # len(scans) > 1 routes the multi-scan walk, with component 2/3
+    # never covered. Build from the codec's own primitives:
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import (
+        _ZIGZAG, _BitWriter, _block_symbols, _fixed_length_code,
+        _quality_tables,
+    )
+    qlum, qchr = _quality_tables(85)
+    h = w = 8
+    gray = np.full((8, 8), 100.0)
+    blk = np.round((_T @ (gray - 128.0) @ _T.T) / qlum.reshape(8, 8))
+    dc_syms, ac_syms, ops = _block_symbols([blk])
+    dcb, dcv, dce = _fixed_length_code(dc_syms)
+    acb, acv, ace = _fixed_length_code(ac_syms + [0x00, 0xF0])
+    out = bytearray(b"\xFF\xD8")
+    z = qlum.reshape(64)[_ZIGZAG].astype(int)
+    out += b"\xFF\xDB" + (67).to_bytes(2, "big") + b"\x00" \
+        + bytes(int(x) for x in z)
+    sof = bytearray()
+    sof += (8 + 9).to_bytes(2, "big") + b"\x08"
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xFF\xC0" + sof
+    for cls, (bits, vals) in ((0, (dcb, dcv)), (1, (acb, acv))):
+        body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + (2 + len(body)).to_bytes(2, "big") + body
+    # ONLY component 1's scan — components 2 and 3 never arrive
+    out += b"\xFF\xDA" + (8).to_bytes(2, "big") + b"\x01" \
+        + bytes([1, 0x00]) + b"\x00\x3F\x00"
+    wtr = _BitWriter()
+    size, bits_v, ac_ops = ops[0]
+    code, length = dce[size]
+    wtr.write(code, length)
+    if size:
+        wtr.write(bits_v, size)
+    for sym, s, b in ac_ops:
+        code, length = ace[sym]
+        wtr.write(code, length)
+        if s:
+            wtr.write(b, s)
+    wtr.flush()
+    out += wtr.out
+    # a second (duplicate) scan of the SAME component keeps
+    # len(scans) > 1 without covering 2/3
+    out += b"\xFF\xDA" + (8).to_bytes(2, "big") + b"\x01" \
+        + bytes([1, 0x00]) + b"\x00\x3F\x00" + wtr.out
+    out += b"\xFF\xD9"
+    with pytest.raises(ValueError, match="missing scans"):
+        decode_jpeg(bytes(out))
+
+
+def test_is_progressive_detector_fill_bytes_and_appn():
+    """Review fix (r10): FF fill bytes before markers must not derail
+    the walk, and a stray FF C2 inside an APPn binary body must not
+    misclassify a baseline payload."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import is_progressive_jpeg
+    img = _smooth(16, 16)
+    base = encode_jpeg(img, quality=90)
+    prog = encode_jpeg(img, quality=90, progressive=True)
+    # fill bytes injected before the SOF marker of each
+    i = base.find(b"\xFF\xC0")
+    assert not is_progressive_jpeg(base[:i] + b"\xFF\xFF" + base[i:])
+    j = prog.find(b"\xFF\xC2")
+    assert is_progressive_jpeg(prog[:j] + b"\xFF\xFF" + prog[j:])
+    # APPn segment whose body contains FF C2: baseline stays baseline
+    app = b"\xFF\xE7" + (6).to_bytes(2, "big") + b"\xFF\xC2\x00\x00"
+    assert not is_progressive_jpeg(base[:2] + app + base[2:])

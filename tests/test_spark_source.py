@@ -743,3 +743,42 @@ def test_register_snapshot_table_names_validated_and_isolated(
                      ).first()["n"] == 3
     assert spark.sql("SELECT count(*) AS n FROM tbl_b"
                      ).first()["n"] == 4
+
+
+def test_register_snapshot_table_protect_lifecycle_and_casefold(
+        registered, tmp_path):
+    """Review fixes (r10): the protect tag follows the registration
+    (refresh without protect removes it; refresh with protect
+    re-points it), names are casefolded like the catalog resolves
+    them (Tbl == tbl: one registration, one export dir), and
+    non-ASCII names are refused upfront."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        register_snapshot_table, snapshot_tags,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    with pytest.raises(ValueError, match="invalid catalog"):
+        register_snapshot_table(spark, "tablé", path)
+    i1 = register_snapshot_table(spark, "Cat_T", path,
+                                 protect=True)
+    tags0 = {t: v for t, v in snapshot_tags(spark, path).items()
+             if t.startswith("registered-")}
+    assert tags0 and set(tags0.values()) == {0}
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(9, "d9", "z")], SCHEMA))                              # v1
+    # casefolded: 'cat_t' refreshes the SAME registration
+    i2 = register_snapshot_table(spark, "cat_t", path,
+                                 protect=True)
+    import os as _os
+    assert (_os.path.dirname(i2["location"])
+            == _os.path.dirname(i1["location"]))
+    tags1 = {t: v for t, v in snapshot_tags(spark, path).items()
+             if t.startswith("registered-")}
+    assert set(tags1) == set(tags0), "tag re-pointed, not duplicated"
+    assert set(tags1.values()) == {1}
+    # refresh WITHOUT protect drops the registration's tag
+    register_snapshot_table(spark, "cat_t", path)
+    tags2 = [t for t in snapshot_tags(spark, path)
+             if t.startswith("registered-")]
+    assert not tags2, tags2
