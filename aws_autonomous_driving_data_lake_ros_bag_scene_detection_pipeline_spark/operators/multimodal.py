@@ -9,9 +9,9 @@ detect_scenes.py:115-117).
 
 Decoders: :func:`decode_image` is REAL for PPM (P6) / PGM (P5),
 24-bit uncompressed BMP, — via stdlib ``zlib`` inflate plus per-row
-Sub/Up/Average/Paeth unfiltering — 8-bit AND 16-bit non-interlaced
-PNG (gray / gray+alpha / RGB / RGBA / 8-bit palette; 16-bit gray is
-the AV depth-map format), and — r8/r10, via the
+Sub/Up/Average/Paeth unfiltering — 8-bit AND 16-bit PNG, plain or
+Adam7-interlaced (gray / gray+alpha / RGB / RGBA / 8-bit palette;
+16-bit gray is the AV depth-map format), and — r8/r10, via the
 numpy codec in :mod:`.jpeg` — baseline sequential AND progressive
 JPEG (4:4:4 / 4:2:2 / 4:2:0, grayscale, restart markers, spectral
 selection + successive approximation), all with no external
@@ -205,6 +205,11 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 pass layout: (x_start, y_start, x_step, y_step) — public
+#: PNG spec, the interlaced pixel schedule
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG per-row filtering (types 0 None, 1 Sub, 2 Up,
@@ -249,11 +254,12 @@ def _decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decoder — ``zlib`` inflate of the IDAT stream plus
     per-row unfiltering; no external library. Handles 8-bit AND
     16-bit (r10 — the depth-map format AV pipelines store lidar/
-    stereo ranges in) non-interlaced gray (1ch), gray+alpha (2ch),
-    RGB (3ch), RGBA (4ch), plus 8-bit paletted images;
-    Adam7-interlaced PNGs raise. PNG filtering is byte-wise whatever
-    the depth, so the same unfilter pass serves both — 16-bit rows
-    just view as big-endian uint16 afterwards. Returns
+    stereo ranges in) gray (1ch), gray+alpha (2ch), RGB (3ch),
+    RGBA (4ch), plus 8-bit paletted images, plain or
+    Adam7-INTERLACED (r10 — seven per-pass-filtered sub-images
+    scattered by the pass schedule). PNG filtering is byte-wise
+    whatever the depth, so the same unfilter pass serves both —
+    16-bit rows just view as big-endian uint16 afterwards. Returns
     (height, width, channels), uint8 for 8-bit, uint16 for 16-bit."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
@@ -276,11 +282,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth not in (8, 16) or interlace != 0:
+    if bit_depth not in (8, 16) or interlace not in (0, 1):
         raise ValueError(
-            f"builtin PNG decoder handles 8/16-bit non-interlaced "
-            f"only (got bit_depth={bit_depth}, "
-            f"interlace={interlace})")
+            f"builtin PNG decoder handles 8/16-bit only "
+            f"(got bit_depth={bit_depth}, interlace={interlace})")
     if bit_depth == 16 and color_type == 3:
         raise ValueError("PNG: 16-bit palette is not a legal "
                          "combination")
@@ -289,17 +294,46 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"PNG: invalid color type {color_type}")
     raw = zlib.decompress(b"".join(idat))
     bytes_per = bit_depth // 8
-    stride = w * channels * bytes_per
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG: scanline stream is {len(raw)} bytes, "
-            f"expected {h * (stride + 1)}")
-    rows = _png_unfilter(raw, h, stride, channels * bytes_per)
+    px = channels * bytes_per             # bytes per pixel
+    if interlace == 1:
+        # Adam7 (r10): seven independent sub-images, each filtered
+        # like a tiny non-interlaced stream (per-pass prev-row state,
+        # empty passes contribute NO scanlines), scattered back onto
+        # the full grid by the pass schedule
+        samp = np.zeros((h, w, px), dtype=np.uint8)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            wp = max(0, -(-(w - x0) // dx))
+            hp = max(0, -(-(h - y0) // dy))
+            if wp == 0 or hp == 0:
+                continue
+            stride_p = wp * px
+            need = hp * (stride_p + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG: truncated Adam7 scanline "
+                                 "stream")
+            sub = _png_unfilter(raw[pos:pos + need], hp, stride_p,
+                                px)
+            pos += need
+            samp[np.ix_(y0 + np.arange(hp) * dy,
+                        x0 + np.arange(wp) * dx)] = \
+                sub.reshape(hp, wp, px)
+        if pos != len(raw):
+            raise ValueError(
+                f"PNG: Adam7 stream is {len(raw)} bytes, consumed "
+                f"{pos}")
+    else:
+        stride = w * px
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG: scanline stream is {len(raw)} bytes, "
+                f"expected {h * (stride + 1)}")
+        samp = _png_unfilter(raw, h, stride, px).reshape(h, w, px)
     if bit_depth == 16:
-        img = (rows.reshape(h, w, channels, 2).astype(np.uint16))
+        img = samp.reshape(h, w, channels, 2).astype(np.uint16)
         img = ((img[..., 0] << 8) | img[..., 1])     # big-endian
     else:
-        img = rows.reshape(h, w, channels)
+        img = samp.reshape(h, w, channels)
     if color_type == 3:  # palette indices -> RGB
         if plte is None:
             raise ValueError("paletted PNG missing PLTE chunk")
@@ -377,8 +411,9 @@ def decode_image(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
     """Decode image bytes to a flat ``array<int>`` pixel buffer
     (row-major, ``height × width × channels``) plus a ``codec``
     provenance column. PPM (P6) / PGM (P5), 24-bit BMP, 8-bit AND
-    16-bit non-interlaced PNG (16-bit gray = the depth-map format;
-    the pixel ints carry the full 16-bit values), and JPEG —
+    16-bit PNG — plain or Adam7-interlaced (16-bit gray = the
+    depth-map format; the pixel ints carry the full 16-bit values),
+    and JPEG —
     baseline sequential, multi-scan sequential, and progressive —
     decode for REAL with the builtin parsers (PNG via stdlib zlib,
     JPEG via the numpy codec in :mod:`.jpeg`); other formats use

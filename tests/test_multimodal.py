@@ -745,3 +745,90 @@ def test_decode_image_real_png_16bit_depth_map(spark):
     assert np.array_equal(
         np.asarray(r["pixels"], dtype=np.uint16).reshape(h, w),
         depth)
+
+
+def _filter_rows(sub: np.ndarray, filters, bpp: int) -> bytes:
+    """Per-row PNG filtering of a (hp, stride)-byte sub-image."""
+    hp, stride = sub.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(hp):
+        row = sub[y].astype(np.int64)
+        ft = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                               row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                 prev[:-bpp]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = (row - left) % 256
+        elif ft == 2:
+            enc = (row - prev) % 256
+        elif ft == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (row - pred) % 256
+        out.append(ft)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    return bytes(out)
+
+
+def _adam7_png_bytes(samp: np.ndarray, bit_depth: int,
+                     color_type: int, filters=(0, 1, 2, 3, 4)) -> bytes:
+    """Interlaced PNG writer: samp is (h, w, channels*bytes_per)
+    BYTES (16-bit already big-endian-packed)."""
+    import zlib as _z
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import _ADAM7
+    h, w, px = samp.shape
+    raw = bytearray()
+    for (x0, y0, dx, dy) in _ADAM7:
+        wp = max(0, -(-(w - x0) // dx))
+        hp = max(0, -(-(h - y0) // dy))
+        if wp == 0 or hp == 0:
+            continue
+        sub = samp[np.ix_(y0 + np.arange(hp) * dy,
+                          x0 + np.arange(wp) * dx)]
+        raw += _filter_rows(sub.reshape(hp, wp * px), filters, px)
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([bit_depth, color_type, 0, 0, 1]))  # interlace=1
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_decode_image_adam7_interlaced_png(spark):
+    """Adam7 interlacing (r10): each of the seven passes unfilters
+    independently and scatters back by the pass schedule — 8-bit RGB
+    with mixed per-row filters, odd dims (some passes empty/narrow),
+    and 16-bit gray all reconstruct exactly."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import _decode_png
+    rng = np.random.default_rng(23)
+    # 8-bit RGB, odd dims
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    payload = _adam7_png_bytes(img, 8, 2)
+    assert np.array_equal(_decode_png(payload), img)
+    # through the Spark plumbing
+    r = _decode_one(spark, payload, 7, 11, 3)
+    assert r["codec"] == "png"
+    assert np.array_equal(
+        np.asarray(r["pixels"], dtype=np.uint8).reshape(11, 7, 3),
+        img)
+    # 16-bit gray (depth map), even dims
+    depth = rng.integers(0, 65536, size=(8, 10), dtype=np.uint16)
+    packed = np.frombuffer(depth.astype(">u2").tobytes(),
+                           dtype=np.uint8).reshape(8, 10, 2)
+    payload16 = _adam7_png_bytes(packed, 16, 0)
+    got = _decode_png(payload16)
+    assert got.dtype == np.uint16
+    assert np.array_equal(got[:, :, 0], depth)
+    # tiny image where late passes are empty
+    tiny = rng.integers(0, 256, size=(1, 1, 1), dtype=np.uint8)
+    assert np.array_equal(
+        _decode_png(_adam7_png_bytes(tiny, 8, 0)), tiny)
