@@ -396,11 +396,17 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
 
         from PIL import Image as _I
         im = _I.open(io.BytesIO(payload))
-        if im.mode == "L":
-            # preserve single-channel payloads (grayscale progressive
-            # JPEG, gray TIFF): a blind convert("RGB") would break the
-            # media_meta channels==1 dims check (review fix)
+        if im.mode in ("L", "I", "I;16", "I;16B", "I;16L", "I;16N"):
+            # preserve single-channel payloads AND their bit depth
+            # (grayscale progressive JPEG, gray TIFF, 16/32-bit
+            # depth maps): a blind convert("RGB") would break the
+            # media_meta channels==1 dims check and quantize 16-bit
+            # values the builtin PNG path preserves (advisor fix)
             return np.asarray(im)[..., None], "pillow"
+        if im.mode == "LA":
+            # gray+alpha stays 2-channel — alpha is data, not a
+            # rendering hint, for training-corpus provenance
+            return np.asarray(im), "pillow"
         return np.asarray(im.convert("RGB")), "pillow"
     return None, None
 

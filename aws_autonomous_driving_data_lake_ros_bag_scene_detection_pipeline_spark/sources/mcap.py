@@ -456,9 +456,18 @@ def extract_mcap_topics(messages: DataFrame) -> dict[str, DataFrame]:
     for topic, defns in by_topic.items():
         parts = []
         for defn in defns:
+            if defn is None:
+                # caller-built frames can carry NULL definitions; a
+                # null-unsafe == would silently drop those rows from
+                # every group — loud failure is the module contract
+                raise ValueError(
+                    f"topic {topic!r} has messages with a NULL "
+                    f"message_definition — no schema to decode them "
+                    f"with; fill message_definition upstream or "
+                    f"filter those rows explicitly")
             one = messages.where(
                 (F.col("topic") == topic)
-                & (F.col("message_definition") == defn))
+                & F.col("message_definition").eqNullSafe(F.lit(defn)))
             parts.append(decode_cdr_messages(one, defn))
         schemas = {p.schema.json() for p in parts}
         if len(schemas) > 1:

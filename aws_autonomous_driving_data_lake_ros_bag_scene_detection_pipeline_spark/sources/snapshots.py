@@ -815,19 +815,24 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame,
         dst_rel = (f"{part_dir}/{commit}-{name}" if part_dir
                    else f"{commit}-{name}")
         from urllib.parse import unquote
-        moves.append((p, dst_rel, part_dir, unquote(rel)))
+        moves.append((p, dst_rel, part_dir, unquote(rel),
+                      int(st.getLen())))
 
-    for d in {part for _, _, part, _ in moves}:
+    for d in {part for _, _, part, _, _ in moves}:
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(
             f"{path}/{_DATA_DIR}/{d}" if d else f"{path}/{_DATA_DIR}"))
 
     def _place(move):
-        src, dst_rel, part, orig_rel = move
+        src, dst_rel, part, orig_rel, nbytes = move
         dst = jvm.org.apache.hadoop.fs.Path(
             f"{path}/{_DATA_DIR}/{dst_rel}")
         if not fs.rename(src, dst):
             raise RuntimeError(f"failed to place data file {dst_rel}")
-        entry = {"path": dst_rel, "partition": part}
+        # byte size travels in the manifest (r11) so streaming
+        # admission control (maxBytesPerTrigger) never stats files
+        # at plan time; absent in pre-r11 manifests (readers fall
+        # back to a lazy stat)
+        entry = {"path": dst_rel, "partition": part, "bytes": nbytes}
         st, bl = stats_by_rel.get(orig_rel), blooms_by_rel.get(orig_rel)
         if st is not None or bloom_cols:
             merged = {c: dict(d) for c, d in (st or {}).items()}

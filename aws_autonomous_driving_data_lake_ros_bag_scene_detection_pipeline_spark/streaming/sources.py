@@ -194,6 +194,12 @@ def discover_new_files(spark: SparkSession, landing_path: str,
                for r in cdf.join(led.select("path"), "path",
                                  "left_anti")
                .select("path", "size", "mtime", "part").collect()]
+        # restore LISTING order (advisor fix): the post-shuffle
+        # collect order is nondeterministic, and process callbacks
+        # must see the same file order whichever side of
+        # anti_join_threshold a step lands on
+        order = {c[0]: i for i, c in enumerate(cands)}
+        new.sort(key=lambda t: order[t[0]])
         stats["dedup_mode"] = "anti_join"
     stats["files_new"] = len(new)
     stats["files_already_ingested"] = len(cands) - len(new)

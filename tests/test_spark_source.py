@@ -782,3 +782,174 @@ def test_register_snapshot_table_protect_lifecycle_and_casefold(
     tags2 = [t for t in snapshot_tags(spark, path)
              if t.startswith("registered-")]
     assert not tags2, tags2
+
+
+# ------------------------------------------ admission control (r11)
+
+def test_admission_offsets_split_one_big_commit(registered, tmp_path):
+    """r10 VERDICT item 1: maxFilesPerTrigger splits a single large
+    append commit across micro-batches — offsets become sub-version
+    (version, file-index) positions over the deterministic manifest
+    order, and partitions(start, end) plans exactly the slice."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotPartitionedStreamReader,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    # one append commit carrying FIVE files (five partitions)
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(10 + i, f"p{i}", "x") for i in range(5)], SCHEMA))    # v1
+    rdr = SnapshotPartitionedStreamReader(
+        {"path": path, "startversion": "0",
+         "maxfilespertrigger": "2"})
+    assert rdr.initialOffset() == {"version": 0}
+    o1 = rdr.latestOffset()
+    assert o1 == {"version": 1, "index": 2}
+    p1 = rdr.partitions({"version": 0}, o1)
+    o2 = rdr.latestOffset()
+    assert o2 == {"version": 1, "index": 4}
+    p2 = rdr.partitions(o1, o2)
+    o3 = rdr.latestOffset()
+    assert o3 == {"version": 1, "index": 5}
+    p3 = rdr.partitions(o2, o3)
+    assert [len(p1), len(p2), len(p3)] == [2, 2, 1]
+    # all five files, no dupes, no losses
+    files = [p.file_path for p in p1 + p2 + p3]
+    assert len(set(files)) == 5
+    # drained: the SAME offset object comes back (json-equality is
+    # Spark's no-new-data check)
+    assert rdr.latestOffset() == o3
+    assert rdr.partitions(o3, o3) == []
+    # a fresh reader replaying a mid-commit range plans the SAME
+    # slice (manifest order is deterministic) — exactly-once across
+    # restart
+    rdr2 = SnapshotPartitionedStreamReader(
+        {"path": path, "startversion": "0",
+         "maxfilespertrigger": "2"})
+    again = rdr2.partitions(o1, o2)
+    assert [p.file_path for p in again] == [p.file_path for p in p2]
+    # ...and the replay re-teaches the position: the NEXT planned
+    # batch continues from o2, still throttled
+    assert rdr2.latestOffset() == {"version": 1, "index": 5}
+
+
+def test_admission_bytes_cap_and_legacy_offsets(registered, tmp_path):
+    """maxBytesPerTrigger is a soft cap (at least one file per batch)
+    fed by the manifest's per-entry byte sizes; legacy offsets
+    without an index keep their fully-consumed meaning."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotPartitionedStreamReader,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(10 + i, f"p{i}", "x" * 50) for i in range(3)], SCHEMA))
+    rdr = SnapshotPartitionedStreamReader(
+        {"path": path, "startversion": "0",
+         "maxbytespertrigger": "1"})   # < one file: still admits one
+    rdr.initialOffset()
+    offs = [rdr.latestOffset() for _ in range(3)]
+    assert [o["index"] for o in offs] == [1, 2, 3]
+    # legacy {"version": v} start offset == fully consumed v
+    parts = rdr.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == 3
+    # option validation
+    with pytest.raises(ValueError, match=">= 1"):
+        SnapshotPartitionedStreamReader(
+            {"path": path, "maxfilespertrigger": "0"})
+    # the simple reader refuses the caps instead of ignoring them
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotAppendsStreamReader,
+    )
+    with pytest.raises(ValueError, match="partitioned reader"):
+        SnapshotAppendsStreamReader(
+            {"path": path, "maxfilespertrigger": "2"})
+
+
+def test_admission_rolls_over_row_neutral_versions(
+        registered, tmp_path):
+    """Compactions and skipped rewrites advance the throttled offset
+    without planning ghost batches forever."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import snapshot_compact
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotPartitionedStreamReader,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    _base(spark, path)                                          # v0
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(4, "d1", "d")], SCHEMA))                              # v1
+    snapshot_compact(spark, path)                               # v2
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(5, "d2", "e")], SCHEMA))                              # v3
+    rdr = SnapshotPartitionedStreamReader(
+        {"path": path, "startversion": "0",
+         "maxfilespertrigger": "10"})
+    rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    parts = rdr.partitions({"version": 0}, o1)
+    assert o1 == {"version": 3, "index": 1}
+    assert len(parts) == 2               # v1's file + v3's file
+    assert rdr.latestOffset() == o1      # drained, stable offset
+
+
+def test_admission_end_to_end_restart_mid_commit(
+        registered, tmp_path):
+    """A real throttled query over one multi-file commit: stopped
+    mid-commit, restarted on the same checkpoint — every row lands
+    exactly once, and the admission log reports admitted/deferred
+    per batch (no silent caps)."""
+    import json as _json
+    import time
+    spark = registered
+    path = str(tmp_path / "tbl")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "admission.jsonl")
+    _base(spark, path)                                          # v0
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(10 + i, f"p{i}", "x") for i in range(4)], SCHEMA))    # v1
+
+    def start():
+        return (spark.readStream.format("snapshot")
+                .option("startVersion", 0)
+                .option("maxFilesPerTrigger", 1)
+                .option("admissionLog", log)
+                .load(path)
+                .writeStream.format("parquet")
+                .option("path", sink).option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds").start())
+
+    q = start()
+    deadline = time.time() + 120
+    # stop mid-commit: after at least one row, before all four
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(sink).count() >= 1:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    q2 = start()
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(sink).count() >= 4:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q2.stop()
+    q2.awaitTermination(60)
+    rows = [tuple(r) for r in spark.read.parquet(sink).collect()]
+    assert sorted(rows) == [(10 + i, f"p{i}", "x") for i in range(4)], \
+        f"exactly-once violated: {sorted(rows)}"
+    with open(log, encoding="utf-8") as f:
+        entries = [_json.loads(ln) for ln in f if ln.strip()]
+    assert entries and all(e["files_admitted"] == 1 for e in entries)
+    # the first planned batch saw the remaining 3 files deferred
+    assert entries[0]["files_deferred"] == 3
+    assert entries[0]["bytes_admitted"] > 0
