@@ -17,8 +17,8 @@ from .mcap import (  # noqa: F401
     parse_mcap_bytes, read_mcap_messages,
 )
 from .spark_source import (  # noqa: F401
-    SnapshotDataSource, register_snapshot_source,
-    register_snapshot_table,
+    SnapshotDataSource, register_snapshot_filesystem,
+    register_snapshot_source, register_snapshot_table,
 )
 from .textual import (  # noqa: F401
     QuarantinedRead, read_csv, read_jsonl,
@@ -52,8 +52,8 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "snapshot_changes_log", "snapshot_history", "sql_predicates",
            "snapshot_append", "snapshot_apply_changes",
            "snapshot_read_session",
-           "SnapshotDataSource", "register_snapshot_source",
-           "register_snapshot_table",
+           "SnapshotDataSource", "register_snapshot_filesystem",
+           "register_snapshot_source", "register_snapshot_table",
            "snapshot_compact", "snapshot_delete", "snapshot_maintain",
            "snapshot_prune", "snapshot_rollback", "snapshot_scan",
            "snapshot_tag", "snapshot_tags", "snapshot_untag",

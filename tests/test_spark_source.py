@@ -181,8 +181,11 @@ def test_streaming_refuses_rewrites_by_default(registered, tmp_path):
 
 
 def test_local_path_contract(registered, tmp_path):
+    """Unadapted schemes fail loudly at plan time, naming both
+    escape hatches (register_snapshot_filesystem / read_snapshot)."""
     spark = registered
-    with pytest.raises(Exception, match="local/NFS"):
+    with pytest.raises(Exception,
+                       match="no snapshot filesystem adapter"):
         (spark.read.format("snapshot")
          .load("s3a://bucket/tbl").collect())
 
@@ -953,3 +956,201 @@ def test_admission_end_to_end_restart_mid_commit(
     # the first planned batch saw the remaining 3 files deferred
     assert entries[0]["files_deferred"] == 3
     assert entries[0]["bytes_admitted"] > 0
+
+
+# ------------------------------------------- filesystem adapters (r11)
+
+class _MockFS:
+    """Test adapter: maps mock://... onto a local shadow dir through
+    the documented adapter protocol — proving every I/O site in the
+    data source dispatches through the seam."""
+
+    def __init__(self, shadow):
+        self.shadow = shadow
+        self.calls = []
+
+    def _p(self, p):
+        assert p.startswith("mock://"), p
+        return os.path.join(self.shadow, p[len("mock://"):])
+
+    def open_in(self, p):
+        self.calls.append(("open_in", p))
+        return open(self._p(p), "rb")
+
+    def write_bytes(self, p, data):
+        self.calls.append(("write_bytes", p))
+        lp = self._p(p)
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        import uuid
+        tmp = f"{lp}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, lp)
+
+    def listdir(self, p):
+        lp = self._p(p)
+        return os.listdir(lp) if os.path.isdir(lp) else []
+
+    def exists(self, p):
+        return os.path.exists(self._p(p))
+
+    def getsize(self, p):
+        return os.path.getsize(self._p(p))
+
+    def create_exclusive(self, p, data):
+        lp = self._p(p)
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+
+    def replace_bytes(self, p, data):
+        self.write_bytes(p, data)
+
+    def delete(self, p):
+        try:
+            os.unlink(self._p(p))
+        except FileNotFoundError:
+            pass
+
+    def delete_tree(self, p):
+        import shutil
+        shutil.rmtree(self._p(p), ignore_errors=True)
+
+
+def _mock_fs(tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        register_snapshot_filesystem,
+    )
+    fs = _MockFS(str(tmp_path / "shadow"))
+    register_snapshot_filesystem("mock", fs)
+    return fs
+
+
+def test_mock_scheme_write_read_roundtrip_sparkless(tmp_path):
+    """The whole DS write->commit->read loop over a registered
+    adapter scheme, WITHOUT a Spark session — the adapter is the
+    only I/O route (the shadow dir is reachable solely through it),
+    so any un-dispatched os/open call would fail loudly."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        ConcurrentSnapshotWrite, SnapshotBatchWriter,
+        SnapshotPartitionedStreamReader, SnapshotReader,
+        _cas_publish, _manifest,
+    )
+    fs = _mock_fs(tmp_path)
+    root = "mock://bucket/tbl"
+    schema = StructType([StructField("id", LongType()),
+                         StructField("day", StringType()),
+                         StructField("val", StringType())])
+    opts = {"path": root, "partitioncols": "day"}
+    w = SnapshotBatchWriter(opts, schema, overwrite=True)
+    msg = w.write(iter([pa.record_batch(
+        {"id": [1, 2, 3], "day": ["d1", "d1", "d2"],
+         "val": ["a", "b", "c"]})]))
+    assert all(e["bytes"] > 0 for e in msg.entries)
+    w.commit([msg])                                             # v0
+    w2 = SnapshotBatchWriter(opts, schema, overwrite=False)
+    msg2 = w2.write(iter([pa.record_batch(
+        {"id": [4], "day": ["d3"], "val": ["d"]})]))
+    w2.commit([msg2])                                           # v1
+    # batch reader through the adapter
+    rdr = SnapshotReader({"path": root})
+    rows = []
+    for p in rdr.partitions():
+        for b in rdr.read(p):
+            rows += b.to_pylist()
+    assert {(r["id"], r["day"], r["val"]) for r in rows} == {
+        (1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"),
+        (4, "d3", "d")}
+    # time travel still resolves through the adapter
+    r0 = SnapshotReader({"path": root, "version": "0"})
+    assert len(r0.partitions()) == 2
+    # throttled STREAMING face over the adapter (per-entry bytes
+    # recorded by the task write feed maxBytesPerTrigger)
+    srdr = SnapshotPartitionedStreamReader(
+        {"path": root, "startversion": "0",
+         "maxbytespertrigger": "1"})
+    srdr.initialOffset()
+    assert srdr.latestOffset() == {"version": 1, "index": 1}
+    # the CAS is the adapter's conditional create: losing the race
+    # is the same loud ConcurrentSnapshotWrite as on local stores
+    m = _manifest(root, 1)
+    with pytest.raises(ConcurrentSnapshotWrite):
+        _cas_publish(root, 1, dict(m))
+    # every byte moved through the adapter, none around it
+    assert any(c[0] == "write_bytes" for c in fs.calls)
+    assert any(c[0] == "open_in" for c in fs.calls)
+
+
+def test_unregistered_scheme_fails_loudly(tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotReader,
+    )
+    with pytest.raises(ValueError, match="no snapshot filesystem"):
+        SnapshotReader({"path": "s3x://bucket/tbl"})
+
+
+def test_register_snapshot_table_adapter_export_path(
+        registered, tmp_path):
+    """r10 VERDICT item 2: a table on an adapter-scheme store
+    registers into the SQL catalog by COPYING the pinned files to a
+    local export_path — the catalog table reads without the store."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        register_snapshot_table,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotBatchWriter,
+    )
+    spark = registered
+    _mock_fs(tmp_path)
+    root = "mock://bucket/regtbl"
+    schema = StructType([StructField("id", LongType()),
+                         StructField("day", StringType())])
+    w = SnapshotBatchWriter({"path": root, "partitioncols": "day"},
+                            schema, overwrite=True)
+    w.commit([w.write(iter([pa.record_batch(
+        {"id": [1, 2], "day": ["d1", "d2"]})]))])
+    exp = str(tmp_path / "exports")
+    with pytest.raises(ValueError, match="export_path"):
+        register_snapshot_table(spark, "cat_mock", root)
+    with pytest.raises(ValueError, match="protect"):
+        register_snapshot_table(spark, "cat_mock", root,
+                                export_path=exp, protect=True)
+    info = register_snapshot_table(spark, "cat_mock", root,
+                                   export_path=exp)
+    assert info["link_mode"] == "copy"
+    assert info["location"].startswith(exp)
+    got = spark.sql("SELECT id, day FROM cat_mock ORDER BY id"
+                    ).collect()
+    assert [tuple(r) for r in got] == [(1, "d1"), (2, "d2")]
+    spark.sql("DROP TABLE cat_mock")
+
+
+def test_file_scheme_end_to_end(registered, tmp_path):
+    """file:// table paths serve the DS batch read AND catalog
+    registration without any adapter (scheme stripped)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        register_snapshot_table,
+    )
+    spark = registered
+    plain = str(tmp_path / "tbl")
+    furi = "file://" + plain
+    snapshot_write(spark, furi, spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")], SCHEMA),
+        partition_cols=["day"])
+    got = spark.read.format("snapshot").load(furi)
+    assert {(r["id"], r["day"]) for r in got.collect()} == {
+        (1, "d1"), (2, "d2")}
+    info = register_snapshot_table(spark, "cat_furi", furi)
+    assert info["files"] == 2
+    assert spark.sql("SELECT count(*) AS n FROM cat_furi"
+                     ).first()["n"] == 2
+    spark.sql("DROP TABLE cat_furi")
