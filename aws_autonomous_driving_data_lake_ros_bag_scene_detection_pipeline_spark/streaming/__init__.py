@@ -45,6 +45,7 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      bm25_compact_deletes, read_bm25_tombstones,
                      bm25_sync_snapshot, ivf_sync_snapshot,
                      minhash_sync_snapshot, snapshot_follow,
+                     registration_sync,
                      aggregate_sync_snapshot, snapshot_replicate,
                      join_sync_snapshot, sync_status,
                      ivf_append_batch, ivf_append_stream,

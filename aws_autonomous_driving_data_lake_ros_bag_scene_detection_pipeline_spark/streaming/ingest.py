@@ -1406,6 +1406,70 @@ def snapshot_follow(spark, table_path: str, *, state_path: str,
     return out
 
 
+def registration_sync(spark, table_path: str, *, name: str,
+                      state_path: str, protect: bool = False,
+                      link_mode: str = "auto",
+                      export_path: str | None = None) -> dict:
+    """Keep a SQL-catalog registration current with its snapshot
+    table — the exactly-once form of the reference's per-pipeline-run
+    Glue crawler (infrastructure/emr_orchestration/stack.py:272-289
+    defines the crawler; the orchestration re-runs it after every
+    pipeline write so the catalog never serves a stale table). Here
+    the same loop is a :func:`snapshot_follow`-family consumer: each
+    call re-registers ``name`` at the table head via
+    :func:`~..sources.register_snapshot_table` if (and only if) new
+    commits landed since the last sync, then records the head as a
+    version marker under ``state_path/_snapshot_sync/``.
+
+    Unlike the data-feed followers this does NOT skip compactions: a
+    compaction rewrites the manifest's FILE list, and a registration
+    pinned to the pre-compaction files breaks the moment retention
+    prunes them — the catalog must re-point even though no row
+    changed. Conversely, a backlog of several commits folds into ONE
+    refresh at the head (each intermediate registration would be
+    superseded instantly; the fold is reported, never silent).
+
+    Crash/replay: the marker is written AFTER the registration
+    succeeds, so a crash between the two re-runs one refresh of the
+    same head — idempotent because every registration builds a fresh
+    uniquely-named export tree and swaps the catalog name atomically
+    at DDL granularity. ``protect=True`` re-points the registration's
+    prune-proofing tag on every refresh (and a refresh without it
+    removes the tag), exactly as a manual re-register would.
+
+    ``state_path`` must be a directory of the follower's own (NOT
+    inside the table or under the export root — refresh cleanup owns
+    those trees). Lag is observable with :func:`sync_status` on the
+    same ``state_path``. Returns ``{"from_version", "to_version",
+    "steps", "folded", "registration"}`` with ``registration`` =
+    the :func:`register_snapshot_table` result, or ``None`` when the
+    catalog was already current (``steps == 0``)."""
+    from ..sources.snapshots import latest_version
+    from ..sources.spark_source import register_snapshot_table
+
+    head = latest_version(spark, table_path)
+    if head is None:
+        raise FileNotFoundError(
+            f"no published snapshot under {table_path}")
+    synced = _synced_version(spark, state_path)
+    out = {"from_version": synced, "to_version": head, "steps": 0,
+           "folded": 0, "registration": None}
+    if synced is not None and synced > head:
+        raise ValueError(
+            f"registration state at {state_path} is synced to "
+            f"version {synced} but {table_path} is at {head} — was "
+            f"the table rebuilt? clear {_SYNC_DIR} to resync")
+    if synced == head:
+        return out
+    out["registration"] = register_snapshot_table(
+        spark, name, table_path, version=head, protect=protect,
+        link_mode=link_mode, export_path=export_path)
+    _mark_synced(spark, state_path, head)
+    out["steps"] = 1
+    out["folded"] = (head - synced - 1) if synced is not None else 0
+    return out
+
+
 def _sync_snapshot_index(spark, table_path: str, index_path: str, *,
                          key_cols: list[str], columns: list[str],
                          apply_delete, apply_insert) -> dict:

@@ -1154,3 +1154,117 @@ def test_file_scheme_end_to_end(registered, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM cat_furi"
                      ).first()["n"] == 2
     spark.sql("DROP TABLE cat_furi")
+
+
+# --------------------------------------------- registration auto-refresh (r11)
+
+def test_registration_sync_follows_commits(registered, tmp_path):
+    """r10 VERDICT item 3: registration_sync re-points the catalog
+    table exactly once per table commit — including compactions
+    (they rewrite the FILE list the registration links) — folds a
+    backlog into one head refresh, replays idempotently, and keeps
+    the protect tag on the currently registered version."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_compact, snapshot_tags,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        registration_sync, sync_status,
+    )
+    spark = registered
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "regstate")
+    _base(spark, path)                                          # v0
+
+    # initial sync registers the head
+    out = registration_sync(spark, path, name="cat_sync",
+                            state_path=state, protect=True)
+    assert out["steps"] == 1 and out["registration"]["version"] == 0
+    assert spark.sql("SELECT count(*) AS n FROM cat_sync"
+                     ).first()["n"] == 3
+    # already current -> no-op (no fresh export tree, no DDL)
+    loc = out["registration"]["location"]
+    out = registration_sync(spark, path, name="cat_sync",
+                            state_path=state, protect=True)
+    assert out["steps"] == 0 and out["registration"] is None
+    assert os.path.isdir(loc)
+
+    # two commits, synced one at a time -> one refresh each
+    for i in range(2):                                       # v1, v2
+        snapshot_append(spark, path, spark.createDataFrame(
+            [(10 + i, "d1", "x")], SCHEMA))
+        st = sync_status(spark, path, state)
+        assert st["lag_commits"] == 1
+        out = registration_sync(spark, path, name="cat_sync",
+                                state_path=state, protect=True)
+        assert out["steps"] == 1 and out["folded"] == 0
+        assert spark.sql("SELECT count(*) AS n FROM cat_sync"
+                         ).first()["n"] == 4 + i
+    # protect tag re-pointed to the registered head
+    tags = snapshot_tags(spark, path)
+    assert any(t.startswith("registered-cat_sync") and v == 2
+               for t, v in tags.items()), tags
+
+    # a compaction is NOT skipped: the catalog must re-link the
+    # compacted files even though no row changed
+    snapshot_compact(spark, path)                               # v3
+    out = registration_sync(spark, path, name="cat_sync",
+                            state_path=state, protect=True)
+    assert out["steps"] == 1 and out["registration"]["version"] == 3
+    assert spark.sql("SELECT count(*) AS n FROM cat_sync"
+                     ).first()["n"] == 5
+
+    # backlog folds into ONE refresh at the head, reported not silent
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(20, "d2", "y")], SCHEMA))                             # v4
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(21, "d2", "z")], SCHEMA))                             # v5
+    st = sync_status(spark, path, state)
+    assert st["lag_commits"] == 2
+    out = registration_sync(spark, path, name="cat_sync",
+                            state_path=state, protect=True)
+    assert out["steps"] == 1 and out["folded"] == 1
+    assert out["registration"]["version"] == 5
+    assert spark.sql("SELECT count(*) AS n FROM cat_sync"
+                     ).first()["n"] == 7
+
+    # replay: crash between register and marker re-runs ONE refresh
+    # of the same head, converging to the identical catalog state
+    import shutil
+    shutil.rmtree(os.path.join(state, "_snapshot_sync"))
+    out = registration_sync(spark, path, name="cat_sync",
+                            state_path=state, protect=True)
+    assert out["steps"] == 1 and out["registration"]["version"] == 5
+    assert spark.sql("SELECT count(*) AS n FROM cat_sync"
+                     ).first()["n"] == 7
+    out = registration_sync(spark, path, name="cat_sync",
+                            state_path=state, protect=True)
+    assert out["steps"] == 0
+
+    # a refresh WITHOUT protect drops the registration's tag
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(22, "d2", "w")], SCHEMA))                             # v6
+    registration_sync(spark, path, name="cat_sync",
+                      state_path=state)
+    assert not any(t.startswith("registered-cat_sync")
+                   for t in snapshot_tags(spark, path))
+    spark.sql("DROP TABLE cat_sync")
+
+
+def test_registration_sync_rebuilt_table_detected(
+        registered, tmp_path):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import registration_sync
+    spark = registered
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "regstate")
+    _base(spark, path)
+    snapshot_append(spark, path, spark.createDataFrame(
+        [(9, "d9", "z")], SCHEMA))                              # v1
+    registration_sync(spark, path, name="cat_rb", state_path=state)
+    # simulate a table rebuilt from scratch at a LOWER version
+    import shutil
+    shutil.rmtree(path)
+    _base(spark, path)                                          # v0
+    with pytest.raises(ValueError, match="rebuilt"):
+        registration_sync(spark, path, name="cat_rb",
+                          state_path=state)
+    spark.sql("DROP TABLE cat_rb")
