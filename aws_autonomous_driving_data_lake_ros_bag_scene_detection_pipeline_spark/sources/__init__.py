@@ -11,6 +11,10 @@ from .snapshots import (
     snapshot_scan, snapshot_tag, snapshot_tags, snapshot_untag,
     snapshot_upsert, snapshot_version_for_source, snapshot_write,
 )
+from .db3 import (  # noqa: F401
+    db3_messages_frame, db3_topic_metadata, parse_db3_bytes,
+    read_db3_messages,
+)
 from .mcap import (  # noqa: F401
     decode_cdr_messages, extract_mcap_topics, mcap_messages_frame,
     mcap_topic_metadata,
@@ -35,6 +39,8 @@ from .tables import (
 )
 
 __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
+           "db3_messages_frame", "db3_topic_metadata",
+           "parse_db3_bytes", "read_db3_messages",
            "decode_cdr_messages", "extract_mcap_topics",
            "mcap_messages_frame", "mcap_topic_metadata",
            "parse_mcap_bytes", "read_mcap_messages",
