@@ -342,6 +342,177 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, npix: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing,
+    ``mcs+1`` .. 12 bits), clear/end codes, dictionary capped at 4096
+    entries (a full dictionary without a clear code freezes growth —
+    the 'deferred clear' the spec allows). Returns exactly ``npix``
+    index bytes or raises."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"GIF: invalid LZW min code size {mcs}")
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while len(out) < npix:
+        if bitpos + width > total:
+            raise ValueError("GIF: LZW stream ended before the "
+                             "frame's pixels were produced")
+        i = bitpos >> 3
+        chunk = int.from_bytes(data[i:i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            raise ValueError("GIF: LZW end code before the frame's "
+                             "pixels were produced")
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]      # the KwKwK special case
+        else:
+            raise ValueError(f"GIF: LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:npix])
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0x00 terminator)."""
+    parts = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF: truncated sub-block chain")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        blk = payload[pos:pos + n]
+        if len(blk) != n:
+            raise ValueError("GIF: truncated sub-block")
+        parts.append(blk)
+        pos += n
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-stdlib GIF87a/89a decoder — LZW, global/local palettes,
+    interlace, first frame of animations composed onto the logical
+    screen (background-filled; the first frame's transparent pixels
+    show the background, exactly what a renderer presents for frame
+    1). Returns (screen_height, screen_width, 3) uint8 RGB. Later
+    frames and their disposal/delay semantics are out of scope — for
+    frame SAMPLING use a video container; GIF-as-image means frame 1.
+    Strict-loud on out-of-palette indices, truncated LZW streams, and
+    unknown block types (misparse is worse than an error)."""
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF payload")
+
+    def u16(o: int) -> int:
+        if o + 2 > len(payload):
+            raise ValueError("GIF: truncated header")
+        return int.from_bytes(payload[o:o + 2], "little")
+
+    w, h = u16(6), u16(8)
+    if w == 0 or h == 0 or len(payload) < 13:
+        raise ValueError("GIF: empty logical screen")
+    packed, bg = payload[10], payload[11]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        tbl = payload[pos:pos + 3 * n]
+        if len(tbl) != 3 * n:
+            raise ValueError("GIF: truncated global color table")
+        gct = np.frombuffer(tbl, dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    transparent = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF: ran out of bytes before any "
+                             "image data")
+        b = payload[pos]
+        if b == 0x3B:
+            raise ValueError("GIF: trailer before any image data")
+        if b == 0x21:                     # extension
+            if pos + 2 > len(payload):
+                raise ValueError("GIF: truncated extension")
+            label = payload[pos + 1]
+            body, pos = _gif_subblocks(payload, pos + 2)
+            if label == 0xF9 and len(body) >= 4 and body[0] & 1:
+                transparent = body[3]     # GCE for the NEXT image
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unknown block type 0x{b:02x}")
+        left, top = u16(pos + 1), u16(pos + 3)
+        fw, fh = u16(pos + 5), u16(pos + 7)
+        if pos + 10 > len(payload):
+            raise ValueError("GIF: truncated image descriptor")
+        ipacked = payload[pos + 9]
+        pos += 10
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            tbl = payload[pos:pos + 3 * n]
+            if len(tbl) != 3 * n:
+                raise ValueError("GIF: truncated local color table")
+            lct = np.frombuffer(tbl, dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            raise ValueError(
+                f"GIF: frame ({left},{top})+{fw}x{fh} exceeds the "
+                f"{w}x{h} logical screen")
+        if pos >= len(payload):
+            raise ValueError("GIF: missing LZW min code size")
+        mcs = payload[pos]
+        data, _ = _gif_subblocks(payload, pos + 1)
+        idx = np.frombuffer(_gif_lzw_decode(mcs, data, fw * fh),
+                            dtype=np.uint8)
+        if (ipacked & 0x40):              # interlaced: 4-pass rows
+            rows = np.concatenate(
+                [np.arange(start, fh, step)
+                 for start, step in _GIF_INTERLACE])
+            deint = np.empty((fh, fw), dtype=np.uint8)
+            deint[rows] = idx.reshape(fh, fw)
+            idx = deint
+        else:
+            idx = idx.reshape(fh, fw)
+        pal = lct if lct is not None else gct
+        if pal is None:
+            raise ValueError("GIF: image has neither a local nor a "
+                             "global color table")
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError(
+                f"GIF: pixel index {int(idx.max())} outside the "
+                f"{len(pal)}-entry palette")
+        bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+                  else np.zeros(3, dtype=np.uint8))
+        canvas = np.broadcast_to(
+            bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+        frame = pal[idx]
+        if transparent is not None:
+            keep = idx != transparent
+            region = canvas[top:top + fh, left:left + fw]
+            region[keep] = frame[keep]
+            canvas[top:top + fh, left:left + fw] = region
+        else:
+            canvas[top:top + fh, left:left + fw] = frame
+        return canvas                     # first frame only
+
+
 def _fake_decode_bytes(payload: bytes, width: int, height: int,
                        channels: int) -> np.ndarray:
     """DETERMINISTIC FAKE DECODER (no codec in this container).
@@ -391,6 +562,12 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
                 # them when present, else the honest guard propagates
                 if not _HAS_PIL:
                     raise
+    if payload.startswith((b"GIF87a", b"GIF89a")) and not _HAS_PIL:
+        # builtin GIF (r11): real first-frame decode with no
+        # dependency; when Pillow is present it serves the same
+        # payload at C speed (pure-Python LZW is the no-dep fallback,
+        # same split as progressive JPEG above)
+        return _decode_gif(payload), "gif"
     if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
         import io
 
@@ -419,12 +596,13 @@ def decode_image(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
     provenance column. PPM (P6) / PGM (P5), 24-bit BMP, 8-bit AND
     16-bit PNG — plain or Adam7-interlaced (16-bit gray = the
     depth-map format; the pixel ints carry the full 16-bit values),
-    and JPEG —
+    GIF87a/89a (LZW, interlace, local/global palettes, first frame
+    of animations — r11), and JPEG —
     baseline sequential, multi-scan sequential, and progressive —
     decode for REAL with the builtin parsers (PNG via stdlib zlib,
     JPEG via the numpy codec in :mod:`.jpeg`); other formats use
     Pillow when present, which also serves as the fast C path for
-    large progressive JPEGs.
+    large progressive JPEGs and GIFs.
 
     A payload no real path can decode **raises** unless
     ``allow_fake=True``, in which case the deterministic fake decoder
@@ -457,7 +635,7 @@ def decode_image(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                 if arr is None:
                     if not allow_fake:
                         raise NotImplementedError(
-                            "decode_image: payload is not PPM/BMP/PNG and "
+                            "decode_image: payload is not PPM/BMP/PNG/GIF and "
                             "Pillow is unavailable; pass allow_fake=True to "
                             "substitute the deterministic fake decoder "
                             "(output will NOT reflect real pixels and is "
