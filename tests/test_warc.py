@@ -181,11 +181,25 @@ def test_warc_ingest_stream_end_to_end(spark, tmp_path):
             html_to_text(F.decode(F.col("payload"), "utf-8"))
             .alias("text"))
 
+    ingest_log = str(tmp_path / "ingest_log.jsonl")
     q = warc_ingest_stream(spark, str(src), table_path=table,
                            quarantine_path=quarantine,
                            checkpoint_dir=ckpt, transform=extract,
-                           max_files_per_trigger=1)
+                           max_files_per_trigger=1,
+                           ingest_log=ingest_log)
     q.awaitTermination(180)
+
+    # no-silent-caps admission reporting (r10 VERDICT item 8): with
+    # maxFilesPerTrigger=1 each batch admits exactly one file, and
+    # the per-batch clean/quarantined splits are on record
+    import json
+    entries = [json.loads(ln) for ln in
+               open(ingest_log, encoding="utf-8")]
+    assert [e["files"] for e in entries] == [1, 1]
+    assert sum(e["records"] for e in entries) == 2
+    assert sum(e["quarantined"] for e in entries) == 1
+    assert all(e["source"] == "warc" and "version" in e
+               for e in entries)
 
     got = {r["target_uri"]: r["text"]
            for r in read_snapshot(spark, table).collect()}
