@@ -29,7 +29,7 @@ from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark imp
     byte_histogram_features,
     change_point_intervals, chunk_documents,
     chunk_documents_sentences, contamination,
-    check_expectations, distinct_sketch, dup_clusters,
+    check_expectations, decode_image, distinct_sketch, dup_clusters,
     duplicate_ids, duplicate_passages, edit_distance_pairs,
     freq_estimate, freq_sketch,
     funnel, histogram_psi, histogram_sketch, quantile_estimate,
@@ -2799,6 +2799,175 @@ qualify rank <= 3
 """
 
 
+_STREAM_SNAP_MEMO: set = set()
+
+
+def _stream_snapshot_branch(spark, sf_dir, ev) -> None:
+    """r11 fold (r10 VERDICT items 1 + 8): the PARTITIONED snapshot
+    streaming source under ADMISSION CONTROL, verified inside the
+    gate. A ~2% events subset becomes a scratch snapshot table (one
+    write + one append, multiple files each); the reader is then
+    driven through its real offset protocol
+    (initialOffset/latestOffset/partitions/read — the exact calls
+    Spark's microbatch loop makes) with ``maxFilesPerTrigger=2``, so
+    the 5-file backlog MUST split across ≥3 micro-batches. Asserts,
+    raising on any mismatch: (a) the union of all batch reads equals
+    the batch-computed subset exactly (count + integer sum — exactly
+    once, no dupes, no losses across sub-version offsets); (b) the
+    admission log accounts for every file with no batch over the cap
+    and nothing deferred at drain (no silent caps); (c) the drained
+    reader returns a stable offset. Runs ONCE per (session, sf_dir)
+    like the ivm branch — fresh sessions (the correctness gate)
+    always exercise it; repeat bench runs measure the windowed agg."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _STREAM_SNAP_MEMO:
+        return
+    import json
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        snapshot_append, snapshot_write,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.spark_source import (
+        SnapshotPartitionedStreamReader,
+    )
+    scratch = tempfile.mkdtemp(prefix="q_stream_snap_")
+    tbl, log = f"{scratch}/t", f"{scratch}/admission.jsonl"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        sub = (ev.where(F.col("user_id") % 50 == 0)
+               .select("event_id", "event_type", "value"))
+        # v0 is necessarily a 'write' commit (table creation), which
+        # the append-feed source refuses by contract — seed it with
+        # the slice the stream must NOT deliver, and stream the two
+        # append commits (2 + 3 files) from startVersion=0
+        snapshot_write(spark, tbl,
+                       sub.where(F.col("event_id") % 3 == 0)
+                       .repartition(1), partition_cols=[])    # v0
+        streamed = sub.where(F.col("event_id") % 3 != 0)
+        snapshot_append(spark, tbl,
+                        streamed.where(F.col("event_id") % 3 == 1)
+                        .repartition(2))                      # v1
+        snapshot_append(spark, tbl,
+                        streamed.where(F.col("event_id") % 3 == 2)
+                        .repartition(3))                      # v2
+        want = streamed.agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("event_id").alias("s")).first()
+        rdr = SnapshotPartitionedStreamReader(
+            {"path": tbl, "startversion": "0",
+             "maxfilespertrigger": "2", "admissionlog": log})
+        rdr.initialOffset()
+        n = tot = batches = 0
+        start = {"version": 0}
+        while True:
+            off = rdr.latestOffset()
+            if off == start:
+                break                      # Spark's no-new-data check
+            for p in rdr.partitions(start, off):
+                for rb in rdr.read(p):
+                    n += rb.num_rows
+                    i = rb.schema.get_field_index("event_id")
+                    s = pc.sum(rb.column(i)).as_py()
+                    tot += s if s is not None else 0
+            batches += 1
+            start = off
+        if batches < 3:
+            raise AssertionError(
+                f"admission control did not split the backlog: "
+                f"{batches} micro-batches for a 5-file, cap-2 feed")
+        if (n, tot) != (want["n"], want["s"]):
+            raise AssertionError(
+                f"snapshot stream read diverged from the batch "
+                f"subset: got (n={n}, sum={tot}), want "
+                f"(n={want['n']}, sum={want['s']})")
+        with open(log, encoding="utf-8") as f:
+            entries = [json.loads(ln) for ln in f if ln.strip()]
+        if (len(entries) != batches
+                or any(e["files_admitted"] > 2 for e in entries)
+                or sum(e["files_admitted"] for e in entries) != 5
+                or entries[-1]["files_deferred"] != 0):
+            raise AssertionError(
+                f"admission log does not account for the feed: "
+                f"{entries}")
+        if rdr.latestOffset() != start:
+            raise AssertionError("drained reader offset not stable")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(scratch, ignore_errors=True)
+    _STREAM_SNAP_MEMO.add(key)
+
+
+def q_image_decode(spark, sf_dir):
+    """REAL image decode under the oracle gate (r11): every 10th
+    document's own utf-8 bytes become a P6 PPM payload (12-byte
+    header + the first 144 bytes as an 8×6 RGB image — PPM bytes ARE
+    the pixels, so the decode is SQL-reproducible), the payload goes
+    through the real builtin decoder (pack_media → decode_image:
+    the mapInPandas/Arrow plumbing, dims validation, codec
+    provenance), and per-document pixel statistics hash-match DuckDB
+    recomputing the same bytes from hex(encode(text)). This puts the
+    multimodal decode family's Spark plumbing under the driver gate;
+    the non-trivial codecs (PNG/JPEG/GIF/BMP/WAV) stay pinned by
+    golden-file pytest (tests/test_multimodal.py, test_jpeg.py,
+    test_gif.py) because their bit streams aren't SQL-expressible.
+    The decoded-codec provenance is asserted in-plan: a row whose
+    codec isn't 'ppm' would flip ppm_only to false and fail the
+    hash."""
+    w, h = 8, 6
+    body = w * h * 3
+    docs = _t("documents")(spark, sf_dir)
+    payload = F.concat(
+        F.encode(F.lit(f"P6 {w} {h} 255\n"), "utf-8"),
+        F.substring(F.encode("text", "utf-8"), 1, body))
+    sel = (docs
+           .where((F.col("doc_id") % 10 == 0)
+                  & (F.octet_length(F.encode("text", "utf-8"))
+                     >= body))
+           .select("doc_id", payload.alias("payload")))
+    media = pack_media(sel, "payload", fmt="image/ppm",
+                       width=w, height=h)
+    dec = decode_image(media, "payload")
+    px = dec.select("doc_id", "codec",
+                    F.posexplode("pixels").alias("pos", "v"))
+    return (px.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("v").alias("px_sum"),
+                 F.sum(F.when(F.col("pos") % 3 == 0, F.col("v"))
+                       .otherwise(0)).alias("sum_r"),
+                 F.sum(F.when(F.col("pos") % 3 == 1, F.col("v"))
+                       .otherwise(0)).alias("sum_g"),
+                 F.sum(F.when(F.col("pos") % 3 == 2, F.col("v"))
+                       .otherwise(0)).alias("sum_b"),
+                 F.min(F.col("codec") == "ppm").alias("ppm_only")))
+
+
+Q_IMAGE_DECODE_SQL = """
+with d as (
+  select doc_id, hex(encode(text)) as hx
+  from documents
+  where doc_id % 10 = 0 and octet_length(encode(text)) >= 144
+),
+byt as (
+  select d.doc_id, i,
+         (strpos('0123456789ABCDEF', substr(d.hx, 2*i-1, 1)) - 1) * 16
+         + strpos('0123456789ABCDEF', substr(d.hx, 2*i, 1)) - 1 as v
+  from d, unnest(range(1, 145)) as t(i)
+)
+select doc_id,
+  count(*) as n_px,
+  cast(sum(v) as bigint) as px_sum,
+  cast(sum(case when (i-1) % 3 = 0 then v else 0 end) as bigint) as sum_r,
+  cast(sum(case when (i-1) % 3 = 1 then v else 0 end) as bigint) as sum_g,
+  cast(sum(case when (i-1) % 3 = 2 then v else 0 end) as bigint) as sum_b,
+  true as ppm_only
+from byt group by doc_id
+"""
+
+
 def q_stream_windowed(spark, sf_dir):
     """Structured Streaming end-to-end IN the correctness gate: the
     events table replayed through the streaming file source (SURVEY §2
@@ -2808,9 +2977,12 @@ def q_stream_windowed(spark, sf_dir):
     window (append would hold back the last, still-open window behind
     the watermark; a live deployment would use append + watermark —
     streaming/ops.windowed_agg and tests/test_streaming.py cover that
-    path)."""
+    path). r11 fold: the partitioned snapshot streaming source's
+    admission control is asserted in-gate per fresh session — see
+    :func:`_stream_snapshot_branch`."""
     import uuid
     batch = _t("events")(spark, sf_dir)
+    _stream_snapshot_branch(spark, sf_dir, batch)
     # the streaming file source lists a DIRECTORY; the glob option is
     # the reference Lambda's prefix/suffix filter (SURVEY §2 #45)
     src = file_stream(spark, sf_dir, batch.schema, glob="events.parquet")
@@ -3019,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,
         "q_simhash_pairs": q_simhash_pairs,
         "q_media_features": q_media_features,
+        "q_image_decode": q_image_decode,
         "q_text_stats": q_text_stats,
         "q_expectations": q_expectations,
         "q_token_histogram": q_token_histogram,
@@ -3083,6 +3256,7 @@ from ts join li using (doc_id) join go using (doc_id)
      join we using (doc_id)
 """,
         "q_media_features": Q_MEDIA_SQL,
+        "q_image_decode": Q_IMAGE_DECODE_SQL,
         "q_expectations": Q_EXPECTATIONS_SQL,
         "q_token_histogram": Q_TOKEN_HIST_SQL,
         "q_repetition": Q_REPETITION_SQL,
