@@ -61,7 +61,8 @@ from .ingest import (continuous_cascade_batch,  # noqa: F401
                      quarantine_batch, quarantine_stream,
                      upsert_batch, upsert_stream,
                      warc_ingest_batch, warc_ingest_stream,
-                     mcap_ingest_batch, mcap_ingest_stream)
+                     mcap_ingest_batch, mcap_ingest_stream,
+                     db3_ingest_batch, db3_ingest_stream)
 from .ops import (dedup_stream, interval_join_stream,  # noqa: F401
                   sessionize_stream, windowed_agg)
 from .sources import (file_stream,  # noqa: F401

@@ -1340,6 +1340,85 @@ def mcap_ingest_stream(spark, src_path: str, *, table_path: str,
     return writer.start()
 
 
+def db3_ingest_batch(batch_df: DataFrame, batch_id: int, *,
+                     table_path: str, quarantine_path: str,
+                     definitions: dict[str, str] | None = None,
+                     transform=None, source: str = "db3",
+                     ingest_log: str | None = None) -> int:
+    """Apply ONE micro-batch of ROS2 sqlite ``.db3`` bag files — the
+    third face of the extract family (:func:`warc_ingest_batch`,
+    :func:`mcap_ingest_batch`), same exactly-once discipline: extract
+    (:func:`~..sources.db3.db3_messages_frame` with the salvage
+    contract), quarantine corrupt-file markers (``_batch_id`` dynamic
+    overwrite), optional ``transform`` (e.g. topic filter + CDR
+    decode), ONE :func:`~..sources.snapshots.snapshot_append` commit
+    with the ``source_batch`` replay marker, optional ``ingest_log``
+    line. Returns the committed (or preserved) version."""
+    from ..sources.db3 import db3_messages_frame
+    from ..sources.snapshots import snapshot_append
+
+    spark = batch_df.sparkSession
+    raw = db3_messages_frame(batch_df, definitions=definitions,
+                             on_error="skip").persist()
+    try:
+        bad = (raw.where(F.col("error").isNotNull())
+               .select("db3_file", F.col("error").alias("reason")))
+        with _dynamic_overwrite(spark):
+            (bad.withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(quarantine_path))
+        good = raw.where(F.col("error").isNull()).drop("error")
+        if transform is not None:
+            good = transform(good)
+        v = snapshot_append(spark, table_path, good,
+                            partition_cols=[],
+                            source_batch=(source, batch_id))
+        if ingest_log is not None:
+            _append_ingest_log(ingest_log, {
+                "source": source, "batch_id": batch_id,
+                "files": batch_df.select("path").distinct().count(),
+                "records": raw.where(
+                    F.col("error").isNull()).count(),
+                "quarantined": bad.count(), "version": v})
+        return v
+    finally:
+        raw.unpersist()
+
+
+def db3_ingest_stream(spark, src_path: str, *, table_path: str,
+                      quarantine_path: str, checkpoint_dir: str,
+                      definitions: dict[str, str] | None = None,
+                      transform=None, source: str = "db3",
+                      glob: str = "*.db3",
+                      max_files_per_trigger: int | None = None,
+                      available_now: bool = True,
+                      ingest_log: str | None = None) -> StreamingQuery:
+    """Continuous ``.db3`` ingestion: watch ``src_path`` for new ROS2
+    sqlite bags and run :func:`db3_ingest_batch` per micro-batch —
+    completes the three-container extract-loop family."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA)
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.load(src_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        db3_ingest_batch(batch_df, batch_id, table_path=table_path,
+                         quarantine_path=quarantine_path,
+                         definitions=definitions,
+                         transform=transform, source=source,
+                         ingest_log=ingest_log)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # -- snapshot -> index synchronization (r8) ---------------------------------
 # The change data feed (sources.snapshots.snapshot_changes) closes the
 # loop between the table format and the index-maintenance families:

@@ -163,3 +163,51 @@ def test_topic_metadata_parity(spark, tmp_path):
     assert rd["msg_type"] == rm["msg_type"] == TYPE
     for c in ("message_count", "t_min", "t_max", "frequency_hz"):
         assert rd[c] == rm[c]
+
+
+def test_db3_ingest_stream_end_to_end(spark, tmp_path):
+    """The third extract loop: streaming binaryFile source → .db3
+    extract (CDR-decoding transform) → quarantine for corrupt images
+    → ONE exactly-once snapshot_append per micro-batch, with the
+    per-batch admission stats on record; a restart with no new files
+    publishes nothing."""
+    import json
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        latest_version, read_snapshot,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import db3_ingest_stream
+
+    src = str(tmp_path / "landing")
+    tbl = str(tmp_path / "tbl")
+    quar = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "ingest_log.jsonl")
+    good = _db3_bytes()
+    _write(tmp_path, "landing", "good.db3", good)
+    _write(tmp_path, "landing", "bad.db3", good[:len(good) // 2])
+
+    def run():
+        return db3_ingest_stream(
+            spark, src, table_path=tbl, quarantine_path=quar,
+            checkpoint_dir=ckpt, definitions={TYPE: DEFN},
+            transform=lambda df: df.select("db3_file", "topic",
+                                           "log_time_ns", "data"),
+            ingest_log=log)
+
+    q = run()
+    q.awaitTermination(120)
+    rows = read_snapshot(spark, tbl).collect()
+    assert sorted((r["db3_file"], r["log_time_ns"]) for r in rows) \
+        == [("good.db3", 1000), ("good.db3", 2000)]
+    quar_rows = spark.read.parquet(quar).collect()
+    assert len(quar_rows) == 1 and quar_rows[0]["db3_file"] == "bad.db3"
+    entries = [json.loads(ln) for ln in open(log, encoding="utf-8")]
+    assert sum(e["files"] for e in entries) == 2
+    assert sum(e["records"] for e in entries) == 2
+    assert sum(e["quarantined"] for e in entries) == 1
+    v = latest_version(spark, tbl)
+
+    q2 = run()
+    q2.awaitTermination(120)
+    assert latest_version(spark, tbl) == v
