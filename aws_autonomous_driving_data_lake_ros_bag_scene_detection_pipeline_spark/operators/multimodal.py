@@ -409,16 +409,17 @@ def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
-def _decode_gif(payload: bytes) -> np.ndarray:
-    """Pure-stdlib GIF87a/89a decoder — LZW, global/local palettes,
-    interlace, first frame of animations composed onto the logical
-    screen (background-filled; the first frame's transparent pixels
-    show the background, exactly what a renderer presents for frame
-    1). Returns (screen_height, screen_width, 3) uint8 RGB. Later
-    frames and their disposal/delay semantics are out of scope — for
-    frame SAMPLING use a video container; GIF-as-image means frame 1.
-    Strict-loud on out-of-palette indices, truncated LZW streams, and
-    unknown block types (misparse is worse than an error)."""
+def _gif_iter_frames(payload: bytes):
+    """Walk a GIF87a/89a image, yielding ``(canvas, delay_cs)`` per
+    animation frame — ``canvas`` is the COMPOSED logical screen
+    (h, w, 3 uint8 RGB, valid until the next iteration: disposal
+    mutates it in place) and ``delay_cs`` the frame's GCE delay in
+    centiseconds (0 when absent). Disposal methods per the spec:
+    0/1 leave in place, 2 restore background, 3 restore previous;
+    GCE state (delay/transparency/disposal) applies to exactly ONE
+    image. Strict-loud on out-of-palette indices, truncated LZW
+    streams/sub-blocks, frames exceeding the screen, and unknown
+    block types (misparse is worse than an error)."""
     if not payload.startswith((b"GIF87a", b"GIF89a")):
         raise ValueError("not a GIF payload")
 
@@ -439,21 +440,31 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("GIF: truncated global color table")
         gct = np.frombuffer(tbl, dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, dtype=np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
     transparent = None
+    disposal = 0
+    delay_cs = 0
+    n_frames = 0
     while True:
         if pos >= len(payload):
-            raise ValueError("GIF: ran out of bytes before any "
-                             "image data")
+            raise ValueError("GIF: ran out of bytes before the "
+                             "trailer")
         b = payload[pos]
         if b == 0x3B:
-            raise ValueError("GIF: trailer before any image data")
+            if n_frames == 0:
+                raise ValueError("GIF: trailer before any image data")
+            return
         if b == 0x21:                     # extension
             if pos + 2 > len(payload):
                 raise ValueError("GIF: truncated extension")
             label = payload[pos + 1]
             body, pos = _gif_subblocks(payload, pos + 2)
-            if label == 0xF9 and len(body) >= 4 and body[0] & 1:
-                transparent = body[3]     # GCE for the NEXT image
+            if label == 0xF9 and len(body) >= 4:
+                disposal = (body[0] >> 2) & 0x7
+                delay_cs = int.from_bytes(body[1:3], "little")
+                transparent = body[3] if body[0] & 1 else None
             continue
         if b != 0x2C:
             raise ValueError(f"GIF: unknown block type 0x{b:02x}")
@@ -478,7 +489,7 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         if pos >= len(payload):
             raise ValueError("GIF: missing LZW min code size")
         mcs = payload[pos]
-        data, _ = _gif_subblocks(payload, pos + 1)
+        data, pos = _gif_subblocks(payload, pos + 1)
         idx = np.frombuffer(_gif_lzw_decode(mcs, data, fw * fh),
                             dtype=np.uint8)
         if (ipacked & 0x40):              # interlaced: 4-pass rows
@@ -498,19 +509,69 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"GIF: pixel index {int(idx.max())} outside the "
                 f"{len(pal)}-entry palette")
-        bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
-                  else np.zeros(3, dtype=np.uint8))
-        canvas = np.broadcast_to(
-            bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+        region = canvas[top:top + fh, left:left + fw]
+        prev_region = region.copy() if disposal == 3 else None
         frame = pal[idx]
         if transparent is not None:
             keep = idx != transparent
-            region = canvas[top:top + fh, left:left + fw]
             region[keep] = frame[keep]
-            canvas[top:top + fh, left:left + fw] = region
         else:
-            canvas[top:top + fh, left:left + fw] = frame
-        return canvas                     # first frame only
+            region[...] = frame
+        yield canvas, delay_cs
+        if disposal == 2:                 # restore to background
+            canvas[top:top + fh, left:left + fw] = bg_rgb
+        elif disposal == 3:               # restore to previous
+            canvas[top:top + fh, left:left + fw] = prev_region
+        transparent, disposal, delay_cs = None, 0, 0
+        n_frames += 1
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-stdlib GIF87a/89a decoder — LZW, global/local palettes,
+    interlace, first frame of animations composed onto the logical
+    screen (background-filled; the first frame's transparent pixels
+    show the background, exactly what a renderer presents for frame
+    1). Returns (screen_height, screen_width, 3) uint8 RGB. For the
+    LATER frames of an animation — disposal/delay semantics included
+    — use :func:`parse_gif_frames` / :func:`sample_frames`;
+    GIF-as-image means frame 1."""
+    canvas, _ = next(_gif_iter_frames(payload))
+    return canvas
+
+
+def parse_gif_frames(payload: bytes, *,
+                     _sample_every: int = 1) -> dict:
+    """Animated-GIF face of the video demux contract
+    (:func:`parse_avi` / :func:`parse_mp4`): ``{"width", "height",
+    "us_per_frame", "codec", "frames"}`` with every frame a
+    PPM-wrapped RGB payload of the COMPOSED canvas at that point of
+    the animation (disposal methods 0-3 honored, transparency over
+    the live canvas — the frames a renderer actually presents).
+    ``us_per_frame`` comes from the first frame's GCE delay
+    (centiseconds → µs; ``None`` when the file carries no delay).
+    Decode is inherently sequential (frame k composes onto the
+    canvas frame k-1 left behind), but with ``_sample_every > 1``
+    only the sampled canvases materialize as payloads — the same
+    decode-sequential/materialize-sampled split as the PyAV seam,
+    reported via ``"sampled_every"``."""
+    frames: list[bytes] = []
+    first_delay = None
+    n = 0
+    for canvas, delay_cs in _gif_iter_frames(payload):
+        if first_delay is None:
+            first_delay = delay_cs
+        if n % _sample_every == 0:
+            frames.append(_rgb_to_ppm(canvas))
+        n += 1
+    h, w = (int.from_bytes(payload[8:10], "little"),
+            int.from_bytes(payload[6:8], "little"))
+    out = {"width": w, "height": h,
+           "us_per_frame": (first_delay * 10_000
+                            if first_delay else None),
+           "codec": "gif", "frames": frames}
+    if _sample_every > 1:
+        out["sampled_every"] = _sample_every
+    return out
 
 
 def _fake_decode_bytes(payload: bytes, width: int, height: int,
@@ -983,7 +1044,9 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
     MJPG frames come out as JPEG payloads, raw DIB frames as BMPs, so
     the exploded ``frame`` column feeds :func:`decode_image` directly;
     rows carry ``demux="avi"``), and so do ISO-BMFF/MP4 payloads
-    (:func:`parse_mp4`, MJPEG tracks, ``demux="mp4"`` — r9).
+    (:func:`parse_mp4`, MJPEG tracks, ``demux="mp4"`` — r9) and
+    ANIMATED GIFs (:func:`parse_gif_frames`, r11 — composed canvases
+    with disposal honored, PPM-wrapped, ``demux="gif"``).
     Anything else falls back to
     fixed-size byte slices of ``len(payload) / n_frames`` (the
     documented DETERMINISTIC FAKE of the demux step, ``demux="slice"``
@@ -1037,6 +1100,13 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                     # without the package this falls through to the
                     # documented slice fake  # pragma: no cover
                     emit(rows, row, _pyav_demux(pb, every_n), "pyav")
+                    continue
+                if pb[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF demuxes for REAL builtin (r11):
+                    # composed canvases per frame, disposal honored
+                    emit(rows, row,
+                         parse_gif_frames(pb, _sample_every=every_n),
+                         "gif")
                     continue
                 n_frames = max(1, int(meta["n_frames"]))
                 size = max(1, len(pb) // n_frames)

@@ -197,14 +197,22 @@ def _entries(root: str, m: dict) -> list[dict]:
     return out
 
 
+def _exists(p: str) -> bool:
+    ad = _adapter(p)
+    return bool(ad.exists(p)) if ad is not None else os.path.exists(p)
+
+
 def _resolve(root: str, options) -> tuple[int, dict]:
     version = options.get("version")
     tag = options.get("tag")
     if version is not None and tag is not None:
         raise ValueError("pass at most one of version, tag")
     if tag is not None:
+        # adapter-aware existence check (r11 review fix: a plain
+        # os.path.exists on a schemed path is always False, which
+        # reported every tag on an adapter store as missing)
         ref = os.path.join(root, _REFS_DIR, f"{tag}.json")
-        if not os.path.exists(ref):
+        if not _exists(ref):
             raise FileNotFoundError(f"no tag {tag!r} under {root}")
         version = _read_json(ref)["version"]
     elif version is not None:

@@ -75,7 +75,8 @@ def _palette(n: int) -> np.ndarray:
 
 def _gif_file(w: int, h: int, frames, gct: np.ndarray | None,
               bg: int = 0, transparent: int | None = None) -> bytes:
-    """frames = [(left, top, idx2d, lct_or_None, interlaced)]."""
+    """frames = [(left, top, idx2d, lct_or_None, interlaced)] or
+    6-tuples with a trailing (disposal, delay_cs, transparent) GCE."""
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     if gct is not None:
@@ -84,10 +85,17 @@ def _gif_file(w: int, h: int, frames, gct: np.ndarray | None,
         out += bytes([0x80 | size_bits, bg, 0]) + gct.tobytes()
     else:
         out += bytes([0, bg, 0])
-    for left, top, idx, lct, interlaced in frames:
+    for spec in frames:
+        left, top, idx, lct, interlaced = spec[:5]
+        gce = spec[5] if len(spec) > 5 else (
+            None if transparent is None else (0, 0, transparent))
         fh, fw = idx.shape
-        if transparent is not None:
-            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        if gce is not None:
+            disposal, delay_cs, trans = gce
+            packed_g = (disposal & 7) << 2 | (trans is not None)
+            out += (bytes([0x21, 0xF9, 4, packed_g])
+                    + delay_cs.to_bytes(2, "little")
+                    + bytes([trans if trans is not None else 0, 0]))
         out += (b"\x2C" + left.to_bytes(2, "little")
                 + top.to_bytes(2, "little")
                 + fw.to_bytes(2, "little") + fh.to_bytes(2, "little"))
@@ -254,3 +262,95 @@ def test_pillow_cross_decode():  # pragma: no cover - gated
     blob = _gif_file(17, 12, [(0, 0, idx, None, False)], pal)
     im = Image.open(io.BytesIO(blob)).convert("RGB")
     assert (np.asarray(im) == _decode_gif(blob)).all()
+
+
+def test_animation_frames_disposal_semantics():
+    """parse_gif_frames composes successive canvases with the spec's
+    disposal methods: 1 leaves the frame in place, 2 restores the
+    background region, 3 restores the pre-frame canvas."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import parse_gif_frames
+
+    pal = _palette(8)
+    base = np.full((4, 4), 6, dtype=np.uint8)
+    patch = np.full((2, 2), 1, dtype=np.uint8)
+    last = np.full((1, 1), 4, dtype=np.uint8)
+    blob = _gif_file(4, 4, [
+        (0, 0, base, None, False, (1, 5, None)),    # leave in place
+        (1, 1, patch, None, False, (2, 3, None)),   # then restore bg
+        (2, 2, patch, None, False, (3, 0, None)),   # then restore prev
+        (0, 0, last, None, False, (0, 0, None)),
+    ], pal, bg=3)
+    out = parse_gif_frames(blob)
+    assert (out["width"], out["height"]) == (4, 4)
+    assert out["codec"] == "gif" and out["us_per_frame"] == 50_000
+    assert len(out["frames"]) == 4
+    f = [_decode_ppm_test(p) for p in out["frames"]]
+    want0 = np.broadcast_to(pal[6], (4, 4, 3)).copy()
+    assert (f[0] == want0).all()
+    want1 = want0.copy()
+    want1[1:3, 1:3] = pal[1]
+    assert (f[1] == want1).all()
+    # disposal 2 after frame 2: its region went back to BACKGROUND
+    want2 = want0.copy()
+    want2[1:3, 1:3] = pal[3]
+    want2[2:4, 2:4] = pal[1]
+    assert (f[2] == want2).all()
+    # disposal 3 after frame 2: ITS region reverts to the pre-frame-2
+    # canvas (base color, except (2,2) which frame 1's disposal-2 had
+    # already reset to background) — frame 2's patch is GONE in f[3]
+    want3 = want2.copy()
+    want3[2:4, 2:4] = pal[6]
+    want3[2, 2] = pal[3]
+    want3[0, 0] = pal[4]
+    assert (f[3] == want3).all()
+
+
+def _decode_ppm_test(p: bytes) -> np.ndarray:
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import _decode_ppm
+    return _decode_ppm(p)
+
+
+def test_animation_sampling_materializes_only_sampled():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import parse_gif_frames
+
+    pal = _palette(4)
+    frames = [(0, 0, np.full((2, 2), i % 4, dtype=np.uint8), None,
+               False, (1, 0, None)) for i in range(5)]
+    blob = _gif_file(2, 2, frames, pal)
+    out = parse_gif_frames(blob, _sample_every=2)
+    assert out["sampled_every"] == 2 and len(out["frames"]) == 3
+    # sampled canvases are frames 0, 2, 4 (each fully overpaints)
+    for j, want_i in enumerate((0, 2, 4)):
+        got = _decode_ppm_test(out["frames"][j])
+        assert (got == pal[np.full((2, 2), want_i % 4)]).all()
+    assert out["us_per_frame"] is None     # delay 0 -> unknown rate
+
+
+def test_sample_frames_gif_integration(spark):
+    """The Spark face: an animated GIF through sample_frames explodes
+    into PPM frame rows (demux='gif', real composed canvases), and
+    decode_image reads them back exactly."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        decode_image, pack_media, sample_frames,
+    )
+    pal = _palette(4)
+    frames = [(0, 0, np.full((3, 5), i % 4, dtype=np.uint8), None,
+               False, (1, 2, None)) for i in range(4)]
+    blob = _gif_file(5, 3, frames, pal)
+    df = pack_media(
+        spark.createDataFrame([(1, bytearray(blob))],
+                              "media_id long, payload binary"),
+        "payload", fmt="image/gif", width=5, height=3, n_frames=4)
+    ex = sample_frames(df, "payload", every_n=2,
+                       frame_col="frame").withColumnRenamed(
+        "frame", "payload")
+    rows = ex.orderBy("frame_index").collect()
+    assert [r["frame_index"] for r in rows] == [0, 2]
+    assert all(r["demux"] == "gif" for r in rows)
+    dec = decode_image(
+        pack_media(ex.select("media_id", "frame_index", "payload"),
+                   "payload", fmt="image/ppm", width=5, height=3),
+        "payload").orderBy("frame_index").collect()
+    for r, want_i in zip(dec, (0, 2)):
+        got = np.asarray(r.pixels, dtype=np.int32).reshape(3, 5, 3)
+        assert (got == pal[np.full((3, 5), want_i % 4)]).all()
