@@ -1069,6 +1069,16 @@ def test_mock_scheme_write_read_roundtrip_sparkless(tmp_path):
     # time travel still resolves through the adapter
     r0 = SnapshotReader({"path": root, "version": "0"})
     assert len(r0.partitions()) == 2
+    # TAG resolution dispatches through the adapter too (r11 review
+    # fix: a plain os.path.exists on a schemed ref path is always
+    # False — every tag on an adapter store read as missing)
+    import json as _json
+    fs.write_bytes(f"{root}/_refs/rel.json",
+                   _json.dumps({"version": 0}).encode())
+    rt = SnapshotReader({"path": root, "tag": "rel"})
+    assert len(rt.partitions()) == 2
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        SnapshotReader({"path": root, "tag": "nope"})
     # throttled STREAMING face over the adapter (per-entry bytes
     # recorded by the task write feed maxBytesPerTrigger)
     srdr = SnapshotPartitionedStreamReader(
