@@ -64,6 +64,19 @@ def parse_db3_bytes(db3_file: str, buf: bytes,
     ``log_time_ns`` and ``publish_time_ns`` are both that value —
     documented, not a guess; MCAP twins built from the same recording
     agree on ``log_time_ns``."""
+    if buf[:4] == b"\x28\xb5\x2f\xfd":
+        # rosbag2's file-level compression ships .db3.zstd images
+        # (compression_format: zstd in metadata.yaml) — same optional
+        # seam as MCAP zstd chunks (mcap.py)
+        try:
+            import zstandard
+        except ImportError:
+            raise NotImplementedError(
+                f"{db3_file} is a zstd-compressed rosbag2 image "
+                f"(.db3.zstd) and stdlib has no zstd; install the "
+                f"zstandard package or decompress upstream") from None
+        buf = zstandard.ZstdDecompressor().decompress(
+            bytes(buf), max_output_size=1 << 31)
     if buf[:len(_DB3_MAGIC)] != _DB3_MAGIC:
         raise ValueError(f"{db3_file}: not a sqlite3 database")
     defs = definitions or {}
