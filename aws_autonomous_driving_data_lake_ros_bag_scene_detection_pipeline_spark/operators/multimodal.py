@@ -1197,7 +1197,9 @@ def decode_audio(df: DataFrame, binary_col: str,
     """Decode audio bytes to ``array<float>`` PCM samples in [-1, 1].
 
     RIFF/WAVE PCM decodes for REAL via the builtin :func:`_decode_wav`
-    (no dependency); compressed containers (mp3/flac/ogg/aac) route
+    and FLAC via the builtin :mod:`.flac` decoder (r11 — CRC-checked
+    frames, all subframe types, stereo decorrelation; no dependency);
+    the remaining compressed containers (mp3/ogg/aac) route
     through the optional **PyAV seam** when the ``av`` package is
     present (r10 — the audio face of the video seam) and raise a
     clear ``NotImplementedError`` naming the seam otherwise — the
@@ -1218,14 +1220,20 @@ def decode_audio(df: DataFrame, binary_col: str,
                 payload = bytes(payload)
                 if payload.startswith(b"RIFF"):
                     samples, _ = _decode_wav(payload)
+                elif payload.startswith(b"fLaC"):
+                    # builtin FLAC (r11): exact lossless decode with
+                    # no dependency — deterministic across
+                    # environments, so it outranks the PyAV seam
+                    from .flac import decode_flac
+                    samples, _ = decode_flac(payload)
                 elif _HAS_PYAV:  # pragma: no cover - no PyAV here
                     samples = _pyav_decode_audio(payload)
                 else:
                     raise NotImplementedError(
-                        "decode_audio: only RIFF/WAVE PCM decodes "
-                        "without a codec library; install PyAV for "
-                        "mp3/flac/ogg/aac (the optional seam decodes "
-                        "them when present)")
+                        "decode_audio: only RIFF/WAVE PCM and FLAC "
+                        "decode without a codec library; install "
+                        "PyAV for mp3/ogg/aac (the optional seam "
+                        "decodes them when present)")
                 out.append(samples)
             pdf = pdf.copy()
             pdf[out_col] = out
