@@ -151,6 +151,51 @@ def _parse_streaminfo(payload: bytes) -> tuple[dict, int]:
     return info, pos
 
 
+def parse_flac_metadata(payload: bytes) -> dict:
+    """STREAMINFO + Vorbis-comment tags without decoding any audio —
+    the metadata face a corpus table wants (sample rate, channels,
+    bit depth, duration, artist/title/... tags). Returns ``{"rate",
+    "channels", "bps", "total_samples", "duration_s", "vendor",
+    "comments": {KEY: value}}`` (comment keys upper-cased per the
+    Vorbis convention; the last occurrence of a repeated key wins).
+    Walks metadata blocks only; loud on malformed headers."""
+    info, _ = _parse_streaminfo(payload)
+    out = {k: info[k] for k in ("rate", "channels", "bps",
+                                "total_samples")}
+    out["duration_s"] = (info["total_samples"] / info["rate"]
+                         if info["total_samples"] else None)
+    out["vendor"] = None
+    out["comments"] = {}
+    pos = 4
+    while True:
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        length = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + length]
+        if btype == 4:                      # VORBIS_COMMENT (LE!)
+            o = 0
+            vn = int.from_bytes(body[o:o + 4], "little")
+            o += 4
+            out["vendor"] = body[o:o + vn].decode("utf-8", "replace")
+            o += vn
+            n = int.from_bytes(body[o:o + 4], "little")
+            o += 4
+            for _ in range(n):
+                ln = int.from_bytes(body[o:o + 4], "little")
+                o += 4
+                item = body[o:o + ln].decode("utf-8", "replace")
+                o += ln
+                if o > len(body):
+                    raise ValueError(
+                        "FLAC: truncated Vorbis comment block")
+                k, _, v = item.partition("=")
+                out["comments"][k.upper()] = v
+        pos += 4 + length
+        if last:
+            break
+    return out
+
+
 def _rice_partition(r: _Bits, n: int, rice2: bool) -> list[int]:
     param = r.read(5 if rice2 else 4)
     escape = 31 if rice2 else 15

@@ -91,10 +91,14 @@ def _zigzag(v: int) -> int:
 
 
 def _rice(w: _W, residuals: list[int], escape: bool = False) -> None:
-    """One-partition residual coding (method 0, 4-bit params)."""
+    """One-partition residual coding (method 0, 4-bit params);
+    residuals too wide for a 4-bit Rice param fall back to the
+    escape (raw-bits) partition form."""
     w.w(0, 2)                                   # method: rice 4-bit
     w.w(0, 4)                                   # partition order 0
-    if escape:
+    zz = [_zigzag(e) for e in residuals]
+    param = max(max((z.bit_length() for z in zz), default=1) - 2, 0)
+    if escape or param > 14:
         bits = max(max((abs(e).bit_length() + 1 for e in residuals),
                        default=1), 1)
         w.w(15, 4)                              # escape code
@@ -102,8 +106,6 @@ def _rice(w: _W, residuals: list[int], escape: bool = False) -> None:
         for e in residuals:
             w.sgn(e, bits)
         return
-    zz = [_zigzag(e) for e in residuals]
-    param = max(max((z.bit_length() for z in zz), default=1) - 2, 0)
     w.w(param, 4)
     for z in zz:
         w.unary(z >> param)
@@ -405,3 +407,43 @@ def test_pyav_cross_decode():  # pragma: no cover - gated
     theirs = _pyav_decode_audio(blob)
     ours, _ = decode_flac(blob)
     assert np.allclose(theirs, ours, atol=1e-4)
+
+
+def test_metadata_streaminfo_and_vorbis_comments():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.flac import (
+        parse_flac_metadata,
+    )
+    vals = _sine16(16, 20)
+    blob = bytearray(_flac(8000, 1, 16, [
+        (16, 0, lambda w: _sub_verbatim(w, vals, 16))]))
+    # splice a VORBIS_COMMENT block between STREAMINFO and the frame:
+    # clear STREAMINFO's last-block flag, insert type-4 block
+    blob[4] &= 0x7F
+    vendor = b"test-encoder"
+    items = [b"ARTIST=sensor rig 7", b"title=drive 0042"]
+    body = (len(vendor).to_bytes(4, "little") + vendor
+            + len(items).to_bytes(4, "little")
+            + b"".join(len(i).to_bytes(4, "little") + i
+                       for i in items))
+    block = bytes([0x80 | 4]) + len(body).to_bytes(3, "big") + body
+    blob = bytes(blob[:42]) + block + bytes(blob[42:])
+    meta = parse_flac_metadata(blob)
+    assert (meta["rate"], meta["channels"], meta["bps"]) == (8000, 1, 16)
+    assert meta["total_samples"] == 16 and meta["duration_s"] == 16 / 8000
+    assert meta["vendor"] == "test-encoder"
+    assert meta["comments"] == {"ARTIST": "sensor rig 7",
+                                "TITLE": "drive 0042"}
+    # the audio still decodes with the extra block in the chain
+    samples, _ = decode_flac(blob)
+    assert np.allclose(samples, np.array(vals) / 32768.0)
+
+
+@pytest.mark.parametrize("bps,scale", [(8, 128.0), (24, 8388608.0)])
+def test_other_bit_depths(bps, scale):
+    rng = np.random.default_rng(bps)
+    vals = [int(v) for v in
+            rng.integers(-int(scale) // 2, int(scale) // 2, 32)]
+    blob = _flac(8000, 1, bps, [
+        (32, 0, lambda w: _sub_fixed(w, 1, vals, bps))])
+    samples, _ = decode_flac(blob)
+    assert np.allclose(samples, np.array(vals) / scale)
