@@ -112,6 +112,23 @@ def _utf8_number(r: _Bits, max_bytes: int) -> int:
     return v
 
 
+def _strip_id3(payload: bytes) -> bytes:
+    """FLAC files in the wild frequently carry an ID3v2 tag ahead of
+    the stream (taggers bolt it on even though the spec keeps
+    metadata in FLAC blocks): 10-byte header with a syncsafe 28-bit
+    size, optional 10-byte footer (flag 0x10). Returns the payload
+    from the ``fLaC`` magic on; non-ID3 payloads pass through."""
+    if payload[:3] != b"ID3":
+        return payload
+    if len(payload) < 10:
+        raise ValueError("FLAC: truncated ID3v2 header")
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("FLAC: ID3v2 size is not syncsafe")
+    size = (payload[6] << 21 | payload[7] << 14
+            | payload[8] << 7 | payload[9])
+    return payload[10 + size + (10 if payload[5] & 0x10 else 0):]
+
+
 def _parse_streaminfo(payload: bytes) -> tuple[dict, int]:
     """(streaminfo, offset of the first frame)."""
     if payload[:4] != b"fLaC":
@@ -158,7 +175,9 @@ def parse_flac_metadata(payload: bytes) -> dict:
     "channels", "bps", "total_samples", "duration_s", "vendor",
     "comments": {KEY: value}}`` (comment keys upper-cased per the
     Vorbis convention; the last occurrence of a repeated key wins).
-    Walks metadata blocks only; loud on malformed headers."""
+    Walks metadata blocks only; loud on malformed headers; a leading
+    ID3v2 tag (common in the wild) is skipped."""
+    payload = _strip_id3(payload)
     info, _ = _parse_streaminfo(payload)
     out = {k: info[k] for k in ("rate", "channels", "bps",
                                 "total_samples")}
@@ -294,7 +313,9 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     in [-1, 1], channel-interleaved: the builtin WAV contract, so
     :func:`~.multimodal.decode_audio` serves FLAC with zero
     dependencies. Verifies frame header CRC-8 and frame CRC-16 and
-    raises on mismatch (a silent bad frame is worse than an error)."""
+    raises on mismatch (a silent bad frame is worse than an error).
+    A leading ID3v2 tag (common in the wild) is skipped."""
+    payload = _strip_id3(payload)
     info, pos = _parse_streaminfo(payload)
     return _decode_frames(payload, info, pos)
 

@@ -1152,11 +1152,57 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif audio_format == 1 and bits == 8:  # unsigned in WAV
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
                    - 128.0) / 128.0
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711 A-law (6) / µ-law (7) — the telephony companding
+        # formats (public ITU-T G.711; r11). 256-entry LUT from the
+        # standard expansion formulas, byte-exact vs stdlib audioop
+        # (pinned in tests/test_multimodal.py)
+        lut = (_alaw_table() if audio_format == 6
+               else _ulaw_table())
+        samples = lut[np.frombuffer(data, dtype=np.uint8)]
     else:
         raise ValueError(
-            f"builtin WAV decoder handles PCM 8/16/32 and float32 only "
+            f"builtin WAV decoder handles PCM 8/16/32, float32, and "
+            f"G.711 a-law/mu-law only "
             f"(got format={audio_format}, bits={bits})")
     return samples, sample_rate
+
+
+def _ulaw_table() -> np.ndarray:
+    out = np.empty(256, dtype=np.float32)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        out[b] = (-t if u & 0x80 else t) / 32768.0
+    return out
+
+
+def _alaw_table() -> np.ndarray:
+    out = np.empty(256, dtype=np.float32)
+    for b in range(256):
+        a = b ^ 0x55
+        exp, man = (a >> 4) & 7, a & 0x0F
+        t = ((man << 4) + 8 if exp == 0
+             else ((man << 4) + 0x108) << (exp - 1))
+        # G.711 A-law: a SET sign bit means positive (the opposite of
+        # µ-law) — pinned byte-exact against audioop in the tests
+        out[b] = (t if a & 0x80 else -t) / 32768.0
+    return out
+
+
+def _is_flac(payload: bytes) -> bool:
+    """FLAC sniffing for the decode_audio dispatch — bare streams
+    AND the common ID3v2-prefixed form (an ID3-prefixed mp3 comes
+    back False and stays on the PyAV seam)."""
+    if payload.startswith(b"fLaC"):
+        return True
+    if payload[:3] != b"ID3":
+        return False
+    from .flac import _strip_id3
+    try:
+        return _strip_id3(payload)[:4] == b"fLaC"
+    except ValueError:
+        return False
 
 
 def _pyav_decode_audio(payload: bytes) -> np.ndarray:
@@ -1220,7 +1266,7 @@ def decode_audio(df: DataFrame, binary_col: str,
                 payload = bytes(payload)
                 if payload.startswith(b"RIFF"):
                     samples, _ = _decode_wav(payload)
-                elif payload.startswith(b"fLaC"):
+                elif _is_flac(payload):
                     # builtin FLAC (r11): exact lossless decode with
                     # no dependency — deterministic across
                     # environments, so it outranks the PyAV seam

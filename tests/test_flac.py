@@ -447,3 +447,34 @@ def test_other_bit_depths(bps, scale):
         (32, 0, lambda w: _sub_fixed(w, 1, vals, bps))])
     samples, _ = decode_flac(blob)
     assert np.allclose(samples, np.array(vals) / scale)
+
+
+def test_id3_prefixed_flac_decodes_and_sniffs():
+    """Taggers bolt ID3v2 onto FLAC files: the decoder skips the tag
+    (syncsafe size, optional footer) and decode_audio's sniffer
+    routes the payload builtin; an ID3-prefixed NON-flac stays off
+    the builtin path."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.flac import (
+        parse_flac_metadata,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import _is_flac
+
+    vals = _sine16(16, 30)
+    flac = _flac(8000, 1, 16, [
+        (16, 0, lambda w: _sub_verbatim(w, vals, 16))])
+    body = b"\x00" * 200                       # fake tag frames
+    n = len(body)
+    sync = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+    tagged = b"ID3\x04\x00\x00" + sync + body + flac
+    samples, rate = decode_flac(tagged)
+    assert rate == 8000
+    assert np.allclose(samples, np.array(vals) / 32768.0)
+    assert parse_flac_metadata(tagged)["rate"] == 8000
+    assert _is_flac(tagged) and _is_flac(flac)
+    assert not _is_flac(b"ID3\x04\x00\x00" + sync + body + b"mp3!")
+    # footer flag adds 10 more bytes
+    tagged_f = (b"ID3\x04\x00\x10" + sync + body + b"\x00" * 10
+                + flac)
+    assert np.allclose(decode_flac(tagged_f)[0],
+                       np.array(vals) / 32768.0)

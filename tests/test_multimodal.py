@@ -832,3 +832,33 @@ def test_decode_image_adam7_interlaced_png(spark):
     tiny = rng.integers(0, 256, size=(1, 1, 1), dtype=np.uint8)
     assert np.array_equal(
         _decode_png(_adam7_png_bytes(tiny, 8, 0)), tiny)
+
+
+def test_wav_g711_matches_audioop_exactly():
+    """G.711 µ-law and A-law WAV decode: the builtin 256-entry LUTs
+    must match the stdlib audioop expansion BYTE-FOR-BYTE (the
+    independent oracle this Python still ships)."""
+    import audioop
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        _alaw_table, _decode_wav, _ulaw_table,
+    )
+    allb = bytes(range(256))
+    want_u = np.frombuffer(audioop.ulaw2lin(allb, 2), dtype="<i2")
+    want_a = np.frombuffer(audioop.alaw2lin(allb, 2), dtype="<i2")
+    assert np.array_equal(_ulaw_table() * 32768.0, want_u)
+    assert np.array_equal(_alaw_table() * 32768.0, want_a)
+
+    def wav(fmt, data):
+        return (b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                + fmt.to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + (8000).to_bytes(4, "little")
+                + (8000).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+                + b"data" + len(data).to_bytes(4, "little") + data)
+
+    s_u, r = _decode_wav(wav(7, allb))
+    assert r == 8000 and np.array_equal(s_u * 32768.0, want_u)
+    s_a, _ = _decode_wav(wav(6, allb))
+    assert np.array_equal(s_a * 32768.0, want_a)
