@@ -31,7 +31,8 @@ from .operators import (  # noqa: E402,F401
     decode_image, downsample_cascade, dup_clusters, duplicate_ids,
     check_expectations, violation_samples,
     distinct_rollup_check, distinct_sketch, duplicate_passages,
-    rollup_distinct, parse_avi, parse_gif_frames, parse_mp4,
+    rollup_distinct, media_metadata,
+    parse_avi, parse_gif_frames, parse_mp4,
     edit_distance_pairs, embedding_moments, fit_logistic, fit_pca,
     freq_estimate, freq_sketch, funnel, funnel_per_session,
     fuzzy_join, logistic_expr,

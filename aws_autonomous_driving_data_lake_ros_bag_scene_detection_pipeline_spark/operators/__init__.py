@@ -10,7 +10,8 @@ from .dedup import (
     ngram_jaccard_pairs, remove_duplicate_spans, simhash, simhash_pairs,
 )
 from .multimodal import (
-    byte_histogram_features, decode_audio, decode_image, pack_media,
+    byte_histogram_features, decode_audio, decode_image,
+    media_metadata, pack_media,
     parse_avi, parse_gif_frames, parse_mp4,
     repartition_for_media, resize_pixels, sample_frames,
 )
@@ -98,7 +99,7 @@ __all__ = [
     "resample_interpolate", "resize_pixels", "running_agg",
     "motif_bucket_drops", "motif_pairs", "pattern_topk", "pattern_topk_multi", "sliding_windows",
     "distinct_rollup_check", "distinct_sketch", "rollup_distinct",
-    "parse_avi", "parse_gif_frames", "parse_mp4", "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
+    "media_metadata", "parse_avi", "parse_gif_frames", "parse_mp4", "sample_frames", "sessionize", "simhash", "simhash_pairs", "stratified_hash_sample",
     "corpus_report",
     "temperature_mix_rates", "tfidf_top_terms", "time_spine",
     "token_repetition", "top_k_per_group", "union_by_name",

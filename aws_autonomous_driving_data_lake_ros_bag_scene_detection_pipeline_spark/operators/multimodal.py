@@ -1120,6 +1120,307 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
     return df.mapInPandas(sample, out_schema)
 
 
+_MEDIA_INFO_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("error", T.StringType()),
+])
+
+_JPEG_SOF = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive",
+             0xC3: "lossless", 0xC5: "diff", 0xC6: "diff-prog",
+             0xC7: "diff-lossless", 0xC9: "arith", 0xCA: "arith-prog",
+             0xCB: "arith-lossless", 0xCD: "diff-arith",
+             0xCE: "diff-arith-prog", 0xCF: "diff-arith-lossless"}
+
+
+def _probe_media_bytes(pb: bytes) -> dict:
+    """Header-only metadata for one payload — the decode-free probe
+    behind :func:`media_metadata`. Never raises: malformed payloads
+    come back with ``format`` from the magic plus an ``error``;
+    unrecognized magics come back ``format='unknown'``."""
+    out = {k.name: None for k in _MEDIA_INFO_SCHEMA.fields}
+    out["tags"] = {}
+
+    def ppm():
+        out["format"] = "ppm" if pb[:2] == b"P6" else "pgm"
+        pos, toks = 2, []
+        while len(toks) < 3:
+            while pb[pos:pos + 1].isspace():
+                pos += 1
+            if pb[pos:pos + 1] == b"#":
+                while pos < len(pb) and pb[pos] not in (10, 13):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(pb) and not pb[pos:pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated netpbm header")
+            toks.append(int(pb[start:pos]))
+        out["width"], out["height"], maxval = toks
+        out["channels"] = 3 if pb[:2] == b"P6" else 1
+        out["bit_depth"] = 16 if maxval > 255 else 8
+        out["n_frames"] = 1
+
+    def bmp():
+        out["format"] = "bmp"
+        out["width"] = int.from_bytes(pb[18:22], "little",
+                                      signed=True)
+        out["height"] = abs(int.from_bytes(pb[22:26], "little",
+                                           signed=True))
+        bpp = int.from_bytes(pb[28:30], "little")
+        out["bit_depth"] = 8
+        out["channels"] = max(bpp // 8, 1)
+        out["n_frames"] = 1
+
+    def png():
+        out["format"] = "png"
+        if pb[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        out["width"] = int.from_bytes(pb[16:20], "big")
+        out["height"] = int.from_bytes(pb[20:24], "big")
+        out["bit_depth"] = pb[24]
+        ctype = pb[25]
+        out["channels"] = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(ctype)
+        if out["channels"] is None:
+            raise ValueError(f"PNG invalid color type {ctype}")
+        out["n_frames"] = 1
+
+    def gif():
+        out["format"] = "gif"
+        out["width"] = int.from_bytes(pb[6:8], "little")
+        out["height"] = int.from_bytes(pb[8:10], "little")
+        out["channels"], out["bit_depth"] = 3, 8
+        pos = 13
+        if pb[10] & 0x80:
+            pos += 3 * (2 << (pb[10] & 7))
+        frames, delay_cs = 0, 0
+        while pos < len(pb) and pb[pos] != 0x3B:
+            b = pb[pos]
+            if b == 0x21:
+                label = pb[pos + 1]
+                body, pos = _gif_subblocks(pb, pos + 2)
+                if label == 0xF9 and len(body) >= 3:
+                    delay_cs += int.from_bytes(body[1:3], "little")
+            elif b == 0x2C:
+                frames += 1
+                if pb[pos + 9] & 0x80:
+                    pos += 3 * (2 << (pb[pos + 9] & 7))
+                pos += 10
+                _, pos = _gif_subblocks(pb, pos + 1)
+            else:
+                raise ValueError(f"GIF unknown block 0x{b:02x}")
+        out["n_frames"] = frames
+        if frames == 0:
+            raise ValueError("GIF carries no image data")
+        if delay_cs:
+            out["duration_s"] = delay_cs / 100.0
+
+    def jpeg():
+        from .jpeg import is_progressive_jpeg
+        out["format"] = "jpeg"
+        pos = 2
+        while pos + 4 <= len(pb):
+            if pb[pos] != 0xFF:
+                pos += 1
+                continue
+            m = pb[pos + 1]
+            if m in (0xFF, 0x00) or 0xD0 <= m <= 0xD8:
+                pos += 2
+                continue
+            seg = int.from_bytes(pb[pos + 2:pos + 4], "big")
+            if m in _JPEG_SOF:
+                out["bit_depth"] = pb[pos + 4]
+                out["height"] = int.from_bytes(pb[pos + 5:pos + 7],
+                                               "big")
+                out["width"] = int.from_bytes(pb[pos + 7:pos + 9],
+                                              "big")
+                out["channels"] = pb[pos + 9]
+                out["n_frames"] = 1
+                out["codec"] = ("progressive"
+                                if is_progressive_jpeg(pb)
+                                else _JPEG_SOF[m])
+                return
+            pos += 2 + seg
+        raise ValueError("JPEG missing SOF marker")
+
+    def riff():
+        kind = pb[8:12]
+        if kind == b"WAVE":
+            out["format"] = "wav"
+            pos, fmt, data_len = 12, None, None
+            while pos + 8 <= len(pb):
+                cid = pb[pos:pos + 4]
+                size = int.from_bytes(pb[pos + 4:pos + 8], "little")
+                if cid == b"fmt ":
+                    fmt = pb[pos + 8:pos + 8 + size]
+                elif cid == b"data":
+                    data_len = size
+                pos += 8 + size + (size & 1)
+            if fmt is None:
+                raise ValueError("WAV missing fmt chunk")
+            code = int.from_bytes(fmt[0:2], "little")
+            out["codec"] = {1: "pcm", 3: "float", 6: "alaw",
+                            7: "ulaw"}.get(code, f"fmt-{code}")
+            out["channels"] = int.from_bytes(fmt[2:4], "little")
+            out["sample_rate"] = int.from_bytes(fmt[4:8], "little")
+            out["bit_depth"] = int.from_bytes(fmt[14:16], "little")
+            if data_len is not None and out["channels"]:
+                frame = max(out["channels"] * out["bit_depth"] // 8,
+                            1)
+                out["n_frames"] = data_len // frame
+                if out["sample_rate"]:
+                    out["duration_s"] = (out["n_frames"]
+                                         / out["sample_rate"])
+        elif kind == b"AVI ":
+            out["format"] = "avi"
+            pos = 12
+            stack = [(pos, len(pb))]
+            while stack:
+                p, end = stack.pop()
+                while p + 8 <= end:
+                    cid = pb[p:p + 4]
+                    size = int.from_bytes(pb[p + 4:p + 8], "little")
+                    if cid == b"LIST":
+                        stack.append((p + 12, p + 8 + size))
+                    elif cid == b"avih":
+                        us = int.from_bytes(pb[p + 8:p + 12],
+                                            "little")
+                        out["n_frames"] = int.from_bytes(
+                            pb[p + 24:p + 28], "little")
+                        out["width"] = int.from_bytes(
+                            pb[p + 40:p + 44], "little")
+                        out["height"] = int.from_bytes(
+                            pb[p + 44:p + 48], "little")
+                        if us and out["n_frames"]:
+                            out["duration_s"] = (us * out["n_frames"]
+                                                 / 1e6)
+                    p += 8 + size + (size & 1)
+        else:
+            out["format"] = "riff"
+            raise ValueError(f"unrecognized RIFF form {kind!r}")
+
+    def mp4():
+        out["format"] = "mp4"
+        n = len(pb)
+        for b, e in _mp4_find(pb, 0, n, b"moov", b"mvhd"):
+            ver = pb[b]
+            if ver == 1:
+                ts = int.from_bytes(pb[b + 20:b + 24], "big")
+                dur = int.from_bytes(pb[b + 24:b + 32], "big")
+            else:
+                ts = int.from_bytes(pb[b + 12:b + 16], "big")
+                dur = int.from_bytes(pb[b + 16:b + 20], "big")
+            if ts:
+                out["duration_s"] = dur / ts
+        for trak_b, trak_e in _mp4_find(pb, 0, n, b"moov", b"trak"):
+            handlers = [pb[b + 8:b + 12] for b, e in
+                        _mp4_find(pb, trak_b, trak_e,
+                                  b"mdia", b"hdlr")]
+            if b"vide" not in handlers:
+                continue
+            for b, e in _mp4_find(pb, trak_b, trak_e, b"mdia",
+                                  b"minf", b"stbl", b"stsd"):
+                entry = b + 8
+                out["codec"] = pb[entry + 4:entry + 8].decode(
+                    "ascii", "replace").strip()
+                out["width"] = int.from_bytes(
+                    pb[entry + 32:entry + 34], "big")
+                out["height"] = int.from_bytes(
+                    pb[entry + 34:entry + 36], "big")
+            for b, e in _mp4_find(pb, trak_b, trak_e, b"mdia",
+                                  b"minf", b"stbl", b"stsz"):
+                out["n_frames"] = int.from_bytes(pb[b + 8:b + 12],
+                                                 "big")
+            break
+
+    def flac():
+        from .flac import parse_flac_metadata
+        out["format"] = "flac"          # before the parse: a torn
+        meta = parse_flac_metadata(pb)  # stream keeps its format tag
+        out["codec"] = "flac"
+        out["channels"] = meta["channels"]
+        out["bit_depth"] = meta["bps"]
+        out["sample_rate"] = meta["rate"]
+        out["n_frames"] = (meta["total_samples"]
+                           if meta["total_samples"]
+                           < 2**31 else None)
+        out["duration_s"] = meta["duration_s"]
+        out["tags"] = meta["comments"]
+
+    try:
+        if pb[:2] in (b"P6", b"P5"):
+            ppm()
+        elif pb[:2] == b"BM":
+            bmp()
+        elif pb.startswith(_PNG_SIG):
+            png()
+        elif pb[:6] in (b"GIF87a", b"GIF89a"):
+            gif()
+        elif pb[:3] == b"\xFF\xD8\xFF":
+            jpeg()
+        elif pb[:4] == b"RIFF":
+            riff()
+        elif len(pb) >= 12 and pb[4:8] == b"ftyp":
+            mp4()
+        elif _is_flac(pb):
+            flac()
+        elif pb[:8] == b"\x89MCAP0\r\n":
+            out["format"] = "mcap"
+        elif pb[:13] == b"#ROSBAG V2.0\n":
+            out["format"] = "rosbag"
+        elif pb[:16] == b"SQLite format 3\x00":
+            out["format"] = "db3"
+        else:
+            out["format"] = "unknown"
+    except (ValueError, IndexError, KeyError, OverflowError) as e:
+        out["error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def media_metadata(df: DataFrame, binary_col: str,
+                   out_col: str = "media_info") -> DataFrame:
+    """Decode-free media profiling (r11): one header-only probe per
+    payload producing a typed ``media_info`` struct — format, codec,
+    dims, channels, bit depth, frame/sample counts, duration, and
+    embedded tags (FLAC Vorbis comments) — WITHOUT decoding a single
+    pixel or sample. This is the 100 TB corpus-profiling pass: the
+    probe reads a few hundred bytes of structure per payload, so a
+    metadata sweep costs I/O, not codec CPU; route on ``format`` /
+    ``error`` afterwards (e.g. quarantine ``error`` rows, group by
+    codec, histogram durations). TOTAL by contract: malformed
+    payloads yield ``error`` (with ``format`` from the magic),
+    unknown magics yield ``format='unknown'`` — a profiling sweep
+    must never die on one bad blob, unlike the decoders, which stay
+    loud. Covers the whole builtin family: netpbm, BMP, PNG, GIF
+    (frame count + total delay), JPEG (SOF variant as codec), WAV
+    (G.711 included), AVI, ISO-BMFF/MP4, FLAC (+ID3-prefixed), and
+    labels MCAP / ROS1 bag / sqlite db3 containers."""
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField(out_col, _MEDIA_INFO_SCHEMA)])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            infos = []
+            for payload in pdf[binary_col]:
+                infos.append(None if payload is None
+                             else _probe_media_bytes(bytes(payload)))
+            pdf = pdf.copy()
+            pdf[out_col] = infos
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Pure-Python decoder for RIFF/WAVE PCM (8/16/32-bit int and
     32-bit float) — a REAL audio decode path that needs no external

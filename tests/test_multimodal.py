@@ -862,3 +862,89 @@ def test_wav_g711_matches_audioop_exactly():
     assert r == 8000 and np.array_equal(s_u * 32768.0, want_u)
     s_a, _ = _decode_wav(wav(6, allb))
     assert np.array_equal(s_a * 32768.0, want_a)
+
+
+def test_media_metadata_probe_all_formats(spark):
+    """The decode-free corpus-profiling pass (r11): one header probe
+    per payload, every builtin family member recognized with the
+    right dims/codec/duration, malformed payloads marked with an
+    error instead of dying, unknown magics labeled."""
+    import sys
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import media_metadata
+
+    sys.path.insert(0, "/root/repo")
+    from tests.test_flac import _flac, _sine16, _sub_verbatim
+    from tests.test_gif import _gif_file, _palette
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import encode_jpeg
+
+    pal = _palette(4)
+    gif = _gif_file(6, 4, [
+        (0, 0, np.zeros((4, 6), dtype=np.uint8), None, False,
+         (1, 7, None)),
+        (0, 0, np.ones((4, 6), dtype=np.uint8), None, False,
+         (1, 3, None))], pal)
+    flac = _flac(8000, 2, 16, [
+        (16, 1, lambda w: (_sub_verbatim(w, _sine16(16, 1), 16),
+                           _sub_verbatim(w, _sine16(16, 2), 16)))])
+    wav = (b"RIFF" + (36 + 64).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little")
+           + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+           + b"data" + (64).to_bytes(4, "little") + bytes(64))
+    rows = [
+        (1, bytearray(_ppm_bytes(img))),
+        (2, bytearray(_bmp_bytes(img))),
+        (3, bytearray(_png_bytes(img))),
+        (4, bytearray(gif)),
+        (5, bytearray(encode_jpeg(img, quality=90))),
+        (6, bytearray(wav)),
+        (7, bytearray(flac)),
+        (8, bytearray(b"\x89MCAP0\r\n rest")),
+        (9, bytearray(b"totally unknown bytes")),
+        (10, bytearray(_png_bytes(img)[:14])),   # torn PNG
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["media_info"].asDict() for r in
+           media_metadata(df, "payload").collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"],
+            got[1]["channels"]) == ("ppm", 6, 4, 3)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == \
+        ("bmp", 6, 4)
+    assert (got[3]["format"], got[3]["bit_depth"],
+            got[3]["channels"]) == ("png", 8, 3)
+    assert (got[4]["format"], got[4]["n_frames"],
+            got[4]["duration_s"]) == ("gif", 2, 0.10)
+    assert (got[5]["format"], got[5]["codec"], got[5]["width"],
+            got[5]["height"]) == ("jpeg", "baseline", 6, 4)
+    assert (got[6]["format"], got[6]["codec"], got[6]["sample_rate"],
+            got[6]["n_frames"]) == ("wav", "ulaw", 8000, 64)
+    assert (got[7]["format"], got[7]["channels"],
+            got[7]["sample_rate"], got[7]["n_frames"],
+            got[7]["duration_s"]) == ("flac", 2, 8000, 16, 16 / 8000)
+    assert got[8]["format"] == "mcap"
+    assert got[9]["format"] == "unknown" and got[9]["error"] is None
+    assert got[10]["format"] == "png" and got[10]["error"]
+    assert all(v["error"] is None for k, v in got.items() if k != 10)
+
+
+def test_media_metadata_total_on_hostile_bytes():
+    """The probe is TOTAL: arbitrary bytes behind every magic yield a
+    dict (format + error), never an exception."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        _probe_media_bytes,
+    )
+    rng = np.random.default_rng(0)
+    magics = [b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+              b"\xFF\xD8\xFF", b"RIFF", b"fLaC", b"ID3",
+              b"\x00\x00\x00\x18ftyp", b""]
+    for m in magics:
+        for n in (0, 3, 17, 120):
+            blob = m + bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            info = _probe_media_bytes(blob)
+            assert info["format"] is not None
