@@ -71,6 +71,10 @@ from .retrieval import (  # noqa: F401
     probe_buckets,
     rrf_fuse, term_stats,
 )
+from .sensors import (  # noqa: F401
+    IMAGE_DEFINITION, POINTCLOUD2_DEFINITION, decode_pointcloud2,
+    decode_ros_image, ros_image_media_info,
+)
 from .topk import top_k_per_group
 
 __all__ = [

@@ -1,0 +1,473 @@
+"""ROS sensor payload decoders — PointCloud2 and raw Image (r12).
+
+The reference's own sample bag carries lidar/sonar
+``sensor_msgs/PointCloud2`` topics and ``image_raw`` camera topics
+(``/root/reference/README.md:85-87,93,105``); its pipeline leaves those
+blobs untouched (bagpy dumps the ``data`` array as a stringly CSV cell,
+``service/app/main.py:93-113``). Here the blobs become typed columns:
+
+- :func:`decode_pointcloud2` — numpy strided unpack of the packed point
+  records, driven by each message's OWN ``fields`` descriptors
+  (offset/datatype/count, ``point_step``, ``is_bigendian``), one Arrow
+  ``mapInPandas`` pass. Three output shapes: exploded long form (the
+  100 TB storage shape), per-field arrays (columnar), or
+  ``array<struct<...>>`` per message.
+- :func:`decode_ros_image` — encoding-driven reshape of uncompressed
+  ``sensor_msgs/Image`` payloads (rgb8/bgr8/rgba8/bgra8/mono8/mono16/
+  8UC1/8UC3/16UC1) honoring ``step`` row padding and ``is_bigendian``,
+  emitting the :func:`..operators.multimodal.decode_image` output
+  contract (``pixels`` + ``codec='ros_raw'``).
+- :func:`ros_image_media_info` — the decode-free ``media_metadata``
+  twin for raw image topics: a pure-Catalyst ``media_info`` struct
+  (no Python, no bytes touched), total by contract (unknown encodings
+  yield ``error``, never raise).
+
+Message definitions ship as constants (public ROS msg-spec text) so
+``extract_topics`` / ``extract_mcap_topics`` callers need not re-type
+them: :data:`POINTCLOUD2_DEFINITION`, :data:`IMAGE_DEFINITION`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "POINTCLOUD2_DEFINITION", "IMAGE_DEFINITION",
+    "decode_pointcloud2", "decode_ros_image", "ros_image_media_info",
+]
+
+# Public sensor_msgs definitions in gendeps concatenated-text form
+# (the format bags embed in connection records — rosbag.py:322).
+POINTCLOUD2_DEFINITION = """\
+std_msgs/Header header
+uint32 height
+uint32 width
+sensor_msgs/PointField[] fields
+bool is_bigendian
+uint32 point_step
+uint32 row_step
+uint8[] data
+bool is_dense
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+================================================================================
+MSG: sensor_msgs/PointField
+uint8 INT8=1
+uint8 UINT8=2
+uint8 INT16=3
+uint8 UINT16=4
+uint8 INT32=5
+uint8 UINT32=6
+uint8 FLOAT32=7
+uint8 FLOAT64=8
+string name
+uint32 offset
+uint8 datatype
+uint32 count
+"""
+
+IMAGE_DEFINITION = """\
+std_msgs/Header header
+uint32 height
+uint32 width
+string encoding
+uint8 is_bigendian
+uint32 step
+uint8[] data
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+"""
+
+# sensor_msgs/PointField datatype codes (public constants above).
+_PF_NAME = {1: "int8", 2: "uint8", 3: "int16", 4: "uint16",
+            5: "int32", 6: "uint32", 7: "float32", 8: "float64"}
+_PF_NP = {"int8": "i1", "uint8": "u1", "int16": "i2", "uint16": "u2",
+          "int32": "i4", "uint32": "u4", "float32": "f4",
+          "float64": "f8"}
+_PF_SIZE = {"int8": 1, "uint8": 1, "int16": 2, "uint16": 2,
+            "int32": 4, "uint32": 4, "float32": 4, "float64": 8}
+_PF_FLOAT = {"float32", "float64"}
+
+
+def _spec_from_descriptors(descs) -> list[tuple[str, str, int]]:
+    """Message ``fields`` descriptors → declared spec
+    ``[(name, base, count)]`` in offset order."""
+    out = []
+    for d in sorted(descs, key=lambda d: int(d["offset"])):
+        code = int(d["datatype"])
+        if code not in _PF_NAME:
+            raise ValueError(
+                f"PointCloud2 field {d['name']!r} has unknown datatype "
+                f"code {code} (sensor_msgs/PointField defines 1..8)")
+        out.append((str(d["name"]), _PF_NAME[code],
+                    int(d["count"] or 1)))
+    return out
+
+
+def _elem_type(base: str, count: int) -> T.DataType:
+    elem = (T.DoubleType() if base in _PF_FLOAT else T.LongType())
+    return T.ArrayType(elem) if count > 1 else elem
+
+
+def _point_dtype(spec, descs, point_step: int,
+                 is_bigendian: bool) -> np.dtype:
+    """One numpy structured dtype per message: the declared spec
+    matched against the message's own descriptors (drift refusal —
+    a renamed/retyped/moved field errors instead of silently
+    unpacking garbage), offsets straight from the wire."""
+    by_name = {str(d["name"]): d for d in descs}
+    bo = ">" if is_bigendian else "<"
+    names, fmts, offsets = [], [], []
+    for name, base, count in spec:
+        d = by_name.get(name)
+        if d is None:
+            raise ValueError(
+                f"PointCloud2 message lacks declared field {name!r} "
+                f"(has {sorted(by_name)}); the topic's field layout "
+                f"drifted — re-derive point_fields or split the scan")
+        code = int(d["datatype"])
+        got = _PF_NAME.get(code)
+        got_count = int(d["count"] or 1)
+        if got != base or got_count != count:
+            raise ValueError(
+                f"PointCloud2 field {name!r} drifted: declared "
+                f"{base}[{count}], message carries {got}[{got_count}]"
+                f" — re-derive point_fields or split the scan")
+        off = int(d["offset"])
+        width = _PF_SIZE[base] * count
+        if off + width > point_step:
+            raise ValueError(
+                f"PointCloud2 field {name!r} overruns the point: "
+                f"offset {off} + {width} bytes > point_step "
+                f"{point_step} — corrupt descriptors")
+        names.append(name)
+        fmts.append((bo + _PF_NP[base], (count,)) if count > 1
+                    else bo + _PF_NP[base])
+        offsets.append(off)
+    return np.dtype({"names": names, "formats": fmts,
+                     "offsets": offsets, "itemsize": point_step})
+
+
+def _unpack_cloud(data: bytes, width: int, height: int,
+                  point_step: int, row_step: int,
+                  is_bigendian: bool, descs, spec) -> np.ndarray:
+    """One message's packed blob → numpy structured array of
+    ``width*height`` points. Honors ``row_step`` padding (rows are
+    ``row_step`` bytes with ``width*point_step`` used; the final row
+    may legally omit the padding)."""
+    n_pts = width * height
+    dt = _point_dtype(spec, descs, point_step, bool(is_bigendian))
+    row_bytes = width * point_step
+    if height > 1 and row_step and row_step != row_bytes:
+        if row_step < row_bytes:
+            raise ValueError(
+                f"PointCloud2 row_step {row_step} < width*point_step "
+                f"{row_bytes} — corrupt header")
+        need = (height - 1) * row_step + row_bytes
+        if len(data) < need:
+            raise ValueError(
+                f"PointCloud2 data truncated: {len(data)} bytes < "
+                f"{need} needed for {height}x{width} points at "
+                f"row_step {row_step}")
+        a = np.frombuffer(data, np.uint8, count=need)
+        rows = np.lib.stride_tricks.as_strided(
+            a, shape=(height, row_bytes), strides=(row_step, 1))
+        packed = np.ascontiguousarray(rows).reshape(-1)
+        return packed.view(dt)
+    need = n_pts * point_step
+    if len(data) < need:
+        raise ValueError(
+            f"PointCloud2 data truncated: {len(data)} bytes < {need} "
+            f"needed for {n_pts} points at point_step {point_step}")
+    return np.frombuffer(data, dt, count=n_pts)
+
+
+def _columns(pts: np.ndarray, spec):
+    """Structured array → one widened numpy array per field (float32
+    → float64, all ints → int64: the declared Spark column types)."""
+    out = {}
+    for name, base, count in spec:
+        a = pts[name]
+        a = a.astype(np.float64 if base in _PF_FLOAT else np.int64)
+        out[name] = a
+    return out
+
+
+def decode_pointcloud2(df: DataFrame,
+                       point_fields: list[tuple[str, str] |
+                                          tuple[str, str, int]]
+                       | None = None, *,
+                       mode: str = "long",
+                       keep_cols: list[str] | None = None,
+                       data_col: str = "data",
+                       fields_col: str = "fields") -> DataFrame:
+    """Unpack ``sensor_msgs/PointCloud2`` blobs into typed point
+    columns — the missing half of the reference's lidar/sonar topics
+    (``/os1_cloud_node/points``, ``/vehicle/sonar_cloud``,
+    README.md:93,105). Input is the decoded topic frame from
+    :func:`..sources.rosbag.extract_topics` (or the MCAP/db3 twins):
+    columns ``height width fields is_bigendian point_step row_step
+    data`` per the message spec.
+
+    ``point_fields`` declares the output schema as ``(name, ros_type
+    [, count])`` tuples (``float32``/``uint16``/...). ``None`` infers
+    it from the first non-empty message (ONE bounded driver action —
+    descriptors are a handful of rows, not data). Unpack itself is
+    per-message and wire-driven: each message's own descriptors give
+    offsets/endianness, verified against the declared spec so layout
+    drift errors loudly instead of unpacking garbage.
+
+    Modes (shared numpy core, one Arrow pass, no Python per point):
+
+    - ``"long"`` — one output row per point (``point_index`` +
+      one column per field). The scale shape: downstream filters,
+      aggregations, and the parquet sink all stay relational, and a
+      100 M-point scan partitions on rows, not on per-message arrays.
+    - ``"arrays"`` — one row per message, one ``array<T>`` column per
+      field (columnar; zero row explosion).
+    - ``"points"`` — one row per message, ``points:
+      array<struct<...>>`` (the faithful nested shape).
+
+    floats widen to ``double``, ints to ``bigint``; ``count>1``
+    fields become ``array<T>`` per point. NaN points of
+    ``is_dense=false`` clouds pass through unchanged.
+    """
+    if mode not in ("long", "arrays", "points"):
+        raise ValueError(f"mode must be long|arrays|points, got {mode!r}")
+    if point_fields is None:
+        first = (df.where(F.size(fields_col) > 0)
+                 .select(fields_col).head(1))
+        if not first:
+            raise ValueError(
+                "decode_pointcloud2: cannot infer point_fields from an "
+                "empty frame — pass point_fields=[(name, ros_type), ...]")
+        spec = _spec_from_descriptors(
+            [r.asDict() for r in first[0][0]])
+    else:
+        spec = []
+        for pf in point_fields:
+            name, base = pf[0], pf[1]
+            count = int(pf[2]) if len(pf) > 2 else 1
+            if base not in _PF_NP:
+                raise ValueError(
+                    f"unknown PointField type {base!r} for {name!r} "
+                    f"(one of {sorted(_PF_NP)})")
+            spec.append((name, base, count))
+
+    keep = keep_cols if keep_cols is not None else [
+        c for c in ("bag_file", "topic", "time_ns") if c in df.columns]
+    in_fields = {f.name: f for f in df.schema.fields}
+    keep_fields = [in_fields[c] for c in keep]
+    field_structs = [T.StructField(n, _elem_type(b, c))
+                     for n, b, c in spec]
+
+    if mode == "long":
+        out_schema = T.StructType(
+            keep_fields
+            + [T.StructField("point_index", T.LongType())]
+            + field_structs)
+    elif mode == "arrays":
+        out_schema = T.StructType(
+            keep_fields
+            + [T.StructField("n_points", T.LongType())]
+            + [T.StructField(f.name, T.ArrayType(f.dataType))
+               for f in field_structs])
+    else:
+        out_schema = T.StructType(
+            keep_fields
+            + [T.StructField("points",
+                             T.ArrayType(T.StructType(field_structs)))])
+
+    names = [n for n, _, _ in spec]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                descs = row[fields_col]
+                pts = _unpack_cloud(
+                    bytes(row[data_col]), int(row["width"]),
+                    int(row["height"]), int(row["point_step"]),
+                    int(row.get("row_step") or 0),
+                    bool(row["is_bigendian"]), descs, spec)
+                cols = _columns(pts, spec)
+                n = len(pts)
+                if mode == "long":
+                    o = {c: np.repeat(row[c], n) for c in keep}
+                    o["point_index"] = np.arange(n, dtype=np.int64)
+                    for (nm, _, count) in spec:
+                        o[nm] = (list(cols[nm]) if count > 1
+                                 else cols[nm])
+                    outs.append(pd.DataFrame(o))
+                elif mode == "arrays":
+                    o = {c: [row[c]] for c in keep}
+                    o["n_points"] = [n]
+                    for (nm, _, count) in spec:
+                        o[nm] = [cols[nm].tolist()]
+                    outs.append(pd.DataFrame(o))
+                else:
+                    recs = [
+                        {nm: (cols[nm][i].tolist() if count > 1
+                              else cols[nm][i].item())
+                         for nm, _, count in spec}
+                        for i in range(n)]
+                    o = {c: [row[c]] for c in keep}
+                    o["points"] = [recs]
+                    outs.append(pd.DataFrame(o))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(decode, out_schema)
+
+
+# sensor_msgs image encodings the raw decoder reshapes for real:
+# name -> (channels, bytes per sample, normalized channel order).
+# order maps stored channel i -> output channel order[i]; BGR(A)
+# normalizes to RGB(A) so downstream consumers see one convention.
+_ROS_ENC = {
+    "mono8": (1, 1, None), "8UC1": (1, 1, None),
+    "rgb8": (3, 1, None), "bgr8": (3, 1, (2, 1, 0)),
+    "8UC3": (3, 1, None),
+    "rgba8": (4, 1, None), "bgra8": (4, 1, (2, 1, 0, 3)),
+    "mono16": (1, 2, None), "16UC1": (1, 2, None),
+}
+_ROS_BAYER = ("bayer_rggb8", "bayer_bggr8", "bayer_gbrg8",
+              "bayer_grbg8")
+
+
+def decode_ros_image(df: DataFrame, *,
+                     data_col: str = "data",
+                     out_col: str = "pixels",
+                     codec_col: str = "codec") -> DataFrame:
+    """Uncompressed ``sensor_msgs/Image`` payloads (the reference's
+    ``image_raw`` camera topics, README.md:85-87) → the
+    :func:`..operators.multimodal.decode_image` output contract:
+    a flat row-major ``pixels: array<int>`` plus ``codec='ros_raw'``.
+
+    Encoding-driven reshape, no codec: ``step`` row padding is
+    honored (each row is ``step`` stored bytes, ``width * bpp`` used),
+    BGR(A) normalizes to RGB(A) channel order, mono16/16UC1 samples
+    honor ``is_bigendian`` and carry their full 16-bit values (the
+    depth-image convention, same as the builtin 16-bit PNG path).
+    Bayer mosaics (``bayer_*``) raise ``NotImplementedError`` naming
+    the variant — demosaicing is an interpolation choice the engine
+    won't silently make; convert upstream or decode as ``8UC1`` to
+    get the raw mosaic. A ``channels`` column is added so downstream
+    ``reshape(h, w, c)`` needs no encoding table.
+    """
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType())),
+           T.StructField("channels", T.IntegerType()),
+           T.StructField(codec_col, T.StringType())])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels, chans, codecs = [], [], []
+            for _, row in pdf.iterrows():
+                data = row[data_col]
+                if data is None:
+                    pixels.append(None)
+                    chans.append(None)
+                    codecs.append(None)
+                    continue
+                enc = str(row["encoding"])
+                if enc in _ROS_BAYER:
+                    raise NotImplementedError(
+                        f"decode_ros_image: {enc!r} is a Bayer mosaic; "
+                        f"demosaic upstream, or read the raw mosaic "
+                        f"plane by rewriting encoding to '8UC1'")
+                if enc not in _ROS_ENC:
+                    raise NotImplementedError(
+                        f"decode_ros_image: unsupported encoding "
+                        f"{enc!r} (supported: {sorted(_ROS_ENC)})")
+                c, bps, order = _ROS_ENC[enc]
+                w, h = int(row["width"]), int(row["height"])
+                step = int(row["step"]) or w * c * bps
+                row_bytes = w * c * bps
+                if step < row_bytes:
+                    raise ValueError(
+                        f"decode_ros_image: step {step} < width*"
+                        f"channels*bytes {row_bytes} — corrupt header")
+                buf = bytes(data)
+                need = (h - 1) * step + row_bytes
+                if len(buf) < need:
+                    raise ValueError(
+                        f"decode_ros_image: data truncated: "
+                        f"{len(buf)} bytes < {need} for {h} rows of "
+                        f"step {step}")
+                a = np.frombuffer(buf, np.uint8, count=need)
+                rows = np.lib.stride_tricks.as_strided(
+                    a, shape=(h, row_bytes), strides=(step, 1))
+                img = np.ascontiguousarray(rows)
+                if bps == 2:
+                    dt = ">u2" if row["is_bigendian"] else "<u2"
+                    img = img.reshape(-1).view(dt).reshape(h, w, c)
+                else:
+                    img = img.reshape(h, w, c)
+                if order is not None:
+                    img = img[..., list(order)]
+                pixels.append(np.ascontiguousarray(img)
+                              .reshape(-1).astype(np.int32))
+                chans.append(c)
+                codecs.append("ros_raw")
+            pdf = pdf.copy()
+            pdf[out_col] = pixels
+            pdf["channels"] = chans
+            pdf[codec_col] = codecs
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def ros_image_media_info(df: DataFrame,
+                         out_col: str = "media_info") -> DataFrame:
+    """``media_metadata`` for raw image topics — the struct the
+    magic-sniffing probe can't produce (raw blobs have no magic) is
+    instead derived from the message's OWN header fields as a pure
+    Catalyst expression: zero Python, zero bytes touched, total by
+    contract (unknown/Bayer encodings yield ``error`` rows, never a
+    raise — a profiling sweep must survive every topic)."""
+    enc = F.col("encoding")
+    chan = F.create_map(
+        *[x for e, (c, _, _) in _ROS_ENC.items()
+          for x in (F.lit(e), F.lit(c))])[enc]
+    depth = F.create_map(
+        *[x for e, (_, bps, _) in _ROS_ENC.items()
+          for x in (F.lit(e), F.lit(8 * bps))])[enc]
+    known = chan.isNotNull()
+    info = F.struct(
+        F.when(known, F.lit("ros_raw")).alias("format"),
+        F.when(known, enc).alias("codec"),
+        F.when(known, F.col("width").cast("int")).alias("width"),
+        F.when(known, F.col("height").cast("int")).alias("height"),
+        chan.cast("int").alias("channels"),
+        depth.cast("int").alias("bit_depth"),
+        F.when(known, F.lit(1)).alias("n_frames"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("double").alias("duration_s"),
+        F.when(known, F.map_from_arrays(
+            F.array(F.lit("encoding")), F.array(enc)))
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("tags"),
+        F.when(~known, F.concat(
+            F.lit("unsupported raw image encoding: "), enc))
+        .alias("error"))
+    from .multimodal import _MEDIA_INFO_SCHEMA
+
+    # exact schema parity with media_metadata's media_info (same
+    # nullability), so mixed raw/containerized profiling frames union
+    return df.withColumn(out_col, info.cast(_MEDIA_INFO_SCHEMA))

@@ -1,0 +1,341 @@
+"""PointCloud2 + raw sensor_msgs/Image decode (r12).
+
+Unit tests build the packed wire blobs byte-exactly with struct/numpy
+(all 8 PointField datatypes, both endiannesses, count>1 fields, row
+padding) and pin the unpack against the numpy construction; an
+integration test carries a synthetic PointCloud2 topic through a
+byte-exact golden ROS1 bag → read_bag_messages → extract_topics →
+decode_pointcloud2.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+    IMAGE_DEFINITION, POINTCLOUD2_DEFINITION, decode_pointcloud2,
+    decode_ros_image, ros_image_media_info,
+)
+
+PF = {"int8": 1, "uint8": 2, "int16": 3, "uint16": 4,
+      "int32": 5, "uint32": 6, "float32": 7, "float64": 8}
+
+CLOUD_SCHEMA = T.StructType([
+    T.StructField("bag_file", T.StringType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("fields", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("datatype", T.IntegerType()),
+        T.StructField("count", T.LongType()),
+    ]))),
+    T.StructField("is_bigendian", T.BooleanType()),
+    T.StructField("point_step", T.LongType()),
+    T.StructField("row_step", T.LongType()),
+    T.StructField("data", T.BinaryType()),
+])
+
+
+def _desc(name, offset, dt, count=1):
+    return {"name": name, "offset": offset, "datatype": PF[dt],
+            "count": count}
+
+
+def _xyz_cloud(n=5, big=False, pad=0):
+    """n points of x=f32(i), y=f32(2i), z=f32(3i), ring=u16(i%4),
+    optionally with `pad` trailing garbage bytes per point."""
+    bo = ">" if big else "<"
+    step = 14 + pad
+    buf = bytearray()
+    for i in range(n):
+        buf += struct.pack(f"{bo}fff", float(i), 2.0 * i, 3.0 * i)
+        buf += struct.pack(f"{bo}H", i % 4)
+        buf += b"\xee" * pad
+    descs = [_desc("x", 0, "float32"), _desc("y", 4, "float32"),
+             _desc("z", 8, "float32"), _desc("ring", 12, "uint16")]
+    return {"bag_file": "b1", "height": 1, "width": n,
+            "fields": descs, "is_bigendian": big, "point_step": step,
+            "row_step": n * step, "data": bytes(buf)}
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_pointcloud2_long_mode_both_endiannesses(spark, big):
+    df = spark.createDataFrame([_xyz_cloud(5, big=big, pad=2)],
+                               CLOUD_SCHEMA)
+    out = decode_pointcloud2(df, keep_cols=["bag_file"]).collect()
+    assert len(out) == 5
+    rows = sorted(out, key=lambda r: r["point_index"])
+    for i, r in enumerate(rows):
+        assert r["bag_file"] == "b1"
+        assert (r["x"], r["y"], r["z"]) == (float(i), 2.0 * i, 3.0 * i)
+        assert r["ring"] == i % 4
+    types = dict(decode_pointcloud2(df, keep_cols=[]).dtypes)
+    assert types == {"point_index": "bigint", "x": "double",
+                     "y": "double", "z": "double", "ring": "bigint"}
+
+
+def test_pointcloud2_all_datatypes(spark):
+    """All 8 PointField datatypes in one point record, declared spec
+    EXplicit (no inference action)."""
+    vals = [(-7, 250, -30000, 60000, -100000, 4000000000,
+             1.5, -2.25)]
+    buf = struct.pack("<bBhHiIfd", *vals[0])
+    descs = [_desc("a", 0, "int8"), _desc("b", 1, "uint8"),
+             _desc("c", 2, "int16"), _desc("d", 4, "uint16"),
+             _desc("e", 6, "int32"), _desc("f", 10, "uint32"),
+             _desc("g", 14, "float32"), _desc("h", 18, "float64")]
+    row = {"bag_file": "b", "height": 1, "width": 1, "fields": descs,
+           "is_bigendian": False, "point_step": 26, "row_step": 26,
+           "data": buf}
+    spec = [("a", "int8"), ("b", "uint8"), ("c", "int16"),
+            ("d", "uint16"), ("e", "int32"), ("f", "uint32"),
+            ("g", "float32"), ("h", "float64")]
+    df = spark.createDataFrame([row], CLOUD_SCHEMA)
+    got = decode_pointcloud2(df, spec, keep_cols=[]).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"], got["e"],
+            got["f"]) == vals[0][:6]
+    assert got["g"] == 1.5 and got["h"] == -2.25
+
+
+def test_pointcloud2_row_padding_and_modes(spark):
+    """height>1 with row_step > width*point_step: the padding bytes
+    between rows must not shift the unpack; arrays/points modes agree
+    with long mode."""
+    w, h, step, row_pad = 3, 2, 8, 5
+    row_step = w * step + row_pad
+    buf = bytearray()
+    k = 0
+    for r in range(h):
+        for c in range(w):
+            buf += struct.pack("<fI", float(10 * k), k)
+            k += 1
+        if r < h - 1:
+            buf += b"\xde" * row_pad
+    descs = [_desc("x", 0, "float32"), _desc("idx", 4, "uint32")]
+    row = {"bag_file": "b", "height": h, "width": w, "fields": descs,
+           "is_bigendian": False, "point_step": step,
+           "row_step": row_step, "data": bytes(buf)}
+    df = spark.createDataFrame([row], CLOUD_SCHEMA)
+    long = decode_pointcloud2(df, keep_cols=[]).collect()
+    assert sorted((r["point_index"], r["x"], r["idx"]) for r in long) \
+        == [(i, 10.0 * i, i) for i in range(6)]
+    arrs = decode_pointcloud2(df, mode="arrays",
+                              keep_cols=["bag_file"]).collect()[0]
+    assert arrs["n_points"] == 6
+    assert arrs["x"] == [10.0 * i for i in range(6)]
+    assert arrs["idx"] == list(range(6))
+    pts = decode_pointcloud2(df, mode="points",
+                             keep_cols=["bag_file"]).collect()[0]
+    assert [p["idx"] for p in pts["points"]] == list(range(6))
+
+
+def test_pointcloud2_count_gt_one(spark):
+    """count>1 fields become array<T> per point."""
+    buf = struct.pack("<ffff", 1.0, 2.0, 3.0, 4.0) * 2
+    descs = [_desc("m", 0, "float32", count=4)]
+    row = {"bag_file": "b", "height": 1, "width": 2, "fields": descs,
+           "is_bigendian": False, "point_step": 16, "row_step": 32,
+           "data": buf}
+    df = spark.createDataFrame([row], CLOUD_SCHEMA)
+    out = decode_pointcloud2(df, [("m", "float32", 4)],
+                             keep_cols=[]).collect()
+    assert [r["m"] for r in out] == [[1.0, 2.0, 3.0, 4.0]] * 2
+
+
+def test_pointcloud2_drift_and_hostile(spark):
+    base = _xyz_cloud(3)
+    df = spark.createDataFrame([base], CLOUD_SCHEMA)
+    # declared field absent from the message
+    with pytest.raises(Exception, match="lacks declared field"):
+        decode_pointcloud2(df, [("nope", "float32")],
+                           keep_cols=[]).collect()
+    # declared type mismatches the wire descriptors
+    with pytest.raises(Exception, match="drifted"):
+        decode_pointcloud2(df, [("x", "float64")],
+                           keep_cols=[]).collect()
+    # truncated data blob
+    bad = dict(base, data=base["data"][:10])
+    with pytest.raises(Exception, match="truncated"):
+        decode_pointcloud2(spark.createDataFrame([bad], CLOUD_SCHEMA),
+                           [("x", "float32")], keep_cols=[]).collect()
+    # descriptor overruns point_step
+    bad2 = dict(base, fields=[_desc("x", 12, "float64")])
+    with pytest.raises(Exception, match="overruns"):
+        decode_pointcloud2(spark.createDataFrame([bad2], CLOUD_SCHEMA),
+                           [("x", "float64")], keep_cols=[]).collect()
+    # unknown datatype code in inference path
+    bad3 = dict(base, fields=[{"name": "x", "offset": 0,
+                               "datatype": 99, "count": 1}])
+    with pytest.raises(Exception, match="unknown datatype"):
+        decode_pointcloud2(
+            spark.createDataFrame([bad3], CLOUD_SCHEMA)).collect()
+
+
+def test_pointcloud2_through_golden_bag(spark, tmp_path):
+    """End to end: a byte-exact ROS1 bag carrying a PointCloud2 topic
+    (full message: Header + dims + descriptors + blob) decodes through
+    read_bag_messages → extract_topics → decode_pointcloud2."""
+    from test_rosbag import _chunk, _connection, _message, _record
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.rosbag import (
+        extract_topics, read_bag_messages,
+    )
+
+    def pf(name, offset, dt, count=1):
+        nb = name.encode()
+        return (struct.pack("<I", len(nb)) + nb
+                + struct.pack("<IBI", offset, PF[dt], count))
+
+    def cloud_msg(seq, n):
+        frame = b"os1"
+        header = (struct.pack("<III", seq, 100 + seq, 0)
+                  + struct.pack("<I", len(frame)) + frame)
+        descs = (pf("x", 0, "float32") + pf("y", 4, "float32")
+                 + pf("intensity", 8, "uint16"))
+        pts = b"".join(struct.pack("<ffH", float(seq + i),
+                                   float(2 * i), i % 7)
+                       for i in range(n))
+        return (header
+                + struct.pack("<II", 1, n)          # height, width
+                + struct.pack("<I", 3) + descs       # fields[3]
+                + struct.pack("<?", False)           # is_bigendian
+                + struct.pack("<II", 10, 10 * n)     # point/row step
+                + struct.pack("<I", len(pts)) + pts  # data
+                + struct.pack("<?", True))           # is_dense
+    inner = (_connection(0, "/os1_cloud_node/points",
+                         "sensor_msgs/PointCloud2",
+                         POINTCLOUD2_DEFINITION)
+             + _message(0, 100, 0, cloud_msg(0, 4))
+             + _message(0, 101, 0, cloud_msg(1, 3)))
+    bag_header = _record({"op": b"\x03",
+                          "index_pos": struct.pack("<Q", 0),
+                          "conn_count": struct.pack("<I", 1),
+                          "chunk_count": struct.pack("<I", 1)},
+                         b" " * 64)
+    (tmp_path / "lidar.bag").write_bytes(
+        b"#ROSBAG V2.0\n" + bag_header + _chunk(inner))
+    msgs = read_bag_messages(spark, str(tmp_path))
+    topics = extract_topics(
+        msgs, {"/os1_cloud_node/points": POINTCLOUD2_DEFINITION})
+    cloud = topics["/os1_cloud_node/points"]
+    pts = decode_pointcloud2(cloud).orderBy("time_ns", "point_index")
+    rows = pts.collect()
+    assert len(rows) == 7
+    assert [(r["x"], r["y"], r["intensity"]) for r in rows[:4]] \
+        == [(float(i), float(2 * i), i % 7) for i in range(4)]
+    assert rows[4]["x"] == 1.0 and rows[6]["x"] == 3.0
+    # the spine columns survive for downstream grouping
+    assert rows[0]["bag_file"].endswith("lidar.bag")
+
+
+def _img_row(enc, w, h, data, step=None, big=False):
+    return {"bag_file": "b", "height": h, "width": w,
+            "encoding": enc, "is_bigendian": 1 if big else 0,
+            "step": step if step is not None else 0, "data": data}
+
+
+IMG_SCHEMA = T.StructType([
+    T.StructField("bag_file", T.StringType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("encoding", T.StringType()),
+    T.StructField("is_bigendian", T.IntegerType()),
+    T.StructField("step", T.LongType()),
+    T.StructField("data", T.BinaryType()),
+])
+
+
+def test_ros_image_rgb8_step_padding(spark):
+    w, h, pad = 3, 2, 4
+    img = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    padded = b"".join(img[r].tobytes() + b"\xcc" * pad
+                      for r in range(h))
+    df = spark.createDataFrame(
+        [_img_row("rgb8", w, h, padded, step=w * 3 + pad)], IMG_SCHEMA)
+    got = decode_ros_image(df).collect()[0]
+    assert got["codec"] == "ros_raw" and got["channels"] == 3
+    assert got["pixels"] == list(img.reshape(-1))
+
+
+def test_ros_image_bgr8_normalizes_to_rgb(spark):
+    img = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [_img_row("bgr8", 2, 1, img.tobytes())], IMG_SCHEMA)
+    got = decode_ros_image(df).collect()[0]
+    assert got["pixels"] == [30, 20, 10, 60, 50, 40]
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_ros_image_mono16_endianness(spark, big):
+    vals = np.array([[0, 257, 65535, 4096]], dtype=np.uint16)
+    data = vals.astype(">u2" if big else "<u2").tobytes()
+    df = spark.createDataFrame(
+        [_img_row("mono16", 4, 1, data, big=big)], IMG_SCHEMA)
+    got = decode_ros_image(df).collect()[0]
+    assert got["pixels"] == [0, 257, 65535, 4096]
+    assert got["channels"] == 1
+
+
+def test_ros_image_errors_and_null(spark):
+    ok = _img_row("mono8", 2, 1, b"\x01\x02")
+    bay = _img_row("bayer_rggb8", 2, 2, b"\x00" * 4)
+    with pytest.raises(Exception, match="Bayer mosaic"):
+        decode_ros_image(spark.createDataFrame([bay], IMG_SCHEMA)) \
+            .collect()
+    unk = _img_row("yuv422", 2, 1, b"\x00" * 4)
+    with pytest.raises(Exception, match="unsupported encoding"):
+        decode_ros_image(spark.createDataFrame([unk], IMG_SCHEMA)) \
+            .collect()
+    trunc = _img_row("rgb8", 4, 2, b"\x00" * 5)
+    with pytest.raises(Exception, match="truncated"):
+        decode_ros_image(spark.createDataFrame([trunc], IMG_SCHEMA)) \
+            .collect()
+    nul = dict(ok, data=None)
+    got = decode_ros_image(
+        spark.createDataFrame([ok, nul], IMG_SCHEMA)).collect()
+    by_px = {tuple(r["pixels"]) if r["pixels"] is not None else None: r
+             for r in got}
+    assert by_px[(1, 2)]["codec"] == "ros_raw"
+    assert by_px[None]["codec"] is None
+
+
+def test_ros_image_media_info_total(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        _MEDIA_INFO_SCHEMA,
+    )
+    rows = [_img_row("rgb8", 640, 480, b""),
+            _img_row("mono16", 100, 50, b""),
+            _img_row("bayer_rggb8", 8, 8, b""),
+            _img_row("yuv422", 8, 8, b"")]
+    df = ros_image_media_info(spark.createDataFrame(rows, IMG_SCHEMA))
+    assert df.schema["media_info"].dataType == _MEDIA_INFO_SCHEMA
+    got = {r["encoding"]: r["media_info"] for r in df.collect()}
+    assert got["rgb8"]["format"] == "ros_raw"
+    assert (got["rgb8"]["width"], got["rgb8"]["height"],
+            got["rgb8"]["channels"], got["rgb8"]["bit_depth"]) \
+        == (640, 480, 3, 8)
+    assert got["mono16"]["bit_depth"] == 16
+    assert got["mono16"]["tags"] == {"encoding": "mono16"}
+    # total: unknown encodings are error rows, not exceptions
+    assert got["bayer_rggb8"]["format"] is None
+    assert "bayer_rggb8" in got["bayer_rggb8"]["error"]
+    assert "yuv422" in got["yuv422"]["error"]
+
+
+def test_image_definition_parses(spark):
+    """The shipped definition constants parse through the msg-IDL
+    section parser (so extract_topics callers can use them as-is)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.rosbag import (
+        parse_definition_sections,
+    )
+    s1 = parse_definition_sections(POINTCLOUD2_DEFINITION)
+    assert ("sensor_msgs/PointField[]", "fields") in s1[""]
+    assert ("string", "name") in s1["sensor_msgs/PointField"]
+    s2 = parse_definition_sections(IMAGE_DEFINITION)
+    assert ("uint8[]", "data") in s2[""]
