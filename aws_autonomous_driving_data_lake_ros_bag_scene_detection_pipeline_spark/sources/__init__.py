@@ -20,6 +20,9 @@ from .mcap import (  # noqa: F401
     mcap_topic_metadata,
     parse_mcap_bytes, read_mcap_messages,
 )
+from .rosbag2 import (  # noqa: F401
+    load_definitions_dir, read_rosbag2, rosbag2_metadata,
+)
 from .s3 import S3SnapshotAdapter, s3_put_if_absent  # noqa: F401
 from .spark_source import (  # noqa: F401
     SnapshotDataSource, register_snapshot_filesystem,
@@ -60,6 +63,7 @@ __all__ = ["QuarantinedRead", "read_csv", "read_jsonl",
            "snapshot_append", "snapshot_apply_changes",
            "snapshot_read_session",
            "S3SnapshotAdapter", "s3_put_if_absent",
+           "load_definitions_dir", "read_rosbag2", "rosbag2_metadata",
            "SnapshotDataSource", "register_snapshot_filesystem",
            "register_snapshot_source", "register_snapshot_table",
            "snapshot_compact", "snapshot_delete", "snapshot_maintain",

@@ -54,6 +54,7 @@ _DB3_MAGIC = b"SQLite format 3\x00"
 
 def parse_db3_bytes(db3_file: str, buf: bytes,
                     definitions: dict[str, str] | None = None,
+                    message_compression: str | None = None,
                     ) -> Iterator[tuple]:
     """Yield DB3_MESSAGE_SCHEMA tuples from one in-memory ``.db3``
     image. ``definitions`` maps the ``topics.type`` name (or, as a
@@ -63,7 +64,27 @@ def parse_db3_bytes(db3_file: str, buf: bytes,
     rosbag2 stores ONE timestamp per message (the receive time), so
     ``log_time_ns`` and ``publish_time_ns`` are both that value —
     documented, not a guess; MCAP twins built from the same recording
-    agree on ``log_time_ns``."""
+    agree on ``log_time_ns``.
+
+    ``message_compression='zstd'`` decompresses each payload blob
+    (rosbag2 ``compression_mode: message`` recordings, r12 — the
+    sidecar reader :func:`~.rosbag2.read_rosbag2` passes it from
+    metadata.yaml); same optional zstandard seam as the file-level
+    ``.db3.zstd`` sniff below."""
+    if message_compression not in (None, "zstd"):
+        raise NotImplementedError(
+            f"{db3_file}: message_compression {message_compression!r} "
+            f"is not supported (builtin: None or 'zstd')")
+    blob_dec = None
+    if message_compression == "zstd":
+        try:
+            import zstandard
+        except ImportError:
+            raise NotImplementedError(
+                f"{db3_file} uses per-message zstd compression and "
+                f"stdlib has no zstd; install the zstandard package "
+                f"or decompress upstream") from None
+        blob_dec = zstandard.ZstdDecompressor()
     if buf[:4] == b"\x28\xb5\x2f\xfd":
         # rosbag2's file-level compression ships .db3.zstd images
         # (compression_format: zstd in metadata.yaml) — same optional
@@ -95,10 +116,13 @@ def parse_db3_bytes(db3_file: str, buf: bytes,
                 "ORDER BY id"):
             name, typ, ser = topics.get(tid, ("", "", ""))
             defn = defs.get(typ) or defs.get(name)
+            payload = bytes(data) if data is not None else b""
+            if blob_dec is not None and payload:
+                payload = blob_dec.decompress(payload,
+                                              max_output_size=1 << 31)
             yield (db3_file, name, typ,
                    "ros2msg" if defn is not None else "",
-                   ser, defn, mid, ts, ts,
-                   bytes(data) if data is not None else b"")
+                   ser, defn, mid, ts, ts, payload)
     except sqlite3.Error as e:
         # normalize sqlite's own error family onto the reader
         # contract's input-error set so on_error='skip' salvage and
@@ -129,7 +153,9 @@ def read_db3_messages(spark: SparkSession, path: str,
 
 def db3_messages_frame(files: DataFrame,
                        definitions: dict[str, str] | None = None,
-                       on_error: str = "fail") -> DataFrame:
+                       on_error: str = "fail",
+                       message_compression: str | None = None,
+                       ) -> DataFrame:
     """The extraction transform behind :func:`read_db3_messages`,
     usable over ANY ``(path, content)`` frame — including a streaming
     ``binaryFile`` micro-batch. ``definitions`` is broadcast with the
@@ -156,7 +182,8 @@ def db3_messages_frame(files: DataFrame,
                 rows: list[tuple] = []
                 try:
                     for row in parse_db3_bytes(name, bytes(content),
-                                               defs):
+                                               defs,
+                                               message_compression):
                         rows.append(row + (None,) if skip else row)
                 except input_errors as e:
                     if not skip:
@@ -172,7 +199,9 @@ def db3_topic_metadata(messages: DataFrame) -> DataFrame:
     """Per-(file, topic) stats — the ``.db3`` face of
     :func:`~.rosbag.topic_metadata` / :func:`~.mcap.mcap_topic_metadata`
     (the reference's DynamoDB metadata item, service/app/main.py:61-74),
-    same output columns with ``db3_file`` as the file key."""
+    same output columns with ``db3_file`` as the file key.
+    ``frequency_hz`` is NULL for single-message topics (zero time
+    span — a rate is undefined, same convention as the MCAP twin)."""
     span_s = (F.max("log_time_ns") - F.min("log_time_ns")) / 1e9
     return (messages
             .where(F.col("topic").isNotNull())
