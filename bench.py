@@ -3,23 +3,37 @@
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
 
     {"metric": "total_query_time", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...},
-     "queries_p50": {...}, "queries_last": {...}, "value_last": M,
-     "warmup_sec": W, "runs": 2, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+     "sessions": 3}
 
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no serialization to disk, no driver collect) so the measured time is the
 Spark plan's, not the harness's.
 
-Round-over-round attribution: ``queries``/``value`` stay the min across
-runs (steady state, the comparable headline), ``queries_p50`` is the
-median of the same runs (captures first-run codegen/broadcast cost and
-run variance), ``queries_last``/``value_last`` is the final run alone
-(what a single-run harness like the driver's BENCH_r{N} records — docs
-must cite whichever committed number they mean), and ``warmup_sec`` is
-the one-time session bring-up that is deliberately OUTSIDE every query
-timing — so a regression shows up in exactly one field instead of
-smearing across all of them.
+**Variance protocol (r12 — VERDICT r11 item 5).** Identical code has
+measured 52.9–102.7 s across driver sessions on this shared box, so a
+single session cannot attribute a regression. By default the harness
+runs ``--sessions 3`` ISOLATED sessions (separate JVM each, spawned
+sequentially as subprocesses) and aggregates:
+
+- ``queries``/``value`` — per-query MIN across sessions (of each
+  session's per-query min-of-``runs``): the steady-state number host
+  noise can only inflate, so the min is the comparable headline;
+- ``queries_p50``/``value_p50`` — per-query MEDIAN across sessions:
+  what a typical single-session harness run would see;
+- ``queries_spread`` — per-query max/min ratio across sessions: the
+  self-diagnosis. A query whose spread is 2.5× on unchanged code is
+  host noise (r11's q_minhash_dedup read 4.58 s in the driver vs
+  1.75 s isolated, same SHA); a query whose MIN moved is a real
+  change;
+- ``host_load`` per session — 1-minute loadavg before/after plus cpu
+  count: the telemetry that says WHY a session was slow.
+
+Inside each session, each query still runs ``$SPARK_GRAFT_BENCH_RUNS``
+(default 2) times: run 1 pays one-time codegen/broadcast, run 2 is
+steady state; ``warmup_sec`` keeps session bring-up outside every query
+timing. ``--sessions 1`` (or env ``SPARK_GRAFT_BENCH_SESSIONS=1``)
+restores the single-session behavior for quick iteration.
 """
 
 from __future__ import annotations
@@ -28,31 +42,29 @@ import argparse
 import json
 import os
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    # the artifact path is run-scoped BY DEFAULT (bench_out.last.json,
-    # gitignored): the committed bench_out.json records a min-of-N from
-    # ISOLATED runs and is only updated deliberately via
-    # `python bench.py --out bench_out.json` — a driver/CI invocation
-    # with no args can therefore never clobber the committed numbers
-    # (r5 finding: the driver's single run overwrote the artifact).
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", "bench_out.last.json"))
-    args = ap.parse_args()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+def _loadavg() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return None
 
+
+def _one_session(sf_dir: str, sf: float) -> dict:
+    """One isolated measurement session (the pre-r12 harness body)."""
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
+
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.session import get_spark
 
+    load0 = _loadavg()
     spark = get_spark("bench")  # master local[$SPARK_GRAFT_CPUS] inside
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -63,9 +75,8 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     warmup = round(time.time() - t0, 3)
 
-    # min of 2 runs per query: run 1 pays one-time codegen/broadcast
-    # build; run 2 is the steady state a long-running job sees, and the
-    # min is robust to transient background load on a shared box
+    # min of N runs per query: run 1 pays one-time codegen/broadcast
+    # build; run 2 is the steady state a long-running job sees
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     qs = entry.queries()
     timings: dict[str, float] = {}
@@ -76,7 +87,8 @@ def main() -> None:
         try:
             for _ in range(runs):
                 t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
                 samples.append(time.time() - t0)
             timings[name] = round(min(samples), 3)
             p50s[name] = round(statistics.median(samples), 3)
@@ -91,26 +103,110 @@ def main() -> None:
         # document that the CALLER owns the cache lifetime (dedup.py:24-29);
         # leaked cache from earlier queries skews later measurements
         spark.catalog.clearCache()
+    spark.stop()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_last = round(sum(t for t in lasts.values() if t >= 0), 3)
-    full = json.dumps({"metric": "total_query_time", "value": total,
-                       "unit": "sec", "queries": timings,
-                       "queries_p50": p50s, "queries_last": lasts,
-                       "value_last": total_last, "warmup_sec": warmup,
-                       "runs": runs, "sf": sf})
+    return {"metric": "total_query_time", "value": total, "unit": "sec",
+            "queries": timings, "queries_p50": p50s,
+            "queries_last": lasts, "value_last": total_last,
+            "warmup_sec": warmup, "runs": runs, "sf": sf,
+            "host_load": {"start_1m": load0, "end_1m": _loadavg(),
+                          "cpus": os.cpu_count()}}
+
+
+def _aggregate(sessions: list[dict], sf: float) -> dict:
+    """Cross-session aggregation: min is the headline, median the
+    typical session, spread the noise self-diagnosis."""
+    names: list[str] = []
+    for s in sessions:
+        for n in s["queries"]:
+            if n not in names:
+                names.append(n)
+    queries, p50s, spread = {}, {}, {}
+    for n in names:
+        vals = [s["queries"][n] for s in sessions
+                if s["queries"].get(n, -1.0) >= 0]
+        if not vals:
+            queries[n] = p50s[n] = -1.0
+            spread[n] = None
+            continue
+        queries[n] = round(min(vals), 3)
+        p50s[n] = round(statistics.median(vals), 3)
+        spread[n] = (round(max(vals) / min(vals), 2)
+                     if min(vals) > 0 else None)
+    total = round(sum(t for t in queries.values() if t >= 0), 3)
+    total_p50 = round(sum(t for t in p50s.values() if t >= 0), 3)
+    return {"metric": "total_query_time", "value": total, "unit": "sec",
+            "queries": queries, "queries_p50": p50s,
+            "queries_spread": spread, "value_p50": total_p50,
+            "sessions": len(sessions),
+            "session_totals": [s["value"] for s in sessions],
+            "session_loads": [s.get("host_load") for s in sessions],
+            "warmup_sec": [s["warmup_sec"] for s in sessions],
+            "runs": sessions[0].get("runs"), "sf": sf}
+
+
+def main() -> None:
+    # the artifact path is run-scoped BY DEFAULT (bench_out.last.json,
+    # gitignored): the committed bench_out.json records isolated-run
+    # numbers and is only updated deliberately via
+    # `python bench.py --out bench_out.json` — a driver/CI invocation
+    # with no args can therefore never clobber the committed numbers
+    # (r5 finding: the driver's single run overwrote the artifact).
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", "bench_out.last.json"))
+    ap.add_argument("--sessions", type=int, default=int(os.environ.get(
+        "SPARK_GRAFT_BENCH_SESSIONS", "3")))
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    if args.sessions <= 1:
+        full_doc = _one_session(sf_dir, sf)
+    else:
+        session_docs: list[dict] = []
+        for i in range(args.sessions):
+            with tempfile.NamedTemporaryFile(
+                    suffix=".json", prefix=f"bench_s{i}_",
+                    delete=False) as tf:
+                tmp = tf.name
+            try:
+                # a fresh interpreter + JVM per session: no shared
+                # codegen cache, no leaked executors, no warm pages —
+                # the isolation that makes cross-session spread
+                # meaningful
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--out", tmp, "--sessions", "1"],
+                    stdout=subprocess.DEVNULL, check=False)
+                if r.returncode != 0:
+                    print(f"bench session {i} exited "
+                          f"{r.returncode}", file=sys.stderr)
+                    continue
+                with open(tmp) as f:
+                    session_docs.append(json.load(f))
+            finally:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+        if not session_docs:
+            print("bench: every session failed", file=sys.stderr)
+            sys.exit(1)
+        full_doc = _aggregate(session_docs, sf)
+
+    full = json.dumps(full_doc)
     # The stdout line carries ONLY the spec-required fields: r3's
     # artifact had parsed:null because the harness keeps a bounded tail
     # of output and the 59-query × two-dict line was cut mid-JSON. The
-    # compact line is ~half the size; the per-query medians and warmup
-    # live in the --out artifact alongside a copy of everything.
-    compact = json.dumps({"metric": "total_query_time", "value": total,
-                          "unit": "sec", "queries": timings, "sf": sf},
+    # compact line is ~half the size; the per-query medians, spreads,
+    # and load telemetry live in the --out artifact.
+    compact = json.dumps({"metric": "total_query_time",
+                          "value": full_doc["value"], "unit": "sec",
+                          "queries": full_doc["queries"], "sf": sf},
                          separators=(",", ":"))
-    # stop Spark BEFORE printing so no stray executor/log output can
-    # interleave with the metric line (r2's BENCH json had parsed:null
-    # because progress-bar writes truncated it); also persist a copy.
-    spark.stop()
     out_path = args.out
     if not os.path.isabs(out_path):
         out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
