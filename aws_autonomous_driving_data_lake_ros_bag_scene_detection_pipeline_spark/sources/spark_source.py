@@ -576,6 +576,16 @@ class SnapshotPartitionedStreamReader(DataSourceStreamReader):
         self._pos: tuple[int, int | None] | None = None
         self._last_off: dict | None = None
         self._vcache: dict[int, tuple] = {}   # version -> files triple
+        # versionCacheSize option (r12, r11 verdict nit): a throttled
+        # stream camped on one huge-manifest version only needs ~2
+        # entries, but a reader driven over a wide backlog re-parses
+        # manifests once per trigger at the default — size it to the
+        # backlog when that matters
+        self._vcache_cap = int(options.get("versioncachesize")
+                               or options.get("versionCacheSize")
+                               or 4)
+        if self._vcache_cap < 1:
+            raise ValueError("versionCacheSize must be >= 1")
 
     # ---------------------------------------------- position helpers
 
@@ -583,14 +593,16 @@ class SnapshotPartitionedStreamReader(DataSourceStreamReader):
         """Cached per-version appended-file list (counting mode:
         non-appends count zero files here; 'fail' semantics fire in
         partitions() when a batch range actually covers them)."""
-        hit = self._vcache.get(v)
+        hit = self._vcache.pop(v, None)
         if hit is None:
             hit = _version_files(self.root, v, "skip")
-            self._vcache[v] = hit
-            # tiny LRU: a 10⁵-file manifest shouldn't be re-parsed
-            # every trigger, but the cache must not grow unbounded
-            while len(self._vcache) > 4:
-                self._vcache.pop(next(iter(self._vcache)))
+        # true LRU (re-insert on hit — plain dict reassignment keeps
+        # insertion order, which made eviction FIFO before r12): a
+        # 10⁵-file manifest shouldn't be re-parsed every trigger, but
+        # the cache must not grow unbounded
+        self._vcache[v] = hit
+        while len(self._vcache) > self._vcache_cap:
+            self._vcache.pop(next(iter(self._vcache)))
         return hit
 
     def _entry_bytes(self, e: dict) -> int:
