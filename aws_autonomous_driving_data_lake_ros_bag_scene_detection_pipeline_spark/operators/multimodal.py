@@ -629,6 +629,20 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
         # payload at C speed (pure-Python LZW is the no-dep fallback,
         # same split as progressive JPEG above)
         return _decode_gif(payload), "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # builtin WebP lossless (r12): real VP8L decode with no
+        # dependency (vp8l.py); lossy VP8/extended files fall through
+        # to Pillow when present, else the loud seam guard below
+        from .vp8l import parse_webp_container
+        info = parse_webp_container(payload)
+        if info["vp8l"] is not None and not _HAS_PIL:
+            from .vp8l import decode_vp8l
+            return decode_vp8l(info["vp8l"]), "vp8l"
+        if not _HAS_PIL:
+            raise NotImplementedError(
+                f"builtin WebP decoder handles lossless VP8L only; "
+                f"this file is {info['codec']} (lossy/extended) — "
+                f"install Pillow for the DCT path")
     if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
         import io
 
@@ -1254,6 +1268,19 @@ def _probe_media_bytes(pb: bytes) -> dict:
 
     def riff():
         kind = pb[8:12]
+        if kind == b"WEBP":
+            # WebP (r12): dims/alpha from the codec payload header,
+            # ANMF frames counted — all header-only (vp8l.py)
+            from .vp8l import parse_webp_container
+            out["format"] = "webp"
+            info = parse_webp_container(pb)
+            out["codec"] = info["codec"]
+            out["width"] = info["width"]
+            out["height"] = info["height"]
+            out["channels"] = 4 if info["has_alpha"] else 3
+            out["bit_depth"] = 8
+            out["n_frames"] = info["n_frames"] or None
+            return
         if kind == b"WAVE":
             out["format"] = "wav"
             pos, fmt, data_len = 12, None, None

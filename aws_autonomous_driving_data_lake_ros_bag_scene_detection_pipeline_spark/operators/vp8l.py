@@ -1,0 +1,607 @@
+"""Builtin WebP VP8L (lossless) decoder — pure stdlib + numpy (r12).
+
+WebP is the WARC front door's most common modern image format (more
+common than GIF on today's web); this implements the public *WebP
+Lossless Bitstream Specification* (the VP8L chunk: LSB-first bit
+stream, canonical prefix codes with the code-length code, optional
+meta-prefix partitioning, LZ77 with the 120-entry 2-D distance
+neighborhood, color cache, and the four inverse transforms — predictor
+(14 modes), color, subtract-green, color-indexing with pixel
+bundling). Lossy VP8 stays on the optional Pillow/PyAV seam like every
+other DCT codec here (jpeg.py is the one builtin exception).
+
+Same family discipline as the other builtin codecs (multimodal.py,
+jpeg.py, flac.py): spec-built golden files in tests/test_vp8l.py,
+hostile-bytes totality (every malformed input raises ``ValueError``
+with the offending structure named), and decode_image/media_metadata
+integration so the Spark-side plumbing is identical whichever codec
+path runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["decode_vp8l", "decode_webp", "parse_webp_container"]
+
+
+class _Bits:
+    """LSB-first bit reader over the VP8L stream."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0                      # bit position
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("VP8L: bit stream truncated")
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            v |= ((self.data[p >> 3] >> (p & 7)) & 1) << i
+        self.pos = end
+        return v
+
+
+class _Prefix:
+    """Canonical prefix code: bit-by-bit decode (codes are emitted
+    MSB-of-code-first into the LSB-first stream, DEFLATE-style)."""
+
+    def __init__(self, lengths):
+        self.single = None
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("VP8L: prefix code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            return
+        # canonical assignment: by length, then symbol order
+        self.table: dict[tuple[int, int], int] = {}
+        code = 0
+        max_len = max(ln for ln, _ in nz)
+        count = [0] * (max_len + 1)
+        for ln, _ in nz:
+            count[ln] += 1
+        next_code = [0] * (max_len + 2)
+        for ln in range(1, max_len + 1):
+            code = (code + count[ln - 1]) << 1
+            next_code[ln] = code
+        for ln, sym in sorted(nz):
+            self.table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+        # over-subscribed / incomplete codes are corrupt streams
+        kraft = sum(1 << (max_len - ln) for ln, _ in nz)
+        if kraft != (1 << max_len):
+            raise ValueError("VP8L: invalid (non-canonical) prefix "
+                             "code lengths")
+
+    def read(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+            if ln > 15:
+                raise ValueError("VP8L: prefix code read past 15 bits")
+
+
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+              11, 12, 13, 14, 15]
+
+
+def _read_prefix_code(br: _Bits, alphabet: int) -> _Prefix:
+    """One prefix code: the 'simple' 1-2 symbol form or the full
+    code-length-coded form (spec §5.2.2)."""
+    if br.read(1):                       # simple
+        num = br.read(1) + 1
+        if br.read(1):
+            first = br.read(8)
+        else:
+            first = br.read(1)
+        lengths = [0] * alphabet
+        if first >= alphabet:
+            raise ValueError("VP8L: simple code symbol out of range")
+        if num == 2:
+            second = br.read(8)
+            if second >= alphabet or second == first:
+                raise ValueError("VP8L: simple code symbol invalid")
+            lengths[first] = lengths[second] = 1
+        else:
+            lengths[first] = 1
+        return _Prefix(lengths)
+    # code lengths are themselves prefix coded
+    num_codes = 4 + br.read(4)
+    clc = [0] * 19
+    for i in range(num_codes):
+        clc[_CLC_ORDER[i]] = br.read(3)
+    cl_tree = _Prefix(clc)
+    if br.read(1):                       # bounded symbol count
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    i = 0
+    while i < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = cl_tree.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i >= alphabet:
+                    raise ValueError("VP8L: code-length repeat "
+                                     "overruns the alphabet")
+                lengths[i] = prev
+                i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:                            # 18
+            i += 11 + br.read(7)
+        if i > alphabet:
+            raise ValueError("VP8L: code-length repeat overruns the "
+                             "alphabet")
+    return _Prefix(lengths)
+
+
+# 2-D neighborhood for distance codes 1..120 (spec §4.2.2), (dx, dy)
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+def _lz77_value(br: _Bits, sym: int) -> int:
+    """Length/distance prefix value (spec §4.2.2): 24/40-symbol
+    alphabets with extra bits past symbol 3."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _plane_dist(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    return max(1, dy * xsize + dx)
+
+
+class _Groups:
+    """The 5 prefix codes of one meta group."""
+
+    __slots__ = ("g", "r", "b", "a", "d")
+
+    def __init__(self, br, cache_size):
+        self.g = _read_prefix_code(br, 256 + 24 + cache_size)
+        self.r = _read_prefix_code(br, 256)
+        self.b = _read_prefix_code(br, 256)
+        self.a = _read_prefix_code(br, 256)
+        self.d = _read_prefix_code(br, 40)
+
+
+def _decode_entropy_coded(br: _Bits, w: int, h: int,
+                          level0: bool) -> np.ndarray:
+    """The spatially-coded ARGB image (spec §5.2): optional color
+    cache, optional meta-prefix partitioning (level-0 only), LZ77 over
+    the row-major pixel sequence. Returns uint32 ARGB of shape
+    (h, w)."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L: color cache bits {cache_bits} "
+                             f"out of range 1..11")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and br.read(1):            # meta prefix codes
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_coded(br, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = [_Groups(br, cache_size) for _ in range(n_groups)]
+    cache = [0] * cache_size
+
+    out = np.zeros(w * h, dtype=np.uint32)
+    n = w * h
+    pos = 0
+
+    def push(argb):
+        if cache_bits:
+            cache[((0x1E35A7BD * argb) & 0xFFFFFFFF)
+                  >> (32 - cache_bits)] = argb
+
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            grp = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        else:
+            grp = groups[0]
+        s = grp.g.read(br)
+        if s < 256:                      # literal
+            r = grp.r.read(br)
+            b = grp.b.read(br)
+            a = grp.a.read(br)
+            argb = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = argb
+            push(argb)
+            pos += 1
+        elif s < 256 + 24:               # LZ77 backward reference
+            length = _lz77_value(br, s - 256)
+            dist_code = _lz77_value(br, grp.d.read(br))
+            dist = _plane_dist(dist_code, w)
+            if dist > pos:
+                raise ValueError("VP8L: backward reference before "
+                                 "the image start")
+            if pos + length > n:
+                raise ValueError("VP8L: backward reference past the "
+                                 "image end")
+            for _ in range(length):
+                argb = int(out[pos - dist])
+                out[pos] = argb
+                push(argb)
+                pos += 1
+        else:                            # color cache
+            if not cache_bits:
+                raise ValueError("VP8L: cache symbol without a color "
+                                 "cache")
+            idx = s - 256 - 24
+            argb = cache[idx]
+            out[pos] = argb
+            # spec: cache hits re-insert (no-op) — keep push for parity
+            push(argb)
+            pos += 1
+    return out.reshape(h, w)
+
+
+# ------------------------------------------------------ transforms
+def _sub_image(br: _Bits, bits: int, w: int, h: int) -> np.ndarray:
+    tw = (w + (1 << bits) - 1) >> bits
+    th = (h + (1 << bits) - 1) >> bits
+    return _decode_entropy_coded(br, tw, th, False)
+
+
+def _channels(p):
+    return ((p >> 24) & 0xFF, (p >> 16) & 0xFF,
+            (p >> 8) & 0xFF, p & 0xFF)
+
+
+def _pack(a, r, g, b):
+    return ((a & 0xFF) << 24) | ((r & 0xFF) << 16) \
+        | ((g & 0xFF) << 8) | (b & 0xFF)
+
+
+def _average2(p, q):
+    pa, pr, pg, pb = _channels(p)
+    qa, qr, qg, qb = _channels(q)
+    return _pack((pa + qa) // 2, (pr + qr) // 2,
+                 (pg + qg) // 2, (pb + qb) // 2)
+
+
+def _select(l, t, tl):  # noqa: E741 — spec names
+    la, lr, lg, lb = _channels(l)
+    ta, tr, tg, tb = _channels(t)
+    xa, xr, xg, xb = _channels(tl)
+    # predicted = L + T - TL per channel; pick the closer of L/T
+    p_l = (abs(ta - xa) + abs(tr - xr) + abs(tg - xg) + abs(tb - xb))
+    p_t = (abs(la - xa) + abs(lr - xr) + abs(lg - xg) + abs(lb - xb))
+    return l if p_l <= p_t else t
+
+
+def _clamp(v):
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _cas_full(l, t, tl):  # noqa: E741
+    la, lr, lg, lb = _channels(l)
+    ta, tr, tg, tb = _channels(t)
+    xa, xr, xg, xb = _channels(tl)
+    return _pack(_clamp(la + ta - xa), _clamp(lr + tr - xr),
+                 _clamp(lg + tg - xg), _clamp(lb + tb - xb))
+
+
+def _cas_half(avg, tl):
+    aa, ar, ag, ab = _channels(avg)
+    xa, xr, xg, xb = _channels(tl)
+
+    def ch(a, x):
+        return _clamp(a + (a - x) // 2)
+    return _pack(ch(aa, xa), ch(ar, xr), ch(ag, xg), ch(ab, xb))
+
+
+def _predict(mode: int, argb: np.ndarray, x: int, y: int) -> int:
+    w = argb.shape[1]
+    L = int(argb[y, x - 1]) if x > 0 else 0      # noqa: N806
+    T = int(argb[y - 1, x]) if y > 0 else 0      # noqa: N806
+    TL = int(argb[y - 1, x - 1]) if x > 0 and y > 0 else 0  # noqa: N806
+    # TR at the last column wraps to the CURRENT row's first pixel
+    # (the libwebp row-buffer layout, part of the de-facto format)
+    if y > 0:
+        TR = int(argb[y - 1, x + 1]) if x + 1 < w \
+            else int(argb[y, 0])                 # noqa: N806
+    else:
+        TR = 0                                   # noqa: N806
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _average2(_average2(L, TR), T)
+    if mode == 6:
+        return _average2(L, TL)
+    if mode == 7:
+        return _average2(L, T)
+    if mode == 8:
+        return _average2(TL, T)
+    if mode == 9:
+        return _average2(T, TR)
+    if mode == 10:
+        return _average2(_average2(L, TL), _average2(T, TR))
+    if mode == 11:
+        return _select(L, T, TL)
+    if mode == 12:
+        return _cas_full(L, T, TL)
+    if mode == 13:
+        return _cas_half(_average2(L, T), TL)
+    raise ValueError(f"VP8L: predictor mode {mode} out of range 0..13")
+
+
+def _inv_predictor(argb: np.ndarray, modes: np.ndarray,
+                   bits: int) -> None:
+    h, w = argb.shape
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(argb[0, x - 1])       # L
+            elif x == 0:
+                pred = int(argb[y - 1, 0])       # T
+            else:
+                mode = (int(modes[y >> bits, x >> bits]) >> 8) & 0xFF
+                pred = _predict(mode, argb, x, y)
+            cur = int(argb[y, x])
+            pa, pr, pg, pb = _channels(pred)
+            ca, cr, cg, cb = _channels(cur)
+            argb[y, x] = _pack(ca + pa, cr + pr, cg + pg, cb + pb)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def _inv_color_transform(argb: np.ndarray, elems: np.ndarray,
+                         bits: int) -> None:
+    h, w = argb.shape
+    for y in range(h):
+        for x in range(w):
+            e = int(elems[y >> bits, x >> bits])
+            g2r = (e >> 0) & 0xFF        # blue channel of the element
+            g2b = (e >> 8) & 0xFF        # green channel
+            r2b = (e >> 16) & 0xFF       # red channel
+            p = int(argb[y, x])
+            a, r, g, b = _channels(p)
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g)) & 0xFF
+            b = (b + _ct_delta(r2b, r)) & 0xFF
+            argb[y, x] = _pack(a, r, g, b)
+
+
+def _inv_subtract_green(argb: np.ndarray) -> None:
+    g = (argb >> 8) & 0xFF
+    r = (((argb >> 16) & 0xFF) + g) & 0xFF
+    b = ((argb & 0xFF) + g) & 0xFF
+    argb[...] = (argb & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_color_index(packed: np.ndarray, palette: np.ndarray,
+                     w: int) -> np.ndarray:
+    """Palette lookup + un-bundling back to full width."""
+    size = palette.shape[0]
+    if size <= 2:
+        wb = 3
+    elif size <= 4:
+        wb = 2
+    elif size <= 16:
+        wb = 1
+    else:
+        wb = 0
+    h = packed.shape[0]
+    out = np.zeros((h, w), dtype=np.uint32)
+    if wb == 0:
+        idx = (packed >> 8) & 0xFF
+        if int(idx.max(initial=0)) >= size:
+            raise ValueError("VP8L: palette index out of range")
+        out[...] = palette[idx[:, :w]]
+        return out
+    bpp = 8 >> wb                         # bits per pixel
+    per = 1 << wb                         # pixels per packed byte
+    for y in range(h):
+        for x in range(w):
+            b = int(packed[y, x >> wb] >> 8) & 0xFF
+            i = (b >> ((x % per) * bpp)) & ((1 << bpp) - 1)
+            if i >= size:
+                raise ValueError("VP8L: palette index out of range")
+            out[y, x] = palette[i]
+    return out
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """VP8L chunk body → uint8 pixel array of shape (h, w, 4) RGBA
+    (or (h, w, 3) RGB when the header's alpha hint is unset). Raises
+    ``ValueError`` on any malformed structure."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte (want 0x2f)")
+    br = _Bits(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    has_alpha = br.read(1)
+    version = br.read(3)
+    if version != 0:
+        raise ValueError(f"VP8L: version {version} (spec pins 0)")
+
+    # transforms, read order = reverse application order
+    transforms = []
+    seen = set()
+    xsize = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError(f"VP8L: transform {ttype} repeated")
+        seen.add(ttype)
+        if ttype == 0:                   # predictor
+            bits = br.read(3) + 2
+            transforms.append(("pred", bits,
+                               _sub_image(br, bits, xsize, h)))
+        elif ttype == 1:                 # color
+            bits = br.read(3) + 2
+            transforms.append(("color", bits,
+                               _sub_image(br, bits, xsize, h)))
+        elif ttype == 2:                 # subtract green
+            transforms.append(("subg", None, None))
+        else:                            # color indexing
+            size = br.read(8) + 1
+            pal_deltas = _decode_entropy_coded(br, size, 1, False)[0]
+            pal = np.zeros(size, dtype=np.uint32)
+            acc = 0
+            for i in range(size):
+                d = int(pal_deltas[i])
+                da, dr, dg, db = _channels(d)
+                aa, ar, ag, ab = _channels(acc)
+                acc = _pack(aa + da, ar + dr, ag + dg, ab + db)
+                pal[i] = acc
+            transforms.append(("cidx", None, pal))
+            if size <= 2:
+                xsize = (xsize + 7) >> 3
+            elif size <= 4:
+                xsize = (xsize + 3) >> 2
+            elif size <= 16:
+                xsize = (xsize + 1) >> 1
+
+    argb = _decode_entropy_coded(br, xsize, h, True)
+
+    for kind, bits, data in reversed(transforms):
+        if kind == "cidx":
+            argb = _inv_color_index(argb, data, w)
+        elif kind == "subg":
+            _inv_subtract_green(argb)
+        elif kind == "pred":
+            _inv_predictor(argb, data, bits)
+        else:
+            _inv_color_transform(argb, data, bits)
+
+    a = ((argb >> 24) & 0xFF).astype(np.uint8)
+    r = ((argb >> 16) & 0xFF).astype(np.uint8)
+    g = ((argb >> 8) & 0xFF).astype(np.uint8)
+    b = (argb & 0xFF).astype(np.uint8)
+    if has_alpha:
+        return np.stack([r, g, b, a], axis=-1)
+    return np.stack([r, g, b], axis=-1)
+
+
+def parse_webp_container(payload: bytes) -> dict:
+    """RIFF/WEBP chunk walk: ``{"codec": 'vp8l'|'vp8'|'vp8x',
+    "vp8l": bytes|None, "width", "height", "has_alpha", "n_frames"}``.
+    Dims come from the codec payload (VP8L header / VP8 frame tag /
+    VP8X canvas); ANMF frames are counted, not decoded."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos = 12
+    out = {"codec": None, "vp8l": None, "width": None, "height": None,
+           "has_alpha": False, "n_frames": 0}
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"WEBP: chunk {cid!r} truncated")
+        if cid == b"VP8L" and out["vp8l"] is None:
+            out["codec"] = out["codec"] or "vp8l"
+            out["vp8l"] = body
+            if len(body) >= 5 and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                out["width"] = (bits & 0x3FFF) + 1
+                out["height"] = ((bits >> 14) & 0x3FFF) + 1
+                out["has_alpha"] = bool((bits >> 28) & 1)
+            out["n_frames"] = max(out["n_frames"], 1)
+        elif cid == b"VP8 ":
+            out["codec"] = out["codec"] or "vp8"
+            # lossy frame tag: 3-byte frame header, then the start
+            # code 9d 01 2a and 14-bit dims
+            if len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+                out["width"] = int.from_bytes(body[6:8],
+                                              "little") & 0x3FFF
+                out["height"] = int.from_bytes(body[8:10],
+                                               "little") & 0x3FFF
+            out["n_frames"] = max(out["n_frames"], 1)
+        elif cid == b"VP8X":
+            out["codec"] = "vp8x"
+            if size >= 10:
+                flags = body[0]
+                out["has_alpha"] = bool(flags & 0x10)
+                out["width"] = int.from_bytes(body[4:7], "little") + 1
+                out["height"] = int.from_bytes(body[7:10],
+                                               "little") + 1
+        elif cid == b"ANMF":
+            out["n_frames"] += 1
+            # the frame's own codec chunk is nested; sniff it so a
+            # pure-animation file still reports vp8l/vp8
+            if out["codec"] in (None, "vp8x") and len(body) >= 24:
+                sub = body[16:20]
+                if sub == b"VP8L":
+                    out["codec"] = "vp8x"
+        pos += 8 + size + (size & 1)     # chunks are word-aligned
+    if out["codec"] is None:
+        raise ValueError("WEBP: no VP8/VP8L/VP8X chunk")
+    return out
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Whole-file WebP decode (lossless only): container walk +
+    :func:`decode_vp8l`. Lossy VP8/animation raise naming the seam."""
+    info = parse_webp_container(payload)
+    if info["vp8l"] is None:
+        raise NotImplementedError(
+            f"builtin WebP decoder handles lossless VP8L only; this "
+            f"file is {info['codec']} (lossy/extended) — install "
+            f"Pillow for the DCT path")
+    return decode_vp8l(info["vp8l"])
