@@ -776,7 +776,8 @@ def _wrap_dib_as_bmp(frame: bytes, w: int, h: int,
 
 
 def parse_avi(payload: bytes, *,
-              _sample_every: int = 1) -> dict:
+              _sample_every: int = 1,
+              keyframes_only: bool = False) -> dict:
     """REAL RIFF/AVI demux (r8) — the video-container twin of the
     builtin WAVE parser: walks the chunk tree (hdrl → avih/strh/strf,
     movi → per-frame chunks) and returns ``{"width", "height",
@@ -784,13 +785,21 @@ def parse_avi(payload: bytes, *,
     a decodable image payload: MJPG frames are JPEGs as stored
     (→ the builtin JPEG decoder), raw-DIB frames are wrapped into BMPs
     (→ the builtin BMP decoder). Codecs beyond MJPG/raw raise the
-    honest ``NotImplementedError`` naming the fourcc."""
+    honest ``NotImplementedError`` naming the fourcc.
+
+    The ``idx1`` index chunk's AVIIF_KEYFRAME flags (0x10) surface as
+    ``keyframes`` (0-based frame indexes; None when the file carries
+    no index — every MJPG/DIB frame is intra anyway).
+    ``keyframes_only=True`` materializes only those frames and adds
+    ``indexes`` mapping list positions back to real frame numbers
+    (r12 — real video corpus profiling samples seekable frames, not
+    every_n)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     info = {"width": None, "height": None, "us_per_frame": None,
             "codec": None}
     frames: list[bytes] = []
-    state = {"in_vids": False, "compression": None}
+    state = {"in_vids": False, "compression": None, "idx1": None}
 
     def walk(pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -813,10 +822,27 @@ def parse_avi(payload: bytes, *,
             elif len(cid) == 4 and cid[2:4] in (b"db", b"dc") \
                     and cid[:2].isdigit():
                 frames.append(payload[dpos:dpos + sz])
+            elif cid == b"idx1":
+                # AVIIF_KEYFRAME (0x10) per video entry, in stream
+                # order — 16-byte entries (ckid, flags, off, size)
+                flags = []
+                for p in range(dpos, min(dpos + sz,
+                                         len(payload)) - 15, 16):
+                    ckid = payload[p:p + 4]
+                    if ckid[2:4] in (b"db", b"dc") \
+                            and ckid[:2].isdigit():
+                        f = int.from_bytes(payload[p + 4:p + 8],
+                                           "little")
+                        flags.append(bool(f & 0x10))
+                state["idx1"] = flags
             pos = dpos + sz + (sz & 1)
 
     walk(12, len(payload))
     comp = state["compression"] or b"\x00\x00\x00\x00"
+    keyflags = state["idx1"]
+    keyframes = (None if keyflags is None or len(keyflags)
+                 != len(frames)
+                 else [i for i, k in enumerate(keyflags) if k])
     if comp == b"\x00\x00\x00\x00":
         info["codec"] = "rawdib"
         frames = [_wrap_dib_as_bmp(f, info["width"], info["height"])
@@ -824,13 +850,17 @@ def parse_avi(payload: bytes, *,
     elif comp in (b"MJPG", b"mjpg"):
         info["codec"] = "mjpeg"
     elif _HAS_PYAV:  # pragma: no cover - container has no PyAV
-        return _pyav_demux(payload, _sample_every)
+        return _pyav_demux(payload, _sample_every, keyframes_only)
     else:
         raise NotImplementedError(
             f"AVI codec {comp!r} is not supported by the builtin "
             f"demux (MJPG and uncompressed DIB are); install PyAV "
             f"for other codecs (the optional seam decodes them when "
             f"present)")
+    info["keyframes"] = keyframes
+    if keyframes_only and keyframes is not None:
+        info["indexes"] = keyframes
+        frames = [frames[i] for i in keyframes]
     info["frames"] = frames
     return info
 
@@ -846,7 +876,8 @@ def _rgb_to_ppm(arr: np.ndarray) -> bytes:
         arr, dtype=np.uint8).tobytes()
 
 
-def _pyav_demux(payload: bytes, every_n: int = 1) -> dict:
+def _pyav_demux(payload: bytes, every_n: int = 1,
+                keyframes_only: bool = False) -> dict:
     """Real-codec demux+decode through the optional PyAV seam (r10,
     r9 VERDICT item 1): any container/codec ffmpeg knows (H.264,
     HEVC, VP9, ...) comes back in the :func:`parse_avi`/
@@ -872,6 +903,11 @@ def _pyav_demux(payload: bytes, every_n: int = 1) -> dict:
         if stream is None:
             raise ValueError("container has no video track")
         codec = stream.codec_context.name
+        if keyframes_only:
+            # the codec skips non-key frames entirely — the decoder
+            # never reconstructs inter frames, so a keyframe sweep
+            # over an hour of H.264 costs I-frame decode only (r12)
+            stream.codec_context.skip_frame = "NONKEY"
         frames: list[bytes] = []
         w = h = None
         for i, frame in enumerate(container.decode(stream)):
@@ -929,7 +965,8 @@ def _mp4_find(payload: bytes, pos: int, end: int, *path: bytes):
 
 
 def parse_mp4(payload: bytes, *,
-              _sample_every: int = 1) -> dict:
+              _sample_every: int = 1,
+              keyframes_only: bool = False) -> dict:
     """REAL ISO-BMFF/MP4 demux (r9) — the camera-export shape the
     reference's AV domain overwhelmingly ships (parse_avi:435 is the
     RIFF twin; r8 VERDICT item 7). Walks moov → trak → mdia → minf →
@@ -945,7 +982,14 @@ def parse_mp4(payload: bytes, *,
     compressed camera topics) and raises the honest
     ``NotImplementedError`` naming the fourcc otherwise. Returns
     ``{"width", "height", "us_per_frame", "codec", "frames"}`` —
-    the same contract as :func:`parse_avi`."""
+    the same contract as :func:`parse_avi`.
+
+    The ``stss`` sync-sample table surfaces as ``keyframes``
+    (0-based; None when the box is absent — ISO-BMFF then defines
+    EVERY sample as sync). ``keyframes_only=True`` slices only the
+    sync samples out of ``mdat`` (the non-sync bytes are never
+    materialized) and adds ``indexes`` mapping list positions to
+    real sample numbers (r12)."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF/MP4 payload")
     n = len(payload)
@@ -979,7 +1023,8 @@ def parse_mp4(payload: bytes, *,
         height = int.from_bytes(payload[entry + 34:entry + 36], "big")
         if fourcc not in (b"jpeg", b"mjpa", b"MJPG", b"mjpg"):
             if _HAS_PYAV:  # pragma: no cover - container has no PyAV
-                return _pyav_demux(payload, _sample_every)
+                return _pyav_demux(payload, _sample_every,
+                                   keyframes_only)
             raise NotImplementedError(
                 f"MP4 video codec {fourcc!r} is not supported by the "
                 f"builtin demux (MJPEG-family is); install PyAV for "
@@ -1023,7 +1068,18 @@ def parse_mp4(payload: bytes, *,
             if int.from_bytes(payload[b + 4:b + 8], "big") >= 1:
                 delta = int.from_bytes(payload[b + 12:b + 16], "big")
                 us_per_frame = int(delta * 1_000_000 / timescale)
+        # stss: sync samples (1-based in the box). Absent box = every
+        # sample is a sync sample (ISO-BMFF 8.6.2)
+        sync = None
+        if b"stss" in boxes:
+            b, e = boxes[b"stss"]
+            ns = int.from_bytes(payload[b + 4:b + 8], "big")
+            sync = {int.from_bytes(payload[b + 8 + 4 * i:
+                                           b + 12 + 4 * i],
+                                   "big") - 1
+                    for i in range(ns)}
         frames: list[bytes] = []
+        kept: list[int] = []
         si = 0
         for ci, coff in enumerate(offs, start=1):
             spc = 0
@@ -1039,19 +1095,28 @@ def parse_mp4(payload: bytes, *,
                 sz = sizes[si]
                 if pos + sz > n:
                     raise ValueError("MP4 sample extends past EOF")
-                frames.append(payload[pos:pos + sz])
+                if not (keyframes_only and sync is not None
+                        and si not in sync):
+                    frames.append(payload[pos:pos + sz])
+                    kept.append(si)
                 pos += sz
                 si += 1
-        return {"width": width, "height": height,
-                "us_per_frame": us_per_frame, "codec": "mjpeg",
-                "frames": frames}
+        out = {"width": width, "height": height,
+               "us_per_frame": us_per_frame, "codec": "mjpeg",
+               "frames": frames,
+               "keyframes": (sorted(sync) if sync is not None
+                             else None)}
+        if keyframes_only and sync is not None:
+            out["indexes"] = kept
+        return out
     raise ValueError("MP4 has no video track")
 
 
 def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                   every_n: int = 10, frame_col: str = "frame",
                   index_col: str = "frame_index",
-                  demux_col: str = "demux") -> DataFrame:
+                  demux_col: str = "demux",
+                  keyframes_only: bool = False) -> DataFrame:
     """Explode a video payload into every ``every_n``-th frame row.
 
     Framing: RIFF/AVI payloads demux for REAL (:func:`parse_avi` —
@@ -1069,6 +1134,16 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
     frame index attached — is the scale-relevant plumbing: fan-out
     happens executor-side, so a 1-hour video never materializes on
     the driver.
+
+    ``keyframes_only=True`` (r12) samples the SEEKABLE frames instead
+    of every ``every_n``-th: MP4 ``stss`` sync samples / AVI ``idx1``
+    keyframe flags select the set builtin (non-sync bytes never
+    materialize), and the PyAV seam sets ``skip_frame=NONKEY`` so
+    inter frames aren't even reconstructed. ``every_n`` then strides
+    over the keyframe sequence; ``frame_index`` stays the REAL frame
+    number. Files with no index (or all-intra codecs) keep every
+    frame eligible — for MJPEG/GIF/raw-DIB the two modes coincide,
+    which is correct: every frame there IS a keyframe.
     """
     keep = [f for f in df.schema.fields if f.name != binary_col]
     out_schema = T.StructType(keep + [
@@ -1080,8 +1155,15 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
 
     def emit(rows, row, info, tag):
         fr = info["frames"]
+        idx = info.get("indexes")
         step = info.get("sampled_every")
-        if step:
+        if idx is not None:
+            # keyframes-only demux: positions carry their REAL frame
+            # numbers; every_n strides over the keyframe sequence
+            for j in range(0, len(fr), every_n):
+                rows.append(tuple(row[k] for k in keep_names)
+                            + (idx[j], fr[j], tag))
+        elif step:
             # the PyAV seam already kept only every_n-th frame
             # (decode stayed sequential, memory didn't): positions
             # map back to REAL frame indexes via the step
@@ -1103,17 +1185,23 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                 pb = bytes(payload)
                 if pb[:4] == b"RIFF" and pb[8:12] == b"AVI ":
                     emit(rows, row,
-                         parse_avi(pb, _sample_every=every_n), "avi")
+                         parse_avi(pb, _sample_every=every_n,
+                                   keyframes_only=keyframes_only),
+                         "avi")
                     continue
                 if len(pb) >= 12 and pb[4:8] == b"ftyp":
                     emit(rows, row,
-                         parse_mp4(pb, _sample_every=every_n), "mp4")
+                         parse_mp4(pb, _sample_every=every_n,
+                                   keyframes_only=keyframes_only),
+                         "mp4")
                     continue
                 if pb[:4] == b"\x1a\x45\xdf\xa3" and _HAS_PYAV:
                     # Matroska/WebM: only the PyAV seam reads it;
                     # without the package this falls through to the
                     # documented slice fake  # pragma: no cover
-                    emit(rows, row, _pyav_demux(pb, every_n), "pyav")
+                    emit(rows, row,
+                         _pyav_demux(pb, every_n, keyframes_only),
+                         "pyav")
                     continue
                 if pb[:6] in (b"GIF87a", b"GIF89a"):
                     # animated GIF demuxes for REAL builtin (r11):

@@ -362,7 +362,8 @@ def _avi_list(ltype: bytes, *subs: bytes) -> bytes:
 
 
 def _build_avi(frames: list[bytes], w: int, h: int,
-               compression: bytes) -> bytes:
+               compression: bytes,
+               key_flags: list[bool] | None = None) -> bytes:
     import struct
     avih = struct.pack("<14I", 40_000, 0, 0, 0, len(frames), 0, 1, 0,
                        w, h, 0, 0, 0, 0)
@@ -376,7 +377,15 @@ def _build_avi(frames: list[bytes], w: int, h: int,
                                _avi_chunk(b"strf", strf)))
     fid = b"00dc" if compression != b"\x00\x00\x00\x00" else b"00db"
     movi = _avi_list(b"movi", *[_avi_chunk(fid, f) for f in frames])
-    body = b"AVI " + hdrl + movi
+    idx1 = b""
+    if key_flags is not None:
+        entries = b"".join(
+            fid + (0x10 if k else 0).to_bytes(4, "little")
+            + (0).to_bytes(4, "little")
+            + len(f).to_bytes(4, "little")
+            for f, k in zip(frames, key_flags))
+        idx1 = _avi_chunk(b"idx1", entries)
+    body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
@@ -473,7 +482,8 @@ def _mp4_video_entry(fourcc: bytes, w: int, h: int) -> bytes:
 
 def _build_mp4(frames: list[bytes], w: int, h: int,
                fourcc: bytes = b"jpeg", co64: bool = False,
-               with_audio_track: bool = True) -> bytes:
+               with_audio_track: bool = True,
+               stss: list[int] | None = None) -> bytes:
     import struct
     ftyp = _mbox(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
     mdat = _mbox(b"mdat", b"".join(frames))
@@ -509,7 +519,12 @@ def _build_mp4(frames: list[bytes], w: int, h: int,
                      + len(chunks).to_bytes(4, "big")
                      + b"".join(o.to_bytes(4, "big")
                                 for o, _ in chunks))
-    stbl = _mbox(b"stbl", stsd + stts + stsc + stsz + stco)
+    sync = b""
+    if stss is not None:                  # 1-based sync samples
+        sync = _mbox(b"stss", b"\x00" * 4
+                     + len(stss).to_bytes(4, "big")
+                     + b"".join(s.to_bytes(4, "big") for s in stss))
+    stbl = _mbox(b"stbl", stsd + stts + stsc + stsz + stco + sync)
     mdhd = _mbox(b"mdhd", b"\x00" * 4 + b"\x00" * 8
                  + (30).to_bytes(4, "big") + b"\x00" * 8)
     hdlr_v = _mbox(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
@@ -948,3 +963,85 @@ def test_media_metadata_total_on_hostile_bytes():
             blob = m + bytes(rng.integers(0, 256, n, dtype=np.uint8))
             info = _probe_media_bytes(blob)
             assert info["format"] is not None
+
+
+# ------------------------------------------- keyframe sampling (r12)
+
+def test_mp4_stss_keyframes_only():
+    """A golden MP4 with a known stss table materializes exactly those
+    samples and maps positions back to real sample numbers."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import encode_jpeg
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import parse_mp4
+    h, w = 16, 24
+    jpegs = [encode_jpeg(np.full((h, w, 3), 30 * (i + 1),
+                                 dtype=np.uint8), quality=95)
+             for i in range(5)]
+    mp4 = _build_mp4(jpegs, w, h, stss=[1, 4])     # 1-based
+    full = parse_mp4(mp4)
+    assert full["keyframes"] == [0, 3]
+    assert len(full["frames"]) == 5                # full demux intact
+    keyed = parse_mp4(mp4, keyframes_only=True)
+    assert keyed["indexes"] == [0, 3]
+    assert keyed["frames"] == [jpegs[0], jpegs[3]]
+    # no stss box -> every sample is sync (ISO-BMFF 8.6.2)
+    plain = parse_mp4(_build_mp4(jpegs, w, h), keyframes_only=True)
+    assert plain["keyframes"] is None
+    assert len(plain["frames"]) == 5
+
+
+def test_avi_idx1_keyframes_only():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import encode_jpeg
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import parse_avi
+    h, w = 16, 24
+    jpegs = [encode_jpeg(np.full((h, w, 3), 25 * (i + 1),
+                                 dtype=np.uint8), quality=95)
+             for i in range(4)]
+    avi = _build_avi(jpegs, w, h, b"MJPG",
+                     key_flags=[True, False, False, True])
+    full = parse_avi(avi)
+    assert full["keyframes"] == [0, 3]
+    assert len(full["frames"]) == 4
+    keyed = parse_avi(avi, keyframes_only=True)
+    assert keyed["indexes"] == [0, 3]
+    assert keyed["frames"] == [jpegs[0], jpegs[3]]
+    # no idx1 -> None (MJPG is all-intra anyway)
+    noidx = parse_avi(_build_avi(jpegs, w, h, b"MJPG"),
+                      keyframes_only=True)
+    assert noidx["keyframes"] is None
+    assert len(noidx["frames"]) == 4
+
+
+def test_sample_frames_keyframes_only_spark(spark):
+    """keyframes_only through the Spark operator: frame_index carries
+    REAL sample numbers and the exploded frames decode."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import encode_jpeg
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        decode_image, pack_media, sample_frames,
+    )
+    h, w = 16, 24
+    jpegs = [encode_jpeg(np.full((h, w, 3), 30 * (i + 1),
+                                 dtype=np.uint8), quality=95)
+             for i in range(5)]
+    mp4 = _build_mp4(jpegs, w, h, stss=[1, 3, 5])
+    df = spark.createDataFrame([(1, mp4)],
+                               "doc_id long, payload binary")
+    media = pack_media(df, "payload", fmt="video/mp4",
+                       width=w, height=h, n_frames=5)
+    got = sample_frames(media, "payload", every_n=1,
+                        keyframes_only=True) \
+        .orderBy("frame_index").collect()
+    assert [r["frame_index"] for r in got] == [0, 2, 4]
+    assert all(r["demux"] == "mp4" for r in got)
+    # every_n strides over the KEYFRAME sequence
+    got2 = sample_frames(media, "payload", every_n=2,
+                         keyframes_only=True) \
+        .orderBy("frame_index").collect()
+    assert [r["frame_index"] for r in got2] == [0, 4]
+    # the sampled frames are decodable JPEGs
+    frames = spark.createDataFrame(
+        [(r["frame_index"], bytes(r["frame"])) for r in got],
+        "idx long, payload binary")
+    fmedia = pack_media(frames, "payload", fmt="image/jpeg",
+                        width=w, height=h)
+    dec = decode_image(fmedia, "payload").collect()
+    assert all(r["codec"] == "jpeg" for r in dec)
