@@ -71,6 +71,9 @@ from .retrieval import (  # noqa: F401
     probe_buckets,
     rrf_fuse, term_stats,
 )
+from .audio import (  # noqa: F401
+    mixdown_audio, resample_audio,
+)
 from .sensors import (  # noqa: F401
     IMAGE_DEFINITION, POINTCLOUD2_DEFINITION, decode_pointcloud2,
     decode_ros_image, ros_image_media_info,
