@@ -74,6 +74,9 @@ from .retrieval import (  # noqa: F401
 from .audio import (  # noqa: F401
     mixdown_audio, resample_audio,
 )
+from .vp8l import (  # noqa: F401
+    decode_webp, parse_webp_container,
+)
 from .sensors import (  # noqa: F401
     IMAGE_DEFINITION, POINTCLOUD2_DEFINITION, decode_pointcloud2,
     decode_ros_image, ros_image_media_info,

@@ -426,10 +426,22 @@ def decode_cdr_messages(messages: DataFrame, defn: str,
                             columns=[f.name for f in out_fields])
 
     out = messages.withColumn("_m", decode(F.col("data")))
+    # drop the RAW payload column BEFORE unpacking the decoded struct:
+    # messages whose own schema has a field literally named ``data``
+    # (sensor_msgs PointCloud2/Image — the reference's lidar and
+    # camera topics) would otherwise have their decoded field dropped
+    # with the raw bytes (r12 fix, caught by the CDR PointCloud2
+    # composition test)
+    if drop_data:
+        out = out.drop("data")
+    elif any(n == "data" for _, n in fields):
+        raise ValueError(
+            "decode_cdr_messages: this message type defines its own "
+            "'data' field, which collides with the raw payload "
+            "column — call with drop_data=True")
     for f in out_fields:
         out = out.withColumn(f.name, F.col(f"_m.{f.name}"))
-    out = out.drop("_m")
-    return out.drop("data") if drop_data else out
+    return out.drop("_m")
 
 
 def extract_mcap_topics(messages: DataFrame) -> dict[str, DataFrame]:

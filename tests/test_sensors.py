@@ -339,3 +339,78 @@ def test_image_definition_parses(spark):
     assert ("string", "name") in s1["sensor_msgs/PointField"]
     s2 = parse_definition_sections(IMAGE_DEFINITION)
     assert ("uint8[]", "data") in s2[""]
+
+
+ROS2_POINTCLOUD2_DEFN = """\
+std_msgs/Header header
+uint32 height
+uint32 width
+sensor_msgs/PointField[] fields
+bool is_bigendian
+uint32 point_step
+uint32 row_step
+uint8[] data
+bool is_dense
+================================================================================
+MSG: std_msgs/Header
+builtin_interfaces/Time stamp
+string frame_id
+================================================================================
+MSG: sensor_msgs/PointField
+uint8 INT8=1
+uint8 UINT8=2
+uint8 INT16=3
+uint8 UINT16=4
+uint8 INT32=5
+uint8 UINT32=6
+uint8 FLOAT32=7
+uint8 FLOAT64=8
+string name
+uint32 offset
+uint8 datatype
+uint32 count
+"""
+
+
+def test_pointcloud2_through_mcap_cdr(spark, tmp_path):
+    """ROS2 face: the SAME operator consumes the CDR-decoded frame
+    from an MCAP recording (sensor_msgs/msg/PointCloud2) — proving
+    decode_pointcloud2 composes with extract_mcap_topics, not just
+    the ROS1 extractor."""
+    from test_mcap import _CdrW, _channel, _file, _message, _schema
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources.mcap import (
+        extract_mcap_topics, read_mcap_messages,
+    )
+
+    def cloud_cdr(n):
+        w = _CdrW()
+        w.prim("i", 4, 7).prim("I", 4, 0)        # Time stamp
+        w.string("os1")                          # frame_id
+        w.prim("I", 4, 1).prim("I", 4, n)        # height, width
+        w.prim("I", 4, 3)                        # fields count
+        for name, off, dt in (("x", 0, 7), ("y", 4, 7),
+                              ("ring", 8, 4)):
+            w.string(name)
+            w.prim("I", 4, off).prim("B", 1, dt).prim("I", 4, 1)
+        w.prim("?", 1, False)                    # is_bigendian
+        w.prim("I", 4, 10).prim("I", 4, 10 * n)  # steps
+        pts = b"".join(struct.pack("<ffH", float(i), float(3 * i),
+                                   i % 5)
+                       for i in range(n))
+        w.prim("I", 4, len(pts)).raw(pts)        # data
+        w.prim("?", 1, True)                     # is_dense
+        return w.bytes_()
+
+    recs = (_schema(1, "sensor_msgs/msg/PointCloud2",
+                    ROS2_POINTCLOUD2_DEFN)
+            + _channel(7, 1, "/os1_cloud_node/points")
+            + _message(7, 0, 1_000, 1_000, cloud_cdr(4)))
+    d = tmp_path / "mcaps"
+    d.mkdir()
+    (d / "lidar.mcap").write_bytes(_file(recs))
+    msgs = read_mcap_messages(spark, str(d))
+    cloud = extract_mcap_topics(msgs)["/os1_cloud_node/points"]
+    pts = decode_pointcloud2(cloud).orderBy("point_index").collect()
+    assert [(r["x"], r["y"], r["ring"]) for r in pts] \
+        == [(float(i), float(3 * i), i % 5) for i in range(4)]
