@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 __all__ = [
     "POINTCLOUD2_DEFINITION", "IMAGE_DEFINITION",
     "decode_pointcloud2", "decode_ros_image", "ros_image_media_info",
+    "voxel_downsample",
 ]
 
 # Public sensor_msgs definitions in gendeps concatenated-text form
@@ -471,3 +472,46 @@ def ros_image_media_info(df: DataFrame,
     # exact schema parity with media_metadata's media_info (same
     # nullability), so mixed raw/containerized profiling frames union
     return df.withColumn(out_col, info.cast(_MEDIA_INFO_SCHEMA))
+
+
+def voxel_downsample(df: DataFrame,
+                     voxel_size: float, *,
+                     cols: tuple[str, str, str] = ("x", "y", "z"),
+                     group_cols: list[str] | None = None,
+                     extra_aggs: dict[str, str] | None = None
+                     ) -> DataFrame:
+    """Voxel-grid downsampling of a long-form point cloud (the
+    standard lidar decimation step): points are binned into cubic
+    cells of ``voxel_size`` and each cell collapses to its centroid
+    plus ``n_points``. Pure Catalyst — one ``floor``-key groupBy, no
+    UDF, no per-point Python — so a 100 M-point sweep is a single
+    map-side-combined shuffle on (group, cell) keys; compose after
+    ``decode_pointcloud2(mode='long')``.
+
+    ``group_cols`` keeps clouds separate (default: whichever of
+    ``bag_file``/``topic``/``time_ns`` are present — per-message
+    downsampling); ``extra_aggs`` adds ``{column: 'mean'|'min'|'max'}``
+    over other point fields (e.g. ``{"intensity": "mean"}``)."""
+    if voxel_size <= 0:
+        raise ValueError(f"voxel_size must be positive, got "
+                         f"{voxel_size}")
+    x, y, z = cols
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"voxel_downsample: no column {c!r} — "
+                             f"decode with mode='long' first")
+    if group_cols is None:
+        group_cols = [c for c in ("bag_file", "mcap_file", "db3_file",
+                                  "topic", "time_ns")
+                      if c in df.columns]
+    keys = [F.floor(F.col(c) / voxel_size).alias(f"voxel_{c}")
+            for c in cols]
+    aggs = [F.count(F.lit(1)).alias("n_points"),
+            F.avg(x).alias(x), F.avg(y).alias(y), F.avg(z).alias(z)]
+    for c, how in (extra_aggs or {}).items():
+        if how not in ("mean", "avg", "min", "max", "sum"):
+            raise ValueError(f"unsupported agg {how!r} for {c!r}")
+        fn = {"mean": F.avg, "avg": F.avg, "min": F.min,
+              "max": F.max, "sum": F.sum}[how]
+        aggs.append(fn(c).alias(c))
+    return df.groupBy(*group_cols, *keys).agg(*aggs)

@@ -414,3 +414,50 @@ def test_pointcloud2_through_mcap_cdr(spark, tmp_path):
     pts = decode_pointcloud2(cloud).orderBy("point_index").collect()
     assert [(r["x"], r["y"], r["ring"]) for r in pts] \
         == [(float(i), float(3 * i), i % 5) for i in range(4)]
+
+
+def test_voxel_downsample_relational(spark):
+    """Voxel-grid decimation: centroids + counts per cell, pure
+    relational (plan has one shuffle, no Python stage), values pinned
+    against a pandas recomputation."""
+    import pandas as pd
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        voxel_downsample,
+    )
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame({
+        "bag_file": ["b1"] * n,
+        "x": rng.uniform(-10, 10, n),
+        "y": rng.uniform(-10, 10, n),
+        "z": rng.uniform(-2, 2, n),
+        "intensity": rng.integers(0, 100, n).astype("int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    out = voxel_downsample(df, 2.5,
+                           extra_aggs={"intensity": "mean"})
+    got = {(r["voxel_x"], r["voxel_y"], r["voxel_z"]):
+           (r["n_points"], r["x"], r["y"], r["z"], r["intensity"])
+           for r in out.collect()}
+    pdf["vx"] = np.floor(pdf.x / 2.5)
+    pdf["vy"] = np.floor(pdf.y / 2.5)
+    pdf["vz"] = np.floor(pdf.z / 2.5)
+    want = pdf.groupby(["vx", "vy", "vz"]).agg(
+        n=("x", "size"), x=("x", "mean"), y=("y", "mean"),
+        z=("z", "mean"), i=("intensity", "mean"))
+    assert len(got) == len(want)
+    for (vx, vy, vz), w in want.iterrows():
+        g = got[(vx, vy, vz)]
+        assert g[0] == w["n"]
+        assert g[1] == pytest.approx(w["x"], rel=1e-12)
+        assert g[4] == pytest.approx(w["i"], rel=1e-12)
+    # no Python stage: the plan is whole-stage-codegen relational
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    with pytest.raises(ValueError, match="positive"):
+        voxel_downsample(df, 0.0)
+    with pytest.raises(ValueError, match="no column"):
+        voxel_downsample(df.drop("z"), 1.0)
+    with pytest.raises(ValueError, match="unsupported agg"):
+        voxel_downsample(df, 1.0, extra_aggs={"intensity": "median"})
