@@ -26,21 +26,27 @@ __all__ = ["decode_vp8l", "decode_webp", "parse_webp_container"]
 
 
 class _Bits:
-    """LSB-first bit reader over the VP8L stream."""
+    """LSB-first bit reader over the VP8L stream — an accumulator
+    window refilled a byte at a time (each read is O(1) int ops, not
+    a per-bit loop; the entropy decode below calls this per symbol
+    bit, so this is the decoder's hot path)."""
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0                      # bit position
+        self.byte = 0                     # next byte to refill from
+        self.acc = 0                      # pending bits, LSB first
+        self.nbits = 0
 
     def read(self, n: int) -> int:
-        end = self.pos + n
-        if end > len(self.data) * 8:
-            raise ValueError("VP8L: bit stream truncated")
-        v = 0
-        for i in range(n):
-            p = self.pos + i
-            v |= ((self.data[p >> 3] >> (p & 7)) & 1) << i
-        self.pos = end
+        while self.nbits < n:
+            if self.byte >= len(self.data):
+                raise ValueError("VP8L: bit stream truncated")
+            self.acc |= self.data[self.byte] << self.nbits
+            self.byte += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
         return v
 
 
