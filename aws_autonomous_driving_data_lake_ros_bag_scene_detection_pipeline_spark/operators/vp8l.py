@@ -49,6 +49,21 @@ class _Bits:
         self.nbits -= n
         return v
 
+    def peek8(self) -> int:
+        """Up to 8 lookahead bits (zero-padded at EOF) for the
+        table-driven prefix decode."""
+        while self.nbits < 8 and self.byte < len(self.data):
+            self.acc |= self.data[self.byte] << self.nbits
+            self.byte += 1
+            self.nbits += 8
+        return self.acc & 0xFF
+
+    def skip(self, n: int) -> None:
+        if self.nbits < n:
+            raise ValueError("VP8L: bit stream truncated")
+        self.acc >>= n
+        self.nbits -= n
+
 
 class _Prefix:
     """Canonical prefix code: bit-by-bit decode (codes are emitted
@@ -73,9 +88,20 @@ class _Prefix:
         for ln in range(1, max_len + 1):
             code = (code + count[ln - 1]) << 1
             next_code[ln] = code
+        # first-level LUT: the next 8 stream bits (LSB-first) resolve
+        # any code of length <= 8 in one lookup — the common case for
+        # every real tree; longer codes fall back to the bit walk
+        self.lut: list[tuple[int, int] | None] = [None] * 256
         for ln, sym in sorted(nz):
-            self.table[(ln, next_code[ln])] = sym
+            code = next_code[ln]
+            self.table[(ln, code)] = sym
             next_code[ln] += 1
+            if ln <= 8:
+                rev = 0
+                for i in range(ln):
+                    rev |= ((code >> (ln - 1 - i)) & 1) << i
+                for j in range(1 << (8 - ln)):
+                    self.lut[rev | (j << ln)] = (sym, ln)
         # over-subscribed / incomplete codes are corrupt streams
         kraft = sum(1 << (max_len - ln) for ln, _ in nz)
         if kraft != (1 << max_len):
@@ -85,6 +111,11 @@ class _Prefix:
     def read(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
+        hit = self.lut[br.peek8()]
+        if hit is not None:
+            sym, ln = hit
+            br.skip(ln)
+            return sym
         code, ln = 0, 0
         while True:
             code = (code << 1) | br.read(1)
