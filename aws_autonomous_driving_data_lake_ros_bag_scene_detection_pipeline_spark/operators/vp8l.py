@@ -439,27 +439,32 @@ def _inv_predictor(argb: np.ndarray, modes: np.ndarray,
             argb[y, x] = _pack(ca + pa, cr + pr, cg + pg, cb + pb)
 
 
-def _ct_delta(t: int, c: int) -> int:
-    ts = t - 256 if t > 127 else t
-    cs = c - 256 if c > 127 else c
-    return (ts * cs) >> 5
-
-
 def _inv_color_transform(argb: np.ndarray, elems: np.ndarray,
                          bits: int) -> None:
+    """Vectorized inverse color transform: unlike the predictor, each
+    pixel depends only on itself and its tile's element, so the whole
+    plane is elementwise numpy (signed 3.5 fixed multipliers via int8
+    views; numpy's >> on int32 is arithmetic, matching the spec's
+    signed shift)."""
     h, w = argb.shape
-    for y in range(h):
-        for x in range(w):
-            e = int(elems[y >> bits, x >> bits])
-            g2r = (e >> 0) & 0xFF        # blue channel of the element
-            g2b = (e >> 8) & 0xFF        # green channel
-            r2b = (e >> 16) & 0xFF       # red channel
-            p = int(argb[y, x])
-            a, r, g, b = _channels(p)
-            r = (r + _ct_delta(g2r, g)) & 0xFF
-            b = (b + _ct_delta(g2b, g)) & 0xFF
-            b = (b + _ct_delta(r2b, r)) & 0xFF
-            argb[y, x] = _pack(a, r, g, b)
+    e = elems[np.ix_(np.arange(h) >> bits, np.arange(w) >> bits)]
+    g2r = (e & 0xFF).astype(np.uint8).astype(np.int8).astype(np.int32)
+    g2b = ((e >> 8) & 0xFF).astype(np.uint8).astype(np.int8) \
+        .astype(np.int32)
+    r2b = ((e >> 16) & 0xFF).astype(np.uint8).astype(np.int8) \
+        .astype(np.int32)
+    a = (argb >> 24) & 0xFF
+    r = ((argb >> 16) & 0xFF).astype(np.int32)
+    g = (argb >> 8) & 0xFF
+    b = (argb & 0xFF).astype(np.int32)
+    gs = g.astype(np.uint8).astype(np.int8).astype(np.int32)
+    r = (r + ((g2r * gs) >> 5)) & 0xFF
+    rs = r.astype(np.uint8).astype(np.int8).astype(np.int32)
+    b = (b + ((g2b * gs) >> 5)) & 0xFF
+    b = (b + ((r2b * rs) >> 5)) & 0xFF
+    argb[...] = ((a.astype(np.uint32) << 24)
+                 | (r.astype(np.uint32) << 16)
+                 | (g.astype(np.uint32) << 8) | b.astype(np.uint32))
 
 
 def _inv_subtract_green(argb: np.ndarray) -> None:
