@@ -496,13 +496,12 @@ def _inv_color_index(packed: np.ndarray, palette: np.ndarray,
         return out
     bpp = 8 >> wb                         # bits per pixel
     per = 1 << wb                         # pixels per packed byte
-    for y in range(h):
-        for x in range(w):
-            b = int(packed[y, x >> wb] >> 8) & 0xFF
-            i = (b >> ((x % per) * bpp)) & ((1 << bpp) - 1)
-            if i >= size:
-                raise ValueError("VP8L: palette index out of range")
-            out[y, x] = palette[i]
+    cols = np.arange(w)
+    bvals = (packed[:, cols >> wb] >> 8) & 0xFF
+    idx = (bvals >> ((cols % per) * bpp)[None, :]) & ((1 << bpp) - 1)
+    if int(idx.max(initial=0)) >= size:
+        raise ValueError("VP8L: palette index out of range")
+    out[...] = palette[idx]
     return out
 
 
