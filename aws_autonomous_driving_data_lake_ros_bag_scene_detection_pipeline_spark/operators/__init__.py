@@ -78,8 +78,10 @@ from .vp8l import (  # noqa: F401
     decode_webp, parse_webp_container,
 )
 from .sensors import (  # noqa: F401
-    IMAGE_DEFINITION, POINTCLOUD2_DEFINITION, decode_pointcloud2,
-    decode_ros_image, ros_image_media_info,
+    COMPRESSED_IMAGE_DEFINITION, IMAGE_DEFINITION,
+    POINTCLOUD2_DEFINITION, decode_pointcloud2,
+    decode_ros_compressed_image, decode_ros_image,
+    ros_image_media_info, voxel_downsample,
 )
 from .topk import top_k_per_group
 

@@ -40,7 +40,8 @@ from pyspark.sql import types as T
 __all__ = [
     "POINTCLOUD2_DEFINITION", "IMAGE_DEFINITION",
     "decode_pointcloud2", "decode_ros_image", "ros_image_media_info",
-    "voxel_downsample",
+    "voxel_downsample", "COMPRESSED_IMAGE_DEFINITION",
+    "decode_ros_compressed_image",
 ]
 
 # Public sensor_msgs definitions in gendeps concatenated-text form
@@ -515,3 +516,85 @@ def voxel_downsample(df: DataFrame,
               "max": F.max, "sum": F.sum}[how]
         aggs.append(fn(c).alias(c))
     return df.groupBy(*group_cols, *keys).agg(*aggs)
+
+
+COMPRESSED_IMAGE_DEFINITION = """\
+std_msgs/Header header
+string format
+uint8[] data
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+"""
+
+
+def decode_ros_compressed_image(df: DataFrame, *,
+                                data_col: str = "data",
+                                format_col: str = "format",
+                                out_col: str = "pixels",
+                                codec_col: str = "codec") -> DataFrame:
+    """``sensor_msgs/CompressedImage`` payloads (the ``/compressed``
+    camera topics) → decoded pixels through the builtin codec family
+    (:func:`..operators.multimodal._decode_image_bytes` — JPEG/PNG/
+    WebP/...). Unlike raw ``Image``, the message carries no dims, so
+    width/height/channels come OUT of the decode. The ``format``
+    string is honored for the one ROS convention that changes pixel
+    semantics: ``"... jpeg compressed bgr8"`` means the JPEG planes
+    are BGR — channels are reordered to RGB so the output matches
+    :func:`decode_ros_image`'s normalized contract. Undecodable
+    payloads raise naming the format string (same loud contract as
+    decode_image)."""
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType())),
+           T.StructField("width", T.IntegerType()),
+           T.StructField("height", T.IntegerType()),
+           T.StructField("channels", T.IntegerType()),
+           T.StructField(codec_col, T.StringType())])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import _decode_image_bytes
+        for pdf in batches:
+            px, ws, hs, cs, codecs = [], [], [], [], []
+            for data, fmt in zip(pdf[data_col], pdf[format_col]):
+                if data is None:
+                    px.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    codecs.append(None)
+                    continue
+                arr, codec = _decode_image_bytes(bytes(data))
+                if arr is None:
+                    raise NotImplementedError(
+                        f"decode_ros_compressed_image: payload with "
+                        f"format={fmt!r} is not a builtin-decodable "
+                        f"container (JPEG/PNG/PPM/BMP/GIF/WebP-"
+                        f"lossless) and Pillow is unavailable")
+                f = str(fmt or "").lower()
+                if arr.ndim == 3 and arr.shape[2] >= 3 \
+                        and "bgr" in f:
+                    # "rgb8; jpeg compressed bgr8": the planes are
+                    # BGR as compressed — normalize to RGB
+                    arr = arr.copy()
+                    arr[..., :3] = arr[..., 2::-1]
+                if arr.ndim == 2:
+                    arr = arr[..., None]
+                h, w, c = arr.shape
+                px.append(arr.reshape(-1).astype(np.int32))
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                codecs.append(codec)
+            pdf = pdf.copy()
+            pdf[out_col] = px
+            pdf["width"] = pd.array(ws, dtype="Int32")
+            pdf["height"] = pd.array(hs, dtype="Int32")
+            pdf["channels"] = pd.array(cs, dtype="Int32")
+            pdf[codec_col] = codecs
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)

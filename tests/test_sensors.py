@@ -461,3 +461,43 @@ def test_voxel_downsample_relational(spark):
         voxel_downsample(df.drop("z"), 1.0)
     with pytest.raises(ValueError, match="unsupported agg"):
         voxel_downsample(df, 1.0, extra_aggs={"intensity": "median"})
+
+
+def test_ros_compressed_image_decode(spark):
+    """CompressedImage: dims come OUT of the decode; the 'bgr8'
+    format convention reorders planes to RGB; undecodable payloads
+    raise naming the format."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.jpeg import encode_jpeg
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        decode_ros_compressed_image,
+    )
+    h, w = 16, 24
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = 200                     # stored plane 0 bright
+    jpeg = encode_jpeg(img, quality=95)
+    ppm = (f"P6 {w} {h} 255\n".encode()
+           + np.arange(h * w * 3, dtype=np.uint8).tobytes())
+    rows = [("jpeg; compressed", bytearray(jpeg)),
+            ("rgb8; jpeg compressed bgr8", bytearray(jpeg)),
+            ("rgb8", bytearray(ppm)),
+            (None, None)]
+    df = spark.createDataFrame(rows, "format string, data binary")
+    got = {r["format"]: r for r in
+           decode_ros_compressed_image(df).collect()}
+    plain = got["jpeg; compressed"]
+    assert (plain["width"], plain["height"], plain["channels"]) \
+        == (w, h, 3)
+    assert plain["codec"] == "jpeg"
+    px = np.asarray(plain["pixels"]).reshape(h, w, 3)
+    assert px[..., 0].mean() > 150 and px[..., 2].mean() < 50
+    # bgr convention: the bright stored plane 0 lands on BLUE
+    bgr = np.asarray(got["rgb8; jpeg compressed bgr8"]["pixels"]) \
+        .reshape(h, w, 3)
+    assert bgr[..., 2].mean() > 150 and bgr[..., 0].mean() < 50
+    assert got["rgb8"]["codec"] == "ppm"
+    assert got["rgb8"]["pixels"][:3] == [0, 1, 2]
+    assert got[None]["pixels"] is None and got[None]["width"] is None
+    bad = spark.createDataFrame([("h264", bytearray(b"\x00\x01"))],
+                                "format string, data binary")
+    with pytest.raises(Exception, match="h264"):
+        decode_ros_compressed_image(bad).collect()
