@@ -1210,6 +1210,17 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                          parse_gif_frames(pb, _sample_every=every_n),
                          "gif")
                     continue
+                if pb[:4] == b"RIFF" and pb[8:12] == b"WEBP":
+                    # animated WebP (r12): ANMF frames composed
+                    # builtin when VP8L-coded (blend/dispose
+                    # honored); every composed frame is a keyframe,
+                    # so keyframes_only is a no-op like GIF
+                    from .vp8l import parse_webp_frames
+                    emit(rows, row,
+                         parse_webp_frames(pb,
+                                           _sample_every=every_n),
+                         "webp")
+                    continue
                 n_frames = max(1, int(meta["n_frames"]))
                 size = max(1, len(pb) // n_frames)
                 for i in range(0, n_frames, every_n):

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["decode_vp8l", "decode_webp", "parse_webp_container"]
+__all__ = ["decode_vp8l", "decode_webp", "parse_webp_container",
+           "parse_webp_frames"]
 
 
 class _Bits:
@@ -646,3 +647,124 @@ def decode_webp(payload: bytes) -> np.ndarray:
             f"file is {info['codec']} (lossy/extended) — install "
             f"Pillow for the DCT path")
     return decode_vp8l(info["vp8l"])
+
+
+def parse_webp_frames(payload: bytes, *,
+                      _sample_every: int = 1) -> dict:
+    """Animated-WebP face of the video demux contract
+    (:func:`..operators.multimodal.parse_gif_frames` twin):
+    ``{"width", "height", "us_per_frame", "codec", "frames"}`` with
+    every frame a PPM-wrapped RGB payload of the COMPOSED canvas —
+    ANMF placement (2-px units), blend/no-blend flags (8-bit alpha
+    compositing), dispose-to-background honored; a still VP8L file
+    comes back as one frame. Lossless (VP8L) subframes decode
+    builtin; a lossy (VP8) subframe raises naming the Pillow seam.
+    Decode is sequential (frame k composes onto frame k-1's canvas)
+    but with ``_sample_every > 1`` only sampled canvases materialize
+    (``"sampled_every"`` reported — the parse_gif_frames split).
+    PPM output drops alpha by compositing the final canvas over
+    opaque black (PPM has no alpha plane)."""
+    from .multimodal import _rgb_to_ppm
+
+    info = parse_webp_container(payload)
+    w, h = info["width"], info["height"]
+    if w is None or h is None:
+        raise ValueError("WEBP: no canvas dimensions")
+
+    def rgba_of(sub: bytes) -> np.ndarray:
+        if sub[:1] != b"\x2f":
+            raise NotImplementedError(
+                "animated-WebP subframe is lossy VP8 — the builtin "
+                "demux composes VP8L frames only; install Pillow for "
+                "the DCT path")
+        arr = decode_vp8l(sub)
+        if arr.shape[2] == 3:
+            arr = np.concatenate(
+                [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)],
+                axis=-1)
+        return arr
+
+    def to_rgb(canvas: np.ndarray) -> np.ndarray:
+        a = canvas[..., 3:4].astype(np.uint16)
+        return ((canvas[..., :3].astype(np.uint16) * a) // 255) \
+            .astype(np.uint8)
+
+    frames: list[bytes] = []
+    first_dur = None
+    if info["n_frames"] <= 1 and info["vp8l"] is not None:
+        # still image: one composed frame
+        frames.append(_rgb_to_ppm(to_rgb(rgba_of(info["vp8l"]))))
+        out = {"width": w, "height": h, "us_per_frame": None,
+               "codec": "webp", "frames": frames}
+        return out
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    n = 0
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid != b"ANMF" or len(body) < 16:
+            continue
+        fx = int.from_bytes(body[0:3], "little") * 2
+        fy = int.from_bytes(body[3:6], "little") * 2
+        fw = int.from_bytes(body[6:9], "little") + 1
+        fh = int.from_bytes(body[9:12], "little") + 1
+        dur = int.from_bytes(body[12:15], "little")
+        flags = body[15]
+        dispose_bg = bool(flags & 0x01)
+        no_blend = bool(flags & 0x02)
+        if first_dur is None:
+            first_dur = dur
+        # nested chunks: find the VP8L bitstream
+        sub = None
+        sp = 16
+        while sp + 8 <= len(body):
+            scid = body[sp:sp + 4]
+            ssz = int.from_bytes(body[sp + 4:sp + 8], "little")
+            if scid == b"VP8L":
+                sub = body[sp + 8:sp + 8 + ssz]
+                break
+            if scid == b"VP8 ":
+                raise NotImplementedError(
+                    "animated-WebP subframe is lossy VP8 — the "
+                    "builtin demux composes VP8L frames only; "
+                    "install Pillow for the DCT path")
+            sp += 8 + ssz + (ssz & 1)
+        if sub is None:
+            raise ValueError("WEBP: ANMF frame without a VP8L chunk")
+        arr = rgba_of(sub)
+        if arr.shape[:2] != (fh, fw):
+            raise ValueError(
+                f"WEBP: ANMF declares {fw}x{fh} but the subframe "
+                f"decodes to {arr.shape[1]}x{arr.shape[0]}")
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("WEBP: ANMF frame rect outside canvas")
+        rect = canvas[fy:fy + fh, fx:fx + fw]
+        if no_blend:
+            rect[...] = arr
+        else:
+            sa = arr[..., 3:4].astype(np.uint32)
+            da = rect[..., 3:4].astype(np.uint32)
+            oa = sa + da * (255 - sa) // 255
+            oc = (arr[..., :3].astype(np.uint32) * sa
+                  + rect[..., :3].astype(np.uint32) * da
+                  * (255 - sa) // 255)
+            rect[..., :3] = np.where(oa > 0, oc // np.maximum(oa, 1),
+                                     0).astype(np.uint8)
+            rect[..., 3:4] = oa.astype(np.uint8)
+        if n % _sample_every == 0:
+            frames.append(_rgb_to_ppm(to_rgb(canvas)))
+        if dispose_bg:
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+        n += 1
+    if not frames:
+        raise ValueError("WEBP: animation carries no ANMF frames")
+    out = {"width": w, "height": h,
+           "us_per_frame": (first_dur * 1000 if first_dur else None),
+           "codec": "webp", "frames": frames}
+    if _sample_every > 1:
+        out["sampled_every"] = _sample_every
+    return out

@@ -587,3 +587,143 @@ def test_hostile_bytes_total():
     wtr.w(2, 2)
     with pytest.raises(ValueError, match="repeated"):
         decode_vp8l(b"\x2f" + wtr.bytes())
+
+
+# ------------------------------------------- animated WebP (r12)
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return (cid + len(body).to_bytes(4, "little") + body
+            + (b"\x00" if len(body) & 1 else b""))
+
+
+def _vp8x(w, h, anim=True, alpha=True):
+    flags = (0x02 if anim else 0) | (0x10 if alpha else 0)
+    return _chunk(b"VP8X", bytes([flags, 0, 0, 0])
+                  + (w - 1).to_bytes(3, "little")
+                  + (h - 1).to_bytes(3, "little"))
+
+
+def _anmf(x, y, fw, fh, dur, vp8l, *, dispose_bg=False,
+          no_blend=True):
+    head = ((x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little")
+            + bytes([(0x01 if dispose_bg else 0)
+                     | (0x02 if no_blend else 0)]))
+    return _chunk(b"ANMF", head + _chunk(b"VP8L", vp8l))
+
+
+def _anim_webp(w, h, anmfs):
+    body = (b"WEBP" + _vp8x(w, h)
+            + _chunk(b"ANIM", b"\x00" * 4 + b"\x00\x00")
+            + b"".join(anmfs))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _solid_vp8l(w, h, a, r, g, b):
+    def body(wtr):
+        wtr.w(0, 1)
+        emit_spatial(wtr, w, lits([(a, r, g, b)] * (w * h)))
+    return vp8l_stream(w, h, body)
+
+
+def test_animated_webp_compose_dispose():
+    """Two 2x2 frames on a 4x2 canvas: placement, no-blend replace,
+    and dispose-to-background all pinned pixel-exact."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        parse_webp_frames,
+    )
+    f1 = _solid_vp8l(2, 2, 255, 10, 20, 30)
+    f2 = _solid_vp8l(2, 2, 255, 90, 80, 70)
+    payload = _anim_webp(4, 2, [
+        _anmf(0, 0, 2, 2, 40, f1, dispose_bg=True),
+        _anmf(2, 0, 2, 2, 40, f2),
+    ])
+    info = parse_webp_frames(payload)
+    assert (info["width"], info["height"], info["codec"],
+            info["us_per_frame"]) == (4, 2, "webp", 40_000)
+    assert len(info["frames"]) == 2
+
+    def pixels(ppm):
+        hdr_end = ppm.index(b"255\n") + 4
+        return np.frombuffer(ppm[hdr_end:], np.uint8).reshape(2, 4, 3)
+
+    c1 = pixels(info["frames"][0])
+    assert c1[0, 0].tolist() == [10, 20, 30]
+    assert c1[0, 2].tolist() == [0, 0, 0]          # untouched canvas
+    c2 = pixels(info["frames"][1])
+    # frame 1's rect was disposed to background before frame 2
+    assert c2[0, 0].tolist() == [0, 0, 0]
+    assert c2[0, 2].tolist() == [90, 80, 70]
+
+
+def test_animated_webp_alpha_blend():
+    """Blend mode: a half-transparent frame over an opaque one —
+    8-bit source-over compositing."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        parse_webp_frames,
+    )
+    base = _solid_vp8l(2, 1, 255, 100, 100, 100)
+    over = _solid_vp8l(2, 1, 128, 200, 0, 0)
+    payload = _anim_webp(2, 1, [
+        _anmf(0, 0, 2, 1, 30, base),
+        _anmf(0, 0, 2, 1, 30, over, no_blend=False),
+    ])
+    info = parse_webp_frames(payload)
+
+    def px(ppm):
+        return np.frombuffer(ppm[ppm.index(b"255\n") + 4:],
+                             np.uint8).reshape(1, 2, 3)
+
+    # src-over: a=128 over opaque 100 -> c = (200*128 + 100*255*127/255)/255
+    got = px(info["frames"][1])[0, 0]
+    sa, da = 128, 255
+    oa = sa + da * (255 - sa) // 255
+    want_r = (200 * sa + 100 * da * (255 - sa) // 255) // oa
+    want_g = (0 * sa + 100 * da * (255 - sa) // 255) // oa
+    assert abs(int(got[0]) - want_r) <= 1
+    assert abs(int(got[1]) - want_g) <= 1
+
+
+def test_animated_webp_sampling_and_still(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        pack_media, sample_frames,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        parse_webp_frames,
+    )
+    frames = [_anmf(0, 0, 2, 1, 25, _solid_vp8l(2, 1, 255, i, i, i))
+              for i in (10, 20, 30, 40, 50)]
+    payload = _anim_webp(2, 1, frames)
+    info = parse_webp_frames(payload, _sample_every=2)
+    assert len(info["frames"]) == 3 and info["sampled_every"] == 2
+    # still VP8L through the same contract: one frame
+    still = riff_webp(_solid_vp8l(2, 1, 255, 5, 6, 7))
+    sinfo = parse_webp_frames(still)
+    assert len(sinfo["frames"]) == 1
+    # Spark operator dispatches on the WEBP magic (demux='webp')
+    df = spark.createDataFrame([(1, payload)],
+                               "doc_id long, payload binary")
+    media = pack_media(df, "payload", fmt="image/webp", width=2,
+                       height=1, n_frames=5)
+    got = sample_frames(media, "payload", every_n=2) \
+        .orderBy("frame_index").collect()
+    assert [r["frame_index"] for r in got] == [0, 2, 4]
+    assert all(r["demux"] == "webp" for r in got)
+
+
+def test_animated_webp_hostile():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        parse_webp_frames,
+    )
+    # frame rect outside the canvas
+    f = _solid_vp8l(2, 2, 255, 1, 2, 3)
+    bad = _anim_webp(2, 2, [_anmf(2, 0, 2, 2, 10, f)])
+    with pytest.raises(ValueError, match="outside canvas"):
+        parse_webp_frames(bad)
+    # declared dims disagree with the subframe
+    bad2 = _anim_webp(4, 4, [_anmf(0, 0, 3, 3, 10, f)])
+    with pytest.raises(ValueError, match="decodes to"):
+        parse_webp_frames(bad2)
