@@ -2729,7 +2729,11 @@ def q_media_features(spark, sf_dir):
     tests/test_multimodal.py. r11 fold (tagged union — the gate caps
     at 50 entries): a REAL decode_image branch over PPM payloads built
     from the documents' own bytes, per-doc pixel stats hash-checked —
-    see :func:`_image_decode_stats`."""
+    see :func:`_image_decode_stats`. r12 folds: REAL PointCloud2
+    strided unpack ('pcl', :func:`_pcl_long_frame`), its
+    voxel-grid decimation ('voxel', :func:`_pointcloud_voxel_stats`),
+    and REAL raw sensor_msgs/Image reshape ('rosimg',
+    :func:`_ros_image_stats`) — five tagged variants, one oracle."""
     # Arrow-stage parallelism should track payload BYTES per partition
     # (repartition_for_media is the general scan-based operator; here the
     # ~1.5 MB corpus gets a fixed 8 — 32 near-empty partitions cost two

@@ -501,3 +501,21 @@ def test_ros_compressed_image_decode(spark):
                                 "format string, data binary")
     with pytest.raises(Exception, match="h264"):
         decode_ros_compressed_image(bad).collect()
+
+
+def test_pointcloud2_count_gt_one_arrays_and_points_modes(spark):
+    """count>1 fields in the non-long modes: arrays mode nests
+    array<array<T>>, points mode nests array<T> per struct field."""
+    buf = struct.pack("<ffff", 1.0, 2.0, 3.0, 4.0) * 2
+    descs = [_desc("m", 0, "float32", count=4)]
+    row = {"bag_file": "b", "height": 1, "width": 2, "fields": descs,
+           "is_bigendian": False, "point_step": 16, "row_step": 32,
+           "data": buf}
+    df = spark.createDataFrame([row], CLOUD_SCHEMA)
+    arrs = decode_pointcloud2(df, [("m", "float32", 4)],
+                              mode="arrays", keep_cols=[]).collect()[0]
+    assert arrs["n_points"] == 2
+    assert arrs["m"] == [[1.0, 2.0, 3.0, 4.0]] * 2
+    pts = decode_pointcloud2(df, [("m", "float32", 4)],
+                             mode="points", keep_cols=[]).collect()[0]
+    assert [p["m"] for p in pts["points"]] == [[1.0, 2.0, 3.0, 4.0]] * 2
