@@ -81,7 +81,7 @@ from .sensors import (  # noqa: F401
     COMPRESSED_IMAGE_DEFINITION, IMAGE_DEFINITION,
     POINTCLOUD2_DEFINITION, decode_pointcloud2,
     decode_ros_compressed_image, decode_ros_image,
-    ros_image_media_info, voxel_downsample,
+    ros_image_media_info, transform_points, voxel_downsample,
 )
 from .topk import top_k_per_group
 

@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 __all__ = [
     "POINTCLOUD2_DEFINITION", "IMAGE_DEFINITION",
     "decode_pointcloud2", "decode_ros_image", "ros_image_media_info",
-    "voxel_downsample", "COMPRESSED_IMAGE_DEFINITION",
+    "voxel_downsample", "transform_points", "COMPRESSED_IMAGE_DEFINITION",
     "decode_ros_compressed_image",
 ]
 
@@ -598,3 +598,53 @@ def decode_ros_compressed_image(df: DataFrame, *,
             yield pdf
 
     return df.mapInPandas(decode, out_schema)
+
+
+def transform_points(df: DataFrame, *,
+                     cols: tuple[str, str, str] = ("x", "y", "z"),
+                     quat_cols: tuple[str, str, str, str]
+                     = ("qw", "qx", "qy", "qz"),
+                     trans_cols: tuple[str, str, str]
+                     = ("tx", "ty", "tz"),
+                     out_suffix: str = "_t",
+                     normalize: bool = False) -> DataFrame:
+    """Rigid-body transform of a long-form point cloud into another
+    frame (sensor → ego/map — the step after as-of-joining each point
+    row with its pose sample): ``p' = R(q)·p + t`` with the rotation
+    expanded to its 9-term quaternion form as PURE Catalyst
+    expressions — no UDF, no Python per point, whole-stage codegen
+    end to end. Pose columns are per ROW, so one pass transforms a
+    mixed scan of many messages/poses; compose as::
+
+        pts   = decode_pointcloud2(cloud, mode="long")
+        posed = asof_join(pts, poses, on="time_ns", ...)
+        ego   = transform_points(posed)
+
+    ``normalize=True`` divides by ||q|| first (recorded poses are
+    occasionally un-normalized); the default trusts unit quaternions.
+    Adds ``<col><out_suffix>`` columns, inputs untouched."""
+    x, y, z = (F.col(c) for c in cols)
+    qw, qx, qy, qz = (F.col(c) for c in quat_cols)
+    tx, ty, tz = (F.col(c) for c in trans_cols)
+    for c in (*cols, *quat_cols, *trans_cols):
+        if c not in df.columns:
+            raise ValueError(
+                f"transform_points: no column {c!r} — as-of join the "
+                f"pose topic onto the point rows first")
+    if normalize:
+        n = F.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+        qw, qx, qy, qz = qw / n, qx / n, qy / n, qz / n
+    # R(q) rows (public quaternion-to-matrix identity)
+    two = F.lit(2.0)
+    xo = (x * (1 - two * (qy * qy + qz * qz))
+          + y * two * (qx * qy - qw * qz)
+          + z * two * (qx * qz + qw * qy) + tx)
+    yo = (x * two * (qx * qy + qw * qz)
+          + y * (1 - two * (qx * qx + qz * qz))
+          + z * two * (qy * qz - qw * qx) + ty)
+    zo = (x * two * (qx * qz - qw * qy)
+          + y * two * (qy * qz + qw * qx)
+          + z * (1 - two * (qx * qx + qy * qy)) + tz)
+    return (df.withColumn(cols[0] + out_suffix, xo)
+            .withColumn(cols[1] + out_suffix, yo)
+            .withColumn(cols[2] + out_suffix, zo))

@@ -519,3 +519,68 @@ def test_pointcloud2_count_gt_one_arrays_and_points_modes(spark):
     pts = decode_pointcloud2(df, [("m", "float32", 4)],
                              mode="points", keep_cols=[]).collect()[0]
     assert [p["m"] for p in pts["points"]] == [[1.0, 2.0, 3.0, 4.0]] * 2
+
+
+def test_transform_points_matches_numpy(spark):
+    """Quaternion rigid transform pinned against an independent numpy
+    rotation-matrix construction, incl. an un-normalized quaternion
+    through normalize=True; pure-Catalyst plan (no Python stage)."""
+    import pandas as pd
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        transform_points,
+    )
+    rng = np.random.default_rng(5)
+    n = 200
+    pts = rng.uniform(-5, 5, (n, 3))
+    # two poses: a 90-degree yaw and an arbitrary normalized quat
+    quats = np.array([[np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)],
+                      [0.3, 0.5, -0.4, 0.7]])
+    quats[1] /= np.linalg.norm(quats[1])
+    trans = np.array([[1.0, -2.0, 0.5], [0.0, 10.0, -3.0]])
+    pose_i = rng.integers(0, 2, n)
+    pdf = pd.DataFrame({
+        "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+        "qw": quats[pose_i, 0], "qx": quats[pose_i, 1],
+        "qy": quats[pose_i, 2], "qz": quats[pose_i, 3],
+        "tx": trans[pose_i, 0], "ty": trans[pose_i, 1],
+        "tz": trans[pose_i, 2], "i": np.arange(n)})
+    out = transform_points(spark.createDataFrame(pdf))
+    got = {r["i"]: (r["x_t"], r["y_t"], r["z_t"])
+           for r in out.collect()}
+
+    def rot(q):
+        w, xq, yq, zq = q
+        return np.array([
+            [1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - w * zq),
+             2 * (xq * zq + w * yq)],
+            [2 * (xq * yq + w * zq), 1 - 2 * (xq * xq + zq * zq),
+             2 * (yq * zq - w * xq)],
+            [2 * (xq * zq - w * yq), 2 * (yq * zq + w * xq),
+             1 - 2 * (xq * xq + yq * yq)]])
+
+    for i in range(n):
+        want = rot(quats[pose_i[i]]) @ pts[i] + trans[pose_i[i]]
+        assert np.allclose(got[i], want, atol=1e-12), i
+    # 90-degree yaw sanity: (1,0,0) -> (0,1,0) + t
+    one = transform_points(spark.createDataFrame(
+        pd.DataFrame({"x": [1.0], "y": [0.0], "z": [0.0],
+                      "qw": [np.cos(np.pi / 4)], "qx": [0.0],
+                      "qy": [0.0], "qz": [np.sin(np.pi / 4)],
+                      "tx": [0.0], "ty": [0.0], "tz": [0.0]})))
+    r = one.first()
+    assert abs(r["x_t"]) < 1e-12 and abs(r["y_t"] - 1.0) < 1e-12
+    # un-normalized quat: normalize=True recovers the rotation
+    un = transform_points(spark.createDataFrame(
+        pd.DataFrame({"x": [1.0], "y": [0.0], "z": [0.0],
+                      "qw": [2 * np.cos(np.pi / 4)], "qx": [0.0],
+                      "qy": [0.0], "qz": [2 * np.sin(np.pi / 4)],
+                      "tx": [0.0], "ty": [0.0], "tz": [0.0]})),
+        normalize=True).first()
+    assert abs(un["y_t"] - 1.0) < 1e-12
+    # pure Catalyst: no Python stage in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    with pytest.raises(ValueError, match="no column"):
+        transform_points(spark.createDataFrame(
+            pd.DataFrame({"x": [1.0]})))
