@@ -629,20 +629,21 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
         # payload at C speed (pure-Python LZW is the no-dep fallback,
         # same split as progressive JPEG above)
         return _decode_gif(payload), "gif"
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" \
+            and not _HAS_PIL:
         # builtin WebP lossless (r12): real VP8L decode with no
-        # dependency (vp8l.py); lossy VP8/extended files fall through
-        # to Pillow when present, else the loud seam guard below
-        from .vp8l import parse_webp_container
+        # dependency (vp8l.py); with Pillow present the whole family
+        # (incl. quirky trailing chunks the strict walk would refuse)
+        # goes to the C path below instead — the builtin walk only
+        # runs, and only enforces strictness, when it IS the decoder
+        from .vp8l import decode_vp8l, parse_webp_container
         info = parse_webp_container(payload)
-        if info["vp8l"] is not None and not _HAS_PIL:
-            from .vp8l import decode_vp8l
+        if info["vp8l"] is not None:
             return decode_vp8l(info["vp8l"]), "vp8l"
-        if not _HAS_PIL:
-            raise NotImplementedError(
-                f"builtin WebP decoder handles lossless VP8L only; "
-                f"this file is {info['codec']} (lossy/extended) — "
-                f"install Pillow for the DCT path")
+        raise NotImplementedError(
+            f"builtin WebP decoder handles lossless VP8L only; "
+            f"this file is {info['codec']} (lossy/extended) — "
+            f"install Pillow for the DCT path")
     if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
         import io
 
@@ -903,19 +904,33 @@ def _pyav_demux(payload: bytes, every_n: int = 1,
         if stream is None:
             raise ValueError("container has no video track")
         codec = stream.codec_context.name
+        frames: list[bytes] = []
+        w = h = None
+        kept: list[int] = []
         if keyframes_only:
             # the codec skips non-key frames entirely — the decoder
             # never reconstructs inter frames, so a keyframe sweep
-            # over an hour of H.264 costs I-frame decode only (r12)
+            # over an hour of H.264 costs I-frame decode only (r12).
+            # Demux packets (one video frame each) so the REAL frame
+            # number of every decoded keyframe is known — the emit
+            # contract puts real indexes in frame_index (review fix)
             stream.codec_context.skip_frame = "NONKEY"
-        frames: list[bytes] = []
-        w = h = None
-        for i, frame in enumerate(container.decode(stream)):
-            if i % every_n:
-                continue                  # decoded, not materialized
-            arr = frame.to_ndarray(format="rgb24")
-            h, w = arr.shape[:2]
-            frames.append(_rgb_to_ppm(arr))
+            pkt_i = 0
+            for packet in container.demux(stream):
+                for frame in packet.decode():
+                    arr = frame.to_ndarray(format="rgb24")
+                    h, w = arr.shape[:2]
+                    frames.append(_rgb_to_ppm(arr))
+                    kept.append(pkt_i)
+                if packet.size:
+                    pkt_i += 1
+        else:
+            for i, frame in enumerate(container.decode(stream)):
+                if i % every_n:
+                    continue              # decoded, not materialized
+                arr = frame.to_ndarray(format="rgb24")
+                h, w = arr.shape[:2]
+                frames.append(_rgb_to_ppm(arr))
         if w is None:
             raise ValueError(
                 f"video stream ({codec}) yielded no decodable "
@@ -925,7 +940,9 @@ def _pyav_demux(payload: bytes, every_n: int = 1,
               if rate else None)
         out = {"width": w, "height": h, "us_per_frame": us,
                "codec": codec, "frames": frames}
-        if every_n > 1:
+        if keyframes_only:
+            out["indexes"] = kept         # real frame numbers
+        elif every_n > 1:
             out["sampled_every"] = every_n
         return out
 

@@ -294,27 +294,35 @@ def decode_pointcloud2(df: DataFrame,
 
     names = [n for n, _, _ in spec]
 
+    hdr = (fields_col, data_col, "width", "height", "point_step",
+           "row_step", "is_bigendian")
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
-                descs = row[fields_col]
+            # column zip, not iterrows(): no per-row Series boxing on
+            # the per-message hot loop (r12 review fix)
+            rs = pdf["row_step"] if "row_step" in pdf else \
+                pd.Series([0] * len(pdf))
+            for descs, data, w_, h_, ps, rstep, be, *keepvals in zip(
+                    pdf[fields_col], pdf[data_col], pdf["width"],
+                    pdf["height"], pdf["point_step"], rs,
+                    pdf["is_bigendian"], *(pdf[c] for c in keep)):
                 pts = _unpack_cloud(
-                    bytes(row[data_col]), int(row["width"]),
-                    int(row["height"]), int(row["point_step"]),
-                    int(row.get("row_step") or 0),
-                    bool(row["is_bigendian"]), descs, spec)
+                    bytes(data), int(w_), int(h_), int(ps),
+                    int(rstep or 0), bool(be), descs, spec)
                 cols = _columns(pts, spec)
                 n = len(pts)
                 if mode == "long":
-                    o = {c: np.repeat(row[c], n) for c in keep}
+                    o = {c: np.repeat(v, n)
+                         for c, v in zip(keep, keepvals)}
                     o["point_index"] = np.arange(n, dtype=np.int64)
                     for (nm, _, count) in spec:
                         o[nm] = (list(cols[nm]) if count > 1
                                  else cols[nm])
                     outs.append(pd.DataFrame(o))
                 elif mode == "arrays":
-                    o = {c: [row[c]] for c in keep}
+                    o = {c: [v] for c, v in zip(keep, keepvals)}
                     o["n_points"] = [n]
                     for (nm, _, count) in spec:
                         o[nm] = [cols[nm].tolist()]
@@ -325,7 +333,7 @@ def decode_pointcloud2(df: DataFrame,
                               else cols[nm][i].item())
                          for nm, _, count in spec}
                         for i in range(n)]
-                    o = {c: [row[c]] for c in keep}
+                    o = {c: [v] for c, v in zip(keep, keepvals)}
                     o["points"] = [recs]
                     outs.append(pd.DataFrame(o))
             if outs:
@@ -379,14 +387,16 @@ def decode_ros_image(df: DataFrame, *,
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pixels, chans, codecs = [], [], []
-            for _, row in pdf.iterrows():
-                data = row[data_col]
+            # column zip, not iterrows() (r12 review fix)
+            for data, encoding, w_, h_, step_, be in zip(
+                    pdf[data_col], pdf["encoding"], pdf["width"],
+                    pdf["height"], pdf["step"], pdf["is_bigendian"]):
                 if data is None:
                     pixels.append(None)
                     chans.append(None)
                     codecs.append(None)
                     continue
-                enc = str(row["encoding"])
+                enc = str(encoding)
                 if enc in _ROS_BAYER:
                     raise NotImplementedError(
                         f"decode_ros_image: {enc!r} is a Bayer mosaic; "
@@ -397,8 +407,8 @@ def decode_ros_image(df: DataFrame, *,
                         f"decode_ros_image: unsupported encoding "
                         f"{enc!r} (supported: {sorted(_ROS_ENC)})")
                 c, bps, order = _ROS_ENC[enc]
-                w, h = int(row["width"]), int(row["height"])
-                step = int(row["step"]) or w * c * bps
+                w, h = int(w_), int(h_)
+                step = int(step_) or w * c * bps
                 row_bytes = w * c * bps
                 if step < row_bytes:
                     raise ValueError(
@@ -416,7 +426,7 @@ def decode_ros_image(df: DataFrame, *,
                     a, shape=(h, row_bytes), strides=(step, 1))
                 img = np.ascontiguousarray(rows)
                 if bps == 2:
-                    dt = ">u2" if row["is_bigendian"] else "<u2"
+                    dt = ">u2" if be else "<u2"
                     img = img.reshape(-1).view(dt).reshape(h, w, c)
                 else:
                     img = img.reshape(h, w, c)

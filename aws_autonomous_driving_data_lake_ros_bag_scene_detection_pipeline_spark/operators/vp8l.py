@@ -350,14 +350,22 @@ def _select(l, t, tl):  # noqa: E741 — spec names
     la, lr, lg, lb = _channels(l)
     ta, tr, tg, tb = _channels(t)
     xa, xr, xg, xb = _channels(tl)
-    # predicted = L + T - TL per channel; pick the closer of L/T
-    p_l = (abs(ta - xa) + abs(tr - xr) + abs(tg - xg) + abs(tb - xb))
-    p_t = (abs(la - xa) + abs(lr - xr) + abs(lg - xg) + abs(lb - xb))
-    return l if p_l <= p_t else t
+    # libwebp Select(T, L, TL): T wins when sum|L-TL| <= sum|T-TL|
+    # (ties go to T — the r12 review caught the flipped tie-break)
+    d_l = (abs(la - xa) + abs(lr - xr) + abs(lg - xg) + abs(lb - xb))
+    d_t = (abs(ta - xa) + abs(tr - xr) + abs(tg - xg) + abs(tb - xb))
+    return t if d_l <= d_t else l
 
 
 def _clamp(v):
     return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _half_to_zero(d: int) -> int:
+    """C integer division by 2 truncates TOWARD ZERO; Python's //
+    floors — they differ on odd negatives (-3//2 = -2 vs -1), which
+    is exactly the ClampAddSubtractHalf delta term."""
+    return d // 2 if d >= 0 else -((-d) // 2)
 
 
 def _cas_full(l, t, tl):  # noqa: E741
@@ -373,7 +381,7 @@ def _cas_half(avg, tl):
     xa, xr, xg, xb = _channels(tl)
 
     def ch(a, x):
-        return _clamp(a + (a - x) // 2)
+        return _clamp(a + _half_to_zero(a - x))
     return _pack(ch(aa, xa), ch(ar, xr), ch(ag, xg), ch(ab, xb))
 
 
@@ -589,7 +597,7 @@ def parse_webp_container(payload: bytes) -> dict:
         raise ValueError("not a RIFF/WEBP payload")
     pos = 12
     out = {"codec": None, "vp8l": None, "width": None, "height": None,
-           "has_alpha": False, "n_frames": 0}
+           "has_alpha": False, "n_frames": 0, "animated": False}
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
@@ -620,17 +628,13 @@ def parse_webp_container(payload: bytes) -> dict:
             if size >= 10:
                 flags = body[0]
                 out["has_alpha"] = bool(flags & 0x10)
+                out["animated"] = out["animated"] or bool(flags & 0x02)
                 out["width"] = int.from_bytes(body[4:7], "little") + 1
                 out["height"] = int.from_bytes(body[7:10],
                                                "little") + 1
         elif cid == b"ANMF":
             out["n_frames"] += 1
-            # the frame's own codec chunk is nested; sniff it so a
-            # pure-animation file still reports vp8l/vp8
-            if out["codec"] in (None, "vp8x") and len(body) >= 24:
-                sub = body[16:20]
-                if sub == b"VP8L":
-                    out["codec"] = "vp8x"
+            out["animated"] = True
         pos += 8 + size + (size & 1)     # chunks are word-aligned
     if out["codec"] is None:
         raise ValueError("WEBP: no VP8/VP8L/VP8X chunk")
@@ -691,7 +695,15 @@ def parse_webp_frames(payload: bytes, *,
 
     frames: list[bytes] = []
     first_dur = None
-    if info["n_frames"] <= 1 and info["vp8l"] is not None:
+    if not info["animated"]:
+        if info["vp8l"] is None:
+            # a lossy (VP8) still routed here must raise the same
+            # seam-naming guard as decode_webp, not fall through to
+            # a misleading 'no ANMF frames' (r12 review fix)
+            raise NotImplementedError(
+                f"builtin WebP demux handles lossless VP8L only; "
+                f"this file is {info['codec']} (lossy/extended) — "
+                f"install Pillow for the DCT path")
         # still image: one composed frame
         frames.append(_rgb_to_ppm(to_rgb(rgba_of(info["vp8l"]))))
         out = {"width": w, "height": h, "us_per_frame": None,

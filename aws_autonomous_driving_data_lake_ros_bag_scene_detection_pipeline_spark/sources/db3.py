@@ -96,8 +96,13 @@ def parse_db3_bytes(db3_file: str, buf: bytes,
                 f"{db3_file} is a zstd-compressed rosbag2 image "
                 f"(.db3.zstd) and stdlib has no zstd; install the "
                 f"zstandard package or decompress upstream") from None
-        buf = zstandard.ZstdDecompressor().decompress(
-            bytes(buf), max_output_size=1 << 31)
+        try:
+            buf = zstandard.ZstdDecompressor().decompress(
+                bytes(buf), max_output_size=1 << 31)
+        except Exception as e:  # noqa: BLE001 — normalize onto the
+            # reader contract's input-error set so on_error='skip'
+            # salvage fires instead of killing the task (r12 review)
+            raise ValueError(f"{db3_file}: zstd image: {e}") from e
     if buf[:len(_DB3_MAGIC)] != _DB3_MAGIC:
         raise ValueError(f"{db3_file}: not a sqlite3 database")
     defs = definitions or {}
@@ -118,8 +123,14 @@ def parse_db3_bytes(db3_file: str, buf: bytes,
             defn = defs.get(typ) or defs.get(name)
             payload = bytes(data) if data is not None else b""
             if blob_dec is not None and payload:
-                payload = blob_dec.decompress(payload,
-                                              max_output_size=1 << 31)
+                try:
+                    payload = blob_dec.decompress(
+                        payload, max_output_size=1 << 31)
+                except Exception as e:  # noqa: BLE001 — ZstdError is
+                    # not in the salvage input-error set; normalize
+                    # so one corrupt blob quarantines, not kills
+                    raise ValueError(
+                        f"{db3_file}: zstd message blob: {e}") from e
             yield (db3_file, name, typ,
                    "ros2msg" if defn is not None else "",
                    ser, defn, mid, ts, ts, payload)

@@ -308,12 +308,22 @@ def _decompress_files(files: DataFrame) -> DataFrame:
                 "has no zstd; install the zstandard package or "
                 "decompress upstream") from None
         z = zstandard.ZstdDecompressor()
+
+        def dec1(path, c):
+            b = bytes(c)
+            if b[:4] != b"\x28\xb5\x2f\xfd":
+                return c
+            try:
+                return z.decompress(b, max_output_size=1 << 31)
+            except Exception as e:  # noqa: BLE001 — name the split
+                raise ValueError(
+                    f"{path}: corrupt zstd split "
+                    f"(compression_mode: file): {e}") from e
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["content"] = [
-                z.decompress(bytes(c), max_output_size=1 << 31)
-                if bytes(c)[:4] == b"\x28\xb5\x2f\xfd" else c
-                for c in pdf["content"]]
+            pdf["content"] = [dec1(p, c) for p, c in
+                              zip(pdf["path"], pdf["content"])]
             yield pdf
 
     return files.mapInPandas(dec, files.schema)

@@ -84,6 +84,7 @@ class S3SnapshotAdapter:
         if client is not None and client_factory is not None:
             raise ValueError("pass at most one of client, client_factory")
         self._client = client
+        self._injected = client is not None
         self._factory = client_factory or _boto3_client
 
     # -- plumbing ---------------------------------------------------
@@ -93,16 +94,22 @@ class S3SnapshotAdapter:
         return self._client
 
     def __getstate__(self):
-        if self._client is not None and self._factory is _boto3_client:
-            # a directly-injected client (tests) can't cross processes
+        if self._injected:
+            # a directly-injected client (tests) can't cross
+            # processes; a client the FACTORY created lazily is just
+            # dropped — the other side rebuilds it (r12 review fix:
+            # the old check misread any used default-constructed
+            # adapter as 'injected')
             raise TypeError(
                 "S3SnapshotAdapter with an injected client is not "
                 "picklable — construct with client_factory= instead")
-        return {"_factory": self._factory, "_client": None}
+        return {"_factory": self._factory, "_client": None,
+                "_injected": False}
 
     def __setstate__(self, state):
         self._factory = state["_factory"]
         self._client = None
+        self._injected = False
 
     @staticmethod
     def _split(path: str) -> tuple[str, str]:

@@ -265,3 +265,18 @@ def test_pickle_discipline():
 
 def _factory_for_pickle():
     return FakeS3Client()
+
+
+def test_pickle_after_lazy_factory_client():
+    """A factory-built adapter stays picklable AFTER first use (the
+    lazily-created client is dropped and rebuilt on the other side —
+    r12 review fix: the old check misread it as 'injected')."""
+    import pickle
+
+    ad = S3SnapshotAdapter(client_factory=_factory_for_pickle)
+    ad.write_bytes("s3mock2://b/k", b"x")        # creates the client
+    assert ad._client is not None
+    ad2 = pickle.loads(pickle.dumps(ad))
+    assert ad2._client is None and ad2._factory is _factory_for_pickle
+    ad2.write_bytes("s3mock2://b/k2", b"y")      # rebuilds lazily
+    assert ad2.exists("s3mock2://b/k2")

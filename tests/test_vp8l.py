@@ -727,3 +727,78 @@ def test_animated_webp_hostile():
     bad2 = _anim_webp(4, 4, [_anmf(0, 0, 3, 3, 10, f)])
     with pytest.raises(ValueError, match="decodes to"):
         parse_webp_frames(bad2)
+
+
+def test_predictor_mode13_c_truncation_and_mode11_tie():
+    """r12 review fixes pinned: ClampAddSubtractHalf divides toward
+    zero (C semantics — floor division is off by one on odd negative
+    deltas), and Select ties go to T (libwebp's pa_minus_pb <= 0)."""
+    rng = np.random.default_rng(13)
+    orig = rng.integers(0, 256, size=(2, 8, 4), dtype=np.uint8)
+    # force a Select tie at (1,1): T == L (both differ from TL)
+    orig[0, 1] = orig[1, 0]
+    modes = [13, 11]
+
+    def trunc_half(d):
+        return int(d / 2)                 # C truncation toward zero
+
+    def predict(y, x, img):
+        if x == 0 and y == 0:
+            return np.array([0, 0, 0, 255], np.int64)
+        if y == 0:
+            return img[0, x - 1].astype(np.int64)
+        if x == 0:
+            return img[y - 1, 0].astype(np.int64)
+        mode = modes[x >> 2]
+        L = img[y, x - 1].astype(np.int64)
+        T = img[y - 1, x].astype(np.int64)
+        TL = img[y - 1, x - 1].astype(np.int64)
+        if mode == 13:
+            avg = (L + T) // 2
+            return np.clip(avg + np.array(
+                [trunc_half(int(a - b)) for a, b in zip(avg, TL)]),
+                0, 255)
+        # mode 11 Select: T when sum|L-TL| <= sum|T-TL|
+        return T if np.abs(L - TL).sum() <= np.abs(T - TL).sum() \
+            else L
+
+    flat = []
+    for y in range(2):
+        for x in range(8):
+            p = predict(y, x, orig)
+            r, g, b, a = ((orig[y, x].astype(np.int64) - p) % 256)
+            flat.append((int(a), int(r), int(g), int(b)))
+
+    def body(wtr):
+        wtr.w(1, 1)
+        wtr.w(0, 2)
+        wtr.w(0, 3)                       # 4-px tiles -> 2 tiles
+        emit_spatial(wtr, 2,
+                     lits([(0, 0, modes[0], 0), (0, 0, modes[1], 0)]),
+                     level0=False)
+        wtr.w(0, 1)
+        emit_spatial(wtr, 8, lits(flat))
+
+    out = decode_vp8l(vp8l_stream(8, 2, body))
+    assert (out == orig).all()
+
+
+def test_lossy_still_demux_names_the_seam():
+    """A lossy still through parse_webp_frames raises the seam guard,
+    not a misleading 'no ANMF frames' (r12 review fix); a one-frame
+    ANIMATION still routes to the compose loop."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        parse_webp_frames,
+    )
+    tag = b"\x00\x00\x00" + b"\x9d\x01\x2a" \
+        + (32).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    chunk = b"VP8 " + len(tag).to_bytes(4, "little") + tag \
+        + (b"\x00" if len(tag) & 1 else b"")
+    payload = (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+               + b"WEBP" + chunk)
+    with pytest.raises(NotImplementedError, match="VP8L only"):
+        parse_webp_frames(payload)
+    one = _anim_webp(2, 1, [_anmf(0, 0, 2, 1, 10,
+                                  _solid_vp8l(2, 1, 255, 1, 2, 3))])
+    info = parse_webp_frames(one)
+    assert len(info["frames"]) == 1 and info["us_per_frame"] == 10_000
