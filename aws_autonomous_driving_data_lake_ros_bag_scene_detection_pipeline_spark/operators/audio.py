@@ -51,17 +51,39 @@ def design_lowpass(up: int, down: int) -> np.ndarray:
 
 def _resample_1d(x: np.ndarray, up: int, down: int,
                  h: np.ndarray) -> np.ndarray:
-    """Zero-stuff → FIR → decimate; output length
-    ceil(len(x)·up/down) (the resample_poly contract)."""
-    n_out = -(-len(x) * up // down)
-    x_up = np.zeros(len(x) * up, dtype=np.float64)
-    x_up[::up] = x
-    y = np.convolve(x_up, h)
+    """True polyphase FIR: per-phase taps applied directly to the
+    original samples — O(len(x)·taps/down) multiply-adds and
+    O(len(x)·up/down) working memory; the zero-stuffed intermediate
+    (len(x)·up float64 — gigabytes for a 44.1 kHz→16 kHz minute) is
+    never materialized. Output length ceil(len(x)·up/down) and values
+    equal to zero-stuff → convolve → centered decimate (the
+    resample_poly / upfirdn-then-slice contract).
+
+    Derivation: output m reads upsampled-domain index
+    i = delay + m·down; with phase p = i mod up and base = i // up,
+    y[m] = Σ_q h[p + q·up] · x[base − q].  Outputs whose m differ by
+    ``up`` share a phase (base advances by ``down``), so each of the
+    ``up`` residue classes is one gather + matvec over sliding
+    windows of x."""
+    nx = len(x)
+    n_out = -(-nx * up // down)
+    if n_out == 0:
+        return np.zeros(0, dtype=np.float64)
     delay = (len(h) - 1) // 2
-    y = y[delay:delay + len(x) * up:down]
-    if len(y) < n_out:                    # tail beyond the signal
-        y = np.concatenate([y, np.zeros(n_out - len(y))])
-    return y[:n_out]
+    L = (len(h) + up - 1) // up           # longest phase-filter
+    max_base = (delay + (n_out - 1) * down) // up
+    xp = np.zeros(L - 1 + max(nx, max_base + 1), dtype=np.float64)
+    xp[L - 1:L - 1 + nx] = x              # front pad covers base−q<0
+    win = np.lib.stride_tricks.sliding_window_view(xp, L)
+    y = np.empty(n_out, dtype=np.float64)
+    for r in range(min(up, n_out)):
+        i0 = delay + r * down
+        hp = h[i0 % up::up][::-1]         # reversed phase taps
+        ms = np.arange(r, n_out, up)
+        bases = i0 // up + (ms - r) // up * down
+        w = win[bases]                    # (class size, L) gather
+        y[ms] = w[:, L - len(hp):] @ hp
+    return y
 
 
 def _meta_int(meta, key):

@@ -911,19 +911,50 @@ def _pyav_demux(payload: bytes, every_n: int = 1,
             # the codec skips non-key frames entirely — the decoder
             # never reconstructs inter frames, so a keyframe sweep
             # over an hour of H.264 costs I-frame decode only (r12).
-            # Demux packets (one video frame each) so the REAL frame
-            # number of every decoded keyframe is known — the emit
-            # contract puts real indexes in frame_index (review fix)
+            # Decode delay (B-frame reorder) means frames emerge
+            # AFTER later packets were demuxed, so a running packet
+            # counter would mislabel them — instead collect every
+            # packet's timestamp and rank each decoded frame's PTS
+            # among them: that rank IS the presentation-order frame
+            # number (r13 review fix), and an explicit drain recovers
+            # keyframes still buffered at EOF.
             stream.codec_context.skip_frame = "NONKEY"
-            pkt_i = 0
+            pkt_ts: list[int] = []
+            decoded: list[tuple] = []     # (pts, rgb ppm bytes)
+
+            def _take(frame):
+                nonlocal w, h
+                arr = frame.to_ndarray(format="rgb24")
+                h, w = arr.shape[:2]
+                ts = frame.pts if frame.pts is not None else frame.dts
+                decoded.append((ts, _rgb_to_ppm(arr)))
+
             for packet in container.demux(stream):
-                for frame in packet.decode():
-                    arr = frame.to_ndarray(format="rgb24")
-                    h, w = arr.shape[:2]
-                    frames.append(_rgb_to_ppm(arr))
-                    kept.append(pkt_i)
                 if packet.size:
-                    pkt_i += 1
+                    ts = (packet.pts if packet.pts is not None
+                          else packet.dts)
+                    if ts is not None:
+                        pkt_ts.append(ts)
+                for frame in packet.decode():
+                    _take(frame)
+            try:
+                # PyAV's demux already yields a flush packet at EOF
+                # in current versions; a second drain on a flushed
+                # decoder raises EOFError — swallow it.
+                for frame in stream.codec_context.decode(None):
+                    _take(frame)
+            except Exception:
+                pass
+            import bisect
+            pkt_ts.sort()
+            decoded.sort(key=lambda t: (t[0] is None,
+                                        t[0] if t[0] is not None
+                                        else 0))
+            for ts, ppm in decoded:
+                frames.append(ppm)
+                kept.append(bisect.bisect_left(pkt_ts, ts)
+                            if ts is not None and pkt_ts
+                            else len(kept))
         else:
             for i, frame in enumerate(container.decode(stream)):
                 if i % every_n:
@@ -1170,7 +1201,7 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
     ])
     keep_names = [f.name for f in keep]
 
-    def emit(rows, row, info, tag):
+    def emit(rows, kv, info, tag):
         fr = info["frames"]
         idx = info.get("indexes")
         step = info.get("sampled_every")
@@ -1178,36 +1209,38 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
             # keyframes-only demux: positions carry their REAL frame
             # numbers; every_n strides over the keyframe sequence
             for j in range(0, len(fr), every_n):
-                rows.append(tuple(row[k] for k in keep_names)
-                            + (idx[j], fr[j], tag))
+                rows.append(kv + (idx[j], fr[j], tag))
         elif step:
             # the PyAV seam already kept only every_n-th frame
             # (decode stayed sequential, memory didn't): positions
             # map back to REAL frame indexes via the step
             for j, f in enumerate(fr):
-                rows.append(tuple(row[k] for k in keep_names)
-                            + (j * step, f, tag))
+                rows.append(kv + (j * step, f, tag))
         else:
             for i in range(0, len(fr), every_n):
-                rows.append(tuple(row[k] for k in keep_names)
-                            + (i, fr[i], tag))
+                rows.append(kv + (i, fr[i], tag))
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload, meta = row[binary_col], row[meta_col]
+            # column zip, not iterrows() — each "row" here is an
+            # entire media file, but the Arrow-stage discipline is
+            # uniform across the package (r13 cleanup)
+            for payload, meta, *kvl in zip(
+                    pdf[binary_col], pdf[meta_col],
+                    *(pdf[k] for k in keep_names)):
                 if payload is None or meta is None:
                     continue
+                kv = tuple(kvl)
                 pb = bytes(payload)
                 if pb[:4] == b"RIFF" and pb[8:12] == b"AVI ":
-                    emit(rows, row,
+                    emit(rows, kv,
                          parse_avi(pb, _sample_every=every_n,
                                    keyframes_only=keyframes_only),
                          "avi")
                     continue
                 if len(pb) >= 12 and pb[4:8] == b"ftyp":
-                    emit(rows, row,
+                    emit(rows, kv,
                          parse_mp4(pb, _sample_every=every_n,
                                    keyframes_only=keyframes_only),
                          "mp4")
@@ -1216,14 +1249,14 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                     # Matroska/WebM: only the PyAV seam reads it;
                     # without the package this falls through to the
                     # documented slice fake  # pragma: no cover
-                    emit(rows, row,
+                    emit(rows, kv,
                          _pyav_demux(pb, every_n, keyframes_only),
                          "pyav")
                     continue
                 if pb[:6] in (b"GIF87a", b"GIF89a"):
                     # animated GIF demuxes for REAL builtin (r11):
                     # composed canvases per frame, disposal honored
-                    emit(rows, row,
+                    emit(rows, kv,
                          parse_gif_frames(pb, _sample_every=every_n),
                          "gif")
                     continue
@@ -1233,7 +1266,7 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                     # honored); every composed frame is a keyframe,
                     # so keyframes_only is a no-op like GIF
                     from .vp8l import parse_webp_frames
-                    emit(rows, row,
+                    emit(rows, kv,
                          parse_webp_frames(pb,
                                            _sample_every=every_n),
                          "webp")
@@ -1242,8 +1275,7 @@ def sample_frames(df: DataFrame, binary_col: str, meta_col: str = "media_meta",
                 size = max(1, len(pb) // n_frames)
                 for i in range(0, n_frames, every_n):
                     frame = pb[i * size:(i + 1) * size]
-                    rows.append(tuple(row[k] for k in keep_names)
-                                + (i, frame, "slice"))
+                    rows.append(kv + (i, frame, "slice"))
             yield pd.DataFrame(rows, columns=keep_names
                                + [index_col, frame_col, demux_col])
 

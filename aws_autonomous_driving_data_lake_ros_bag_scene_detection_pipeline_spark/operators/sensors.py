@@ -353,8 +353,54 @@ _ROS_ENC = {
     "rgba8": (4, 1, None), "bgra8": (4, 1, (2, 1, 0, 3)),
     "mono16": (1, 2, None), "16UC1": (1, 2, None),
 }
-_ROS_BAYER = ("bayer_rggb8", "bayer_bggr8", "bayer_gbrg8",
-              "bayer_grbg8")
+# Bayer mosaics: encoding -> 2x2 tile of channel indices (0=R,1=G,
+# 2=B) at (row%2, col%2).  bayer_rggb8 means row0 = R G, row1 = G B.
+_ROS_BAYER = {
+    "bayer_rggb8": ((0, 1), (1, 2)),
+    "bayer_bggr8": ((2, 1), (1, 0)),
+    "bayer_gbrg8": ((1, 2), (0, 1)),
+    "bayer_grbg8": ((1, 0), (2, 1)),
+}
+
+
+def _conv3_121(a: np.ndarray) -> np.ndarray:
+    """3x3 separable [1,2,1]⊗[1,2,1] convolution, zero padded —
+    the bilinear interpolation kernel, as two slice-sums (no scipy)."""
+    p = np.pad(a, 1)
+    b = p[:, :-2] + 2 * p[:, 1:-1] + p[:, 2:]
+    return b[:-2] + 2 * b[1:-1] + b[2:]
+
+
+def demosaic_bilinear(mosaic: np.ndarray, pattern: str) -> np.ndarray:
+    """Bilinear demosaic of a single-plane Bayer mosaic → (h, w, 3)
+    RGB.  Pure numpy, fully vectorized: per channel, a normalized
+    3x3 [1,2,1] convolution (sum of present neighbors / count of
+    present neighbors) — exact bilinear interpolation in the
+    interior, the natural fewer-neighbor average at the borders,
+    integer round-half-up so results are platform-deterministic.
+    ``pattern`` is a key of ``_ROS_BAYER`` (or its bare prefix, e.g.
+    ``'rggb'``)."""
+    key = pattern if pattern in _ROS_BAYER else f"bayer_{pattern}8"
+    if key not in _ROS_BAYER:
+        raise ValueError(f"demosaic_bilinear: unknown Bayer pattern "
+                         f"{pattern!r} (known: {sorted(_ROS_BAYER)})")
+    tile = _ROS_BAYER[key]
+    h, w = mosaic.shape
+    m = mosaic.astype(np.int64)
+    out = np.empty((h, w, 3), dtype=np.int64)
+    for c in range(3):
+        mask = np.zeros((h, w), dtype=np.int64)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                if tile[dy][dx] == c:
+                    mask[dy::2, dx::2] = 1
+        num = _conv3_121(m * mask)
+        den = _conv3_121(mask)          # ≥1 everywhere: every 3x3
+        ch = (2 * num + den) // (2 * den)   # window has all channels
+        # native samples pass through exactly (the G checkerboard
+        # would otherwise blend with its diagonal G neighbors)
+        out[..., c] = np.where(mask == 1, m, ch)
+    return out
 
 
 def decode_ros_image(df: DataFrame, *,
@@ -371,11 +417,12 @@ def decode_ros_image(df: DataFrame, *,
     BGR(A) normalizes to RGB(A) channel order, mono16/16UC1 samples
     honor ``is_bigendian`` and carry their full 16-bit values (the
     depth-image convention, same as the builtin 16-bit PNG path).
-    Bayer mosaics (``bayer_*``) raise ``NotImplementedError`` naming
-    the variant — demosaicing is an interpolation choice the engine
-    won't silently make; convert upstream or decode as ``8UC1`` to
-    get the raw mosaic. A ``channels`` column is added so downstream
-    ``reshape(h, w, c)`` needs no encoding table.
+    Bayer mosaics (``bayer_rggb8/bggr8/gbrg8/grbg8`` — the raw
+    capture mode of FLIR-style AV camera rigs) are demosaiced to RGB
+    via :func:`demosaic_bilinear` (vectorized bilinear, deterministic
+    integer rounding) inside the same Arrow pass. A ``channels``
+    column is added so downstream ``reshape(h, w, c)`` needs no
+    encoding table.
     """
     fields = df.schema.fields
     out_schema = T.StructType(
@@ -397,18 +444,28 @@ def decode_ros_image(df: DataFrame, *,
                     codecs.append(None)
                     continue
                 enc = str(encoding)
-                if enc in _ROS_BAYER:
-                    raise NotImplementedError(
-                        f"decode_ros_image: {enc!r} is a Bayer mosaic; "
-                        f"demosaic upstream, or read the raw mosaic "
-                        f"plane by rewriting encoding to '8UC1'")
-                if enc not in _ROS_ENC:
+                bayer = enc in _ROS_BAYER
+                if bayer:
+                    c, bps, order = 1, 1, None   # stored mosaic plane
+                elif enc in _ROS_ENC:
+                    c, bps, order = _ROS_ENC[enc]
+                else:
                     raise NotImplementedError(
                         f"decode_ros_image: unsupported encoding "
-                        f"{enc!r} (supported: {sorted(_ROS_ENC)})")
-                c, bps, order = _ROS_ENC[enc]
+                        f"{enc!r} (supported: "
+                        f"{sorted(_ROS_ENC) + sorted(_ROS_BAYER)})")
+                if pd.isna(w_) or pd.isna(h_):
+                    # salvage/skip rows can carry NULL headers (NaN
+                    # through Arrow) — name the field, don't
+                    # TypeError/NaN-cast out of the whole task
+                    raise ValueError(
+                        "decode_ros_image: NULL "
+                        f"{'width' if pd.isna(w_) else 'height'} "
+                        "header — corrupt or salvaged message")
                 w, h = int(w_), int(h_)
-                step = int(step_) or w * c * bps
+                step = (0 if pd.isna(step_) else int(step_)) \
+                    or w * c * bps
+                be = bool(be) and not pd.isna(be)
                 row_bytes = w * c * bps
                 if step < row_bytes:
                     raise ValueError(
@@ -430,6 +487,9 @@ def decode_ros_image(df: DataFrame, *,
                     img = img.reshape(-1).view(dt).reshape(h, w, c)
                 else:
                     img = img.reshape(h, w, c)
+                if bayer:
+                    img = demosaic_bilinear(img[..., 0], enc)
+                    c = 3
                 if order is not None:
                     img = img[..., list(order)]
                 pixels.append(np.ascontiguousarray(img)
@@ -454,11 +514,13 @@ def ros_image_media_info(df: DataFrame,
     contract (unknown/Bayer encodings yield ``error`` rows, never a
     raise — a profiling sweep must survive every topic)."""
     enc = F.col("encoding")
+    # Bayer decodes to 3-channel 8-bit RGB (demosaic_bilinear)
+    ecd = ([(e, c, bps) for e, (c, bps, _) in _ROS_ENC.items()]
+           + [(e, 3, 1) for e in _ROS_BAYER])
     chan = F.create_map(
-        *[x for e, (c, _, _) in _ROS_ENC.items()
-          for x in (F.lit(e), F.lit(c))])[enc]
+        *[x for e, c, _ in ecd for x in (F.lit(e), F.lit(c))])[enc]
     depth = F.create_map(
-        *[x for e, (_, bps, _) in _ROS_ENC.items()
+        *[x for e, _, bps in ecd
           for x in (F.lit(e), F.lit(8 * bps))])[enc]
     known = chan.isNotNull()
     info = F.struct(
@@ -540,6 +602,21 @@ string frame_id
 """
 
 
+def _stored_is_bgr(fmt) -> bool:
+    """True when the STORED planes of a CompressedImage are BGR.
+    ROS convention is ``"<orig>; <codec> compressed [<stored>]"`` —
+    only the token AFTER ``compressed`` describes the bytes in the
+    container (``"bgr8; jpeg compressed rgb8"`` stores RGB even
+    though the original was BGR).  When no ``compressed`` segment
+    exists (bare ``"bgr8"`` / ``"jpeg"`` writers), fall back to the
+    whole string."""
+    toks = str(fmt or "").lower().split()
+    if "compressed" in toks:
+        i = toks.index("compressed")
+        return i + 1 < len(toks) and toks[i + 1].startswith("bgr")
+    return any(t.startswith("bgr") for t in toks)
+
+
 def decode_ros_compressed_image(df: DataFrame, *,
                                 data_col: str = "data",
                                 format_col: str = "format",
@@ -584,9 +661,8 @@ def decode_ros_compressed_image(df: DataFrame, *,
                         f"format={fmt!r} is not a builtin-decodable "
                         f"container (JPEG/PNG/PPM/BMP/GIF/WebP-"
                         f"lossless) and Pillow is unavailable")
-                f = str(fmt or "").lower()
                 if arr.ndim == 3 and arr.shape[2] >= 3 \
-                        and "bgr" in f:
+                        and _stored_is_bgr(fmt):
                     # "rgb8; jpeg compressed bgr8": the planes are
                     # BGR as compressed — normalize to RGB
                     arr = arr.copy()

@@ -180,8 +180,11 @@ class S3SnapshotAdapter:
         except Exception as e:
             if _err_code(e) not in _MISSING:
                 raise
-        # pseudo-directory: any key under the prefix counts
-        prefix = key.rstrip("/") + "/"
+        # pseudo-directory: any key under the prefix counts; the
+        # bucket root (empty key) must probe prefix "" — '' .rstrip
+        # + '/' would be '/', which matches no real keys (r13 fix,
+        # mirrors listdir's guard)
+        prefix = key.rstrip("/") + "/" if key else ""
         resp = self._c().list_objects_v2(Bucket=bucket, Prefix=prefix,
                                          MaxKeys=1)
         return bool(resp.get("KeyCount") or resp.get("Contents"))

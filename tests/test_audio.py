@@ -186,3 +186,41 @@ def test_conditioning_composes_with_real_wav_decode(spark):
     want = _tone(440, 8000, n // 2).astype(np.float64)
     err = np.abs(_interior(y, 150) - _interior(want, 150))
     assert err.max() < 6e-3
+
+
+def test_polyphase_equals_upfirdn_reference():
+    """The r13 true-polyphase _resample_1d must equal the textbook
+    zero-stuff → full convolve → centered decimate construction
+    bit-for-bit (it is the same math, reorganized to never build the
+    len(x)·up intermediate)."""
+    import math
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.audio import (
+        _resample_1d,
+    )
+
+    def upfirdn_ref(x, up, down, h):
+        n_out = -(-len(x) * up // down)
+        if not len(x):
+            return np.zeros(0)
+        x_up = np.zeros(len(x) * up)
+        x_up[::up] = x
+        y = np.convolve(x_up, h)
+        delay = (len(h) - 1) // 2
+        y = y[delay:delay + len(x) * up:down]
+        if len(y) < n_out:
+            y = np.concatenate([y, np.zeros(n_out - len(y))])
+        return y[:n_out]
+
+    rng = np.random.default_rng(3)
+    for src, dst in [(44100, 16000), (8000, 16000), (22050, 16000),
+                     (3, 7), (7, 3)]:
+        g = math.gcd(src, dst)
+        up, down = dst // g, src // g
+        h = design_lowpass(up, down)
+        for n in (0, 1, 2, 37, 500):
+            x = rng.standard_normal(n)
+            a = _resample_1d(x, up, down, h)
+            b = upfirdn_ref(x, up, down, h)
+            assert a.shape == b.shape
+            assert np.allclose(a, b, atol=1e-12)

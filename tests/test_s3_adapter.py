@@ -280,3 +280,14 @@ def test_pickle_after_lazy_factory_client():
     assert ad2._client is None and ad2._factory is _factory_for_pickle
     ad2.write_bytes("s3mock2://b/k2", b"y")      # rebuilds lazily
     assert ad2.exists("s3mock2://b/k2")
+
+
+def test_exists_bucket_root(adapter, s3):
+    """Bucket root (empty key): exists must probe prefix '' like
+    listdir, not '/' (r13 fix) — an empty bucket is absent, a
+    non-empty one present."""
+    assert not adapter.exists("s3mock://lake-bucket")
+    assert not adapter.exists("s3mock://lake-bucket/")
+    adapter.write_bytes("s3mock://lake-bucket/k.bin", b"x")
+    assert adapter.exists("s3mock://lake-bucket")
+    assert adapter.exists("s3mock://lake-bucket/")

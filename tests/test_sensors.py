@@ -284,10 +284,10 @@ def test_ros_image_mono16_endianness(spark, big):
 
 def test_ros_image_errors_and_null(spark):
     ok = _img_row("mono8", 2, 1, b"\x01\x02")
-    bay = _img_row("bayer_rggb8", 2, 2, b"\x00" * 4)
-    with pytest.raises(Exception, match="Bayer mosaic"):
-        decode_ros_image(spark.createDataFrame([bay], IMG_SCHEMA)) \
-            .collect()
+    nullw = dict(_img_row("mono8", 2, 1, b"\x01\x02"), width=None)
+    with pytest.raises(Exception, match="NULL width"):
+        decode_ros_image(
+            spark.createDataFrame([nullw], IMG_SCHEMA)).collect()
     unk = _img_row("yuv422", 2, 1, b"\x00" * 4)
     with pytest.raises(Exception, match="unsupported encoding"):
         decode_ros_image(spark.createDataFrame([unk], IMG_SCHEMA)) \
@@ -322,9 +322,10 @@ def test_ros_image_media_info_total(spark):
         == (640, 480, 3, 8)
     assert got["mono16"]["bit_depth"] == 16
     assert got["mono16"]["tags"] == {"encoding": "mono16"}
+    # Bayer decodes to 3-channel RGB now (r13 demosaic)
+    assert (got["bayer_rggb8"]["channels"],
+            got["bayer_rggb8"]["bit_depth"]) == (3, 8)
     # total: unknown encodings are error rows, not exceptions
-    assert got["bayer_rggb8"]["format"] is None
-    assert "bayer_rggb8" in got["bayer_rggb8"]["error"]
     assert "yuv422" in got["yuv422"]["error"]
 
 
@@ -584,3 +585,84 @@ def test_transform_points_matches_numpy(spark):
     with pytest.raises(ValueError, match="no column"):
         transform_points(spark.createDataFrame(
             pd.DataFrame({"x": [1.0]})))
+
+
+# ---------------------------------------------------------------- r13: Bayer
+
+
+def _naive_demosaic(m, tile):
+    """Independent per-pixel bilinear oracle: weighted [1,2,1]⊗[1,2,1]
+    average of in-bounds same-channel neighbors, round half up,
+    native samples pass through."""
+    h, w = m.shape
+    out = np.zeros((h, w, 3), np.int64)
+    for c in range(3):
+        for y in range(h):
+            for x in range(w):
+                if tile[y % 2][x % 2] == c:
+                    out[y, x, c] = m[y, x]
+                    continue
+                num = den = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < h and 0 <= xx < w \
+                                and tile[yy % 2][xx % 2] == c:
+                            wgt = (2 - abs(dy)) * (2 - abs(dx))
+                            num += wgt * int(m[yy, xx])
+                            den += wgt
+                out[y, x, c] = (2 * num + den) // (2 * den)
+    return out
+
+
+@pytest.mark.parametrize("enc", ["bayer_rggb8", "bayer_bggr8",
+                                 "bayer_gbrg8", "bayer_grbg8"])
+@pytest.mark.parametrize("dims", [(4, 6), (5, 7)])
+def test_bayer_demosaic_matches_oracle(spark, enc, dims):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        _ROS_BAYER,
+    )
+    h, w = dims
+    rng = np.random.default_rng(hash(enc) % 2**31)
+    m = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [_img_row(enc, w, h, m.tobytes())], IMG_SCHEMA)
+    got = decode_ros_image(df).collect()[0]
+    assert got["channels"] == 3 and got["codec"] == "ros_raw"
+    want = _naive_demosaic(m, _ROS_BAYER[enc]).reshape(-1)
+    assert got["pixels"] == list(want)
+
+
+def test_bayer_demosaic_step_padding_and_flat(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        _ROS_BAYER,
+    )
+    h, w, pad = 4, 4, 3
+    rng = np.random.default_rng(7)
+    m = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    padded = b"".join(m[r].tobytes() + b"\xcc" * pad
+                      for r in range(h))
+    flat = np.full((h, w), 99, np.uint8)   # gray mosaic -> gray RGB
+    df = spark.createDataFrame(
+        [_img_row("bayer_bggr8", w, h, padded, step=w + pad),
+         _img_row("bayer_grbg8", w, h, flat.tobytes())], IMG_SCHEMA)
+    got = {r["encoding"]: r for r in decode_ros_image(df).collect()}
+    want = _naive_demosaic(m, _ROS_BAYER["bayer_bggr8"]).reshape(-1)
+    assert got["bayer_bggr8"]["pixels"] == list(want)
+    assert got["bayer_grbg8"]["pixels"] == [99] * (h * w * 3)
+
+
+def test_compressed_stored_format_token():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        _stored_is_bgr,
+    )
+    # only the token AFTER 'compressed' describes the stored planes
+    assert _stored_is_bgr("bgr8; jpeg compressed bgr8")
+    assert not _stored_is_bgr("bgr8; jpeg compressed rgb8")
+    assert not _stored_is_bgr("rgb8; jpeg compressed")
+    assert not _stored_is_bgr("rgb8; jpeg compressed rgb8")
+    assert _stored_is_bgr("rgb8; jpeg compressed bgra8")
+    # no 'compressed' segment: fall back to the whole string
+    assert _stored_is_bgr("bgr8")
+    assert not _stored_is_bgr("jpeg")
+    assert not _stored_is_bgr(None)
