@@ -2763,6 +2763,9 @@ def q_media_features(spark, sf_dir):
     pcl = _pointcloud_decode_stats(spark, sf_dir)
     vox = _pointcloud_voxel_stats(spark, sf_dir)
     rimg = _ros_image_stats(spark, sf_dir)
+    # r13 fold: REAL bilinear Bayer demosaic rides this entry too —
+    # see _bayer_demosaic_stats
+    bay = _bayer_demosaic_stats(spark, sf_dir)
 
     def _nl(t):
         return F.lit(None).cast(t)
@@ -2812,8 +2815,16 @@ def q_media_features(spark, sf_dir):
         _nl("bigint").alias("sum_b"),
         "sum_x", "sum_y", "sum_z",
         _nl("boolean").alias("ppm_only"))
+    g = bay.select(
+        F.lit("bayer").alias("variant"),
+        F.col("doc_id").alias("query_id"),
+        _nl("bigint").alias("neighbor_id"),
+        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
+        "n_px", "px_sum", "sum_r", "sum_g", "sum_b",
+        _nl("double").alias("sum_x"), _nl("double").alias("sum_y"),
+        _nl("double").alias("sum_z"), "ppm_only")
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e))
+            .unionByName(e).unionByName(g))
 
 
 # DuckDB mirror of the full media pipeline. Byte extraction works on any
@@ -2921,6 +2932,61 @@ vox as (
     cast(sum(cy) as double) as sum_y,
     cast(sum(cz) as double) as sum_z
   from voxc group by doc_id
+),
+bayx as (
+  select doc_id, hex(encode(text)) as hx
+  from documents
+  where doc_id % 10 = 5 and octet_length(encode(text)) >= 48
+),
+bay as (
+  -- 8x6 bayer_bggr8 mosaic from the doc's first 48 bytes: site
+  -- channel is B at (even,even), R at (odd,odd), G elsewhere
+  select doc_id,
+         cast((i - 1) // 8 as bigint) as y,
+         cast((i - 1) % 8 as bigint) as x,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 as v
+  from bayx, unnest(range(1, 49)) as t(i)
+),
+boff as (
+  select dy, dx, (2 - abs(dy)) * (2 - abs(dx)) as wgt
+  from (values (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+               (1,-1),(1,0),(1,1)) o(dy, dx)
+),
+bint as (
+  -- bilinear interpolation: per pixel, in-bounds neighbors grouped
+  -- by THEIR Bayer channel, [1,2,1]x[1,2,1] weights, integer round
+  -- half up (every 3x3 window contains all three channels)
+  select b.doc_id, b.y, b.x,
+         case when (b.y + o.dy) % 2 = 0 and (b.x + o.dx) % 2 = 0 then 2
+              when (b.y + o.dy) % 2 = 1 and (b.x + o.dx) % 2 = 1 then 0
+              else 1 end as c,
+         (2 * sum(o.wgt * nb.v) + sum(o.wgt)) // (2 * sum(o.wgt)) as iv
+  from bay b
+  join boff o on true
+  join bay nb on nb.doc_id = b.doc_id
+             and nb.y = b.y + o.dy and nb.x = b.x + o.dx
+  group by 1, 2, 3, 4
+),
+brgb as (
+  -- native site passes through exactly (the demosaic contract)
+  select i.doc_id, i.c,
+         case when (case when i.y % 2 = 0 and i.x % 2 = 0 then 2
+                         when i.y % 2 = 1 and i.x % 2 = 1 then 0
+                         else 1 end) = i.c
+              then b.v else i.iv end as v
+  from bint i
+  join bay b on b.doc_id = i.doc_id and b.y = i.y and b.x = i.x
+),
+bst as (
+  select doc_id,
+    count(*) as n_px,
+    cast(sum(v) as bigint) as px_sum,
+    cast(sum(case when c = 0 then v else 0 end) as bigint) as sum_r,
+    cast(sum(case when c = 1 then v else 0 end) as bigint) as sum_g,
+    cast(sum(case when c = 2 then v else 0 end) as bigint) as sum_b,
+    true as ppm_only
+  from brgb group by doc_id
 )
 select 'knn' as variant, query_id, neighbor_id, cosine, rank,
   cast(null as bigint) as n_px, cast(null as bigint) as px_sum,
@@ -2963,6 +3029,14 @@ select 'voxel' as variant, doc_id as query_id,
   cast(null as bigint) as sum_b,
   sum_x, sum_y, sum_z, cast(null as boolean) as ppm_only
 from vox
+union all
+select 'bayer' as variant, doc_id as query_id,
+  cast(null as bigint) as neighbor_id, cast(null as double) as cosine,
+  cast(null as bigint) as rank,
+  n_px, px_sum, sum_r, sum_g, sum_b,
+  cast(null as double) as sum_x, cast(null as double) as sum_y,
+  cast(null as double) as sum_z, ppm_only
+from bst
 """
 
 
@@ -3247,6 +3321,56 @@ def _ros_image_stats(spark, sf_dir):
                      F.lit("rgb8").alias("encoding"),
                      F.lit(0).alias("is_bigendian"),
                      F.lit(w * 3 + pad).cast("long").alias("step"),
+                     F.concat(*pieces).alias("data")))
+    dec = decode_ros_image(frame)
+    px = dec.select("doc_id", "codec",
+                    F.posexplode("pixels").alias("pos", "v"))
+    return (px.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("v").alias("px_sum"),
+                 F.sum(F.when(F.col("pos") % 3 == 0, F.col("v"))
+                       .otherwise(0)).alias("sum_r"),
+                 F.sum(F.when(F.col("pos") % 3 == 1, F.col("v"))
+                       .otherwise(0)).alias("sum_g"),
+                 F.sum(F.when(F.col("pos") % 3 == 2, F.col("v"))
+                       .otherwise(0)).alias("sum_b"),
+                 F.min(F.col("codec") == "ros_raw").alias("ppm_only")))
+
+
+def _bayer_demosaic_stats(spark, sf_dir):
+    """REAL Bayer demosaic under the oracle gate (r13, folded into
+    q_media_features — VERDICT r12 item 1): every 10th doc's first 48
+    bytes become an 8×6 ``bayer_bggr8`` mosaic (``step=9`` — one pad
+    byte per row, assembled with pure Catalyst substring/concat so
+    the blob is SQL-reproducible), decoded by
+    :func:`...operators.sensors.decode_ros_image`'s bilinear
+    demosaic. The DuckDB twin reproduces the interpolation closed
+    form — per output pixel/channel, the [1,2,1]⊗[1,2,1]-weighted
+    in-bounds same-channel neighbor average with integer
+    round-half-up and native-site passthrough — so the per-document
+    channel sums hash-match only if every interpolated value is
+    exactly right (rounding rule, border handling, pattern layout,
+    step stripping)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        decode_ros_image,
+    )
+    w, h, pad = 8, 6, 1
+    body = w * h
+    docs = _t("documents")(spark, sf_dir)
+    txt = F.encode("text", "utf-8")
+    pieces = []
+    for r in range(h):
+        pieces.append(F.substring(txt, r * w + 1, w))
+        pieces.append(F.lit(b"\xcc" * pad))
+    frame = (docs
+             .where((F.col("doc_id") % 10 == 5)
+                    & (F.octet_length(txt) >= body))
+             .select("doc_id",
+                     F.lit(h).cast("long").alias("height"),
+                     F.lit(w).cast("long").alias("width"),
+                     F.lit("bayer_bggr8").alias("encoding"),
+                     F.lit(0).alias("is_bigendian"),
+                     F.lit(w + pad).cast("long").alias("step"),
                      F.concat(*pieces).alias("data")))
     dec = decode_ros_image(frame)
     px = dec.select("doc_id", "codec",
