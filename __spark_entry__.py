@@ -2763,9 +2763,11 @@ def q_media_features(spark, sf_dir):
     pcl = _pointcloud_decode_stats(spark, sf_dir)
     vox = _pointcloud_voxel_stats(spark, sf_dir)
     rimg = _ros_image_stats(spark, sf_dir)
-    # r13 fold: REAL bilinear Bayer demosaic rides this entry too —
-    # see _bayer_demosaic_stats
+    # r13 folds: REAL bilinear Bayer demosaic and the REAL
+    # transform_points→project_points lidar→camera chain ride this
+    # entry too — see _bayer_demosaic_stats / _projection_stats
     bay = _bayer_demosaic_stats(spark, sf_dir)
+    prj = _projection_stats(spark, sf_dir)
 
     def _nl(t):
         return F.lit(None).cast(t)
@@ -2823,8 +2825,18 @@ def q_media_features(spark, sf_dir):
         "n_px", "px_sum", "sum_r", "sum_g", "sum_b",
         _nl("double").alias("sum_x"), _nl("double").alias("sum_y"),
         _nl("double").alias("sum_z"), "ppm_only")
+    p = prj.select(
+        F.lit("proj").alias("variant"),
+        F.col("doc_id").alias("query_id"),
+        _nl("bigint").alias("neighbor_id"),
+        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
+        "n_px", "px_sum",
+        _nl("bigint").alias("sum_r"), _nl("bigint").alias("sum_g"),
+        _nl("bigint").alias("sum_b"),
+        "sum_x", "sum_y", _nl("double").alias("sum_z"),
+        _nl("boolean").alias("ppm_only"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(g))
+            .unionByName(e).unionByName(g).unionByName(p))
 
 
 # DuckDB mirror of the full media pipeline. Byte extraction works on any
@@ -2987,6 +2999,47 @@ bst as (
     cast(sum(case when c = 2 then v else 0 end) as bigint) as sum_b,
     true as ppm_only
   from brgb group by doc_id
+),
+prj1 as (
+  -- lidar→camera chain on the same synthetic clouds: the (½,½,½,½)
+  -- quaternion is the exact permutation (x,y,z)→(z,x,y), t=(1,-2,-50)
+  -- (so y≤50 points land behind the camera), /512 scaling exact
+  select doc_id, i,
+         (cast((doc_id + 3 * i) % 64 as double) + 1) / 512 as xs,
+         (cast((doc_id * 7 + i) % 256 as double) - 2) / 512 as ys,
+         cast((i * i) % 101 as double) - 50 as zt
+  from pclb
+),
+prj2 as (
+  select doc_id, zt,
+         case when zt > 0 then xs / zt end as xp,
+         case when zt > 0 then ys / zt end as yp
+  from prj1
+),
+prj3 as (
+  select doc_id, zt, xp, yp, xp * xp + yp * yp as r2 from prj2
+),
+prj4 as (
+  -- plumb-bob: the EXACT expression tree project_points builds
+  -- (same association order), so per-point u/v are bit-identical
+  select doc_id, zt,
+    500.25 * (xp * (1 + 0.015625 * r2 + -0.0078125 * r2 * r2
+                    + 0.0009765625 * r2 * r2 * r2)
+              + 2 * 0.001953125 * xp * yp
+              + -0.00390625 * (r2 + 2 * xp * xp)) + 320.0 as u,
+    500.5 * (yp * (1 + 0.015625 * r2 + -0.0078125 * r2 * r2
+                   + 0.0009765625 * r2 * r2 * r2)
+             + 0.001953125 * (r2 + 2 * yp * yp)
+             + 2 * -0.00390625 * xp * yp) + 240.0 as v
+  from prj3
+),
+prjst as (
+  select doc_id,
+    cast(sum(case when zt > 0 then 1 else 0 end) as bigint) as n_px,
+    cast(sum(case when zt <= 0 then 1 else 0 end) as bigint) as px_sum,
+    cast(sum(cast(floor(u * 1024) as bigint)) as double) as sum_x,
+    cast(sum(cast(floor(v * 1024) as bigint)) as double) as sum_y
+  from prj4 group by doc_id
 )
 select 'knn' as variant, query_id, neighbor_id, cosine, rank,
   cast(null as bigint) as n_px, cast(null as bigint) as px_sum,
@@ -3037,6 +3090,16 @@ select 'bayer' as variant, doc_id as query_id,
   cast(null as double) as sum_x, cast(null as double) as sum_y,
   cast(null as double) as sum_z, ppm_only
 from bst
+union all
+select 'proj' as variant, doc_id as query_id,
+  cast(null as bigint) as neighbor_id, cast(null as double) as cosine,
+  cast(null as bigint) as rank,
+  n_px, px_sum,
+  cast(null as bigint) as sum_r, cast(null as bigint) as sum_g,
+  cast(null as bigint) as sum_b,
+  sum_x, sum_y, cast(null as double) as sum_z,
+  cast(null as boolean) as ppm_only
+from prjst
 """
 
 
@@ -3286,6 +3349,59 @@ def _pointcloud_voxel_stats(spark, sf_dir):
                  F.sum("x").alias("sum_x"),
                  F.sum("y").alias("sum_y"),
                  F.sum("z").alias("sum_z")))
+
+
+def _projection_stats(spark, sf_dir):
+    """r13 fold of the pointcloud family (VERDICT r12 item 2): the
+    REAL lidar→camera chain —
+    :func:`...operators.sensors.transform_points` (full 9-term
+    quaternion expansion) composed with
+    :func:`...operators.sensors.project_points` (pinhole + plumb-bob
+    distortion, behind-camera culling) — over the same synthetic
+    clouds, verified against DuckDB recomputing the identical
+    expression tree. Determinism by construction: the pose quaternion
+    (½,½,½,½) is an exact permutation rotation ((x,y,z) → (z,x,y), so
+    every transform product is IEEE-exact), the distortion
+    coefficients are exact binary fractions, and per-point u/v are
+    bit-identical across engines (same IEEE double expression tree),
+    so ``floor(u·1024)`` sums are exact integers immune to
+    aggregation-order drift. tz = −50 makes culling data-dependent:
+    points with y ≤ 50 land behind the image plane — ``n_px`` counts
+    projected pixels, ``px_sum`` counts culled points, so a culling
+    bug flips both."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        project_points, transform_points,
+    )
+    pts = _pcl_long_frame(spark, sf_dir)
+    posed = (pts
+             .withColumn("qw", F.lit(0.5)).withColumn("qx", F.lit(0.5))
+             .withColumn("qy", F.lit(0.5)).withColumn("qz", F.lit(0.5))
+             .withColumn("tx", F.lit(1.0)).withColumn("ty", F.lit(-2.0))
+             .withColumn("tz", F.lit(-50.0)))
+    cam = transform_points(posed)
+    # /512 keeps |x'| ≤ ~0.5 so the distortion polynomial stays tame
+    # even at z_t = 1 (powers of two: the scaling is exact)
+    scaled = (cam.withColumn("xs", F.col("x_t") / 512)
+              .withColumn("ys", F.col("y_t") / 512)
+              .withColumn("fx", F.lit(500.25))
+              .withColumn("fy", F.lit(500.5))
+              .withColumn("cx", F.lit(320.0))
+              .withColumn("cy", F.lit(240.0))
+              .withColumn("k1", F.lit(0.015625))
+              .withColumn("k2", F.lit(-0.0078125))
+              .withColumn("t1", F.lit(0.001953125))
+              .withColumn("t2", F.lit(-0.00390625))
+              .withColumn("k3", F.lit(0.0009765625)))
+    px = project_points(scaled, cols=("xs", "ys", "z_t"))
+    return (px.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("u").isNotNull(), 1)
+                       .otherwise(0)).alias("n_px"),
+                 F.sum(F.when(F.col("u").isNull(), 1)
+                       .otherwise(0)).alias("px_sum"),
+                 F.sum(F.floor(F.col("u") * 1024))
+                 .cast("double").alias("sum_x"),
+                 F.sum(F.floor(F.col("v") * 1024))
+                 .cast("double").alias("sum_y")))
 
 
 def _ros_image_stats(spark, sf_dir):

@@ -41,7 +41,9 @@ __all__ = [
     "POINTCLOUD2_DEFINITION", "IMAGE_DEFINITION",
     "decode_pointcloud2", "decode_ros_image", "ros_image_media_info",
     "voxel_downsample", "transform_points", "COMPRESSED_IMAGE_DEFINITION",
-    "decode_ros_compressed_image",
+    "decode_ros_compressed_image", "demosaic_bilinear",
+    "CAMERA_INFO_DEFINITION", "camera_info_intrinsics",
+    "project_points",
 ]
 
 # Public sensor_msgs definitions in gendeps concatenated-text form
@@ -734,3 +736,125 @@ def transform_points(df: DataFrame, *,
     return (df.withColumn(cols[0] + out_suffix, xo)
             .withColumn(cols[1] + out_suffix, yo)
             .withColumn(cols[2] + out_suffix, zo))
+
+
+CAMERA_INFO_DEFINITION = """\
+std_msgs/Header header
+uint32 height
+uint32 width
+string distortion_model
+float64[] D
+float64[9] K
+float64[9] R
+float64[12] P
+uint32 binning_x
+uint32 binning_y
+sensor_msgs/RegionOfInterest roi
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+================================================================================
+MSG: sensor_msgs/RegionOfInterest
+uint32 x_offset
+uint32 y_offset
+uint32 height
+uint32 width
+bool do_rectify
+"""
+
+
+def camera_info_intrinsics(df: DataFrame, *,
+                           k_col: str = "K", d_col: str | None = "D",
+                           p_col: str | None = None) -> DataFrame:
+    """Flatten a ``sensor_msgs/CameraInfo`` topic's packed calibration
+    arrays into the scalar columns :func:`project_points` consumes:
+    ``fx, fy, cx, cy`` from the row-major 3x3 ``K`` (or, with
+    ``p_col=``, from the 3x4 rectified projection ``P`` — the
+    image_geometry convention for rectified pixels), and the plumb-bob
+    coefficients ``k1, k2, t1, t2, k3`` from ``D`` (absent entries →
+    0.0: an all-zero or short ``D`` is the ROS idiom for an
+    undistorted camera). Pure Catalyst ``element_at`` — no Python."""
+    src, w = (p_col, 4) if p_col else (k_col, 3)
+    if src not in df.columns:
+        raise ValueError(f"camera_info_intrinsics: no column {src!r}")
+    a = F.col(src)
+    out = (df.withColumn("fx", F.element_at(a, 1).cast("double"))
+           .withColumn("fy", F.element_at(a, w + 2).cast("double"))
+           .withColumn("cx", F.element_at(a, 3).cast("double"))
+           .withColumn("cy", F.element_at(a, w + 3).cast("double")))
+    if d_col is not None:
+        if d_col not in df.columns:
+            raise ValueError(
+                f"camera_info_intrinsics: no column {d_col!r} — pass "
+                f"d_col=None for a distortion-free CameraInfo")
+        d = F.col(d_col)
+        for name, i in (("k1", 1), ("k2", 2), ("t1", 3), ("t2", 4),
+                        ("k3", 5)):
+            out = out.withColumn(
+                name,
+                F.coalesce(F.when(F.size(d) >= i, F.element_at(d, i))
+                           .cast("double"), F.lit(0.0)))
+    return out
+
+
+def project_points(df: DataFrame, *,
+                   cols: tuple[str, str, str] = ("x", "y", "z"),
+                   intrinsics: tuple[str, str, str, str]
+                   = ("fx", "fy", "cx", "cy"),
+                   distortion: tuple[str, str, str, str, str] | None
+                   = ("k1", "k2", "t1", "t2", "k3"),
+                   out_cols: tuple[str, str] = ("u", "v")) -> DataFrame:
+    """Pinhole + plumb-bob projection of camera-frame 3-D points into
+    pixel coordinates — the lidar→image association step (the 3-D
+    generalization of the reference's 2-D object-in-lane geometry,
+    ``/root/reference/spark_scripts/detect_scenes.py:51-90``; the
+    reference fuses detections per camera, ``README.md:90-91``).
+    PURE Catalyst (same discipline as :func:`transform_points` —
+    whole-stage codegen, no Python per point); intrinsics/distortion
+    are per-ROW columns (join or as-of-join the CameraInfo topic
+    first, or :func:`camera_info_intrinsics` a literal calibration),
+    so one pass projects a mixed scan of many cameras.
+
+    Model (the OpenCV/ROS plumb-bob convention, public):
+    ``x' = x/z``, ``y' = y/z``, ``r² = x'² + y'²``,
+    ``x'' = x'(1 + k1·r² + k2·r⁴ + k3·r⁶) + 2·t1·x'y' + t2(r² + 2x'²)``,
+    ``y'' = y'(1 + k1·r² + k2·r⁴ + k3·r⁶) + t1(r² + 2y'²) + 2·t2·x'y'``,
+    ``u = fx·x'' + cx``, ``v = fy·y'' + cy``. Points at or behind the
+    image plane (``z ≤ 0``) are culled to NULL ``u``/``v`` — they have
+    no pixel; filter ``u IS NOT NULL`` (plus image bounds) after.
+    ``distortion=None`` projects the ideal pinhole (rectified
+    images / P-matrix intrinsics). Compose::
+
+        pts  = decode_pointcloud2(cloud, mode="long")
+        cam  = transform_points(asof_join(pts, poses, ...))  # → camera frame
+        px   = project_points(cam, cols=("x_t", "y_t", "z_t"))
+    """
+    need = list(cols) + list(intrinsics) + (list(distortion)
+                                            if distortion else [])
+    for c in need:
+        if c not in df.columns:
+            raise ValueError(
+                f"project_points: no column {c!r} — join the "
+                f"CameraInfo calibration onto the point rows first")
+    x, y, z = (F.col(c) for c in cols)
+    fx, fy, cx, cy = (F.col(c) for c in intrinsics)
+    xp, yp = x / z, y / z
+    if distortion:
+        k1, k2, t1, t2, k3 = (F.col(c) for c in distortion)
+        r2 = xp * xp + yp * yp
+        radial = (F.lit(1.0) + k1 * r2 + k2 * r2 * r2
+                  + k3 * r2 * r2 * r2)
+        two = F.lit(2.0)
+        xpp = (xp * radial + two * t1 * xp * yp
+               + t2 * (r2 + two * xp * xp))
+        ypp = (yp * radial + t1 * (r2 + two * yp * yp)
+               + two * t2 * xp * yp)
+    else:
+        xpp, ypp = xp, yp
+    front = z > 0
+    return (df.withColumn(out_cols[0],
+                          F.when(front, fx * xpp + cx))
+            .withColumn(out_cols[1],
+                        F.when(front, fy * ypp + cy)))

@@ -666,3 +666,148 @@ def test_compressed_stored_format_token():
     assert _stored_is_bgr("bgr8")
     assert not _stored_is_bgr("jpeg")
     assert not _stored_is_bgr(None)
+
+
+# -------------------------------------------------- r13: camera projection
+
+
+def _plumb_bob_numpy(p, fx, fy, cx, cy, d):
+    """Independent numpy oracle of the OpenCV/ROS plumb-bob model,
+    with behind-camera culling to None."""
+    x, y, z = p
+    if z <= 0:
+        return (None, None)
+    k1, k2, t1, t2, k3 = d
+    xp, yp = x / z, y / z
+    r2 = xp * xp + yp * yp
+    rad = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+    xpp = xp * rad + 2 * t1 * xp * yp + t2 * (r2 + 2 * xp * xp)
+    ypp = yp * rad + t1 * (r2 + 2 * yp * yp) + 2 * t2 * xp * yp
+    return (fx * xpp + cx, fy * ypp + cy)
+
+
+def test_project_points_matches_numpy_and_culls(spark):
+    import pandas as pd
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        project_points,
+    )
+    rng = np.random.default_rng(11)
+    n = 200
+    pts = rng.uniform(-3, 3, (n, 3))
+    pts[: n // 4, 2] = -np.abs(pts[: n // 4, 2])   # behind camera
+    pts[n // 4, 2] = 0.0                           # exactly on plane
+    intr = (600.5, 601.25, 320.0, 240.5)
+    dist = (0.1, -0.05, 0.001, -0.002, 0.01)
+    pdf = pd.DataFrame({
+        "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+        "fx": intr[0], "fy": intr[1], "cx": intr[2], "cy": intr[3],
+        "k1": dist[0], "k2": dist[1], "t1": dist[2], "t2": dist[3],
+        "k3": dist[4], "i": np.arange(n)})
+    out = project_points(spark.createDataFrame(pdf))
+    got = {r["i"]: (r["u"], r["v"]) for r in out.collect()}
+    for i in range(n):
+        want = _plumb_bob_numpy(pts[i], *intr, dist)
+        if want[0] is None:
+            assert got[i] == (None, None), i
+        else:
+            assert np.allclose(got[i], want, atol=1e-9), i
+
+
+def test_project_points_pinhole_and_plan(spark):
+    """distortion=None is the ideal pinhole; the plan is pure
+    Catalyst — no Python stage of any kind."""
+    import pandas as pd
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        project_points,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
+        formatted_plan,
+    )
+    pdf = pd.DataFrame({"x": [1.0, -2.0], "y": [0.5, 1.5],
+                        "z": [2.0, 4.0],
+                        "fx": 100.0, "fy": 200.0,
+                        "cx": 10.0, "cy": 20.0})
+    out = project_points(spark.createDataFrame(pdf), distortion=None)
+    plan = formatted_plan(out)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    rows = sorted((r["u"], r["v"]) for r in out.collect())
+    assert np.allclose(rows[0], (100.0 * -0.5 + 10.0,
+                                 200.0 * 0.375 + 20.0))
+    assert np.allclose(rows[1], (100.0 * 0.5 + 10.0,
+                                 200.0 * 0.25 + 20.0))
+    with pytest.raises(ValueError, match="no column"):
+        project_points(spark.createDataFrame(pdf))  # no k1..k3 cols
+
+
+def test_camera_info_intrinsics_k_p_and_short_d(spark):
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        camera_info_intrinsics,
+    )
+    K = [458.0, 0.0, 367.2, 0.0, 457.3, 248.4, 0.0, 0.0, 1.0]
+    P = [400.0, 0.0, 350.5, -30.0, 0.0, 401.0, 250.25, 0.0,
+         0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [{"K": K, "D": [0.1, -0.2], "P": P},
+         {"K": K, "D": [], "P": P}],
+        "K array<double>, D array<double>, P array<double>")
+    got = camera_info_intrinsics(df).collect()[0]
+    assert (got["fx"], got["fy"], got["cx"], got["cy"]) \
+        == (458.0, 457.3, 367.2, 248.4)
+    # short D: absent coefficients are 0.0 (the undistorted idiom)
+    assert (got["k1"], got["k2"], got["t1"], got["t2"], got["k3"]) \
+        == (0.1, -0.2, 0.0, 0.0, 0.0)
+    empty = camera_info_intrinsics(df).collect()[1]
+    assert (empty["k1"], empty["k3"]) == (0.0, 0.0)
+    # rectified route: intrinsics from the 3x4 P matrix
+    rect = camera_info_intrinsics(df, p_col="P", d_col=None).collect()[0]
+    assert (rect["fx"], rect["fy"], rect["cx"], rect["cy"]) \
+        == (400.0, 401.0, 350.5, 250.25)
+    with pytest.raises(ValueError, match="no column"):
+        camera_info_intrinsics(df.drop("D"))
+
+
+def test_lidar_to_image_pipeline_composes(spark):
+    """decode_pointcloud2 → transform_points → project_points: the
+    full lidar→camera association path on a synthetic cloud, checked
+    against one numpy chain."""
+    import pandas as pd
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        decode_pointcloud2, project_points, transform_points,
+    )
+    n = 6
+    df = spark.createDataFrame([_xyz_cloud(n)], CLOUD_SCHEMA)
+    pts = decode_pointcloud2(df, mode="long")
+    # 90-degree yaw + translation puts the cloud in front of the cam
+    q = (np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4))
+    t = (0.5, -1.0, 8.0)
+    posed = (pts
+             .withColumn("qw", F.lit(q[0])).withColumn("qx", F.lit(q[1]))
+             .withColumn("qy", F.lit(q[2])).withColumn("qz", F.lit(q[3]))
+             .withColumn("tx", F.lit(t[0])).withColumn("ty", F.lit(t[1]))
+             .withColumn("tz", F.lit(t[2])))
+    cam = transform_points(posed)
+    px = project_points(
+        cam.withColumn("fx", F.lit(500.0)).withColumn("fy", F.lit(500.0))
+        .withColumn("cx", F.lit(320.0)).withColumn("cy", F.lit(240.0)),
+        cols=("x_t", "y_t", "z_t"), distortion=None)
+    got = {int(r["x"]): (r["u"], r["v"]) for r in px.collect()}
+
+    def rot(qq):
+        w, xq, yq, zq = qq
+        return np.array([
+            [1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - w * zq),
+             2 * (xq * zq + w * yq)],
+            [2 * (xq * yq + w * zq), 1 - 2 * (xq * xq + zq * zq),
+             2 * (yq * zq - w * xq)],
+            [2 * (xq * zq - w * yq), 2 * (yq * zq + w * xq),
+             1 - 2 * (xq * xq + yq * yq)]])
+
+    for i in range(n):
+        p = rot(q) @ np.array([i, 2.0 * i, 3.0 * i]) + np.array(t)
+        want = (500.0 * p[0] / p[2] + 320.0, 500.0 * p[1] / p[2] + 240.0)
+        assert np.allclose(got[i], want, atol=1e-9), i
