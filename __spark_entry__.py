@@ -2768,6 +2768,7 @@ def q_media_features(spark, sf_dir):
     # entry too — see _bayer_demosaic_stats / _projection_stats
     bay = _bayer_demosaic_stats(spark, sf_dir)
     prj = _projection_stats(spark, sf_dir)
+    geo = _geo_enu_stats(spark, sf_dir)
 
     def _nl(t):
         return F.lit(None).cast(t)
@@ -2835,8 +2836,19 @@ def q_media_features(spark, sf_dir):
         _nl("bigint").alias("sum_b"),
         "sum_x", "sum_y", _nl("double").alias("sum_z"),
         _nl("boolean").alias("ppm_only"))
+    h = geo.select(
+        F.lit("geo").alias("variant"),
+        F.col("doc_id").alias("query_id"),
+        _nl("bigint").alias("neighbor_id"),
+        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
+        "n_px", _nl("bigint").alias("px_sum"),
+        _nl("bigint").alias("sum_r"), _nl("bigint").alias("sum_g"),
+        _nl("bigint").alias("sum_b"),
+        "sum_x", "sum_y", "sum_z",
+        _nl("boolean").alias("ppm_only"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(g).unionByName(p))
+            .unionByName(e).unionByName(g).unionByName(p)
+            .unionByName(h))
 
 
 # DuckDB mirror of the full media pipeline. Byte extraction works on any
@@ -3040,6 +3052,62 @@ prjst as (
     cast(sum(cast(floor(u * 1024) as bigint)) as double) as sum_x,
     cast(sum(cast(floor(v * 1024) as bigint)) as double) as sum_y
   from prj4 group by doc_id
+),
+geob as (
+  select d.doc_id, t.i
+  from (select doc_id from documents where doc_id % 10 = 7) d,
+       unnest(range(0, 10)) as t(i)
+),
+geoll as (
+  -- synthetic 10-fix GPS track per doc: closed forms of doc_id
+  select doc_id,
+    47.0 + ((doc_id * 3 + i * 7) % 900) * 0.0001 as lat,
+    8.0 + ((doc_id * 5 + i * 11) % 900) * 0.0001 as lon,
+    400.0 + (doc_id + i) % 120 as alt
+  from geob
+),
+geoo as (
+  -- origin (47.045, 8.045, 450 m) in ECEF; e2 = f(2-f) for WGS-84
+  select s0, c0, sl0, cl0,
+         (n0 + 450.0) * c0 * cl0 as x0,
+         (n0 + 450.0) * c0 * sl0 as y0,
+         (n0 * (1 - 0.0066943799901413165) + 450.0) * s0 as z0
+  from (select sin(radians(47.045)) as s0, cos(radians(47.045)) as c0,
+               sin(radians(8.045)) as sl0, cos(radians(8.045)) as cl0,
+               6378137.0 / sqrt(1 - 0.0066943799901413165
+                   * sin(radians(47.045)) * sin(radians(47.045))) as n0)
+),
+geoecef as (
+  select doc_id,
+    (6378137.0 / sqrt(1 - 0.0066943799901413165
+         * sin(radians(lat)) * sin(radians(lat))) + alt)
+      * cos(radians(lat)) * cos(radians(lon)) as x,
+    (6378137.0 / sqrt(1 - 0.0066943799901413165
+         * sin(radians(lat)) * sin(radians(lat))) + alt)
+      * cos(radians(lat)) * sin(radians(lon)) as y,
+    (6378137.0 / sqrt(1 - 0.0066943799901413165
+         * sin(radians(lat)) * sin(radians(lat)))
+      * (1 - 0.0066943799901413165) + alt) * sin(radians(lat)) as z
+  from geoll
+),
+geoenu as (
+  -- tangent-plane rotation; per-fix cm rounding absorbs last-ulp
+  -- libm-vs-Java trig differences (~1e-9 m)
+  select e.doc_id,
+    round(-o.sl0 * (e.x - o.x0) + o.cl0 * (e.y - o.y0), 2) as ev,
+    round(-o.s0 * o.cl0 * (e.x - o.x0) - o.s0 * o.sl0 * (e.y - o.y0)
+          + o.c0 * (e.z - o.z0), 2) as nv,
+    round(o.c0 * o.cl0 * (e.x - o.x0) + o.c0 * o.sl0 * (e.y - o.y0)
+          + o.s0 * (e.z - o.z0), 2) as uv
+  from geoecef e, geoo o
+),
+geost as (
+  select doc_id,
+    cast(count(*) as bigint) as n_px,
+    cast(sum(ev) as double) as sum_x,
+    cast(sum(nv) as double) as sum_y,
+    cast(sum(uv) as double) as sum_z
+  from geoenu group by doc_id
 )
 select 'knn' as variant, query_id, neighbor_id, cosine, rank,
   cast(null as bigint) as n_px, cast(null as bigint) as px_sum,
@@ -3100,6 +3168,15 @@ select 'proj' as variant, doc_id as query_id,
   sum_x, sum_y, cast(null as double) as sum_z,
   cast(null as boolean) as ppm_only
 from prjst
+union all
+select 'geo' as variant, doc_id as query_id,
+  cast(null as bigint) as neighbor_id, cast(null as double) as cosine,
+  cast(null as bigint) as rank,
+  n_px, cast(null as bigint) as px_sum,
+  cast(null as bigint) as sum_r, cast(null as bigint) as sum_g,
+  cast(null as bigint) as sum_b,
+  sum_x, sum_y, sum_z, cast(null as boolean) as ppm_only
+from geost
 """
 
 
@@ -3402,6 +3479,46 @@ def _projection_stats(spark, sf_dir):
                  .cast("double").alias("sum_x"),
                  F.sum(F.floor(F.col("v") * 1024))
                  .cast("double").alias("sum_y")))
+
+
+def _geo_enu_stats(spark, sf_dir):
+    """r13 fold (VERDICT r12 item 4): the REAL
+    :func:`...functions.geo.enu_from_wgs84` WGS-84 → ENU projection
+    under the oracle gate. Every 10th doc becomes a 10-fix synthetic
+    GPS track (lat/lon/alt closed forms of doc_id — pure Catalyst
+    ``sequence``+``explode``, no UDF) projected to meters at a fixed
+    origin; DuckDB recomputes the same ellipsoid math (the formula is
+    plain radians/sin/cos/sqrt — trivially SQL-expressible). Per-fix
+    values are rounded to 2 dp (cm) before summing: Spark (Java Math)
+    and DuckDB (libm) trig may differ in the last ulp, ~1e-9 m here —
+    the cm round absorbs it while still failing on any real formula
+    error (wrong radius, swapped axis, degree/radian mixup all shift
+    meters)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.functions.geo import (
+        enu_from_wgs84,
+    )
+    docs = _t("documents")(spark, sf_dir)
+    base = (docs.where(F.col("doc_id") % 10 == 7)
+            .select("doc_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(9)))
+                    .alias("i")))
+    d, i = F.col("doc_id"), F.col("i")
+    ll = base.select(
+        "doc_id",
+        (F.lit(47.0) + ((d * 3 + i * 7) % 900) * F.lit(1e-4))
+        .alias("latitude"),
+        (F.lit(8.0) + ((d * 5 + i * 11) % 900) * F.lit(1e-4))
+        .alias("longitude"),
+        (F.lit(400.0) + (d + i) % 120).alias("altitude"))
+    enu = enu_from_wgs84(ll, (47.045, 8.045, 450.0))
+    return (enu.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum(F.round("east", 2)).cast("double")
+                 .alias("sum_x"),
+                 F.sum(F.round("north", 2)).cast("double")
+                 .alias("sum_y"),
+                 F.sum(F.round("up", 2)).cast("double")
+                 .alias("sum_z")))
 
 
 def _ros_image_stats(spark, sf_dir):

@@ -41,7 +41,7 @@ from .operators import (  # noqa: E402,F401
     rollup_freq, rollup_histogram, PCAModel,
     embedding_dup_pairs, embedding_index, embedding_match_pairs,
     embedding_near_dedup, exact_dedup,
-    semantic_cell_drops, semantic_cells, semantic_dedup, semantic_dup_pairs, forward_fill, hash_sample, hash_split, ivf_index, ivf_pivots, ivf_pq_index, ivf_pq_probe, ivf_probe, ivf_repivot, ivf_topk, jaccard, kmeans_pivots, lag_lead, opq_rotation, pq_codebooks, pq_encode, rotate_vectors, rotation_model,
+    semantic_cell_drops, semantic_cells, semantic_dedup, semantic_dup_pairs, forward_fill, hash_sample, hash_split, interpolate_poses, ivf_index, ivf_pivots, ivf_pq_index, ivf_pq_probe, ivf_probe, ivf_repivot, ivf_topk, jaccard, kmeans_pivots, lag_lead, opq_rotation, pq_codebooks, pq_encode, rotate_vectors, rotation_model,
     lm_bigram_score,
     banding_for_recall, cache_scope, cell_balance, lsh_topk, minhash_index, minhash_lsh_pairs, minhash_match_pairs,
     minhash_signature, near_dedup, ngram_jaccard_pairs,

@@ -58,7 +58,7 @@ from .sessionize import (
 )
 from .timeseries import (
     asof_join, cascade_update, detect_anomalies, detect_anomalies_multi, downsample_cascade,
-    forward_fill, lag_lead,
+    forward_fill, interpolate_poses, lag_lead,
     windowed_agg_batch,
     resample_asof, resample_interpolate, running_agg, time_spine,
 )

@@ -726,3 +726,103 @@ def detect_anomalies_multi(df: DataFrame, keys: list[str],
         *[z.alias(f"zscore_{c}") for c, z in zip(value_cols, zs)],
         score.alias("score"),
         F.coalesce(score > threshold, F.lit(False)).alias("is_anomaly"))
+
+
+def interpolate_poses(left: DataFrame, right: DataFrame, on: str,
+                      by: list[str],
+                      quat_cols: tuple[str, str, str, str]
+                      = ("qw", "qx", "qy", "qz"),
+                      trans_cols: tuple[str, str, str]
+                      = ("tx", "ty", "tz"),
+                      suffix: str = "_pose") -> DataFrame:
+    """Pose interpolation onto each left row's timestamp: quaternion
+    SLERP + translation LERP between the two pose samples bracketing
+    ``on``, per ``by`` group — the continuous upgrade of
+    ``asof_join``'s sample-and-hold for rigid-body poses. An as-of'd
+    pose is stale by up to a full pose period (AV topic rates span
+    10–100 Hz, ``/root/reference/README.md:108-113``); at highway
+    speed that's meters of error on every lidar point between pose
+    samples. Compose before :func:`..operators.sensors.
+    transform_points`::
+
+        posed = interpolate_poses(points, poses, on="t", by=["bag"])
+        ego   = transform_points(posed)
+
+    Same single-exchange shape as ``asof_join(direction='nearest')``:
+    union + two window passes sharing one hash partitioning on
+    ``by`` (ascending for the at-or-before bracket, descending for
+    the at-or-after), then pure Catalyst math — no Python, no range
+    join. Shortest-path SLERP (the quaternion double cover: when
+    q_b·q_f < 0 the forward quaternion is negated), exact at the
+    endpoints (α=0/1 reproduce the samples), near-parallel brackets
+    fall back to normalized LERP (sin θ → 0 guard), and times outside
+    the pose range CLAMP to the nearest endpoint sample. Left rows in
+    a ``by`` group with no pose samples get NULL pose columns.
+    Pose quaternions are assumed unit (the ROS convention); the
+    output quaternion is re-normalized, which also absorbs mild
+    input drift."""
+    value_cols = list(quat_cols) + list(trans_cols)
+    rename = {c: c + suffix if c in left.columns else c
+              for c in value_cols}
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        *by, F.col(on),
+        *[F.col(c).alias(rename[c]) for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    row_struct = F.when(F.col("_side") == 0, F.struct(
+        F.col(on).alias("_t"),
+        *[F.col(rename[c]).alias(rename[c]) for c in value_cols]))
+    wb = (Window.partitionBy(*by)
+          .orderBy(F.col(on).asc(), F.col("_side").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*by)
+          .orderBy(F.col(on).desc(), F.col("_side").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    picked = unioned.select(
+        *[c for c in lhs.columns if c != "_side"],
+        F.last(row_struct, ignorenulls=True).over(wb).alias("_mb"),
+        F.last(row_struct, ignorenulls=True).over(wf).alias("_mf"),
+        F.col("_side"),
+    ).where(F.col("_side") == 1)
+    tb, tf, t = F.col("_mb._t"), F.col("_mf._t"), F.col(on)
+    both = tb.isNotNull() & tf.isNotNull() & (tf != tb)
+    alpha = F.when(both, (t - tb) / (tf - tb)) \
+        .otherwise(F.when(tb.isNotNull(), F.lit(0.0))
+                   .otherwise(F.lit(1.0)))
+
+    # missing bracket → substitute the other side, so the formulas
+    # below degenerate to the clamped endpoint (α pinned to 0/1)
+    def bb(c):
+        m = F.col(f"_mb.{rename[c]}")
+        return F.when(tb.isNotNull(), m) \
+            .otherwise(F.col(f"_mf.{rename[c]}"))
+
+    def ff(c):
+        m = F.col(f"_mf.{rename[c]}")
+        return F.when(tf.isNotNull(), m) \
+            .otherwise(F.col(f"_mb.{rename[c]}"))
+
+    qb = [bb(c) for c in quat_cols]
+    qf = [ff(c) for c in quat_cols]
+    dot = (qb[0] * qf[0] + qb[1] * qf[1]
+           + qb[2] * qf[2] + qb[3] * qf[3])
+    sgn = F.when(dot < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    d = F.least(F.abs(dot), F.lit(1.0))
+    theta = F.acos(d)
+    sin_t = F.sin(theta)
+    near = d > F.lit(1.0) - F.lit(1e-9)
+    w_b = (F.when(near, F.lit(1.0) - alpha)
+           .otherwise(F.sin((F.lit(1.0) - alpha) * theta) / sin_t))
+    w_f = sgn * (F.when(near, alpha)
+                 .otherwise(F.sin(alpha * theta) / sin_t))
+    q_raw = [w_b * qb[i] + w_f * qf[i] for i in range(4)]
+    qn = F.sqrt(q_raw[0] * q_raw[0] + q_raw[1] * q_raw[1]
+                + q_raw[2] * q_raw[2] + q_raw[3] * q_raw[3])
+    quat_out = [(q / qn).alias(rename[c])
+                for q, c in zip(q_raw, quat_cols)]
+    trans_out = [(bb(c) + alpha * (ff(c) - bb(c))).alias(rename[c])
+                 for c in trans_cols]
+    return picked.select(
+        *[c for c in lhs.columns if c != "_side"],
+        *quat_out, *trans_out)

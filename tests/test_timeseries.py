@@ -717,3 +717,137 @@ def test_detect_anomalies_multi_plan_single_window(spark):
                      if ln.strip().startswith("(") and "Window" in ln])
     assert n_windows == 1, plan
     assert count_exchanges(out) == 1
+
+
+# --------------------------------------------------- r13: pose interpolation
+
+
+def _slerp_numpy(qa, qb, a):
+    """Independent shortest-path slerp oracle (unit quaternions)."""
+    import numpy as np
+    qa, qb = np.asarray(qa, float), np.asarray(qb, float)
+    d = float(qa @ qb)
+    if d < 0:
+        qb, d = -qb, -d
+    d = min(d, 1.0)
+    if d > 1.0 - 1e-9:
+        q = (1 - a) * qa + a * qb
+        return q / np.linalg.norm(q)
+    th = np.arccos(d)
+    return (np.sin((1 - a) * th) * qa + np.sin(a * th) * qb) / np.sin(th)
+
+
+def test_interpolate_poses_matches_numpy_slerp(spark):
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        interpolate_poses,
+    )
+    rng = np.random.default_rng(13)
+    # 5 pose samples at t = 0, 10, 20, 30, 40 with random unit quats
+    times = [0.0, 10.0, 20.0, 30.0, 40.0]
+    quats = rng.standard_normal((5, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    trans = rng.uniform(-10, 10, (5, 3))
+    poses = spark.createDataFrame(
+        [("a", t, *map(float, q), *map(float, tr))
+         for t, q, tr in zip(times, quats, trans)],
+        "k string, t double, qw double, qx double, qy double, "
+        "qz double, tx double, ty double, tz double")
+    # query times: interior, exact sample hits, and out-of-range
+    qts = [3.0, 10.0, 17.5, 25.0, 39.999, -5.0, 55.0]
+    pts = spark.createDataFrame([("a", float(t), i)
+                                 for i, t in enumerate(qts)],
+                                "k string, t double, i int")
+    got = {r["i"]: r for r in
+           interpolate_poses(pts, poses, on="t", by=["k"]).collect()}
+    for i, t in enumerate(qts):
+        j = int(np.searchsorted(times, t, side="right")) - 1
+        if t <= times[0]:
+            wq, wt = quats[0], trans[0]           # clamped
+        elif t >= times[-1]:
+            wq, wt = quats[-1], trans[-1]
+        else:
+            a = (t - times[j]) / (times[j + 1] - times[j])
+            wq = _slerp_numpy(quats[j], quats[j + 1], a)
+            wt = trans[j] + a * (trans[j + 1] - trans[j])
+        g = got[i]
+        gq = np.array([g["qw"], g["qx"], g["qy"], g["qz"]])
+        # q and -q are the same rotation: compare up to sign
+        if gq @ wq < 0:
+            gq = -gq
+        assert np.allclose(gq, wq, atol=1e-9), (i, t)
+        assert np.allclose([g["tx"], g["ty"], g["tz"]], wt,
+                           atol=1e-9), (i, t)
+    # endpoint continuity: exact sample times reproduce the samples
+    g = got[1]
+    assert np.allclose([g["qw"], g["qx"], g["qy"], g["qz"]],
+                       quats[1], atol=1e-12)
+
+
+def test_interpolate_poses_double_cover_and_nulls(spark):
+    """A negated bracketing quaternion (same rotation, opposite sign)
+    must slerp the SHORT way; groups with no poses yield NULLs."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        interpolate_poses,
+    )
+    # identity -> 90-degree yaw, stored with flipped sign
+    q0 = np.array([1.0, 0.0, 0.0, 0.0])
+    q1 = -np.array([np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)])
+    poses = spark.createDataFrame(
+        [("a", 0.0, *map(float, q0), 0.0, 0.0, 0.0),
+         ("a", 1.0, *map(float, q1), 2.0, 4.0, 6.0)],
+        "k string, t double, qw double, qx double, qy double, "
+        "qz double, tx double, ty double, tz double")
+    pts = spark.createDataFrame([("a", 0.5, 0), ("orphan", 0.5, 1)],
+                                "k string, t double, i int")
+    got = {r["i"]: r for r in
+           interpolate_poses(pts, poses, on="t", by=["k"]).collect()}
+    g = got[0]
+    gq = np.array([g["qw"], g["qx"], g["qy"], g["qz"]])
+    want = _slerp_numpy(q0, q1, 0.5)     # 45-degree yaw (short path)
+    if gq @ want < 0:
+        gq = -gq
+    assert np.allclose(gq, want, atol=1e-12)
+    # the short path passes through 45 deg, not 135: |qw| = cos(22.5)
+    assert abs(abs(g["qw"]) - np.cos(np.pi / 8)) < 1e-12
+    assert np.allclose([g["tx"], g["ty"], g["tz"]], [1.0, 2.0, 3.0])
+    orphan = got[1]
+    assert orphan["qw"] is None and orphan["tx"] is None
+
+
+def test_interpolate_poses_single_exchange_and_composes(spark):
+    """One hash partitioning serves both window directions (same
+    exchange budget as asof_join nearest); composes with
+    transform_points so interpolated poses drive the transform."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        interpolate_poses,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
+        transform_points,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.plans import (
+        count_exchanges, formatted_plan,
+    )
+    poses = spark.createDataFrame(
+        [("a", 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+         ("a", 2.0, 1.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0)],
+        "k string, t double, qw double, qx double, qy double, "
+        "qz double, tx double, ty double, tz double")
+    pts = spark.createDataFrame(
+        [("a", 1.0, 1.0, 2.0, 3.0)],
+        "k string, t double, x double, y double, z double")
+    posed = interpolate_poses(pts, poses, on="t", by=["k"])
+    n_asof = count_exchanges(asof_join(pts, poses, on="t", by=["k"],
+                                       direction="nearest"))
+    assert count_exchanges(posed) <= n_asof
+    plan = formatted_plan(posed)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    out = transform_points(posed).collect()[0]
+    # identity rotation, translation lerped to (5, 0, 0) at t=1
+    assert np.allclose((out["x_t"], out["y_t"], out["z_t"]),
+                       (6.0, 2.0, 3.0), atol=1e-12)
