@@ -147,6 +147,75 @@ def _aggregate(sessions: list[dict], sf: float) -> dict:
             "runs": sessions[0].get("runs"), "sf": sf}
 
 
+def _detect_regressions(doc: dict, repo: str) -> dict:
+    """Self-adjudicating regression check (r13 — VERDICT r12 item 6):
+    compare this run's per-query MIN against the previous round's and
+    flag only deltas exceeding the measured noise envelope, so the
+    verdict's perf section stops hand-attributing host noise.
+
+    Baseline preference: the committed isolated-run artifact
+    ``bench_out.json`` (carries per-query spread — the measured
+    envelope), falling back to the newest driver-recorded
+    ``BENCH_r*.json``'s parsed queries (min only). The envelope for a
+    query is ``max(spread_now, spread_baseline, 1.4)`` — identical
+    code has measured per-query max/min spreads beyond 2× on this
+    shared box, so anything inside the observed spread (with a 1.4×
+    floor for queries that happened to measure quietly) is noise, not
+    a regression. An absolute floor of 0.3 s keeps sub-second queries
+    from flagging on scheduler jitter. Returns
+    ``{"baseline": <file>, "regressions": [...]}`` — empty list when
+    nothing exceeds the envelope."""
+    import glob
+    import re
+
+    base, base_name = None, None
+    bo = os.path.join(repo, "bench_out.json")
+    if os.path.exists(bo):
+        try:
+            with open(bo) as f:
+                base = json.load(f)
+            base_name = "bench_out.json"
+        except Exception:
+            base = None
+    if base is None:
+        rounds = []
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            if m:
+                rounds.append((int(m.group(1)), p))
+        for _, p in sorted(rounds, reverse=True):
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+                parsed = d.get("parsed") or d
+                if parsed.get("queries"):
+                    base, base_name = parsed, os.path.basename(p)
+                    break
+            except Exception:
+                continue
+    if base is None or base.get("sf") != doc.get("sf"):
+        return {"baseline": None, "regressions": []}
+
+    spread_now = doc.get("queries_spread") or {}
+    spread_base = base.get("queries_spread") or {}
+    regressions = []
+    for name, new_min in (doc.get("queries") or {}).items():
+        prev_min = (base.get("queries") or {}).get(name)
+        if prev_min is None or prev_min <= 0 or new_min is None \
+                or new_min < 0:
+            continue
+        env = max(spread_now.get(name) or 1.0,
+                  spread_base.get(name) or 1.0, 1.4)
+        if new_min > prev_min * env and new_min - prev_min > 0.3:
+            regressions.append({
+                "query": name, "prev_min": prev_min,
+                "min": new_min,
+                "ratio": round(new_min / prev_min, 2),
+                "envelope": round(env, 2)})
+    regressions.sort(key=lambda r: -r["ratio"])
+    return {"baseline": base_name, "regressions": regressions}
+
+
 def main() -> None:
     # the artifact path is run-scoped BY DEFAULT (bench_out.last.json,
     # gitignored): the committed bench_out.json records isolated-run
@@ -197,15 +266,22 @@ def main() -> None:
             sys.exit(1)
         full_doc = _aggregate(session_docs, sf)
 
+    reg = _detect_regressions(full_doc,
+                              os.path.dirname(os.path.abspath(__file__)))
+    full_doc["baseline"] = reg["baseline"]
+    full_doc["regressions"] = reg["regressions"]
     full = json.dumps(full_doc)
-    # The stdout line carries ONLY the spec-required fields: r3's
-    # artifact had parsed:null because the harness keeps a bounded tail
-    # of output and the 59-query × two-dict line was cut mid-JSON. The
-    # compact line is ~half the size; the per-query medians, spreads,
-    # and load telemetry live in the --out artifact.
+    # The stdout line carries ONLY the spec-required fields plus the
+    # (usually empty) regressions verdict: r3's artifact had
+    # parsed:null because the harness keeps a bounded tail of output
+    # and the 59-query × two-dict line was cut mid-JSON. The compact
+    # line is ~half the size; the per-query medians, spreads, and
+    # load telemetry live in the --out artifact.
     compact = json.dumps({"metric": "total_query_time",
                           "value": full_doc["value"], "unit": "sec",
-                          "queries": full_doc["queries"], "sf": sf},
+                          "queries": full_doc["queries"], "sf": sf,
+                          "baseline": reg["baseline"],
+                          "regressions": reg["regressions"]},
                          separators=(",", ":"))
     out_path = args.out
     if not os.path.isabs(out_path):
