@@ -640,10 +640,14 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
         info = parse_webp_container(payload)
         if info["vp8l"] is not None:
             return decode_vp8l(info["vp8l"]), "vp8l"
-        raise NotImplementedError(
-            f"builtin WebP decoder handles lossless VP8L only; "
-            f"this file is {info['codec']} (lossy/extended) — "
-            f"install Pillow for the DCT path")
+        if info["vp8"] is not None:
+            # builtin lossy VP8 keyframe (r13, vp8.py): byte-exact
+            # against libwebp incl. loop filter + fancy upsampling
+            from .vp8 import decode_vp8
+            return decode_vp8(info["vp8"]), "vp8"
+        raise ValueError(
+            f"WEBP: {info['codec']} container carries no VP8/VP8L "
+            f"bitstream to decode")
     if _HAS_PIL:  # pragma: no cover - exercised only when Pillow exists
         import io
 

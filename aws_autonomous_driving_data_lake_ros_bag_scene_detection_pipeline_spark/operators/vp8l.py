@@ -7,8 +7,9 @@ stream, canonical prefix codes with the code-length code, optional
 meta-prefix partitioning, LZ77 with the 120-entry 2-D distance
 neighborhood, color cache, and the four inverse transforms — predictor
 (14 modes), color, subtract-green, color-indexing with pixel
-bundling). Lossy VP8 stays on the optional Pillow/PyAV seam like every
-other DCT codec here (jpeg.py is the one builtin exception).
+bundling). Lossy VP8 stills decode builtin too since r13
+(:mod:`.vp8`, intra keyframes from RFC 6386, byte-exact against
+libwebp); this module owns the container walk and dispatches.
 
 Same family discipline as the other builtin codecs (multimodal.py,
 jpeg.py, flac.py): spec-built golden files in tests/test_vp8l.py,
@@ -596,7 +597,8 @@ def parse_webp_container(payload: bytes) -> dict:
             or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP payload")
     pos = 12
-    out = {"codec": None, "vp8l": None, "width": None, "height": None,
+    out = {"codec": None, "vp8l": None, "vp8": None, "width": None,
+           "height": None,
            "has_alpha": False, "n_frames": 0, "animated": False}
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
@@ -615,6 +617,8 @@ def parse_webp_container(payload: bytes) -> dict:
             out["n_frames"] = max(out["n_frames"], 1)
         elif cid == b"VP8 ":
             out["codec"] = out["codec"] or "vp8"
+            if out.get("vp8") is None:
+                out["vp8"] = body
             # lossy frame tag: 3-byte frame header, then the start
             # code 9d 01 2a and 14-bit dims
             if len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
@@ -642,15 +646,20 @@ def parse_webp_container(payload: bytes) -> dict:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Whole-file WebP decode (lossless only): container walk +
-    :func:`decode_vp8l`. Lossy VP8/animation raise naming the seam."""
+    """Whole-file WebP decode: container walk + :func:`decode_vp8l`
+    (lossless) or :func:`..operators.vp8.decode_vp8` (lossy keyframe
+    — r13, builtin from RFC 6386, byte-exact against libwebp).
+    A VP8X file with neither bitstream raises naming what's left
+    (e.g. a standalone ALPH-only fragment)."""
     info = parse_webp_container(payload)
-    if info["vp8l"] is None:
-        raise NotImplementedError(
-            f"builtin WebP decoder handles lossless VP8L only; this "
-            f"file is {info['codec']} (lossy/extended) — install "
-            f"Pillow for the DCT path")
-    return decode_vp8l(info["vp8l"])
+    if info["vp8l"] is not None:
+        return decode_vp8l(info["vp8l"])
+    if info["vp8"] is not None:
+        from .vp8 import decode_vp8
+        return decode_vp8(info["vp8"])
+    raise ValueError(
+        f"WEBP: {info['codec']} container carries no VP8/VP8L "
+        f"bitstream to decode")
 
 
 def parse_webp_frames(payload: bytes, *,
@@ -677,11 +686,12 @@ def parse_webp_frames(payload: bytes, *,
 
     def rgba_of(sub: bytes) -> np.ndarray:
         if sub[:1] != b"\x2f":
-            raise NotImplementedError(
-                "animated-WebP subframe is lossy VP8 — the builtin "
-                "demux composes VP8L frames only; install Pillow for "
-                "the DCT path")
-        arr = decode_vp8l(sub)
+            # lossy (VP8) subframe: every ANMF frame is its own
+            # keyframe — decode builtin (r13), opaque alpha
+            from .vp8 import decode_vp8
+            arr = decode_vp8(sub)
+        else:
+            arr = decode_vp8l(sub)
         if arr.shape[2] == 3:
             arr = np.concatenate(
                 [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)],
@@ -696,16 +706,14 @@ def parse_webp_frames(payload: bytes, *,
     frames: list[bytes] = []
     first_dur = None
     if not info["animated"]:
-        if info["vp8l"] is None:
-            # a lossy (VP8) still routed here must raise the same
-            # seam-naming guard as decode_webp, not fall through to
-            # a misleading 'no ANMF frames' (r12 review fix)
-            raise NotImplementedError(
-                f"builtin WebP demux handles lossless VP8L only; "
-                f"this file is {info['codec']} (lossy/extended) — "
-                f"install Pillow for the DCT path")
-        # still image: one composed frame
-        frames.append(_rgb_to_ppm(to_rgb(rgba_of(info["vp8l"]))))
+        sub = info["vp8l"] if info["vp8l"] is not None \
+            else info["vp8"]
+        if sub is None:
+            raise ValueError(
+                f"WEBP: {info['codec']} container carries no "
+                f"VP8/VP8L bitstream to decode")
+        # still image: one composed frame (lossless or lossy — r13)
+        frames.append(_rgb_to_ppm(to_rgb(rgba_of(sub))))
         out = {"width": w, "height": h, "us_per_frame": None,
                "codec": "webp", "frames": frames}
         return out
@@ -736,17 +744,13 @@ def parse_webp_frames(payload: bytes, *,
         while sp + 8 <= len(body):
             scid = body[sp:sp + 4]
             ssz = int.from_bytes(body[sp + 4:sp + 8], "little")
-            if scid == b"VP8L":
+            if scid in (b"VP8L", b"VP8 "):
                 sub = body[sp + 8:sp + 8 + ssz]
                 break
-            if scid == b"VP8 ":
-                raise NotImplementedError(
-                    "animated-WebP subframe is lossy VP8 — the "
-                    "builtin demux composes VP8L frames only; "
-                    "install Pillow for the DCT path")
             sp += 8 + ssz + (ssz & 1)
         if sub is None:
-            raise ValueError("WEBP: ANMF frame without a VP8L chunk")
+            raise ValueError(
+                "WEBP: ANMF frame without a VP8/VP8L chunk")
         arr = rgba_of(sub)
         if arr.shape[:2] != (fh, fw):
             raise ValueError(

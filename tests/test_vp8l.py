@@ -540,7 +540,10 @@ def test_lossy_vp8_probe_and_seam():
     info = parse_webp_container(payload)
     assert (info["codec"], info["width"], info["height"]) \
         == ("vp8", 320, 240)
-    with pytest.raises(NotImplementedError, match="VP8L only"):
+    # lossy stills decode builtin since r13 — this header-only stub
+    # is truncated, so the VP8 decoder refuses it loudly instead of
+    # the old Pillow-seam guard
+    with pytest.raises(ValueError, match="VP8"):
         decode_webp(payload)
 
 
@@ -784,9 +787,11 @@ def test_predictor_mode13_c_truncation_and_mode11_tie():
 
 
 def test_lossy_still_demux_names_the_seam():
-    """A lossy still through parse_webp_frames raises the seam guard,
-    not a misleading 'no ANMF frames' (r12 review fix); a one-frame
-    ANIMATION still routes to the compose loop."""
+    """A truncated lossy still through parse_webp_frames raises the
+    VP8 decoder's structural error (r13: the lossy path is builtin —
+    tests/test_vp8.py owns its correctness), not a misleading 'no
+    ANMF frames'; a one-frame ANIMATION still routes to the compose
+    loop."""
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
         parse_webp_frames,
     )
@@ -796,7 +801,7 @@ def test_lossy_still_demux_names_the_seam():
         + (b"\x00" if len(tag) & 1 else b"")
     payload = (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
                + b"WEBP" + chunk)
-    with pytest.raises(NotImplementedError, match="VP8L only"):
+    with pytest.raises(ValueError, match="VP8"):
         parse_webp_frames(payload)
     one = _anim_webp(2, 1, [_anmf(0, 0, 2, 1, 10,
                                   _solid_vp8l(2, 1, 255, 1, 2, 3))])
