@@ -528,7 +528,22 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     version = br.read(3)
     if version != 0:
         raise ValueError(f"VP8L: version {version} (spec pins 0)")
+    argb = _decode_vp8l_body(br, w, h)
+    a = ((argb >> 24) & 0xFF).astype(np.uint8)
+    r = ((argb >> 16) & 0xFF).astype(np.uint8)
+    g = ((argb >> 8) & 0xFF).astype(np.uint8)
+    b = (argb & 0xFF).astype(np.uint8)
+    if has_alpha:
+        return np.stack([r, g, b, a], axis=-1)
+    return np.stack([r, g, b], axis=-1)
 
+
+def _decode_vp8l_body(br, w: int, h: int) -> np.ndarray:
+    """Transforms + entropy-coded image + inverse transforms for a
+    VP8L stream whose dimensions are already known — shared by the
+    headered still path and the header-LESS ``ALPH`` alpha-plane
+    variant (the container spec reuses the lossless format with
+    implicit dims there). Returns the (h, w) uint32 ARGB plane."""
     # transforms, read order = reverse application order
     transforms = []
     seen = set()
@@ -578,14 +593,65 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             _inv_predictor(argb, data, bits)
         else:
             _inv_color_transform(argb, data, bits)
+    return argb
 
-    a = ((argb >> 24) & 0xFF).astype(np.uint8)
-    r = ((argb >> 16) & 0xFF).astype(np.uint8)
-    g = ((argb >> 8) & 0xFF).astype(np.uint8)
-    b = (argb & 0xFF).astype(np.uint8)
-    if has_alpha:
-        return np.stack([r, g, b, a], axis=-1)
-    return np.stack([r, g, b], axis=-1)
+
+def decode_alpha_chunk(body: bytes, w: int, h: int) -> np.ndarray:
+    """``ALPH`` chunk body → (h, w) uint8 alpha plane (the lossy-
+    with-alpha companion: VP8 carries RGB, ALPH the alpha). One
+    header byte: bits 0-1 compression (0 = raw bytes, 1 = header-less
+    VP8L stream with alpha in the GREEN channel), bits 2-3 the
+    per-row predictive filter (none/horizontal/vertical/gradient,
+    inverted here exactly as libwebp's unfilters: the first pixel of
+    a row predicts from the pixel above, the first row from the
+    left, all mod-256), bits 4-5 pre-processing (a dithering hint —
+    ignored on decode by spec)."""
+    if not body:
+        raise ValueError("ALPH: empty chunk")
+    head = body[0]
+    compression = head & 0x03
+    filt = (head >> 2) & 0x03
+    if compression == 0:
+        need = w * h
+        if len(body) - 1 < need:
+            raise ValueError(
+                f"ALPH: raw plane truncated: {len(body) - 1} bytes "
+                f"< {need}")
+        plane = np.frombuffer(body, np.uint8, count=need,
+                              offset=1).reshape(h, w).copy()
+    elif compression == 1:
+        argb = _decode_vp8l_body(_Bits(body[1:]), w, h)
+        plane = ((argb.reshape(h, w) >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError(f"ALPH: reserved compression method "
+                         f"{compression}")
+    if filt:
+        plane = plane.astype(np.int64)
+        prev = None
+        for y in range(h):
+            row = plane[y]
+            if prev is None:
+                np.cumsum(row, out=row)
+                row &= 0xFF
+            elif filt == 1:                  # horizontal
+                row[0] = (row[0] + prev[0]) & 0xFF
+                np.cumsum(row, out=row)
+                row &= 0xFF
+            elif filt == 2:                  # vertical
+                row += prev
+                row &= 0xFF
+            else:                            # gradient
+                left = tl = int(prev[0])
+                for x in range(w):
+                    top = int(prev[x])
+                    g = left + top - tl
+                    g = 0 if g < 0 else 255 if g > 255 else g
+                    left = (int(row[x]) + g) & 0xFF
+                    row[x] = left
+                    tl = top
+            prev = row
+        plane = plane.astype(np.uint8)
+    return plane
 
 
 def parse_webp_container(payload: bytes) -> dict:
@@ -597,8 +663,8 @@ def parse_webp_container(payload: bytes) -> dict:
             or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP payload")
     pos = 12
-    out = {"codec": None, "vp8l": None, "vp8": None, "width": None,
-           "height": None,
+    out = {"codec": None, "vp8l": None, "vp8": None, "alph": None,
+           "width": None, "height": None,
            "has_alpha": False, "n_frames": 0, "animated": False}
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
@@ -636,6 +702,8 @@ def parse_webp_container(payload: bytes) -> dict:
                 out["width"] = int.from_bytes(body[4:7], "little") + 1
                 out["height"] = int.from_bytes(body[7:10],
                                                "little") + 1
+        elif cid == b"ALPH" and out.get("alph") is None:
+            out["alph"] = body
         elif cid == b"ANMF":
             out["n_frames"] += 1
             out["animated"] = True
@@ -656,7 +724,12 @@ def decode_webp(payload: bytes) -> np.ndarray:
         return decode_vp8l(info["vp8l"])
     if info["vp8"] is not None:
         from .vp8 import decode_vp8
-        return decode_vp8(info["vp8"])
+        rgb = decode_vp8(info["vp8"])
+        if info["alph"] is not None:
+            a = decode_alpha_chunk(info["alph"], rgb.shape[1],
+                                   rgb.shape[0])
+            return np.concatenate([rgb, a[..., None]], axis=-1)
+        return rgb
     raise ValueError(
         f"WEBP: {info['codec']} container carries no VP8/VP8L "
         f"bitstream to decode")

@@ -314,3 +314,90 @@ def test_header_structured_errors():
     # keyframe bit clear + valid-enough tag
     with pytest.raises(ValueError):
         parse_vp8_frame_header(bytes(10))
+
+
+@needs_libwebp
+def test_lossy_with_alpha_rgba_exact():
+    """WebPEncodeRGBA at lossy quality emits VP8X+ALPH+VP8; the
+    builtin path must reproduce libwebp's RGBA byte-for-byte
+    (exercises the compressed ALPH route + whatever filter the
+    encoder picked)."""
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p)]
+    _LIB.WebPDecodeRGBA.restype = ctypes.c_void_p
+    _LIB.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        decode_webp,
+    )
+    rng = np.random.default_rng(29)
+    for hh, ww, q in ((24, 40, 75), (17, 31, 40), (32, 32, 95)):
+        img = rng.integers(0, 256, (hh, ww, 4)).astype(np.uint8)
+        y, x = np.mgrid[0:hh, 0:ww]
+        img[..., 3] = np.clip(
+            128 + 120 * np.sin(x / 5) + rng.normal(0, 30, (hh, ww)),
+            0, 255).astype(np.uint8)
+        out = ctypes.c_void_p()
+        n = _LIB.WebPEncodeRGBA(
+            np.ascontiguousarray(img).tobytes(), ww, hh, ww * 4,
+            float(q), ctypes.byref(out))
+        assert n
+        data = ctypes.string_at(out, n)
+        _LIB.WebPFree(out)
+        wi, hi = ctypes.c_int(), ctypes.c_int()
+        p = _LIB.WebPDecodeRGBA(data, len(data), ctypes.byref(wi),
+                                ctypes.byref(hi))
+        ref = np.frombuffer(
+            ctypes.string_at(p, wi.value * hi.value * 4),
+            np.uint8).reshape(hi.value, wi.value, 4).copy()
+        _LIB.WebPFree(p)
+        got = decode_webp(data)
+        assert got.shape[-1] == 4
+        assert np.array_equal(got, ref), (hh, ww, q)
+
+
+def test_alpha_chunk_raw_and_filters():
+    """Raw (uncompressed) ALPH planes with each of the four filters,
+    pinned against a per-pixel inverse-filter oracle."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        decode_alpha_chunk,
+    )
+    rng = np.random.default_rng(31)
+    h, w = 6, 9
+    plane = rng.integers(0, 256, (h, w)).astype(np.uint8)
+
+    def forward(plane, filt):
+        # build the filtered residuals whose inverse must return plane
+        res = np.zeros_like(plane, np.int64)
+        p = plane.astype(np.int64)
+        for y in range(h):
+            for x in range(w):
+                if y == 0:
+                    pred = 0 if x == 0 else p[0, x - 1]
+                elif filt == 1:
+                    pred = p[y, x - 1] if x > 0 else p[y - 1, 0]
+                elif filt == 2:
+                    pred = p[y - 1, x]
+                else:
+                    if x == 0:
+                        left = tl = p[y - 1, 0]
+                    else:
+                        left, tl = p[y, x - 1], p[y - 1, x - 1]
+                    pred = min(255, max(0, left + p[y - 1, x] - tl))
+                res[y, x] = (p[y, x] - pred) & 0xFF
+        return res.astype(np.uint8)
+
+    for filt in (0, 1, 2, 3):
+        res = plane if filt == 0 else forward(plane, filt)
+        body = bytes([filt << 2]) + res.tobytes()
+        got = decode_alpha_chunk(body, w, h)
+        assert np.array_equal(got, plane), filt
+    with pytest.raises(ValueError, match="truncated"):
+        decode_alpha_chunk(b"\x00" + bytes(5), w, h)
+    with pytest.raises(ValueError, match="reserved"):
+        decode_alpha_chunk(b"\x02" + bytes(w * h), w, h)
+    with pytest.raises(ValueError, match="empty"):
+        decode_alpha_chunk(b"", w, h)
