@@ -401,3 +401,123 @@ def test_alpha_chunk_raw_and_filters():
         decode_alpha_chunk(b"\x02" + bytes(w * h), w, h)
     with pytest.raises(ValueError, match="empty"):
         decode_alpha_chunk(b"", w, h)
+
+
+@needs_libwebp
+def test_advanced_encoder_variants_byte_exact():
+    """libwebp's advanced API (WebPConfig/WebPPicture over ctypes)
+    produces the bitstream variants the simple API never emits:
+    MULTIPLE token partitions (method=0 + partitions), the simple
+    loop filter, nonzero sharpness, and segmentation off — all must
+    stay byte-exact."""
+    ABI = 0x020F
+
+    class Cfg(ctypes.Structure):
+        _fields_ = ([("lossless", ctypes.c_int),
+                     ("quality", ctypes.c_float)]
+                    + [(n, ctypes.c_int) for n in
+                       ("method", "image_hint", "target_size")]
+                    + [("target_PSNR", ctypes.c_float)]
+                    + [(n, ctypes.c_int) for n in
+                       ("segments", "sns_strength", "filter_strength",
+                        "filter_sharpness", "filter_type",
+                        "autofilter", "alpha_compression",
+                        "alpha_filtering", "alpha_quality", "pass_",
+                        "show_compressed", "preprocessing",
+                        "partitions", "partition_limit",
+                        "emulate_jpeg_size", "thread_level",
+                        "low_memory", "near_lossless", "exact",
+                        "use_delta_palette", "use_sharp_yuv",
+                        "qmin", "qmax")])
+
+    Writer = ctypes.CFUNCTYPE(ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_uint8),
+                              ctypes.c_size_t, ctypes.c_void_p)
+
+    class Pic(ctypes.Structure):
+        _fields_ = [
+            ("use_argb", ctypes.c_int), ("colorspace", ctypes.c_int),
+            ("width", ctypes.c_int), ("height", ctypes.c_int),
+            ("y", ctypes.c_void_p), ("u", ctypes.c_void_p),
+            ("v", ctypes.c_void_p), ("y_stride", ctypes.c_int),
+            ("uv_stride", ctypes.c_int), ("a", ctypes.c_void_p),
+            ("a_stride", ctypes.c_int), ("pad1", ctypes.c_uint32 * 2),
+            ("argb", ctypes.c_void_p), ("argb_stride", ctypes.c_int),
+            ("pad2", ctypes.c_uint32 * 3), ("writer", Writer),
+            ("custom_ptr", ctypes.c_void_p),
+            ("extra_info_type", ctypes.c_int),
+            ("extra_info", ctypes.c_void_p),
+            ("stats", ctypes.c_void_p), ("error_code", ctypes.c_int),
+            ("progress_hook", ctypes.c_void_p),
+            ("user_data", ctypes.c_void_p),
+            ("pad3", ctypes.c_uint32 * 3), ("pad4", ctypes.c_void_p),
+            ("pad5", ctypes.c_void_p), ("pad6", ctypes.c_uint32 * 8),
+            ("memory_", ctypes.c_void_p),
+            ("memory_argb_", ctypes.c_void_p),
+            ("pad7", ctypes.c_void_p * 2)]
+
+    _LIB.WebPConfigInitInternal.argtypes = [
+        ctypes.POINTER(Cfg), ctypes.c_int, ctypes.c_float,
+        ctypes.c_int]
+    _LIB.WebPPictureInitInternal.argtypes = [ctypes.POINTER(Pic),
+                                             ctypes.c_int]
+    _LIB.WebPPictureImportRGB.argtypes = [
+        ctypes.POINTER(Pic), ctypes.c_char_p, ctypes.c_int]
+    _LIB.WebPEncode.argtypes = [ctypes.POINTER(Cfg),
+                                ctypes.POINTER(Pic)]
+    _LIB.WebPValidateConfig.argtypes = [ctypes.POINTER(Cfg)]
+    _LIB.WebPPictureFree.argtypes = [ctypes.POINTER(Pic)]
+
+    chunks = []
+
+    @Writer
+    def writer(data, size, _pic):
+        chunks.append(ctypes.string_at(data, size))
+        return 1
+
+    def encode_adv(img, q, **kw):
+        chunks.clear()
+        cfg = Cfg()
+        if not _LIB.WebPConfigInitInternal(ctypes.byref(cfg), 0,
+                                           float(q), ABI):
+            pytest.skip("libwebp ABI mismatch for WebPConfig")
+        for k, v in kw.items():
+            setattr(cfg, k, v)
+        assert _LIB.WebPValidateConfig(ctypes.byref(cfg))
+        pic = Pic()
+        if not _LIB.WebPPictureInitInternal(ctypes.byref(pic), ABI):
+            pytest.skip("libwebp ABI mismatch for WebPPicture")
+        h, w = img.shape[:2]
+        pic.width, pic.height = w, h
+        assert _LIB.WebPPictureImportRGB(
+            ctypes.byref(pic), np.ascontiguousarray(img).tobytes(),
+            w * 3)
+        pic.writer = writer
+        ok = _LIB.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic))
+        _LIB.WebPPictureFree(ctypes.byref(pic))
+        assert ok
+        return b"".join(chunks)
+
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8l import (
+        decode_webp,
+    )
+    rng = np.random.default_rng(13)
+    y, x = np.mgrid[0:80, 0:112]
+    img = np.clip(np.stack(
+        [128 + 100 * np.sin(x / 11 + i)
+         + rng.normal(0, 20, (80, 112)) for i in range(3)], -1),
+        0, 255).astype(np.uint8)
+    cases = [dict(method=0, partitions=2),      # 4 token partitions
+             dict(method=0, partitions=3),      # 8 token partitions
+             dict(filter_type=0, filter_strength=60),   # simple LF
+             dict(filter_sharpness=5, filter_strength=60),
+             dict(segments=1)]                  # segmentation off
+    for kw in cases:
+        data = encode_adv(img, 40, **kw)
+        got = decode_webp(data)
+        want = _ref_decode(data)
+        assert np.array_equal(got, want), kw
+        if "partitions" in kw:
+            body = _vp8_chunk(data)
+            hd = parse_vp8_frame_header(bytes(body))
+            assert len(hd.token_parts) == (1 << kw["partitions"])
