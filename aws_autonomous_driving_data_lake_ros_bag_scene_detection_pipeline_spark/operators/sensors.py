@@ -661,8 +661,8 @@ def decode_ros_compressed_image(df: DataFrame, *,
                     raise NotImplementedError(
                         f"decode_ros_compressed_image: payload with "
                         f"format={fmt!r} is not a builtin-decodable "
-                        f"container (JPEG/PNG/PPM/BMP/GIF/WebP-"
-                        f"lossless) and Pillow is unavailable")
+                        f"container (JPEG/PNG/PPM/BMP/GIF/WebP) "
+                        f"and Pillow is unavailable")
                 if arr.ndim == 3 and arr.shape[2] >= 3 \
                         and _stored_is_bgr(fmt):
                     # "rgb8; jpeg compressed bgr8": the planes are

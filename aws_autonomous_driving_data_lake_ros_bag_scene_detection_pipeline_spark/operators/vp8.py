@@ -1468,12 +1468,26 @@ def _decode_frame(h):
                                 += _idct4x4(blk)
                 pl[r0:r0 + 8, c0:c0 + 8] = np.clip(pr, 0, 255)
 
-    if h.filter_level > 0 or h.segmentation or h.lf_delta_enabled:
-        if h.filter_type <= 1:
-            _loop_filter(h, Y, U, V, mb_info, mb_w, mb_h)
-        # filter_type is 1 bit; versions 1/2 use the simple filter,
-        # version 3 none — encoded in filter_type by the encoder
+    # the version field overrides the loop-filter choice (RFC 6386
+    # §9.1): 0 → as coded in filter_type, 1 → simple, 2/3 → none
+    # (libwebp only ever emits version 0)
+    if h.version < 2 and (h.filter_level > 0 or h.segmentation
+                          or h.lf_delta_enabled):
+        if h.version == 1:
+            h = _SimpleFilterView(h)
+        _loop_filter(h, Y, U, V, mb_info, mb_w, mb_h)
     return Y, U, V
+
+
+class _SimpleFilterView:
+    """Header proxy forcing the simple loop filter (version 1)."""
+
+    def __init__(self, h):
+        self._h = h
+        self.filter_type = 1
+
+    def __getattr__(self, name):
+        return getattr(self._h, name)
 
 
 # ----------------------------------------------------------- YUV -> RGB
