@@ -627,6 +627,62 @@ group by sess.user_id, sess.session_id
 """
 
 
+def _slerp_branch(spark, sf_dir):
+    """r13 fold (VERDICT r12 item 3 under the oracle): REAL
+    :func:`...operators.timeseries.interpolate_poses` — quaternion
+    SLERP + translation LERP between bracketing pose samples — on
+    synthetic per-doc pose tracks whose unit quaternions are closed
+    forms of doc_id (axis-angle built with cos/sin/sqrt, so DuckDB
+    reproduces them to within a few ulp). Query times hit interior
+    points, exact samples, and BOTH out-of-range sides (t < first
+    pose → forward clamp, t > last → backward clamp). Outputs explode
+    to one row per (query, component) — all four quaternion
+    components and all three translations land under the value hash,
+    rounded to 6 dp (trig ulp differences are ~1e-15 after the
+    bounded acos amplification; a formula error shifts ≥ 1e-3)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.timeseries import (
+        interpolate_poses,
+    )
+    docs = _t("documents")(spark, sf_dir) \
+        .where(F.col("doc_id") % 20 == 9).select("doc_id")
+    d = F.col("doc_id")
+    i = F.col("i")
+    poses_base = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i"))
+    phi = F.lit(0.2) * i + (d % 10) * F.lit(0.05)
+    ax = (F.lit(1) + (d + i) % 3).cast("double")
+    ay = (F.lit(1) + (d * 3 + i) % 5).cast("double")
+    az = (F.lit(1) + (d + 2 * i) % 7).cast("double")
+    n = F.sqrt(ax * ax + ay * ay + az * az)
+    poses = poses_base.select(
+        "doc_id", (i * 1000).cast("double").alias("t"),
+        F.cos(phi).alias("qw"),
+        (F.sin(phi) * ax / n).alias("qx"),
+        (F.sin(phi) * ay / n).alias("qy"),
+        (F.sin(phi) * az / n).alias("qz"),
+        ((d * 3 + i) % 50).cast("double").alias("tx"),
+        ((i * i) % 30).cast("double").alias("ty"),
+        ((d + i) % 40).cast("double").alias("tz"))
+    j = F.col("j")
+    queries = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
+    queries = queries.select(
+        "doc_id", "j",
+        (j * 700 - 600 + d % 500).cast("double").alias("t"))
+    out = interpolate_poses(queries, poses, on="t", by=["doc_id"])
+    comps = F.array("qw", "qx", "qy", "qz", "tx", "ty", "tz")
+    return (out.select("doc_id", "j", "t",
+                       F.posexplode(comps).alias("comp", "val"))
+            .select(F.lit("slerp").alias("kind"),
+                    (F.col("doc_id") * 100 + F.col("j") * 10
+                     + F.col("comp")).cast("long").alias("event_id"),
+                    F.col("doc_id").cast("long").alias("user_id"),
+                    F.col("t").cast("long").alias("t"),
+                    F.lit(None).cast("double")
+                    .alias("purchase_value_fwd"),
+                    F.round("val", 6).alias("purchase_value")))
+
+
 def q_asof_variants(spark, sf_dir):
     """Tolerance + nearest + forward as-of joins in ONE tagged union
     (r6 fold of q_asof_tolerance into the nearest/forward entry,
@@ -657,7 +713,10 @@ def q_asof_variants(spark, sf_dir):
             .select(F.lit("nearest").alias("kind"), "event_id",
                     "user_id", "t", "purchase_value_fwd",
                     "purchase_value"))
-    return tol.unionByName(near)
+    # r13 fold: interpolate_poses (slerp) rides this entry — see
+    # _slerp_branch
+    return tol.unionByName(near).unionByName(
+        _slerp_branch(spark, sf_dir))
 
 
 Q_ASOF_VARIANTS_SQL = f"""
@@ -682,12 +741,118 @@ nearq as (select b.event_id, b.user_id, b.t, f.fv as purchase_value_fwd,
                       and (ft is null or (b.t - bt) <= (ft - b.t))
                  then bv
                  when ft is not null then fv end as purchase_value
-          from b join f using (event_id))
+          from b join f using (event_id)),
+slerpd as (select doc_id from documents where doc_id % 20 = 9),
+squat as (
+  -- synthetic unit-quaternion pose tracks: axis-angle closed forms
+  select doc_id, cast(i * 1000 as double) as pt,
+    cos(0.2 * i + (doc_id % 10) * 0.05) as qw,
+    sin(0.2 * i + (doc_id % 10) * 0.05)
+      * (1 + (doc_id + i) % 3) / sqrt(
+        (1 + (doc_id + i) % 3) * (1 + (doc_id + i) % 3)
+        + (1 + (doc_id * 3 + i) % 5) * (1 + (doc_id * 3 + i) % 5)
+        + (1 + (doc_id + 2 * i) % 7) * (1 + (doc_id + 2 * i) % 7))
+      as qx,
+    sin(0.2 * i + (doc_id % 10) * 0.05)
+      * (1 + (doc_id * 3 + i) % 5) / sqrt(
+        (1 + (doc_id + i) % 3) * (1 + (doc_id + i) % 3)
+        + (1 + (doc_id * 3 + i) % 5) * (1 + (doc_id * 3 + i) % 5)
+        + (1 + (doc_id + 2 * i) % 7) * (1 + (doc_id + 2 * i) % 7))
+      as qy,
+    sin(0.2 * i + (doc_id % 10) * 0.05)
+      * (1 + (doc_id + 2 * i) % 7) / sqrt(
+        (1 + (doc_id + i) % 3) * (1 + (doc_id + i) % 3)
+        + (1 + (doc_id * 3 + i) % 5) * (1 + (doc_id * 3 + i) % 5)
+        + (1 + (doc_id + 2 * i) % 7) * (1 + (doc_id + 2 * i) % 7))
+      as qz,
+    cast((doc_id * 3 + i) % 50 as double) as tx,
+    cast((i * i) % 30 as double) as ty,
+    cast((doc_id + i) % 40 as double) as tz
+  from slerpd, unnest(range(0, 5)) as tt(i)
+),
+sq as (
+  select doc_id, j,
+         cast(j * 700 - 600 + doc_id % 500 as double) as t
+  from slerpd, unnest(range(0, 8)) as tt(j)
+),
+sbr as (
+  select q.doc_id, q.j, q.t,
+    (select max(p.pt) from squat p
+      where p.doc_id = q.doc_id and p.pt <= q.t) as tb,
+    (select min(p.pt) from squat p
+      where p.doc_id = q.doc_id and p.pt >= q.t) as tf
+  from sq q
+),
+sv as (
+  select b.doc_id, b.j, b.t, b.tb, b.tf,
+    coalesce(pb.qw, pf.qw) as bw, coalesce(pb.qx, pf.qx) as bx,
+    coalesce(pb.qy, pf.qy) as by_, coalesce(pb.qz, pf.qz) as bz,
+    coalesce(pf.qw, pb.qw) as fw, coalesce(pf.qx, pb.qx) as fx,
+    coalesce(pf.qy, pb.qy) as fy, coalesce(pf.qz, pb.qz) as fz,
+    coalesce(pb.tx, pf.tx) as btx, coalesce(pb.ty, pf.ty) as bty,
+    coalesce(pb.tz, pf.tz) as btz,
+    coalesce(pf.tx, pb.tx) as ftx, coalesce(pf.ty, pb.ty) as fty,
+    coalesce(pf.tz, pb.tz) as ftz,
+    case when b.tb is not null and b.tf is not null
+              and b.tf <> b.tb then (b.t - b.tb) / (b.tf - b.tb)
+         when b.tb is not null then 0.0 else 1.0 end as alpha
+  from sbr b
+  left join squat pb on pb.doc_id = b.doc_id and pb.pt = b.tb
+  left join squat pf on pf.doc_id = b.doc_id and pf.pt = b.tf
+),
+sc1 as (
+  select *, bw * fw + bx * fx + by_ * fy + bz * fz as dt from sv
+),
+sc2 as (
+  select *,
+    case when dt < 0 then -1.0 else 1.0 end as sgn,
+    least(abs(dt), 1.0) as dd
+  from sc1
+),
+sc3 as (
+  select *,
+    case when dd > 1.0 - 1e-9 then 1.0 - alpha
+         else sin((1.0 - alpha) * acos(dd)) / sin(acos(dd)) end as wb,
+    sgn * case when dd > 1.0 - 1e-9 then alpha
+               else sin(alpha * acos(dd)) / sin(acos(dd)) end as wf
+  from sc2
+),
+sc4 as (
+  select doc_id, j, t,
+    wb * bw + wf * fw as rw, wb * bx + wf * fx as rx,
+    wb * by_ + wf * fy as ry, wb * bz + wf * fz as rz,
+    btx + alpha * (ftx - btx) as rtx,
+    bty + alpha * (fty - bty) as rty,
+    btz + alpha * (ftz - btz) as rtz
+  from sc3
+),
+sc5 as (
+  select doc_id, j, t,
+    rw / sqrt(rw*rw + rx*rx + ry*ry + rz*rz) as c0,
+    rx / sqrt(rw*rw + rx*rx + ry*ry + rz*rz) as c1,
+    ry / sqrt(rw*rw + rx*rx + ry*ry + rz*rz) as c2,
+    rz / sqrt(rw*rw + rx*rx + ry*ry + rz*rz) as c3,
+    rtx as c4, rty as c5, rtz as c6
+  from sc4
+),
+slerpout as (
+  select cast(doc_id * 100 + j * 10 + u.comp as bigint) as event_id,
+         cast(doc_id as bigint) as user_id, cast(t as bigint) as t,
+         round(case u.comp when 0 then c0 when 1 then c1
+                           when 2 then c2 when 3 then c3
+                           when 4 then c4 when 5 then c5
+                           else c6 end, 6) as purchase_value
+  from sc5, unnest(range(0, 7)) as u(comp)
+)
 select 'tolerance' as kind, event_id, user_id, t,
   cast(null as double) as purchase_value_fwd, purchase_value from tolq
 union all
 select 'nearest' as kind, event_id, user_id, t, purchase_value_fwd,
   purchase_value from nearq
+union all
+select 'slerp' as kind, event_id, user_id, t,
+  cast(null as double) as purchase_value_fwd, purchase_value
+from slerpout
 """
 
 
