@@ -757,15 +757,20 @@ def parse_webp_frames(payload: bytes, *,
     if w is None or h is None:
         raise ValueError("WEBP: no canvas dimensions")
 
-    def rgba_of(sub: bytes) -> np.ndarray:
+    def rgba_of(sub: bytes, alph: bytes | None = None) -> np.ndarray:
         if sub[:1] != b"\x2f":
             # lossy (VP8) subframe: every ANMF frame is its own
-            # keyframe — decode builtin (r13), opaque alpha
+            # keyframe — decode builtin (r13); alpha from the ALPH
+            # sidecar chunk when present, else opaque
             from .vp8 import decode_vp8
             arr = decode_vp8(sub)
         else:
             arr = decode_vp8l(sub)
         if arr.shape[2] == 3:
+            if alph is not None:
+                a = decode_alpha_chunk(alph, arr.shape[1],
+                                       arr.shape[0])
+                return np.concatenate([arr, a[..., None]], axis=-1)
             arr = np.concatenate(
                 [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)],
                 axis=-1)
@@ -785,8 +790,10 @@ def parse_webp_frames(payload: bytes, *,
             raise ValueError(
                 f"WEBP: {info['codec']} container carries no "
                 f"VP8/VP8L bitstream to decode")
-        # still image: one composed frame (lossless or lossy — r13)
-        frames.append(_rgb_to_ppm(to_rgb(rgba_of(sub))))
+        # still image: one composed frame (lossless or lossy — r13;
+        # a lossy still's ALPH plane weights the PPM compositing)
+        frames.append(_rgb_to_ppm(to_rgb(rgba_of(sub,
+                                                 info["alph"]))))
         out = {"width": w, "height": h, "us_per_frame": None,
                "codec": "webp", "frames": frames}
         return out
@@ -812,7 +819,7 @@ def parse_webp_frames(payload: bytes, *,
         if first_dur is None:
             first_dur = dur
         # nested chunks: find the VP8L bitstream
-        sub = None
+        sub = sub_alph = None
         sp = 16
         while sp + 8 <= len(body):
             scid = body[sp:sp + 4]
@@ -820,11 +827,13 @@ def parse_webp_frames(payload: bytes, *,
             if scid in (b"VP8L", b"VP8 "):
                 sub = body[sp + 8:sp + 8 + ssz]
                 break
+            if scid == b"ALPH":
+                sub_alph = body[sp + 8:sp + 8 + ssz]
             sp += 8 + ssz + (ssz & 1)
         if sub is None:
             raise ValueError(
                 "WEBP: ANMF frame without a VP8/VP8L chunk")
-        arr = rgba_of(sub)
+        arr = rgba_of(sub, sub_alph)
         if arr.shape[:2] != (fh, fw):
             raise ValueError(
                 f"WEBP: ANMF declares {fw}x{fh} but the subframe "
