@@ -803,26 +803,54 @@ def interpolate_poses(left: DataFrame, right: DataFrame, on: str,
         return F.when(tf.isNotNull(), m) \
             .otherwise(F.col(f"_mb.{rename[c]}"))
 
-    qb = [bb(c) for c in quat_cols]
-    qf = [ff(c) for c in quat_cols]
-    dot = (qb[0] * qf[0] + qb[1] * qf[1]
-           + qb[2] * qf[2] + qb[3] * qf[3])
-    sgn = F.when(dot < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-    d = F.least(F.abs(dot), F.lit(1.0))
-    theta = F.acos(d)
+    # Every intermediate is STAGED as a named column: naive inlining
+    # duplicates the slerp subtrees combinatorially (each quaternion
+    # component embeds the weights, which embed θ, which embeds the
+    # dot product...), and Catalyst ANALYSIS of that tree costs whole
+    # seconds of driver time — the staged plan analyzes in
+    # milliseconds and optimizes to the same physical projection.
+    lcols = [c for c in lhs.columns if c != "_side"]
+    s1 = picked.select(
+        *lcols, alpha.alias("_a"),
+        *[bb(c).alias(f"_b{i}") for i, c in enumerate(value_cols)],
+        *[ff(c).alias(f"_f{i}") for i, c in enumerate(value_cols)])
+    qb = [F.col(f"_b{i}") for i in range(4)]
+    qf = [F.col(f"_f{i}") for i in range(4)]
+    a = F.col("_a")
+    s2 = s1.withColumn(
+        "_dot", qb[0] * qf[0] + qb[1] * qf[1]
+        + qb[2] * qf[2] + qb[3] * qf[3])
+    dot = F.col("_dot")
+    s3 = s2.select(
+        "*",
+        F.when(dot < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        .alias("_sgn"),
+        F.least(F.abs(dot), F.lit(1.0)).alias("_d"))
+    d = F.col("_d")
+    s4 = s3.select("*", F.acos(d).alias("_th"),
+                   (d > F.lit(1.0) - F.lit(1e-9)).alias("_near"))
+    theta, near = F.col("_th"), F.col("_near")
     sin_t = F.sin(theta)
-    near = d > F.lit(1.0) - F.lit(1e-9)
-    w_b = (F.when(near, F.lit(1.0) - alpha)
-           .otherwise(F.sin((F.lit(1.0) - alpha) * theta) / sin_t))
-    w_f = sgn * (F.when(near, alpha)
-                 .otherwise(F.sin(alpha * theta) / sin_t))
-    q_raw = [w_b * qb[i] + w_f * qf[i] for i in range(4)]
-    qn = F.sqrt(q_raw[0] * q_raw[0] + q_raw[1] * q_raw[1]
-                + q_raw[2] * q_raw[2] + q_raw[3] * q_raw[3])
+    s5 = s4.select(
+        "*",
+        F.when(near, F.lit(1.0) - a)
+        .otherwise(F.sin((F.lit(1.0) - a) * theta) / sin_t)
+        .alias("_wb"),
+        (F.col("_sgn") * F.when(near, a)
+         .otherwise(F.sin(a * theta) / sin_t)).alias("_wf"))
+    w_b, w_f = F.col("_wb"), F.col("_wf")
+    s6 = s5.select(
+        "*", *[(w_b * qb[i] + w_f * qf[i]).alias(f"_q{i}")
+               for i in range(4)])
+    q_raw = [F.col(f"_q{i}") for i in range(4)]
+    s7 = s6.withColumn(
+        "_qn", F.sqrt(q_raw[0] * q_raw[0] + q_raw[1] * q_raw[1]
+                      + q_raw[2] * q_raw[2] + q_raw[3] * q_raw[3]))
+    qn = F.col("_qn")
     quat_out = [(q / qn).alias(rename[c])
                 for q, c in zip(q_raw, quat_cols)]
-    trans_out = [(bb(c) + alpha * (ff(c) - bb(c))).alias(rename[c])
-                 for c in trans_cols]
-    return picked.select(
-        *[c for c in lhs.columns if c != "_side"],
-        *quat_out, *trans_out)
+    trans_out = [
+        (F.col(f"_b{i + 4}")
+         + a * (F.col(f"_f{i + 4}") - F.col(f"_b{i + 4}")))
+        .alias(rename[c]) for i, c in enumerate(trans_cols)]
+    return s7.select(*lcols, *quat_out, *trans_out)

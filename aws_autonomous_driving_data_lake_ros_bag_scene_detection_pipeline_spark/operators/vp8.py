@@ -31,13 +31,18 @@ Entry point: :func:`decode_vp8` — bytes of a ``VP8 `` chunk body →
 ``(height, width, 3)`` uint8 RGB. The WebP container dispatch lives
 in :mod:`.vp8l` (``decode_webp`` routes ``VP8 `` chunks here).
 
-Correctness strategy mirrors the r12 VP8L work: golden keyframes are
-BUILT by an independent spec-based encoder in tests/test_vp8.py
-(bool encoder + token writer), exercising every mode family, both
-transforms, prob updates, segmentation, skip, multiple partitions,
-and nonzero loop-filter levels against a straightforward per-pixel
-reference reconstruction; a gated Pillow cross-check (skipped where
-Pillow is absent) pins real-encoder output byte-for-byte.
+Correctness strategy: the decisive oracle is the SYSTEM libwebp
+driven over ctypes in tests/test_vp8.py (gated on the library's
+presence) — real encodes across sizes, qualities, content families,
+multi-partition/simple-filter/sharpness/segmentation variants, and
+alpha must decode BYTE-EXACT, which pins every probability table,
+the token contexts, both transforms, all predictors, the deblocking
+filter, and the upsampling against the reference implementation.
+The big constant tables were extracted digit-exact from the public
+libwebp binary's static data (they are RFC 6386 constants).
+Library-free tests pin the arithmetic coder against an independent
+spec-based bool encoder, the transforms against a float DCT, and
+hostile-bytes totality.
 
 Inter frames (golden/altref references, motion compensation) are out
 of scope and raise loudly — a WebP still never contains them.
