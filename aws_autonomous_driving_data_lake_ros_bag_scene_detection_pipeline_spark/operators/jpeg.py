@@ -781,6 +781,63 @@ def _decode_progressive(frame: dict, scans: list, qt: dict) -> list:
     return planes
 
 
+def _fancy_h2v1(p: np.ndarray) -> np.ndarray:
+    """libjpeg's h2v1 fancy (triangular) horizontal chroma
+    upsampling (jdsample.c semantics, r13): interior output pixels
+    weight the near sample 3:1 against the neighbor with the
+    bias-alternating +1/+2 rounding; edges replicate. This is what
+    every libjpeg-family viewer shows, so the builtin decode now
+    matches real decoders to within IDCT rounding."""
+    a = p.astype(np.int64)
+    hh, cw = a.shape
+    out = np.empty((hh, cw * 2), np.int64)
+    out[:, 0] = a[:, 0]
+    out[:, -1] = a[:, -1]
+    out[:, 2:-1:2] = (a[:, 1:] * 3 + a[:, :-1] + 1) >> 2
+    out[:, 1:-2:2] = (a[:, :-1] * 3 + a[:, 1:] + 2) >> 2
+    return out.astype(np.float64)
+
+
+def _fancy_h2v2(p: np.ndarray) -> np.ndarray:
+    """libjpeg's h2v2 fancy upsampling: vertical 3:1 column sums
+    (edge rows replicate), then the horizontal 3:1 pass with the
+    /16 rounding constants (+8 even, +7 odd)."""
+    a = p.astype(np.int64)
+    chh, cw = a.shape
+    up = np.empty((chh + 1, cw), np.int64)   # row index r//2 clamped
+    dn = np.empty_like(up)
+    # colsum for output row r: near = in[r//2], far = in above/below
+    sums = np.empty((chh * 2, cw), np.int64)
+    near = np.repeat(a, 2, axis=0)
+    far_idx = np.arange(chh * 2)
+    far_idx = np.where(far_idx % 2 == 0, far_idx // 2 - 1,
+                       far_idx // 2 + 1)
+    far_idx = np.clip(far_idx, 0, chh - 1)
+    far = a[far_idx]
+    sums = near * 3 + far
+    out = np.empty((chh * 2, cw * 2), np.int64)
+    out[:, 0] = (sums[:, 0] * 4 + 8) >> 4
+    out[:, -1] = (sums[:, -1] * 4 + 7) >> 4
+    out[:, 2:-1:2] = (sums[:, 1:] * 3 + sums[:, :-1] + 8) >> 4
+    out[:, 1:-2:2] = (sums[:, :-1] * 3 + sums[:, 1:] + 7) >> 4
+    return out.astype(np.float64)
+
+
+def _fancy_h1v2(p: np.ndarray) -> np.ndarray:
+    """libjpeg-turbo's h1v2 fancy vertical upsampling: 3:1 against
+    the adjacent row (edge rows replicate), +1/+2 rounding by output
+    parity."""
+    a = p.astype(np.int64)
+    chh, cw = a.shape
+    near = np.repeat(a, 2, axis=0)
+    far_idx = np.arange(chh * 2)
+    far_idx = np.clip(np.where(far_idx % 2 == 0, far_idx // 2 - 1,
+                               far_idx // 2 + 1), 0, chh - 1)
+    far = a[far_idx]
+    rnd = np.where(np.arange(chh * 2) % 2 == 0, 1, 2)[:, None]
+    return ((near * 3 + far + rnd) >> 2).astype(np.float64)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline or progressive JPEG payload to uint8 pixels
     — ``(h, w, 3)`` RGB for color, ``(h, w, 1)`` for grayscale."""
@@ -799,9 +856,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
+        fx, fy = hmax // c["h"], vmax // c["v"]
+        if (fx, fy) != (1, 1):
+            # crop the padded plane to the component's true
+            # downsampled size first — the fancy filters' edge
+            # replication must see real edges, not block padding
+            cw = -(-w * c["h"] // hmax)
+            chh = -(-h * c["v"] // vmax)
+            p = p[:chh, :cw]
+        # fancy only when the downsampled width exceeds 2 — the
+        # exact libjpeg jdsample gate (narrower planes replicate)
+        fancy = p.shape[1] > 2
+        if (fx, fy) == (2, 2) and fancy:
+            p = _fancy_h2v2(p)
+        elif (fx, fy) == (2, 1) and fancy:
+            p = _fancy_h2v1(p)
+        elif (fx, fy) == (1, 2) and fancy:
+            p = _fancy_h1v2(p)
+        elif (fx, fy) != (1, 1):
+            # everything else replicates — exactly libjpeg's
+            # int_upsample fallback
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255) \
