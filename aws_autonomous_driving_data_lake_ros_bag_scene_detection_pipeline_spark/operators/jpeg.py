@@ -804,10 +804,7 @@ def _fancy_h2v2(p: np.ndarray) -> np.ndarray:
     /16 rounding constants (+8 even, +7 odd)."""
     a = p.astype(np.int64)
     chh, cw = a.shape
-    up = np.empty((chh + 1, cw), np.int64)   # row index r//2 clamped
-    dn = np.empty_like(up)
     # colsum for output row r: near = in[r//2], far = in above/below
-    sums = np.empty((chh * 2, cw), np.int64)
     near = np.repeat(a, 2, axis=0)
     far_idx = np.arange(chh * 2)
     far_idx = np.where(far_idx % 2 == 0, far_idx // 2 - 1,
@@ -864,14 +861,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             cw = -(-w * c["h"] // hmax)
             chh = -(-h * c["v"] // vmax)
             p = p[:chh, :cw]
-        # fancy only when the downsampled width exceeds 2 — the
-        # exact libjpeg jdsample gate (narrower planes replicate)
+        # fancy h2v1/h2v2 only when the downsampled width exceeds 2
+        # — the exact libjpeg jdsample gate (narrower planes
+        # replicate); h1v2 needs no horizontal neighbors, so
+        # libjpeg-turbo selects it regardless of width
         fancy = p.shape[1] > 2
         if (fx, fy) == (2, 2) and fancy:
             p = _fancy_h2v2(p)
         elif (fx, fy) == (2, 1) and fancy:
             p = _fancy_h2v1(p)
-        elif (fx, fy) == (1, 2) and fancy:
+        elif (fx, fy) == (1, 2):
             p = _fancy_h1v2(p)
         elif (fx, fy) != (1, 1):
             # everything else replicates — exactly libjpeg's

@@ -642,9 +642,19 @@ def _decode_image_bytes(payload: bytes) -> tuple[np.ndarray | None, str | None]:
             return decode_vp8l(info["vp8l"]), "vp8l"
         if info["vp8"] is not None:
             # builtin lossy VP8 keyframe (r13, vp8.py): byte-exact
-            # against libwebp incl. loop filter + fancy upsampling
+            # against libwebp incl. loop filter + fancy upsampling.
+            # Lossy-with-alpha (VP8X+ALPH+VP8, the WebPEncodeRGBA
+            # layout) composites the ALPH plane so the decoded
+            # channel count matches the probed media_meta channels=4.
             from .vp8 import decode_vp8
-            return decode_vp8(info["vp8"]), "vp8"
+            from .vp8l import decode_alpha_chunk
+            rgb = decode_vp8(info["vp8"])
+            if info.get("alph") is not None:
+                a = decode_alpha_chunk(info["alph"], rgb.shape[1],
+                                       rgb.shape[0])
+                return (np.concatenate([rgb, a[..., None]], axis=-1),
+                        "vp8")
+            return rgb, "vp8"
         raise ValueError(
             f"WEBP: {info['codec']} container carries no VP8/VP8L "
             f"bitstream to decode")
@@ -954,11 +964,25 @@ def _pyav_demux(payload: bytes, every_n: int = 1,
             decoded.sort(key=lambda t: (t[0] is None,
                                         t[0] if t[0] is not None
                                         else 0))
+            taken = set()
             for ts, ppm in decoded:
                 frames.append(ppm)
-                kept.append(bisect.bisect_left(pkt_ts, ts)
-                            if ts is not None and pkt_ts
-                            else len(kept))
+                if ts is not None and pkt_ts:
+                    idx = bisect.bisect_left(pkt_ts, ts)
+                    taken.add(idx)
+                    kept.append(idx)
+                else:
+                    kept.append(None)     # placeholder, filled below
+            # frames with no timestamp at all (rare raw streams):
+            # give each the smallest index not already claimed by a
+            # real PTS rank so frame_index stays unique per payload
+            nxt = 0
+            for i, idx in enumerate(kept):
+                if idx is None:
+                    while nxt in taken:
+                        nxt += 1
+                    taken.add(nxt)
+                    kept[i] = nxt
         else:
             for i, frame in enumerate(container.decode(stream)):
                 if i % every_n:

@@ -206,6 +206,15 @@ def test_decode_grayscale_and_tiny_dims():
         d = np.abs(_dec(data).astype(int)
                    - decode_jpeg(data).astype(int))
         assert d.max() <= 3, hw
+    # h1v2 needs no horizontal neighbors: libjpeg-turbo triangular-
+    # filters it at ANY width, so width<=2 must NOT fall back to
+    # replication (r13 ADVICE — the width gate is h2v1/h2v2-only)
+    for hw in ((33, 1), (33, 2), (40, 2)):
+        img = _natural(*hw, rng)
+        data = _enc(img, q=90, hs=1, vs=2)
+        d = np.abs(_dec(data).astype(int)
+                   - decode_jpeg(data).astype(int))
+        assert d.max() <= 3, ("h1v2-narrow", hw)
 
 
 @needs_libjpeg

@@ -521,3 +521,50 @@ def test_advanced_encoder_variants_byte_exact():
             body = _vp8_chunk(data)
             hd = parse_vp8_frame_header(bytes(body))
             assert len(hd.token_parts) == (1 << kw["partitions"])
+
+
+@needs_libwebp
+def test_decode_image_lossy_alpha_end_to_end(spark):
+    """decode_image over a WebPEncodeRGBA lossy-alpha payload
+    (VP8X+ALPH+VP8): the builtin dispatch must composite the ALPH
+    plane so the decoded channel count matches the probed
+    media_meta channels=4 (r13 ADVICE — previously raised the
+    shape-vs-meta ValueError whenever Pillow was absent)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        decode_image, pack_media,
+    )
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p)]
+    _LIB.WebPDecodeRGBA.restype = ctypes.c_void_p
+    _LIB.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    rng = np.random.default_rng(31)
+    hh, ww = 18, 26
+    img = rng.integers(0, 256, (hh, ww, 4)).astype(np.uint8)
+    out = ctypes.c_void_p()
+    n = _LIB.WebPEncodeRGBA(
+        np.ascontiguousarray(img).tobytes(), ww, hh, ww * 4,
+        80.0, ctypes.byref(out))
+    assert n
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    wi, hi = ctypes.c_int(), ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(data, len(data), ctypes.byref(wi),
+                            ctypes.byref(hi))
+    ref = np.frombuffer(
+        ctypes.string_at(p, wi.value * hi.value * 4),
+        np.uint8).reshape(hi.value, wi.value, 4).copy()
+    _LIB.WebPFree(p)
+
+    df = pack_media(
+        spark.createDataFrame([(1, bytearray(data))],
+                              "doc_id long, payload binary"),
+        "payload", fmt="image/webp", width=ww, height=hh,
+        channels=4)
+    row = decode_image(df, "payload").first()
+    assert row.media_meta.channels == 4
+    got = np.asarray(row.pixels, dtype=np.uint8).reshape(hh, ww, 4)
+    assert np.array_equal(got, ref)
