@@ -1,0 +1,855 @@
+"""Builtin zstd (Zstandard) frame decompressor — RFC 8878, decode-only.
+
+Why this exists: zstd is the DEFAULT chunk compression ``ros2 bag
+record`` writes into MCAP files, and rosbag2's ``compression_format:
+zstd`` wraps whole ``.db3`` images and per-message blobs with it —
+exactly the recordings the reference pipeline ingests
+(/root/reference/README.md corpus; extraction entry at
+/root/reference/service/app/main.py). The ``zstandard`` package is an
+optional dependency; without it those front-door recordings were
+undecodable while lz4/bz2 decoded builtin. This module removes the
+seam: a from-spec implementation of the full RFC 8878 decode path —
+frame + block framing, FSE (tANS) table description and interleaved
+2-state streams, canonical Huffman literals (1- and 4-stream),
+sequence decoding with the three repeat offsets, and the xxHash64
+content checksum. Same from-spec discipline as the VP8/FLAC/JPEG
+decoders in ``..operators``: every constant below is from the public
+RFC, and the test oracle is the real libzstd driven over ctypes
+(byte-equal sweep across levels, sizes, and content families).
+
+Out of scope (honest guards, never wrong answers): dictionary frames
+(``Dictionary_ID != 0`` raises naming the field) — ROS recordings
+never use external dictionaries.
+
+Scale shape: this is a per-payload codec, used inside the Arrow pass
+of the MCAP/db3 scan — one Python decode per chunk/message, no
+driver-side work, so it parallelizes with the scan partitions like
+every other builtin codec here. When the optional ``zstandard``
+package IS installed, callers prefer it via :func:`decompress` (C
+speed); this module is the always-available floor.
+"""
+
+from __future__ import annotations
+
+__all__ = ["zstd_decompress", "decompress", "is_zstd", "xxh64"]
+
+_MAGIC = 0xFD2FB528
+_SKIP_MAGIC_LO = 0x184D2A50       # ..0x184D2A5F: skippable frames
+
+# ---------------------------------------------------------------------------
+# predefined FSE distributions + sequence code tables (RFC 8878 §3.1.1.3.2)
+
+_LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+               2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1]                      # acc 6, 36 syms
+_ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+               -1, -1, -1, -1, -1]                  # acc 6, 53 syms
+_OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1]  # acc 5
+
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48,
+                              64, 128, 256, 512, 1024, 2048, 4096,
+                              8192, 16384, 32768, 65536]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9,
+                       10, 11, 12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59,
+                                 67, 83, 99, 131, 259, 515, 1027,
+                                 2051, 4099, 8195, 16387, 32771,
+                                 65539]
+
+_MAX_LL_SYMBOL = 35
+_MAX_ML_SYMBOL = 52
+_MAX_OF_SYMBOL = 31
+
+
+def is_zstd(data: bytes) -> bool:
+    """True when ``data`` starts with the zstd frame magic."""
+    return len(data) >= 4 and int.from_bytes(data[:4],
+                                             "little") == _MAGIC
+
+
+# ---------------------------------------------------------------------------
+# bit readers
+
+class _FwdBits:
+    """Forward little-endian bit reader (FSE table descriptions):
+    bits come from each byte LSB-first, bytes in order."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0                  # bit position from the start
+
+    def read(self, k: int) -> int:
+        p = self.pos
+        end = p + k
+        if end > len(self.data) * 8:
+            raise ValueError("zstd: FSE description overruns input")
+        self.pos = end
+        chunk = int.from_bytes(
+            self.data[p >> 3:(end + 7) >> 3], "little")
+        return (chunk >> (p & 7)) & ((1 << k) - 1)
+
+    def rewind(self, k: int) -> None:
+        self.pos -= k
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _BackBits:
+    """Backward bit reader (FSE/Huffman payload streams): the last
+    byte carries a 1-bit sentinel at its highest set bit; payload
+    bits sit below it and are consumed highest-first (RFC 8878
+    §3.1.1.1 bitstream convention)."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data):
+        if not data:
+            raise ValueError("zstd: empty backward bitstream")
+        last = data[-1]
+        if last == 0:
+            raise ValueError("zstd: backward bitstream missing "
+                             "initial-bit sentinel")
+        self.data = data
+        self.bitpos = (len(data) - 1) * 8 + last.bit_length() - 1
+
+    def read(self, k: int) -> int:
+        """Read ``k`` bits; reading past the start is corruption."""
+        p = self.bitpos - k
+        if p < 0:
+            raise ValueError("zstd: bitstream exhausted mid-symbol")
+        self.bitpos = p
+        chunk = int.from_bytes(self.data[p >> 3:(p >> 3) + 8],
+                               "little")
+        return (chunk >> (p & 7)) & ((1 << k) - 1)
+
+    def read_padded(self, k: int) -> int:
+        """Read ``k`` bits, zero-padding at the LOW end once the
+        stream runs out (the FSE weight-stream termination rule:
+        overrun bits are zeros, RFC 8878 §4.1.1)."""
+        p = self.bitpos - k
+        if p >= 0:
+            return self.read(k)
+        avail = self.bitpos
+        self.bitpos = p               # goes negative: stream done
+        if avail <= 0:
+            return 0
+        chunk = int.from_bytes(self.data[:8], "little")
+        return (chunk & ((1 << avail) - 1)) << (k - avail)
+
+
+# ---------------------------------------------------------------------------
+# FSE (tANS) decode tables
+
+class _FseTable:
+    """FSE decode table: per-state (symbol, nbBits, baseline)."""
+
+    __slots__ = ("log", "symbols", "nbits", "base")
+
+    def __init__(self, log, symbols, nbits, base):
+        self.log = log
+        self.symbols = symbols
+        self.nbits = nbits
+        self.base = base
+
+    @classmethod
+    def from_counts(cls, counts: list[int], log: int) -> "_FseTable":
+        """Build the decode table from normalized counts (RFC 8878
+        §4.1.1 spread + state assignment; ``-1`` = less-than-one
+        probability, one cell at the high end)."""
+        size = 1 << log
+        cells = [0] * size
+        nxt = [0] * len(counts)
+        high = size - 1
+        for s, c in enumerate(counts):
+            if c == -1:
+                cells[high] = s
+                high -= 1
+                nxt[s] = 1
+            else:
+                nxt[s] = c
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, c in enumerate(counts):
+            for _ in range(c if c > 0 else 0):
+                cells[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("zstd: corrupt FSE distribution "
+                             "(spread did not close)")
+        nbits = [0] * size
+        base = [0] * size
+        for i in range(size):
+            s = cells[i]
+            x = nxt[s]
+            nxt[s] = x + 1
+            nb = log - (x.bit_length() - 1)
+            nbits[i] = nb
+            base[i] = (x << nb) - size
+        return cls(log, cells, nbits, base)
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FseTable":
+        return cls(0, [symbol], [0], [0])
+
+
+def _parse_fse_counts(bits: _FwdBits, max_log: int,
+                      max_symbol: int) -> tuple[list[int], int]:
+    """Parse an FSE table description (RFC 8878 §4.1.1): 4-bit
+    accuracy log (+5), then variable-width probabilities with the
+    small-value threshold trick and 2-bit zero-run repeats. Returns
+    ``(counts, accuracy_log)``; the caller's stream is left at the
+    next byte boundary."""
+    log = bits.read(4) + 5
+    if log > max_log:
+        raise ValueError(
+            f"zstd: FSE accuracy log {log} exceeds the context "
+            f"maximum {max_log}")
+    remaining = 1 << log
+    counts: list[int] = []
+    while remaining > 0:
+        if len(counts) > max_symbol:
+            raise ValueError("zstd: FSE description has more "
+                             "symbols than the context allows")
+        nb = (remaining + 1).bit_length()   # value in [0, remaining+1]
+        val = bits.read(nb)
+        low_mask = (1 << (nb - 1)) - 1
+        threshold = (1 << nb) - 1 - (remaining + 1)
+        if (val & low_mask) < threshold:
+            bits.rewind(1)
+            val &= low_mask
+        elif val > low_mask:
+            val -= threshold
+        prob = val - 1
+        counts.append(prob)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            rep = bits.read(2)
+            counts.extend([0] * rep)
+            while rep == 3:
+                rep = bits.read(2)
+                counts.extend([0] * rep)
+    if remaining < 0:
+        raise ValueError("zstd: FSE probabilities exceed table size")
+    # descriptions are byte-aligned at the end
+    bits.pos = bits.bytes_consumed() * 8
+    return counts, log
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals
+
+class _HufTable:
+    __slots__ = ("max_bits", "symbols", "nbits")
+
+    def __init__(self, max_bits, symbols, nbits):
+        self.max_bits = max_bits
+        self.symbols = symbols
+        self.nbits = nbits
+
+
+def _huf_from_weights(weights: list[int]) -> _HufTable:
+    """Canonical Huffman decode table from zstd weights: the LAST
+    weight is implicit (completes the sum to a power of two);
+    ``length = max_bits + 1 - weight`` for non-zero weights; longer
+    codes occupy lower table indices, symbols in natural order
+    within a rank (RFC 8878 §4.2.1)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: Huffman weights sum to zero")
+    table_log = total.bit_length()    # smallest 2^k > total
+    left = (1 << table_log) - total
+    if left & (left - 1):
+        raise ValueError("zstd: Huffman weights do not complete a "
+                         "power of two")
+    weights = weights + [left.bit_length()]
+    max_bits = table_log
+    if max_bits > 11:
+        raise ValueError(f"zstd: Huffman code length {max_bits} "
+                         f"exceeds the format maximum 11")
+    lengths = [max_bits + 1 - w if w > 0 else 0 for w in weights]
+    size = 1 << max_bits
+    rank_count = [0] * (max_bits + 1)
+    for ln in lengths:
+        rank_count[ln] += 1
+    rank_idx = [0] * (max_bits + 2)
+    for ln in range(max_bits, 0, -1):
+        rank_idx[ln - 1] = rank_idx[ln] + rank_count[ln] * (
+            1 << (max_bits - ln))
+    if rank_idx[0] != size:
+        raise ValueError("zstd: Huffman lengths do not fill the "
+                         "decode table")
+    symbols = [0] * size
+    nbits = [0] * size
+    for sym, ln in enumerate(lengths):
+        if ln == 0:
+            continue
+        code = rank_idx[ln]
+        span = 1 << (max_bits - ln)
+        for j in range(code, code + span):
+            symbols[j] = sym
+            nbits[j] = ln
+        rank_idx[ln] = code + span
+    return _HufTable(max_bits, symbols, nbits)
+
+
+def _parse_huf_table(src: bytes) -> tuple[_HufTable, int]:
+    """Huffman tree description (RFC 8878 §4.2.1.1): header byte
+    ``< 128`` = FSE-compressed weights of that many bytes, ``>= 128``
+    = direct 4-bit weights for ``header - 127`` symbols. Returns
+    ``(table, bytes_consumed)``."""
+    if not src:
+        raise ValueError("zstd: empty Huffman tree description")
+    hb = src[0]
+    if hb >= 128:
+        n = hb - 127
+        need = 1 + (n + 1) // 2
+        if len(src) < need:
+            raise ValueError("zstd: truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            b = src[1 + (i >> 1)]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return _huf_from_weights(weights), need
+    comp = src[1:1 + hb]
+    if len(comp) < hb:
+        raise ValueError("zstd: truncated FSE-compressed Huffman "
+                         "weights")
+    fwd = _FwdBits(comp)
+    counts, log = _parse_fse_counts(fwd, 6, 255)
+    table = _FseTable.from_counts(counts, log)
+    stream = comp[fwd.bytes_consumed():]
+    rb = _BackBits(stream)
+    s1 = rb.read(log)
+    s2 = rb.read(log)
+    weights: list[int] = []
+    while True:
+        weights.append(table.symbols[s1])
+        if rb.bitpos < 0:
+            raise ValueError("zstd: Huffman weight stream underrun")
+        s1 = table.base[s1] + rb.read_padded(table.nbits[s1])
+        if rb.bitpos < 0:
+            weights.append(table.symbols[s2])
+            break
+        weights.append(table.symbols[s2])
+        s2 = table.base[s2] + rb.read_padded(table.nbits[s2])
+        if rb.bitpos < 0:
+            weights.append(table.symbols[s1])
+            break
+        if len(weights) > 255:
+            raise ValueError("zstd: more than 255 Huffman weights")
+    if len(weights) > 255:
+        raise ValueError("zstd: more than 255 Huffman weights")
+    return _huf_from_weights(weights), 1 + hb
+
+
+def _huf_decode_stream(table: _HufTable, data: bytes,
+                       expect: int) -> bytearray:
+    """One backward Huffman stream → exactly ``expect`` literals
+    (the state-window decode: peek ``max_bits``, emit, shift by the
+    code's true length — RFC 8878 §4.2.2)."""
+    mb = table.max_bits
+    symbols = table.symbols
+    nbits = table.nbits
+    rb = _BackBits(data)
+    out = bytearray(expect)
+    state = rb.read(mb) if rb.bitpos >= mb else rb.read_padded(mb)
+    mask = (1 << mb) - 1
+    # local aliases for the hot loop
+    bitpos = rb.bitpos
+    buf = rb.data
+    n = 0
+    while bitpos > -mb and n < expect:
+        out[n] = symbols[state]
+        n += 1
+        k = nbits[state]
+        if k == 0:
+            raise ValueError("zstd: Huffman stream stuck on a "
+                             "zero-length code")
+        p = bitpos - k
+        if p >= 0:
+            chunk = int.from_bytes(buf[p >> 3:(p >> 3) + 8],
+                                   "little")
+            rest = (chunk >> (p & 7)) & ((1 << k) - 1)
+        elif bitpos > 0:
+            chunk = int.from_bytes(buf[:8], "little")
+            rest = (chunk & ((1 << bitpos) - 1)) << (k - bitpos)
+        else:
+            rest = 0
+        bitpos = p
+        state = ((state << k) | rest) & mask
+    if n != expect or bitpos != -mb:
+        raise ValueError(
+            f"zstd: Huffman stream decoded {n} of {expect} literals "
+            f"(terminal bit offset {bitpos}, want {-mb})")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# literals + sequences sections
+
+def _decode_literals(src: bytes, ctx: dict) -> tuple[bytearray, int]:
+    """Literals section (RFC 8878 §3.1.1.3.1) → ``(literals,
+    bytes_consumed)``. ``ctx['huf']`` carries the tree across blocks
+    for Treeless mode."""
+    if not src:
+        raise ValueError("zstd: empty literals section")
+    b0 = src[0]
+    lb_type = b0 & 3
+    sf = (b0 >> 2) & 3
+    if lb_type <= 1:                              # Raw / RLE
+        if sf in (0, 2):
+            rs, hsize = b0 >> 3, 1
+        elif sf == 1:
+            if len(src) < 2:
+                raise ValueError("zstd: truncated literals header")
+            rs, hsize = (b0 >> 4) | (src[1] << 4), 2
+        else:
+            if len(src) < 3:
+                raise ValueError("zstd: truncated literals header")
+            rs = (b0 >> 4) | (src[1] << 4) | (src[2] << 12)
+            hsize = 3
+        if lb_type == 0:
+            lit = bytearray(src[hsize:hsize + rs])
+            if len(lit) != rs:
+                raise ValueError("zstd: raw literals truncated")
+            return lit, hsize + rs
+        if len(src) < hsize + 1:
+            raise ValueError("zstd: RLE literals missing the byte")
+        return bytearray(src[hsize:hsize + 1] * rs), hsize + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        streams, hsize = 1, 3
+    elif sf == 1:
+        streams, hsize = 4, 3
+    elif sf == 2:
+        streams, hsize = 4, 4
+    else:
+        streams, hsize = 4, 5
+    if len(src) < hsize:
+        raise ValueError("zstd: truncated literals header")
+    if hsize == 3:
+        rs = (b0 >> 4) | ((src[1] & 0x3F) << 4)
+        cs = (src[1] >> 6) | (src[2] << 2)
+    elif hsize == 4:
+        rs = (b0 >> 4) | (src[1] << 4) | ((src[2] & 3) << 12)
+        cs = (src[2] >> 2) | (src[3] << 6)
+    else:
+        rs = (b0 >> 4) | (src[1] << 4) | ((src[2] & 0x3F) << 12)
+        cs = (src[2] >> 6) | (src[3] << 2) | (src[4] << 10)
+    body = src[hsize:hsize + cs]
+    if len(body) < cs:
+        raise ValueError("zstd: compressed literals truncated")
+    if lb_type == 2:
+        table, used = _parse_huf_table(body)
+        ctx["huf"] = table
+        body = body[used:]
+    else:
+        table = ctx.get("huf")
+        if table is None:
+            raise ValueError("zstd: Treeless literals with no prior "
+                             "Huffman table in this frame")
+    if streams == 1:
+        return _huf_decode_stream(table, body, rs), hsize + cs
+    if len(body) < 6:
+        raise ValueError("zstd: 4-stream literals missing jump table")
+    s1 = int.from_bytes(body[0:2], "little")
+    s2 = int.from_bytes(body[2:4], "little")
+    s3 = int.from_bytes(body[4:6], "little")
+    rest = body[6:]
+    if s1 + s2 + s3 > len(rest):
+        raise ValueError("zstd: 4-stream jump table overruns the "
+                         "section")
+    part = (rs + 3) >> 2
+    sizes = [part, part, part, rs - 3 * part]
+    if sizes[3] < 0:
+        raise ValueError("zstd: 4-stream regenerated size too small")
+    chunks = [rest[:s1], rest[s1:s1 + s2],
+              rest[s1 + s2:s1 + s2 + s3], rest[s1 + s2 + s3:]]
+    out = bytearray()
+    for chunk, want in zip(chunks, sizes):
+        out += _huf_decode_stream(table, chunk, want)
+    return out, hsize + cs
+
+
+def _seq_table(mode: int, bits: _FwdBits, src: bytes, default,
+               default_log: int, max_log: int, max_symbol: int,
+               ctx: dict, key: str) -> _FseTable:
+    """One of the three sequence FSE tables by compression mode
+    (RFC 8878 §3.1.1.3.2.1): predefined / RLE / FSE / repeat. RLE
+    consumes one byte from the forward stream."""
+    if mode == 0:
+        return _FseTable.from_counts(default, default_log)
+    if mode == 1:
+        sym = bits.read(8)
+        if sym > max_symbol:
+            raise ValueError(f"zstd: RLE {key} symbol {sym} out of "
+                             f"range")
+        t = _FseTable.rle(sym)
+        ctx[key] = t
+        return t
+    if mode == 2:
+        counts, log = _parse_fse_counts(bits, max_log, max_symbol)
+        t = _FseTable.from_counts(counts, log)
+        ctx[key] = t
+        return t
+    t = ctx.get(key)
+    if t is None:
+        raise ValueError(f"zstd: Repeat mode for {key} with no "
+                         f"prior table in this frame")
+    return t
+
+
+def _decode_sequences(src: bytes, literals: bytearray,
+                      out: bytearray, ctx: dict) -> None:
+    """Sequences section (RFC 8878 §3.1.1.3.2) + sequence execution
+    (§3.1.1.4) appending onto the frame window ``out``. ``ctx``
+    carries the repeatable FSE tables and the three repeat offsets
+    across blocks of one frame."""
+    if not src:
+        raise ValueError("zstd: missing sequences section")
+    b0 = src[0]
+    if b0 == 0:
+        if len(src) != 1:
+            raise ValueError("zstd: trailing bytes after an empty "
+                             "sequences section")
+        out += literals
+        return
+    if b0 < 128:
+        nseq, pos = b0, 1
+    elif b0 < 255:
+        if len(src) < 2:
+            raise ValueError("zstd: truncated sequence count")
+        nseq, pos = ((b0 - 128) << 8) | src[1], 2
+    else:
+        if len(src) < 3:
+            raise ValueError("zstd: truncated sequence count")
+        nseq, pos = src[1] | (src[2] << 8) | 0x7F00, 3
+    if len(src) < pos + 1:
+        raise ValueError("zstd: missing compression-modes byte")
+    modes = src[pos]
+    if modes & 3:
+        raise ValueError("zstd: reserved compression-mode bits set")
+    pos += 1
+    fwd = _FwdBits(src[pos:])
+    ll_t = _seq_table((modes >> 6) & 3, fwd, src, _LL_DEFAULT, 6, 9,
+                      _MAX_LL_SYMBOL, ctx, "ll")
+    of_t = _seq_table((modes >> 4) & 3, fwd, src, _OF_DEFAULT, 5, 8,
+                      _MAX_OF_SYMBOL, ctx, "of")
+    ml_t = _seq_table((modes >> 2) & 3, fwd, src, _ML_DEFAULT, 6, 9,
+                      _MAX_ML_SYMBOL, ctx, "ml")
+    stream = src[pos + fwd.bytes_consumed():]
+    rb = _BackBits(stream)
+    ll_state = rb.read(ll_t.log)
+    of_state = rb.read(of_t.log)
+    ml_state = rb.read(ml_t.log)
+    rep = ctx["rep"]
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_t.symbols[of_state]
+        ml_code = ml_t.symbols[ml_state]
+        ll_code = ll_t.symbols[ll_state]
+        if of_code > _MAX_OF_SYMBOL:
+            raise ValueError("zstd: offset code out of range")
+        # bit-read order is offset, match length, literals length
+        offset_val = (1 << of_code) + (rb.read(of_code)
+                                       if of_code else 0)
+        ml = _ML_BASE[ml_code]
+        k = _ML_BITS[ml_code]
+        if k:
+            ml += rb.read(k)
+        ll = _LL_BASE[ll_code]
+        k = _LL_BITS[ll_code]
+        if k:
+            ll += rb.read(k)
+        # repeat-offset resolution (§3.1.1.5)
+        if offset_val > 3:
+            offset = offset_val - 3
+            rep = [offset, rep[0], rep[1]]
+        else:
+            idx = offset_val + (1 if ll == 0 else 0)
+            if idx == 1:
+                offset = rep[0]
+            elif idx == 2:
+                offset = rep[1]
+                rep = [rep[1], rep[0], rep[2]]
+            elif idx == 3:
+                offset = rep[2]
+                rep = [rep[2], rep[0], rep[1]]
+            else:                     # idx == 4: rep1 - 1
+                offset = rep[0] - 1
+                rep = [offset, rep[0], rep[1]]
+            if offset <= 0:
+                raise ValueError("zstd: repeat offset resolved to "
+                                 "zero")
+        if ll:
+            out += literals[lit_pos:lit_pos + ll]
+            if lit_pos + ll > len(literals):
+                raise ValueError("zstd: sequence consumes more "
+                                 "literals than regenerated")
+            lit_pos += ll
+        if offset > len(out):
+            raise ValueError(
+                f"zstd: match offset {offset} reaches before the "
+                f"frame window ({len(out)} bytes decoded)")
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start:start + ml]
+        else:
+            seg = bytes(out[start:])
+            reps = -(-ml // offset)
+            out += (seg * reps)[:ml]
+        if i + 1 < nseq:              # last sequence: no state update
+            ll_state = ll_t.base[ll_state] + (
+                rb.read(ll_t.nbits[ll_state])
+                if ll_t.nbits[ll_state] else 0)
+            ml_state = ml_t.base[ml_state] + (
+                rb.read(ml_t.nbits[ml_state])
+                if ml_t.nbits[ml_state] else 0)
+            of_state = of_t.base[of_state] + (
+                rb.read(of_t.nbits[of_state])
+                if of_t.nbits[of_state] else 0)
+    if rb.bitpos != 0:
+        raise ValueError(
+            f"zstd: sequence bitstream not fully consumed "
+            f"({rb.bitpos} bits left)")
+    out += literals[lit_pos:]
+    ctx["rep"] = rep
+
+
+# ---------------------------------------------------------------------------
+# frame + block walk
+
+def _decode_frame(data: bytes, pos: int,
+                  max_output: int | None,
+                  verify_checksum: bool) -> tuple[bytearray, int]:
+    """One zstd frame starting at the magic → ``(content,
+    next_pos)``."""
+    if len(data) < pos + 6:
+        raise ValueError("zstd: truncated frame header")
+    fhd = data[pos + 4]
+    pos += 5
+    if fhd & 0x08:
+        raise ValueError("zstd: reserved frame-header bit set")
+    single_segment = bool(fhd & 0x20)
+    has_checksum = bool(fhd & 0x04)
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    fcs_flag = fhd >> 6
+    window_size = None
+    if not single_segment:
+        if pos >= len(data):
+            raise ValueError("zstd: missing window descriptor")
+        wd = data[pos]
+        pos += 1
+        exp, mant = wd >> 3, wd & 7
+        base = 1 << (10 + exp)
+        window_size = base + (base >> 3) * mant
+    if did_size:
+        did = int.from_bytes(data[pos:pos + did_size], "little")
+        pos += did_size
+        if did:
+            raise NotImplementedError(
+                f"zstd: frame requires external dictionary "
+                f"{did} — dictionary frames are not supported "
+                f"(ROS recordings never use them)")
+    fcs = None
+    fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    if fcs_size:
+        if len(data) < pos + fcs_size:
+            raise ValueError("zstd: truncated frame content size")
+        fcs = int.from_bytes(data[pos:pos + fcs_size], "little")
+        if fcs_size == 2:
+            fcs += 256
+        pos += fcs_size
+    if single_segment:
+        window_size = fcs if fcs is not None else 0
+    cap = max_output if max_output is not None else 1 << 31
+    if fcs is not None and fcs > cap:
+        raise ValueError(
+            f"zstd: frame declares {fcs} bytes, caller cap is "
+            f"{cap}")
+    out = bytearray()
+    ctx = {"rep": [1, 4, 8], "huf": None}
+    while True:
+        if len(data) < pos + 3:
+            raise ValueError("zstd: truncated block header")
+        bh = int.from_bytes(data[pos:pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:                # raw
+            blk = data[pos:pos + bsize]
+            if len(blk) != bsize:
+                raise ValueError("zstd: raw block truncated")
+            out += blk
+            pos += bsize
+        elif btype == 1:              # RLE: bsize is REGENERATED size
+            if pos >= len(data):
+                raise ValueError("zstd: RLE block missing its byte")
+            out += data[pos:pos + 1] * bsize
+            pos += 1
+        elif btype == 2:              # compressed
+            blk = data[pos:pos + bsize]
+            if len(blk) != bsize:
+                raise ValueError("zstd: compressed block truncated")
+            pos += bsize
+            literals, used = _decode_literals(blk, ctx)
+            _decode_sequences(blk[used:], literals, out, ctx)
+        else:
+            raise ValueError("zstd: reserved block type 3")
+        if len(out) > cap:
+            raise ValueError(
+                f"zstd: output exceeds the caller's cap ({cap} "
+                f"bytes) — raise max_output if this is expected")
+        if last:
+            break
+    if fcs is not None and len(out) != fcs:
+        raise ValueError(
+            f"zstd: frame regenerated {len(out)} bytes, header "
+            f"declared {fcs}")
+    if has_checksum:
+        if len(data) < pos + 4:
+            raise ValueError("zstd: truncated content checksum")
+        want = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        if verify_checksum:
+            got = xxh64(bytes(out)) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"zstd: content checksum mismatch "
+                    f"(got 0x{got:08x}, frame says 0x{want:08x})")
+    return out, pos
+
+
+def zstd_decompress(data: bytes, *, max_output: int | None = None,
+                    verify_checksum: bool = True) -> bytes:
+    """Decompress one-or-more concatenated zstd frames (skippable
+    frames skipped) — the builtin RFC 8878 decoder. ``max_output``
+    bounds the total regenerated size (zip-bomb guard; callers that
+    know the expected size — MCAP chunk headers do — should pass
+    it). Raises ``ValueError`` on any corruption and
+    ``NotImplementedError`` only for dictionary frames."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise TypeError("zstd_decompress wants bytes")
+    data = bytes(data)
+    pos = 0
+    parts: list[bytearray] = []
+    total = 0
+    while pos < len(data):
+        if len(data) - pos < 4:
+            raise ValueError("zstd: trailing garbage shorter than a "
+                             "frame magic")
+        magic = int.from_bytes(data[pos:pos + 4], "little")
+        if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+            if len(data) < pos + 8:
+                raise ValueError("zstd: truncated skippable frame")
+            skip = int.from_bytes(data[pos + 4:pos + 8], "little")
+            pos += 8 + skip
+            if pos > len(data):
+                raise ValueError("zstd: skippable frame overruns "
+                                 "input")
+            continue
+        if magic != _MAGIC:
+            raise ValueError(
+                f"zstd: bad frame magic 0x{magic:08x} at byte {pos}")
+        remaining_cap = (None if max_output is None
+                         else max_output - total)
+        part, pos = _decode_frame(data, pos, remaining_cap,
+                                  verify_checksum)
+        total += len(part)
+        parts.append(part)
+    if not parts:
+        raise ValueError("zstd: no frames in input")
+    return bytes(parts[0]) if len(parts) == 1 else \
+        b"".join(bytes(p) for p in parts)
+
+
+def decompress(data: bytes, *, max_output: int | None = None) -> bytes:
+    """Shared decode seam for the MCAP/db3/rosbag2 readers: the
+    optional ``zstandard`` package when installed (C speed), else the
+    builtin RFC 8878 decoder above — zstd-compressed recordings
+    decode out of the box either way."""
+    try:
+        import zstandard
+    except ImportError:
+        return zstd_decompress(data, max_output=max_output)
+    return zstandard.ZstdDecompressor().decompress(
+        bytes(data), max_output_size=max_output or (1 << 31))
+
+
+# ---------------------------------------------------------------------------
+# xxHash64 (for the frame content checksum; public XXH64 spec)
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 of ``data`` — the hash whose low 32 bits are the zstd
+    frame content checksum (RFC 8878 §3.1.1; XXH64 is publicly
+    specified in the xxHash format spec)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        fb = int.from_bytes
+        end = n - 32
+        while i <= end:
+            v1 = (_rotl((v1 + fb(data[i:i + 8], "little") * _P2)
+                        & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + fb(data[i + 8:i + 16], "little") * _P2)
+                        & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + fb(data[i + 16:i + 24], "little") * _P2)
+                        & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + fb(data[i + 24:i + 32], "little") * _P2)
+                        & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i:i + 8], "little") * _P2)
+                   & _M64, 31) * _P1) & _M64
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h

@@ -52,8 +52,7 @@ except Exception:  # pragma: no cover - container has no Pillow
     _HAS_PIL = False
 
 try:  # real-codec video seam (H.264/HEVC/...) if the environment
-    # has it — same optional-import discipline as Pillow above and
-    # zstandard in sources/mcap.py
+    # has it — same optional-import discipline as Pillow above
     import av as _av  # noqa: F401
     _HAS_PYAV = True
 except Exception:  # pragma: no cover - container has no PyAV

@@ -69,36 +69,22 @@ def parse_db3_bytes(db3_file: str, buf: bytes,
     ``message_compression='zstd'`` decompresses each payload blob
     (rosbag2 ``compression_mode: message`` recordings, r12 — the
     sidecar reader :func:`~.rosbag2.read_rosbag2` passes it from
-    metadata.yaml); same optional zstandard seam as the file-level
-    ``.db3.zstd`` sniff below."""
+    metadata.yaml); both it and the file-level ``.db3.zstd`` sniff
+    below decode builtin via :mod:`..functions.zstd` (RFC 8878,
+    r14 — the optional ``zstandard`` package accelerates when
+    installed)."""
+    from ..functions.zstd import decompress as _zstd
+
     if message_compression not in (None, "zstd"):
         raise NotImplementedError(
             f"{db3_file}: message_compression {message_compression!r} "
             f"is not supported (builtin: None or 'zstd')")
-    blob_dec = None
-    if message_compression == "zstd":
-        try:
-            import zstandard
-        except ImportError:
-            raise NotImplementedError(
-                f"{db3_file} uses per-message zstd compression and "
-                f"stdlib has no zstd; install the zstandard package "
-                f"or decompress upstream") from None
-        blob_dec = zstandard.ZstdDecompressor()
+    blob_dec = _zstd if message_compression == "zstd" else None
     if buf[:4] == b"\x28\xb5\x2f\xfd":
         # rosbag2's file-level compression ships .db3.zstd images
-        # (compression_format: zstd in metadata.yaml) — same optional
-        # seam as MCAP zstd chunks (mcap.py)
+        # (compression_format: zstd in metadata.yaml)
         try:
-            import zstandard
-        except ImportError:
-            raise NotImplementedError(
-                f"{db3_file} is a zstd-compressed rosbag2 image "
-                f"(.db3.zstd) and stdlib has no zstd; install the "
-                f"zstandard package or decompress upstream") from None
-        try:
-            buf = zstandard.ZstdDecompressor().decompress(
-                bytes(buf), max_output_size=1 << 31)
+            buf = _zstd(bytes(buf), max_output=1 << 31)
         except Exception as e:  # noqa: BLE001 — normalize onto the
             # reader contract's input-error set so on_error='skip'
             # salvage fires instead of killing the task (r12 review)
@@ -124,8 +110,7 @@ def parse_db3_bytes(db3_file: str, buf: bytes,
             payload = bytes(data) if data is not None else b""
             if blob_dec is not None and payload:
                 try:
-                    payload = blob_dec.decompress(
-                        payload, max_output_size=1 << 31)
+                    payload = blob_dec(payload, max_output=1 << 31)
                 except Exception as e:  # noqa: BLE001 — ZstdError is
                     # not in the salvage input-error set; normalize
                     # so one corrupt blob quarantines, not kills

@@ -12,10 +12,11 @@ the same definition-driven decode discipline as the ROS1 reader
 (rosbag.py:322-512), but over CDR (XCDR1) wire format with its
 alignment rules instead of ROS1's packed serialization.
 
-Supported: top-level and chunked records (compression ``""`` and
-``"lz4"`` — the LZ4 frame decoder is shared with the ROS1 reader);
-``zstd`` chunks raise ``NotImplementedError`` naming the codec (honest
-guard — install ``zstandard`` and swap the seam for full coverage).
+Supported: top-level and chunked records (compression ``""``,
+``"lz4"`` — the LZ4 frame decoder is shared with the ROS1 reader —
+and ``"zstd"``, the default ``ros2 bag record`` MCAP preset, decoded
+builtin by :mod:`..functions.zstd` (RFC 8878 from-spec; the optional
+``zstandard`` package is used at C speed when installed)).
 Corrupt files follow the ROS1 reader's salvage contract: MCAP records
 carry no per-record magic to resync on (unlike WARC), so
 ``on_error='skip'`` keeps every message parsed BEFORE the corruption
@@ -100,15 +101,11 @@ def _decompress_chunk(content: bytes) -> bytes:
     elif compression == "lz4":
         out = _lz4_frame_decompress(records)
     elif compression == "zstd":
-        try:
-            import zstandard  # optional seam, like Pillow for JPEG
-        except ImportError:
-            raise NotImplementedError(
-                "MCAP chunk compression 'zstd' needs the zstandard "
-                "package (stdlib has no zstd); install it or "
-                "re-encode with lz4 or none") from None
-        out = zstandard.ZstdDecompressor().decompress(
-            records, max_output_size=unc_size or 1 << 31)
+        # builtin RFC 8878 decoder (r14) — zstd is the DEFAULT
+        # `ros2 bag record` chunk compression; decompress() prefers
+        # the optional zstandard package (C speed) when installed
+        from ..functions.zstd import decompress as _zstd
+        out = _zstd(records, max_output=unc_size or 1 << 31)
     else:
         raise ValueError(
             f"unknown MCAP chunk compression {compression!r}")

@@ -292,29 +292,24 @@ def read_rosbag2(spark: SparkSession, recording_dir: str, *,
 
 def _decompress_files(files: DataFrame) -> DataFrame:
     """Whole-file zstd layer (``compression_mode: file`` over mcap
-    storage) — executor-side, same optional seam as the db3/MCAP zstd
-    paths. db3 images need no such pass: the parser magic-sniffs
-    ``.db3.zstd`` itself."""
+    storage) — executor-side, decoded builtin via
+    :mod:`..functions.zstd` (RFC 8878, r14; the optional
+    ``zstandard`` package accelerates when installed). db3 images
+    need no such pass: the parser magic-sniffs ``.db3.zstd``
+    itself."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import zstandard
-        except ImportError:
-            raise NotImplementedError(
-                "this recording uses compression_mode: file and stdlib "
-                "has no zstd; install the zstandard package or "
-                "decompress upstream") from None
-        z = zstandard.ZstdDecompressor()
+        from ..functions.zstd import decompress as _zstd
 
         def dec1(path, c):
             b = bytes(c)
             if b[:4] != b"\x28\xb5\x2f\xfd":
                 return c
             try:
-                return z.decompress(b, max_output_size=1 << 31)
+                return _zstd(b, max_output=1 << 31)
             except Exception as e:  # noqa: BLE001 — name the split
                 raise ValueError(
                     f"{path}: corrupt zstd split "

@@ -58,3 +58,43 @@ def assert_df_matches_oracle(sdf, duck, sql, sort_cols=None):
     assert len(spark_rows) == len(duck_rows), f"row count {len(spark_rows)} != {len(duck_rows)}"
     for i, (s, d) in enumerate(zip(spark_rows, duck_rows)):
         assert s == d, f"row {i}: spark={s} duck={d}"
+
+
+@pytest.fixture(scope="session")
+def zstd_ref():
+    """Real-codec zstd compressor (system libzstd over ctypes) — the
+    encode side of the builtin RFC 8878 decoder's oracle, same
+    pattern as the libwebp/libjpeg ctypes oracles. Returns
+    ``compress(data, level=3) -> bytes``; skips when the shared
+    library is absent."""
+    import ctypes
+
+    lib = None
+    for name in ("libzstd.so.1", "libzstd.so", "libzstd.1.dylib",
+                 "libzstd.dylib"):
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None:
+        pytest.skip("system libzstd not available for the "
+                    "real-codec oracle")
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int]
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+
+    def compress(data: bytes, level: int = 3) -> bytes:
+        bound = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress(dst, bound, bytes(data), len(data),
+                              level)
+        assert not lib.ZSTD_isError(n), "libzstd compress failed"
+        return dst.raw[:n]
+
+    return compress

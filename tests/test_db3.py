@@ -213,22 +213,14 @@ def test_db3_ingest_stream_end_to_end(spark, tmp_path):
     assert latest_version(spark, tbl) == v
 
 
-def test_zstd_compressed_image_guard():
-    """A .db3.zstd image (rosbag2 file-level compression) names the
-    zstandard seam honestly when the package is absent — and decodes
-    through it when present (gated)."""
-    blob = b"\x28\xb5\x2f\xfd" + b"\x00" * 16
-    try:
-        import zstandard  # noqa: F401
-        has = True
-    except ImportError:
-        has = False
-    if not has:
-        with pytest.raises(NotImplementedError, match="zstandard"):
-            list(parse_db3_bytes("a.db3.zstd", blob))
-    else:  # pragma: no cover - container has no zstandard
-        import zstandard
-        comp = zstandard.ZstdCompressor().compress(_db3_bytes())
-        rows = list(parse_db3_bytes("a.db3.zstd", comp,
-                                    {TYPE: DEFN}))
-        assert len(rows) == 2
+def test_zstd_compressed_image_decodes_builtin(zstd_ref):
+    """A .db3.zstd image (rosbag2 file-level compression) decodes
+    builtin (r14, functions/zstd.py) — no optional package needed —
+    and a corrupt image stays on the reader contract's ValueError
+    (so on_error='skip' salvage fires)."""
+    comp = zstd_ref(_db3_bytes())
+    rows = list(parse_db3_bytes("a.db3.zstd", comp, {TYPE: DEFN}))
+    assert len(rows) == 2
+    with pytest.raises(ValueError, match="zstd image"):
+        list(parse_db3_bytes("a.db3.zstd",
+                             b"\x28\xb5\x2f\xfd" + b"\x00" * 16))

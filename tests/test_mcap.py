@@ -267,9 +267,26 @@ def test_corrupt_file_salvage_and_fail(spark, tmp_path):
     assert "truncated" in marks[0]["error"]
 
 
-def test_zstd_chunk_guard(tmp_path):
-    blob = _file(_chunk(b"x" * 4, "zstd", b"\x28\xb5\x2f\xfd"))
-    with pytest.raises(NotImplementedError, match="zstd"):
+def test_zstd_chunk_decodes_builtin(spark, tmp_path, zstd_ref):
+    """zstd chunks (the DEFAULT `ros2 bag record` MCAP preset) decode
+    builtin (r14, functions/zstd.py): a zstd-chunked file is
+    byte-equal to its plain twin."""
+    recs = (_schema(1, "demo/Mixed", DEFN) + _channel(7, 1, "/demo")
+            + _message(7, 0, 1_000, 999,
+                       _payload(5, 2.5, "hi", True, [3, 4],
+                                [1.0, 2.0], b"\xab\xcd", 9.5, -2)))
+    d1 = _write(tmp_path / "p", "a.mcap", _file(recs))
+    d2 = _write(tmp_path / "z", "a.mcap",
+                _file(_chunk(recs, "zstd", zstd_ref(recs))))
+    plain = {tuple(r) for r in read_mcap_messages(spark, d1).collect()}
+    z = {tuple(r) for r in read_mcap_messages(spark, d2).collect()}
+    assert plain == z and len(z) == 1
+
+
+def test_zstd_chunk_corrupt_raises(tmp_path):
+    blob = _file(_chunk(b"x" * 4, "zstd",
+                        b"\x28\xb5\x2f\xfd" + b"\x00" * 8))
+    with pytest.raises(ValueError, match="zstd"):
         list(parse_mcap_bytes("z.mcap", blob))
 
 

@@ -183,20 +183,32 @@ def test_mcap_storage_routing(spark, tmp_path):
     assert r["topic"] == TOPIC and r["message_definition"] == DEFN
 
 
-def test_message_compression_seam(tmp_path):
-    """Per-message zstd: with the optional package absent the guard
-    names it; with it present the blob round-trips (gated)."""
+def test_file_compression_mcap_decodes_builtin(spark, tmp_path,
+                                               zstd_ref):
+    """compression_mode: file over mcap storage: whole-split
+    ``.mcap.zstd`` images decode builtin (r14, functions/zstd.py)
+    through the _decompress_files Arrow pass."""
+    d = tmp_path / "rec_mcap_z"
+    d.mkdir()
+    recs = _schema(1, TYPE, DEFN) + _channel(7, 1, TOPIC)
+    recs += _message(7, 0, TIMES[0], TIMES[0], PAYLOADS[0])
+    (d / "split_0.mcap.zstd").write_bytes(zstd_ref(_file(recs)))
+    (d / "metadata.yaml").write_text(
+        _sidecar(storage="mcap", files=("split_0.mcap.zstd",),
+                 cfmt="zstd", cmode="file"))
+    r = read_rosbag2(spark, str(d)).first()
+    assert r["topic"] == TOPIC and r["message_definition"] == DEFN
+    assert bytes(r["data"]) == PAYLOADS[0]
+
+
+def test_message_compression_decodes_builtin(tmp_path, zstd_ref):
+    """Per-message zstd (rosbag2 compression_mode: message) decodes
+    builtin (r14, functions/zstd.py) — blobs round-trip with no
+    optional package."""
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
         parse_db3_bytes,
     )
-    try:
-        import zstandard
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="zstandard"):
-            list(parse_db3_bytes("x.db3", _db3_bytes(),
-                                 message_compression="zstd"))
-        return
-    comp = zstandard.ZstdCompressor().compress(PAYLOADS[0])
+    comp = zstd_ref(PAYLOADS[0])
     blob = _db3_bytes(rows=[(1, TIMES[0], comp)])
     (row,) = parse_db3_bytes("x.db3", blob,
                              message_compression="zstd")
