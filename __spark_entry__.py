@@ -3196,19 +3196,65 @@ prj2 as (
 prj3 as (
   select doc_id, zt, xp, yp, xp * xp + yp * yp as r2 from prj2
 ),
-prj4 as (
-  -- plumb-bob: the EXACT expression tree project_points builds
-  -- (same association order), so per-point u/v are bit-identical
-  select doc_id, zt,
-    500.25 * (xp * (1 + 0.015625 * r2 + -0.0078125 * r2 * r2
-                    + 0.0009765625 * r2 * r2 * r2)
-              + 2 * 0.001953125 * xp * yp
-              + -0.00390625 * (r2 + 2 * xp * xp)) + 320.0 as u,
-    500.5 * (yp * (1 + 0.015625 * r2 + -0.0078125 * r2 * r2
-                   + 0.0009765625 * r2 * r2 * r2)
-             + 0.001953125 * (r2 + 2 * yp * yp)
-             + 2 * -0.00390625 * xp * yp) + 240.0 as v
+prj3e as (
+  -- equidistant intermediates: r (IEEE-exact sqrt), θ = atan(r),
+  -- θ² — staged so the θ-polynomial below matches project_points'
+  -- association order term for term
+  select doc_id, zt, xp, yp, r2,
+         sqrt(r2) as r, atan(sqrt(r2)) as th
   from prj3
+),
+prj4 as (
+  -- per-model dispatch (doc_id % 3), the EXACT expression trees
+  -- project_points builds (same association order), so per-point
+  -- u/v are bit-identical: plumb_bob d1..d5, rational_polynomial
+  -- d1..d8 (rational radial), equidistant d1..d4 (θ-polynomial)
+  select doc_id, zt,
+    500.25 * (case
+      when doc_id % 3 = 0 then
+        xp * (1 + 0.015625 * r2 + -0.0078125 * r2 * r2
+              + 0.0009765625 * r2 * r2 * r2)
+        + 2 * 0.001953125 * xp * yp
+        + -0.00390625 * (r2 + 2 * xp * xp)
+      when doc_id % 3 = 1 then
+        xp * ((1 + 0.015625 * r2 + -0.0078125 * (r2 * r2)
+               + 0.0009765625 * ((r2 * r2) * r2))
+              / (1 + 0.0078125 * r2 + -0.00048828125 * (r2 * r2)
+                 + 0.000244140625 * ((r2 * r2) * r2)))
+        + 2 * 0.001953125 * xp * yp
+        + -0.00390625 * (r2 + 2 * xp * xp)
+      else
+        xp * (case when r > 1e-12 then
+          (th * (1 + 0.015625 * (th * th)
+                 + -0.0078125 * (th * th) * (th * th)
+                 + 0.001953125 * (th * th) * (th * th) * (th * th)
+                 + -0.00390625 * (th * th) * (th * th) * (th * th)
+                   * (th * th))) / r
+          else 1.0 end)
+      end) + 320.0 as u,
+    500.5 * (case
+      when doc_id % 3 = 0 then
+        yp * (1 + 0.015625 * r2 + -0.0078125 * r2 * r2
+              + 0.0009765625 * r2 * r2 * r2)
+        + 0.001953125 * (r2 + 2 * yp * yp)
+        + 2 * -0.00390625 * xp * yp
+      when doc_id % 3 = 1 then
+        yp * ((1 + 0.015625 * r2 + -0.0078125 * (r2 * r2)
+               + 0.0009765625 * ((r2 * r2) * r2))
+              / (1 + 0.0078125 * r2 + -0.00048828125 * (r2 * r2)
+                 + 0.000244140625 * ((r2 * r2) * r2)))
+        + 0.001953125 * (r2 + 2 * yp * yp)
+        + 2 * -0.00390625 * xp * yp
+      else
+        yp * (case when r > 1e-12 then
+          (th * (1 + 0.015625 * (th * th)
+                 + -0.0078125 * (th * th) * (th * th)
+                 + 0.001953125 * (th * th) * (th * th) * (th * th)
+                 + -0.00390625 * (th * th) * (th * th) * (th * th)
+                   * (th * th))) / r
+          else 1.0 end)
+      end) + 240.0 as v
+  from prj3e
 ),
 prjst as (
   select doc_id,
@@ -3594,14 +3640,15 @@ def _pointcloud_voxel_stats(spark, sf_dir):
 
 
 def _projection_stats(spark, sf_dir):
-    """r13 fold of the pointcloud family (VERDICT r12 item 2): the
-    REAL lidar→camera chain —
-    :func:`...operators.sensors.transform_points` (full 9-term
-    quaternion expansion) composed with
-    :func:`...operators.sensors.project_points` (pinhole + plumb-bob
-    distortion, behind-camera culling) — over the same synthetic
-    clouds, verified against DuckDB recomputing the identical
-    expression tree. Determinism by construction: the pose quaternion
+    """r13 fold of the pointcloud family (VERDICT r12 item 2; r14:
+    + model dispatch, VERDICT r13 item 2): the REAL lidar→camera
+    chain — :func:`...operators.sensors.transform_points` (full
+    9-term quaternion expansion) composed with
+    :func:`...operators.sensors.project_points` dispatching per row
+    on ``distortion_model`` (plumb-bob / rational_polynomial /
+    equidistant fisheye, behind-camera culling) — over the same
+    synthetic clouds, verified against DuckDB recomputing the
+    identical expression tree. Determinism by construction: the pose quaternion
     (½,½,½,½) is an exact permutation rotation ((x,y,z) → (z,x,y), so
     every transform product is IEEE-exact), the distortion
     coefficients are exact binary fractions, and per-point u/v are
@@ -3622,19 +3669,35 @@ def _projection_stats(spark, sf_dir):
              .withColumn("tz", F.lit(-50.0)))
     cam = transform_points(posed)
     # /512 keeps |x'| ≤ ~0.5 so the distortion polynomial stays tame
-    # even at z_t = 1 (powers of two: the scaling is exact)
+    # even at z_t = 1 (powers of two: the scaling is exact).
+    # r14: the gate now exercises the model_col= dispatch — each doc
+    # projects with the distortion model doc_id % 3 selects
+    # (plumb_bob / rational_polynomial / equidistant), consuming the
+    # position-faithful d1..d8 coefficients (all binary fractions;
+    # plumb_bob reads d1..d5 with the r13 values, so that branch's
+    # numbers are unchanged). equidistant brings atan/tan into the
+    # tree — sqrt is IEEE-exact, and a last-ulp atan difference only
+    # flips floor(u·1024) within ~6e-11 of an integer (not observed
+    # at any SF; deterministic inputs, so green stays green).
+    d_vals = (0.015625, -0.0078125, 0.001953125, -0.00390625,
+              0.0009765625, 0.0078125, -0.00048828125,
+              0.000244140625)
     scaled = (cam.withColumn("xs", F.col("x_t") / 512)
               .withColumn("ys", F.col("y_t") / 512)
               .withColumn("fx", F.lit(500.25))
               .withColumn("fy", F.lit(500.5))
               .withColumn("cx", F.lit(320.0))
               .withColumn("cy", F.lit(240.0))
-              .withColumn("k1", F.lit(0.015625))
-              .withColumn("k2", F.lit(-0.0078125))
-              .withColumn("t1", F.lit(0.001953125))
-              .withColumn("t2", F.lit(-0.00390625))
-              .withColumn("k3", F.lit(0.0009765625)))
-    px = project_points(scaled, cols=("xs", "ys", "z_t"))
+              .withColumn(
+                  "distortion_model",
+                  F.when(F.col("doc_id") % 3 == 0, F.lit("plumb_bob"))
+                  .when(F.col("doc_id") % 3 == 1,
+                        F.lit("rational_polynomial"))
+                  .otherwise(F.lit("equidistant"))))
+    for j, val in enumerate(d_vals, start=1):
+        scaled = scaled.withColumn(f"d{j}", F.lit(val))
+    px = project_points(scaled, cols=("xs", "ys", "z_t"),
+                        model_col="distortion_model")
     return (px.groupBy("doc_id")
             .agg(F.sum(F.when(F.col("u").isNotNull(), 1)
                        .otherwise(0)).alias("n_px"),

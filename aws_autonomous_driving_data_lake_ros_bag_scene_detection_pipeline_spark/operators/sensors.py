@@ -43,7 +43,7 @@ __all__ = [
     "voxel_downsample", "transform_points", "COMPRESSED_IMAGE_DEFINITION",
     "decode_ros_compressed_image", "demosaic_bilinear",
     "CAMERA_INFO_DEFINITION", "camera_info_intrinsics",
-    "project_points",
+    "project_points", "unproject_pixels",
 ]
 
 # Public sensor_msgs definitions in gendeps concatenated-text form
@@ -796,7 +796,65 @@ def camera_info_intrinsics(df: DataFrame, *,
                 name,
                 F.coalesce(F.when(F.size(d) >= i, F.element_at(d, i))
                            .cast("double"), F.lit(0.0)))
+        # raw positional coefficients d1..d8 (zero-padded): the D
+        # array's meaning depends on distortion_model — plumb_bob is
+        # [k1,k2,t1,t2,k3], rational_polynomial [k1,k2,p1,p2,k3,k4,
+        # k5,k6], equidistant (fisheye) [θ1,θ2,θ3,θ4] — so the
+        # model-dispatching project_points consumes these
+        # position-faithful columns (r14; the named k/t columns
+        # above stay for the plumb-bob-only call shape)
+        for i in range(1, 9):
+            out = out.withColumn(
+                f"d{i}",
+                F.coalesce(F.when(F.size(d) >= i, F.element_at(d, i))
+                           .cast("double"), F.lit(0.0)))
     return out
+
+
+def _distort_plumb_bob(xp, yp, k1, k2, t1, t2, k3):
+    """OpenCV/ROS plumb-bob: radial 3-term polynomial + tangential."""
+    r2 = xp * xp + yp * yp
+    radial = (F.lit(1.0) + k1 * r2 + k2 * r2 * r2
+              + k3 * r2 * r2 * r2)
+    two = F.lit(2.0)
+    xpp = (xp * radial + two * t1 * xp * yp
+           + t2 * (r2 + two * xp * xp))
+    ypp = (yp * radial + t1 * (r2 + two * yp * yp)
+           + two * t2 * xp * yp)
+    return xpp, ypp
+
+
+def _distort_rational(xp, yp, k1, k2, p1, p2, k3, k4, k5, k6):
+    """OpenCV rational_polynomial: radial as a 6-coefficient rational
+    ``(1+k1r²+k2r⁴+k3r⁶)/(1+k4r²+k5r⁴+k6r⁶)`` + the same
+    tangential terms as plumb-bob (D order
+    ``[k1,k2,p1,p2,k3,k4,k5,k6]`` per sensor_msgs/CameraInfo)."""
+    r2 = xp * xp + yp * yp
+    r4 = r2 * r2
+    r6 = r4 * r2
+    radial = ((F.lit(1.0) + k1 * r2 + k2 * r4 + k3 * r6)
+              / (F.lit(1.0) + k4 * r2 + k5 * r4 + k6 * r6))
+    two = F.lit(2.0)
+    xpp = (xp * radial + two * p1 * xp * yp
+           + p2 * (r2 + two * xp * xp))
+    ypp = (yp * radial + p1 * (r2 + two * yp * yp)
+           + two * p2 * xp * yp)
+    return xpp, ypp
+
+
+def _distort_equidistant(xp, yp, k1, k2, k3, k4):
+    """OpenCV fisheye (``equidistant``): ``θ = atan(r)``,
+    ``θ_d = θ(1 + k1θ² + k2θ⁴ + k3θ⁶ + k4θ⁸)``, scale ``θ_d/r``
+    (``→ 1`` at the optical axis, where θ ≈ r)."""
+    r2 = xp * xp + yp * yp
+    r = F.sqrt(r2)
+    th = F.atan(r)
+    th2 = th * th
+    th_d = th * (F.lit(1.0) + k1 * th2 + k2 * th2 * th2
+                 + k3 * th2 * th2 * th2
+                 + k4 * th2 * th2 * th2 * th2)
+    scale = F.when(r > F.lit(1e-12), th_d / r).otherwise(F.lit(1.0))
+    return xp * scale, yp * scale
 
 
 def project_points(df: DataFrame, *,
@@ -805,9 +863,12 @@ def project_points(df: DataFrame, *,
                    = ("fx", "fy", "cx", "cy"),
                    distortion: tuple[str, str, str, str, str] | None
                    = ("k1", "k2", "t1", "t2", "k3"),
+                   model_col: str | None = None,
+                   d_cols: tuple[str, ...] = ("d1", "d2", "d3", "d4",
+                                              "d5", "d6", "d7", "d8"),
                    out_cols: tuple[str, str] = ("u", "v")) -> DataFrame:
-    """Pinhole + plumb-bob projection of camera-frame 3-D points into
-    pixel coordinates — the lidar→image association step (the 3-D
+    """Camera projection of camera-frame 3-D points into pixel
+    coordinates — the lidar→image association step (the 3-D
     generalization of the reference's 2-D object-in-lane geometry,
     ``/root/reference/spark_scripts/detect_scenes.py:51-90``; the
     reference fuses detections per camera, ``README.md:90-91``).
@@ -817,22 +878,39 @@ def project_points(df: DataFrame, *,
     first, or :func:`camera_info_intrinsics` a literal calibration),
     so one pass projects a mixed scan of many cameras.
 
-    Model (the OpenCV/ROS plumb-bob convention, public):
-    ``x' = x/z``, ``y' = y/z``, ``r² = x'² + y'²``,
-    ``x'' = x'(1 + k1·r² + k2·r⁴ + k3·r⁶) + 2·t1·x'y' + t2(r² + 2x'²)``,
-    ``y'' = y'(1 + k1·r² + k2·r⁴ + k3·r⁶) + t1(r² + 2y'²) + 2·t2·x'y'``,
+    Distortion models (all public OpenCV/ROS conventions):
+
+    - default (``model_col=None``): plumb-bob —
+      ``x' = x/z``, ``y' = y/z``, ``r² = x'² + y'²``,
+      ``x'' = x'(1 + k1·r² + k2·r⁴ + k3·r⁶) + 2·t1·x'y' + t2(r² + 2x'²)``,
+      ``y'' = y'(1 + k1·r² + k2·r⁴ + k3·r⁶) + t1(r² + 2y'²) + 2·t2·x'y'``.
+      ``distortion=None`` projects the ideal pinhole (rectified
+      images / P-matrix intrinsics).
+    - ``model_col="distortion_model"`` (r14): per-row dispatch on the
+      decoded CameraInfo model string, consuming the position-faithful
+      ``d1..d8`` columns :func:`camera_info_intrinsics` emits —
+      ``plumb_bob``/``''``/NULL → plumb-bob (zero coefficients are
+      the undistorted idiom); ``rational_polynomial`` → 6-term
+      rational radial (k4-k6 rigs); ``equidistant`` → the fisheye
+      θ-polynomial (surround cameras). Any OTHER model string culls
+      that row's pixels to NULL rather than silently projecting with
+      the wrong model — filter ``u IS NOT NULL`` after (count the
+      NULLs with a non-NULL ``z > 0`` to surface unsupported rigs).
+
     ``u = fx·x'' + cx``, ``v = fy·y'' + cy``. Points at or behind the
     image plane (``z ≤ 0``) are culled to NULL ``u``/``v`` — they have
     no pixel; filter ``u IS NOT NULL`` (plus image bounds) after.
-    ``distortion=None`` projects the ideal pinhole (rectified
-    images / P-matrix intrinsics). Compose::
+    Compose::
 
         pts  = decode_pointcloud2(cloud, mode="long")
         cam  = transform_points(asof_join(pts, poses, ...))  # → camera frame
         px   = project_points(cam, cols=("x_t", "y_t", "z_t"))
     """
-    need = list(cols) + list(intrinsics) + (list(distortion)
-                                            if distortion else [])
+    need = list(cols) + list(intrinsics)
+    if model_col is not None:
+        need += [model_col] + list(d_cols)
+    elif distortion:
+        need += list(distortion)
     for c in need:
         if c not in df.columns:
             raise ValueError(
@@ -841,20 +919,171 @@ def project_points(df: DataFrame, *,
     x, y, z = (F.col(c) for c in cols)
     fx, fy, cx, cy = (F.col(c) for c in intrinsics)
     xp, yp = x / z, y / z
-    if distortion:
+    if model_col is not None:
+        d = [F.col(c) for c in d_cols]
+        pb_x, pb_y = _distort_plumb_bob(xp, yp, d[0], d[1], d[2],
+                                        d[3], d[4])
+        ra_x, ra_y = _distort_rational(xp, yp, *d)
+        eq_x, eq_y = _distort_equidistant(xp, yp, d[0], d[1], d[2],
+                                          d[3])
+        model = F.col(model_col)
+        is_pb = model.isNull() | model.isin("", "plumb_bob")
+        xpp = (F.when(is_pb, pb_x)
+               .when(model == "rational_polynomial", ra_x)
+               .when(model == "equidistant", eq_x))
+        ypp = (F.when(is_pb, pb_y)
+               .when(model == "rational_polynomial", ra_y)
+               .when(model == "equidistant", eq_y))
+    elif distortion:
         k1, k2, t1, t2, k3 = (F.col(c) for c in distortion)
-        r2 = xp * xp + yp * yp
-        radial = (F.lit(1.0) + k1 * r2 + k2 * r2 * r2
-                  + k3 * r2 * r2 * r2)
-        two = F.lit(2.0)
-        xpp = (xp * radial + two * t1 * xp * yp
-               + t2 * (r2 + two * xp * xp))
-        ypp = (yp * radial + t1 * (r2 + two * yp * yp)
-               + two * t2 * xp * yp)
+        xpp, ypp = _distort_plumb_bob(xp, yp, k1, k2, t1, t2, k3)
     else:
         xpp, ypp = xp, yp
     front = z > 0
-    return (df.withColumn(out_cols[0],
-                          F.when(front, fx * xpp + cx))
-            .withColumn(out_cols[1],
-                        F.when(front, fy * ypp + cy)))
+    # stage the distorted normals as named columns before the final
+    # affine step: deep nested when() trees duplicated into two
+    # output expressions are exactly the Catalyst-analysis blowup the
+    # r13 slerp fold hit (f3d5427) — stage early. The front guard
+    # wraps the STAGE, not just the output: ANSI mode evaluates a
+    # staged x/z eagerly, so z == 0 rows must short-circuit here
+    # (when() branches not taken are never evaluated).
+    sx, sy = f"__{out_cols[0]}_pp", f"__{out_cols[1]}_pp"
+    return (df.withColumn(sx, F.when(front, xpp))
+            .withColumn(sy, F.when(front, ypp))
+            .withColumn(out_cols[0], fx * F.col(sx) + cx)
+            .withColumn(out_cols[1], fy * F.col(sy) + cy)
+            .drop(sx, sy))
+
+
+def unproject_pixels(df: DataFrame, *,
+                     px_cols: tuple[str, str] = ("u", "v"),
+                     intrinsics: tuple[str, str, str, str]
+                     = ("fx", "fy", "cx", "cy"),
+                     distortion: tuple[str, str, str, str, str] | None
+                     = ("k1", "k2", "t1", "t2", "k3"),
+                     model_col: str | None = None,
+                     d_cols: tuple[str, ...] = ("d1", "d2", "d3",
+                                                "d4", "d5", "d6",
+                                                "d7", "d8"),
+                     depth_col: str | None = None,
+                     out_cols: tuple[str, str, str]
+                     = ("rx", "ry", "rz"),
+                     iters: int = 8) -> DataFrame:
+    """Pixel→ray unprojection — the inverse of :func:`project_points`
+    and the other half of the reference's detection-fusion loop
+    (``/root/reference/spark_scripts/detect_scenes.py:51-90``): cast
+    2-D image detections back into the camera frame as 3-D rays.
+    PURE Catalyst (no Python per pixel): the distortion inversion is
+    a bounded fixed-point / Newton iteration unrolled ``iters`` times
+    with each step STAGED as named columns (the r13 slerp lesson,
+    f3d5427 — deep duplicated subtrees cost quadratic Catalyst
+    analysis; staged columns keep it linear).
+
+    Math (inverting the public OpenCV models): normalized distorted
+    coordinates ``xd = (u-cx)/fx``, ``yd = (v-cy)/fy``; then
+
+    - plumb-bob / rational_polynomial: the classic undistort
+      fixed-point — start at ``(xd, yd)`` and iterate
+      ``x ← (xd - tangential_x(x,y)) / radial(r²)`` (OpenCV's
+      ``undistortPoints`` recurrence; converges for physical
+      coefficients, ``iters=8`` matches C implementations' defaults).
+    - equidistant: Newton on the θ-polynomial
+      ``θ_d = θ(1 + k1θ² + k2θ⁴ + k3θ⁶ + k4θ⁸)`` starting at
+      ``θ = θ_d``, then ``scale = tan(θ)/θ_d``.
+
+    Output is the ray ``(x, y, 1)`` — with ``depth_col`` the ray is
+    scaled by that column (metric depth along the optical axis), so
+    ``project_points(unproject_pixels(...))`` round-trips. As in
+    :func:`project_points`, ``model_col=`` dispatches per row on the
+    decoded CameraInfo model string and consumes ``d1..d8``; unknown
+    models yield NULL rays. ``distortion=None`` is the ideal pinhole
+    (no iteration at all)."""
+    need = list(px_cols) + list(intrinsics)
+    if model_col is not None:
+        need += [model_col] + list(d_cols)
+    elif distortion:
+        need += list(distortion)
+    if depth_col is not None:
+        need.append(depth_col)
+    for c in need:
+        if c not in df.columns:
+            raise ValueError(
+                f"unproject_pixels: no column {c!r} — join the "
+                f"CameraInfo calibration onto the pixel rows first")
+    u, v = (F.col(c) for c in px_cols)
+    fx, fy, cx, cy = (F.col(c) for c in intrinsics)
+    stage = [c for c in ("__xd", "__yd", "__ux", "__uy", "__ra_x",
+                         "__ra_y", "__th", "__eq_s")]
+    out = (df.withColumn("__xd", (u - cx) / fx)
+           .withColumn("__yd", (v - cy) / fy))
+    xd, yd = F.col("__xd"), F.col("__yd")
+
+    def _pb_iterate(frame, xcol, ycol, k1, k2, t1, t2, k3,
+                    k4=None, k5=None, k6=None):
+        """Unrolled fixed-point undistort into (xcol, ycol)."""
+        frame = (frame.withColumn(xcol, xd).withColumn(ycol, yd))
+        for _ in range(iters):
+            x, y = F.col(xcol), F.col(ycol)
+            r2 = x * x + y * y
+            radial = (F.lit(1.0) + k1 * r2 + k2 * r2 * r2
+                      + k3 * r2 * r2 * r2)
+            if k4 is not None:
+                radial = radial / (F.lit(1.0) + k4 * r2
+                                   + k5 * r2 * r2
+                                   + k6 * r2 * r2 * r2)
+            two = F.lit(2.0)
+            dx = two * t1 * x * y + t2 * (r2 + two * x * x)
+            dy = t1 * (r2 + two * y * y) + two * t2 * x * y
+            frame = (frame
+                     .withColumn(xcol + "_n", (xd - dx) / radial)
+                     .withColumn(ycol + "_n", (yd - dy) / radial)
+                     .withColumn(xcol, F.col(xcol + "_n"))
+                     .withColumn(ycol, F.col(ycol + "_n"))
+                     .drop(xcol + "_n", ycol + "_n"))
+        return frame
+
+    if model_col is not None:
+        d = [F.col(c) for c in d_cols]
+        out = _pb_iterate(out, "__ux", "__uy", d[0], d[1], d[2],
+                          d[3], d[4])
+        out = _pb_iterate(out, "__ra_x", "__ra_y", *d[:5],
+                          k4=d[5], k5=d[6], k6=d[7])
+        # equidistant: Newton on θ, staged per step
+        th_d = F.sqrt(xd * xd + yd * yd)
+        out = out.withColumn("__th", th_d)
+        e1, e2, e3, e4 = d[0], d[1], d[2], d[3]
+        for _ in range(iters):
+            th = F.col("__th")
+            t2_ = th * th
+            f_ = th * (F.lit(1.0) + e1 * t2_ + e2 * t2_ * t2_
+                       + e3 * t2_ * t2_ * t2_
+                       + e4 * t2_ * t2_ * t2_ * t2_) - th_d
+            fp = (F.lit(1.0) + 3 * e1 * t2_ + 5 * e2 * t2_ * t2_
+                  + 7 * e3 * t2_ * t2_ * t2_
+                  + 9 * e4 * t2_ * t2_ * t2_ * t2_)
+            out = (out.withColumn("__th_n", th - f_ / fp)
+                   .withColumn("__th", F.col("__th_n"))
+                   .drop("__th_n"))
+        out = out.withColumn(
+            "__eq_s",
+            F.when(th_d > F.lit(1e-12), F.tan(F.col("__th")) / th_d)
+            .otherwise(F.lit(1.0)))
+        model = F.col(model_col)
+        is_pb = model.isNull() | model.isin("", "plumb_bob")
+        rx = (F.when(is_pb, F.col("__ux"))
+              .when(model == "rational_polynomial", F.col("__ra_x"))
+              .when(model == "equidistant", xd * F.col("__eq_s")))
+        ry = (F.when(is_pb, F.col("__uy"))
+              .when(model == "rational_polynomial", F.col("__ra_y"))
+              .when(model == "equidistant", yd * F.col("__eq_s")))
+    elif distortion:
+        k1, k2, t1, t2, k3 = (F.col(c) for c in distortion)
+        out = _pb_iterate(out, "__ux", "__uy", k1, k2, t1, t2, k3)
+        rx, ry = F.col("__ux"), F.col("__uy")
+    else:
+        rx, ry = xd, yd
+    depth = F.col(depth_col) if depth_col else F.lit(1.0)
+    out = (out.withColumn(out_cols[0], rx * depth)
+           .withColumn(out_cols[1], ry * depth)
+           .withColumn(out_cols[2], depth))
+    return out.drop(*[c for c in stage if c in out.columns])
