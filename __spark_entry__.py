@@ -1767,14 +1767,61 @@ def q_contamination(spark, sf_dir):
     every document against a small eval set (doc_id < 25 stands in for
     the benchmark corpus). The decontamination step of a training-data
     pipeline; benchmark shingle set stays broadcast-small by
-    construction (operators/dedup.contamination)."""
+    construction (operators/dedup.contamination).
+
+    r14 ``passages`` fold (VERDICT r13 item 5): the relational
+    ExactSubstr rewrite :func:`...operators.dedup.duplicate_passages`
+    under the oracle — documents salted with one of five 16-token
+    family boilerplate blocks (``doc_id % 97 < 5``; the corpus has no
+    natural duplicated passages) must yield exactly the maximal
+    shared runs the DuckDB gaps-and-islands replica finds: same
+    pairs, same 0-based token offsets, same run lengths. This pins
+    the operator's trickiest part — maximal-run coalescing on the
+    (pos_a − pos_b) diagonal — not just pair recall."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.dedup import (
+        duplicate_passages,
+    )
     docs = _spread(_t("documents")(spark, sf_dir))
     bench = _t("documents")(spark, sf_dir).where(F.col("doc_id") < 25)
-    return contamination(docs, bench, "doc_id", "text", shingle_n=8)
+    contam = contamination(docs, bench, "doc_id", "text", shingle_n=8)
+    c = contam.select(
+        F.lit("contam").alias("variant"), F.col("doc_id"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.col("contamination_ratio"),
+        F.lit(None).cast("bigint").alias("start_a"),
+        F.lit(None).cast("bigint").alias("start_b"),
+        F.lit(None).cast("bigint").alias("n_tokens"))
+    fam = F.col("doc_id") % 97
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(fam < 5,
+                   F.concat(F.lit(" license fam"), fam.cast("string"),
+                            F.lit(" alpha beta gamma delta epsilon"
+                                  " zeta eta theta iota kappa lam mu"
+                                  " nu xi"))).otherwise(F.lit("")))
+        .alias("text"))
+    spans = duplicate_passages(salted, "text", "doc_id",
+                               shingle_n=8, min_run=3)
+    p = spans.select(
+        F.lit("passages").alias("variant"),
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.lit(None).cast("bigint").alias("n_contaminated"),
+        F.lit(None).cast("double").alias("contamination_ratio"),
+        F.col("start_a").cast("bigint").alias("start_a"),
+        F.col("start_b").cast("bigint").alias("start_b"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    return c.unionByName(p)
 
 
 def _contamination_sql(n: int = 8, bench_max: int = 25) -> str:
     sh = _shingles_sql("tk", n)
+    gram8 = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
     return f"""
 with toks as (select doc_id, {TOKS} as tk from documents),
 sh as (select doc_id, {sh} as grams from toks),
@@ -1782,14 +1829,57 @@ dsh as (select doc_id, unnest(grams) as g from sh),
 bsh as (select distinct g from (
           select unnest(grams) as g from sh where doc_id < {bench_max})),
 hits as (select doc_id, count(*) as n_contaminated
-         from dsh join bsh using (g) group by doc_id)
-select s.doc_id,
+         from dsh join bsh using (g) group by doc_id),
+psalt as (
+  -- passages fold (r14): five 16-token family boilerplate blocks
+  select doc_id, text || case when doc_id % 97 < 5
+    then ' license fam' || (doc_id % 97)
+         || ' alpha beta gamma delta epsilon zeta eta theta iota'
+         || ' kappa lam mu nu xi'
+    else '' end as text
+  from documents),
+ptoks as (select doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              t -> t <> '') as tk from psalt),
+ppos as (
+  -- POSITIONAL {n}-gram shingles (0-based pos, duplicate_passages'
+  -- posexplode convention)
+  select doc_id, i - 1 as pos, {gram8} as g
+  from ptoks, unnest(range(1, len(tk) - {n - 2})) as r(i)),
+phits as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         a.pos as pos_a, b.pos as pos_b,
+         a.pos - b.pos as diag
+  from ppos a join ppos b on a.g = b.g and a.doc_id < b.doc_id),
+pruns as (
+  select id_a, id_b, diag, pos_a, pos_b,
+         pos_a - row_number() over (
+           partition by id_a, id_b, diag order by pos_a) as grp
+  from phits),
+pspan as (
+  select id_a, id_b,
+         min(pos_a) as start_a, min(pos_b) as start_b,
+         count(*) as n_shingles
+  from pruns group by id_a, id_b, diag, grp
+  having count(*) >= 3)
+select 'contam' as variant, s.doc_id,
+  cast(null as bigint) as id_b,
   len(s.grams)::BIGINT as n_shingles,
   coalesce(h.n_contaminated, 0)::BIGINT as n_contaminated,
   case when len(s.grams) > 0
        then round(coalesce(h.n_contaminated, 0) / len(s.grams)::DOUBLE, 6)
-       else 0.0 end as contamination_ratio
+       else 0.0 end as contamination_ratio,
+  cast(null as bigint) as start_a, cast(null as bigint) as start_b,
+  cast(null as bigint) as n_tokens
 from sh s left join hits h on h.doc_id = s.doc_id
+union all
+select 'passages' as variant, id_a as doc_id, id_b,
+  n_shingles::BIGINT as n_shingles,
+  cast(null as bigint) as n_contaminated,
+  cast(null as double) as contamination_ratio,
+  start_a::BIGINT as start_a, start_b::BIGINT as start_b,
+  (n_shingles + {n} - 1)::BIGINT as n_tokens
+from pspan
 """
 
 

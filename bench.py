@@ -82,6 +82,7 @@ def _one_session(sf_dir: str, sf: float) -> dict:
     timings: dict[str, float] = {}
     p50s: dict[str, float] = {}
     lasts: dict[str, float] = {}
+    variants: dict[str, dict[str, float]] = {}
     for name, fn in qs.items():
         samples: list[float] = []
         try:
@@ -93,6 +94,27 @@ def _one_session(sf_dir: str, sf: float) -> dict:
             timings[name] = round(min(samples), 3)
             p50s[name] = round(statistics.median(samples), 3)
             lasts[name] = round(samples[-1], 3)
+            # per-variant attribution for folded (tagged-union)
+            # entries (r14 — VERDICT r13 item 6): one filtered
+            # steady-state run per variant. The variant column is a
+            # per-branch literal, so `variant = 'x'` constant-folds
+            # through the union and each run costs only that branch
+            # — the detector can then attribute fold growth to the
+            # branch that grew instead of by narration.
+            df = fn(spark, sf_dir)
+            tag = next((c for c in ("variant", "kind")
+                        if c in df.columns), None)
+            if tag is not None:
+                vals = sorted(r[0] for r in
+                              df.select(tag).distinct().collect()
+                              if r[0] is not None)
+                vt: dict[str, float] = {}
+                for v in vals:
+                    t0 = time.time()
+                    df.where(F.col(tag) == v) \
+                        .write.format("noop").mode("overwrite").save()
+                    vt[v] = round(time.time() - t0, 3)
+                variants[name] = vt
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"bench error in {name}: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -110,6 +132,7 @@ def _one_session(sf_dir: str, sf: float) -> dict:
     return {"metric": "total_query_time", "value": total, "unit": "sec",
             "queries": timings, "queries_p50": p50s,
             "queries_last": lasts, "value_last": total_last,
+            "variants": variants,
             "warmup_sec": warmup, "runs": runs, "sf": sf,
             "host_load": {"start_1m": load0, "end_1m": _loadavg(),
                           "cpus": os.cpu_count()}}
@@ -137,9 +160,16 @@ def _aggregate(sessions: list[dict], sf: float) -> dict:
                      if min(vals) > 0 else None)
     total = round(sum(t for t in queries.values() if t >= 0), 3)
     total_p50 = round(sum(t for t in p50s.values() if t >= 0), 3)
+    variants: dict[str, dict[str, float]] = {}
+    for s in sessions:
+        for qn, vt in (s.get("variants") or {}).items():
+            agg = variants.setdefault(qn, {})
+            for v, t in vt.items():
+                agg[v] = round(min(agg.get(v, t), t), 3)
     return {"metric": "total_query_time", "value": total, "unit": "sec",
             "queries": queries, "queries_p50": p50s,
             "queries_spread": spread, "value_p50": total_p50,
+            "variants": variants,
             "sessions": len(sessions),
             "session_totals": [s["value"] for s in sessions],
             "session_loads": [s.get("host_load") for s in sessions],
@@ -212,6 +242,23 @@ def _detect_regressions(doc: dict, repo: str) -> dict:
                 "min": new_min,
                 "ratio": round(new_min / prev_min, 2),
                 "envelope": round(env, 2)})
+    # per-variant attribution (r14): when both artifacts carry fold
+    # timings, flag the BRANCH that grew (the query-level envelope
+    # applies — variant runs share the query's noise profile)
+    base_vars = base.get("variants") or {}
+    for qn, vt in (doc.get("variants") or {}).items():
+        for v, new_t in vt.items():
+            prev_t = (base_vars.get(qn) or {}).get(v)
+            if prev_t is None or prev_t <= 0 or new_t < 0:
+                continue
+            env = max(spread_now.get(qn) or 1.0,
+                      spread_base.get(qn) or 1.0, 1.4)
+            if new_t > prev_t * env and new_t - prev_t > 0.3:
+                regressions.append({
+                    "query": f"{qn}[{v}]", "prev_min": prev_t,
+                    "min": new_t,
+                    "ratio": round(new_t / prev_t, 2),
+                    "envelope": round(env, 2)})
     regressions.sort(key=lambda r: -r["ratio"])
     return {"baseline": base_name, "regressions": regressions}
 
