@@ -1,12 +1,16 @@
-"""Builtin lossy VP8 intra (keyframe) decoder — r13, VERDICT r12
-item 5.
+"""Builtin lossy VP8 decoder — keyframes (r13, VERDICT r12 item 5)
+plus full inter-frame video decoding (r14, VERDICT r13 item 4:
+:class:`VP8Decoder`, reference buffers, motion compensation).
 
 A lossy WebP still is EXACTLY one VP8 keyframe (RFC 6386 bitstream
 inside a RIFF chunk), and lossy is the dominant in-the-wild WebP —
-the WARC front door's main image format. This module decodes it from
-the public spec, pure numpy + Python (no Pillow, no libwebp), total
-on hostile bytes (malformed input raises ``ValueError`` naming the
-defect; nothing loops unbounded or indexes past buffers):
+the WARC front door's main image format. Raw VP8 *video* (IVF /
+``multimodal.parse_ivf``) additionally carries inter frames that
+motion-compensate against the last/golden/altref buffers. This
+module decodes both from the public spec, pure numpy + Python (no
+Pillow, no libwebp), total on hostile bytes (malformed input raises
+``ValueError`` naming the defect; nothing loops unbounded or indexes
+past buffers):
 
 - boolean (arithmetic) decoder, RFC 6386 §7;
 - keyframe header: segmentation, loop-filter params & deltas, token
@@ -52,7 +56,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["decode_vp8", "BoolDecoder"]
+__all__ = ["decode_vp8", "BoolDecoder", "VP8Decoder"]
 
 
 # ----------------------------------------------------------------- tables
@@ -718,7 +722,8 @@ def parse_vp8_frame_header(payload: bytes) -> _Header:
     if not keyframe:
         raise ValueError(
             "VP8: inter frame — a WebP still is always a keyframe; "
-            "inter prediction is out of scope")
+            "decode video streams through VP8Decoder (r14), which "
+            "carries the reference buffers inter frames need")
     if version > 3:
         raise ValueError(f"VP8: reserved version {version}")
     if payload[3:6] != b"\x9d\x01\x2a":
@@ -814,8 +819,9 @@ def parse_vp8_frame_header(payload: bytes) -> _Header:
     h.uv_dc_delta = bd.signed_literal(4) if bd.decode(128) else 0
     h.uv_ac_delta = bd.signed_literal(4) if bd.decode(128) else 0
 
-    # --- refresh entropy (keyframe: read and ignore, §9.7)
-    bd.decode(128)
+    # --- refresh entropy (§9.7; stills ignore it, VP8Decoder
+    # honors it for sequence entropy persistence)
+    h.refresh_entropy = bd.decode(128)
 
     # --- coefficient probability updates (§13.4)
     probs = [[[list(DEFAULT_COEFF_PROBS[t][b][c]) for c in range(3)]
@@ -1581,3 +1587,985 @@ def decode_vp8(payload: bytes) -> np.ndarray:
         Y[1:1 + h.height, 1:1 + h.width],
         U[1:1 + chh, 1:1 + cw], V[1:1 + chh, 1:1 + cw],
         h.width, h.height)
+
+
+# ======================================================================
+# Inter-frame (P-frame) decoding — r14, VERDICT r13 item 4.
+#
+# RFC 6386 §16-§18: reference buffers (last / golden / altref with
+# refresh+copy semantics and per-reference sign bias), contextual
+# near-MV survey, the mv-ref and sub-mv trees, two-context MV
+# component coding, and sixtap/bilinear sub-pixel motion
+# compensation. A WebP STILL is always a keyframe (libwebp's decoder
+# refuses non-keyframes outright), so the consumer surface for this
+# machinery is raw VP8 video streams — the IVF container
+# (multimodal.parse_ivf) and :class:`VP8Decoder` below. There is no
+# reference VP8 *video* codec in this container (no libvpx/ffmpeg;
+# libwebp is keyframe-only — pinned by a test), so the verification
+# strategy is: (a) a from-spec test-side encoder (bool encoder +
+# header/mode/MV writers from the same RFC tables) round-trips
+# through this decoder, (b) motion compensation is pinned against an
+# independent numpy sixtap/bilinear oracle in the tests, and (c)
+# structural identities (zero-MV all-skip inter frame == reference
+# frame, byte-exact) hold by construction.
+
+# non-keyframe intra mode trees/probs (§11.2; keyframes use the
+# KF_* tables above)
+YMODE_TREE = [_t(DC_PRED), 2, 4, 6, _t(V_PRED), _t(H_PRED),
+              _t(TM_PRED), _t(B_PRED)]
+YMODE_PROB_DEFAULT = [112, 86, 140, 37]
+UV_MODE_PROB_DEFAULT = [162, 101, 204]
+# inter-frame 4x4 submodes use ONE fixed table (no neighbor context)
+BMODE_PROB_INTER = [120, 90, 79, 133, 87, 85, 80, 111, 151]
+
+# inter prediction modes (continuing the intra numbering)
+NEARESTMV, NEARMV, ZEROMV, NEWMV, SPLITMV = 5, 6, 7, 8, 9
+
+MV_REF_TREE = [_t(ZEROMV), 2, _t(NEARESTMV), 4, _t(NEARMV), 6,
+               _t(NEWMV), _t(SPLITMV)]
+# mv-ref probabilities by near-MV survey count (vp8_mode_contexts;
+# stored as vp8_prob = uint8, so the >255 entries truncate mod 256
+# exactly as the C assignment does)
+MODE_CONTEXTS = [
+    [7, 1, 1, 143],
+    [14, 18, 14, 107],
+    [135, 64, 57, 68],
+    [60, 56, 128, 65],
+    [234, 160, 1, 1],
+    [257 & 255, 336 & 255, 1, 2],
+]
+
+# SPLITMV partitionings (§16.2)
+MBSPLIT_TREE = [_t(3), 2, _t(2), 4, _t(0), _t(1)]
+MBSPLIT_PROBS = [110, 111, 150]
+MBSPLITS = [
+    [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1],   # 16x8
+    [0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1],   # 8x16
+    [0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3],   # 8x8
+    list(range(16)),                                      # 4x4
+]
+MBSPLIT_COUNT = [2, 2, 4, 16]
+
+LEFT4X4, ABOVE4X4, ZERO4X4, NEW4X4 = 0, 1, 2, 3
+SUB_MV_REF_TREE = [_t(LEFT4X4), 2, _t(ABOVE4X4), 4, _t(ZERO4X4),
+                   _t(NEW4X4)]
+SUB_MV_REF_PROBS = [          # by (left, above) subvector context
+    [147, 136, 18],           # normal
+    [106, 145, 1],            # left == 0
+    [179, 121, 1],            # above == 0
+    [223, 1, 34],             # left == above (nonzero)
+    [208, 1, 1],              # left == above == 0
+]
+
+# MV component coding (§17.2): 19 probs per component —
+# [is_short, sign, short_tree x7, long_bits x10]
+MV_PIS_SHORT, MV_SIGN, MV_SHORT, MV_BITS = 0, 1, 2, 9
+SMALL_MV_TREE = [2, 8, 4, 6, _t(0), _t(1), _t(2), _t(3),
+                 10, 12, _t(4), _t(5), _t(6), _t(7)]
+DEFAULT_MV_PROBS = [
+    [162, 128, 225, 146, 172, 147, 214, 39, 156,
+     128, 129, 132, 75, 145, 178, 206, 239, 254, 254],   # row
+    [164, 128, 204, 170, 119, 235, 140, 230, 228,
+     128, 130, 130, 74, 148, 180, 203, 236, 254, 254],   # col
+]
+MV_UPDATE_PROBS = [
+    [237, 246, 253, 253, 254, 254, 254, 254, 254,
+     254, 254, 254, 254, 254, 250, 250, 252, 254, 254],
+    [231, 243, 245, 253, 254, 254, 254, 254, 254,
+     254, 254, 254, 254, 254, 251, 251, 254, 254, 254],
+]
+
+# sub-pixel interpolation (§18.3) — 8 eighth-pel phases
+SIXTAP_FILTERS = [
+    [0, 0, 128, 0, 0, 0],
+    [0, -6, 123, 12, -1, 0],
+    [2, -11, 108, 36, -8, 1],
+    [0, -9, 93, 50, -6, 0],
+    [3, -16, 77, 77, -16, 3],
+    [0, -6, 50, 93, -9, 0],
+    [1, -8, 36, 108, -11, 2],
+    [0, -1, 12, 123, -6, 0],
+]
+BILINEAR_FILTERS = [
+    [128, 0], [112, 16], [96, 32], [80, 48],
+    [64, 64], [48, 80], [32, 96], [16, 112],
+]
+
+_REF_BORDER = 32                  # reference-plane edge extension
+
+
+def read_mv_component(bd: BoolDecoder, probs) -> int:
+    """One quarter-pel MV component (§17.2): short tree or
+    10-bit long form with the bit-3 omission rule."""
+    if bd.decode(probs[MV_PIS_SHORT]):
+        x = 0
+        for i in range(3):
+            x += bd.decode(probs[MV_BITS + i]) << i
+        for i in range(9, 3, -1):
+            x += bd.decode(probs[MV_BITS + i]) << i
+        if not (x & 0xFFF0) or bd.decode(probs[MV_BITS + 3]):
+            x += 8
+    else:
+        x = bd.tree(SMALL_MV_TREE, probs[MV_SHORT:])
+    if x and bd.decode(probs[MV_SIGN]):
+        x = -x
+    return x
+
+
+def read_mv(bd: BoolDecoder, mv_probs) -> tuple[int, int]:
+    """(row, col) in EIGHTH-pel units (coded quarter-pel × 2, the
+    storage convention motion compensation consumes)."""
+    r = read_mv_component(bd, mv_probs[0]) * 2
+    c = read_mv_component(bd, mv_probs[1]) * 2
+    return r, c
+
+
+class _MbState:
+    """Per-macroblock neighbor context for inter decoding."""
+
+    __slots__ = ("ref", "mode", "mv", "submvs")
+
+    def __init__(self, ref=0, mode=DC_PRED, mv=(0, 0), submvs=None):
+        self.ref = ref            # 0 intra, 1 last, 2 golden, 3 arf
+        self.mode = mode
+        self.mv = mv              # (row, col) eighth-pel
+        self.submvs = submvs      # 16 (row, col) when SPLITMV
+
+
+def _mv_bias(neigh_bias: int, ref_bias: int,
+             mv: tuple[int, int]) -> tuple[int, int]:
+    if neigh_bias != ref_bias:
+        return (-mv[0], -mv[1])
+    return mv
+
+
+def _clamp_val(v: int, lo: int, hi: int) -> int:
+    return lo if v < lo else hi if v > hi else v
+
+
+def find_near_mvs(above: _MbState, left: _MbState,
+                  aboveleft: _MbState, ref: int, sign_bias,
+                  mb_x: int, mb_y: int, mb_w: int, mb_h: int):
+    """RFC 6386 §16.3 near-MV survey: returns (best, nearest, near,
+    cnt[4]) with best/nearest/near clamped to the 16-px border
+    margin. Weights 2/2/1 for above/left/above-left; a neighbor's MV
+    is sign-flipped when its reference's sign bias differs from the
+    target reference's."""
+    mvs = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    cnt = [0, 0, 0, 0]
+    idx = 0                       # index of the current top entry
+
+    if above.ref != 0:
+        if above.mv != (0, 0):
+            idx += 1
+            mvs[idx] = _mv_bias(sign_bias[above.ref], sign_bias[ref],
+                                above.mv)
+        cnt[idx] += 2
+    if left.ref != 0:
+        if left.mv != (0, 0):
+            this = _mv_bias(sign_bias[left.ref], sign_bias[ref],
+                            left.mv)
+            if this != mvs[idx]:
+                idx += 1
+                mvs[idx] = this
+            cnt[idx] += 2
+        else:
+            cnt[0] += 2
+    if aboveleft.ref != 0:
+        if aboveleft.mv != (0, 0):
+            this = _mv_bias(sign_bias[aboveleft.ref], sign_bias[ref],
+                            aboveleft.mv)
+            if this != mvs[idx]:
+                idx += 1
+                mvs[idx] = this
+            cnt[idx] += 1
+        else:
+            cnt[0] += 1
+
+    # a third distinct MV that matches the nearest strengthens it
+    if cnt[3] and mvs[idx] == mvs[1]:
+        cnt[1] += 1
+    cnt[3] = (((above.mode == SPLITMV) + (left.mode == SPLITMV)) * 2
+              + (aboveleft.mode == SPLITMV))
+    if cnt[2] > cnt[1]:
+        cnt[1], cnt[2] = cnt[2], cnt[1]
+        mvs[1], mvs[2] = mvs[2], mvs[1]
+    if cnt[1] >= cnt[0]:
+        mvs[0] = mvs[1]
+
+    to_left = -(mb_x << 7)        # mb edges in eighth-pel
+    to_right = (mb_w - 1 - mb_x) << 7
+    to_top = -(mb_y << 7)
+    to_bottom = (mb_h - 1 - mb_y) << 7
+    margin = 16 << 3
+
+    def clamp2(mv):
+        return (_clamp_val(mv[0], to_top - margin, to_bottom + margin),
+                _clamp_val(mv[1], to_left - margin,
+                           to_right + margin))
+
+    return (clamp2(mvs[0]), clamp2(mvs[1]), clamp2(mvs[2]), cnt,
+            (to_left, to_right, to_top, to_bottom))
+
+
+def _clamp_mv_border(mv, edges):
+    """clamp_mv_to_umv_border: 19-px detect threshold, clamp to
+    16 px (the prediction-time clamp; stored MVs stay raw)."""
+    to_left, to_right, to_top, to_bottom = edges
+    r, c = mv
+    if c < to_left - (19 << 3):
+        c = to_left - (16 << 3)
+    elif c > to_right + (18 << 3):
+        c = to_right + (16 << 3)
+    if r < to_top - (19 << 3):
+        r = to_top - (16 << 3)
+    elif r > to_bottom + (18 << 3):
+        r = to_bottom + (16 << 3)
+    return r, c
+
+
+def _needs_clamp(mv, edges) -> bool:
+    to_left, to_right, to_top, to_bottom = edges
+    margin = 16 << 3
+    r, c = mv
+    return (c < to_left - margin or c > to_right + margin
+            or r < to_top - margin or r > to_bottom + margin)
+
+
+def _predict_block(ref: np.ndarray, r: int, c: int, h: int, w: int,
+                   mv: tuple[int, int], filters) -> np.ndarray:
+    """Motion-compensated block from a border-extended reference
+    plane (origin at ``_REF_BORDER``): full-pel base + the
+    horizontal-then-vertical filter passes, ``(x + 64) >> 7``
+    rounding, clamped to uint8."""
+    mr, mc = mv
+    r0 = r + (mr >> 3) + _REF_BORDER
+    c0 = c + (mc >> 3) + _REF_BORDER
+    yoff = mr & 7
+    xoff = mc & 7
+    if not xoff and not yoff:
+        return ref[r0:r0 + h, c0:c0 + w].astype(np.int64)
+    six = filters is SIXTAP_FILTERS
+    if six:
+        ta, tb = 2, 3             # taps above/below the sample row
+    else:
+        ta, tb = 0, 1
+    if xoff and yoff:
+        fx = filters[xoff]
+        fy = filters[yoff]
+        rows = h + ta + tb
+        src = ref[r0 - ta:r0 - ta + rows].astype(np.int64)
+        if six:
+            tmp = (fx[0] * src[:, c0 - 2:c0 - 2 + w]
+                   + fx[1] * src[:, c0 - 1:c0 - 1 + w]
+                   + fx[2] * src[:, c0:c0 + w]
+                   + fx[3] * src[:, c0 + 1:c0 + 1 + w]
+                   + fx[4] * src[:, c0 + 2:c0 + 2 + w]
+                   + fx[5] * src[:, c0 + 3:c0 + 3 + w])
+        else:
+            tmp = (fx[0] * src[:, c0:c0 + w]
+                   + fx[1] * src[:, c0 + 1:c0 + 1 + w])
+        tmp = np.clip((tmp + 64) >> 7, 0, 255)
+        if six:
+            out = (fy[0] * tmp[0:h] + fy[1] * tmp[1:h + 1]
+                   + fy[2] * tmp[2:h + 2] + fy[3] * tmp[3:h + 3]
+                   + fy[4] * tmp[4:h + 4] + fy[5] * tmp[5:h + 5])
+        else:
+            out = fy[0] * tmp[0:h] + fy[1] * tmp[1:h + 1]
+        return np.clip((out + 64) >> 7, 0, 255)
+    if xoff:
+        fx = filters[xoff]
+        src = ref[r0:r0 + h].astype(np.int64)
+        if six:
+            out = (fx[0] * src[:, c0 - 2:c0 - 2 + w]
+                   + fx[1] * src[:, c0 - 1:c0 - 1 + w]
+                   + fx[2] * src[:, c0:c0 + w]
+                   + fx[3] * src[:, c0 + 1:c0 + 1 + w]
+                   + fx[4] * src[:, c0 + 2:c0 + 2 + w]
+                   + fx[5] * src[:, c0 + 3:c0 + 3 + w])
+        else:
+            out = (fx[0] * src[:, c0:c0 + w]
+                   + fx[1] * src[:, c0 + 1:c0 + 1 + w])
+        return np.clip((out + 64) >> 7, 0, 255)
+    fy = filters[yoff]
+    src = ref[r0 - ta:r0 + h + tb, c0:c0 + w].astype(np.int64)
+    if six:
+        out = (fy[0] * src[0:h] + fy[1] * src[1:h + 1]
+               + fy[2] * src[2:h + 2] + fy[3] * src[3:h + 3]
+               + fy[4] * src[4:h + 4] + fy[5] * src[5:h + 5])
+    else:
+        out = fy[0] * src[0:h] + fy[1] * src[1:h + 1]
+    return np.clip((out + 64) >> 7, 0, 255)
+
+
+def _extend_plane(plane: np.ndarray) -> np.ndarray:
+    """Edge-replicated border extension (the reference-buffer
+    convention: MVs may reach 16 px past the frame plus filter
+    taps)."""
+    return np.pad(plane, _REF_BORDER, mode="edge")
+
+
+def _parse_inter_header(payload: bytes, dec: "VP8Decoder") -> _Header:
+    """Non-keyframe header (RFC 6386 §9): same segmentation / filter /
+    partition / quantizer layout as the keyframe (no start code or
+    dimensions — those persist from the sequence's keyframe), then
+    the reference-buffer controls, coefficient-probability updates
+    against the decoder's PERSISTENT entropy state, the
+    intra/last/golden branch probabilities, optional intra-mode prob
+    updates, and the two-context MV probability updates."""
+    tag = int.from_bytes(payload[0:3], "little")
+    part0_size = tag >> 5
+    if part0_size == 0 or 3 + part0_size > len(payload):
+        raise ValueError("VP8: inter frame first partition overruns "
+                         "the payload")
+    bd = BoolDecoder(payload[3:3 + part0_size])
+    h = _Header()
+    h.version = (tag >> 1) & 7
+    h.show = (tag >> 4) & 1
+    h.width, h.height = dec.width, dec.height
+    h.keyframe = False
+
+    # --- segmentation (§9.3) — identical layout to the keyframe;
+    # the segment feature STATE persists across frames (only coded
+    # deltas update it), but this engine re-reads what is coded and
+    # keeps the previous values when absent
+    h.segmentation = bd.decode(128)
+    h.update_mb_seg_map = 0
+    h.seg_abs = dec.seg_abs
+    h.seg_quant = list(dec.seg_quant)
+    h.seg_lf = list(dec.seg_lf)
+    h.seg_tree_probs = [255, 255, 255]
+    if h.segmentation:
+        h.update_mb_seg_map = bd.decode(128)
+        if bd.decode(128):                   # update_segment_feature_data
+            h.seg_abs = bd.decode(128)
+            h.seg_quant = [0, 0, 0, 0]
+            h.seg_lf = [0, 0, 0, 0]
+            for i in range(4):
+                if bd.decode(128):
+                    h.seg_quant[i] = bd.signed_literal(7)
+            for i in range(4):
+                if bd.decode(128):
+                    h.seg_lf[i] = bd.signed_literal(6)
+        if h.update_mb_seg_map:
+            for i in range(3):
+                h.seg_tree_probs[i] = (bd.literal(8) if bd.decode(128)
+                                       else 255)
+
+    # --- loop filter (§9.4)
+    h.filter_type = bd.decode(128)
+    h.filter_level = bd.literal(6)
+    h.sharpness = bd.literal(3)
+    h.lf_delta_enabled = bd.decode(128)
+    h.ref_lf_deltas = list(dec.ref_lf_deltas)
+    h.mode_lf_deltas = list(dec.mode_lf_deltas)
+    if h.lf_delta_enabled:
+        if bd.decode(128):
+            for i in range(4):
+                if bd.decode(128):
+                    h.ref_lf_deltas[i] = bd.signed_literal(6)
+            for i in range(4):
+                if bd.decode(128):
+                    h.mode_lf_deltas[i] = bd.signed_literal(6)
+
+    # --- token partitions (§9.5)
+    n_parts = 1 << bd.literal(2)
+    part_base = 3 + part0_size
+    table = payload[part_base:part_base + 3 * (n_parts - 1)]
+    if len(table) < 3 * (n_parts - 1):
+        raise ValueError("VP8: truncated token-partition size table")
+    data_base = part_base + 3 * (n_parts - 1)
+    pos = data_base
+    sizes = []
+    for i in range(n_parts - 1):
+        sz = int.from_bytes(table[3 * i:3 * i + 3], "little")
+        if pos + sz > len(payload):
+            raise ValueError(f"VP8: token partition {i} overruns "
+                             f"the payload")
+        sizes.append((pos, sz))
+        pos += sz
+    sizes.append((pos, len(payload) - pos))
+    if sizes[-1][1] < 0:
+        raise ValueError("VP8: token partitions overrun the payload")
+    h.token_parts = [BoolDecoder(payload[p:p + s]) for p, s in sizes]
+
+    # --- quantizers (§9.6)
+    h.y_ac_qi = bd.literal(7)
+    h.y_dc_delta = bd.signed_literal(4) if bd.decode(128) else 0
+    h.y2_dc_delta = bd.signed_literal(4) if bd.decode(128) else 0
+    h.y2_ac_delta = bd.signed_literal(4) if bd.decode(128) else 0
+    h.uv_dc_delta = bd.signed_literal(4) if bd.decode(128) else 0
+    h.uv_ac_delta = bd.signed_literal(4) if bd.decode(128) else 0
+
+    # --- reference buffer controls (§9.7)
+    h.refresh_golden = bd.decode(128)
+    h.refresh_alt = bd.decode(128)
+    h.copy_to_golden = 0 if h.refresh_golden else bd.literal(2)
+    h.copy_to_alt = 0 if h.refresh_alt else bd.literal(2)
+    h.sign_bias_golden = bd.decode(128)
+    h.sign_bias_alt = bd.decode(128)
+    h.refresh_entropy = bd.decode(128)
+    h.refresh_last = bd.decode(128)
+
+    # --- coefficient probability updates (§13.4) against the
+    # persistent state
+    probs = [[[list(dec.coeff_probs[t][b][c]) for c in range(3)]
+              for b in range(8)] for t in range(4)]
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                upd = COEFF_UPDATE_PROBS[t][b][c]
+                row = probs[t][b][c]
+                for i in range(11):
+                    if bd.decode(upd[i]):
+                        row[i] = bd.literal(8)
+    h.coeff_probs = probs
+
+    # --- skip flag (§9.10)
+    h.mb_no_skip = bd.decode(128)
+    h.prob_skip_false = bd.literal(8) if h.mb_no_skip else 0
+
+    # --- inter-specific mode probabilities (§9.11)
+    h.prob_intra = bd.literal(8)
+    h.prob_last = bd.literal(8)
+    h.prob_gf = bd.literal(8)
+    ymode = list(dec.ymode_probs)
+    if bd.decode(128):
+        ymode = [bd.literal(8) for _ in range(4)]
+    h.ymode_probs = ymode
+    uvmode = list(dec.uvmode_probs)
+    if bd.decode(128):
+        uvmode = [bd.literal(8) for _ in range(3)]
+    h.uvmode_probs = uvmode
+    mv_probs = [list(dec.mv_probs[0]), list(dec.mv_probs[1])]
+    for ctx in range(2):
+        for i in range(19):
+            if bd.decode(MV_UPDATE_PROBS[ctx][i]):
+                v = bd.literal(7)
+                mv_probs[ctx][i] = (v << 1) if v else 1
+    h.mv_probs = mv_probs
+
+    if bd.exhausted():
+        raise ValueError("VP8: first partition exhausted mid-header")
+    h.bd = bd
+    return h
+
+
+def _mb_filter_level_inter(h, seg: int, ref: int, mode: int) -> int:
+    """Loop-filter level with reference and mode deltas (the libvpx
+    mode_lf_lut: B_PRED→0, ZEROMV→1, other inter→2, SPLITMV→3;
+    non-B_PRED intra takes no mode delta)."""
+    if h.segmentation:
+        lvl = (h.seg_lf[seg] if h.seg_abs
+               else h.filter_level + h.seg_lf[seg])
+    else:
+        lvl = h.filter_level
+    lvl = min(63, max(0, lvl))
+    if h.lf_delta_enabled:
+        lvl += h.ref_lf_deltas[ref]
+        if ref == 0:
+            if mode == B_PRED:
+                lvl += h.mode_lf_deltas[0]
+        elif mode == ZEROMV:
+            lvl += h.mode_lf_deltas[1]
+        elif mode == SPLITMV:
+            lvl += h.mode_lf_deltas[3]
+        else:
+            lvl += h.mode_lf_deltas[2]
+        lvl = min(63, max(0, lvl))
+    return lvl
+
+
+def _decode_inter_frame(h, dec: "VP8Decoder"):
+    """Inter-frame macroblock loop (§16-§18): per-MB intra/inter
+    branch, near-MV survey + mv-ref tree, motion compensation from
+    the selected reference buffer, shared residual machinery, then
+    the loop filter. Returns padded Y/U/V planes (the keyframe
+    loop's output contract)."""
+    mb_w = (h.width + 15) // 16
+    mb_h = (h.height + 15) // 16
+    quants = _segment_quants(h)
+    filters = (SIXTAP_FILTERS if h.version == 0
+               else BILINEAR_FILTERS)
+    fullpel_mask = ~7 if h.version == 3 else ~0
+    sign_bias = [0, 0, h.sign_bias_golden, h.sign_bias_alt]
+
+    Y = np.empty((mb_h * 16 + 1, mb_w * 16 + 5), np.uint8)
+    U = np.empty((mb_h * 8 + 1, mb_w * 8 + 1), np.uint8)
+    V = np.empty_like(U)
+    for pl in (Y, U, V):
+        pl[0, :] = 127
+        pl[1:, 0] = 129
+
+    bd = h.bd
+    above_y_nz = np.zeros((mb_w, 4), np.int64)
+    above_u_nz = np.zeros((mb_w, 2), np.int64)
+    above_v_nz = np.zeros((mb_w, 2), np.int64)
+    above_y2_nz = np.zeros(mb_w, np.int64)
+    mb_info = [[(0, False)] * mb_w for _ in range(mb_h)]
+    coeffs = np.zeros((25, 16), np.int64)
+
+    intra_st = _MbState()                 # out-of-frame neighbors
+    above_st = [_MbState() for _ in range(mb_w)]
+    seg_map = dec.seg_map
+    if seg_map is None or len(seg_map) != mb_h * mb_w:
+        seg_map = [0] * (mb_h * mb_w)
+
+    for mb_y in range(mb_h):
+        td = h.token_parts[mb_y % len(h.token_parts)]
+        left_st = _MbState()
+        al_st = _MbState()                # above-left neighbor state
+        left_y_nz = [0, 0, 0, 0]
+        left_u_nz = [0, 0]
+        left_v_nz = [0, 0]
+        left_y2 = 0
+        for mb_x in range(mb_w):
+            if bd.exhausted() or td.exhausted():
+                raise ValueError(
+                    f"VP8: bitstream exhausted at macroblock "
+                    f"({mb_x}, {mb_y}) — truncated or corrupt")
+            seg = seg_map[mb_y * mb_w + mb_x]
+            if h.segmentation and h.update_mb_seg_map:
+                seg = bd.tree(MB_SEGMENT_TREE, h.seg_tree_probs)
+                seg_map[mb_y * mb_w + mb_x] = seg
+            skip = bd.decode(h.prob_skip_false) if h.mb_no_skip else 0
+
+            st = _MbState()
+            submv_pred = None             # per-subblock (mv, bmode)
+            if bd.decode(h.prob_intra):   # ---- inter MB
+                if bd.decode(h.prob_last):
+                    ref = 3 if bd.decode(h.prob_gf) else 2
+                else:
+                    ref = 1
+                if dec.refs[ref] is None:
+                    raise ValueError(
+                        f"VP8: frame references buffer {ref} before "
+                        f"any keyframe established it")
+                above_n = above_st[mb_x] if mb_y > 0 else intra_st
+                al_n = (al_st if (mb_y > 0 and mb_x > 0)
+                        else intra_st)
+                left_n = left_st if mb_x > 0 else intra_st
+                best, nearest, near, cnt, edges = find_near_mvs(
+                    above_n, left_n, al_n, ref, sign_bias,
+                    mb_x, mb_y, mb_w, mb_h)
+                probs = [MODE_CONTEXTS[min(cnt[0], 5)][0],
+                         MODE_CONTEXTS[min(cnt[1], 5)][1],
+                         MODE_CONTEXTS[min(cnt[2], 5)][2],
+                         MODE_CONTEXTS[min(cnt[3], 5)][3]]
+                # tree leaves carry the mode numbers directly
+                mode = bd.tree(MV_REF_TREE, probs)
+                st.ref = ref
+                st.mode = mode
+                if mode == ZEROMV:
+                    st.mv = (0, 0)
+                elif mode == NEARESTMV:
+                    st.mv = nearest
+                elif mode == NEARMV:
+                    st.mv = near
+                elif mode == NEWMV:
+                    dr, dc = read_mv(bd, h.mv_probs)
+                    st.mv = (dr + best[0], dc + best[1])
+                else:                     # SPLITMV
+                    st.mode = SPLITMV
+                    part = bd.tree(MBSPLIT_TREE, MBSPLIT_PROBS)
+                    fill = MBSPLITS[part]
+                    part_mvs = [None] * MBSPLIT_COUNT[part]
+                    submvs = [None] * 16
+                    for p in range(MBSPLIT_COUNT[part]):
+                        b = fill.index(p)     # first subblock of part
+                        # left/above subvector context
+                        if b & 3:
+                            lmv = submvs[b - 1]
+                        elif mb_x > 0:
+                            ln = left_st
+                            lmv = (ln.submvs[b + 3]
+                                   if ln.submvs is not None
+                                   else ln.mv)
+                        else:
+                            lmv = (0, 0)
+                        if b >= 4:
+                            amv = submvs[b - 4]
+                        elif mb_y > 0:
+                            an = above_st[mb_x]
+                            amv = (an.submvs[b + 12]
+                                   if an.submvs is not None
+                                   else an.mv)
+                        else:
+                            amv = (0, 0)
+                        lez = lmv == (0, 0)
+                        aez = amv == (0, 0)
+                        if lmv == amv:
+                            ctx = 4 if lez else 3
+                        elif lez:
+                            ctx = 1
+                        elif aez:
+                            ctx = 2
+                        else:
+                            ctx = 0
+                        sub = bd.tree(SUB_MV_REF_TREE,
+                                      SUB_MV_REF_PROBS[ctx])
+                        if sub == NEW4X4:
+                            dr, dc = read_mv(bd, h.mv_probs)
+                            mv = (dr + best[0], dc + best[1])
+                        elif sub == LEFT4X4:
+                            mv = lmv
+                        elif sub == ABOVE4X4:
+                            mv = amv
+                        else:
+                            mv = (0, 0)
+                        part_mvs[p] = mv
+                        for bb in range(16):
+                            if fill[bb] == p:
+                                submvs[bb] = mv
+                    st.submvs = submvs
+                    st.mv = submvs[15]    # the neighbor-context MV
+                ymode = None
+            else:                         # ---- intra MB
+                st.ref = 0
+                ymode = bd.tree(YMODE_TREE, h.ymode_probs)
+                st.mode = ymode
+                if ymode == B_PRED:
+                    bmodes = [[bd.tree(BMODE_TREE, BMODE_PROB_INTER)
+                               for _ in range(4)] for _ in range(4)]
+                else:
+                    imp = _IMPLIED_BMODE[ymode]
+                    bmodes = [[imp] * 4] * 4
+                uvmode = bd.tree(UV_MODE_TREE, h.uvmode_probs)
+
+            # ---- residuals (shared token machinery)
+            ydc, yac, y2dc, y2ac, uvdc, uvac = quants[seg]
+            coeffs[:] = 0
+            has_coeffs = False
+            has_y2 = st.mode not in (B_PRED, SPLITMV) \
+                if st.ref else (ymode != B_PRED)
+            if skip:
+                left_y_nz = [0, 0, 0, 0]
+                left_u_nz = [0, 0]
+                left_v_nz = [0, 0]
+                above_y_nz[mb_x] = 0
+                above_u_nz[mb_x] = 0
+                above_v_nz[mb_x] = 0
+                if has_y2:
+                    above_y2_nz[mb_x] = 0
+                    left_y2 = 0
+            else:
+                if has_y2:
+                    ctx = int(above_y2_nz[mb_x]) + left_y2
+                    eob = _get_coeffs(td, h.coeff_probs[1], ctx,
+                                      y2dc, y2ac, 0, coeffs[24])
+                    nz = int(eob > 0)
+                    above_y2_nz[mb_x] = nz
+                    left_y2 = nz
+                    has_coeffs = has_coeffs or nz
+                    ytype, first = 0, 1
+                else:
+                    ytype, first = 3, 0
+                for sy in range(4):
+                    lnz = left_y_nz[sy]
+                    for sx in range(4):
+                        ctx = lnz + int(above_y_nz[mb_x][sx])
+                        eob = _get_coeffs(td, h.coeff_probs[ytype],
+                                          ctx, ydc, yac, first,
+                                          coeffs[4 * sy + sx])
+                        lnz = int(eob > first)
+                        above_y_nz[mb_x][sx] = lnz
+                        has_coeffs = has_coeffs or lnz
+                    left_y_nz[sy] = lnz
+                for anz, lnzs, ci0 in ((above_u_nz, left_u_nz, 16),
+                                       (above_v_nz, left_v_nz, 20)):
+                    for sy in range(2):
+                        lnz = lnzs[sy]
+                        for sx in range(2):
+                            ctx = lnz + int(anz[mb_x][sx])
+                            eob = _get_coeffs(
+                                td, h.coeff_probs[2], ctx, uvdc,
+                                uvac, 0, coeffs[ci0 + 2 * sy + sx])
+                            lnz = int(eob > 0)
+                            anz[mb_x][sx] = lnz
+                            has_coeffs = has_coeffs or lnz
+                        lnzs[sy] = lnz
+
+            mb_info[mb_y][mb_x] = (
+                _mb_filter_level_inter(h, seg, st.ref, st.mode),
+                st.mode in (B_PRED, SPLITMV) or has_coeffs)
+
+            # ---- reconstruction
+            if has_y2:
+                dcs = _iwht4x4(coeffs[24])
+                for b in range(16):
+                    coeffs[b][0] = dcs[b]
+            r0, c0 = 1 + 16 * mb_y, 1 + 16 * mb_x
+            if st.ref:                    # inter reconstruction
+                ry, ru, rv = dec.refs[st.ref]
+                yr, yc = 16 * mb_y, 16 * mb_x
+                edges = (-(mb_x << 7), (mb_w - 1 - mb_x) << 7,
+                         -(mb_y << 7), (mb_h - 1 - mb_y) << 7)
+                if st.mode == SPLITMV:
+                    need = any(_needs_clamp(m, edges)
+                               for m in st.submvs)
+                    pred = np.empty((16, 16), np.int64)
+                    for b in range(16):
+                        mv = st.submvs[b]
+                        if need:
+                            mv = _clamp_mv_border(mv, edges)
+                        sy, sx = divmod(b, 4)
+                        pred[4 * sy:4 * sy + 4, 4 * sx:4 * sx + 4] \
+                            = _predict_block(
+                                ry, yr + 4 * sy, yc + 4 * sx, 4, 4,
+                                mv, filters)
+                    # chroma: per-4x4 average of the 2x2 luma group
+                    upred = np.empty((8, 8), np.int64)
+                    vpred = np.empty((8, 8), np.int64)
+                    for i in range(2):
+                        for j in range(2):
+                            yo = i * 8 + j * 2
+                            tr = sum(st.submvs[yo + k][0]
+                                     for k in (0, 1, 4, 5))
+                            tc = sum(st.submvs[yo + k][1]
+                                     for k in (0, 1, 4, 5))
+                            tr += 4 if tr >= 0 else -4
+                            tc += 4 if tc >= 0 else -4
+                            uvmv = ((int(tr / 8)) & fullpel_mask,
+                                    (int(tc / 8)) & fullpel_mask)
+                            if need:
+                                uvmv = _clamp_uvmv(uvmv, edges)
+                            blk_u = _predict_block(
+                                ru, 8 * mb_y + 4 * i, 8 * mb_x + 4 * j,
+                                4, 4, uvmv, filters)
+                            blk_v = _predict_block(
+                                rv, 8 * mb_y + 4 * i, 8 * mb_x + 4 * j,
+                                4, 4, uvmv, filters)
+                            upred[4 * i:4 * i + 4, 4 * j:4 * j + 4] \
+                                = blk_u
+                            vpred[4 * i:4 * i + 4, 4 * j:4 * j + 4] \
+                                = blk_v
+                else:
+                    mv = st.mv
+                    if _needs_clamp(mv, edges):
+                        mv = _clamp_mv_border(mv, edges)
+                    pred = _predict_block(ry, yr, yc, 16, 16, mv,
+                                          filters)
+                    # chroma mv: /2 rounded away from zero
+                    ur = mv[0] + (1 if mv[0] >= 0 else -1)
+                    uc = mv[1] + (1 if mv[1] >= 0 else -1)
+                    uvmv = (int(ur / 2) & fullpel_mask,
+                            int(uc / 2) & fullpel_mask)
+                    upred = _predict_block(ru, 8 * mb_y, 8 * mb_x,
+                                           8, 8, uvmv, filters)
+                    vpred = _predict_block(rv, 8 * mb_y, 8 * mb_x,
+                                           8, 8, uvmv, filters)
+                for sy in range(4):
+                    for sx in range(4):
+                        blk = coeffs[4 * sy + sx]
+                        if blk.any():
+                            pred[4 * sy:4 * sy + 4,
+                                 4 * sx:4 * sx + 4] += _idct4x4(blk)
+                Y[r0:r0 + 16, c0:c0 + 16] = np.clip(pred, 0, 255)
+                ru0, cu0 = 1 + 8 * mb_y, 1 + 8 * mb_x
+                for pl, pr_, ci0 in ((U, upred, 16), (V, vpred, 20)):
+                    for sy in range(2):
+                        for sx in range(2):
+                            blk = coeffs[ci0 + 2 * sy + sx]
+                            if blk.any():
+                                pr_[4 * sy:4 * sy + 4,
+                                    4 * sx:4 * sx + 4] += \
+                                    _idct4x4(blk)
+                    pl[ru0:ru0 + 8, cu0:cu0 + 8] = \
+                        np.clip(pr_, 0, 255)
+            elif ymode == B_PRED:
+                if mb_y > 0 and mb_x == mb_w - 1:
+                    Y[r0 - 1, c0 + 16:c0 + 20] = Y[r0 - 1, c0 + 15]
+                tr4 = Y[r0 - 1, c0 + 16:c0 + 20].copy()
+                for dy in (3, 7, 11):
+                    Y[r0 + dy, c0 + 16:c0 + 20] = tr4
+                for sy in range(4):
+                    for sx in range(4):
+                        pr = _pred_b(Y, r0 + 4 * sy, c0 + 4 * sx,
+                                     bmodes[sy][sx])
+                        blk = coeffs[4 * sy + sx]
+                        if blk.any():
+                            pr = pr + _idct4x4(blk)
+                        Y[r0 + 4 * sy:r0 + 4 * sy + 4,
+                          c0 + 4 * sx:c0 + 4 * sx + 4] = \
+                            np.clip(pr, 0, 255)
+                ru0, cu0 = 1 + 8 * mb_y, 1 + 8 * mb_x
+                for pl, ci0 in ((U, 16), (V, 20)):
+                    pr = _pred16(pl, ru0, cu0, 8, uvmode, mb_y > 0,
+                                 mb_x > 0)
+                    for sy in range(2):
+                        for sx in range(2):
+                            blk = coeffs[ci0 + 2 * sy + sx]
+                            if blk.any():
+                                pr[4 * sy:4 * sy + 4,
+                                   4 * sx:4 * sx + 4] += _idct4x4(blk)
+                    pl[ru0:ru0 + 8, cu0:cu0 + 8] = \
+                        np.clip(pr, 0, 255)
+            else:                         # 16x16 intra
+                pr = _pred16(Y, r0, c0, 16, ymode, mb_y > 0,
+                             mb_x > 0)
+                for sy in range(4):
+                    for sx in range(4):
+                        blk = coeffs[4 * sy + sx]
+                        if blk.any():
+                            pr[4 * sy:4 * sy + 4, 4 * sx:4 * sx + 4] \
+                                += _idct4x4(blk)
+                Y[r0:r0 + 16, c0:c0 + 16] = np.clip(pr, 0, 255)
+                ru0, cu0 = 1 + 8 * mb_y, 1 + 8 * mb_x
+                for pl, ci0 in ((U, 16), (V, 20)):
+                    pr = _pred16(pl, ru0, cu0, 8, uvmode, mb_y > 0,
+                                 mb_x > 0)
+                    for sy in range(2):
+                        for sx in range(2):
+                            blk = coeffs[ci0 + 2 * sy + sx]
+                            if blk.any():
+                                pr[4 * sy:4 * sy + 4,
+                                   4 * sx:4 * sx + 4] += _idct4x4(blk)
+                    pl[ru0:ru0 + 8, cu0:cu0 + 8] = \
+                        np.clip(pr, 0, 255)
+
+            # roll neighbor state
+            al_st = above_st[mb_x]
+            above_st[mb_x] = st
+            left_st = st
+
+    dec.seg_map = seg_map
+    if h.version < 2 and (h.filter_level > 0 or h.segmentation
+                          or h.lf_delta_enabled):
+        hh = _SimpleFilterView(h) if h.version == 1 else h
+        _loop_filter(hh, Y, U, V, mb_info, mb_w, mb_h)
+    return Y, U, V
+
+
+def _clamp_uvmv(mv, edges):
+    """clamp_uvmv_to_umv_border: chroma MVs compared at 2× against
+    the luma-plane bounds, clamped to half the luma clamp."""
+    to_left, to_right, to_top, to_bottom = edges
+    r, c = mv
+    if 2 * c < to_left - (19 << 3):
+        c = (to_left - (16 << 3)) >> 1
+    elif 2 * c > to_right + (18 << 3):
+        c = (to_right + (16 << 3)) >> 1
+    if 2 * r < to_top - (19 << 3):
+        r = (to_top - (16 << 3)) >> 1
+    elif 2 * r > to_bottom + (18 << 3):
+        r = (to_bottom + (16 << 3)) >> 1
+    return r, c
+
+
+class VP8Decoder:
+    """Stateful VP8 video decoder: keyframes re-arm dimensions,
+    entropy defaults, and all three reference buffers; inter frames
+    decode against them. ``decode_frame`` returns ``(h, w, 3)``
+    uint8 RGB for shown frames and ``None`` for invisible ones
+    (altref-update frames), which still refresh their buffers."""
+
+    def __init__(self):
+        self.width = self.height = None
+        self.refs: dict[int, tuple | None] = {1: None, 2: None,
+                                              3: None}
+        self.sign_bias_golden = 0
+        self.sign_bias_alt = 0
+        self.seg_abs = 0
+        self.seg_quant = [0, 0, 0, 0]
+        self.seg_lf = [0, 0, 0, 0]
+        self.ref_lf_deltas = [0, 0, 0, 0]
+        self.mode_lf_deltas = [0, 0, 0, 0]
+        self.seg_map = None
+        self._reset_entropy()
+
+    def _reset_entropy(self) -> None:
+        self.coeff_probs = [
+            [[list(DEFAULT_COEFF_PROBS[t][b][c]) for c in range(3)]
+             for b in range(8)] for t in range(4)]
+        self.mv_probs = [list(DEFAULT_MV_PROBS[0]),
+                         list(DEFAULT_MV_PROBS[1])]
+        self.ymode_probs = list(YMODE_PROB_DEFAULT)
+        self.uvmode_probs = list(UV_MODE_PROB_DEFAULT)
+
+    def _store_refs(self, h, Y, U, V) -> None:
+        mb_w = (self.width + 15) // 16
+        mb_h = (self.height + 15) // 16
+        new = (_extend_plane(Y[1:1 + mb_h * 16, 1:1 + mb_w * 16]),
+               _extend_plane(U[1:1 + mb_h * 8, 1:1 + mb_w * 8]),
+               _extend_plane(V[1:1 + mb_h * 8, 1:1 + mb_w * 8]))
+        if getattr(h, "keyframe", True):
+            self.refs = {1: new, 2: new, 3: new}
+            return
+        # buffer copies happen BEFORE the refreshes, altref copy
+        # first (a golden copy from altref sees the new altref) —
+        # the libvpx swap_frame_buffers order
+        if h.copy_to_alt == 1:
+            self.refs[3] = self.refs[1]
+        elif h.copy_to_alt == 2:
+            self.refs[3] = self.refs[2]
+        if h.copy_to_golden == 1:
+            self.refs[2] = self.refs[1]
+        elif h.copy_to_golden == 2:
+            self.refs[2] = self.refs[3]
+        if h.refresh_golden:
+            self.refs[2] = new
+        if h.refresh_alt:
+            self.refs[3] = new
+        if h.refresh_last:
+            self.refs[1] = new
+
+    def decode_frame(self, payload: bytes) -> np.ndarray | None:
+        payload = bytes(payload)
+        if len(payload) < 3:
+            raise ValueError("VP8: frame shorter than its tag")
+        keyframe = not (payload[0] & 1)
+        if keyframe:
+            h = parse_vp8_frame_header(payload)
+            h.keyframe = True
+            self.width, self.height = h.width, h.height
+            self.seg_map = None
+            self.sign_bias_golden = self.sign_bias_alt = 0
+            self._reset_entropy()
+            # keyframe header updates apply against the freshly
+            # reset defaults; persistence below mirrors the inter
+            # path (refresh_entropy == 0 reverts after the frame)
+            saved = self._snapshot_entropy()
+            self.coeff_probs = h.coeff_probs
+            Y, U, V = _decode_frame(h)
+            if not h.refresh_entropy:
+                self._restore_entropy(saved)
+        else:
+            if self.width is None:
+                raise ValueError(
+                    "VP8: inter frame before any keyframe — the "
+                    "stream must start with a keyframe")
+            h = _parse_inter_header(payload, self)
+            saved = self._snapshot_entropy()
+            self.coeff_probs = h.coeff_probs
+            self.mv_probs = h.mv_probs
+            self.ymode_probs = h.ymode_probs
+            self.uvmode_probs = h.uvmode_probs
+            self.sign_bias_golden = h.sign_bias_golden
+            self.sign_bias_alt = h.sign_bias_alt
+            Y, U, V = _decode_inter_frame(h, self)
+            if not h.refresh_entropy:
+                self._restore_entropy(saved)
+            # loop-filter delta and segment-feature state persist
+            self.seg_abs = h.seg_abs
+            self.seg_quant = list(h.seg_quant)
+            self.seg_lf = list(h.seg_lf)
+            self.ref_lf_deltas = list(h.ref_lf_deltas)
+            self.mode_lf_deltas = list(h.mode_lf_deltas)
+        self._store_refs(h, Y, U, V)
+        if not h.show:
+            return None
+        cw, chh = (self.width + 1) // 2, (self.height + 1) // 2
+        return _yuv420_to_rgb_fancy(
+            Y[1:1 + self.height, 1:1 + self.width],
+            U[1:1 + chh, 1:1 + cw], V[1:1 + chh, 1:1 + cw],
+            self.width, self.height)
+
+    def _snapshot_entropy(self):
+        return ([[[list(c) for c in b] for b in t]
+                 for t in self.coeff_probs],
+                [list(self.mv_probs[0]), list(self.mv_probs[1])],
+                list(self.ymode_probs), list(self.uvmode_probs))
+
+    def _restore_entropy(self, saved) -> None:
+        self.coeff_probs, self.mv_probs, self.ymode_probs, \
+            self.uvmode_probs = saved
