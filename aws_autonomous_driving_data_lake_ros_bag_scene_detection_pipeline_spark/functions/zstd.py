@@ -555,23 +555,52 @@ def _decode_sequences(src: bytes, literals: bytearray,
     ml_state = rb.read(ml_t.log)
     rep = ctx["rep"]
     lit_pos = 0
+    # hot loop: the backward bit reads are inlined on local aliases
+    # (one method call per read costs ~2x at MCAP-chunk scale)
+    buf = rb.data
+    bitpos = rb.bitpos
+    from_bytes = int.from_bytes
+    ll_sym, ll_nb, ll_ba = ll_t.symbols, ll_t.nbits, ll_t.base
+    of_sym, of_nb, of_ba = of_t.symbols, of_t.nbits, of_t.base
+    ml_sym, ml_nb, ml_ba = ml_t.symbols, ml_t.nbits, ml_t.base
     for i in range(nseq):
-        of_code = of_t.symbols[of_state]
-        ml_code = ml_t.symbols[ml_state]
-        ll_code = ll_t.symbols[ll_state]
+        of_code = of_sym[of_state]
+        ml_code = ml_sym[ml_state]
+        ll_code = ll_sym[ll_state]
         if of_code > _MAX_OF_SYMBOL:
             raise ValueError("zstd: offset code out of range")
         # bit-read order is offset, match length, literals length
-        offset_val = (1 << of_code) + (rb.read(of_code)
-                                       if of_code else 0)
+        if of_code:
+            p = bitpos - of_code
+            if p < 0:
+                raise ValueError("zstd: bitstream exhausted "
+                                 "mid-symbol")
+            bitpos = p
+            chunk = from_bytes(buf[p >> 3:(p >> 3) + 8], "little")
+            offset_val = (1 << of_code) + (
+                (chunk >> (p & 7)) & ((1 << of_code) - 1))
+        else:
+            offset_val = 1
         ml = _ML_BASE[ml_code]
         k = _ML_BITS[ml_code]
         if k:
-            ml += rb.read(k)
+            p = bitpos - k
+            if p < 0:
+                raise ValueError("zstd: bitstream exhausted "
+                                 "mid-symbol")
+            bitpos = p
+            chunk = from_bytes(buf[p >> 3:(p >> 3) + 8], "little")
+            ml += (chunk >> (p & 7)) & ((1 << k) - 1)
         ll = _LL_BASE[ll_code]
         k = _LL_BITS[ll_code]
         if k:
-            ll += rb.read(k)
+            p = bitpos - k
+            if p < 0:
+                raise ValueError("zstd: bitstream exhausted "
+                                 "mid-symbol")
+            bitpos = p
+            chunk = from_bytes(buf[p >> 3:(p >> 3) + 8], "little")
+            ll += (chunk >> (p & 7)) & ((1 << k) - 1)
         # repeat-offset resolution (§3.1.1.5)
         if offset_val > 3:
             offset = offset_val - 3
@@ -610,19 +639,49 @@ def _decode_sequences(src: bytes, literals: bytearray,
             reps = -(-ml // offset)
             out += (seg * reps)[:ml]
         if i + 1 < nseq:              # last sequence: no state update
-            ll_state = ll_t.base[ll_state] + (
-                rb.read(ll_t.nbits[ll_state])
-                if ll_t.nbits[ll_state] else 0)
-            ml_state = ml_t.base[ml_state] + (
-                rb.read(ml_t.nbits[ml_state])
-                if ml_t.nbits[ml_state] else 0)
-            of_state = of_t.base[of_state] + (
-                rb.read(of_t.nbits[of_state])
-                if of_t.nbits[of_state] else 0)
-    if rb.bitpos != 0:
+            k = ll_nb[ll_state]
+            if k:
+                p = bitpos - k
+                if p < 0:
+                    raise ValueError("zstd: bitstream exhausted "
+                                     "mid-symbol")
+                bitpos = p
+                chunk = from_bytes(buf[p >> 3:(p >> 3) + 8],
+                                   "little")
+                ll_state = ll_ba[ll_state] + (
+                    (chunk >> (p & 7)) & ((1 << k) - 1))
+            else:
+                ll_state = ll_ba[ll_state]
+            k = ml_nb[ml_state]
+            if k:
+                p = bitpos - k
+                if p < 0:
+                    raise ValueError("zstd: bitstream exhausted "
+                                     "mid-symbol")
+                bitpos = p
+                chunk = from_bytes(buf[p >> 3:(p >> 3) + 8],
+                                   "little")
+                ml_state = ml_ba[ml_state] + (
+                    (chunk >> (p & 7)) & ((1 << k) - 1))
+            else:
+                ml_state = ml_ba[ml_state]
+            k = of_nb[of_state]
+            if k:
+                p = bitpos - k
+                if p < 0:
+                    raise ValueError("zstd: bitstream exhausted "
+                                     "mid-symbol")
+                bitpos = p
+                chunk = from_bytes(buf[p >> 3:(p >> 3) + 8],
+                                   "little")
+                of_state = of_ba[of_state] + (
+                    (chunk >> (p & 7)) & ((1 << k) - 1))
+            else:
+                of_state = of_ba[of_state]
+    if bitpos != 0:
         raise ValueError(
             f"zstd: sequence bitstream not fully consumed "
-            f"({rb.bitpos} bits left)")
+            f"({bitpos} bits left)")
     out += literals[lit_pos:]
     ctx["rep"] = rep
 
