@@ -199,7 +199,8 @@ def build_inter_frame(mb_writer, q: int = 0, filter_level: int = 0,
                       copy_to_alt: int = 0, sign_bias_golden: int = 0,
                       sign_bias_alt: int = 0, show: int = 1,
                       prob_intra: int = 128, prob_last: int = 128,
-                      prob_gf: int = 128) -> bytes:
+                      prob_gf: int = 128,
+                      token_bytes: bytes = b"\x00") -> bytes:
     be = BoolEncoder()
     _common_header(be, q, filter_level, keyframe=False)
     be.b(refresh_golden, 128)
@@ -224,7 +225,7 @@ def build_inter_frame(mb_writer, q: int = 0, filter_level: int = 0,
     mb_writer(be)
     part0 = be.flush()
     tag = (1 | (0 << 1) | (show << 4) | (len(part0) << 5))
-    return tag.to_bytes(3, "little") + part0 + b"\x00"
+    return tag.to_bytes(3, "little") + part0 + token_bytes
 
 
 class _NeighborTracker:
@@ -818,3 +819,77 @@ def test_ivf_demux_end_to_end():
     only_kf = parse_ivf(ivf, keyframes_only=True)
     assert only_kf["indexes"] == [0]
     assert len(only_kf["frames"]) == 1
+
+
+@needs_libwebp
+def test_inter_residual_tokens_on_splitmv():
+    """A non-skip SPLITMV MB (all-ZERO4X4) with a REAL coefficient
+    token stream: Y block 0 carries one +1 DC coefficient; all other
+    blocks end immediately. Output = motion-compensated reference
+    plus the dequantized DC residual through the pinned IDCT — the
+    token machinery runs end-to-end on the inter path with the
+    correct nz contexts."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8 import (
+        COEFF_BANDS, DC_QLOOKUP, DEFAULT_COEFF_PROBS, _idct4x4,
+    )
+    rng = np.random.default_rng(31)
+    dec = VP8Decoder()
+    dec.decode_frame(_webp_vp8_chunk(_natural(16, 16, rng), 90.0))
+    border = 32
+    ref_y = dec.refs[1][0][border:-border, border:-border].copy()
+    trk = _NeighborTracker(1, 1)
+
+    def mbs(be):
+        trk.row_start()
+        plan = (3, [(ZERO4X4, None)] * 16)
+        _write_inter_mb(be, trk, 0, 0, SPLITMV, skip=0,
+                        submv_plan=plan)
+
+    te = BoolEncoder()
+    probs = DEFAULT_COEFF_PROBS[3]        # ytype 3: no Y2
+
+    def encode_block(ctx, dc_value):
+        """Mirror of _get_coeffs for [dc_value, EOB]."""
+        p = probs[COEFF_BANDS[0]][ctx]
+        if dc_value == 0:
+            te.b(0, p[0])                 # EOB at once
+            return 0
+        te.b(1, p[0])                     # not EOB
+        te.b(1, p[1])                     # nonzero
+        te.b(0, p[2])                     # value 1 (nctx 1)
+        te.b(0, 128)                      # sign +
+        p = probs[COEFF_BANDS[1]][1]
+        te.b(0, p[0])                     # EOB
+        return 1
+
+    # Y blocks with decoder-faithful nz context propagation
+    above = [0, 0, 0, 0]
+    for sy in range(4):
+        lnz = 0
+        for sx in range(4):
+            ctx = lnz + above[sx]
+            nz = encode_block(ctx, 1 if (sy, sx) == (0, 0) else 0)
+            lnz = nz
+            above[sx] = nz
+    # chroma: 2x2 U then V, all empty
+    uvp = DEFAULT_COEFF_PROBS[2]
+    au = [0, 0]
+    for _pl in range(2):
+        for sy in range(2):
+            lnz = 0
+            for sx in range(2):
+                te.b(0, uvp[COEFF_BANDS[0]][lnz + au[sx]][0])
+                lnz = 0
+                au[sx] = 0
+    tokens = te.flush()
+
+    out = dec.decode_frame(build_inter_frame(mbs,
+                                             token_bytes=tokens))
+    assert out is not None
+    got_y = dec.refs[1][0][border:-border, border:-border]
+    coeffs = np.zeros(16, np.int64)
+    coeffs[0] = DC_QLOOKUP[0]             # q index 0, +1 DC
+    want = ref_y.astype(np.int64)
+    want[0:4, 0:4] += _idct4x4(coeffs)
+    want = np.clip(want, 0, 255).astype(np.uint8)
+    assert np.array_equal(got_y, want)
