@@ -1846,56 +1846,27 @@ def _predict_block(ref: np.ndarray, r: int, c: int, h: int, w: int,
     if not xoff and not yoff:
         return ref[r0:r0 + h, c0:c0 + w].astype(np.int64)
     six = filters is SIXTAP_FILTERS
-    if six:
-        ta, tb = 2, 3             # taps above/below the sample row
-    else:
-        ta, tb = 0, 1
-    if xoff and yoff:
-        fx = filters[xoff]
-        fy = filters[yoff]
-        rows = h + ta + tb
-        src = ref[r0 - ta:r0 - ta + rows].astype(np.int64)
-        if six:
-            tmp = (fx[0] * src[:, c0 - 2:c0 - 2 + w]
-                   + fx[1] * src[:, c0 - 1:c0 - 1 + w]
-                   + fx[2] * src[:, c0:c0 + w]
-                   + fx[3] * src[:, c0 + 1:c0 + 1 + w]
-                   + fx[4] * src[:, c0 + 2:c0 + 2 + w]
-                   + fx[5] * src[:, c0 + 3:c0 + 3 + w])
-        else:
-            tmp = (fx[0] * src[:, c0:c0 + w]
-                   + fx[1] * src[:, c0 + 1:c0 + 1 + w])
-        tmp = np.clip((tmp + 64) >> 7, 0, 255)
-        if six:
-            out = (fy[0] * tmp[0:h] + fy[1] * tmp[1:h + 1]
-                   + fy[2] * tmp[2:h + 2] + fy[3] * tmp[3:h + 3]
-                   + fy[4] * tmp[4:h + 4] + fy[5] * tmp[5:h + 5])
-        else:
-            out = fy[0] * tmp[0:h] + fy[1] * tmp[1:h + 1]
-        return np.clip((out + 64) >> 7, 0, 255)
+    ta, tb = (2, 3) if six else (0, 1)    # taps around the sample
+    # bounded working window (full plane rows would copy the whole
+    # row width per 4x4 subblock)
+    src = ref[r0 - ta:r0 + h + tb,
+              c0 - ta:c0 + w + tb].astype(np.int64)
+    taps = 6 if six else 2
     if xoff:
         fx = filters[xoff]
-        src = ref[r0:r0 + h].astype(np.int64)
-        if six:
-            out = (fx[0] * src[:, c0 - 2:c0 - 2 + w]
-                   + fx[1] * src[:, c0 - 1:c0 - 1 + w]
-                   + fx[2] * src[:, c0:c0 + w]
-                   + fx[3] * src[:, c0 + 1:c0 + 1 + w]
-                   + fx[4] * src[:, c0 + 2:c0 + 2 + w]
-                   + fx[5] * src[:, c0 + 3:c0 + 3 + w])
-        else:
-            out = (fx[0] * src[:, c0:c0 + w]
-                   + fx[1] * src[:, c0 + 1:c0 + 1 + w])
-        return np.clip((out + 64) >> 7, 0, 255)
-    fy = filters[yoff]
-    src = ref[r0 - ta:r0 + h + tb, c0:c0 + w].astype(np.int64)
-    if six:
-        out = (fy[0] * src[0:h] + fy[1] * src[1:h + 1]
-               + fy[2] * src[2:h + 2] + fy[3] * src[3:h + 3]
-               + fy[4] * src[4:h + 4] + fy[5] * src[5:h + 5])
+        acc = np.zeros((src.shape[0], w), np.int64)
+        for k in range(taps):
+            acc += fx[k] * src[:, k:k + w]
+        src = np.clip((acc + 64) >> 7, 0, 255)
+        if not yoff:
+            return src[ta:ta + h]
     else:
-        out = fy[0] * src[0:h] + fy[1] * src[1:h + 1]
-    return np.clip((out + 64) >> 7, 0, 255)
+        src = src[:, ta:ta + w]
+    fy = filters[yoff]
+    acc = np.zeros((h, w), np.int64)
+    for k in range(taps):
+        acc += fy[k] * src[k:k + h]
+    return np.clip((acc + 64) >> 7, 0, 255)
 
 
 def _extend_plane(plane: np.ndarray) -> np.ndarray:
@@ -1921,6 +1892,8 @@ def _parse_inter_header(payload: bytes, dec: "VP8Decoder") -> _Header:
     bd = BoolDecoder(payload[3:3 + part0_size])
     h = _Header()
     h.version = (tag >> 1) & 7
+    if h.version > 3:
+        raise ValueError(f"VP8: reserved version {h.version}")
     h.show = (tag >> 4) & 1
     h.width, h.height = dec.width, dec.height
     h.keyframe = False
