@@ -94,27 +94,6 @@ def _one_session(sf_dir: str, sf: float) -> dict:
             timings[name] = round(min(samples), 3)
             p50s[name] = round(statistics.median(samples), 3)
             lasts[name] = round(samples[-1], 3)
-            # per-variant attribution for folded (tagged-union)
-            # entries (r14 — VERDICT r13 item 6): one filtered
-            # steady-state run per variant. The variant column is a
-            # per-branch literal, so `variant = 'x'` constant-folds
-            # through the union and each run costs only that branch
-            # — the detector can then attribute fold growth to the
-            # branch that grew instead of by narration.
-            df = fn(spark, sf_dir)
-            tag = next((c for c in ("variant", "kind")
-                        if c in df.columns), None)
-            if tag is not None:
-                vals = sorted(r[0] for r in
-                              df.select(tag).distinct().collect()
-                              if r[0] is not None)
-                vt: dict[str, float] = {}
-                for v in vals:
-                    t0 = time.time()
-                    df.where(F.col(tag) == v) \
-                        .write.format("noop").mode("overwrite").save()
-                    vt[v] = round(time.time() - t0, 3)
-                variants[name] = vt
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"bench error in {name}: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -124,6 +103,38 @@ def _one_session(sf_dir: str, sf: float) -> dict:
         # the dedup pair operators persist() their signature relation and
         # document that the CALLER owns the cache lifetime (dedup.py:24-29);
         # leaked cache from earlier queries skews later measurements
+        spark.catalog.clearCache()
+
+    # per-variant attribution for folded (tagged-union) entries
+    # (r14 — VERDICT r13 item 6): one filtered steady-state run per
+    # variant. The tag column is a per-branch literal, so
+    # `variant = 'x'` constant-folds through the union and each run
+    # costs only that branch — the detector can then attribute fold
+    # growth to the branch that grew instead of by narration. Runs
+    # as a SECOND pass after every main timing so the extra actions
+    # never heat the box under a query being measured.
+    for name, fn in qs.items():
+        if timings.get(name, -1.0) < 0:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            tag = next((c for c in ("variant", "kind")
+                        if c in df.columns), None)
+            if tag is None:
+                continue
+            vals = sorted(r[0] for r in
+                          df.select(tag).distinct().collect()
+                          if r[0] is not None)
+            vt: dict[str, float] = {}
+            for v in vals:
+                t0 = time.time()
+                df.where(F.col(tag) == v) \
+                    .write.format("noop").mode("overwrite").save()
+                vt[v] = round(time.time() - t0, 3)
+            variants[name] = vt
+        except Exception as e:  # pragma: no cover
+            print(f"bench variant error in {name}: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
         spark.catalog.clearCache()
     spark.stop()
 
