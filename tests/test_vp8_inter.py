@@ -893,3 +893,127 @@ def test_inter_residual_tokens_on_splitmv():
     want[0:4, 0:4] += _idct4x4(coeffs)
     want = np.clip(want, 0, 255).astype(np.uint8)
     assert np.array_equal(got_y, want)
+
+
+def _st(ref=0, mode=DC_PRED, mv=(0, 0), submvs=None):
+    return _MbState(ref=ref, mode=mode, mv=mv, submvs=submvs)
+
+
+def test_find_near_mvs_semantics_direct():
+    """The §16.3 survey's intricate rules, unit-tested in isolation:
+    weights, top-entry dedupe, near/nearest swap, third-distinct
+    strengthening, sign-bias negation, best-mv election, and the
+    16-px border clamp."""
+    sb = [0, 0, 0, 0]
+    mid = dict(mb_x=4, mb_y=4, mb_w=16, mb_h=16)
+
+    # dedupe: left repeats above's MV -> one candidate with weight 4
+    best, nearest, near, cnt, _ = find_near_mvs(
+        _st(ref=1, mv=(2, 4)), _st(ref=1, mv=(2, 4)), _st(), 1, sb,
+        **mid)
+    assert nearest == (2, 4) and near == (0, 0)
+    assert cnt[1] == 4 and cnt[2] == 0
+
+    # swap: left+aboveleft agree on B (weight 3) > above's A (2)
+    best, nearest, near, cnt, _ = find_near_mvs(
+        _st(ref=1, mv=(2, 4)), _st(ref=1, mv=(-6, 8)),
+        _st(ref=1, mv=(-6, 8)), 1, sb, **mid)
+    assert nearest == (-6, 8) and near == (2, 4)
+    assert cnt[1] == 3 and cnt[2] == 2
+
+    # third distinct equal to nearest strengthens it (the slot-3
+    # aliasing rule): above A, left B, aboveleft A (vs top B ->
+    # appended third) -> cnt[nearest] gets +1
+    best, nearest, near, cnt, _ = find_near_mvs(
+        _st(ref=1, mv=(2, 4)), _st(ref=1, mv=(-6, 8)),
+        _st(ref=1, mv=(2, 4)), 1, sb, **mid)
+    assert nearest == (2, 4) and cnt[1] == 3
+
+    # zero-MV inter neighbors count toward the intra/zero bucket
+    best, nearest, near, cnt, _ = find_near_mvs(
+        _st(ref=1, mv=(0, 0)), _st(ref=1, mv=(0, 0)), _st(), 1, sb,
+        **mid)
+    assert cnt[0] == 4 and nearest == (0, 0)
+
+    # best-mv election: cnt[nearest] >= cnt[zero] -> best = nearest
+    best, nearest, _, cnt, _ = find_near_mvs(
+        _st(ref=1, mv=(0, 0)), _st(ref=1, mv=(4, 4)), _st(), 1, sb,
+        **mid)
+    assert cnt[0] == 2 and cnt[1] == 2 and best == (4, 4)
+    # ... and stays zero when the zero bucket dominates
+    best, _, _, cnt, _ = find_near_mvs(
+        _st(ref=1, mv=(0, 0)), _st(ref=1, mv=(4, 4)),
+        _st(ref=1, mv=(0, 0)), 1, sb, **mid)
+    assert cnt[0] == 3 and cnt[1] == 2 and best == (0, 0)
+
+    # sign bias: golden-referenced neighbor flips for a last-frame
+    # target when the biases differ
+    sb_g = [0, 0, 1, 0]
+    _, nearest, _, _, _ = find_near_mvs(
+        _st(ref=2, mv=(2, 4)), _st(), _st(), 1, sb_g, **mid)
+    assert nearest == (-2, -4)
+    # ... and does NOT flip when the target shares the bias
+    _, nearest, _, _, _ = find_near_mvs(
+        _st(ref=2, mv=(2, 4)), _st(), _st(), 2, sb_g, **mid)
+    assert nearest == (2, 4)
+
+    # SPLITMV neighbors feed cnt[3] (2/2/1 weighting)
+    _, _, _, cnt, _ = find_near_mvs(
+        _st(ref=1, mode=SPLITMV, mv=(2, 0)),
+        _st(ref=1, mode=SPLITMV, mv=(2, 0)),
+        _st(ref=1, mode=SPLITMV, mv=(2, 0)), 1, sb, **mid)
+    assert cnt[3] == 5
+
+    # border clamp: a huge MV at the top-left corner clamps to the
+    # 16-px margin beyond the frame edge
+    _, nearest, _, _, _ = find_near_mvs(
+        _st(ref=1, mv=(-4000, -4000)), _st(), _st(), 1, sb,
+        mb_x=0, mb_y=0, mb_w=4, mb_h=4)
+    assert nearest == (-(16 << 3), -(16 << 3))
+
+
+@needs_libwebp
+def test_splitmv_left_inheritance_across_mbs():
+    """LEFT4X4 on MB 1's left-column subblocks must inherit MB 0's
+    RIGHT-column sub-vectors (b+3), not its macroblock MV."""
+    rng = np.random.default_rng(37)
+    dec = VP8Decoder()
+    dec.decode_frame(_webp_vp8_chunk(_natural(16, 32, rng), 90.0))
+    border = 32
+    plane = dec.refs[1][0][border:-border, border:-border].copy()
+    trk = _NeighborTracker(2, 1)
+    states = []
+
+    def mbs(be):
+        trk.row_start()
+        # MB 0: 4x4 split, right column carries a distinct MV
+        ops = []
+        for b in range(16):
+            if b % 4 == 3:
+                ops.append((NEW4X4, (8, 16)))
+            else:
+                ops.append((ZERO4X4, None))
+        states.append(_write_inter_mb(be, trk, 0, 0, SPLITMV,
+                                      submv_plan=(3, ops)))
+        # MB 1: left column inherits via LEFT4X4
+        ops1 = [(LEFT4X4, None) if b % 4 == 0 else (ZERO4X4, None)
+                for b in range(16)]
+        states.append(_write_inter_mb(be, trk, 1, 0, SPLITMV,
+                                      submv_plan=(3, ops1)))
+
+    out = dec.decode_frame(build_inter_frame(mbs))
+    assert out is not None
+    # the left-column subblocks of MB 1 carry MB 0's right-column MV
+    for b in (0, 4, 8, 12):
+        assert states[1].submvs[b] == (8, 16), b
+    got_y = dec.refs[1][0][border:-border, border:-border]
+    for x, st in enumerate(states):
+        for sy in range(4):
+            for sx in range(4):
+                smv = st.submvs[4 * sy + sx]
+                want = _mc_oracle(plane, 4 * sy, 16 * x + 4 * sx,
+                                  4, 4, smv, SIXTAP_FILTERS)
+                got = got_y[4 * sy:4 * sy + 4,
+                            16 * x + 4 * sx:16 * x + 4 * sx + 4]
+                assert np.array_equal(got, want.astype(np.uint8)), \
+                    (x, sy, sx, smv)
