@@ -1336,6 +1336,11 @@ def _decode_frame(h):
     above_bmode = np.full((mb_w, 4), B_DC_PRED, np.int64)
     mb_info = [[(0, False)] * mb_w for _ in range(mb_h)]
     coeffs = np.zeros((25, 16), np.int64)
+    # recorded so VP8Decoder can persist the map across a video
+    # sequence (inter frames may keep segmentation without re-coding
+    # the map); pure recording — decode behavior is unchanged
+    seg_map = [0] * (mb_h * mb_w)
+    h.seg_map = seg_map
 
     for mb_y in range(mb_h):
         td = h.token_parts[mb_y % len(h.token_parts)]
@@ -1353,6 +1358,7 @@ def _decode_frame(h):
             seg = 0
             if h.segmentation and h.update_mb_seg_map:
                 seg = bd.tree(MB_SEGMENT_TREE, h.seg_tree_probs)
+            seg_map[mb_y * mb_w + mb_x] = seg
             skip = bd.decode(h.prob_skip_false) if h.mb_no_skip else 0
             ymode = bd.tree(KF_YMODE_TREE, KF_YMODE_PROB)
             if ymode == B_PRED:
@@ -2491,7 +2497,6 @@ class VP8Decoder:
             h = parse_vp8_frame_header(payload)
             h.keyframe = True
             self.width, self.height = h.width, h.height
-            self.seg_map = None
             self.sign_bias_golden = self.sign_bias_alt = 0
             self._reset_entropy()
             # keyframe header updates apply against the freshly
@@ -2502,6 +2507,15 @@ class VP8Decoder:
             Y, U, V = _decode_frame(h)
             if not h.refresh_entropy:
                 self._restore_entropy(saved)
+            # segment state persists into the sequence: inter frames
+            # may keep segmentation on without re-coding the map or
+            # the feature data
+            self.seg_map = h.seg_map if h.segmentation else None
+            self.seg_abs = h.seg_abs
+            self.seg_quant = list(h.seg_quant)
+            self.seg_lf = list(h.seg_lf)
+            self.ref_lf_deltas = list(h.ref_lf_deltas)
+            self.mode_lf_deltas = list(h.mode_lf_deltas)
         else:
             if self.width is None:
                 raise ValueError(

@@ -1017,3 +1017,167 @@ def test_splitmv_left_inheritance_across_mbs():
                             16 * x + 4 * sx:16 * x + 4 * sx + 4]
                 assert np.array_equal(got, want.astype(np.uint8)), \
                     (x, sy, sx, smv)
+
+
+def _seg_header_bits(be, seg):
+    """Segmentation header: None = off, 'keep' = enabled with no
+    updates (state persists from the sequence), dict = full
+    (absolute quants + coded map)."""
+    if seg is None:
+        be.b(0, 128)
+        return
+    be.b(1, 128)                          # segmentation_enabled
+    if seg == "keep":
+        be.b(0, 128)                      # no map update
+        be.b(0, 128)                      # no feature update
+        return
+    be.b(1, 128)                          # update_mb_seg_map
+    be.b(1, 128)                          # update_segment_feature_data
+    be.b(1, 128)                          # absolute values
+    for qv in seg["quants"]:
+        if qv:
+            be.b(1, 128)
+            be.literal(7, abs(qv))
+            be.b(1 if qv < 0 else 0, 128)
+        else:
+            be.b(0, 128)
+    for _ in range(4):                    # no LF deltas
+        be.b(0, 128)
+    for _ in range(3):                    # tree probs: default 255
+        be.b(0, 128)
+
+
+@needs_libwebp
+def test_keyframe_segment_state_persists_into_inter_frames():
+    """A video keyframe codes a segment map + absolute segment
+    quants; a following inter frame keeps segmentation ON without
+    re-coding either — its residuals must dequantize with the
+    INHERITED per-MB quants (r14: VP8Decoder persists keyframe
+    segment state, not just inter-frame state)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.vp8 import (
+        COEFF_BANDS, DC_QLOOKUP, DEFAULT_COEFF_PROBS,
+        MB_SEGMENT_TREE, _idct4x4,
+    )
+    dec = VP8Decoder()
+    seg = {"quants": [0, 80, 0, 0]}
+    seg_ids = [0, 1]                      # MB0 -> seg0, MB1 -> seg1
+
+    # keyframe: 2 MBs, all-DC intra, segmentation with the map
+    be = BoolEncoder()
+    be.b(0, 128)                          # color space
+    be.b(0, 128)                          # clamping
+    _seg_header_bits(be, seg)
+    be.b(0, 128)                          # filter type
+    be.literal(6, 0)
+    be.literal(3, 0)
+    be.b(0, 128)                          # lf deltas off
+    be.literal(2, 0)                      # 1 partition
+    be.literal(7, 0)                      # y_ac_qi = 0
+    for _ in range(5):
+        be.b(0, 128)
+    be.b(1, 128)                          # refresh entropy
+    _no_coeff_updates(be)
+    be.b(1, 128)
+    be.literal(8, 128)                    # prob_skip_false
+    for s in seg_ids:
+        be.tree(MB_SEGMENT_TREE, [255, 255, 255], s)
+        be.b(1, 128)                      # skip
+        be.tree(KF_YMODE_TREE, KF_YMODE_PROB, DC_PRED)
+        be.tree(UV_MODE_TREE, KF_UV_MODE_PROB, DC_PRED)
+    part0 = be.flush()
+    tag = (0 | (1 << 4) | (len(part0) << 5))
+    kf = (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+          + (32).to_bytes(2, "little") + (16).to_bytes(2, "little")
+          + part0 + b"\x00")
+    base = dec.decode_frame(kf)
+    assert base is not None
+    assert dec.seg_map == seg_ids
+    assert dec.seg_quant[1] == 80 and dec.seg_abs == 1
+
+    border = 32
+    ref_y = dec.refs[1][0][border:-border, border:-border].copy()
+
+    # inter frame: segmentation KEPT (no map, no data), one SPLITMV
+    # all-ZERO4X4 MB per position with a +1 DC residual on Y block 0
+    trk = _NeighborTracker(2, 1)
+
+    def mbs(be2):
+        trk.row_start()
+        for x in range(2):
+            _write_inter_mb(be2, trk, x, 0, SPLITMV, skip=0,
+                            submv_plan=(3, [(ZERO4X4, None)] * 16))
+
+    be2 = BoolEncoder()
+    _seg_header_bits(be2, "keep")
+    be2.b(0, 128)                         # filter type
+    be2.literal(6, 0)
+    be2.literal(3, 0)
+    be2.b(0, 128)
+    be2.literal(2, 0)
+    be2.literal(7, 0)
+    for _ in range(5):
+        be2.b(0, 128)
+    be2.b(0, 128)                         # refresh golden
+    be2.b(0, 128)                         # refresh alt
+    be2.literal(2, 0)
+    be2.literal(2, 0)
+    be2.b(0, 128)
+    be2.b(0, 128)
+    be2.b(1, 128)                         # refresh entropy
+    be2.b(1, 128)                         # refresh last
+    _no_coeff_updates(be2)
+    be2.b(1, 128)
+    be2.literal(8, 128)
+    be2.literal(8, 128)                   # prob_intra
+    be2.literal(8, 128)                   # prob_last
+    be2.literal(8, 128)                   # prob_gf
+    be2.b(0, 128)
+    be2.b(0, 128)
+    _no_mv_updates(be2)
+    mbs(be2)
+    part0 = be2.flush()
+
+    te = BoolEncoder()
+    probs = DEFAULT_COEFF_PROBS[3]
+
+    def one_mb_tokens(dc_on_block0):
+        above = [0, 0, 0, 0]
+        for sy in range(4):
+            lnz = 0
+            for sx in range(4):
+                ctx = lnz + above[sx]
+                p = probs[COEFF_BANDS[0]][ctx]
+                if dc_on_block0 and (sy, sx) == (0, 0):
+                    te.b(1, p[0])
+                    te.b(1, p[1])
+                    te.b(0, p[2])
+                    te.b(0, 128)
+                    te.b(0, probs[COEFF_BANDS[1]][1][0])
+                    lnz = 1
+                else:
+                    te.b(0, p[0])
+                    lnz = 0
+                above[sx] = lnz
+        uvp = DEFAULT_COEFF_PROBS[2]
+        for _pl in range(2):
+            for sy in range(2):
+                for sx in range(2):
+                    te.b(0, uvp[COEFF_BANDS[0]][0][0])
+
+    one_mb_tokens(True)
+    one_mb_tokens(True)
+    tag2 = (1 | (1 << 4) | (len(part0) << 5))
+    frame = tag2.to_bytes(3, "little") + part0 + te.flush()
+
+    out = dec.decode_frame(frame)
+    assert out is not None
+    got_y = dec.refs[1][0][border:-border, border:-border]
+    # MB0 dequantizes with seg0 (q=0 -> DC step 4), MB1 with seg1
+    # (abs q=80) — the INHERITED map decides
+    for x, q in ((0, 0), (1, 80)):
+        coeffs = np.zeros(16, np.int64)
+        coeffs[0] = DC_QLOOKUP[q]
+        want = ref_y[:, 16 * x:16 * x + 16].astype(np.int64)
+        want[0:4, 0:4] += _idct4x4(coeffs)
+        want = np.clip(want, 0, 255).astype(np.uint8)
+        assert np.array_equal(got_y[:, 16 * x:16 * x + 16], want), x
