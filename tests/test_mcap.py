@@ -2,7 +2,7 @@
 lz4) equality with the plain file, CDR decode against hand-encoded
 payloads (alignment, strings, arrays, nested types incl. time),
 topic-metadata parity with the ROS1 reader's shape, corrupt-file
-salvage, and the honest zstd guard. The MCAP byte images are built
+salvage, and builtin zstd chunk decode (r14). The MCAP byte images are built
 here from the public spec (https://mcap.dev/spec) — the same
 synthetic-golden-file discipline as tests/test_rosbag.py."""
 
@@ -458,6 +458,41 @@ def test_mcap_ingest_stream_end_to_end(spark, tmp_path):
                                        "log_time_ns", "data"))
     q2.awaitTermination(120)
     assert latest_version(spark, tbl) == v
+
+
+def test_mcap_ingest_stream_zstd_chunks(spark, tmp_path, zstd_ref):
+    """The ingest loop's front door on the DEFAULT `ros2 bag record`
+    MCAP preset — zstd-compressed chunks — decoding builtin (r14,
+    functions/zstd.py): messages extract and land exactly-once with
+    no optional package installed."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.sources import (
+        read_snapshot,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.streaming import (
+        mcap_ingest_stream,
+    )
+    src = str(tmp_path / "landing")
+    os.makedirs(src, exist_ok=True)
+    recs = (_schema(1, "demo/Mixed", DEFN) + _channel(7, 1, "/demo")
+            + _message(7, 0, 1_000, 999,
+                       _payload(5, 2.5, "hi", True, [3, 4],
+                                [1.0, 2.0], b"\xab\xcd", 9.5, -2))
+            + _message(7, 1, 2_000, 1_999,
+                       _payload(-6, 0.25, "worldly", False, [1, 2],
+                                [], b"", -1.5, 7)))
+    with open(os.path.join(src, "z.mcap"), "wb") as f:
+        f.write(_file(_chunk(recs, "zstd", zstd_ref(recs, 19))))
+    tbl = str(tmp_path / "tbl")
+    q = mcap_ingest_stream(
+        spark, src, table_path=tbl,
+        quarantine_path=str(tmp_path / "quar"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=lambda df: df.select("mcap_file", "topic",
+                                       "log_time_ns", "data"))
+    q.awaitTermination(120)
+    rows = read_snapshot(spark, tbl).collect()
+    assert sorted(r["log_time_ns"] for r in rows) == [1_000, 2_000]
+    assert all(r["mcap_file"] == "z.mcap" for r in rows)
 
 
 def test_uint64_two_complement_reinterpretation():
