@@ -1636,6 +1636,113 @@ def _probe_media_bytes(pb: bytes) -> dict:
         out["duration_s"] = meta["duration_s"]
         out["tags"] = meta["comments"]
 
+    def mp3():
+        """MPEG audio (public MPEG-1/2 header layout): skip ID3v2,
+        parse the first frame header for layer/rate/channels, read a
+        Xing/Info VBR frame count when present (accurate duration),
+        else estimate from the CBR bitrate."""
+        out["format"] = "mp3"
+        pos = 0
+        if pb[:3] == b"ID3" and len(pb) >= 10:
+            sz = ((pb[6] & 0x7F) << 21) | ((pb[7] & 0x7F) << 14) \
+                | ((pb[8] & 0x7F) << 7) | (pb[9] & 0x7F)
+            pos = 10 + sz
+        while pos + 4 <= len(pb):
+            if pb[pos] == 0xFF and (pb[pos + 1] & 0xE0) == 0xE0:
+                break
+            pos += 1
+        else:
+            raise ValueError("MP3: no frame sync after ID3")
+        h1, h2, h3 = pb[pos + 1], pb[pos + 2], pb[pos + 3]
+        ver = (h1 >> 3) & 3                # 3=MPEG1 2=MPEG2 0=2.5
+        layer = (h1 >> 1) & 3              # 3=I 2=II 1=III
+        if ver == 1 or layer == 0:
+            raise ValueError("MP3: reserved version/layer bits")
+        br_idx = (h2 >> 4) & 0xF
+        sr_idx = (h2 >> 2) & 3
+        if sr_idx == 3 or br_idx in (0, 15):
+            raise ValueError("MP3: free-format or reserved "
+                             "bitrate/samplerate")
+        base = [44100, 48000, 32000][sr_idx]
+        rate = base if ver == 3 else base // (2 if ver == 2 else 4)
+        mono = ((h3 >> 6) & 3) == 3
+        # MPEG1 bitrate rows per layer; MPEG2/2.5 use the low rows
+        _BR = {
+            (3, 3): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288,
+                     320, 352, 384, 416, 448],
+            (3, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320, 384],
+            (3, 1): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                     192, 224, 256, 320],
+            (2, 3): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+                     176, 192, 224, 256],
+            (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                     128, 144, 160],
+            (2, 1): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                     128, 144, 160],
+        }
+        kbps = _BR[(3 if ver == 3 else 2, layer)][br_idx]
+        spf = (384 if layer == 3
+               else 1152 if layer == 2
+               else (1152 if ver == 3 else 576))
+        out["codec"] = (f"mpeg{'1' if ver == 3 else '2'}-layer"
+                        f"{4 - layer}")
+        out["sample_rate"] = rate
+        out["channels"] = 1 if mono else 2
+        # Xing/Info (VBR) frame count sits after the side info
+        side = (17 if mono else 32) if ver == 3 else \
+            (9 if mono else 17)
+        xp = pos + 4 + side
+        if pb[xp:xp + 4] in (b"Xing", b"Info") and \
+                len(pb) >= xp + 12:
+            flags = int.from_bytes(pb[xp + 4:xp + 8], "big")
+            if flags & 1:
+                frames = int.from_bytes(pb[xp + 8:xp + 12], "big")
+                out["n_frames"] = frames
+                out["duration_s"] = frames * spf / rate
+                return
+        if kbps:
+            out["duration_s"] = (len(pb) - pos) * 8 / (kbps * 1000)
+
+    def ogg():
+        """Ogg container (public spec): codec id from the first
+        packet (Vorbis identification header / OpusHead), duration
+        from the LAST page's granule position."""
+        out["format"] = "ogg"
+        nseg = pb[26]
+        body = 27 + nseg
+        lace = sum(pb[27:27 + nseg])
+        first = pb[body:body + lace]
+        rate = None
+        if first[:7] == b"\x01vorbis" and len(first) >= 28:
+            out["codec"] = "vorbis"
+            out["channels"] = first[11]
+            rate = int.from_bytes(first[12:16], "little")
+            out["sample_rate"] = rate
+            pre = 0
+        elif first[:8] == b"OpusHead" and len(first) >= 19:
+            out["codec"] = "opus"
+            out["channels"] = first[9]
+            pre = int.from_bytes(first[10:12], "little")
+            out["sample_rate"] = int.from_bytes(first[12:16],
+                                                "little")
+            rate = 48000                   # granules are 48 kHz
+        else:
+            out["codec"] = "ogg-unknown"
+            return
+        tail = pb[-65536:]
+        gp = None
+        i = tail.rfind(b"OggS")
+        while i != -1:
+            if len(tail) - i >= 14:
+                g = int.from_bytes(tail[i + 6:i + 14], "little")
+                if g != 0xFFFFFFFFFFFFFFFF:
+                    gp = g
+                    break
+            i = tail.rfind(b"OggS", 0, i)
+        if gp is not None and rate:
+            out["duration_s"] = max(gp - pre, 0) / rate
+
     try:
         if pb[:2] in (b"P6", b"P5"):
             ppm()
@@ -1653,6 +1760,14 @@ def _probe_media_bytes(pb: bytes) -> dict:
             mp4()
         elif _is_flac(pb):
             flac()
+        elif pb[:4] == b"OggS":
+            ogg()
+        elif pb[:3] == b"ID3" or (
+                len(pb) >= 2 and pb[0] == 0xFF
+                and (pb[1] & 0xE0) == 0xE0          # frame sync
+                and ((pb[1] >> 1) & 3) != 0         # valid layer
+                and ((pb[1] >> 3) & 3) != 1):       # valid version
+            mp3()
         elif pb[:8] == b"\x89MCAP0\r\n":
             out["format"] = "mcap"
         elif pb[:13] == b"#ROSBAG V2.0\n":

@@ -1045,3 +1045,89 @@ def test_sample_frames_keyframes_only_spark(spark):
                         width=w, height=h)
     dec = decode_image(fmedia, "payload").collect()
     assert all(r["codec"] == "jpeg" for r in dec)
+
+
+def _mp3_frame_header(ver=3, layer=1, br_idx=9, sr_idx=0,
+                      mono=False) -> bytes:
+    b1 = 0xE0 | (ver << 3) | (layer << 1) | 1      # sync + no CRC
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = (0xC0 if mono else 0x00)
+    return bytes([0xFF, b1, b2, b3])
+
+
+def test_probe_mp3_cbr_and_xing():
+    """MPEG-audio probe: ID3v2 skip, header fields, CBR duration
+    estimate, and the Xing VBR frame count (exact duration)."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        _probe_media_bytes,
+    )
+    # CBR: MPEG1 Layer III, 128 kbps, 44100 Hz, stereo, ~1 s of data
+    pay = _mp3_frame_header() + b"\x00" * (16000 - 4)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    info = _probe_media_bytes(id3 + pay)
+    assert info["format"] == "mp3"
+    assert info["codec"] == "mpeg1-layer3"
+    assert info["sample_rate"] == 44100 and info["channels"] == 2
+    assert abs(info["duration_s"] - 1.0) < 0.01
+    assert info["error"] is None
+    # Xing: frame count 100 -> 100 * 1152 / 44100 s exactly
+    side = b"\x00" * 32
+    xing = (b"Xing" + (1).to_bytes(4, "big")
+            + (100).to_bytes(4, "big"))
+    vbr = _mp3_frame_header() + side + xing + b"\x00" * 400
+    info = _probe_media_bytes(vbr)
+    assert info["n_frames"] == 100
+    assert abs(info["duration_s"] - 100 * 1152 / 44100) < 1e-9
+    # mono MPEG2 Layer III: 576 samples/frame, halved rate
+    m2 = (_mp3_frame_header(ver=2, layer=1, sr_idx=0, mono=True)
+          + b"\x00" * 1000)
+    info = _probe_media_bytes(m2)
+    assert info["codec"] == "mpeg2-layer3"
+    assert info["sample_rate"] == 22050 and info["channels"] == 1
+
+
+def _ogg_page(body: bytes, granule=0, first=False, serial=7,
+              seq=0) -> bytes:
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (b"OggS\x00" + (b"\x02" if first else b"\x04")
+            + granule.to_bytes(8, "little")
+            + serial.to_bytes(4, "little")
+            + seq.to_bytes(4, "little") + b"\x00" * 4
+            + bytes([len(segs)]) + bytes(segs) + body)
+
+
+def test_probe_ogg_vorbis_and_opus():
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.multimodal import (
+        _probe_media_bytes,
+    )
+    vid = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+           + (44100).to_bytes(4, "little") + b"\x00" * 12 + b"\x01")
+    blob = (_ogg_page(vid, first=True)
+            + _ogg_page(b"\x00" * 20, granule=44100 * 3, seq=1))
+    info = _probe_media_bytes(blob)
+    assert (info["format"], info["codec"]) == ("ogg", "vorbis")
+    assert info["channels"] == 2 and info["sample_rate"] == 44100
+    assert abs(info["duration_s"] - 3.0) < 1e-9
+    assert info["error"] is None
+
+    opus = (b"OpusHead\x01" + bytes([1])
+            + (312).to_bytes(2, "little")
+            + (16000).to_bytes(4, "little") + b"\x00" * 3)
+    blob = (_ogg_page(opus, first=True)
+            + _ogg_page(b"\x00" * 10, granule=48000 * 2 + 312,
+                        seq=1))
+    info = _probe_media_bytes(blob)
+    assert (info["format"], info["codec"]) == ("ogg", "opus")
+    assert info["channels"] == 1 and info["sample_rate"] == 16000
+    assert abs(info["duration_s"] - 2.0) < 1e-9
+
+    # hostile: truncated page stays total (error recorded, no raise)
+    info = _probe_media_bytes(b"OggS\x00\x02" + b"\x01")
+    assert info["format"] == "ogg" and (info["error"] is not None
+                                        or info["codec"]
+                                        == "ogg-unknown")
