@@ -95,10 +95,25 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Per-session memo of the *scan plan* (a lazy DataFrame), NOT of any
+# result: repeated ``spark.read.parquet`` of the same path costs a
+# ~0.1 s schema-inference RPC each time, and folded queries read the
+# same table up to 8× while building one plan. Execution still scans
+# the parquet files fresh on every action — only the resolved schema /
+# file-listing handle is reused, keyed weakly per SparkSession so
+# harness sessions never share state.
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
 def _t(name):
     def read(spark: SparkSession, sf_dir: str) -> DataFrame:
         prepare_session(spark)
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        memo = _SCAN_MEMO.setdefault(spark, {})
+        key = (sf_dir, name)
+        if key not in memo:
+            memo[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return memo[key]
     return read
 
 
@@ -466,12 +481,37 @@ def q_percentiles(spark, sf_dir):
                             F.lit(10000)).alias("_ap"))
     lo, hi, bins = 0.0, 120_000.0, 2400
     binw = (hi - lo) / bins
-    # histogram build off the RAW scan (not _spread): a bounded-key
-    # hash agg combines map-side, so the round-robin exchange that the
-    # value-buffering exact percentile needs would only add a shuffle
-    sk = histogram_sketch(_t("lineitem")(spark, sf_dir),
-                          ["l_returnflag"], "l_extendedprice",
-                          lo=lo, hi=hi, bins=bins)
+    # r14 (optimization guide §2.3/§2.4): ONE histogram scan feeds both
+    # the quantile grid and the PSI halves. The persisted cells relation
+    # is keyed (l_returnflag, orderkey-parity, 2400-grid bin) — tiny
+    # (groups x parities x <=2402 rows) — and replaces what were THREE
+    # separate lineitem scans (one 2400-bin build + one 32-bin build per
+    # parity half) plus a full-outer sort-merge join of the halves:
+    #   - the quantile sketch is the exact parity rollup (bins add;
+    #     rollup == direct build, pinned by rollup_histogram's contract);
+    #   - each PSI half re-bins 2400 -> 32 with floor(_bin / 75), exact
+    #     because the grids are nested (3750 = 75 x 50) and bin ids are
+    #     integers (no floating re-division of the raw values);
+    #   - sentinel bins map -1 -> -1 and 2400 -> 32, exactly the 32-bin
+    #     build's clamps.
+    # The persist boundary is what keeps Catalyst from pushing the two
+    # parity filters back down into two separate scans; lifetime is the
+    # caller's (same contract as the dedup signature caches).
+    # Build off the RAW scan (not _spread): a bounded-key hash agg
+    # combines map-side, so the round-robin exchange that the
+    # value-buffering exact percentile needs would only add a shuffle.
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.caching import (
+        register_persist,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sketches import (
+        rollup_histogram,
+    )
+    li_raw = _t("lineitem")(spark, sf_dir)
+    cells = register_persist(histogram_sketch(
+        li_raw.withColumn("_par", F.col("l_orderkey") % 2),
+        ["l_returnflag", "_par"], "l_extendedprice",
+        lo=lo, hi=hi, bins=bins))
+    sk = rollup_histogram(cells, ["l_returnflag"])
     hist = (quantile_estimate(sk, ["l_returnflag"], list(qs),
                               lo=lo, hi=hi, bins=bins)
             .groupBy("l_returnflag")
@@ -480,16 +520,14 @@ def q_percentiles(spark, sf_dir):
     agged = agged.join(hist, "l_returnflag")
     # (r6 fold) distribution-drift PSI between the odd/even-orderkey
     # halves per group, through the REAL sketch machinery
-    # (histogram_sketch x2 -> histogram_psi) on a coarse 32-bin grid;
+    # (histogram_sketch -> histogram_psi) on the coarse 32-bin grid;
     # the oracle rebuilds every cell and the smoothed formula in SQL,
     # so the whole drift path is hash-gated
-    li_raw = _t("lineitem")(spark, sf_dir)
-    h_even = histogram_sketch(li_raw.where(F.col("l_orderkey") % 2 == 0),
-                              ["l_returnflag"], "l_extendedprice",
-                              lo=lo, hi=hi, bins=32)
-    h_odd = histogram_sketch(li_raw.where(F.col("l_orderkey") % 2 == 1),
-                             ["l_returnflag"], "l_extendedprice",
-                             lo=lo, hi=hi, bins=32)
+    rebin = F.floor(F.col("_bin") / F.lit(75.0)).cast("int").alias("_bin")
+    h_even = cells.where(F.col("_par") == 0) \
+        .select("l_returnflag", rebin, "cnt")
+    h_odd = cells.where(F.col("_par") == 1) \
+        .select("l_returnflag", rebin, "cnt")
     psi = (histogram_psi(h_even, h_odd, ["l_returnflag"])
            .select("l_returnflag", F.round("psi", 6).alias("psi_split")))
     agged = agged.join(psi, "l_returnflag")
@@ -3014,15 +3052,26 @@ def q_media_features(spark, sf_dir):
     dec = _image_decode_stats(spark, sf_dir)
     # r12 folds (tagged union, same 50-entry-cap rationale): the REAL
     # PointCloud2 strided unpack and the REAL raw-Image reshape ride
-    # this entry too — see _pointcloud_decode_stats / _ros_image_stats
-    pcl = _pointcloud_decode_stats(spark, sf_dir)
-    vox = _pointcloud_voxel_stats(spark, sf_dir)
+    # this entry too — see _pointcloud_decode_stats / _ros_image_stats.
+    # r14 (guide §4): the three pointcloud-family branches (pcl/voxel/
+    # proj) consume ONE persisted copy of the synthetic decoded cloud
+    # instead of each rebuilding it — that removes two scan→
+    # ArrowEvalPython(blob builder)→MapInPandas(decode_pointcloud2)
+    # chains (4 of the query's 6 Python boundary crossings). The cloud
+    # is ~50 points x |docs|/10 rows; lifetime is the caller's (same
+    # contract as the dedup signature caches).
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.caching import (
+        register_persist,
+    )
+    pts = register_persist(_pcl_long_frame(spark, sf_dir))
+    pcl = _pointcloud_decode_stats(spark, sf_dir, pts)
+    vox = _pointcloud_voxel_stats(spark, sf_dir, pts)
     rimg = _ros_image_stats(spark, sf_dir)
     # r13 folds: REAL bilinear Bayer demosaic and the REAL
     # transform_points→project_points lidar→camera chain ride this
     # entry too — see _bayer_demosaic_stats / _projection_stats
     bay = _bayer_demosaic_stats(spark, sf_dir)
-    prj = _projection_stats(spark, sf_dir)
+    prj = _projection_stats(spark, sf_dir, pts)
     geo = _geo_enu_stats(spark, sf_dir)
 
     def _nl(t):
@@ -3694,10 +3743,11 @@ def _pcl_long_frame(spark, sf_dir):
                 ("ring", "uint16")], keep_cols=["doc_id"])
 
 
-def _pointcloud_decode_stats(spark, sf_dir):
+def _pointcloud_decode_stats(spark, sf_dir, pts=None):
     """Per-document stats of the decoded synthetic clouds — the 'pcl'
     tagged-union branch (see :func:`_pcl_long_frame`)."""
-    pts = _pcl_long_frame(spark, sf_dir)
+    if pts is None:
+        pts = _pcl_long_frame(spark, sf_dir)
     return (pts.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_px"),
                  F.sum("ring").alias("px_sum"),
@@ -3706,7 +3756,7 @@ def _pointcloud_decode_stats(spark, sf_dir):
                  F.sum("z").alias("sum_z")))
 
 
-def _pointcloud_voxel_stats(spark, sf_dir):
+def _pointcloud_voxel_stats(spark, sf_dir, pts=None):
     """r12 fold #2 of the pointcloud family: the REAL
     :func:`...operators.sensors.voxel_downsample` plan (one floor-keyed
     relational groupBy producing per-cell centroids) over the same
@@ -3719,7 +3769,8 @@ def _pointcloud_voxel_stats(spark, sf_dir):
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
         voxel_downsample,
     )
-    pts = _pcl_long_frame(spark, sf_dir)
+    if pts is None:
+        pts = _pcl_long_frame(spark, sf_dir)
     cells = voxel_downsample(pts, 8.0, group_cols=["doc_id"])
     return (cells.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_px"),
@@ -3729,7 +3780,7 @@ def _pointcloud_voxel_stats(spark, sf_dir):
                  F.sum("z").alias("sum_z")))
 
 
-def _projection_stats(spark, sf_dir):
+def _projection_stats(spark, sf_dir, pts=None):
     """r13 fold of the pointcloud family (VERDICT r12 item 2; r14:
     + model dispatch, VERDICT r13 item 2): the REAL lidar→camera
     chain — :func:`...operators.sensors.transform_points` (full
@@ -3751,12 +3802,13 @@ def _projection_stats(spark, sf_dir):
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.sensors import (
         project_points, transform_points,
     )
-    pts = _pcl_long_frame(spark, sf_dir)
-    posed = (pts
-             .withColumn("qw", F.lit(0.5)).withColumn("qx", F.lit(0.5))
-             .withColumn("qy", F.lit(0.5)).withColumn("qz", F.lit(0.5))
-             .withColumn("tx", F.lit(1.0)).withColumn("ty", F.lit(-2.0))
-             .withColumn("tz", F.lit(-50.0)))
+    if pts is None:
+        pts = _pcl_long_frame(spark, sf_dir)
+    posed = pts.select(
+        "*", F.lit(0.5).alias("qw"), F.lit(0.5).alias("qx"),
+        F.lit(0.5).alias("qy"), F.lit(0.5).alias("qz"),
+        F.lit(1.0).alias("tx"), F.lit(-2.0).alias("ty"),
+        F.lit(-50.0).alias("tz"))
     cam = transform_points(posed)
     # /512 keeps |x'| ≤ ~0.5 so the distortion polynomial stays tame
     # even at z_t = 1 (powers of two: the scaling is exact).
@@ -3772,20 +3824,19 @@ def _projection_stats(spark, sf_dir):
     d_vals = (0.015625, -0.0078125, 0.001953125, -0.00390625,
               0.0009765625, 0.0078125, -0.00048828125,
               0.000244140625)
-    scaled = (cam.withColumn("xs", F.col("x_t") / 512)
-              .withColumn("ys", F.col("y_t") / 512)
-              .withColumn("fx", F.lit(500.25))
-              .withColumn("fy", F.lit(500.5))
-              .withColumn("cx", F.lit(320.0))
-              .withColumn("cy", F.lit(240.0))
-              .withColumn(
-                  "distortion_model",
-                  F.when(F.col("doc_id") % 3 == 0, F.lit("plumb_bob"))
-                  .when(F.col("doc_id") % 3 == 1,
-                        F.lit("rational_polynomial"))
-                  .otherwise(F.lit("equidistant"))))
-    for j, val in enumerate(d_vals, start=1):
-        scaled = scaled.withColumn(f"d{j}", F.lit(val))
+    # one select instead of a 16-deep withColumn chain: each withColumn
+    # is a separate plan rebuild + py4j round-trip (guide §1 measure —
+    # this helper alone was 1.3 s of driver time per bench run)
+    scaled = cam.select(
+        "*", (F.col("x_t") / 512).alias("xs"),
+        (F.col("y_t") / 512).alias("ys"),
+        F.lit(500.25).alias("fx"), F.lit(500.5).alias("fy"),
+        F.lit(320.0).alias("cx"), F.lit(240.0).alias("cy"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("plumb_bob"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("rational_polynomial"))
+         .otherwise(F.lit("equidistant")).alias("distortion_model"),
+        *[F.lit(val).alias(f"d{j}")
+          for j, val in enumerate(d_vals, start=1)])
     px = project_points(scaled, cols=("xs", "ys", "z_t"),
                         model_col="distortion_model")
     return (px.groupBy("doc_id")

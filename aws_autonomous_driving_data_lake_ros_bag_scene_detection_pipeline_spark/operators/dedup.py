@@ -432,7 +432,10 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                                   F.col("src").alias("lab")))
               .groupBy("id")
               .agg(F.min("lab").alias("lab"))
-              .localCheckpoint(eager=True))
+              # eager=False: round 1's convergence probe materializes
+              # this (and checkpoints it) in the same job — see the
+              # matching note on `new` below
+              .localCheckpoint(eager=False))
     converged = False
     for _ in range(max_iter - 1):
         msgs = (edges.join(labels, edges["src"] == labels["id"])
@@ -445,10 +448,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # the left join always hits; coalesce only guards the theoretical
         # empty-frame edge. lab(lab) ≤ lab, so this can only tighten.
         ptr = prop.select(F.col("id").alias("_pid"), F.col("lab").alias("_plab"))
+        # eager=False: the convergence probe right below is the round's
+        # materializing action — it computes `new`, checkpointing it as
+        # a side effect, so each round costs ONE Spark job instead of
+        # two (measured: the eager checkpoint was a full second job per
+        # round whose only purpose was to run before the count)
         new = (prop.join(ptr, prop["lab"] == ptr["_pid"], "left")
                .select(F.col("id"),
                        F.coalesce("_plab", "lab").alias("lab"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         changed = (new.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.lab") != F.col("o.lab"))

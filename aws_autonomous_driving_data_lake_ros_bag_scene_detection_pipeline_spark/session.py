@@ -73,6 +73,15 @@ def get_spark(app_name: str = "adsl-spark", shuffle_partitions: int | None = Non
         # keep stdout clean for harnesses that parse a JSON metric line
         # (progress bars interleave with print() and corrupt the line)
         .config("spark.ui.showConsoleProgress", "false")
+        # r14 (optimization guide §1/§7): PySpark 4 wraps EVERY
+        # DataFrame/Column API call to capture the Python call site for
+        # error context — a conf.get RPC + stack walk + two more py4j
+        # round-trips per call. Driver-side plan construction is a
+        # measured ~40% of this engine's per-query cost (deep folded
+        # plans, thousands of API calls), and the capture tripled the
+        # py4j chatter. Off in production sessions; error messages lose
+        # only the "called from file:line" breadcrumb.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if state_store:
         builder = builder.config(
