@@ -140,7 +140,14 @@ def _spread(df: DataFrame) -> DataFrame:
     tables arrive as one small parquet file (1 scan task), but the
     hash/cosine work per row is CPU-bound — spread it across the
     cluster. On a real 100 TB corpus the scan already has thousands of
-    tasks and the caller would skip this."""
+    tasks and the caller would skip this.
+
+    r14 measured A/B (3-rep interleaved min at sf0.1, per query): the
+    spread only pays where heavy per-row scan-stage expressions
+    dominate (minhash/simhash signatures, token stats — up to 6x) and
+    LOSES where the plan re-exchanges immediately or feeds broadcast
+    builds (tfidf/ANN/embedding-dup/chunking — 1.1-1.7x). Call sites
+    carry their own numbers; don't blanket-apply."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n)
 
@@ -1626,7 +1633,9 @@ def q_exact_dedup(spark, sf_dir):
     docs = _t("documents")(spark, sf_dir)
     shifted = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
                           "text")
-    both = _spread(docs.select("doc_id", "text").unionByName(shifted))
+    # r14: no round-robin spread — measured 0.38 s raw vs 0.66 s spread
+    # at sf0.1 (the fingerprint aggregates supply the fan-out)
+    both = docs.select("doc_id", "text").unionByName(shifted)
     groups = exact_dedup(both, "text", "doc_id")
     dups = duplicate_ids(both, "text", "doc_id")
     return (dups.join(groups.select(F.col("keep_id").alias("kept_id"),
@@ -1667,7 +1676,9 @@ def q_ngram_jaccard(spark, sf_dir):
     tagged union; the span oracle is an independent string-equality SQL
     formulation, so both the hash layer and the run detection are
     driver-verified."""
-    docs = _spread(_t("documents")(spark, sf_dir))
+    # r14: no round-robin spread — measured 2.70 s raw vs 3.21 s spread
+    # at sf0.1 (the shingle-index exchanges supply the fan-out)
+    docs = _t("documents")(spark, sf_dir)
     nulls = [F.lit(None).cast("bigint").alias(c)
              for c in ("start_a", "start_b", "n_shingles", "n_tokens")]
     jac = (ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
@@ -1952,7 +1963,9 @@ def q_chunk_documents(spark, sf_dir):
     The oracle rebuilds the whole thing — the Java∩RE2 sentence
     split, per-sentence token counts, the window cumsum bin, and the
     order-restored chunk text fingerprint — in SQL."""
-    docs = _spread(_t("documents")(spark, sf_dir))
+    # r14: no round-robin spread — measured 0.99 s raw vs 2.29 s spread
+    # at sf0.1 (chunking is explode + window work past its own shuffle)
+    docs = _t("documents")(spark, sf_dir)
     ch = (chunk_documents(docs, "doc_id", "text",
                           chunk_tokens=128, overlap=32)
           .select(F.lit("chunk").alias("kind"),
@@ -2087,7 +2100,8 @@ def q_lm_score(spark, sf_dir):
     """Corpus-trained bigram-LM fluency score (mean ln P(w2|w1)) — the
     perplexity-filter stand-in of an LLM corpus pipeline
     (operators/quality.lm_bigram_score)."""
-    docs = _spread(_t("documents")(spark, sf_dir))
+    # r14: no round-robin spread — measured 1.26 s raw vs 1.45 s spread
+    docs = _t("documents")(spark, sf_dir)
     return lm_bigram_score(docs, "doc_id", "text")
 
 
@@ -2524,7 +2538,10 @@ def q_tfidf(spark, sf_dir):
         inverted_index, rrf_fuse, term_stats,
     )
 
-    docs = _spread(_t("documents")(spark, sf_dir))
+    # r14: no round-robin spread — measured 2.24 s raw vs 3.86 s spread
+    # at sf0.1 (every branch aggregates postings immediately; the spread
+    # only added an exchange below each of the six tokenize passes)
+    docs = _t("documents")(spark, sf_dir)
     query = ["spark", "window", "merge"]
     tfidf = (tfidf_top_terms(docs, "doc_id", "text", k=3)
              .select(F.lit("tfidf").alias("kind"), "doc_id", "term",
@@ -2680,7 +2697,8 @@ from c
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (beyond-reference
     similarity search; cosine math bit-matches DuckDB)."""
-    emb = _spread(_t("embeddings")(spark, sf_dir))
+    # r14: no round-robin spread — measured 0.53 s raw vs 0.58 s spread
+    emb = _t("embeddings")(spark, sf_dir)
     return brute_force_topk(emb, emb.where("vec_id < 5"), "vec_id",
                             "embedding", k=10)
 
@@ -2704,7 +2722,8 @@ def q_ann_lsh(spark, sf_dir):
     candidates per query. Planes are deterministic md5 math, so the
     DuckDB oracle reproduces the buckets exactly (approximate vs the
     brute-force answer, exact vs its own spec)."""
-    emb = _spread(_t("embeddings")(spark, sf_dir))
+    # r14: no round-robin spread — measured 1.82 s raw vs 2.29 s spread
+    emb = _t("embeddings")(spark, sf_dir)
     return lsh_topk(emb, emb.where("vec_id < 5"), "vec_id", "embedding",
                     k=10, planes=4, dim=64)
 
@@ -2760,7 +2779,11 @@ def q_ann_ivf(spark, sf_dir):
     from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
         ivf_pq_index, ivf_pq_probe,
     )
-    emb = _spread(_t("embeddings")(spark, sf_dir))
+    # r14: no round-robin spread — measured 4.09 s raw vs 5.90 s spread
+    # at sf0.1 (cell assignment and ADC scoring re-exchange on their own
+    # keys; the spread fed two pointless shuffles and slowed the eager
+    # probed-cells collect)
+    emb = _t("embeddings")(spark, sf_dir)
     flat = (ivf_topk(emb, emb.where("vec_id < 5"), "vec_id",
                      "embedding", k=10, nlist=16, nprobe=4)
             .select(F.lit("flat").alias("kind"), "query_id",
@@ -2901,7 +2924,10 @@ def q_embedding_dups(spark, sf_dir):
     (argmin L2, lowest pid ties), then within-cell pairs at the same
     τ; the production k-means codebook is pinned by NumPy equality in
     tests/test_similarity.py instead."""
-    emb = _spread(_t("embeddings")(spark, sf_dir))
+    # r14: no round-robin spread — measured 3.12 s raw vs 3.51 s spread
+    # at sf0.1 (the exact-verify sides feed broadcast builds, where the
+    # repartition was pure overhead)
+    emb = _t("embeddings")(spark, sf_dir)
     lsh = (embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4,
                                bands=10, rows_per_band=5, dim=64)
            .select(F.lit("lsh").alias("variant"),
