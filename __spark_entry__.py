@@ -2803,9 +2803,20 @@ def q_ann_ivf(spark, sf_dir):
     cb = (base.select("cid", F.explode(subs).alias("e"))
           .select(F.col("e.sub").alias("sub"), "cid",
                   F.col("e.center").alias("center")))
-    pq_idx = ivf_pq_index(emb, "vec_id", "embedding", piv, cb)
+    # r14: ONE codebook collect shared by encode + probe (was one
+    # driver job each), and the in-plan index filters probed cells by
+    # broadcast semi-join instead of an eager collect — the literal
+    # IN-list only pays off when the index is read from a partitioned
+    # store. 3 eager driver jobs -> 1 inside the timed region.
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.similarity import (
+        pq_codebook_model,
+    )
+    cents = pq_codebook_model(cb)
+    pq_idx = ivf_pq_index(emb, "vec_id", "embedding", piv, cb,
+                          model=cents)
     pq = (ivf_pq_probe(pq_idx, emb, emb.where("vec_id < 5"), "vec_id",
-                       "embedding", piv, cb, k=10, nprobe=4, rerank=3)
+                       "embedding", piv, cb, k=10, nprobe=4, rerank=3,
+                       model=cents, prune_with_literal=False)
           .select(F.lit("pq").alias("kind"), "query_id",
                   "neighbor_id", "cosine", "rank"))
     return flat.unionByName(pq)

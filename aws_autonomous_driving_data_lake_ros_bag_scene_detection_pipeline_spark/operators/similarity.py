@@ -947,10 +947,16 @@ def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str, *,
         "sub int, cid int, center array<double>")
 
 
-def _codebook_model(codebooks: DataFrame):
+def pq_codebook_model(codebooks: DataFrame):
     """Collect the (tiny) codebook frame into the numpy model the
     Arrow encoders close over — bounded driver metadata, m x ksub x
-    dsub doubles (the k-means partials bound)."""
+    dsub doubles (the k-means partials bound).
+
+    Each call is one driver-side Spark job; a caller composing
+    :func:`ivf_pq_index` and :func:`ivf_pq_probe` over the SAME
+    codebook should collect once and pass the array through their
+    ``model=`` parameter instead of paying the job twice (r14 — the
+    q_ann_ivf gate entry does exactly this)."""
     import numpy as np
 
     rows = codebooks.collect()
@@ -963,9 +969,13 @@ def _codebook_model(codebooks: DataFrame):
     return cents
 
 
+_codebook_model = pq_codebook_model
+
+
 def pq_encode(df: DataFrame, id_col: str, vec_col: str,
               codebooks: DataFrame, *,
-              keep_cols: list[str] | None = None) -> DataFrame:
+              keep_cols: list[str] | None = None,
+              model=None) -> DataFrame:
     """PQ-encode vectors: ``(id [, keep_cols...], codes, _cnorm)``
     where ``codes[s]`` is the nearest sub-centroid of subvector ``s``
     (deterministic: ties to the lowest cid) and ``_cnorm`` the norm of
@@ -975,7 +985,7 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     8-16x byte cut."""
     import numpy as np
 
-    cents = _codebook_model(codebooks)
+    cents = model if model is not None else pq_codebook_model(codebooks)
     m, ksub, dsub = cents.shape
     keep = keep_cols or []
     in_cols = [id_col, *keep, vec_col]
@@ -1018,7 +1028,8 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
 
 
 def ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
-                 pivots: DataFrame, codebooks: DataFrame) -> DataFrame:
+                 pivots: DataFrame, codebooks: DataFrame, *,
+                 model=None) -> DataFrame:
     """Cell-assigned, PQ-encoded index: ``(id, cell, codes, _cnorm)``
     — :func:`ivf_index`'s layout with the full-precision vector
     replaced by ``m`` small codes. Persist with
@@ -1030,7 +1041,7 @@ def ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
     pe = _explode_vec(pivots, ["_pid"], vec_col, "_px")
     cells = _assign_cells(ce, "_iid", "_cx", pe, 1) \
         .withColumnRenamed("_iid", id_col)
-    enc = pq_encode(corpus, id_col, vec_col, codebooks)
+    enc = pq_encode(corpus, id_col, vec_col, codebooks, model=model)
     return enc.join(cells, id_col)
 
 
@@ -1039,7 +1050,9 @@ def ivf_pq_probe(pq_index: DataFrame, full_vectors: DataFrame,
                  pivots: DataFrame, codebooks: DataFrame,
                  k: int = 10, nprobe: int = 4, *,
                  rerank: int = 4,
-                 query_id_col: str | None = None) -> DataFrame:
+                 query_id_col: str | None = None,
+                 model=None,
+                 prune_with_literal: bool = True) -> DataFrame:
     """IVFADC probe with exact re-rank: ADC-score the probed cells'
     CODES, shortlist ``rerank * k`` per query, then re-score ONLY the
     shortlist against ``full_vectors`` with the exact-cosine element
@@ -1059,7 +1072,7 @@ def ivf_pq_probe(pq_index: DataFrame, full_vectors: DataFrame,
     import numpy as np
 
     query_id_col = query_id_col or id_col
-    cents = _codebook_model(codebooks)
+    cents = model if model is not None else pq_codebook_model(codebooks)
     m, ksub, dsub = cents.shape
     spark = queries.sparkSession
 
@@ -1069,9 +1082,19 @@ def ivf_pq_probe(pq_index: DataFrame, full_vectors: DataFrame,
                       vec_col, "_qx")
     q_cells = _assign_cells(qe, "query_id", "_qx", pe, nprobe)
 
-    probed = sorted({r["cell"] for r in
-                     q_cells.select("cell").distinct().collect()})
-    hit = pq_index.where(F.col("cell").isin(probed))
+    if prune_with_literal:
+        # collect the probed cell ids so a PERSISTED index read prunes
+        # partitions with a literal `cell IN (...)` — worth one driver
+        # job when the index comes from disk
+        probed = sorted({r["cell"] for r in
+                         q_cells.select("cell").distinct().collect()})
+        hit = pq_index.where(F.col("cell").isin(probed))
+    else:
+        # in-plan index (no partitions to prune): a broadcast semi-join
+        # filters the same rows with NO eager driver job (r14)
+        hit = pq_index.join(
+            F.broadcast(q_cells.select("cell").distinct()),
+            "cell", "left_semi")
 
     # per-query ADC lookup table: dot(q_s, c_{s,cid}) for every
     # (subspace, centroid) — |queries| x m x ksub rows, built in one

@@ -166,6 +166,35 @@ def test_ivf_pq_probe_no_cartesian_and_prunes_cells(spark, emb):
     assert got.count() > 0
 
 
+def test_ivf_pq_probe_model_and_semijoin_prune_identical(spark, emb):
+    """r14 optimization seams: passing a pre-collected ``model=`` and
+    filtering probed cells by broadcast semi-join
+    (``prune_with_literal=False``) must return exactly the collect/
+    IN-literal path's rows — same scores, same ranks."""
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark import (
+        ivf_pq_index, ivf_pq_probe, kmeans_pivots, pq_codebooks,
+    )
+    from aws_autonomous_driving_data_lake_ros_bag_scene_detection_pipeline_spark.operators.similarity import (
+        pq_codebook_model,
+    )
+
+    piv = kmeans_pivots(emb, "vec_id", "embedding", nlist=8, iters=2)
+    cb = pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=16,
+                      iters=2)
+    cents = pq_codebook_model(cb)
+    idx_base = ivf_pq_index(emb, "vec_id", "embedding", piv, cb)
+    idx_model = ivf_pq_index(emb, "vec_id", "embedding", piv, cb,
+                             model=cents)
+    queries = emb.limit(4)
+    base = ivf_pq_probe(idx_base, emb, queries, "vec_id", "embedding",
+                        piv, cb, k=5, nprobe=2)
+    opt = ivf_pq_probe(idx_model, emb, queries, "vec_id", "embedding",
+                       piv, cb, k=5, nprobe=2, model=cents,
+                       prune_with_literal=False)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(base) == rows(opt)
+
+
 def test_ivf_append_batch_with_pq_codebooks(spark, emb, tmp_path):
     """The ingest loop carries over: ivf_append_batch(codebooks=)
     writes PQ-encoded cells whose accumulated content equals a
