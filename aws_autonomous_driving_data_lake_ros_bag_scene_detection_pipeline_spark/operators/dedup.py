@@ -146,12 +146,13 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     sh = shingles(text_col, shingle_n)
     out = df.select(F.col(id_col), sh.alias("_shingles"))
 
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("_shingles"),
-                                (lambda i: lambda s: F.xxhash64(F.lit(i), s))(i)))
-        for i in range(num_perm)
-    ])
-    hashed = F.transform(F.col("_shingles"), lambda s: F.xxhash64(s))
+    # SQL-string expressions — identical Catalyst nodes to the Column/
+    # lambda form at ~2 py4j round-trips total instead of ~5 per
+    # permutation (r14 plan-build cost pass)
+    sig = F.expr("array(" + ", ".join(
+        f"array_min(transform(_shingles, s -> xxhash64({i}, s)))"
+        for i in range(num_perm)) + ")")
+    hashed = F.expr("transform(_shingles, s -> xxhash64(s))")
     return out.select(id_col, hashed.alias("shingles"), sig.alias("sig"))
 
 
@@ -169,15 +170,18 @@ def _band_buckets(sig: DataFrame, id_col: str, bands: int,
     that band's signature slice. Pathological buckets
     (boilerplate-heavy corpora) are bounded by ``max_bucket`` to keep
     any join over (band, bh) skew-safe at scale."""
-    band_key = F.explode(F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            hash64(F.concat_ws(",", *[
-                F.col("sig")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)])).alias("bh"),
-        )
-        for b in range(bands)
-    ])).alias("bk")
+    def _bh(b: int) -> str:
+        # SQL-string mirror of functions.hashing.hash64 over the band's
+        # signature slice — one parse round-trip instead of ~10 Column
+        # calls per band (r14 plan-build cost pass)
+        cols = ", ".join(f"cast(sig[{b * rows_per_band + r}] as string)"
+                         for r in range(rows_per_band))
+        return (f"cast(conv(substring(md5(concat_ws(',', {cols})), 1, 15),"
+                f" 16, 10) as bigint)")
+
+    band_key = F.expr("explode(array(" + ", ".join(
+        f"named_struct('band', {b}, 'bh', {_bh(b)})"
+        for b in range(bands)) + "))").alias("bk")
     buckets = (sig.where(F.size("shingles") > 0)
                .select(id_col, "shingles", band_key)
                .select(id_col, "shingles",
@@ -574,20 +578,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     # inline in the 16 sum() conditions would evaluate it 16× per token
     # (no CSE across aggregate functions) and 3.5× the codegen time
     pre = tok.select(F.col(id_col), hash64(F.col("_tok")).alias("_h"))
+    # SQL-string expressions (identical Catalyst nodes to the Column
+    # form — if() IS CASE WHEN): composing 60 conditional sums plus the
+    # 60-term signature polynomial through the Column API cost ~700
+    # py4j round-trips per plan build; each expr string is ONE (r14)
     aggs = [F.count("_h").alias("_n")] + [
-        F.sum(F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1)
-               .otherwise(0)).alias(f"_b{b}")
+        F.expr(f"sum(if((_h & {1 << b}) != 0, 1, 0))").alias(f"_b{b}")
         for b in range(bits)
     ]
     g = pre.groupBy(id_col).agg(*aggs)
-    sig = None
-    for b in range(bits):
-        bit = (F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1 << b))
-                .otherwise(F.lit(0)).cast("bigint"))
-        sig = bit if sig is None else sig + bit
+    sig = " + ".join(
+        f"cast(if(_b{b} * 2 >= _n, {1 << b}, 0) as bigint)"
+        for b in range(bits))
     return g.select(F.col(id_col),
-                    F.when(F.col("_n") > 0, sig).otherwise(F.lit(None))
-                     .cast("bigint").alias("simhash"))
+                    F.expr(f"cast(if(_n > 0, {sig}, null) as bigint)")
+                     .alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
