@@ -2076,7 +2076,10 @@ def q_stream_dedup(spark, sf_dir):
     dd = dedup_stream(doubled, ["event_id"], "t", watermark="1 hour")
     name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # r14 sweep: state-store init is per-partition; 4 measured 1.5 s vs
+    # 1.9 s at 8 for identical output (a live deployment sizes this to
+    # state volume — ~1 partition per few hundred MB of dedup keys)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (dd.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
@@ -3111,82 +3114,40 @@ def q_media_features(spark, sf_dir):
     prj = _projection_stats(spark, sf_dir, pts)
     geo = _geo_enu_stats(spark, sf_dir)
 
-    def _nl(t):
-        return F.lit(None).cast(t)
+    # One selectExpr per branch (r14): the 8 null-padded 14-column
+    # alignment selects were ~170 Column-API py4j round-trips; each
+    # selectExpr string is one. Identical output names/types/order.
+    out_cols = (("variant", "string"), ("query_id", "bigint"),
+                ("neighbor_id", "bigint"), ("cosine", "double"),
+                ("rank", "bigint"), ("n_px", "bigint"),
+                ("px_sum", "bigint"), ("sum_r", "bigint"),
+                ("sum_g", "bigint"), ("sum_b", "bigint"),
+                ("sum_x", "double"), ("sum_y", "double"),
+                ("sum_z", "double"), ("ppm_only", "boolean"))
 
-    a = knn.select(
-        F.lit("knn").alias("variant"), "query_id", "neighbor_id",
-        "cosine", F.col("rank").cast("bigint").alias("rank"),
-        _nl("bigint").alias("n_px"), _nl("bigint").alias("px_sum"),
-        _nl("bigint").alias("sum_r"), _nl("bigint").alias("sum_g"),
-        _nl("bigint").alias("sum_b"),
-        _nl("double").alias("sum_x"), _nl("double").alias("sum_y"),
-        _nl("double").alias("sum_z"),
-        _nl("boolean").alias("ppm_only"))
-    b = dec.select(
-        F.lit("decode").alias("variant"),
-        F.col("doc_id").alias("query_id"),
-        _nl("bigint").alias("neighbor_id"),
-        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
-        "n_px", "px_sum", "sum_r", "sum_g", "sum_b",
-        _nl("double").alias("sum_x"), _nl("double").alias("sum_y"),
-        _nl("double").alias("sum_z"), "ppm_only")
-    c = pcl.select(
-        F.lit("pcl").alias("variant"),
-        F.col("doc_id").alias("query_id"),
-        _nl("bigint").alias("neighbor_id"),
-        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
-        "n_px", "px_sum",
-        _nl("bigint").alias("sum_r"), _nl("bigint").alias("sum_g"),
-        _nl("bigint").alias("sum_b"),
-        "sum_x", "sum_y", "sum_z",
-        _nl("boolean").alias("ppm_only"))
-    d = rimg.select(
-        F.lit("rosimg").alias("variant"),
-        F.col("doc_id").alias("query_id"),
-        _nl("bigint").alias("neighbor_id"),
-        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
-        "n_px", "px_sum", "sum_r", "sum_g", "sum_b",
-        _nl("double").alias("sum_x"), _nl("double").alias("sum_y"),
-        _nl("double").alias("sum_z"), "ppm_only")
-    e = vox.select(
-        F.lit("voxel").alias("variant"),
-        F.col("doc_id").alias("query_id"),
-        _nl("bigint").alias("neighbor_id"),
-        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
-        "n_px", "px_sum",
-        _nl("bigint").alias("sum_r"), _nl("bigint").alias("sum_g"),
-        _nl("bigint").alias("sum_b"),
-        "sum_x", "sum_y", "sum_z",
-        _nl("boolean").alias("ppm_only"))
-    g = bay.select(
-        F.lit("bayer").alias("variant"),
-        F.col("doc_id").alias("query_id"),
-        _nl("bigint").alias("neighbor_id"),
-        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
-        "n_px", "px_sum", "sum_r", "sum_g", "sum_b",
-        _nl("double").alias("sum_x"), _nl("double").alias("sum_y"),
-        _nl("double").alias("sum_z"), "ppm_only")
-    p = prj.select(
-        F.lit("proj").alias("variant"),
-        F.col("doc_id").alias("query_id"),
-        _nl("bigint").alias("neighbor_id"),
-        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
-        "n_px", "px_sum",
-        _nl("bigint").alias("sum_r"), _nl("bigint").alias("sum_g"),
-        _nl("bigint").alias("sum_b"),
-        "sum_x", "sum_y", _nl("double").alias("sum_z"),
-        _nl("boolean").alias("ppm_only"))
-    h = geo.select(
-        F.lit("geo").alias("variant"),
-        F.col("doc_id").alias("query_id"),
-        _nl("bigint").alias("neighbor_id"),
-        _nl("double").alias("cosine"), _nl("bigint").alias("rank"),
-        "n_px", _nl("bigint").alias("px_sum"),
-        _nl("bigint").alias("sum_r"), _nl("bigint").alias("sum_g"),
-        _nl("bigint").alias("sum_b"),
-        "sum_x", "sum_y", "sum_z",
-        _nl("boolean").alias("ppm_only"))
+    def branch(df, tag, **cols):
+        return df.selectExpr(*[
+            f"'{tag}' as variant" if name == "variant"
+            else f"{cols[name]} as {name}" if name in cols
+            else f"cast(null as {typ}) as {name}"
+            for name, typ in out_cols])
+
+    rgb = dict(n_px="n_px", px_sum="px_sum", sum_r="sum_r",
+               sum_g="sum_g", sum_b="sum_b", ppm_only="ppm_only")
+    xyz = dict(n_px="n_px", px_sum="px_sum", sum_x="sum_x",
+               sum_y="sum_y", sum_z="sum_z")
+    a = branch(knn, "knn", query_id="query_id",
+               neighbor_id="neighbor_id", cosine="cosine",
+               rank="cast(rank as bigint)")
+    b = branch(dec, "decode", query_id="doc_id", **rgb)
+    c = branch(pcl, "pcl", query_id="doc_id", **xyz)
+    d = branch(rimg, "rosimg", query_id="doc_id", **rgb)
+    e = branch(vox, "voxel", query_id="doc_id", **xyz)
+    g = branch(bay, "bayer", query_id="doc_id", **rgb)
+    p = branch(prj, "proj", query_id="doc_id", n_px="n_px",
+               px_sum="px_sum", sum_x="sum_x", sum_y="sum_y")
+    h = branch(geo, "geo", query_id="doc_id", n_px="n_px",
+               sum_x="sum_x", sum_y="sum_y", sum_z="sum_z")
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(g).unionByName(p)
             .unionByName(h))
@@ -4053,9 +4014,10 @@ def q_stream_windowed(spark, sf_dir):
     name = f"q_stream_windowed_{uuid.uuid4().hex[:8]}"
     # stateful streaming partitioning is pinned at first checkpoint: use
     # fewer, larger state partitions (state-store init is per-partition,
-    # and the per-window state rows are tiny)
+    # and the per-window state rows are tiny). r14 sweep: 4 measured
+    # 0.92 s vs 1.29 s at 8 for identical output.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (agged.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
@@ -4103,10 +4065,12 @@ def q_stream_join(spark, sf_dir):
     name = f"q_stream_join_{uuid.uuid4().hex[:8]}"
     # join state store init is per-partition (and runs once per side per
     # micro-batch); measured at sf0.1: 4 partitions 3.7s vs 8 partitions
-    # 10s for identical output — keep state partitions few/large here.
-    # A live deployment sizes this to state volume, not core count.
+    # 10s for identical output, and the r14 re-sweep put 2 at 3.2s vs
+    # 5.7s for 4 (mins of 3 interleaved) — keep state partitions
+    # few/large here. A live deployment sizes this to state volume, not
+    # core count.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
