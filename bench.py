@@ -91,6 +91,11 @@ def _one_session(sf_dir: str, sf: float) -> dict:
                 fn(spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
                 samples.append(time.time() - t0)
+                # r15 (VERDICT r14 item 6): clear BETWEEN runs too, so a
+                # register_persist query's later runs rebuild their cache
+                # instead of reporting a warm-cache min — every sample
+                # computes from the parquet inputs
+                spark.catalog.clearCache()
             timings[name] = round(min(samples), 3)
             p50s[name] = round(statistics.median(samples), 3)
             lasts[name] = round(samples[-1], 3)
@@ -100,10 +105,11 @@ def _one_session(sf_dir: str, sf: float) -> dict:
             timings[name] = -1.0
             p50s[name] = -1.0
             lasts[name] = -1.0
-        # the dedup pair operators persist() their signature relation and
-        # document that the CALLER owns the cache lifetime (dedup.py:24-29);
-        # leaked cache from earlier queries skews later measurements
-        spark.catalog.clearCache()
+            # an errored run may have left cache behind (the dedup pair
+            # operators persist() their signature relation; the CALLER
+            # owns the lifetime, dedup.py:24-29) — don't let it skew the
+            # next query's measurement
+            spark.catalog.clearCache()
 
     # per-variant attribution for folded (tagged-union) entries
     # (r14 — VERDICT r13 item 6): one filtered steady-state run per

@@ -13,6 +13,45 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
+# r15 (VERDICT r14 item 7): the codec bit-exactness suites push a plain
+# `pytest tests/` past the driver's verify window (the r14 verify was
+# truncated at 17% — not failed, just cut off). They are deselected by
+# default and run with `--runslow` (or by targeting the file
+# explicitly, which bypasses collection-level deselection of OTHER
+# files but keeps `pytest tests/test_zstd.py` working as always).
+SLOW_TEST_FILES = {
+    "test_vp8_inter.py", "test_zstd.py", "test_jpeg_libjpeg.py",
+}
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow codec bit-exactness suites too")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: slow codec bit-exactness suite (deselected "
+        "unless --runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SLOW_TEST_FILES:
+            item.add_marker(pytest.mark.slow)
+    if config.getoption("--runslow"):
+        return
+    # targeting a slow file directly still runs it
+    args = " ".join(config.invocation_params.args)
+    if any(f in args for f in SLOW_TEST_FILES):
+        return
+    selected = [i for i in items if "slow" not in i.keywords]
+    deselected = [i for i in items if "slow" in i.keywords]
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
